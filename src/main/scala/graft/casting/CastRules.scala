@@ -1,0 +1,349 @@
+package graft.casting
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types._
+import graft.functions.Transforms
+
+/** Source-side column description as introspection produces it — the input
+  * to the cast-rule engine (the reference's field struct,
+  * src/utils/catalog.lisp:85-86 + ctype parsing
+  * src/sources/common/casting-rules.lisp:82-169).
+  *
+  * @param ctype full source type string, e.g. `int(10) unsigned`,
+  *              `decimal(12,2)`, `enum('a','b')`
+  */
+final case class SourceColumn(
+    table: String,
+    name: String,
+    ctype: String,
+    default: Option[String] = None,
+    nullable: Boolean = true,
+    autoIncrement: Boolean = false,
+    onUpdateCurrentTimestamp: Boolean = false) {
+
+  /** Bare type name, lowercased, typemod and attributes stripped. */
+  val typeName: String = ctype.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+
+  /** `(precision, scale)` parsed from `(p[,s])`
+    * (src/utils/transforms.lisp:47-61 parse-column-typemod). */
+  val typemod: Option[(Int, Option[Int])] = {
+    val m = "\\((\\d+)(?:\\s*,\\s*(\\d+))?\\)".r.findFirstMatchIn(ctype)
+    m.map(g => (g.group(1).toInt, Option(g.group(2)).map(_.toInt)))
+  }
+
+  val unsigned: Boolean = ctype.toLowerCase.contains("unsigned")
+}
+
+/** Guards of one cast rule (casting-rules.lisp:18-80). All present guards
+  * must match; first matching rule wins. */
+final case class RuleSource(
+    typeName: Option[String] = None,
+    /** match a specific `table.column` (the DSL's `column t.c to …`). */
+    column: Option[(String, String)] = None,
+    typemodPred: Option[((Int, Option[Int])) => Boolean] = None,
+    default: Option[String] = None,
+    notNull: Option[Boolean] = None,
+    signed: Option[Boolean] = None,
+    autoIncrement: Option[Boolean] = None,
+    onUpdateCurrentTimestamp: Option[Boolean] = None) {
+
+  def matches(c: SourceColumn): Boolean =
+    typeName.forall(_ == c.typeName) &&
+      column.forall { case (t, n) =>
+        t.equalsIgnoreCase(c.table) && n.equalsIgnoreCase(c.name) } &&
+      typemodPred.forall(p => c.typemod.exists(p)) &&
+      default.forall(d => c.default.contains(d)) &&
+      notNull.forall(_ == !c.nullable) &&
+      signed.forall(_ == !c.unsigned) &&
+      autoIncrement.forall(_ == c.autoIncrement) &&
+      onUpdateCurrentTimestamp.forall(_ == c.onUpdateCurrentTimestamp)
+}
+
+/** Target spec of a rule: PG type string + Spark type + column options
+  * (casting-rules.lisp:82-169 drop-default/drop-not-null/drop-typemod). */
+final case class RuleTarget(
+    pgType: String,
+    sparkType: DataType = StringType,
+    /** keep the source typemod, e.g. `numeric(12,2)`. */
+    keepTypemod: Boolean = false,
+    dropDefault: Boolean = false,
+    dropNotNull: Boolean = false,
+    setNotNull: Boolean = false)
+
+/** One cast rule. A rule with `target=None` is a `:using`-only rule — it
+  * contributes its transform to whichever later rule matches
+  * (casting-rules.lisp:60-68). */
+final case class CastRule(
+    source: RuleSource,
+    target: Option[RuleTarget],
+    using: Option[String] = None) // name in Transforms.registry
+
+/** Result of casting one source column. */
+final case class CastResult(
+    pgType: String,
+    sparkType: DataType,
+    transform: Option[Column => Column],
+    nullable: Boolean,
+    default: Option[String])
+
+/** First-match-wins rule engine with user-rule precedence over per-source
+  * defaults (clojure/src/pgloader/cast.clj:364-383 resolve-specs).
+  */
+object CastEngine {
+
+  def cast(c: SourceColumn, userRules: Seq[CastRule],
+           defaults: Seq[CastRule]): CastResult = {
+    val all = userRules ++ defaults
+    // :using-only rules that match contribute a transform but not a type.
+    val usingOnly = all.find(r => r.target.isEmpty && r.source.matches(c))
+      .flatMap(_.using)
+    all.find(r => r.target.nonEmpty && r.source.matches(c)) match {
+      case Some(rule) =>
+        val t = rule.target.get
+        val pg =
+          if (t.keepTypemod && c.typemod.nonEmpty)
+            s"${t.pgType}${c.typemod.map {
+              case (p, Some(s)) => s"($p,$s)"
+              case (p, None)    => s"($p)"
+            }.get}"
+          else t.pgType
+        val fn = rule.using.orElse(usingOnly).map(Transforms.registry)
+        CastResult(
+          pgType = pg,
+          sparkType = sparkTypeFor(t, c),
+          transform = fn,
+          nullable = if (t.setNotNull) false
+                     else if (t.dropNotNull) true else c.nullable,
+          default = if (t.dropDefault) None else c.default)
+      case None => // passthrough: trust the source type name
+        CastResult(c.ctype, StringType,
+          usingOnly.map(Transforms.registry), c.nullable, c.default)
+    }
+  }
+
+  private def sparkTypeFor(t: RuleTarget, c: SourceColumn): DataType =
+    t.pgType match {
+      case "numeric" | "decimal" if t.keepTypemod =>
+        c.typemod match {
+          case Some((p, s)) if p <= 38 => DecimalType(p, s.getOrElse(0))
+          case _ => DecimalType(38, 9)
+        }
+      case _ => t.sparkType
+    }
+}
+
+/** Default cast-rule sets per source kind. The MySQL set mirrors
+  * src/sources/mysql/mysql-cast-rules.lisp:15-198; SQLite
+  * src/sources/sqlite/sqlite-cast-rules.lisp:10-144; MSSQL
+  * src/sources/mssql/mssql-cast-rules.lisp:7-89; PG
+  * src/sources/pgsql/pgsql-cast-rules.lisp:7-80.
+  */
+object DefaultCastRules {
+
+  private def r(src: RuleSource, tgt: RuleTarget,
+                using: Option[String] = None) =
+    CastRule(src, Some(tgt), using)
+
+  private val smallPrecision: ((Int, Option[Int])) => Boolean = _._1 < 10
+  private val bigPrecision: ((Int, Option[Int])) => Boolean = _._1 >= 10
+
+  val mysql: Seq[CastRule] = Seq(
+    // integer family; auto_increment → serial
+    r(RuleSource(Some("int"), autoIncrement = Some(true),
+        typemodPred = Some(smallPrecision)),
+      RuleTarget("serial", IntegerType)),
+    r(RuleSource(Some("int"), autoIncrement = Some(true),
+        typemodPred = Some(bigPrecision)),
+      RuleTarget("bigserial", LongType)),
+    r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
+    // tinyint(1) → boolean
+    r(RuleSource(Some("tinyint"), typemodPred = Some(_._1 == 1)),
+      RuleTarget("boolean", BooleanType), Some("tinyint-to-boolean")),
+    r(RuleSource(Some("bit"), typemodPred = Some(_._1 == 1)),
+      RuleTarget("boolean", BooleanType), Some("bits-to-boolean")),
+    r(RuleSource(Some("bit")),
+      RuleTarget("bit", StringType), Some("bits-to-hex-bitstring")),
+    // unsigned promotions (mysql-cast-rules.lisp:40-56)
+    r(RuleSource(Some("tinyint"), signed = Some(false)),
+      RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("smallint"), signed = Some(false)),
+      RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("mediumint"), signed = Some(false)),
+      RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("int"), signed = Some(false)),
+      RuleTarget("bigint", LongType)),
+    r(RuleSource(Some("bigint"), signed = Some(false)),
+      RuleTarget("numeric", DecimalType(20, 0))),
+    r(RuleSource(Some("tinyint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("smallint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("mediumint")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("int")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("integer")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("bigint")), RuleTarget("bigint", LongType)),
+    r(RuleSource(Some("year")), RuleTarget("integer", IntegerType)),
+    // floats
+    r(RuleSource(Some("float")), RuleTarget("real", FloatType),
+      Some("float-to-string")),
+    r(RuleSource(Some("double")), RuleTarget("double precision", DoubleType),
+      Some("float-to-string")),
+    r(RuleSource(Some("numeric")),
+      RuleTarget("numeric", keepTypemod = true)),
+    r(RuleSource(Some("decimal")),
+      RuleTarget("numeric", keepTypemod = true)),
+    // text family — strip 0x00, PG text can't store them
+    r(RuleSource(Some("char")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    r(RuleSource(Some("tinytext")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    r(RuleSource(Some("text")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    r(RuleSource(Some("mediumtext")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    r(RuleSource(Some("longtext")), RuleTarget("text", StringType),
+      Some("remove-null-characters")),
+    // binary family
+    r(RuleSource(Some("binary")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("varbinary")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("tinyblob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("blob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("mediumblob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("longblob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    // dates & times; zero-dates must be nulled pre-parse
+    // (mysql-cast-rules.lisp:127-173: 8 guard variants collapse to the
+    //  same transform once defaults are dropped)
+    r(RuleSource(Some("datetime"), default = Some("0000-00-00 00:00:00")),
+      RuleTarget("timestamptz", TimestampType, dropDefault = true),
+      Some("zero-dates-to-null")),
+    r(RuleSource(Some("datetime")),
+      RuleTarget("timestamptz", TimestampType), Some("zero-dates-to-null")),
+    r(RuleSource(Some("timestamp"), default = Some("0000-00-00 00:00:00")),
+      RuleTarget("timestamptz", TimestampType, dropDefault = true),
+      Some("zero-dates-to-null")),
+    r(RuleSource(Some("timestamp")),
+      RuleTarget("timestamptz", TimestampType), Some("zero-dates-to-null")),
+    r(RuleSource(Some("date"), default = Some("0000-00-00")),
+      RuleTarget("date", DateType, dropDefault = true),
+      Some("zero-dates-to-null")),
+    r(RuleSource(Some("date")), RuleTarget("date", DateType),
+      Some("zero-dates-to-null")),
+    r(RuleSource(Some("time")), RuleTarget("time", StringType)),
+    // enum/set → PG enum types (DDL layer registers the type; here text)
+    r(RuleSource(Some("enum")), RuleTarget("enum", StringType)),
+    r(RuleSource(Some("set")), RuleTarget("enum[]", StringType),
+      Some("set-to-enum-array")),
+    // geometry
+    r(RuleSource(Some("point")), RuleTarget("point", StringType),
+      Some("convert-mysql-point")),
+    r(RuleSource(Some("linestring")), RuleTarget("path", StringType),
+      Some("convert-mysql-linestring")),
+    r(RuleSource(Some("json")), RuleTarget("jsonb", StringType))
+  )
+
+  val sqlite: Seq[CastRule] = Seq(
+    r(RuleSource(Some("character")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("nvarchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("char")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("clob")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("text")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("integer")), RuleTarget("bigint", LongType),
+      Some("integer-to-string")),
+    r(RuleSource(Some("int")), RuleTarget("bigint", LongType),
+      Some("integer-to-string")),
+    r(RuleSource(Some("int2")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("int4")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("int8")), RuleTarget("bigint", LongType)),
+    r(RuleSource(Some("float")), RuleTarget("double precision", DoubleType),
+      Some("float-to-string")),
+    r(RuleSource(Some("real")), RuleTarget("double precision", DoubleType),
+      Some("float-to-string")),
+    r(RuleSource(Some("double")), RuleTarget("double precision", DoubleType),
+      Some("float-to-string")),
+    r(RuleSource(Some("numeric")), RuleTarget("numeric", keepTypemod = true),
+      Some("float-to-string")),
+    r(RuleSource(Some("decimal")), RuleTarget("numeric", keepTypemod = true)),
+    r(RuleSource(Some("blob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("datetime")), RuleTarget("timestamptz", TimestampType),
+      Some("sqlite-timestamp-to-timestamp")),
+    r(RuleSource(Some("timestamp")), RuleTarget("timestamptz", TimestampType),
+      Some("sqlite-timestamp-to-timestamp")),
+    r(RuleSource(Some("timestamptz")),
+      RuleTarget("timestamptz", TimestampType),
+      Some("sqlite-timestamp-to-timestamp")),
+    r(RuleSource(Some("date")), RuleTarget("date", DateType)),
+    r(RuleSource(Some("boolean")), RuleTarget("boolean", BooleanType))
+  )
+
+  val mssql: Seq[CastRule] = Seq(
+    r(RuleSource(Some("char")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("nchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("nvarchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("ntext")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("xml")), RuleTarget("xml", StringType)),
+    r(RuleSource(Some("int"), autoIncrement = Some(true)),
+      RuleTarget("serial", IntegerType)),
+    r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
+    r(RuleSource(Some("smallint"), autoIncrement = Some(true)),
+      RuleTarget("smallserial", ShortType)),
+    r(RuleSource(Some("tinyint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("smallint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("int")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("bigint")), RuleTarget("bigint", LongType)),
+    r(RuleSource(Some("bit")), RuleTarget("boolean", BooleanType),
+      Some("sql-server-bit-to-boolean")),
+    r(RuleSource(Some("uniqueidentifier")), RuleTarget("uuid", StringType),
+      Some("sql-server-uniqueidentifier-to-uuid")),
+    r(RuleSource(Some("hierarchyid")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("geography")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("binary")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("varbinary")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("image")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("timestamp")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("rowversion")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("money")), RuleTarget("numeric", DecimalType(19, 4))),
+    r(RuleSource(Some("smallmoney")),
+      RuleTarget("numeric", DecimalType(10, 4))),
+    r(RuleSource(Some("float")), RuleTarget("double precision", DoubleType),
+      Some("float-to-string")),
+    r(RuleSource(Some("real")), RuleTarget("real", FloatType),
+      Some("float-to-string")),
+    r(RuleSource(Some("decimal")), RuleTarget("numeric", keepTypemod = true)),
+    r(RuleSource(Some("numeric")), RuleTarget("numeric", keepTypemod = true)),
+    r(RuleSource(Some("datetime")), RuleTarget("timestamptz", TimestampType)),
+    r(RuleSource(Some("datetime2")), RuleTarget("timestamptz", TimestampType)),
+    r(RuleSource(Some("smalldatetime")),
+      RuleTarget("timestamptz", TimestampType)),
+    r(RuleSource(Some("date")), RuleTarget("date", DateType)),
+    r(RuleSource(Some("time")), RuleTarget("time", StringType)),
+    r(RuleSource(Some("sql_variant")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("sysname")), RuleTarget("text", StringType))
+  )
+
+  val pgsql: Seq[CastRule] = Seq(
+    r(RuleSource(Some("integer"), autoIncrement = Some(true)),
+      RuleTarget("serial", IntegerType)),
+    r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
+    r(RuleSource(Some("character varying")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType))
+  )
+}

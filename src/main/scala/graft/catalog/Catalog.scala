@@ -1,0 +1,169 @@
+package graft.catalog
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType, StringType}
+import graft.casting.{CastEngine, CastRule, SourceColumn}
+import org.apache.spark.sql.Column
+
+/** Driver-side catalog ADT — the reference's central IR
+  * (src/utils/catalog.lisp:45-114). A plain Scala tree, NOT forced into
+  * Spark's SessionCatalog: it emits (a) a read `StructType`, (b) transform
+  * `Column`s, (c) target DDL strings.
+  *
+  * A table carries BOTH the source shape (`fields`) and the target shape
+  * (`columns`) — `cast` converts one to the other (catalog.lisp:371-388).
+  */
+final case class Catalog(name: String, schemas: Seq[Schema] = Nil) {
+  def allTables: Seq[Table] = schemas.flatMap(_.tables)
+
+  def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
+    copy(schemas = schemas.map(s =>
+      s.copy(tables = s.tables.map(_.cast(userRules, defaults)))))
+}
+
+final case class Schema(
+    name: String,
+    sourceName: String = "",
+    tables: Seq[Table] = Nil,
+    views: Seq[Table] = Nil)
+
+final case class Table(
+    name: String,
+    schema: String = "public",
+    sourceName: String = "",
+    comment: Option[String] = None,
+    rowCountEstimate: Long = 0L,
+    fields: Seq[SourceColumn] = Nil,     // SOURCE shape
+    columns: Seq[ColumnDef] = Nil,       // TARGET shape (after cast)
+    indexes: Seq[Index] = Nil,
+    fkeys: Seq[FKey] = Nil,
+    checks: Seq[String] = Nil) {
+
+  /** field-list → column-list via the cast engine (catalog.lisp:371-388). */
+  def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Table =
+    copy(columns = fields.map { f =>
+      val r = CastEngine.cast(f, userRules, defaults)
+      ColumnDef(f.name, r.pgType, r.sparkType, r.nullable, r.default,
+        r.transform)
+    })
+
+  /** Spark-side target schema. */
+  def structType: StructType =
+    StructType(columns.map(c => StructField(c.name, c.sparkType, c.nullable)))
+
+  /** Source-read schema: everything string-typed, matching the reference's
+    * text-typed row model (protocol.clj:16-21). */
+  def readStructType: StructType =
+    StructType(fields.map(f => StructField(f.name, StringType, nullable = true)))
+}
+
+final case class ColumnDef(
+    name: String,
+    pgType: String,
+    sparkType: DataType,
+    nullable: Boolean = true,
+    default: Option[String] = None,
+    transform: Option[Column => Column] = None,
+    comment: Option[String] = None)
+
+final case class Index(
+    name: String,
+    table: String,
+    primary: Boolean = false,
+    unique: Boolean = false,
+    columns: Seq[String] = Nil,
+    filter: Option[String] = None)
+
+final case class FKey(
+    name: String,
+    table: String,
+    columns: Seq[String],
+    foreignTable: String,
+    foreignColumns: Seq[String],
+    onUpdate: Option[String] = None,
+    onDelete: Option[String] = None)
+
+/** Identifier-case handling + PG 63-byte truncation collision detection
+  * (src/params.lisp:124 *identifier-case*; catalog.lisp:402-430).
+  */
+object Identifiers {
+  sealed trait Case
+  object Case {
+    /** lowercase unless quoting is needed (default). */
+    case object Downcase extends Case
+    /** keep source case, always quote. */
+    case object Quote extends Case
+    /** CamelCase → snake_case. */
+    case object SnakeCase extends Case
+  }
+
+  private val plainIdent = "^[a-z_][a-z0-9_$]*$".r
+
+  def apply(ident: String, mode: Case): String = mode match {
+    case Case.Downcase  => ident.toLowerCase
+    case Case.Quote     => "\"" + ident.replace("\"", "\"\"") + "\""
+    case Case.SnakeCase =>
+      ident.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+        .replaceAll("[ -]", "_").toLowerCase
+  }
+
+  def needsQuoting(ident: String): Boolean =
+    plainIdent.findFirstIn(ident).isEmpty
+
+  /** PG truncates identifiers to 63 BYTES; report names that collide after
+    * truncation (catalog.lisp:402-430). Returns truncated→originals with >1
+    * original. */
+  def truncate63(ident: String): String = {
+    val bytes = ident.getBytes("UTF-8")
+    if (bytes.length <= 63) ident
+    else {
+      // cut at a UTF-8 boundary
+      var n = 63
+      while (n > 0 && (bytes(n) & 0xC0) == 0x80) n -= 1
+      new String(bytes, 0, n, "UTF-8")
+    }
+  }
+
+  def collisions(idents: Seq[String]): Map[String, Seq[String]] =
+    idents.groupBy(truncate63).filter(_._2.distinct.size > 1)
+}
+
+/** Target-DDL emission (driver-side) — the reference's create-schema layer
+  * (src/pgsql/pgsql-ddl.lisp; clojure/src/pgloader/ddl/common.clj:227-248).
+  */
+object Ddl {
+  def createTable(t: Table, ifNotExists: Boolean = false): String = {
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    val cols = t.columns.map { c =>
+      val nn = if (c.nullable) "" else " NOT NULL"
+      val dft = c.default.map(d => s" DEFAULT $d").getOrElse("")
+      s"  ${c.name} ${c.pgType}$nn$dft"
+    }
+    s"CREATE TABLE $ine${t.schema}.${t.name}\n(\n${cols.mkString(",\n")}\n);"
+  }
+
+  def createIndex(i: Index, schema: String = "public"): String = {
+    val uq = if (i.unique || i.primary) "UNIQUE " else ""
+    val where = i.filter.map(f => s" WHERE $f").getOrElse("")
+    s"CREATE ${uq}INDEX ${i.name} ON $schema.${i.table} " +
+      s"(${i.columns.mkString(", ")})$where;"
+  }
+
+  /** PK built as UNIQUE index first, then attached — lets index builds run
+    * in parallel after the load (migrate-database.lisp:177-181). */
+  def attachPrimaryKey(i: Index, schema: String = "public"): String =
+    s"ALTER TABLE $schema.${i.table} ADD PRIMARY KEY USING INDEX ${i.name};"
+
+  def addFKey(f: FKey, schema: String = "public"): String =
+    s"ALTER TABLE $schema.${f.table} ADD CONSTRAINT ${f.name} " +
+      s"FOREIGN KEY (${f.columns.mkString(", ")}) " +
+      s"REFERENCES $schema.${f.foreignTable} " +
+      s"(${f.foreignColumns.mkString(", ")})" +
+      f.onUpdate.map(u => s" ON UPDATE $u").getOrElse("") +
+      f.onDelete.map(d => s" ON DELETE $d").getOrElse("") + ";"
+
+  def truncate(t: Table): String = s"TRUNCATE ${t.schema}.${t.name};"
+
+  def resetSequence(t: Table, column: String): String =
+    s"SELECT setval(pg_get_serial_sequence('${t.schema}.${t.name}', " +
+      s"'$column'), (SELECT max($column) FROM ${t.schema}.${t.name}));"
+}

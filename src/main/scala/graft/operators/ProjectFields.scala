@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Field→column projection — the reference's `project-fields` stage
+  * (src/sources/common/project-fields.lisp:35-183): reorder / subset /
+  * duplicate source fields, per-field null-if / trim / date-format
+  * preprocessing, per-column `USING` expressions (row-level, may reference
+  * several fields), and constant columns.
+  *
+  * Spark realization: one `df.select(...)` built from `Column` expressions,
+  * so the whole stage is a single codegen'd Project that Catalyst can merge
+  * with the scan (column pruning reaches the source).
+  */
+object ProjectFields {
+
+  sealed trait TrimMode
+  object TrimMode {
+    case object None extends TrimMode
+    case object Left extends TrimMode
+    case object Right extends TrimMode
+    case object Both extends TrimMode
+  }
+
+  /** Per-field `[null if …]` spec; several specs are OR'd
+    * (project-fields.lisp:47-66). */
+  sealed trait NullIf
+  object NullIf {
+    /** `[null if blanks]` — all-whitespace value → NULL. */
+    case object Blanks extends NullIf
+    /** `[null if 'literal']`. */
+    final case class Value(v: String) extends NullIf
+  }
+
+  /** Declared source field with its preprocessing options
+    * (grammar.clj:157-182). */
+  final case class FieldSpec(
+      name: String,
+      nullIfs: Seq[NullIf] = Nil,
+      trim: TrimMode = TrimMode.None,
+      /** PG to_char-style format, e.g. `DD/MM/YYYY HH24:MI:SS.US`
+        * (src/parsers/date-format.lisp:13-145). */
+      dateFormat: Option[String] = None)
+
+  /** Target column (TARGET COLUMNS clause). Exactly one of the value
+    * sources applies; default is the same-named preprocessed field. */
+  final case class TargetColumn(
+      name: String,
+      /** `USING` expression — Spark SQL text over ALL fields (the
+        * reference compiles a row-level lambda,
+        * project-fields.lisp:144-183). */
+      usingExpr: Option[String] = None,
+      /** Named transform from [[graft.functions.Transforms.registry]]
+        * applied to the same-named field. */
+      transform: Option[Column => Column] = None,
+      /** Constant string column. */
+      constant: Option[String] = None,
+      /** Field to read when the column name differs from the field name. */
+      fromField: Option[String] = None)
+
+  /** Preprocess one raw field column: null-if specs OR'd, then trim, then
+    * date-format parse (order matches project-fields.lisp:91-119). */
+  def prepareField(raw: Column, spec: FieldSpec): Column = {
+    val nulled = spec.nullIfs.foldLeft(raw) { (c, ni) =>
+      ni match {
+        case NullIf.Blanks   => when(trim(c) === "", lit(null: String)).otherwise(c)
+        case NullIf.Value(v) => when(c === v, lit(null: String)).otherwise(c)
+      }
+    }
+    val trimmed = spec.trim match {
+      case TrimMode.None  => nulled
+      case TrimMode.Left  => ltrim(nulled)
+      case TrimMode.Right => rtrim(nulled)
+      case TrimMode.Both  => trim(nulled)
+    }
+    spec.dateFormat match {
+      case Some(fmt) =>
+        to_timestamp(trimmed, DateFormat.translate(fmt)).cast("string")
+      case None => trimmed
+    }
+  }
+
+  /** Apply the whole projection: `df` columns are the raw source fields. */
+  def apply(df: DataFrame, fields: Seq[FieldSpec],
+            targets: Seq[TargetColumn]): DataFrame = {
+    // Preprocessed view of every field, available to USING expressions.
+    val prepared = fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, prepareField(col(f.name), f))
+    }
+    val outCols = targets.map { t =>
+      val value: Column = (t.constant, t.usingExpr, t.transform) match {
+        case (Some(k), _, _) => lit(k)
+        case (_, Some(e), _) => expr(e)
+        case (_, _, Some(fn)) => fn(col(t.fromField.getOrElse(t.name)))
+        case _ => col(t.fromField.getOrElse(t.name))
+      }
+      value.as(t.name)
+    }
+    prepared.select(outCols: _*)
+  }
+}
+
+/** PG `to_char`-token date formats → Spark/java.time patterns.
+  * Token set per the reference's parser (src/parsers/date-format.lisp:13-145;
+  * v4 translation clojure/src/pgloader/source/csv.clj:118-170).
+  */
+object DateFormat {
+  // Longest-match-first token table.
+  private val tokens: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy",
+    "YY" -> "yy",
+    "MM" -> "MM",
+    "DD" -> "dd",
+    "HH24" -> "HH",
+    "HH12" -> "hh",
+    "HH" -> "hh",
+    "MI" -> "mm",
+    "SS" -> "ss",
+    "US" -> "SSSSSS",
+    "MS" -> "SSS",
+    "AM" -> "a",
+    "PM" -> "a"
+  )
+
+  /** Translate a PG-style format to a Spark datetime pattern; characters
+    * outside the token set pass through as literal separators. */
+  def translate(pgFormat: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pgFormat.length) {
+      val rest = pgFormat.substring(i)
+      tokens.find { case (tok, _) => rest.startsWith(tok) } match {
+        case Some((tok, rep)) => sb.append(rep); i += tok.length
+        case None => sb.append(pgFormat.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,178 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.LongAccumulator
+import graft.sources.CopyText
+import scala.collection.mutable.ArrayBuffer
+
+/** Failure reported by a COPY endpoint. `lineInBatch` is the 1-based row
+  * index inside the failed batch when the server reports it (PG does via
+  * `CONTEXT: COPY table, line N` — parsed at copy-retry-batch.lisp:47-52);
+  * None when the error carries no position (e.g. an FK violation at COMMIT).
+  */
+final case class CopyError(lineInBatch: Option[Int], message: String)
+  extends Exception(message)
+
+/** Where formatted COPY rows go. One endpoint per task/partition.
+  * Implementations: PG `CopyManager` (reflective, [[PgCopyEndpoint]]),
+  * plain JDBC batched INSERT, or in-memory test doubles. `send` is
+  * transactional: on [[CopyError]] NONE of the rows were kept. */
+trait CopyEndpoint extends AutoCloseable {
+  def send(rows: Seq[Array[Byte]]): Unit
+  override def close(): Unit = ()
+}
+
+/** Batch of pre-formatted rows — format-once-retry-many, exactly the
+  * reference's batch structure (src/pg-copy/copy-batch.lisp:11-50): capped
+  * by max(rows, bytes), row capacity randomized 0.7–1.3× so concurrent
+  * writers don't commit in lockstep (copy-batch.lisp:29-34).
+  */
+final class Batch(maxRows: Int = 25000, maxBytes: Long = 20L << 20,
+                  seed: Long = 0) {
+  private val rnd = new java.util.Random(seed)
+  private val capacity =
+    math.max(1, (maxRows * (0.7 + rnd.nextDouble() * 0.6)).toInt)
+  val rows = new ArrayBuffer[Array[Byte]](math.min(capacity, 1 << 16))
+  private var bytes = 0L
+
+  def add(row: Array[Byte]): Unit = { rows += row; bytes += row.length }
+  def isFull: Boolean = rows.length >= capacity || bytes >= maxBytes
+  def nonEmpty: Boolean = rows.nonEmpty
+}
+
+/** Per-row error recovery around a transactional COPY endpoint
+  * (src/pg-copy/copy-retry-batch.lisp:47-214):
+  *   - error WITH a line number: resend the prefix `[0,bad)`, reject the bad
+  *     row, continue with the tail — O(errors) round-trips;
+  *   - error WITHOUT a line number: bisect halves until single rows isolate
+  *     — O(errors·log N) round-trips.
+  */
+object BatchRetry {
+
+  /** @return (rowsSent, rowsRejected) */
+  def sendWithRecovery(endpoint: CopyEndpoint,
+                       rows: IndexedSeq[Array[Byte]],
+                       reject: (Array[Byte], String) => Unit): (Long, Long) = {
+    if (rows.isEmpty) return (0L, 0L)
+    try { endpoint.send(rows); (rows.length.toLong, 0L) }
+    catch {
+      case CopyError(Some(n), msg) if n >= 1 && n <= rows.length =>
+        val bad = n - 1
+        val (s1, r1) = sendWithRecovery(endpoint, rows.slice(0, bad), reject)
+        reject(rows(bad), msg)
+        val (s2, r2) =
+          sendWithRecovery(endpoint, rows.slice(bad + 1, rows.length), reject)
+        (s1 + s2, r1 + r2 + 1)
+      case CopyError(_, msg) =>
+        if (rows.length == 1) { reject(rows(0), msg); (0L, 1L) }
+        else {
+          val mid = rows.length / 2
+          val (s1, r1) =
+            sendWithRecovery(endpoint, rows.slice(0, mid), reject)
+          val (s2, r2) =
+            sendWithRecovery(endpoint, rows.slice(mid, rows.length), reject)
+          (s1 + s2, r1 + r2)
+        }
+    }
+  }
+}
+
+/** The distributed COPY sink: each partition formats its rows to COPY TEXT
+  * bytes once, accumulates batches, and streams them to its own endpoint —
+  * the Spark realization of copy-rows-in-batch.lisp:6-31 where Spark tasks
+  * replace the reader/writer thread pairs.
+  *
+  * @param endpointFactory built ON THE EXECUTOR per partition (must be a
+  *   serializable closure); e.g. opens one PG connection per task.
+  * @param onErrorStop fail-fast streaming mode (copy-from-queue.lisp:53-59)
+  */
+final class CopySink(
+    endpointFactory: Int => CopyEndpoint,
+    maxRows: Int = 25000,
+    maxBytes: Long = 20L << 20,
+    onErrorStop: Boolean = false,
+    rejectDir: Option[String] = None) extends Serializable {
+
+  /** Write `df`; returns (sent, rejected) via accumulators. */
+  def write(df: DataFrame): (Long, Long) = {
+    val spark = df.sparkSession
+    val sent = spark.sparkContext.longAccumulator("rowsSent")
+    val rejected = spark.sparkContext.longAccumulator("rowsRejected")
+    val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
+    val rDir = rejectDir; val factory = endpointFactory
+    val n = df.columns.length
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val endpoint = factory(pid)
+      val rejectWriter = rDir.map { d =>
+        val dir = new java.io.File(d); dir.mkdirs()
+        new java.io.PrintWriter(new java.io.File(dir, f"part-$pid%05d.dat"))
+      }
+      val rejectFn: (Array[Byte], String) => Unit = (row, msg) => {
+        if (stop) throw CopyError(None, msg)
+        rejectWriter.foreach(w => w.print(new String(row, "UTF-8")))
+        rejected.add(1)
+      }
+      try {
+        var batch = new Batch(mr, mb, seed = pid)
+        def flush(): Unit = if (batch.nonEmpty) {
+          val (s, _) = BatchRetry.sendWithRecovery(
+            endpoint, batch.rows.toIndexedSeq, rejectFn)
+          sent.add(s)
+          batch = new Batch(mr, mb, seed = pid)
+        }
+        it.foreach { row =>
+          val vals = Array.tabulate(n)(i =>
+            if (row.isNullAt(i)) null else row.get(i).toString)
+          batch.add((CopyText.formatRow(vals) + "\n").getBytes("UTF-8"))
+          if (batch.isFull) flush()
+        }
+        flush()
+      } finally {
+        rejectWriter.foreach(_.close())
+        endpoint.close()
+      }
+    }
+    (sent.value, rejected.value)
+  }
+}
+
+/** PostgreSQL COPY endpoint via pgjdbc's CopyManager, loaded reflectively so
+  * the library has no hard dependency on the driver jar
+  * (clojure/src/pgloader/batch.clj:43-70 send-rows! equivalent).
+  */
+final class PgCopyEndpoint(url: String, props: java.util.Properties,
+                           copySql: String) extends CopyEndpoint {
+  private val conn = java.sql.DriverManager.getConnection(url, props)
+  conn.setAutoCommit(false)
+  private val mgrCls = Class.forName("org.postgresql.copy.CopyManager")
+  private val pgConn = conn.unwrap(
+    Class.forName("org.postgresql.core.BaseConnection")
+      .asInstanceOf[Class[java.sql.Connection]])
+  private val mgr = mgrCls
+    .getConstructor(Class.forName("org.postgresql.core.BaseConnection"))
+    .newInstance(pgConn).asInstanceOf[AnyRef]
+  private val copyIn = mgrCls.getMethod("copyIn", classOf[String],
+    classOf[java.io.InputStream])
+
+  private val lineRe = "(?s).*line (\\d+).*".r
+
+  override def send(rows: Seq[Array[Byte]]): Unit = {
+    val bytes = rows.toArray.flatten
+    try {
+      copyIn.invoke(mgr, copySql, new java.io.ByteArrayInputStream(bytes))
+      conn.commit()
+    } catch {
+      case e: Exception =>
+        conn.rollback()
+        val msg = Option(e.getCause).getOrElse(e).getMessage
+        val line = msg match {
+          case lineRe(nStr) => Some(nStr.toInt)
+          case _            => None
+        }
+        throw CopyError(line, msg)
+    }
+  }
+
+  override def close(): Unit = conn.close()
+}

@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** CSV dialect — separator / quote / escape-mode / skip lines
+  * (src/sources/csv/csv.lisp:84-127). `escapeQuoting` distinguishes the
+  * doubled-quote RFC mode (`""`) from backslash mode (`\"`)
+  * (csv-guess.lisp:40-55).
+  */
+final case class CsvDialect(
+    separator: Char = ',',
+    quote: Char = '"',
+    doubledQuote: Boolean = true, // true: "" escapes; false: \" escapes
+    skipLines: Int = 0,
+    header: Boolean = false,
+    encoding: String = "UTF-8",
+    nullValue: String = "")
+
+object CsvSource {
+
+  /** Read a CSV with an explicit dialect into an all-string DataFrame —
+    * fidelity mode: types are applied later by the cast layer, never by the
+    * reader (SURVEY §1.2: transforms run on strings). */
+  def read(spark: SparkSession, path: String, dialect: CsvDialect,
+           fieldNames: Seq[String]): DataFrame = {
+    val schema = StructType(
+      fieldNames.map(n => StructField(n, StringType, nullable = true)))
+    var r = spark.read
+      .option("sep", dialect.separator.toString)
+      .option("quote", dialect.quote.toString)
+      .option("escape",
+        if (dialect.doubledQuote) dialect.quote.toString else "\\")
+      .option("encoding", dialect.encoding)
+      .option("nullValue", dialect.nullValue)
+      .option("mode", "PERMISSIVE")
+      .option("header", dialect.header.toString)
+    if (dialect.skipLines > 0 && !dialect.header)
+      r = r.option("skipLines", dialect.skipLines.toString)
+    r.schema(schema).csv(path)
+  }
+
+  /** Tiny driver-side CSV line parser used only by the guesser. Returns
+    * None on unbalanced quotes. */
+  private[sources] def parseLine(line: String, sep: Char, quote: Char,
+                                 doubled: Boolean): Option[Int] = {
+    var i = 0
+    var fields = 1
+    var inQuote = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && !doubled && i + 1 < line.length) i += 1
+        else if (c == quote) {
+          if (doubled && i + 1 < line.length && line.charAt(i + 1) == quote)
+            i += 1
+          else inQuote = false
+        }
+      } else {
+        if (c == quote) inQuote = true
+        else if (c == sep) fields += 1
+      }
+      i += 1
+    }
+    if (inQuote) None else Some(fields)
+  }
+
+  private val separators = Seq('\t', ',', ';', '|', '%', '^', '!', '$')
+
+  /** Guess separator + escape mode from a sample: try each candidate until
+    * every sampled row parses to the same column count (>= `nbCols` when
+    * known) — csv-guess.lisp:40-77. */
+  def guessDialect(sample: Seq[String], nbCols: Option[Int] = None,
+                   quote: Char = '"'): Option[CsvDialect] = {
+    val lines = sample.filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val candidates = for {
+      doubled <- Seq(true, false)
+      sep <- separators
+    } yield (sep, doubled)
+    candidates.collectFirst {
+      case (sep, doubled)
+        if consistent(lines, sep, quote, doubled, nbCols) =>
+        CsvDialect(separator = sep, quote = quote, doubledQuote = doubled)
+    }
+  }
+
+  private def consistent(lines: Seq[String], sep: Char, quote: Char,
+                         doubled: Boolean, nbCols: Option[Int]): Boolean = {
+    val counts = lines.map(parseLine(_, sep, quote, doubled))
+    counts.forall(_.nonEmpty) && {
+      val cs = counts.flatten.distinct
+      cs.size == 1 && cs.head > 1 && nbCols.forall(cs.head == _)
+    }
+  }
+
+  /** Driver-side sample for guessing (first `n` lines of the file). */
+  def sample(spark: SparkSession, path: String, n: Int = 1000): Seq[String] =
+    spark.read.textFile(path).limit(n).collect().toSeq
+}
+
+/** Fixed-width source (src/sources/fixed/fixed.lisp:51-78): substring
+  * extraction per `(name, start, length)`; ragged right lines give NULL for
+  * the missing tail fields.
+  */
+object FixedWidth {
+  final case class FieldPos(name: String, start: Int, length: Int)
+
+  def read(spark: SparkSession, path: String, specs: Seq[FieldPos],
+           skipLines: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var text = spark.read.textFile(path).toDF("__line")
+    if (skipLines > 0) {
+      // deterministic: files are read in order; tag and drop the first k
+      val k = skipLines
+      text = text.withColumn("__idx",
+        monotonically_increasing_id()).filter(col("__idx") >= k)
+        .drop("__idx")
+    }
+    project(text, "__line", specs).drop("__line")
+  }
+
+  /** Columnize an existing single-string column (used by both the file
+    * reader and tests). */
+  def project(df: DataFrame, lineCol: String,
+              specs: Seq[FieldPos]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val line = col(lineCol)
+    specs.foldLeft(df) { (d, s) =>
+      // substring is 1-based; ragged lines → empty substring → NULL
+      val raw = substring(line, s.start + 1, s.length)
+      d.withColumn(s.name,
+        when(length(line) <= s.start, lit(null: String)).otherwise(raw))
+    }
+  }
+
+  /** Infer column boundaries from a header line's whitespace runs
+    * (src/sources/fixed/fixed-guess.lisp:29-74). */
+  def guessSpecs(header: String): Seq[FieldPos] = {
+    val boundaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < header.length) {
+      if (!header.charAt(i).isWhitespace) {
+        val start = i
+        while (i < header.length && !header.charAt(i).isWhitespace) i += 1
+        boundaries += ((start, i))
+      } else i += 1
+    }
+    // column extends to the start of the next header token
+    boundaries.zipWithIndex.map { case ((s, _), idx) =>
+      val end =
+        if (idx + 1 < boundaries.length) boundaries(idx + 1)._1
+        else Int.MaxValue / 2
+      FieldPos(header.substring(s,
+        math.min(boundaries(idx)._2, header.length)).trim, s, end - s)
+    }.toSeq
+  }
+}
