@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`/`Array[Double]`). Extension surface beyond the
+  * reference, Spark-first: dot products via `zip_with`+`aggregate`
+  * (codegen'd), top-k via window rank, and an LSH-bucketed scale path that
+  * turns the cross product into a hash join.
+  */
+object Similarity {
+
+  /** Codegen'd dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query scored against every corpus
+    * vector. Baseline / oracle path. The queries side MUST be small — it is
+    * broadcast, so the corpus is never shuffled, only scanned: at 100 TB
+    * corpus scale this is one pass, embarrassingly parallel. Ties broken by
+    * corpus id for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "q_id", qVec: String = "q_vec",
+                     cId: String = "c_id", cVec: String = "c_vec")
+      : DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hashed by random-hyperplane
+    * signature; only same-bucket pairs are scored. `probes=0` uses the
+    * exact bucket; `probes=n` additionally probes buckets at Hamming
+    * distance 1 in the first n bits (recall knob).
+    *
+    * Scale shape: the corpus is bucketed once (can be persisted /
+    * Z-ordered by bucket); each query joins to its bucket — a broadcast
+    * hash join on the bucket key instead of a full scan per query.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              planes: Int = 12, probes: Int = 4, seed: Long = 42L,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val cb = corpus.withColumn("bucket",
+      Dedup.hyperplaneSignature(col(cVec), dim, planes, seed))
+    val qSig = Dedup.hyperplaneSignature(col(qVec), dim, planes, seed)
+    // multi-probe: the signature itself + flipping each of the first
+    // `probes` bits
+    val probeBuckets = array(
+      (qSig +: (0 until probes).map(b => qSig.bitwiseXOR(lit(1L << b)))): _*)
+    val qb = queries.withColumn("bucket", explode(probeBuckets))
+    val scored = qb.join(cb, Seq("bucket"))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: corpus assigned to the nearest of `centroids`; queries
+    * probe the `nprobe` nearest centroids. Centroids are a small broadcast
+    * table (id, vec). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              centroids: DataFrame, k: Int, nprobe: Int = 2,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "c_id", cVec: String = "c_vec",
+              ctId: String = "ct_id", ctVec: String = "ct_vec")
+      : DataFrame = {
+    def assign(df: DataFrame, vec: String, n: Int, out: String) = {
+      val w = Window.partitionBy(df.columns.head, vec)
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__d", cosine(col(vec), col(ctVec)))
+      val ww = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("__d").desc, col(ctId).asc)
+      scored.withColumn("__r", row_number().over(ww))
+        .filter(col("__r") <= n)
+        .withColumnRenamed(ctId, out)
+        .drop(ctVec, "__d", "__r")
+    }
+    val cAssigned = assign(corpus, cVec, 1, "cell")
+    val qAssigned = assign(queries, qVec, nprobe, "cell")
+    val scored = qAssigned.join(cAssigned, Seq("cell"))
+      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators (language-ID, quality scoring, token
+  * counting, fingerprinting) — training-data-pipeline extensions. All pure
+  * `Column` expressions: one narrow projection per document, no shuffle,
+  * scales linearly with corpus bytes.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks, numbers, punctuation runs —
+    * a GPT-2-style pre-tokenizer regex. Upper bound estimate of LLM
+    * token usage. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+"), lit(0)))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as", "at", "by"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für",
+      "auf", "ein", "eine", "zu", "den", "im", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "des", "un", "une",
+      "dans", "pour", "sur", "avec", "au", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "un", "una",
+      "en", "por", "para", "con", "del", "no"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit(_)): _*)
+    val toks = tokens(lower(text))
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** n-gram-heuristic language ID: CJK characters → zh; otherwise the
+    * language whose stopword list hits most; ties/no-hits → "und". */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => struct(stopwordRatio(text, l).as("s"),
+      lit(l).as("l")))
+    val best = greatest(scores: _*)
+    when(regexp_like(text, lit("[\\x{4e00}-\\x{9fff}]")), lit("zh"))
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality features: length, token count, mean token length, punctuation
+    * ratio, digit ratio, uppercase ratio. Returns a struct. */
+  def qualityFeatures(text: Column): Column = {
+    val len = length(text).cast("double")
+    val safeLen = greatest(len, lit(1.0d))
+    struct(
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      (len / greatest(tokenCount(text), lit(1)).cast("double"))
+        .as("mean_token_len"),
+      (length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / safeLen)
+        .as("punct_ratio"),
+      (length(regexp_replace(text, "[^0-9]", "")).cast("double") / safeLen)
+        .as("digit_ratio"),
+      (length(regexp_replace(text, "[^A-Z]", "")).cast("double") / safeLen)
+        .as("upper_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: penalize very short/long docs, high
+    * punctuation and digit density. A simple, deterministic heuristic. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = when(f.getField("n_tokens") < 5, 0.2d)
+      .when(f.getField("n_tokens") > 10000, 0.5d).otherwise(1.0d)
+    val punctScore = when(f.getField("punct_ratio") > 0.2d, 0.3d)
+      .otherwise(1.0d)
+    val digitScore = when(f.getField("digit_ratio") > 0.3d, 0.3d)
+      .otherwise(1.0d)
+    round(lenScore * punctScore * digitScore, 4)
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+    * over token hashes (hash(d) = Σ h(t_i)·31^(n-i) in Long arithmetic). */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), t => xxhash64(t)),
+      lit(0L), (acc, h) => acc * 31L + h)
+}
