@@ -1,13 +1,897 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Transforms
+import graft.operators.{DateFormat, ProjectFields}
+import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
+import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
+import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
+  * DuckDB oracle in `oracleSql` where SQL can express it.
+  *
+  * Conventions shared by query and oracle: deterministic ORDER BY on every
+  * result; double aggregates computed exactly via DECIMAL then cast back to
+  * double (so hashes match bit-for-bit); column names aliased identically
+  * on both sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions)
+    // and convert to a micros timestamp losslessly via integer division.
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact double aggregation: sum in decimal, return double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Scratch dir for round-trip queries (inside the repo tree). */
+  private def scratch(name: String): String = {
+    val p = s"target/qtmp/$name"
+    val f = new java.io.File(p)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    f.getParentFile.mkdirs()
+    p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.5 aggregations — pricing-summary rollup (stats aggregation shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          (sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3 field→column projection: subset/reorder/duplicate/constant/using
+    "project_fields" -> ((s, dir) => {
+      val fields = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .map(FieldSpec(_))
+      val targets = Seq(
+        TargetColumn("p_partkey"),
+        TargetColumn("brand", fromField = Some("p_brand")),
+        TargetColumn("brand_again", fromField = Some("p_brand")),
+        TargetColumn("label",
+          usingExpr = Some("concat(p_brand, ':', p_type)")),
+        TargetColumn("origin", constant = Some("graft")))
+      ProjectFields(
+        t(s, dir, "part").select(
+          col("p_partkey").cast("string"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size").cast("string")),
+        fields, targets)
+        .withColumn("p_partkey", col("p_partkey").cast("long"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.3 null-if (blanks + literal value)
+    "null_if" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fields = Seq(
+        FieldSpec("o_orderkey"),
+        FieldSpec("o_orderpriority", nullIfs = Seq(NullIf.Value("1-URGENT"))),
+        FieldSpec("o_status_b", nullIfs = Seq(NullIf.Blanks)))
+      val targets = Seq(
+        TargetColumn("o_orderkey"),
+        TargetColumn("o_orderpriority"),
+        TargetColumn("o_status_b"))
+      ProjectFields(
+        o.select(col("o_orderkey").cast("string"), col("o_orderpriority"),
+          // blank-pad some statuses to exercise [null if blanks]
+          when(col("o_orderkey") % 5 === 0, lit("   "))
+            .otherwise(col("o_orderstatus")).as("o_status_b")),
+        fields, targets)
+        .withColumn("o_orderkey", col("o_orderkey").cast("long"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.3 trim modes
+    "trim_fields" -> ((s, dir) => {
+      val padded = t(s, dir, "part").select(
+        col("p_partkey"),
+        concat(lit("  "), col("p_brand"), lit("  ")).as("b"))
+      val fields = Seq(FieldSpec("b", trim = TrimMode.Both))
+      val both = ProjectFields(padded.select(col("b")), fields,
+        Seq(TargetColumn("b")))
+      padded.select(col("p_partkey"),
+          ltrim(col("b")).as("b_ltrim"),
+          rtrim(col("b")).as("b_rtrim"),
+          trim(col("b")).as("b_trim"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.3 per-field date format (PG to_char tokens → parser)
+    "date_format_parse" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").limit(0) // schema only; real input below
+      val rendered = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "dd/MM/yyyy HH:mm:ss").as("d"))
+      val fields = Seq(FieldSpec("d",
+        dateFormat = Some("DD/MM/YYYY HH24:MI:SS")))
+      rendered.select(col("l_orderkey"), col("l_linenumber"),
+          ProjectFields.prepareField(col("d"), fields.head)
+            .cast("timestamp").as("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.7 zero-dates-to-null + timestamp cast (MySQL datetime semantics)
+    "transform_zero_dates" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, lit("0000-00-00 00:00:00"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("d_raw"))
+      o.select(col("o_orderkey"),
+          Transforms.zeroDatesToNull(col("d_raw")).cast("timestamp")
+            .as("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.7 date-with-no-separator (compact 14-digit timestamps)
+    "transform_date_no_sep" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        date_format(col("ts"), "yyyyMMddHHmmss").as("compact"))
+      e.select(col("event_id"),
+          Transforms.dateWithNoSeparator(col("compact")).cast("timestamp")
+            .as("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.7 time-with-no-separator
+    "transform_time_no_sep" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        concat(date_format(col("ts"), "HHmmss"),
+          lpad((col("event_id") % 100).cast("string"), 2, "0")).as("compact"))
+      e.select(col("event_id"),
+          Transforms.timeWithNoSeparator(col("compact")).as("t"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.7 tinyint-to-boolean
+    "transform_tinyint_bool" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 2).cast("string").as("flag"))
+      o.select(col("o_orderkey"),
+          Transforms.tinyintToBoolean(col("flag")).as("b"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.7 int-to-ip
+    "transform_int_to_ip" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 9973) % 4294967296L).as("addr"))
+      c.select(col("c_custkey"),
+          Transforms.intToIp(col("addr")).as("ip"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.7 set-to-enum-array + empty-string-to-null
+    "transform_set_enum" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit(""))
+          .otherwise(lower(col("c_mktsegment"))).as("tags"))
+      c.select(col("c_custkey"),
+          Transforms.setToEnumArray(
+            Transforms.emptyStringToNull(col("tags"))).as("enum_arr"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.7 hex-to-dec + byte-vector-to-hexstring + bytea literal
+    "transform_hex" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        lower(hex(col("p_partkey"))).as("hexa"),
+        col("p_brand"))
+      p.select(col("p_partkey"),
+          Transforms.hexToDec(col("hexa")).as("dec_str"),
+          Transforms.byteVectorToHexstring(col("p_brand").cast("binary"))
+            .as("brand_hex"),
+          Transforms.byteVectorToBytea(col("p_brand").cast("binary"))
+            .as("brand_bytea"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.7 unix-timestamp-to-timestamptz
+    "transform_unix_ts" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).cast("string").as("epoch"))
+      o.select(col("o_orderkey"),
+          Transforms.unixTimestampToTimestamptz(col("epoch")).as("ts_text"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.6 cast-rule engine: MySQL-shaped source columns through the
+    // default rule set (typed output, zero-dates nulled before cast)
+    "cast_engine_mysql" -> ((s, dir) => {
+      import graft.casting._
+      val raw = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        (col("o_orderkey") % 2).cast("string").as("is_priority"),
+        when(col("o_orderkey") % 97 === 0, lit("0000-00-00 00:00:00"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("created_at"),
+        col("o_orderpriority").as("note"),
+        format_number(col("o_totalprice"), 2).as("price_str"))
+        .withColumn("price_str", regexp_replace(col("price_str"), ",", ""))
+      val cols = Seq(
+        SourceColumn("orders", "o_orderkey", "bigint(20)"),
+        SourceColumn("orders", "o_custkey", "int(10)"),
+        SourceColumn("orders", "is_priority", "tinyint(1)"),
+        SourceColumn("orders", "created_at", "datetime",
+          default = Some("0000-00-00 00:00:00")),
+        SourceColumn("orders", "note", "varchar(15)"),
+        SourceColumn("orders", "price_str", "decimal(12,2)"))
+      val outCols = cols.map { sc =>
+        val r = CastEngine.cast(sc, Nil, DefaultCastRules.mysql)
+        val base = col(sc.name)
+        val transformed = r.transform.map(f => f(base)).getOrElse(base)
+        // PG boolean text → Spark boolean needs explicit mapping
+        val typed = r.sparkType match {
+          case BooleanType => (transformed === "t").as(sc.name)
+          case dt => transformed.cast(dt).as(sc.name)
+        }
+        typed
+      }
+      raw.select(outCols: _*)
+        // decimal → double at the boundary so the oracle compare is
+        // type-stable (DuckDB decimals surface as float64)
+        .withColumn("price_str", col("price_str").cast("double"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.4 Citus backfill join — distribution key backfilled through the
+    // FK chain lineitem→orders→customer; dims broadcast (small side)
+    "citus_backfill_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey").as("dist_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.4/§2.5 regression EXCEPT — expected.exceptAll(actual)
+    "except_regress" -> ((s, dir) => {
+      val all = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val actual = all.filter(col("o_orderkey") % 10 =!= 0)
+      all.exceptAll(actual).orderBy(col("o_orderkey"))
+    }),
+
+    // §2.5 min/max partition-bound aggregation
+    "agg_minmax" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        min(col("o_orderkey")).as("lo"),
+        (max(col("o_orderkey")) + 1).as("hi"))
+    }),
+
+    // §2.5 per-table row counts → copy-order scheduling (size desc)
+    "agg_rowcounts" -> ((s, dir) => {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")
+      names.map(n => t(s, dir, n).select(lit(n).as("table_name"))
+          .groupBy(col("table_name")).agg(count(lit(1)).as("n_rows")))
+        .reduce(_ unionAll _)
+        .orderBy(col("n_rows").desc, col("table_name"))
+    }),
+
+    // §4 partitioned parallel read — split-range bookkeeping
+    // (rows-per-range semantics of mysql.lisp:44-62)
+    "partition_ranges" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(min(col("o_orderkey")).as("lo")).collect()(0)
+      val lo = bounds.getLong(0)
+      o.select(floor((col("o_orderkey") - lit(lo)) / 10000L).as("range_id"))
+        .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("range_id"))
+    }),
+
+    // §2.2 COPY TEXT round-trip: escapes, \N nulls, tab separation
+    "copy_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(concat(lit("tab\there\nnl\\bs|"),
+            col("o_orderpriority"))).as("note"))
+      val path = scratch("copy_roundtrip")
+      CopyText.write(o, path)
+      CopyText.read(s, path, Seq("o_orderkey", "note"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("note"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.2 batch error recovery: line-numbered errors → prefix resend;
+    // position-less errors → bisect. Bad rows rejected, good rows kept.
+    "sink_bisect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val schema = o.schema
+      val recovered = o.repartition(8, col("o_orderkey"))
+        .mapPartitions { it =>
+          val rows = it.toIndexedSeq
+          val lines = rows.map(r =>
+            (r.getLong(0).toString + "\t" + r.getString(1)).getBytes("UTF-8"))
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[Int]
+          // Mock PG: parse-style errors carry a line number, constraint
+          // (FK-like) errors don't — exercising both recovery paths.
+          val ep = new CopyEndpoint {
+            def send(batch: Seq[Array[Byte]]): Unit = {
+              val keys = batch.map(b =>
+                new String(b, "UTF-8").split("\t")(0).toLong)
+              keys.zipWithIndex.foreach { case (k, i) =>
+                if (k % 1000 == 7)
+                  throw CopyError(Some(i + 1), s"parse error line ${i + 1}")
+                if (k % 1000 == 13)
+                  throw CopyError(None, "fk violation")
+              }
+              batch.foreach { b =>
+                accepted += new String(b, "UTF-8").split("\t")(0).toInt
+              }
+            }
+          }
+          // batches of 100 rows, like the sink's batch cap
+          lines.grouped(100).foreach { g =>
+            BatchRetry.sendWithRecovery(ep, g.toIndexedSeq, (_, _) => ())
+          }
+          accepted.iterator.map(k => org.apache.spark.sql.Row(k.toLong))
+        }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+          StructType(Seq(StructField("o_orderkey", LongType)))))
+      recovered.orderBy(col("o_orderkey"))
+    }),
+
+    // §2.1 CSV scan round-trip with explicit dialect (quotes in data)
+    "csv_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(col("c_name"), lit(",\"quoted\"|x")).as("c_name"),
+        col("c_mktsegment"))
+      val path = scratch("csv_roundtrip")
+      c.coalesce(2).write.option("sep", "|").option("quote", "\"")
+        .option("escape", "\"").mode("overwrite").csv(path)
+      CsvSource.read(s, path,
+          CsvDialect(separator = '|', doubledQuote = true),
+          Seq("c_custkey", "c_name", "c_mktsegment"))
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.1 CSV dialect guesser: separator/escape inferred from a sample
+    "csv_guess" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val path = scratch("csv_guess")
+      n.coalesce(1).write.option("sep", ";").mode("overwrite").csv(path)
+      val dialect = CsvSource.guessDialect(CsvSource.sample(s, path))
+        .getOrElse(CsvDialect(separator = ';'))
+      CsvSource.read(s, path, dialect,
+          Seq("n_nationkey", "n_name", "n_regionkey"))
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // §2.1 fixed-width scan: substring extraction + ragged right lines
+    "fixed_width" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val lines = n.select(concat(
+        rpad(col("n_nationkey").cast("string"), 4, " "),
+        rpad(col("n_name"), 20, " "),
+        // ragged: every 3rd line omits the last field
+        when(col("n_nationkey") % 3 === 0, lit(""))
+          .otherwise(col("n_regionkey").cast("string"))).as("line"))
+      FixedWidth.project(lines, "line", Seq(
+          FixedWidth.FieldPos("n_nationkey", 0, 4),
+          FixedWidth.FieldPos("n_name", 4, 20),
+          FixedWidth.FieldPos("n_regionkey", 24, 4)))
+        .select(
+          trim(col("n_nationkey")).cast("int").as("n_nationkey"),
+          rtrim(col("n_name")).as("n_name"),
+          trim(col("n_regionkey")).cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // §2.1 multi-file glob: several part files read as one source
+    "multi_file_glob" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val path = scratch("multi_file_glob")
+      r.repartition(3).write.mode("overwrite").option("sep", "\t").csv(path)
+      CsvSource.read(s, path, CsvDialect(separator = '\t'),
+          Seq("r_regionkey", "r_name"))
+        .select(col("r_regionkey").cast("int").as("r_regionkey"),
+          col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // §2.9 extension: Structured Streaming windowed agg over events,
+    // replayed through the memory sink (watermark + 5-min tumbling window)
+    "events_stream_agg" -> ((s, dir) => {
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // streaming file source wants a directory: glob-filter the table
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("total_value"))
+      val qn = "events_stream_agg_" + System.nanoTime()
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn)
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ---- training-data pipeline extensions ----
+
+    // exact dedup (hash-groupBy) over an inflated corpus with known dups
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exact(inflated, "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash + LSH near-dup pairs (exact dups collide in every band)
+    "dedup_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.minhashLsh(inflated, "doc_id", "text",
+          numPerms = 128, bands = 32, k = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (hamming 0 for exact dups)
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.simhashPairs(inflated, "doc_id", "text", hammingMax = 0)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // n-gram Jaccard near-dup pairs
+    "dedup_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.ngramJaccard(inflated, "doc_id", "text", n = 3, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding cosine near-dup via hyperplane LSH buckets
+    "dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val inflated = e.select(col("vec_id"), col("embedding")).unionAll(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(inflated, "vec_id", "embedding",
+          dim = 64, planes = 16, threshold = 0.9999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k (exact integer-quantized scoring so the
+    // ranking is engine-independent)
+    "similarity_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), qe(col("embedding")).as("q_vec"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("c_id"), qe(col("embedding")).as("c_vec"))
+      val scored = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"),
+          aggregate(zip_with(col("q_vec"), col("c_vec"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("c_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("c_id"), col("rank"), col("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (scale path; no SQL oracle — rows-only check)
+    "similarity_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.lshTopK(queries, corpus, k = 3, dim = 64,
+          planes = 12, probes = 4)
+        .select(col("q_id"), col("c_id"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // text quality features + score
+    "text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      d.select(col("doc_id"),
+          f.getField("n_chars").as("n_chars"),
+          f.getField("n_tokens").as("n_tokens"),
+          f.getField("mean_token_len").as("mean_token_len"),
+          f.getField("punct_ratio").as("punct_ratio"),
+          f.getField("digit_ratio").as("digit_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language identification (n-gram/stopword heuristic + CJK detection)
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting: whitespace + BPE-ish subword estimate
+    "text_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // rolling-hash document fingerprint (engine-specific hash — rows-only)
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary columns + batched decode (stubbed) —
+    // schema/partitioning real, decode deterministic-fake
+    "multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(
+        t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.decodeImages(media).orderBy(col("media_id"))
+    }),
+
+    // multimodal frame sampling shape (explode semantics)
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(
+        t(s, dir, "documents").select(col("doc_id"),
+          repeat(col("text"), 20).as("text")),
+        "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, everyN = 3)
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracleSql
+
+  /** DuckDB oracle per query (same parquet tables). Omitted for operators
+    * whose internals SQL cannot replicate (engine-specific hashes / LSH
+    * plane signatures) — those get the driver's rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "project_fields" ->
+      """SELECT p_partkey, p_brand AS brand, p_brand AS brand_again,
+         p_brand || ':' || p_type AS label, 'graft' AS origin
+         FROM part ORDER BY p_partkey""",
+
+    "null_if" ->
+      """SELECT o_orderkey,
+         NULLIF(o_orderpriority, '1-URGENT') AS o_orderpriority,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS o_status_b
+         FROM orders ORDER BY o_orderkey""",
+
+    "trim_fields" ->
+      """SELECT p_partkey,
+         ltrim('  ' || p_brand || '  ') AS b_ltrim,
+         rtrim('  ' || p_brand || '  ') AS b_rtrim,
+         trim('  ' || p_brand || '  ') AS b_trim
+         FROM part ORDER BY p_partkey""",
+
+    "date_format_parse" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "transform_zero_dates" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate
+         FROM orders ORDER BY o_orderkey""",
+
+    "transform_date_no_sep" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts
+         FROM events ORDER BY event_id""",
+
+    "transform_time_no_sep" ->
+      """SELECT event_id,
+         strftime(ts, '%H:%M:%S') || '.' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS t
+         FROM events ORDER BY event_id""",
+
+    "transform_tinyint_bool" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'f' ELSE 't' END AS b
+         FROM orders ORDER BY o_orderkey""",
+
+    "transform_int_to_ip" ->
+      """SELECT c_custkey,
+         CAST((a >> 24) & 255 AS VARCHAR) || '.' ||
+         CAST((a >> 16) & 255 AS VARCHAR) || '.' ||
+         CAST((a >> 8) & 255 AS VARCHAR) || '.' ||
+         CAST(a & 255 AS VARCHAR) AS ip
+         FROM (SELECT c_custkey, (c_custkey * 9973) % 4294967296 AS a FROM customer)
+         ORDER BY c_custkey""",
+
+    "transform_set_enum" ->
+      """SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL
+              ELSE '{' || lower(c_mktsegment) || '}' END AS enum_arr
+         FROM customer ORDER BY c_custkey""",
+
+    "transform_hex" ->
+      """SELECT p_partkey,
+         CAST(p_partkey AS VARCHAR) AS dec_str,
+         lower(hex(encode(p_brand))) AS brand_hex,
+         '\x' || lower(hex(encode(p_brand))) AS brand_bytea
+         FROM part ORDER BY p_partkey""",
+
+    "transform_unix_ts" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_text
+         FROM orders ORDER BY o_orderkey""",
+
+    "cast_engine_mysql" ->
+      """SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN FALSE ELSE TRUE END AS is_priority,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS created_at,
+         o_orderpriority AS note,
+         CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2)) AS price_str
+         FROM orders ORDER BY o_orderkey""",
+
+    "citus_backfill_join" ->
+      """SELECT c.c_custkey AS dist_key, l.l_orderkey, l.l_linenumber, l.l_quantity
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+
+    "except_regress" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         EXCEPT ALL
+         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0
+         ORDER BY o_orderkey""",
+
+    "agg_minmax" ->
+      """SELECT min(o_orderkey) AS lo, max(o_orderkey) + 1 AS hi FROM orders""",
+
+    "agg_rowcounts" ->
+      """SELECT table_name, n_rows FROM (
+           SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+           UNION ALL SELECT 'nation', count(*) FROM nation
+           UNION ALL SELECT 'customer', count(*) FROM customer
+           UNION ALL SELECT 'supplier', count(*) FROM supplier
+           UNION ALL SELECT 'part', count(*) FROM part
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'lineitem', count(*) FROM lineitem)
+         ORDER BY n_rows DESC, table_name""",
+
+    "partition_ranges" ->
+      """SELECT CAST(floor((o_orderkey - (SELECT min(o_orderkey) FROM orders)) / 10000) AS BIGINT) AS range_id,
+         count(*) AS n_rows FROM orders GROUP BY 1 ORDER BY range_id""",
+
+    "copy_roundtrip" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE 'tab' || chr(9) || 'here' || chr(10) || 'nl\bs|' || o_orderpriority
+         END AS note
+         FROM orders ORDER BY o_orderkey""",
+
+    "sink_bisect" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderkey % 1000 <> 7 AND o_orderkey % 1000 <> 13
+         ORDER BY o_orderkey""",
+
+    "csv_roundtrip" ->
+      """SELECT c_custkey, c_name || ',"quoted"|x' AS c_name, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+
+    "csv_guess" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "fixed_width" ->
+      """SELECT n_nationkey, n_name,
+         CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    "multi_file_glob" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "events_stream_agg" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    "dedup_exact" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM inflated GROUP BY text ORDER BY keep_id""",
+
+    // true-jaccard pairwise join (the corpus contains generated near-dups;
+    // 128-perm/32-band LSH finds jaccard>=0.9 pairs w.p. ~1-3e-15)
+    "dedup_minhash" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM inflated),
+         sets AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    // dedup_simhash: no oracle — SimHash depends on the engine's 64-bit
+    // hash; the driver's rows-only check applies.
+
+    "dedup_ngram" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM inflated),
+         sets AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.95
+         ORDER BY id_a, id_b""",
+
+    "dedup_embedding" ->
+      """WITH inflated AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+         FROM embeddings WHERE vec_id % 10 = 0
+         ORDER BY id_a, id_b""",
+
+    "similarity_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id,
+              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q_vec
+            FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS c_id,
+              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c_vec
+            FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT q_id, c_id,
+              (SELECT sum(x.qe * x.ce)
+               FROM (SELECT unnest(q_vec) AS qe, unnest(c_vec) AS ce) x) AS score
+            FROM q CROSS JOIN c),
+         r AS (SELECT q_id, c_id, score,
+              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS rank
+            FROM s)
+         SELECT q_id, c_id, rank, CAST(score AS BIGINT) AS score FROM r WHERE rank <= 3
+         ORDER BY q_id, rank""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(text, '\s+')), 1) AS mean_token_len,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+         round((CASE WHEN len(regexp_split_to_array(text, '\s+')) < 5 THEN 0.2
+               WHEN len(regexp_split_to_array(text, '\s+')) > 10000 THEN 0.5 ELSE 1.0 END) *
+         (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 0.3 ELSE 1.0 END) *
+         (CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.3 THEN 0.3 ELSE 1.0 END), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+')) AS n_bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+         unnest(generate_series(0,
+           greatest(CAST(floor(octet_length(encode(repeat(text, 20))) / 1024.0) AS INT), 1) - 1, 3)) AS frame_idx
+         FROM documents ORDER BY media_id, frame_idx""",
+
+    // langid: replicate the stopword-ratio argmax with the same tie-break
+    // (greatest over (score, lang) structs picks the max lang string on
+    // ties; langs ordered 'fr' > 'es' > 'en' > 'de')
+    "text_langid" -> {
+      def ratio(l: String, words: Seq[String]): String = {
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            t -> list_contains($arr, t))) AS DOUBLE) /
+            greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)"""
+      }
+      val en = ratio("en", Seq("the", "a", "of", "and", "to", "in", "is",
+        "that", "it", "for", "on", "with", "as", "at", "by"))
+      val de = ratio("de", Seq("der", "die", "das", "und", "ist", "von",
+        "mit", "für", "auf", "ein", "eine", "zu", "den", "im", "nicht"))
+      val fr = ratio("fr", Seq("le", "la", "les", "et", "est", "de", "des",
+        "un", "une", "dans", "pour", "sur", "avec", "au", "pas"))
+      val es = ratio("es", Seq("el", "la", "los", "las", "y", "es", "de",
+        "un", "una", "en", "por", "para", "con", "del", "no"))
+      s"""WITH scored AS (
+            SELECT doc_id, text, $en AS re, $de AS rd, $fr AS rf, $es AS rs
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                 WHEN greatest(re, rd, rf, rs) = 0 THEN 'und'
+                 WHEN rf = greatest(re, rd, rf, rs) THEN 'fr'
+                 WHEN rs = greatest(re, rd, rf, rs) THEN 'es'
+                 WHEN re = greatest(re, rd, rf, rs) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM scored ORDER BY doc_id"""
+    }
+  )
 }

@@ -32,12 +32,14 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
 
-  // MinHash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic seeds.
+  // MinHash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic
+  // seeds. Magnitudes chosen so a*h+b < 2^63 stays overflow-free under
+  // ANSI arithmetic: h masked to 32 bits, a < 2^30, b < 2^30.
   private val MersennePrime = (1L << 61) - 1
   private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
     val r = new java.util.Random(seed)
-    Seq.fill(n)((math.abs(r.nextLong()) % (MersennePrime - 1) + 1,
-                 math.abs(r.nextLong()) % MersennePrime))
+    Seq.fill(n)((r.nextInt((1 << 30) - 1).toLong + 1,
+                 r.nextInt(1 << 30).toLong))
   }
 
   /** MinHash signature (array of `numPerms` longs) over word k-shingles.
@@ -45,7 +47,8 @@ object Dedup {
     * affine min-reduce via `aggregate`. */
   def minhashSignature(text: Column, numPerms: Int = 128, k: Int = 3,
                        seed: Long = 42L): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val hashes = transform(shingles(text, k),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
     val ps = perms(numPerms, seed)
     array(ps.map { case (a, b) =>
       aggregate(hashes, lit(Long.MaxValue),
@@ -140,20 +143,31 @@ object Dedup {
       .filter(col("hamming") <= hammingMax)
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs (or all
-    * pairs of a small df when `candidates` is None — test/sf scale only). */
+  /** Exact n-gram Jaccard similarity join via an inverted index: explode
+    * shingles, self-join on the shingle hash, count shared shingles per
+    * pair, jaccard = shared / (|A| + |B| - shared). Finds EVERY pair with
+    * jaccard >= threshold (> 0) — no candidate-generation recall loss.
+    *
+    * Scale shape: the explode+groupBy is the textbook similarity join;
+    * shuffle volume is Σ|shingle set| rows of (hash, id, size). At 100 TB
+    * add prefix filtering (only index each set's rarest shingles) to bound
+    * the join fan-out; exactness is preserved when keeping
+    * ceil((1-t)·|set|)+1 prefix shingles. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("sh"))
-    // block by shared first token to avoid the full cross product
-    val keyed = sets.withColumn("blk",
-      substring_index(element_at(col("sh"), 1), " ", 1))
-    keyed.as("x").join(keyed.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-         size(array_union(col("x.sh"), col("y.sh"))).cast("double"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("id"), col("sz"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+         (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -83,9 +83,13 @@ object TextAnalysis {
     round(lenScore * punctScore * digitScore, 4)
   }
 
-  /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
-    * over token hashes (hash(d) = Σ h(t_i)·31^(n-i) in Long arithmetic). */
-  def fingerprint(text: Column): Column =
-    aggregate(transform(tokens(text), t => xxhash64(t)),
-      lit(0L), (acc, h) => acc * 31L + h)
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * token hashes, modulo 2^53-111 so the accumulator (≤2^53)·31 + 2^32
+    * never overflows a long under ANSI arithmetic. */
+  def fingerprint(text: Column): Column = {
+    val M = (1L << 53) - 111
+    aggregate(
+      transform(tokens(text), t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))),
+      lit(0L), (acc, h) => pmod(acc * 31L + h, lit(M)))
+  }
 }
