@@ -1,26 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * - A warmup query (q1_agg) runs untimed first so the first measured
+  *   query doesn't absorb session/codegen warmup.
+  * - Failures are NOT silently recorded as fast runs: the error goes to
+  *   stderr and the query's time is reported negative (-elapsed) so a
+  *   broken query is visible in the JSON.
+  * - SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    // warmup: session init + codegen paths, untimed
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.map(math.abs).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -482,14 +482,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs (hamming 0 for exact dups)
+    // SimHash candidate generation (64-bit signature collision) + exact
+    // text-equality verification — recall 1 on exact dups, oracle-checkable
     "dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val inflated = d.select(col("doc_id"), col("text")).unionAll(
         d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      Dedup.simhashPairs(inflated, "doc_id", "text", hammingMax = 0)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      Dedup.simhashExactPairs(inflated, "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -792,8 +792,18 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
          ORDER BY id_a, id_b""",
 
-    // dedup_simhash: no oracle — SimHash depends on the engine's 64-bit
-    // hash; the driver's rows-only check applies.
+    // simhash collision candidates verified by exact text equality ⇒ the
+    // result is precisely the exact-duplicate pair set (recall 1: equal
+    // texts always collide; precision 1: the verify removes hash flukes)
+    "dedup_simhash" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inflated a JOIN inflated b
+           ON a.doc_id < b.doc_id AND a.text = b.text
+         ORDER BY id_a, id_b""",
 
     "dedup_ngram" ->
       """WITH inflated AS (

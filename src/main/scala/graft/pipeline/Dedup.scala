@@ -2,26 +2,33 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale corpus curation. These have no
   * reference equivalent (pgloader is pure ETL) — they are the
-  * training-data-pipeline extension surface, designed Spark-first:
-  * every step is `functions._` higher-order expressions (codegen'd, no
-  * UDFs), and every candidate-generation step is a hash-partitioned
-  * groupBy/join so it scales horizontally — no driver-side loops, no
-  * cross joins.
+  * training-data-pipeline extension surface, designed Spark-first.
+  *
+  * Scale invariants every operator here maintains:
+  *   - shingle/token hashing happens ONCE per document (a materialized
+  *     `hs` array column), never re-derived per permutation/bit;
+  *   - signature computation is a codegen'd explode + hash-aggregate
+  *     (map-side combined), not a tree of higher-order-function
+  *     aggregates — whole-stage codegen covers the hot loop;
+  *   - candidate generation is always a bucketed equi-join (bands,
+  *     simhash keys, prefix shingles) — never an all-pairs cross join;
+  *   - verification joins carry 8-byte hashed shingles, not the raw
+  *     strings, and nothing corpus-wide is cached.
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical key. One shuffle on
-    * the (hashed) key. At 100 TB: group on a 64-bit hash of the text, not
-    * the text itself, to keep shuffle rows narrow. */
+  /** Exact dedup: keep the smallest id per identical key. One shuffle.
+    * Groups on (64-bit hash, key) — the hash prefix keeps comparisons
+    * cheap while the key itself guards against silent hash-collision
+    * merges (≈1 per 4B docs on the hash alone). */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.select(col(idCol), col(keyCol), xxhash64(col(keyCol)).as("__h"))
-      .groupBy(col("__h"))
+      .groupBy(col("__h"), col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-      .drop("__h")
+      .select(col("keep_id"), col("dup_count"))
 
   /** Word k-shingles of a text column: `["w1 w2 w3", "w2 w3 w4", …]`. */
   def shingles(text: Column, k: Int): Column = {
@@ -31,6 +38,12 @@ object Dedup {
         sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
   }
+
+  /** Distinct 64-bit-hashed word k-shingles — the document's set
+    * representation. Computed once; everything downstream (signatures,
+    * prefix filters, exact-jaccard verification) reads this array. */
+  def hashedShingles(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
 
   // MinHash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic
   // seeds. Magnitudes chosen so a*h+b < 2^63 stays overflow-free under
@@ -42,18 +55,36 @@ object Dedup {
                  r.nextInt(1 << 30).toLong))
   }
 
-  /** MinHash signature (array of `numPerms` longs) over word k-shingles.
-    * Entirely within whole-stage codegen: shingle → xxhash64 → per-perm
-    * affine min-reduce via `aggregate`. */
-  def minhashSignature(text: Column, numPerms: Int = 128, k: Int = 3,
+  /** MinHash signature (array of `numPerms` longs) over a pre-hashed
+    * shingle array, in ONE pass: a single `aggregate` whose accumulator
+    * is the running 128-slot minimum vector. Column-function form for
+    * ad-hoc use; the LSH pipeline below uses the codegen'd
+    * explode+groupBy equivalent (`signatures`), which is faster still. */
+  def minhashSignature(hashes: Column, numPerms: Int = 128,
                        seed: Long = 42L): Column = {
-    val hashes = transform(shingles(text, k),
-      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
+    val ab = array(perms(numPerms, seed).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    aggregate(hashes, array_repeat(lit(Long.MaxValue), numPerms),
+      (acc, h) => zip_with(acc, ab, (m, p) =>
+        least(m, pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) * p.getField("a")
+          + p.getField("b"), lit(MersennePrime)))))
+  }
+
+  /** MinHash signatures for a (id, hs) DataFrame via explode + one
+    * hash-aggregate of `numPerms` min columns: fully whole-stage-codegen,
+    * map-side combined (one 128-long row per doc leaves each task), no
+    * per-row array allocation. This is the 100 TB path. */
+  private def signatures(sets: DataFrame, numPerms: Int,
+                         seed: Long): DataFrame = {
     val ps = perms(numPerms, seed)
-    array(ps.map { case (a, b) =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(h * a + b, lit(MersennePrime))))
-    }: _*)
+    val ex = sets.select(col("id"),
+      explode(col("hs")).as("h0"))
+      .select(col("id"), col("h0").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+    val aggs = ps.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") }
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numPerms).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH banding: explode the signature into `bands` (bandId, bandHash)
@@ -65,25 +96,42 @@ object Dedup {
           transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")), ",")).as("bucket")))
 
+  /** Exact jaccard over the hashed shingle sets of candidate pairs:
+    * join the (small) candidate set back to the narrow (id, hs) relation
+    * twice — 8-byte elements, no strings, no cache. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id"), col("hs").as("hs_a")),
+        cand("id_a") === col("id"))
+      .drop("id")
+      .join(sets.select(col("id"), col("hs").as("hs_b")),
+        col("id_b") === col("id"))
+      .drop("id")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+         size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Scale shape: signature is a narrow projection; the bucket join
-    * shuffles only (band, bucket, id); candidate pairs are verified by
-    * re-joining the shingle sets — at 1000 executors each step is an
-    * ordinary hash shuffle, and hot buckets can be salted upstream.
+    * Scale shape: one codegen'd pass computes hashed shingles; the
+    * signature aggregate shuffles one 128-long row per doc; the bucket
+    * join shuffles only (band, bucket, id); verification re-joins hashed
+    * (not string) sets for the few surviving candidates. Hot buckets can
+    * be salted upstream; AQE handles residual skew.
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"),
-      minhashSignature(col(textCol), numPerms, k).as("sig"))
-      .cache()
-    val buckets = withSig.select(col("id"),
+    val sets = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("hs"))
+    val sig = signatures(sets, numPerms, seed)
+    val buckets = sig.select(col("id"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
@@ -93,93 +141,116 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val withSets = cand
-      .join(withSig.select(col("id"), col("sh").as("sh_a")),
-        cand("id_a") === col("id"))
-      .drop("id")
-      .join(withSig.select(col("id"), col("sh").as("sh_b")),
-        col("id_b") === col("id"))
-      .drop("id")
-    withSets.select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, sets, threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum of
-    * ±1 votes from each token hash's bit b. */
+  /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum
+    * of ±1 votes from each token hash's bit b. One pass over the tokens
+    * (single `aggregate`, 64-slot vote accumulator). */
   def simhash(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    val hs = transform(toks, t => xxhash64(t))
-    // per-bit vote: sum over tokens of (bit set ? 1 : -1), then pack signs
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-      (bit, i) => call_function("shiftleft", bit, i)), lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
+    val hs = transform(split(text, "\\s+"), t => xxhash64(t))
+    val votes = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, b) =>
+        v + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash signatures for the pipeline: explode tokens → hash once →
+    * one hash-aggregate of 64 vote sums (codegen, map-side combine) →
+    * pack sign bits. */
+  private def simhashSigs(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
   }
 
   /** SimHash near-dup candidates: band the 64 bits into 4×16-bit keys;
-    * pairs sharing a band differ by <= hammingMax bits are near-dups. */
+    * pairs sharing a band and differing by <= hammingMax bits. Hamming
+    * distance is engine-hash-specific — for an oracle-checkable exact
+    * variant see [[simhashExactPairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    hammingMax: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sig")).cache()
+    val sigs = simhashSigs(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-    val popcnt = (c: Column) => bit_count(c)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        popcnt(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingMax)
   }
 
-  /** Exact n-gram Jaccard similarity join via an inverted index: explode
-    * shingles, self-join on the shingle hash, count shared shingles per
-    * pair, jaccard = shared / (|A| + |B| - shared). Finds EVERY pair with
-    * jaccard >= threshold (> 0) — no candidate-generation recall loss.
-    *
-    * Scale shape: the explode+groupBy is the textbook similarity join;
-    * shuffle volume is Σ|shingle set| rows of (hash, id, size). At 100 TB
-    * add prefix filtering (only index each set's rarest shingles) to bound
-    * the join fan-out; exactness is preserved when keeping
-    * ceil((1-t)·|set|)+1 prefix shingles. */
+  /** SimHash candidate generation + exact verification: pairs whose
+    * 64-bit simhash collides (hamming 0) verified by true text equality.
+    * The signature join keeps the shuffle narrow (id, sig, text only for
+    * colliding buckets); the equality check removes simhash collisions,
+    * so the result is oracle-checkable (= exact-duplicate pairs, with
+    * recall 1: identical texts always share a signature). */
+  def simhashExactPairs(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val sigs = simhashSigs(df, idCol, textCol)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(sigs, "id")
+    docs.as("x").join(docs.as("y"),
+        col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
+      .filter(col("x.txt") === col("y.txt"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity join with PPJoin-style prefix
+    * filtering: under ANY global total order of shingles (here: hash
+    * value via sort_array), two sets with jaccard >= t must share an
+    * element among the first `|s| - ceil(t*|s|) + 1` elements of each —
+    * so only prefixes are exploded into the inverted index, bounding
+    * fan-out by (1-t)² per posting list while keeping recall exact.
+    * Survivor pairs are verified with exact jaccard on the hashed sets.
+    * (At even larger scale, ordering by ascending document frequency
+    * instead of hash value shrinks posting lists further.) */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val inv = sets.select(col("id"), col("sz"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-    inv.as("x").join(inv.as("y"),
+      hashedShingles(col(textCol), n).as("hs"))
+    val prefixLen =
+      (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1)
+        .cast("int")
+    val inv = sets.select(col("id"),
+      explode(slice(sort_array(col("hs")), lit(1), prefixLen)).as("g"))
+    val cand = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .agg(count(lit(1)).as("shared"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-         (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** Embedding cosine near-dup: LSH over random hyperplane sign bits →
-    * bucket join → exact cosine verify. Deterministic planes from `seed`. */
+    * bucket join → exact cosine verify. Deterministic planes from `seed`.
+    * No cache: the narrow (id, vec, bucket) projection is recomputed for
+    * the two join sides — cheaper than pinning the corpus in memory. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, planes: Int = 16, threshold: Double = 0.9,
                        seed: Long = 42L): DataFrame = {
     val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigCol.as("bucket")).cache()
+      sigCol.as("bucket"))
     vecs.as("x").join(vecs.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
