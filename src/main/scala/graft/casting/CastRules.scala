@@ -21,8 +21,13 @@ final case class SourceColumn(
     autoIncrement: Boolean = false,
     onUpdateCurrentTimestamp: Boolean = false) {
 
-  /** Bare type name, lowercased, typemod and attributes stripped. */
-  val typeName: String = ctype.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+  /** Bare type name, lowercased, typemod and attribute keywords stripped.
+    * Multi-word names survive (`character varying`, `double precision`,
+    * `timestamp without time zone`). */
+  val typeName: String = ctype.toLowerCase
+    .replaceAll("\\([^)]*\\)", " ")
+    .replaceAll("\\b(unsigned|signed|zerofill|auto_increment)\\b", " ")
+    .trim.replaceAll("\\s+", " ")
 
   /** `(precision, scale)` parsed from `(p[,s])`
     * (src/utils/transforms.lisp:47-61 parse-column-typemod). */
@@ -156,6 +161,16 @@ object DefaultCastRules {
         typemodPred = Some(bigPrecision)),
       RuleTarget("bigserial", LongType)),
     r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
+    // MySQL 8.0.19+ omits integer display width: a plain `int
+    // auto_increment` carries no typemod, so the guarded rules above
+    // don't fire — typemod-less fallbacks keep serial/bigserial
+    // (mysql-cast-rules.lisp:70-73).
+    r(RuleSource(Some("int"), autoIncrement = Some(true),
+        signed = Some(true)),
+      RuleTarget("serial", IntegerType)),
+    r(RuleSource(Some("int"), autoIncrement = Some(true),
+        signed = Some(false)),
       RuleTarget("bigserial", LongType)),
     // tinyint(1) → boolean
     r(RuleSource(Some("tinyint"), typemodPred = Some(_._1 == 1)),

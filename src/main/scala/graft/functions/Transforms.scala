@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Transforms {
 
-  /** `0000-00-00`-prefixed dates → NULL (transforms.lisp:118-129). */
+  /** Dates with a zero year, month, OR day component → NULL
+    * (transforms.lisp:118-129): MySQL permits `2004-00-15` and
+    * `0000-12-25`, not just the all-zero `0000-00-00`. Empty strings are
+    * NOT nulled here — that is `empty-string-to-null`'s job. */
   def zeroDatesToNull(c: Column): Column =
-    when(c.isNull || c.startsWith("0000-00-00") || c === "" , lit(null: String))
+    when(c.isNull
+        || substring(c, 1, 4) === "0000"
+        || substring(c, 6, 2) === "00"
+        || substring(c, 9, 2) === "00", lit(null: String))
       .otherwise(c)
 
   /** `20041002152952` → `2004-10-02 15:29:52` (transforms.lisp:131-158).

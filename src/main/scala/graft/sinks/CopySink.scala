@@ -49,31 +49,39 @@ final class Batch(maxRows: Int = 25000, maxBytes: Long = 20L << 20,
   */
 object BatchRetry {
 
-  /** @return (rowsSent, rowsRejected) */
+  /** Iterative worklist (a batch with thousands of bad rows must not
+    * recurse once per error — executor stacks are finite).
+    * @return (rowsSent, rowsRejected) */
   def sendWithRecovery(endpoint: CopyEndpoint,
                        rows: IndexedSeq[Array[Byte]],
                        reject: (Array[Byte], String) => Unit): (Long, Long) = {
-    if (rows.isEmpty) return (0L, 0L)
-    try { endpoint.send(rows); (rows.length.toLong, 0L) }
-    catch {
-      case CopyError(Some(n), msg) if n >= 1 && n <= rows.length =>
-        val bad = n - 1
-        val (s1, r1) = sendWithRecovery(endpoint, rows.slice(0, bad), reject)
-        reject(rows(bad), msg)
-        val (s2, r2) =
-          sendWithRecovery(endpoint, rows.slice(bad + 1, rows.length), reject)
-        (s1 + s2, r1 + r2 + 1)
-      case CopyError(_, msg) =>
-        if (rows.length == 1) { reject(rows(0), msg); (0L, 1L) }
-        else {
-          val mid = rows.length / 2
-          val (s1, r1) =
-            sendWithRecovery(endpoint, rows.slice(0, mid), reject)
-          val (s2, r2) =
-            sendWithRecovery(endpoint, rows.slice(mid, rows.length), reject)
-          (s1 + s2, r1 + r2)
+    var sent = 0L
+    var rejected = 0L
+    // ranges [start, end) pending send, processed in original row order
+    val work = scala.collection.mutable.Stack.empty[(Int, Int)]
+    if (rows.nonEmpty) work.push((0, rows.length))
+    while (work.nonEmpty) {
+      val (s, e) = work.pop()
+      if (s < e) {
+        try { endpoint.send(rows.slice(s, e)); sent += (e - s) }
+        catch {
+          case CopyError(Some(n), msg) if n >= 1 && n <= e - s =>
+            val bad = s + n - 1
+            reject(rows(bad), msg)
+            rejected += 1
+            work.push((bad + 1, e)) // tail after the prefix (stack = LIFO)
+            work.push((s, bad))
+          case CopyError(_, msg) =>
+            if (e - s == 1) { reject(rows(s), msg); rejected += 1 }
+            else {
+              val mid = (s + e) / 2
+              work.push((mid, e))
+              work.push((s, mid))
+            }
         }
+      }
     }
+    (sent, rejected)
   }
 }
 
@@ -155,7 +163,10 @@ final class PgCopyEndpoint(url: String, props: java.util.Properties,
   private val copyIn = mgrCls.getMethod("copyIn", classOf[String],
     classOf[java.io.InputStream])
 
-  private val lineRe = "(?s).*line (\\d+).*".r
+  // Anchored to the COPY context line and first-match: the CONTEXT line
+  // quotes the failing row's data, so data containing "line 42" must not
+  // win over PG's own "COPY tbl, line N" position report.
+  private val lineRe = "COPY [^,]+, line (\\d+)".r
 
   override def send(rows: Seq[Array[Byte]]): Unit = {
     val bytes = rows.toArray.flatten
@@ -166,10 +177,7 @@ final class PgCopyEndpoint(url: String, props: java.util.Properties,
       case e: Exception =>
         conn.rollback()
         val msg = Option(e.getCause).getOrElse(e).getMessage
-        val line = msg match {
-          case lineRe(nStr) => Some(nStr.toInt)
-          case _            => None
-        }
+        val line = lineRe.findFirstMatchIn(msg).map(_.group(1).toInt)
         throw CopyError(line, msg)
     }
   }

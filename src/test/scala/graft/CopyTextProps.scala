@@ -1,0 +1,43 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.sources.CopyText
+
+/** COPY TEXT escape/format round-trip properties
+  * (copy-format.lisp:123-193 semantics, incl. the `\N` vs `\\N`
+  * distinction: a literal backslash-N VALUE must not read back as NULL). */
+object CopyTextProps extends Properties("CopyText") {
+
+  // strings biased toward the interesting bytes
+  private val hot: Gen[Char] =
+    Gen.oneOf('\\', '\t', '\n', '\r', '\b', '\f', 0x0B.toChar, 'N', 'a')
+  private val anyChar: Gen[Char] = Gen.frequency(
+    3 -> hot, 2 -> Gen.alphaNumChar, 1 -> Gen.asciiPrintableChar)
+  private val str: Gen[String] = Gen.listOf(anyChar).map(_.mkString)
+  private val value: Gen[String] =
+    Gen.frequency(5 -> str, 1 -> Gen.const(null: String))
+
+  property("unescape∘escape = id") = forAll(str) { s =>
+    CopyText.unescape(CopyText.escape(s)) == s
+  }
+
+  property("parseLine∘formatRow = id (nulls preserved)") =
+    forAll(Gen.nonEmptyListOf(value)) { vs =>
+      val arr = vs.toArray
+      val parsed = CopyText.parseLine(CopyText.formatRow(arr))
+      Prop(parsed.sameElements(arr))
+    }
+
+  property("literal backslash-N value is not NULL") = Prop {
+    val arr = Array[String]("\\N", null)
+    val line = CopyText.formatRow(arr)
+    val back = CopyText.parseLine(line)
+    line == "\\\\N\t\\N" && back(0) == "\\N" && back(1) == null
+  }
+
+  property("escaped line never contains raw tab or newline") = forAll(str) {
+    s => val e = CopyText.escape(s)
+      !e.contains('\t') && !e.contains('\n') && !e.contains('\r')
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DateFormat
+
+/** PG to_char-token translation cases from the reference's format parser
+  * (src/parsers/date-format.lisp:13-145). */
+class DateFormatSpec extends SparkSpec {
+
+  test("token translation") {
+    assert(DateFormat.translate("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(DateFormat.translate("DD/MM/YYYY HH24:MI:SS") ==
+      "dd/MM/yyyy HH:mm:ss")
+    assert(DateFormat.translate("DD/MM/YYYY HH24:MI:SS.US") ==
+      "dd/MM/yyyy HH:mm:ss.SSSSSS")
+    assert(DateFormat.translate("MM/DD/YY") == "MM/dd/yy")
+    assert(DateFormat.translate("YYYYMMDD") == "yyyyMMdd")
+    assert(DateFormat.translate("HH12:MI AM") == "hh:mm a")
+  }
+
+  test("translated patterns parse with Spark to_timestamp") {
+    val row = evalRow(
+      to_timestamp(lit("02/10/2004 15:29:52"),
+        DateFormat.translate("DD/MM/YYYY HH24:MI:SS")).cast("string"),
+      to_timestamp(lit("20041002"),
+        DateFormat.translate("YYYYMMDD")).cast("string"),
+      to_timestamp(lit("10/02/04"),
+        DateFormat.translate("MM/DD/YY")).cast("string"))
+    assert(row.getString(0) == "2004-10-02 15:29:52")
+    assert(row.getString(1) == "2004-10-02 00:00:00")
+    assert(row.getString(2) == "2004-10-02 00:00:00")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Dedup operators on a tiny known corpus: exact dups must always be
+  * found (MinHash/SimHash recall 1 on identical texts), near-dups must
+  * clear their thresholds, and unrelated docs must not pair up. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 1 & 2 identical; 3 near-dup of 1 (one word differs); 4/5 unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark catalyst planning"),
+    (5L, "numbers one two three four five six seven eight nine ten")
+  ).toDF("id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val r = Dedup.exact(docs, "id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds the exact pair at jaccard 1.0 and the near pair") {
+    val pairs = Dedup.minhashLsh(docs, "id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("simhash exact pairs = identical-text pairs only") {
+    val pairs = Dedup.simhashExactPairs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard with prefix filter keeps exact recall") {
+    val pairs = Dedup.ngramJaccard(docs, "id", "text", n = 3,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1,2) at 1.0 and the near pairs (1,3)/(2,3) must survive the filter
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 })
+    assert(pairs.exists { case (a, b, _) => a == 2 && b == 3 })
+    assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 || a == 4 })
+  }
+}
