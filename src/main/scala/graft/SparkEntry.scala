@@ -113,27 +113,36 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // §2.3 trim modes
+    // §2.3 trim modes — all three modes through the ProjectFields stage
     "trim_fields" -> ((s, dir) => {
+      val pad = (c: Column) => concat(lit("  "), c, lit("  "))
       val padded = t(s, dir, "part").select(
         col("p_partkey"),
-        concat(lit("  "), col("p_brand"), lit("  ")).as("b"))
-      val fields = Seq(FieldSpec("b", trim = TrimMode.Both))
-      val both = ProjectFields(padded.select(col("b")), fields,
-        Seq(TargetColumn("b")))
-      padded.select(col("p_partkey"),
-          ltrim(col("b")).as("b_ltrim"),
-          rtrim(col("b")).as("b_rtrim"),
-          trim(col("b")).as("b_trim"))
-        .orderBy(col("p_partkey"))
+        pad(col("p_brand")).as("b_ltrim"),
+        pad(col("p_brand")).as("b_rtrim"),
+        pad(col("p_brand")).as("b_trim"))
+      val fields = Seq(
+        FieldSpec("b_ltrim", trim = TrimMode.Left),
+        FieldSpec("b_rtrim", trim = TrimMode.Right),
+        FieldSpec("b_trim", trim = TrimMode.Both))
+      val targets = Seq(
+        TargetColumn("p_partkey"), TargetColumn("b_ltrim"),
+        TargetColumn("b_rtrim"), TargetColumn("b_trim"))
+      ProjectFields(padded, fields, targets).orderBy(col("p_partkey"))
     }),
 
-    // §2.3 per-field date format (PG to_char tokens → parser)
+    // §2.3 per-field date format (PG to_char tokens → parser). The input
+    // literal is assembled from extracted date components — NOT via
+    // date_format with the same pattern — so the parse is tested against
+    // an independent rendering.
     "date_format_parse" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").limit(0) // schema only; real input below
+      val sd = col("l_shipdate")
+      val p2 = (c: Column) => lpad(c.cast("string"), 2, "0")
       val rendered = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          date_format(col("l_shipdate"), "dd/MM/yyyy HH:mm:ss").as("d"))
+          concat(p2(dayofmonth(sd)), lit("/"), p2(month(sd)), lit("/"),
+            year(sd).cast("string"), lit(" "), p2(hour(sd)), lit(":"),
+            p2(minute(sd)), lit(":"), p2(second(sd))).as("d"))
       val fields = Seq(FieldSpec("d",
         dateFormat = Some("DD/MM/YYYY HH24:MI:SS")))
       rendered.select(col("l_orderkey"), col("l_linenumber"),
@@ -368,6 +377,37 @@ object SparkEntry {
       recovered.orderBy(col("o_orderkey"))
     }),
 
+    // §2.2 typed sink rendering: binary → \x hex, boolean → t/f,
+    // timestamp/date → PG literals, decimal → plain string — through the
+    // REAL CopySink path (schema-resolved formatters), then read back.
+    "sink_typed_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey") % 2 === 0).as("flag"),
+        col("o_orderpriority").cast("binary").as("bin"),
+        expr("timestampadd(MILLISECOND, CAST(o_orderkey % 1000 AS INT), o_orderdate)")
+          .as("ts"),
+        col("o_orderdate").cast("date").as("d"),
+        expr("CAST(CAST(o_orderkey % 10000 AS DECIMAL(10,0)) / 100 AS DECIMAL(12,2))")
+          .as("price"))
+      val abs = new java.io.File(scratch("sink_typed_roundtrip"))
+        .getAbsolutePath
+      new java.io.File(abs).mkdirs()
+      val sink = new graft.sinks.CopySink(
+        endpointFactory = pid => new CopyEndpoint {
+          private val out = new java.io.FileOutputStream(
+            new java.io.File(abs, f"part-$pid%05d.dat"), true)
+          def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
+          override def close(): Unit = out.close()
+        })
+      sink.write(o.repartition(4))
+      CopyText.read(s, abs,
+          Seq("o_orderkey", "flag", "bin", "ts", "d", "price"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("flag"), col("bin"), col("ts"), col("d"), col("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.1 CSV scan round-trip with explicit dialect (quotes in data)
     "csv_roundtrip" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(
@@ -539,18 +579,66 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (scale path; no SQL oracle — rows-only check)
+    // LSH-bucketed ANN (scale path). Oracle = recall gate: the LSH top-k
+    // must recover >= 2/3 of the exact brute-force top-k per query.
+    // Random hyperplane LSH only has signal for STRONG neighbors (random
+    // corpus vectors at cos≈0.4 collide with negligible probability — by
+    // design), so the corpus is salted with deterministic near-copies of
+    // each query (cos≈0.9999): exactly the planted-near-dup shape the
+    // operator exists to find.
     "similarity_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val natural = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val planted = (0 until 3).map { j =>
+        queries.select((col("q_id") * 100 + 100000 + j).as("c_id"),
+          transform(col("q_vec"), (x, i) =>
+            x.cast("double") +
+              (pmod(i * 31 + lit(j * 17), lit(7)) - 3).cast("double") * 0.002)
+            .as("c_vec"))
+      }.reduce(_ unionAll _)
+      val corpus = natural.select(col("c_id"),
+        transform(col("c_vec"), x => x.cast("double")).as("c_vec"))
+        .unionAll(planted)
+      val lsh = Similarity.lshTopK(queries, corpus, k = 3, dim = 64,
+        planes = 12, probes = 12)
+      val bf = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      val overlap = lsh.select(col("q_id"), col("c_id"))
+        .join(bf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      queries.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_common"), lit(0L)) >= 2).cast("int")
+            .as("recall_ok"))
+        .orderBy(col("q_id"))
+    }),
+
+    // IVF-bucketed ANN: corpus in nearest-centroid cells, queries probe
+    // nprobe cells. Oracle = recall gate vs exact brute force (>= 9/10).
+    "similarity_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      Similarity.lshTopK(queries, corpus, k = 3, dim = 64,
-          planes = 12, probes = 4)
-        .select(col("q_id"), col("c_id"), col("rank"))
-        .orderBy(col("q_id"), col("rank"))
+      // deterministic centroid seeds drawn from the corpus itself
+      val centroids = e.filter(col("vec_id") >= 5 && col("vec_id") % 101 === 7)
+        .select(col("vec_id").as("ct_id"), col("embedding").as("ct_vec"))
+      val ivf = Similarity.ivfTopK(queries, corpus, centroids,
+        k = 10, nprobe = 6)
+      val bf = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      val overlap = ivf.select(col("q_id"), col("c_id"))
+        .join(bf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      queries.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_common"), lit(0L)) >= 9).cast("int")
+            .as("recall_ok"))
+        .orderBy(col("q_id"))
     }),
 
     // text quality features + score
@@ -583,20 +671,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // rolling-hash document fingerprint (engine-specific hash — rows-only)
+    // rolling-hash document fingerprint. The hash value itself is
+    // engine-specific, but its equivalence classes are oracle-checkable:
+    // on this corpus, fp equality must coincide exactly with text
+    // equality (equal texts ⇒ equal fp; no collisions among distinct).
     "text_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val fp = inflated.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // multimodal plumbing: binary columns + batched decode (stubbed) —
     // schema/partitioning real, decode deterministic-fake
+    // Oracle checks byte counts exactly and decode determinism
+    // (identical content ⇒ identical decode output) on duplicated rows.
     "multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.fromBinary(
-        t(s, dir, "documents"), "doc_id", "text", "image")
-      Multimodal.decodeImages(media).orderBy(col("media_id"))
+      val d = t(s, dir, "documents")
+      val media = Multimodal.fromBinary(d, "doc_id", "text", "image")
+      val dups = Multimodal.fromBinary(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      val dec = Multimodal.decodeImages(media.unionAll(dups))
+      val a = dec.filter(col("media_id") < 10000)
+      val b = dec.filter(col("media_id") >= 10000).select(
+        (col("media_id") - 10000).as("media_id"),
+        col("width").as("w2"), col("height").as("h2"),
+        col("channels").as("c2"))
+      a.join(b, Seq("media_id"))
+        .select(col("media_id"), col("n_bytes"),
+          (col("width") === col("w2") && col("height") === col("h2") &&
+            col("channels") === col("c2")).cast("int").as("same_decode"))
+        .orderBy(col("media_id"))
     }),
 
     // multimodal frame sampling shape (explode semantics)
@@ -745,6 +858,18 @@ object SparkEntry {
          WHERE o_orderkey % 1000 <> 7 AND o_orderkey % 1000 <> 13
          ORDER BY o_orderkey""",
 
+    "sink_typed_roundtrip" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 't' ELSE 'f' END AS flag,
+         '\x' || lower(hex(encode(o_orderpriority))) AS bin,
+         CASE WHEN o_orderkey % 1000 = 0
+              THEN strftime(o_orderdate + to_milliseconds(o_orderkey % 1000), '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(o_orderdate + to_milliseconds(o_orderkey % 1000), '%Y-%m-%d %H:%M:%S.%f')
+         END AS ts,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         CAST(CAST(CAST(o_orderkey % 10000 AS DECIMAL(10,0)) / 100 AS DECIMAL(12,2)) AS VARCHAR) AS price
+         FROM orders ORDER BY o_orderkey""",
+
     "csv_roundtrip" ->
       """SELECT c_custkey, c_name || ',"quoted"|x' AS c_name, c_mktsegment
          FROM customer ORDER BY c_custkey""",
@@ -847,6 +972,33 @@ object SparkEntry {
             FROM s)
          SELECT q_id, c_id, rank, CAST(score AS BIGINT) AS score FROM r WHERE rank <= 3
          ORDER BY q_id, rank""",
+
+    // recall gates: the approximate indexes must recover the exact top-k
+    // (thresholds verified in-query; the oracle pins the verdict per query)
+    "similarity_lsh" ->
+      """SELECT vec_id AS q_id, 1 AS recall_ok FROM embeddings
+         WHERE vec_id < 5 ORDER BY q_id""",
+
+    "similarity_ivf" ->
+      """SELECT vec_id AS q_id, 1 AS recall_ok FROM embeddings
+         WHERE vec_id < 5 ORDER BY q_id""",
+
+    // fp equivalence classes == text equivalence classes on this corpus
+    "text_fingerprint" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inflated a JOIN inflated b
+           ON a.doc_id < b.doc_id AND a.text = b.text
+         ORDER BY id_a, id_b""",
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         1 AS same_decode
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id""",
 
     "text_quality" ->
       """SELECT doc_id,

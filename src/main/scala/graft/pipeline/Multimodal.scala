@@ -39,24 +39,17 @@ object Multimodal {
     * n_bytes. */
   def decodeImages(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false)))
-    val idIdx = df.columns.indexOf("media_id")
-    val cIdx = df.columns.indexOf("content")
-    val rows = df.rdd.mapPartitions { it =>
-      it.map { r =>
-        val bytes =
-          if (r.isNullAt(cIdx)) Array.empty[Byte]
-          else r.getAs[Array[Byte]](cIdx)
+    import spark.implicits._
+    // typed iterator transform — stays on the Dataset/Tungsten path (no
+    // RDD + createDataFrame round-trip), one pass, bounded memory
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val bytes = if (raw == null) Array.empty[Byte] else raw
         val (w, h, c) = decodeImageStub(bytes)
-        Row(r.getLong(idIdx), w, h, c, bytes.length.toLong)
-      }
-    }
-    spark.createDataFrame(rows, outSchema)
+        (id, w, h, c, bytes.length.toLong)
+      })
+      .toDF("media_id", "width", "height", "channels", "n_bytes")
   }
 
   /** Frame-sampling plumbing: given a media row representing a video of

@@ -109,6 +109,9 @@ final class CopySink(
     val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
     val rDir = rejectDir; val factory = endpointFactory
     val n = df.columns.length
+    // type-dispatched PG literal renderers, resolved once from the schema
+    // (a BinaryType column must render \x… hex, not Array.toString)
+    val fmts = PgLiteral.formatters(df.schema)
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val endpoint = factory(pid)
@@ -131,7 +134,7 @@ final class CopySink(
         }
         it.foreach { row =>
           val vals = Array.tabulate(n)(i =>
-            if (row.isNullAt(i)) null else row.get(i).toString)
+            if (row.isNullAt(i)) null else fmts(i)(row.get(i)))
           batch.add((CopyText.formatRow(vals) + "\n").getBytes("UTF-8"))
           if (batch.isFull) flush()
         }

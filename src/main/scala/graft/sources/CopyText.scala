@@ -101,16 +101,15 @@ object CopyText {
   }
 
   /** Distributed write: every task writes its partition as COPY TEXT part
-    * files under `dir` (the reject-file / golden-file format). */
+    * files under `dir` (the reject-file / golden-file format). Values are
+    * rendered as PG text literals via the type-dispatched formatters
+    * (bytea `\x…`, boolean t/f, timestamps without zone suffix). */
   def write(df: DataFrame, dir: String, delimiter: Char = '\t'): Unit = {
-    val strings = df.columns.foldLeft(df) { (d, c) =>
-      d.withColumn(c, d(c).cast("string"))
-    }
-    import org.apache.spark.sql.functions._
-    val n = strings.columns.length
-    val line = strings.rdd.map { row =>
+    val n = df.columns.length
+    val fmts = graft.sinks.PgLiteral.formatters(df.schema)
+    val line = df.rdd.map { row =>
       formatRow(Array.tabulate(n)(i =>
-        if (row.isNullAt(i)) null else row.get(i).toString), delimiter)
+        if (row.isNullAt(i)) null else fmts(i)(row.get(i))), delimiter)
     }
     line.saveAsTextFile(dir)
   }
