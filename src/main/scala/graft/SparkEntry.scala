@@ -441,6 +441,32 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    // §2.1 per-file preamble skip: skip lines = 2 plus a header line, over
+    // a multi-file glob — every file must drop ITS OWN head lines.
+    "csv_skip_header" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val path = scratch("csv_skip_header")
+      r.repartition(3).write.option("sep", "|").mode("overwrite").csv(path)
+      // prepend 2 junk preamble lines + 1 header line to every part file
+      new java.io.File(path).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach { f =>
+          val body = java.nio.file.Files.readAllBytes(f.toPath)
+          val pre = ("# preamble junk line 1|with|separators\n" +
+            "# preamble junk line 2\nr_regionkey|r_name\n").getBytes("UTF-8")
+          java.nio.file.Files.write(f.toPath, pre ++ body)
+        }
+      // the in-place edit invalidates the local-FS checksum sidecars
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+      CsvSource.read(s, path,
+          CsvDialect(separator = '|', skipLines = 2, header = true),
+          Seq("r_regionkey", "r_name"))
+        .select(col("r_regionkey").cast("int").as("r_regionkey"),
+          col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // §2.1 fixed-width scan: substring extraction + ragged right lines
     "fixed_width" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -876,6 +902,9 @@ object SparkEntry {
 
     "csv_guess" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "csv_skip_header" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "fixed_width" ->
       """SELECT n_nationkey, n_name,

@@ -21,12 +21,17 @@ object CsvSource {
 
   /** Read a CSV with an explicit dialect into an all-string DataFrame —
     * fidelity mode: types are applied later by the cast layer, never by the
-    * reader (SURVEY §1.2: transforms run on strings). */
+    * reader (SURVEY §1.2: transforms run on strings).
+    *
+    * `skipLines`/`header` are PER-FILE head-line drops (csv.lisp:84-127
+    * semantics): implemented via [[SkipLines.lines]] — Spark's CSV reader
+    * has no preamble-skip option, and monotonically_increasing_id tricks
+    * are wrong for multi-file/multi-split reads. */
   def read(spark: SparkSession, path: String, dialect: CsvDialect,
            fieldNames: Seq[String]): DataFrame = {
     val schema = StructType(
       fieldNames.map(n => StructField(n, StringType, nullable = true)))
-    var r = spark.read
+    val base = spark.read
       .option("sep", dialect.separator.toString)
       .option("quote", dialect.quote.toString)
       .option("escape",
@@ -34,10 +39,15 @@ object CsvSource {
       .option("encoding", dialect.encoding)
       .option("nullValue", dialect.nullValue)
       .option("mode", "PERMISSIVE")
-      .option("header", dialect.header.toString)
-    if (dialect.skipLines > 0 && !dialect.header)
-      r = r.option("skipLines", dialect.skipLines.toString)
-    r.schema(schema).csv(path)
+      .schema(schema)
+    // a header line is just one more per-file line to drop — field names
+    // come from the declared schema, matching the reference's HAVING FIELDS
+    val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
+    if (skip == 0) base.csv(path)
+    else {
+      import spark.implicits._
+      base.csv(SkipLines.lines(spark, path, skip).as[String])
+    }
   }
 
   /** Tiny driver-side CSV line parser used only by the guesser. Returns
@@ -108,15 +118,10 @@ object FixedWidth {
 
   def read(spark: SparkSession, path: String, specs: Seq[FieldPos],
            skipLines: Int = 0): DataFrame = {
-    import org.apache.spark.sql.functions._
-    var text = spark.read.textFile(path).toDF("__line")
-    if (skipLines > 0) {
-      // deterministic: files are read in order; tag and drop the first k
-      val k = skipLines
-      text = text.withColumn("__idx",
-        monotonically_increasing_id()).filter(col("__idx") >= k)
-        .drop("__idx")
-    }
+    val text =
+      if (skipLines > 0) SkipLines.lines(spark, path, skipLines)
+        .toDF("__line")
+      else spark.read.textFile(path).toDF("__line")
     project(text, "__line", specs).drop("__line")
   }
 

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{CsvDialect, CsvSource, SkipLines}
+
+/** Per-file preamble skip: each file of a multi-file source drops its own
+  * head lines (csv.lisp:84-127), including files shorter than the skip. */
+class SkipLinesSpec extends SparkSpec {
+
+  private def tmpDir(files: (String, String)*): String = {
+    val dir = Files.createTempDirectory("skiplines").toFile
+    files.foreach { case (name, content) =>
+      Files.write(new java.io.File(dir, name).toPath,
+        content.getBytes("UTF-8"))
+    }
+    dir.getAbsolutePath
+  }
+
+  test("each file drops its own head lines") {
+    val dir = tmpDir(
+      "a.txt" -> "pre1\npre2\na1\na2\n",
+      "b.txt" -> "pre1\npre2\nb1\n")
+    val got = SkipLines.lines(spark, dir, 2).collect().toSeq.sorted
+    assert(got == Seq("a1", "a2", "b1"))
+  }
+
+  test("skip longer than the file drops the whole file") {
+    val dir = tmpDir("short.txt" -> "only\n", "ok.txt" -> "p\nkeep\n")
+    val got = SkipLines.lines(spark, dir, 1).collect().toSeq.sorted
+    assert(got == Seq("keep"))
+  }
+
+  test("zero skip is the plain text read") {
+    val dir = tmpDir("a.txt" -> "x\ny\n")
+    assert(SkipLines.lines(spark, dir, 0).collect().toSeq.sorted ==
+      Seq("x", "y"))
+  }
+
+  test("CSV read honors skipLines + header per file") {
+    val dir = tmpDir(
+      "a.csv" -> "junk|junk\nk|v\n1|one\n2|two\n",
+      "b.csv" -> "junk|junk\nk|v\n3|three\n")
+    val got = CsvSource.read(spark, dir,
+        CsvDialect(separator = '|', skipLines = 1, header = true),
+        Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(("1", "one"), ("2", "two"), ("3", "three")))
+  }
+}
