@@ -467,6 +467,49 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // §3.1 the DSL entry point: .load text → Parser → LoadCommand →
+    // PlanBuilder → DataFrame, over a generated tab-separated file —
+    // glob source, skip header, null-if, point USING sexp, upcase sexp.
+    "dsl_csv_districts" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        when(col("n_nationkey") % 5 === 0, lit("N/A"))
+          .otherwise(col("n_name")).as("maybe_null"))
+      val path = scratch("dsl_csv_districts")
+      n.coalesce(1).write.option("sep", "\t").option("header", "true")
+        .mode("overwrite").csv(path)
+      val abs = new java.io.File(path).getAbsolutePath
+      val loadText =
+        """LOAD CSV
+           FROM all filenames matching ~/part.*csv$/ in directory '""" +
+          abs + """'
+           HAVING FIELDS (
+              n_nationkey,
+              n_name,
+              n_regionkey,
+              maybe_null [null if 'N/A']
+           )
+           INTO postgresql:///graft
+           TARGET TABLE nations
+           TARGET COLUMNS (
+              n_nationkey,
+              n_name,
+              maybe_null,
+              location point using (format nil "(~a,~a)" n_regionkey n_nationkey),
+              upper_name using (string-upcase n_name)
+           )
+           WITH skip header = 1,
+                fields terminated by '\t',
+                batch rows = 200
+           BEFORE LOAD DO """ + "$$ drop table if exists nations; $$;"
+      val cmd = graft.dsl.Parser.parse(loadText)
+      graft.dsl.PlanBuilder.build(s, cmd, baseDir = abs)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("maybe_null"), col("location"),
+          col("upper_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // §2.1 fixed-width scan: substring extraction + ragged right lines
     "fixed_width" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -905,6 +948,13 @@ object SparkEntry {
 
     "csv_skip_header" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "dsl_csv_districts" ->
+      """SELECT n_nationkey, n_name,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS maybe_null,
+         '(' || CAST(n_regionkey AS VARCHAR) || ',' || CAST(n_nationkey AS VARCHAR) || ')' AS location,
+         upper(n_name) AS upper_name
+         FROM nation ORDER BY n_nationkey""",
 
     "fixed_width" ->
       """SELECT n_nationkey, n_name,

@@ -1,0 +1,764 @@
+package graft.dsl
+
+import graft.casting.{CastRule, RuleSource, RuleTarget}
+import graft.dsl.Ast._
+import org.apache.spark.sql.types.StringType
+
+final class ParseException(msg: String, val offset: Int)
+  extends Exception(s"$msg (at offset $offset)")
+
+/** Recursive-descent parser for the `.load` DSL. Grammar surface per the
+  * reference (clojure/src/pgloader/load_file/grammar.clj:3-326; esrap
+  * rules src/parsers/command-csv.lisp:388, command-parser.lisp:14).
+  * Keywords are case-insensitive; `--` and nested-free `/* */` comments
+  * are whitespace.
+  */
+object Parser {
+
+  def parse(text: String): LoadCommand = new Parser(text).parseCommand()
+
+  /** All commands in a file (archive files may hold several). */
+  def parseAll(text: String): Seq[LoadCommand] = {
+    val p = new Parser(text)
+    val out = Seq.newBuilder[LoadCommand]
+    p.ws()
+    while (!p.eof) { out += p.parseCommand(); p.ws() }
+    out.result()
+  }
+}
+
+private final class Parser(in: String) {
+  private var pos = 0
+
+  // ------------------------------------------------------------- scanner
+
+  def eof: Boolean = { ws(); pos >= in.length }
+
+  def ws(): Unit = {
+    var moved = true
+    while (moved) {
+      moved = false
+      while (pos < in.length && in.charAt(pos).isWhitespace) {
+        pos += 1; moved = true
+      }
+      if (in.startsWith("--", pos)) {
+        while (pos < in.length && in.charAt(pos) != '\n') pos += 1
+        moved = true
+      }
+      if (in.startsWith("/*", pos)) {
+        val e = in.indexOf("*/", pos)
+        pos = if (e < 0) in.length else e + 2
+        moved = true
+      }
+    }
+  }
+
+  private def fail(msg: String): Nothing = throw new ParseException(msg, pos)
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '-'
+
+  /** Case-insensitive keyword; only matches a whole word. */
+  def tryKw(kw: String): Boolean = {
+    ws()
+    if (pos + kw.length <= in.length &&
+        in.regionMatches(true, pos, kw, 0, kw.length) &&
+        (pos + kw.length == in.length ||
+          !isWordChar(in.charAt(pos + kw.length)))) {
+      pos += kw.length; true
+    } else false
+  }
+
+  /** Multi-word keyword sequence, all-or-nothing. */
+  def tryKws(kws: String*): Boolean = {
+    val m = pos
+    if (kws.forall(tryKw)) true else { pos = m; false }
+  }
+
+  def expectKw(kw: String): Unit =
+    if (!tryKw(kw)) fail(s"expected keyword '$kw'")
+
+  def trySym(c: Char): Boolean = {
+    ws()
+    if (pos < in.length && in.charAt(pos) == c) { pos += 1; true }
+    else false
+  }
+
+  def expectSym(c: Char): Unit = if (!trySym(c)) fail(s"expected '$c'")
+
+  def peekSym(c: Char): Boolean = { ws(); pos < in.length && in.charAt(pos) == c }
+
+  /** identifier or "double quoted" name */
+  def ident(): String = {
+    ws()
+    if (pos < in.length && in.charAt(pos) == '"') {
+      val e = in.indexOf('"', pos + 1)
+      if (e < 0) fail("unterminated quoted identifier")
+      val s = in.substring(pos + 1, e); pos = e + 1; s
+    } else {
+      val start = pos
+      if (pos < in.length && (in.charAt(pos).isLetter || in.charAt(pos) == '_'))
+        pos += 1
+      else fail("expected identifier")
+      while (pos < in.length && isWordChar(in.charAt(pos))) pos += 1
+      in.substring(start, pos)
+    }
+  }
+
+  def tryQuoted(): Option[String] = {
+    ws()
+    if (pos < in.length && in.charAt(pos) == '\'') {
+      val e = in.indexOf('\'', pos + 1)
+      if (e < 0) fail("unterminated string")
+      val s = in.substring(pos + 1, e); pos = e + 1; Some(s)
+    } else None
+  }
+
+  def quoted(): String = tryQuoted().getOrElse(fail("expected 'string'"))
+
+  def tryDq(): Option[String] = {
+    ws()
+    if (pos < in.length && in.charAt(pos) == '"') {
+      val e = in.indexOf('"', pos + 1)
+      if (e < 0) fail("unterminated double-quoted string")
+      val s = in.substring(pos + 1, e); pos = e + 1; Some(s)
+    } else None
+  }
+
+  def integer(): Int = {
+    ws()
+    val start = pos
+    while (pos < in.length && in.charAt(pos).isDigit) pos += 1
+    if (pos == start) fail("expected integer")
+    in.substring(start, pos).toInt
+  }
+
+  /** `$$ … $$` quoted command. */
+  def dollarQuoted(): String = {
+    ws()
+    if (!in.startsWith("$$", pos)) fail("expected $$")
+    val e = in.indexOf("$$", pos + 2)
+    if (e < 0) fail("unterminated $$ block")
+    val s = in.substring(pos + 2, e); pos = e + 2; s.trim
+  }
+
+  /** Raw balanced-paren region INCLUDING the outer parens. */
+  def balancedParens(): String = {
+    ws()
+    if (!peekSym('(')) fail("expected '('")
+    val start = pos
+    var depth = 0
+    var i = pos
+    var inStr = false
+    var strCh = ' '
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (inStr) { if (c == strCh) inStr = false }
+      else c match {
+        case '"' | '\'' => inStr = true; strCh = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { pos = i + 1; return in.substring(start, i + 1) }
+        case _ =>
+      }
+      i += 1
+    }
+    fail("unterminated parenthesized expression")
+  }
+
+  /** bare filepath / URI token: up to whitespace, ',' or ';' */
+  def rawToken(): String = {
+    ws()
+    val start = pos
+    while (pos < in.length && !in.charAt(pos).isWhitespace &&
+           in.charAt(pos) != ';' && in.charAt(pos) != ',') pos += 1
+    if (pos == start) fail("expected token")
+    in.substring(start, pos)
+  }
+
+  /** `'\t'`-style quoted char with backslash escapes. */
+  private def unescapeChar(s: String): Char = s match {
+    case "\\t" => '\t'
+    case "\\n" => '\n'
+    case "\\r" => '\r'
+    case "\\\\" => '\\'
+    case "tab" => '\t'
+    case x if x.length == 1 => x.charAt(0)
+    case x => x.charAt(0)
+  }
+
+  // ------------------------------------------------------------- command
+
+  def parseCommand(): LoadCommand = {
+    expectKw("LOAD")
+    ws()
+    if (tryKw("CSV")) parseFileLoad("csv")
+    else if (tryKw("FIXED")) parseFileLoad("fixed")
+    else if (tryKw("COPY")) parseFileLoad("copy")
+    else if (tryKw("DBF")) parseFileLoad("dbf")
+    else if (tryKw("DATABASE")) parseDatabaseLoad()
+    else if (tryKw("ARCHIVE")) parseArchiveLoad()
+    else fail("expected CSV, FIXED, COPY, DBF, DATABASE or ARCHIVE")
+  }
+
+  private def parseSource(loadType: String): Source = {
+    ws()
+    if (tryKw("stdin")) Stdin
+    else if (tryKw("inline")) InlineData
+    else if (tryKws("all", "filenames", "matching")) {
+      val pat = filePattern()
+      expectKw("in"); expectKw("directory")
+      val dir = tryQuoted().getOrElse(rawToken())
+      Glob(pat, dir)
+    } else if (tryKws("FILENAME", "MATCHING")) {
+      Glob(filePattern(), ".")
+    } else tryQuoted() match {
+      case Some(p) => FilePath(p)
+      case None =>
+        val tok = rawToken()
+        val lower = tok.toLowerCase
+        if (lower.startsWith("http://") || lower.startsWith("https://"))
+          Http(tok)
+        else if (lower.startsWith(loadType + "://"))
+          FilePath(tok.substring(loadType.length + 3))
+        else FilePath(tok)
+    }
+  }
+
+  private def filePattern(): String = {
+    ws()
+    if (trySym('~')) {
+      if (trySym('/')) {
+        val e = in.indexOf('/', pos)
+        if (e < 0) fail("unterminated ~/pattern/")
+        val s = in.substring(pos, e); pos = e + 1; s
+      } else if (trySym('<')) {
+        val e = in.indexOf('>', pos)
+        if (e < 0) fail("unterminated ~<pattern>")
+        val s = in.substring(pos, e); pos = e + 1; s
+      } else fail("expected / or < after ~")
+    } else quoted()
+  }
+
+  // field lists -----------------------------------------------------------
+
+  private def parseFieldList(fixed: Boolean): Seq[FieldDef] = {
+    expectSym('(')
+    val out = Seq.newBuilder[FieldDef]
+    var more = true
+    while (more) {
+      out += parseField(fixed)
+      more = trySym(',')
+    }
+    expectSym(')')
+    out.result()
+  }
+
+  private def parseField(fixed: Boolean): FieldDef = {
+    val name = ident()
+    var f = FieldDef(name)
+    if (fixed && tryKw("from")) {
+      val start = integer()
+      expectKw("for")
+      val len = integer()
+      f = f.copy(start = Some(start), length = Some(len))
+    }
+    // option groups: [date format '…'], [null if …], [trim right whitespace]
+    while (peekSym('[')) {
+      expectSym('[')
+      var moreOpts = true
+      while (moreOpts) {
+        if (tryKws("date", "format")) f = f.copy(dateFormat = Some(quoted()))
+        else if (tryKws("null", "if")) {
+          if (tryKw("blanks")) f = f.copy(nullIfs = f.nullIfs :+ NullIfBlanks)
+          else {
+            val v = tryQuoted().orElse(tryDq())
+              .getOrElse(fail("expected null-if value"))
+            f = f.copy(nullIfs = f.nullIfs :+ NullIfLiteral(v))
+          }
+        } else if (tryKws("trim", "right", "whitespace")) {
+          f = f.copy(trimRight = true)
+        } else if (tryKws("trim", "both", "whitespace")) {
+          f = f.copy(trimRight = true)
+        } else fail("unknown field option")
+        moreOpts = trySym(',')
+      }
+      expectSym(']')
+    }
+    f
+  }
+
+  private def parseTargetColumns(): Seq[TargetColDef] = {
+    expectSym('(')
+    val out = Seq.newBuilder[TargetColDef]
+    var more = true
+    while (more) {
+      val name = ident()
+      var td = TargetColDef(name)
+      // optional type words until ',', ')' or 'using'
+      val typeWords = Seq.newBuilder[String]
+      var done = false
+      while (!done) {
+        ws()
+        if (peekSym(',') || peekSym(')')) done = true
+        else if (tryKw("using")) {
+          td = td.copy(using = Some(parseUsingExpr()))
+          done = true
+        } else typeWords += ident()
+      }
+      val tw = typeWords.result()
+      if (tw.nonEmpty) td = td.copy(typeName = Some(tw.mkString(" ")))
+      out += td
+      more = trySym(',')
+    }
+    expectSym(')')
+    out.result()
+  }
+
+  private def parseUsingExpr(): UsingExpr = {
+    ws()
+    tryDq() match {
+      case Some(sql) => SqlExpr(sql)
+      case None =>
+        tryQuoted() match {
+          case Some(sql) => SqlExpr(sql)
+          case None =>
+            if (in.startsWith("#", pos)) { pos += 1; Sexp(balancedParens()) }
+            else if (peekSym('(')) Sexp(balancedParens())
+            else Sexp(ident()) // bare transform-function/field name
+        }
+    }
+  }
+
+  // WITH options ----------------------------------------------------------
+
+  /** (canonical name, has value). Longest sequences first. */
+  private val optionTable: Seq[(Seq[String], String)] = Seq(
+    Seq("skip", "header") -> "int",
+    Seq("fields", "optionally", "enclosed", "by") -> "char",
+    Seq("fields", "enclosed", "by") -> "char",
+    Seq("fields", "terminated", "by") -> "char",
+    Seq("fields", "escaped", "by") -> "escape",
+    Seq("fields", "not", "enclosed") -> "flag",
+    Seq("lines", "terminated", "by") -> "char",
+    Seq("csv", "escape", "mode", "following") -> "flag",
+    Seq("csv", "header") -> "flag",
+    Seq("fixed", "header") -> "flag",
+    Seq("keep", "unquoted", "blanks") -> "flag",
+    Seq("trim", "unquoted", "blanks") -> "flag",
+    Seq("truncate") -> "flag",
+    Seq("disable", "triggers") -> "flag",
+    Seq("drop", "indexes") -> "flag",
+    Seq("create", "no", "tables") -> "flag",
+    Seq("create", "tables") -> "flag",
+    Seq("create", "table") -> "flag",
+    Seq("create", "indexes") -> "flag",
+    Seq("include", "no", "drop") -> "flag",
+    Seq("include", "drop") -> "flag",
+    Seq("batch", "rows") -> "int",
+    Seq("batch", "size") -> "size",
+    Seq("batch", "concurrency") -> "int",
+    Seq("prefetch", "rows") -> "int",
+    Seq("rows", "per", "range") -> "int",
+    Seq("chunk", "size") -> "size",
+    Seq("workers") -> "int",
+    Seq("concurrency") -> "int",
+    Seq("max", "parallel", "create", "index") -> "int",
+    Seq("on", "error", "stop") -> "flag",
+    Seq("on", "error", "resume", "next") -> "flag",
+    Seq("multiple", "readers", "per", "thread") -> "flag",
+    Seq("single", "reader") -> "flag",
+    Seq("quote", "identifiers") -> "flag",
+    Seq("downcase", "identifiers") -> "flag",
+    Seq("snake_case", "identifiers") -> "flag",
+    Seq("data", "only") -> "flag",
+    Seq("schema", "only") -> "flag",
+    Seq("foreign", "keys") -> "flag",
+    Seq("reset", "no", "sequences") -> "flag",
+    Seq("reset", "sequences") -> "flag",
+    Seq("drop", "schema") -> "flag",
+    Seq("reindex") -> "flag",
+    Seq("preserve", "index", "names") -> "flag",
+    Seq("uniquify", "index", "names") -> "flag",
+    Seq("date", "format") -> "string",
+    Seq("null", "if") -> "string",
+    Seq("delimiter") -> "char",
+    Seq("null") -> "string",
+    Seq("encoding") -> "string")
+
+  private def parseWithOptions(): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var more = true
+    while (more) {
+      ws()
+      val matched = optionTable.find { case (kws, _) => tryKws(kws: _*) }
+      matched match {
+        case Some((kws, kind)) =>
+          val key = kws.mkString(" ")
+          kind match {
+            case "flag" => out += key -> "true"
+            case "int" => trySym('='); out += key -> integer().toString
+            case "size" =>
+              trySym('=')
+              val n = integer()
+              val unit =
+                if (tryKw("GB")) 1024L * 1024 * 1024
+                else if (tryKw("MB")) 1024L * 1024
+                else if (tryKw("kB") || tryKw("KB")) 1024L
+                else if (tryKw("B")) 1L
+                else 1L
+              out += key -> (n * unit).toString
+            case "char" =>
+              trySym('=')
+              val v = tryQuoted().getOrElse(fail("expected quoted char"))
+              out += key -> unescapeChar(v).toString
+            case "escape" =>
+              trySym('=')
+              if (tryKw("backslash-quote")) out += key -> "\\"
+              else if (tryKw("double-quote")) out += key -> "\""
+              else out += key -> unescapeChar(quoted()).toString
+            case "string" =>
+              trySym('=')
+              out += key -> tryQuoted().getOrElse(ident())
+          }
+        case None => fail("unknown WITH option")
+      }
+      more = trySym(',')
+    }
+    out.result()
+  }
+
+  // SET / DO / CAST -------------------------------------------------------
+
+  private def parseSetParams(): Seq[(String, String)] = {
+    // SET [PostgreSQL|MySQL PARAMETERS] name to 'value' | name = 'value'
+    if (tryKws("PostgreSQL", "PARAMETERS") || tryKws("MySQL", "PARAMETERS")) ()
+    val out = Seq.newBuilder[(String, String)]
+    var more = true
+    while (more) {
+      val name = ident()
+      if (!tryKw("to")) trySym('=')
+      out += name -> quoted()
+      more = trySym(',')
+    }
+    out.result()
+  }
+
+  private def parseDoBlocks(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var more = true
+    while (more) { out += dollarQuoted(); more = trySym(',') }
+    out.result()
+  }
+
+  private def parseCastRules(): Seq[CastRule] = {
+    val out = Seq.newBuilder[CastRule]
+    var more = true
+    while (more) { out += parseCastRule(); more = trySym(',') }
+    out.result()
+  }
+
+  /** `type X when (< precision 10) to Y drop typemod using fn` or
+    * `column t.c to Y …` (grammar.clj:250-283). */
+  private def parseCastRule(): CastRule = {
+    var src = RuleSource()
+    if (tryKw("type")) {
+      val tn = castTypeName()
+      src = src.copy(typeName = Some(tn))
+      if (tryKw("when")) {
+        var moreGuards = true
+        while (moreGuards) {
+          if (tryKw("unsigned")) src = src.copy(signed = Some(false))
+          else if (tryKw("signed")) src = src.copy(signed = Some(true))
+          else if (tryKw("default")) {
+            val v = tryQuoted().orElse(tryDq()).getOrElse(castTypeName())
+            src = src.copy(default = Some(v))
+          } else if (peekSym('(')) {
+            src = src.copy(typemodPred = Some(parseWhenExpr(balancedParens())))
+          } else fail("unknown when-guard")
+          moreGuards = tryKw("and") && {
+            if (tryKws("not", "null")) {
+              src = src.copy(notNull = Some(true)); tryKw("and")
+            } else true
+          }
+        }
+      }
+      if (tryKws("with", "extra", "on", "update", "current", "timestamp"))
+        src = src.copy(onUpdateCurrentTimestamp = Some(true))
+    } else if (tryKw("column")) {
+      val parts = Seq.newBuilder[String]
+      parts += ident()
+      while (trySym('.')) parts += ident()
+      val ps = parts.result()
+      val (tbl, cname) = ps match {
+        case Seq(c) => ("", c)
+        case Seq(t1, c) => (t1, c)
+        case Seq(_, t1, c) => (t1, c) // schema ignored in matching
+        case _ => fail("bad column reference")
+      }
+      src = src.copy(column = Some((tbl, cname)))
+    } else fail("expected 'type' or 'column'")
+
+    var target: Option[RuleTarget] = None
+    var using: Option[String] = None
+    if (tryKw("to")) {
+      val tn = tryDq().getOrElse(castTypeName())
+      target = Some(RuleTarget(tn, StringType))
+    }
+    var moreOpts = true
+    while (moreOpts) {
+      if (tryKws("drop", "not", "null"))
+        target = target.map(_.copy(dropNotNull = true))
+      else if (tryKws("drop", "default"))
+        target = target.map(_.copy(dropDefault = true))
+      else if (tryKws("drop", "typemod"))
+        target = target.map(_.copy(keepTypemod = false))
+      else if (tryKws("keep", "typemod"))
+        target = target.map(_.copy(keepTypemod = true))
+      else if (tryKws("set", "not", "null"))
+        target = target.map(_.copy(setNotNull = true))
+      else if (tryKws("keep", "not", "null")) ()
+      else if (tryKws("drop", "extra")) ()
+      else if (tryKw("using")) using = Some(ident())
+      else moreOpts = false
+    }
+    CastRule(src, target, using)
+  }
+
+  private def castTypeName(): String = {
+    val words = Seq.newBuilder[String]
+    words += ident()
+    var more = true
+    while (more) {
+      val m = pos
+      ws()
+      val next =
+        if (pos < in.length && (in.charAt(pos).isLetter)) Some(ident())
+        else None
+      next match {
+        case Some(w) if !reservedAfterType(w.toLowerCase) => words += w
+        case Some(_) => pos = m; more = false
+        case None => more = false
+      }
+    }
+    words.result().mkString(" ")
+  }
+
+  private def reservedAfterType(w: String): Boolean =
+    Set("when", "to", "drop", "keep", "set", "using", "with", "column",
+      "type", "before", "after", "cast", "alter", "including", "excluding",
+      "materialize", "distribute", "decoding", "load", "having", "target",
+      "into", "from").contains(w)
+
+  /** `(< precision 10)` / `(> scale 0)` / `(= precision 1)` →  predicate
+    * over (precision, scale). */
+  private def parseWhenExpr(
+      raw: String): ((Int, Option[Int])) => Boolean = {
+    val toks = raw.stripPrefix("(").stripSuffix(")").trim
+      .split("\\s+").toSeq
+    def operand(s: String): ((Int, Option[Int])) => Long = s.toLowerCase match {
+      case "precision" => tm => tm._1.toLong
+      case "scale" => tm => tm._2.getOrElse(0).toLong
+      case n => _ => n.toLong
+    }
+    toks match {
+      case Seq(op, a, b) =>
+        val (fa, fb) = (operand(a), operand(b))
+        op match {
+          case "<" => tm => fa(tm) < fb(tm)
+          case "<=" => tm => fa(tm) <= fb(tm)
+          case ">" => tm => fa(tm) > fb(tm)
+          case ">=" => tm => fa(tm) >= fb(tm)
+          case "=" => tm => fa(tm) == fb(tm)
+          case _ => throw new ParseException(s"unknown operator $op", pos)
+        }
+      case _ => throw new ParseException(s"bad when-expr: $raw", pos)
+    }
+  }
+
+  // name patterns / filters ----------------------------------------------
+
+  private def namePatternList(): Seq[NamePattern] = {
+    val out = Seq.newBuilder[NamePattern]
+    var more = true
+    while (more) {
+      ws()
+      if (trySym('~')) {
+        expectSym('/')
+        val e = in.indexOf('/', pos)
+        if (e < 0) fail("unterminated ~/pattern/")
+        out += NamePattern(in.substring(pos, e), isRegex = true)
+        pos = e + 1
+      } else {
+        val v = tryQuoted().getOrElse(ident())
+        out += NamePattern(v, isRegex = false)
+      }
+      more = trySym(',')
+    }
+    out.result()
+  }
+
+  private def parseTableFilter(): TableFilter = {
+    val pats = namePatternList()
+    val schema =
+      if (tryKws("in", "schema")) Some(tryQuoted().getOrElse(ident()))
+      else None
+    TableFilter(pats, schema)
+  }
+
+  // load-type bodies ------------------------------------------------------
+
+  private def parseFileLoad(loadType: String): LoadCommand = {
+    expectKw("FROM")
+    var cmd = LoadCommand(loadType, source = Some(parseSource(loadType)))
+    if (tryKws("with", "encoding"))
+      cmd = cmd.copy(encoding = Some(tryQuoted().getOrElse(ident())))
+    ws()
+    if (peekSym('('))
+      cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
+    if (tryKws("having", "fields"))
+      cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
+    expectKw("INTO")
+    cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(rawToken())))
+    // second INTO [TABLE] name / TARGET TABLE name
+    if (tryKw("INTO")) {
+      tryKw("TABLE")
+      val (sch, tbl) = qualifiedName()
+      cmd = cmd.copy(targetSchema = sch, targetTable = Some(tbl))
+    }
+    if (tryKws("target", "table")) {
+      val (sch, tbl) = qualifiedName()
+      cmd = cmd.copy(targetSchema = sch, targetTable = Some(tbl))
+    }
+    if (tryKws("target", "columns"))
+      cmd = cmd.copy(targetColumns = parseTargetColumns())
+    else {
+      ws()
+      if (peekSym('(')) cmd = cmd.copy(targetColumns = parseTargetColumns())
+    }
+    if (tryKw("WITH")) cmd = cmd.copy(options = parseWithOptions())
+    // trailing clauses in any order
+    var more = true
+    while (more) {
+      if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
+      else if (tryKws("BEFORE", "LOAD", "DO"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
+      else if (tryKws("AFTER", "LOAD", "DO"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      else if (tryKws("having", "fields"))
+        cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
+      else if (tryKw("CAST"))
+        cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
+      else more = false
+    }
+    trySym(';')
+    cmd
+  }
+
+  private def qualifiedName(): (Option[String], String) = {
+    val first = ident()
+    if (trySym('.')) (Some(first), ident()) else (None, first)
+  }
+
+  private def parseDatabaseLoad(): LoadCommand = {
+    expectKw("FROM")
+    val src = tryQuoted().getOrElse(rawToken())
+    expectKw("INTO")
+    val tgt = tryQuoted().getOrElse(rawToken())
+    var cmd = LoadCommand("database", source = Some(Uri(src)),
+      targetUri = Some(tgt))
+    var more = true
+    while (more) {
+      if (tryKw("WITH")) cmd = cmd.copy(options = cmd.options ++ parseWithOptions())
+      else if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
+      else if (tryKw("CAST")) cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
+      else if (tryKws("BEFORE", "LOAD", "DO"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
+      else if (tryKws("AFTER", "LOAD", "DO"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      else if (tryKws("INCLUDING", "ONLY", "TABLE", "NAMES")) {
+        tryKw("MATCHING"); tryKw("LIKE")
+        cmd = cmd.copy(includingOnly = cmd.includingOnly :+ parseTableFilter())
+      } else if (tryKws("EXCLUDING", "TABLE", "NAMES")) {
+        tryKw("MATCHING"); tryKw("LIKE")
+        cmd = cmd.copy(excludingOnly = cmd.excludingOnly :+ parseTableFilter())
+      } else if (tryKws("ALTER", "SCHEMA")) {
+        val from = tryQuoted().getOrElse(ident())
+        expectKw("RENAME"); expectKw("TO")
+        val to = tryQuoted().getOrElse(ident())
+        cmd = cmd.copy(alterSchema = cmd.alterSchema :+ (from -> to))
+      } else if (tryKws("ALTER", "TABLE", "NAMES", "MATCHING")) {
+        val pats = namePatternList()
+        val action =
+          if (tryKws("SET", "SCHEMA")) SetSchema(tryQuoted().getOrElse(ident()))
+          else if (tryKws("RENAME", "TO")) RenameTo(tryQuoted().getOrElse(ident()))
+          else if (tryKws("SET", "TABLESPACE"))
+            SetTablespace(tryQuoted().getOrElse(ident()))
+          else if (tryKw("SET")) SetParams(balancedParens())
+          else fail("unknown ALTER TABLE action")
+        cmd = cmd.copy(alterTable = cmd.alterTable :+ AlterTableRule(pats, action))
+      } else if (tryKws("MATERIALIZE", "ALL", "VIEWS")) {
+        cmd = cmd.copy(materializeAllViews = true)
+      } else if (tryKws("MATERIALIZE", "VIEWS")) {
+        val vs = Seq.newBuilder[MatView]
+        var m2 = true
+        while (m2) {
+          val n = ident()
+          val d = if (tryKw("as")) Some(dollarQuoted()) else None
+          vs += MatView(n, d)
+          m2 = trySym(',')
+        }
+        cmd = cmd.copy(materializeViews = cmd.materializeViews ++ vs.result())
+      } else if (tryKw("DISTRIBUTE")) {
+        val tbl = ident()
+        val rule =
+          if (tryKws("AS", "REFERENCE", "TABLE")) DistributeReference(tbl)
+          else {
+            expectKw("USING")
+            val c = ident()
+            val from =
+              if (tryKw("FROM")) {
+                val fs = Seq.newBuilder[String]
+                fs += ident()
+                while (trySym(',')) fs += ident()
+                fs.result()
+              } else Nil
+            DistributeUsing(tbl, c, from)
+          }
+        cmd = cmd.copy(distribute = cmd.distribute :+ rule)
+      } else if (tryKws("DECODING", "TABLE", "NAMES", "MATCHING")) {
+        val pats = namePatternList()
+        expectKw("AS")
+        val enc = tryQuoted().getOrElse(ident())
+        cmd = cmd.copy(decodingAs = cmd.decodingAs ++ pats.map(_ -> enc))
+      } else more = false
+    }
+    trySym(';')
+    cmd
+  }
+
+  private def parseArchiveLoad(): LoadCommand = {
+    expectKw("FROM")
+    val src = parseSource("archive")
+    var cmd = LoadCommand("archive", source = Some(src))
+    if (tryKw("INTO"))
+      cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(rawToken())))
+    var more = true
+    while (more) {
+      if (tryKws("BEFORE", "LOAD", "DO"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
+      else if (tryKws("AFTER", "LOAD", "DO"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      else {
+        val m = pos
+        if (tryKw("LOAD")) {
+          pos = m
+          cmd = cmd.copy(subCommands = cmd.subCommands :+ parseCommand())
+        } else more = false
+      }
+    }
+    trySym(';')
+    cmd
+  }
+}

@@ -1,0 +1,223 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dsl.Ast._
+import graft.operators.ProjectFields
+import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
+import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
+import graft.functions.Transforms
+
+/** LoadCommand → lazy DataFrame plan. The v3 reference compiles each
+  * command to Lisp code (api.lisp:175-197); here the "compilation" is
+  * building the declarative DataFrame chain — scan → project/transform —
+  * and letting Catalyst plan it. Sinks/DDL are the orchestration layer's
+  * job ([[graft.catalog]]); this builder covers the dataflow.
+  */
+object PlanBuilder {
+
+  /** Resolve the source into path(s) readable by Spark (comma-joined for
+    * multi-file globs, which both text and csv readers accept). */
+  def resolvePath(spark: SparkSession, src: Source,
+                  baseDir: String): String = src match {
+    case FilePath(p) =>
+      if (new java.io.File(p).isAbsolute) p else s"$baseDir/$p"
+    case Glob(pattern, dir) =>
+      val d = if (new java.io.File(dir).isAbsolute) dir else s"$baseDir/$dir"
+      val re = pattern.r
+      val files = Option(new java.io.File(d).listFiles()).getOrElse(
+        throw new IllegalArgumentException(s"no such directory: $d"))
+        .filter(f => f.isFile && re.findFirstIn(f.getName).nonEmpty)
+        .map(_.getAbsolutePath).sorted
+      if (files.isEmpty)
+        throw new IllegalArgumentException(s"no files match ~/$pattern/ in $d")
+      files.mkString(",")
+    case Http(u) =>
+      throw new UnsupportedOperationException(s"http source not wired: $u")
+    case other =>
+      throw new UnsupportedOperationException(s"source not wired: $other")
+  }
+
+  /** Build the dataflow for a file-based load command. */
+  def build(spark: SparkSession, cmd: LoadCommand,
+            baseDir: String = "."): DataFrame = {
+    val path = resolvePath(spark, cmd.source.getOrElse(
+      throw new IllegalArgumentException("command has no source")), baseDir)
+    val raw = cmd.loadType match {
+      case "csv" => readCsv(spark, cmd, path)
+      case "fixed" => readFixed(spark, cmd, path)
+      case "copy" => readCopy(spark, cmd, path)
+      case t => throw new UnsupportedOperationException(
+        s"load type '$t' is not a file dataflow")
+    }
+    project(raw, cmd)
+  }
+
+  private def fieldNames(cmd: LoadCommand): Seq[String] =
+    if (cmd.fields.nonEmpty) cmd.fields.map(_.name)
+    else cmd.targetColumns.map(_.name)
+
+  private def readCsv(spark: SparkSession, cmd: LoadCommand,
+                      path: String): DataFrame = {
+    val dialect = CsvDialect(
+      separator = cmd.option("fields terminated by")
+        .map(_.charAt(0)).getOrElse(','),
+      quote = cmd.option("fields enclosed by")
+        .orElse(cmd.option("fields optionally enclosed by"))
+        .map(_.charAt(0)).getOrElse('"'),
+      doubledQuote = !cmd.option("fields escaped by").contains("\\"),
+      skipLines = cmd.intOption("skip header").getOrElse(0),
+      header = cmd.boolOption("csv header"),
+      encoding = cmd.encoding.getOrElse("UTF-8"))
+    CsvSource.read(spark, path, dialect, fieldNames(cmd))
+  }
+
+  private def readFixed(spark: SparkSession, cmd: LoadCommand,
+                        path: String): DataFrame = {
+    val specs = cmd.fields.map { f =>
+      FixedWidth.FieldPos(f.name,
+        f.start.getOrElse(throw new IllegalArgumentException(
+          s"fixed field ${f.name} lacks 'from'")),
+        f.length.getOrElse(throw new IllegalArgumentException(
+          s"fixed field ${f.name} lacks 'for'")))
+    }
+    FixedWidth.read(spark, path, specs,
+      skipLines = cmd.intOption("skip header").getOrElse(0))
+  }
+
+  private def readCopy(spark: SparkSession, cmd: LoadCommand,
+                       path: String): DataFrame =
+    CopyText.read(spark, path, fieldNames(cmd),
+      delimiter = cmd.option("delimiter").map(_.charAt(0)).getOrElse('\t'),
+      nullAs = cmd.option("null").getOrElse("\\N"))
+
+  /** HAVING FIELDS preprocessing + TARGET COLUMNS projection. */
+  private def project(df: DataFrame, cmd: LoadCommand): DataFrame = {
+    val trimAll = cmd.boolOption("trim unquoted blanks")
+    val specs = cmd.fields.map { f =>
+      FieldSpec(f.name,
+        nullIfs = f.nullIfs.map {
+          case NullIfBlanks => NullIf.Blanks
+          case NullIfLiteral(v) => NullIf.Value(v)
+        } ++ cmd.option("null if").map(NullIf.Value).toSeq,
+        trim =
+          if (f.trimRight) TrimMode.Right
+          else if (trimAll) TrimMode.Both
+          else TrimMode.None,
+        dateFormat = f.dateFormat)
+    }
+    val targets =
+      if (cmd.targetColumns.nonEmpty) cmd.targetColumns.map(toTarget)
+      else specs.map(s => TargetColumn(s.name))
+    if (specs.isEmpty && cmd.targetColumns.isEmpty) df
+    else ProjectFields(df, specs, targets)
+  }
+
+  private def toTarget(td: TargetColDef): TargetColumn = td.using match {
+    case None => TargetColumn(td.name)
+    case Some(SqlExpr(sql)) => TargetColumn(td.name, usingExpr = Some(sql))
+    case Some(Sexp(raw)) =>
+      // named transform function? (`using zero-dates-to-null` style)
+      Transforms.registry.get(raw) match {
+        case Some(fn) => TargetColumn(td.name, transform = Some(fn))
+        case None =>
+          TargetColumn(td.name, usingExpr = Some(SexpTranslator.toSql(raw)))
+      }
+  }
+}
+
+/** Translates the reference's USING s-expressions into Spark SQL
+  * expression strings. The supported surface is the one exercised by the
+  * reference's own test corpus (project-fields.lisp:144-183 compiles these
+  * to row lambdas):
+  *   - `(format nil "fmt" arg …)` with `~a` directives → concat
+  *   - field names → column references
+  *   - string literals → SQL literals
+  * Anything else must be provided as a double-quoted Spark SQL expression.
+  */
+object SexpTranslator {
+
+  def toSql(raw: String): String = {
+    val toks = tokenize(raw.trim)
+    render(parse(toks))
+  }
+
+  private sealed trait S
+  private final case class Atom(v: String) extends S
+  private final case class Str(v: String) extends S
+  private final case class L(items: List[S]) extends S
+
+  private def tokenize(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += "("; i += 1
+        case ')' => out += ")"; i += 1
+        case '"' =>
+          val e = s.indexOf('"', i + 1)
+          require(e >= 0, "unterminated string in s-expr")
+          out += s.substring(i, e + 1); i = e + 1
+        case _ =>
+          val start = i
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+                 s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+          out += s.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  private def parse(toks: List[String]): S = {
+    def go(ts: List[String]): (S, List[String]) = ts match {
+      case "(" :: rest =>
+        var items = List.newBuilder[S]
+        var cur = rest
+        while (cur.nonEmpty && cur.head != ")") {
+          val (s, nxt) = go(cur)
+          items += s
+          cur = nxt
+        }
+        require(cur.nonEmpty, "unbalanced s-expr")
+        (L(items.result()), cur.tail)
+      case t :: rest if t.startsWith("\"") =>
+        (Str(t.substring(1, t.length - 1)), rest)
+      case t :: rest => (Atom(t), rest)
+      case Nil => throw new IllegalArgumentException("empty s-expr")
+    }
+    go(toks)._1
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def render(s: S): String = s match {
+    case Atom(a) => a // field reference
+    case Str(v) => sqlLit(v)
+    case L(Atom(f) :: rest) if f.equalsIgnoreCase("format") =>
+      rest match {
+        case Atom(nil0) :: Str(fmt) :: args if nil0.equalsIgnoreCase("nil") =>
+          val parts = fmt.split("~a", -1).toSeq
+          require(parts.length == args.length + 1,
+            s"format directive count mismatch in $fmt")
+          val pieces = Seq.newBuilder[String]
+          parts.zipWithIndex.foreach { case (p, i) =>
+            if (p.nonEmpty) pieces += sqlLit(p)
+            if (i < args.length) pieces += render(args(i))
+          }
+          s"concat(${pieces.result().mkString(", ")})"
+        case _ => throw new IllegalArgumentException(
+          s"unsupported format form: $s")
+      }
+    case L(Atom(f) :: rest) if f.equalsIgnoreCase("concat") =>
+      s"concat(${rest.map(render).mkString(", ")})"
+    case L(Atom(f) :: rest)
+        if f.equalsIgnoreCase("string-upcase") && rest.length == 1 =>
+      s"upper(${render(rest.head)})"
+    case L(Atom(f) :: rest)
+        if f.equalsIgnoreCase("string-downcase") && rest.length == 1 =>
+      s"lower(${render(rest.head)})"
+    case other => throw new IllegalArgumentException(
+      s"unsupported USING s-expression: $other — " +
+        "use a double-quoted Spark SQL expression instead")
+  }
+}

@@ -25,16 +25,21 @@ object SkipLines {
   private def cutOffsets(spark: SparkSession, path: String,
                          n: Int): Map[String, Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(hconf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    // comma-separated multi-path input, as Hadoop's FileInputFormat takes
+    val matched = path.split(",").toSeq.flatMap { one =>
+      val p = new Path(one)
+      val fs = p.getFileSystem(hconf)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    }
     val files = matched.flatMap { st =>
+      val fs = st.getPath.getFileSystem(hconf)
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
       else Seq(st)
     }
     files.map { st =>
+      val fs = st.getPath.getFileSystem(hconf)
       val in = fs.open(st.getPath)
       var off = 0L
       var seen = 0

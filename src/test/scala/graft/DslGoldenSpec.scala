@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.{Parser, PlanBuilder}
+import graft.sources.CopyText
+
+/** The reference's golden regression mechanism (src/regress/regress.lisp:
+  * 81-112): run the load command, load the expected COPY-text file, and
+  * assert `expected EXCEPT actual` is empty. Point columns are compared
+  * by their numeric components (the reference casts them to text because
+  * point has no equality operator; the driver here compares doubles,
+  * which also absorbs float-rendering differences). */
+class DslGoldenSpec extends SparkSpec {
+
+  test("csv-districts.load matches test/regress/expected/csv-districts.out") {
+    val base = "/root/reference/test"
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/csv-districts.load")), "UTF-8")
+    val cmd = Parser.parse(text)
+    val plan = PlanBuilder.build(spark, cmd, baseDir = base)
+
+    // target types from the command's own BEFORE LOAD DO create-table DDL:
+    // usps/geoid text, aland/awater bigint, *_sqmi double, location point
+    val actual = plan.select(
+      trim(col("usps")).as("usps"),
+      trim(col("geoid")).as("geoid"),
+      trim(col("aland")).cast("long").as("aland"),
+      trim(col("awater")).cast("long").as("awater"),
+      trim(col("aland_sqmi")).cast("double").as("aland_sqmi"),
+      trim(col("awater_sqmi")).cast("double").as("awater_sqmi"),
+      regexp_extract(col("location"), "\\(([^,]+),", 1)
+        .cast("double").as("loc_x"),
+      regexp_extract(col("location"), ",([^)]+)\\)", 1)
+        .cast("double").as("loc_y"))
+
+    val expected = CopyText.read(spark, s"$base/regress/expected/csv-districts.out",
+        Seq("usps", "geoid", "aland", "awater", "aland_sqmi", "awater_sqmi",
+          "location"))
+      .select(
+        col("usps"), col("geoid"),
+        col("aland").cast("long").as("aland"),
+        col("awater").cast("long").as("awater"),
+        col("aland_sqmi").cast("double").as("aland_sqmi"),
+        col("awater_sqmi").cast("double").as("awater_sqmi"),
+        regexp_extract(col("location"), "\\(([^,]+),", 1)
+          .cast("double").as("loc_x"),
+        regexp_extract(col("location"), ",([^)]+)\\)", 1)
+          .cast("double").as("loc_y"))
+
+    assert(actual.count() == expected.count())
+    val missing = expected.exceptAll(actual).count()
+    val extra = actual.exceptAll(expected).count()
+    assert(missing == 0 && extra == 0,
+      s"golden mismatch: missing=$missing extra=$extra")
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dsl.{Ast, Parser, ParseException, SexpTranslator}
+import graft.dsl.Ast._
+import graft.casting.SourceColumn
+
+/** DSL parser cases ported from the reference's parser test suite
+  * (clojure/test/pgloader/load_file/parser_test.clj) plus the
+  * csv-districts command (test/csv-districts.load). */
+class DslParserSpec extends AnyFunSuite {
+
+  test("simple csv") {
+    val cmd = Parser.parse(
+      "LOAD CSV FROM '/data/sample.csv' INTO postgresql:///target;")
+    assert(cmd.loadType == "csv")
+    assert(cmd.source.contains(FilePath("/data/sample.csv")))
+    assert(cmd.targetUri.contains("postgresql:///target"))
+  }
+
+  test("csv with options") {
+    val cmd = Parser.parse(
+      """LOAD CSV FROM '/data/sample.csv'
+           INTO postgresql://user@localhost/db
+           WITH skip header = 1,
+                fields terminated by ',',
+                fields optionally enclosed by '"',
+                fields escaped by '\\',
+                encoding 'utf-8';""")
+    assert(cmd.intOption("skip header").contains(1))
+    assert(cmd.option("fields terminated by").contains(","))
+    assert(cmd.option("fields optionally enclosed by").contains("\""))
+    assert(cmd.option("fields escaped by").contains("\\"))
+    assert(cmd.option("encoding").contains("utf-8"))
+  }
+
+  test("csv into table with column list") {
+    val cmd = Parser.parse(
+      """LOAD CSV FROM '/data/users.csv'
+           INTO postgresql:///target INTO public.users
+           (id, name, email);""")
+    assert(cmd.targetSchema.contains("public"))
+    assert(cmd.targetTable.contains("users"))
+    assert(cmd.targetColumns.map(_.name) == Seq("id", "name", "email"))
+  }
+
+  test("mysql database with db options") {
+    val cmd = Parser.parse(
+      """LOAD DATABASE FROM mysql://user@localhost/mydb
+           INTO postgresql:///target
+           WITH create tables, create indexes, include drop;""")
+    assert(cmd.loadType == "database")
+    assert(cmd.boolOption("create tables"))
+    assert(cmd.boolOption("create indexes"))
+    assert(cmd.boolOption("include drop"))
+  }
+
+  test("database with SET and CAST") {
+    val cmd = Parser.parse(
+      """LOAD DATABASE FROM mysql://user@localhost/mydb
+           INTO postgresql:///target
+           WITH create tables, include drop
+           SET maintenance_work_mem to '128MB',
+               client_encoding to 'UTF8'
+           CAST type datetime to timestamptz drop default drop not null using zero-dates-to-null,
+                type tinyint to boolean drop typemod;""")
+    assert(cmd.setParams ==
+      Seq("maintenance_work_mem" -> "128MB", "client_encoding" -> "UTF8"))
+    assert(cmd.castRules.length == 2)
+    val dt = cmd.castRules.head
+    assert(dt.source.typeName.contains("datetime"))
+    assert(dt.target.exists(t => t.pgType == "timestamptz" &&
+      t.dropDefault && t.dropNotNull))
+    assert(dt.using.contains("zero-dates-to-null"))
+  }
+
+  test("cast when default and not null (#1676)") {
+    val cmd = Parser.parse(
+      """LOAD DATABASE FROM mysql://user@localhost/mydb
+           INTO postgresql:///target
+           CAST type datetime when default "0000-00-00 00:00:00" and not null
+                to timestamp drop not null drop default using zero-dates-to-null;""")
+    val rule = cmd.castRules.head
+    assert(rule.source.default.contains("0000-00-00 00:00:00"))
+    assert(rule.source.notNull.contains(true))
+  }
+
+  test("cast typemod guard compiles to a working predicate") {
+    val cmd = Parser.parse(
+      """LOAD DATABASE FROM mysql:///d INTO postgresql:///t
+           CAST type int when (< precision 10) to int,
+                type int when unsigned to bigint;""")
+    val smallRule = cmd.castRules.head
+    assert(smallRule.source.matches(SourceColumn("t", "c", "int(7)")))
+    assert(!smallRule.source.matches(SourceColumn("t", "c", "int(11)")))
+    val unsignedRule = cmd.castRules(1)
+    assert(unsignedRule.source.matches(
+      SourceColumn("t", "c", "int(10) unsigned")))
+  }
+
+  test("invalid command rejected") {
+    intercept[ParseException](Parser.parse("LOAD BOGUS;"))
+  }
+
+  test("comments are whitespace") {
+    val cmd = Parser.parse(
+      """-- leading comment
+         /* block
+            comment */
+         LOAD CSV FROM '/data/sample.csv' -- trailing
+         INTO postgresql:///target;""")
+    assert(cmd.loadType == "csv")
+  }
+
+  test("null if / unquoted-blank options") {
+    val c1 = Parser.parse(
+      "LOAD CSV FROM '/d.csv' INTO postgresql:///t WITH null if '\\N';")
+    assert(c1.option("null if").contains("\\N"))
+    val c2 = Parser.parse(
+      "LOAD CSV FROM '/d.csv' INTO postgresql:///t WITH keep unquoted blanks;")
+    assert(c2.boolOption("keep unquoted blanks"))
+  }
+
+  test("glob source, filters, alter table, distribute, matviews") {
+    val cmd = Parser.parse(
+      """LOAD DATABASE FROM mysql:///sakila INTO postgresql:///s
+           INCLUDING ONLY TABLE NAMES MATCHING ~/film/, 'actor'
+           EXCLUDING TABLE NAMES MATCHING ~/temp$/
+           ALTER TABLE NAMES MATCHING ~/film/ SET SCHEMA 'video'
+           MATERIALIZE VIEWS film_list, staff_list
+           DISTRIBUTE orders USING order_id FROM customers, nations;""")
+    assert(cmd.includingOnly.head.patterns.map(_.pattern) ==
+      Seq("film", "actor"))
+    assert(cmd.excludingOnly.head.patterns.head.isRegex)
+    assert(cmd.alterTable.head.action == SetSchema("video"))
+    assert(cmd.materializeViews.map(_.name) ==
+      Seq("film_list", "staff_list"))
+    assert(cmd.distribute.head ==
+      DistributeUsing("orders", "order_id", Seq("customers", "nations")))
+  }
+
+  test("fixed field specs") {
+    val cmd = Parser.parse(
+      """LOAD FIXED FROM '/d.txt'
+           (a from 0 for 10 [trim right whitespace],
+            b from 10 for  5 [null if blanks])
+           INTO postgresql:///t TARGET TABLE fx;""")
+    assert(cmd.fields == Seq(
+      FieldDef("a", trimRight = true, start = Some(0), length = Some(10)),
+      FieldDef("b", nullIfs = Seq(NullIfBlanks), start = Some(10),
+        length = Some(5))))
+  }
+
+  test("csv-districts.load parses end-to-end") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/csv-districts.load")),
+      "UTF-8")
+    val cmd = Parser.parse(text)
+    assert(cmd.loadType == "csv")
+    assert(cmd.source.contains(
+      FilePath("data/2013_Gaz_113CDs_national.txt")))
+    assert(cmd.fields.map(_.name) == Seq("usps", "geoid", "aland", "awater",
+      "aland_sqmi", "awater_sqmi", "intptlat", "intptlong"))
+    assert(cmd.targetTable.contains("districts"))
+    assert(cmd.targetColumns.length == 7)
+    val loc = cmd.targetColumns.last
+    assert(loc.name == "location" && loc.typeName.contains("point"))
+    assert(cmd.intOption("skip header").contains(1))
+    assert(cmd.option("fields terminated by").contains("\t"))
+    assert(cmd.intOption("batch rows").contains(200))
+    assert(cmd.intOption("batch size").contains(1024 * 1024))
+    assert(cmd.beforeLoad.length == 2)
+    assert(cmd.beforeLoad.head.toLowerCase.contains("drop table"))
+  }
+
+  test("sexp USING translation") {
+    assert(SexpTranslator.toSql(
+      """(format nil "(~a,~a)" intptlong intptlat)""") ==
+      "concat('(', intptlong, ',', intptlat, ')')")
+    assert(SexpTranslator.toSql("""(string-upcase usps)""") == "upper(usps)")
+    intercept[IllegalArgumentException](
+      SexpTranslator.toSql("(some-arbitrary-lisp-fn x)"))
+  }
+}
