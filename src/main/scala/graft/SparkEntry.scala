@@ -467,6 +467,46 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // §2.1 database source end-to-end against a REAL embedded database
+    // (Derby): load through the batched-INSERT sink endpoint, introspect
+    // the catalog over JDBC metadata, cast it, read back with a
+    // range-partitioned Spark JDBC scan (mysql.lisp:10-62 shape).
+    "jdbc_migrate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("k"),
+        col("o_orderstatus").as("st"),
+        col("o_totalprice").as("p"))
+      val dbPath = new java.io.File(scratch("jdbc_derby")).getAbsolutePath
+      val url = s"jdbc:derby:$dbPath;create=true"
+      val props = new java.util.Properties
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE ORDERS_SRC (
+               O_ORDERKEY INT NOT NULL PRIMARY KEY,
+               O_ORDERSTATUS VARCHAR(4),
+               O_TOTALPRICE DOUBLE)""")
+        st.close()
+      } finally conn.close()
+      val sink = new graft.sinks.CopySink(endpointFactory = _ =>
+        new graft.sinks.JdbcInsertEndpoint(url, new java.util.Properties,
+          "INSERT INTO ORDERS_SRC (O_ORDERKEY, O_ORDERSTATUS, O_TOTALPRICE)" +
+            " VALUES (?, ?, ?)", 3))
+      sink.write(o.repartition(4))
+      val cat = graft.sources.JdbcSource.introspect(url, props, Some("APP"))
+        .cast(Nil, graft.casting.DefaultCastRules.ansi)
+      val tbl = cat.allTables.find(_.name == "ORDERS_SRC").get
+      // introspected + cast catalog drives the read: 15k rows over 4k-row
+      // ranges → 4 JDBC partitions
+      val df = graft.sources.JdbcSource.read(s, url, props, tbl,
+        partitionColumn = Some("O_ORDERKEY"), rowsPerRange = 4000)
+      df.select(col("O_ORDERKEY").cast("long").as("o_orderkey"),
+          col("O_ORDERSTATUS").as("o_orderstatus"),
+          col("O_TOTALPRICE").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §3.1 the DSL entry point: .load text → Parser → LoadCommand →
     // PlanBuilder → DataFrame, over a generated tab-separated file —
     // glob source, skip header, null-if, point USING sexp, upcase sexp.
@@ -948,6 +988,10 @@ object SparkEntry {
 
     "csv_skip_header" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "jdbc_migrate" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
 
     "dsl_csv_districts" ->
       """SELECT n_nationkey, n_name,

@@ -148,6 +148,53 @@ final class CopySink(
   }
 }
 
+/** Batched-INSERT endpoint over plain JDBC — the sink fallback for targets
+  * without COPY (SURVEY §2.2: `reWriteBatchedInserts` path). Consumes the
+  * same COPY TEXT row bytes as the PG endpoint (format-once applies to
+  * both), parsing them back to fields per batch. Transactional per send:
+  * a failed batch is rolled back and reported with its failing line when
+  * the driver identifies it.
+  */
+final class JdbcInsertEndpoint(url: String, props: java.util.Properties,
+                               insertSql: String, nCols: Int)
+    extends CopyEndpoint {
+  private val conn = java.sql.DriverManager.getConnection(url, props)
+  conn.setAutoCommit(false)
+  private val ps = conn.prepareStatement(insertSql)
+
+  override def send(rows: Seq[Array[Byte]]): Unit = {
+    try {
+      rows.foreach { bytes =>
+        val line = new String(bytes, "UTF-8").stripSuffix("\n")
+        val vals = graft.sources.CopyText.parseLine(line)
+        var i = 0
+        while (i < nCols) {
+          if (i < vals.length && vals(i) != null) ps.setString(i + 1, vals(i))
+          else ps.setNull(i + 1, java.sql.Types.VARCHAR)
+          i += 1
+        }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      conn.commit()
+    } catch {
+      case e: java.sql.BatchUpdateException =>
+        conn.rollback(); ps.clearBatch()
+        // update counts locate the first failed row when provided
+        val counts = e.getUpdateCounts
+        val bad = counts.indexWhere(_ == java.sql.Statement.EXECUTE_FAILED)
+        val line = if (bad >= 0) Some(bad + 1) else None
+        throw CopyError(line,
+          Option(e.getCause).getOrElse(e).getMessage)
+      case e: Exception =>
+        conn.rollback(); ps.clearBatch()
+        throw CopyError(None, Option(e.getCause).getOrElse(e).getMessage)
+    }
+  }
+
+  override def close(): Unit = { ps.close(); conn.close() }
+}
+
 /** PostgreSQL COPY endpoint via pgjdbc's CopyManager, loaded reflectively so
   * the library has no hard dependency on the driver jar
   * (clojure/src/pgloader/batch.clj:43-70 send-rows! equivalent).

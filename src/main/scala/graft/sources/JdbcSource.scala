@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.casting.SourceColumn
+import graft.catalog.{Catalog, FKey, Index, Schema, Table}
+
+/** Database source: schema introspection + (partitioned) reads over JDBC.
+  *
+  * Introspection is driver-side, like the reference's per-source catalog
+  * queries (mysql-schema.lisp:54-212, sqlite-schema.lisp, mssql-schema.lisp,
+  * pgsql-schema.lisp:7-481). The portable layer uses JDBC
+  * `DatabaseMetaData` — the JVM-idiomatic equivalent covering tables,
+  * columns (type/typemod/nullable/default/auto-increment), primary keys,
+  * indexes and foreign keys for every JDBC source. The per-engine SQL the
+  * reference issues lives in [[IntrospectionSql]] for drivers where the
+  * metadata calls fall short.
+  *
+  * Reads are Spark JDBC relations; large tables split on an integer key
+  * into ranges of `rowsPerRange` (the reference's partitioned scan,
+  * mysql.lisp:10-62: 10k rows per range by default, only when the table is
+  * big enough).
+  */
+object JdbcSource {
+
+  /** Introspect every TABLE in `schemaPattern` into the catalog IR. */
+  def introspect(url: String, props: Properties = new Properties,
+                 schemaPattern: Option[String] = None,
+                 rowCounts: Boolean = true): Catalog = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      val tablesRs = md.getTables(null, schemaPattern.orNull, "%",
+        Array("TABLE"))
+      val names = Iterator.continually(tablesRs)
+        .takeWhile(_.next())
+        .map(rs => (rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+        .toSeq
+      val tables = names.map { case (schema, tname) =>
+        introspectTable(conn, schema, tname, rowCounts)
+      }
+      val bySchema = tables.groupBy(_.schema)
+      Catalog(url, bySchema.map { case (s, ts) =>
+        Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
+      }.toSeq.sortBy(_.name))
+    } finally conn.close()
+  }
+
+  private def introspectTable(conn: Connection, schema: String,
+                              tname: String, rowCounts: Boolean): Table = {
+    val md = conn.getMetaData
+
+    val colsRs = md.getColumns(null, schema, tname, "%")
+    val fields = Iterator.continually(colsRs).takeWhile(_.next()).map { rs =>
+      val typeName = rs.getString("TYPE_NAME")
+      val size = rs.getInt("COLUMN_SIZE")
+      val digits = Option(rs.getObject("DECIMAL_DIGITS"))
+        .map(_ => rs.getInt("DECIMAL_DIGITS"))
+      val base = typeName.toLowerCase
+      // reconstruct the source ctype with its typemod, as the cast-rule
+      // guards expect (`decimal(12,2)`, `varchar(25)`, …)
+      val ctype =
+        if (base.contains("char") && size > 0) s"$base($size)"
+        else if ((base == "decimal" || base == "numeric") && size > 0)
+          s"$base($size,${digits.getOrElse(0)})"
+        else base
+      SourceColumn(
+        table = tname,
+        name = rs.getString("COLUMN_NAME"),
+        ctype = ctype,
+        default = Option(rs.getString("COLUMN_DEF")).map(_.trim),
+        nullable =
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+        autoIncrement = "YES".equalsIgnoreCase(
+          Option(rs.getString("IS_AUTOINCREMENT")).getOrElse("NO")))
+    }.toSeq
+
+    val pkRs = md.getPrimaryKeys(null, schema, tname)
+    val pkCols = Iterator.continually(pkRs).takeWhile(_.next())
+      .map(rs => (rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME"),
+        Option(rs.getString("PK_NAME"))))
+      .toSeq.sortBy(_._1)
+
+    val idxRs = md.getIndexInfo(null, schema, tname, false, true)
+    val idxRows = Iterator.continually(idxRs).takeWhile(_.next()).flatMap {
+      rs =>
+        Option(rs.getString("INDEX_NAME")).map { n =>
+          (n, !rs.getBoolean("NON_UNIQUE"),
+            rs.getShort("ORDINAL_POSITION"), rs.getString("COLUMN_NAME"))
+        }
+    }.toSeq
+    val pkIndexNames = pkCols.flatMap(_._3).toSet
+    val indexes = idxRows.groupBy(_._1).map { case (n, rows) =>
+      Index(name = n, table = tname,
+        primary = pkIndexNames.contains(n),
+        unique = rows.head._2,
+        columns = rows.sortBy(_._3).map(_._4))
+    }.toSeq.sortBy(_.name)
+    // a primary key with no visible index row still needs an Index entry
+    val withPk =
+      if (pkCols.nonEmpty && !indexes.exists(_.primary))
+        indexes :+ Index(
+          name = pkCols.head._3.getOrElse(s"${tname}_pkey"),
+          table = tname, primary = true, unique = true,
+          columns = pkCols.map(_._2))
+      else indexes
+
+    val fkRs = md.getImportedKeys(null, schema, tname)
+    val fkRows = Iterator.continually(fkRs).takeWhile(_.next()).map { rs =>
+      (Option(rs.getString("FK_NAME")).getOrElse(s"${tname}_fk"),
+        rs.getShort("KEY_SEQ"), rs.getString("FKCOLUMN_NAME"),
+        rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME"))
+    }.toSeq
+    val fkeys = fkRows.groupBy(_._1).map { case (n, rows) =>
+      val sorted = rows.sortBy(_._2)
+      FKey(name = n, table = tname,
+        columns = sorted.map(_._3),
+        foreignTable = sorted.head._4,
+        foreignColumns = sorted.map(_._5))
+    }.toSeq.sortBy(_.name)
+
+    val count =
+      if (rowCounts) {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT COUNT(*) FROM "$schema"."$tname"""")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      } else 0L
+
+    Table(name = tname, schema = schema, sourceName = tname,
+      rowCountEstimate = count, fields = fields, indexes = withPk,
+      fkeys = fkeys)
+  }
+
+  /** min/max of an integer partition key (mysql.lisp:35-43). */
+  def integerBounds(url: String, props: Properties, schema: String,
+                    table: String, column: String): (Long, Long) = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        s"""SELECT MIN("$column"), MAX("$column") FROM "$schema"."$table"""")
+      rs.next(); (rs.getLong(1), rs.getLong(2))
+    } finally conn.close()
+  }
+
+  /** Spark JDBC read, range-partitioned on `partitionColumn` when the
+    * table is big enough for it (>= 2 ranges of `rowsPerRange`, the
+    * reference's guard at mysql.lisp:47). */
+  def read(spark: SparkSession, url: String, props: Properties,
+           table: Table, partitionColumn: Option[String] = None,
+           rowsPerRange: Long = 10000L): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s""""${table.schema}"."${table.name}"""")
+    props.stringPropertyNames().forEach { k =>
+      reader.option(k, props.getProperty(k))
+    }
+    partitionColumn match {
+      case Some(pk) if table.rowCountEstimate >= 2 * rowsPerRange =>
+        val (lo, hi) = integerBounds(url, props, table.schema, table.name, pk)
+        val nParts = math.max(1,
+          math.ceil(table.rowCountEstimate.toDouble / rowsPerRange).toInt)
+        reader
+          .option("partitionColumn", pk)
+          .option("lowerBound", lo)
+          .option("upperBound", hi + 1)
+          .option("numPartitions", nParts)
+          .load()
+      case _ => reader.load()
+    }
+  }
+}
+
+/** The per-engine catalog SQL the reference issues, re-expressed. These are
+  * the queries to run where JDBC metadata is not enough (CHECK constraints,
+  * comments, exact auto_increment detection); they are exercised against
+  * live servers in integration environments, and kept here as the
+  * documented introspection contract per source kind.
+  */
+object IntrospectionSql {
+
+  /** MySQL information_schema (mysql-schema.lisp:54-212;
+    * src/sources/mysql/sql/list-all-columns.sql). */
+  val mysqlColumns: String =
+    """SELECT c.table_name, c.column_name, c.column_type, c.column_default,
+       c.is_nullable, c.extra, c.column_comment
+       FROM information_schema.columns c
+       JOIN information_schema.tables t USING (table_schema, table_name)
+       WHERE c.table_schema = ? AND t.table_type = 'BASE TABLE'
+       ORDER BY c.table_name, c.ordinal_position"""
+
+  val mysqlIndexes: String =
+    """SELECT table_name, index_name, non_unique,
+       GROUP_CONCAT(column_name ORDER BY seq_in_index) AS columns
+       FROM information_schema.statistics
+       WHERE table_schema = ?
+       GROUP BY table_name, index_name, non_unique"""
+
+  val mysqlFKeys: String =
+    """SELECT constraint_name, table_name, column_name,
+       referenced_table_name, referenced_column_name, ordinal_position
+       FROM information_schema.key_column_usage
+       WHERE table_schema = ? AND referenced_table_name IS NOT NULL
+       ORDER BY constraint_name, ordinal_position"""
+
+  val mysqlRowCount: String =
+    """SELECT table_name, table_rows FROM information_schema.tables
+       WHERE table_schema = ?"""
+
+  /** SQLite PRAGMA-based introspection (sqlite-schema.lisp). */
+  val sqliteTableList: String =
+    """SELECT name FROM sqlite_master
+       WHERE type = 'table' AND name NOT LIKE 'sqlite_%'"""
+  def sqliteColumns(table: String): String = s"PRAGMA table_info($table)"
+  def sqliteIndexes(table: String): String = s"PRAGMA index_list($table)"
+  def sqliteIndexInfo(index: String): String = s"PRAGMA index_info($index)"
+  def sqliteFKeys(table: String): String = s"PRAGMA foreign_key_list($table)"
+
+  /** MSSQL sys views (mssql-schema.lisp). */
+  val mssqlColumns: String =
+    """SELECT s.name AS schema_name, t.name AS table_name, c.name,
+       ty.name AS type_name, c.max_length, c.precision, c.scale,
+       c.is_nullable, c.is_identity, d.definition AS default_def
+       FROM sys.columns c
+       JOIN sys.tables t ON t.object_id = c.object_id
+       JOIN sys.schemas s ON s.schema_id = t.schema_id
+       JOIN sys.types ty ON ty.user_type_id = c.user_type_id
+       LEFT JOIN sys.default_constraints d
+         ON d.object_id = c.default_object_id
+       ORDER BY s.name, t.name, c.column_id"""
+
+  /** PostgreSQL pg_catalog (pgsql-schema.lisp:7-481). */
+  val pgsqlColumns: String =
+    """SELECT n.nspname, c.relname, a.attname,
+       format_type(a.atttypid, a.atttypmod) AS data_type,
+       pg_get_expr(d.adbin, d.adrelid) AS default_expr,
+       NOT a.attnotnull AS nullable
+       FROM pg_class c
+       JOIN pg_namespace n ON n.oid = c.relnamespace
+       JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+       LEFT JOIN pg_attrdef d
+         ON d.adrelid = c.oid AND d.adnum = a.attnum
+       WHERE c.relkind = 'r' AND NOT a.attisdropped
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ORDER BY n.nspname, c.relname, a.attnum"""
+
+  /** PG heap split by ctid block ranges
+    * (clojure/src/pgloader/source/pgsql.clj:206-208, 313-345). */
+  def pgsqlCtidPredicates(relpages: Long, pagesPerChunk: Long)
+      : Seq[String] = {
+    val n = math.max(1, (relpages + pagesPerChunk - 1) / pagesPerChunk)
+    (0L until n).map { i =>
+      val lo = i * pagesPerChunk
+      val hi = (i + 1) * pagesPerChunk
+      if (i == n - 1) s"ctid >= '($lo,0)'"
+      else s"ctid >= '($lo,0)' AND ctid < '($hi,0)'"
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.DriverManager
+import org.scalatest.funsuite.AnyFunSuite
+import graft.casting.DefaultCastRules
+import graft.catalog.Ddl
+import graft.sources.JdbcSource
+
+/** JDBC introspection against a real embedded database (Derby ships with
+  * Spark): tables, column types/typemods, auto-increment, PK/unique
+  * indexes, FKs, row counts — then the cast engine + DDL emission over
+  * the introspected catalog. */
+class JdbcSourceSpec extends AnyFunSuite {
+
+  private lazy val url: String = {
+    val dir = java.nio.file.Files.createTempDirectory("derbyspec").toFile
+    val u = s"jdbc:derby:${dir.getAbsolutePath}/db;create=true"
+    val conn = DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE REGIONS (
+           R_ID INT NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           R_NAME VARCHAR(25) NOT NULL)""")
+    st.executeUpdate(
+      """CREATE TABLE NATIONS (
+           N_ID INT NOT NULL PRIMARY KEY,
+           N_NAME VARCHAR(25),
+           N_BUDGET DECIMAL(12,2),
+           N_REGION INT REFERENCES REGIONS (R_ID))""")
+    st.executeUpdate("CREATE INDEX NATIONS_NAME_IDX ON NATIONS (N_NAME)")
+    st.executeUpdate(
+      "INSERT INTO REGIONS (R_NAME) VALUES ('east'), ('west')")
+    st.executeUpdate(
+      "INSERT INTO NATIONS VALUES (1, 'a', 10.50, 1), (2, 'b', 20.25, 2)")
+    st.close(); conn.close()
+    u
+  }
+
+  private lazy val cat = JdbcSource.introspect(url,
+    schemaPattern = Some("APP"))
+
+  test("tables, columns, typemods, auto-increment") {
+    val nations = cat.allTables.find(_.name == "NATIONS").get
+    assert(nations.fields.map(_.name) ==
+      Seq("N_ID", "N_NAME", "N_BUDGET", "N_REGION"))
+    assert(nations.fields.map(_.ctype) ==
+      Seq("integer", "varchar(25)", "decimal(12,2)", "integer"))
+    assert(!nations.fields.head.nullable)
+    assert(nations.rowCountEstimate == 2)
+    val regions = cat.allTables.find(_.name == "REGIONS").get
+    assert(regions.fields.head.autoIncrement)
+    assert(regions.rowCountEstimate == 2)
+  }
+
+  test("primary keys, unique + plain indexes, foreign keys") {
+    val nations = cat.allTables.find(_.name == "NATIONS").get
+    assert(nations.indexes.exists(i => i.primary && i.columns == Seq("N_ID")))
+    assert(nations.indexes.exists(i =>
+      !i.unique && i.columns == Seq("N_NAME")))
+    val fk = nations.fkeys.head
+    assert(fk.columns == Seq("N_REGION"))
+    assert(fk.foreignTable == "REGIONS")
+    assert(fk.foreignColumns == Seq("R_ID"))
+  }
+
+  test("cast engine over the introspected catalog: ansi defaults") {
+    val cast = cat.cast(Nil, DefaultCastRules.ansi)
+    val regions = cast.allTables.find(_.name == "REGIONS").get
+    assert(regions.columns.head.pgType == "serial") // identity → serial
+    val nations = cast.allTables.find(_.name == "NATIONS").get
+    assert(nations.columns.map(_.pgType) ==
+      Seq("integer", "text", "numeric(12,2)", "integer"))
+  }
+
+  test("DDL emission from the cast catalog") {
+    val cast = cat.cast(Nil, DefaultCastRules.ansi)
+    val nations = cast.allTables.find(_.name == "NATIONS").get
+    val ddl = Ddl.createTable(nations)
+    assert(ddl.contains("N_ID integer NOT NULL"))
+    assert(ddl.contains("N_BUDGET numeric(12,2)"))
+    val pk = nations.indexes.find(_.primary).get
+    assert(Ddl.attachPrimaryKey(pk).contains("ADD PRIMARY KEY USING INDEX"))
+    assert(Ddl.addFKey(nations.fkeys.head).contains("REFERENCES"))
+  }
+
+  test("partitioned-read bounds query") {
+    val (lo, hi) = JdbcSource.integerBounds(url, new java.util.Properties,
+      "APP", "NATIONS", "N_ID")
+    assert(lo == 1 && hi == 2)
+  }
+
+  test("pg ctid predicates split the heap into block ranges") {
+    val preds = graft.sources.IntrospectionSql
+      .pgsqlCtidPredicates(relpages = 25, pagesPerChunk = 10)
+    assert(preds == Seq(
+      "ctid >= '(0,0)' AND ctid < '(10,0)'",
+      "ctid >= '(10,0)' AND ctid < '(20,0)'",
+      "ctid >= '(20,0)'"))
+  }
+}
