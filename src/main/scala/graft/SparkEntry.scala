@@ -467,6 +467,44 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // §2.8 orchestration + §2.5 stats rollup: the Migrator runs 3 real
+    // tables through CopySink (supplier rows with s_suppkey%7=3 rejected
+    // by the endpoint), then the summary's per-table and total stats are
+    // the query result.
+    "migrate_stats" -> ((s, dir) => {
+      import graft.catalog.{Catalog => GCatalog, Schema => GSchema, Table => GTable}
+      val names = Seq("region", "nation", "supplier")
+      val cat = GCatalog("sf", Seq(GSchema("public",
+        tables = names.map(n => GTable(name = n, schema = "public",
+          rowCountEstimate = t(s, dir, n).count())))))
+      val migrator = new graft.orchestration.Migrator(
+        executeDdl = _ => (),
+        loadTable = tbl => {
+          val df = t(s, dir, tbl.name)
+          val keyed = df.select(df.columns.map(c => col(c).cast("string")): _*)
+          val reject = tbl.name == "supplier"
+          val sink = new graft.sinks.CopySink(endpointFactory = _ =>
+            new CopyEndpoint {
+              def send(rows: Seq[Array[Byte]]): Unit =
+                if (reject) rows.zipWithIndex.foreach { case (b, i) =>
+                  val k = new String(b, "UTF-8").split("\t")(0).toLong
+                  if (k % 7 == 3)
+                    throw CopyError(Some(i + 1), s"rejected $k")
+                }
+            })
+          sink.write(keyed.repartition(4))
+        },
+        workers = 3)
+      val summary = migrator.migrate(cat, createTables = false,
+        withIndexes = false, withFKeys = false, resetSequences = false)
+      val rows = summary.tables.map(st =>
+        (st.table, st.rows, st.rejected)) :+
+        ("total", summary.totalRows, summary.totalRejected)
+      import s.implicits._
+      rows.toDF("table_name", "rows_sent", "rows_rejected")
+        .orderBy(col("table_name"))
+    }),
+
     // §2.1 database source end-to-end against a REAL embedded database
     // (Derby): load through the batched-INSERT sink endpoint, introspect
     // the catalog over JDBC metadata, cast it, read back with a
@@ -992,6 +1030,21 @@ object SparkEntry {
     "jdbc_migrate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+
+    "migrate_stats" ->
+      """SELECT table_name, rows_sent, rows_rejected FROM (
+           SELECT 'region' AS table_name,
+                  (SELECT count(*) FROM region) AS rows_sent,
+                  CAST(0 AS BIGINT) AS rows_rejected
+           UNION ALL SELECT 'nation', (SELECT count(*) FROM nation), 0
+           UNION ALL SELECT 'supplier',
+                  (SELECT count(*) FROM supplier WHERE s_suppkey % 7 <> 3),
+                  (SELECT count(*) FROM supplier WHERE s_suppkey % 7 = 3)
+           UNION ALL SELECT 'total',
+                  (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+                    + (SELECT count(*) FROM supplier WHERE s_suppkey % 7 <> 3),
+                  (SELECT count(*) FROM supplier WHERE s_suppkey % 7 = 3))
+         ORDER BY table_name""",
 
     "dsl_csv_districts" ->
       """SELECT n_nationkey, n_name,

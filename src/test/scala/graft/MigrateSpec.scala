@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import graft.casting.{DefaultCastRules, SourceColumn}
+import graft.catalog._
+import graft.dsl.Ast._
+import graft.orchestration.Migrator
+
+/** Orchestrator phase ordering and catalog-rewrite semantics
+  * (migrate-database.lisp:326-574): DDL before any load; a finished
+  * table's indexes overlap remaining copies; PK/FK/sequences strictly
+  * after; stats roll up. */
+class MigrateSpec extends AnyFunSuite {
+
+  private def mkCatalog: Catalog = {
+    def tbl(name: String, rows: Long, withFk: Boolean = false) = Table(
+      name = name, schema = "public", rowCountEstimate = rows,
+      fields = Seq(
+        SourceColumn(name, "id", "int(10)", autoIncrement = true,
+          nullable = false),
+        SourceColumn(name, "val", "varchar(20)")),
+      indexes = Seq(Index(s"${name}_pkey", name, primary = true,
+        unique = true, columns = Seq("id"))),
+      fkeys = if (withFk)
+        Seq(FKey(s"${name}_fk", name, Seq("val"), "big", Seq("id")))
+      else Nil)
+    Catalog("test", Seq(Schema("public", tables = Seq(
+      tbl("small", 10), tbl("big", 1000), tbl("mid", 100, withFk = true),
+      tbl("tempthing", 5)))))
+  }
+
+  test("phases order correctly and index builds overlap copies") {
+    val events = new ConcurrentLinkedQueue[String]
+    val loading = new ConcurrentLinkedQueue[String]
+    val migrator = new Migrator(
+      executeDdl = sql => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = t => {
+        events.add(s"LOAD:${t.name}")
+        loading.add(t.name)
+        Thread.sleep(if (t.name == "big") 150 else 10)
+        loading.remove(t.name)
+        (t.rowCountEstimate, 0L)
+      },
+      workers = 4, maxParallelIndexes = 2)
+    val summary = migrator.migrate(mkCatalog,
+      defaults = DefaultCastRules.mysql,
+      excluding = Seq(TableFilter(Seq(NamePattern("^temp", isRegex = true)),
+        None)))
+    val ev = events.asScala.toSeq
+
+    // filtered table never appears
+    assert(!ev.exists(_.contains("tempthing")))
+    // every CREATE TABLE precedes every LOAD
+    val lastCreate = ev.lastIndexWhere(_.startsWith("CREATE TABLE"))
+    val firstLoad = ev.indexWhere(_.startsWith("LOAD:"))
+    assert(lastCreate >= 0 && firstLoad > lastCreate)
+    // per table: its index build comes after its own load
+    for (t <- Seq("small", "big", "mid")) {
+      val li = ev.indexOf(s"LOAD:$t")
+      val ii = ev.indexWhere(e => e.startsWith("CREATE UNIQUE INDEX") &&
+        e.contains(s"${t}_pkey"))
+      assert(li >= 0 && ii > li, s"index for $t not after its load: $ev")
+    }
+    // small's index build happened BEFORE big's (overlap with copies):
+    // big's copy sleeps 150ms, small's 10ms
+    val smallIdx = ev.indexWhere(e => e.startsWith("CREATE UNIQUE INDEX") &&
+      e.contains("small_pkey"))
+    val bigIdx = ev.indexWhere(e => e.startsWith("CREATE UNIQUE INDEX") &&
+      e.contains("big_pkey"))
+    assert(smallIdx < bigIdx)
+    // PK attach and FK strictly after all loads and index builds
+    val firstAlter = ev.indexWhere(_.startsWith("ALTER TABLE"))
+    val lastIdx = ev.lastIndexWhere(_.startsWith("CREATE UNIQUE INDEX"))
+    val lastLoad = ev.lastIndexWhere(_.startsWith("LOAD:"))
+    assert(firstAlter > lastIdx && firstAlter > lastLoad)
+    // serial column → sequence reset in post phase
+    assert(ev.exists(_.contains("setval")))
+
+    // stats: ordered biggest-first, totals roll up
+    assert(summary.tables.map(_.table) == Seq("big", "mid", "small"))
+    assert(summary.totalRows == 1110 && summary.totalRejected == 0)
+    assert(summary.render.contains("public.big"))
+    assert(summary.render.contains("Total"))
+  }
+
+  test("including/excluding filters with schema scope") {
+    val cat = mkCatalog
+    val inc = CatalogRewrite.filter(cat,
+      including = Seq(TableFilter(Seq(NamePattern("^(big|mid)$",
+        isRegex = true)), None)),
+      excluding = Nil)
+    assert(inc.allTables.map(_.name).sorted == Seq("big", "mid"))
+    val scoped = CatalogRewrite.filter(cat,
+      including = Nil,
+      excluding = Seq(TableFilter(Seq(NamePattern("big", isRegex = false)),
+        Some("other")))) // wrong schema → no effect
+    assert(scoped.allTables.map(_.name).contains("big"))
+  }
+
+  test("alter table rename and set schema rewrite the catalog") {
+    val cat = mkCatalog
+    val renamed = CatalogRewrite.alterTable(cat, Seq(
+      AlterTableRule(Seq(NamePattern("^big$", isRegex = true)),
+        RenameTo("orders"))))
+    assert(renamed.allTables.exists(_.name == "orders"))
+    assert(!renamed.allTables.exists(_.name == "big"))
+    val moved = CatalogRewrite.alterTable(cat, Seq(
+      AlterTableRule(Seq(NamePattern("mid", isRegex = false)),
+        SetSchema("archive"))))
+    val archived = moved.schemas.find(_.name == "archive").get
+    assert(archived.tables.map(_.name) == Seq("mid"))
+    assert(archived.tables.head.schema == "archive")
+  }
+
+  test("identifier collision check fails fast") {
+    val longA = "public." + ("x" * 62) + "a"
+    val longB = ("x" * 62) + "b"
+    val cat = Catalog("c", Seq(Schema("public", tables = Seq(
+      Table(name = ("x" * 62) + "ay", schema = "public"),
+      Table(name = ("x" * 62) + "az", schema = "public")))))
+    val m = new Migrator(_ => (), _ => (0L, 0L))
+    val e = intercept[IllegalArgumentException](m.migrate(cat))
+    assert(e.getMessage.contains("collision"))
+  }
+}
