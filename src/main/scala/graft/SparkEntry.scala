@@ -467,6 +467,42 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // §2.1 DBF scan: dBase III records, deleted-row skip, db3 transform
+    // family; file written by the fixture writer, read distributed.
+    "dbf_roundtrip" -> ((s, dir) => {
+      import graft.sources.DbfSource
+      import graft.sources.DbfSource.DbfField
+      val base = java.time.LocalDate.of(1992, 1, 1)
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).collect().toSeq
+        .sortBy(_.getAs[Number](0).longValue)
+        .map { r =>
+          val k = r.getAs[Number](0).longValue
+          Seq(k.toString, r.getString(1), s"$k.25",
+            base.plusDays(k).format(
+              java.time.format.DateTimeFormatter.BASIC_ISO_DATE),
+            if (k % 2 == 0) "T" else "F")
+        }
+      val deleted = rows.map(_.head.toLong % 7 == 3)
+      val fields = Seq(DbfField("n_key", 'N', 6, 0),
+        DbfField("n_name", 'C', 25, 0), DbfField("n_budget", 'N', 12, 2),
+        DbfField("n_date", 'D', 8, 0), DbfField("n_flag", 'L', 1, 0))
+      val dirF = new java.io.File(scratch("dbf_roundtrip"))
+      dirF.mkdirs()
+      DbfSource.write(new java.io.File(dirF, "nation.dbf"), fields, rows,
+        deleted)
+      val df = DbfSource.read(s, dirF.getAbsolutePath + "/nation.dbf")
+      df.select(
+          DbfSource.defaultTransform(fields(0))(col("n_key"))
+            .cast("long").as("n_nationkey"),
+          DbfSource.defaultTransform(fields(1))(col("n_name")).as("n_name"),
+          DbfSource.defaultTransform(fields(2))(col("n_budget"))
+            .as("n_budget"),
+          DbfSource.defaultTransform(fields(3))(col("n_date")).as("n_date"),
+          DbfSource.defaultTransform(fields(4))(col("n_flag")).as("n_flag"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // §2.8 orchestration + §2.5 stats rollup: the Migrator runs 3 real
     // tables through CopySink (supplier rows with s_suppkey%7=3 rejected
     // by the endpoint), then the summary's per-table and total stats are
@@ -1030,6 +1066,14 @@ object SparkEntry {
     "jdbc_migrate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+
+    "dbf_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+         CAST(n_nationkey AS VARCHAR) || '.25' AS n_budget,
+         strftime(DATE '1992-01-01' + INTERVAL (n_nationkey) DAY, '%Y-%m-%d') AS n_date,
+         CASE WHEN n_nationkey % 2 = 0 THEN 't' ELSE 'f' END AS n_flag
+         FROM nation WHERE n_nationkey % 7 <> 3
+         ORDER BY n_nationkey""",
 
     "migrate_stats" ->
       """SELECT table_name, rows_sent, rows_rejected FROM (

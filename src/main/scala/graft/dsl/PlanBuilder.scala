@@ -46,6 +46,8 @@ object PlanBuilder {
       case "csv" => readCsv(spark, cmd, path)
       case "fixed" => readFixed(spark, cmd, path)
       case "copy" => readCopy(spark, cmd, path)
+      case "dbf" => graft.sources.DbfSource.read(spark, path,
+        cmd.encoding.getOrElse("ISO-8859-1"))
       case t => throw new UnsupportedOperationException(
         s"load type '$t' is not a file dataflow")
     }

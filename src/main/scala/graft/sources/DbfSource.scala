@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.charset.Charset
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.functions.Transforms
+
+/** dBase III (DBF) source — binary header + fixed-width text records with
+  * a per-record deletion flag (reference src/sources/db3/db3.lisp:7-30;
+  * clojure source/dbf.clj). Implemented from the public dBase III file
+  * layout: 32-byte header (version, LE record count/header size/record
+  * size), 32-byte field descriptors terminated by 0x0D, records prefixed
+  * by 0x20 (live) / 0x2A (deleted), 0x1A EOF.
+  *
+  * Scale shape: each FILE's bytes are one `binaryFile` row; record
+  * slicing happens on executors, so a directory of DBF files reads in
+  * parallel (the reference is strictly sequential). A single file is
+  * bounded by the 2 GB byte-array limit — acceptable for a format whose
+  * own header caps record count at 2^32 and which in practice ships as
+  * many small files.
+  */
+object DbfSource {
+
+  final case class DbfField(name: String, ftype: Char, length: Int,
+                            decimals: Int)
+  final case class DbfHeader(recordCount: Int, headerSize: Int,
+                             recordSize: Int, fields: Seq[DbfField])
+
+  private def u8(b: Byte): Int = b & 0xFF
+  private def u16le(bs: Array[Byte], off: Int): Int =
+    u8(bs(off)) | (u8(bs(off + 1)) << 8)
+  private def u32le(bs: Array[Byte], off: Int): Long =
+    u16le(bs, off).toLong | (u16le(bs, off + 2).toLong << 16)
+
+  def parseHeader(bytes: Array[Byte]): DbfHeader = {
+    require(bytes.length >= 33, "truncated DBF header")
+    val recordCount = u32le(bytes, 4).toInt
+    val headerSize = u16le(bytes, 8)
+    val recordSize = u16le(bytes, 10)
+    val fields = Seq.newBuilder[DbfField]
+    var off = 32
+    while (off + 32 <= bytes.length && bytes(off) != 0x0D) {
+      val nameEnd = {
+        var i = off
+        while (i < off + 11 && bytes(i) != 0) i += 1
+        i
+      }
+      fields += DbfField(
+        new String(bytes, off, nameEnd - off, "US-ASCII").toLowerCase,
+        bytes(off + 11).toChar,
+        u8(bytes(off + 16)),
+        u8(bytes(off + 17)))
+      off += 32
+    }
+    DbfHeader(recordCount, headerSize, recordSize, fields.result())
+  }
+
+  /** Live (non-deleted) records as string arrays; deleted-row skip per
+    * db3.lisp:20-24. */
+  def parseRecords(bytes: Array[Byte], header: DbfHeader,
+                   charset: Charset): Iterator[Array[String]] = {
+    val n = header.fields.length
+    new Iterator[Array[String]] {
+      private var off = header.headerSize
+      private var nextRec: Array[String] = _
+      advance()
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null &&
+               off + header.recordSize <= bytes.length &&
+               bytes(off) != 0x1A) {
+          val deleted = bytes(off) == '*'
+          if (!deleted) {
+            val vals = new Array[String](n)
+            var fo = off + 1
+            var i = 0
+            while (i < n) {
+              val f = header.fields(i)
+              vals(i) = new String(bytes, fo, f.length, charset)
+              fo += f.length
+              i += 1
+            }
+            nextRec = vals
+          }
+          off += header.recordSize
+        }
+      }
+      def hasNext: Boolean = nextRec != null
+      def next(): Array[String] = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** Distributed read: every matched file becomes one binaryFile row;
+    * records are sliced on executors. All columns StringType (fidelity
+    * mode — type conversion happens via the db3 transform family). */
+  def read(spark: SparkSession, path: String,
+           encoding: String = "ISO-8859-1"): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val first = files.limit(1).collect()
+    require(first.nonEmpty, s"no DBF files at $path")
+    val header = parseHeader(first(0).getAs[Array[Byte]]("content"))
+    val schema = StructType(header.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val enc = encoding
+    val rows = files.rdd.flatMap { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      val h = parseHeader(bytes) // every file reparses its own header
+      parseRecords(bytes, h, Charset.forName(enc))
+        .map(vs => Row.fromSeq(vs.toSeq))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Per-type default transform, as the reference's DBF cast rules attach
+    * (db3 family, transforms.lisp:588-618): C → right-trim, N → numeric
+    * or integer, D → date, L → boolean. */
+  def defaultTransform(f: DbfField): Column => Column = f.ftype match {
+    case 'C' => Transforms.db3TrimString
+    case 'N' if f.decimals > 0 => Transforms.db3NumericToPgsqlNumeric
+    case 'N' => Transforms.db3NumericToPgsqlInteger
+    case 'F' => Transforms.db3NumericToPgsqlNumeric
+    case 'D' => Transforms.db3DateToPgsqlDate
+    case 'L' => Transforms.logicalToBoolean
+    case _ => identity
+  }
+
+  /** dbf-type → PG type (dbf.clj:22-39). */
+  def pgType(f: DbfField): String = f.ftype match {
+    case 'C' | 'M' => "text"
+    case 'N' if f.decimals > 0 => s"numeric(${f.length},${f.decimals})"
+    case 'N' => "bigint"
+    case 'F' => "double precision"
+    case 'D' => "date"
+    case 'L' => "boolean"
+    case _ => "text"
+  }
+
+  /** Write rows as a dBase III file (fixture/round-trip utility; null →
+    * all-spaces field, `deleted` marks rows with the 0x2A flag). */
+  def write(file: java.io.File, fields: Seq[DbfField],
+            rows: Seq[Seq[String]], deleted: Seq[Boolean] = Nil,
+            encoding: String = "ISO-8859-1"): Unit = {
+    val cs = Charset.forName(encoding)
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_.length).sum
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+    try {
+      val head = new Array[Byte](32)
+      head(0) = 0x03 // dBase III, no memo
+      head(1) = 24; head(2) = 1; head(3) = 1 // file date YYMMDD
+      val n = rows.length
+      head(4) = (n & 0xFF).toByte
+      head(5) = ((n >> 8) & 0xFF).toByte
+      head(6) = ((n >> 16) & 0xFF).toByte
+      head(7) = ((n >> 24) & 0xFF).toByte
+      head(8) = (headerSize & 0xFF).toByte
+      head(9) = ((headerSize >> 8) & 0xFF).toByte
+      head(10) = (recordSize & 0xFF).toByte
+      head(11) = ((recordSize >> 8) & 0xFF).toByte
+      out.write(head)
+      fields.foreach { f =>
+        val fd = new Array[Byte](32)
+        val nameBytes = f.name.toUpperCase.getBytes("US-ASCII")
+        System.arraycopy(nameBytes, 0, fd, 0,
+          math.min(10, nameBytes.length))
+        fd(11) = f.ftype.toByte
+        fd(16) = f.length.toByte
+        fd(17) = f.decimals.toByte
+        out.write(fd)
+      }
+      out.write(0x0D)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val del = deleted.lift(i).getOrElse(false)
+        out.write(if (del) '*' else ' ')
+        fields.zip(r).foreach { case (f, v0) =>
+          val v = Option(v0).getOrElse("")
+          val b = v.getBytes(cs)
+          val cell = new Array[Byte](f.length)
+          java.util.Arrays.fill(cell, ' '.toByte)
+          if (f.ftype == 'N' || f.ftype == 'F') // right-justified
+            System.arraycopy(b, 0, cell,
+              math.max(0, f.length - b.length), math.min(b.length, f.length))
+          else
+            System.arraycopy(b, 0, cell, 0, math.min(b.length, f.length))
+          out.write(cell)
+        }
+      }
+      out.write(0x1A)
+    } finally out.close()
+  }
+}
