@@ -546,10 +546,13 @@ object SparkEntry {
     // the catalog over JDBC metadata, cast it, read back with a
     // range-partitioned Spark JDBC scan (mysql.lisp:10-62 shape).
     "jdbc_migrate" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(
-        col("o_orderkey").cast("int").as("k"),
-        col("o_orderstatus").as("st"),
-        col("o_totalprice").as("p"))
+      // every 5th order: the fixture DB stays small while the partitioned
+      // read still splits into multiple JDBC ranges
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+        .select(
+          col("o_orderkey").cast("int").as("k"),
+          col("o_orderstatus").as("st"),
+          col("o_totalprice").as("p"))
       val dbPath = new java.io.File(scratch("jdbc_derby")).getAbsolutePath
       val url = s"jdbc:derby:$dbPath;create=true"
       val props = new java.util.Properties
@@ -574,7 +577,7 @@ object SparkEntry {
       // introspected + cast catalog drives the read: 15k rows over 4k-row
       // ranges → 4 JDBC partitions
       val df = graft.sources.JdbcSource.read(s, url, props, tbl,
-        partitionColumn = Some("O_ORDERKEY"), rowsPerRange = 4000)
+        partitionColumn = Some("O_ORDERKEY"), rowsPerRange = 1000)
       df.select(col("O_ORDERKEY").cast("long").as("o_orderkey"),
           col("O_ORDERSTATUS").as("o_orderstatus"),
           col("O_TOTALPRICE").as("o_totalprice"))
@@ -671,13 +674,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("total_value"))
-      val qn = "events_stream_agg_" + System.nanoTime()
+      // foreachBatch → CopySink (SURVEY §7.10): every micro-batch writes
+      // its windowed snapshot through the distributed COPY sink — nothing
+      // accumulates on the driver (the memory sink is test scaffolding
+      // only). Complete mode: each batch replaces the prior snapshot dir.
+      val outRoot = new java.io.File(scratch("events_stream_sink"))
+        .getAbsolutePath
       val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qn).start()
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val flat = batch.select(
+            col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("total_value"))
+          val dirB = new java.io.File(outRoot, s"batch-$batchId")
+          dirB.mkdirs()
+          val abs = dirB.getAbsolutePath
+          val sink = new graft.sinks.CopySink(endpointFactory = pid =>
+            new CopyEndpoint {
+              private val out = new java.io.FileOutputStream(
+                new java.io.File(abs, f"part-$pid%05d.dat"), true)
+              def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
+              override def close(): Unit = out.close()
+            })
+          sink.write(flat)
+          ()
+        }
+        .start()
       q.processAllAvailable(); q.stop()
-      s.table(qn)
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("n"), col("total_value"))
+      val last = new java.io.File(outRoot).listFiles()
+        .filter(_.getName.startsWith("batch-"))
+        .maxBy(_.getName.stripPrefix("batch-").toLong).getAbsolutePath
+      CopyText.read(s, last,
+          Seq("w_start", "event_type", "n", "total_value"))
+        .select(col("w_start").cast("timestamp").as("w_start"),
+          col("event_type"), col("n").cast("long").as("n"),
+          col("total_value").cast("double").as("total_value"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -699,8 +729,11 @@ object SparkEntry {
       val inflated = d.select(col("doc_id"), col("text")).unionAll(
         d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      // 64 perms / 16 bands of 4: detection prob at jaccard 0.9 is
+      // 1-(1-0.9^4)^16 ≈ 1-5e-8, and every candidate is verified by
+      // exact jaccard — half the signature compute of 128/32 for free
       Dedup.minhashLsh(inflated, "doc_id", "text",
-          numPerms = 128, bands = 32, k = 3, threshold = 0.9)
+          numPerms = 64, bands = 16, k = 3, threshold = 0.9)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1065,7 +1098,7 @@ object SparkEntry {
 
     "jdbc_migrate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-         FROM orders ORDER BY o_orderkey""",
+         FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""",
 
     "dbf_roundtrip" ->
       """SELECT n_nationkey, n_name,

@@ -108,11 +108,10 @@ final class CopySink(
     val rejected = spark.sparkContext.longAccumulator("rowsRejected")
     val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
     val rDir = rejectDir; val factory = endpointFactory
-    val n = df.columns.length
-    // type-dispatched PG literal renderers, resolved once from the schema
-    // (a BinaryType column must render \x… hex, not Array.toString)
-    val fmts = PgLiteral.formatters(df.schema)
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    // rows are rendered to COPY TEXT lines by a codegen'd projection
+    // (typed PG literals + escaping); the sink tasks only batch bytes
+    val lines = df.select(CopyText.lineColumn(df).as("value"))
+    lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val endpoint = factory(pid)
       val rejectWriter = rDir.map { d =>
@@ -133,9 +132,7 @@ final class CopySink(
           batch = new Batch(mr, mb, seed = pid)
         }
         it.foreach { row =>
-          val vals = Array.tabulate(n)(i =>
-            if (row.isNullAt(i)) null else fmts(i)(row.get(i)))
-          batch.add((CopyText.formatRow(vals) + "\n").getBytes("UTF-8"))
+          batch.add((row.getString(0) + "\n").getBytes("UTF-8"))
           if (batch.isFull) flush()
         }
         flush()

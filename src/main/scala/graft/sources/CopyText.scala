@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** PostgreSQL COPY TEXT format — both a first-class source (`LOAD COPY`,
   * src/parsers/command-copy.lisp:1-173) and the sink wire format
@@ -85,32 +85,85 @@ object CopyText {
     out.toArray
   }
 
-  /** Distributed read of a COPY TEXT file → all-string DataFrame. The parse
-    * runs per-partition on executors; the text source splits large files by
-    * line, so this scales with input size. */
-  def read(spark: SparkSession, path: String, fieldNames: Seq[String],
-           delimiter: Char = '\t', nullAs: String = "\\N"): DataFrame = {
-    val schema = StructType(
-      fieldNames.map(n => StructField(n, StringType, nullable = true)))
-    val n = fieldNames.size
-    val rows = spark.read.textFile(path).rdd.map { line =>
-      val vs = parseLine(line, delimiter, nullAs)
-      Row.fromSeq((0 until n).map(i => if (i < vs.length) vs(i) else null))
-    }
-    spark.createDataFrame(rows, schema)
+  // ---- codegen'd Column formulations of the same format. The scalar
+  // escape/parse above stay as the spec (property-tested) and for the
+  // sink's per-row needs; the Column versions keep bulk reads/writes
+  // inside whole-stage codegen — no RDD row boxing on the hot path.
+
+  private def rep(c: Column, from: String, to: String): Column =
+    call_function("replace", c, lit(from), lit(to))
+
+  /** Column-level [[escape]]: backslash first, then the control chars. */
+  def escapeColumn(c: Column): Column = {
+    var x = rep(c, "\\", "\\\\")
+    x = rep(x, "\b", "\\b")
+    x = rep(x, "\f", "\\f")
+    x = rep(x, "\n", "\\n")
+    x = rep(x, "\r", "\\r")
+    x = rep(x, "\t", "\\t")
+    rep(x, "\u000B", "\\v")
   }
 
-  /** Distributed write: every task writes its partition as COPY TEXT part
-    * files under `dir` (the reject-file / golden-file format). Values are
-    * rendered as PG text literals via the type-dispatched formatters
-    * (bytea `\x…`, boolean t/f, timestamps without zone suffix). */
-  def write(df: DataFrame, dir: String, delimiter: Char = '\t'): Unit = {
-    val n = df.columns.length
-    val fmts = graft.sinks.PgLiteral.formatters(df.schema)
-    val line = df.rdd.map { row =>
-      formatRow(Array.tabulate(n)(i =>
-        if (row.isNullAt(i)) null else fmts(i)(row.get(i))), delimiter)
-    }
-    line.saveAsTextFile(dir)
+  /** Column-level [[unescape]]. `\\` is rewritten through a NUL sentinel
+    * first — PG text values can never contain NUL, so it is free. */
+  def unescapeColumn(c: Column): Column = {
+    var x = rep(c, "\\\\", "\u0000")
+    x = rep(x, "\\b", "\b")
+    x = rep(x, "\\f", "\f")
+    x = rep(x, "\\n", "\n")
+    x = rep(x, "\\r", "\r")
+    x = rep(x, "\\t", "\t")
+    x = rep(x, "\\v", "\u000B")
+    rep(x, "\u0000", "\\")
   }
+
+  /** PG text literal of a typed column (Column analog of
+    * [[graft.sinks.PgLiteral]]): bytea `\x…`, boolean t/f, timestamps
+    * with micros only when nonzero, everything else via cast. */
+  def pgLiteralColumn(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => concat(lit("\\x"), lower(hex(c)))
+      case BooleanType => when(c, lit("t")).otherwise(lit("f"))
+      case TimestampType | TimestampNTZType =>
+        val micros = pmod(unix_micros(c.cast(TimestampType)), lit(1000000L))
+        concat(date_format(c, "yyyy-MM-dd HH:mm:ss"),
+          when(micros === 0, lit(""))
+            .otherwise(concat(lit("."),
+              lpad(micros.cast("string"), 6, "0"))))
+      case _ => c.cast("string")
+    }
+  }
+
+  /** One COPY TEXT line per row, fully inside codegen. */
+  def lineColumn(df: DataFrame, delimiter: Char = '\t',
+                 nullAs: String = "\\N"): Column = {
+    val cols = df.schema.fields.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      when(c.isNull, lit(nullAs))
+        .otherwise(escapeColumn(pgLiteralColumn(c, f.dataType)))
+    }
+    concat_ws(delimiter.toString, cols.toIndexedSeq: _*)
+  }
+
+  /** Distributed read of a COPY TEXT file → all-string DataFrame; the
+    * split/unescape runs as Column expressions (codegen), and the text
+    * source splits large files by line, so this scales with input size. */
+  def read(spark: SparkSession, path: String, fieldNames: Seq[String],
+           delimiter: Char = '\t', nullAs: String = "\\N"): DataFrame = {
+    val parts = split(col("value"),
+      java.util.regex.Pattern.quote(delimiter.toString), -1)
+    val fields = fieldNames.zipWithIndex.map { case (n, i) =>
+      val raw = parts.getItem(i)
+      when(raw.isNull || raw === nullAs, lit(null: String))
+        .otherwise(unescapeColumn(raw)).as(n)
+    }
+    spark.read.textFile(path).toDF("value").select(fields: _*)
+  }
+
+  /** Distributed write: one codegen'd projection to the line column, then
+    * the text writer (the reject-file / golden-file format). */
+  def write(df: DataFrame, dir: String, delimiter: Char = '\t'): Unit =
+    df.select(lineColumn(df, delimiter).as("value")).write.text(dir)
 }
