@@ -141,6 +141,28 @@ object Ddl {
     s"CREATE TABLE $ine${t.schema}.${t.name}\n(\n${cols.mkString(",\n")}\n);"
   }
 
+  /** MySQL ENUM/SET columns become dynamic PG ENUM types named
+    * `<table>_<column>` (mysql-cast-rules.lisp:260-301 enum-or-set-name;
+    * ddl/common.clj:557-574). Returns the labels parsed from the source
+    * ctype, e.g. `enum('a','b')` → a, b. */
+  def enumLabels(ctype: String): Seq[String] =
+    "'([^']*)'".r.findAllMatchIn(ctype).map(_.group(1)).toSeq
+
+  def createEnum(typeName: String, labels: Seq[String]): String =
+    s"CREATE TYPE $typeName AS ENUM (" +
+      labels.map(l => s"'${l.replace("'", "''")}'").mkString(", ") + ");"
+
+  def addCheck(t: Table, name: String, expr: String): String =
+    s"ALTER TABLE ${t.schema}.${t.name} ADD CONSTRAINT $name CHECK ($expr);"
+
+  def commentOnTable(t: Table, comment: String): String =
+    s"COMMENT ON TABLE ${t.schema}.${t.name} IS " +
+      s"'${comment.replace("'", "''")}';"
+
+  def commentOnColumn(t: Table, c: ColumnDef, comment: String): String =
+    s"COMMENT ON COLUMN ${t.schema}.${t.name}.${c.name} IS " +
+      s"'${comment.replace("'", "''")}';"
+
   def createIndex(i: Index, schema: String = "public"): String = {
     val uq = if (i.unique || i.primary) "UNIQUE " else ""
     val where = i.filter.map(f => s" WHERE $f").getOrElse("")

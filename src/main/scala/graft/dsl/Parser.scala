@@ -17,6 +17,16 @@ object Parser {
 
   def parse(text: String): LoadCommand = new Parser(text).parseCommand()
 
+  /** Parse one command and return any trailing text — the `FROM inline`
+    * payload embedded after the command (test/reformat.load pattern). */
+  def parseWithInline(text: String): (LoadCommand, Option[String]) = {
+    val p = new Parser(text)
+    val cmd = p.parseCommand()
+    val rest = text.substring(p.position)
+      .dropWhile(c => c == '\n' || c == '\r')
+    (cmd, if (rest.trim.isEmpty) None else Some(rest))
+  }
+
   /** All commands in a file (archive files may hold several). */
   def parseAll(text: String): Seq[LoadCommand] = {
     val p = new Parser(text)
@@ -29,6 +39,8 @@ object Parser {
 
 private final class Parser(in: String) {
   private var pos = 0
+
+  def position: Int = pos
 
   // ------------------------------------------------------------- scanner
 

@@ -31,17 +31,42 @@ object PlanBuilder {
       if (files.isEmpty)
         throw new IllegalArgumentException(s"no files match ~/$pattern/ in $d")
       files.mkString(",")
+    case Http(u) if u.startsWith("file://") => u.stripPrefix("file://")
     case Http(u) =>
-      throw new UnsupportedOperationException(s"http source not wired: $u")
+      throw new UnsupportedOperationException(
+        s"http download not available in this environment: $u")
     case other =>
       throw new UnsupportedOperationException(s"source not wired: $other")
   }
 
-  /** Build the dataflow for a file-based load command. */
+  /** Expand an archive and run its ordered sub-commands against the
+    * extracted files (archive.lisp; core.clj:328-399).
+    * @return (targetTable, dataflow) per sub-command, in order */
+  def buildArchive(spark: SparkSession, cmd: LoadCommand,
+                   baseDir: String = "."): Seq[(Option[String], DataFrame)] = {
+    require(cmd.loadType == "archive", "not an archive command")
+    val path = resolvePath(spark, cmd.source.get, baseDir)
+    val dir = graft.sources.Archive.expand(path).getAbsolutePath
+    cmd.subCommands.map(sc => (sc.targetTable, build(spark, sc, dir)))
+  }
+
+  /** Build the dataflow for a file-based load command. `inlineData` is
+    * the payload following the command text for `FROM inline`
+    * (Parser.parseWithInline). */
   def build(spark: SparkSession, cmd: LoadCommand,
-            baseDir: String = "."): DataFrame = {
-    val path = resolvePath(spark, cmd.source.getOrElse(
-      throw new IllegalArgumentException("command has no source")), baseDir)
+            baseDir: String = ".",
+            inlineData: Option[String] = None): DataFrame = {
+    val src = cmd.source.getOrElse(
+      throw new IllegalArgumentException("command has no source"))
+    val path = src match {
+      case InlineData =>
+        val data = inlineData.getOrElse(throw new IllegalArgumentException(
+          "FROM inline but no trailing data — use Parser.parseWithInline"))
+        val f = java.nio.file.Files.createTempFile("graft-inline", ".dat")
+        java.nio.file.Files.writeString(f, data)
+        f.toAbsolutePath.toString
+      case other => resolvePath(spark, other, baseDir)
+    }
     val raw = cmd.loadType match {
       case "csv" => readCsv(spark, cmd, path)
       case "fixed" => readFixed(spark, cmd, path)

@@ -62,8 +62,16 @@ final class Migrator(
               createTables: Boolean = true,
               withIndexes: Boolean = true,
               withFKeys: Boolean = true,
-              resetSequences: Boolean = true): Summary = {
+              resetSequences: Boolean = true,
+              beforeLoad: Seq[String] = Nil,
+              afterLoad: Seq[String] = Nil,
+              setParams: Seq[(String, String)] = Nil): Summary = {
     val t0 = System.nanoTime()
+
+    // session parameters + BEFORE LOAD DO, first of all
+    // (core.clj:518-545, 1061-1075)
+    setParams.foreach { case (k, v) => executeDdl(s"SET $k = '$v';") }
+    beforeLoad.foreach(executeDdl)
 
     // ---- 1. process-catalog (migrate-database.lisp:253-302)
     var cat = CatalogRewrite.filter(cat0, including, excluding)
@@ -80,8 +88,27 @@ final class Migrator(
     def preDdl(sql: String): Unit = { executeDdl(sql); pre += sql }
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
-    if (createTables)
+    // dynamic ENUM types for enum/set source columns, and rewrite the
+    // column's placeholder pg type to the registered type name
+    // (mysql-cast-rules.lisp:260-301; ddl/common.clj:557-574)
+    if (createTables) {
+      cat = cat.copy(schemas = cat.schemas.map(s => s.copy(
+        tables = s.tables.map { t =>
+          val patched = t.columns.map { c =>
+            val field = t.fields.find(_.name == c.name)
+            val isEnumish = field.exists(f =>
+              f.typeName == "enum" || f.typeName == "set")
+            if (isEnumish && (c.pgType == "enum" || c.pgType == "enum[]")) {
+              val tn = s"${t.name}_${c.name}"
+              preDdl(Ddl.createEnum(tn, Ddl.enumLabels(field.get.ctype)))
+              c.copy(pgType =
+                if (c.pgType.endsWith("[]")) tn + "[]" else tn)
+            } else c
+          }
+          t.copy(columns = patched)
+        })))
       cat.allTables.foreach(t => preDdl(Ddl.createTable(t)))
+    }
     if (truncate) cat.allTables.foreach(t => preDdl(Ddl.truncate(t)))
 
     // ---- 3. data phase: biggest tables first
@@ -130,6 +157,15 @@ final class Migrator(
       cat.allTables.foreach(t =>
         t.columns.filter(c => c.pgType == "serial" || c.pgType == "bigserial")
           .foreach(c => postDdl(Ddl.resetSequence(t, c.name))))
+    cat.allTables.foreach { t =>
+      t.checks.zipWithIndex.foreach { case (expr, i) =>
+        postDdl(Ddl.addCheck(t, s"${t.name}_check_$i", expr)) }
+      t.comment.foreach(cm => postDdl(Ddl.commentOnTable(t, cm)))
+      t.columns.foreach(c =>
+        c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
+    }
+    // AFTER LOAD DO, last (core.clj:518-545)
+    afterLoad.foreach { sql => executeDdl(sql); post += sql }
 
     // ---- 5. summary
     val byName = ordered.map(t => (t.schema, t.name)).zipWithIndex.toMap

@@ -24,15 +24,18 @@ import graft.catalog.{Catalog, FKey, Index, Schema, Table}
   */
 object JdbcSource {
 
-  /** Introspect every TABLE in `schemaPattern` into the catalog IR. */
+  /** Introspect every TABLE (and optionally VIEW — the MATERIALIZE VIEWS
+    * path loads views as tables, matviews.lisp) in `schemaPattern` into
+    * the catalog IR. */
   def introspect(url: String, props: Properties = new Properties,
                  schemaPattern: Option[String] = None,
-                 rowCounts: Boolean = true): Catalog = {
+                 rowCounts: Boolean = true,
+                 tableTypes: Array[String] = Array("TABLE")): Catalog = {
     val conn = DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
       val tablesRs = md.getTables(null, schemaPattern.orNull, "%",
-        Array("TABLE"))
+        tableTypes)
       val names = Iterator.continually(tablesRs)
         .takeWhile(_.next())
         .map(rs => (rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
@@ -133,6 +136,31 @@ object JdbcSource {
     Table(name = tname, schema = schema, sourceName = tname,
       rowCountEstimate = count, fields = fields, indexes = withPk,
       fkeys = fkeys)
+  }
+
+  /** Arbitrary-query read — the MATERIALIZE VIEWS load path
+    * (`spark.read.jdbc(query)`, matviews.lisp; core.clj:267-324) and the
+    * per-type SELECT-expression pushdown the reference uses for sources
+    * whose values need server-side rendering (pgsql.lisp:42-46). */
+  def readQuery(spark: SparkSession, url: String, props: Properties,
+                query: String): org.apache.spark.sql.DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+    props.stringPropertyNames().forEach { k =>
+      reader.option(k, props.getProperty(k))
+    }
+    reader.load()
+  }
+
+  /** Execute DDL on a JDBC target — the production `executeDdl` hook for
+    * [[graft.orchestration.Migrator]]. */
+  def executeDdl(url: String, props: Properties)(sql: String): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql.stripSuffix(";")) finally st.close()
+    } finally conn.close()
   }
 
   /** min/max of an integer partition key (mysql.lisp:35-43). */

@@ -89,6 +89,35 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(lo == 1 && hi == 2)
   }
 
+  test("materialize-views path: view introspected and loaded via query") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE VIEW RICH_NATIONS AS
+         SELECT N_ID, N_NAME FROM NATIONS WHERE N_BUDGET > 15""")
+    st.close(); conn.close()
+    val withViews = JdbcSource.introspect(url, schemaPattern = Some("APP"),
+      rowCounts = false, tableTypes = Array("TABLE", "VIEW"))
+    assert(withViews.allTables.exists(_.name == "RICH_NATIONS"))
+    val spark = SparkSpec.session
+    val df = JdbcSource.readQuery(spark, url, new java.util.Properties,
+      "SELECT N_ID, N_NAME FROM APP.RICH_NATIONS")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("executeDdl hook runs against the target") {
+    JdbcSource.executeDdl(url, new java.util.Properties)(
+      "CREATE TABLE DDL_HOOK_T (X INT);")
+    val (lo, hi) = try {
+      JdbcSource.executeDdl(url, new java.util.Properties)(
+        "INSERT INTO DDL_HOOK_T VALUES (7)")
+      JdbcSource.integerBounds(url, new java.util.Properties,
+        "APP", "DDL_HOOK_T", "X")
+    } finally JdbcSource.executeDdl(url, new java.util.Properties)(
+      "DROP TABLE DDL_HOOK_T")
+    assert(lo == 7 && hi == 7)
+  }
+
   test("pg ctid predicates split the heap into block ranges") {
     val preds = graft.sources.IntrospectionSql
       .pgsqlCtidPredicates(relpages = 25, pagesPerChunk = 10)

@@ -114,6 +114,44 @@ class MigrateSpec extends AnyFunSuite {
     assert(archived.tables.head.schema == "archive")
   }
 
+  test("before/after DO, SET params, enum types, checks and comments") {
+    val events = new ConcurrentLinkedQueue[String]
+    val cat = Catalog("c", Seq(Schema("public", tables = Seq(Table(
+      name = "shirts", schema = "public", rowCountEstimate = 1,
+      comment = Some("a table"),
+      fields = Seq(
+        SourceColumn("shirts", "id", "int(10)"),
+        SourceColumn("shirts", "size", "enum('S','M','L')"),
+        SourceColumn("shirts", "tags", "set('a','b')")),
+      checks = Seq("id > 0"))))))
+    val m = new Migrator(
+      executeDdl = sql => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = _ => (1L, 0L))
+    m.migrate(cat, defaults = DefaultCastRules.mysql,
+      beforeLoad = Seq("DROP TABLE IF EXISTS shirts;"),
+      afterLoad = Seq("ANALYZE shirts;"),
+      setParams = Seq("maintenance_work_mem" -> "128MB"),
+      withIndexes = false, withFKeys = false, resetSequences = false)
+    val ev = events.asScala.toSeq
+    // ordering: SET → BEFORE DO → CREATE TYPE/TABLE → load → checks/
+    // comments → AFTER DO
+    assert(ev.head == "SET maintenance_work_mem = '128MB';")
+    assert(ev(1) == "DROP TABLE IF EXISTS shirts;")
+    val enumIdx = ev.indexWhere(_.startsWith(
+      "CREATE TYPE shirts_size AS ENUM ('S', 'M', 'L')"))
+    val setIdx = ev.indexWhere(_.startsWith(
+      "CREATE TYPE shirts_tags AS ENUM ('a', 'b')"))
+    val createIdx = ev.indexWhere(_.startsWith("CREATE TABLE"))
+    assert(enumIdx >= 0 && setIdx >= 0 && createIdx > enumIdx)
+    // column types rewritten to the registered enum types
+    assert(ev(createIdx).contains("size shirts_size"))
+    assert(ev(createIdx).contains("tags shirts_tags[]"))
+    val checkIdx = ev.indexWhere(_.contains("ADD CONSTRAINT"))
+    val commentIdx = ev.indexWhere(_.startsWith("COMMENT ON TABLE"))
+    assert(checkIdx > createIdx && commentIdx > createIdx)
+    assert(ev.last == "ANALYZE shirts;")
+  }
+
   test("identifier collision check fails fast") {
     val longA = "public." + ("x" * 62) + "a"
     val longB = ("x" * 62) + "b"
