@@ -711,6 +711,15 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // §2.9 extension: gap-based sessionization (30-min gap). The batch
+    // variant shares its session fold with the flatMapGroupsWithState
+    // streaming variant (unit-tested with MemoryStream + watermark).
+    "events_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize
+        .batch(t(s, dir, "events"), "user_id", "ts", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // ---- training-data pipeline extensions ----
 
     // exact dedup (hash-groupBy) over an inflated corpus with known dups
@@ -1143,6 +1152,29 @@ object SparkEntry {
          count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    // gaps-and-islands over per-user event times, at microsecond
+    // precision (epoch_us) to match the engine's timestamp resolution
+    "events_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                    > 30 * 60 * 1000000 OR
+                  lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                    IS NULL
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e)
+         SELECT user_id, min(us) AS session_start_us,
+           max(us) AS session_end_us, count(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
 
     "dedup_exact" ->
       """WITH inflated AS (
