@@ -277,13 +277,39 @@ object SparkEntry {
 
     // §2.4 Citus backfill join — distribution key backfilled through the
     // FK chain lineitem→orders→customer; dims broadcast (small side)
+    // the DISTRIBUTE rule is parsed from DSL text and applied by walking
+    // the catalog's fkey chain (citus.lisp:305-371) — not a hand-built
+    // join; pivot tables broadcast.
     "citus_backfill_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val c = t(s, dir, "customer").select(col("c_custkey"))
-      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .select(col("c_custkey").as("dist_key"), col("l_orderkey"),
+      import graft.catalog.{Catalog => GC, Schema => GS, Table => GT, FKey}
+      import graft.casting.SourceColumn
+      val cmd = graft.dsl.Parser.parse(
+        """LOAD DATABASE FROM postgresql:///src INTO postgresql:///dst
+           DISTRIBUTE lineitem USING c_custkey FROM orders, customer;""")
+      val rule = cmd.distribute.head
+        .asInstanceOf[graft.dsl.Ast.DistributeUsing]
+      val cat = GC("sf", Seq(GS("public", tables = Seq(
+        GT(name = "lineitem",
+          fields = Seq(
+            SourceColumn("lineitem", "l_orderkey", "bigint"),
+            SourceColumn("lineitem", "l_linenumber", "int"),
+            SourceColumn("lineitem", "l_quantity", "double")),
+          fkeys = Seq(FKey("li_ord_fk", "lineitem", Seq("l_orderkey"),
+            "orders", Seq("o_orderkey")))),
+        GT(name = "orders",
+          fields = Seq(SourceColumn("orders", "o_orderkey", "bigint"),
+            SourceColumn("orders", "o_custkey", "bigint")),
+          fkeys = Seq(FKey("ord_cust_fk", "orders", Seq("o_custkey"),
+            "customer", Seq("c_custkey")))),
+        GT(name = "customer",
+          fields = Seq(SourceColumn("customer", "c_custkey", "bigint")))))))
+      val frames = Map(
+        "lineitem" -> t(s, dir, "lineitem"),
+        "orders" -> t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "customer" -> t(s, dir, "customer").select(col("c_custkey")))
+      graft.operators.Citus.backfillJoin(cat, rule, frames)
+        .select(col(rule.column).as("dist_key"), col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),

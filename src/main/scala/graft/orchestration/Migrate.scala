@@ -45,11 +45,14 @@ final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
   * @param loadTable runs the data copy for one table; returns
   *   (rowsSent, rowsRejected)
   */
+/** @param maxParallelIndexes `WITH max parallel create index = n`;
+  *   0 = auto-size the pool to the catalog's max-indexes-per-table
+  *   (catalog.lisp:513-524; core.clj:655-662). */
 final class Migrator(
     executeDdl: String => Unit,
     loadTable: Table => (Long, Long),
     workers: Int = 4,
-    maxParallelIndexes: Int = 4) {
+    maxParallelIndexes: Int = 0) {
 
   def migrate(cat0: Catalog,
               userCast: Seq[CastRule] = Nil,
@@ -116,8 +119,11 @@ final class Migrator(
     // remaining copies (:511-559)
     val ordered = cat.allTables.sortBy(-_.rowCountEstimate)
     val copyPool = Executors.newFixedThreadPool(math.max(1, workers))
-    val indexPool = Executors.newFixedThreadPool(
-      math.max(1, maxParallelIndexes))
+    val indexPoolSize =
+      if (maxParallelIndexes > 0) maxParallelIndexes
+      else math.max(1,
+        cat.allTables.map(_.indexes.size).maxOption.getOrElse(1))
+    val indexPool = Executors.newFixedThreadPool(indexPoolSize)
     val stats = new ConcurrentLinkedQueue[TableStats]
     val indexFutures =
       new ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
