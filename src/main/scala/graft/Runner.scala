@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.dsl.{Ast, Parser, PlanBuilder}
+import graft.orchestration.TableStats
+import graft.sinks.{CopyEndpoint, CopySink}
+
+/** The engine's top-level entry point: run a `.load` command end-to-end —
+  * parse → plan → BEFORE LOAD DO → sink → AFTER LOAD DO — the Spark
+  * realization of `pgloader file.load` (v3 api.lisp:29
+  * process-command-file; v4 core.clj:411 run-command).
+  *
+  * @param executeDdl  target DDL hook (JDBC in production:
+  *   `JdbcSource.executeDdl(url, props)`; a recorder in tests)
+  * @param endpointFactory COPY endpoint per partition (PgCopyEndpoint /
+  *   JdbcInsertEndpoint / test doubles)
+  */
+final class Runner(executeDdl: String => Unit,
+                   endpointFactory: String => Int => CopyEndpoint) {
+
+  /** Run every command in the file text; returns per-table stats. */
+  def runFile(spark: SparkSession, text: String,
+              baseDir: String = "."): Seq[TableStats] = {
+    val (first, inline) = Parser.parseWithInline(text)
+    // archives expand to ordered sub-commands; other types run directly
+    val cmds =
+      if (first.loadType == "archive") Seq(first)
+      else Parser.parseAll(text.substring(0, findInlineCut(text, inline)))
+    cmds.flatMap(cmd => runCommand(spark, cmd, baseDir, inline))
+  }
+
+  private def findInlineCut(text: String, inline: Option[String]): Int =
+    inline.map(d => text.length - d.length).getOrElse(text.length)
+
+  def runCommand(spark: SparkSession, cmd: Ast.LoadCommand,
+                 baseDir: String = ".",
+                 inline: Option[String] = None): Seq[TableStats] = {
+    cmd.setParams.foreach { case (k, v) => executeDdl(s"SET $k = '$v';") }
+    cmd.beforeLoad.foreach(executeDdl)
+    val results = cmd.loadType match {
+      case "archive" =>
+        PlanBuilder.buildArchive(spark, cmd, baseDir).map {
+          case (table, df) => load(table.getOrElse("data"), df)
+        }
+      case "database" =>
+        throw new UnsupportedOperationException(
+          "database migrations run through graft.orchestration.Migrator")
+      case _ =>
+        val df = PlanBuilder.build(spark, cmd, baseDir, inline)
+        Seq(load(cmd.targetTable.getOrElse("data"), df))
+    }
+    cmd.afterLoad.foreach(executeDdl)
+    results
+  }
+
+  private def load(table: String,
+                   df: org.apache.spark.sql.DataFrame): TableStats = {
+    val t0 = System.nanoTime()
+    val sink = new CopySink(endpointFactory = endpointFactory(table))
+    val (sent, rejected) = sink.write(df)
+    TableStats("public", table, sent, rejected,
+      (System.nanoTime() - t0) / 1000000)
+  }
+}

@@ -963,6 +963,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal feature-extract + resize plumbing: deterministic stub
+    // compute, real Spark shape. Oracle: feature determinism on
+    // duplicated content, fixed dims, exact resized byte counts.
+    "multimodal_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val media = Multimodal.fromBinary(d, "doc_id", "text", "image")
+      val dup = Multimodal.fromBinary(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        "doc_id", "text", "image")
+      val feats = Multimodal.extractFeatures(media.unionAll(dup))
+      val a = feats.filter(col("media_id") < 10000)
+      val b = feats.filter(col("media_id") >= 10000).select(
+        (col("media_id") - 10000).as("media_id"),
+        col("features").as("f2"))
+      val resized = Multimodal.resize(media, 64, 64)
+        .select(col("media_id"), col("n_bytes_out"))
+      a.join(b, Seq("media_id")).join(resized, Seq("media_id"))
+        .select(col("media_id"), col("n_dims"),
+          (col("features") === col("f2")).cast("int").as("same_features"),
+          col("n_bytes_out"))
+        .orderBy(col("media_id"))
+    }),
+
     // multimodal frame sampling shape (explode semantics)
     "multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.fromBinary(
@@ -1329,6 +1352,11 @@ object SparkEntry {
          len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+')) AS n_bpeish_tokens
          FROM documents ORDER BY doc_id""",
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, 8 AS n_dims, 1 AS same_features,
+         CAST(64*64*3 AS BIGINT) AS n_bytes_out
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id""",
 
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,

@@ -52,6 +52,69 @@ object Multimodal {
       .toDF("media_id", "width", "height", "channels", "n_bytes")
   }
 
+  /** STUB feature extraction: deterministic 8-dim embedding from byte
+    * statistics (replace with a real vision/audio encoder; the Spark-side
+    * shape — typed iterator batches, fixed-width Array[Float] column —
+    * is the real contract). */
+  def extractFeaturesStub(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
+    var h = 1125899906842597L
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i % 8) += b / 255f
+      h = h * 31 + b
+      i += 1
+    }
+    out(7) = math.abs(h % 1000) / 1000f
+    out
+  }
+
+  /** Feature-extract over binary content: (media_id, features, n_dims). */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val f = extractFeaturesStub(raw)
+        (id, f, f.length)
+      })
+      .toDF("media_id", "features", "n_dims")
+  }
+
+  /** STUB resize: deterministic fake raster of w×h×3 bytes derived from
+    * the content hash (a real decoder+scaler drops in here; batch shape
+    * and output schema stay). */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    var seed = 1125899906842597L
+    if (bytes != null) bytes.foreach(b => seed = seed * 31 + (b & 0xFF))
+    val out = new Array[Byte]((w * h * 3).toInt)
+    var i = 0
+    while (i < out.length) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      out(i) = (seed >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Resize plumbing: content replaced by the scaled raster, metadata
+    * updated with the output geometry. */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ww, hh) = (w, h)
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val out = resizeStub(raw, ww, hh)
+        (id, out, ww, hh, out.length.toLong)
+      })
+      .toDF("media_id", "content", "out_w", "out_h", "n_bytes_out")
+  }
+
   /** Frame-sampling plumbing: given a media row representing a video of
     * `n_frames` (faked from byte length), emit one row per sampled frame —
     * the explode shape a real frame extractor would produce. */

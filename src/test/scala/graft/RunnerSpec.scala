@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import graft.sinks.CopyEndpoint
+
+object RunnerSpec {
+  // executor-side capture of what the sink receives, per table
+  val received = new ConcurrentLinkedQueue[(String, String)]
+  def endpoint(table: String): Int => CopyEndpoint = _ => new CopyEndpoint {
+    def send(rows: Seq[Array[Byte]]): Unit =
+      rows.foreach(b => received.add(
+        (table, new String(b, "UTF-8").stripSuffix("\n"))))
+  }
+}
+
+/** End-to-end: `.load` text → Runner → DDL hooks + sink, like running
+  * `pgloader file.load`. */
+class RunnerSpec extends SparkSpec {
+
+  test("csv load runs DO blocks around the sink and reports stats") {
+    val dir = Files.createTempDirectory("runner").toFile
+    Files.writeString(new java.io.File(dir, "kv.csv").toPath,
+      "k|v\n1|one\n2|two\n3|three\n")
+    val ddl = new ConcurrentLinkedQueue[String]
+    val text =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/kv.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE kv
+          WITH skip header = 1, fields terminated by '|'
+          SET work_mem TO '64MB'
+          BEFORE LOAD DO $$$$ create table kv (k int, v text); $$$$
+          AFTER LOAD DO $$$$ analyze kv; $$$$;"""
+    RunnerSpec.received.clear()
+    val runner = new Runner(sql => ddl.add(sql.trim),
+      RunnerSpec.endpoint)
+    val stats = runner.runFile(spark, text)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("kv", 3L, 0L)))
+    val d = ddl.asScala.toSeq
+    assert(d == Seq("SET work_mem = '64MB';",
+      "create table kv (k int, v text);", "analyze kv;"))
+    val rows = RunnerSpec.received.asScala.toSeq.sorted
+    assert(rows == Seq(("kv", "1\tone"), ("kv", "2\ttwo"),
+      ("kv", "3\tthree")))
+  }
+
+  test("inline load goes through the same path") {
+    val text =
+      """LOAD CSV FROM inline
+          HAVING FIELDS (a, b)
+          INTO postgresql:///t TARGET TABLE inl
+          WITH fields terminated by ',';
+1,x
+2,y"""
+    RunnerSpec.received.clear()
+    val runner = new Runner(_ => (), RunnerSpec.endpoint)
+    val stats = runner.runFile(spark, text)
+    assert(stats.head.rows == 2)
+    assert(RunnerSpec.received.asScala.toSeq.sorted ==
+      Seq(("inl", "1\tx"), ("inl", "2\ty")))
+  }
+}
