@@ -421,8 +421,9 @@ object SparkEntry {
       new java.io.File(abs).mkdirs()
       val sink = new graft.sinks.CopySink(
         endpointFactory = pid => new CopyEndpoint {
-          private val out = new java.io.FileOutputStream(
-            new java.io.File(abs, f"part-$pid%05d.dat"), true)
+          private val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(
+              new java.io.File(abs, f"part-$pid%05d.dat"), true), 1 << 16)
           def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
           override def close(): Unit = out.close()
         })
@@ -716,8 +717,10 @@ object SparkEntry {
           val abs = dirB.getAbsolutePath
           val sink = new graft.sinks.CopySink(endpointFactory = pid =>
             new CopyEndpoint {
-              private val out = new java.io.FileOutputStream(
-                new java.io.File(abs, f"part-$pid%05d.dat"), true)
+              private val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(
+                  new java.io.File(abs, f"part-$pid%05d.dat"), true),
+                1 << 16)
               def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
               override def close(): Unit = out.close()
             })

@@ -40,10 +40,38 @@ object Dedup {
   }
 
   /** Distinct 64-bit-hashed word k-shingles — the document's set
-    * representation. Computed once; everything downstream (signatures,
-    * prefix filters, exact-jaccard verification) reads this array. */
+    * representation. Column form for ad-hoc use; the pipelines below use
+    * [[shingleHashRows]], which avoids higher-order functions entirely
+    * (Spark HOFs run interpreted per element, outside codegen). */
   def hashedShingles(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Distinct hashed k-shingles as (id, h) ROWS, fully codegen: tokenize
+    * → posexplode → window `lead` for the k-gram → xxhash64 of the word
+    * tuple. Documents shorter than k hash their whole text (matching
+    * [[shingles]]). One shuffle on id; every downstream consumer
+    * (signature aggregate, prefix filter, count-based verification) is a
+    * plain relational op over these rows. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = df.select(col(idCol).as("id"),
+      split(col(textCol), "\\s+").as("toks"))
+    val base = toksDf.select(col("id"), size(col("toks")).as("n"),
+      posexplode(col("toks")).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(j => lead(col("w"), j).over(win).as(s"w$j"))
+    val withLeads = base.select(
+      (Seq(col("id"), col("n"), col("w")) ++ leads): _*)
+    val full = withLeads
+      .filter(col("n") >= k && col(s"w${k - 1}").isNotNull)
+      .select(col("id"),
+        xxhash64((col("w") +: (1 until k).map(j => col(s"w$j"))): _*)
+          .as("h"))
+    val short = toksDf.filter(size(col("toks")) < k)
+      .select(col("id"), xxhash64(array_join(col("toks"), " ")).as("h"))
+    full.unionAll(short).distinct()
+  }
 
   // MinHash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic
   // seeds. Magnitudes chosen so a*h+b < 2^63 stays overflow-free under
@@ -70,21 +98,43 @@ object Dedup {
           + p.getField("b"), lit(MersennePrime)))))
   }
 
-  /** MinHash signatures for a (id, hs) DataFrame via explode + one
-    * hash-aggregate of `numPerms` min columns: fully whole-stage-codegen,
-    * map-side combined (one 128-long row per doc leaves each task), no
-    * per-row array allocation. This is the 100 TB path. */
-  private def signatures(sets: DataFrame, numPerms: Int,
-                         seed: Long): DataFrame = {
+  /** MinHash signatures from (id, h) shingle rows: ONE hash-aggregate of
+    * `numPerms` min columns — whole-stage codegen, map-side combined (one
+    * narrow row per doc leaves each task). Output keeps the per-perm
+    * columns (`__m0…`) so band buckets can be built without re-slicing an
+    * array through interpreted HOFs. This is the 100 TB path. */
+  private def signatureCols(rows: DataFrame, numPerms: Int,
+                            seed: Long): DataFrame = {
     val ps = perms(numPerms, seed)
-    val ex = sets.select(col("id"),
-      explode(col("hs")).as("h0"))
-      .select(col("id"), col("h0").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+    val masked = rows.select(col("id"),
+      col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
     val aggs = ps.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") }
-    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until numPerms).map(i => col(s"__m$i")): _*).as("sig"))
+    masked.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact jaccard over candidate pairs from shingle ROWS: count shared
+    * hashes per pair (equi-join on h), sizes per id — plain codegen'd
+    * joins/aggregates, 8-byte keys, nothing corpus-wide cached. */
+  private def verifyJaccardRows(cand: DataFrame, rows: DataFrame,
+                                threshold: Double): DataFrame = {
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(rows.as("ra"), col("id_a") === col("ra.id"))
+      .join(rows.as("rb"),
+        col("id_b") === col("rb.id") && col("ra.h") === col("rb.h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** LSH banding: explode the signature into `bands` (bandId, bandHash)
@@ -95,24 +145,6 @@ object Dedup {
         xxhash64(array_join(
           transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")), ",")).as("bucket")))
-
-  /** Exact jaccard over the hashed shingle sets of candidate pairs:
-    * join the (small) candidate set back to the narrow (id, hs) relation
-    * twice — 8-byte elements, no strings, no cache. */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame =
-    cand
-      .join(sets.select(col("id"), col("hs").as("hs_a")),
-        cand("id_a") === col("id"))
-      .drop("id")
-      .join(sets.select(col("id"), col("hs").as("hs_b")),
-        col("id_b") === col("id"))
-      .drop("id")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-         size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -128,11 +160,17 @@ object Dedup {
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val sets = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), k).as("hs"))
-    val sig = signatures(sets, numPerms, seed)
+    val rows = shingleHashRows(df, idCol, textCol, k)
+    val sig = signatureCols(rows, numPerms, seed)
+    // band buckets straight from the per-perm columns (no array slicing)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
+    }
     val buckets = sig.select(col("id"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -141,7 +179,7 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
+    verifyJaccardRows(cand, rows, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum
@@ -227,18 +265,21 @@ object Dedup {
     * instead of hash value shrinks posting lists further.) */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), n).as("hs"))
-    val prefixLen =
-      (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1)
-        .cast("int")
-    val inv = sets.select(col("id"),
-      explode(slice(sort_array(col("hs")), lit(1), prefixLen)).as("g"))
-    val cand = inv.as("x").join(inv.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleHashRows(df, idCol, textCol, n)
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // prefix = each set's smallest hashes under the global hash order
+    val win = Window.partitionBy(col("id")).orderBy(col("h"))
+    val prefix = rows.withColumn("rn", row_number().over(win))
+      .join(sizes, "id")
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("h"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
+    verifyJaccardRows(cand, rows, threshold)
   }
 
   /** Embedding cosine near-dup: LSH over random hyperplane sign bits →
