@@ -686,9 +686,14 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
-    // §2.9 extension: Structured Streaming windowed agg over events,
-    // replayed through the memory sink (watermark + 5-min tumbling window)
-    "events_stream_agg" -> ((s, dir) => {
+    // §2.9 extension: Structured Streaming windowed agg over events
+    // (watermark + 5-min tumbling window → foreachBatch COPY sink)
+    "events_stream_agg" -> ((s0, dir) => {
+      // dedicated session: streaming state-store partition count follows
+      // shuffle.partitions; 8 is plenty for the window/type key space and
+      // cuts per-microbatch state overhead
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // streaming file source wants a directory: glob-filter the table
       val stream = s.readStream.schema(rawSchema)
