@@ -65,6 +65,13 @@ object PlanBuilder {
         val f = java.nio.file.Files.createTempFile("graft-inline", ".dat")
         java.nio.file.Files.writeString(f, data)
         f.toAbsolutePath.toString
+      case Stdin =>
+        // drain stdin once to a temp file, then read like any file
+        // (core.clj:109-113 stdin handling)
+        val f = java.nio.file.Files.createTempFile("graft-stdin", ".dat")
+        java.nio.file.Files.copy(System.in, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f.toAbsolutePath.toString
       case other => resolvePath(spark, other, baseDir)
     }
     val raw = cmd.loadType match {

@@ -203,6 +203,44 @@ object JdbcSource {
   }
 }
 
+/** Per-type SELECT expressions for the source query — some types must be
+  * rendered server-side (mysql-schema.lisp:268-286 st_astext for
+  * geometry; mssql-schema.lisp:200-224 convert() for date/time, PG
+  * `CAST(col AS text)` pushdown pgsql.lisp:42-46). Compose the SELECT
+  * list and hand it to [[JdbcSource.readQuery]]. */
+object ColumnSqlExpressions {
+
+  def mysql(name: String, typeName: String): String =
+    typeName.toLowerCase match {
+      case "geometry" | "point" | "linestring" =>
+        s"st_astext(`$name`) as `$name`"
+      case _ => s"`$name`"
+    }
+
+  def mssql(name: String, typeName: String): String =
+    typeName.toLowerCase match {
+      case "time" => s"convert(varchar(30), [$name], 114) as [$name]"
+      case "datetime" | "datetime2" | "smalldatetime" | "date" =>
+        s"convert(varchar(30), [$name], 126) as [$name]"
+      case "datetimeoffset" => s"convert(varchar(35), [$name], 127) as [$name]"
+      case "bigint" => s"cast([$name] as numeric(20)) as [$name]"
+      case _ => s"[$name]"
+    }
+
+  /** PG server-side text cast — values arrive as PG literals, the shape
+    * the transform layer expects. */
+  def pgsql(name: String, typeName: String): String =
+    s"""CAST("$name" AS text) AS "$name""""
+
+  def selectList(kind: String,
+                 cols: Seq[(String, String)]): Seq[String] = kind match {
+    case "mysql" => cols.map { case (n, t) => mysql(n, t) }
+    case "mssql" => cols.map { case (n, t) => mssql(n, t) }
+    case "pgsql" => cols.map { case (n, t) => pgsql(n, t) }
+    case _ => cols.map { case (n, _) => s""""$n"""" }
+  }
+}
+
 /** The per-engine catalog SQL the reference issues, re-expressed. These are
   * the queries to run where JDBC metadata is not enough (CHECK constraints,
   * comments, exact auto_increment detection); they are exercised against

@@ -118,6 +118,19 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(lo == 7 && hi == 7)
   }
 
+  test("per-type SELECT expressions match the reference's renderings") {
+    import graft.sources.ColumnSqlExpressions._
+    assert(mysql("loc", "point") == "st_astext(`loc`) as `loc`")
+    assert(mysql("name", "varchar") == "`name`")
+    assert(mssql("t", "datetime") ==
+      "convert(varchar(30), [t], 126) as [t]")
+    assert(mssql("n", "bigint") == "cast([n] as numeric(20)) as [n]")
+    assert(pgsql("c", "jsonb") == """CAST("c" AS text) AS "c"""")
+    assert(selectList("mysql",
+      Seq(("a", "int"), ("g", "geometry"))) ==
+      Seq("`a`", "st_astext(`g`) as `g`"))
+  }
+
   test("pg ctid predicates split the heap into block ranges") {
     val preds = graft.sources.IntrospectionSql
       .pgsqlCtidPredicates(relpages = 25, pagesPerChunk = 10)
