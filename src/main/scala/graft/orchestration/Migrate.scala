@@ -68,12 +68,17 @@ final class Migrator(
               resetSequences: Boolean = true,
               beforeLoad: Seq[String] = Nil,
               afterLoad: Seq[String] = Nil,
-              setParams: Seq[(String, String)] = Nil): Summary = {
+              setParams: Seq[(String, String)] = Nil,
+              disableTriggers: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
     // session parameters + BEFORE LOAD DO, first of all
     // (core.clj:518-545, 1061-1075)
     setParams.foreach { case (k, v) => executeDdl(s"SET $k = '$v';") }
+    // WITH disable triggers → replica role for the load session
+    // (core.clj:818-825; session_replication_role)
+    if (disableTriggers)
+      executeDdl("SET session_replication_role = 'replica';")
     beforeLoad.foreach(executeDdl)
 
     // ---- 1. process-catalog (migrate-database.lisp:253-302)
@@ -170,6 +175,8 @@ final class Migrator(
       t.columns.foreach(c =>
         c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
     }
+    if (disableTriggers)
+      postDdl("SET session_replication_role = 'origin';")
     // AFTER LOAD DO, last (core.clj:518-545)
     afterLoad.foreach { sql => executeDdl(sql); post += sql }
 

@@ -131,12 +131,17 @@ class MigrateSpec extends AnyFunSuite {
       beforeLoad = Seq("DROP TABLE IF EXISTS shirts;"),
       afterLoad = Seq("ANALYZE shirts;"),
       setParams = Seq("maintenance_work_mem" -> "128MB"),
+      disableTriggers = true,
       withIndexes = false, withFKeys = false, resetSequences = false)
     val ev = events.asScala.toSeq
     // ordering: SET → BEFORE DO → CREATE TYPE/TABLE → load → checks/
     // comments → AFTER DO
     assert(ev.head == "SET maintenance_work_mem = '128MB';")
-    assert(ev(1) == "DROP TABLE IF EXISTS shirts;")
+    assert(ev(1) == "SET session_replication_role = 'replica';")
+    assert(ev(2) == "DROP TABLE IF EXISTS shirts;")
+    // replica role restored before AFTER LOAD DO
+    val restoreIdx = ev.indexOf("SET session_replication_role = 'origin';")
+    assert(restoreIdx > 2 && restoreIdx == ev.length - 2)
     val enumIdx = ev.indexWhere(_.startsWith(
       "CREATE TYPE shirts_size AS ENUM ('S', 'M', 'L')"))
     val setIdx = ev.indexWhere(_.startsWith(
