@@ -112,7 +112,7 @@ object CastEngine {
               case (p, None)    => s"($p)"
             }.get}"
           else t.pgType
-        val fn = rule.using.orElse(usingOnly).map(Transforms.registry)
+        val fn = rule.using.orElse(usingOnly).map(resolveTransform)
         CastResult(
           pgType = pg,
           sparkType = sparkTypeFor(t, c),
@@ -122,8 +122,15 @@ object CastEngine {
           default = if (t.dropDefault) None else c.default)
       case None => // passthrough: trust the source type name
         CastResult(c.ctype, StringType,
-          usingOnly.map(Transforms.registry), c.nullable, c.default)
+          usingOnly.map(resolveTransform), c.nullable, c.default)
     }
+  }
+
+  /** Registry lookup; `"f|g"` composes outermost-first (the DSL's
+    * `using (lambda (v) (f (g v)))` form → f(g(v))). */
+  private def resolveTransform(spec: String): Column => Column = {
+    val fns = spec.split("\\|").toSeq.map(Transforms.registry)
+    c => fns.foldRight(c)((fn, acc) => fn(acc))
   }
 
   private def sparkTypeFor(t: RuleTarget, c: SourceColumn): DataType =

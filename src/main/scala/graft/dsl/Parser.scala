@@ -209,9 +209,12 @@ private final class Parser(in: String) {
     else if (tryKw("FIXED")) parseFileLoad("fixed")
     else if (tryKw("COPY")) parseFileLoad("copy")
     else if (tryKw("DBF")) parseFileLoad("dbf")
+    // IXF parses (grammar parity); execution is out of scope, like the
+    // reference's own v4 which dropped the format
+    else if (tryKw("IXF")) parseFileLoad("ixf")
     else if (tryKw("DATABASE")) parseDatabaseLoad()
     else if (tryKw("ARCHIVE")) parseArchiveLoad()
-    else fail("expected CSV, FIXED, COPY, DBF, DATABASE or ARCHIVE")
+    else fail("expected CSV, FIXED, COPY, DBF, IXF, DATABASE or ARCHIVE")
   }
 
   private def parseSource(loadType: String): Source = {
@@ -220,8 +223,10 @@ private final class Parser(in: String) {
     else if (tryKw("inline")) InlineData
     else if (tryKws("all", "filenames", "matching")) {
       val pat = filePattern()
-      expectKw("in"); expectKw("directory")
-      val dir = tryQuoted().getOrElse(rawToken())
+      // IN DIRECTORY is optional: default is the load file's directory
+      val dir =
+        if (tryKws("in", "directory")) tryQuoted().getOrElse(rawToken())
+        else "."
       Glob(pat, dir)
     } else if (tryKws("FILENAME", "MATCHING")) {
       Glob(filePattern(), ".")
@@ -394,6 +399,7 @@ private final class Parser(in: String) {
     Seq("preserve", "index", "names") -> "flag",
     Seq("uniquify", "index", "names") -> "flag",
     Seq("date", "format") -> "string",
+    Seq("timezone") -> "string",
     Seq("null", "if") -> "string",
     Seq("delimiter") -> "char",
     Seq("null") -> "string",
@@ -532,10 +538,43 @@ private final class Parser(in: String) {
         target = target.map(_.copy(setNotNull = true))
       else if (tryKws("keep", "not", "null")) ()
       else if (tryKws("drop", "extra")) ()
-      else if (tryKw("using")) using = Some(ident())
+      else if (tryKw("using")) {
+        ws()
+        using =
+          if (peekSym('(')) Some(lambdaToComposition(balancedParens()))
+          else Some(ident())
+      }
       else moreOpts = false
     }
     CastRule(src, target, using)
+  }
+
+  /** `(lambda (v) (f (g v)))` with f/g from the transform registry →
+    * composition spec `"f|g"` (outermost first), resolved by the cast
+    * engine. The reference evals arbitrary Lisp here; the supported
+    * surface is nested applications of the named transforms. */
+  private def lambdaToComposition(raw: String): String = {
+    val toks = raw.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").filter(_.nonEmpty).toList
+    toks match {
+      case "(" :: "lambda" :: "(" :: v :: ")" :: rest =>
+        val names = Seq.newBuilder[String]
+        var cur = rest.dropRight(1) // outer ')'
+        var ok = true
+        while (ok && cur.nonEmpty) cur match {
+          case "(" :: fn :: tail =>
+            names += fn
+            cur = tail
+          case t :: Nil if t == v => cur = Nil
+          case t :: tail if t == ")" || t == v => cur = tail
+          case _ => ok = false
+        }
+        if (!ok) throw new ParseException(
+          s"unsupported USING lambda: $raw", pos)
+        names.result().mkString("|")
+      case _ => throw new ParseException(
+        s"unsupported USING form: $raw", pos)
+    }
   }
 
   private def castTypeName(): String = {
@@ -597,9 +636,12 @@ private final class Parser(in: String) {
     while (more) {
       ws()
       if (trySym('~')) {
-        expectSym('/')
-        val e = in.indexOf('/', pos)
-        if (e < 0) fail("unterminated ~/pattern/")
+        val (open, close) =
+          if (trySym('/')) ('/', '/')
+          else if (trySym('<')) ('<', '>')
+          else fail("expected / or < after ~")
+        val e = in.indexOf(close, pos)
+        if (e < 0) fail(s"unterminated ~$open pattern")
         out += NamePattern(in.substring(pos, e), isRegex = true)
         pos = e + 1
       } else {

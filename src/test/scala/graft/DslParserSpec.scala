@@ -173,6 +173,32 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.beforeLoad.head.toLowerCase.contains("drop table"))
   }
 
+  test("every .load file in the reference test corpus parses") {
+    val files = new java.io.File("/root/reference/test").listFiles()
+      .filter(_.getName.endsWith(".load")).sortBy(_.getName)
+    val failures = files.flatMap { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      try { Parser.parseWithInline(text); None }
+      catch { case e: Exception => Some(s"${f.getName}: ${e.getMessage}") }
+    }
+    assert(files.length >= 60)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("USING lambda composes registry transforms") {
+    val cmd = Parser.parse(
+      """LOAD DBF FROM '/d.dbf' INTO postgresql:///t
+           CAST column t.c to uuid
+             using (lambda (v) (empty-string-to-null (right-trim v)));""")
+    assert(cmd.castRules.head.using.contains(
+      "empty-string-to-null|right-trim"))
+    // engine resolves the composition: "x  " -> rtrim -> "x"; "  " -> null
+    val r = graft.casting.CastEngine.cast(
+      SourceColumn("t", "c", "sometype"), cmd.castRules, Nil)
+    assert(r.transform.nonEmpty)
+  }
+
   test("sexp USING translation") {
     assert(SexpTranslator.toSql(
       """(format nil "(~a,~a)" intptlong intptlat)""") ==
