@@ -692,7 +692,7 @@ private final class Parser(in: String) {
       if (peekSym('(')) cmd = cmd.copy(targetColumns = parseTargetColumns())
     }
     if (tryKw("WITH")) cmd = cmd.copy(options = parseWithOptions())
-    // trailing clauses in any order
+    // trailing clauses in any order (WITH may follow DO blocks too)
     var more = true
     while (more) {
       if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
@@ -704,6 +704,8 @@ private final class Parser(in: String) {
         cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
       else if (tryKw("CAST"))
         cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
+      else if (tryKw("WITH"))
+        cmd = cmd.copy(options = cmd.options ++ parseWithOptions())
       else more = false
     }
     trySym(';')

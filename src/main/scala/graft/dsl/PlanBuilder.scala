@@ -154,7 +154,20 @@ object PlanBuilder {
       Transforms.registry.get(raw) match {
         case Some(fn) => TargetColumn(td.name, transform = Some(fn))
         case None =>
-          TargetColumn(td.name, usingExpr = Some(SexpTranslator.toSql(raw)))
+          // `(f (g field))` chains of registry transforms (fixed.load's
+          // `c time using (time-with-no-separator c)` shape)
+          SexpTranslator.applicationChain(raw) match {
+            case Some((names, field))
+                if names.forall(Transforms.registry.contains) =>
+              val fns = names.map(Transforms.registry)
+              TargetColumn(td.name,
+                transform =
+                  Some(c => fns.foldRight(c)((fn, acc) => fn(acc))),
+                fromField = Some(field))
+            case _ =>
+              TargetColumn(td.name,
+                usingExpr = Some(SexpTranslator.toSql(raw)))
+          }
       }
   }
 }
@@ -220,6 +233,20 @@ object SexpTranslator {
       case Nil => throw new IllegalArgumentException("empty s-expr")
     }
     go(toks)._1
+  }
+
+  /** `(f (g x))` single-argument application chains: Some((Seq(f, g), x))
+    * when every head is a plain symbol and the innermost form is a bare
+    * field reference. */
+  def applicationChain(raw: String): Option[(Seq[String], String)] = {
+    def walk(s: S, acc: Seq[String]): Option[(Seq[String], String)] =
+      s match {
+        case Atom(x) if acc.nonEmpty => Some((acc, x))
+        case L(Atom(f) :: arg :: Nil) => walk(arg, acc :+ f)
+        case _ => None
+      }
+    try walk(parse(tokenize(raw.trim)), Nil)
+    catch { case _: Exception => None }
   }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dsl.{Parser, PlanBuilder}
+import graft.sources.CopyText
+
+/** More of the reference's golden regressions
+  * (src/regress/regress.lisp:17-112): run the .load command, read the
+  * expected COPY text, assert EXCEPT-empty both ways. Type normalization
+  * mirrors the PG column types each command's own BEFORE LOAD DO declares
+  * (the reference compares inside PG; we compare typed values). */
+class GoldenRegressSpec extends SparkSpec {
+
+  private val base = "/root/reference/test"
+
+  private def plan(name: String): DataFrame = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/$name")), "UTF-8")
+    val (cmd, inline) = Parser.parseWithInline(text)
+    PlanBuilder.build(spark, cmd, base, inline)
+  }
+
+  private def expected(name: String, fields: Seq[String]): DataFrame =
+    CopyText.read(spark, s"$base/regress/expected/$name.out", fields)
+
+  private def assertGolden(actual: DataFrame, exp: DataFrame): Unit = {
+    assert(actual.count() == exp.count())
+    val missing = exp.exceptAll(actual).count()
+    val extra = actual.exceptAll(exp).count()
+    assert(missing == 0 && extra == 0,
+      s"golden mismatch: missing=$missing extra=$extra\n" +
+        s"actual: ${actual.collect().take(5).mkString("; ")}\n" +
+        s"expect: ${exp.collect().take(5).mkString("; ")}")
+  }
+
+  /** PG time rendering drops trailing fraction zeros. */
+  private def normTime(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+
+  test("copy.load: COPY text source passthrough (track_full)") {
+    val fields = Seq("trackid", "track", "album", "media", "genre",
+      "composer", "milliseconds", "bytes", "unitprice")
+    assertGolden(plan("copy.load"), expected("copy", fields))
+  }
+
+  test("fixed.load: inline fixed-width, trim/null-if, time transform") {
+    val act = plan("fixed.load").select(
+      trim(col("a")).cast("long").as("a"),
+      to_date(col("b"), "yyyyMMdd").as("b"),
+      normTime(col("c")).as("c"),
+      col("d"))
+    val exp = expected("fixed", Seq("a", "b", "c", "d")).select(
+      col("a").cast("long").as("a"),
+      col("b").cast("date").as("b"),
+      normTime(col("c")).as("c"),
+      col("d"))
+    assertGolden(act, exp)
+  }
+
+  test("csv.load: inline csv, doubled-quote escape, column subset/reorder") {
+    val act = plan("csv.load").select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+      col("c"), col("camelCase"))
+    val exp = expected("csv", Seq("a", "b", "c", "camelCase")).select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+      col("c"), col("camelCase"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-nulls.load: null if '\\N' on an unquoted field") {
+    val act = plan("csv-nulls.load").select(
+      col("id").cast("long").as("id"),
+      col("number").cast("long").as("number"), col("data"))
+    val exp = expected("csv-nulls", Seq("id", "number", "data")).select(
+      col("id").cast("long").as("id"),
+      col("number").cast("long").as("number"), col("data"))
+    assertGolden(act, exp)
+  }
+}
