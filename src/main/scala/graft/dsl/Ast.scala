@@ -40,6 +40,9 @@ object Ast {
   sealed trait UsingExpr
   final case class Sexp(raw: String) extends UsingExpr
   final case class SqlExpr(sql: String) extends UsingExpr
+  /** `using "literal"` — a constant column value (the reference's
+    * dq-string using form, test/udc.load). */
+  final case class ConstantStr(value: String) extends UsingExpr
 
   final case class TargetColDef(
       name: String,

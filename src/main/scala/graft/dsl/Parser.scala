@@ -336,9 +336,11 @@ private final class Parser(in: String) {
   private def parseUsingExpr(): UsingExpr = {
     ws()
     tryDq() match {
-      case Some(sql) => SqlExpr(sql)
+      // double-quoted = constant column value (reference dq-string form)
+      case Some(v) => ConstantStr(v)
       case None =>
         tryQuoted() match {
+          // single-quoted = Spark SQL expression (native extension)
           case Some(sql) => SqlExpr(sql)
           case None =>
             if (in.startsWith("#", pos)) { pos += 1; Sexp(balancedParens()) }

@@ -148,6 +148,7 @@ object PlanBuilder {
 
   private def toTarget(td: TargetColDef): TargetColumn = td.using match {
     case None => TargetColumn(td.name)
+    case Some(ConstantStr(v)) => TargetColumn(td.name, constant = Some(v))
     case Some(SqlExpr(sql)) => TargetColumn(td.name, usingExpr = Some(sql))
     case Some(Sexp(raw)) =>
       // named transform function? (`using zero-dates-to-null` style)

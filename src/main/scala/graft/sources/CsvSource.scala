@@ -19,6 +19,22 @@ final case class CsvDialect(
 
 object CsvSource {
 
+  /** Normalize common encoding aliases to canonical charset names
+    * (Spark's CSV reader whitelists canonical names only; the reference
+    * normalizes aliases the same way, dbf.clj charset-aliases). */
+  def canonicalEncoding(name: String): String =
+    name.toLowerCase.replace("_", "-") match {
+      case "latin1" | "latin-1" => "iso-8859-1"
+      case "latin2" | "latin-2" => "iso-8859-2"
+      case "latin9" | "latin-9" => "iso-8859-15"
+      case "utf8" => "utf-8"
+      case "utf16" => "utf-16"
+      case "ascii" => "us-ascii"
+      case "cp950" => "Big5"
+      case "cp932" => "windows-31j"
+      case other => other
+    }
+
   /** Read a CSV with an explicit dialect into an all-string DataFrame —
     * fidelity mode: types are applied later by the cast layer, never by the
     * reader (SURVEY §1.2: transforms run on strings).
@@ -36,7 +52,7 @@ object CsvSource {
       .option("quote", dialect.quote.toString)
       .option("escape",
         if (dialect.doubledQuote) dialect.quote.toString else "\\")
-      .option("encoding", dialect.encoding)
+      .option("encoding", canonicalEncoding(dialect.encoding))
       .option("nullValue", dialect.nullValue)
       .option("mode", "PERMISSIVE")
       .schema(schema)

@@ -68,6 +68,22 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("udc.load: user-defined constant column, reorder") {
+    val act = plan("udc.load").select(
+      col("b").cast("long").as("b"), col("c"), col("d").cast("long").as("d"))
+    val exp = expected("udc", Seq("b", "c", "d")).select(
+      col("b").cast("long").as("b"), col("c"), col("d").cast("long").as("d"))
+    assertGolden(act, exp)
+  }
+
+  test("partial.load: column subset dropped from the target") {
+    val act = plan("partial.load").select(
+      col("a").cast("long").as("a"), col("b"), col("c"), col("e"))
+    val exp = expected("partial", Seq("a", "b", "c", "d", "e")).select(
+      col("a").cast("long").as("a"), col("b"), col("c"), col("e"))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
