@@ -101,7 +101,8 @@ object PlanBuilder {
       doubledQuote = !cmd.option("fields escaped by").contains("\\"),
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
-      encoding = cmd.encoding.getOrElse("UTF-8"))
+      encoding = cmd.encoding.getOrElse("UTF-8"),
+      trimUnquoted = cmd.boolOption("trim unquoted blanks"))
     CsvSource.read(spark, path, dialect, fieldNames(cmd))
   }
 
@@ -124,9 +125,10 @@ object PlanBuilder {
       delimiter = cmd.option("delimiter").map(_.charAt(0)).getOrElse('\t'),
       nullAs = cmd.option("null").getOrElse("\\N"))
 
-  /** HAVING FIELDS preprocessing + TARGET COLUMNS projection. */
+  /** HAVING FIELDS preprocessing + TARGET COLUMNS projection.
+    * (`trim unquoted blanks` happens inside the CSV reader, where the
+    * quoted/unquoted distinction still exists — not here.) */
   private def project(df: DataFrame, cmd: LoadCommand): DataFrame = {
-    val trimAll = cmd.boolOption("trim unquoted blanks")
     val specs = cmd.fields.map { f =>
       FieldSpec(f.name,
         nullIfs = f.nullIfs.map {
@@ -135,7 +137,6 @@ object PlanBuilder {
         } ++ cmd.option("null if").map(NullIf.Value).toSeq,
         trim =
           if (f.trimRight) TrimMode.Right
-          else if (trimAll) TrimMode.Both
           else TrimMode.None,
         dateFormat = f.dateFormat)
     }

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object ProjectFields {
 
+  /** Column reference by literal name — backtick-quoted so names with
+    * periods (test/fields-with-periods.load) don't parse as struct
+    * paths. */
+  def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   sealed trait TrimMode
   object TrimMode {
     case object None extends TrimMode
@@ -86,14 +92,14 @@ object ProjectFields {
             targets: Seq[TargetColumn]): DataFrame = {
     // Preprocessed view of every field, available to USING expressions.
     val prepared = fields.foldLeft(df) { (d, f) =>
-      d.withColumn(f.name, prepareField(col(f.name), f))
+      d.withColumn(f.name, prepareField(qcol(f.name), f))
     }
     val outCols = targets.map { t =>
       val value: Column = (t.constant, t.usingExpr, t.transform) match {
         case (Some(k), _, _) => lit(k)
         case (_, Some(e), _) => expr(e)
-        case (_, _, Some(fn)) => fn(col(t.fromField.getOrElse(t.name)))
-        case _ => col(t.fromField.getOrElse(t.name))
+        case (_, _, Some(fn)) => fn(qcol(t.fromField.getOrElse(t.name)))
+        case _ => qcol(t.fromField.getOrElse(t.name))
       }
       value.as(t.name)
     }

@@ -140,7 +140,8 @@ object CopyText {
   def lineColumn(df: DataFrame, delimiter: Char = '\t',
                  nullAs: String = "\\N"): Column = {
     val cols = df.schema.fields.map { f =>
-      val c = org.apache.spark.sql.functions.col(f.name)
+      val c = org.apache.spark.sql.functions.col(
+        "`" + f.name.replace("`", "``") + "`")
       when(c.isNull, lit(nullAs))
         .otherwise(escapeColumn(pgLiteralColumn(c, f.dataType)))
     }

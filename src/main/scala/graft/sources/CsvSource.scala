@@ -15,7 +15,12 @@ final case class CsvDialect(
     skipLines: Int = 0,
     header: Boolean = false,
     encoding: String = "UTF-8",
-    nullValue: String = "")
+    nullValue: String = "",
+    /** `trim unquoted blanks`: whitespace around UNQUOTED values is
+      * trimmed (then empty → NULL); quoted blanks survive — the
+      * reference's unquoted-empty-string-is-nil semantics
+      * (csv.lisp:77-78). */
+    trimUnquoted: Boolean = false)
 
 object CsvSource {
 
@@ -53,7 +58,18 @@ object CsvSource {
       .option("escape",
         if (dialect.doubledQuote) dialect.quote.toString else "\\")
       .option("encoding", canonicalEncoding(dialect.encoding))
-      .option("nullValue", dialect.nullValue)
+      // unquoted empty → NULL, quoted "" → empty string (csv.lisp:77-78
+      // :unquoted-empty-string-is-nil t :quoted-empty-string-is-nil nil).
+      // univocity reports a missing/unquoted-empty field as the parser
+      // nullValue; a NUL sentinel keeps that mapping without also
+      // swallowing quoted empties.
+      .option("nullValue",
+        if (dialect.nullValue.isEmpty) "\u0000" else dialect.nullValue)
+      .option("emptyValue", "") // quoted "" stays an empty string
+      // univocity trims UNQUOTED whitespace only — exactly the
+      // reference's trim-unquoted-blanks distinction
+      .option("ignoreLeadingWhiteSpace", dialect.trimUnquoted.toString)
+      .option("ignoreTrailingWhiteSpace", dialect.trimUnquoted.toString)
       .option("mode", "PERMISSIVE")
       .schema(schema)
     // a header line is just one more per-file line to drop — field names

@@ -84,6 +84,25 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("csv-trim-extra-blanks.load: quoted blanks survive, unquoted trim to null") {
+    val act = plan("csv-trim-extra-blanks.load")
+      .select(col("f1"), col("f2"), col("f3"))
+    // id is a PG serial (generated target-side); compare the data columns
+    val exp = expected("csv-trim-extra-blanks",
+        Seq("id", "f1", "f2", "f3"))
+      .select(col("f1"), col("f2"), col("f3"))
+    assertGolden(act, exp)
+  }
+
+  test("fields-with-periods.load: quoted identifiers with dots") {
+    val act = plan("fields-with-periods.load")
+      .select(col("`CHARS.LETTERS`"), col("`CHARS.NUMBERS`"))
+    val exp = expected("fields-with-periods",
+        Seq("CHARS.LETTERS", "CHARS.NUMBERS"))
+      .select(col("`CHARS.LETTERS`"), col("`CHARS.NUMBERS`"))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
