@@ -93,9 +93,39 @@ object DbfSource {
     }
   }
 
+  /** Memo (M) field resolution from the companion .dbt file. dBase IV
+    * blocks: size at header offset 20, each block FF FF 08 00 marker +
+    * u32le total length (incl. the 8-byte header); dBase III fallback:
+    * 512-byte blocks, text until 0x1A. */
+  def memoText(dbt: Array[Byte], block: Int, charset: Charset): String = {
+    val blockSize = {
+      val bs = u16le(dbt, 20)
+      if (bs > 0) bs else 512
+    }
+    val off = block.toLong * blockSize
+    if (off < 0 || off >= dbt.length) return null
+    val o = off.toInt
+    // text runs to the first terminator byte (0x1A, or dBase IV's 0x1F
+    // soft terminator) — real-world files carry unreliable length words,
+    // so readers go by terminators
+    def untilTerminator(start: Int): String = {
+      var end = start
+      while (end < dbt.length && dbt(end) != 0x1A && dbt(end) != 0x1F)
+        end += 1
+      new String(dbt, start, end - start, charset)
+    }
+    if (o + 8 <= dbt.length &&
+        u8(dbt(o)) == 0xFF && u8(dbt(o + 1)) == 0xFF &&
+        u8(dbt(o + 2)) == 0x08 && u8(dbt(o + 3)) == 0x00)
+      untilTerminator(o + 8) // dBase IV block header
+    else
+      untilTerminator(o) // dBase III
+  }
+
   /** Distributed read: every matched file becomes one binaryFile row;
     * records are sliced on executors. All columns StringType (fidelity
-    * mode — type conversion happens via the db3 transform family). */
+    * mode — type conversion happens via the db3 transform family). Memo
+    * (M) columns resolve through the sibling .dbt file when present. */
   def read(spark: SparkSession, path: String,
            encoding: String = "ISO-8859-1"): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
@@ -109,8 +139,30 @@ object DbfSource {
     val rows = files.rdd.flatMap { r =>
       val bytes = r.getAs[Array[Byte]]("content")
       val h = parseHeader(bytes) // every file reparses its own header
-      parseRecords(bytes, h, Charset.forName(enc))
-        .map(vs => Row.fromSeq(vs.toSeq))
+      val cs = Charset.forName(enc)
+      val memoIdx = h.fields.zipWithIndex.collect {
+        case (f, i) if f.ftype == 'M' => i
+      }
+      val dbt: Option[Array[Byte]] =
+        if (memoIdx.isEmpty) None
+        else {
+          val p = r.getString(0).stripPrefix("file:")
+          val cand = Seq(".dbt", ".DBT", ".fpt", ".FPT").map(ext =>
+            new java.io.File(p.replaceAll("(?i)\\.dbf$", ext)))
+          cand.find(_.isFile).map(f =>
+            java.nio.file.Files.readAllBytes(f.toPath))
+        }
+      parseRecords(bytes, h, cs).map { vs =>
+        dbt.foreach { mem =>
+          memoIdx.foreach { i =>
+            val blockStr = Option(vs(i)).map(_.trim).getOrElse("")
+            vs(i) =
+              if (blockStr.isEmpty) null
+              else memoText(mem, blockStr.toInt, cs)
+          }
+        }
+        Row.fromSeq(vs.toSeq)
+      }
     }
     spark.createDataFrame(rows, schema)
   }

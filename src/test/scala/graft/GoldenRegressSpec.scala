@@ -103,6 +103,31 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("dbf-8b.load: real dBase IV file with memo (.dbt) fields") {
+    import graft.sources.DbfSource
+    val raw = plan("dbf-8b.load")
+    val fields = Seq(("character", 'C', 0), ("numerical", 'N', 2),
+      ("date", 'D', 0), ("logical", 'L', 0), ("float", 'F', 18),
+      ("memo", 'M', 0))
+    val t = fields.map { case (n, ft, dec) =>
+      DbfSource.defaultTransform(
+        DbfSource.DbfField(n, ft, 20, dec))(col(n)).as(n)
+    }
+    // float: PG prints 15 significant digits; compare rounded doubles
+    val act = raw.select(t: _*).select(
+      col("character"), col("numerical"),
+      col("date"), col("logical"),
+      round(col("float").cast("double"), 10).as("float"), col("memo"))
+    // the reference prints a missing memo reference as the literal
+    // string NIL (its nil rendering); we keep SQL NULL
+    val exp = expected("dbf-8b", fields.map(_._1)).select(
+      col("character"), col("numerical"), col("date"), col("logical"),
+      round(col("float").cast("double"), 10).as("float"),
+      when(col("memo") === "NIL", lit(null: String))
+        .otherwise(col("memo")).as("memo"))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
