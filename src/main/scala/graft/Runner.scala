@@ -10,13 +10,20 @@ import graft.sinks.{CopyEndpoint, CopySink}
   * realization of `pgloader file.load` (v3 api.lisp:29
   * process-command-file; v4 core.clj:411 run-command).
   *
-  * @param executeDdl  target DDL hook (JDBC in production:
-  *   `JdbcSource.executeDdl(url, props)`; a recorder in tests)
-  * @param endpointFactory COPY endpoint per partition (PgCopyEndpoint /
-  *   JdbcInsertEndpoint / test doubles)
+  * Session parameters (`SET guc TO v`, `WITH disable triggers`) are
+  * per-connection PostgreSQL state, so both hooks receive the command's
+  * session-setup statements and must apply them on every connection they
+  * open (the reference applies its GUC list when opening each pgconn).
+  *
+  * @param executeDdl  target DDL hook, (sql, sessionSetup) (JDBC in
+  *   production: `JdbcSource.ddlExecutor(url, props)`; a recorder in
+  *   tests)
+  * @param endpointFactory COPY endpoint per partition, given
+  *   (targetTable, sessionSetup) (PgCopyEndpoint / JdbcInsertEndpoint /
+  *   test doubles)
   */
-final class Runner(executeDdl: String => Unit,
-                   endpointFactory: String => Int => CopyEndpoint) {
+final class Runner(executeDdl: (String, Seq[String]) => Unit,
+                   endpointFactory: (String, Seq[String]) => Int => CopyEndpoint) {
 
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
@@ -35,28 +42,34 @@ final class Runner(executeDdl: String => Unit,
   def runCommand(spark: SparkSession, cmd: Ast.LoadCommand,
                  baseDir: String = ".",
                  inline: Option[String] = None): Seq[TableStats] = {
-    cmd.setParams.foreach { case (k, v) => executeDdl(s"SET $k = '$v';") }
-    cmd.beforeLoad.foreach(executeDdl)
+    // per-connection session setup: SET gucs + WITH disable triggers
+    val sessionSql: Seq[String] =
+      cmd.setParams.map { case (k, v) => s"SET $k = '$v';" } ++
+        (if (cmd.boolOption("disable triggers"))
+           Seq("SET session_replication_role = 'replica';")
+         else Nil)
+    cmd.beforeLoad.foreach(executeDdl(_, sessionSql))
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {
-          case (table, df) => load(table.getOrElse("data"), df)
+          case (table, df) => load(table.getOrElse("data"), df, sessionSql)
         }
       case "database" =>
         throw new UnsupportedOperationException(
           "database migrations run through graft.orchestration.Migrator")
       case _ =>
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
-        Seq(load(cmd.targetTable.getOrElse("data"), df))
+        Seq(load(cmd.targetTable.getOrElse("data"), df, sessionSql))
     }
-    cmd.afterLoad.foreach(executeDdl)
+    cmd.afterLoad.foreach(executeDdl(_, sessionSql))
     results
   }
 
-  private def load(table: String,
-                   df: org.apache.spark.sql.DataFrame): TableStats = {
+  private def load(table: String, df: org.apache.spark.sql.DataFrame,
+                   sessionSql: Seq[String]): TableStats = {
     val t0 = System.nanoTime()
-    val sink = new CopySink(endpointFactory = endpointFactory(table))
+    val sink = new CopySink(
+      endpointFactory = endpointFactory(table, sessionSql))
     val (sent, rejected) = sink.write(df)
     TableStats("public", table, sent, rejected,
       (System.nanoTime() - t0) / 1000000)

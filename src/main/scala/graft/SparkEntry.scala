@@ -541,8 +541,8 @@ object SparkEntry {
         tables = names.map(n => GTable(name = n, schema = "public",
           rowCountEstimate = t(s, dir, n).count())))))
       val migrator = new graft.orchestration.Migrator(
-        executeDdl = _ => (),
-        loadTable = tbl => {
+        executeDdl = (_, _) => (),
+        loadTable = (tbl, _) => {
           val df = t(s, dir, tbl.name)
           val keyed = df.select(df.columns.map(c => col(c).cast("string")): _*)
           val reject = tbl.name == "supplier"

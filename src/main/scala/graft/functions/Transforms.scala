@@ -20,10 +20,13 @@ object Transforms {
 
   /** Dates with a zero year, month, OR day component → NULL
     * (transforms.lisp:118-129): MySQL permits `2004-00-15` and
-    * `0000-12-25`, not just the all-zero `0000-00-00`. Empty strings are
-    * NOT nulled here — that is `empty-string-to-null`'s job. */
+    * `0000-12-25`, not just the all-zero `0000-00-00`. The reference also
+    * returns NIL for the empty string here (its `(string= "" date-string)`
+    * branch) — kept, since zero-dates-to-null is the default date cast and
+    * a bare `""` would otherwise fail in COPY. */
   def zeroDatesToNull(c: Column): Column =
     when(c.isNull
+        || c === ""
         || substring(c, 1, 4) === "0000"
         || substring(c, 6, 2) === "00"
         || substring(c, 9, 2) === "00", lit(null: String))

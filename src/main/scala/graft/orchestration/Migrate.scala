@@ -7,16 +7,23 @@ import graft.catalog._
 import graft.dsl.Ast.{AlterTableRule, TableFilter}
 
 /** Per-table load outcome for the summary report
-  * (src/utils/state.lisp:11-50; clojure summary.clj:1-167). */
+  * (src/utils/state.lisp:11-50; clojure summary.clj:1-167). A load that
+  * threw is recorded here with its message instead of aborting the whole
+  * migration (the reference keeps going and reports per-table errors). */
 final case class TableStats(schema: String, table: String, rows: Long,
-                            rejected: Long, millis: Long)
+                            rejected: Long, millis: Long,
+                            error: Option[String] = None)
 
 /** Three-section migration summary: pre (DDL), data (per-table stats),
-  * post (indexes/PKs/FKs/sequences), like the reference's report. */
+  * post (indexes/PKs/FKs/sequences), like the reference's report.
+  * `ddlErrors` collects index/post-phase DDL failures (statement →
+  * message) that did not abort the run. */
 final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
-                         postDdl: Seq[String], totalMillis: Long) {
+                         postDdl: Seq[String], totalMillis: Long,
+                         ddlErrors: Seq[(String, String)] = Nil) {
   def totalRows: Long = tables.map(_.rows).sum
   def totalRejected: Long = tables.map(_.rejected).sum
+  def failedTables: Seq[TableStats] = tables.filter(_.error.nonEmpty)
 
   /** pgloader-style fixed-width report (summary.clj format). */
   def render: String = {
@@ -40,17 +47,27 @@ final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
   * builds for a finished table overlap the remaining copies on a second
   * pool; PK attach / FKs / sequence resets run after everything.
   *
-  * @param executeDdl runs one DDL statement on the target (JDBC in
-  *   production, a recorder in tests)
-  * @param loadTable runs the data copy for one table; returns
-  *   (rowsSent, rowsRejected)
+  * Session parameters (`SET guc`, `WITH disable triggers` → replica
+  * role) are PER-CONNECTION state in PostgreSQL, and every hook here may
+  * open a fresh connection — so the hooks receive the session-setup
+  * statements and must apply them on each connection they open, exactly
+  * like the reference applies its GUC list when opening every pgconn
+  * (pgsql/connection.lisp set-session-gucs; core.clj:818-825).
+  *
+  * @param executeDdl runs one DDL statement on the target, after applying
+  *   the given session-setup statements on the same connection (JDBC in
+  *   production: [[graft.sources.JdbcSource.ddlExecutor]]; a recorder in
+  *   tests)
+  * @param loadTable runs the data copy for one table; the session-setup
+  *   statements must reach every endpoint connection the load opens;
+  *   returns (rowsSent, rowsRejected)
   */
 /** @param maxParallelIndexes `WITH max parallel create index = n`;
   *   0 = auto-size the pool to the catalog's max-indexes-per-table
   *   (catalog.lisp:513-524; core.clj:655-662). */
 final class Migrator(
-    executeDdl: String => Unit,
-    loadTable: Table => (Long, Long),
+    executeDdl: (String, Seq[String]) => Unit,
+    loadTable: (Table, Seq[String]) => (Long, Long),
     workers: Int = 4,
     maxParallelIndexes: Int = 0) {
 
@@ -72,14 +89,19 @@ final class Migrator(
               disableTriggers: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
-    // session parameters + BEFORE LOAD DO, first of all
-    // (core.clj:518-545, 1061-1075)
-    setParams.foreach { case (k, v) => executeDdl(s"SET $k = '$v';") }
-    // WITH disable triggers → replica role for the load session
-    // (core.clj:818-825; session_replication_role)
-    if (disableTriggers)
-      executeDdl("SET session_replication_role = 'replica';")
-    beforeLoad.foreach(executeDdl)
+    // session-setup statements, applied by the hooks on EVERY connection
+    // they open (GUCs and replica role are per-connection state):
+    // SET params (core.clj:518-545, 1061-1075) + WITH disable triggers →
+    // replica role (core.clj:818-825; session_replication_role)
+    val sessionSql: Seq[String] =
+      setParams.map { case (k, v) => s"SET $k = '$v';" } ++
+        (if (disableTriggers)
+           Seq("SET session_replication_role = 'replica';")
+         else Nil)
+    def ddl(sql: String): Unit = executeDdl(sql, sessionSql)
+
+    // BEFORE LOAD DO, first of all
+    beforeLoad.foreach(ddl)
 
     // ---- 1. process-catalog (migrate-database.lisp:253-302)
     var cat = CatalogRewrite.filter(cat0, including, excluding)
@@ -93,7 +115,7 @@ final class Migrator(
 
     // ---- 2. prepare target (prepare-pgsql-database :11-150)
     val pre = Seq.newBuilder[String]
-    def preDdl(sql: String): Unit = { executeDdl(sql); pre += sql }
+    def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
     // dynamic ENUM types for enum/set source columns, and rewrite the
@@ -130,34 +152,53 @@ final class Migrator(
         cat.allTables.map(_.indexes.size).maxOption.getOrElse(1))
     val indexPool = Executors.newFixedThreadPool(indexPoolSize)
     val stats = new ConcurrentLinkedQueue[TableStats]
+    val ddlErrors = new ConcurrentLinkedQueue[(String, String)]
     val indexFutures =
       new ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
-    val copyFutures = ordered.map { t =>
-      copyPool.submit(new Runnable {
-        def run(): Unit = {
-          val s0 = System.nanoTime()
-          val (rows, rejected) = loadTable(t)
-          stats.add(TableStats(t.schema, t.name, rows, rejected,
-            (System.nanoTime() - s0) / 1000000))
-          // this table is done copying → build its indexes NOW, while
-          // other tables may still be loading
-          if (withIndexes) t.indexes.foreach { i =>
-            indexFutures.add(indexPool.submit(new Runnable {
-              def run(): Unit = executeDdl(Ddl.createIndex(i, t.schema))
-            }))
+    try {
+      val copyFutures = ordered.map { t =>
+        copyPool.submit(new Runnable {
+          def run(): Unit = {
+            val s0 = System.nanoTime()
+            // a failed table is reported in the summary, not fatal — the
+            // other copies keep going (reference per-table error state)
+            try {
+              val (rows, rejected) = loadTable(t, sessionSql)
+              stats.add(TableStats(t.schema, t.name, rows, rejected,
+                (System.nanoTime() - s0) / 1000000))
+              // this table is done copying → build its indexes NOW, while
+              // other tables may still be loading
+              if (withIndexes) t.indexes.foreach { i =>
+                indexFutures.add(indexPool.submit(new Runnable {
+                  def run(): Unit = {
+                    val sql = Ddl.createIndex(i, t.schema)
+                    try ddl(sql) catch {
+                      case e: Exception => ddlErrors.add((sql, e.getMessage))
+                    }
+                  }
+                }))
+              }
+            } catch {
+              case e: Throwable =>
+                stats.add(TableStats(t.schema, t.name, 0L, 0L,
+                  (System.nanoTime() - s0) / 1000000,
+                  error = Some(Option(e.getMessage).getOrElse(e.toString))))
+            }
           }
-        }
-      })
+        })
+      }
+      copyFutures.foreach(_.get())
+      indexFutures.asScala.foreach(_.get())
+    } finally {
+      // never leak the non-daemon pools, whatever threw above
+      copyPool.shutdownNow()
+      indexPool.shutdownNow()
+      indexPool.awaitTermination(1, TimeUnit.HOURS)
     }
-    copyFutures.foreach(_.get())
-    copyPool.shutdown()
-    indexFutures.asScala.foreach(_.get())
-    indexPool.shutdown()
-    indexPool.awaitTermination(1, TimeUnit.HOURS)
 
     // ---- 4. post phase (complete-pgsql-database :153-250)
     val post = Seq.newBuilder[String]
-    def postDdl(sql: String): Unit = { executeDdl(sql); post += sql }
+    def postDdl(sql: String): Unit = { ddl(sql); post += sql }
     if (withIndexes)
       cat.allTables.foreach(t => t.indexes.filter(_.primary)
         .foreach(i => postDdl(Ddl.attachPrimaryKey(i, t.schema))))
@@ -175,15 +216,16 @@ final class Migrator(
       t.columns.foreach(c =>
         c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
     }
-    if (disableTriggers)
-      postDdl("SET session_replication_role = 'origin';")
+    // no replica-role restore needed: the role was per-connection session
+    // setup, and every connection that carried it is closed by now
     // AFTER LOAD DO, last (core.clj:518-545)
-    afterLoad.foreach { sql => executeDdl(sql); post += sql }
+    afterLoad.foreach { sql => ddl(sql); post += sql }
 
     // ---- 5. summary
     val byName = ordered.map(t => (t.schema, t.name)).zipWithIndex.toMap
     Summary(pre.result(),
       stats.asScala.toSeq.sortBy(s => byName((s.schema, s.table))),
-      post.result(), (System.nanoTime() - t0) / 1000000)
+      post.result(), (System.nanoTime() - t0) / 1000000,
+      ddlErrors.asScala.toSeq)
   }
 }

@@ -22,6 +22,19 @@ trait CopyEndpoint extends AutoCloseable {
   override def close(): Unit = ()
 }
 
+object CopyEndpoint {
+  /** Run session-setup statements (SET gucs, replica role) on a freshly
+    * opened endpoint connection — per-connection state must be applied on
+    * every connection that loads data, or triggers silently still fire. */
+  def applySessionSetup(conn: java.sql.Connection,
+                        sessionSetup: Seq[String]): Unit =
+    if (sessionSetup.nonEmpty) {
+      val st = conn.createStatement()
+      try sessionSetup.foreach(s => st.execute(s.stripSuffix(";")))
+      finally st.close()
+    }
+}
+
 /** Batch of pre-formatted rows — format-once-retry-many, exactly the
   * reference's batch structure (src/pg-copy/copy-batch.lisp:11-50): capped
   * by max(rows, bytes), row capacity randomized 0.7–1.3× so concurrent
@@ -153,9 +166,13 @@ final class CopySink(
   * the driver identifies it.
   */
 final class JdbcInsertEndpoint(url: String, props: java.util.Properties,
-                               insertSql: String, nCols: Int)
+                               insertSql: String, nCols: Int,
+                               sessionSetup: Seq[String] = Nil)
     extends CopyEndpoint {
   private val conn = java.sql.DriverManager.getConnection(url, props)
+  // GUCs / replica role are per-connection: apply them on THIS connection
+  // before any data flows (reference: set-session-gucs on every pgconn)
+  CopyEndpoint.applySessionSetup(conn, sessionSetup)
   conn.setAutoCommit(false)
   private val ps = conn.prepareStatement(insertSql)
 
@@ -197,8 +214,11 @@ final class JdbcInsertEndpoint(url: String, props: java.util.Properties,
   * (clojure/src/pgloader/batch.clj:43-70 send-rows! equivalent).
   */
 final class PgCopyEndpoint(url: String, props: java.util.Properties,
-                           copySql: String) extends CopyEndpoint {
+                           copySql: String,
+                           sessionSetup: Seq[String] = Nil)
+    extends CopyEndpoint {
   private val conn = java.sql.DriverManager.getConnection(url, props)
+  CopyEndpoint.applySessionSetup(conn, sessionSetup)
   conn.setAutoCommit(false)
   private val mgrCls = Class.forName("org.postgresql.copy.CopyManager")
   private val pgConn = conn.unwrap(

@@ -117,21 +117,34 @@ object CopyText {
     rep(x, "\u0000", "\\")
   }
 
-  /** PG text literal of a typed column (Column analog of
-    * [[graft.sinks.PgLiteral]]): bytea `\x…`, boolean t/f, timestamps
-    * with micros only when nonzero, everything else via cast. */
+  /** PG text literal of a typed column — the codegen twin of the scalar
+    * spec [[graft.sinks.PgLiteral]] (kept equal by PgLiteralParitySpec):
+    * bytea `\x…`, boolean t/f, timestamps with micros only when nonzero,
+    * everything else via cast. Instants render in UTC regardless of the
+    * session time zone, matching PgLiteral's pinned-UTC formatter —
+    * `date_format` alone would shift wall clocks with the session TZ. */
   def pgLiteralColumn(c: Column, dt: org.apache.spark.sql.types.DataType)
       : Column = {
     import org.apache.spark.sql.types._
+    def withMicros(base: Column, micros: Column): Column =
+      concat(base,
+        when(micros === 0, lit(""))
+          .otherwise(concat(lit("."),
+            lpad(micros.cast("string"), 6, "0"))))
     dt match {
       case BinaryType => concat(lit("\\x"), lower(hex(c)))
       case BooleanType => when(c, lit("t")).otherwise(lit("f"))
-      case TimestampType | TimestampNTZType =>
-        val micros = pmod(unix_micros(c.cast(TimestampType)), lit(1000000L))
-        concat(date_format(c, "yyyy-MM-dd HH:mm:ss"),
-          when(micros === 0, lit(""))
-            .otherwise(concat(lit("."),
-              lpad(micros.cast("string"), 6, "0"))))
+      case TimestampType =>
+        // to_utc_timestamp(session-TZ wall clock, session TZ) = UTC wall
+        // clock of the instant; unix_micros is TZ-independent
+        val utc = to_utc_timestamp(c, expr("current_timezone()"))
+        withMicros(date_format(utc, "yyyy-MM-dd HH:mm:ss"),
+          pmod(unix_micros(c), lit(1000000L)))
+      case TimestampNTZType =>
+        // NTZ is a wall clock already; second fraction via pattern S so no
+        // session-TZ cast sneaks in
+        withMicros(date_format(c, "yyyy-MM-dd HH:mm:ss"),
+          date_format(c, "SSSSSS").cast("long"))
       case _ => c.cast("string")
     }
   }

@@ -146,19 +146,37 @@ object DbfSource {
       val dbt: Option[Array[Byte]] =
         if (memoIdx.isEmpty) None
         else {
-          val p = r.getString(0).stripPrefix("file:")
+          // resolve the sibling memo file through the Hadoop FileSystem of
+          // the source path, so non-local filesystems (hdfs://, s3a://)
+          // work the same as file://
+          val dbfPath = new org.apache.hadoop.fs.Path(r.getString(0))
+          val fs = dbfPath.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val base = dbfPath.getName.replaceAll("(?i)\\.dbf$", "")
           val cand = Seq(".dbt", ".DBT", ".fpt", ".FPT").map(ext =>
-            new java.io.File(p.replaceAll("(?i)\\.dbf$", ext)))
-          cand.find(_.isFile).map(f =>
-            java.nio.file.Files.readAllBytes(f.toPath))
+            new org.apache.hadoop.fs.Path(dbfPath.getParent, base + ext))
+          val found = cand.find(fs.exists).map { p =>
+            val len = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(p)
+            try in.readFully(0, buf) finally in.close()
+            buf
+          }
+          // the header declares memo columns: silently yielding raw block
+          // numbers would corrupt the load — fail loudly instead
+          if (found.isEmpty) throw new IllegalStateException(
+            s"$dbfPath declares memo (M) fields but no sibling " +
+              s"${base}.dbt/.fpt memo file exists")
+          found
         }
       parseRecords(bytes, h, cs).map { vs =>
         dbt.foreach { mem =>
           memoIdx.foreach { i =>
             val blockStr = Option(vs(i)).map(_.trim).getOrElse("")
+            // malformed block pointers reject the value, not the task
             vs(i) =
               if (blockStr.isEmpty) null
-              else memoText(mem, blockStr.toInt, cs)
+              else blockStr.toIntOption.map(b => memoText(mem, b, cs)).orNull
           }
         }
         Row.fromSeq(vs.toSeq)

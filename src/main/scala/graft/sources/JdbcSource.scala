@@ -154,14 +154,27 @@ object JdbcSource {
   }
 
   /** Execute DDL on a JDBC target — the production `executeDdl` hook for
-    * [[graft.orchestration.Migrator]]. */
-  def executeDdl(url: String, props: Properties)(sql: String): Unit = {
-    val conn = DriverManager.getConnection(url, props)
-    try {
-      val st = conn.createStatement()
-      try st.execute(sql.stripSuffix(";")) finally st.close()
-    } finally conn.close()
-  }
+    * [[graft.orchestration.Migrator]]. Session-setup statements (GUCs,
+    * replica role) run FIRST on the same fresh connection, because they
+    * are per-connection state in PostgreSQL — a separate connection-per-
+    * statement would silently drop them (the reference applies its GUC
+    * list when opening every pgconn). */
+  def ddlExecutor(url: String,
+                  props: Properties): (String, Seq[String]) => Unit =
+    (sql, sessionSetup) => {
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try {
+          sessionSetup.foreach(s => st.execute(s.stripSuffix(";")))
+          st.execute(sql.stripSuffix(";"))
+        } finally st.close()
+      } finally conn.close()
+    }
+
+  /** [[ddlExecutor]] without session setup, for one-off statements. */
+  def executeDdl(url: String, props: Properties)(sql: String): Unit =
+    ddlExecutor(url, props)(sql, Nil)
 
   /** min/max of an integer partition key (mysql.lisp:35-43). */
   def integerBounds(url: String, props: Properties, schema: String,

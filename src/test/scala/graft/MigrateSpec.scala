@@ -35,8 +35,8 @@ class MigrateSpec extends AnyFunSuite {
     val events = new ConcurrentLinkedQueue[String]
     val loading = new ConcurrentLinkedQueue[String]
     val migrator = new Migrator(
-      executeDdl = sql => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = t => {
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (t, _) => {
         events.add(s"LOAD:${t.name}")
         loading.add(t.name)
         Thread.sleep(if (t.name == "big") 150 else 10)
@@ -124,9 +124,12 @@ class MigrateSpec extends AnyFunSuite {
         SourceColumn("shirts", "size", "enum('S','M','L')"),
         SourceColumn("shirts", "tags", "set('a','b')")),
       checks = Seq("id > 0"))))))
+    val setups = new ConcurrentLinkedQueue[Seq[String]]
+    val loadSetups = new ConcurrentLinkedQueue[Seq[String]]
     val m = new Migrator(
-      executeDdl = sql => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = _ => (1L, 0L))
+      executeDdl = (sql, setup) => {
+        events.add(sql.replaceAll("\\s+", " ")); setups.add(setup) },
+      loadTable = (_, setup) => { loadSetups.add(setup); (1L, 0L) })
     m.migrate(cat, defaults = DefaultCastRules.mysql,
       beforeLoad = Seq("DROP TABLE IF EXISTS shirts;"),
       afterLoad = Seq("ANALYZE shirts;"),
@@ -134,14 +137,15 @@ class MigrateSpec extends AnyFunSuite {
       disableTriggers = true,
       withIndexes = false, withFKeys = false, resetSequences = false)
     val ev = events.asScala.toSeq
-    // ordering: SET → BEFORE DO → CREATE TYPE/TABLE → load → checks/
-    // comments → AFTER DO
-    assert(ev.head == "SET maintenance_work_mem = '128MB';")
-    assert(ev(1) == "SET session_replication_role = 'replica';")
-    assert(ev(2) == "DROP TABLE IF EXISTS shirts;")
-    // replica role restored before AFTER LOAD DO
-    val restoreIdx = ev.indexOf("SET session_replication_role = 'origin';")
-    assert(restoreIdx > 2 && restoreIdx == ev.length - 2)
+    // ordering: BEFORE DO → CREATE TYPE/TABLE → load → checks/comments →
+    // AFTER DO; SET gucs + replica role are per-connection session setup
+    // handed to EVERY ddl call and every load, never one-shot statements
+    val expectedSetup = Seq("SET maintenance_work_mem = '128MB';",
+      "SET session_replication_role = 'replica';")
+    assert(setups.asScala.toSeq.nonEmpty &&
+      setups.asScala.toSeq.forall(_ == expectedSetup))
+    assert(loadSetups.asScala.toSeq == Seq(expectedSetup))
+    assert(ev.head == "DROP TABLE IF EXISTS shirts;")
     val enumIdx = ev.indexWhere(_.startsWith(
       "CREATE TYPE shirts_size AS ENUM ('S', 'M', 'L')"))
     val setIdx = ev.indexWhere(_.startsWith(
@@ -157,13 +161,34 @@ class MigrateSpec extends AnyFunSuite {
     assert(ev.last == "ANALYZE shirts;")
   }
 
+  test("failed loads and index DDL surface in the summary, not as aborts") {
+    val m = new Migrator(
+      executeDdl = (sql, _) =>
+        if (sql.startsWith("CREATE UNIQUE INDEX") && sql.contains("big_pkey"))
+          throw new RuntimeException("index blew up")
+        else (),
+      loadTable = (t, _) =>
+        if (t.name == "mid") throw new RuntimeException("disk full")
+        else (t.rowCountEstimate, 0L))
+    val summary = m.migrate(mkCatalog,
+      defaults = DefaultCastRules.mysql,
+      withFKeys = false, resetSequences = false)
+    // mid failed: recorded with its error, everything else loaded
+    assert(summary.failedTables.map(_.table) == Seq("mid"))
+    assert(summary.failedTables.head.error.get.contains("disk full"))
+    assert(summary.totalRows == 1015) // big 1000 + small 10 + tempthing 5
+    // big's index DDL failed: collected, run completed anyway
+    assert(summary.ddlErrors.exists { case (sql, msg) =>
+      sql.contains("big_pkey") && msg.contains("index blew up") })
+  }
+
   test("identifier collision check fails fast") {
     val longA = "public." + ("x" * 62) + "a"
     val longB = ("x" * 62) + "b"
     val cat = Catalog("c", Seq(Schema("public", tables = Seq(
       Table(name = ("x" * 62) + "ay", schema = "public"),
       Table(name = ("x" * 62) + "az", schema = "public")))))
-    val m = new Migrator(_ => (), _ => (0L, 0L))
+    val m = new Migrator((_, _) => (), (_, _) => (0L, 0L))
     val e = intercept[IllegalArgumentException](m.migrate(cat))
     assert(e.getMessage.contains("collision"))
   }

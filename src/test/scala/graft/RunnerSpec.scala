@@ -6,12 +6,18 @@ import scala.jdk.CollectionConverters._
 import graft.sinks.CopyEndpoint
 
 object RunnerSpec {
-  // executor-side capture of what the sink receives, per table
+  // executor-side capture of what the sink receives, per table, and of
+  // the session setup each endpoint connection would apply
   val received = new ConcurrentLinkedQueue[(String, String)]
-  def endpoint(table: String): Int => CopyEndpoint = _ => new CopyEndpoint {
-    def send(rows: Seq[Array[Byte]]): Unit =
-      rows.foreach(b => received.add(
-        (table, new String(b, "UTF-8").stripSuffix("\n"))))
+  val endpointSetups = new ConcurrentLinkedQueue[Seq[String]]
+  def endpoint(table: String,
+               sessionSetup: Seq[String]): Int => CopyEndpoint = _ => {
+    endpointSetups.add(sessionSetup)
+    new CopyEndpoint {
+      def send(rows: Seq[Array[Byte]]): Unit =
+        rows.foreach(b => received.add(
+          (table, new String(b, "UTF-8").stripSuffix("\n"))))
+    }
   }
 }
 
@@ -33,14 +39,22 @@ class RunnerSpec extends SparkSpec {
           BEFORE LOAD DO $$$$ create table kv (k int, v text); $$$$
           AFTER LOAD DO $$$$ analyze kv; $$$$;"""
     RunnerSpec.received.clear()
-    val runner = new Runner(sql => ddl.add(sql.trim),
+    RunnerSpec.endpointSetups.clear()
+    val setups = new ConcurrentLinkedQueue[Seq[String]]
+    val runner = new Runner(
+      (sql, setup) => { ddl.add(sql.trim); setups.add(setup) },
       RunnerSpec.endpoint)
     val stats = runner.runFile(spark, text)
     assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
       Seq(("kv", 3L, 0L)))
     val d = ddl.asScala.toSeq
-    assert(d == Seq("SET work_mem = '64MB';",
-      "create table kv (k int, v text);", "analyze kv;"))
+    assert(d == Seq("create table kv (k int, v text);", "analyze kv;"))
+    // SET gucs are session setup carried to EVERY connection: both DO
+    // blocks and every sink endpoint
+    assert(setups.asScala.toSeq.forall(_ == Seq("SET work_mem = '64MB';")))
+    assert(RunnerSpec.endpointSetups.asScala.toSeq.nonEmpty &&
+      RunnerSpec.endpointSetups.asScala.toSeq.forall(
+        _ == Seq("SET work_mem = '64MB';")))
     val rows = RunnerSpec.received.asScala.toSeq.sorted
     assert(rows == Seq(("kv", "1\tone"), ("kv", "2\ttwo"),
       ("kv", "3\tthree")))
@@ -55,7 +69,7 @@ class RunnerSpec extends SparkSpec {
 1,x
 2,y"""
     RunnerSpec.received.clear()
-    val runner = new Runner(_ => (), RunnerSpec.endpoint)
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint)
     val stats = runner.runFile(spark, text)
     assert(stats.head.rows == 2)
     assert(RunnerSpec.received.asScala.toSeq.sorted ==
