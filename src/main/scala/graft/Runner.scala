@@ -42,26 +42,32 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   def runCommand(spark: SparkSession, cmd: Ast.LoadCommand,
                  baseDir: String = ".",
                  inline: Option[String] = None): Seq[TableStats] = {
-    // per-connection session setup: SET gucs + WITH disable triggers
-    val sessionSql: Seq[String] =
-      cmd.setParams.map { case (k, v) => s"SET $k = '$v';" } ++
+    // per-connection session setup. GUCs (SET params) apply to every
+    // connection; the trigger-disabling replica role is scoped to the
+    // data-copy endpoint connections ONLY (the reference sets replica
+    // around copy-table and resets to origin, core.clj:821,909) — user
+    // BEFORE/AFTER LOAD DO must run with triggers and FKs enforced.
+    val gucSql: Seq[String] =
+      cmd.setParams.map { case (k, v) => s"SET $k = '$v';" }
+    val copySessionSql: Seq[String] =
+      gucSql ++
         (if (cmd.boolOption("disable triggers"))
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    cmd.beforeLoad.foreach(executeDdl(_, sessionSql))
+    cmd.beforeLoad.foreach(executeDdl(_, gucSql))
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {
-          case (table, df) => load(table.getOrElse("data"), df, sessionSql)
+          case (table, df) => load(table.getOrElse("data"), df, copySessionSql)
         }
       case "database" =>
         throw new UnsupportedOperationException(
           "database migrations run through graft.orchestration.Migrator")
       case _ =>
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
-        Seq(load(cmd.targetTable.getOrElse("data"), df, sessionSql))
+        Seq(load(cmd.targetTable.getOrElse("data"), df, copySessionSql))
     }
-    cmd.afterLoad.foreach(executeDdl(_, sessionSql))
+    cmd.afterLoad.foreach(executeDdl(_, gucSql))
     results
   }
 

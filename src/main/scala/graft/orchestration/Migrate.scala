@@ -90,15 +90,20 @@ final class Migrator(
     val t0 = System.nanoTime()
 
     // session-setup statements, applied by the hooks on EVERY connection
-    // they open (GUCs and replica role are per-connection state):
-    // SET params (core.clj:518-545, 1061-1075) + WITH disable triggers →
-    // replica role (core.clj:818-825; session_replication_role)
-    val sessionSql: Seq[String] =
-      setParams.map { case (k, v) => s"SET $k = '$v';" } ++
+    // they open (GUCs and replica role are per-connection state). GUCs
+    // (SET params, core.clj:518-545, 1061-1075) go to ALL connections;
+    // the trigger-disabling replica role is scoped to the data-copy
+    // connections ONLY (core.clj:821,909 sets replica around copy-table
+    // and resets to origin) — DDL and user BEFORE/AFTER LOAD DO must run
+    // with triggers and FK enforcement live.
+    val gucSql: Seq[String] =
+      setParams.map { case (k, v) => s"SET $k = '$v';" }
+    val copySessionSql: Seq[String] =
+      gucSql ++
         (if (disableTriggers)
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    def ddl(sql: String): Unit = executeDdl(sql, sessionSql)
+    def ddl(sql: String): Unit = executeDdl(sql, gucSql)
 
     // BEFORE LOAD DO, first of all
     beforeLoad.foreach(ddl)
@@ -153,6 +158,9 @@ final class Migrator(
     val indexPool = Executors.newFixedThreadPool(indexPoolSize)
     val stats = new ConcurrentLinkedQueue[TableStats]
     val ddlErrors = new ConcurrentLinkedQueue[(String, String)]
+    // index builds that failed — their PK attach must be skipped later
+    // (attaching a PK USING a missing index would abort the run)
+    val failedIndexes = new ConcurrentLinkedQueue[(String, String)]
     val indexFutures =
       new ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
     try {
@@ -163,7 +171,7 @@ final class Migrator(
             // a failed table is reported in the summary, not fatal — the
             // other copies keep going (reference per-table error state)
             try {
-              val (rows, rejected) = loadTable(t, sessionSql)
+              val (rows, rejected) = loadTable(t, copySessionSql)
               stats.add(TableStats(t.schema, t.name, rows, rejected,
                 (System.nanoTime() - s0) / 1000000))
               // this table is done copying → build its indexes NOW, while
@@ -173,13 +181,17 @@ final class Migrator(
                   def run(): Unit = {
                     val sql = Ddl.createIndex(i, t.schema)
                     try ddl(sql) catch {
-                      case e: Exception => ddlErrors.add((sql, e.getMessage))
+                      case e: Exception =>
+                        ddlErrors.add((sql, e.getMessage))
+                        failedIndexes.add((t.schema, i.name))
                     }
                   }
                 }))
               }
             } catch {
-              case e: Throwable =>
+              // NonFatal only: OOM / interrupts must propagate, not be
+              // folded into a per-table summary row
+              case scala.util.control.NonFatal(e) =>
                 stats.add(TableStats(t.schema, t.name, 0L, 0L,
                   (System.nanoTime() - s0) / 1000000,
                   error = Some(Option(e.getMessage).getOrElse(e.toString))))
@@ -196,11 +208,19 @@ final class Migrator(
       indexPool.awaitTermination(1, TimeUnit.HOURS)
     }
 
-    // ---- 4. post phase (complete-pgsql-database :153-250)
+    // ---- 4. post phase (complete-pgsql-database :153-250) — failure
+    // tolerant like the index phase: a bad FK or comment is collected in
+    // ddlErrors, it does not abort the migration
     val post = Seq.newBuilder[String]
-    def postDdl(sql: String): Unit = { ddl(sql); post += sql }
+    def postDdl(sql: String): Unit =
+      try { ddl(sql); post += sql } catch {
+        case scala.util.control.NonFatal(e) =>
+          ddlErrors.add((sql, Option(e.getMessage).getOrElse(e.toString)))
+      }
     if (withIndexes)
       cat.allTables.foreach(t => t.indexes.filter(_.primary)
+        // an index whose build failed has nothing to attach the PK to
+        .filterNot(i => failedIndexes.contains((t.schema, i.name)))
         .foreach(i => postDdl(Ddl.attachPrimaryKey(i, t.schema))))
     if (withFKeys)
       cat.allTables.foreach(t =>

@@ -135,11 +135,28 @@ object CopyText {
       case BinaryType => concat(lit("\\x"), lower(hex(c)))
       case BooleanType => when(c, lit("t")).otherwise(lit("f"))
       case TimestampType =>
-        // to_utc_timestamp(session-TZ wall clock, session TZ) = UTC wall
-        // clock of the instant; unix_micros is TZ-independent
-        val utc = to_utc_timestamp(c, expr("current_timezone()"))
-        withMicros(date_format(utc, "yyyy-MM-dd HH:mm:ss"),
-          pmod(unix_micros(c), lit(1000000L)))
+        // UTC wall clock derived purely arithmetically from unix_micros —
+        // no time-zone API anywhere, so instants whose UTC wall clock
+        // falls inside the session zone's DST spring-forward gap render
+        // exactly (to_utc_timestamp round-trips through the session
+        // zone's local calendar and resolves gap times an hour off).
+        val micros = unix_micros(c)
+        val frac = pmod(micros, lit(1000000L)) // [0, 1e6), negative-safe
+        // (micros - frac) is an exact multiple of 1e6; decimal division
+        // keeps it exact for the full PG timestamp range
+        val secs = ((micros - frac).cast(DecimalType(28, 0)) /
+          lit(1000000L)).cast("long")
+        val sod = pmod(secs, lit(86400L))
+        val days = ((secs - sod).cast(DecimalType(28, 0)) /
+          lit(86400L)).cast("int")
+        val two = (x: Column) => lpad(x.cast("string"), 2, "0")
+        val base = concat(
+          date_format(date_add(to_date(lit("1970-01-01")), days),
+            "yyyy-MM-dd"),
+          lit(" "), two(floor(sod / 3600).cast("long")),
+          lit(":"), two(floor(pmod(sod, lit(3600L)) / 60).cast("long")),
+          lit(":"), two(pmod(sod, lit(60L))))
+        withMicros(base, frac)
       case TimestampNTZType =>
         // NTZ is a wall clock already; second fraction via pattern S so no
         // session-TZ cast sneaks in

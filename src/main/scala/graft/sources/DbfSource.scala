@@ -136,6 +136,12 @@ object DbfSource {
     val schema = StructType(header.fields.map(f =>
       StructField(f.name, StringType, nullable = true)))
     val enc = encoding
+    // ship the session's Hadoop conf to executors — the memo-file lookup
+    // must see the same FS settings (s3a credentials, custom schemes) the
+    // .dbf binaryFile scan used, not a default Configuration()
+    val hadoopConfBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val rows = files.rdd.flatMap { r =>
       val bytes = r.getAs[Array[Byte]]("content")
       val h = parseHeader(bytes) // every file reparses its own header
@@ -150,13 +156,19 @@ object DbfSource {
           // the source path, so non-local filesystems (hdfs://, s3a://)
           // work the same as file://
           val dbfPath = new org.apache.hadoop.fs.Path(r.getString(0))
-          val fs = dbfPath.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = dbfPath.getFileSystem(hadoopConfBc.value.value)
           val base = dbfPath.getName.replaceAll("(?i)\\.dbf$", "")
           val cand = Seq(".dbt", ".DBT", ".fpt", ".FPT").map(ext =>
             new org.apache.hadoop.fs.Path(dbfPath.getParent, base + ext))
           val found = cand.find(fs.exists).map { p =>
-            val len = fs.getFileStatus(p).getLen.toInt
+            val lenL = fs.getFileStatus(p).getLen
+            // memo blocks are addressed by in-memory offset below; a
+            // >2 GiB memo file cannot be buffered — reject loudly rather
+            // than overflow the Int
+            require(lenL <= Int.MaxValue,
+              s"memo file $p is $lenL bytes; memo files over 2 GiB " +
+                "are not supported")
+            val len = lenL.toInt
             val buf = new Array[Byte](len)
             val in = fs.open(p)
             try in.readFully(0, buf) finally in.close()

@@ -138,13 +138,16 @@ class MigrateSpec extends AnyFunSuite {
       withIndexes = false, withFKeys = false, resetSequences = false)
     val ev = events.asScala.toSeq
     // ordering: BEFORE DO → CREATE TYPE/TABLE → load → checks/comments →
-    // AFTER DO; SET gucs + replica role are per-connection session setup
-    // handed to EVERY ddl call and every load, never one-shot statements
-    val expectedSetup = Seq("SET maintenance_work_mem = '128MB';",
-      "SET session_replication_role = 'replica';")
+    // AFTER DO. SET gucs are per-connection setup handed to EVERY ddl
+    // call and every load; the trigger-disabling replica role reaches
+    // ONLY the data-copy connections — BEFORE/AFTER LOAD DO and DDL run
+    // with triggers and FK enforcement live (core.clj:821,909 scopes
+    // replica to copy-table connections).
+    val gucOnly = Seq("SET maintenance_work_mem = '128MB';")
+    val copySetup = gucOnly :+ "SET session_replication_role = 'replica';"
     assert(setups.asScala.toSeq.nonEmpty &&
-      setups.asScala.toSeq.forall(_ == expectedSetup))
-    assert(loadSetups.asScala.toSeq == Seq(expectedSetup))
+      setups.asScala.toSeq.forall(_ == gucOnly))
+    assert(loadSetups.asScala.toSeq == Seq(copySetup))
     assert(ev.head == "DROP TABLE IF EXISTS shirts;")
     val enumIdx = ev.indexWhere(_.startsWith(
       "CREATE TYPE shirts_size AS ENUM ('S', 'M', 'L')"))
@@ -180,6 +183,25 @@ class MigrateSpec extends AnyFunSuite {
     // big's index DDL failed: collected, run completed anyway
     assert(summary.ddlErrors.exists { case (sql, msg) =>
       sql.contains("big_pkey") && msg.contains("index blew up") })
+    // and its PK attach was skipped — attaching a PK USING a missing
+    // index would have aborted the post phase
+    assert(!summary.postDdl.exists(_.contains("big_pkey")))
+  }
+
+  test("post-phase DDL failures are collected, not fatal") {
+    val m = new Migrator(
+      executeDdl = (sql, _) =>
+        if (sql.startsWith("ALTER TABLE") && sql.contains("FOREIGN KEY"))
+          throw new RuntimeException("fkey violation")
+        else (),
+      loadTable = (t, _) => (t.rowCountEstimate, 0L))
+    val summary = m.migrate(mkCatalog,
+      defaults = DefaultCastRules.mysql, resetSequences = false)
+    assert(summary.failedTables.isEmpty)
+    assert(summary.ddlErrors.exists { case (sql, msg) =>
+      sql.contains("FOREIGN KEY") && msg.contains("fkey violation") })
+    // failed FK DDL is not recorded as applied
+    assert(!summary.postDdl.exists(_.contains("FOREIGN KEY")))
   }
 
   test("identifier collision check fails fast") {

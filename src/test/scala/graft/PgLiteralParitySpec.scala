@@ -37,7 +37,16 @@ class PgLiteralParitySpec extends SparkSpec {
     Instant.parse("2004-10-02T15:29:52Z"),
     Instant.parse("2004-10-02T15:29:52.500000Z"),
     Instant.parse("1999-12-31T23:59:59.000001Z"),
-    Instant.parse("2024-02-29T00:00:00Z"))
+    Instant.parse("2024-02-29T00:00:00Z"),
+    // UTC wall clock 07:30 lands inside America/New_York's 2024 DST
+    // spring-forward gap (02:00–03:00 local on Mar 10) — a renderer that
+    // round-trips through the session zone's local calendar resolves it
+    // an hour off
+    Instant.parse("2024-03-10T07:30:00Z"),
+    // and one inside the fall-back overlap (01:30 local occurs twice)
+    Instant.parse("2024-11-03T05:30:00Z"),
+    // pre-epoch: negative unix_micros with a fractional second
+    Instant.parse("1969-12-31T23:59:59.250000Z"))
 
   test("timestamps render the UTC instant under any session time zone") {
     // half-hour and DST zones — exactly where date_format alone shifts
