@@ -611,6 +611,50 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.1 PG ctid-style predicate-partitioned scan: the reference splits
+    // a PG heap into ctid block ranges (pgsql.clj:206-208, 313-345) and
+    // runs one COPY per range; Spark's execution path for that is
+    // spark.read.jdbc(url, table, predicates, props) — one partition per
+    // WHERE clause (JdbcSource.readWithPredicates). No live PG in this
+    // container, so the SAME API is exercised against embedded Derby with
+    // key-range predicates shaped exactly like pgsqlCtidPredicates
+    // (half-open ranges, unbounded last) — disjoint + covering, so the
+    // union of partitions is the table.
+    "jdbc_predicates_read" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").cast("int").as("k"),
+          col("c_name").as("nm"),
+          col("c_acctbal").cast("double").as("bal"))
+      val dbPath =
+        new java.io.File(scratch("jdbc_pred_derby")).getAbsolutePath
+      val url = s"jdbc:derby:$dbPath;create=true"
+      val props = new java.util.Properties
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE CUST_SRC (
+               K INT NOT NULL PRIMARY KEY,
+               NM VARCHAR(40),
+               BAL DOUBLE)""")
+        st.close()
+      } finally conn.close()
+      val sink = new graft.sinks.CopySink(endpointFactory = _ =>
+        new graft.sinks.JdbcInsertEndpoint(url, new java.util.Properties,
+          "INSERT INTO CUST_SRC (K, NM, BAL) VALUES (?, ?, ?)", 3))
+      sink.write(c.repartition(4))
+      val preds = Seq( // ctid-range shape: '(0,0)'≤ … <'(500,0)', etc.
+        "K < 500", "K >= 500 AND K < 1000", "K >= 1000")
+      val df = graft.sources.JdbcSource.readWithPredicates(
+        s, url, props, "CUST_SRC", preds)
+      require(df.rdd.getNumPartitions == preds.length,
+        s"predicate read must give one partition per range, got " +
+          s"${df.rdd.getNumPartitions}")
+      df.select(col("K").cast("long").as("k"), col("NM").as("nm"),
+          col("BAL").as("bal"))
+        .orderBy(col("k"))
+    }),
+
     // §3.1 the DSL entry point: .load text → Parser → LoadCommand →
     // PlanBuilder → DataFrame, over a generated tab-separated file —
     // glob source, skip header, null-if, point USING sexp, upcase sexp.
@@ -1165,6 +1209,11 @@ object SparkEntry {
     "jdbc_migrate" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderkey % 5 = 0 ORDER BY o_orderkey""",
+
+    "jdbc_predicates_read" ->
+      """SELECT c_custkey AS k, c_name AS nm,
+         CAST(c_acctbal AS DOUBLE) AS bal
+         FROM customer WHERE c_custkey % 10 = 0 ORDER BY k""",
 
     "dbf_roundtrip" ->
       """SELECT n_nationkey, n_name,

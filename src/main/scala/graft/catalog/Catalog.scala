@@ -12,7 +12,12 @@ import org.apache.spark.sql.Column
   * A table carries BOTH the source shape (`fields`) and the target shape
   * (`columns`) — `cast` converts one to the other (catalog.lisp:371-388).
   */
-final case class Catalog(name: String, schemas: Seq[Schema] = Nil) {
+final case class Catalog(name: String, schemas: Seq[Schema] = Nil,
+                         /** PG extensions the target needs (CREATE
+                           * EXTENSION IF NOT EXISTS, core.clj:227-265) —
+                           * user-declared; [[Ddl.requiredExtensions]]
+                           * infers more from the cast column types. */
+                         extensions: Seq[String] = Nil) {
   def allTables: Seq[Table] = schemas.flatMap(_.tables)
 
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
@@ -184,6 +189,46 @@ object Ddl {
       f.onDelete.map(d => s" ON DELETE $d").getOrElse("") + ";"
 
   def truncate(t: Table): String = s"TRUNCATE ${t.schema}.${t.name};"
+
+  def createExtension(name: String): String =
+    s"""CREATE EXTENSION IF NOT EXISTS "$name";"""
+
+  /** Extensions implied by the cast catalog's target types/defaults
+    * (clojure core.clj:227-265: pgcrypto/uuid-ossp/ip4r/hstore): columns
+    * typed hstore/ip4r land broken without their extension, and
+    * uuid_generate_v4()/gen_random_uuid() defaults need uuid-ossp /
+    * pgcrypto. */
+  def requiredExtensions(cat: Catalog): Seq[String] = {
+    val types = cat.allTables.flatMap(_.columns.map(_.pgType.toLowerCase))
+    val defaults = cat.allTables
+      .flatMap(_.columns.flatMap(_.default.map(_.toLowerCase)))
+    Seq(
+      types.exists(_.startsWith("hstore")) -> "hstore",
+      types.exists(t => t.startsWith("ip4r") || t.startsWith("ip4") ||
+        t.startsWith("iprange")) -> "ip4r",
+      defaults.exists(_.contains("uuid_generate")) -> "uuid-ossp",
+      defaults.exists(_.contains("gen_random_uuid")) -> "pgcrypto"
+    ).collect { case (true, e) => e }
+  }
+
+  /** MySQL `ON UPDATE CURRENT_TIMESTAMP` emulation — PG has no column
+    * attribute for it, so the reference emits a plpgsql trigger per table
+    * (src/pgsql/pgsql-trigger.lisp; clojure ddl/common.clj:576-601). */
+  def onUpdateTriggerFunction(t: Table, cols: Seq[String]): String = {
+    val sets = cols.map(c => s"  NEW.$c = now();").mkString("\n")
+    s"""CREATE OR REPLACE FUNCTION ${t.schema}.on_update_current_timestamp_${t.name}()
+RETURNS trigger AS $$$$
+BEGIN
+$sets
+  RETURN NEW;
+END;
+$$$$ LANGUAGE plpgsql;"""
+  }
+
+  def onUpdateTrigger(t: Table): String =
+    s"CREATE TRIGGER on_update_current_timestamp BEFORE UPDATE " +
+      s"ON ${t.schema}.${t.name} FOR EACH ROW EXECUTE PROCEDURE " +
+      s"${t.schema}.on_update_current_timestamp_${t.name}();"
 
   def resetSequence(t: Table, column: String): String =
     s"SELECT setval(pg_get_serial_sequence('${t.schema}.${t.name}', " +

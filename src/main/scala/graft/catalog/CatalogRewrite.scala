@@ -71,4 +71,68 @@ object CatalogRewrite {
     }
     cat.copy(schemas = withMoves ++ newSchemas)
   }
+
+  /** PG index names are SCHEMA-scoped; sources like MySQL/MSSQL scope
+    * them per-table, so two tables can both carry `idx_name` and the
+    * second CREATE INDEX would collide. The reference uniquifies by
+    * appending the table OID (core.clj:746-753 "index name is not unique"
+    * → `name_oid`); with no OID available here the suffix is the position
+    * of the duplicate. First occurrence keeps its name. PK indexes are
+    * left alone — their names come from the table and stay unique. */
+  def uniquifyIndexNames(cat: Catalog): Catalog = {
+    val seen = scala.collection.mutable.Map.empty[(String, String), Int]
+    cat.copy(schemas = cat.schemas.map { s =>
+      s.copy(tables = s.tables.map { t =>
+        t.copy(indexes = t.indexes.map { i =>
+          val key = (s.name, i.name)
+          val n = seen.getOrElse(key, 0)
+          seen(key) = n + 1
+          if (n == 0) i
+          else i.copy(name = Identifiers.truncate63(s"${i.name}_$n"))
+        })
+      })
+    })
+  }
+}
+
+/** Source index WHERE-filter → PG expression rewrite
+  * (src/sources/mssql/mssql-index-filters.lisp:1-185): MSSQL emits
+  * filters like `([deleted]=(0) AND [type]<>N'x')`; PG wants
+  * `deleted = 0 AND type <> 'x'`. A tokenizing rewrite, not a full SQL
+  * parser — exactly the surface the reference's esrap rules cover:
+  * bracket-quoted identifiers, parenthesized numeric literals, N'…'
+  * unicode strings, IS [NOT] NULL, AND/OR, comparison operators. */
+object IndexFilters {
+
+  def mssqlToPg(filter: String): String = {
+    var s = filter.trim
+    // strip ONE level of wrapping parens if they enclose the whole expr
+    while (s.startsWith("(") && s.endsWith(")") && balanced(s.substring(1,
+        s.length - 1)))
+      s = s.substring(1, s.length - 1).trim
+    // [ident] → ident (quote if it needs it)
+    s = "\\[([^\\]]+)\\]".r.replaceAllIn(s, m => {
+      val id = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        if (Identifiers.needsQuoting(id.toLowerCase)) "\"" + id + "\""
+        else id.toLowerCase)
+    })
+    // N'…' unicode literals → plain literals
+    s = "N'".r.replaceAllIn(s, "'")
+    // (123) / (12.5) parenthesized numerics → bare
+    s = "\\((-?\\d+(?:\\.\\d+)?)\\)".r.replaceAllIn(s, "$1")
+    // spacing around comparison operators
+    s = s.replaceAll("\\s*(<>|<=|>=|!=|=|<|>)\\s*", " $1 ")
+    s.replaceAll("\\s+", " ").trim
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1
+      case ')' => depth -= 1; if (depth < 0) return false
+      case _ =>
+    }
+    depth == 0
+  }
 }

@@ -708,7 +708,14 @@ private final class Parser(in: String) {
         cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
       else if (tryKw("WITH"))
         cmd = cmd.copy(options = cmd.options ++ parseWithOptions())
-      else more = false
+      else if (tryKws("DECODING", "TABLE", "NAMES", "MATCHING")) {
+        // per-name charset override — matched against the source file's
+        // base name / target table at plan-build time
+        val pats = namePatternList()
+        expectKw("AS")
+        val enc = tryQuoted().getOrElse(ident())
+        cmd = cmd.copy(decodingAs = cmd.decodingAs ++ pats.map(_ -> enc))
+      } else more = false
     }
     trySym(';')
     cmd

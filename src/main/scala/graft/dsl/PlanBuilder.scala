@@ -79,11 +79,29 @@ object PlanBuilder {
       case "fixed" => readFixed(spark, cmd, path)
       case "copy" => readCopy(spark, cmd, path)
       case "dbf" => graft.sources.DbfSource.read(spark, path,
-        cmd.encoding.getOrElse("ISO-8859-1"))
+        effectiveEncoding(cmd, path, "ISO-8859-1"))
       case t => throw new UnsupportedOperationException(
         s"load type '$t' is not a file dataflow")
     }
     project(raw, cmd)
+  }
+
+  /** `DECODING TABLE NAMES MATCHING ~/re/ AS charset` (Parser:792;
+    * reference src/sources/mysql/mysql.lisp:219-237 applies per-name
+    * charsets where names/files arrive in a non-default encoding): the
+    * first rule whose pattern matches the file's base name — or the
+    * command's target table — overrides the command-level ENCODING. */
+  private[dsl] def effectiveEncoding(cmd: LoadCommand, path: String,
+                                     default: String): String = {
+    val bases = path.split(",").toSeq.map { p =>
+      val n = new java.io.File(p).getName
+      val dot = n.lastIndexOf('.')
+      if (dot > 0) n.substring(0, dot) else n
+    }
+    cmd.decodingAs.collectFirst {
+      case (pat, cs) if bases.exists(pat.matches) ||
+        cmd.targetTable.exists(pat.matches) => cs
+    }.getOrElse(cmd.encoding.getOrElse(default))
   }
 
   private def fieldNames(cmd: LoadCommand): Seq[String] =
@@ -101,7 +119,7 @@ object PlanBuilder {
       doubledQuote = !cmd.option("fields escaped by").contains("\\"),
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
-      encoding = cmd.encoding.getOrElse("UTF-8"),
+      encoding = effectiveEncoding(cmd, path, "UTF-8"),
       trimUnquoted = cmd.boolOption("trim unquoted blanks"))
     CsvSource.read(spark, path, dialect, fieldNames(cmd))
   }

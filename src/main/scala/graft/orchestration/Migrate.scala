@@ -37,8 +37,27 @@ final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
     sb.append("-" * 60).append('\n')
     sb.append(f"${"Total"}%-30s $totalRows%10d $totalRejected%8d " +
       f"${totalMillis / 1000.0}%7.1fs\n")
+    // tolerated failures must be VISIBLE in the report, not only in the
+    // Summary fields — the reference prints its error log inline
+    if (failedTables.nonEmpty) {
+      sb.append('\n').append("Failed tables:\n")
+      failedTables.foreach(t =>
+        sb.append(s"  ${t.schema}.${t.table}: ${t.error.getOrElse("?")}\n"))
+    }
+    if (ddlErrors.nonEmpty) {
+      sb.append('\n').append("DDL errors (tolerated):\n")
+      ddlErrors.foreach { case (sql, msg) =>
+        sb.append(s"  $sql\n    -> $msg\n")
+      }
+    }
     sb.toString
   }
+
+  /** Non-zero when anything went wrong — the CLI exit code
+    * (reference report-full-summary → *exit-code*). */
+  def exitCode: Int =
+    if (failedTables.nonEmpty || ddlErrors.nonEmpty || totalRejected > 0) 1
+    else 0
 }
 
 /** The migrate-database orchestrator (migrate-database.lisp:326-574;
@@ -112,6 +131,9 @@ final class Migrator(
     var cat = CatalogRewrite.filter(cat0, including, excluding)
     cat = CatalogRewrite.alterSchema(cat, alterSchema)
     cat = CatalogRewrite.alterTable(cat, alterTable)
+    // source index names are table-scoped; PG's are schema-scoped
+    // (core.clj:746-753) — dedupe before any CREATE INDEX
+    cat = CatalogRewrite.uniquifyIndexNames(cat)
     val collisions = Identifiers.collisions(
       cat.allTables.map(t => s"${t.schema}.${t.name}"))
     require(collisions.isEmpty,
@@ -123,6 +145,11 @@ final class Migrator(
     def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
+    // extensions before any table DDL — a column typed hstore/ip4r or
+    // defaulted with uuid_generate_v4() needs its extension installed
+    // first (core.clj:227-265)
+    (cat.extensions ++ Ddl.requiredExtensions(cat)).distinct
+      .foreach(e => preDdl(Ddl.createExtension(e)))
     // dynamic ENUM types for enum/set source columns, and rewrite the
     // column's placeholder pg type to the registered type name
     // (mysql-cast-rules.lisp:260-301; ddl/common.clj:557-574)
@@ -210,7 +237,15 @@ final class Migrator(
 
     // ---- 4. post phase (complete-pgsql-database :153-250) — failure
     // tolerant like the index phase: a bad FK or comment is collected in
-    // ddlErrors, it does not abort the migration
+    // ddlErrors, it does not abort the migration. Tables whose COPY failed
+    // are excluded from ALL post-phase DDL, like the reference's
+    // @failed-tables set — attaching a PK to a half-loaded table or an FK
+    // referencing one would either fail or, worse, succeed misleadingly.
+    val failedCopies: Set[(String, String)] =
+      stats.asScala.filter(_.error.nonEmpty)
+        .map(s => (s.schema, s.table)).toSet
+    val okTables = cat.allTables
+      .filterNot(t => failedCopies((t.schema, t.name)))
     val post = Seq.newBuilder[String]
     def postDdl(sql: String): Unit =
       try { ddl(sql); post += sql } catch {
@@ -218,23 +253,35 @@ final class Migrator(
           ddlErrors.add((sql, Option(e.getMessage).getOrElse(e.toString)))
       }
     if (withIndexes)
-      cat.allTables.foreach(t => t.indexes.filter(_.primary)
+      okTables.foreach(t => t.indexes.filter(_.primary)
         // an index whose build failed has nothing to attach the PK to
         .filterNot(i => failedIndexes.contains((t.schema, i.name)))
         .foreach(i => postDdl(Ddl.attachPrimaryKey(i, t.schema))))
     if (withFKeys)
-      cat.allTables.foreach(t =>
-        t.fkeys.foreach(f => postDdl(Ddl.addFKey(f, t.schema))))
+      okTables.foreach(t =>
+        // the REFERENCED side of an FK must have loaded too
+        t.fkeys.filterNot(f => failedCopies((t.schema, f.foreignTable)))
+          .foreach(f => postDdl(Ddl.addFKey(f, t.schema))))
     if (resetSequences)
-      cat.allTables.foreach(t =>
+      okTables.foreach(t =>
         t.columns.filter(c => c.pgType == "serial" || c.pgType == "bigserial")
           .foreach(c => postDdl(Ddl.resetSequence(t, c.name))))
-    cat.allTables.foreach { t =>
+    okTables.foreach { t =>
       t.checks.zipWithIndex.foreach { case (expr, i) =>
         postDdl(Ddl.addCheck(t, s"${t.name}_check_$i", expr)) }
       t.comment.foreach(cm => postDdl(Ddl.commentOnTable(t, cm)))
       t.columns.foreach(c =>
         c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
+    }
+    // MySQL ON UPDATE CURRENT_TIMESTAMP → plpgsql trigger emulation
+    // (pgsql-trigger.lisp; ddl/common.clj:576-601). Created AFTER the data
+    // phase so the bulk load never fires them.
+    okTables.foreach { t =>
+      val cols = t.fields.filter(_.onUpdateCurrentTimestamp).map(_.name)
+      if (cols.nonEmpty) {
+        postDdl(Ddl.onUpdateTriggerFunction(t, cols))
+        postDdl(Ddl.onUpdateTrigger(t))
+      }
     }
     // no replica-role restore needed: the role was per-connection session
     // setup, and every connection that carried it is closed by now

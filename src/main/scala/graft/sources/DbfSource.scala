@@ -122,6 +122,29 @@ object DbfSource {
       untilTerminator(o) // dBase III
   }
 
+  // ONE Hadoop-conf broadcast per SparkSession, not one per read — a
+  // broadcast is never GC-eligible while its session lives, so a
+  // per-read broadcast leaks for the session lifetime when reading many
+  // DBF directories. Weak keys let the entry die with the session.
+  private val confBroadcasts = new java.util.WeakHashMap[
+    SparkSession,
+    org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration]]
+
+  private[graft] def hadoopConfBroadcast(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.SerializableConfiguration] =
+    confBroadcasts.synchronized {
+      var bc = confBroadcasts.get(spark)
+      if (bc == null) {
+        bc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        confBroadcasts.put(spark, bc)
+      }
+      bc
+    }
+
   /** Distributed read: every matched file becomes one binaryFile row;
     * records are sliced on executors. All columns StringType (fidelity
     * mode — type conversion happens via the db3 transform family). Memo
@@ -139,9 +162,7 @@ object DbfSource {
     // ship the session's Hadoop conf to executors — the memo-file lookup
     // must see the same FS settings (s3a credentials, custom schemes) the
     // .dbf binaryFile scan used, not a default Configuration()
-    val hadoopConfBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
+    val hadoopConfBc = hadoopConfBroadcast(spark)
     val rows = files.rdd.flatMap { r =>
       val bytes = r.getAs[Array[Byte]]("content")
       val h = parseHeader(bytes) // every file reparses its own header

@@ -214,6 +214,26 @@ object JdbcSource {
       case _ => reader.load()
     }
   }
+
+  /** Predicate-partitioned read — ONE JDBC partition per WHERE clause
+    * (`spark.read.jdbc(url, table, predicates, props)`). This is the
+    * execution path for scans that cannot split on an integer column:
+    * the reference's PG heap scan splits on ctid block ranges
+    * (clojure/src/pgloader/source/pgsql.clj:206-208, 313-345) and runs
+    * one COPY per range; here each range string becomes one Spark task.
+    * Predicates must be disjoint and cover the table, or rows duplicate
+    * or drop — [[IntrospectionSql.pgsqlCtidPredicates]] guarantees both. */
+  def readWithPredicates(spark: SparkSession, url: String, props: Properties,
+                         table: String, predicates: Seq[String]): DataFrame =
+    spark.read.jdbc(url, table, predicates.toArray, props)
+
+  /** PG heap read split by ctid block ranges; `relpages` comes from
+    * `pg_class.relpages` (pgsql.clj:206-208). */
+  def readPgByCtid(spark: SparkSession, url: String, props: Properties,
+                   table: String, relpages: Long,
+                   pagesPerChunk: Long = 10000L): DataFrame =
+    readWithPredicates(spark, url, props, table,
+      IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk))
 }
 
 /** Per-type SELECT expressions for the source query — some types must be

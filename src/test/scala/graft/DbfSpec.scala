@@ -82,4 +82,11 @@ class DbfSpec extends SparkSpec {
     assert(DbfSource.pgType(DbfField("a", 'D', 8, 0)) == "date")
     assert(DbfSource.pgType(DbfField("a", 'L', 1, 0)) == "boolean")
   }
+
+  test("hadoop-conf broadcast is cached per session, not leaked per read") {
+    val b1 = DbfSource.hadoopConfBroadcast(spark)
+    val b2 = DbfSource.hadoopConfBroadcast(spark)
+    assert(b1 eq b2, "each read must reuse the session's one broadcast")
+    assert(b1.id == b2.id)
+  }
 }

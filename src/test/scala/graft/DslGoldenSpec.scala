@@ -53,4 +53,32 @@ class DslGoldenSpec extends SparkSpec {
     assert(missing == 0 && extra == 0,
       s"golden mismatch: missing=$missing extra=$extra")
   }
+
+  test("DECODING TABLE NAMES MATCHING overrides the read encoding") {
+    // a latin-1 file: 'café,münchen' with real 0xE9/0xFC bytes — read as
+    // UTF-8 these bytes are malformed and would mangle to U+FFFD
+    val dir = java.nio.file.Files.createTempDirectory("decoding").toFile
+    val f = new java.io.File(dir, "accents_latin.csv")
+    val out = new java.io.FileOutputStream(f)
+    out.write("1,café\n2,münchen\n".getBytes("ISO-8859-1"))
+    out.close()
+    val loadText =
+      s"""LOAD CSV
+         FROM '${f.getAbsolutePath}'
+         HAVING FIELDS (id, name)
+         INTO postgresql:///graft
+         TARGET TABLE accents
+         DECODING TABLE NAMES MATCHING ~/accents/ AS latin1"""
+    val cmd = Parser.parse(loadText)
+    assert(cmd.decodingAs.nonEmpty)
+    val got = PlanBuilder.build(spark, cmd)
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    assert(got == Seq("café", "münchen"), s"bad decode: $got")
+    // same file WITHOUT the decoding rule → UTF-8 default mangles bytes
+    val plain = Parser.parse(loadText.split("DECODING")(0))
+    val mangled = PlanBuilder.build(spark, plain)
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    assert(mangled != Seq("café", "münchen"),
+      "control: latin-1 bytes must NOT survive a UTF-8 read")
+  }
 }

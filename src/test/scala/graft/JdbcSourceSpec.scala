@@ -139,4 +139,15 @@ class JdbcSourceSpec extends AnyFunSuite {
       "ctid >= '(10,0)' AND ctid < '(20,0)'",
       "ctid >= '(20,0)'"))
   }
+
+  test("predicate-partitioned read: one partition per range, full union") {
+    val spark = SparkSpec.session
+    val preds = Seq("N_ID < 2", "N_ID >= 2") // disjoint + covering
+    val df = JdbcSource.readWithPredicates(spark, url,
+      new java.util.Properties, "APP.NATIONS", preds)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2) // no dup, no drop
+    assert(df.select("N_ID").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2))
+  }
 }

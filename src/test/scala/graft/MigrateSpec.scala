@@ -204,6 +204,159 @@ class MigrateSpec extends AnyFunSuite {
     assert(!summary.postDdl.exists(_.contains("FOREIGN KEY")))
   }
 
+  test("render surfaces failed tables and ddl errors; exitCode nonzero") {
+    val m = new Migrator(
+      executeDdl = (sql, _) =>
+        if (sql.startsWith("CREATE UNIQUE INDEX") && sql.contains("big_pkey"))
+          throw new RuntimeException("index blew up")
+        else (),
+      loadTable = (t, _) =>
+        if (t.name == "mid") throw new RuntimeException("disk full")
+        else (t.rowCountEstimate, 0L))
+    val summary = m.migrate(mkCatalog,
+      defaults = DefaultCastRules.mysql,
+      withFKeys = false, resetSequences = false)
+    val out = summary.render
+    // tolerated failures are VISIBLE in the report text
+    assert(out.contains("Failed tables:"))
+    assert(out.contains("public.mid: disk full"))
+    assert(out.contains("DDL errors (tolerated):"))
+    assert(out.contains("index blew up"))
+    assert(summary.exitCode == 1)
+
+    val clean = new Migrator((_, _) => (),
+      (t, _) => (t.rowCountEstimate, 0L))
+    val ok = clean.migrate(mkCatalog, defaults = DefaultCastRules.mysql)
+    assert(!ok.render.contains("Failed tables:"))
+    assert(ok.exitCode == 0)
+  }
+
+  test("post-phase DDL is skipped for tables whose copy failed") {
+    // big's COPY fails → no PK attach for big, no sequence reset for big,
+    // and mid's FK (which REFERENCES big) is skipped too
+    val events = new ConcurrentLinkedQueue[String]
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (t, _) =>
+        if (t.name == "big") throw new RuntimeException("copy died")
+        else (t.rowCountEstimate, 0L))
+    val summary = m.migrate(mkCatalog, defaults = DefaultCastRules.mysql)
+    assert(summary.failedTables.map(_.table) == Seq("big"))
+    // no post-phase DDL touches the failed table
+    assert(!summary.postDdl.exists(_.contains("big_pkey")))
+    assert(!summary.postDdl.exists(sql =>
+      sql.contains("setval") && sql.contains("public.big")))
+    // mid's FK references big → skipped; mid's own PK still attaches
+    assert(!summary.postDdl.exists(_.contains("FOREIGN KEY")))
+    assert(summary.postDdl.exists(_.contains("mid_pkey")))
+    // and none of it was even ATTEMPTED (not just unrecorded)
+    assert(!events.asScala.exists(e =>
+      e.contains("ADD PRIMARY KEY") && e.contains("big_pkey")))
+    assert(!events.asScala.exists(_.contains("FOREIGN KEY")))
+  }
+
+  test("on-update-current-timestamp triggers and extensions DDL") {
+    val events = new ConcurrentLinkedQueue[String]
+    val cat = Catalog("c",
+      schemas = Seq(Schema("public", tables = Seq(Table(
+        name = "posts", schema = "public", rowCountEstimate = 1,
+        fields = Seq(
+          SourceColumn("posts", "id", "int(10)"),
+          SourceColumn("posts", "updated_at", "timestamp",
+            onUpdateCurrentTimestamp = true)))))),
+      extensions = Seq("ip4r"))
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (_, _) => { events.add("LOAD:posts"); (1L, 0L) })
+    val summary = m.migrate(cat, defaults = DefaultCastRules.mysql,
+      withIndexes = false, withFKeys = false, resetSequences = false)
+    val ev = events.asScala.toSeq
+    // extension DDL in the PRE phase, before any CREATE TABLE
+    val extIdx = ev.indexWhere(_.startsWith(
+      """CREATE EXTENSION IF NOT EXISTS "ip4r""""))
+    val createIdx = ev.indexWhere(_.startsWith("CREATE TABLE"))
+    assert(extIdx >= 0 && createIdx > extIdx)
+    assert(summary.preDdl.exists(_.contains("ip4r")))
+    // trigger function + trigger in the POST phase, after the load —
+    // the bulk copy must never fire the trigger
+    val loadIdx = ev.indexOf("LOAD:posts")
+    val fnIdx = ev.indexWhere(_.contains(
+      "FUNCTION public.on_update_current_timestamp_posts"))
+    val trgIdx = ev.indexWhere(_.startsWith(
+      "CREATE TRIGGER on_update_current_timestamp"))
+    assert(fnIdx > loadIdx && trgIdx > fnIdx)
+    assert(ev(fnIdx).contains("NEW.updated_at = now()"))
+    assert(ev(trgIdx).contains("BEFORE UPDATE ON public.posts"))
+    assert(ev(trgIdx).contains(
+      "EXECUTE PROCEDURE public.on_update_current_timestamp_posts()"))
+
+    // a failed copy skips its trigger DDL like all other post-phase DDL
+    val m2 = new Migrator(
+      executeDdl = (_, _) => (),
+      loadTable = (_, _) => throw new RuntimeException("copy died"))
+    val s2 = m2.migrate(cat, defaults = DefaultCastRules.mysql,
+      withIndexes = false, withFKeys = false, resetSequences = false)
+    assert(!s2.postDdl.exists(_.contains("on_update_current_timestamp")))
+  }
+
+  test("extensions inferred from cast column types and defaults") {
+    val cat = Catalog("c", Seq(Schema("public", tables = Seq(Table(
+      name = "t", schema = "public",
+      columns = Seq(
+        ColumnDef("tags", "hstore", org.apache.spark.sql.types.StringType),
+        ColumnDef("id", "uuid", org.apache.spark.sql.types.StringType,
+          default = Some("uuid_generate_v4()"))))))))
+    assert(Ddl.requiredExtensions(cat) == Seq("hstore", "uuid-ossp"))
+    assert(Ddl.requiredExtensions(
+      Catalog("e", Seq(Schema("public")))) == Nil)
+  }
+
+  test("duplicate index names across tables are uniquified") {
+    def tbl(name: String, schema: String = "public") = Table(
+      name = name, schema = schema, rowCountEstimate = 1,
+      fields = Seq(SourceColumn(name, "id", "int(10)")),
+      indexes = Seq(Index("idx_common", name, columns = Seq("id"))))
+    val cat = Catalog("c", Seq(
+      Schema("public", tables = Seq(tbl("a"), tbl("b"))),
+      // same index name in ANOTHER schema: no collision, left alone
+      Schema("other", tables = Seq(tbl("c", "other")))))
+    val uniq = CatalogRewrite.uniquifyIndexNames(cat)
+    val pub = uniq.schemas.find(_.name == "public").get
+    assert(pub.tables.flatMap(_.indexes).map(_.name) ==
+      Seq("idx_common", "idx_common_1"))
+    assert(uniq.schemas.find(_.name == "other").get
+      .tables.flatMap(_.indexes).map(_.name) == Seq("idx_common"))
+    // end-to-end: the emitted CREATE INDEX statements don't collide
+    val events = new ConcurrentLinkedQueue[String]
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (t, _) => (1L, 0L))
+    m.migrate(cat, defaults = DefaultCastRules.mysql,
+      withFKeys = false, resetSequences = false)
+    val creates = events.asScala.toSeq.filter(_.startsWith("CREATE INDEX"))
+    assert(creates.size == 3)
+    // uniqueness is PER SCHEMA: (schema, index-name) pairs are distinct
+    val pairs = creates.map { c =>
+      (c.split(" ")(4).split("\\.")(0), c.split(" ")(2))
+    }
+    assert(pairs.distinct.size == 3,
+      s"index names must be unique per schema: $creates")
+  }
+
+  test("mssql index WHERE filters rewrite to PG and emit in DDL") {
+    import graft.catalog.IndexFilters.mssqlToPg
+    assert(mssqlToPg("([deleted]=(0))") == "deleted = 0")
+    assert(mssqlToPg("[type]<>N'archived'") == "type <> 'archived'")
+    assert(mssqlToPg("([a]=(1) AND [b] IS NOT NULL)") ==
+      "a = 1 AND b IS NOT NULL")
+    assert(mssqlToPg("([price]>=(12.50))") == "price >= 12.50")
+    // filtered index → partial-index DDL
+    val ddl = Ddl.createIndex(Index("idx_live", "docs",
+      columns = Seq("id"), filter = Some(mssqlToPg("([deleted]=(0))"))))
+    assert(ddl ==
+      "CREATE INDEX idx_live ON public.docs (id) WHERE deleted = 0;")
+  }
+
   test("identifier collision check fails fast") {
     val longA = "public." + ("x" * 62) + "a"
     val longB = ("x" * 62) + "b"
