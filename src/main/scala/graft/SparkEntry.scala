@@ -738,6 +738,12 @@ object SparkEntry {
       // cuts per-microbatch state overhead
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // update mode emits on CHANGE during data batches; the extra
+      // no-data micro-batch Spark schedules after a watermark advance
+      // only matters for append finalization / state eviction, and on
+      // this finite source it costs a full state-store round for zero
+      // emitted rows
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       // streaming file source wants a directory: glob-filter the table
       val stream = s.readStream.schema(rawSchema)
@@ -751,12 +757,19 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("total_value"))
       // foreachBatch → CopySink (SURVEY §7.10): every micro-batch writes
-      // its windowed snapshot through the distributed COPY sink — nothing
-      // accumulates on the driver (the memory sink is test scaffolding
-      // only). Complete mode: each batch replaces the prior snapshot dir.
+      // through the distributed COPY sink — nothing accumulates on the
+      // driver (the memory sink is test scaffolding only). UPDATE mode:
+      // each batch emits only the windows that CHANGED in that batch, so
+      // per-batch sink I/O is proportional to the batch, not to the
+      // ever-growing window keyspace (complete mode rewrites the whole
+      // snapshot every micro-batch — unbounded at 100× with a growing
+      // window range). The sink is merge-on-read: batch dirs are keyed
+      // by batchId, and the read takes the LATEST emission per
+      // (window, event_type) — the standard upsert-sink contract for
+      // update-mode streams.
       val outRoot = new java.io.File(scratch("events_stream_sink"))
         .getAbsolutePath
-      val q = agg.writeStream.outputMode("complete")
+      val q = agg.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val flat = batch.select(
             col("window.start").as("w_start"), col("event_type"),
@@ -778,11 +791,33 @@ object SparkEntry {
         }
         .start()
       q.processAllAvailable(); q.stop()
-      val last = new java.io.File(outRoot).listFiles()
-        .filter(_.getName.startsWith("batch-"))
-        .maxBy(_.getName.stripPrefix("batch-").toLong).getAbsolutePath
-      CopyText.read(s, last,
-          Seq("w_start", "event_type", "n", "total_value"))
+      // merge-on-read: union every batch's emissions, keep the latest
+      // row per key (later batchId wins — it carries the updated agg)
+      val batchDirs = new java.io.File(outRoot).listFiles()
+        .filter(d => d.getName.startsWith("batch-") &&
+          d.listFiles() != null && d.listFiles().nonEmpty)
+        .sortBy(_.getName.stripPrefix("batch-").toLong)
+      val merged =
+        if (batchDirs.length == 1)
+          // single emission → nothing to merge, skip the dedupe shuffle
+          CopyText.read(s, batchDirs.head.getAbsolutePath,
+            Seq("w_start", "event_type", "n", "total_value"))
+        else {
+          val emissions = batchDirs.map { d =>
+            CopyText.read(s, d.getAbsolutePath,
+                Seq("w_start", "event_type", "n", "total_value"))
+              .withColumn("__batch",
+                lit(d.getName.stripPrefix("batch-").toLong))
+          }.reduce(_ unionAll _)
+          val latest = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("w_start"), col("event_type"))
+            .orderBy(col("__batch").desc)
+          emissions
+            .withColumn("__rn", row_number().over(latest))
+            .filter(col("__rn") === 1)
+            .drop("__batch", "__rn")
+        }
+      merged
         .select(col("w_start").cast("timestamp").as("w_start"),
           col("event_type"), col("n").cast("long").as("n"),
           col("total_value").cast("double").as("total_value"))

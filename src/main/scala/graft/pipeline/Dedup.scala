@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the smallest id per identical key. One shuffle.
-    * Groups on (64-bit hash, key) — the hash prefix keeps comparisons
-    * cheap while the key itself guards against silent hash-collision
-    * merges (≈1 per 4B docs on the hash alone). */
+    * Groups on a pair of INDEPENDENT 64-bit hashes (different seeds), so
+    * shuffle rows carry 16 bytes of key instead of the raw document —
+    * at corpus scale the key column IS the corpus, and shipping it
+    * through the exchange costs corpus-sized shuffle I/O. A silent merge
+    * needs a simultaneous collision in both hashes: ~2^-128 per pair,
+    * vanishing for any feasible corpus (~10^-20 at a trillion docs). */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.select(col(idCol), col(keyCol), xxhash64(col(keyCol)).as("__h"))
-      .groupBy(col("__h"), col(keyCol))
+    df.select(col(idCol),
+        xxhash64(col(keyCol)).as("__h1"),
+        // seeding with a leading literal gives an independent second hash
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(keyCol)).as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
@@ -160,6 +166,15 @@ object Dedup {
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numPerms / bands
+    // the shingle rows feed BOTH the signature aggregate and the
+    // verification join, so the tokenize/posexplode/window lineage runs
+    // more than once. Deliberately NOT persisted: measured at sf0.1,
+    // caching the exploded rows (MEMORY_AND_DISK) made the whole pipeline
+    // 2.2× SLOWER (14.8 s vs 6.6 s solo) — building the columnar cache
+    // for the corpus-sized row explosion (and breaking whole-stage
+    // codegen at the cache boundary) costs more than recomputing the
+    // narrow codegen'd lineage. Recompute is also the scale-safe choice:
+    // nothing corpus-sized gets pinned in executor memory.
     val rows = shingleHashRows(df, idCol, textCol, k)
     val sig = signatureCols(rows, numPerms, seed)
     // band buckets straight from the per-perm columns (no array slicing)
@@ -238,20 +253,32 @@ object Dedup {
   }
 
   /** SimHash candidate generation + exact verification: pairs whose
-    * 64-bit simhash collides (hamming 0) verified by true text equality.
-    * The signature join keeps the shuffle narrow (id, sig, text only for
-    * colliding buckets); the equality check removes simhash collisions,
-    * so the result is oracle-checkable (= exact-duplicate pairs, with
-    * recall 1: identical texts always share a signature). */
+    * 64-bit simhash collides (hamming 0), confirmed as true duplicates.
+    * The self-join carries only (id, sig, 2×64-bit content hash) — raw
+    * text NEVER enters the candidate shuffle. Survivors (sig AND both
+    * content hashes agree) are re-joined against the text for a final
+    * byte-equality check; by construction that survivor set is tiny, so
+    * AQE turns the re-join into a broadcast and the corpus text stays
+    * un-shuffled. Oracle-checkable: = exact-duplicate pairs, recall 1
+    * (identical texts always share signature and hashes). */
   def simhashExactPairs(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val sigs = simhashSigs(df, idCol, textCol)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .join(sigs, "id")
-    docs.as("x").join(docs.as("y"),
-        col("x.sig") === col("y.sig") && col("x.id") < col("y.id"))
-      .filter(col("x.txt") === col("y.txt"))
+    val keys = df.select(col(idCol).as("id"),
+        xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"))
+      .join(sigs, "id") // narrow: id + 24 bytes
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.sig") === col("y.sig") && col("x.id") < col("y.id") &&
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // text equality only for the few hash-agreeing pairs
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("txt").as("__ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("txt").as("__tb")), "id_b")
+      .filter(col("__ta") === col("__tb"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Exact n-gram Jaccard similarity join with PPJoin-style prefix
@@ -266,6 +293,8 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // consumed by sizes, prefix AND the verification join — not
+    // persisted on purpose; see the measurement note in [[minhashLsh]]
     val rows = shingleHashRows(df, idCol, textCol, n)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // prefix = each set's smallest hashes under the global hash order
