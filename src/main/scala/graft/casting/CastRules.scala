@@ -277,6 +277,12 @@ object DefaultCastRules {
     r(RuleSource(Some("char")), RuleTarget("text", StringType)),
     r(RuleSource(Some("clob")), RuleTarget("text", StringType)),
     r(RuleSource(Some("text")), RuleTarget("text", StringType)),
+    // INTEGER PRIMARY KEY aliases the rowid → bigserial
+    // (sqlite.lisp default cast rules, auto-increment guard)
+    r(RuleSource(Some("integer"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
+    r(RuleSource(Some("int"), autoIncrement = Some(true)),
+      RuleTarget("bigserial", LongType)),
     r(RuleSource(Some("integer")), RuleTarget("bigint", LongType),
       Some("integer-to-string")),
     r(RuleSource(Some("int")), RuleTarget("bigint", LongType),

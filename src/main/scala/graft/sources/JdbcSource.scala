@@ -360,3 +360,111 @@ object IntrospectionSql {
     }
   }
 }
+
+/** Catalog construction from the per-engine introspection ROW SHAPES —
+  * decoupled from any live driver. Callers run the [[IntrospectionSql]]
+  * queries over whatever connection they have and feed the result rows
+  * here; the mapping logic (type reconstruction, PK/FK assembly,
+  * auto-increment detection) is what the reference implements per source
+  * (sqlite-schema.lisp, mssql-schema.lisp) and is fully unit-testable
+  * without the engines being present. */
+object IntrospectionRows {
+
+  /** One `PRAGMA table_info(t)` row: (cid, name, type, notnull,
+    * dflt_value, pk). */
+  final case class SqliteColumn(cid: Int, name: String, ctype: String,
+                                notNull: Boolean, default: Option[String],
+                                pk: Int)
+  /** `PRAGMA index_list` + `index_info` merged: origin `c` = user index,
+    * `u` = UNIQUE constraint, `pk` = the implicit PK index. */
+  final case class SqliteIndex(name: String, unique: Boolean,
+                               columns: Seq[String], origin: String = "c")
+  /** One `PRAGMA foreign_key_list(t)` row (id groups composite keys). */
+  final case class SqliteFk(id: Int, seq: Int, table: String,
+                            from: String, to: String)
+
+  /** sqlite-schema.lisp list-columns semantics: a missing/empty type
+    * under SQLite's dynamic typing is text; `INTEGER PRIMARY KEY` (single
+    * pk column) aliases the rowid → auto-increment; pk columns are
+    * implicitly NOT NULL. */
+  def sqliteTable(name: String, cols: Seq[SqliteColumn],
+                  indexes: Seq[SqliteIndex] = Nil,
+                  fks: Seq[SqliteFk] = Nil,
+                  rowCount: Long = 0L): Table = {
+    val pkCount = cols.count(_.pk > 0)
+    val fields = cols.sortBy(_.cid).map { c =>
+      val ct = Option(c.ctype).map(_.trim.toLowerCase).filter(_.nonEmpty)
+        .getOrElse("text")
+      SourceColumn(
+        table = name, name = c.name, ctype = ct,
+        default = c.default,
+        nullable = !c.notNull && c.pk == 0,
+        autoIncrement = c.pk == 1 && pkCount == 1 && ct.startsWith("int"))
+    }
+    val pkCols = cols.filter(_.pk > 0).sortBy(_.pk).map(_.name)
+    val pkIndex =
+      if (pkCols.nonEmpty)
+        Seq(Index(s"${name}_pkey", name, primary = true, unique = true,
+          columns = pkCols))
+      else Nil
+    val others = indexes.filterNot(_.origin == "pk")
+      .map(i => Index(i.name, name, unique = i.unique, columns = i.columns))
+    val fkeys = fks.groupBy(_.id).toSeq.sortBy(_._1).map { case (id, rows) =>
+      val sorted = rows.sortBy(_.seq)
+      FKey(s"${name}_fk_$id", name, sorted.map(_.from),
+        sorted.head.table, sorted.map(_.to))
+    }
+    Table(name = name, schema = "main", sourceName = name,
+      rowCountEstimate = rowCount, fields = fields,
+      indexes = pkIndex ++ others, fkeys = fkeys)
+  }
+
+  /** One row of [[IntrospectionSql.mssqlColumns]] (sys.columns joined to
+    * sys.types/default_constraints). `maxLength` is BYTES (-1 = MAX). */
+  final case class MssqlColumn(schema: String, table: String, name: String,
+                               typeName: String, maxLength: Int,
+                               precision: Int, scale: Int,
+                               nullable: Boolean, identity: Boolean,
+                               default: Option[String])
+
+  /** Reconstruct the typemod'd ctype the cast guards expect
+    * (mssql-schema.lisp:54-132): n(var)char lengths are in UTF-16 code
+    * units = bytes/2; -1 means MAX → no typemod. */
+  def mssqlCtype(c: MssqlColumn): String = c.typeName.toLowerCase match {
+    case t @ ("varchar" | "char" | "varbinary" | "binary") =>
+      if (c.maxLength < 0) t else s"$t(${c.maxLength})"
+    case t @ ("nvarchar" | "nchar") =>
+      if (c.maxLength < 0) t else s"$t(${c.maxLength / 2})"
+    case t @ ("decimal" | "numeric") => s"$t(${c.precision},${c.scale})"
+    case t => t
+  }
+
+  /** sys.default_constraints wraps values in parens: `((0))` → `0`,
+    * `('x')` → `'x'`, `(getdate())` → `getdate()`
+    * (mssql-schema.lisp default handling). */
+  def stripMssqlDefault(d: String): String = {
+    var s = d.trim
+    while (s.startsWith("(") && s.endsWith(")") && {
+      var depth = 0; var ok = true
+      val inner = s.substring(1, s.length - 1)
+      inner.foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) ok = false
+        case _ =>
+      }
+      ok && depth == 0
+    }) s = s.substring(1, s.length - 1).trim
+    s
+  }
+
+  /** Group the flat sys.columns rows into catalog tables, ordered like
+    * the query (schema, table, column_id). */
+  def mssqlTables(rows: Seq[MssqlColumn]): Seq[Table] =
+    rows.groupBy(r => (r.schema, r.table)).toSeq.sortBy(_._1).map {
+      case ((sch, tbl), cols) =>
+        Table(name = tbl, schema = sch, sourceName = tbl,
+          fields = cols.map(c => SourceColumn(tbl, c.name, mssqlCtype(c),
+            default = c.default.map(stripMssqlDefault),
+            nullable = c.nullable, autoIncrement = c.identity)))
+    }
+}

@@ -140,6 +140,67 @@ class JdbcSourceSpec extends AnyFunSuite {
       "ctid >= '(20,0)'"))
   }
 
+  test("sqlite PRAGMA rows assemble a castable catalog table") {
+    import graft.sources.IntrospectionRows._
+    // sakila-style: INTEGER PRIMARY KEY (rowid alias → autoincrement),
+    // dynamic-typed column (empty type → text), composite FK rows
+    val t = sqliteTable("film",
+      cols = Seq(
+        SqliteColumn(0, "film_id", "INTEGER", notNull = false, None, pk = 1),
+        SqliteColumn(1, "title", "VARCHAR(255)", notNull = true, None, 0),
+        SqliteColumn(2, "notes", "", notNull = false, None, 0),
+        SqliteColumn(3, "rate", "DECIMAL(4,2)", notNull = false,
+          Some("4.99"), 0)),
+      indexes = Seq(
+        SqliteIndex("idx_title", unique = false, Seq("title")),
+        SqliteIndex("sqlite_autoindex_film_1", unique = true,
+          Seq("film_id"), origin = "pk")),
+      fks = Seq(SqliteFk(0, 0, "language", "lang_id", "language_id")),
+      rowCount = 1000)
+    assert(t.fields.map(_.ctype) ==
+      Seq("integer", "varchar(255)", "text", "decimal(4,2)"))
+    assert(t.fields.head.autoIncrement) // INTEGER PRIMARY KEY
+    assert(!t.fields.head.nullable) // pk implies NOT NULL
+    assert(t.indexes.map(_.name) == Seq("film_pkey", "idx_title"))
+    assert(t.indexes.head.primary)
+    assert(t.fkeys.head.foreignTable == "language")
+    // through the cast engine: sqlite defaults
+    val cast = t.cast(Nil, graft.casting.DefaultCastRules.sqlite)
+    assert(cast.columns.map(_.pgType) ==
+      Seq("bigserial", "text", "text", "numeric(4,2)"))
+  }
+
+  test("mssql sys.columns rows reconstruct typemod'd ctypes + defaults") {
+    import graft.sources.IntrospectionRows._
+    assert(mssqlCtype(MssqlColumn("dbo", "t", "c", "nvarchar", 100, 0, 0,
+      true, false, None)) == "nvarchar(50)") // bytes → UTF-16 chars
+    assert(mssqlCtype(MssqlColumn("dbo", "t", "c", "nvarchar", -1, 0, 0,
+      true, false, None)) == "nvarchar") // MAX
+    assert(mssqlCtype(MssqlColumn("dbo", "t", "c", "varchar", 25, 0, 0,
+      true, false, None)) == "varchar(25)")
+    assert(mssqlCtype(MssqlColumn("dbo", "t", "c", "decimal", 9, 12, 2,
+      true, false, None)) == "decimal(12,2)")
+    assert(stripMssqlDefault("((0))") == "0")
+    assert(stripMssqlDefault("('abc')") == "'abc'")
+    assert(stripMssqlDefault("(getdate())") == "getdate()")
+    val tables = mssqlTables(Seq(
+      MssqlColumn("dbo", "orders", "id", "int", 4, 10, 0,
+        nullable = false, identity = true, None),
+      MssqlColumn("dbo", "orders", "flag", "bit", 1, 1, 0,
+        nullable = true, identity = false, Some("((1))")),
+      MssqlColumn("sales", "leads", "name", "nvarchar", 80, 0, 0,
+        nullable = true, identity = false, None)))
+    assert(tables.map(t => (t.schema, t.name)) ==
+      Seq(("dbo", "orders"), ("sales", "leads")))
+    val orders = tables.head
+    assert(orders.fields.map(_.ctype) == Seq("int", "bit"))
+    assert(orders.fields.head.autoIncrement)
+    assert(orders.fields(1).default == Some("1"))
+    // through the cast engine: mssql defaults
+    val cast = orders.cast(Nil, graft.casting.DefaultCastRules.mssql)
+    assert(cast.columns.map(_.pgType) == Seq("serial", "boolean"))
+  }
+
   test("predicate-partitioned read: one partition per range, full union") {
     val spark = SparkSpec.session
     val preds = Seq("N_ID < 2", "N_ID >= 2") // disjoint + covering
