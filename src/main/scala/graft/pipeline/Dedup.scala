@@ -282,14 +282,16 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity join with PPJoin-style prefix
-    * filtering: under ANY global total order of shingles (here: hash
-    * value via sort_array), two sets with jaccard >= t must share an
-    * element among the first `|s| - ceil(t*|s|) + 1` elements of each —
-    * so only prefixes are exploded into the inverted index, bounding
-    * fan-out by (1-t)² per posting list while keeping recall exact.
-    * Survivor pairs are verified with exact jaccard on the hashed sets.
-    * (At even larger scale, ordering by ascending document frequency
-    * instead of hash value shrinks posting lists further.) */
+    * filtering: under ANY global total order of shingles, two sets with
+    * jaccard >= t must share an element among the first
+    * `|s| - ceil(t*|s|) + 1` elements of each — so only prefixes are
+    * exploded into the inverted index, bounding fan-out while keeping
+    * recall exact. The global order is ASCENDING DOCUMENT FREQUENCY
+    * (ties by hash) — the canonical PPJoin ordering: prefixes then
+    * consist of each document's RAREST shingles, so the inverted-index
+    * posting lists that actually join are the short ones, and the hot
+    * stop-word-like shingles are pushed out of every prefix. Survivor
+    * pairs are verified with exact jaccard on the hashed sets. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -297,9 +299,13 @@ object Dedup {
     // persisted on purpose; see the measurement note in [[minhashLsh]]
     val rows = shingleHashRows(df, idCol, textCol, n)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // prefix = each set's smallest hashes under the global hash order
-    val win = Window.partitionBy(col("id")).orderBy(col("h"))
-    val prefix = rows.withColumn("rn", row_number().over(win))
+    // global document frequency per shingle (one hash-aggregate on h)
+    val docFreq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix = each set's first hashes under the (df asc, h) order
+    val win = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("h"))
+    val prefix = rows.join(docFreq, "h")
+      .withColumn("rn", row_number().over(win))
       .join(sizes, "id")
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
@@ -313,18 +319,26 @@ object Dedup {
 
   /** Embedding cosine near-dup: LSH over random hyperplane sign bits →
     * bucket join → exact cosine verify. Deterministic planes from `seed`.
-    * No cache: the narrow (id, vec, bucket) projection is recomputed for
-    * the two join sides — cheaper than pinning the corpus in memory. */
+    * The bucket self-join carries only (id, bucket) — 16 bytes per row —
+    * NOT the embedding vectors (at corpus scale the vector column IS the
+    * corpus); the exact-cosine verify re-joins vectors only for the
+    * candidate pairs, which AQE turns into a broadcast once the candidate
+    * set is small. No cache: the narrow projections are recomputed —
+    * cheaper than pinning the corpus in memory. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, planes: Int = 16, threshold: Double = 0.9,
                        seed: Long = 42L): DataFrame = {
     val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigCol.as("bucket"))
-    vecs.as("x").join(vecs.as("y"),
+    val buckets = df.select(col(idCol).as("id"), sigCol.as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
