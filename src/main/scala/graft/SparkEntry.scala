@@ -845,6 +845,24 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    // connected components over a pair graph: turns pairwise near-dup
+    // matches into dedup GROUPS (keep = min id per component). The edge
+    // list is built deterministically from doc ids — chains of 3 every
+    // 5 ids, bridged into 6-node components every 50 — so components are
+    // multi-hop and the oracle (DuckDB recursive CTE) walks the same
+    // graph to its transitive closure.
+    "dedup_components" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+      val five = ids.filter(col("id") % 5 === 0)
+      val edges = five.select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .unionAll(five.select((col("id") + 1).as("id_a"),
+          (col("id") + 2).as("id_b")))
+        .unionAll(ids.filter(col("id") % 50 === 0)
+          .select(col("id").as("id_a"), (col("id") + 11).as("id_b")))
+      Dedup.connectedComponents(edges).orderBy(col("id"))
+    }),
+
     // MinHash + LSH near-dup pairs (exact dups collide in every band)
     "dedup_minhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1324,6 +1342,25 @@ object SparkEntry {
            SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
          SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM inflated GROUP BY text ORDER BY keep_id""",
+
+    "dedup_components" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id, doc_id + 11 FROM documents WHERE doc_id % 50 = 0),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT CAST(src AS BIGINT) AS id,
+                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
+         FROM reach GROUP BY src ORDER BY id""",
 
     // true-jaccard pairwise join (the corpus contains generated near-dups;
     // 128-perm/32-band LSH finds jaccard>=0.9 pairs w.p. ~1-3e-15)

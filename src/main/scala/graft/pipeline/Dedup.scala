@@ -342,6 +342,60 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over a near-dup PAIR graph — the step that
+    * turns pairwise matches into dedup groups (keep = one doc per
+    * component). Iterative min-label propagation: every vertex adopts the
+    * smallest label among itself and its neighbors until fixpoint, so
+    * each component converges to its minimum id. Per iteration: one
+    * equi-join + one hash-aggregate, label state persisted and the
+    * previous iteration unpersisted — the working set is (id, label)
+    * pairs, never the documents. Converges in O(graph diameter)
+    * iterations; near-dup graphs are overwhelmingly tiny cliques/chains,
+    * so diameters are small. (At extreme scale the alternating
+    * large-star/small-star variant converges in O(log n) rounds; the
+    * per-round dataflow is the same join+aggregate shape.)
+    *
+    * @param pairs (idA, idB) undirected edges
+    * @return (id, component) — component = min id reachable; only ids
+    *   that appear in some pair are returned (singletons are their own
+    *   component by definition and need no row)
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `cached` tracks the PERSISTED frame of each round — unpersist must
+    // target the frame persist was called on, not a later projection
+    var cached = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nlabel"))
+      val joined = labels.as("l")
+        .join(nbrMin, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"), col("l.label").as("old"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
+            .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = joined.filter(col("label") < col("old")).isEmpty
+      cached.unpersist()
+      cached = joined
+      labels = joined.select(col("id"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Pack the sign bits of `planes` random-hyperplane dot products. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int,
                           seed: Long): Column = {

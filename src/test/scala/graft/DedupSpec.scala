@@ -40,6 +40,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("connected components collapse chains, cliques and pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs real propagation), clique
+    // 10/11/12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngram jaccard with prefix filter keeps exact recall") {
     val pairs = Dedup.ngramJaccard(docs, "id", "text", n = 3,
         threshold = 0.3)
