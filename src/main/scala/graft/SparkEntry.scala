@@ -845,22 +845,29 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
-    // connected components over a pair graph: turns pairwise near-dup
-    // matches into dedup GROUPS (keep = min id per component). The edge
-    // list is built deterministically from doc ids — chains of 3 every
-    // 5 ids, bridged into 6-node components every 50 — so components are
+    // connected components over a pair graph + survivor selection: turns
+    // pairwise near-dup matches into dedup GROUPS and picks the keeper
+    // (longest text, ties → smallest id) per group. The edge list is
+    // built deterministically from doc ids — chains of 3 every 5 ids,
+    // bridged into 6-node components every 50 — so components are
     // multi-hop and the oracle (DuckDB recursive CTE) walks the same
     // graph to its transitive closure.
     "dedup_components" -> ((s, dir) => {
-      val ids = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id"))
+      val d = t(s, dir, "documents")
+      val ids = d.select(col("doc_id").cast("long").as("id"))
       val five = ids.filter(col("id") % 5 === 0)
       val edges = five.select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
         .unionAll(five.select((col("id") + 1).as("id_a"),
           (col("id") + 2).as("id_b")))
         .unionAll(ids.filter(col("id") % 50 === 0)
           .select(col("id").as("id_a"), (col("id") + 11).as("id_b")))
-      Dedup.connectedComponents(edges).orderBy(col("id"))
+      val comp = Dedup.connectedComponents(edges)
+      val scores = d.select(col("doc_id").cast("long").as("id"),
+        length(col("text")).cast("long").as("score"))
+      val keep = Dedup.survivors(comp, scores)
+      comp.join(keep, "component")
+        .select(col("id"), col("component"), col("keep_id"))
+        .orderBy(col("id"))
     }),
 
     // MinHash + LSH near-dup pairs (exact dups collide in every band)
@@ -1357,10 +1364,21 @@ object SparkEntry {
          reach(src, dst) AS (
            SELECT src, dst FROM edges
            UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         SELECT CAST(src AS BIGINT) AS id,
-                CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
-         FROM reach GROUP BY src ORDER BY id""",
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (
+           SELECT src AS id, LEAST(src, MIN(dst)) AS component
+           FROM reach GROUP BY src),
+         keep AS (
+           SELECT component, id AS keep_id FROM (
+             SELECT c.component, c.id,
+                    row_number() OVER (PARTITION BY c.component
+                      ORDER BY length(d.text) DESC, c.id) AS rk
+             FROM comp c JOIN documents d ON d.doc_id = c.id)
+           WHERE rk = 1)
+         SELECT CAST(c.id AS BIGINT) AS id,
+                CAST(c.component AS BIGINT) AS component,
+                CAST(k.keep_id AS BIGINT) AS keep_id
+         FROM comp c JOIN keep k USING (component) ORDER BY id""",
 
     // true-jaccard pairwise join (the corpus contains generated near-dups;
     // 128-perm/32-band LSH finds jaccard>=0.9 pairs w.p. ~1-3e-15)

@@ -396,6 +396,23 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** One representative per dedup component — the keep-list a curation
+    * pipeline feeds downstream: highest `scoreCol` wins, ties break to
+    * the smallest id. One window pass over (id, component, score) rows;
+    * the score join stays narrow (id + one numeric). */
+  def survivors(components: DataFrame, scores: DataFrame,
+                idCol: String = "id",
+                scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__s").desc, col(idCol))
+    components
+      .join(scores.select(col(idCol), col(scoreCol).as("__s")), idCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("component"), col(idCol).as("keep_id"))
+  }
+
   /** Pack the sign bits of `planes` random-hyperplane dot products. */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int,
                           seed: Long): Column = {

@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("survivors pick the highest-score member per component") {
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("id", "component")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (20L, 1L), (21L, 4L))
+      .toDF("id", "score")
+    val keep = Dedup.survivors(comp, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // component 1: ids 2 and 3 tie at 9 → smallest id wins
+    assert(keep == Map(1L -> 2L, 20L -> 21L))
+  }
+
   test("ngram jaccard with prefix filter keeps exact recall") {
     val pairs = Dedup.ngramJaccard(docs, "id", "text", n = 3,
         threshold = 0.3)
