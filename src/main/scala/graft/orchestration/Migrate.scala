@@ -105,7 +105,8 @@ final class Migrator(
               beforeLoad: Seq[String] = Nil,
               afterLoad: Seq[String] = Nil,
               setParams: Seq[(String, String)] = Nil,
-              disableTriggers: Boolean = false): Summary = {
+              disableTriggers: Boolean = false,
+              dryRun: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
     // session-setup statements, applied by the hooks on EVERY connection
@@ -122,7 +123,11 @@ final class Migrator(
         (if (disableTriggers)
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    def ddl(sql: String): Unit = executeDdl(sql, gucSql)
+    // dry-run (reference --dry-run, core.clj): the full catalog pipeline
+    // runs — rewrites, collision check, cast, DDL GENERATION — but no
+    // hook is ever called and no data moves; the Summary carries every
+    // statement that WOULD have run, as a reviewable plan
+    def ddl(sql: String): Unit = if (!dryRun) executeDdl(sql, gucSql)
 
     // BEFORE LOAD DO, first of all
     beforeLoad.foreach(ddl)
@@ -191,7 +196,7 @@ final class Migrator(
     val indexFutures =
       new ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
     try {
-      val copyFutures = ordered.map { t =>
+      val copyFutures = if (dryRun) Nil else ordered.map { t =>
         copyPool.submit(new Runnable {
           def run(): Unit = {
             val s0 = System.nanoTime()
@@ -252,6 +257,11 @@ final class Migrator(
         case scala.util.control.NonFatal(e) =>
           ddlErrors.add((sql, Option(e.getMessage).getOrElse(e.toString)))
       }
+    // dry-run: the index builds that normally interleave with the data
+    // phase still belong in the reviewable plan
+    if (dryRun && withIndexes)
+      okTables.foreach(t => t.indexes.foreach(i =>
+        postDdl(Ddl.createIndex(i, t.schema))))
     if (withIndexes)
       okTables.foreach(t => t.indexes.filter(_.primary)
         // an index whose build failed has nothing to attach the PK to

@@ -357,6 +357,25 @@ class MigrateSpec extends AnyFunSuite {
       "CREATE INDEX idx_live ON public.docs (id) WHERE deleted = 0;")
   }
 
+  test("dry-run records the full plan without executing anything") {
+    val events = new ConcurrentLinkedQueue[String]
+    val loads = new ConcurrentLinkedQueue[String]
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql),
+      loadTable = (t, _) => { loads.add(t.name); (1L, 0L) })
+    val summary = m.migrate(mkCatalog, defaults = DefaultCastRules.mysql,
+      dryRun = true)
+    // nothing executed, no data moved
+    assert(events.isEmpty && loads.isEmpty)
+    assert(summary.tables.isEmpty && summary.exitCode == 0)
+    // but the plan is complete: tables, indexes, PK attach, FKs, setval
+    assert(summary.preDdl.count(_.startsWith("CREATE TABLE")) == 4)
+    assert(summary.postDdl.exists(_.startsWith("CREATE UNIQUE INDEX")))
+    assert(summary.postDdl.exists(_.contains("ADD PRIMARY KEY USING INDEX")))
+    assert(summary.postDdl.exists(_.contains("FOREIGN KEY")))
+    assert(summary.postDdl.exists(_.contains("setval")))
+  }
+
   test("identifier collision check fails fast") {
     val longA = "public." + ("x" * 62) + "a"
     val longB = ("x" * 62) + "b"
