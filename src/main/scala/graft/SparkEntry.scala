@@ -852,7 +852,12 @@ object SparkEntry {
     // bridged into 6-node components every 50 — so components are
     // multi-hop and the oracle (DuckDB recursive CTE) walks the same
     // graph to its transitive closure.
-    "dedup_components" -> ((s, dir) => {
+    "dedup_components" -> ((s0, dir) => {
+      // dedicated session: the pair graph is FAR smaller than the corpus
+      // (candidate pairs, not documents), so the iterative joins want few
+      // shuffle partitions — at real scale size this to the edge count
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val d = t(s, dir, "documents")
       val ids = d.select(col("doc_id").cast("long").as("id"))
       val five = ids.filter(col("id") % 5 === 0)
