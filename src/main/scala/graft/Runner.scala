@@ -55,6 +55,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
            Seq("SET session_replication_role = 'replica';")
          else Nil)
     cmd.beforeLoad.foreach(executeDdl(_, gucSql))
+    // file loads have no schema-creation phase of their own, so AFTER
+    // CREATE SCHEMA DO runs at the same seam, after BEFORE LOAD DO and
+    // before any data (the reference fires it once the target table
+    // exists, migrate-database.lisp:459-465)
+    cmd.afterSchema.foreach(executeDdl(_, gucSql))
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {

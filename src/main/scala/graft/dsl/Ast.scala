@@ -92,6 +92,9 @@ object Ast {
       setParams: Seq[(String, String)] = Nil,
       castRules: Seq[CastRule] = Nil,
       beforeLoad: Seq[String] = Nil,
+      /** AFTER CREATE SCHEMA DO — between target DDL and the data phase
+        * (grammar.clj:239-248). */
+      afterSchema: Seq[String] = Nil,
       afterLoad: Seq[String] = Nil,
       includingOnly: Seq[TableFilter] = Nil,
       excludingOnly: Seq[TableFilter] = Nil,

@@ -702,6 +702,9 @@ private final class Parser(in: String) {
         cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
       else if (tryKws("AFTER", "LOAD", "DO"))
         cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      else if (tryKws("AFTER", "CREATE", "SCHEMA", "DO") ||
+               tryKws("AFTER", "SCHEMA", "DO"))
+        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseDoBlocks())
       else if (tryKws("having", "fields"))
         cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
       else if (tryKw("CAST"))
@@ -742,6 +745,9 @@ private final class Parser(in: String) {
         cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
       else if (tryKws("AFTER", "LOAD", "DO"))
         cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      else if (tryKws("AFTER", "CREATE", "SCHEMA", "DO") ||
+               tryKws("AFTER", "SCHEMA", "DO"))
+        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseDoBlocks())
       else if (tryKws("INCLUDING", "ONLY", "TABLE", "NAMES")) {
         tryKw("MATCHING"); tryKw("LIKE")
         cmd = cmd.copy(includingOnly = cmd.includingOnly :+ parseTableFilter())

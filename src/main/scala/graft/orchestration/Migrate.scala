@@ -103,6 +103,10 @@ final class Migrator(
               withFKeys: Boolean = true,
               resetSequences: Boolean = true,
               beforeLoad: Seq[String] = Nil,
+              /** AFTER CREATE SCHEMA DO — between target DDL and the
+                * data phase (command-sql-block.lisp:61;
+                * migrate-database.lisp:459-465). */
+              afterSchema: Seq[String] = Nil,
               afterLoad: Seq[String] = Nil,
               setParams: Seq[(String, String)] = Nil,
               disableTriggers: Boolean = false,
@@ -177,6 +181,8 @@ final class Migrator(
       cat.allTables.foreach(t => preDdl(Ddl.createTable(t)))
     }
     if (truncate) cat.allTables.foreach(t => preDdl(Ddl.truncate(t)))
+    // AFTER CREATE SCHEMA DO: the schema exists, no data has moved yet
+    afterSchema.foreach(preDdl)
 
     // ---- 3. data phase: biggest tables first
     // (optimize-table-copy-ordering :304-320), index builds overlapping

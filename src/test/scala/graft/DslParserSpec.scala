@@ -173,6 +173,21 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.beforeLoad.head.toLowerCase.contains("drop table"))
   }
 
+  test("AFTER CREATE SCHEMA DO parses on file and database loads") {
+    val file = Parser.parse(
+      """LOAD CSV FROM 'x.csv' HAVING FIELDS (a, b)
+         INTO postgresql:///g TARGET TABLE t
+         BEFORE LOAD DO $$ create table t (a int, b int); $$
+         AFTER CREATE SCHEMA DO $$ grant select on t to ro; $$
+         AFTER LOAD DO $$ analyze t; $$""")
+    assert(file.afterSchema == Seq("grant select on t to ro;"))
+    assert(file.beforeLoad.nonEmpty && file.afterLoad.nonEmpty)
+    val db = Parser.parse(
+      """LOAD DATABASE FROM mysql://r@h/db INTO postgresql:///g
+         AFTER SCHEMA DO $$ create extension hstore; $$""")
+    assert(db.afterSchema == Seq("create extension hstore;"))
+  }
+
   test("every .load file in the reference test corpus parses") {
     val files = new java.io.File("/root/reference/test").listFiles()
       .filter(_.getName.endsWith(".load")).sortBy(_.getName)

@@ -357,6 +357,21 @@ class MigrateSpec extends AnyFunSuite {
       "CREATE INDEX idx_live ON public.docs (id) WHERE deleted = 0;")
   }
 
+  test("AFTER CREATE SCHEMA DO runs after DDL and before any load") {
+    val events = new ConcurrentLinkedQueue[String]
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (t, _) => { events.add(s"LOAD:${t.name}"); (1L, 0L) })
+    m.migrate(mkCatalog, defaults = DefaultCastRules.mysql,
+      afterSchema = Seq("GRANT SELECT ON ALL TABLES IN SCHEMA public TO ro;"),
+      withIndexes = false, withFKeys = false, resetSequences = false)
+    val ev = events.asScala.toSeq
+    val grantIdx = ev.indexWhere(_.startsWith("GRANT SELECT"))
+    val lastCreate = ev.lastIndexWhere(_.startsWith("CREATE TABLE"))
+    val firstLoad = ev.indexWhere(_.startsWith("LOAD:"))
+    assert(grantIdx > lastCreate && grantIdx < firstLoad)
+  }
+
   test("dry-run records the full plan without executing anything") {
     val events = new ConcurrentLinkedQueue[String]
     val loads = new ConcurrentLinkedQueue[String]
