@@ -28,11 +28,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
               baseDir: String = "."): Seq[TableStats] = {
-    val (first, inline) = Parser.parseWithInline(text)
+    // baseDir also resolves EXECUTE 'file.sql' references at parse time
+    val (first, inline) = Parser.parseWithInline(text, baseDir)
     // archives expand to ordered sub-commands; other types run directly
     val cmds =
       if (first.loadType == "archive") Seq(first)
-      else Parser.parseAll(text.substring(0, findInlineCut(text, inline)))
+      else Parser.parseAll(
+        text.substring(0, findInlineCut(text, inline)), baseDir)
     cmds.flatMap(cmd => runCommand(spark, cmd, baseDir, inline))
   }
 
@@ -73,6 +75,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         Seq(load(cmd.targetTable.getOrElse("data"), df, copySessionSql))
     }
     cmd.afterLoad.foreach(executeDdl(_, gucSql))
+    cmd.finallyDo.foreach(executeDdl(_, gucSql))
     results
   }
 

@@ -96,6 +96,9 @@ object Ast {
         * (grammar.clj:239-248). */
       afterSchema: Seq[String] = Nil,
       afterLoad: Seq[String] = Nil,
+      /** FINALLY DO/EXECUTE — very last, after AFTER LOAD DO
+        * (command-sql-block.lisp:52-55). */
+      finallyDo: Seq[String] = Nil,
       includingOnly: Seq[TableFilter] = Nil,
       excludingOnly: Seq[TableFilter] = Nil,
       alterTable: Seq[AlterTableRule] = Nil,

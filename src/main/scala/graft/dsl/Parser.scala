@@ -15,12 +15,14 @@ final class ParseException(msg: String, val offset: Int)
   */
 object Parser {
 
-  def parse(text: String): LoadCommand = new Parser(text).parseCommand()
+  def parse(text: String, baseDir: String = "."): LoadCommand =
+    new Parser(text, baseDir).parseCommand()
 
   /** Parse one command and return any trailing text — the `FROM inline`
     * payload embedded after the command (test/reformat.load pattern). */
-  def parseWithInline(text: String): (LoadCommand, Option[String]) = {
-    val p = new Parser(text)
+  def parseWithInline(text: String,
+                      baseDir: String = "."): (LoadCommand, Option[String]) = {
+    val p = new Parser(text, baseDir)
     val cmd = p.parseCommand()
     val rest = text.substring(p.position)
       .dropWhile(c => c == '\n' || c == '\r')
@@ -28,8 +30,8 @@ object Parser {
   }
 
   /** All commands in a file (archive files may hold several). */
-  def parseAll(text: String): Seq[LoadCommand] = {
-    val p = new Parser(text)
+  def parseAll(text: String, baseDir: String = "."): Seq[LoadCommand] = {
+    val p = new Parser(text, baseDir)
     val out = Seq.newBuilder[LoadCommand]
     p.ws()
     while (!p.eof) { out += p.parseCommand(); p.ws() }
@@ -37,7 +39,7 @@ object Parser {
   }
 }
 
-private final class Parser(in: String) {
+private final class Parser(in: String, baseDir: String = ".") {
   private var pos = 0
 
   def position: Int = pos
@@ -472,6 +474,62 @@ private final class Parser(in: String) {
     out.result()
   }
 
+  /** `(DO $$…$$[, $$…$$]* | EXECUTE 'file.sql')+` — the reference's
+    * sql-code-block alternatives (command-sql-block.lisp:19-64):
+    * EXECUTE reads the file's ';'-separated statements at parse time,
+    * resolved against the command file's directory, exactly like
+    * read-queries merges against *cwd*. */
+  private def parseSqlBlocks(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var any = false
+    var more = true
+    while (more) {
+      if (tryKw("DO")) { out ++= parseDoBlocks(); any = true }
+      else if (tryKw("EXECUTE")) {
+        out ++= readSqlFile(quoted()); any = true
+      } else more = false
+    }
+    if (!any) fail("expected DO or EXECUTE")
+    out.result()
+  }
+
+  /** Split a .sql file into statements: ';' terminates, except inside
+    * single-quoted strings and $$ blocks (pgloader.sql read-queries). */
+  private def readSqlFile(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    val resolved = if (f.isAbsolute) f else new java.io.File(baseDir, path)
+    val text = new String(
+      java.nio.file.Files.readAllBytes(resolved.toPath), "UTF-8")
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inStr = false
+    var inDollar = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else if (inDollar) {
+        cur += c
+        if (c == '$' && i + 1 < text.length && text.charAt(i + 1) == '$') {
+          cur += '$'; i += 1; inDollar = false
+        }
+      } else c match {
+        case '\'' => cur += c; inStr = true
+        case '$' if i + 1 < text.length && text.charAt(i + 1) == '$' =>
+          cur ++= "$$"; i += 1; inDollar = true
+        case ';' =>
+          val stmt = cur.toString.trim
+          if (stmt.nonEmpty) out += (stmt + ";")
+          cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val tail = cur.toString.trim
+    if (tail.nonEmpty) out += (tail + ";")
+    out.result()
+  }
+
   private def parseCastRules(): Seq[CastRule] = {
     val out = Seq.newBuilder[CastRule]
     var more = true
@@ -698,13 +756,15 @@ private final class Parser(in: String) {
     var more = true
     while (more) {
       if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
-      else if (tryKws("BEFORE", "LOAD", "DO"))
-        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
-      else if (tryKws("AFTER", "LOAD", "DO"))
-        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
-      else if (tryKws("AFTER", "CREATE", "SCHEMA", "DO") ||
-               tryKws("AFTER", "SCHEMA", "DO"))
-        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseDoBlocks())
+      else if (tryKws("BEFORE", "LOAD"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseSqlBlocks())
+      else if (tryKws("AFTER", "LOAD"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseSqlBlocks())
+      else if (tryKws("AFTER", "CREATE", "SCHEMA") ||
+               tryKws("AFTER", "SCHEMA"))
+        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseSqlBlocks())
+      else if (tryKw("FINALLY"))
+        cmd = cmd.copy(finallyDo = cmd.finallyDo ++ parseSqlBlocks())
       else if (tryKws("having", "fields"))
         cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
       else if (tryKw("CAST"))
@@ -741,13 +801,15 @@ private final class Parser(in: String) {
       if (tryKw("WITH")) cmd = cmd.copy(options = cmd.options ++ parseWithOptions())
       else if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
       else if (tryKw("CAST")) cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
-      else if (tryKws("BEFORE", "LOAD", "DO"))
-        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
-      else if (tryKws("AFTER", "LOAD", "DO"))
-        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
-      else if (tryKws("AFTER", "CREATE", "SCHEMA", "DO") ||
-               tryKws("AFTER", "SCHEMA", "DO"))
-        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseDoBlocks())
+      else if (tryKws("BEFORE", "LOAD"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseSqlBlocks())
+      else if (tryKws("AFTER", "LOAD"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseSqlBlocks())
+      else if (tryKws("AFTER", "CREATE", "SCHEMA") ||
+               tryKws("AFTER", "SCHEMA"))
+        cmd = cmd.copy(afterSchema = cmd.afterSchema ++ parseSqlBlocks())
+      else if (tryKw("FINALLY"))
+        cmd = cmd.copy(finallyDo = cmd.finallyDo ++ parseSqlBlocks())
       else if (tryKws("INCLUDING", "ONLY", "TABLE", "NAMES")) {
         tryKw("MATCHING"); tryKw("LIKE")
         cmd = cmd.copy(includingOnly = cmd.includingOnly :+ parseTableFilter())
@@ -817,10 +879,10 @@ private final class Parser(in: String) {
       cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(rawToken())))
     var more = true
     while (more) {
-      if (tryKws("BEFORE", "LOAD", "DO"))
-        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseDoBlocks())
-      else if (tryKws("AFTER", "LOAD", "DO"))
-        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseDoBlocks())
+      if (tryKws("BEFORE", "LOAD"))
+        cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseSqlBlocks())
+      else if (tryKws("AFTER", "LOAD"))
+        cmd = cmd.copy(afterLoad = cmd.afterLoad ++ parseSqlBlocks())
       else {
         val m = pos
         if (tryKw("LOAD")) {

@@ -108,6 +108,9 @@ final class Migrator(
                 * migrate-database.lisp:459-465). */
               afterSchema: Seq[String] = Nil,
               afterLoad: Seq[String] = Nil,
+              /** FINALLY DO/EXECUTE — the very last statements, after
+                * AFTER LOAD DO (command-sql-block.lisp:52-55). */
+              finallyDo: Seq[String] = Nil,
               setParams: Seq[(String, String)] = Nil,
               disableTriggers: Boolean = false,
               dryRun: Boolean = false): Summary = {
@@ -301,8 +304,9 @@ final class Migrator(
     }
     // no replica-role restore needed: the role was per-connection session
     // setup, and every connection that carried it is closed by now
-    // AFTER LOAD DO, last (core.clj:518-545)
+    // AFTER LOAD DO, then FINALLY, last (core.clj:518-545)
     afterLoad.foreach { sql => ddl(sql); post += sql }
+    finallyDo.foreach { sql => ddl(sql); post += sql }
 
     // ---- 5. summary
     val byName = ordered.map(t => (t.schema, t.name)).zipWithIndex.toMap

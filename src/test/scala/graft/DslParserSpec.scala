@@ -188,13 +188,35 @@ class DslParserSpec extends AnyFunSuite {
     assert(db.afterSchema == Seq("create extension hstore;"))
   }
 
+  test("EXECUTE 'file.sql' and FINALLY blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlblocks").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "setup.sql").toPath,
+      """-- two statements, one with a quoted ';'
+        CREATE TABLE t (x text DEFAULT 'a;b');
+        CREATE INDEX ti ON t (x)""")
+    val cmd = Parser.parse(
+      s"""LOAD CSV FROM 'x.csv' HAVING FIELDS (a)
+          INTO postgresql:///g TARGET TABLE t
+          BEFORE LOAD EXECUTE 'setup.sql' DO $$$$ truncate t; $$$$
+          FINALLY DO $$$$ vacuum analyze t; $$$$""",
+      baseDir = dir.getAbsolutePath)
+    assert(cmd.beforeLoad.length == 3)
+    assert(cmd.beforeLoad(0).contains("DEFAULT 'a;b'"))
+    assert(cmd.beforeLoad(1).startsWith("CREATE INDEX"))
+    assert(cmd.beforeLoad(2) == "truncate t;")
+    assert(cmd.finallyDo == Seq("vacuum analyze t;"))
+  }
+
   test("every .load file in the reference test corpus parses") {
     val files = new java.io.File("/root/reference/test").listFiles()
       .filter(_.getName.endsWith(".load")).sortBy(_.getName)
     val failures = files.flatMap { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      try { Parser.parseWithInline(text); None }
+      // baseDir = the .load file's dir, so EXECUTE 'x.sql' resolves
+      // (archive.load references its sibling geolite.sql)
+      try { Parser.parseWithInline(text, f.getParent); None }
       catch { case e: Exception => Some(s"${f.getName}: ${e.getMessage}") }
     }
     assert(files.length >= 60)
