@@ -232,16 +232,15 @@ private final class Parser(in: String, baseDir: String = ".") {
       Glob(pat, dir)
     } else if (tryKws("FILENAME", "MATCHING")) {
       Glob(filePattern(), ".")
-    } else tryQuoted() match {
-      case Some(p) => FilePath(p)
-      case None =>
-        val tok = rawToken()
-        val lower = tok.toLowerCase
-        if (lower.startsWith("http://") || lower.startsWith("https://"))
-          Http(tok)
-        else if (lower.startsWith(loadType + "://"))
-          FilePath(tok.substring(loadType.length + 3))
-        else FilePath(tok)
+    } else {
+      val tok = tryQuoted().getOrElse(rawToken())
+      val lower = tok.toLowerCase
+      if (lower.startsWith("http://") || lower.startsWith("https://") ||
+          lower.startsWith("file://"))
+        Http(tok)
+      else if (lower.startsWith(loadType + "://"))
+        FilePath(tok.substring(loadType.length + 3))
+      else FilePath(tok)
     }
   }
 

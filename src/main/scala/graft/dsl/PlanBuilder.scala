@@ -33,8 +33,25 @@ object PlanBuilder {
       files.mkString(",")
     case Http(u) if u.startsWith("file://") => u.stripPrefix("file://")
     case Http(u) =>
-      throw new UnsupportedOperationException(
-        s"http download not available in this environment: $u")
+      // download once to a temp file, then read like any local file —
+      // the reference fetches http sources the same way before loading
+      // (archive.lisp http-fetch-file; core.clj:328-399)
+      val client = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+      val name = u.substring(u.lastIndexOf('/') + 1)
+      val suffix = if (name.contains('.'))
+        name.substring(name.lastIndexOf('.')) else ".dat"
+      val tmp = java.nio.file.Files.createTempFile("graft-http", suffix)
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(u)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"GET $u failed with HTTP ${resp.statusCode()}")
+      tmp.toAbsolutePath.toString
     case other =>
       throw new UnsupportedOperationException(s"source not wired: $other")
   }

@@ -48,6 +48,38 @@ class ArchiveInlineSpec extends SparkSpec {
     assert(e.getMessage.contains("escapes"))
   }
 
+  test("http source downloads from a real (local) server and loads") {
+    // zero-egress-safe: a loopback JDK HttpServer serves the CSV bytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "10,alpha\n20,beta\n".getBytes("UTF-8")
+    server.createContext("/data.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val cmd = Parser.parse(
+        s"""LOAD CSV FROM 'http://127.0.0.1:$port/data.csv'
+            HAVING FIELDS (k, v)
+            INTO postgresql:///t TARGET TABLE kv
+            WITH fields terminated by ','""")
+      val got = PlanBuilder.build(spark, cmd)
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq == Seq(("10", "alpha"), ("20", "beta")))
+      // a 404 fails loudly, not silently empty
+      val bad = Parser.parse(
+        s"""LOAD CSV FROM 'http://127.0.0.1:$port/missing.csv'
+            HAVING FIELDS (k, v)
+            INTO postgresql:///t TARGET TABLE kv""")
+      val e = intercept[Exception](PlanBuilder.build(spark, bad))
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("FROM inline reads the payload after the command") {
     val text =
       """LOAD CSV FROM inline
