@@ -655,6 +655,20 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // §2.1 IXF scan: the reference's own nsitra.test1.ixf fixture read
+    // by the PC/IXF binary reader; the oracle is the reference's
+    // regress/expected/ixf.out golden as a VALUES literal.
+    "ixf_roundtrip" -> ((s, dir) => {
+      graft.sources.IxfSource
+        .read(s, "/root/reference/test/data/nsitra.test1.ixf")
+        .select(col("test1_id").cast("int").as("test1_id"),
+          col("intcol").cast("int").as("intcol"),
+          col("intcal_notnull").cast("int").as("intcal_notnull"),
+          col("charcol15"), col("charcol15_notnull"),
+          col("varcharcol16"), col("varcharcol16_notnull"))
+        .orderBy(col("test1_id"))
+    }),
+
     // §3.1 the DSL entry point: .load text → Parser → LoadCommand →
     // PlanBuilder → DataFrame, over a generated tab-separated file —
     // glob source, skip header, null-if, point USING sexp, upcase sexp.
@@ -1279,6 +1293,17 @@ object SparkEntry {
       """SELECT c_custkey AS k, c_name AS nm,
          CAST(c_acctbal AS DOUBLE) AS bal
          FROM customer WHERE c_custkey % 10 = 0 ORDER BY k""",
+
+    // constants = the reference's regress/expected/ixf.out golden
+    "ixf_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (1, 77, 77, 'foobar         ', 'foobar         ', 'baz', 'baz'),
+           (2, NULL, 88, NULL, 'abcdef         ', NULL, 'ghijkl'),
+           (3, 179, 179, 'FOOBAR         ', 'FOOBAR         ', 'BAZ', 'BAZ'),
+           (4, NULL, 179, NULL, 'FOOBAR         ', NULL, 'BAZ'))
+         AS t(test1_id, intcol, intcal_notnull, charcol15,
+              charcol15_notnull, varcharcol16, varcharcol16_notnull)
+         ORDER BY test1_id""",
 
     "dbf_roundtrip" ->
       """SELECT n_nationkey, n_name,

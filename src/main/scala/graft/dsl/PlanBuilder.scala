@@ -97,6 +97,7 @@ object PlanBuilder {
       case "copy" => readCopy(spark, cmd, path)
       case "dbf" => graft.sources.DbfSource.read(spark, path,
         effectiveEncoding(cmd, path, "ISO-8859-1"))
+      case "ixf" => graft.sources.IxfSource.read(spark, path)
       case t => throw new UnsupportedOperationException(
         s"load type '$t' is not a file dataflow")
     }

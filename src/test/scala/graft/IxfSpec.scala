@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.IxfSource
+import graft.sources.IxfSource.IxfColumn
+
+/** PC/IXF reader against the reference's OWN fixtures
+  * (test/data/nsitra.test*.ixf) and its regress golden
+  * (test/regress/expected/ixf.out). */
+class IxfSpec extends SparkSpec {
+
+  private def fixture(n: Int): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"/root/reference/test/data/nsitra.test$n.ixf"))
+
+  test("test1 decodes to exactly the reference's expected output") {
+    val parsed = IxfSource.parse(fixture(1))
+    assert(parsed.columns.map(_.name) == Seq("test1_id", "intcol",
+      "intcal_notnull", "charcol15", "charcol15_notnull", "varcharcol16",
+      "varcharcol16_notnull"))
+    val expected = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          "/root/reference/test/regress/expected/ixf.out")), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+      .map(_.split("\t", -1).map(v => if (v == "\\N") null else v).toSeq)
+    val got = parsed.rows.map(_.toSeq)
+    assert(got == expected, s"golden mismatch:\n$got\nvs\n$expected")
+  }
+
+  test("timestamp, numeric and time/date fixtures parse with PG shapes") {
+    val ts = IxfSource.parse(fixture(2))
+    assert(ts.columns.forall(_.typeCode == 392))
+    // 'yyyy-mm-dd HH:MM:SS.ffffff'
+    val tsRe = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}".r
+    ts.rows.flatten.filter(_ != null).foreach(v =>
+      assert(tsRe.matches(v), s"bad timestamp shape: $v"))
+
+    val num = IxfSource.parse(fixture(3))
+    assert(num.columns.map(_.typeCode) == Seq(500, 492, 484, 480, 480))
+    num.rows.flatten.filter(_ != null).foreach(v =>
+      assert(v.matches("-?\\d+(\\.\\d+)?([eE]-?\\d+)?"), s"bad number: $v"))
+
+    val dt = IxfSource.parse(fixture(4))
+    assert(dt.columns.map(_.typeCode) == Seq(388, 388, 384, 384))
+    val timeRe = "\\d{2}:\\d{2}:\\d{2}".r
+    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
+    dt.rows.foreach { r =>
+      Seq(r(0), r(1)).filter(_ != null).foreach(v =>
+        assert(timeRe.matches(v), s"bad time: $v"))
+      Seq(r(2), r(3)).filter(_ != null).foreach(v =>
+        assert(dateRe.matches(v), s"bad date: $v"))
+    }
+  }
+
+  test("pg type mapping") {
+    assert(IxfSource.pgType(IxfColumn("a", true, 496, "", 1)) == "integer")
+    assert(IxfSource.pgType(IxfColumn("a", true, 484, "00502", 1)) ==
+      "numeric(5,2)")
+    assert(IxfSource.pgType(IxfColumn("a", true, 448, "00016", 1)) ==
+      "varchar(16)")
+    assert(IxfSource.pgType(IxfColumn("a", true, 392, "00006", 1)) ==
+      "timestamp")
+  }
+
+  test("LOAD IXF flows through the PlanBuilder") {
+    val cmd = graft.dsl.Parser.parse(
+      """LOAD IXF FROM '/root/reference/test/data/nsitra.test1.ixf'
+         INTO postgresql:///g TARGET TABLE nsitra_test1""")
+    val df = graft.dsl.PlanBuilder.build(spark, cmd)
+    assert(df.columns.head == "test1_id")
+    assert(df.count() == 4)
+  }
+}
