@@ -3,6 +3,11 @@ package graft
 import graft.sources.IxfSource
 import graft.sources.IxfSource.IxfColumn
 
+object IxfSpec {
+  /** shared with local-mode executor tasks (closures are serialized) */
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]
+}
+
 /** PC/IXF reader against the reference's OWN fixtures
   * (test/data/nsitra.test*.ixf) and its regress golden
   * (test/regress/expected/ixf.out). */
@@ -59,6 +64,29 @@ class IxfSpec extends SparkSpec {
       "varchar(16)")
     assert(IxfSource.pgType(IxfColumn("a", true, 392, "00006", 1)) ==
       "timestamp")
+  }
+
+  test("the reference's own ixf.load runs end-to-end through the Runner") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/ixf.load")), "UTF-8")
+    val ddl = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    IxfSpec.rows.clear()
+    val runner = new Runner(
+      executeDdl = (sql, _) => ddl.add(sql),
+      // endpoint closures are task-serialized: collect through static
+      // state, which local-mode executors share with the driver JVM
+      endpointFactory = (_, _) => _ => new graft.sinks.CopyEndpoint {
+        def send(batch: Seq[Array[Byte]]): Unit =
+          batch.foreach(b =>
+            IxfSpec.rows.add(new String(b, "UTF-8").stripSuffix("\n")))
+      })
+    val stats = runner.runFile(spark, text, baseDir = "/root/reference/test")
+    assert(stats.map(_.rows) == Seq(4L))
+    import scala.jdk.CollectionConverters._
+    assert(ddl.asScala.exists(_.contains("drop schema if exists nsitra")))
+    // row 2 of the golden: nullable cols are NULL (\N on the wire)
+    assert(IxfSpec.rows.asScala.exists(r =>
+      r.startsWith("2\t\\N\t88\t\\N\tabcdef")))
   }
 
   test("LOAD IXF flows through the PlanBuilder") {
