@@ -347,13 +347,13 @@ object Dedup {
     * component). Iterative min-label propagation: every vertex adopts the
     * smallest label among itself and its neighbors until fixpoint, so
     * each component converges to its minimum id. Per iteration: one
-    * equi-join + one hash-aggregate, label state persisted and the
-    * previous iteration unpersisted — the working set is (id, label)
-    * pairs, never the documents. Converges in O(graph diameter)
-    * iterations; near-dup graphs are overwhelmingly tiny cliques/chains,
-    * so diameters are small. (At extreme scale the alternating
-    * large-star/small-star variant converges in O(log n) rounds; the
-    * per-round dataflow is the same join+aggregate shape.)
+    * equi-join + one hash-aggregate + a pointer-jumping self-join, label
+    * state persisted and the previous iteration unpersisted — the
+    * working set is (id, label) pairs, never the documents. The
+    * pointer-jumping step (label(v) := label(label(v)), path-halving)
+    * doubles the distance labels travel each round, so convergence is
+    * O(log diameter) rounds, not O(diameter) — a 10^6-node chain
+    * converges within ~25 rounds instead of 10^6.
     *
     * @param pairs (idA, idB) undirected edges
     * @return (id, component) — component = min id reachable; only ids
@@ -367,12 +367,17 @@ object Dedup {
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `cached` tracks the PERSISTED frame of each round — unpersist must
-    // target the frame persist was called on, not a later projection
-    var cached = edges.select(col("src").as("id")).distinct()
+    // label state is localCheckpoint'ed (eager) each round: the
+    // pointer-jumping self-join references the round's frame TWICE, so
+    // without lineage truncation the logical plan doubles per round —
+    // exponential plan growth OOMs the driver on plan rendering long
+    // before data size matters. localCheckpoint materializes to executor
+    // storage and resets the plan to a leaf. (Not fault-tolerant to
+    // executor loss; a production run over huge graphs would use
+    // reliable checkpointing to the checkpoint dir instead.)
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -380,15 +385,21 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
-      val joined = labels.as("l")
+      val stepped = labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: adopt the label OF my label — halves remaining
+      // path length every round (log-diameter convergence)
+      val joined = stepped.as("a")
+        .join(stepped.select(col("id").as("pid"),
+          col("label").as("plabel")), col("a.label") === col("pid"), "left")
+        .select(col("a.id").as("id"), col("a.old").as("old"),
+          least(col("a.label"), coalesce(col("plabel"), col("a.label")))
+            .as("label"))
+        .localCheckpoint(true)
       converged = joined.filter(col("label") < col("old")).isEmpty
-      cached.unpersist()
-      cached = joined
       labels = joined.select(col("id"), col("label"))
       iter += 1
     }

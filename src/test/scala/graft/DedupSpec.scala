@@ -53,6 +53,19 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components converge on a 300-node chain (log rounds)") {
+    import spark.implicits._
+    // a path graph 1-2-3-...-300: diameter 299. Plain min-label
+    // propagation would need 299 rounds; pointer jumping must converge
+    // within the default 25.
+    val edges = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 300)
+    assert(comp.forall(_._2 == 1L),
+      s"non-converged labels: ${comp.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("survivors pick the highest-score member per component") {
     import spark.implicits._
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
