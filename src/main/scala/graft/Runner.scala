@@ -108,13 +108,26 @@ object Runner {
     val u = java.net.URI.create(normalized)
     require(u.getScheme == "postgresql", s"not a postgresql:// uri: $uri")
     val props = new java.util.Properties
-    Option(u.getUserInfo).foreach { ui =>
+    // split on the RAW (still percent-encoded) userinfo so an encoded
+    // ':' in a password can't shift the split, then percent-decode each
+    // part exactly once. URLDecoder is NOT used: it is a form decoder
+    // that maps '+' to space, which corrupts passwords like 'a+b'.
+    def pctDecode(s: String): String = {
+      val out = new java.io.ByteArrayOutputStream
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(c.toInt); i += 1 }
+      }
+      new String(out.toByteArray, "UTF-8")
+    }
+    Option(u.getRawUserInfo).foreach { ui =>
       val (user, pass) = ui.span(_ != ':')
-      props.setProperty("user",
-        java.net.URLDecoder.decode(user, "UTF-8"))
+      props.setProperty("user", pctDecode(user))
       if (pass.startsWith(":"))
-        props.setProperty("password",
-          java.net.URLDecoder.decode(pass.drop(1), "UTF-8"))
+        props.setProperty("password", pctDecode(pass.drop(1)))
     }
     val host = Option(u.getHost).getOrElse("localhost")
     val port = if (u.getPort > 0) u.getPort else 5432
@@ -131,7 +144,8 @@ object Runner {
       if (args.length > 1) args(1) else file.getParent
     val text = new String(
       java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
-    val (first, _) = Parser.parseWithInline(text)
+    // baseDir resolves relative EXECUTE 'file.sql' references here too
+    val (first, _) = Parser.parseWithInline(text, baseDir)
     val target = first.targetUri.getOrElse(
       throw new IllegalArgumentException(s"$file has no INTO target"))
     val (jdbcUrl, props) = pgJdbcUrl(target)

@@ -110,6 +110,41 @@ object IndexFilters {
     while (s.startsWith("(") && s.endsWith(")") && balanced(s.substring(1,
         s.length - 1)))
       s = s.substring(1, s.length - 1).trim
+    // rewrite CODE segments only — string literals pass through verbatim
+    // (minus the N unicode prefix): regexes applied to the whole text
+    // would corrupt values like 'N', 'a=b' or '(1)'
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val nPrefixed = (c == 'N' || c == 'n') && i + 1 < s.length &&
+        s.charAt(i + 1) == '\''
+      if (c == '\'' || nPrefixed) {
+        val start = if (nPrefixed) i + 1 else i // drop the N prefix
+        var j = start + 1
+        var closed = false
+        while (!closed && j < s.length) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2 // ''
+            else closed = true
+          } else j += 1
+        }
+        out ++= s.substring(start, math.min(j + 1, s.length))
+        i = j + 1
+      } else {
+        var j = i
+        while (j < s.length && s.charAt(j) != '\'' &&
+               !((s.charAt(j) == 'N' || s.charAt(j) == 'n') &&
+                 j + 1 < s.length && s.charAt(j + 1) == '\'')) j += 1
+        out ++= rewriteCodeSegment(s.substring(i, j))
+        i = j
+      }
+    }
+    out.toString.trim
+  }
+
+  private def rewriteCodeSegment(seg: String): String = {
+    var s = seg
     // [ident] → ident (quote if it needs it)
     s = "\\[([^\\]]+)\\]".r.replaceAllIn(s, m => {
       val id = m.group(1)
@@ -117,13 +152,11 @@ object IndexFilters {
         if (Identifiers.needsQuoting(id.toLowerCase)) "\"" + id + "\""
         else id.toLowerCase)
     })
-    // N'…' unicode literals → plain literals
-    s = "N'".r.replaceAllIn(s, "'")
     // (123) / (12.5) parenthesized numerics → bare
     s = "\\((-?\\d+(?:\\.\\d+)?)\\)".r.replaceAllIn(s, "$1")
     // spacing around comparison operators
     s = s.replaceAll("\\s*(<>|<=|>=|!=|=|<|>)\\s*", " $1 ")
-    s.replaceAll("\\s+", " ").trim
+    s.replaceAll("\\s+", " ")
   }
 
   private def balanced(s: String): Boolean = {

@@ -493,7 +493,8 @@ private final class Parser(in: String, baseDir: String = ".") {
   }
 
   /** Split a .sql file into statements: ';' terminates, except inside
-    * single-quoted strings and $$ blocks (pgloader.sql read-queries). */
+    * single-quoted strings, $$ blocks, `--` line comments and
+    * (non-nested) slash-star comments (pgloader.sql read-queries). */
   private def readSqlFile(path: String): Seq[String] = {
     val f = new java.io.File(path)
     val resolved = if (f.isAbsolute) f else new java.io.File(baseDir, path)
@@ -504,9 +505,17 @@ private final class Parser(in: String, baseDir: String = ".") {
     var i = 0
     var inStr = false
     var inDollar = false
+    var inLineCmt = false
+    var inBlockCmt = false
     while (i < text.length) {
       val c = text.charAt(i)
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      if (inLineCmt) { cur += c; if (c == '\n') inLineCmt = false }
+      else if (inBlockCmt) {
+        cur += c
+        if (c == '*' && i + 1 < text.length && text.charAt(i + 1) == '/') {
+          cur += '/'; i += 1; inBlockCmt = false
+        }
+      } else if (inStr) { cur += c; if (c == '\'') inStr = false }
       else if (inDollar) {
         cur += c
         if (c == '$' && i + 1 < text.length && text.charAt(i + 1) == '$') {
@@ -516,6 +525,10 @@ private final class Parser(in: String, baseDir: String = ".") {
         case '\'' => cur += c; inStr = true
         case '$' if i + 1 < text.length && text.charAt(i + 1) == '$' =>
           cur ++= "$$"; i += 1; inDollar = true
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          cur ++= "--"; i += 1; inLineCmt = true
+        case '/' if i + 1 < text.length && text.charAt(i + 1) == '*' =>
+          cur ++= "/*"; i += 1; inBlockCmt = true
         case ';' =>
           val stmt = cur.toString.trim
           if (stmt.nonEmpty) out += (stmt + ";")

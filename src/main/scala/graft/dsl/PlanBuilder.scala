@@ -31,7 +31,8 @@ object PlanBuilder {
       if (files.isEmpty)
         throw new IllegalArgumentException(s"no files match ~/$pattern/ in $d")
       files.mkString(",")
-    case Http(u) if u.startsWith("file://") => u.stripPrefix("file://")
+    case Http(u) if u.toLowerCase.startsWith("file://") =>
+      u.substring("file://".length) // parser matched case-insensitively
     case Http(u) =>
       // download once to a temp file, then read like any local file —
       // the reference fetches http sources the same way before loading
@@ -95,8 +96,12 @@ object PlanBuilder {
       case "csv" => readCsv(spark, cmd, path)
       case "fixed" => readFixed(spark, cmd, path)
       case "copy" => readCopy(spark, cmd, path)
-      case "dbf" => graft.sources.DbfSource.read(spark, path,
-        effectiveEncoding(cmd, path, "ISO-8859-1"))
+      case "dbf" =>
+        // per-FILE encoding: DECODING rules may match only some of a
+        // glob's files
+        encodingGroups(cmd, path, "ISO-8859-1").map { case (enc, ps) =>
+          graft.sources.DbfSource.read(spark, ps.mkString(","), enc)
+        }.reduce(_ unionAll _)
       case "ixf" => graft.sources.IxfSource.read(spark, path)
       case t => throw new UnsupportedOperationException(
         s"load type '$t' is not a file dataflow")
@@ -107,20 +112,28 @@ object PlanBuilder {
   /** `DECODING TABLE NAMES MATCHING ~/re/ AS charset` (Parser:792;
     * reference src/sources/mysql/mysql.lisp:219-237 applies per-name
     * charsets where names/files arrive in a non-default encoding): the
-    * first rule whose pattern matches the file's base name — or the
+    * first rule whose pattern matches THIS file's base name — or the
     * command's target table — overrides the command-level ENCODING. */
   private[dsl] def effectiveEncoding(cmd: LoadCommand, path: String,
                                      default: String): String = {
-    val bases = path.split(",").toSeq.map { p =>
-      val n = new java.io.File(p).getName
-      val dot = n.lastIndexOf('.')
-      if (dot > 0) n.substring(0, dot) else n
-    }
+    val n = new java.io.File(path).getName
+    val dot = n.lastIndexOf('.')
+    val base = if (dot > 0) n.substring(0, dot) else n
     cmd.decodingAs.collectFirst {
-      case (pat, cs) if bases.exists(pat.matches) ||
+      case (pat, cs) if pat.matches(base) ||
         cmd.targetTable.exists(pat.matches) => cs
     }.getOrElse(cmd.encoding.getOrElse(default))
   }
+
+  /** Group a (possibly comma-joined glob) path by per-file effective
+    * encoding — a DECODING rule matching one file of a glob must not
+    * change how its siblings are decoded. */
+  private[dsl] def encodingGroups(cmd: LoadCommand, path: String,
+                                  default: String)
+      : Seq[(String, Seq[String])] =
+    path.split(",").toSeq
+      .groupBy(p => effectiveEncoding(cmd, p, default))
+      .toSeq.sortBy(_._1)
 
   private def fieldNames(cmd: LoadCommand): Seq[String] =
     if (cmd.fields.nonEmpty) cmd.fields.map(_.name)
@@ -128,7 +141,7 @@ object PlanBuilder {
 
   private def readCsv(spark: SparkSession, cmd: LoadCommand,
                       path: String): DataFrame = {
-    val dialect = CsvDialect(
+    def dialect(enc: String) = CsvDialect(
       separator = cmd.option("fields terminated by")
         .map(_.charAt(0)).getOrElse(','),
       quote = cmd.option("fields enclosed by")
@@ -137,9 +150,11 @@ object PlanBuilder {
       doubledQuote = !cmd.option("fields escaped by").contains("\\"),
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
-      encoding = effectiveEncoding(cmd, path, "UTF-8"),
+      encoding = enc,
       trimUnquoted = cmd.boolOption("trim unquoted blanks"))
-    CsvSource.read(spark, path, dialect, fieldNames(cmd))
+    encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
+      CsvSource.read(spark, ps.mkString(","), dialect(enc), fieldNames(cmd))
+    }.reduce(_ unionAll _)
   }
 
   private def readFixed(spark: SparkSession, cmd: LoadCommand,

@@ -367,17 +367,27 @@ object Dedup {
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // label state is localCheckpoint'ed (eager) each round: the
-    // pointer-jumping self-join references the round's frame TWICE, so
-    // without lineage truncation the logical plan doubles per round —
-    // exponential plan growth OOMs the driver on plan rendering long
-    // before data size matters. localCheckpoint materializes to executor
-    // storage and resets the plan to a leaf. (Not fault-tolerant to
-    // executor loss; a production run over huge graphs would use
-    // reliable checkpointing to the checkpoint dir instead.)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // label state is lineage-TRUNCATED each round: the pointer-jumping
+    // self-join references the round's frame TWICE, so without
+    // truncation the logical plan doubles per round — exponential plan
+    // growth OOMs the driver on plan rendering long before data size
+    // matters. Truncation = materialize to a persisted RDD and re-wrap
+    // as a leaf DataFrame; the PREVIOUS round's RDD is unpersisted
+    // explicitly once the new state exists, so executor storage holds at
+    // most two narrow (id, label[, old]) copies at any time.
+    var prevRdd: Option[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row]] = None
+    def truncate(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize BEFORE freeing the state it derives from
+      val out = df.sparkSession.createDataFrame(rdd, df.schema)
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = Some(rdd)
+      out
+    }
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -392,13 +402,12 @@ object Dedup {
             .as("label"))
       // pointer jumping: adopt the label OF my label — halves remaining
       // path length every round (log-diameter convergence)
-      val joined = stepped.as("a")
+      val joined = truncate(stepped.as("a")
         .join(stepped.select(col("id").as("pid"),
           col("label").as("plabel")), col("a.label") === col("pid"), "left")
         .select(col("a.id").as("id"), col("a.old").as("old"),
           least(col("a.label"), coalesce(col("plabel"), col("a.label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       converged = joined.filter(col("label") < col("old")).isEmpty
       labels = joined.select(col("id"), col("label"))
       iter += 1

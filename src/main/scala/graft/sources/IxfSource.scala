@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object IxfSource {
 
   final case class IxfColumn(name: String, nullable: Boolean,
-                             typeCode: Int, length: String, posn: Int)
+                             typeCode: Int, length: String,
+                             drid: Int, posn: Int)
 
   final case class IxfFile(columns: Seq[IxfColumn],
                            rows: Seq[Array[String]])
@@ -39,49 +40,108 @@ object IxfSource {
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
+  /** Decode a C record's content (after the type char) at `body`. */
+  private def parseColumnRecord(bytes: Array[Byte], body: Int): IxfColumn = {
+    val naml = ascii(bytes, body, 3).toInt
+    val name = ascii(bytes, body + 3, naml)
+    val rest = body + 3 + 256
+    IxfColumn(
+      name = name.toLowerCase,
+      nullable = bytes(rest).toChar == 'Y',
+      typeCode = ascii(bytes, rest + 6, 3).trim.toInt,
+      length = ascii(bytes, rest + 19, 5).trim,
+      drid = ascii(bytes, rest + 24, 3).trim.toInt,
+      posn = ascii(bytes, rest + 27, 6).trim.toInt)
+  }
+
   /** Parse the whole file: C records give the schema, D records the rows.
-    * Each D record here is one row's data area (multi-D-record rows are
-    * assembled by concatenation in DRID order). */
+    * A row whose width exceeds one D record spans SEVERAL consecutive D
+    * records, distinguished by their DRID; each column's C record names
+    * the DRID holding it, and POSN is relative to THAT record's data
+    * area. A new row starts whenever the first DRID value reappears. */
   def parse(bytes: Array[Byte]): IxfFile = {
     var pos = 0
     val cols = Seq.newBuilder[IxfColumn]
-    val dAreas = Seq.newBuilder[Array[Byte]]
+    val dRecs = Seq.newBuilder[(Int, Array[Byte])] // (drid, data area)
     while (pos + 7 <= bytes.length &&
            ascii(bytes, pos, 6).forall(_.isDigit)) {
       val len = ascii(bytes, pos, 6).toInt
       val typ = bytes(pos + 6).toChar
       val body = pos + 7 // content after the type char
       typ match {
-        case 'C' =>
-          val naml = ascii(bytes, body, 3).toInt
-          val name = ascii(bytes, body + 3, naml)
-          val rest = body + 3 + 256
-          cols += IxfColumn(
-            name = name.toLowerCase,
-            nullable = bytes(rest).toChar == 'Y',
-            typeCode = ascii(bytes, rest + 6, 3).trim.toInt,
-            length = ascii(bytes, rest + 19, 5).trim,
-            posn = ascii(bytes, rest + 27, 6).trim.toInt)
+        case 'C' => cols += parseColumnRecord(bytes, body)
         case 'D' =>
-          // 'D' + DRID(3) + 4 reserved, then the data area
-          dAreas += java.util.Arrays.copyOfRange(bytes, body + 7, pos + 6 + len)
+          // 'D' content: DRID(3) + 4 reserved, then the data area
+          val drid = ascii(bytes, body, 3).trim.toInt
+          dRecs += ((drid,
+            java.util.Arrays.copyOfRange(bytes, body + 7, pos + 6 + len)))
         case _ => // H/T/A records carry no row data we need
       }
       pos += 6 + len
     }
     val columns = cols.result()
-    IxfFile(columns, dAreas.result().map(area => decodeRow(area, columns)))
+    val ds = dRecs.result()
+    val rows = Seq.newBuilder[Array[String]]
+    if (ds.nonEmpty) {
+      val firstDrid = ds.head._1
+      var group = Map.empty[Int, Array[Byte]]
+      ds.foreach { case (drid, area) =>
+        if (drid == firstDrid && group.nonEmpty) {
+          rows += decodeRow(group, columns)
+          group = Map.empty
+        }
+        group += (drid -> area)
+      }
+      if (group.nonEmpty) rows += decodeRow(group, columns)
+    }
+    IxfFile(columns, rows.result())
   }
 
-  private def decodeRow(area: Array[Byte],
+  /** Schema-only streaming parse: consumes records until the first D
+    * record and never buffers row data — the driver-side path for
+    * obtaining the schema of an arbitrarily large file. */
+  def readColumns(in: java.io.InputStream): Seq[IxfColumn] = {
+    val cols = Seq.newBuilder[IxfColumn]
+    val lenBuf = new Array[Byte](6)
+    var done = false
+    while (!done) {
+      var n = 0
+      while (n < 6) {
+        val r = in.read(lenBuf, n, 6 - n)
+        if (r < 0) { done = true; n = 6 } else n += r
+      }
+      if (!done && lenBuf.forall(b => b >= '0' && b <= '9')) {
+        val len = new String(lenBuf, StandardCharsets.US_ASCII).toInt
+        val body = new Array[Byte](len)
+        var m = 0
+        while (m < len) {
+          val r = in.read(body, m, len - m)
+          if (r < 0) throw new java.io.EOFException("truncated IXF record")
+          m += r
+        }
+        body(0).toChar match {
+          case 'D' => done = true // schema complete before any data
+          case 'C' => cols += parseColumnRecord(body, 1)
+          case _ =>
+        }
+      } else done = true
+    }
+    cols.result()
+  }
+
+  private def decodeRow(areas: Map[Int, Array[Byte]],
                         cols: Seq[IxfColumn]): Array[String] = {
     cols.map { c =>
-      var off = c.posn - 1 // POSN is 1-based
-      if (c.nullable) {
-        if (off + 2 > area.length || u16le(area, off) == 0xFFFF) null
-        else { off += 2; decodeValue(area, off, c) }
-      } else if (off >= area.length) null
-      else decodeValue(area, off, c)
+      areas.get(c.drid) match {
+        case None => null // the row's D record for this column is absent
+        case Some(area) =>
+          var off = c.posn - 1 // POSN is 1-based
+          if (c.nullable) {
+            if (off + 2 > area.length || u16le(area, off) == 0xFFFF) null
+            else { off += 2; decodeValue(area, off, c) }
+          } else if (off >= area.length) null
+          else decodeValue(area, off, c)
+      }
     }.toArray
   }
 
@@ -167,18 +227,31 @@ object IxfSource {
   }
 
   /** Distributed read, one binaryFile row per .ixf file (see DbfSource
-    * for the shape rationale). All columns StringType fidelity mode. */
+    * for the shape rationale). All columns StringType fidelity mode.
+    * The schema comes from a STREAMING header read of the first file
+    * (smallest path, for determinism) — C records precede all row data,
+    * so an arbitrarily large file never reaches the driver. Every file
+    * in a directory must share the first file's schema. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-    val first = files.limit(1).collect()
-    require(first.nonEmpty, s"no IXF files at $path")
-    val header = parse(first(0).getAs[Array[Byte]]("content"))
-    val schema = StructType(header.columns.map(c =>
+      .select(col("path"), col("content"))
+    val firstPath = files.select(col("path")).orderBy(col("path"))
+      .limit(1).collect()
+    require(firstPath.nonEmpty, s"no IXF files at $path")
+    val hp = new org.apache.hadoop.fs.Path(firstPath(0).getString(0))
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    val columns = try readColumns(in) finally in.close()
+    require(columns.nonEmpty, s"no C records in ${hp}")
+    val schema = StructType(columns.map(c =>
       StructField(c.name, StringType, nullable = true)))
+    val nCols = columns.length
     val rows = files.rdd.flatMap { r =>
-      parse(r.getAs[Array[Byte]]("content")).rows
-        .map(vs => Row.fromSeq(vs.toSeq))
+      val parsed = parse(r.getAs[Array[Byte]]("content"))
+      require(parsed.columns.length == nCols,
+        s"${r.getString(0)} has ${parsed.columns.length} columns; " +
+          s"the directory's schema has $nCols")
+      parsed.rows.map(vs => Row.fromSeq(vs.toSeq))
     }
     spark.createDataFrame(rows, schema)
   }

@@ -399,7 +399,9 @@ object IntrospectionRows {
         table = name, name = c.name, ctype = ct,
         default = c.default,
         nullable = !c.notNull && c.pk == 0,
-        autoIncrement = c.pk == 1 && pkCount == 1 && ct.startsWith("int"))
+        // ONLY a column typed exactly INTEGER aliases the rowid in
+        // SQLite — INT/INT2/INT8 PRIMARY KEY columns do not auto-assign
+        autoIncrement = c.pk == 1 && pkCount == 1 && ct == "integer")
     }
     val pkCols = cols.filter(_.pk > 0).sortBy(_.pk).map(_.name)
     val pkIndex =

@@ -81,4 +81,25 @@ class DslGoldenSpec extends SparkSpec {
     assert(mangled != Seq("café", "münchen"),
       "control: latin-1 bytes must NOT survive a UTF-8 read")
   }
+
+  test("DECODING applies per file within a glob, not to siblings") {
+    val dir = java.nio.file.Files.createTempDirectory("decoding2").toFile
+    val a = new java.io.File(dir, "latin_a.csv")
+    val fa = new java.io.FileOutputStream(a)
+    fa.write("1,café\n".getBytes("ISO-8859-1")); fa.close()
+    val b = new java.io.File(dir, "utf_b.csv")
+    val fb = new java.io.FileOutputStream(b)
+    fb.write("2,naïve\n".getBytes("UTF-8")); fb.close()
+    val cmd = Parser.parse(
+      s"""LOAD CSV
+         FROM all filenames matching ~/.*csv$$/ in directory '${dir.getAbsolutePath}'
+         HAVING FIELDS (id, name)
+         INTO postgresql:///graft
+         TARGET TABLE accents
+         DECODING TABLE NAMES MATCHING ~/latin/ AS latin1""")
+    val got = PlanBuilder.build(spark, cmd)
+      .orderBy(col("id")).collect().map(_.getString(1)).toSeq
+    // the latin file decodes as latin1, the sibling stays UTF-8
+    assert(got == Seq("café", "naïve"), s"bad per-file decode: $got")
+  }
 }

@@ -57,13 +57,22 @@ class IxfSpec extends SparkSpec {
   }
 
   test("pg type mapping") {
-    assert(IxfSource.pgType(IxfColumn("a", true, 496, "", 1)) == "integer")
-    assert(IxfSource.pgType(IxfColumn("a", true, 484, "00502", 1)) ==
+    assert(IxfSource.pgType(IxfColumn("a", true, 496, "", 1, 1)) ==
+      "integer")
+    assert(IxfSource.pgType(IxfColumn("a", true, 484, "00502", 1, 1)) ==
       "numeric(5,2)")
-    assert(IxfSource.pgType(IxfColumn("a", true, 448, "00016", 1)) ==
+    assert(IxfSource.pgType(IxfColumn("a", true, 448, "00016", 1, 1)) ==
       "varchar(16)")
-    assert(IxfSource.pgType(IxfColumn("a", true, 392, "00006", 1)) ==
+    assert(IxfSource.pgType(IxfColumn("a", true, 392, "00006", 1, 1)) ==
       "timestamp")
+  }
+
+  test("streaming schema read stops before row data") {
+    val in = new java.io.FileInputStream(
+      "/root/reference/test/data/nsitra.test1.ixf")
+    val cols = try IxfSource.readColumns(in) finally in.close()
+    assert(cols.map(_.name).take(2) == Seq("test1_id", "intcol"))
+    assert(cols.forall(_.drid == 1))
   }
 
   test("the reference's own ixf.load runs end-to-end through the Runner") {

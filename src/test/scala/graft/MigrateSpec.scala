@@ -350,6 +350,12 @@ class MigrateSpec extends AnyFunSuite {
     assert(mssqlToPg("([a]=(1) AND [b] IS NOT NULL)") ==
       "a = 1 AND b IS NOT NULL")
     assert(mssqlToPg("([price]>=(12.50))") == "price >= 12.50")
+    // string literals pass through VERBATIM — rewrites must not fire
+    // inside them
+    assert(mssqlToPg("([flag]='N')") == "flag = 'N'")
+    assert(mssqlToPg("([name]<>'JOHN''S')") == "name <> 'JOHN''S'")
+    assert(mssqlToPg("([path]='a=b')") == "path = 'a=b'")
+    assert(mssqlToPg("([v]='(1)')") == "v = '(1)'")
     // filtered index → partial-index DDL
     val ddl = Ddl.createIndex(Index("idx_live", "docs",
       columns = Seq("id"), filter = Some(mssqlToPg("([deleted]=(0))"))))
