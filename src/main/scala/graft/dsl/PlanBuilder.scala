@@ -307,6 +307,15 @@ object SexpTranslator {
   private def render(s: S): String = s match {
     case Atom(a) => a // field reference
     case Str(v) => sqlLit(v)
+    // `(format nil "~{~a~^ ~}" (split-sequence #\Space f …))` — the
+    // collapse-whitespace idiom from the reference's csv-using-sexp.load
+    // (issue #965): split on spaces, drop empties, re-join with one
+    // space ≡ trim + collapse runs of spaces.
+    case L(Atom(f) :: Atom(nil0) :: Str("~{~a~^ ~}") ::
+           L(Atom(ss) :: Atom("#\\Space") :: arg :: _) :: Nil)
+        if f.equalsIgnoreCase("format") && nil0.equalsIgnoreCase("nil") &&
+           ss.equalsIgnoreCase("split-sequence") =>
+      s"trim(BOTH ' ' FROM regexp_replace(${render(arg)}, ' +', ' '))"
     case L(Atom(f) :: rest) if f.equalsIgnoreCase("format") =>
       rest match {
         case Atom(nil0) :: Str(fmt) :: args if nil0.equalsIgnoreCase("nil") =>

@@ -262,6 +262,7 @@ object Transforms {
   /** Named registry — the surface the cast-rule engine and the `.load` DSL
     * reference transforms by (clojure/src/pgloader/cast.clj:364-383). */
   val registry: Map[String, Column => Column] = Map(
+    "identity" -> (c => c), // transforms.lisp identity passthrough
     "zero-dates-to-null" -> zeroDatesToNull,
     "date-with-no-separator" -> dateWithNoSeparator,
     "time-with-no-separator" -> timeWithNoSeparator,

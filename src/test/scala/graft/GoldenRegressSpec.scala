@@ -128,6 +128,54 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("csv-using-sexp.load: split-sequence/format collapse (issue #965)") {
+    val act = plan("csv-using-sexp.load").select(
+      col("id").cast("long").as("id"), col("f1"))
+    val exp = expected("csv-using-sexp", Seq("id", "f1")).select(
+      col("id").cast("long").as("id"), col("f1"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-escape-mode.load: backslash escapes + identity transform") {
+    val act = plan("csv-escape-mode.load").select(
+      col("id").cast("long").as("id"), col("doctype"))
+    val exp = expected("csv-escape-mode", Seq("id", "doctype")).select(
+      col("id").cast("long").as("id"), col("doctype"))
+    assertGolden(act, exp)
+  }
+
+  test("dbf-memo.load: cp866 DBF with .DBT memo and typed transforms") {
+    import graft.sources.DbfSource
+    // derive the per-column default transforms from the real header,
+    // exactly like the command's cast layer would
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/data/DNORDOC.DBF"))
+    val header = DbfSource.parseHeader(bytes)
+    val raw = plan("dbf-memo.load")
+    val cols = header.fields.map { f =>
+      val base0 = DbfSource.defaultTransform(f)(col(f.name))
+      // the command's cast: normdocid → (empty-string-to-null (right-trim _))
+      val t =
+        if (f.name == "normdocid")
+          graft.functions.Transforms.registry("empty-string-to-null")(
+            graft.functions.Transforms.registry("right-trim")(col(f.name)))
+        // the command's cast: doctype → db3-numeric-to-pgsql-integer
+        else if (f.name == "doctype")
+          graft.functions.Transforms.registry(
+            "db3-numeric-to-pgsql-integer")(col(f.name))
+        else base0
+      t.as(f.name)
+    }
+    val act = raw.select(cols: _*)
+    // the reference renders a missing memo reference as the literal
+    // string NIL (same normalization as the dbf-8b golden)
+    val exp = expected("dbf-memo", header.fields.map(_.name))
+      .withColumn("docname",
+        when(col("docname") === "NIL", lit(null: String))
+          .otherwise(col("docname")))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
