@@ -77,7 +77,24 @@ object DbfSource {
             var i = 0
             while (i < n) {
               val f = header.fields(i)
-              vals(i) = new String(bytes, fo, f.length, charset)
+              // Visual FoxPro (0x30/0x31) binary field types decode to
+              // their text renderings; everything else is charset text
+              vals(i) = f.ftype match {
+                case 'I' => // 4-byte LE signed integer
+                  ((bytes(fo) & 0xFF) | ((bytes(fo + 1) & 0xFF) << 8) |
+                    ((bytes(fo + 2) & 0xFF) << 16) |
+                    (bytes(fo + 3) << 24)).toString
+                case 'Y' => // currency: 8-byte LE integer of value×10⁴
+                  java.nio.ByteBuffer.wrap(bytes, fo, 8)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                    .getLong.toString
+                case '0' => // _NullFlags system byte → bit string
+                  String.format("%8s",
+                    java.lang.Integer.toBinaryString(bytes(fo) & 0xFF))
+                    .replace(' ', '0')
+                case _ =>
+                  new String(bytes, fo, f.length, charset)
+              }
               fo += f.length
               i += 1
             }
@@ -231,7 +248,7 @@ object DbfSource {
     case _ => identity
   }
 
-  /** dbf-type → PG type (dbf.clj:22-39). */
+  /** dbf-type → PG type (dbf.clj:22-39; FoxPro I/Y binary types). */
   def pgType(f: DbfField): String = f.ftype match {
     case 'C' | 'M' => "text"
     case 'N' if f.decimals > 0 => s"numeric(${f.length},${f.decimals})"
@@ -239,6 +256,8 @@ object DbfSource {
     case 'F' => "double precision"
     case 'D' => "date"
     case 'L' => "boolean"
+    case 'I' => "integer"
+    case 'Y' => "numeric(19,4)"
     case _ => "text"
   }
 

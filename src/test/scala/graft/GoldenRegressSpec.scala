@@ -176,6 +176,30 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("dbf.load: cp850 reg2013 file (accented region names)") {
+    import graft.sources.DbfSource
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/data/reg2013.dbf"))
+    val header = DbfSource.parseHeader(bytes)
+    val raw = plan("dbf.load")
+    val act = raw.select(header.fields.map(f =>
+      DbfSource.defaultTransform(f)(col(f.name)).as(f.name)): _*)
+    val exp = expected("dbf", header.fields.map(_.name))
+    assertGolden(act, exp)
+  }
+
+  test("dbf-31.load: Visual FoxPro binary I/Y fields + _NullFlags") {
+    import graft.sources.DbfSource
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/data/dbase_31.dbf"))
+    val header = DbfSource.parseHeader(bytes)
+    val raw = plan("dbf-31.load")
+    val act = raw.select(header.fields.map(f =>
+      DbfSource.defaultTransform(f)(col(f.name)).as(f.name)): _*)
+    val exp = expected("dbf-31", header.fields.map(_.name))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
