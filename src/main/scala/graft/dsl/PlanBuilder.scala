@@ -191,16 +191,25 @@ object PlanBuilder {
           else TrimMode.None,
         dateFormat = f.dateFormat)
     }
+    val fieldSet = cmd.fields.map(_.name).toSet
     val targets =
-      if (cmd.targetColumns.nonEmpty) cmd.targetColumns.map(toTarget)
+      if (cmd.targetColumns.nonEmpty)
+        cmd.targetColumns.map(toTarget(_, fieldSet))
       else specs.map(s => TargetColumn(s.name))
     if (specs.isEmpty && cmd.targetColumns.isEmpty) df
     else ProjectFields(df, specs, targets)
   }
 
-  private def toTarget(td: TargetColDef): TargetColumn = td.using match {
+  private def toTarget(td: TargetColDef,
+                       fieldNames: Set[String]): TargetColumn =
+    td.using match {
     case None => TargetColumn(td.name)
-    case Some(ConstantStr(v)) => TargetColumn(td.name, constant = Some(v))
+    case Some(ConstantStr(v)) =>
+      // a dq-string naming an existing FIELD is a quoted field reference
+      // (csv-non-printable.load `c1 text using "Some-Field"`); any other
+      // string is a constant column value (udc.load)
+      if (fieldNames.contains(v)) TargetColumn(td.name, fromField = Some(v))
+      else TargetColumn(td.name, constant = Some(v))
     case Some(SqlExpr(sql)) => TargetColumn(td.name, usingExpr = Some(sql))
     case Some(Sexp(raw)) =>
       // named transform function? (`using zero-dates-to-null` style)

@@ -200,6 +200,25 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("USING dq-string: field reference when it names a field") {
+    // csv-non-printable.load's `c1 text using "Some-Field"` — a quoted
+    // string naming an existing field is a reference, not a constant
+    // (the full golden is not reproducible here: cl-csv skips blanks
+    // before an opening quote while keeping control bytes, a whitespace
+    // model univocity cannot express)
+    val dir = java.nio.file.Files.createTempDirectory("dqref").toFile
+    val f = new java.io.File(dir, "x.csv")
+    java.nio.file.Files.writeString(f.toPath, "a,b\nc,d\n")
+    val cmd = Parser.parse(
+      s"""LOAD CSV FROM '${f.getAbsolutePath}'
+          HAVING FIELDS ("Some-Field", other)
+          INTO postgresql:///g TARGET TABLE t
+          (c1 text using "Some-Field", marker text using "a constant")""")
+    val got = PlanBuilder.build(spark, cmd)
+      .orderBy(col("c1")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("a", "a constant"), ("c", "a constant")))
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
