@@ -191,6 +191,18 @@ private final class Parser(in: String, baseDir: String = ".") {
     in.substring(start, pos)
   }
 
+  /** target-URI token: like [[rawToken]] but also stops at '(' so the
+    * `uri?table(col, …)` form leaves the column list for the column-list
+    * parser (commas never appear in the uri itself). */
+  def uriToken(): String = {
+    ws()
+    val start = pos
+    while (pos < in.length && !in.charAt(pos).isWhitespace &&
+           in.charAt(pos) != ';' && in.charAt(pos) != '(') pos += 1
+    if (pos == start) fail("expected token")
+    in.substring(start, pos)
+  }
+
   /** `'\t'`-style quoted char with backslash escapes. */
   private def unescapeChar(s: String): Char = s match {
     case "\\t" => '\t'
@@ -746,7 +758,20 @@ private final class Parser(in: String, baseDir: String = ".") {
     if (tryKws("having", "fields"))
       cmd = cmd.copy(fields = parseFieldList(loadType == "fixed"))
     expectKw("INTO")
-    cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(rawToken())))
+    cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(uriToken())))
+    // `uri?table` / `uri?schema.table` names the target inline
+    // (command-db-uri.lisp pgsql-uri table-name slot)
+    cmd.targetUri.flatMap(u => u.indexOf('?') match {
+      case -1 => None
+      case q => Some(u.substring(q + 1))
+    }).filter(t => t.nonEmpty && !t.contains('=')).foreach { t =>
+      val (sch, tbl) = t.indexOf('.') match {
+        case -1 => (None, t)
+        case d => (Some(t.substring(0, d)), t.substring(d + 1))
+      }
+      cmd = cmd.copy(targetSchema = sch,
+        targetTable = Some(tbl.stripPrefix("\"").stripSuffix("\"")))
+    }
     // second INTO [TABLE] name / TARGET TABLE name
     if (tryKw("INTO")) {
       tryKw("TABLE")

@@ -152,9 +152,29 @@ object PlanBuilder {
       header = cmd.boolOption("csv header"),
       encoding = enc,
       trimUnquoted = cmd.boolOption("trim unquoted blanks"))
-    encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
-      CsvSource.read(spark, ps.mkString(","), dialect(enc), fieldNames(cmd))
-    }.reduce(_ unionAll _)
+    val names = fieldNames(cmd)
+    if (names.nonEmpty)
+      encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
+        CsvSource.read(spark, ps.mkString(","), dialect(enc), names)
+      }.reduce(_ unionAll _)
+    else {
+      // no HAVING FIELDS and no target columns: the reference guesses
+      // the dialect from a sample and takes the column count from it
+      // (csv-guess.load; csv-guess.lisp:40-77). Names are positional —
+      // the target table's DDL provides the real ones server-side.
+      val sample = CsvSource.sample(spark, path)
+      val guessed = CsvSource.guessDialect(sample).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot guess a CSV dialect for $path — add HAVING FIELDS " +
+            "or WITH fields terminated by"))
+      val nCols = CsvSource.parseLine(sample.head, guessed.separator,
+        guessed.quote, guessed.doubledQuote).getOrElse(
+        throw new IllegalStateException("guessed dialect failed to parse"))
+      val cols = (1 to nCols).map(i => s"col$i")
+      CsvSource.read(spark, path,
+        guessed.copy(encoding = effectiveEncoding(cmd, path, "UTF-8")),
+        cols)
+    }
   }
 
   private def readFixed(spark: SparkSession, cmd: LoadCommand,

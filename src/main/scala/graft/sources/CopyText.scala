@@ -190,7 +190,7 @@ object CopyText {
       when(raw.isNull || raw === nullAs, lit(null: String))
         .otherwise(unescapeColumn(raw)).as(n)
     }
-    spark.read.textFile(path).toDF("value").select(fields: _*)
+    spark.read.textFile(path.split(","): _*).toDF("value").select(fields: _*)
   }
 
   /** Distributed write: one codegen'd projection to the line column, then

@@ -75,7 +75,7 @@ object CsvSource {
     // a header line is just one more per-file line to drop — field names
     // come from the declared schema, matching the reference's HAVING FIELDS
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
-    if (skip == 0) base.csv(path)
+    if (skip == 0) base.csv(path.split(","): _*)
     else {
       import spark.implicits._
       base.csv(SkipLines.lines(spark, path, skip).as[String])
@@ -84,8 +84,8 @@ object CsvSource {
 
   /** Tiny driver-side CSV line parser used only by the guesser. Returns
     * None on unbalanced quotes. */
-  private[sources] def parseLine(line: String, sep: Char, quote: Char,
-                                 doubled: Boolean): Option[Int] = {
+  private[graft] def parseLine(line: String, sep: Char, quote: Char,
+                               doubled: Boolean): Option[Int] = {
     var i = 0
     var fields = 1
     var inQuote = false
@@ -138,7 +138,7 @@ object CsvSource {
 
   /** Driver-side sample for guessing (first `n` lines of the file). */
   def sample(spark: SparkSession, path: String, n: Int = 1000): Seq[String] =
-    spark.read.textFile(path).limit(n).collect().toSeq
+    spark.read.textFile(path.split(","): _*).limit(n).collect().toSeq
 }
 
 /** Fixed-width source (src/sources/fixed/fixed.lisp:51-78): substring
@@ -153,7 +153,7 @@ object FixedWidth {
     val text =
       if (skipLines > 0) SkipLines.lines(spark, path, skipLines)
         .toDF("__line")
-      else spark.read.textFile(path).toDF("__line")
+      else spark.read.textFile(path.split(","): _*).toDF("__line")
     project(text, "__line", specs).drop("__line")
   }
 

@@ -61,7 +61,7 @@ object SkipLines {
     * removed, as a Dataset[String]. */
   def lines(spark: SparkSession, path: String, skip: Int): Dataset[String] = {
     import spark.implicits._
-    if (skip <= 0) return spark.read.textFile(path)
+    if (skip <= 0) return spark.read.textFile(path.split(","): _*)
     val cuts = cutOffsets(spark, path, skip)
     val bc = spark.sparkContext.broadcast(cuts)
     val rdd = spark.sparkContext

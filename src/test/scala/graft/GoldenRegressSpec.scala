@@ -219,6 +219,45 @@ class GoldenRegressSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "a constant"), ("c", "a constant")))
   }
 
+  test("csv-guess.load: dialect guessed from the file sample") {
+    val names = Seq("trackid", "track", "album", "media", "genre",
+      "composer", "ms", "bytes", "price")
+    val raw = plan("csv-guess.load") // positional col1..col9
+    val act = raw.toDF(names: _*).select(
+      col("trackid").cast("long").as("trackid"), col("track"),
+      col("album"), col("media"), col("genre"), col("composer"),
+      col("ms").cast("long").as("ms"),
+      col("bytes").cast("long").as("bytes"),
+      col("price").cast("double").as("price"))
+    val exp = expected("csv-guess", names).select(
+      col("trackid").cast("long").as("trackid"), col("track"),
+      col("album"), col("media"), col("genre"), col("composer"),
+      col("ms").cast("long").as("ms"),
+      col("bytes").cast("long").as("bytes"),
+      col("price").cast("double").as("price"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-filename-pattern.load: ~<regex> glob in data directory") {
+    val act = plan("csv-filename-pattern.load").select(
+      col("id").cast("long").as("id"), col("field"))
+    val exp = expected("csv-filename-pattern", Seq("id", "field")).select(
+      col("id").cast("long").as("id"), col("field"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-temp.load: semicolon separator, nil field name (issue #297)") {
+    val act = plan("csv-temp.load").select(
+      col("a").cast("long").as("a"), col("b"),
+      col("nil").cast("double").as("nil"),
+      col("t").cast("double").as("t"))
+    val exp = expected("csv-temp", Seq("a", "b", "nil", "t")).select(
+      col("a").cast("long").as("a"), col("b"),
+      col("nil").cast("double").as("nil"),
+      col("t").cast("double").as("t"))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
