@@ -203,13 +203,16 @@ private final class Parser(in: String, baseDir: String = ".") {
     in.substring(start, pos)
   }
 
-  /** `'\t'`-style quoted char with backslash escapes. */
+  /** `'\t'`-style quoted char with backslash escapes; `'0x02'` hex
+    * bytes (csv-json.load separator syntax). */
   private def unescapeChar(s: String): Char = s match {
     case "\\t" => '\t'
     case "\\n" => '\n'
     case "\\r" => '\r'
     case "\\\\" => '\\'
     case "tab" => '\t'
+    case x if x.matches("0[xX][0-9a-fA-F]{1,2}") =>
+      Integer.parseInt(x.drop(2), 16).toChar
     case x if x.length == 1 => x.charAt(0)
     case x => x.charAt(0)
   }

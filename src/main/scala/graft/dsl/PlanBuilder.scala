@@ -144,9 +144,13 @@ object PlanBuilder {
     def dialect(enc: String) = CsvDialect(
       separator = cmd.option("fields terminated by")
         .map(_.charAt(0)).getOrElse(','),
-      quote = cmd.option("fields enclosed by")
-        .orElse(cmd.option("fields optionally enclosed by"))
-        .map(_.charAt(0)).getOrElse('"'),
+      // `fields not enclosed` (csv-json.load): NUL quote disables
+      // quote processing entirely in the parser
+      quote =
+        if (cmd.boolOption("fields not enclosed")) '\u0000'
+        else cmd.option("fields enclosed by")
+          .orElse(cmd.option("fields optionally enclosed by"))
+          .map(_.charAt(0)).getOrElse('"'),
       doubledQuote = !cmd.option("fields escaped by").contains("\\"),
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
@@ -158,22 +162,25 @@ object PlanBuilder {
         CsvSource.read(spark, ps.mkString(","), dialect(enc), names)
       }.reduce(_ unionAll _)
     else {
-      // no HAVING FIELDS and no target columns: the reference guesses
-      // the dialect from a sample and takes the column count from it
+      // no HAVING FIELDS and no target columns: the column count comes
+      // from a sample — with explicit dialect options the sample is
+      // parsed with them; otherwise the dialect itself is guessed too
       // (csv-guess.load; csv-guess.lisp:40-77). Names are positional —
       // the target table's DDL provides the real ones server-side.
       val sample = CsvSource.sample(spark, path)
-      val guessed = CsvSource.guessDialect(sample).getOrElse(
-        throw new IllegalArgumentException(
-          s"cannot guess a CSV dialect for $path — add HAVING FIELDS " +
-            "or WITH fields terminated by"))
-      val nCols = CsvSource.parseLine(sample.head, guessed.separator,
-        guessed.quote, guessed.doubledQuote).getOrElse(
-        throw new IllegalStateException("guessed dialect failed to parse"))
+      val d0 =
+        if (cmd.option("fields terminated by").nonEmpty)
+          dialect(effectiveEncoding(cmd, path, "UTF-8"))
+        else CsvSource.guessDialect(sample).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot guess a CSV dialect for $path — add HAVING FIELDS " +
+              "or WITH fields terminated by"))
+          .copy(encoding = effectiveEncoding(cmd, path, "UTF-8"))
+      val nCols = CsvSource.parseLine(sample.head, d0.separator,
+        d0.quote, d0.doubledQuote).getOrElse(
+        throw new IllegalStateException("dialect failed to parse sample"))
       val cols = (1 to nCols).map(i => s"col$i")
-      CsvSource.read(spark, path,
-        guessed.copy(encoding = effectiveEncoding(cmd, path, "UTF-8")),
-        cols)
+      CsvSource.read(spark, path, d0, cols)
     }
   }
 

@@ -258,6 +258,12 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("csv-json.load: 0x02 separator, fields not enclosed") {
+    val act = plan("csv-json.load").toDF("json")
+    val exp = expected("csv-json", Seq("json"))
+    assertGolden(act, exp)
+  }
+
   test("csv-nulls.load: null if '\\N' on an unquoted field") {
     val act = plan("csv-nulls.load").select(
       col("id").cast("long").as("id"),
