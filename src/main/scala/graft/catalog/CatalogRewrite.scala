@@ -149,7 +149,10 @@ object IndexFilters {
     s = "\\[([^\\]]+)\\]".r.replaceAllIn(s, m => {
       val id = m.group(1)
       java.util.regex.Matcher.quoteReplacement(
-        if (Identifiers.needsQuoting(id.toLowerCase)) "\"" + id + "\""
+        // migrated column names are downcased, so the quoted form must
+        // be too — "My Col" would reference a non-existent column
+        if (Identifiers.needsQuoting(id.toLowerCase))
+          "\"" + id.toLowerCase + "\""
         else id.toLowerCase)
     })
     // (123) / (12.5) parenthesized numerics → bare

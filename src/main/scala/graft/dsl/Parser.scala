@@ -763,17 +763,23 @@ private final class Parser(in: String, baseDir: String = ".") {
     expectKw("INTO")
     cmd = cmd.copy(targetUri = Some(tryQuoted().getOrElse(uriToken())))
     // `uri?table` / `uri?schema.table` names the target inline
-    // (command-db-uri.lisp pgsql-uri table-name slot)
-    cmd.targetUri.flatMap(u => u.indexOf('?') match {
-      case -1 => None
-      case q => Some(u.substring(q + 1))
-    }).filter(t => t.nonEmpty && !t.contains('=')).foreach { t =>
-      val (sch, tbl) = t.indexOf('.') match {
-        case -1 => (None, t)
-        case d => (Some(t.substring(0, d)), t.substring(d + 1))
+    // (command-db-uri.lisp pgsql-uri table-name slot). The suffix is
+    // STRIPPED from the uri — left in place it would reach the JDBC
+    // url as a bogus connection property (jdbc:postgresql://…?tbl).
+    cmd.targetUri.foreach { u =>
+      val q = u.indexOf('?')
+      if (q >= 0) {
+        val t = u.substring(q + 1)
+        if (t.nonEmpty && !t.contains('=')) {
+          val (sch, tbl) = t.indexOf('.') match {
+            case -1 => (None, t)
+            case d => (Some(t.substring(0, d)), t.substring(d + 1))
+          }
+          cmd = cmd.copy(targetUri = Some(u.substring(0, q)),
+            targetSchema = sch,
+            targetTable = Some(tbl.stripPrefix("\"").stripSuffix("\"")))
+        }
       }
-      cmd = cmd.copy(targetSchema = sch,
-        targetTable = Some(tbl.stripPrefix("\"").stripSuffix("\"")))
     }
     // second INTO [TABLE] name / TARGET TABLE name
     if (tryKw("INTO")) {

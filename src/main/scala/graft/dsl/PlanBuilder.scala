@@ -175,7 +175,13 @@ object PlanBuilder {
           throw new IllegalArgumentException(
             s"cannot guess a CSV dialect for $path — add HAVING FIELDS " +
               "or WITH fields terminated by"))
-          .copy(encoding = effectiveEncoding(cmd, path, "UTF-8"))
+          // the guess only picks separator/quote/doubling — head-line
+          // and trim options still come from the command (a guessed
+          // dialect must not silently load the header as a data row)
+          .copy(encoding = effectiveEncoding(cmd, path, "UTF-8"),
+            skipLines = cmd.intOption("skip header").getOrElse(0),
+            header = cmd.boolOption("csv header"),
+            trimUnquoted = cmd.boolOption("trim unquoted blanks"))
       val nCols = CsvSource.parseLine(sample.head, d0.separator,
         d0.quote, d0.doubledQuote).getOrElse(
         throw new IllegalStateException("dialect failed to parse sample"))

@@ -375,6 +375,11 @@ object Dedup {
     // as a leaf DataFrame; the PREVIOUS round's RDD is unpersisted
     // explicitly once the new state exists, so executor storage holds at
     // most two narrow (id, label[, old]) copies at any time.
+    // free the cached label RDD left behind by the PREVIOUS call on
+    // this session (the returned frame must stay consumable, so the
+    // final round's cache can't be dropped before returning — but it
+    // must not accumulate across calls either)
+    releaseComponents(pairs.sparkSession)
     var prevRdd: Option[org.apache.spark.rdd.RDD[
       org.apache.spark.sql.Row]] = None
     def truncate(df: DataFrame): DataFrame = {
@@ -413,7 +418,30 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // the result is backed by the final round's persisted RDD (its
+    // lineage chains through every unpersisted round — recomputing it
+    // would replay the whole loop). Park it in the per-session slot:
+    // the NEXT connectedComponents call frees it, or the caller frees
+    // it early via [[releaseComponents]] once done with the result.
+    prevRdd.foreach(r =>
+      lastComponentRdd.put(pairs.sparkSession, r))
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Cached label state of the most recent [[connectedComponents]] call
+    * per session — bounds executor storage to ONE narrow (id, label)
+    * frame instead of one per call. */
+  private val lastComponentRdd = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
+  /** Frees the cached component labels backing the last
+    * [[connectedComponents]] result on `spark`. After this, that result
+    * frame recomputes the full iteration if re-used — call only once
+    * the result has been consumed (written/joined/collected). */
+  def releaseComponents(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = lastComponentRdd.remove(spark)
+    if (r != null) r.unpersist(blocking = false)
   }
 
   /** One representative per dedup component — the keep-list a curation

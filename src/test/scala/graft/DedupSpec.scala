@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
       s"non-converged labels: ${comp.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("connected components cache at most one label RDD per session") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    // two successive calls: the second frees the first call's cached
+    // labels, and releaseComponents frees the second's
+    Dedup.releaseComponents(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.connectedComponents(edges).collect()
+    Dedup.connectedComponents(edges).collect()
+    val during = spark.sparkContext.getPersistentRDDs.size
+    assert(during <= before + 1,
+      s"expected at most one extra cached label RDD ($before -> $during)")
+    Dedup.releaseComponents(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "releaseComponents must drop the final label cache")
+  }
+
   test("survivors pick the highest-score member per component") {
     import spark.implicits._
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))

@@ -44,6 +44,17 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.targetColumns.map(_.name) == Seq("id", "name", "email"))
   }
 
+  test("uri?table target is stripped from the target uri") {
+    val cmd = Parser.parse(
+      """LOAD CSV FROM '/data/users.csv'
+           INTO postgresql://host:5432/db?public.users
+           WITH fields terminated by ',';""")
+    assert(cmd.targetUri.contains("postgresql://host:5432/db"),
+      "?table suffix must not leak into the JDBC connection uri")
+    assert(cmd.targetSchema.contains("public"))
+    assert(cmd.targetTable.contains("users"))
+  }
+
   test("mysql database with db options") {
     val cmd = Parser.parse(
       """LOAD DATABASE FROM mysql://user@localhost/mydb

@@ -219,6 +219,23 @@ class GoldenRegressSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "a constant"), ("c", "a constant")))
   }
 
+  test("guessed dialect still honors skip header / csv header") {
+    // regression: the guessed-dialect branch used to build the dialect
+    // with default skipLines=0/header=false, loading the header line
+    // as a data row
+    val dir = java.nio.file.Files.createTempDirectory("guesshdr").toFile
+    val f = new java.io.File(dir, "h.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "id,name,city\n1,ann,nyc\n2,bob,sfo\n3,cat,lax\n")
+    val cmd = Parser.parse(
+      s"""LOAD CSV FROM '${f.getAbsolutePath}'
+          INTO postgresql:///g TARGET TABLE t
+          WITH skip header = 1;""")
+    val rows = PlanBuilder.build(spark, cmd).collect()
+    assert(rows.length == 3, "header line must not load as data")
+    assert(!rows.exists(_.getString(0) == "id"))
+  }
+
   test("csv-guess.load: dialect guessed from the file sample") {
     val names = Seq("trackid", "track", "album", "media", "genre",
       "composer", "ms", "bytes", "price")

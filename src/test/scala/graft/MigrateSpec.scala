@@ -349,6 +349,9 @@ class MigrateSpec extends AnyFunSuite {
     assert(mssqlToPg("[type]<>N'archived'") == "type <> 'archived'")
     assert(mssqlToPg("([a]=(1) AND [b] IS NOT NULL)") ==
       "a = 1 AND b IS NOT NULL")
+    // quoted identifiers downcase like unquoted ones — migrated column
+    // names are downcased, so [My Col] must become "my col"
+    assert(mssqlToPg("([My Col]=(1))") == "\"my col\" = 1")
     assert(mssqlToPg("([price]>=(12.50))") == "price >= 12.50")
     // string literals pass through VERBATIM — rewrites must not fire
     // inside them
