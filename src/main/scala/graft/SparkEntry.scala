@@ -9,7 +9,7 @@ import graft.operators.{DateFormat, ProjectFields}
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
 import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
 import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1070,6 +1070,36 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Gopher-style repetition quality features; both fractions follow
+    // the exact IEEE op order of the oracle SQL, so doubles hash-match
+    "text_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.repetitionFeatures(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("dup_word_frac"),
+          col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: docs sharing a word 3-gram with the
+    // held-out slice (doc_id % 97). n=3 because the synthetic corpus's
+    // small vocabulary has no longer overlaps; production default is 13
+    "decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+      Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic md5-keyed stratified sample, 20 docs per language
+    "stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.stratifiedSample(d, "lang", 20, "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // multimodal plumbing: binary columns + batched decode (stubbed) —
     // schema/partitioning real, decode deterministic-fake
     // Oracle checks byte counts exactly and decode determinism
@@ -1504,6 +1534,39 @@ object SparkEntry {
          FROM inflated a JOIN inflated b
            ON a.doc_id < b.doc_id AND a.text = b.text
          ORDER BY id_a, id_b""",
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+                    FROM documents),
+         b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+               FROM w, UNNEST(generate_series(1, len(ws)-1)) AS t(i)),
+         c AS (SELECT doc_id, gram, count(*) AS n FROM b GROUP BY 1, 2),
+         m AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS tbf
+               FROM c GROUP BY 1)
+         SELECT d.doc_id,
+           1.0 - CAST(len(list_distinct(regexp_split_to_array(d.text, '\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(d.text, '\s+')) AS dup_word_frac,
+           coalesce(m.tbf, 0.0) AS top_bigram_frac
+         FROM documents d LEFT JOIN m USING (doc_id)
+         ORDER BY doc_id""",
+
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+               FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         SELECT DISTINCT doc_id FROM g
+         WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+         ORDER BY doc_id""",
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 20
+         ORDER BY lang, doc_id""",
 
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training: repetition-based quality features
+  * (Gopher-style), benchmark decontamination, and deterministic
+  * stratified sampling. No reference equivalent (pgloader is pure ETL) —
+  * extension surface, designed Spark-first.
+  *
+  * Scale invariants shared with [[Dedup]]:
+  *   - n-grams travel through shuffles as 8/16-byte hashes, never raw
+  *     word tuples (at corpus scale the gram column IS the corpus);
+  *   - gram formation is codegen'd posexplode + window `lead` — no
+  *     interpreted higher-order functions on the hot path;
+  *   - nothing corpus-sized is cached or collected.
+  */
+object Curation {
+
+  /** Per-document repetition features (the Gopher/C4 quality-filter
+    * family): fraction of repeated words and the share of word-bigram
+    * occurrences taken by the single most frequent bigram. High values
+    * flag boilerplate/spam for downstream filtering.
+    *
+    * `dup_word_frac` is a pure Column expression (no shuffle);
+    * `top_bigram_frac` is two doc-keyed hash aggregates over
+    * (id, xxhash64(bigram)) rows — the shuffle carries 16 bytes/row.
+    * Documents with fewer than two words have no bigrams → 0.0.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val ws = split(col(textCol), "\\s+")
+    val base = df.select(col(idCol).as("id"), ws.as("ws"))
+    val wordFrac = base.select(col("id"),
+      (lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+        size(col("ws"))).as("dup_word_frac"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grams = base
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .select(col("id"), col("w"), lead(col("w"), 1).over(win).as("w1"))
+      .filter(col("w1").isNotNull)
+      // group on the hashed bigram, not the word pair: a within-doc
+      // collision (2^-64) shifts one count; raw pairs ship the corpus
+      .select(col("id"), xxhash64(col("w"), col("w1")).as("g"))
+    val top = grams.groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg((max(col("n")).cast("double") / sum(col("n")))
+        .as("top_bigram_frac"))
+    wordFrac.join(top, Seq("id"), "left")
+      .select(col("id"), col("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Distinct word n-grams per document as (id, h1, h2) rows — two
+    * INDEPENDENT 64-bit hashes of the word tuple, so downstream joins
+    * match on 128 bits (silent cross-doc collision ~2^-128) without ever
+    * shuffling gram text. Documents shorter than `n` words produce no
+    * rows. */
+  private def gramHashRows(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val base = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("w"), j).over(win).as(s"w$j"))
+    val words = col("w") +: (1 until n).map(j => col(s"w$j"))
+    base.select((col("id") +: col("w") +: leads): _*)
+      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
+      .select(col("id"), xxhash64(words: _*).as("h1"),
+        xxhash64((lit("graft-decon-2") +: words): _*).as("h2"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: ids of `docs` sharing at least one word
+    * `n`-gram with any document in `bench` (the standard 13-gram overlap
+    * rule for scrubbing eval sets out of training corpora).
+    *
+    * Both sides reduce to distinct (id, h1, h2) gram rows; the match is
+    * a left-semi join on the 128-bit hash pair. The bench side collapses
+    * to its distinct gram set first — benchmark suites are tiny relative
+    * to the corpus, so AQE broadcasts them and the corpus side never
+    * re-shuffles. Nothing wider than 24 bytes/row moves.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13): DataFrame = {
+    val dg = gramHashRows(docs, idCol, textCol, n)
+    val bg = gramHashRows(bench, idCol, textCol, n)
+      .select(col("h1"), col("h2")).distinct()
+    dg.join(bg, Seq("h1", "h2"), "left_semi")
+      .select(col("id")).distinct()
+  }
+
+  /** Deterministic stratified sample: at most `perStratum` rows per
+    * value of `stratumCol`, chosen by md5 of the id — a stable,
+    * seed-free order that any engine reproduces (no `rand()`, so reruns
+    * and oracles agree).
+    *
+    * Skew-proof two-phase top-N: a single window over `stratumCol`
+    * would sort each stratum inside ONE task — at corpus scale a
+    * dominant stratum (half the web is one language) serializes into a
+    * single sorter. Phase 1 ranks within (stratum, salt) so no task
+    * sees more than ~1/`salts` of a stratum and keeps `perStratum`
+    * survivors per salt; phase 2 ranks the <= salts*perStratum
+    * survivors exactly. Same result as the naive window, bounded task
+    * size. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
+                       idCol: String, salts: Int = 32): DataFrame = {
+    val key = md5(col(idCol).cast("string"))
+    val pre = Window
+      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(key, col(idCol))
+    val fin = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    df.withColumn("__prn", row_number().over(pre))
+      .filter(col("__prn") <= perStratum)
+      .withColumn("__rn", row_number().over(fin))
+      .filter(col("__rn") <= perStratum)
+      .drop("__prn", "__rn")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("repetition features: dup word fraction and top bigram share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // 1 distinct of 4 words; bigram "a a" x3
+      (2L, "w x y z"),          // all distinct; 3 bigrams each once
+      (3L, "spam spam ham spam") // 3 distinct bigrams, top share 1/3
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionFeatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 0.75, 1.0)))
+    assert(got(1) == ((2L, 0.0, 1.0 / 3.0)))
+    assert(got(2)._1 == 3L)
+    assert(math.abs(got(2)._2 - 0.5) < 1e-12)
+    assert(math.abs(got(2)._3 - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("repetition features: single-word doc has zero bigram share") {
+    import spark.implicits._
+    val docs = Seq((9L, "lonely")).toDF("doc_id", "text")
+    val got = Curation.repetitionFeatures(docs, "doc_id", "text").head()
+    assert(got.getDouble(1) == 0.0)
+    assert(got.getDouble(2) == 0.0)
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a totally clean document here"),
+      (3L, "prefix words then quick brown fox suffix"),
+      (4L, "quick brown") // shorter than n: can never match
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(docs, bench, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("stratified sample: exact per-stratum quota, deterministic") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i % 4 == 0) "rare" else "big"))
+    val df = rows.toDF("id", "stratum")
+    val s1 = Curation.stratifiedSample(df, "stratum", 10, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.count(_._2 == "big") == 10)
+    assert(s1.count(_._2 == "rare") == 10)
+    // two-phase result must equal the naive single-window top-N
+    val naive = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum"))
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("rn") <= 10).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == naive.toSet)
+    // quota larger than a stratum returns the whole stratum
+    val s2 = Curation.stratifiedSample(df, "stratum", 1000, "id")
+    assert(s2.count() == 200)
+  }
+}
