@@ -115,33 +115,34 @@ object Dedup {
     val masked = rows.select(col("id"),
       col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
     val aggs = ps.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") }
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") } :+
+      // set size in the SAME hash-aggregate — downstream verification
+      // gets it for free instead of re-counting the corpus
+      count(lit(1)).as("__sz")
     masked.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact jaccard over candidate pairs from shingle ROWS: count shared
-    * hashes per pair (equi-join on h), sizes per id — plain codegen'd
-    * joins/aggregates, 8-byte keys, nothing corpus-wide cached. */
+    * hashes per pair (equi-join on h) — plain codegen'd
+    * joins/aggregates, 8-byte keys, nothing corpus-wide cached.
+    * `cand` must carry (id_a, id_b, sz_a, sz_b): the set sizes ride
+    * along from the candidate generators' existing aggregates, so the
+    * verify step never re-scans the corpus just to count shingles. */
   private def verifyJaccardRows(cand: DataFrame, rows: DataFrame,
-                                threshold: Double): DataFrame = {
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shared = cand
+                                threshold: Double): DataFrame =
+    cand
       .join(rows.as("ra"), col("id_a") === col("ra.id"))
       .join(rows.as("rb"),
         col("id_b") === col("rb.id") && col("ra.h") === col("rb.h"))
-      .groupBy(col("id_a"), col("id_b"))
+      // sz_a/sz_b are functions of the pair key — grouping on them adds
+      // nothing to cardinality, it just keeps them selectable
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** LSH banding: explode the signature into `bands` (bandId, bandHash)
     * rows. Docs sharing any band bucket are near-dup candidates. */
@@ -184,15 +185,16 @@ object Dedup {
           (b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
     }
-    val buckets = sig.select(col("id"),
+    val buckets = sig.select(col("id"), col("__sz"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
+      .select(col("id"), col("__sz"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__sz").as("sz_a"), col("y.__sz").as("sz_b"))
       .distinct()
     verifyJaccardRows(cand, rows, threshold)
   }
@@ -298,21 +300,25 @@ object Dedup {
     // consumed by sizes, prefix AND the verification join — not
     // persisted on purpose; see the measurement note in [[minhashLsh]]
     val rows = shingleHashRows(df, idCol, textCol, n)
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // global document frequency per shingle (one hash-aggregate on h)
     val docFreq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // prefix = each set's first hashes under the (df asc, h) order
+    // prefix = each set's first hashes under the (df asc, h) order.
+    // The set size comes from a second window over the SAME id
+    // partitioning (no extra exchange) — not a separate groupBy+join
+    // corpus pass
     val win = Window.partitionBy(col("id"))
       .orderBy(col("df"), col("h"))
+    val szWin = Window.partitionBy(col("id"))
     val prefix = rows.join(docFreq, "h")
-      .withColumn("rn", row_number().over(win))
-      .join(sizes, "id")
+      .select(col("id"), col("h"), row_number().over(win).as("rn"),
+        count(lit(1)).over(szWin).as("sz"))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("h"))
+      .select(col("id"), col("h"), col("sz"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .distinct()
     verifyJaccardRows(cand, rows, threshold)
   }
