@@ -99,25 +99,17 @@ object Curation {
     * seed-free order that any engine reproduces (no `rand()`, so reruns
     * and oracles agree).
     *
-    * Skew-proof two-phase top-N: a single window over `stratumCol`
-    * would sort each stratum inside ONE task — at corpus scale a
-    * dominant stratum (half the web is one language) serializes into a
-    * single sorter. Phase 1 ranks within (stratum, salt) so no task
-    * sees more than ~1/`salts` of a stratum and keeps `perStratum`
-    * survivors per salt; phase 2 ranks the <= salts*perStratum
-    * survivors exactly. Same result as the naive window, bounded task
-    * size. */
+    * Skew: the row_number + rank-filter shape triggers Catalyst's
+    * WindowGroupLimit pushdown, which keeps at most `perStratum` rows
+    * per stratum per MAP task before the exchange — a dominant stratum
+    * (half the web is one language) ships tasks × perStratum rows, not
+    * the stratum, so the single window is already skew-safe. */
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
-                       idCol: String, salts: Int = 32): DataFrame = {
+                       idCol: String): DataFrame = {
     val key = md5(col(idCol).cast("string"))
-    val pre = Window
-      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(salts)))
-      .orderBy(key, col(idCol))
-    val fin = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
-    df.withColumn("__prn", row_number().over(pre))
-      .filter(col("__prn") <= perStratum)
-      .withColumn("__rn", row_number().over(fin))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
-      .drop("__prn", "__rn")
+      .drop("__rn")
   }
 }
