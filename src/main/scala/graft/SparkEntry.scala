@@ -9,7 +9,7 @@ import graft.operators.{DateFormat, ProjectFields}
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
 import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
 import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -337,6 +337,15 @@ object SparkEntry {
           .groupBy(col("table_name")).agg(count(lit(1)).as("n_rows")))
         .reduce(_ unionAll _)
         .orderBy(col("n_rows").desc, col("table_name"))
+    }),
+
+    // §2.5 extension: ANALYZE-style column profile — one
+    // partial-aggregated scan, exact decimal means, exact distincts
+    // (approx_count_distinct is the 100 TB swap-in; see Profile)
+    "profile_stats" -> ((s, dir) => {
+      graft.operators.Profile.numeric(t(s, dir, "lineitem"),
+        cols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        distinctCols = Seq("l_partkey", "l_returnflag"))
     }),
 
     // §4 partitioned parallel read — split-range bookkeeping
@@ -838,6 +847,49 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // §2.9 extension: streaming exact dedup — dropDuplicates state
+    // across micro-batches, append mode emits each key once. On an
+    // unbounded stream you'd bound the state with
+    // dropDuplicatesWithinWatermark (see SessionizeSpec's streaming
+    // variant); this finite source wants the exact global contract.
+    "events_stream_dedup" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val keys = stream.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val outRoot = new java.io.File(scratch("events_stream_dedup_sink"))
+        .getAbsolutePath
+      val q = keys.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outRoot)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outRoot).orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // CDC latest-wins merge: the change-log → current-state collapse.
+    // Version key = micros-truncated ts (both engines see the same
+    // deterministic ns→us truncation of the parquet TIMESTAMP(NANOS);
+    // DuckDB's reader truncates to its us-native TIMESTAMP on read),
+    // sub-microsecond ties broken by event_id.
+    "upsert_latest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Upsert
+        .latestByKey(e, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.9 extension: gap-based sessionization (30-min gap). The batch
     // variant shares its session fold with the flatMapGroupsWithState
     // streaming variant (unit-tested with MemoryStream + watermark).
@@ -1100,6 +1152,82 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // PII scrub: detection counts + masked text. Deterministic PII is
+    // injected per doc_id (the synthetic corpus has none), then counted
+    // and redacted with the shared Java/RE2 regex subset — both engines
+    // run the exact same patterns.
+    "pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit(""))).as("text"))
+      withPii.select(
+          (col("doc_id") +:
+            graft.pipeline.Scrub.piiRules.map(r =>
+              graft.pipeline.Scrub.piiCount(col("text"), r).cast("long")
+                .as(s"n_${r.name}")) :+
+            graft.pipeline.Scrub.redact(col("text")).as("redacted")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-shard sequence packing: greedy first-fit by start offset
+    // within hash-bucket packing streams (window cumsum per bucket — no
+    // global sort; parallel across buckets)
+    "token_pack" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Curation.packSequences(toks, "doc_id", "n_tok",
+          budgetTokens = 2048L, bucketCol = pmod(col("doc_id"), lit(8L)))
+        .select(col("id").as("doc_id"), col("bucket"), col("shard"),
+          col("n_tokens"), col("start_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // nearest-centroid assignment (the k-means E-step / IVF cell
+    // assignment), integer-quantized so the argmin is engine-exact;
+    // centroids = the 8 lowest-id vectors
+    "semantic_cluster" -> ((s, dir) => {
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), qe(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster_id"), col("v").as("centroid"))
+      Cluster.assign(e, "vec_id", "v", cents)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: cluster assign + within-cluster near-identical drop.
+    // Corpus salted with exact copies (vec_id+10000 of every %10==0
+    // vector): copies land in the original's cluster at cosine 1 and are
+    // dropped; max natural pairwise cosine in this corpus is 0.52, so
+    // the 0.95 threshold is engine-independent with a wide margin.
+    "semantic_dedup" -> ((s, dir) => {
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), qe(col("embedding")).as("v"))
+      val inflated = e.unionAll(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("v")))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster_id"), col("v").as("centroid"))
+      Cluster.semanticDedup(inflated, "vec_id", "v", cents,
+          threshold = 0.95)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // multimodal plumbing: binary columns + batched decode (stubbed) —
     // schema/partitioning real, decode deterministic-fake
     // Oracle checks byte counts exactly and decode determinism
@@ -1280,6 +1408,37 @@ object SparkEntry {
     "partition_ranges" ->
       """SELECT CAST(floor((o_orderkey - (SELECT min(o_orderkey) FROM orders)) / 10000) AS BIGINT) AS range_id,
          count(*) AS n_rows FROM orders GROUP BY 1 ORDER BY range_id""",
+
+    "profile_stats" ->
+      """SELECT count(*) AS n_rows,
+           min(l_quantity) AS l_quantity_min,
+           max(l_quantity) AS l_quantity_max,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS l_quantity_mean,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+           min(l_extendedprice) AS l_extendedprice_min,
+           max(l_extendedprice) AS l_extendedprice_max,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS l_extendedprice_mean,
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
+           min(l_discount) AS l_discount_min,
+           max(l_discount) AS l_discount_max,
+           CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS l_discount_mean,
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_discount_nulls,
+           count(DISTINCT l_partkey) AS l_partkey_distinct,
+           count(DISTINCT l_returnflag) AS l_returnflag_distinct
+         FROM lineitem""",
+
+    "events_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+
+    "upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_type AS last_type, value AS last_value
+         FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
 
     "copy_roundtrip" ->
       """SELECT o_orderkey,
@@ -1567,6 +1726,70 @@ object SparkEntry {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents) WHERE rn <= 20
          ORDER BY lang, doc_id""",
+
+    "pii_scrub" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM d ORDER BY doc_id""",
+
+    "token_pack" ->
+      """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+           FROM tk)
+         SELECT doc_id, bucket,
+           CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS shard,
+           n_tokens, start_offset
+         FROM o ORDER BY doc_id""",
+
+    "semantic_cluster" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+         d AS (SELECT q.vec_id, c.cid,
+             (SELECT sum((x.a - x.b) * (x.a - x.b))
+              FROM (SELECT unnest(q.v) AS a, unnest(c.cv) AS b) x) AS d2
+           FROM q CROSS JOIN c),
+         r AS (SELECT vec_id, cid, d2, row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(d2 AS BIGINT) AS dist2
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+
+    // the kept set is the naturals (planted +10000 copies all drop: they
+    // sit in their original's cluster at cosine 1); cluster = the same
+    // integer-exact nearest-centroid argmin as semantic_cluster
+    "semantic_dedup" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+         d AS (SELECT q.vec_id, c.cid,
+             (SELECT sum((x.a - x.b) * (x.a - x.b))
+              FROM (SELECT unnest(q.v) AS a, unnest(c.cv) AS b) x) AS d2
+           FROM q CROSS JOIN c),
+         r AS (SELECT vec_id, cid, d2, row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
 
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation: nearest-centroid
+  * assignment, Lloyd's k-means, and SemDeDup-style semantic
+  * deduplication (cluster the corpus, then drop documents whose
+  * embedding is near-identical to an earlier document in the same
+  * cluster — Abbas et al. 2023, arXiv:2303.09540). No reference
+  * equivalent (pgloader is pure ETL) — extension surface, Spark-first.
+  *
+  * Scale invariants:
+  *   - centroids are k×dim doubles — always broadcast, never shuffled;
+  *   - assignment is ONE corpus scan per iteration (crossJoin with the
+  *     broadcast centroid table + a min-by reduction — no corpus-side
+  *     shuffle at all);
+  *   - centroid recomputation is a (cluster, dim) hash aggregate whose
+  *     result is k×dim rows — collected to the driver like the
+  *     reference's own driver-side guessers (csv-guess.lisp:56-77
+  *     samples to the client the same way);
+  *   - semantic dedup's quadratic step is WITHIN-cluster only: k is
+  *     the knob that bounds expected cluster size (SemDeDup's own
+  *     design — pick k ∝ corpus size so clusters stay joinable).
+  */
+object Cluster {
+
+  /** Squared L2 distance between two numeric array columns (codegen'd). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Assign every vector to its nearest centroid (squared L2, ties by
+    * lowest cluster id). `centroids` must be small (k rows) — it is
+    * collected into the plan as literals (k×dim doubles, the same size
+    * contract as a broadcast); the corpus side is scanned once and
+    * never shuffled: the min-by happens inside a single projection
+    * (`least` over k (dist², cluster) structs), not a window.
+    *
+    * Output: (idCol, cluster, dist2).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cidCol: String = "cluster_id",
+             cvecCol: String = "centroid"): DataFrame = {
+    // fold the k (cluster, centroid) pairs into ONE struct-valued
+    // min(...) expression via a collected centroid array: the corpus
+    // row never leaves its partition and the comparison is codegen'd.
+    // k×dim is driver-small by contract (same contract as broadcast).
+    val cents = centroids.select(col(cidCol), col(cvecCol))
+      .collect().sortBy(_.getAs[Any](cidCol).toString)
+    val scored = cents.map { r =>
+      val cid = r.get(0)
+      val vec = array(r.getSeq[Any](1).map(v => lit(v)): _*)
+      struct(dist2(col(vecCol), vec).as("d2"),
+        lit(cid).as("cluster"))
+    }
+    df.select(col(idCol), least(scored: _*).as("__best"))
+      .select(col(idCol), col("__best.cluster").as("cluster"),
+        col("__best.d2").as("dist2"))
+  }
+
+  /** Lloyd's k-means with deterministic seeding (the k lowest-id
+    * vectors). Returns (centroids, assignments): centroids as a local
+    * k-row DataFrame (cluster_id, centroid), assignments as
+    * (idCol, cluster, dist2).
+    *
+    * Each iteration = one corpus scan (assignment) + one narrow
+    * (cluster, dim) aggregate (recomputation); nothing corpus-sized is
+    * cached, collected, or shuffled wider than 20 bytes/row. An empty
+    * cluster keeps its previous centroid (the standard fix).
+    */
+  def kmeans(spark: SparkSession, df: DataFrame, idCol: String,
+             vecCol: String, k: Int, iters: Int = 5)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got $k/$iters")
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    var centroids: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cluster_id", "centroid")
+      val assigned = assign(vecs, "id", "v", cdf)
+        .join(vecs, "id")
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(col("m"))).as("byPos"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Double](1)
+          (r.getAs[Number](0).intValue,
+            (0 until m.size).map(m): Seq[Double])
+        }.toMap
+      centroids = centroids.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+    }
+    val cdf = centroids.toDF("cluster_id", "centroid")
+    (cdf, assign(vecs, "id", "v", cdf)
+      .withColumnRenamed("id", idCol))
+  }
+
+  /** SemDeDup: drop every document that has an EARLIER (lower-id)
+    * document in the same cluster with cosine similarity >= threshold.
+    * Non-transitive by design (the SemDeDup rule): each doc is compared
+    * to all earlier docs of its cluster, so the survivor set is exactly
+    * the ids with no near-identical predecessor.
+    *
+    * `centroids` bounds the quadratic step: the self-join is on the
+    * cluster key, so the pair count is Σ |cluster|² — pick k so
+    * clusters stay small (SemDeDup uses k ≈ corpus_size / 10⁴).
+    * Output: the KEPT (id, cluster) rows.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double)
+      : DataFrame = {
+    val a = assign(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("cluster"))
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.id") < col("x.id") &&
+          Similarity.cosine(col("x.v"), col("y.v")) >= threshold)
+      .select(col("x.id").as("id")).distinct()
+    a.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cluster"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,34 @@ object Curation {
       .select(col("h1"), col("h2")).distinct()
     dg.join(bg, Seq("h1", "h2"), "left_semi")
       .select(col("id")).distinct()
+  }
+
+  /** Greedy sequence packing for training-shard construction: documents
+    * are laid end-to-end in id order within a bucket, and each document
+    * is assigned to the shard where its first token lands
+    * (`floor(start_offset / budgetTokens)`) — the deterministic
+    * first-fit rule every trainer-side packer can reproduce.
+    *
+    * `bucketCol` splits the corpus into independent packing streams
+    * (production: `pmod(xxhash64(id), numWriters)` — one stream per
+    * shard-writer). The window sort is PER BUCKET, so the work
+    * parallelizes across buckets and no global sort exists; shard ids
+    * are only meaningful within their bucket, which is exactly the
+    * shape a multi-writer trainer wants.
+    *
+    * Output: (id, bucket, shard, n_tokens, start_offset).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budgetTokens: Long, bucketCol: Column): DataFrame = {
+    require(budgetTokens > 0, s"budget must be > 0, got $budgetTokens")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), bucketCol.as("bucket"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id"), col("bucket"),
+        floor(col("start_offset") / budgetTokens).as("shard"),
+        col("n_tokens"), col("start_offset"))
   }
 
   /** Deterministic stratified sample: at most `perStratum` rows per

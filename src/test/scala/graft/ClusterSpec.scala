@@ -1,0 +1,113 @@
+package graft
+
+import graft.pipeline.Cluster
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+
+  private def vecsDF(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("assign picks the nearest centroid, ties to the lowest cluster id") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)))
+      .toDF("cluster_id", "centroid")
+    val pts = vecsDF(Seq(
+      (1L, Seq(1.0, 0.0)),   // near cluster 0
+      (2L, Seq(9.0, 0.0)),   // near cluster 1
+      (3L, Seq(5.0, 0.0))))  // equidistant -> cluster 0
+    val got = Cluster.assign(pts, "id", "v", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0), (2L, 1), (3L, 0)))
+  }
+
+  test("kmeans recovers well-separated clusters and is deterministic") {
+    // two tight blobs around (0,0) and (100,100); seeds are the two
+    // lowest ids, one in each blob by construction
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 100.0
+      (i, Seq(base + (i % 5) * 0.1, base - (i % 3) * 0.1))
+    }
+    val df = vecsDF(rows)
+    val (cents, assigned) = Cluster.kmeans(spark, df, "id", "v", k = 2,
+      iters = 4)
+    val byCluster = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(byCluster.size == 2)
+    // each blob lands wholly in one cluster
+    val even = (0L until 20L by 2).toSet
+    assert(byCluster.values.toSet == Set(even, (0L until 20L).toSet -- even))
+    // centroids are the blob means
+    val cmap = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val c0 = cmap(0)
+    assert(math.abs(c0.head - 0.2) < 1e-9 && math.abs(c0(1) - (-0.09)) < 1e-9)
+    // rerun is bit-identical (deterministic seeding, no rand)
+    val (_, again) = Cluster.kmeans(spark, df, "id", "v", k = 2, iters = 4)
+    assert(again.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      .sameElements(assigned.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted))
+  }
+
+  test("kmeans iterations do not increase inertia") {
+    val rows = (0L until 40L).map { i =>
+      (i, Seq((i * 37 % 11).toDouble, (i * 53 % 7).toDouble))
+    }
+    val df = vecsDF(rows)
+    def inertia(iters: Int): Double = {
+      val (_, a) = Cluster.kmeans(spark, df, "id", "v", k = 3, iters = iters)
+      a.agg(sum(col("dist2"))).head().getDouble(0)
+    }
+    val i0 = inertia(0); val i2 = inertia(2); val i5 = inertia(5)
+    assert(i2 <= i0 + 1e-9)
+    assert(i5 <= i2 + 1e-9)
+  }
+
+  test("kmeans-trained centroids drive ivfTopK at full recall on blobs") {
+    import graft.pipeline.Similarity
+    // three well-separated blobs in 4-d; nprobe=1 must already find the
+    // true neighbors because k-means recovers the blob structure
+    val pts = (0L until 30L).map { i =>
+      val c = i % 3
+      val base = Seq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 10.0, 0.0))(c.toInt)
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 7 + d) % 5) * 0.01
+      })
+    }
+    val df = vecsDF(pts)
+    val (cents, _) = Cluster.kmeans(spark, df, "id", "v", k = 3, iters = 3)
+    val ivfCents = cents.select(col("cluster_id").as("ct_id"),
+      col("centroid").as("ct_vec"))
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("q_id"), col("v").as("q_vec"))
+    val corpus = df.filter(col("id") >= 3)
+      .select(col("id").as("c_id"), col("v").as("c_vec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, ivfCents, k = 3,
+        nprobe = 1)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bf)
+  }
+
+  test("semanticDedup drops later near-identical docs within a cluster") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0, 0.0)), (1, Seq(100.0, 0.0, 0.0)))
+      .toDF("cluster_id", "centroid")
+    val pts = vecsDF(Seq(
+      (1L, Seq(1.0, 0.1, 0.0)),
+      (2L, Seq(1.0, 0.1001, 0.0)),    // near-copy of 1 -> dropped
+      (3L, Seq(0.0, 5.0, 0.0)),       // same cluster, dissimilar -> kept
+      (10L, Seq(99.0, 1.0, 0.0)),
+      (11L, Seq(99.0, 1.0001, 0.0)))) // near-copy of 10 -> dropped
+    val kept = Cluster.semanticDedup(pts, "id", "v", cents, 0.999)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 10L))
+  }
+}

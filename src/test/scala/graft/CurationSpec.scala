@@ -64,4 +64,38 @@ class CurationSpec extends SparkSpec {
     val s2 = Curation.stratifiedSample(df, "stratum", 1000, "id")
     assert(s2.count() == 200)
   }
+
+  test("packSequences: first-fit shard by start offset, per bucket") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 600L), (2L, 600L), (3L, 600L), // odd ids -> bucket 1
+      (4L, 1500L), (5L, 100L))            // even ids -> bucket 0
+      .toDF("doc_id", "n_tok")
+    val got = Curation.packSequences(docs, "doc_id", "n_tok",
+        budgetTokens = 1000L, bucketCol = col("doc_id") % 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    // bucket 1 = docs 1,3,5 at offsets 0,600,1200; bucket 0 = docs 2,4
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 1L, 0L, 600L),
+      (4L, 0L, 0L, 600L), (5L, 1L, 1L, 1200L)))
+  }
+
+  test("packSequences matches a driver-side reference packer") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, (i * 37 % 400) + 1))
+    val packed = Curation.packSequences(rows.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budgetTokens = 1000L,
+        bucketCol = col("doc_id") % 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val expect = rows.groupBy(_._1 % 4).flatMap { case (b, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, tok) =>
+        val shard = off / 1000L; off += tok; id -> ((b, shard))
+      }
+    }
+    assert(packed == expect)
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Profile, Upsert}
+
+class UpsertProfileSpec extends SparkSpec {
+
+  test("latestByKey keeps the newest version per key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 100L, "a"), // user 1: three versions
+      (1L, 30L, 101L, "b"),
+      (1L, 20L, 102L, "c"),
+      (2L, 5L, 103L, "d"))  // user 2: one version
+      .toDF("user_id", "ver", "event_id", "payload")
+    val got = Upsert.latestByKey(log, Seq("user_id"),
+        Seq(col("ver"), col("event_id")))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "b"), (2L, "d")))
+  }
+
+  test("latestByKey breaks version ties by the extra column") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"))
+      .toDF("user_id", "ver", "event_id", "payload")
+    val got = Upsert.latestByKey(log, Seq("user_id"),
+      Seq(col("ver"), col("event_id"))).head()
+    assert(got.getString(3) == "y")
+  }
+
+  test("numeric profile: exact stats incl. nulls and distincts") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, 2.5), (3L, null), (3L, 4.0))
+      .toDF("k", "x")
+    val got = Profile.numeric(df, Seq("x"), distinctCols = Seq("k")).head()
+    assert(got.getAs[Long]("n_rows") == 4L)
+    assert(got.getAs[Double]("x_min") == 1.5)
+    assert(got.getAs[Double]("x_max") == 4.0)
+    assert(got.getAs[Double]("x_mean") == (1.5 + 2.5 + 4.0) / 3.0)
+    assert(got.getAs[Long]("x_nulls") == 1L)
+    assert(got.getAs[Long]("k_distinct") == 3L)
+  }
+
+  test("approx distinct stays within 10% on a wide key space") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("k").withColumn("x", col("k") * 2)
+    val got = Profile.numeric(df, Seq("x"), distinctCols = Seq("k"),
+      approxDistinct = true).head()
+    val est = got.getAs[Long]("k_distinct")
+    assert(est > 4500 && est < 5500, s"approx distinct was $est")
+  }
+
+  test("streaming dedup with watermark bounds state and emits each key once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val deduped = mem.toDS().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val qn = "dedup_test_" + System.nanoTime()
+    val q = deduped.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    mem.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(1)))
+    q.processAllAvailable()
+    mem.addData((1L, ts(2)), (2L, ts(3))) // dups within watermark: dropped
+    q.processAllAvailable()
+    val got = spark.table(qn).collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+}
