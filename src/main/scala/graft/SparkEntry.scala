@@ -348,6 +348,16 @@ object SparkEntry {
         distinctCols = Seq("l_partkey", "l_returnflag"))
     }),
 
+    // §2.5 extension: exact discrete quantiles (SQL-standard
+    // percentile_disc — always an actual element, so engine-exact with
+    // no float interpolation; oracle spells out the same definition
+    // via cume_dist). approx_percentile is the 100 TB swap-in.
+    "profile_quantiles" -> ((s, dir) => {
+      graft.operators.Profile.quantiles(t(s, dir, "lineitem"),
+        cols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        probs = Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
     // §4 partitioned parallel read — split-range bookkeeping
     // (rows-per-range semantics of mysql.lisp:44-62)
     "partition_ranges" -> ((s, dir) => {
@@ -888,6 +898,44 @@ object SparkEntry {
           col("event_type").as("last_type"),
           col("value").as("last_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // range join: orders against overlapping price bands (width 35k,
+    // stride 20k — most orders match 2 bands). Grid-bucketed equi-join
+    // (see RangeJoin); oracle is the plain BETWEEN join.
+    "range_join" -> ((s, dir) => {
+      val bands = s.range(0, 30).select(col("id").as("band_id"),
+        (col("id") * 20000.0).as("lo"),
+        (col("id") * 20000.0 + 34999.0).as("hi"))
+      val pts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeJoin.pointInInterval(pts, "o_totalprice",
+          bands, "lo", "hi", cellSize = 5000L)
+        .select(col("o_orderkey"), col("band_id"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }),
+
+    // as-of join: every click gets the user's newest at-or-before
+    // purchase. Tagged-union shape — ONE shuffle on user_id, no pair
+    // blow-up (see AsOfJoin); oracle finds the same row by LATERAL
+    // keep-1, a deliberately different algorithm with identical
+    // semantics. Sub-microsecond ties resolve by event_id.
+    "asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("last_purchase_id"),
+          col("value").as("last_purchase_value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          "ts", "pts", Seq("last_purchase_id", "last_purchase_value"),
+          tieBreak = Seq("last_purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_purchase_id"), col("last_purchase_value"))
+        .orderBy(col("event_id"))
     }),
 
     // §2.9 extension: gap-based sessionization (30-min gap). The batch
@@ -1431,6 +1479,20 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
 
+    // SQL-standard percentile_disc spelled out: smallest value whose
+    // cume_dist reaches p (identical definition on both engines)
+    "profile_quantiles" -> {
+      val cell = (c: String, p: Double) =>
+        s"""(SELECT min(v) FROM
+           (SELECT $c AS v, cume_dist() OVER (ORDER BY $c) AS cd
+            FROM lineitem) WHERE cd >= $p)
+           AS ${c}_p${math.round(p * 100)}"""
+      "SELECT " + (for {
+        c <- Seq("l_quantity", "l_extendedprice", "l_discount")
+        p <- Seq(0.25, 0.5, 0.75, 0.95)
+      } yield cell(c, p)).mkString(",\n         ")
+    },
+
     "upsert_latest" ->
       """SELECT user_id, event_id AS last_event_id,
            CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -1439,6 +1501,32 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+
+    "range_join" ->
+      """WITH bands AS (
+           SELECT b AS band_id, b * 20000.0 AS lo,
+                  b * 20000.0 + 34999.0 AS hi
+           FROM generate_series(0, 29) AS t(b))
+         SELECT o_orderkey, CAST(band_id AS BIGINT) AS band_id,
+                o_totalprice
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice <= hi
+         ORDER BY o_orderkey, band_id""",
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           p.last_purchase_id, p.last_purchase_value
+         FROM events l
+         LEFT JOIN LATERAL (
+           SELECT r.event_id AS last_purchase_id,
+                  r.value AS last_purchase_value
+           FROM events r
+           WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+             AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON true
+         WHERE l.event_type = 'click'
+         ORDER BY l.event_id""",
 
     "copy_roundtrip" ->
       """SELECT o_orderkey,

@@ -40,4 +40,34 @@ object Profile {
     val all = (count(lit(1)).as("n_rows") +: (stats ++ distincts))
     df.agg(all.head, all.tail: _*)
   }
+
+  /** Exact discrete quantiles per column — SQL-standard
+    * `percentile_disc` semantics: the smallest actual value whose
+    * cumulative distribution reaches `p` (no interpolation, so the
+    * result is always an element of the column and engine-exact).
+    *
+    * Exact percentiles aggregate a value→count map per partition
+    * (map-side combined, memory ∝ distinct values, fine for
+    * bounded-cardinality measures). For 100 TB high-cardinality
+    * columns set `approx = true`: `approx_percentile`'s sketch is
+    * constant-memory and fully map-combined, at ±accuracy rank error.
+    *
+    * Output: one row, columns `<col>_p<percent>`.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                approx: Boolean = false,
+                accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && probs.nonEmpty, "need columns and probs")
+    require(probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1]: ${probs.mkString(",")}")
+    val aggs = for { c <- cols; p <- probs } yield {
+      val name = s"${c}_p${math.round(p * 100)}"
+      if (approx)
+        percentile_approx(col(c), lit(p), lit(accuracy)).as(name)
+      else
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$c`)")
+          .as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -53,6 +53,27 @@ class UpsertProfileSpec extends SparkSpec {
     assert(est > 4500 && est < 5500, s"approx distinct was $est")
   }
 
+  test("quantiles: percentile_disc picks the smallest value at cume >= p") {
+    import spark.implicits._
+    // n=5: cume_dist = 0.2,0.4,0.6,0.8,1.0
+    val df = Seq(10.0, 20.0, 30.0, 40.0, 50.0).toDF("x")
+    val got = Profile.quantiles(df, Seq("x"),
+      Seq(0.2, 0.5, 0.8, 0.95, 1.0)).head()
+    assert(got.getAs[Double]("x_p20") == 10.0)  // 0.2 >= 0.2
+    assert(got.getAs[Double]("x_p50") == 30.0)  // 0.6 first >= 0.5
+    assert(got.getAs[Double]("x_p80") == 40.0)
+    assert(got.getAs[Double]("x_p95") == 50.0)  // only 1.0 >= 0.95
+    assert(got.getAs[Double]("x_p100") == 50.0)
+  }
+
+  test("approx quantiles stay close to exact on a smooth column") {
+    import spark.implicits._
+    val df = (1L to 10000L).map(_.toDouble).toDF("x")
+    val got = Profile.quantiles(df, Seq("x"), Seq(0.5), approx = true)
+      .head().getAs[Double]("x_p50")
+    assert(math.abs(got - 5000.0) < 100.0, s"p50 approx was $got")
+  }
+
   test("streaming dedup with watermark bounds state and emits each key once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
