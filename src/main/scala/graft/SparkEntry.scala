@@ -900,6 +900,22 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // salted skew join: every event joined to its user's first signup.
+    // The salt routes rows and cancels out — oracle is the PLAIN join,
+    // which must match row for row (see SaltedJoin).
+    "salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dims = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min("event_id").as("first_signup_id"))
+      graft.operators.SaltedJoin.join(
+          e.select(col("event_id"), col("user_id"), col("event_type")),
+          dims, Seq("user_id"), factor = 8)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("first_signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // range join: orders against overlapping price bands (width 35k,
     // stride 20k — most orders match 2 bands). Grid-bucketed equi-join
     // (see RangeJoin); oracle is the plain BETWEEN join.
@@ -1501,6 +1517,14 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+
+    "salted_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, d.first_signup_id
+         FROM events e
+         JOIN (SELECT user_id, min(event_id) AS first_signup_id
+               FROM events WHERE event_type = 'signup'
+               GROUP BY user_id) d USING (user_id)
+         ORDER BY e.event_id""",
 
     "range_join" ->
       """WITH bands AS (
