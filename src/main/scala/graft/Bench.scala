@@ -41,6 +41,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // Untimed between-query isolation: broadcast/shuffle blocks are
+      // freed by the ContextCleaner only after their weak refs are
+      // GC'd, so a long suite otherwise squeezes execution memory with
+      // dead blocks from earlier queries and every later query pays in
+      // spills. Each query still pays its OWN GC inside the timer.
+      spark.catalog.clearCache()
+      System.gc()
       name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -122,14 +122,23 @@ object Cluster {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double)
       : DataFrame = {
+    // Pair-predicate cost dominates (it runs once per within-cluster
+    // candidate pair, and higher-order aggregates are interpreted, not
+    // codegen'd): precompute each vector's norm ONCE so the pair test
+    // is a single dot-product HOF — `dot(x,y) >= t·|x|·|y|` — instead
+    // of cosine's three aggregates per pair.
     val a = assign(df, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col("cluster"))
       .join(df.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumn("nrm", Similarity.norm(col("v")))
+    // left_anti tolerates duplicate right-side ids, so the dropped set
+    // needs no distinct (saves a shuffle + aggregate).
     val dropped = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("y.id") < col("x.id") &&
-          Similarity.cosine(col("x.v"), col("y.v")) >= threshold)
-      .select(col("x.id").as("id")).distinct()
+          Similarity.dot(col("x.v"), col("y.v")) >=
+            lit(threshold) * col("x.nrm") * col("y.nrm"))
+      .select(col("x.id").as("id"))
     a.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cluster"))
   }
