@@ -388,17 +388,30 @@ object Dedup {
     releaseComponents(pairs.sparkSession)
     var prevRdd: Option[org.apache.spark.rdd.RDD[
       org.apache.spark.sql.Row]] = None
-    def truncate(df: DataFrame): DataFrame = {
-      val rdd = df.rdd
+    // materialize df to a persisted RDD (lineage truncation), free the
+    // previous round's RDD, and — when df carries a trailing boolean
+    // "chg" column — count improved rows IN the materialization pass
+    // (an accumulator during count, no separate convergence job; task
+    // retries can only overcount, which costs one extra no-op round,
+    // never a wrong result).
+    def truncate(df: DataFrame): (DataFrame, Long) = {
+      val spark = df.sparkSession
+      val hasChg = df.columns.last == "chg"
+      val acc = spark.sparkContext.longAccumulator
+      val base = df.rdd
+      val rdd = (if (hasChg) {
+        val chgAt = df.columns.length - 1
+        base.map { r => if (r.getBoolean(chgAt)) acc.add(1L); r }
+      } else base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.count() // materialize BEFORE freeing the state it derives from
-      val out = df.sparkSession.createDataFrame(rdd, df.schema)
+      val out = spark.createDataFrame(rdd, df.schema)
       prevRdd.foreach(_.unpersist(blocking = false))
       prevRdd = Some(rdd)
-      out
+      (out, acc.value)
     }
     var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+      .withColumn("label", col("id")))._1
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -406,20 +419,25 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.as("l")
+      // truncate BEFORE the pointer jump: the self-join below references
+      // this frame twice, and its two sides exchange on different keys
+      // (label vs id), so without a leaf in between the edge-join +
+      // aggregate above would execute twice per round
+      val stepped = truncate(labels.as("l")
         .join(nbrMin, col("l.id") === col("src"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
-            .as("label"))
+            .as("label")))._1
       // pointer jumping: adopt the label OF my label — halves remaining
       // path length every round (log-diameter convergence)
-      val joined = truncate(stepped.as("a")
+      val (joined, improved) = truncate(stepped.as("a")
         .join(stepped.select(col("id").as("pid"),
           col("label").as("plabel")), col("a.label") === col("pid"), "left")
-        .select(col("a.id").as("id"), col("a.old").as("old"),
+        .select(col("a.id").as("id"),
           least(col("a.label"), coalesce(col("plabel"), col("a.label")))
-            .as("label")))
-      converged = joined.filter(col("label") < col("old")).isEmpty
+            .as("label"), col("a.old").as("old"))
+        .withColumn("chg", col("label") < col("old")))
+      converged = improved == 0
       labels = joined.select(col("id"), col("label"))
       iter += 1
     }
