@@ -1271,6 +1271,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // full Lloyd k-means, 2 iterations, k=4 — integer-quantized vectors
+    // with floor-division centroid updates make the whole fit
+    // bit-reproducible on any engine (see Cluster.kmeansExact), so even
+    // the ITERATIVE model is oracle-checkable, not just one assignment
+    "kmeans_fit" -> ((s, dir) => {
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), qe(col("embedding")).as("v"))
+      val (_, assigned) = Cluster.kmeansExact(s, e, "vec_id", "v",
+        k = 4, iters = 2)
+      assigned.select(col("vec_id"),
+          col("cluster").cast("long").as("cluster"),
+          col("dist2").cast("long").as("dist2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup: cluster assign + within-cluster near-identical drop.
     // Corpus salted with exact copies (vec_id+10000 of every %10==0
     // vector): copies land in the original's cluster at cosine 1 and are
@@ -1885,6 +1902,57 @@ object SparkEntry {
          SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
            CAST(d2 AS BIGINT) AS dist2
          FROM r WHERE rn = 1 ORDER BY vec_id""",
+
+    // the same 2-iteration integer-exact Lloyd fit, spelled out: seeds =
+    // 4 lowest-id vectors relabeled 0..3; per-iteration argmin assign
+    // (ties to lowest cid) then per-dim floor(sum/count) centroids with
+    // empty clusters keeping their previous centroid (dim fixed at 64)
+    "kmeans_fit" -> {
+      val d2 = (vs: String, cs: String) =>
+        s"""(SELECT sum((p.a - p.b) * (p.a - p.b))
+            FROM (SELECT unnest($vs) AS a, unnest($cs) AS b) p)"""
+      s"""WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             v AS cv FROM q ORDER BY vec_id LIMIT 4),
+         d1 AS (SELECT q.vec_id, s.cid, ${d2("q.v", "s.cv")} AS d2
+           FROM q CROSS JOIN seeds s),
+         a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+             OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+           FROM d1) WHERE rn = 1),
+         m1 AS (SELECT a1.cid, g.pos,
+             CAST(floor(CAST(sum(q.v[g.pos]) AS DOUBLE) / count(*))
+               AS BIGINT) AS m
+           FROM a1 JOIN q USING (vec_id),
+             generate_series(1, 64) AS g(pos)
+           GROUP BY a1.cid, g.pos),
+         c1 AS (SELECT s.cid, COALESCE(n.cv, s.cv) AS cv
+           FROM seeds s LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv
+             FROM m1 GROUP BY cid) n USING (cid)),
+         d2_ AS (SELECT q.vec_id, c.cid, ${d2("q.v", "c.cv")} AS d2
+           FROM q CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+             OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+           FROM d2_) WHERE rn = 1),
+         m2 AS (SELECT a2.cid, g.pos,
+             CAST(floor(CAST(sum(q.v[g.pos]) AS DOUBLE) / count(*))
+               AS BIGINT) AS m
+           FROM a2 JOIN q USING (vec_id),
+             generate_series(1, 64) AS g(pos)
+           GROUP BY a2.cid, g.pos),
+         c2 AS (SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv
+             FROM m2 GROUP BY cid) n USING (cid)),
+         df_ AS (SELECT q.vec_id, c.cid, ${d2("q.v", "c.cv")} AS d2
+           FROM q CROSS JOIN c2 c)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(d2 AS BIGINT) AS dist2
+         FROM (SELECT vec_id, cid, d2, row_number()
+             OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+           FROM df_) WHERE rn = 1 ORDER BY vec_id"""
+    },
 
     // the kept set is the naturals (planted +10000 copies all drop: they
     // sit in their original's cluster at cosine 1); cluster = the same

@@ -108,6 +108,58 @@ object Cluster {
       .withColumnRenamed("id", idCol))
   }
 
+  /** Lloyd's k-means over INTEGER-quantized vectors with floor-division
+    * centroid updates — every intermediate value is an integer that
+    * doubles represent exactly (sums of |q|<=2^20 longs stay far under
+    * 2^53, and floor(S/N) can only disagree with the rational floor
+    * when N > 2/ulp — ~10^13 rows per cluster), so the whole iteration
+    * is bit-reproducible on ANY engine: same seeds, same assignments,
+    * same centroids, run to run and engine to engine. That determinism
+    * is what makes an iterative fit oracle-checkable at all — and at
+    * 100 TB it also means a re-run after a lost stage reproduces the
+    * same model instead of drifting.
+    *
+    * Same per-iteration shape as [[kmeans]]: one corpus scan to assign
+    * (centroids folded into a codegen'd projection, zero corpus
+    * shuffle) + one (cluster, dim) hash aggregate collected to the
+    * driver (k×dim rows). Seeding: the k lowest-id vectors. Empty
+    * clusters keep their previous centroid.
+    */
+  def kmeansExact(spark: SparkSession, df: DataFrame, idCol: String,
+                  vecCol: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got $k/$iters")
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("long")).as("v"))
+    var centroids: Seq[(Int, Seq[Long])] = vecs
+      .orderBy(col("id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cluster_id", "centroid")
+      val sums = assign(vecs, "id", "v", cdf)
+        .join(vecs, "id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+        .collect()
+        .groupBy(_.getAs[Number](0).intValue)
+        .map { case (cid, rows) =>
+          cid -> rows.map(r => (r.getAs[Number](1).intValue,
+            r.getLong(2))).sortBy(_._1).map(_._2).toSeq
+        }
+      centroids = centroids.map { case (cid, prev) =>
+        (cid, sums.getOrElse(cid, prev))
+      }
+    }
+    val cdf = centroids.toDF("cluster_id", "centroid")
+    (cdf, assign(vecs, "id", "v", cdf)
+      .withColumnRenamed("id", idCol))
+  }
+
   /** SemDeDup: drop every document that has an EARLIER (lower-id)
     * document in the same cluster with cosine similarity >= threshold.
     * Non-transitive by design (the SemDeDup rule): each doc is compared

@@ -96,6 +96,38 @@ class ClusterSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("kmeansExact: floor-division centroids, hand-checked iteration") {
+    import spark.implicits._
+    // 1-d quantized points; k=2 seeds = ids 0,1 -> centroids 0 and 10.
+    // assign: {0,3} -> c0 (3 ties? |3-0|=3 > |3-10|=7 no; 3->c0),
+    // {10,12,17} -> c1. update: c0 = floor(3/2)=1, c1 = floor(39/3)=13
+    val df = Seq((0L, Seq(0L)), (1L, Seq(10L)), (2L, Seq(3L)),
+      (3L, Seq(12L)), (4L, Seq(17L))).toDF("id", "v")
+    val (cents, assigned) = Cluster.kmeansExact(spark, df, "id", "v",
+      k = 2, iters = 1)
+    val cmap = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).head)).toMap
+    assert(cmap == Map(0 -> 1L, 1 -> 13L))
+    val amap = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(amap == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("kmeansExact keeps the previous centroid for an empty cluster") {
+    import spark.implicits._
+    // seed 1 at 100 attracts nothing once both points sit at 0-2:
+    // only ids 0,1 exist; c1's cluster holds just id 1 -> stays 100;
+    // then add far outlier handled by floor math unchanged on rerun
+    val df = Seq((0L, Seq(0L)), (1L, Seq(100L)), (2L, Seq(1L)),
+      (3L, Seq(2L))).toDF("id", "v")
+    val (c1, _) = Cluster.kmeansExact(spark, df, "id", "v",
+      k = 2, iters = 3)
+    val (c2, _) = Cluster.kmeansExact(spark, df, "id", "v",
+      k = 2, iters = 3)
+    assert(c1.collect().map(_.toString).sorted
+      .sameElements(c2.collect().map(_.toString).sorted))
+  }
+
   test("semanticDedup drops later near-identical docs within a cluster") {
     import spark.implicits._
     val cents = Seq((0, Seq(0.0, 0.0, 0.0)), (1, Seq(100.0, 0.0, 0.0)))
