@@ -900,6 +900,33 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // rolling per-user 1h/24h activity features (range frames over
+    // epoch-micros; sums over integer cents — float window sums are
+    // order-dependent, so doubles never enter a rolling sum)
+    "rolling_features" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.RollingFeatures.withActivity(e, Seq("user_id"),
+          "us", lookbacks = Seq("1h" -> 3600000000L,
+            "24h" -> 86400000000L), sumCols = Seq("cents"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("n_1h"), col("sum_cents_1h"),
+          col("n_24h"), col("sum_cents_24h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // deterministic per-source mixture sampling: rare sources kept
+    // whole, dominant ones thinned — md5-fraction Bernoulli, so
+    // reruns/oracles keep identical rows (no rand())
+    "weighted_sample" -> ((s, dir) => {
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      Curation.weightedSample(t(s, dir, "documents"), "source",
+          "doc_id", rates, defaultRate = 0.75)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // salted skew join: every event joined to its user's first signup.
     // The salt routes rows and cancels out — oracle is the PLAIN join,
     // which must match row for row (see SaltedJoin).
@@ -1534,6 +1561,33 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+
+    "rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id, us,
+           count(*) OVER w1 AS n_1h,
+           CAST(sum(cents) OVER w1 AS BIGINT) AS sum_cents_1h,
+           count(*) OVER w2 AS n_24h,
+           CAST(sum(cents) OVER w2 AS BIGINT) AS sum_cents_24h
+         FROM e
+         WINDOW w1 AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+             WHEN 'src2' THEN 0.25 ELSE 0.75 END AS rate
+           FROM documents)
+         SELECT doc_id, source FROM d
+         WHERE rate >= 1.0
+            OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               < printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+         ORDER BY doc_id""",
 
     "salted_join" ->
       """SELECT e.event_id, e.user_id, e.event_type, d.first_signup_id

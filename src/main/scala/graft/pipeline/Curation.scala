@@ -122,6 +122,38 @@ object Curation {
         col("n_tokens"), col("start_offset"))
   }
 
+  /** Deterministic per-stratum Bernoulli sample at a different RATE per
+    * stratum — the corpus-mixing primitive: upweight rare sources /
+    * downsample dominant ones by keeping each row iff its id-hash
+    * fraction falls under the stratum's rate. Seed-free (md5 of the id,
+    * not `rand()`), so reruns, retried tasks, and oracles all keep the
+    * SAME rows — at 100 TB a lost-stage recompute must not resample.
+    *
+    * Pure narrow projection + filter: no shuffle, no per-stratum state;
+    * rates ride in as a small literal map (one `element_at`). The keep
+    * test compares the first 8 md5 hex chars LEXICOGRAPHICALLY against
+    * the rate's `%08x`-rendered threshold — fixed-width lowercase hex
+    * orders like the number it spells, and the string form is the one
+    * every engine renders identically (no base-conversion quirks).
+    * Resolution 2^-32 — plenty for mixture weights.
+    *
+    * Rows whose stratum has no rate entry get `defaultRate`.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     rates: Map[String, Double],
+                     defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val rateCol = if (rates.isEmpty) lit(defaultRate)
+      else coalesce(element_at(
+        typedLit(rates), col(stratumCol).cast("string")),
+        lit(defaultRate))
+    val keyHex = substring(md5(col(idCol).cast("string")), 1, 8)
+    val thrHex = format_string("%08x",
+      floor(rateCol * 4294967296.0).cast("long"))
+    df.filter(rateCol >= 1.0 || keyHex < thrHex)
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

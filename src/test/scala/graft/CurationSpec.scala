@@ -65,6 +65,43 @@ class CurationSpec extends SparkSpec {
     assert(s2.count() == 200)
   }
 
+  test("weightedSample: rate 1 keeps all, rate 0 keeps none, deterministic") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val got = Curation.weightedSample(df, "stratum", "id",
+      Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5), defaultRate = 0.5)
+    val bySt = got.collect().map(r => r.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(bySt.getOrElse("s0", 0) == 100) // rate 1.0: all kept
+    assert(!bySt.contains("s1"))           // rate 0.0: none
+    // hash-Bernoulli at 0.5: roughly half, exactly reproducible
+    val n2 = bySt.getOrElse("s2", 0)
+    assert(n2 > 25 && n2 < 75, s"s2 kept $n2 of 100")
+    val again = Curation.weightedSample(df, "stratum", "id",
+      Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5), defaultRate = 0.5)
+    assert(again.collect().map(_.getLong(0)).sorted
+      .sameElements(got.collect().map(_.getLong(0)).sorted))
+  }
+
+  test("rolling features: range frame counts and exact integer sums") {
+    import spark.implicits._
+    import graft.operators.RollingFeatures
+    val e = Seq(
+      (1L, 7L, 0L, 10L), (2L, 7L, 50L, 20L), (3L, 7L, 120L, 30L),
+      (4L, 9L, 60L, 5L))
+      .toDF("event_id", "user_id", "us", "cents")
+    val got = RollingFeatures.withActivity(e, Seq("user_id"), "us",
+        lookbacks = Seq("w" -> 100L), sumCols = Seq("cents"))
+      .orderBy("event_id")
+      .select("event_id", "n_w", "sum_cents_w")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 10L),   // only itself
+      (2L, 2L, 30L),   // 0 and 50 within [-(100), 50]
+      (3L, 2L, 50L),   // 50 and 120 (0 is out of range)
+      (4L, 1L, 5L)))   // other user
+  }
+
   test("packSequences: first-fit shard by start offset, per bucket") {
     import spark.implicits._
     val docs = Seq(
