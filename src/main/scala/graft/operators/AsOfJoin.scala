@@ -54,6 +54,11 @@ object AsOfJoin {
     require(payload.forall(!leftCols.contains(_)),
       s"payload collides with left columns: " +
         payload.filter(leftCols.contains).mkString(","))
+    val reserved = Seq("__ts", "__side", "__pay", "__match") ++
+      tieBreak.map(c => s"__tb_$c")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns collide with internals: " +
+        leftCols.intersect(reserved).mkString(","))
 
     // side tag orders the merged timeline at equal ts: non-strict wants
     // right rows visible to same-ts left rows (right sorts first);

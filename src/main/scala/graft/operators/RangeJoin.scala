@@ -46,6 +46,9 @@ object RangeJoin {
       .intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names collide: ${overlap.mkString(",")}")
+    require(!points.columns.contains("__cell") &&
+      !intervals.columns.contains("__cell"),
+      "column name __cell is reserved")
 
     val cell = (c: org.apache.spark.sql.Column) =>
       floor(c.cast("double") / cellSize).cast("long")

@@ -38,6 +38,12 @@ object SaltedJoin {
       else facts.columns.toSeq.filterNot(keys.contains)
     require(saltCols.nonEmpty,
       "no columns to salt on: pass saltOn explicitly")
+    require(!facts.columns.contains("__salt") &&
+      !dims.columns.contains("__salt"),
+      "column name __salt is reserved")
+    val dup = facts.columns.toSet.intersect(dims.columns.toSet) -- keys
+    require(dup.isEmpty,
+      s"non-key columns present on both sides: ${dup.mkString(",")}")
     val salted = facts.withColumn("__salt",
       pmod(xxhash64(saltCols.map(col): _*), lit(factor.toLong)))
     val replicated = dims.withColumn("__salt",
