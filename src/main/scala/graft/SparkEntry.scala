@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Transforms
-import graft.operators.{DateFormat, ProjectFields}
+import graft.operators.{DateFormat, Funnel, ProjectFields}
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
 import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
 import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
-import graft.pipeline.{Cluster, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Cluster, Curation, Dedup, Multimodal, Similarity, Terms, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1391,6 +1391,69 @@ object SparkEntry {
         "doc_id", "text", "video")
       Multimodal.sampleFrames(media, everyN = 3)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // top-3 distinctive terms per doc, ranked (tf desc, df asc, term) —
+    // the tf-idf idea with an integer-only, engine-exact comparator
+    "top_terms" -> ((s, dir) => {
+      Terms.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // corpus vocabulary head: top-40 terms with doc frequency and
+    // cumulative token-occurrence coverage (stopword extraction / Zipf)
+    "vocab_coverage" -> ((s, dir) => {
+      Terms.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+          topN = 40)
+        .orderBy(col("rank"))
+    }),
+
+    // symmetric int8 embedding quantization, exploded to scalar rows so
+    // the oracle compares exact integers plus the per-vector scale
+    "embed_quantize" -> ((s, dir) => {
+      val sc = Similarity.int8Scale(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), sc.as("scale"),
+          posexplode(Similarity.quantizeInt8(col("embedding"), sc))
+            .as(Seq("pos", "q")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("q"), col("scale"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // ordered-step conversion funnel signup → click → purchase: earliest
+    // completion of each step strictly after the previous one, NULL from
+    // the drop-off step onward; timestamps as epoch micros
+    "event_funnel" -> ((s, dir) => {
+      Funnel.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+        .select(col("user").as("user_id"),
+          unix_micros(col("ts_1")).as("t1_us"),
+          unix_micros(col("ts_2")).as("t2_us"),
+          unix_micros(col("ts_3")).as("t3_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // deterministic md5-keyed global shuffle into 8 writer shards with
+    // in-shard positions (no rand(): reruns and oracles keep the order)
+    "global_shuffle" -> ((s, dir) => {
+      Curation.globalShuffle(t(s, dir, "documents"), "doc_id",
+          numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON property extraction (events.props) + per-type rollup
+    "json_extract_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2090,6 +2153,94 @@ object SparkEntry {
                  WHEN re = greatest(re, rd, rf, rs) THEN 'en'
                  ELSE 'de' END AS lang_pred
           FROM scored ORDER BY doc_id"""
-    }
+    },
+
+    "top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf
+           FROM toks WHERE w <> '' GROUP BY doc_id, w),
+         df_ AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         r AS (SELECT tf.doc_id, tf.w, tf.tf, df_.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df_.df ASC, tf.w ASC) AS rank
+           FROM tf JOIN df_ USING (w))
+         SELECT doc_id, w AS term, tf, df, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "vocab_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf
+           FROM toks WHERE w <> '' GROUP BY doc_id, w),
+         byterm AS (SELECT w, CAST(sum(tf) AS BIGINT) AS tf,
+             count(*) AS df
+           FROM tf GROUP BY w),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM byterm),
+         head AS (SELECT * FROM byterm ORDER BY tf DESC, w ASC LIMIT 40)
+         SELECT w AS term, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, w ASC) AS INT)
+             AS rank,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, w ASC
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             CAST(total AS DOUBLE) AS cum_frac
+         FROM head, tot ORDER BY rank""",
+
+    "embed_quantize" ->
+      """WITH base AS (
+           SELECT vec_id,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+             unnest(embedding) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+           FROM embeddings)
+         SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(e AS DOUBLE) * 127.0 / scale + 0.5)
+                  AS BIGINT) END AS q,
+           scale
+         FROM base ORDER BY vec_id, pos""",
+
+    // the same join+min-aggregate chain: step i = earliest matching
+    // event strictly after step i-1, NULL propagating from drop-off
+    "event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT s1.user_id, s1.t1_us,
+             min(CASE WHEN epoch_us(e.ts) > s1.t1_us
+                 THEN epoch_us(e.ts) END) AS t2_us
+           FROM s1 LEFT JOIN events e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY s1.user_id, s1.t1_us),
+         s3 AS (SELECT s2.user_id, s2.t1_us, s2.t2_us,
+             min(CASE WHEN epoch_us(e.ts) > s2.t2_us
+                 THEN epoch_us(e.ts) END) AS t3_us
+           FROM s2 LEFT JOIN events e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY s2.user_id, s2.t1_us, s2.t2_us)
+         SELECT user_id, t1_us, t2_us, t3_us FROM s3 ORDER BY user_id""",
+
+    "global_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex
+           FROM documents),
+         s AS (SELECT doc_id, hex,
+             CAST('0x' || substr(hex, 1, 8) AS BIGINT) % 8 AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY hex, doc_id) AS INT) AS pos
+         FROM s ORDER BY doc_id""",
+
+    "json_extract_agg" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -154,6 +154,35 @@ object Curation {
     df.filter(rateCol >= 1.0 || keyHex < thrHex)
   }
 
+  /** Deterministic global shuffle + shard assignment — the last step
+    * before training-shard writing: give every row a pseudo-random but
+    * REPRODUCIBLE position (no `rand()`: md5 of the id, so retried
+    * tasks, reruns and oracles agree), bucketed into `numShards`
+    * writer shards.
+    *
+    * Shard = the id-hash's first 32 bits mod `numShards`; position =
+    * rank of the full hash WITHIN the shard. Both are per-shard window
+    * computations — the sort parallelizes across shards and no global
+    * total order is ever materialized (a global row_number would
+    * single-task the corpus; per-shard positions are what a
+    * multi-writer trainer consumes anyway).
+    *
+    * Output: input columns + (shard, pos), pos 1-based within shard.
+    */
+  def globalShuffle(df: DataFrame, idCol: String,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val hex = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(hex, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__hex"), col(idCol))
+    df.withColumn("__hex", hex)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__hex")
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

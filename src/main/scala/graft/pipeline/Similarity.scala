@@ -67,6 +67,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-vector symmetric int8 quantization scale: max |element| as a
+    * double. Zero vectors get scale 0 (see [[quantizeInt8]]). */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization of an embedding: q_i =
+    * round-half-up(v_i * 127 / scale), spelled `floor(x + 0.5)` so both
+    * the rounding rule and every intermediate are single IEEE-754
+    * double operations — any engine reproduces the exact integers (no
+    * banker's-rounding or decimal-context divergence). Zero vectors
+    * (scale 0) quantize to all zeros instead of dividing by zero.
+    *
+    * 4× storage cut for ANN candidate generation; pure codegen'd
+    * Column expression, no shuffle. Dequantize with q * scale / 127.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0d, lit(0L))
+        .otherwise(floor(x.cast("double") * 127.0d / scale + 0.5d)))
+
   /** IVF-style ANN: corpus assigned to the nearest of `centroids`; queries
     * probe the `nprobe` nearest centroids. Centroids are a small broadcast
     * table (id, vec). */

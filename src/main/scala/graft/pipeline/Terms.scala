@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus term statistics: per-document distinctive-term extraction and
+  * corpus-level vocabulary/coverage tables (Zipf curve, stopword
+  * extraction). Training-data-pipeline extensions (no reference
+  * equivalent — pgloader is pure ETL), designed Spark-first.
+  *
+  * Unlike the [[Dedup]]/[[Curation]] family, the shuffle keys here ARE
+  * the term strings: a term is a short bounded token (the payload the
+  * user asked for, not a document), so hashing would save little and
+  * the output needs the string anyway. The scale levers are different:
+  * two-level aggregation (doc-local counts first, so the term-keyed
+  * exchange moves one row per (doc, term), map-side combined), and
+  * TakeOrdered limits instead of global sorted windows.
+  */
+object Terms {
+
+  /** One row per token occurrence: (id, w). Lower-cased alphanumeric
+    * tokens; everything else is a separator. */
+  private[pipeline] def termRows(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Term frequency per (doc, term) and document frequency per term,
+    * joined: (id, w, tf, df). The doc-frequency table derives from the
+    * (id, w) aggregate — one row per posting, so `groupBy(w).count` IS
+    * the document count, no count-distinct expansion needed. The join
+    * side is vocabulary-sized (aggregate-compressed, orders of magnitude
+    * below corpus bytes), so AQE broadcasts it in practice. */
+  private[pipeline] def termStats(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame = {
+    val tf = termRows(df, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(docFreq, "w")
+  }
+
+  /** Top-`k` most DISTINCTIVE terms per document: ranked by term
+    * frequency descending, then document frequency ascending (rarer
+    * across the corpus wins the tie — the tf-idf idea with an
+    * integer-only, engine-exact comparator instead of a float score),
+    * then the term itself for a total deterministic order.
+    *
+    * The rank filter is a row_number window per doc — Catalyst's
+    * WindowGroupLimit pushes the `<= k` cap below the exchange, so each
+    * map task ships at most k rows per doc it holds.
+    *
+    * Output: (id, term, tf, df, rank).
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+    termStats(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("w").as("term"), col("tf"), col("df"),
+        col("rank"))
+  }
+
+  /** Corpus vocabulary head with cumulative token coverage — the table
+    * behind stopword extraction and Zipf sanity plots: the `topN` most
+    * frequent terms with total occurrences, document frequency, rank,
+    * and the cumulative fraction of ALL token occurrences covered by
+    * ranks 1..r.
+    *
+    * Shape for scale: occurrences aggregate doc-locally first (map-side
+    * combine), then once by term; the head is a `orderBy().limit(topN)`
+    * — Spark's TakeOrderedAndProject, a per-partition top-N merge, NOT a
+    * global sort; the cumulative window then runs over topN rows only.
+    * The grand total rides in as a broadcast single-row cross join.
+    * `cum_frac` divides exact longs in IEEE doubles — engine-exact.
+    *
+    * Output: (term, tf, df, rank, cum_frac), rank 1..topN.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 100): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val byTerm = termStats(df, idCol, textCol)
+      .groupBy(col("w"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+    val total = byTerm.agg(sum(col("tf")).as("__total"))
+    val head = byTerm.orderBy(col("tf").desc, col("w").asc).limit(topN)
+    val w = Window.orderBy(col("tf").desc, col("w").asc)
+    head.crossJoin(broadcast(total))
+      .select(col("w").as("term"), col("tf"), col("df"),
+        row_number().over(w).as("rank"),
+        (sum(col("tf")).over(w).cast("double") /
+          col("__total").cast("double")).as("cum_frac"))
+  }
+}

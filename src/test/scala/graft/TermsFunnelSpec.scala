@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.Funnel
+import graft.pipeline.{Curation, Similarity, Terms}
+import org.apache.spark.sql.functions._
+
+class TermsFunnelSpec extends SparkSpec {
+
+  test("topTerms ranks by tf desc, df asc, term asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date")
+    ).toDF("doc_id", "text")
+    val got = Terms.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).sortBy(t => (t._1, t._5))
+    // doc 1: apple tf=2 (df=1); then banana/cherry tf=1 df=2 → term asc
+    assert(got(0) == ((1L, "apple", 2L, 1L, 1)))
+    assert(got(1) == ((1L, "banana", 1L, 2L, 2)))
+    // doc 2: banana and cherry both tf=2 df=2 → term tie-break
+    assert(got(2) == ((2L, "banana", 2L, 2L, 1)))
+    assert(got(3) == ((2L, "cherry", 2L, 2L, 2)))
+  }
+
+  test("topTerms tokenizes case-insensitively on non-alphanumerics") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello, HELLO! world")).toDF("doc_id", "text")
+    val got = Terms.topTerms(docs, "doc_id", "text", k = 1).head()
+    assert(got.getString(1) == "hello" && got.getLong(2) == 2L)
+  }
+
+  test("vocabCoverage: ranks, totals and monotone cumulative fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b x")
+    ).toDF("doc_id", "text")
+    val got = Terms.vocabCoverage(docs, "doc_id", "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).sortBy(_._4)
+    // occurrences: a=4, b=3, c=1, x=1 → head a,b,c; total = 9
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(got(0) == (("a", 4L, 2L, 1, 4.0 / 9.0)))
+    assert(got(1)._5 == 7.0 / 9.0)
+    assert(got(2)._5 == 8.0 / 9.0)
+  }
+
+  test("quantizeInt8: max element hits ±127, zero vector → zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val sc = Similarity.int8Scale(col("v"))
+    val got = df.select(col("id"),
+        Similarity.quantizeInt8(col("v"), sc).as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // scale=1.0: 0.5*127=63.5 → half-up 64; -127; 0.25*127=31.75 → 32
+    assert(got(1L) == Seq(64L, -127L, 32L))
+    assert(got(2L) == Seq(0L, 0L, 0L))
+  }
+
+  test("funnel: ordered completion only, NULL from drop-off onward") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes in order
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE click → stops at click
+      (2L, 10L, "signup"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // u3: click precedes signup → click doesn't count
+      (3L, 50L, "signup"), (3L, 40L, "click"),
+      // u4 never signs up → absent from output
+      (4L, 10L, "click"), (4L, 20L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, Some(10L), Some(20L), Some(30L))))
+    assert(got(1) == ((2L, Some(10L), Some(30L), None)))
+    assert(got(2) == ((3L, Some(50L), None, None)))
+  }
+
+  test("funnel: same-timestamp step is NOT strictly after") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L, "signup"), (1L, 10L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click")).head()
+    assert(got.getLong(1) == 10L && got.isNullAt(2))
+  }
+
+  test("globalShuffle: deterministic, shards bounded, positions dense") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val a = Curation.globalShuffle(df, "id", 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val b = Curation.globalShuffle(df, "id", 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions within each shard are exactly 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+}
