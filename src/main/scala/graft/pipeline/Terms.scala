@@ -83,16 +83,30 @@ object Terms {
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     topN: Int = 100): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val byTerm = termStats(df, idCol, textCol)
+    // occurrences and doc frequency fall out of ONE pass over the
+    // doc-local counts — no docFreq join (that's only needed when the
+    // per-doc tf must survive, as in topTerms)
+    // the vocabulary is aggregate-compressed (|V| ≪ corpus bytes), so
+    // pinning it is cheap and saves the tokenize→aggregate lineage from
+    // running twice (once for the head, once for the grand total)
+    val byTerm = termRows(df, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
       .groupBy(col("w"))
       .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = byTerm.agg(sum(col("tf")).as("__total"))
     val head = byTerm.orderBy(col("tf").desc, col("w").asc).limit(topN)
     val w = Window.orderBy(col("tf").desc, col("w").asc)
-    head.crossJoin(broadcast(total))
+    val out = head.crossJoin(broadcast(total))
       .select(col("w").as("term"), col("tf"), col("df"),
         row_number().over(w).as("rank"),
         (sum(col("tf")).over(w).cast("double") /
           col("__total").cast("double")).as("cum_frac"))
+    // materialize the topN-row result locally so the vocab cache can be
+    // released before returning — the caller gets a self-contained frame
+    val local = out.collect()
+    byTerm.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(local: _*), out.schema)
   }
 }
