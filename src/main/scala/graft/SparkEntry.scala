@@ -1445,6 +1445,64 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // sliding token-window chunking (32-token chunks, 8-token overlap):
+    // the RAG / training-prep splitter, pure per-doc explode
+    "text_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkTokens(col("text"), 32, 8)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_idx").cast("long").as("chunk_idx"),
+          col("c.n_tokens").cast("long").as("n_tokens"),
+          col("c.chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // §2.9 extension: watermarked stream-stream interval join —
+    // click→purchase attribution within 4 hours per user. Both sides
+    // watermarked + both-direction time bounds, so stream state is
+    // O(rate × horizon) and evicts as the watermark advances (the shape
+    // that survives an unbounded stream); append mode emits each pair
+    // exactly once.
+    "events_stream_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      // stream-stream join keeps 4 state stores per partition (left/
+      // right × keyed/keyWithIndex): fewer partitions = materially less
+      // per-microbatch store open/commit overhead, and the join keyspace
+      // here is small. Production sizing follows key cardinality.
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val joined = graft.streaming.IntervalJoin.join(
+          clicks, purchases, "user_id", "c_ts", "p_ts", "4 hours")
+        .select(col("l.user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("p_ts")).as("p_us"))
+      val outRoot = new java.io.File(scratch("events_stream_join_sink"))
+        .getAbsolutePath
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outRoot)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outRoot)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // JSON property extraction (events.props) + per-type rollup
     "json_extract_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2234,6 +2292,35 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY hex, doc_id) AS INT) AS pos
          FROM s ORDER BY doc_id""",
+
+    "text_chunks" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS parts,
+             len(regexp_split_to_array(text, '\s+')) AS n
+           FROM documents),
+         st AS (
+           SELECT doc_id, parts, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, 24)) AS s
+           FROM base),
+         f AS (SELECT * FROM st WHERE s = 0 OR s + 8 < n)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+             AS BIGINT) AS chunk_idx,
+           CAST(least(n - s, 32) AS BIGINT) AS n_tokens,
+           array_to_string(parts[s + 1 : s + 32], ' ') AS chunk
+         FROM f ORDER BY doc_id, chunk_idx""",
+
+    // batch spelling of the same interval join: every (click, purchase)
+    // pair per user with purchase in [click, click + 4h]
+    "events_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS c_us, epoch_us(p.ts) AS p_us
+         FROM events c JOIN events p ON p.user_id = c.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND epoch_us(p.ts) >= epoch_us(c.ts)
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + CAST(14400000000 AS BIGINT)
+         ORDER BY c.user_id, click_id, purchase_id""",
 
     "json_extract_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -83,6 +83,36 @@ object TextAnalysis {
     round(lenScore * punctScore * digitScore, 4)
   }
 
+  /** Sliding token-window chunking — the RAG / training-prep splitter:
+    * cut a document into chunks of `chunkTokens` whitespace tokens,
+    * consecutive chunks overlapping by `overlap` tokens. Returns an
+    * array of structs (chunk_idx, n_tokens, chunk); explode it for one
+    * row per chunk. Pure per-document Column expression — chunking is
+    * embarrassingly parallel, no shuffle.
+    *
+    * Chunk starts are 0, stride, 2·stride, … (stride = chunkTokens −
+    * overlap); a final shorter chunk keeps the tail. Empty/whitespace
+    * documents produce a single empty chunk (size-0 slice), which
+    * callers typically filter on n_tokens > 0.
+    */
+  def chunkTokens(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(text)
+    // a start only yields NEW tokens if the previous chunk didn't already
+    // reach the end: keep start 0 and starts with start + overlap < n
+    // (drops tail chunks fully contained in their predecessor)
+    val starts = filter(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => s === 0 || s + lit(overlap) < size(toks))
+    transform(starts, (start, i) => struct(
+      i.as("chunk_idx"),
+      least(size(toks) - start, lit(chunkTokens)).as("n_tokens"),
+      concat_ws(" ", slice(toks, start + 1, lit(chunkTokens))).as("chunk")))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * token hashes, modulo 2^53-111 so the accumulator (≤2^53)·31 + 2^32
     * never overflows a long under ANSI arithmetic. */

@@ -93,6 +93,46 @@ class TermsFunnelSpec extends SparkSpec {
     assert(got.getLong(1) == 10L && got.isNullAt(2))
   }
 
+  test("chunkTokens: stride, overlap, tail chunk, no redundant tail") {
+    import graft.pipeline.TextAnalysis
+    // 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6 kept while
+    // start+overlap < 10, plus start 8 dropped? start 8: 8+2 !< 10 → drop
+    val text = lit("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    val got = evalRow(TextAnalysis.chunkTokens(text, 4, 2))
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.head == ((0, 4, "t0 t1 t2 t3")))
+    assert(got(1) == ((1, 4, "t2 t3 t4 t5")))
+    assert(got.last == ((3, 4, "t6 t7 t8 t9")))
+    assert(got.length == 4) // start 8 would re-cover t8 t9 → dropped
+  }
+
+  test("chunkTokens: doc shorter than one chunk is a single chunk") {
+    import graft.pipeline.TextAnalysis
+    val got = evalRow(TextAnalysis.chunkTokens(lit("a b"), 32, 8))
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length == 1)
+    assert(got.head.getInt(1) == 2 && got.head.getString(2) == "a b")
+  }
+
+  test("interval join pairs events within the horizon only") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 0L), (1L, 101L, 50L), (2L, 102L, 0L))
+      .toDF("user_id", "click_id", "c_s")
+      .withColumn("c_ts", timestamp_seconds(col("c_s"))).drop("c_s")
+    val purchases = Seq((1L, 200L, 30L), (1L, 201L, 4000L), (2L, 202L, 3600L))
+      .toDF("user_id", "purchase_id", "p_s")
+      .withColumn("p_ts", timestamp_seconds(col("p_s"))).drop("p_s")
+    val got = graft.streaming.IntervalJoin.join(
+        clicks, purchases, "user_id", "c_ts", "p_ts", "1 hour")
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // u1: click@0 ↔ purchase@30 in range; purchase@30 is BEFORE
+    //     click@50 → out; purchase@4000 is >1h after both clicks → out
+    // u2: purchase exactly at the +1h bound (inclusive)
+    assert(got == Seq((100L, 200L), (102L, 202L)))
+  }
+
   test("globalShuffle: deterministic, shards bounded, positions dense") {
     import spark.implicits._
     val df = (1L to 200L).toDF("id")
