@@ -1445,6 +1445,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring dedup signal: fraction of each doc's tokens
+    // covered by a word 4-gram occurring >1 time in the corpus (4 — not
+    // the production-scale 13 — because the synthetic corpus's small
+    // vocabulary has no long repeats); integer interval-union, so the
+    // doubles divide exactly alike on both engines
+    "dup_spans" -> ((s, dir) => {
+      Curation.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 4)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("covered_tokens"), col("dup_span_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sliding token-window chunking (32-token chunks, 8-token overlap):
     // the RAG / training-prep splitter, pure per-doc explode
     "text_chunks" -> ((s, dir) => {
@@ -2292,6 +2304,34 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY shard
              ORDER BY hex, doc_id) AS INT) AS pos
          FROM s ORDER BY doc_id""",
+
+    // grams grouped by their word text (the hash-free spelling of the
+    // same computation); interval union via the identical running-max
+    "dup_spans" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS parts,
+             len(regexp_split_to_array(text, '\s+')) AS nt
+           FROM documents),
+         g AS (SELECT doc_id, nt, s - 1 AS pos,
+             parts[s] || ' ' || parts[s+1] || ' ' || parts[s+2] || ' ' ||
+               parts[s+3] AS gram
+           FROM base, unnest(range(1, nt - 4 + 2)) t(s)),
+         f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+         c AS (SELECT doc_id, pos,
+             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+           FROM d),
+         sm AS (SELECT doc_id,
+             sum(greatest(0, pos + 4 -
+               greatest(pos, coalesce(prev_end, 0)))) AS covered
+           FROM c GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+           CAST(coalesce(sm.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(sm.covered, 0) AS DOUBLE) /
+             CAST(b.nt AS DOUBLE) AS dup_span_frac
+         FROM base b LEFT JOIN sm USING (doc_id) ORDER BY doc_id""",
 
     "text_chunks" ->
       """WITH base AS (

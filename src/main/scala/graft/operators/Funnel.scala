@@ -33,6 +33,13 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val reserved = "user" +: "__t" +:
+      steps.indices.map(i => s"ts_${i + 1}")
+    val clash = events.columns.toSeq
+      .filterNot(c => c == userCol || c == tsCol || c == typeCol)
+      .intersect(reserved)
+    require(clash.isEmpty && userCol != "__t" && tsCol != "user",
+      s"event columns collide with outputs/internals: ${clash.mkString(",")}")
     val slice = (st: String) => events.filter(col(typeCol) === st)
       .select(col(userCol).as("user"), col(tsCol).as("__t"))
     val base = slice(steps.head).groupBy(col("user"))

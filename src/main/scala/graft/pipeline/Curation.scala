@@ -94,6 +94,60 @@ object Curation {
       .select(col("id")).distinct()
   }
 
+  /** Duplicated-span coverage — the exact-substring dedup SIGNAL: for
+    * each document, the fraction of its tokens covered by some word
+    * `n`-gram that occurs more than once in the corpus (within or across
+    * documents). The per-doc quality score behind span-level dedup
+    * policies: filter or re-weight docs whose text is mostly duplicated
+    * boilerplate.
+    *
+    * Shape: positioned gram rows (id, pos, h1, h2) — the gram travels as
+    * a 128-bit hash pair, never words; one hash-aggregate finds grams
+    * with corpus frequency > 1; a left-semi join keeps each doc's
+    * duplicated positions; interval union (windows [pos, pos+n)) runs as
+    * a per-doc running-max window — integer-only, so any engine
+    * reproduces it exactly.
+    *
+    * Output: (id, n_tokens, covered_tokens, dup_span_frac).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val base = df.select(col(idCol).as("id"),
+      split(col(textCol), "\\s+").as("ws"))
+    val toks = base.select(col("id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("w"), j).over(win).as(s"w$j"))
+    val words = col("w") +: (1 until n).map(j => col(s"w$j"))
+    val grams = toks
+      .select((col("id") +: col("pos") +: col("w") +: leads): _*)
+      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
+      .select(col("id"), col("pos"), xxhash64(words: _*).as("h1"),
+        xxhash64((lit("graft-spans") +: words): _*).as("h2"))
+    val dupGrams = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("h1"), col("h2"))
+    // interval union per doc: a gram at pos covers [pos, pos+n); each
+    // row adds the part of its window past the furthest end so far
+    val prevEnd = max(col("pos") + n).over(
+      Window.partitionBy(col("id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val covered = grams.join(dupGrams, Seq("h1", "h2"), "left_semi")
+      .withColumn("__prev_end", prevEnd)
+      .withColumn("__add", greatest(lit(0), col("pos") + n -
+        greatest(col("pos"), coalesce(col("__prev_end"), lit(0)))))
+      .groupBy(col("id"))
+      .agg(sum(col("__add")).as("covered_tokens"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_span_frac"))
+  }
+
   /** Greedy sequence packing for training-shard construction: documents
     * are laid end-to-end in id order within a bucket, and each document
     * is assigned to the shard where its first token lands
@@ -172,6 +226,9 @@ object Curation {
   def globalShuffle(df: DataFrame, idCol: String,
                     numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val clash = df.columns.toSeq.intersect(Seq("shard", "pos", "__hex"))
+    require(clash.isEmpty,
+      s"input columns collide with outputs/internals: ${clash.mkString(",")}")
     val hex = md5(col(idCol).cast("string"))
     val shard = pmod(conv(substring(hex, 1, 8), 16, 10).cast("long"),
       lit(numShards.toLong))

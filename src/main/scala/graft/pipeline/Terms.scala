@@ -32,7 +32,15 @@ object Terms {
     * (id, w) aggregate — one row per posting, so `groupBy(w).count` IS
     * the document count, no count-distinct expansion needed. The join
     * side is vocabulary-sized (aggregate-compressed, orders of magnitude
-    * below corpus bytes), so AQE broadcasts it in practice. */
+    * below corpus bytes), so AQE broadcasts it in practice — and if a
+    * web-scale vocabulary outgrows broadcast, the fallback is a
+    * sort-merge join on a 3-column row, not a blow-up.
+    *
+    * The tf lineage feeds both the output and the doc-frequency branch,
+    * which Catalyst plans as two corpus scans; at real scale checkpoint
+    * `tf` once ((id, term, tf) is far smaller than the raw corpus) so
+    * both consumers read the materialization. Left unpersisted here by
+    * the library's no-hidden-caching convention. */
   private[pipeline] def termStats(df: DataFrame, idCol: String,
                                   textCol: String): DataFrame = {
     val tf = termRows(df, idCol, textCol)

@@ -133,6 +133,51 @@ class TermsFunnelSpec extends SparkSpec {
     assert(got == Seq((100L, 200L), (102L, 202L)))
   }
 
+  test("dupSpans: interval union over duplicated n-gram windows") {
+    import spark.implicits._
+    // "a b c" appears in docs 1 and 2 → its window covers 3 tokens.
+    // doc 1: positions 0-2 ("a b c") and 2-4 ("c a b"? no — grams are
+    // (a b c), (b c x), (c x y): only (a b c) dups → covered 3 of 5
+    // doc 2: (z a b), (a b c) → covered [1,4) = 3 of 4
+    // doc 3: no duplicated gram → 0
+    val docs = Seq(
+      (1L, "a b c x y"),
+      (2L, "z a b c"),
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Curation.dupSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 5L, 3L)))
+    assert(got(1) == ((2L, 4L, 3L)))
+    assert(got(2) == ((3L, 4L, 0L)))
+  }
+
+  test("dupSpans: overlapping duplicated windows merge, not double-count") {
+    import spark.implicits._
+    // doc 10 repeats "a b a b a": grams (a b a), (b a b), (a b a) — all
+    // dup within the doc; windows [0,3),[1,4),[2,5) union to 5 tokens
+    val docs = Seq((10L, "a b a b a"), (11L, "m n o"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Curation.dupSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got(10L) == 5L)
+    assert(got(11L) == 0L)
+  }
+
+  test("funnel and globalShuffle reject colliding column names") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L, "signup", 9L))
+      .toDF("user_id", "ts", "event_type", "ts_1")
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "ts", "event_type", Seq("signup"))
+    }
+    val df = Seq((1L, 2L)).toDF("id", "pos")
+    intercept[IllegalArgumentException] {
+      Curation.globalShuffle(df, "id", 4)
+    }
+  }
+
   test("globalShuffle: deterministic, shards bounded, positions dense") {
     import spark.implicits._
     val df = (1L to 200L).toDF("id")
