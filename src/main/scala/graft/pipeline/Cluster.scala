@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** Squared L2 distance between two numeric array columns (codegen'd). */
+  /** Squared L2 distance between two numeric array columns — native
+    * Catalyst expression ([[graft.functions.VecDist2]]) with fused
+    * codegen; bit-identical fold order to the HOF spelling it replaced. */
   def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecExpressions.vecDist2(a, b)
 
   /** Assign every vector to its nearest centroid (squared L2, ties by
     * lowest cluster id). `centroids` must be small (k rows) — it is

@@ -493,8 +493,7 @@ object Dedup {
       Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
     val bits = hp.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit(_)): _*)
-      val dot = aggregate(zip_with(vec, plane, (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
+      val dot = graft.functions.VecExpressions.vecDot(vec, plane)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)

@@ -12,10 +12,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Codegen'd dot product of two array columns. */
+  /** Dot product of two numeric array columns — a native Catalyst
+    * expression ([[graft.functions.VecDot]]) with fused codegen: one loop
+    * over the two ArrayData buffers, no intermediate zipped array.
+    * Bit-identical to the previous `aggregate(zip_with(...))` spelling
+    * (double widening, index-order accumulation from +0.0). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{GraftExtensions, VecExpressions}
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+
+  /** The HOF spelling the native expressions replaced — reference
+    * semantics for the bit-identity checks. */
+  private def hofDot(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def hofDist2(a: org.apache.spark.sql.Column,
+                       b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+
+  test("vec_dot/vec_dist2 bit-match the HOF chain on float vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(32)(rnd.nextFloat()), Seq.fill(32)(rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+      VecExpressions.vecDot(col("a"), col("b")).as("nd"),
+      hofDot(col("a"), col("b")).as("hd"),
+      VecExpressions.vecDist2(col("a"), col("b")).as("n2"),
+      hofDist2(col("a"), col("b")).as("h2")).collect()
+    got.foreach { r =>
+      // exact bit equality, not tolerance: same widening + fold order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("length mismatch and null elements yield NULL, like zip_with") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0))),                    // length mismatch
+      (2L, Seq[Option[Double]](Some(1.0), None),
+        Seq[Option[Double]](Some(3.0), Some(4.0))),         // null element
+      (3L, Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0), Some(4.0))))         // clean
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VecExpressions.vecDot(col("a"), col("b")).as("d"),
+      hofDot(col("a"), col("b")).as("h")).orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getDouble(1) == 11.0 && got(2).getDouble(2) == 11.0)
+  }
+
+  test("null input arrays propagate NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("id", "a", "b")
+    val got = df.select(VecExpressions.vecDot(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0))
+  }
+
+  test("integral element types are widened exactly") {
+    import spark.implicits._
+    val df = Seq((Seq(3L, 4L), Seq(5, 6))).toDF("a", "b")
+    val got = df.select(
+      VecExpressions.vecDot(col("a"), col("b")).as("d"),
+      VecExpressions.vecDist2(col("a"), col("b")).as("e")).collect()(0)
+    assert(got.getDouble(0) == 39.0)  // 15 + 24
+    assert(got.getDouble(1) == 8.0)   // 4 + 4
+  }
+
+  test("non-array input fails analysis with a clear message") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0))).toDF("x", "a")
+    val err = intercept[Exception] {
+      df.select(VecExpressions.vecDot(col("x"), col("a"))).collect()
+    }
+    assert(err.getMessage.contains("vec_dot"))
+  }
+
+  test("interpreted eval matches codegen (Literal fold path)") {
+    // Expressions over foldable literals go through the interpreted
+    // nullSafeEval in constant folding — must agree with codegen.
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    val a = typedLit(Seq(1.5f, 2.5f))
+    val b = typedLit(Seq(2.0f, 4.0f))
+    val got = df.select(
+      VecExpressions.vecDot(a, b).as("d"),
+      VecExpressions.vecDist2(a, b).as("e")).collect()(0)
+    assert(got.getDouble(0) == 13.0)
+    assert(got.getDouble(1) == 2.5)
+  }
+
+  test("GraftExtensions registers vec_dot / vec_dist2 for SQL use") {
+    val names = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(names == Set("vec_dot", "vec_dist2"))
+    // post-hoc registration on a live session (the driver's contract:
+    // SparkEntry.queries receives a session built without extensions)
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d, " +
+        "vec_dist2(array(1.0d, 2.0d), array(3.0d, 4.0d)) e").collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+  }
+}
