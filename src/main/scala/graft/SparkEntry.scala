@@ -9,7 +9,7 @@ import graft.operators.{DateFormat, Funnel, ProjectFields}
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
 import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
 import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
-import graft.pipeline.{Cluster, Curation, Dedup, Multimodal, Similarity, Terms, TextAnalysis}
+import graft.pipeline.{Classifier, Cluster, Curation, Dedup, Multimodal, Similarity, Terms, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1002,6 +1002,31 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    // incremental dedup: a new batch (odd docs + re-submitted evens +
+    // an intra-batch duplicate wave) against the already-kept corpus
+    // (even docs). Re-submitted corpus content drops; intra-batch dups
+    // group to the lowest id.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // hashed-linear classifier inference (fastText-style quality gate):
+    // integer milli-unit margins so the fold is engine-exact, md5
+    // bucketing so the oracle reproduces the hash table
+    "quality_classifier" -> ((s, dir) => {
+      Classifier.scoreHashed(t(s, dir, "documents"), "doc_id", "text",
+          Classifier.scrambledWeightsMilli(1024), biasMilli = 250L)
+        .orderBy(col("doc_id"))
+    }),
+
     // connected components over a pair graph + survivor selection: turns
     // pairwise near-dup matches into dedup GROUPS and picks the keeper
     // (longest text, ties → smallest id) per group. The edge list is
@@ -1884,6 +1909,38 @@ object SparkEntry {
            SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
          SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM inflated GROUP BY text ORDER BY keep_id""",
+
+    "dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT text FROM documents WHERE doc_id % 2 = 0),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 20000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 30000, text FROM documents WHERE doc_id % 10 = 1)
+         SELECT min(doc_id) AS keep_id, count(*) AS batch_dup_count
+         FROM batch WHERE text NOT IN (SELECT text FROM corpus)
+         GROUP BY text ORDER BY keep_id""",
+
+    "quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tw AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM toks WHERE w <> ''),
+         s AS (SELECT doc_id,
+             sum((b * 2654435761) % 2000 - 1000) AS tok_margin
+           FROM tw GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(250 + COALESCE(s.tok_margin, 0) AS BIGINT) AS margin_milli,
+           CAST(250 + COALESCE(s.tok_margin, 0) AS BIGINT) / 1000.0
+             AS score,
+           (250 + COALESCE(s.tok_margin, 0)) > 0 AS label
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "dedup_components" ->
       """WITH RECURSIVE pairs AS (

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-linear text classifier inference (fastText-style): a document's
+  * score is the sum of per-token weights looked up in a fixed-size hashed
+  * vocabulary, plus a bias. The standard cheap quality/domain classifier
+  * for corpus curation — train offline, score 100 TB inline.
+  *
+  * Scale shape: scoring is a SINGLE projection — tokens never leave their
+  * row (no explode, no shuffle, no join). The weight table rides into the
+  * plan as a literal array (a few KB for the usual 2^10–2^18 buckets, the
+  * same size contract as a broadcast). One corpus scan, embarrassingly
+  * parallel, AQE-friendly.
+  *
+  * Determinism: weights are integer milli-units and the fold is integer
+  * addition, so the margin is engine-exact (any summation order gives the
+  * same value) and the only floating-point step is one correctly-rounded
+  * IEEE division for the convenience `score` column. Token buckets hash
+  * via md5 (not an engine-private hash) so external systems — including
+  * the DuckDB oracle — reproduce bucket assignment bit-for-bit.
+  *
+  * Tokenization matches [[Terms]]: lower-cased runs of `[a-z0-9']`.
+  */
+object Classifier {
+
+  /** Hash bucket of a token in `[0, dim)`: the first 8 md5 hex digits as
+    * an integer, mod dim. Engine-portable by construction. */
+  def tokenBucket(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+  /** Deterministic demo weights (Knuth multiplicative scramble of the
+    * bucket index into [-1000, 999] milli-units) — stands in for a
+    * trained model in tests/oracles; real use passes trained weights. */
+  def scrambledWeightsMilli(dim: Int): Array[Long] =
+    Array.tabulate(dim)(j => (j.toLong * 2654435761L) % 2000L - 1000L)
+
+  /** Score every document: margin_milli = bias + Σ w[bucket(token)],
+    * score = margin_milli / 1000.0, label = margin_milli > 0.
+    *
+    * `weightsMilli.length` is the hash dimension. Output columns:
+    * (idCol, margin_milli, score, label).
+    */
+  def scoreHashed(df: DataFrame, idCol: String, textCol: String,
+                  weightsMilli: Array[Long],
+                  biasMilli: Long = 0L): DataFrame = {
+    val dim = weightsMilli.length
+    require(dim > 0, "weights must be non-empty")
+    val w = typedlit(weightsMilli.toSeq)
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9']+"),
+      t => t =!= "")
+    // per-token weight lookup + integer fold, all inside one projection.
+    // HOFs run the lambda per element but keep the work row-local — the
+    // alternative (explode + groupBy id) ships one shuffle row per token
+    // occurrence, corpus-token-count × 16 bytes of exchange I/O for a
+    // sum that is computable where the row already lives.
+    val margin = aggregate(
+      transform(toks, t =>
+        element_at(w, (tokenBucket(t, dim) + 1).cast("int"))),
+      lit(biasMilli), (acc, v) => acc + v)
+    df.select(col(idCol), margin.as("margin_milli"))
+      .withColumn("score", col("margin_milli") / lit(1000.0d))
+      .withColumn("label", col("margin_milli") > 0)
+  }
+}

@@ -36,6 +36,36 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
+  /** Incremental exact dedup: which BATCH rows survive against an
+    * already-ingested CORPUS — the everyday shape of a continuously-fed
+    * training pipeline (dedup tonight's crawl against everything kept so
+    * far, without re-grouping the whole corpus).
+    *
+    * Same 128-bit hash-pair key as [[exact]]: both sides shuffle 16-byte
+    * keys, never raw text. The corpus side is reduced to DISTINCT hash
+    * pairs first, so its exchange is compressed to unique-content size —
+    * and at real scale that distinct-pair table is exactly what you
+    * persist between runs (16 bytes × unique docs), turning every later
+    * increment into one anti-join against a bucketed table with no
+    * corpus re-scan at all.
+    *
+    * Output: (keep_id, batch_dup_count) — one row per surviving batch
+    * content group (lowest id kept), corpus-matched content dropped.
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, keyCol: String): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      xxhash64(col(keyCol)).as("__h1"),
+      xxhash64(lit(0x9E3779B97F4A7C15L), col(keyCol)).as("__h2"))
+    val seen = hashed(corpus).select("__h1", "__h2").distinct()
+    hashed(batch)
+      .join(seen, Seq("__h1", "__h2"), "left_anti")
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("batch_dup_count"))
+      .select(col("keep_id"), col("batch_dup_count"))
+  }
+
   /** Word k-shingles of a text column: `["w1 w2 w3", "w2 w3 w4", …]`. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, "\\s+")

@@ -1,0 +1,48 @@
+package graft
+
+import graft.pipeline.Classifier
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+
+  test("scoreHashed sums per-token weights plus bias, integer-exact") {
+    import spark.implicits._
+    val dim = 16
+    // weight table where bucket j weighs j milli-units: margins are
+    // directly checkable against hand-computed buckets
+    val w = Array.tabulate(dim)(_.toLong)
+    val df = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "??!!"))
+      .toDF("doc_id", "text")
+    val got = Classifier.scoreHashed(df, "doc_id", "text", w, biasMilli = 5L)
+      .orderBy("doc_id").collect()
+
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    val expected1 = 5L + 2 * w(bucket("alpha")) + w(bucket("beta"))
+    assert(got(0).getLong(1) == expected1)
+    // empty / punctuation-only docs score just the bias
+    assert(got(1).getLong(1) == 5L && got(2).getLong(1) == 5L)
+    // score is margin/1000.0; label thresholds at zero
+    assert(got(0).getDouble(2) == expected1 / 1000.0)
+    assert(got.forall(r => r.getBoolean(3) == (r.getLong(1) > 0)))
+  }
+
+  test("scrambled demo weights stay in [-1000, 999]") {
+    val w = Classifier.scrambledWeightsMilli(1024)
+    assert(w.length == 1024)
+    assert(w.forall(v => v >= -1000L && v <= 999L))
+    assert(w.distinct.length > 500) // actually scrambled, not constant
+  }
+
+  test("negative weights flip the label") {
+    import spark.implicits._
+    val w = Array.fill(8)(-100L)
+    val df = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val got = Classifier.scoreHashed(df, "doc_id", "text", w).collect()(0)
+    assert(got.getLong(1) == -300L && !got.getBoolean(3))
+  }
+}

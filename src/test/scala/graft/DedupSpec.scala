@@ -26,6 +26,30 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("incremental exact dedup drops corpus-matched and intra-batch dups") {
+    val corpus = Seq((10L, "already kept text"), (11L, "another kept one"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (20L, "already kept text"),   // in corpus -> dropped
+      (21L, "brand new document"),  // fresh, unique
+      (22L, "repeated in batch"),   // fresh, duplicated in-batch
+      (23L, "repeated in batch"))
+      .toDF("id", "text")
+    val r = Dedup.incrementalExact(batch, corpus, "id", "text")
+      .orderBy("keep_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((21L, 1L), (22L, 2L)))
+  }
+
+  test("incremental exact dedup with empty corpus equals exact dedup") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val r = Dedup.incrementalExact(docs, empty, "id", "text")
+      .orderBy("keep_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val e = Dedup.exact(docs, "id", "text")
+      .orderBy("keep_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == e.toSeq)
+  }
+
   test("minhash LSH finds the exact pair at jaccard 1.0 and the near pair") {
     val pairs = Dedup.minhashLsh(docs, "id", "text", threshold = 0.5)
       .orderBy("id_a", "id_b").collect()
