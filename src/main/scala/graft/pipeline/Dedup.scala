@@ -327,9 +327,18 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // consumed by sizes, prefix AND the verification join — not
-    // persisted on purpose; see the measurement note in [[minhashLsh]]
-    val rows = shingleHashRows(df, idCol, textCol, n)
+    // Unlike [[minhashLsh]] (2 consumers, columnar persist measured 2.2×
+    // SLOWER), the shingle rows here feed FOUR plan subtrees (doc-freq,
+    // prefix, both verify sides), each re-running the posexplode →
+    // window → distinct lineage with its two shuffles. localCheckpoint
+    // materializes the post-distinct narrow (id, h) rows as plain RDD
+    // blocks — none of the columnar-cache build cost — and was measured
+    // 40% faster end-to-end at sf0.1 (7.2 s → 4.2 s warm). Blocks are
+    // executor-local and lineage is truncated, so a lost executor fails
+    // the query instead of recomputing: on a large shared cluster set a
+    // reliable checkpoint dir and swap this for `checkpoint()`, which
+    // has identical semantics with durable storage.
+    val rows = shingleHashRows(df, idCol, textCol, n).localCheckpoint()
     // global document frequency per shingle (one hash-aggregate on h)
     val docFreq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // prefix = each set's first hashes under the (df asc, h) order.
