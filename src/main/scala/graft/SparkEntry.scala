@@ -1166,6 +1166,49 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // Product-quantization ANN: sample-trained per-subspace codebooks,
+    // corpus stored as m=4 codes, ADC table-lookup scoring. Integer-
+    // quantized domain end to end (floor-division centroids, integer
+    // distances) so the ranking is engine-exact. Oracle = recall gate:
+    // the PQ top-3 must recover >= 2 of the exact brute-force top-3
+    // (the planted near-duplicates).
+    "similarity_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), qe(col("embedding")).as("q_vec"))
+      val natural = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("c_id"), qe(col("embedding")).as("c_vec"))
+      // 3 planted near-duplicates per query: ±6 quantized units of
+      // deterministic per-position noise
+      val planted = (0 until 3).map { j =>
+        queries.select((col("q_id") * 100 + 100000 + j).as("c_id"),
+          transform(col("q_vec"), (x, i) =>
+            x + (pmod(i * 31 + lit(j * 17), lit(7)) - 3) * 2L)
+            .as("c_vec"))
+      }.reduce(_ unionAll _)
+      val corpus = natural.unionAll(planted)
+      // codebooks are sample-trained (every 3rd natural vector)
+      val sample = natural.filter(col("c_id") % 3 === 0)
+      val codebook = Similarity.pqTrain(sample, "c_id", "c_vec",
+        dim = 64, m = 4, ksub = 16, iters = 1)
+      val codes = Similarity.pqEncode(corpus, "c_id", "c_vec",
+        codebook, dim = 64, m = 4)
+      val pq = Similarity.pqTopK(queries, codes, codebook,
+        dim = 64, m = 4, k = 3)
+      val bf = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      val overlap = pq.select(col("q_id"), col("c_id"))
+        .join(bf.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      queries.select(col("q_id")).join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_common"), lit(0L)) >= 2).cast("int")
+            .as("recall_ok"))
+        .orderBy(col("q_id"))
+    }),
+
     // IVF-bucketed ANN: corpus in nearest-centroid cells, queries probe
     // nprobe cells. Oracle = recall gate vs exact brute force (>= 9/10).
     "similarity_ivf" -> ((s, dir) => {
@@ -2053,6 +2096,10 @@ object SparkEntry {
          WHERE vec_id < 5 ORDER BY q_id""",
 
     "similarity_ivf" ->
+      """SELECT vec_id AS q_id, 1 AS recall_ok FROM embeddings
+         WHERE vec_id < 5 ORDER BY q_id""",
+
+    "similarity_pq" ->
       """SELECT vec_id AS q_id, 1 AS recall_ok FROM embeddings
          WHERE vec_id < 5 ORDER BY q_id""",
 

@@ -118,4 +118,162 @@ object Similarity {
       .orderBy(col("cosine").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- Product quantization (PQ) ----
+  //
+  // The memory-compression ANN path: each vector is stored as `m` small
+  // codes (one per subspace) instead of `dim` floats — a 16–64× storage
+  // cut — and query scoring is per-subspace table lookups (asymmetric
+  // distance computation), no vector arithmetic per corpus row. At
+  // 100 TB this is the difference between an embedding index that fits
+  // the cluster and one that doesn't; scan cost per (query, corpus row)
+  // drops from O(dim) multiplies to O(m) array lookups.
+  //
+  // Determinism contract (same as kmeansExact): vectors are expected
+  // integer-quantized (cast-to-long), centroid updates use floor
+  // division, so every distance is integer-exact in doubles and the
+  // ranking reproduces bit-for-bit on any engine.
+
+  /** Train a PQ codebook: an independent Lloyd fit per subspace with
+    * [[Cluster.kmeansExact]] semantics (lowest-id seeds, floor-division
+    * centroid updates, ties to the lowest cluster id), usually over a
+    * SAMPLE of the corpus (codebooks are always sample-trained at scale
+    * — pass the sample in as `train`).
+    *
+    * All `m` fits run FUSED in one loop: the sample explodes to
+    * (id, subspace, subvec) rows once and each iteration is a single
+    * scan + one (subspace, cluster, dim) aggregate — m× fewer jobs than
+    * m sequential fits, identical centroids.
+    *
+    * `dim` must be divisible by `m`. Output: (subspace, cluster_id,
+    * centroid) with `m * ksub` rows — driver-small by contract. */
+  def pqTrain(train: DataFrame, cId: String, cVec: String, dim: Int,
+              m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(ksub >= 1 && iters >= 0, s"need ksub>=1, iters>=0")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val qv = transform(col(cVec), _.cast("long"))
+    val subRows = train.select(col(cId).cast("long").as("id"),
+      posexplode(array((0 until m).map(j =>
+        slice(qv, j * dsub + 1, dsub)): _*)).as(Seq("j", "v")))
+    // seeds: the ksub lowest-id sample vectors, sliced per subspace
+    val seedVecs = train
+      .select(col(cId).cast("long").as("id"), qv.as("v"))
+      .orderBy(col("id")).limit(ksub).collect()
+      .map(_.getSeq[Long](1))
+    // cents(j)(c) = centroid of cluster c in subspace j
+    var cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      (0 until m).map(j => seedVecs.toIndexedSeq.map(v =>
+        v.slice(j * dsub, (j + 1) * dsub)))
+    def assignExpr: Column = {
+      val perJ = (0 until m).map(j => j -> nearestCode(col("v"), cents(j)))
+      perJ.tail.foldLeft(when(col("j") === perJ.head._1, perJ.head._2)) {
+        case (acc, (j, e)) => acc.when(col("j") === j, e)
+      }
+    }
+    for (_ <- 0 until iters) {
+      val sums = subRows
+        .select(col("j"), assignExpr.as("cluster"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("j"), col("cluster"), col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+        .collect()
+        .groupBy(r => (r.getAs[Number](0).intValue,
+          r.getAs[Number](1).intValue))
+        .map { case (key, rows) =>
+          key -> rows.map(r => (r.getAs[Number](2).intValue,
+            r.getLong(3))).sortBy(_._1).map(_._2).toSeq
+        }
+      cents = (0 until m).map(j => cents(j).zipWithIndex.map {
+        case (prev, c) => sums.getOrElse((j, c), prev)
+      })
+    }
+    (0 until m).flatMap(j => cents(j).zipWithIndex.map {
+      case (cent, c) => (j, c, cent)
+    }).toDF("subspace", "cluster_id", "centroid")
+  }
+
+  /** Nearest-centroid index (= cluster id) for one subvector: distances
+    * via [[graft.functions.VecDist2]] inside a `transform` over the
+    * centroid table riding as ONE literal array — tiny generated code
+    * regardless of ksub. The expanded alternative (a `least` over ksub
+    * inlined (dist2, id) structs) produced generated classes that took
+    * janino seconds to compile at ksub=16 per plan. Ties resolve to the
+    * lowest cluster id (`array_position` returns the FIRST minimum). */
+  private def nearestCode(subvec: Column, cents: Seq[Seq[Long]]): Column = {
+    val table = typedlit(cents)
+    val dists = transform(table, c =>
+      graft.functions.VecExpressions.vecDist2(subvec, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Encode the corpus against a codebook: one shuffle-free projection —
+    * per subspace, the nearest-centroid id (the [[Cluster.assign]]
+    * semantics, m times).
+    * Output: (cId, codes array<int>) — the compressed index to persist. */
+  def pqEncode(corpus: DataFrame, cId: String, cVec: String,
+               codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    val cb = collectCodebook(codebook, m)
+    val codes = (0 until m).map { j =>
+      val sub = slice(transform(col(cVec), _.cast("long")),
+        j * dsub + 1, dsub)
+      nearestCode(sub, cb(j).map(_._2))
+    }
+    corpus.select(col(cId), array(codes: _*).as("codes"))
+  }
+
+  /** ANN top-k over PQ codes by asymmetric distance: each query
+    * precomputes an m×ksub distance table to every centroid (built into
+    * the plan — queries are small by the same contract as
+    * [[bruteForceTopK]]), then every corpus row's approximate distance
+    * is m table lookups summed. One corpus scan, broadcast queries, no
+    * shuffle until the per-query top-k. Ties break by corpus id. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+             dim: Int, m: Int, k: Int,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "c_id"): DataFrame = {
+    val dsub = dim / m
+    val cb = collectCodebook(codebook, m)
+    val qTab = array((0 until m).map { j =>
+      val sub = slice(transform(col(qVec), _.cast("long")),
+        j * dsub + 1, dsub)
+      transform(typedlit(cb(j).map(_._2)), c =>
+        graft.functions.VecExpressions.vecDist2(sub, c))
+    }: _*)
+    val qt = queries.select(col(qId), qTab.as("__qtab"))
+    val approx = (0 until m).map { j =>
+      element_at(element_at(col("__qtab"), j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qt))
+      .select(col(qId), col(cId), approx.as("approx_d2"))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("approx_d2").asc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Codebook rows → per-subspace (cluster_id, centroid) arrays sorted
+    * by cluster id. Driver-small by contract (m × ksub × dsub longs). */
+  private def collectCodebook(codebook: DataFrame, m: Int)
+      : IndexedSeq[Seq[(Int, Seq[Long])]] = {
+    val rows = codebook.select(col("subspace"), col("cluster_id"),
+        col("centroid")).collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).intValue,
+        r.getSeq[Long](2)))
+    require(rows.nonEmpty, "empty codebook")
+    (0 until m).map { j =>
+      val subRows = rows.filter(_._1 == j)
+      require(subRows.nonEmpty, s"codebook has no centroids for subspace $j")
+      val sorted = subRows.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      // nearestCode maps array index -> cluster id, so ids must be 0..n-1
+      require(sorted.map(_._1) == sorted.indices,
+        s"codebook cluster ids for subspace $j must be contiguous from 0")
+      sorted
+    }
+  }
 }

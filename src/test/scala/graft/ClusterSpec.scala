@@ -5,6 +5,57 @@ import org.apache.spark.sql.functions._
 
 class ClusterSpec extends SparkSpec {
 
+  test("PQ: train/encode/topK recovers an exact-match vector first") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // 4-dim vectors, m=2 subspaces of 2 dims; two well-separated modes
+    // per subspace so ksub=2 kmeans converges immediately
+    val corpus = Seq(
+      (10L, Seq(0L, 0L, 100L, 100L)),
+      (11L, Seq(2L, 1L, 98L, 101L)),
+      (12L, Seq(100L, 99L, 0L, 2L)),
+      (13L, Seq(101L, 100L, 1L, 0L)),
+      (14L, Seq(0L, 1L, 1L, 2L)),
+      (15L, Seq(99L, 100L, 100L, 99L)))
+      .toDF("c_id", "c_vec")
+    val codebook = Similarity.pqTrain(corpus, "c_id", "c_vec",
+      dim = 4, m = 2, ksub = 2, iters = 2)
+    assert(codebook.count() == 4) // 2 subspaces x 2 centroids
+    val codes = Similarity.pqEncode(corpus, "c_id", "c_vec",
+      codebook, dim = 4, m = 2)
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // vectors sharing both modes share both codes
+    assert(codeMap(10L) == codeMap(11L))
+    assert(codeMap(12L) == codeMap(13L))
+    assert(codeMap(10L) != codeMap(12L))
+    // query identical to doc 10: its cell-mates (10, 11) must be the
+    // top-2 by ADC distance
+    val queries = Seq((1L, Seq(1L, 0L, 99L, 100L))).toDF("q_id", "q_vec")
+    val top = Similarity.pqTopK(queries, codes, codebook,
+        dim = 4, m = 2, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(top.toSet == Set(10L, 11L))
+  }
+
+  test("PQ codes stay within [0, ksub) and cover every corpus row") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextInt(2000).toLong - 1000L)))
+      .toSeq.toDF("c_id", "c_vec")
+    val cb = Similarity.pqTrain(corpus, "c_id", "c_vec",
+      dim = 8, m = 4, ksub = 4, iters = 1)
+    val codes = Similarity.pqEncode(corpus, "c_id", "c_vec",
+      cb, dim = 8, m = 4).collect()
+    assert(codes.length == 50)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 4))
+    }
+  }
+
   private def vecsDF(rows: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     rows.toDF("id", "v")
