@@ -74,13 +74,18 @@ object AsOfJoin {
         tieBreak.map(c => lit(null).as(s"__tb_$c")) ++
         Seq(lit(null).as("__pay")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"),
-        lit(rightSide).as("__side")) ++
-        tieBreak.map(c => col(c).as(s"__tb_$c")) ++
-        Seq(struct(payload.map(col): _*).as("__pay")) ++
-        leftCols.filterNot(keys.contains)
-          .map(c => lit(null).as(c)): _*)
+    val r = right
+      // equi-key contract: NULL keys never match (SQL join semantics;
+      // the window's partitionBy would otherwise group NULLs together
+      // and attach right payloads to NULL-keyed left rows)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).as("__ts"),
+          lit(rightSide).as("__side")) ++
+          tieBreak.map(c => col(c).as(s"__tb_$c")) ++
+          Seq(struct(payload.map(col): _*).as("__pay")) ++
+          leftCols.filterNot(keys.contains)
+            .map(c => lit(null).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col("__ts").asc +: col("__side").asc +:

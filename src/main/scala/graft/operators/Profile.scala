@@ -60,8 +60,15 @@ object Profile {
     require(cols.nonEmpty && probs.nonEmpty, "need columns and probs")
     require(probs.forall(p => p > 0.0 && p <= 1.0),
       s"probs must be in (0, 1]: ${probs.mkString(",")}")
+    // injective labels: 0.25 -> p25, 0.995 -> p99_5 (rounding to whole
+    // percents collapsed distinct probs into one duplicate column name)
+    def label(p: Double): String =
+      "p" + (BigDecimal(p.toString) * 100).bigDecimal
+        .stripTrailingZeros.toPlainString.replace('.', '_')
+    require(probs.map(label).distinct.length == probs.length,
+      s"probs map to duplicate labels: ${probs.mkString(",")}")
     val aggs = for { c <- cols; p <- probs } yield {
-      val name = s"${c}_p${math.round(p * 100)}"
+      val name = s"${c}_${label(p)}"
       if (approx)
         percentile_approx(col(c), lit(p), lit(accuracy)).as(name)
       else

@@ -26,6 +26,8 @@ object Upsert {
   def latestByKey(df: DataFrame, keys: Seq[String],
                   version: Seq[Column]): DataFrame = {
     require(keys.nonEmpty && version.nonEmpty, "need keys and version")
+    require(!df.columns.contains("__rn"),
+      "input column __rn collides with internals")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(version.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))

@@ -48,7 +48,10 @@ object Classifier {
     val dim = weightsMilli.length
     require(dim > 0, "weights must be non-empty")
     val w = typedlit(weightsMilli.toSeq)
-    val toks = filter(split(lower(col(textCol)), "[^a-z0-9']+"),
+    // NULL text scores like an empty document (margin = bias), matching
+    // the left-join + coalesce shape a SQL consumer writes
+    val toks = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9']+"),
       t => t =!= "")
     // per-token weight lookup + integer fold, all inside one projection.
     // HOFs run the lambda per element but keep the work row-local — the

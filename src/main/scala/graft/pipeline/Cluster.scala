@@ -39,11 +39,15 @@ object Cluster {
     * never shuffled: the min-by happens inside a single projection
     * (`least` over k (dist², cluster) structs), not a window.
     *
-    * Output: (idCol, cluster, dist2).
+    * Output: (idCol, carry…, cluster, dist2). `carry` names input
+    * columns to project through (e.g. the vector itself for a Lloyd
+    * recomputation step — carrying it here keeps the iteration a single
+    * scan instead of a corpus self-join to recover it).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cidCol: String = "cluster_id",
-             cvecCol: String = "centroid"): DataFrame = {
+             cvecCol: String = "centroid",
+             carry: Seq[String] = Nil): DataFrame = {
     // fold the k (cluster, centroid) pairs into ONE struct-valued
     // min(...) expression via a collected centroid array: the corpus
     // row never leaves its partition and the comparison is codegen'd.
@@ -56,9 +60,13 @@ object Cluster {
       struct(dist2(col(vecCol), vec).as("d2"),
         lit(cid).as("cluster"))
     }
-    df.select(col(idCol), least(scored: _*).as("__best"))
-      .select(col(idCol), col("__best.cluster").as("cluster"),
-        col("__best.d2").as("dist2"))
+    // least() requires >= 2 args; k = 1 is legitimate (one cluster)
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    df.select(col(idCol) +: carry.map(col) :+
+        best.as("__best"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("__best.cluster").as("cluster") :+
+        col("__best.d2").as("dist2"): _*)
   }
 
   /** Lloyd's k-means with deterministic seeding (the k lowest-id
@@ -84,8 +92,7 @@ object Cluster {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 0 until iters) {
       val cdf = centroids.toDF("cluster_id", "centroid")
-      val assigned = assign(vecs, "id", "v", cdf)
-        .join(vecs, "id")
+      val assigned = assign(vecs, "id", "v", cdf, carry = Seq("v"))
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
@@ -137,8 +144,7 @@ object Cluster {
       .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
     for (_ <- 0 until iters) {
       val cdf = centroids.toDF("cluster_id", "centroid")
-      val sums = assign(vecs, "id", "v", cdf)
-        .join(vecs, "id")
+      val sums = assign(vecs, "id", "v", cdf, carry = Seq("v"))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -178,15 +184,19 @@ object Cluster {
     // codegen'd): precompute each vector's norm ONCE so the pair test
     // is a single dot-product HOF — `dot(x,y) >= t·|x|·|y|` — instead
     // of cosine's three aggregates per pair.
-    val a = assign(df, idCol, vecCol, centroids)
-      .select(col(idCol).as("id"), col("cluster"))
-      .join(df.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+    val a = assign(df, idCol, vecCol, centroids, carry = Seq(vecCol))
+      .select(col(idCol).as("id"), col("cluster"),
+        col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     // left_anti tolerates duplicate right-side ids, so the dropped set
     // needs no distinct (saves a shuffle + aggregate).
     val dropped = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("y.id") < col("x.id") &&
+          // zero vectors never match anything: cosine with a zero
+          // vector is undefined (NaN never passes), but the norm-scaled
+          // inequality would degenerate to 0 >= 0 = true
+          col("x.nrm") > 0 && col("y.nrm") > 0 &&
           Similarity.dot(col("x.v"), col("y.v")) >=
             lit(threshold) * col("x.nrm") * col("y.nrm"))
       .select(col("x.id").as("id"))

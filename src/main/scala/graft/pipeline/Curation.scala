@@ -36,14 +36,10 @@ object Curation {
     val wordFrac = base.select(col("id"),
       (lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
         size(col("ws"))).as("dup_word_frac"))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val grams = base
-      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .select(col("id"), col("w"), lead(col("w"), 1).over(win).as("w1"))
-      .filter(col("w1").isNotNull)
-      // group on the hashed bigram, not the word pair: a within-doc
-      // collision (2^-64) shifts one count; raw pairs ship the corpus
-      .select(col("id"), xxhash64(col("w"), col("w1")).as("g"))
+    // group on the hashed bigram, not the word pair: a within-doc
+    // collision (2^-64) shifts one count; raw pairs ship the corpus
+    val grams = Grams.positioned(df, idCol, textCol, 2)
+      .select(col("id"), xxhash64(Grams.wordCols(2): _*).as("g"))
     val top = grams.groupBy(col("id"), col("g"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("id"))
@@ -61,15 +57,8 @@ object Curation {
     * rows. */
   private def gramHashRows(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val base = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
-      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(j => lead(col("w"), j).over(win).as(s"w$j"))
-    val words = col("w") +: (1 until n).map(j => col(s"w$j"))
-    base.select((col("id") +: col("w") +: leads): _*)
-      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
+    val words = Grams.wordCols(n)
+    Grams.positioned(df, idCol, textCol, n)
       .select(col("id"), xxhash64(words: _*).as("h1"),
         xxhash64((lit("graft-decon-2") +: words): _*).as("h2"))
       .distinct()
@@ -112,17 +101,8 @@ object Curation {
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 13): DataFrame = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val base = df.select(col(idCol).as("id"),
-      split(col(textCol), "\\s+").as("ws"))
-    val toks = base.select(col("id"),
-      posexplode(col("ws")).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(j => lead(col("w"), j).over(win).as(s"w$j"))
-    val words = col("w") +: (1 until n).map(j => col(s"w$j"))
-    val grams = toks
-      .select((col("id") +: col("pos") +: col("w") +: leads): _*)
-      .filter(if (n > 1) col(s"w${n - 1}").isNotNull else lit(true))
+    val words = Grams.wordCols(n)
+    val grams = Grams.positioned(df, idCol, textCol, n)
       .select(col("id"), col("pos"), xxhash64(words: _*).as("h1"),
         xxhash64((lit("graft-spans") +: words): _*).as("h2"))
     val dupGrams = grams.groupBy(col("h1"), col("h2"))
@@ -166,7 +146,11 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     budgetTokens: Long, bucketCol: Column): DataFrame = {
     require(budgetTokens > 0, s"budget must be > 0, got $budgetTokens")
+    // ROWS frame, not the default RANGE frame: duplicate ids in a
+    // bucket would be RANGE-frame peers and include each other's token
+    // counts in both start offsets
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("id"), bucketCol.as("bucket"),
         col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("start_offset",
@@ -252,6 +236,8 @@ object Curation {
     * the stratum, so the single window is already skew-safe. */
   def stratifiedSample(df: DataFrame, stratumCol: String, perStratum: Int,
                        idCol: String): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input column __rn collides with internals")
     val key = md5(col(idCol).cast("string"))
     val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))

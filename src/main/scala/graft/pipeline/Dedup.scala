@@ -90,21 +90,14 @@ object Dedup {
     * plain relational op over these rows. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toksDf = df.select(col(idCol).as("id"),
-      split(col(textCol), "\\s+").as("toks"))
-    val base = toksDf.select(col("id"), size(col("toks")).as("n"),
-      posexplode(col("toks")).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until k).map(j => lead(col("w"), j).over(win).as(s"w$j"))
-    val withLeads = base.select(
-      (Seq(col("id"), col("n"), col("w")) ++ leads): _*)
-    val full = withLeads
-      .filter(col("n") >= k && col(s"w${k - 1}").isNotNull)
-      .select(col("id"),
-        xxhash64((col("w") +: (1 until k).map(j => col(s"w$j"))): _*)
-          .as("h"))
-    val short = toksDf.filter(size(col("toks")) < k)
+    // complete k-grams via the shared positioned-gram helper (documents
+    // shorter than k words yield no rows there and are hashed whole
+    // below, matching [[shingles]])
+    val full = Grams.positioned(df, idCol, textCol, k)
+      .select(col("id"), xxhash64(Grams.wordCols(k): _*).as("h"))
+    val short = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) < k)
       .select(col("id"), xxhash64(array_join(col("toks"), " ")).as("h"))
     full.unionAll(short).distinct()
   }

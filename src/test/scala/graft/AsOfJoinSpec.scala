@@ -32,6 +32,19 @@ class AsOfJoinSpec extends SparkSpec {
       300L -> None))       // key 3 has no right rows at all
   }
 
+  test("NULL keys never match (equi-join contract)") {
+    val l = Seq((1L, Option(1L), 20L), (2L, Option.empty[Long], 20L))
+      .toDF("id", "k", "t")
+    val r = Seq((Option(1L), 10L, 900L), (Option.empty[Long], 10L, 999L))
+      .toDF("k", "rt", "qid")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "t", "rt", Seq("qid"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), Option(x.get(3)).map(_.asInstanceOf[Long])))
+    // NULL-key left row gets NO payload even though a NULL-key right
+    // row exists at an earlier ts
+    assert(got.toSeq == Seq(1L -> Some(900L), 2L -> None))
+  }
+
   test("strict mode hides right rows at the exact left timestamp") {
     val got = AsOfJoin.asOf(
         leftDf, rightDf.withColumnRenamed("t", "rt"), Seq("k"),

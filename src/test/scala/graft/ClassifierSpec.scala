@@ -38,6 +38,16 @@ class ClassifierSpec extends SparkSpec {
     assert(w.distinct.length > 500) // actually scrambled, not constant
   }
 
+  test("NULL text scores the bias, like an empty document") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Option("")))
+      .toDF("doc_id", "text")
+    val got = Classifier.scoreHashed(df, "doc_id", "text",
+        Array.fill(8)(7L), biasMilli = 42L)
+      .orderBy("doc_id").collect()
+    assert(got.forall(r => r.getLong(1) == 42L))
+  }
+
   test("negative weights flip the label") {
     import spark.implicits._
     val w = Array.fill(8)(-100L)

@@ -193,4 +193,17 @@ class ClusterSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 10L))
   }
+
+  test("semanticDedup: zero vectors never match anything") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0))).toDF("cluster_id", "centroid")
+    val pts = vecsDF(Seq(
+      (1L, Seq(0.0, 0.0)),   // zero vector: matches nothing
+      (2L, Seq(0.0, 0.0)),   // second zero vector: also kept
+      (3L, Seq(1.0, 0.0)),   // non-zero after zeros: kept
+      (4L, Seq(1.0, 0.0))))  // exact copy of 3 -> dropped
+    val kept = Cluster.semanticDedup(pts, "id", "v", cents, 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
 }

@@ -119,6 +119,22 @@ class CurationSpec extends SparkSpec {
       (4L, 0L, 0L, 600L), (5L, 1L, 1L, 1200L)))
   }
 
+  test("packSequences: duplicate ids in a bucket use ROWS-frame offsets") {
+    import spark.implicits._
+    // two rows with the SAME id: the RANGE default frame would make
+    // them peers and give both the full prefix sum
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("doc", "toks")
+    val got = Curation.packSequences(df, "doc", "toks",
+        budgetTokens = 100L, bucketCol = lit(0))
+      .orderBy("start_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    // offsets are a strict running sum: 0, then the first row's token
+    // count (10 or 20 depending on tie order), then 30 — never equal
+    val offs = got.map(_._3).toSeq
+    assert(offs(0) == 0L && Set(10L, 20L).contains(offs(1)) &&
+      offs(2) == 30L)
+  }
+
   test("packSequences matches a driver-side reference packer") {
     import spark.implicits._
     val rows = (1L to 300L).map(i => (i, (i * 37 % 400) + 1))

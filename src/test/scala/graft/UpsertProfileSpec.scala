@@ -30,6 +30,26 @@ class UpsertProfileSpec extends SparkSpec {
     assert(got.getString(3) == "y")
   }
 
+  test("latestByKey rejects an input __rn column (reserved)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 9L)).toDF("k", "v", "__rn")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Upsert.latestByKey(df, Seq("k"),
+        Seq(org.apache.spark.sql.functions.col("v")))
+    }
+    assert(err.getMessage.contains("__rn"))
+  }
+
+  test("quantile labels are injective for sub-percent probs") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toLong).toDF("x")
+    val r = graft.operators.Profile.quantiles(df, Seq("x"),
+      Seq(0.25, 0.995, 0.999))
+    assert(r.columns.toSeq == Seq("x_p25", "x_p99_5", "x_p99_9"))
+    val row = r.collect()(0)
+    assert(row.getDouble(1) == 995.0 && row.getDouble(2) == 999.0)
+  }
+
   test("numeric profile: exact stats incl. nulls and distincts") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double)](
