@@ -1027,6 +1027,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-relative quality gate: keep the top half by classifier
+    // margin (exact percentile threshold over integer margins)
+    "quality_filter" -> ((s, dir) => {
+      val scored = Classifier.scoreHashed(t(s, dir, "documents"),
+        "doc_id", "text", Classifier.scrambledWeightsMilli(1024),
+        biasMilli = 250L)
+      Classifier.filterByMarginPercentile(scored, "margin_milli", 0.5)
+        .select(col("doc_id"), col("margin_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // connected components over a pair graph + survivor selection: turns
     // pairwise near-dup matches into dedup GROUPS and picks the keeper
     // (longest text, ties → smallest id) per group. The edge list is
@@ -1984,6 +1995,28 @@ object SparkEntry {
            (250 + COALESCE(s.tok_margin, 0)) > 0 AS label
          FROM documents d LEFT JOIN s USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "quality_filter" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tw AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM toks WHERE w <> ''),
+         s AS (SELECT doc_id,
+             sum((b * 2654435761) % 2000 - 1000) AS tok_margin
+           FROM tw GROUP BY doc_id),
+         m AS (SELECT d.doc_id,
+             CAST(250 + COALESCE(s.tok_margin, 0) AS BIGINT)
+               AS margin_milli
+           FROM documents d LEFT JOIN s USING (doc_id)),
+         cd AS (SELECT margin_milli,
+             cume_dist() OVER (ORDER BY margin_milli) AS c FROM m),
+         thr AS (SELECT min(margin_milli) AS t FROM cd WHERE c >= 0.5)
+         SELECT m.doc_id, m.margin_milli FROM m, thr
+         WHERE m.margin_milli >= thr.t
+         ORDER BY m.doc_id""",
 
     "dedup_components" ->
       """WITH RECURSIVE pairs AS (

@@ -66,4 +66,24 @@ object Classifier {
       .withColumn("score", col("margin_milli") / lit(1000.0d))
       .withColumn("label", col("margin_milli") > 0)
   }
+
+  /** Corpus-relative quality gate: keep rows whose `marginCol` clears
+    * the corpus-wide `p`-th percentile — "train on the best X%", the
+    * standard use of a quality classifier in curation.
+    *
+    * The threshold is ONE exact SQL-standard percentile_disc aggregate
+    * (engine-exact over the integer margins) broadcast back as a scalar
+    * — the corpus is scanned twice (threshold + filter), shuffled
+    * never. At 100 TB swap in `percentile_approx` and checkpoint the
+    * scored frame so both passes read one materialization. */
+  def filterByMarginPercentile(scored: DataFrame, marginCol: String,
+                               p: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val thr = scored.agg(
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$marginCol`)")
+        .as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col(marginCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

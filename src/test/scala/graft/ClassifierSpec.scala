@@ -31,6 +31,16 @@ class ClassifierSpec extends SparkSpec {
     assert(got.forall(r => r.getBoolean(3) == (r.getLong(1) > 0)))
   }
 
+  test("scoring plan is one shuffle-free projection") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val out = Classifier.scoreHashed(df, "doc_id", "text",
+      Array.fill(64)(1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("scrambled demo weights stay in [-1000, 999]") {
     val w = Classifier.scrambledWeightsMilli(1024)
     assert(w.length == 1024)
@@ -46,6 +56,16 @@ class ClassifierSpec extends SparkSpec {
         Array.fill(8)(7L), biasMilli = 42L)
       .orderBy("doc_id").collect()
     assert(got.forall(r => r.getLong(1) == 42L))
+  }
+
+  test("filterByMarginPercentile keeps exactly the rows at/above the cut") {
+    import spark.implicits._
+    // margins 1..10; p=0.5 -> percentile_disc = smallest with
+    // cume_dist >= 0.5 = 5 -> keep 5..10
+    val df = (1L to 10L).map(i => (i, i * 100L)).toDF("id", "m")
+    val kept = Classifier.filterByMarginPercentile(df, "m", 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (5L to 10L))
   }
 
   test("negative weights flip the label") {
