@@ -155,7 +155,11 @@ object PlanBuilder {
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
       encoding = enc,
-      trimUnquoted = cmd.boolOption("trim unquoted blanks"))
+      trimUnquoted =
+        // trimming unquoted blanks IS the reference default; `keep
+        // unquoted blanks` opts out ("trim unquoted blanks" merely
+        // restates the default) — pgloader.1.md, csv-parser.lisp
+        !cmd.boolOption("keep unquoted blanks"))
     val names = fieldNames(cmd)
     if (names.nonEmpty)
       encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
@@ -181,7 +185,11 @@ object PlanBuilder {
           .copy(encoding = effectiveEncoding(cmd, path, "UTF-8"),
             skipLines = cmd.intOption("skip header").getOrElse(0),
             header = cmd.boolOption("csv header"),
-            trimUnquoted = cmd.boolOption("trim unquoted blanks"))
+            trimUnquoted =
+        // trimming unquoted blanks IS the reference default; `keep
+        // unquoted blanks` opts out ("trim unquoted blanks" merely
+        // restates the default) — pgloader.1.md, csv-parser.lisp
+        !cmd.boolOption("keep unquoted blanks"))
       val nCols = CsvSource.parseLine(sample.head, d0.separator,
         d0.quote, d0.doubledQuote).getOrElse(
         throw new IllegalStateException("dialect failed to parse sample"))
@@ -204,10 +212,21 @@ object PlanBuilder {
   }
 
   private def readCopy(spark: SparkSession, cmd: LoadCommand,
-                       path: String): DataFrame =
-    CopyText.read(spark, path, fieldNames(cmd),
-      delimiter = cmd.option("delimiter").map(_.charAt(0)).getOrElse('\t'),
+                       path: String): DataFrame = {
+    val delim = cmd.option("delimiter").map(_.charAt(0)).getOrElse('\t')
+    val names = fieldNames(cmd) match {
+      case ns if ns.nonEmpty => ns
+      // no field list and no target column list: the reference takes
+      // the TARGET TABLE's columns from the PG catalog (copy.lisp); a
+      // file dataflow has no catalog, so synthesize positional names
+      // (c1..cN) from the first line's arity
+      case _ =>
+        val first = spark.read.textFile(path).head()
+        (1 to CopyText.parseLine(first, delim).length).map(i => s"c$i")
+    }
+    CopyText.read(spark, path, names, delimiter = delim,
       nullAs = cmd.option("null").getOrElse("\\N"))
+  }
 
   /** HAVING FIELDS preprocessing + TARGET COLUMNS projection.
     * (`trim unquoted blanks` happens inside the CSV reader, where the

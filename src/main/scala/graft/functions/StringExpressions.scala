@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.{FunctionInstaller => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression for PG COPY TEXT unescaping — one pass over the
+  * string implementing the full input escape set (control chars, `\\`,
+  * `\xH[H]` hex, octal, literal `\N`), delegating to the property-tested
+  * scalar spec [[graft.sources.CopyText.unescape]]. Replaces the previous
+  * 8-chained-`replace` Column formulation, which couldn't express the
+  * variable-length hex/octal escapes at all. */
+case class CopyUnescape(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "copy_unescape"
+
+  protected override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(graft.sources.CopyText.unescape(
+      input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.sources.CopyText.unescape($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native expression for the reference-exact CSV field parser: one line →
+  * array<string> of field values (null element = SQL NULL), delegating to
+  * the scalar spec [[graft.sources.CsvSource.parseFields]]. Replaces the
+  * univocity-backed reader, whose trim semantics classify control bytes
+  * (< 0x21) as whitespace — the reference trims space/TAB only — and
+  * whose quoted/unquoted NULL distinction needed sentinel values. The
+  * dialect rides along as a plan-serialized reference object. */
+case class CsvParseLine(child: Expression,
+                        dialect: graft.sources.CsvDialect)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "csv_parse_line"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.sources.CsvSource.parseFieldsData(
+      input.asInstanceOf[UTF8String], dialect)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("csvDialect", dialect,
+      "graft.sources.CsvDialect")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sources.CsvSource.parseFieldsData($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object StringExpressions {
+  def copyUnescape(c: Column): Column =
+    ExpressionUtils.column(CopyUnescape(ExpressionUtils.expression(c)))
+
+  def csvParseLine(c: Column, dialect: graft.sources.CsvDialect): Column =
+    ExpressionUtils.column(CsvParseLine(ExpressionUtils.expression(c),
+      dialect))
+}

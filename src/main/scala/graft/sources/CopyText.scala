@@ -34,25 +34,49 @@ object CopyText {
     sb.toString
   }
 
-  /** Inverse of [[escape]]. */
+  /** Inverse of [[escape]], plus the COPY TEXT input-only escapes PG
+    * accepts: `\xH[H]` hex and `\o[oo]` octal byte values
+    * (reference test/copy-hex.load exercises `\x1a`). `\N` keeps its
+    * backslash — the null marker is matched at field level BEFORE
+    * unescaping, so a `\N` that survives to here is literal data, and
+    * the reference loads it as the two characters `\N`. */
   def unescape(v: String): String = {
     val sb = new StringBuilder(v.length)
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
       if (c == '\\' && i + 1 < v.length) {
-        v.charAt(i + 1) match {
-          case '\\' => sb.append('\\')
-          case 'b'  => sb.append('\b')
-          case 'f'  => sb.append('\f')
-          case 'n'  => sb.append('\n')
-          case 'r'  => sb.append('\r')
-          case 't'  => sb.append('\t')
-          case 'v'  => sb.append(0x0B.toChar)
-          case 'N'  => sb.append('\\').append('N') // handled at field level
-          case o    => sb.append(o)
+        val n = v.charAt(i + 1)
+        n match {
+          case '\\' => sb.append('\\'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'v'  => sb.append(0x0B.toChar); i += 2
+          case 'N'  => sb.append('\\').append('N'); i += 2
+          case 'x' if i + 2 < v.length &&
+              Character.digit(v.charAt(i + 2), 16) >= 0 =>
+            var value = 0
+            var j = i + 2
+            while (j < v.length && j < i + 4 &&
+                Character.digit(v.charAt(j), 16) >= 0) {
+              value = value * 16 + Character.digit(v.charAt(j), 16)
+              j += 1
+            }
+            sb.append(value.toChar); i = j
+          case d if d >= '0' && d <= '7' =>
+            var value = 0
+            var j = i + 1
+            while (j < v.length && j < i + 4 &&
+                v.charAt(j) >= '0' && v.charAt(j) <= '7') {
+              value = value * 8 + (v.charAt(j) - '0')
+              j += 1
+            }
+            sb.append(value.toChar); i = j
+          case o => sb.append(o); i += 2
         }
-        i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -104,18 +128,12 @@ object CopyText {
     rep(x, "\u000B", "\\v")
   }
 
-  /** Column-level [[unescape]]. `\\` is rewritten through a NUL sentinel
-    * first — PG text values can never contain NUL, so it is free. */
-  def unescapeColumn(c: Column): Column = {
-    var x = rep(c, "\\\\", "\u0000")
-    x = rep(x, "\\b", "\b")
-    x = rep(x, "\\f", "\f")
-    x = rep(x, "\\n", "\n")
-    x = rep(x, "\\r", "\r")
-    x = rep(x, "\\t", "\t")
-    x = rep(x, "\\v", "\u000B")
-    rep(x, "\u0000", "\\")
-  }
+  /** Column-level [[unescape]]: the native one-pass expression (the
+    * replace-chain it replaced couldn't express `\xH[H]`/octal escapes
+    * and diverged from the scalar spec on unknown escapes). */
+  def unescapeColumn(c: Column): Column =
+    graft.functions.StringExpressions.copyUnescape(c)
+
 
   /** PG text literal of a typed column — the codegen twin of the scalar
     * spec [[graft.sinks.PgLiteral]] (kept equal by PgLiteralParitySpec):

@@ -50,36 +50,116 @@ object CsvSource {
     * are wrong for multi-file/multi-split reads. */
   def read(spark: SparkSession, path: String, dialect: CsvDialect,
            fieldNames: Seq[String]): DataFrame = {
-    val schema = StructType(
-      fieldNames.map(n => StructField(n, StringType, nullable = true)))
-    val base = spark.read
-      .option("sep", dialect.separator.toString)
-      .option("quote", dialect.quote.toString)
-      .option("escape",
-        if (dialect.doubledQuote) dialect.quote.toString else "\\")
-      .option("encoding", canonicalEncoding(dialect.encoding))
-      // unquoted empty → NULL, quoted "" → empty string (csv.lisp:77-78
-      // :unquoted-empty-string-is-nil t :quoted-empty-string-is-nil nil).
-      // univocity reports a missing/unquoted-empty field as the parser
-      // nullValue; a NUL sentinel keeps that mapping without also
-      // swallowing quoted empties.
-      .option("nullValue",
-        if (dialect.nullValue.isEmpty) "\u0000" else dialect.nullValue)
-      .option("emptyValue", "") // quoted "" stays an empty string
-      // univocity trims UNQUOTED whitespace only — exactly the
-      // reference's trim-unquoted-blanks distinction
-      .option("ignoreLeadingWhiteSpace", dialect.trimUnquoted.toString)
-      .option("ignoreTrailingWhiteSpace", dialect.trimUnquoted.toString)
-      .option("mode", "PERMISSIVE")
-      .schema(schema)
+    import org.apache.spark.sql.functions._
     // a header line is just one more per-file line to drop — field names
-    // come from the declared schema, matching the reference's HAVING FIELDS
+    // come from the declared list, matching the reference's HAVING FIELDS
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
-    if (skip == 0) base.csv(path.split(","): _*)
-    else {
-      import spark.implicits._
-      base.csv(SkipLines.lines(spark, path, skip).as[String])
+    val lines = SkipLines.lines(spark, path, skip,
+      canonicalEncoding(dialect.encoding))
+    // one native-expression parse per line ([[parseFields]] is the
+    // scalar spec), then positional field extraction; `get` is
+    // out-of-bounds-NULL, so ragged short lines pad with NULLs and
+    // extra fields are ignored (PERMISSIVE semantics)
+    val parsed = lines.toDF("value")
+      .filter(length(col("value")) > 0) // blank lines are skipped
+      .select(graft.functions.StringExpressions
+        .csvParseLine(col("value"), dialect).as("__fields"))
+    parsed.select(fieldNames.zipWithIndex.map { case (nm, i) =>
+      get(col("__fields"), lit(i)).as(nm)
+    }: _*)
+  }
+
+
+  /** Parse one CSV line into field values (null = SQL NULL) with the
+    * reference's exact field semantics (csv.lisp:77-127, cl-csv):
+    *
+    *   - `trimUnquoted`: space/TAB (only — control bytes are data,
+    *     unlike univocity's everything-below-0x21) stripped around
+    *     UNQUOTED values, and a quote after leading blanks still opens
+    *     a quoted field; with keep-blanks the blanks are data and a
+    *     quote is only a quote at the field's first byte.
+    *   - unquoted empty (post-trim) → NULL; quoted empty `""` → empty
+    *     string (unquoted-empty-string-is-nil / quoted-empty-string-
+    *     is-nil semantics).
+    *   - `doubledQuote` true: `""` inside quotes is a literal quote;
+    *     false: backslash escapes the next char inside quotes.
+    *   - quote = NUL disables quote processing entirely
+    *     (`fields not enclosed`).
+    *   - a nonempty `nullValue` matches the unquoted value post-trim.
+    *
+    * One scalar spec, unit-tested directly and golden-tested through
+    * [[read]]'s native-expression path. */
+  def parseFields(line: String, d: CsvDialect): Array[String] = {
+    val sep = d.separator
+    val q = d.quote
+    val n = line.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def isBlank(c: Char) = (c == ' ' || c == '\t') && c != sep
+    var i = 0
+    var done = false
+    while (!done) {
+      // one field per iteration; i sits at the field's first char
+      var j = i
+      if (d.trimUnquoted) while (j < n && isBlank(line.charAt(j))) j += 1
+      if (q != '\u0000' && j < n && line.charAt(j) == q) {
+        // quoted field
+        val sb = new StringBuilder
+        j += 1
+        var closed = false
+        while (j < n && !closed) {
+          val c = line.charAt(j)
+          if (c == q) {
+            if (d.doubledQuote && j + 1 < n && line.charAt(j + 1) == q) {
+              sb.append(q); j += 2
+            } else { closed = true; j += 1 }
+          } else if (!d.doubledQuote && c == '\\' && j + 1 < n) {
+            sb.append(line.charAt(j + 1)); j += 2
+          } else { sb.append(c); j += 1 }
+        }
+        // tolerate blanks between the closing quote and the separator;
+        // any other junk is appended as data (lenient)
+        while (j < n && line.charAt(j) != sep) {
+          if (!isBlank(line.charAt(j))) sb.append(line.charAt(j))
+          j += 1
+        }
+        out += sb.toString // quoted: never NULL, may be empty
+      } else {
+        // unquoted field: raw until separator
+        var end = j
+        while (end < n && line.charAt(end) != sep) end += 1
+        var s = i
+        var e = end
+        if (d.trimUnquoted) {
+          while (s < e && isBlank(line.charAt(s))) s += 1
+          while (e > s && isBlank(line.charAt(e - 1))) e -= 1
+        }
+        val v = line.substring(s, e)
+        out += (if (v.isEmpty) null
+        else if (d.nullValue.nonEmpty && v == d.nullValue) null
+        else v)
+        j = end
+      }
+      if (j < n && line.charAt(j) == sep) i = j + 1
+      else done = true
     }
+    out.toArray
+  }
+
+  /** [[parseFields]] in the engine's wire shapes, called from the
+    * generated code of [[graft.functions.CsvParseLine]] and its
+    * interpreted eval. */
+  def parseFieldsData(line: org.apache.spark.unsafe.types.UTF8String,
+                      d: CsvDialect)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val vs = parseFields(line.toString, d)
+    val out = new Array[Any](vs.length)
+    var i = 0
+    while (i < vs.length) {
+      if (vs(i) != null)
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(vs(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Tiny driver-side CSV line parser used only by the guesser. Returns

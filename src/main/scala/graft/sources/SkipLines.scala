@@ -58,12 +58,17 @@ object SkipLines {
   }
 
   /** The lines of `path` with the first `skip` lines of EACH file
-    * removed, as a Dataset[String]. */
-  def lines(spark: SparkSession, path: String, skip: Int): Dataset[String] = {
+    * removed, as a Dataset[String], decoded with `charset` (any
+    * ASCII-compatible charset: records still split on `\n` bytes). */
+  def lines(spark: SparkSession, path: String, skip: Int,
+            charset: String = "UTF-8"): Dataset[String] = {
     import spark.implicits._
-    if (skip <= 0) return spark.read.textFile(path.split(","): _*)
-    val cuts = cutOffsets(spark, path, skip)
+    if (skip <= 0 && charset.equalsIgnoreCase("utf-8"))
+      return spark.read.textFile(path.split(","): _*)
+    val cuts = if (skip <= 0) Map.empty[String, Long]
+      else cutOffsets(spark, path, skip)
     val bc = spark.sparkContext.broadcast(cuts)
+    val cs = charset
     val rdd = spark.sparkContext
       .hadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text])
@@ -71,9 +76,10 @@ object SkipLines {
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
       val cut = bc.value.getOrElse(file, 0L)
+      val decoder = java.nio.charset.Charset.forName(cs)
       it.collect {
         case (off, line) if off.get() >= cut =>
-          new String(line.getBytes, 0, line.getLength, "UTF-8")
+          new String(line.getBytes, 0, line.getLength, decoder)
       }
     }
     spark.createDataset(kept)

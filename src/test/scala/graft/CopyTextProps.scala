@@ -29,6 +29,29 @@ object CopyTextProps extends Properties("CopyText") {
       Prop(parsed.sameElements(arr))
     }
 
+  property("hex and octal input escapes decode to their byte") = Prop {
+    CopyText.unescape("\\x1a") == "\u001a" &&
+      CopyText.unescape("a\\x41b") == "aAb" &&
+      CopyText.unescape("\\x4") == "\u0004" &&     // 1 hex digit
+      CopyText.unescape("\\x41c") == "Ac" &&        // max 2 digits
+      CopyText.unescape("\\101") == "A" &&          // octal
+      CopyText.unescape("\\7") == "\u0007" &&
+      CopyText.unescape("\\1018") == "A8" &&        // max 3 digits
+      CopyText.unescape("\\xzz") == "xzz" &&        // \x with no digit
+      CopyText.unescape("\\q") == "q"               // unknown: char only
+  }
+
+  property("column unescape equals the scalar spec") = Prop {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val cases = Seq("\\x1a", "a\\x41b", "\\101\\n", "\\\\N", "plain",
+      "tr\\tck", "\\q\\7", "ends with backslash\\")
+    val got = cases.toDF("s")
+      .select(CopyText.unescapeColumn(col("s"))).collect().map(_.getString(0))
+    got.sameElements(cases.map(CopyText.unescape))
+  }
+
   property("literal backslash-N value is not NULL") = Prop {
     val arr = Array[String]("\\N", null)
     val line = CopyText.formatRow(arr)

@@ -34,6 +34,24 @@ class GoldenRegressSpec extends SparkSpec {
         s"expect: ${exp.collect().take(5).mkString("; ")}")
   }
 
+  test("copy-hex.load: \\xHH input escapes, custom null marker") {
+    // input: \x1a decodes to 0x1a; `\N` with null='--' stays literal
+    // backslash-N; `--` is NULL (reference issue-style copy-hex fixture)
+    // no field list in the command: positional names c1/c2
+    val act = plan("copy-hex.load").select(
+      col("c1").cast("long").as("id"), col("c2").as("text"))
+    val exp = expected("copy-hex", Seq("id", "text")).select(
+      col("id").cast("long").as("id"), col("text"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-non-printable.load: control bytes pass through untouched") {
+    val fields = Seq("c1", "c2", "c3")
+    val act = plan("csv-non-printable.load")
+      .select(fields.map(col): _*)
+    assertGolden(act, expected("csv-non-printable", fields))
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
