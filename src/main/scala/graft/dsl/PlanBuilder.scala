@@ -394,6 +394,18 @@ object SexpTranslator {
       }
     case L(Atom(f) :: rest) if f.equalsIgnoreCase("concat") =>
       s"concat(${rest.map(render).mkString(", ")})"
+    // `(ip-range startIpNum endIpNum)` — the geolite idiom
+    // (csv-before-after.load; transforms.lisp:239-246): the SQL twin of
+    // Transforms.ipRange
+    case L(Atom(f) :: a :: b :: Nil) if f.equalsIgnoreCase("ip-range") =>
+      def ipSql(e: String): String = {
+        val v = s"CAST($e AS BIGINT)"
+        def oct(sh: Int) =
+          if (sh == 0) s"($v & 255)" else s"(shiftright($v, $sh) & 255)"
+        s"concat(${oct(24)}, '.', ${oct(16)}, '.', ${oct(8)}, '.', ${oct(0)})"
+      }
+      s"CASE WHEN ${render(a)} IS NULL OR ${render(b)} IS NULL THEN NULL " +
+        s"ELSE concat(${ipSql(render(a))}, '-', ${ipSql(render(b))}) END"
     case L(Atom(f) :: rest)
         if f.equalsIgnoreCase("string-upcase") && rest.length == 1 =>
       s"upper(${render(rest.head)})"

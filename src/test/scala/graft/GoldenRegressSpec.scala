@@ -52,6 +52,71 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, expected("csv-non-printable", fields))
   }
 
+  test("csv-header.load: header line dropped, fields matched positionally") {
+    // no field list: positional col1..col6; the target table orders
+    // `another` before `fields` (name-matching against the header is
+    // the PG-catalog side of the reference) — reorder + type here
+    val act = plan("csv-header.load").select(
+      col("col1"), col("col2"), col("col3"), col("col4"),
+      col("col6"), col("col5").cast("long"))
+    val exp = expected("csv-header",
+        Seq("somefields", "rekplcode", "grpid", "id", "another", "fields"))
+      .select(col("somefields"), col("rekplcode"), col("grpid"),
+        col("id"), col("another"), col("fields").cast("long"))
+    assertGolden(act, exp)
+  }
+
+  test("xzero.load: trailing separator, null-if blank, dmy date parsing") {
+    // PG datestyle=dmy parsing emulated test-side: 4-digit-first dates
+    // are y-m-d, otherwise d-m-y; 2-digit years pivot into 2000s
+    val pgDmy = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val t = s.trim.split("[-/]").map(_.toInt)
+        val (y, m, d) =
+          if (s.trim.split("[-/]")(0).length == 4) (t(0), t(1), t(2))
+          else (t(2), t(1), t(0))
+        val yy = if (y < 100) 2000 + y else y
+        f"$yy%04d-$m%02d-$d%02d"
+      }
+    }
+    val act = plan("xzero.load").select(
+      col("a").cast("long").as("a"),
+      pgDmy(col("b")).as("b"), col("c"))
+    val exp = expected("xzero", Seq("a", "b", "c")).select(
+      col("a").cast("long").as("a"), col("b"), col("c"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-before-after.load: ip-range transform, ip4r rendering") {
+    // PG's ip4r type renders an exactly-CIDR-aligned range as a/prefix,
+    // a single address bare, and anything else dashed — emulate that
+    // rendering over our `ip-range` transform output ("a-b")
+    val ip4r = udf { (s: String) =>
+      if (s == null) null
+      else {
+        def toLong(ip: String) =
+          ip.split("\\.").map(_.toLong).reduce(_ * 256 + _)
+        def toIp(v: Long) =
+          Seq(24, 16, 8, 0).map(sh => (v >> sh) & 255).mkString(".")
+        val Array(a, b) = s.split("-")
+        val (lo, hi) = (toLong(a), toLong(b))
+        val span = hi - lo + 1
+        if (lo == hi) toIp(lo)
+        else if ((span & (span - 1)) == 0 && lo % span == 0) {
+          val prefix = 32 - java.lang.Long.numberOfTrailingZeros(span)
+          s"${toIp(lo)}/$prefix"
+        } else s"${toIp(lo)}-${toIp(hi)}"
+      }
+    }
+    val act = plan("csv-before-after.load").select(
+      ip4r(col("iprange")).as("iprange"),
+      col("locId").cast("long").as("locid"))
+    val exp = expected("csv-before-after", Seq("iprange", "locid")).select(
+      col("iprange"), col("locid").cast("long").as("locid"))
+    assertGolden(act, exp)
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
