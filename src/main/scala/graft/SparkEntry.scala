@@ -1027,6 +1027,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // preflight constraint validation: target-table type + NOT NULL
+    // checks as one projection, rejects classified with reasons before
+    // any server sees the rows (the scale inversion of PG-error-driven
+    // batch bisect)
+    "preflight_validate" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // staged all-string rows with planted defects: every 7th id is
+      // unparseable, every 11th clerk is NULL
+      val staged = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("x"), col("o_orderkey")))
+          .otherwise(col("o_orderkey").cast("string")).as("id_str"),
+        when(col("o_orderkey") % 11 === 0, lit(null: String))
+          .otherwise(col("o_orderstatus")).as("clerk"))
+      graft.operators.Validate.preflight(staged, Seq(
+          graft.operators.Validate.Rule("id_str", "int"),
+          graft.operators.Validate.Rule("clerk", "string", notNull = true)))
+        .select(col("o_orderkey"), col("valid"),
+          array_join(col("reasons"), ";").as("why"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // corpus-relative quality gate: keep the top half by classifier
     // margin (exact percentile threshold over integer margins)
     "quality_filter" -> ((s, dir) => {
@@ -1995,6 +2017,27 @@ object SparkEntry {
            (250 + COALESCE(s.tok_margin, 0)) > 0 AS label
          FROM documents d LEFT JOIN s USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "preflight_validate" ->
+      """WITH staged AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN 'x' || CAST(o_orderkey AS VARCHAR)
+               ELSE CAST(o_orderkey AS VARCHAR) END AS id_str,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+               ELSE o_orderstatus END AS clerk
+           FROM orders),
+         checked AS (SELECT o_orderkey,
+             CASE WHEN id_str IS NOT NULL
+                   AND TRY_CAST(id_str AS INTEGER) IS NULL
+               THEN 'id_str: invalid input for type int' END AS r1,
+             CASE WHEN clerk IS NULL
+               THEN 'clerk: null value in NOT NULL column' END AS r2
+           FROM staged)
+         SELECT o_orderkey,
+           (r1 IS NULL AND r2 IS NULL) AS valid,
+           concat_ws(';', r1, r2) AS why
+         FROM checked ORDER BY o_orderkey""",
 
     "quality_filter" ->
       """WITH toks AS (

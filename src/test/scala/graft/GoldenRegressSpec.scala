@@ -117,6 +117,26 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("overflow.load: preflight rejects both rows (int overflow, NOT NULL)") {
+    import graft.operators.Validate
+    // no field list in the command: positional col1/col2
+    val rules = Seq(Validate.Rule("col1", "int"),
+      Validate.Rule("col2", "string", notNull = true))
+    val staged = plan("overflow.load")
+    // the expected golden is EMPTY: one row overflows int4, the other
+    // has a NULL in the NOT NULL column — preflight classifies both
+    // without a server round-trip
+    assert(Validate.valid(staged, rules).count() == 0)
+    val rej = Validate.rejects(staged, rules)
+      .select(col("col1"), col("reasons")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).mkString(";")))
+      .sortBy(_._1)
+    assert(rej.length == 2)
+    assert(rej(0)._1 == "12" &&
+      rej(0)._2.contains("null value in NOT NULL column"))
+    assert(rej(1)._2.contains("invalid input for type int"))
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")

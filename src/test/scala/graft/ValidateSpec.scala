@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Validate
+import graft.operators.Validate.Rule
+import org.apache.spark.sql.functions._
+
+class ValidateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val staged = Seq(
+    ("1", "ok"),            // clean
+    ("notanint", "ok"),     // type failure
+    ("3", null),            // NOT NULL failure
+    ("x", null),            // both
+    (null, "ok"))           // NULL in a nullable int column: fine
+    .toDF("id", "name")
+
+  private val rules = Seq(Rule("id", "int"),
+    Rule("name", "string", notNull = true))
+
+  test("preflight classifies rows and collects reasons in rule order") {
+    val got = Validate.preflight(staged, rules)
+      .select(col("id"), col("valid"), array_join(col("reasons"), ";"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse("NULL"),
+        r.getBoolean(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("1", true, ""),
+      ("notanint", false, "id: invalid input for type int"),
+      ("3", false, "name: null value in NOT NULL column"),
+      ("x", false, "id: invalid input for type int;" +
+        "name: null value in NOT NULL column"),
+      ("NULL", true, "")))
+  }
+
+  test("valid/rejects split preserves the original schema") {
+    assert(Validate.valid(staged, rules).columns.toSeq == Seq("id", "name"))
+    assert(Validate.valid(staged, rules).count() == 2)
+    assert(Validate.rejects(staged, rules).count() == 3)
+  }
+
+  test("typed rules: date, decimal, boolean acceptance") {
+    val df = Seq(("2024-02-29", "1.5", "true"),
+      ("2023-02-29", "abc", "maybe")).toDF("d", "m", "b")
+    val rs = Seq(Rule("d", "date"), Rule("m", "decimal(10,2)"),
+      Rule("b", "boolean"))
+    val got = Validate.preflight(df, rs)
+      .select(col("d"), size(col("reasons"))).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(got("2024-02-29") == 0)
+    assert(got("2023-02-29") == 3) // invalid leap date, number, boolean
+  }
+
+  test("reserved output columns are guarded") {
+    val df = Seq(("1", "a")).toDF("id", "valid")
+    val err = intercept[IllegalArgumentException] {
+      Validate.preflight(df, Seq(Rule("id", "int")))
+    }
+    assert(err.getMessage.contains("valid"))
+  }
+
+  test("preflight plan is one shuffle-free projection") {
+    val plan = Validate.preflight(staged, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+  }
+}
