@@ -394,6 +394,17 @@ object SexpTranslator {
       }
     case L(Atom(f) :: rest) if f.equalsIgnoreCase("concat") =>
       s"concat(${rest.map(render).mkString(", ")})"
+    // `(subseq s start [end])` — CL subsequence on a field
+    // (allcols.load uses `(subseq c 0)` as an identity projection)
+    case L(Atom(f) :: arg :: Atom(start) :: rest) if
+        f.equalsIgnoreCase("subseq") && start.forall(_.isDigit) &&
+        rest.forall { case Atom(e) => e.forall(_.isDigit); case _ => false } =>
+      val from = start.toInt + 1 // CL 0-based -> SQL 1-based
+      rest match {
+        case Atom(end) :: Nil =>
+          s"substring(${render(arg)}, $from, ${end.toInt - start.toInt})"
+        case _ => s"substring(${render(arg)}, $from)"
+      }
     // `(ip-range startIpNum endIpNum)` — the geolite idiom
     // (csv-before-after.load; transforms.lisp:239-246): the SQL twin of
     // Transforms.ipRange

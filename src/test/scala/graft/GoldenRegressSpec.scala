@@ -137,6 +137,16 @@ class GoldenRegressSpec extends SparkSpec {
     assert(rej(1)._2.contains("invalid input for type int"))
   }
 
+  test("allcols.load: colon separator, subseq identity transform") {
+    val act = plan("allcols.load").select(
+      col("a").cast("long").as("a"), col("b").cast("date").as("b"),
+      col("c"))
+    val exp = expected("allcols", Seq("a", "b", "c")).select(
+      col("a").cast("long").as("a"), col("b").cast("date").as("b"),
+      col("c"))
+    assertGolden(act, exp)
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
