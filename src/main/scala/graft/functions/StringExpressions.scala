@@ -68,8 +68,13 @@ case class CsvParseLine(child: Expression,
                                    ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("csvDialect", dialect,
       "graft.sources.CsvDialect")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.sources.CsvSource.parseFieldsData($c, $ref)")
+    // not defineCodeGen: parseFieldsData returns null for a malformed
+    // row, which must surface as SQL NULL (rejected row), not a null
+    // ArrayData with isNull = false
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.sources.CsvSource.parseFieldsData($c, $ref);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
   }
 
   override protected def withNewChildInternal(

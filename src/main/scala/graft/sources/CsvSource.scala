@@ -64,9 +64,11 @@ object CsvSource {
       .filter(length(col("value")) > 0) // blank lines are skipped
       .select(graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect).as("__fields"))
-    parsed.select(fieldNames.zipWithIndex.map { case (nm, i) =>
-      get(col("__fields"), lit(i)).as(nm)
-    }: _*)
+    parsed
+      .filter(col("__fields").isNotNull) // malformed rows are rejected
+      .select(fieldNames.zipWithIndex.map { case (nm, i) =>
+        get(col("__fields"), lit(i)).as(nm)
+      }: _*)
   }
 
 
@@ -86,6 +88,10 @@ object CsvSource {
     *   - quote = NUL disables quote processing entirely
     *     (`fields not enclosed`).
     *   - a nonempty `nullValue` matches the unquoted value post-trim.
+    *
+    * Returns NULL for a malformed row (quote char inside an unquoted
+    * field) — the reference signals a parse error and routes the row to
+    * the reject file; [[read]] drops such rows the same way.
     *
     * One scalar spec, unit-tested directly and golden-tested through
     * [[read]]'s native-expression path. */
@@ -124,9 +130,14 @@ object CsvSource {
         }
         out += sb.toString // quoted: never NULL, may be empty
       } else {
-        // unquoted field: raw until separator
+        // unquoted field: raw until separator. A quote char inside the
+        // field is a PARSE ERROR (cl-csv semantics — a legal quote
+        // would have opened the field): the whole row is rejected.
         var end = j
-        while (end < n && line.charAt(end) != sep) end += 1
+        while (end < n && line.charAt(end) != sep) {
+          if (q != '\u0000' && line.charAt(end) == q) return null
+          end += 1
+        }
         var s = i
         var e = end
         if (d.trimUnquoted) {
@@ -152,6 +163,7 @@ object CsvSource {
                       d: CsvDialect)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val vs = parseFields(line.toString, d)
+    if (vs == null) return null // malformed row -> NULL array = rejected
     val out = new Array[Any](vs.length)
     var i = 0
     while (i < vs.length) {

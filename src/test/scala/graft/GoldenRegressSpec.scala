@@ -147,6 +147,19 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("csv-keep-extra-blanks.load: blanks kept, malformed row rejected") {
+    // 7 input rows; row 7 has a quote mid-unquoted-field (a space
+    // precedes the quote and keep-mode blanks are data) -> parse error
+    // -> rejected, matching the reference's 6-row expected output. The
+    // serial id column is PG-assigned; compare the data columns.
+    val act = plan("csv-keep-extra-blanks.load")
+      .select(col("f1"), col("f2"), col("f3"))
+    val exp = expected("csv-keep-extra-blanks",
+        Seq("id", "f1", "f2", "f3"))
+      .select(col("f1"), col("f2"), col("f3"))
+    assertGolden(act, exp)
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
