@@ -26,9 +26,15 @@ object Validate {
 
   /** One target-column constraint: `sqlType` is a Spark SQL type name
     * (int, bigint, double, decimal(12,2), date, timestamp, boolean,
-    * string, …). */
+    * string, …); `maxLength` enforces char(n)/varchar(n) overflow (PG
+    * tolerates trailing-space excess on char(n), so it is checked on
+    * the right-trimmed value); `wellEncoded` rejects values carrying
+    * U+FFFD, the replacement char a lossy charset decode leaves behind
+    * (the engine-side analogue of the reference's encoding errors). */
   final case class Rule(name: String, sqlType: String,
-                        notNull: Boolean = false)
+                        notNull: Boolean = false,
+                        maxLength: Option[Int] = None,
+                        wellEncoded: Boolean = false)
 
   /** Per-rule failure reason, or NULL when the rule passes. */
   private def ruleReason(r: Rule): Column = {
@@ -36,9 +42,20 @@ object Validate {
     val castFail = if (r.sqlType.equalsIgnoreCase("string")) lit(false)
       else c.isNotNull && c.try_cast(r.sqlType).isNull
     val nullFail = if (r.notNull) c.isNull else lit(false)
+    val lenFail = r.maxLength match {
+      case Some(n) => c.isNotNull && length(rtrim(c)) > n
+      case None => lit(false)
+    }
+    val encFail =
+      if (r.wellEncoded) c.isNotNull && c.contains("�")
+      else lit(false)
     when(nullFail, lit(s"${r.name}: null value in NOT NULL column"))
       .when(castFail,
         lit(s"${r.name}: invalid input for type ${r.sqlType}"))
+      .when(lenFail, lit(s"${r.name}: value too long for type " +
+        s"${r.sqlType}(${r.maxLength.getOrElse(0)})"))
+      .when(encFail, lit(s"${r.name}: invalid byte sequence for " +
+        "the declared encoding"))
   }
 
   /** Annotate every row with its failure `reasons` (empty array = row
@@ -60,4 +77,34 @@ object Validate {
   /** The rejected rows with their reasons — the reject-file payload. */
   def rejects(df: DataFrame, rules: Seq[Rule]): DataFrame =
     preflight(df, rules).filter(!col("valid")).drop("valid")
+
+  /** Foreign-key preflight: split `df` into rows whose `keys` exist in
+    * `parent(parentKeys)` and rows that would violate the FK — found
+    * with an engine-side semi/anti join instead of a PG error + batch
+    * bisect (the reference's fk-reject path, its issue #1333: FK COPY
+    * errors carry no line number, forcing a full bisect per bad batch).
+    *
+    * SQL MATCH SIMPLE semantics: a row with ANY NULL key column
+    * satisfies the constraint. The parent side reduces to its distinct
+    * keys first (dimension-sized, AQE broadcasts it); the child side
+    * never shuffles more than the key columns.
+    *
+    * @return (valid, rejected) with the original child schema
+    */
+  def fkSplit(df: DataFrame, keys: Seq[String], parent: DataFrame,
+              parentKeys: Seq[String]): (DataFrame, DataFrame) = {
+    require(keys.nonEmpty && keys.length == parentKeys.length,
+      "child and parent key lists must align")
+    val pk = parent.select(parentKeys.map(col): _*).distinct()
+      .toDF(keys: _*)
+    val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val nonNull = df.filter(!anyNull)
+    // using-column joins hoist the keys to the front: re-select the
+    // original column order on both outputs
+    val cols = df.columns.toSeq.map(col)
+    val valid = df.filter(anyNull)
+      .unionByName(nonNull.join(pk, keys, "left_semi").select(cols: _*))
+    val rejected = nonNull.join(pk, keys, "left_anti").select(cols: _*)
+    (valid, rejected)
+  }
 }

@@ -160,6 +160,75 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("csv-error.load: char(20) overflow + encoding errors reject rows") {
+    import graft.operators.Validate
+    // quoting disabled (fields not enclosed): the lone quote in row 3
+    // is data; rows 4 (28-char value vs char(20)) and 5 (non-ascii
+    // bytes in a file declared ascii -> U+FFFD after decode) reject
+    val rules = Seq(
+      Validate.Rule("col1", "string", maxLength = Some(20),
+        wellEncoded = true),
+      Validate.Rule("col2", "string", maxLength = Some(20),
+        wellEncoded = true))
+    val act = Validate.valid(plan("csv-error.load"), rules)
+      .select(rpad(col("col1"), 20, " ").as("nom"),
+        rpad(col("col2"), 20, " ").as("prenom"))
+    val exp = expected("csv-error", Seq("nom", "prenom"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-parse-date.load: per-field + command date formats, tz render") {
+    // hr carries a per-field [date format 'HH24:MI.SS'] and is parsed
+    // by the engine (epoch-dated time); ts is typed timestamptz only in
+    // the target DDL, so its command-level 'MM-DD-YYYY HH24-MI-SS.US'
+    // format and PG's Europe/Paris timestamptz rendering (SET timezone)
+    // are emulated here
+    val pgTsTz = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = ("(\\d{2})-(\\d{2})-(\\d{4}) " +
+          "(\\d{2})-(\\d{2})-(\\d{2})(?:\\.(\\d+))?").r
+        s.trim match {
+          case m(mo, d, y, h, mi, se, frac) =>
+            val zone = java.time.ZoneId.of("Europe/Paris")
+            val zdt = java.time.ZonedDateTime.of(y.toInt, mo.toInt,
+              d.toInt, h.toInt, mi.toInt, se.toInt, 0, zone)
+            val off = zdt.getOffset.getTotalSeconds / 3600
+            val f = Option(frac).map(x => "." +
+              x.reverse.dropWhile(_ == '0').reverse).filter(_ != ".")
+              .getOrElse("")
+            f"${y.toInt}%04d-${mo.toInt}%02d-${d.toInt}%02d " +
+              f"${h.toInt}%02d:${mi.toInt}%02d:${se.toInt}%02d$f+$off%02d"
+          case other => other
+        }
+      }
+    }
+    val act = plan("csv-parse-date.load").select(
+      col("row num").cast("long").as("rn"),
+      pgTsTz(col("ts")).as("ts"),
+      substring(col("hr"), 12, 8).as("hr"))
+    val exp = expected("csv-parse-date", Seq("rn", "ts", "hr")).select(
+      col("rn").cast("long").as("rn"), col("ts"), col("hr"))
+    assertGolden(act, exp)
+  }
+
+  test("fk-reject.load: FK-violating row rejected engine-side (issue #1333)") {
+    import graft.operators.Validate
+    import spark.implicits._
+    // parent keys come from the command's BEFORE LOAD DO inserts
+    val parent = Seq(1, 2, 3).toDF("id")
+    val staged = plan("fk-reject.load").select(
+      col("id").cast("int").as("id"),
+      col("parent_id").cast("int").as("parent_id"))
+    val (valid, rejected) = Validate.fkSplit(staged, Seq("parent_id"),
+      parent, Seq("id"))
+    val exp = expected("fk-reject", Seq("id", "parent_id")).select(
+      col("id").cast("int").as("id"),
+      col("parent_id").cast("int").as("parent_id"))
+    assertGolden(valid, exp)
+    assert(rejected.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")

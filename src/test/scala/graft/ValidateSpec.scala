@@ -59,6 +59,37 @@ class ValidateSpec extends SparkSpec {
     assert(err.getMessage.contains("valid"))
   }
 
+  test("maxLength tolerates char(n) trailing-space excess") {
+    val df = Seq(("abcde", "abc  "), ("toolongvalue", "ok"))
+      .toDF("c1", "c2")
+    val rs = Seq(Rule("c1", "string", maxLength = Some(5)),
+      Rule("c2", "string", maxLength = Some(3)))
+    val got = Validate.preflight(df, rs)
+      .select(col("c1"), col("valid")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(got("abcde"))        // exactly 5 + c2 "abc  " rtrims to 3
+    assert(!got("toolongvalue"))
+  }
+
+  test("wellEncoded rejects replacement characters") {
+    val df = Seq(("fine", 1), ("bad�byte", 2)).toDF("t", "i")
+    val got = Validate.preflight(df,
+        Seq(Rule("t", "string", wellEncoded = true)))
+      .select(col("i"), col("valid")).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toMap
+    assert(got(1) && !got(2))
+  }
+
+  test("fkSplit: MATCH SIMPLE null semantics, anti-join rejects") {
+    val parent = Seq(10, 20).toDF("pid")
+    val child = Seq((1, Option(10)), (2, Option(99)), (3, Option.empty[Int]))
+      .toDF("id", "ref")
+    val (valid, rejected) = Validate.fkSplit(child, Seq("ref"),
+      parent, Seq("pid"))
+    assert(valid.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(rejected.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("preflight plan is one shuffle-free projection") {
     val plan = Validate.preflight(staged, rules)
       .queryExecution.executedPlan.toString
