@@ -221,8 +221,12 @@ object PlanBuilder {
       // file dataflow has no catalog, so synthesize positional names
       // (c1..cN) from the first line's arity
       case _ =>
-        val first = spark.read.textFile(path).head()
-        (1 to CopyText.parseLine(first, delim).length).map(i => s"c$i")
+        // comma-joined multi-file paths split like every other reader;
+        // an empty source still loads (zero rows, one synthetic column)
+        val first = spark.read.textFile(path.split(","): _*).head(1)
+        val n = first.headOption
+          .map(l => CopyText.parseLine(l, delim).length).getOrElse(1)
+        (1 to n).map(i => s"c$i")
     }
     CopyText.read(spark, path, names, delimiter = delim,
       nullAs = cmd.option("null").getOrElse("\\N"))

@@ -79,6 +79,8 @@ object Classifier {
   def filterByMarginPercentile(scored: DataFrame, marginCol: String,
                                p: Double): DataFrame = {
     require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    require(!scored.columns.contains("__thr"),
+      "input column __thr collides with internals")
     val thr = scored.agg(
       expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$marginCol`)")
         .as("__thr"))

@@ -74,7 +74,8 @@ object CopyText {
               value = value * 8 + (v.charAt(j) - '0')
               j += 1
             }
-            sb.append(value.toChar); i = j
+            // PG masks the accumulated octal value to one byte (\400+)
+            sb.append((value & 0xFF).toChar); i = j
           case o => sb.append(o); i += 2
         }
       } else { sb.append(c); i += 1 }

@@ -122,10 +122,11 @@ object CsvSource {
             sb.append(line.charAt(j + 1)); j += 2
           } else { sb.append(c); j += 1 }
         }
-        // tolerate blanks between the closing quote and the separator;
-        // any other junk is appended as data (lenient)
+        // blanks may sit between the closing quote and the separator;
+        // any OTHER junk is a parse error (cl-csv), like the
+        // quote-in-unquoted-field case below
         while (j < n && line.charAt(j) != sep) {
-          if (!isBlank(line.charAt(j))) sb.append(line.charAt(j))
+          if (!isBlank(line.charAt(j))) return null
           j += 1
         }
         out += sb.toString // quoted: never NULL, may be empty

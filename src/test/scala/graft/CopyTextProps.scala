@@ -37,6 +37,7 @@ object CopyTextProps extends Properties("CopyText") {
       CopyText.unescape("\\101") == "A" &&          // octal
       CopyText.unescape("\\7") == "\u0007" &&
       CopyText.unescape("\\1018") == "A8" &&        // max 3 digits
+      CopyText.unescape("\\666") == "\u00b6" &&    // PG masks \400+ to a byte
       CopyText.unescape("\\xzz") == "xzz" &&        // \x with no digit
       CopyText.unescape("\\q") == "q"               // unknown: char only
   }
