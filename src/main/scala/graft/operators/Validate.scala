@@ -59,24 +59,32 @@ object Validate {
   }
 
   /** Annotate every row with its failure `reasons` (empty array = row
-    * is loadable) and a `valid` flag. One shuffle-free projection. */
-  def preflight(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "need at least one rule")
+    * is loadable) and a `valid` flag. One shuffle-free projection.
+    *
+    * `custom` adds caller-defined checks beyond the declarative rules —
+    * each Column must evaluate to a reason string when the row fails
+    * that check and NULL when it passes (the [[ruleReason]] contract);
+    * use for target-specific semantics like non-ISO date formats. */
+  def preflight(df: DataFrame, rules: Seq[Rule],
+                custom: Seq[Column] = Nil): DataFrame = {
+    require(rules.nonEmpty || custom.nonEmpty, "need at least one rule")
     require(!df.columns.contains("reasons") && !df.columns.contains("valid"),
       "input columns collide with internals: reasons/valid")
     df.withColumn("reasons",
-        array_compact(array(rules.map(ruleReason): _*)))
+        array_compact(array(rules.map(ruleReason) ++ custom: _*)))
       .withColumn("valid", size(col("reasons")) === 0)
   }
 
   /** The loadable rows, original schema. */
-  def valid(df: DataFrame, rules: Seq[Rule]): DataFrame =
-    preflight(df, rules).filter(col("valid"))
+  def valid(df: DataFrame, rules: Seq[Rule],
+            custom: Seq[Column] = Nil): DataFrame =
+    preflight(df, rules, custom).filter(col("valid"))
       .drop("reasons", "valid")
 
   /** The rejected rows with their reasons — the reject-file payload. */
-  def rejects(df: DataFrame, rules: Seq[Rule]): DataFrame =
-    preflight(df, rules).filter(!col("valid")).drop("valid")
+  def rejects(df: DataFrame, rules: Seq[Rule],
+              custom: Seq[Column] = Nil): DataFrame =
+    preflight(df, rules, custom).filter(!col("valid")).drop("valid")
 
   /** Foreign-key preflight: split `df` into rows whose `keys` exist in
     * `parent(parentKeys)` and rows that would violate the FK — found

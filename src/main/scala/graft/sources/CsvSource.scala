@@ -122,6 +122,8 @@ object CsvSource {
             sb.append(line.charAt(j + 1)); j += 2
           } else { sb.append(c); j += 1 }
         }
+        // an unterminated quoted field is a parse error (cl-csv)
+        if (!closed) return null
         // blanks may sit between the closing quote and the separator;
         // any OTHER junk is a parse error (cl-csv), like the
         // quote-in-unquoted-field case below

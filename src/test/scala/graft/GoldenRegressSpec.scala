@@ -66,20 +66,23 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  /** PG datestyle=dmy parsing emulated test-side: 4-digit-first dates
+    * are y-m-d, otherwise d-m-y; 2-digit years pivot into 2000s;
+    * invalid dates (month 13 etc.) yield NULL — PG would error. */
+  private lazy val pgDmy = udf { (s: String) =>
+    if (s == null) null
+    else try {
+      val parts = s.trim.split("[-/]")
+      val t = parts.map(_.toInt)
+      val (y, m, d) =
+        if (parts(0).length == 4) (t(0), t(1), t(2))
+        else (t(2), t(1), t(0))
+      val yy = if (y < 100) 2000 + y else y
+      java.time.LocalDate.of(yy, m, d).toString
+    } catch { case _: Exception => null }
+  }
+
   test("xzero.load: trailing separator, null-if blank, dmy date parsing") {
-    // PG datestyle=dmy parsing emulated test-side: 4-digit-first dates
-    // are y-m-d, otherwise d-m-y; 2-digit years pivot into 2000s
-    val pgDmy = udf { (s: String) =>
-      if (s == null) null
-      else {
-        val t = s.trim.split("[-/]").map(_.toInt)
-        val (y, m, d) =
-          if (s.trim.split("[-/]")(0).length == 4) (t(0), t(1), t(2))
-          else (t(2), t(1), t(0))
-        val yy = if (y < 100) 2000 + y else y
-        f"$yy%04d-$m%02d-$d%02d"
-      }
-    }
     val act = plan("xzero.load").select(
       col("a").cast("long").as("a"),
       pgDmy(col("b")).as("b"), col("c"))
@@ -227,6 +230,24 @@ class GoldenRegressSpec extends SparkSpec {
       col("parent_id").cast("int").as("parent_id"))
     assertGolden(valid, exp)
     assert(rejected.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("errors.load: invalid dates and an unterminated quote reject rows") {
+    import graft.operators.Validate
+    // rejected: rows 2/3/5 (month 13/16 — PG date validation, emulated
+    // with the dmy helper as a CUSTOM preflight reason) and row 10
+    // (unterminated quote — parser-level reject). Ragged row 7 keeps
+    // NULLs; extra columns on row 8 are ignored.
+    val staged = plan("errors.load")
+    val badDate = when(col("b").isNotNull && pgDmy(col("b")).isNull,
+      lit("b: date/time field value out of range"))
+    val act = Validate.valid(staged, Seq(Validate.Rule("a", "int")),
+        custom = Seq(badDate))
+      .select(col("a").cast("long").as("a"), pgDmy(col("b")).as("b"),
+        col("c"))
+    val exp = expected("errors", Seq("a", "b", "c")).select(
+      col("a").cast("long").as("a"), col("b"), col("c"))
+    assertGolden(act, exp)
   }
 
   /** PG time rendering drops trailing fraction zeros. */
