@@ -49,7 +49,8 @@ object CsvSource {
     * has no preamble-skip option, and monotonically_increasing_id tricks
     * are wrong for multi-file/multi-split reads. */
   def read(spark: SparkSession, path: String, dialect: CsvDialect,
-           fieldNames: Seq[String]): DataFrame = {
+           fieldNames: Seq[String],
+           requireFullArity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     // a header line is just one more per-file line to drop — field names
     // come from the declared list, matching the reference's HAVING FIELDS
@@ -59,18 +60,56 @@ object CsvSource {
     // one native-expression parse per line ([[parseFields]] is the
     // scalar spec), then positional field extraction; `get` is
     // out-of-bounds-NULL, so ragged short lines pad with NULLs and
-    // extra fields are ignored (PERMISSIVE semantics)
+    // extra fields are ignored (PERMISSIVE). `requireFullArity` instead
+    // rejects short rows — PG COPY's "missing data for column" error,
+    // which rejects EVERY row of a source missing a declared column
+    // (reference csv-missing-col regression).
     val parsed = lines.toDF("value")
       .filter(length(col("value")) > 0) // blank lines are skipped
       .select(graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect).as("__fields"))
     parsed
       .filter(col("__fields").isNotNull) // malformed rows are rejected
+      .filter(if (requireFullArity)
+        size(col("__fields")) >= fieldNames.length else lit(true))
       .select(fieldNames.zipWithIndex.map { case (nm, i) =>
         get(col("__fields"), lit(i)).as(nm)
       }: _*)
   }
 
+
+  /** [[read]] plus a `__serial` column numbering rows 1..N in LOAD
+    * ORDER (file name, then byte offset) — the reference's implicit
+    * serial-column assignment, made explicit. The ordering columns are
+    * free (TextInputFormat record keys); the numbering itself is a
+    * row_number over an un-partitioned window, i.e. a single-reducer
+    * sort of NARROW rows — inherent to any total sequence assignment
+    * (PG's serial is just as sequential). For wide corpora prefer
+    * per-file sequences or zipWithIndex; for the reference's use case
+    * (serial PKs on file loads) this is the exact semantics. */
+  def readWithSerial(spark: SparkSession, path: String,
+                     dialect: CsvDialect, fieldNames: Seq[String],
+                     serialCol: String = "__serial"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(!fieldNames.contains(serialCol),
+      s"field list already contains $serialCol")
+    val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
+    val lines = SkipLines.linesWithPosition(spark, path, skip,
+      canonicalEncoding(dialect.encoding))
+    val parsed = lines
+      .filter(length(col("value")) > 0)
+      .select(col("__file"), col("__off"),
+        graft.functions.StringExpressions
+          .csvParseLine(col("value"), dialect).as("__fields"))
+      .filter(col("__fields").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__file"), col("__off"))
+    parsed
+      .withColumn(serialCol, row_number().over(w).cast("long"))
+      .select(fieldNames.zipWithIndex.map { case (nm, i) =>
+        get(col("__fields"), lit(i)).as(nm)
+      } :+ col(serialCol): _*)
+  }
 
   /** Parse one CSV line into field values (null = SQL NULL) with the
     * reference's exact field semantics (csv.lisp:77-127, cl-csv):

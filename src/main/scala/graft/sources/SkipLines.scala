@@ -57,6 +57,37 @@ object SkipLines {
     }.toMap
   }
 
+  /** Like [[lines]], but keeping each line's provenance: (file, off,
+    * value) where `off` is the record's native byte offset. (file, off)
+    * is a total order over the input in FILE ORDER — the load order the
+    * reference gets implicitly from sequential reads, and the basis for
+    * serial-column assignment. Costs nothing extra: the offsets are the
+    * TextInputFormat record keys either way. */
+  def linesWithPosition(spark: SparkSession, path: String, skip: Int,
+                        charset: String = "UTF-8")
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cuts = if (skip <= 0) Map.empty[String, Long]
+      else cutOffsets(spark, path, skip)
+    val bc = spark.sparkContext.broadcast(cuts)
+    val cs = charset
+    val rdd = spark.sparkContext
+      .hadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      .asInstanceOf[HadoopRDD[LongWritable, Text]]
+    val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      val cut = bc.value.getOrElse(file, 0L)
+      val decoder = java.nio.charset.Charset.forName(cs)
+      it.collect {
+        case (off, line) if off.get() >= cut =>
+          (file, off.get(),
+            new String(line.getBytes, 0, line.getLength, decoder))
+      }
+    }
+    kept.toDF("__file", "__off", "value")
+  }
+
   /** The lines of `path` with the first `skip` lines of EACH file
     * removed, as a Dataset[String], decoded with `charset` (any
     * ASCII-compatible charset: records still split on `\n` bytes). */

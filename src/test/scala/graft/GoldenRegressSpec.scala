@@ -250,6 +250,45 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
+  test("serial.load: serial ids assigned in load order") {
+    import graft.sources.{CsvDialect, CsvSource}
+    // the serial column is PG-assigned in load order; readWithSerial
+    // reproduces it from the (file, byte-offset) total order
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/serial.load")), "UTF-8")
+    val (cmd, inline) = Parser.parseWithInline(text)
+    val tmp = java.nio.file.Files.createTempFile("serial", ".dat")
+    java.nio.file.Files.writeString(tmp, inline.get)
+    val d = CsvDialect(separator = ';',
+      trimUnquoted = !cmd.boolOption("keep unquoted blanks"))
+    val act = CsvSource.readWithSerial(spark, tmp.toString, d,
+        Seq("c", "b"))
+      .select(col("__serial").as("a"), pgDmy(col("b")).as("b"), col("c"))
+    val exp = expected("serial", Seq("a", "b", "c")).select(
+      col("a").cast("long").as("a"), col("b"), col("c"))
+    assertGolden(act, exp)
+  }
+
+  test("csv-missing-col.load: short rows all reject (missing data for col)") {
+    import graft.sources.{CsvDialect, CsvSource}
+    // 7 declared fields, 6 data columns: PG COPY raises 'missing data
+    // for column g' for EVERY row -> the expected golden is empty.
+    // requireFullArity reproduces that engine-side.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/csv-missing-col.load")), "UTF-8")
+    val (cmd, inline) = Parser.parseWithInline(text)
+    val tmp = java.nio.file.Files.createTempFile("missingcol", ".dat")
+    java.nio.file.Files.writeString(tmp, inline.get)
+    val fields = cmd.fields.map(_.name)
+    assert(fields == Seq("a", "b", "c", "d", "e", "f", "g"))
+    val loaded = CsvSource.read(spark, tmp.toString, CsvDialect(),
+      fields, requireFullArity = true)
+    assert(loaded.count() == 0)
+    // and without the arity gate the 6 present columns parse fine
+    assert(CsvSource.read(spark, tmp.toString, CsvDialect(), fields)
+      .count() == 6)
+  }
+
   /** PG time rendering drops trailing fraction zeros. */
   private def normTime(c: Column): Column =
     regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
