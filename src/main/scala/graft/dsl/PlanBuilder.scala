@@ -139,9 +139,11 @@ object PlanBuilder {
     if (cmd.fields.nonEmpty) cmd.fields.map(_.name)
     else cmd.targetColumns.map(_.name)
 
-  private def readCsv(spark: SparkSession, cmd: LoadCommand,
-                      path: String): DataFrame = {
-    def dialect(enc: String) = CsvDialect(
+  /** The CsvDialect a command's WITH options resolve to — public so
+    * callers outside the DSL (tests, ad-hoc tools) derive the SAME
+    * dialect the `.load` execution path uses instead of re-deriving
+    * option logic by hand. */
+  def csvDialect(cmd: LoadCommand, enc: String): CsvDialect = CsvDialect(
       separator = cmd.option("fields terminated by")
         .map(_.charAt(0)).getOrElse(','),
       // `fields not enclosed` (csv-json.load): NUL quote disables
@@ -160,6 +162,10 @@ object PlanBuilder {
         // unquoted blanks` opts out ("trim unquoted blanks" merely
         // restates the default) — pgloader.1.md, csv-parser.lisp
         !cmd.boolOption("keep unquoted blanks"))
+
+  private def readCsv(spark: SparkSession, cmd: LoadCommand,
+                      path: String): DataFrame = {
+    def dialect(enc: String) = csvDialect(cmd, enc)
     val names = fieldNames(cmd)
     if (names.nonEmpty)
       encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>

@@ -7,6 +7,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (src/sources/csv/csv.lisp:84-127). `escapeQuoting` distinguishes the
   * doubled-quote RFC mode (`""`) from backslash mode (`\"`)
   * (csv-guess.lisp:40-55).
+  *
+  * Known divergence from the reference: the reader is LINE-oriented
+  * (records split on newline bytes before parsing), so a quoted field
+  * containing an embedded newline — which cl-csv accepts — is seen as
+  * two malformed lines and both are rejected. Line-orientation is what
+  * makes the read splittable at 100 TB (block-parallel TextInputFormat);
+  * sources with embedded newlines need a record-aware pre-pass.
   */
 final case class CsvDialect(
     separator: Char = ',',
@@ -61,9 +68,12 @@ object CsvSource {
     // scalar spec), then positional field extraction; `get` is
     // out-of-bounds-NULL, so ragged short lines pad with NULLs and
     // extra fields are ignored (PERMISSIVE). `requireFullArity` instead
-    // rejects short rows — PG COPY's "missing data for column" error,
-    // which rejects EVERY row of a source missing a declared column
-    // (reference csv-missing-col regression).
+    // rejects short rows — PG COPY's "missing data for column" error
+    // (reference csv-missing-col regression). Only the MISSING side is
+    // an error: the reference builds COPY rows from the declared field
+    // list, so extra fields are consumed/dropped before the server ever
+    // sees them (errors.load row 8 loads), and PG's "extra data after
+    // last expected column" can never fire through this path.
     val parsed = lines.toDF("value")
       .filter(length(col("value")) > 0) // blank lines are skipped
       .select(graft.functions.StringExpressions
@@ -79,14 +89,17 @@ object CsvSource {
 
 
   /** [[read]] plus a `__serial` column numbering rows 1..N in LOAD
-    * ORDER (file name, then byte offset) — the reference's implicit
-    * serial-column assignment, made explicit. The ordering columns are
-    * free (TextInputFormat record keys); the numbering itself is a
-    * row_number over an un-partitioned window, i.e. a single-reducer
-    * sort of NARROW rows — inherent to any total sequence assignment
-    * (PG's serial is just as sequential). For wide corpora prefer
-    * per-file sequences or zipWithIndex; for the reference's use case
-    * (serial PKs on file loads) this is the exact semantics. */
+    * ORDER — the reference's implicit serial-column assignment, made
+    * explicit. Load order = the SOURCE order of the path list (listed
+    * entries in order, glob matches name-sorted within their entry —
+    * [[SkipLines.enumerateFiles]]), then byte offset within each file.
+    * The ordering columns are free (TextInputFormat record keys); the
+    * numbering itself is a row_number over an un-partitioned window,
+    * i.e. a single-reducer sort of NARROW rows — inherent to any total
+    * sequence assignment (PG's serial is just as sequential). For wide
+    * corpora prefer per-file sequences or zipWithIndex; for the
+    * reference's use case (serial PKs on file loads) this is the exact
+    * semantics. */
   def readWithSerial(spark: SparkSession, path: String,
                      dialect: CsvDialect, fieldNames: Seq[String],
                      serialCol: String = "__serial"): DataFrame = {
@@ -94,6 +107,9 @@ object CsvSource {
     require(!fieldNames.contains(serialCol),
       s"field list already contains $serialCol")
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
+    val fileIdx = SkipLines.enumerateFiles(spark, path)
+      .zipWithIndex.map { case (f, i) => f -> i }.toMap
+    require(fileIdx.nonEmpty, s"no files match $path")
     val lines = SkipLines.linesWithPosition(spark, path, skip,
       canonicalEncoding(dialect.encoding))
     val parsed = lines
@@ -103,7 +119,8 @@ object CsvSource {
           .csvParseLine(col("value"), dialect).as("__fields"))
       .filter(col("__fields").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__file"), col("__off"))
+      .orderBy(element_at(typedlit(fileIdx), col("__file"))
+        .asc_nulls_last, col("__off"))
     parsed
       .withColumn(serialCol, row_number().over(w).cast("long"))
       .select(fieldNames.zipWithIndex.map { case (nm, i) =>

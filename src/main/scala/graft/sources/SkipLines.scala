@@ -57,6 +57,27 @@ object SkipLines {
     }.toMap
   }
 
+  /** The qualified file paths a (possibly comma-joined, possibly glob)
+    * input resolves to, in SOURCE ORDER: path entries in their listed
+    * order, files within a glob/directory entry sorted by name. This is
+    * the load order the reference processes files in. */
+  def enumerateFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    path.split(",").toSeq.flatMap { one =>
+      val p = new Path(one)
+      val fs = p.getFileSystem(hconf)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq)
+        .getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("_"))
+            .sortBy(_.getPath.getName)
+        else Seq(st)
+      }.map(st => fs.makeQualified(st.getPath).toString)
+    }
+  }
+
   /** Like [[lines]], but keeping each line's provenance: (file, off,
     * value) where `off` is the record's native byte offset. (file, off)
     * is a total order over the input in FILE ORDER — the load order the
@@ -96,23 +117,7 @@ object SkipLines {
     import spark.implicits._
     if (skip <= 0 && charset.equalsIgnoreCase("utf-8"))
       return spark.read.textFile(path.split(","): _*)
-    val cuts = if (skip <= 0) Map.empty[String, Long]
-      else cutOffsets(spark, path, skip)
-    val bc = spark.sparkContext.broadcast(cuts)
-    val cs = charset
-    val rdd = spark.sparkContext
-      .hadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text])
-      .asInstanceOf[HadoopRDD[LongWritable, Text]]
-    val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
-      val file = split.asInstanceOf[FileSplit].getPath.toString
-      val cut = bc.value.getOrElse(file, 0L)
-      val decoder = java.nio.charset.Charset.forName(cs)
-      it.collect {
-        case (off, line) if off.get() >= cut =>
-          new String(line.getBytes, 0, line.getLength, decoder)
-      }
-    }
-    spark.createDataset(kept)
+    linesWithPosition(spark, path, skip, charset)
+      .select("value").as[String]
   }
 }

@@ -77,7 +77,8 @@ class GoldenRegressSpec extends SparkSpec {
       val (y, m, d) =
         if (parts(0).length == 4) (t(0), t(1), t(2))
         else (t(2), t(1), t(0))
-      val yy = if (y < 100) 2000 + y else y
+      // PG's documented two-digit-year pivot: < 70 -> 20xx, else 19xx
+      val yy = if (y < 70) 2000 + y else if (y < 100) 1900 + y else y
       java.time.LocalDate.of(yy, m, d).toString
     } catch { case _: Exception => null }
   }
@@ -259,8 +260,8 @@ class GoldenRegressSpec extends SparkSpec {
     val (cmd, inline) = Parser.parseWithInline(text)
     val tmp = java.nio.file.Files.createTempFile("serial", ".dat")
     java.nio.file.Files.writeString(tmp, inline.get)
-    val d = CsvDialect(separator = ';',
-      trimUnquoted = !cmd.boolOption("keep unquoted blanks"))
+    val d = PlanBuilder.csvDialect(cmd, "ISO-8859-1")
+    assert(d.separator == ';') // derived from the command, not re-typed
     val act = CsvSource.readWithSerial(spark, tmp.toString, d,
         Seq("c", "b"))
       .select(col("__serial").as("a"), pgDmy(col("b")).as("b"), col("c"))
@@ -281,12 +282,12 @@ class GoldenRegressSpec extends SparkSpec {
     java.nio.file.Files.writeString(tmp, inline.get)
     val fields = cmd.fields.map(_.name)
     assert(fields == Seq("a", "b", "c", "d", "e", "f", "g"))
-    val loaded = CsvSource.read(spark, tmp.toString, CsvDialect(),
+    val d = PlanBuilder.csvDialect(cmd, "UTF-8")
+    val loaded = CsvSource.read(spark, tmp.toString, d,
       fields, requireFullArity = true)
     assert(loaded.count() == 0)
     // and without the arity gate the 6 present columns parse fine
-    assert(CsvSource.read(spark, tmp.toString, CsvDialect(), fields)
-      .count() == 6)
+    assert(CsvSource.read(spark, tmp.toString, d, fields).count() == 6)
   }
 
   /** PG time rendering drops trailing fraction zeros. */
