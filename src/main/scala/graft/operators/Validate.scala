@@ -86,6 +86,21 @@ object Validate {
               custom: Seq[Column] = Nil): DataFrame =
     preflight(df, rules, custom).filter(!col("valid")).drop("valid")
 
+  /** Preflight rules derived from a catalog table's TARGET columns —
+    * the glue that makes preflight a one-liner inside a Migrator
+    * `loadTable` implementation: type checks from the cast engine's
+    * Spark types, NOT NULL from the catalog, char/varchar length caps
+    * from the PG typemod. */
+  def rulesFor(table: graft.catalog.Table): Seq[Rule] = {
+    val lenRe = "(?:var)?char\\((\\d+)\\)".r
+    table.columns.map { c =>
+      Rule(c.name, c.sparkType.simpleString,
+        notNull = !c.nullable,
+        maxLength = lenRe.findFirstMatchIn(c.pgType.toLowerCase)
+          .map(_.group(1).toInt))
+    }
+  }
+
   /** Foreign-key preflight: split `df` into rows whose `keys` exist in
     * `parent(parentKeys)` and rows that would violate the FK — found
     * with an engine-side semi/anti join instead of a PG error + batch

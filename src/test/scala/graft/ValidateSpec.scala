@@ -90,6 +90,32 @@ class ValidateSpec extends SparkSpec {
     assert(rejected.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("rulesFor derives rules from a catalog table's target columns") {
+    import graft.catalog.{ColumnDef, Table}
+    import org.apache.spark.sql.types._
+    val t = Table("t", columns = Seq(
+      ColumnDef("id", "integer", IntegerType, nullable = false),
+      ColumnDef("name", "varchar(12)", StringType),
+      ColumnDef("code", "char(2)", StringType),
+      ColumnDef("amount", "numeric(10,2)", DecimalType(10, 2)),
+      ColumnDef("note", "text", StringType)))
+    val rs = Validate.rulesFor(t)
+    assert(rs(0) == Rule("id", "int", notNull = true))
+    assert(rs(1) == Rule("name", "string", maxLength = Some(12)))
+    assert(rs(2) == Rule("code", "string", maxLength = Some(2)))
+    assert(rs(3).sqlType == "decimal(10,2)")
+    assert(rs(4) == Rule("note", "string"))
+    // and the derived rules drive a real preflight
+    import spark.implicits._
+    val df = Seq(("1", "ok", "ab", "3.50", null: String),
+        (null, "waytoolongvalue", "abc", "x", "n"))
+      .toDF("id", "name", "code", "amount", "note")
+    val got = Validate.preflight(df, rs)
+      .select(col("valid"), size(col("reasons"))).collect()
+      .map(r => (r.getBoolean(0), r.getInt(1))).sortBy(!_._1)
+    assert(got(0) == (true, 0) && got(1) == (false, 4))
+  }
+
   test("preflight plan is one shuffle-free projection") {
     val plan = Validate.preflight(staged, rules)
       .queryExecution.executedPlan.toString
