@@ -8,12 +8,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * doubled-quote RFC mode (`""`) from backslash mode (`\"`)
   * (csv-guess.lisp:40-55).
   *
-  * Known divergence from the reference: the reader is LINE-oriented
-  * (records split on newline bytes before parsing), so a quoted field
-  * containing an embedded newline — which cl-csv accepts — is seen as
-  * two malformed lines and both are rejected. Line-orientation is what
-  * makes the read splittable at 100 TB (block-parallel TextInputFormat);
-  * sources with embedded newlines need a record-aware pre-pass.
+  * The default reader ([[CsvSource.read]]) is LINE-oriented — that is
+  * what makes the read splittable at 100 TB (block-parallel
+  * TextInputFormat) — so a quoted field containing an embedded newline
+  * is seen as two malformed lines and rejected. Sources that embed
+  * newlines (legal CSV, cl-csv accepts it) use
+  * [[CsvSource.readMultiLine]], which is record-aware at the price of
+  * per-file parallelism.
   */
 final case class CsvDialect(
     separator: Char = ',',
@@ -126,6 +127,75 @@ object CsvSource {
       .select(fieldNames.zipWithIndex.map { case (nm, i) =>
         get(col("__fields"), lit(i)).as(nm)
       } :+ col(serialCol): _*)
+  }
+
+  /** Split a file's full text into CSV RECORDS: newlines inside quoted
+    * fields are data, newlines outside them are record separators —
+    * the quote state machine mirrors [[parseFields]] (doubled-quote and
+    * backslash escape modes, NUL quote disabling). CRLF line ends drop
+    * their CR. Scalar spec for [[readMultiLine]]. */
+  def splitRecords(text: String, d: CsvDialect): Seq[String] = {
+    val q = d.quote
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        if (c == q) {
+          if (d.doubledQuote && i + 1 < n && text.charAt(i + 1) == q) {
+            sb.append(q).append(q); i += 2
+          } else { sb.append(c); inQuote = false; i += 1 }
+        } else if (!d.doubledQuote && c == '\\' && i + 1 < n) {
+          sb.append(c).append(text.charAt(i + 1)); i += 2
+        } else { sb.append(c); i += 1 }
+      } else if (c == '\n') {
+        if (sb.nonEmpty && sb.last == '\r') sb.setLength(sb.length - 1)
+        out += sb.toString; sb.setLength(0); i += 1
+      } else {
+        if (q != '\u0000' && c == q) inQuote = true
+        sb.append(c); i += 1
+      }
+    }
+    if (sb.nonEmpty && sb.last == '\r') sb.setLength(sb.length - 1)
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** [[read]] for sources whose quoted fields may contain EMBEDDED
+    * NEWLINES — legal CSV the reference (cl-csv) accepts but the
+    * line-oriented [[read]] cannot (see the [[CsvDialect]] note). Each
+    * file is read WHOLE and split by the quote-aware [[splitRecords]],
+    * so parallelism is per-file, not per-block, and a file must fit in
+    * one task's memory — the inherent price of records without a
+    * splittable boundary (Spark's own multiLine CSV mode pays the
+    * same). Use [[read]] unless the data actually embeds newlines. */
+  def readMultiLine(spark: SparkSession, path: String,
+                    dialect: CsvDialect,
+                    fieldNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
+    val cs = canonicalEncoding(dialect.encoding)
+    val d = dialect
+    val records = spark.sparkContext
+      .binaryFiles(path)
+      .flatMap { case (_, stream) =>
+        val text = new String(stream.toArray(),
+          java.nio.charset.Charset.forName(cs))
+        splitRecords(text, d).drop(skip)
+      }
+    import spark.implicits._
+    val parsed = spark.createDataset(records).toDF("value")
+      .filter(length(col("value")) > 0)
+      .select(graft.functions.StringExpressions
+        .csvParseLine(col("value"), d).as("__fields"))
+    parsed
+      .filter(col("__fields").isNotNull)
+      .select(fieldNames.zipWithIndex.map { case (nm, i) =>
+        get(col("__fields"), lit(i)).as(nm)
+      }: _*)
   }
 
   /** Parse one CSV line into field values (null = SQL NULL) with the
