@@ -10,8 +10,28 @@ import org.apache.spark.sql.SparkSession
   *   stderr and the query's time is reported negative (-elapsed) so a
   *   broken query is visible in the JSON.
   * - SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration).
+  * - The same JSON line is also written to BENCH_SELF.json (rewritten
+  *   after every query), so per-query timings survive stdout-tail
+  *   truncation or a killed run.
   */
 object Bench {
+  private def writeSelfReport(json: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json"))
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-report write failed: ${e.getMessage}") }
+
+  private def renderJson(results: Seq[(String, Double)], sfDir: String,
+                         done: Boolean): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$done}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,7 +53,8 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = selected.map { case (name, fn) =>
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -48,12 +69,12 @@ object Bench {
       // spills. Each query still pays its OWN GC inside the timer.
       spark.catalog.clearCache()
       System.gc()
-      name -> (if (ok) secs else -secs)
+      acc += name -> (if (ok) secs else -secs)
+      writeSelfReport(renderJson(acc.toSeq, sfDir, done = false))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.map(math.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = renderJson(acc.toSeq, sfDir, done = true)
+    println(json)
+    writeSelfReport(json)
     spark.stop()
   }
 }

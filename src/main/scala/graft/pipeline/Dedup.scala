@@ -138,19 +138,17 @@ object Dedup {
     val masked = rows.select(col("id"),
       col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
     val aggs = ps.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") } :+
-      // set size in the SAME hash-aggregate — downstream verification
-      // gets it for free instead of re-counting the corpus
-      count(lit(1)).as("__sz")
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") }
     masked.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact jaccard over candidate pairs from shingle ROWS: count shared
     * hashes per pair (equi-join on h) — plain codegen'd
     * joins/aggregates, 8-byte keys, nothing corpus-wide cached.
-    * `cand` must carry (id_a, id_b, sz_a, sz_b): the set sizes ride
-    * along from the candidate generators' existing aggregates, so the
-    * verify step never re-scans the corpus just to count shingles. */
+    * `cand` must carry (id_a, id_b, sz_a, sz_b); each caller attaches
+    * the set sizes however its own plan gets them cheapest (ngram: a
+    * window over the prefix join's existing id partitioning; minhash: a
+    * count-only aggregate joined to the tiny candidate set). */
   private def verifyJaccardRows(cand: DataFrame, rows: DataFrame,
                                 threshold: Double): DataFrame =
     cand
@@ -208,17 +206,33 @@ object Dedup {
           (b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
     }
-    val buckets = sig.select(col("id"), col("__sz"),
+    val buckets = sig.select(col("id"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("__sz"), col("bb.band").as("band"),
+      .select(col("id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    val cand0 = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.__sz").as("sz_a"), col("y.__sz").as("sz_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // Set sizes attach to the TINY deduped candidate set from a
+    // count-only aggregate over the shingle rows. Round 8 instead
+    // carried the size inside the signature aggregate and through the
+    // band explode + self-join; measured at sf0.1 that shape was
+    // ~1.3 s slower warm (2.9 s vs 1.6-1.8 s) and far slower cold
+    // (9.9 s vs 7.4 s first-in-JVM) — the wider bucket rows and the
+    // extra aggregate/join codegen cost more than this narrow count
+    // pass, which AQE turns into broadcast joins once candidates are
+    // few. (Also measured: localCheckpoint of the rows lineage is a
+    // wash here at 4 consumers — kept recompute, the scale-safe
+    // choice.)
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val cand = cand0
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
     verifyJaccardRows(cand, rows, threshold)
   }
 
