@@ -1437,49 +1437,40 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
-    // multimodal plumbing: binary columns + batched decode (stubbed) —
-    // schema/partitioning real, decode deterministic-fake
-    // Oracle checks byte counts exactly and decode determinism
-    // (identical content ⇒ identical decode output) on duplicated rows.
+    // multimodal decode through the REAL JDK codec (javax.imageio):
+    // synthetic per-id PNG fixtures whose geometry is an arithmetic
+    // function of the id, so the oracle verifies actual decoded
+    // dimensions, not plumbing shape.
     "multimodal_decode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val media = Multimodal.fromBinary(d, "doc_id", "text", "image")
-      val dups = Multimodal.fromBinary(
-        d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
-        "doc_id", "text", "image")
-      val dec = Multimodal.decodeImages(media.unionAll(dups))
-      val a = dec.filter(col("media_id") < 10000)
-      val b = dec.filter(col("media_id") >= 10000).select(
-        (col("media_id") - 10000).as("media_id"),
-        col("width").as("w2"), col("height").as("h2"),
-        col("channels").as("c2"))
-      a.join(b, Seq("media_id"))
-        .select(col("media_id"), col("n_bytes"),
-          (col("width") === col("w2") && col("height") === col("h2") &&
-            col("channels") === col("c2")).cast("int").as("same_decode"))
+      // REAL codec round-trip: per-id synthetic PNGs (dimensions an
+      // arithmetic function of the id) encoded and decoded through
+      // javax.imageio — the oracle predicts the decoded geometry exactly
+      val media = Multimodal.syntheticImageTable(d, "doc_id")
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"))
         .orderBy(col("media_id"))
     }),
 
-    // multimodal feature-extract + resize plumbing: deterministic stub
-    // compute, real Spark shape. Oracle: feature determinism on
-    // duplicated content, fixed dims, exact resized byte counts.
+    // multimodal feature-extract + resize on REAL decoded pixels: the
+    // solid-color PNG fixtures make the channel means an arithmetic
+    // function of the id, and the nearest-neighbor resize of a solid
+    // image stays solid — every output column oracle-exact.
     "multimodal_features" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      val media = Multimodal.fromBinary(d, "doc_id", "text", "image")
-      val dup = Multimodal.fromBinary(
-        d.select((col("doc_id") + 10000).as("doc_id"), col("text")),
-        "doc_id", "text", "image")
-      val feats = Multimodal.extractFeatures(media.unionAll(dup))
-      val a = feats.filter(col("media_id") < 10000)
-      val b = feats.filter(col("media_id") >= 10000).select(
-        (col("media_id") - 10000).as("media_id"),
-        col("features").as("f2"))
+      val media = Multimodal.syntheticImageTable(d, "doc_id")
+      val feats = Multimodal.extractFeatures(media)
       val resized = Multimodal.resize(media, 64, 64)
         .select(col("media_id"), col("n_bytes_out"))
-      a.join(b, Seq("media_id")).join(resized, Seq("media_id"))
-        .select(col("media_id"), col("n_dims"),
-          (col("features") === col("f2")).cast("int").as("same_features"),
+      feats.join(resized, Seq("media_id"))
+        .select(col("media_id"), col("n_dims").cast("long"),
+          round(get(col("features"), lit(0)) * 255)
+            .cast("long").as("mean_r"),
+          round(get(col("features"), lit(1)) * 255)
+            .cast("long").as("mean_g"),
+          round(get(col("features"), lit(2)) * 255)
+            .cast("long").as("mean_b"),
           col("n_bytes_out"))
         .orderBy(col("media_id"))
     }),
@@ -2340,9 +2331,10 @@ object SparkEntry {
 
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
-         octet_length(encode(text)) AS n_bytes,
-         1 AS same_decode
-         FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id""",
+         CAST(16 + doc_id % 32 AS BIGINT) AS width,
+         CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS height,
+         CAST(3 AS BIGINT) AS channels
+         FROM documents ORDER BY media_id""",
 
     "text_quality" ->
       """SELECT doc_id,
@@ -2364,7 +2356,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "multimodal_features" ->
-      """SELECT doc_id AS media_id, 8 AS n_dims, 1 AS same_features,
+      """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_dims,
+         doc_id % 256 AS mean_r,
+         (doc_id * 7) % 256 AS mean_g,
+         (doc_id * 13) % 256 AS mean_b,
          CAST(64*64*3 AS BIGINT) AS n_bytes_out
          FROM documents WHERE doc_id % 10 = 0 ORDER BY media_id""",
 

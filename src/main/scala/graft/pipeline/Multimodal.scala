@@ -4,14 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `BinaryType`
-  * columns plus a typed metadata struct. The Spark-side machinery — schema,
-  * partition sizing, batch iteration shape — is real; the actual media
-  * decode is STUBBED with a deterministic fake (the decode libraries are
-  * not in this container). Swap `decodeImageStub`/`extractAudioStub` for
-  * real decoders (e.g. javacv) without touching the plan shape.
+/** Multimodal-column operators: image/audio/video as opaque `BinaryType`
+  * columns plus a typed metadata struct. Image decode, pixel-statistics
+  * feature extraction and resize are REAL — `javax.imageio` ships in
+  * every JDK, so PNG/JPEG/GIF/BMP decode needs no external dependency.
+  * The Spark-side machinery is the `mapInPandas` analog: typed
+  * `mapPartitions` over an iterator, one pass, bounded memory,
+  * executor-side only. Only VIDEO frame extraction remains a shape-only
+  * stub ([[sampleFrames]]) — no video codec exists in the JDK.
   */
 object Multimodal {
+
+  // In-memory decode only: ImageIO's default scratch is a TEMP FILE per
+  // decode, which would put a disk round-trip in every row of the hot
+  // path. Safe to set process-wide (affects only scratch strategy).
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Canonical media schema: id + bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -22,21 +29,24 @@ object Multimodal {
       StructField("source", StringType, nullable = true),
       StructField("n_bytes", LongType, nullable = true))), nullable = true)))
 
-  /** STUB image decode: deterministic fake dimensions derived from the
-    * byte content (stable across runs; replace with a real decoder). */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0, 0)
-    var h = 1125899906842597L // FNV-ish deterministic fold
-    bytes.foreach(b => h = h * 31 + (b & 0xFF))
-    val w = 64 + math.abs(h % 1920).toInt
-    val ht = 64 + math.abs((h >> 16) % 1080).toInt
-    (w, ht, 3)
+  /** Real image decode via `javax.imageio`: (width, height, channels),
+    * or (0, 0, 0) when the bytes are not a decodable image — the
+    * not-an-image marker rows stay in-band so a corrupted blob in a
+    * 100 TB corpus is a filterable row, not a task failure. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
+    val img = readImage(bytes)
+    if (img == null) (0, 0, 0)
+    else (img.getWidth, img.getHeight, img.getRaster.getNumBands)
   }
 
-  /** Decode/feature-extract over binary content, batched per partition —
-    * the Scala analog of `mapInPandas`: one iterator pass, bounded memory,
-    * executor-side only. Output: media_id, width, height, channels,
-    * n_bytes. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null } // corrupt stream
+
+  /** Decode over binary content, batched per partition. Output:
+    * media_id, width, height, channels, n_bytes (input size). */
   def decodeImages(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -45,30 +55,42 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) =>
-        val bytes = if (raw == null) Array.empty[Byte] else raw
-        val (w, h, c) = decodeImageStub(bytes)
-        (id, w, h, c, bytes.length.toLong)
+        val (w, h, c) = decodeImage(raw)
+        val n = if (raw == null) 0L else raw.length.toLong
+        (id, w.toLong, h.toLong, c.toLong, n)
       })
       .toDF("media_id", "width", "height", "channels", "n_bytes")
   }
 
-  /** STUB feature extraction: deterministic 8-dim embedding from byte
-    * statistics (replace with a real vision/audio encoder; the Spark-side
-    * shape — typed iterator batches, fixed-width Array[Float] column —
-    * is the real contract). */
-  def extractFeaturesStub(bytes: Array[Byte]): Array[Float] = {
-    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
-    var h = 1125899906842597L
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xFF
-      out(i % 8) += b / 255f
-      h = h * 31 + b
-      i += 1
+  /** Real pixel-statistics features (8-dim): channel means, luma mean,
+    * normalized geometry, aspect, decoded flag. Deterministic — sRGB
+    * values from `getRGB` round-trip 8-bit PNG exactly, means accumulate
+    * in double. Not-an-image → all zeros. A learned vision encoder drops
+    * in here without touching the plan shape. */
+  def imageFeatures(bytes: Array[Byte]): Array[Float] = {
+    val img = readImage(bytes)
+    if (img == null) return Array.fill(8)(0f)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF
+        sg += (p >> 8) & 0xFF
+        sb += p & 0xFF
+        x += 1
+      }
+      y += 1
     }
-    out(7) = math.abs(h % 1000) / 1000f
-    out
+    val n = (w.toLong * h).toDouble
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat,
+      ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat,
+      (w / 4096.0).toFloat, (h / 4096.0).toFloat,
+      (w.toDouble / h).toFloat, 1f)
   }
 
   /** Feature-extract over binary content: (media_id, features, n_dims). */
@@ -78,24 +100,36 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) =>
-        val f = extractFeaturesStub(raw)
+        val f = imageFeatures(raw)
         (id, f, f.length)
       })
       .toDF("media_id", "features", "n_dims")
   }
 
-  /** STUB resize: deterministic fake raster of w×h×3 bytes derived from
-    * the content hash (a real decoder+scaler drops in here; batch shape
-    * and output schema stay). */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    var seed = 1125899906842597L
-    if (bytes != null) bytes.foreach(b => seed = seed * 31 + (b & 0xFF))
-    val out = new Array[Byte]((w * h * 3).toInt)
-    var i = 0
-    while (i < out.length) {
-      seed = seed * 6364136223846793005L + 1442695040888963407L
-      out(i) = (seed >>> 56).toByte
-      i += 1
+  /** Real resize: decode, nearest-neighbor resample to w×h, return the
+    * packed RGB raster (w*h*3 bytes, row-major). Manual resampling
+    * instead of `Graphics2D.drawImage` keeps the output bit-reproducible
+    * across JVMs — no AWT rendering pipeline, no interpolation-hint
+    * ambiguity. Not-an-image → empty bytes. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = readImage(bytes)
+    if (img == null) return Array.empty[Byte]
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * sh / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * sw / w).toInt
+        val p = img.getRGB(sx, sy)
+        val o = (y * w + x) * 3
+        out(o) = ((p >> 16) & 0xFF).toByte
+        out(o + 1) = ((p >> 8) & 0xFF).toByte
+        out(o + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
     }
     out
   }
@@ -109,15 +143,57 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, raw) =>
-        val out = resizeStub(raw, ww, hh)
+        val out = resizeImage(raw, ww, hh)
         (id, out, ww, hh, out.length.toLong)
       })
       .toDF("media_id", "content", "out_w", "out_h", "n_bytes_out")
   }
 
+  /** Deterministic synthetic PNG: a solid (r,g,b) image at w×h — REAL
+    * PNG bytes through the JDK encoder, so decode paths exercise a real
+    * codec while every decoded property stays an arithmetic function of
+    * the inputs (the oracle's handle on exactness). */
+  def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media table from an id column: one real PNG per row with
+    * dimensions and color derived arithmetically from the id
+    * (w = 16 + id%32, h = 16 + (id/32)%32, rgb = (id%256, 7id%256,
+    * 13id%256)) — the decode fixtures for the oracle queries. */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((id / 32) % 32).toInt
+        val png = syntheticPng(w, h, (id % 256).toInt,
+          ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+        (id, "image", png)
+      })
+      .toDF("media_id", "media_type", "content")
+      .select(col("media_id"), col("media_type"), col("content"),
+        struct(lit("synthetic").as("source"),
+          length(col("content")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Frame-sampling plumbing: given a media row representing a video of
-    * `n_frames` (faked from byte length), emit one row per sampled frame —
-    * the explode shape a real frame extractor would produce. */
+    * `n_frames` (faked from byte length — the JDK has no video codec, so
+    * this stays a loudly-documented shape-only stub), emit one row per
+    * sampled frame — the explode shape a real frame extractor would
+    * produce. */
   def sampleFrames(df: DataFrame, everyN: Int = 30): DataFrame = {
     val nFrames = greatest(lit(1),
       (coalesce(length(col("content")), lit(0)) / 1024).cast("int"))
