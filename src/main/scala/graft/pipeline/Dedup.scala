@@ -494,23 +494,49 @@ object Dedup {
     // the NEXT connectedComponents call frees it, or the caller frees
     // it early via [[releaseComponents]] once done with the result.
     prevRdd.foreach(r =>
-      lastComponentRdd.put(pairs.sparkSession, r))
+      lastComponentRdd.put(pairs.sparkSession,
+        new java.lang.ref.WeakReference(r)))
     labels.select(col("id"), col("label").as("component"))
   }
 
   /** Cached label state of the most recent [[connectedComponents]] call
     * per session — bounds executor storage to ONE narrow (id, label)
-    * frame instead of one per call. */
-  private val lastComponentRdd = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession,
-    org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    * frame instead of one per call. Both sides are weak so a session
+    * that stops or goes out of scope without a final
+    * [[releaseComponents]] pins nothing for process life. The VALUE
+    * WeakReference is the load-bearing half: once the caller drops the
+    * result frame, the RDD handle clears and Spark's ContextCleaner
+    * reclaims the persisted blocks through its own weak references
+    * (DedupSpec asserts this). The weak KEY is defense in depth — a
+    * strongly-held value would reach the session through its plan
+    * lineage and defeat it, and in practice Spark's inheritable
+    * thread-locals can keep a session reachable from pooled threads
+    * anyway, so nothing may be asserted about key expiry. */
+  private val lastComponentRdd = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      java.lang.ref.WeakReference[
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]]())
+
+  /** Test hook: live entries in the component cache (weak entries are
+    * expunged on access). */
+  private[graft] def componentCacheSize: Int = lastComponentRdd.size()
+
+  /** Test hook: None = no entry for `spark`; Some(alive?) = whether the
+    * weakly-held label RDD is still reachable. */
+  private[graft] def componentCacheValueLive(
+      spark: org.apache.spark.sql.SparkSession): Option[Boolean] = {
+    val ref = lastComponentRdd.get(spark)
+    if (ref == null) None else Some(ref.get() != null)
+  }
 
   /** Frees the cached component labels backing the last
     * [[connectedComponents]] result on `spark`. After this, that result
     * frame recomputes the full iteration if re-used — call only once
     * the result has been consumed (written/joined/collected). */
   def releaseComponents(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val r = lastComponentRdd.remove(spark)
+    val ref = lastComponentRdd.remove(spark)
+    val r = if (ref != null) ref.get() else null
     if (r != null) r.unpersist(blocking = false)
   }
 

@@ -37,14 +37,18 @@ object Terms {
     * sort-merge join on a 3-column row, not a blow-up.
     *
     * The tf lineage feeds both the output and the doc-frequency branch,
-    * which Catalyst plans as two corpus scans; at real scale checkpoint
-    * `tf` once ((id, term, tf) is far smaller than the raw corpus) so
-    * both consumers read the materialization. Left unpersisted here by
-    * the library's no-hidden-caching convention. */
+    * which Catalyst plans as two corpus scans; `checkpointTf`
+    * materializes `tf` once ((id, term, tf) is far smaller than the raw
+    * corpus) so both consumers read the materialization — opt-in, per
+    * the library's no-hidden-caching convention (localCheckpoint =
+    * executor-local blocks; swap for `checkpoint()` + a reliable dir on
+    * a shared cluster, as in [[Dedup.ngramJaccard]]). */
   private[pipeline] def termStats(df: DataFrame, idCol: String,
-                                  textCol: String): DataFrame = {
-    val tf = termRows(df, idCol, textCol)
+                                  textCol: String,
+                                  checkpointTf: Boolean = false): DataFrame = {
+    val tf0 = termRows(df, idCol, textCol)
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
     val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tf.join(docFreq, "w")
   }
@@ -62,11 +66,11 @@ object Terms {
     * Output: (id, term, tf, df, rank).
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
-               k: Int = 3): DataFrame = {
+               k: Int = 3, checkpointTf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("w").asc)
-    termStats(df, idCol, textCol)
+    termStats(df, idCol, textCol, checkpointTf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("w").as("term"), col("tf"), col("df"),

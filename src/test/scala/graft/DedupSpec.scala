@@ -107,6 +107,32 @@ class DedupSpec extends SparkSpec {
       "releaseComponents must drop the final label cache")
   }
 
+  // separate method: the result frame (and through it, the label RDD)
+  // must not survive in the test method's own stack frame while the GC
+  // loop below runs
+  private def componentsDropResult(): Unit = {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(edges).collect()
+  }
+
+  test("component cache holds the label RDD only weakly") {
+    Dedup.releaseComponents(spark)
+    componentsDropResult()
+    assert(Dedup.componentCacheValueLive(spark).contains(true),
+      "cache entry should exist right after the call")
+    // nobody holds the result frame anymore: the weakly-held RDD handle
+    // must clear (ContextCleaner then reclaims its blocks) — a session
+    // that never calls releaseComponents pins nothing for process life
+    var tries = 0
+    while (Dedup.componentCacheValueLive(spark).contains(true) &&
+        tries < 100) {
+      System.gc(); Thread.sleep(20); tries += 1
+    }
+    assert(Dedup.componentCacheValueLive(spark).contains(false),
+      "dropped label RDD must become unreachable through the cache")
+  }
+
   test("survivors pick the highest-score member per component") {
     import spark.implicits._
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))

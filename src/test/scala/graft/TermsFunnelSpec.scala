@@ -23,6 +23,19 @@ class TermsFunnelSpec extends SparkSpec {
     assert(got(3) == ((2L, "cherry", 2L, 2L, 2)))
   }
 
+  test("topTerms with checkpointTf matches the recompute path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date")
+    ).toDF("doc_id", "text")
+    def run(ckpt: Boolean) =
+      Terms.topTerms(docs, "doc_id", "text", k = 2, checkpointTf = ckpt)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    assert(run(ckpt = true) == run(ckpt = false))
+  }
+
   test("topTerms tokenizes case-insensitively on non-alphanumerics") {
     import spark.implicits._
     val docs = Seq((1L, "Hello, HELLO! world")).toDF("doc_id", "text")
