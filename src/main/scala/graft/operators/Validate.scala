@@ -92,7 +92,10 @@ object Validate {
     * Spark types, NOT NULL from the catalog, char/varchar length caps
     * from the PG typemod. */
   def rulesFor(table: graft.catalog.Table): Seq[Rule] = {
-    val lenRe = "(?:var)?char\\((\\d+)\\)".r
+    // anchored to the start of the type string; covers the multi-word PG
+    // spellings the cast engine preserves ("character varying(n)",
+    // "character(n)") alongside varchar(n)/char(n)
+    val lenRe = "^(?:character(?: varying)?|varchar|char)\\((\\d+)\\)".r
     table.columns.map { c =>
       Rule(c.name, c.sparkType.simpleString,
         notNull = !c.nullable,

@@ -35,27 +35,49 @@ object CopyText {
   }
 
   /** Inverse of [[escape]], plus the COPY TEXT input-only escapes PG
-    * accepts: `\xH[H]` hex and `\o[oo]` octal byte values
-    * (reference test/copy-hex.load exercises `\x1a`). `\N` keeps its
-    * backslash — the null marker is matched at field level BEFORE
-    * unescaping, so a `\N` that survives to here is literal data, and
-    * the reference loads it as the two characters `\N`. */
+    * accepts: `\xH[H]` hex and `\o[oo]` octal values — decoded as raw
+    * BYTES in the file's encoding, exactly as PG treats them: a run of
+    * consecutive byte escapes is collected and UTF-8-decoded as one
+    * sequence, so `\xC3\xA9` yields `é`, not the U+00C3/U+00A9 mojibake
+    * a per-escape `toChar` would produce. (The engine's COPY reader
+    * decodes files as UTF-8, so UTF-8 is the byte-run charset; an
+    * invalid run decodes to U+FFFD where PG would raise an encoding
+    * error, and `\000` yields a NUL that PG itself would reject — the
+    * preflight validator's encoding check is the engine-side guard.)
+    * `\N` keeps its backslash — the null marker is matched at field
+    * level BEFORE unescaping, so a `\N` that survives to here is
+    * literal data, and the reference loads it as the two characters
+    * `\N`. */
   def unescape(v: String): String = {
     val sb = new StringBuilder(v.length)
+    // pending raw bytes from \xHH / \ooo escapes: flushed (UTF-8
+    // decoded) only when a non-byte-escape character follows, so
+    // multi-byte sequences spelled as consecutive escapes stay intact
+    var pending: java.io.ByteArrayOutputStream = null
+    def flush(): Unit =
+      if (pending != null && pending.size() > 0) {
+        sb.append(new String(pending.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        pending.reset()
+      }
+    def addByte(b: Int): Unit = {
+      if (pending == null) pending = new java.io.ByteArrayOutputStream(8)
+      pending.write(b)
+    }
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
       if (c == '\\' && i + 1 < v.length) {
         val n = v.charAt(i + 1)
         n match {
-          case '\\' => sb.append('\\'); i += 2
-          case 'b'  => sb.append('\b'); i += 2
-          case 'f'  => sb.append('\f'); i += 2
-          case 'n'  => sb.append('\n'); i += 2
-          case 'r'  => sb.append('\r'); i += 2
-          case 't'  => sb.append('\t'); i += 2
-          case 'v'  => sb.append(0x0B.toChar); i += 2
-          case 'N'  => sb.append('\\').append('N'); i += 2
+          case '\\' => flush(); sb.append('\\'); i += 2
+          case 'b'  => flush(); sb.append('\b'); i += 2
+          case 'f'  => flush(); sb.append('\f'); i += 2
+          case 'n'  => flush(); sb.append('\n'); i += 2
+          case 'r'  => flush(); sb.append('\r'); i += 2
+          case 't'  => flush(); sb.append('\t'); i += 2
+          case 'v'  => flush(); sb.append(0x0B.toChar); i += 2
+          case 'N'  => flush(); sb.append('\\').append('N'); i += 2
           case 'x' if i + 2 < v.length &&
               Character.digit(v.charAt(i + 2), 16) >= 0 =>
             var value = 0
@@ -65,7 +87,7 @@ object CopyText {
               value = value * 16 + Character.digit(v.charAt(j), 16)
               j += 1
             }
-            sb.append(value.toChar); i = j
+            addByte(value); i = j
           case d if d >= '0' && d <= '7' =>
             var value = 0
             var j = i + 1
@@ -75,11 +97,12 @@ object CopyText {
               j += 1
             }
             // PG masks the accumulated octal value to one byte (\400+)
-            sb.append((value & 0xFF).toChar); i = j
-          case o => sb.append(o); i += 2
+            addByte(value & 0xFF); i = j
+          case o => flush(); sb.append(o); i += 2
         }
-      } else { sb.append(c); i += 1 }
+      } else { flush(); sb.append(c); i += 1 }
     }
+    flush()
     sb.toString
   }
 

@@ -88,6 +88,30 @@ object CsvSource {
       }: _*)
   }
 
+  /** The rows [[read]] drops: raw malformed lines (stray quote in an
+    * unquoted field, unterminated quote) — the companion a loader needs
+    * to count parse errors and land them in a reject file instead of
+    * losing the signal entirely (the reference logs each cl-csv parse
+    * error and routes the row to table.dat; [[graft.operators.Validate]]
+    * has the same rejects/valid split shape). Same scan lineage as
+    * [[read]]; blank lines are NOT rejects (the reference skips them
+    * silently). With `requireFullArity`, short rows are rejects too. */
+  def rejects(spark: SparkSession, path: String, dialect: CsvDialect,
+              fieldNames: Seq[String] = Nil,
+              requireFullArity: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
+    val lines = SkipLines.lines(spark, path, skip,
+      canonicalEncoding(dialect.encoding))
+    lines.toDF("value")
+      .filter(length(col("value")) > 0)
+      .withColumn("__fields", graft.functions.StringExpressions
+        .csvParseLine(col("value"), dialect))
+      .filter(col("__fields").isNull ||
+        (if (requireFullArity)
+          size(col("__fields")) < fieldNames.length else lit(false)))
+      .select(col("value"))
+  }
 
   /** [[read]] plus a `__serial` column numbering rows 1..N in LOAD
     * ORDER — the reference's implicit serial-column assignment, made
@@ -119,9 +143,17 @@ object CsvSource {
         graft.functions.StringExpressions
           .csvParseLine(col("value"), dialect).as("__fields"))
       .filter(col("__fields").isNotNull)
+    // fail FAST on a file-name mismatch between the enumerated list and
+    // the Hadoop split paths (scheme-less inputs resolving differently,
+    // hidden-file filters, …): a silent NULL index under nulls_last
+    // would scramble the load order instead of erroring
+    val idx = try_element_at(typedlit(fileIdx), col("__file"))
+    val checkedIdx = when(idx.isNull,
+      raise_error(concat(
+        lit("readWithSerial: split file missing from source list: "),
+        col("__file")))).otherwise(idx)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(element_at(typedlit(fileIdx), col("__file"))
-        .asc_nulls_last, col("__off"))
+      .orderBy(checkedIdx.asc, col("__off"))
     parsed
       .withColumn(serialCol, row_number().over(w).cast("long"))
       .select(fieldNames.zipWithIndex.map { case (nm, i) =>
@@ -136,9 +168,17 @@ object CsvSource {
     * their CR. Scalar spec for [[readMultiLine]]. */
   def splitRecords(text: String, d: CsvDialect): Seq[String] = {
     val q = d.quote
+    val sep = d.separator
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inQuote = false
+    // quote state only opens at a FIELD START (record start, after a
+    // separator, or after leading blanks when trimUnquoted) — mirroring
+    // [[parseFields]]. A stray quote mid-field is data here and a parse
+    // error there, so the single malformed ROW is rejected instead of
+    // absorbing every following newline and cascade-dropping good rows.
+    var atFieldStart = true
+    def isBlank(c: Char) = (c == ' ' || c == '\t') && c != sep
     var i = 0
     val n = text.length
     while (i < n) {
@@ -153,9 +193,11 @@ object CsvSource {
         } else { sb.append(c); i += 1 }
       } else if (c == '\n') {
         if (sb.nonEmpty && sb.last == '\r') sb.setLength(sb.length - 1)
-        out += sb.toString; sb.setLength(0); i += 1
+        out += sb.toString; sb.setLength(0); atFieldStart = true; i += 1
       } else {
-        if (q != '\u0000' && c == q) inQuote = true
+        if (q != '\u0000' && c == q && atFieldStart) inQuote = true
+        atFieldStart =
+          c == sep || (atFieldStart && d.trimUnquoted && isBlank(c))
         sb.append(c); i += 1
       }
     }

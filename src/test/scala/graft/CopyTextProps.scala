@@ -37,9 +37,24 @@ object CopyTextProps extends Properties("CopyText") {
       CopyText.unescape("\\101") == "A" &&          // octal
       CopyText.unescape("\\7") == "\u0007" &&
       CopyText.unescape("\\1018") == "A8" &&        // max 3 digits
-      CopyText.unescape("\\666") == "\u00b6" &&    // PG masks \400+ to a byte
       CopyText.unescape("\\xzz") == "xzz" &&        // \x with no digit
       CopyText.unescape("\\q") == "q"               // unknown: char only
+  }
+
+  property("byte escapes decode at the byte level in UTF-8") = Prop {
+    // a multi-byte UTF-8 sequence spelled as consecutive escapes is ONE
+    // character, not per-escape latin-1 mojibake (PG semantics: \xHH is
+    // a raw byte in the file's encoding)
+    CopyText.unescape("\\xc3\\xa9") == "\u00e9" &&          // é, hex
+      CopyText.unescape("\\303\\251") == "\u00e9" &&        // é, octal
+      CopyText.unescape("a\\xc3\\xa9b") == "a\u00e9b" &&
+      CopyText.unescape("\\xe2\\x82\\xac") == "\u20ac" && // €, 3 bytes
+      // named escapes break a byte run (decode happens per run)
+      CopyText.unescape("\\xc3\\n\\xa9") == "\ufffd\n\ufffd" &&
+      // an invalid lone byte decodes to U+FFFD where PG would raise an
+      // encoding error (\666 masks to byte 0xB6, not valid UTF-8 alone)
+      CopyText.unescape("\\666") == "\ufffd" &&
+      CopyText.unescape("\\xff") == "\ufffd"
   }
 
   property("column unescape equals the scalar spec") = Prop {

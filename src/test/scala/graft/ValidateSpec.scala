@@ -98,19 +98,24 @@ class ValidateSpec extends SparkSpec {
       ColumnDef("name", "varchar(12)", StringType),
       ColumnDef("code", "char(2)", StringType),
       ColumnDef("amount", "numeric(10,2)", DecimalType(10, 2)),
-      ColumnDef("note", "text", StringType)))
+      ColumnDef("note", "text", StringType),
+      // the multi-word PG spellings the cast engine preserves
+      ColumnDef("city", "character varying(30)", StringType),
+      ColumnDef("tag", "CHARACTER(4)", StringType)))
     val rs = Validate.rulesFor(t)
     assert(rs(0) == Rule("id", "int", notNull = true))
     assert(rs(1) == Rule("name", "string", maxLength = Some(12)))
     assert(rs(2) == Rule("code", "string", maxLength = Some(2)))
     assert(rs(3).sqlType == "decimal(10,2)")
     assert(rs(4) == Rule("note", "string"))
+    assert(rs(5) == Rule("city", "string", maxLength = Some(30)))
+    assert(rs(6) == Rule("tag", "string", maxLength = Some(4)))
     // and the derived rules drive a real preflight
     import spark.implicits._
     val df = Seq(("1", "ok", "ab", "3.50", null: String),
         (null, "waytoolongvalue", "abc", "x", "n"))
       .toDF("id", "name", "code", "amount", "note")
-    val got = Validate.preflight(df, rs)
+    val got = Validate.preflight(df, rs.take(5))
       .select(col("valid"), size(col("reasons"))).collect()
       .map(r => (r.getBoolean(0), r.getInt(1))).sortBy(!_._1)
     assert(got(0) == (true, 0) && got(1) == (false, 4))
