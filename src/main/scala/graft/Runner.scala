@@ -21,9 +21,15 @@ import graft.sinks.{CopyEndpoint, CopySink}
   * @param endpointFactory COPY endpoint per partition, given
   *   (targetTable, sessionSetup) (PgCopyEndpoint / JdbcInsertEndpoint /
   *   test doubles)
+  * @param rejectRoot when set, each table's rejected rows land under
+  *   `<root>/<table>.dat/` (the reference's root-dir/<table>.dat) and
+  *   CSV parse rejects are counted into the stats — the parse-reject
+  *   pass is a second source scan, so it is opt-in (the sink-side
+  *   rejects from the COPY endpoint are always counted)
   */
 final class Runner(executeDdl: (String, Seq[String]) => Unit,
-                   endpointFactory: (String, Seq[String]) => Int => CopyEndpoint) {
+                   endpointFactory: (String, Seq[String]) => Int => CopyEndpoint,
+                   rejectRoot: Option[String] = None) {
 
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
@@ -72,7 +78,18 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           "database migrations run through graft.orchestration.Migrator")
       case _ =>
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
-        Seq(load(cmd.targetTable.getOrElse("data"), df, copySessionSql))
+        val table = cmd.targetTable.getOrElse("data")
+        // parse rejects: written to the table's reject dir and counted
+        // (the reference's cl-csv error path); runs BEFORE the load so
+        // the sink's own per-partition reject parts land alongside
+        val parseRejects = rejectRoot.flatMap { root =>
+          PlanBuilder.buildRejects(spark, cmd, baseDir, inline).map { rej =>
+            val dir = s"$root/$table.dat"
+            rej.write.mode("overwrite").text(dir)
+            spark.read.textFile(dir).count()
+          }
+        }.getOrElse(0L)
+        Seq(load(table, df, copySessionSql, parseRejects))
     }
     cmd.afterLoad.foreach(executeDdl(_, gucSql))
     cmd.finallyDo.foreach(executeDdl(_, gucSql))
@@ -80,12 +97,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   }
 
   private def load(table: String, df: org.apache.spark.sql.DataFrame,
-                   sessionSql: Seq[String]): TableStats = {
+                   sessionSql: Seq[String],
+                   parseRejects: Long = 0L): TableStats = {
     val t0 = System.nanoTime()
     val sink = new CopySink(
-      endpointFactory = endpointFactory(table, sessionSql))
+      endpointFactory = endpointFactory(table, sessionSql),
+      rejectDir = rejectRoot.map(r => s"$r/$table.dat"))
     val (sent, rejected) = sink.write(df)
-    TableStats("public", table, sent, rejected,
+    TableStats("public", table, sent, rejected + parseRejects,
       (System.nanoTime() - t0) / 1000000)
   }
 }
@@ -172,7 +191,9 @@ object Runner {
       },
       endpointFactory = (table, sessionSql) => _ =>
         new graft.sinks.PgWireCopyEndpoint(wire,
-          s"COPY $table FROM STDIN", sessionSql))
+          s"COPY $table FROM STDIN", sessionSql),
+      // reference root-dir semantics (rejected rows → <root>/<table>.dat)
+      rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"))
     val stats =
       try runner.runFile(spark, text, baseDir)
       finally spark.stop()

@@ -109,6 +109,38 @@ object PlanBuilder {
     project(raw, cmd)
   }
 
+  /** The parse-reject companion of [[build]] for CSV loads: the raw
+    * malformed lines [[graft.sources.CsvSource.read]] drops (stray
+    * quote, unterminated quote — the reference logs each cl-csv parse
+    * error, counts it in stats and lands the row in the table's .dat
+    * reject file). None for non-CSV load types (fixed-width pads
+    * ragged lines, COPY lines always split), for stdin (not
+    * re-readable — the rejects pass is a second scan), and for the
+    * rare no-fields guessed-dialect path. */
+  def buildRejects(spark: SparkSession, cmd: LoadCommand,
+                   baseDir: String = ".",
+                   inlineData: Option[String] = None): Option[DataFrame] = {
+    def rejectsAt(path: String): Option[DataFrame] = {
+      val names = fieldNames(cmd)
+      if (names.isEmpty) None
+      else Some(encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
+        graft.sources.CsvSource.rejects(spark, ps.mkString(","),
+          csvDialect(cmd, enc), names)
+      }.reduce(_ unionAll _))
+    }
+    if (cmd.loadType != "csv") None
+    else cmd.source.flatMap {
+      case Stdin => None
+      case InlineData =>
+        inlineData.flatMap { data =>
+          val f = java.nio.file.Files.createTempFile("graft-inline", ".dat")
+          java.nio.file.Files.writeString(f, data)
+          rejectsAt(f.toAbsolutePath.toString)
+        }
+      case other => rejectsAt(resolvePath(spark, other, baseDir))
+    }
+  }
+
   /** `DECODING TABLE NAMES MATCHING ~/re/ AS charset` (Parser:792;
     * reference src/sources/mysql/mysql.lisp:219-237 applies per-name
     * charsets where names/files arrive in a non-default encoding): the

@@ -60,6 +60,31 @@ class RunnerSpec extends SparkSpec {
       ("kv", "3\tthree")))
   }
 
+  test("rejectRoot lands parse rejects in <table>.dat and counts them") {
+    val dir = Files.createTempDirectory("runner-rej").toFile
+    // row 2 has a stray quote mid-field: a parse error, rejected engine-
+    // side; rows 1 and 3 load
+    Files.writeString(new java.io.File(dir, "kv.csv").toPath,
+      "1|one\n2|o\"no|x\n3|three\n")
+    val rejRoot = Files.createTempDirectory("runner-rej-root").toFile
+    val text =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/kv.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE kv
+          WITH fields terminated by '|';"""
+    RunnerSpec.received.clear()
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint,
+      rejectRoot = Some(rejRoot.getAbsolutePath))
+    val stats = runner.runFile(spark, text)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("kv", 2L, 1L)))
+    assert(RunnerSpec.received.asScala.toSeq.sorted ==
+      Seq(("kv", "1\tone"), ("kv", "3\tthree")))
+    val rejLines = spark.read.textFile(
+      new java.io.File(rejRoot, "kv.dat").getAbsolutePath).collect().toSeq
+    assert(rejLines == Seq("2|o\"no|x"))
+  }
+
   test("inline load goes through the same path") {
     val text =
       """LOAD CSV FROM inline
