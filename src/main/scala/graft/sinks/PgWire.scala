@@ -260,6 +260,54 @@ final class PgWireConnection(params: PgWire.ConnParams)
     if (err != null) throw err
   }
 
+  /** Run one simple-protocol SELECT and collect the TEXT-format result:
+    * (column names, rows with null for SQL NULL). The reference reads
+    * source tables exactly this way — every value arrives as text and
+    * the cast engine applies types downstream (fidelity mode). Bounded
+    * use only: one partition's page-range worth of rows per call
+    * ([[graft.sources.PgWireSource]] drives one connection per
+    * partition); not a general cursor. */
+  def query(sql: String): (Seq[String], Seq[Array[String]]) = {
+    writeMsg('Q', cstring(sql)); out.flush()
+    var err: PgServerError = null
+    var cols: Seq[String] = Nil
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMsg()
+      tpe match {
+        case 'T' => // RowDescription: int16 n, then per-field metadata
+          val buf = java.nio.ByteBuffer.wrap(payload)
+          val n = buf.getShort.toInt
+          cols = (0 until n).map { _ =>
+            val start = buf.position()
+            while (buf.get() != 0) ()
+            val name = new String(payload, start,
+              buf.position() - start - 1, UTF_8)
+            buf.position(buf.position() + 18) // oid+attnum+type+len+mod+fmt
+            name
+          }
+        case 'D' => // DataRow: int16 n, then (int32 len, bytes) per col
+          val buf = java.nio.ByteBuffer.wrap(payload)
+          val n = buf.getShort.toInt
+          rows += Array.tabulate(n) { _ =>
+            val len = buf.getInt
+            if (len < 0) null
+            else {
+              val b = new Array[Byte](len)
+              buf.get(b)
+              new String(b, UTF_8)
+            }
+          }
+        case 'E' => err = parseError(payload)
+        case 'Z' => ready = true
+        case _ => ()
+      }
+    }
+    if (err != null) throw err
+    (cols, rows.toSeq)
+  }
+
   /** `COPY … FROM STDIN` one payload of COPY TEXT lines. A single COPY
     * statement outside a transaction block is atomic: on error nothing
     * is kept, matching [[CopyEndpoint.send]]'s contract. Data is written

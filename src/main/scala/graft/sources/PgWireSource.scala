@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.sinks.{PgWire, PgWireConnection}
+
+/** Driver-free distributed PostgreSQL read over the native wire-protocol
+  * client — the source-side twin of [[graft.sinks.PgWireCopyEndpoint]]:
+  * no pgjdbc jar anywhere, matching the reference's own bundled protocol
+  * client for its PG source (pgsql/pgsql.lisp map-rows).
+  *
+  * Partitioning mirrors the JDBC path's ctid strategy
+  * ([[IntrospectionSql.pgsqlCtidPredicates]]): one block-range predicate
+  * per Spark partition, one wire connection per partition task, opened
+  * executor-side. Values arrive as TEXT (fidelity mode — the cast
+  * engine applies types downstream, never the reader), so the output is
+  * an all-string DataFrame like every other engine source.
+  */
+object PgWireSource {
+
+  /** Column names of `table`, discovered driver-side from a LIMIT 0
+    * RowDescription — no catalog query needed. */
+  def columnsOf(params: PgWire.ConnParams, table: String): Seq[String] = {
+    val conn = new PgWireConnection(params)
+    try conn.query(s"SELECT * FROM $table LIMIT 0")._1
+    finally conn.close()
+  }
+
+  /** Read `table` split into ctid page ranges, `pagesPerChunk` blocks
+    * per partition (relpages from pg_class, as the JDBC path does).
+    * `selectExpr` defaults to the discovered column list — pass CAST
+    * expressions for per-type source rewrites. */
+  def readByCtid(spark: SparkSession, params: PgWire.ConnParams,
+                 table: String, relpages: Long,
+                 pagesPerChunk: Long = 1000L,
+                 selectExpr: Seq[String] = Nil): DataFrame = {
+    val cols =
+      if (selectExpr.nonEmpty) selectExpr
+      else columnsOf(params, table)
+    require(cols.nonEmpty, s"no columns resolved for $table")
+    val names = cols.map(c =>
+      c.split("(?i) AS ").last.trim.stripPrefix("\"").stripSuffix("\""))
+    val preds = IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
+    val select = cols.mkString(", ")
+    val p = params // capture the case class, not this object
+    val rdd = spark.sparkContext
+      .parallelize(preds, preds.length)
+      .mapPartitions { it =>
+        it.flatMap { pred =>
+          val conn = new PgWireConnection(p)
+          try conn.query(
+            s"SELECT $select FROM $table WHERE $pred")._2
+            .map(vals => Row.fromSeq(vals.toSeq))
+          finally conn.close()
+        }
+      }
+    val schema = StructType(names.map(n =>
+      StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -22,10 +22,15 @@ final class FakePgServer(
     user: String = "graft",
     password: String = "secret",
     badLine: String => Boolean = _ => false,
-    reportLine: Boolean = true) extends AutoCloseable {
+    reportLine: Boolean = true,
+    // SELECT support: a single fake table; each row occupies one "page"
+    // for ctid-range slicing (`ctid >= '(lo,0)' AND ctid < '(hi,0)'`)
+    tableCols: Seq[String] = Nil,
+    tableRows: Seq[Array[String]] = Nil) extends AutoCloseable {
 
   val accepted = new ArrayBuffer[String]()
   val executed = new ArrayBuffer[String]() // non-COPY statements
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var running = true
   private val server = new ServerSocket(0, 50,
     java.net.InetAddress.getLoopbackAddress)
@@ -51,6 +56,7 @@ final class FakePgServer(
   private def cstring(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
   private def handle(sock: Socket): Unit = {
+    connections.incrementAndGet()
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
@@ -139,12 +145,49 @@ final class FakePgServer(
         }
       }
 
+      def handleSelect(sql: String): Unit = {
+        // ctid page-range slice: each fake row is one page
+        val range = "ctid >= '\\((\\d+),0\\)'(?: AND ctid < '\\((\\d+),0\\)')?".r
+        val rows = range.findFirstMatchIn(sql) match {
+          case Some(m) =>
+            val lo = m.group(1).toInt
+            val hi = Option(m.group(2)).map(_.toInt).getOrElse(tableRows.size)
+            tableRows.slice(lo, hi)
+          case None =>
+            if (sql.toUpperCase.contains("LIMIT 0")) Nil else tableRows
+        }
+        // RowDescription: int16 n + (name, tableOid, attnum, typeOid,
+        // typlen, typmod, format) per field — text (oid 25) everywhere
+        val td = new java.io.ByteArrayOutputStream()
+        val t = new DataOutputStream(td)
+        t.writeShort(tableCols.size)
+        tableCols.foreach { c =>
+          t.write(cstring(c))
+          t.writeInt(0); t.writeShort(0); t.writeInt(25)
+          t.writeShort(-1); t.writeInt(-1); t.writeShort(0)
+        }
+        msg('T', td.toByteArray)
+        rows.foreach { r =>
+          val rd = new java.io.ByteArrayOutputStream()
+          val d = new DataOutputStream(rd)
+          d.writeShort(r.length)
+          r.foreach { v =>
+            if (v == null) d.writeInt(-1)
+            else { val b = v.getBytes(UTF_8); d.writeInt(b.length); d.write(b) }
+          }
+          msg('D', rd.toByteArray)
+        }
+        commandComplete(s"SELECT ${rows.size}")
+      }
+
       while (true) {
         val (tpe, payload) = readMsg()
         tpe match {
           case 'Q' =>
             val sql = new String(payload.dropRight(1), UTF_8)
-            if (sql.toUpperCase.startsWith("COPY")) handleCopy(sql)
+            val up = sql.toUpperCase
+            if (up.startsWith("COPY")) handleCopy(sql)
+            else if (up.startsWith("SELECT")) handleSelect(sql)
             else {
               executed.synchronized(executed += sql)
               commandComplete(sql.trim.split("\\s+").head.toUpperCase)
