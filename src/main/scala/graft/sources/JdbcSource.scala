@@ -459,6 +459,28 @@ object IntrospectionRows {
     s
   }
 
+  /** One row of [[IntrospectionSql.pgsqlColumns]] (pg_catalog join):
+    * `dataType` is `format_type` output — already the typemod'd ctype
+    * the PG cast guards expect (`character varying(30)`, `numeric(10,2)`,
+    * `timestamp with time zone`). */
+  final case class PgColumn(schema: String, table: String, name: String,
+                            dataType: String, default: Option[String],
+                            nullable: Boolean)
+
+  /** Group the flat pg_attribute rows into catalog tables, ordered like
+    * the query (nspname, relname, attnum). Serial/identity detection =
+    * a `nextval('…')` default, the pgsql-schema.lisp rule. */
+  def pgsqlTables(rows: Seq[PgColumn]): Seq[Table] =
+    rows.groupBy(r => (r.schema, r.table)).toSeq.sortBy(_._1).map {
+      case ((sch, tbl), cols) =>
+        Table(name = tbl, schema = sch, sourceName = tbl,
+          fields = cols.map(c => SourceColumn(tbl, c.name, c.dataType,
+            default = c.default,
+            nullable = c.nullable,
+            autoIncrement =
+              c.default.exists(_.toLowerCase.startsWith("nextval(")))))
+    }
+
   /** Group the flat sys.columns rows into catalog tables, ordered like
     * the query (schema, table, column_id). */
   def mssqlTables(rows: Seq[MssqlColumn]): Seq[Table] =

@@ -18,6 +18,26 @@ import graft.sinks.{PgWire, PgWireConnection}
   */
 object PgWireSource {
 
+  /** Catalog introspection over the wire: runs the shared
+    * [[IntrospectionSql.pgsqlColumns]] pg_catalog query through
+    * [[PgWireConnection.query]] and maps the TEXT rows with
+    * [[IntrospectionRows.pgsqlTables]] — the full driver-free pg→pg
+    * migration chain: introspect + read here, DDL + COPY through
+    * [[graft.sinks.PgWireCopyEndpoint]]/`simpleCommand`. */
+  def introspect(params: PgWire.ConnParams)
+      : Seq[graft.catalog.Table] = {
+    val conn = new PgWireConnection(params)
+    try {
+      val (_, rows) = conn.query(IntrospectionSql.pgsqlColumns)
+      IntrospectionRows.pgsqlTables(rows.map { r =>
+        IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
+          Option(r(4)),
+          // boolean TEXT wire form is t/f
+          nullable = r(5) == "t" || r(5) == "true")
+      })
+    } finally conn.close()
+  }
+
   /** Column names of `table`, discovered driver-side from a LIMIT 0
     * RowDescription — no catalog query needed. */
   def columnsOf(params: PgWire.ConnParams, table: String): Seq[String] = {

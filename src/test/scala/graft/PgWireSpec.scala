@@ -128,6 +128,34 @@ class PgWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("introspect maps pg_catalog rows to catalog tables over the wire") {
+    val catalogRows = Seq(
+      Array("public", "users", "id", "integer",
+        "nextval('users_id_seq'::regclass)", "f"),
+      Array("public", "users", "city", "character varying(30)", null, "t"),
+      Array("public", "orders", "oid", "bigint", null, "f"))
+    val srv = new FakePgServer(
+      tableCols = Seq("nspname", "relname", "attname", "data_type",
+        "default_expr", "nullable"),
+      tableRows = catalogRows)
+    try {
+      val tables = graft.sources.PgWireSource.introspect(params(srv.port))
+      assert(tables.map(_.name).sorted == Seq("orders", "users"))
+      val users = tables.find(_.name == "users").get
+      assert(users.fields.map(_.name) == Seq("id", "city"))
+      assert(users.fields.head.autoIncrement &&
+        !users.fields.head.nullable)
+      assert(users.fields(1).ctype == "character varying(30)" &&
+        users.fields(1).nullable)
+      // the derived catalog drives the cast engine: serial from the
+      // nextval default, varchar→text (the reference's pgsql defaults
+      // drop the typemod on purpose)
+      val target = users.cast(Nil, graft.casting.DefaultCastRules.pgsql)
+      assert(target.columns.map(c => (c.name, c.pgType)) ==
+        Seq(("id", "serial"), ("city", "text")))
+    } finally srv.close()
+  }
+
   test("pg→pg roundtrip: wire read into wire COPY sink, zero driver jars") {
     val srcRows = (1 to 7).map(i =>
       Array(i.toString, if (i == 4) null else s"name$i"))
