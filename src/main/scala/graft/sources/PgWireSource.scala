@@ -38,6 +38,19 @@ object PgWireSource {
     } finally conn.close()
   }
 
+  /** `pg_class.relpages` for `table` (schema-qualified names accepted) —
+    * the partition-count input [[readByCtid]] needs, same source the
+    * reference uses for its ctid splits (pgsql.clj:206-208). relpages
+    * lags VACUUM/ANALYZE; the last open-ended range covers growth. */
+  def relpagesOf(params: PgWire.ConnParams, table: String): Long = {
+    val conn = new PgWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"SELECT relpages FROM pg_class WHERE oid = '$table'::regclass")
+      rows.headOption.map(_(0).toLong).getOrElse(0L)
+    } finally conn.close()
+  }
+
   /** Column names of `table`, discovered driver-side from a LIMIT 0
     * RowDescription — no catalog query needed. */
   def columnsOf(params: PgWire.ConnParams, table: String): Seq[String] = {

@@ -156,6 +156,14 @@ class PgWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("relpagesOf reads pg_class over the wire") {
+    val srv = new FakePgServer(tableCols = Seq("relpages"),
+      tableRows = Seq(Array("42")))
+    try assert(graft.sources.PgWireSource.relpagesOf(
+      params(srv.port), "public.users") == 42L)
+    finally srv.close()
+  }
+
   test("pg→pg roundtrip: wire read into wire COPY sink, zero driver jars") {
     val srcRows = (1 to 7).map(i =>
       Array(i.toString, if (i == 4) null else s"name$i"))
