@@ -26,7 +26,11 @@ final class FakePgServer(
     // SELECT support: a single fake table; each row occupies one "page"
     // for ctid-range slicing (`ctid >= '(lo,0)' AND ctid < '(hi,0)'`)
     tableCols: Seq[String] = Nil,
-    tableRows: Seq[Array[String]] = Nil) extends AutoCloseable {
+    tableRows: Seq[Array[String]] = Nil,
+    // multi-result routing: first match wins, falls back to the single
+    // table above; ctid/LIMIT-0 slicing applies to the routed rows too
+    onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
+      _ => None) extends AutoCloseable {
 
   val accepted = new ArrayBuffer[String]()
   val executed = new ArrayBuffer[String]() // non-COPY statements
@@ -146,22 +150,23 @@ final class FakePgServer(
       }
 
       def handleSelect(sql: String): Unit = {
+        val (cols, allRows) = onSelect(sql).getOrElse((tableCols, tableRows))
         // ctid page-range slice: each fake row is one page
         val range = "ctid >= '\\((\\d+),0\\)'(?: AND ctid < '\\((\\d+),0\\)')?".r
         val rows = range.findFirstMatchIn(sql) match {
           case Some(m) =>
             val lo = m.group(1).toInt
-            val hi = Option(m.group(2)).map(_.toInt).getOrElse(tableRows.size)
-            tableRows.slice(lo, hi)
+            val hi = Option(m.group(2)).map(_.toInt).getOrElse(allRows.size)
+            allRows.slice(lo, hi)
           case None =>
-            if (sql.toUpperCase.contains("LIMIT 0")) Nil else tableRows
+            if (sql.toUpperCase.contains("LIMIT 0")) Nil else allRows
         }
         // RowDescription: int16 n + (name, tableOid, attnum, typeOid,
         // typlen, typmod, format) per field — text (oid 25) everywhere
         val td = new java.io.ByteArrayOutputStream()
         val t = new DataOutputStream(td)
-        t.writeShort(tableCols.size)
-        tableCols.foreach { c =>
+        t.writeShort(cols.size)
+        cols.foreach { c =>
           t.write(cstring(c))
           t.writeInt(0); t.writeShort(0); t.writeInt(25)
           t.writeShort(-1); t.writeInt(-1); t.writeShort(0)
