@@ -58,6 +58,15 @@ case class CsvParseLine(child: Expression,
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
+  // Introduces NULL on malformed rows even for a non-nullable child, so
+  // nullability must NOT be inherited: with the default
+  // `nullable = child.nullable`, a non-nullable child (textFile value,
+  // post-isnotnull) makes nullSafeCodeGen bind ev.isNull to the `false`
+  // literal — the assignment below then fails Janino compilation
+  // ("not an rvalue") and the whole CSV hot path silently runs
+  // interpreted — and entitles NullPropagation to fold
+  // `csv_parse_line(x) IS NULL` to false, emptying the reject path.
+  override def nullable: Boolean = true
   override def prettyName: String = "csv_parse_line"
 
   protected override def nullSafeEval(input: Any): Any =
@@ -73,7 +82,7 @@ case class CsvParseLine(child: Expression,
     // ArrayData with isNull = false
     nullSafeCodeGen(ctx, ev, c => s"""
        |${ev.value} = graft.sources.CsvSource.parseFieldsData($c, $ref);
-       |if (${ev.value} == null) { ${ev.isNull} = true; }
+       |${ev.isNull} = (${ev.value} == null);
      """.stripMargin)
   }
 
