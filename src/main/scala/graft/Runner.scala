@@ -191,7 +191,8 @@ object Runner {
       },
       endpointFactory = (table, sessionSql) => _ =>
         new graft.sinks.PgWireCopyEndpoint(wire,
-          s"COPY $table FROM STDIN", sessionSql),
+          s"COPY ${graft.sinks.PgWire.quoteQualified(table)} FROM STDIN",
+          sessionSql),
       // reference root-dir semantics (rejected rows → <root>/<table>.dat)
       rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"))
     val stats =

@@ -44,6 +44,7 @@ object PlanBuilder {
       val suffix = if (name.contains('.'))
         name.substring(name.lastIndexOf('.')) else ".dat"
       val tmp = java.nio.file.Files.createTempFile("graft-http", suffix)
+      tmp.toFile.deleteOnExit()
       val resp = client.send(
         java.net.http.HttpRequest.newBuilder(java.net.URI.create(u)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
@@ -81,12 +82,14 @@ object PlanBuilder {
         val data = inlineData.getOrElse(throw new IllegalArgumentException(
           "FROM inline but no trailing data — use Parser.parseWithInline"))
         val f = java.nio.file.Files.createTempFile("graft-inline", ".dat")
+        f.toFile.deleteOnExit()
         java.nio.file.Files.writeString(f, data)
         f.toAbsolutePath.toString
       case Stdin =>
         // drain stdin once to a temp file, then read like any file
         // (core.clj:109-113 stdin handling)
         val f = java.nio.file.Files.createTempFile("graft-stdin", ".dat")
+        f.toFile.deleteOnExit()
         java.nio.file.Files.copy(System.in, f,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         f.toAbsolutePath.toString
@@ -134,6 +137,9 @@ object PlanBuilder {
       case InlineData =>
         inlineData.flatMap { data =>
           val f = java.nio.file.Files.createTempFile("graft-inline", ".dat")
+          // the DataFrame reads the file lazily during this run only —
+          // deletion at JVM exit can't race the scan
+          f.toFile.deleteOnExit()
           java.nio.file.Files.writeString(f, data)
           rejectsAt(f.toAbsolutePath.toString)
         }

@@ -12,9 +12,15 @@ import graft.sinks.{PgWire, PgWireConnection}
   * Partitioning mirrors the JDBC path's ctid strategy
   * ([[IntrospectionSql.pgsqlCtidPredicates]]): one block-range predicate
   * per Spark partition, one wire connection per partition task, opened
-  * executor-side. Values arrive as TEXT (fidelity mode — the cast
+  * executor-side and consumed as a STREAM — DataRow frames decode one at
+  * a time as Spark pulls the iterator, so a partition never holds its
+  * page range in heap. Values arrive as TEXT (fidelity mode — the cast
   * engine applies types downstream, never the reader), so the output is
   * an all-string DataFrame like every other engine source.
+  *
+  * Identifiers from the catalog are quoted (`quote_ident` semantics) at
+  * every SQL build site — mixed-case, reserved-word and
+  * quote-bearing table names resolve to the right object.
   */
 object PgWireSource {
 
@@ -45,8 +51,11 @@ object PgWireSource {
   def relpagesOf(params: PgWire.ConnParams, table: String): Long = {
     val conn = new PgWireConnection(params)
     try {
+      // regclass parses its input as a (possibly qualified, possibly
+      // quoted) identifier — quote both layers: ident inside, literal out
+      val regclass = PgWire.quoteLiteral(PgWire.quoteQualified(table))
       val (_, rows) = conn.query(
-        s"SELECT relpages FROM pg_class WHERE oid = '$table'::regclass")
+        s"SELECT relpages FROM pg_class WHERE oid = $regclass::regclass")
       rows.headOption.map(_(0).toLong).getOrElse(0L)
     } finally conn.close()
   }
@@ -55,36 +64,56 @@ object PgWireSource {
     * RowDescription — no catalog query needed. */
   def columnsOf(params: PgWire.ConnParams, table: String): Seq[String] = {
     val conn = new PgWireConnection(params)
-    try conn.query(s"SELECT * FROM $table LIMIT 0")._1
+    try conn.query(
+      s"SELECT * FROM ${PgWire.quoteQualified(table)} LIMIT 0")._1
     finally conn.close()
   }
 
   /** Read `table` split into ctid page ranges, `pagesPerChunk` blocks
     * per partition (relpages from pg_class, as the JDBC path does).
-    * `selectExpr` defaults to the discovered column list — pass CAST
-    * expressions for per-type source rewrites. */
+    * `selectExpr` defaults to the discovered column list (quoted) —
+    * pass CAST expressions for per-type source rewrites (used verbatim;
+    * quote identifiers yourself inside expressions). */
   def readByCtid(spark: SparkSession, params: PgWire.ConnParams,
                  table: String, relpages: Long,
                  pagesPerChunk: Long = 1000L,
                  selectExpr: Seq[String] = Nil): DataFrame = {
+    val discovered =
+      if (selectExpr.nonEmpty) Nil else columnsOf(params, table)
     val cols =
       if (selectExpr.nonEmpty) selectExpr
-      else columnsOf(params, table)
+      else discovered.map(PgWire.quoteIdent)
     require(cols.nonEmpty, s"no columns resolved for $table")
-    val names = cols.map(c =>
-      c.split("(?i) AS ").last.trim.stripPrefix("\"").stripSuffix("\""))
+    val names =
+      if (selectExpr.nonEmpty) selectExpr.map(c =>
+        c.split("(?i) AS ").last.trim.stripPrefix("\"").stripSuffix("\""))
+      else discovered
     val preds = IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
     val select = cols.mkString(", ")
+    val qtable = PgWire.quoteQualified(table)
     val p = params // capture the case class, not this object
     val rdd = spark.sparkContext
       .parallelize(preds, preds.length)
       .mapPartitions { it =>
         it.flatMap { pred =>
           val conn = new PgWireConnection(p)
-          try conn.query(
-            s"SELECT $select FROM $table WHERE $pred")._2
-            .map(vals => Row.fromSeq(vals.toSeq))
-          finally conn.close()
+          // backstop for early task termination (limit, failure): the
+          // task-completion listener closes the socket regardless of
+          // how much of the stream Spark consumed
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => conn.close())
+          val (_, rows) = conn.queryStream(
+            s"SELECT $select FROM $qtable WHERE $pred")
+          new Iterator[Row] {
+            private var closed = false
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h && !closed) { closed = true; conn.close() }
+              h
+            }
+            override def next(): Row = Row.fromSeq(rows.next().toSeq)
+          }
         }
       }
     val schema = StructType(names.map(n =>

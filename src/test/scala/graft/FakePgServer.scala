@@ -30,7 +30,15 @@ final class FakePgServer(
     // multi-result routing: first match wins, falls back to the single
     // table above; ctid/LIMIT-0 slicing applies to the routed rows too
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
-      _ => None) extends AutoCloseable {
+      _ => None,
+    // TLS: when set, SSLRequest is answered 'S' and the connection is
+    // wrapped server-side; when None, answered 'N' (client falls back
+    // or aborts per its sslmode)
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    // called with the row index before each DataRow is written (rows
+    // already written are flushed) — lets a test block the server
+    // mid-result to prove the client streams
+    onRow: Int => Unit = _ => ()) extends AutoCloseable {
 
   val accepted = new ArrayBuffer[String]()
   val executed = new ArrayBuffer[String]() // non-COPY statements
@@ -59,10 +67,11 @@ final class FakePgServer(
 
   private def cstring(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock0: Socket): Unit = {
     connections.incrementAndGet()
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
     def msg(tpe: Char, payload: Array[Byte]): Unit = {
       out.writeByte(tpe); out.writeInt(payload.length + 4); out.write(payload)
@@ -89,14 +98,31 @@ final class FakePgServer(
     }
 
     try {
-      // startup message: int32 len, int32 protocol, params
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
-      val proto = java.nio.ByteBuffer.wrap(body, 0, 4).getInt
-      if (proto != 196608) { // e.g. SSLRequest: refuse and retry loop
-        out.writeByte('N'); out.flush()
-        return handle(sock)
+      // negotiation: an SSLRequest (or other special packet) may precede
+      // the real startup message; answer each and keep reading — ONE
+      // logical connection either way (no recursion, no double count)
+      var negotiated = false
+      while (!negotiated) {
+        // startup message: int32 len, int32 protocol, params
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        val proto = java.nio.ByteBuffer.wrap(body, 0, 4).getInt
+        if (proto == 196608) negotiated = true
+        else if (proto == 80877103 && tls.isDefined) { // SSLRequest
+          out.writeByte('S'); out.flush()
+          val ssl = tls.get.getSocketFactory
+            .createSocket(sock, null, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          sock = ssl
+          in = new DataInputStream(
+            new BufferedInputStream(sock.getInputStream))
+          out = new DataOutputStream(
+            new BufferedOutputStream(sock.getOutputStream))
+        } else { // SSLRequest without TLS configured, GSSENC, …: refuse
+          out.writeByte('N'); out.flush()
+        }
       }
       if (!authenticate(readMsg, msg, authRequest, out)) {
         errorResponse(Seq('S' -> "FATAL", 'C' -> "28P01",
@@ -172,7 +198,8 @@ final class FakePgServer(
           t.writeShort(-1); t.writeInt(-1); t.writeShort(0)
         }
         msg('T', td.toByteArray)
-        rows.foreach { r =>
+        rows.zipWithIndex.foreach { case (r, i) =>
+          onRow(i) // may block — rows already written are flushed
           val rd = new java.io.ByteArrayOutputStream()
           val d = new DataOutputStream(rd)
           d.writeShort(r.length)
@@ -181,6 +208,7 @@ final class FakePgServer(
             else { val b = v.getBytes(UTF_8); d.writeInt(b.length); d.write(b) }
           }
           msg('D', rd.toByteArray)
+          out.flush()
         }
         commandComplete(s"SELECT ${rows.size}")
       }
