@@ -1055,7 +1055,11 @@ object SparkEntry {
       val scored = Classifier.scoreHashed(t(s, dir, "documents"),
         "doc_id", "text", Classifier.scrambledWeightsMilli(1024),
         biasMilli = 250L)
-      Classifier.filterByMarginPercentile(scored, "margin_milli", 0.5)
+      // materialize the narrow (id, margin) frame once: the threshold
+      // and filter passes otherwise re-run md5-per-token scoring twice
+      // (2.3× warm at sf0.1, 2.7× at 10× — ProfileScale round 10)
+      Classifier.filterByMarginPercentile(scored, "margin_milli", 0.5,
+          checkpointScored = true)
         .select(col("doc_id"), col("margin_milli"))
         .orderBy(col("doc_id"))
     }),
@@ -1488,7 +1492,11 @@ object SparkEntry {
     // top-3 distinctive terms per doc, ranked (tf desc, df asc, term) —
     // the tf-idf idea with an integer-only, engine-exact comparator
     "top_terms" -> ((s, dir) => {
-      Terms.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      // checkpointTf: tf feeds both the output and the doc-frequency
+      // branch — materializing it saves the second tokenize pass over
+      // the corpus (1.4× warm at sf0.1, 1.6× at 10× — ProfileScale r10)
+      Terms.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3,
+          checkpointTf = true)
         .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
           col("rank"))
         .orderBy(col("doc_id"), col("rank"))

@@ -74,17 +74,25 @@ object Classifier {
     * The threshold is ONE exact SQL-standard percentile_disc aggregate
     * (engine-exact over the integer margins) broadcast back as a scalar
     * — the corpus is scanned twice (threshold + filter), shuffled
-    * never. At 100 TB swap in `percentile_approx` and checkpoint the
-    * scored frame so both passes read one materialization. */
+    * never. `checkpointScored` materializes the scored frame once so
+    * both passes read it instead of re-running the upstream scoring
+    * projection (md5 per token) twice — measured 2.3× faster warm at
+    * sf0.1 and 2.7× at a 10× corpus (ProfileScale, round 10). Opt-in
+    * per the library's no-hidden-caching convention (localCheckpoint =
+    * executor-local blocks; swap for `checkpoint()` + a reliable dir on
+    * a shared cluster, and consider `percentile_approx` at 100 TB). */
   def filterByMarginPercentile(scored: DataFrame, marginCol: String,
-                               p: Double): DataFrame = {
+                               p: Double,
+                               checkpointScored: Boolean = false)
+      : DataFrame = {
     require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
     require(!scored.columns.contains("__thr"),
       "input column __thr collides with internals")
-    val thr = scored.agg(
+    val s = if (checkpointScored) scored.localCheckpoint() else scored
+    val thr = s.agg(
       expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$marginCol`)")
         .as("__thr"))
-    scored.crossJoin(broadcast(thr))
+    s.crossJoin(broadcast(thr))
       .filter(col(marginCol) >= col("__thr"))
       .drop("__thr")
   }

@@ -66,6 +66,12 @@ class ClassifierSpec extends SparkSpec {
     val kept = Classifier.filterByMarginPercentile(df, "m", 0.5)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == (5L to 10L))
+    // the one-materialization shape is value-identical (the headline
+    // query runs with checkpointScored = true)
+    val keptC = Classifier.filterByMarginPercentile(df, "m", 0.5,
+        checkpointScored = true)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptC == kept)
   }
 
   test("negative weights flip the label") {
