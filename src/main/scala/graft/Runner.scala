@@ -66,16 +66,16 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // file loads have no schema-creation phase of their own, so AFTER
     // CREATE SCHEMA DO runs at the same seam, after BEFORE LOAD DO and
     // before any data (the reference fires it once the target table
-    // exists, migrate-database.lisp:459-465)
-    cmd.afterSchema.foreach(executeDdl(_, gucSql))
+    // exists, migrate-database.lisp:459-465). Database loads DO have a
+    // schema phase — the Migrator places the hook after its DDL.
+    if (cmd.loadType != "database")
+      cmd.afterSchema.foreach(executeDdl(_, gucSql))
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {
           case (table, df) => load(table.getOrElse("data"), df, copySessionSql)
         }
-      case "database" =>
-        throw new UnsupportedOperationException(
-          "database migrations run through graft.orchestration.Migrator")
+      case "database" => runDatabase(spark, cmd)
       case _ =>
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
         val table = cmd.targetTable.getOrElse("data")
@@ -94,6 +94,94 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     cmd.afterLoad.foreach(executeDdl(_, gucSql))
     cmd.finallyDo.foreach(executeDdl(_, gucSql))
     results
+  }
+
+  /** `LOAD DATABASE FROM mysql://… | pgsql://…` — the reference's
+    * headline command, end-to-end over the native wire clients (zero
+    * driver jars): introspect the source catalog, run it through the
+    * cast engine and [[graft.orchestration.Migrator]], read each table
+    * distributed (integer-range split for MySQL, ctid pages for PG) and
+    * COPY through this Runner's endpoint factory. WITH options map to
+    * the Migrator's surface; BEFORE LOAD DO ran already (runCommand),
+    * AFTER LOAD DO / FINALLY run after this returns, AFTER CREATE
+    * SCHEMA DO is placed by the Migrator between DDL and data.
+    * SQLite/MSSQL sources need their (unavailable-offline) drivers and
+    * stay on the JDBC path. */
+  private def runDatabase(spark: SparkSession,
+                          cmd: Ast.LoadCommand): Seq[TableStats] = {
+    import graft.catalog.{Catalog, Schema, Table}
+    val uri = cmd.source match {
+      case Some(Ast.Uri(u)) => u
+      case other => throw new IllegalArgumentException(
+        s"LOAD DATABASE needs a URI source, got $other")
+    }
+    val decode = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+    val rowsPerRange =
+      cmd.intOption("rows per range").map(_.toLong).getOrElse(10000L)
+    val scheme = uri.takeWhile(_ != ':')
+    val (tables: Seq[Table], defaults, readTable) = scheme match {
+      case "mysql" =>
+        val mp = graft.sources.MySqlWire.connParams(uri, decode)
+        require(mp.database.nonEmpty, s"no database in $uri")
+        val read = (t: Table) => {
+          val pk = t.fields.find(_.autoIncrement).map(_.name)
+          val rows = graft.sources.MySqlWireSource.rowCountOf(
+            mp, mp.database, t.sourceName)
+          graft.sources.MySqlWireSource.read(spark, mp, mp.database,
+            t.sourceName, partitionKey = pk, rowCountEstimate = rows,
+            rowsPerRange = rowsPerRange)
+        }
+        (graft.sources.MySqlWireSource.introspect(mp, mp.database),
+          graft.casting.DefaultCastRules.mysql, read)
+      case "pgsql" | "postgresql" | "postgres" =>
+        val sp = graft.sinks.PgWire.connParams(uri, decode)
+        val read = (t: Table) => {
+          val qualified = s"${t.schema}.${t.sourceName}"
+          val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
+          graft.sources.PgWireSource.readByCtid(spark, sp, qualified,
+            relpages = pages)
+        }
+        (graft.sources.PgWireSource.introspect(sp),
+          graft.casting.DefaultCastRules.pgsql, read)
+      case other => throw new UnsupportedOperationException(
+        s"LOAD DATABASE source $other:// is not wired driver-free " +
+          "(mysql/pgsql speak the native protocols; sqlite/mssql need " +
+          "their JDBC drivers — use JdbcSource + Migrator directly)")
+    }
+    val bySchema = tables.groupBy(_.schema).toSeq.sortBy(_._1)
+    val cat = Catalog(uri, bySchema.map { case (s, ts) =>
+      Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
+    })
+    val migrator = new graft.orchestration.Migrator(
+      executeDdl = executeDdl,
+      loadTable = (t, setup) => {
+        val sink = new CopySink(
+          endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
+          rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
+        sink.write(readTable(t))
+      },
+      workers = cmd.intOption("workers")
+        .orElse(cmd.intOption("concurrency")).getOrElse(4),
+      maxParallelIndexes =
+        cmd.intOption("max parallel create index").getOrElse(0))
+    val summary = migrator.migrate(cat,
+      userCast = cmd.castRules,
+      defaults = defaults,
+      including = cmd.includingOnly,
+      excluding = cmd.excludingOnly,
+      alterSchema = cmd.alterSchema,
+      alterTable = cmd.alterTable,
+      truncate = cmd.boolOption("truncate"),
+      createTables = !cmd.boolOption("create no tables") &&
+        !cmd.boolOption("data only"),
+      includeDrop = cmd.boolOption("include drop"),
+      withIndexes = !cmd.boolOption("data only"),
+      withFKeys = !cmd.boolOption("data only"),
+      resetSequences = !cmd.boolOption("reset no sequences"),
+      afterSchema = cmd.afterSchema,
+      setParams = cmd.setParams,
+      disableTriggers = cmd.boolOption("disable triggers"))
+    summary.tables
   }
 
   private def load(table: String, df: org.apache.spark.sql.DataFrame,

@@ -190,6 +190,11 @@ object Ddl {
 
   def truncate(t: Table): String = s"TRUNCATE ${t.schema}.${t.name};"
 
+  /** WITH include drop (CASCADE takes dependent FKs with it, as the
+    * reference's drop phase does). */
+  def dropTable(t: Table): String =
+    s"DROP TABLE IF EXISTS ${t.schema}.${t.name} CASCADE;"
+
   def createExtension(name: String): String =
     s"""CREATE EXTENSION IF NOT EXISTS "$name";"""
 

@@ -99,6 +99,10 @@ final class Migrator(
               alterTable: Seq[AlterTableRule] = Nil,
               truncate: Boolean = false,
               createTables: Boolean = true,
+              /** WITH include drop: drop each target table (CASCADE)
+                * before re-creating it — the reference's re-run flow
+                * (migrate-database.lisp prepare-pgsql-database). */
+              includeDrop: Boolean = false,
               withIndexes: Boolean = true,
               withFKeys: Boolean = true,
               resetSequences: Boolean = true,
@@ -166,6 +170,8 @@ final class Migrator(
     // column's placeholder pg type to the registered type name
     // (mysql-cast-rules.lisp:260-301; ddl/common.clj:557-574)
     if (createTables) {
+      if (includeDrop)
+        cat.allTables.foreach(t => preDdl(Ddl.dropTable(t)))
       cat = cat.copy(schemas = cat.schemas.map(s => s.copy(
         tables = s.tables.map { t =>
           val patched = t.columns.map { c =>

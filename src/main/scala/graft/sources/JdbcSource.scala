@@ -459,6 +459,24 @@ object IntrospectionRows {
     s
   }
 
+  /** One row of [[IntrospectionSql.mysqlColumns]] (information_schema):
+    * `columnType` is the typemod'd form the MySQL cast guards expect
+    * (`int(11)`, `varchar(25)`, `tinyint(1)`, `decimal(12,2)`);
+    * `extra` carries `auto_increment` (mysql-schema.lisp:54-212). */
+  final case class MySqlColumn(table: String, name: String,
+                               columnType: String, default: Option[String],
+                               nullable: Boolean, extra: String)
+
+  /** Group the flat information_schema rows into catalog tables, ordered
+    * like the query (table_name, ordinal_position). */
+  def mysqlTables(schema: String, rows: Seq[MySqlColumn]): Seq[Table] =
+    rows.groupBy(_.table).toSeq.sortBy(_._1).map { case (tbl, cols) =>
+      Table(name = tbl, schema = schema, sourceName = tbl,
+        fields = cols.map(c => SourceColumn(tbl, c.name, c.columnType,
+          default = c.default, nullable = c.nullable,
+          autoIncrement = c.extra.toLowerCase.contains("auto_increment"))))
+    }
+
   /** One row of [[IntrospectionSql.pgsqlColumns]] (pg_catalog join):
     * `dataType` is `format_type` output — already the typemod'd ctype
     * the PG cast guards expect (`character varying(30)`, `numeric(10,2)`,

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Driver-free distributed MySQL read over the native wire-protocol
+  * client — the MySQL twin of [[PgWireSource]], closing the reference's
+  * #1 use case (mysql→pg migration, src/sources/mysql/mysql.lisp) with
+  * zero Connector/J jars.
+  *
+  * Partitioning follows the reference's integer-key range split
+  * (mysql.lisp:10-62: `rowsPerRange` rows per WHERE range, only when the
+  * table is big enough — the JDBC path's logic, re-expressed for the
+  * wire). One wire connection per partition task, opened executor-side,
+  * rows consumed as a STREAM (one packet decoded per iterator pull).
+  * Values arrive as TEXT (fidelity mode; the cast engine types them
+  * downstream). Identifiers are back-quoted at every SQL build site.
+  */
+object MySqlWireSource {
+  import MySqlWire.{quoteIdent, quoteLiteral}
+
+  /** Catalog introspection over the wire: the
+    * [[IntrospectionSql.mysqlColumns]] information_schema query with the
+    * schema inlined (the text protocol has no placeholders), mapped by
+    * [[IntrospectionRows.mysqlTables]]. */
+  def introspect(params: MySqlWire.ConnParams,
+                 schema: String): Seq[graft.catalog.Table] = {
+    val conn = new MySqlWireConnection(params)
+    try {
+      val sql =
+        s"""SELECT c.table_name, c.column_name, c.column_type,
+            c.column_default, c.is_nullable, c.extra
+            FROM information_schema.columns c
+            JOIN information_schema.tables t
+              USING (table_schema, table_name)
+            WHERE c.table_schema = ${quoteLiteral(schema)}
+              AND t.table_type = 'BASE TABLE'
+            ORDER BY c.table_name, c.ordinal_position"""
+      val (_, rows) = conn.query(sql)
+      IntrospectionRows.mysqlTables(schema, rows.map { r =>
+        IntrospectionRows.MySqlColumn(r(0), r(1), r(2), Option(r(3)),
+          nullable = r(4) == "YES", extra = Option(r(5)).getOrElse(""))
+      })
+    } finally conn.close()
+  }
+
+  /** information_schema.tables row-count ESTIMATE (the reference's
+    * sizing input for range splits and load ordering). */
+  def rowCountOf(params: MySqlWire.ConnParams, schema: String,
+                 table: String): Long = {
+    val conn = new MySqlWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"""SELECT table_rows FROM information_schema.tables
+            WHERE table_schema = ${quoteLiteral(schema)}
+              AND table_name = ${quoteLiteral(table)}""")
+      rows.headOption.flatMap(r => Option(r(0))).map(_.toLong).getOrElse(0L)
+    } finally conn.close()
+  }
+
+  /** min/max of the integer partition key (mysql.lisp:35-43). */
+  def integerBounds(params: MySqlWire.ConnParams, schema: String,
+                    table: String, column: String): (Long, Long) = {
+    val conn = new MySqlWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"SELECT MIN(${quoteIdent(column)}), MAX(${quoteIdent(column)}) " +
+          s"FROM ${quoteIdent(schema)}.${quoteIdent(table)}")
+      val r = rows.head
+      (Option(r(0)).map(_.toLong).getOrElse(0L),
+        Option(r(1)).map(_.toLong).getOrElse(0L))
+    } finally conn.close()
+  }
+
+  /** WHERE ranges for the split: `rowsPerRange` of the key space per
+    * partition, final range open-ended (concurrent inserts). */
+  private[sources] def rangePredicates(col: String, lo: Long, hi: Long,
+                                       rowsPerRange: Long): Seq[String] = {
+    val q = quoteIdent(col)
+    val n = math.max(1L, (hi - lo + rowsPerRange) / rowsPerRange)
+    (0L until n).map { i =>
+      val a = lo + i * rowsPerRange
+      val b = lo + (i + 1) * rowsPerRange
+      if (i == n - 1) s"$q >= $a"
+      else s"$q >= $a AND $q < $b"
+    }
+  }
+
+  /** Read `schema.table` over the wire. With an integer `partitionKey`
+    * and enough rows (the reference's `2 * rowsPerRange` guard) the read
+    * splits into one range predicate per Spark partition; otherwise it
+    * is a single full-scan partition. `selectExpr` defaults to the
+    * discovered columns back-quoted — pass
+    * [[ColumnSqlExpressions.mysql]] output for per-type server-side
+    * rendering (st_astext for geometry). */
+  def read(spark: SparkSession, params: MySqlWire.ConnParams,
+           schema: String, table: String,
+           partitionKey: Option[String] = None,
+           rowCountEstimate: Long = 0L,
+           rowsPerRange: Long = 10000L,
+           selectExpr: Seq[String] = Nil): DataFrame = {
+    val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
+    val discovered =
+      if (selectExpr.nonEmpty) Nil
+      else {
+        val conn = new MySqlWireConnection(params)
+        try conn.query(s"SELECT * FROM $qtable LIMIT 0")._1
+        finally conn.close()
+      }
+    val cols =
+      if (selectExpr.nonEmpty) selectExpr else discovered.map(quoteIdent)
+    require(cols.nonEmpty, s"no columns resolved for $schema.$table")
+    val names =
+      if (selectExpr.nonEmpty) selectExpr.map(c =>
+        c.split("(?i) AS ").last.trim.stripPrefix("`").stripSuffix("`"))
+      else discovered
+    val preds = partitionKey match {
+      case Some(pk) if rowCountEstimate >= 2 * rowsPerRange =>
+        val (lo, hi) = integerBounds(params, schema, table, pk)
+        rangePredicates(pk, lo, hi, rowsPerRange)
+      case _ => Seq("1 = 1")
+    }
+    val select = cols.mkString(", ")
+    val p = params // capture the case class, not this object
+    val rdd = spark.sparkContext
+      .parallelize(preds, preds.length)
+      .mapPartitions { it =>
+        it.flatMap { pred =>
+          val conn = new MySqlWireConnection(p)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => conn.close())
+          val (_, rows) = conn.queryStream(
+            s"SELECT $select FROM $qtable WHERE $pred")
+          new Iterator[Row] {
+            private var closed = false
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h && !closed) { closed = true; conn.close() }
+              h
+            }
+            override def next(): Row = Row.fromSeq(rows.next().toSeq)
+          }
+        }
+      }
+    val sparkSchema = StructType(names.map(n =>
+      StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

@@ -1,0 +1,226 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sources.MySqlWire
+
+/** In-process MySQL wire-protocol server speaking just enough of the
+  * client/server protocol to drive [[graft.sources.MySqlWireConnection]]
+  * through handshake v10 + mysql_native_password (optionally via an
+  * AuthSwitchRequest round), COM_QUERY text resultsets with range-slice
+  * routing, and COM_QUIT — the MySQL twin of [[FakePgServer]].
+  *
+  * @param authSwitch reply to the handshake response with an
+  *   AuthSwitchRequest carrying a FRESH salt (the server-side re-auth
+  *   path real servers take when the user's plugin differs)
+  * @param onSelect   multi-result routing: first match wins, falls back
+  *   to the single (tableCols, tableRows) table; `WHERE k >= a AND
+  *   k < b` range predicates and LIMIT 0 apply to the routed rows
+  */
+final class FakeMySqlServer(
+    user: String = "graft",
+    password: String = "secret",
+    authSwitch: Boolean = false,
+    tableCols: Seq[String] = Nil,
+    tableRows: Seq[Array[String]] = Nil,
+    onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
+      _ => None,
+    onRow: Int => Unit = _ => ()) extends AutoCloseable {
+
+  val executed = new ArrayBuffer[String]() // row-less statements
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var running = true
+  private val server = new ServerSocket(0, 50,
+    java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s), "fake-mysql-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () } // closed
+    }
+  }, "fake-mysql-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running = false; server.close() }
+
+  // ---- per-connection protocol ----
+
+  private def handle(sock: Socket): Unit = {
+    connections.incrementAndGet()
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream))
+    var seq = 0
+
+    def sendPacket(payload: Array[Byte]): Unit = {
+      out.writeByte(payload.length & 0xFF)
+      out.writeByte((payload.length >> 8) & 0xFF)
+      out.writeByte((payload.length >> 16) & 0xFF)
+      out.writeByte(seq)
+      seq = (seq + 1) & 0xFF
+      out.write(payload)
+      out.flush()
+    }
+    def readPacket(): Array[Byte] = {
+      val len = in.read() | (in.read() << 8) | (in.read() << 16)
+      if (len < 0) throw new java.io.EOFException("client closed")
+      seq = (in.read() + 1) & 0xFF
+      val p = new Array[Byte](len)
+      in.readFully(p)
+      p
+    }
+    def ok(): Unit =
+      sendPacket(Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00))
+    def err(code: Int, state: String, msg: String): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0xFF)
+      b.write(code & 0xFF); b.write((code >> 8) & 0xFF)
+      b.write('#'); b.write(state.getBytes(UTF_8), 0, 5)
+      val m = msg.getBytes(UTF_8)
+      b.write(m, 0, m.length)
+      sendPacket(b.toByteArray)
+    }
+    def eof(): Unit = sendPacket(Array[Byte](0xFE.toByte, 0, 0, 2, 0))
+
+    def newSalt(): Array[Byte] = {
+      val s = new Array[Byte](20)
+      new java.security.SecureRandom().nextBytes(s)
+      // the scramble must be NUL-free (cstring framing in the switch)
+      s.map(b => ((b & 0x7F) % 94 + 33).toByte)
+    }
+
+    try {
+      // ---- handshake v10 ----
+      val salt = newSalt()
+      val hs = new java.io.ByteArrayOutputStream()
+      hs.write(10)
+      hs.write("8.0.0-fake".getBytes(UTF_8)); hs.write(0)
+      hs.write(Array[Byte](1, 0, 0, 0), 0, 4) // thread id
+      hs.write(salt, 0, 8); hs.write(0)
+      val capLow = MySqlWire.ClientProtocol41 |
+        MySqlWire.ClientSecureConnection | MySqlWire.ClientConnectWithDb |
+        MySqlWire.ClientLongPassword | MySqlWire.ClientTransactions
+      hs.write(capLow & 0xFF); hs.write((capLow >> 8) & 0xFF)
+      hs.write(45) // utf8mb4
+      hs.write(2); hs.write(0) // status
+      val capHigh = MySqlWire.ClientPluginAuth >> 16
+      hs.write(capHigh & 0xFF); hs.write((capHigh >> 8) & 0xFF)
+      hs.write(21) // auth data length
+      hs.write(new Array[Byte](10), 0, 10)
+      hs.write(salt, 8, 12); hs.write(0)
+      hs.write("mysql_native_password".getBytes(UTF_8)); hs.write(0)
+      sendPacket(hs.toByteArray)
+
+      // ---- HandshakeResponse41 ----
+      val resp = new MySqlWire.Cursor(readPacket())
+      val caps = resp.u4
+      resp.skip(4) // max packet
+      resp.skip(1) // charset
+      resp.skip(23)
+      val gotUser = resp.cstring
+      val authLen = resp.u1
+      var auth = resp.bytes(authLen)
+      if ((caps & MySqlWire.ClientConnectWithDb) != 0) resp.cstring // db
+      var effectiveSalt = salt
+      if (authSwitch) {
+        // AuthSwitchRequest: 0xFE + plugin cstring + fresh salt cstring
+        val fresh = newSalt()
+        val sw = new java.io.ByteArrayOutputStream()
+        sw.write(0xFE)
+        sw.write("mysql_native_password".getBytes(UTF_8)); sw.write(0)
+        sw.write(fresh, 0, fresh.length); sw.write(0)
+        sendPacket(sw.toByteArray)
+        auth = readPacket()
+        effectiveSalt = fresh
+      }
+      val expected = MySqlWire.nativePassword(password, effectiveSalt)
+      if (gotUser != user || !java.util.Arrays.equals(auth, expected)) {
+        err(1045, "28000", s"Access denied for user '$gotUser'")
+        return
+      }
+      ok()
+
+      // ---- command loop ----
+      def sendResultset(sql: String): Unit = {
+        val (cols, allRows) = onSelect(sql).getOrElse((tableCols, tableRows))
+        val rows = sliceRows(sql, cols, allRows)
+        val cnt = new java.io.ByteArrayOutputStream()
+        MySqlWire.writeLenenc(cnt, cols.size.toLong)
+        sendPacket(cnt.toByteArray)
+        cols.foreach { name =>
+          val cd = new java.io.ByteArrayOutputStream()
+          Seq("def", "", "", "", name, name).foreach(
+            MySqlWire.writeLenencString(cd, _))
+          cd.write(0x0C)
+          cd.write(45); cd.write(0) // charset
+          cd.write(Array[Byte](-1, 0, 0, 0), 0, 4) // column length
+          cd.write(0xFD) // VAR_STRING
+          cd.write(0); cd.write(0) // flags
+          cd.write(0) // decimals
+          cd.write(0); cd.write(0)
+          sendPacket(cd.toByteArray)
+        }
+        eof()
+        rows.zipWithIndex.foreach { case (r, i) =>
+          onRow(i) // may block — prior rows are flushed per packet
+          val rp = new java.io.ByteArrayOutputStream()
+          r.foreach(MySqlWire.writeLenencString(rp, _))
+          sendPacket(rp.toByteArray)
+        }
+        eof()
+      }
+
+      while (true) {
+        val p = readPacket()
+        (p(0) & 0xFF) match {
+          case 0x01 => return // COM_QUIT
+          case 0x0E => ok() // COM_PING
+          case 0x03 =>
+            val sql = new String(p, 1, p.length - 1, UTF_8)
+            if (sql.trim.toUpperCase.startsWith("SELECT"))
+              sendResultset(sql)
+            else {
+              executed.synchronized(executed += sql)
+              ok()
+            }
+          case _ => ok()
+        }
+      }
+    } catch {
+      case _: java.io.EOFException => () // client went away
+      case e: Throwable =>
+        System.err.println(s"[fake-mysql] handler died: $e")
+        e.printStackTrace()
+    } finally sock.close()
+  }
+
+  /** Apply `WHERE k >= a [AND k < b]` range predicates and LIMIT 0 the
+    * way [[graft.sources.MySqlWireSource]] emits them. */
+  private def sliceRows(sql: String, cols: Seq[String],
+                        rows: Seq[Array[String]]): Seq[Array[String]] = {
+    if (sql.toUpperCase.contains("LIMIT 0")) return Nil
+    val range = "`([^`]+)` >= (-?\\d+)(?: AND `[^`]+` < (-?\\d+))?".r
+    range.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val idx = cols.indexOf(m.group(1))
+        if (idx < 0) rows
+        else {
+          val lo = m.group(2).toLong
+          val hi = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+          rows.filter { r =>
+            val v = r(idx).toLong; v >= lo && v < hi
+          }
+        }
+      case None => rows
+    }
+  }
+}
