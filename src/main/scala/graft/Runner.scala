@@ -143,10 +143,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         }
         (graft.sources.PgWireSource.introspect(sp),
           graft.casting.DefaultCastRules.pgsql, read)
+      case "sqlite" =>
+        // sqlite:///path/to/file.db — the native file-format reader
+        // (no server, no driver jar); row counts feed the size ordering
+        val path = uri.stripPrefix("sqlite://")
+        val read = (t: Table) =>
+          graft.sources.SqliteSource.read(spark, path, t.sourceName)
+        (graft.sources.SqliteSource.introspect(path, rowCounts = true),
+          graft.casting.DefaultCastRules.sqlite, read)
       case other => throw new UnsupportedOperationException(
         s"LOAD DATABASE source $other:// is not wired driver-free " +
-          "(mysql/pgsql speak the native protocols; sqlite/mssql need " +
-          "their JDBC drivers — use JdbcSource + Migrator directly)")
+          "(mysql/pgsql speak the native protocols, sqlite reads the " +
+          "file format; mssql needs its JDBC driver — use JdbcSource + " +
+          "Migrator directly)")
     }
     val bySchema = tables.groupBy(_.schema).toSeq.sortBy(_._1)
     val cat = Catalog(uri, bySchema.map { case (s, ts) =>

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Spark face of the driver-free SQLite reader ([[SqliteFile]]):
+  * introspection into the catalog/cast chain and a distributed scan
+  * partitioned by table B-tree SUBTREES — each root child holds a
+  * disjoint rowid range, so subtree scans partition the table exactly,
+  * no predicates needed (the file-format analog of the PG ctid split).
+  * The path must be visible from every executor (local FS in local
+  * mode; a shared mount on a cluster — a .sqlite file is a single-host
+  * artifact by nature, the reference reads it the same way). */
+object SqliteSource {
+
+  /** Schema objects of kind `table`, excluding SQLite internals, mapped
+    * through the same [[IntrospectionRows.sqliteTable]] rules as the
+    * PRAGMA path (INTEGER-PRIMARY-KEY rowid alias, implicit NOT NULL,
+    * missing type → text). `rowCounts` walks each table once. */
+  def introspect(path: String, rowCounts: Boolean = false)
+      : Seq[graft.catalog.Table] = {
+    val db = SqliteFile.open(path)
+    try {
+      userTables(db).map { m =>
+        val cols = SqliteFile.parseCreateTable(m.sql)
+        val count =
+          if (rowCounts) db.scan(m.rootPage, cols.length).size.toLong
+          else 0L
+        IntrospectionRows.sqliteTable(m.name, cols, rowCount = count)
+      }
+    } finally db.close()
+  }
+
+  private def userTables(db: SqliteFile.Db): Seq[SqliteFile.MasterRow] =
+    db.master().filter(m => m.kind == "table" &&
+      !m.name.startsWith("sqlite_"))
+
+  /** The rowid-alias column index: a single-column INTEGER PRIMARY KEY
+    * stores NULL in the record and takes the rowid (same rule as
+    * [[IntrospectionRows.sqliteTable]]'s auto-increment detection). */
+  private def rowidAliasIdx(
+      cols: Seq[IntrospectionRows.SqliteColumn]): Int =
+    if (cols.count(_.pk > 0) == 1)
+      cols.indexWhere(c => c.pk == 1 &&
+        c.ctype.trim.toLowerCase == "integer")
+    else -1
+
+  /** Read one table as an all-string DataFrame (fidelity mode), one
+    * Spark partition per root subtree. */
+  def read(spark: SparkSession, path: String, table: String): DataFrame = {
+    val db = SqliteFile.open(path)
+    val (rootPage, cols) =
+      try {
+        val m = userTables(db).find(_.name == table).getOrElse(
+          throw new IllegalArgumentException(s"no such table $table in $path"))
+        (m.rootPage, SqliteFile.parseCreateTable(m.sql))
+      } finally db.close()
+    val names = cols.map(_.name)
+    val alias = rowidAliasIdx(cols)
+    val ncols = cols.length
+    val realCols = cols.zipWithIndex.collect {
+      case (c, i) if SqliteFile.affinityIsReal(c.ctype) => i
+    }.toSet
+    val roots = {
+      val d = SqliteFile.open(path)
+      try d.subtreeRoots(rootPage) finally d.close()
+    }
+    val p = path
+    val rdd = spark.sparkContext
+      .parallelize(roots, roots.length)
+      .mapPartitions { it =>
+        it.flatMap { subtree =>
+          val d = SqliteFile.open(p)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => d.close())
+          d.scan(subtree, ncols, alias, realCols)
+            .map(vals => Row.fromSeq(vals.toSeq))
+        }
+      }
+    val schema = StructType(names.map(n =>
+      StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(rdd, schema)
+  }
+}
