@@ -151,11 +151,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.sources.SqliteSource.read(spark, path, t.sourceName)
         (graft.sources.SqliteSource.introspect(path, rowCounts = true),
           graft.casting.DefaultCastRules.sqlite, read)
+      case "mssql" =>
+        val tp = graft.sources.TdsWire.connParams(uri, decode)
+        val read = (t: Table) =>
+          graft.sources.MssqlWireSource.read(spark, tp, t.schema,
+            t.sourceName,
+            selectExpr = graft.sources.ColumnSqlExpressions.selectList(
+              "mssql", t.fields.map(f => (f.name, f.typeName))))
+        (graft.sources.MssqlWireSource.introspect(tp),
+          graft.casting.DefaultCastRules.mssql, read)
       case other => throw new UnsupportedOperationException(
-        s"LOAD DATABASE source $other:// is not wired driver-free " +
-          "(mysql/pgsql speak the native protocols, sqlite reads the " +
-          "file format; mssql needs its JDBC driver — use JdbcSource + " +
-          "Migrator directly)")
+        s"LOAD DATABASE source $other:// is not wired (mysql/pgsql/mssql " +
+          "speak their native wire protocols, sqlite reads the file " +
+          "format)")
     }
     val bySchema = tables.groupBy(_.schema).toSeq.sortBy(_._1)
     val cat = Catalog(uri, bySchema.map { case (s, ts) =>

@@ -1,0 +1,269 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_16LE
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sources.TdsWire
+
+/** In-process TDS server speaking just enough of [MS-TDS] 7.1 to drive
+  * [[graft.sources.TdsWireConnection]] through PRELOGIN, LOGIN7 with SQL
+  * auth (password de-obfuscation + verify), SQLBatch with NVARCHAR
+  * resultsets, and a TYPED_DEMO route that emits INTN / NUMERICN / BITN
+  * / FLT8 / DATETIME / NVARCHAR columns to exercise the client's value
+  * decoders end to end — the MSSQL sibling of [[FakePgServer]] and
+  * [[FakeMySqlServer]]. */
+final class FakeTdsServer(
+    user: String = "graft",
+    password: String = "secret",
+    tableCols: Seq[String] = Nil,
+    tableRows: Seq[Array[String]] = Nil,
+    onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
+      _ => None) extends AutoCloseable {
+
+  val executed = new ArrayBuffer[String]()
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var running = true
+  private val server = new ServerSocket(0, 50,
+    java.net.InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s), "fake-tds-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () }
+    }
+  }, "fake-tds-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running = false; server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    connections.incrementAndGet()
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream))
+
+    def sendPacket(tpe: Int, payload: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeByte(0x01)
+      out.writeShort(payload.length + 8)
+      out.writeShort(0); out.writeByte(1); out.writeByte(0)
+      out.write(payload); out.flush()
+    }
+    def readMessage(): (Int, Array[Byte]) = {
+      val acc = new java.io.ByteArrayOutputStream()
+      var tpe = 0
+      var eom = false
+      while (!eom) {
+        tpe = in.readByte() & 0xFF
+        val status = in.readByte()
+        val len = in.readUnsignedShort()
+        in.readShort(); in.readByte(); in.readByte()
+        val p = new Array[Byte](len - 8)
+        in.readFully(p)
+        acc.write(p)
+        eom = (status & 0x01) != 0
+      }
+      (tpe, acc.toByteArray)
+    }
+
+    // little-endian emitters into a token stream
+    def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+    }
+    def le32(b: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 4).foreach(i => b.write(((v >> (8 * i)) & 0xFF).toInt))
+    def bVarchar(b: java.io.ByteArrayOutputStream, s: String): Unit = {
+      b.write(s.length)
+      val x = s.getBytes(UTF_16LE); b.write(x, 0, x.length)
+    }
+    def done(b: java.io.ByteArrayOutputStream, rows: Long): Unit = {
+      b.write(TdsWire.TokDone); le16(b, 0); le16(b, 0); le32(b, rows)
+    }
+    def errorToken(b: java.io.ByteArrayOutputStream, number: Long,
+                   msg: String): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      le32(body, number)
+      body.write(1) // state
+      body.write(14) // severity
+      le16(body, msg.length)
+      val mb = msg.getBytes(UTF_16LE); body.write(mb, 0, mb.length)
+      body.write(0) // server name (empty B_VARCHAR)
+      body.write(0) // proc name
+      le16(body, 0) // line
+      b.write(TdsWire.TokError)
+      le16(b, body.size())
+      body.writeTo(b)
+    }
+
+    try {
+      // ---- PRELOGIN ----
+      val (t0, _) = readMessage()
+      require(t0 == TdsWire.PktPrelogin, s"expected PRELOGIN, got $t0")
+      val pre = new java.io.ByteArrayOutputStream()
+      // VERSION + ENCRYPTION(not sup) option table
+      val version = Array[Byte](16, 0, 0, 0, 0, 0)
+      val enc = Array[Byte](2)
+      var off = 2 * 5 + 1
+      Seq((0, version), (1, enc)).foreach { case (tok, data) =>
+        pre.write(tok)
+        pre.write((off >> 8) & 0xFF); pre.write(off & 0xFF)
+        pre.write((data.length >> 8) & 0xFF); pre.write(data.length & 0xFF)
+        off += data.length
+      }
+      pre.write(0xFF)
+      pre.write(version, 0, version.length); pre.write(enc, 0, enc.length)
+      sendPacket(TdsWire.PktTabular, pre.toByteArray)
+
+      // ---- LOGIN7 ----
+      val (t1, login) = readMessage()
+      require(t1 == TdsWire.PktLogin7, s"expected LOGIN7, got $t1")
+      def dirAt(i: Int): (Int, Int) = {
+        val base = 36 + i * 4
+        def u16(o: Int) = (login(o) & 0xFF) | ((login(o + 1) & 0xFF) << 8)
+        (u16(base), u16(base + 2))
+      }
+      def fieldStr(i: Int): String = {
+        val (o, chars) = dirAt(i)
+        new String(login, o, chars * 2, UTF_16LE)
+      }
+      val gotUser = fieldStr(1)
+      val (po, pchars) = dirAt(2)
+      val gotPass = TdsWire.deobfuscatePassword(
+        java.util.Arrays.copyOfRange(login, po, po + pchars * 2))
+      val resp = new java.io.ByteArrayOutputStream()
+      if (gotUser != user || gotPass != password) {
+        errorToken(resp, 18456L, s"Login failed for user '$gotUser'.")
+        done(resp, 0)
+        sendPacket(TdsWire.PktTabular, resp.toByteArray)
+        return
+      }
+      // LOGINACK: interface, tdsversion, progname, progversion
+      val ack = new java.io.ByteArrayOutputStream()
+      ack.write(1)
+      le32(ack, 0x71000001L)
+      bVarchar(ack, "fake-mssql")
+      le32(ack, 0L)
+      resp.write(TdsWire.TokLoginAck)
+      le16(resp, ack.size())
+      ack.writeTo(resp)
+      done(resp, 0)
+      sendPacket(TdsWire.PktTabular, resp.toByteArray)
+
+      // ---- batch loop ----
+      while (true) {
+        val (tb, body) = readMessage()
+        if (tb != TdsWire.PktSqlBatch) return
+        val sql = new String(body, UTF_16LE)
+        val b = new java.io.ByteArrayOutputStream()
+        if (sql.contains("TYPED_DEMO")) typedDemo(b, le16, le32, bVarchar,
+          done)
+        else if (sql.trim.toUpperCase.startsWith("SELECT")) {
+          val (cols, allRows) =
+            onSelect(sql).getOrElse((tableCols, tableRows))
+          val rows =
+            if (sql.toUpperCase.contains("TOP 0")) Nil else allRows
+          // COLMETADATA: every column NVARCHAR(4000)
+          b.write(TdsWire.TokColMetaData)
+          le16(b, cols.size)
+          cols.foreach { c =>
+            le16(b, 0) // usertype
+            le16(b, 0) // flags
+            b.write(TdsWire.TNVarChar)
+            le16(b, 8000)
+            b.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
+            bVarchar(b, c)
+          }
+          rows.foreach { r =>
+            b.write(TdsWire.TokRow)
+            r.foreach { v =>
+              if (v == null) le16(b, 0xFFFF)
+              else {
+                val x = v.getBytes(UTF_16LE)
+                le16(b, x.length); b.write(x, 0, x.length)
+              }
+            }
+          }
+          done(b, rows.size.toLong)
+        } else {
+          executed.synchronized(executed += sql)
+          done(b, 0)
+        }
+        sendPacket(TdsWire.PktTabular, b.toByteArray)
+      }
+    } catch {
+      case _: java.io.EOFException => ()
+      case e: Throwable =>
+        System.err.println(s"[fake-tds] handler died: $e")
+        e.printStackTrace()
+    } finally sock.close()
+  }
+
+  /** A typed resultset — INTN, NUMERICN(12,4), BITN, FLT8, DATETIME,
+    * NVARCHAR — two data rows plus an all-NULL row, to drive every
+    * client value decoder. */
+  private def typedDemo(b: java.io.ByteArrayOutputStream,
+                        le16: (java.io.ByteArrayOutputStream, Int) => Unit,
+                        le32: (java.io.ByteArrayOutputStream, Long) => Unit,
+                        bVarchar: (java.io.ByteArrayOutputStream, String) => Unit,
+                        done: (java.io.ByteArrayOutputStream, Long) => Unit)
+      : Unit = {
+    b.write(TdsWire.TokColMetaData)
+    le16(b, 6)
+    def colHead(): Unit = { le16(b, 0); le16(b, 0) }
+    colHead(); b.write(TdsWire.TIntN); b.write(8); bVarchar(b, "id")
+    colHead(); b.write(TdsWire.TNumericN); b.write(17); b.write(12)
+    b.write(4); bVarchar(b, "price")
+    colHead(); b.write(TdsWire.TBitN); b.write(1); bVarchar(b, "flag")
+    colHead(); b.write(TdsWire.TFlt8); bVarchar(b, "ratio")
+    colHead(); b.write(TdsWire.TDateTime); bVarchar(b, "at")
+    colHead(); b.write(TdsWire.TNVarChar); le16(b, 8000)
+    b.write(Array[Byte](0, 0, 0, 0, 0), 0, 5); bVarchar(b, "note")
+
+    def intN(v: Long): Unit = {
+      b.write(8); (0 until 8).foreach(i => b.write(((v >> (8 * i)) & 0xFF).toInt))
+    }
+    def numericN(unscaled: Long, positive: Boolean): Unit = {
+      b.write(9); b.write(if (positive) 1 else 0)
+      (0 until 8).foreach(i => b.write(((unscaled >> (8 * i)) & 0xFF).toInt))
+    }
+    def bitN(v: Option[Boolean]): Unit = v match {
+      case Some(x) => b.write(1); b.write(if (x) 1 else 0)
+      case None => b.write(0)
+    }
+    def flt8(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => b.write(((bits >> (8 * i)) & 0xFF).toInt))
+    }
+    def dt(days: Long, t300: Long): Unit = { le32(b, days); le32(b, t300) }
+    def nv(s: String): Unit = {
+      if (s == null) le16(b, 0xFFFF)
+      else { val x = s.getBytes(UTF_16LE); le16(b, x.length); b.write(x, 0, x.length) }
+    }
+
+    b.write(TdsWire.TokRow)
+    intN(42L); numericN(12345678L, positive = true)
+    bitN(Some(true)); flt8(2.5)
+    // 2020-01-02 03:04:05.000 = 43830 days since 1900-01-01;
+    // 03:04:05 = 11045 s = 3313500 three-hundredths
+    dt(43830L, 3313500L); nv("hello")
+    b.write(TdsWire.TokRow)
+    intN(-7L); numericN(5000L, positive = false)
+    bitN(Some(false)); flt8(-0.125)
+    dt(0L, 0L); nv("bye")
+    b.write(TdsWire.TokRow)
+    b.write(0) // intN NULL
+    b.write(0) // numericN NULL
+    bitN(None)
+    flt8(0.0) // FLT8 is fixed-width, no NULL form
+    dt(0L, 0L)
+    nv(null)
+    done(b, 3)
+  }
+}
