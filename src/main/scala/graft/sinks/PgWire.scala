@@ -171,38 +171,11 @@ final class PgWireConnection(params: PgWire.ConnParams)
     }
   }
 
-  private def tlsWrap(raw: Socket): Socket = {
-    val verify = params.sslMode == "verify-full"
-    val ctx =
-      if (verify) javax.net.ssl.SSLContext.getDefault
-      else {
-        // `require`/`prefer` semantics: encrypt, trust any certificate
-        // (libpq verifies only at verify-ca/verify-full)
-        val c = javax.net.ssl.SSLContext.getInstance("TLS")
-        c.init(null, Array[javax.net.ssl.TrustManager](
-          new javax.net.ssl.X509TrustManager {
-            override def checkClientTrusted(
-                cs: Array[java.security.cert.X509Certificate],
-                a: String): Unit = ()
-            override def checkServerTrusted(
-                cs: Array[java.security.cert.X509Certificate],
-                a: String): Unit = ()
-            override def getAcceptedIssuers
-                : Array[java.security.cert.X509Certificate] = Array.empty
-          }), null)
-        c
-      }
-    val ssl = ctx.getSocketFactory
-      .createSocket(raw, params.host, params.port, true)
-      .asInstanceOf[javax.net.ssl.SSLSocket]
-    if (verify) {
-      val sp = ssl.getSSLParameters
-      sp.setEndpointIdentificationAlgorithm("HTTPS")
-      ssl.setSSLParameters(sp)
-    }
-    ssl.startHandshake()
-    ssl
-  }
+  private def tlsWrap(raw: Socket): Socket =
+    // `require`/`prefer`: encrypt, trust any certificate (libpq verifies
+    // only at verify-ca/verify-full)
+    graft.sources.TlsSocket.wrap(raw, params.host, params.port,
+      verify = params.sslMode == "verify-full")
 
   // ---- framing ----
 

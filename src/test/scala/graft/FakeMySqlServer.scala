@@ -28,10 +28,14 @@ final class FakeMySqlServer(
     tableRows: Seq[Array[String]] = Nil,
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
       _ => None,
-    onRow: Int => Unit = _ => ()) extends AutoCloseable {
+    onRow: Int => Unit = _ => (),
+    // TLS: when set, CLIENT_SSL is advertised and a 32-byte SSLRequest
+    // upgrades the connection before the full handshake response
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   val executed = new ArrayBuffer[String]() // row-less statements
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tlsConnections = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var running = true
   private val server = new ServerSocket(0, 50,
     java.net.InetAddress.getLoopbackAddress)
@@ -54,10 +58,11 @@ final class FakeMySqlServer(
 
   // ---- per-connection protocol ----
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock0: Socket): Unit = {
     connections.incrementAndGet()
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
     var seq = 0
 
@@ -108,7 +113,8 @@ final class FakeMySqlServer(
       hs.write(salt, 0, 8); hs.write(0)
       val capLow = MySqlWire.ClientProtocol41 |
         MySqlWire.ClientSecureConnection | MySqlWire.ClientConnectWithDb |
-        MySqlWire.ClientLongPassword | MySqlWire.ClientTransactions
+        MySqlWire.ClientLongPassword | MySqlWire.ClientTransactions |
+        (if (tls.isDefined) MySqlWire.ClientSsl else 0)
       hs.write(capLow & 0xFF); hs.write((capLow >> 8) & 0xFF)
       hs.write(45) // utf8mb4
       hs.write(2); hs.write(0) // status
@@ -120,8 +126,25 @@ final class FakeMySqlServer(
       hs.write("mysql_native_password".getBytes(UTF_8)); hs.write(0)
       sendPacket(hs.toByteArray)
 
-      // ---- HandshakeResponse41 ----
-      val resp = new MySqlWire.Cursor(readPacket())
+      // ---- HandshakeResponse41 (possibly preceded by SSLRequest: the
+      // 32-byte prefix with CLIENT_SSL set → upgrade, read the full
+      // response over TLS) ----
+      var first = readPacket()
+      if (tls.isDefined && first.length == 32 &&
+          (((first(1) & 0xFF) << 8) & MySqlWire.ClientSsl) != 0) {
+        tlsConnections.incrementAndGet()
+        val ssl = tls.get.getSocketFactory
+          .createSocket(sock, null, sock.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        sock = ssl
+        in = new DataInputStream(
+          new BufferedInputStream(sock.getInputStream))
+        out = new DataOutputStream(
+          new BufferedOutputStream(sock.getOutputStream))
+        first = readPacket()
+      }
+      val resp = new MySqlWire.Cursor(first)
       val caps = resp.u4
       resp.skip(4) // max packet
       resp.skip(1) // charset

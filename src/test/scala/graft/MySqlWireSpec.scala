@@ -247,6 +247,33 @@ class MySqlWireSpec extends SparkSpec {
     } finally { src.close(); dst.close() }
   }
 
+  test("sslmode: prefer upgrades to TLS when advertised; require fails " +
+    "fast against a plain server; auth + resultsets run over TLS") {
+    val srv = new FakeMySqlServer(tls = Some(TestTls.context),
+      tableCols = Seq("v"), tableRows = Seq(Array("9"), Array(null)))
+    try {
+      // default prefer → server advertises CLIENT_SSL → real handshake
+      val conn = new MySqlWireConnection(params(srv.port))
+      val (cols, rows) = conn.query("SELECT v FROM t")
+      conn.simpleCommand("SET NAMES utf8mb4")
+      conn.close()
+      assert(cols == Seq("v") && rows.map(_.toSeq) ==
+        Seq(Seq("9"), Seq(null)))
+      assert(srv.tlsConnections.get == 1)
+    } finally srv.close()
+    val plain = new FakeMySqlServer()
+    try {
+      val e = intercept[java.io.IOException] {
+        new MySqlWireConnection(
+          params(plain.port).copy(sslMode = "require"))
+      }
+      assert(e.getMessage.contains("sslmode=require"))
+      // and prefer against a plain server stays plaintext (every other
+      // test in this suite runs this path)
+      assert(plain.tlsConnections.get == 0)
+    } finally plain.close()
+  }
+
   test("connParams parses mysql uris") {
     val p = MySqlWire.connParams("mysql://u:pw@db.example:3307/sakila",
       identity)
@@ -254,5 +281,7 @@ class MySqlWireSpec extends SparkSpec {
       "u", "pw"))
     val d = MySqlWire.connParams("mysql://root@localhost", identity)
     assert(d == MySqlWire.ConnParams("localhost", 3306, "", "root", ""))
+    assert(MySqlWire.connParams("mysql://u@h/d?sslmode=require", identity)
+      .sslMode == "require")
   }
 }

@@ -303,33 +303,9 @@ class PgWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
-  /** Self-signed localhost keystore via the JDK's own keytool — no
-    * crypto library needed to stand up a real TLS listener. */
-  private def tlsContext(): javax.net.ssl.SSLContext = {
-    val dir = java.nio.file.Files.createTempDirectory("fake-pg-tls")
-    dir.toFile.deleteOnExit()
-    val ks = dir.resolve("ks.p12")
-    ks.toFile.deleteOnExit()
-    val proc = new ProcessBuilder("keytool", "-genkeypair", "-alias",
-      "fake", "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
-      "-keystore", ks.toString, "-storepass", "changeit",
-      "-dname", "CN=localhost", "-validity", "1")
-      .redirectErrorStream(true).start()
-    val log = new String(proc.getInputStream.readAllBytes)
-    assert(proc.waitFor() == 0, log)
-    val store = java.security.KeyStore.getInstance("PKCS12")
-    val is = java.nio.file.Files.newInputStream(ks)
-    try store.load(is, "changeit".toCharArray) finally is.close()
-    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
-      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(store, "changeit".toCharArray)
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
-    ctx
-  }
-
   test("sslmode=require: real TLS handshake, SCRAM + COPY + query over it") {
-    val srv = new FakePgServer(authMode = "scram", tls = Some(tlsContext()),
+    val srv = new FakePgServer(authMode = "scram",
+      tls = Some(TestTls.context),
       tableCols = Seq("v"), tableRows = Seq(Array("42")))
     try {
       val conn = new PgWireConnection(
