@@ -157,6 +157,42 @@ class SqliteFileSpec extends SparkSpec {
     } finally dst.close()
   }
 
+  test("bad-utf8: a non-UTF-8 value in a TEXT column survives byte-exact") {
+    // the reference's issue-1250 fixture: row 2's filename carries a raw
+    // 0x96 and is stored as a BLOB serial type (SQLite keeps blobs under
+    // TEXT affinity). cl-sqlite raised a decoding error here; this
+    // reader is serial-type-faithful, so the value surfaces as bytea hex
+    // with ZERO byte loss — no decode, no error, no replacement chars
+    val rows = SqliteSource.read(spark, fixture("bad-utf8.db"), "files")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1.toInt)
+    assert(rows.toSeq == Seq(
+      ("1", "valid-file.txt"),
+      ("2", "\\x66696c65" + "96" + "6e616d652e747874"), // file\x96name.txt
+      ("3", "another-valid.txt")))
+  }
+
+  test("collision.db: 63-byte truncation collision is caught by the " +
+    "identifier check (the fixture's purpose)") {
+    val cat = SqliteSource.introspect(fixture("collision.db"))
+    val cols = cat.find(_.name == "products").get.fields.map(_.name)
+    assert(cols.count(_.length > 63) == 2)
+    val collisions = graft.catalog.Identifiers.collisions(cols)
+    assert(collisions.nonEmpty,
+      "the two >63-byte names must collide after truncation")
+  }
+
+  test("storage.sqlite: 10-table db introspects and reads") {
+    val p = fixture("storage.sqlite")
+    val cat = SqliteSource.introspect(p)
+    assert(cat.length == 9) // 10 tables minus sqlite_sequence (internal)
+    val users = SqliteSource.read(spark, p, "auth_user").collect()
+    assert(users.length == 3)
+    val first = users.minBy(_.getString(0).toInt)
+    assert(first.getString(1) == "Peter" && first.getString(2) == "Govers")
+    assert(SqliteSource.read(spark, p, "auth_event").count() == 15)
+  }
+
   test("the sqlite catalog feeds the cast engine like the PRAGMA path") {
     val cat = SqliteSource.introspect(fixture("sqlite.db"))
     val user = cat.find(_.name == "user").get
