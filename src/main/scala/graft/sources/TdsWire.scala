@@ -142,7 +142,8 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     out.flush()
   }
 
-  /** Reassemble one complete server MESSAGE (all packets to EOM). */
+  /** Reassemble one complete server MESSAGE — PRELOGIN only (a few
+    * bytes); everything else streams via [[TokenStream]]. */
   private def readMessage(): Array[Byte] = {
     val acc = new java.io.ByteArrayOutputStream()
     var eom = false
@@ -157,6 +158,61 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       eom = (status & 0x01) != 0
     }
     acc.toByteArray
+  }
+
+  /** Streaming view over one server response: token-stream bytes are
+    * read ACROSS packet boundaries on demand — one packet payload in
+    * memory at a time, so a large resultset never accumulates in heap
+    * (the same bounded-memory contract as the PG and MySQL clients).
+    * Single-use; must be drained before the next request. */
+  private final class TokenStream {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private var eom = false
+    /** true when at least one more byte is readable. */
+    def hasMore: Boolean = {
+      while (pos >= buf.length && !eom) {
+        in.readByte() // type
+        val status = in.readByte()
+        val len = in.readUnsignedShort()
+        in.readShort(); in.readByte(); in.readByte()
+        buf = new Array[Byte](len - 8)
+        in.readFully(buf)
+        pos = 0
+        if ((status & 0x01) != 0) eom = true
+      }
+      pos < buf.length
+    }
+    def u8: Int = {
+      if (!hasMore) throw new java.io.EOFException("token stream drained")
+      val v = buf(pos) & 0xFF; pos += 1; v
+    }
+    def u16: Int = u8 | (u8 << 8)
+    def u32: Long = u16.toLong | (u16.toLong << 16)
+    def i64: Long = u32 | (u32 << 32)
+    def bytes(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        if (!hasMore)
+          throw new java.io.EOFException(s"token stream drained at $off/$n")
+        val take = math.min(n - off, buf.length - pos)
+        System.arraycopy(buf, pos, out, off, take)
+        pos += take; off += take
+      }
+      out
+    }
+    def skip(n: Int): Unit = { bytes(n); () }
+    /** B_VARCHAR: byte char count + UTF-16LE. */
+    def bVarchar: String = {
+      val n = u8
+      new String(bytes(n * 2), UTF_16LE)
+    }
+    /** US_VARCHAR: u16 char count + UTF-16LE. */
+    def usVarchar: String = {
+      val n = u16
+      new String(bytes(n * 2), UTF_16LE)
+    }
   }
 
   // ---- PRELOGIN ----
@@ -226,44 +282,24 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     sendPacket(PktLogin7, b.toByteArray)
 
     // token stream: LOGINACK = success; ERROR = rejection
-    val msg = readMessage()
+    val ts = new TokenStream
     var loginOk = false
-    tokens(msg) { (tok, cur) =>
-      tok match {
-        case TokLoginAck => loginOk = true
-        case TokError => throw parseError(cur)
-        case _ => ()
+    while (ts.hasMore) {
+      ts.u8 match {
+        case TokLoginAck => val len = ts.u16; ts.skip(len); loginOk = true
+        case TokError => throw parseError(ts)
+        case TokDone | TokDoneProc | TokDoneInProc => ts.skip(8)
+        case TokEnvChange | TokInfo => val len = ts.u16; ts.skip(len)
+        case other => throw new java.io.IOException(
+          f"unexpected login token 0x$other%02X")
       }
     }
     require(loginOk, "server sent no LOGINACK")
   }
 
-  // ---- token-stream plumbing ----
+  // ---- token parsing (over the streaming view) ----
 
-  private final class Cur(val buf: Array[Byte]) {
-    var pos = 0
-    def u8: Int = { val v = buf(pos) & 0xFF; pos += 1; v }
-    def u16: Int = u8 | (u8 << 8)
-    def u32: Long = u16.toLong | (u16.toLong << 16)
-    def i64: Long = u32 | (u32 << 32)
-    def skip(n: Int): Unit = pos += n
-    def bytes(n: Int): Array[Byte] = {
-      val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
-    }
-    def remaining: Int = buf.length - pos
-    /** B_VARCHAR: byte char count + UTF-16LE. */
-    def bVarchar: String = {
-      val n = u8
-      new String(bytes(n * 2), UTF_16LE)
-    }
-    /** US_VARCHAR: u16 char count + UTF-16LE. */
-    def usVarchar: String = {
-      val n = u16
-      new String(bytes(n * 2), UTF_16LE)
-    }
-  }
-
-  private def parseError(c: Cur): TdsServerError = {
+  private def parseError(c: TokenStream): TdsServerError = {
     c.u16 // token length
     val number = c.u32
     val state = c.u8
@@ -275,27 +311,9 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     TdsServerError(number, state, severity, msg)
   }
 
-  /** Walk a token stream, dispatching each token to `f` positioned AFTER
-    * the token byte; `f` must consume the token's body. */
-  private def tokens(msg: Array[Byte])(f: (Int, Cur) => Unit): Unit = {
-    val cur = new Cur(msg)
-    while (cur.remaining > 0) {
-      val tok = cur.u8
-      tok match {
-        case TokDone | TokDoneProc | TokDoneInProc =>
-          cur.skip(8) // status u16 + curcmd u16 + rowcount u32 (7.1)
-        case TokEnvChange | TokInfo =>
-          val len = cur.u16; cur.skip(len)
-        case TokLoginAck =>
-          val len = cur.u16; cur.skip(len); f(tok, cur)
-        case _ => f(tok, cur)
-      }
-    }
-  }
-
   // ---- COLMETADATA / ROW decoding ----
 
-  private def readColMeta(c: Cur): Seq[ColInfo] = {
+  private def readColMeta(c: TokenStream): Seq[ColInfo] = {
     val n = c.u16
     if (n == 0xFFFF) return Nil // NoMetaData
     (0 until n).map { _ =>
@@ -355,7 +373,7 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       .ofPattern("HH:mm:ss.SSS"))}"
   }
 
-  private def readValue(c: Cur, col: ColInfo): String = col.tpe match {
+  private def readValue(c: TokenStream, col: ColInfo): String = col.tpe match {
     case TInt1 | TInt2 | TInt4 | TInt8 => renderInt(c.bytes(col.maxLen))
     case TBit => if (c.u8 == 0) "f" else "t"
     case TFlt4 =>
@@ -418,23 +436,24 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
 
   /** Run one batch, STREAMING the tabular result: column names read
     * eagerly (COLMETADATA precedes rows), each ROW token decodes as the
-    * iterator is pulled — same bounded-memory contract as the PG and
-    * MySQL clients. The full response message is framed first (TDS
-    * messages are packet sequences), so "streaming" here bounds DECODED
-    * rows, not wire bytes; partition page-ranges keep messages small. */
+    * iterator is pulled, and the underlying packet sequence is read one
+    * frame at a time ([[TokenStream]]) — the response never accumulates
+    * in heap, the same bounded-memory contract as the PG and MySQL
+    * clients. Single-use until drained. */
   def queryStream(sql: String): (Seq[String], Iterator[Array[String]]) = {
     sendPacket(PktSqlBatch, sql.getBytes(UTF_16LE))
-    val msg = readMessage()
-    val cur = new Cur(msg)
+    val ts = new TokenStream
     var cols: Seq[ColInfo] = Nil
     var err: TdsServerError = null
     var sawMeta = false
-    while (!sawMeta && cur.remaining > 0) {
-      cur.u8 match {
-        case TokColMetaData => cols = readColMeta(cur); sawMeta = true
-        case TokError => err = parseError(cur)
-        case TokInfo | TokEnvChange => val len = cur.u16; cur.skip(len)
-        case TokDone | TokDoneProc | TokDoneInProc => cur.skip(8)
+    var headerDone = false
+    while (!sawMeta && !headerDone) {
+      if (!ts.hasMore) headerDone = true
+      else ts.u8 match {
+        case TokColMetaData => cols = readColMeta(ts); sawMeta = true
+        case TokError => err = parseError(ts)
+        case TokInfo | TokEnvChange => val len = ts.u16; ts.skip(len)
+        case TokDone | TokDoneProc | TokDoneInProc => ts.skip(8)
         case other => throw new java.io.IOException(
           f"unexpected token 0x$other%02X before metadata")
       }
@@ -443,24 +462,22 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     val colInfos = cols
     val it = new Iterator[Array[String]] {
       private var nextRow: Array[String] = null
-      private var done = cur.remaining == 0
+      private var done = headerDone
       private var pending: TdsServerError = null
       private def advance(): Unit = {
-        while (nextRow == null && !done && cur.remaining > 0) {
-          cur.u8 match {
+        while (nextRow == null && !done) {
+          if (!ts.hasMore) done = true
+          else ts.u8 match {
             case TokRow =>
-              nextRow = colInfos.map(readValue(cur, _)).toArray
-            case TokError => pending = parseError(cur)
-            case TokDone | TokDoneProc | TokDoneInProc =>
-              cur.skip(8)
-              if (cur.remaining == 0) done = true
+              nextRow = colInfos.map(readValue(ts, _)).toArray
+            case TokError => pending = parseError(ts)
+            case TokDone | TokDoneProc | TokDoneInProc => ts.skip(8)
             case TokInfo | TokEnvChange =>
-              val len = cur.u16; cur.skip(len)
+              val len = ts.u16; ts.skip(len)
             case other => throw new java.io.IOException(
               f"unexpected token 0x$other%02X in row stream")
           }
         }
-        if (cur.remaining == 0) done = true
         if (done && pending != null) {
           val e = pending; pending = null; throw e
         }

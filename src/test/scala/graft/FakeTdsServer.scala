@@ -20,7 +20,11 @@ final class FakeTdsServer(
     tableCols: Seq[String] = Nil,
     tableRows: Seq[Array[String]] = Nil,
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
-      _ => None) extends AutoCloseable {
+      _ => None,
+    // called with the row index before each ROW token is written (all
+    // full frames so far are flushed) — lets a test park the server
+    // mid-result to prove the client streams
+    onRow: Int => Unit = _ => ()) extends AutoCloseable {
 
   val executed = new ArrayBuffer[String]()
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -162,40 +166,55 @@ final class FakeTdsServer(
         if (tb != TdsWire.PktSqlBatch) return
         val sql = new String(body, UTF_16LE)
         val b = new java.io.ByteArrayOutputStream()
+        // the streaming SELECT branch sends its own frames; only the
+        // buffered branches emit `b` afterwards
+        var sendBuffered = true
         if (sql.contains("TYPED_DEMO")) typedDemo(b, le16, le32, bVarchar,
           done)
         else if (sql.trim.toUpperCase.startsWith("SELECT")) {
+          sendBuffered = false
           val (cols, allRows) =
             onSelect(sql).getOrElse((tableCols, tableRows))
           val rows =
             if (sql.toUpperCase.contains("TOP 0")) Nil else allRows
-          // COLMETADATA: every column NVARCHAR(4000)
-          b.write(TdsWire.TokColMetaData)
-          le16(b, cols.size)
+          // stream the resultset: bytes fragment into 1024-byte frames
+          // flushed as they fill, EOM on the last — so a client that
+          // decodes lazily sees early rows while later ones are unsent
+          val w = new PacketWriter(out)
+          val h = new java.io.ByteArrayOutputStream()
+          h.write(TdsWire.TokColMetaData)
+          le16(h, cols.size)
           cols.foreach { c =>
-            le16(b, 0) // usertype
-            le16(b, 0) // flags
-            b.write(TdsWire.TNVarChar)
-            le16(b, 8000)
-            b.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
-            bVarchar(b, c)
+            le16(h, 0) // usertype
+            le16(h, 0) // flags
+            h.write(TdsWire.TNVarChar)
+            le16(h, 8000)
+            h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
+            bVarchar(h, c)
           }
-          rows.foreach { r =>
-            b.write(TdsWire.TokRow)
+          w.write(h.toByteArray)
+          rows.zipWithIndex.foreach { case (r, i) =>
+            onRow(i)
+            val rb = new java.io.ByteArrayOutputStream()
+            rb.write(TdsWire.TokRow)
             r.foreach { v =>
-              if (v == null) le16(b, 0xFFFF)
+              if (v == null) le16(rb, 0xFFFF)
               else {
                 val x = v.getBytes(UTF_16LE)
-                le16(b, x.length); b.write(x, 0, x.length)
+                le16(rb, x.length); rb.write(x, 0, x.length)
               }
             }
+            w.write(rb.toByteArray)
           }
-          done(b, rows.size.toLong)
+          val d = new java.io.ByteArrayOutputStream()
+          done(d, rows.size.toLong)
+          w.write(d.toByteArray)
+          w.end()
         } else {
           executed.synchronized(executed += sql)
           done(b, 0)
         }
-        sendPacket(TdsWire.PktTabular, b.toByteArray)
+        if (sendBuffered) sendPacket(TdsWire.PktTabular, b.toByteArray)
       }
     } catch {
       case _: java.io.EOFException => ()
@@ -203,6 +222,31 @@ final class FakeTdsServer(
         System.err.println(s"[fake-tds] handler died: $e")
         e.printStackTrace()
     } finally sock.close()
+  }
+
+  /** Fragments a tabular response into 1024-byte frames, flushing each
+    * full (non-EOM) frame immediately; `end()` writes the final EOM
+    * frame. */
+  private final class PacketWriter(out: DataOutputStream) {
+    private val pending = new java.io.ByteArrayOutputStream()
+    def write(bytes: Array[Byte]): Unit = {
+      pending.write(bytes, 0, bytes.length)
+      while (pending.size() >= 1024) {
+        val all = pending.toByteArray
+        frame(all.take(1024), eom = false)
+        pending.reset()
+        pending.write(all, 1024, all.length - 1024)
+      }
+    }
+    def end(): Unit = { frame(pending.toByteArray, eom = true); pending.reset() }
+    private def frame(payload: Array[Byte], eom: Boolean): Unit = {
+      out.writeByte(TdsWire.PktTabular)
+      out.writeByte(if (eom) 0x01 else 0x00)
+      out.writeShort(payload.length + 8)
+      out.writeShort(0); out.writeByte(1); out.writeByte(0)
+      out.write(payload)
+      out.flush()
+    }
   }
 
   /** A typed resultset — INTN, NUMERICN(12,4), BITN, FLT8, DATETIME,

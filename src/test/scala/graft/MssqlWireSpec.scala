@@ -143,6 +143,38 @@ class MssqlWireSpec extends SparkSpec {
     } finally { src.close(); dst.close() }
   }
 
+  test("queryStream delivers rows while the server is still producing " +
+    "(tokens decode across packet frames)") {
+    val n = 2000
+    val blockAt = 1500
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val srv = new FakeTdsServer(
+      tableCols = Seq("v"),
+      tableRows = (0 until n).map(i => Array(i.toString)),
+      onRow = i => if (i == blockAt)
+        gate.await(15, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val conn = new TdsWireConnection(params(srv.port))
+      val t0 = System.nanoTime()
+      val (cols, it) = conn.queryStream("SELECT v FROM t")
+      assert(cols == Seq("v"))
+      // the server is parked before row 1500, with ~1024-byte frames
+      // flushed as filled — a streaming client reads these immediately;
+      // a message-buffering client would sit out the 15 s gate
+      val first = Vector.fill(1000)(it.next())
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(first.map(_(0)) == (0 until 1000).map(_.toString))
+      assert(elapsedMs < 10000,
+        s"rows must stream before the response completes ($elapsedMs ms)")
+      gate.countDown()
+      assert(it.toVector.size == n - 1000)
+      // connection reusable after the stream drains
+      val (cols2, rows2) = conn.query("SELECT TOP 0 v FROM t")
+      conn.close()
+      assert(cols2 == Seq("v") && rows2.isEmpty)
+    } finally srv.close()
+  }
+
   test("connParams parses mssql uris") {
     val p = TdsWire.connParams("mssql://sa:pw@db.example:1434/northwind",
       identity)
