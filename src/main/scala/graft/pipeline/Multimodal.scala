@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   * every JDK, so PNG/JPEG/GIF/BMP decode needs no external dependency.
   * The Spark-side machinery is the `mapInPandas` analog: typed
   * `mapPartitions` over an iterator, one pass, bounded memory,
-  * executor-side only. Only VIDEO frame extraction remains a shape-only
-  * stub ([[sampleFrames]]) — no video codec exists in the JDK.
+  * executor-side only. Video frame extraction is REAL for MJPEG-in-AVI
+  * ([[sampleAviFrames]]: RIFF container parse + per-frame JPEG decode —
+  * the one video codec a bare JDK can handle); other codecs fall back
+  * to the shape-only [[sampleFrames]].
   */
 object Multimodal {
 
@@ -190,15 +192,93 @@ object Multimodal {
   }
 
   /** Frame-sampling plumbing: given a media row representing a video of
-    * `n_frames` (faked from byte length — the JDK has no video codec, so
-    * this stays a loudly-documented shape-only stub), emit one row per
-    * sampled frame — the explode shape a real frame extractor would
-    * produce. */
+    * `n_frames` (faked from byte length), emit one row per sampled
+    * frame — the explode shape a real frame extractor produces. Kept
+    * for arbitrary-codec bytes the JDK cannot decode; for MJPEG-in-AVI
+    * the REAL extractor is [[sampleAviFrames]]. */
   def sampleFrames(df: DataFrame, everyN: Int = 30): DataFrame = {
     val nFrames = greatest(lit(1),
       (coalesce(length(col("content")), lit(0)) / 1024).cast("int"))
     df.select(col("media_id"), explode(
         sequence(lit(0), nFrames - 1, lit(everyN))).as("frame_idx"))
+  }
+
+  /** Parse an AVI (RIFF) container and return the payloads of its video
+    * frame chunks (`..dc`/`..db`) in stream order. For MJPEG — the one
+    * video codec a bare JDK can decode, because every frame is a JPEG —
+    * each payload feeds `javax.imageio` directly. Non-AVI bytes return
+    * Nil (in-band, like [[decodeImage]]'s zero marker). */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(i: Int): Long =
+      (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+        ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (bytes == null || bytes.length < 12 || fourcc(0) != "RIFF" ||
+        fourcc(8) != "AVI ") return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = fourcc(i)
+        val sz = u32(i + 4).toInt
+        val body = i + 8
+        if (sz < 0 || body + sz > bytes.length) return // truncated file
+        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+        else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+          out += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+        i = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, u32(4) + 8).toInt)
+    out.result()
+  }
+
+  /** REAL video frame sampling for MJPEG-in-AVI: every `everyN`-th
+    * frame chunk decodes through the same imageio path as still images,
+    * yielding (media_id, frame_idx, n_frames, width, height,
+    * mean_luma). Undecodable frames and non-AVI bytes contribute zero
+    * rows — corrupt media in a 100 TB corpus is a missing row, not a
+    * task failure. Same executor-side `mapPartitions` shape as
+    * [[decodeImages]]: one container + one decoded frame in memory at a
+    * time. */
+  def sampleAviFrames(df: DataFrame, everyN: Int = 30): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val rdd = df.select(col("media_id").cast("long"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val frames = aviFrames(bytes)
+          Iterator.range(0, frames.length, everyN).flatMap { i =>
+            val img = readImage(frames(i))
+            if (img == null) Iterator.empty
+            else {
+              val raster = img.getRaster
+              val (w, h) = (img.getWidth, img.getHeight)
+              var s = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { s += raster.getSampleDouble(x, y, 0); x += 1 }
+                y += 1
+              }
+              Iterator.single(Row(id, i, frames.length, w, h,
+                s / (w.toLong * h)))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Build a media table from any binary-able column — used by tests to

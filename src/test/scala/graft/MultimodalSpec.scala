@@ -67,4 +67,61 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), col("n_bytes_out")).collect()
     rz.foreach(r => assert(r.getLong(1) == 16L * 16 * 3))
   }
+
+  // ---- MJPEG-in-AVI: a structurally-real container built in-memory ----
+
+  private def le32(v: Long): Array[Byte] =
+    Array.tabulate[Byte](4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++ pad
+  }
+
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val b = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", b)
+    b.toByteArray
+  }
+
+  private def aviMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = chunk("avih", new Array[Byte](56))
+    val hdrl = chunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("MJPEG-in-AVI frames extract and DECODE for real; corrupt and " +
+    "non-AVI media contribute zero rows in-band") {
+    import spark.implicits._
+    // 7 frames alternating red/blue: sampling every 3rd hits 0 (red),
+    // 3 (blue), 6 (red) — the decoded red-band means must follow the
+    // stream ORDER, not just decode
+    val frames = (0 until 7).map(i =>
+      jpeg(16, 12, if (i % 2 == 0) 0xFF0000 else 0x0000FF))
+    val avi = aviMjpeg(frames)
+    assert(Multimodal.aviFrames(avi).length == 7)
+    assert(Multimodal.aviFrames("not a riff file".getBytes).isEmpty)
+
+    val media = Seq(
+      (1L, avi),
+      (2L, "corrupt bytes that are not an avi".getBytes)
+    ).toDF("media_id", "content")
+    val out = Multimodal.sampleAviFrames(media, everyN = 3)
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((1L, 0, 7, 16, 12), (1L, 3, 7, 16, 12), (1L, 6, 7, 16, 12)))
+    // decoded band-0 (red) means follow the alternating pattern:
+    // red, blue, red — proving frames decode AND keep stream order
+    val lumas = out.map(_.getDouble(5))
+    assert(lumas(0) > 200.0 && lumas(2) > 200.0, lumas.mkString(","))
+    assert(lumas(1) < 60.0, lumas.mkString(","))
+  }
 }
