@@ -105,8 +105,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * the Migrator's surface; BEFORE LOAD DO ran already (runCommand),
     * AFTER LOAD DO / FINALLY run after this returns, AFTER CREATE
     * SCHEMA DO is placed by the Migrator between DDL and data.
-    * SQLite/MSSQL sources need their (unavailable-offline) drivers and
-    * stay on the JDBC path. */
+    * sqlite:// reads the database file format directly
+    * ([[graft.sources.SqliteSource]]) and mssql:// speaks native TDS
+    * ([[graft.sources.MssqlWireSource]]) — no driver jars anywhere. */
   private def runDatabase(spark: SparkSession,
                           cmd: Ast.LoadCommand): Seq[TableStats] = {
     import graft.catalog.{Catalog, Schema, Table}
@@ -153,11 +154,17 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.casting.DefaultCastRules.sqlite, read)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
-        val read = (t: Table) =>
+        val read = (t: Table) => {
+          val pk = t.fields.find(_.autoIncrement).map(_.name)
+          val rows = graft.sources.MssqlWireSource.rowCountOf(
+            tp, t.schema, t.sourceName)
           graft.sources.MssqlWireSource.read(spark, tp, t.schema,
             t.sourceName,
-            selectExpr = graft.sources.ColumnSqlExpressions.selectList(
+            partitionKey = pk, rowCountEstimate = rows,
+            rowsPerRange = rowsPerRange,
+            selectCols = graft.sources.ColumnSqlExpressions.selectPairs(
               "mssql", t.fields.map(f => (f.name, f.typeName))))
+        }
         (graft.sources.MssqlWireSource.introspect(tp),
           graft.casting.DefaultCastRules.mssql, read)
       case other => throw new UnsupportedOperationException(

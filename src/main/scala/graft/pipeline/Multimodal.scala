@@ -265,11 +265,22 @@ object Multimodal {
             else {
               val raster = img.getRaster
               val (w, h) = (img.getWidth, img.getHeight)
+              // Rec.601 luma for color frames; band 0 IS the luma for
+              // grayscale rasters
+              val color = raster.getNumBands >= 3
               var s = 0.0
               var y = 0
               while (y < h) {
                 var x = 0
-                while (x < w) { s += raster.getSampleDouble(x, y, 0); x += 1 }
+                while (x < w) {
+                  s +=
+                    (if (color)
+                      0.299 * raster.getSampleDouble(x, y, 0) +
+                        0.587 * raster.getSampleDouble(x, y, 1) +
+                        0.114 * raster.getSampleDouble(x, y, 2)
+                    else raster.getSampleDouble(x, y, 0))
+                  x += 1
+                }
                 y += 1
               }
               Iterator.single(Row(id, i, frames.length, w, h,

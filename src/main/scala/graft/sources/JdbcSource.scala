@@ -243,27 +243,56 @@ object JdbcSource {
   * list and hand it to [[JdbcSource.readQuery]]. */
 object ColumnSqlExpressions {
 
-  def mysql(name: String, typeName: String): String =
+  /** (server-side expression, output column name) — the STRUCTURED form
+    * the wire sources take. Carrying the alias separately means an
+    * expression containing the text " as " inside a string literal or
+    * function argument can never mis-parse the output name (the string
+    * forms below exist only for the JDBC query-composition path). */
+  def mysqlPair(name: String, typeName: String): (String, String) =
     typeName.toLowerCase match {
       case "geometry" | "point" | "linestring" =>
-        s"st_astext(`$name`) as `$name`"
-      case _ => s"`$name`"
+        (s"st_astext(`$name`)", name)
+      case _ => (s"`$name`", name)
     }
 
-  def mssql(name: String, typeName: String): String =
+  def mssqlPair(name: String, typeName: String): (String, String) =
     typeName.toLowerCase match {
-      case "time" => s"convert(varchar(30), [$name], 114) as [$name]"
+      case "time" => (s"convert(varchar(30), [$name], 114)", name)
       case "datetime" | "datetime2" | "smalldatetime" | "date" =>
-        s"convert(varchar(30), [$name], 126) as [$name]"
-      case "datetimeoffset" => s"convert(varchar(35), [$name], 127) as [$name]"
-      case "bigint" => s"cast([$name] as numeric(20)) as [$name]"
-      case _ => s"[$name]"
+        (s"convert(varchar(30), [$name], 126)", name)
+      case "datetimeoffset" => (s"convert(varchar(35), [$name], 127)", name)
+      case "bigint" => (s"cast([$name] as numeric(20))", name)
+      case _ => (s"[$name]", name)
     }
 
   /** PG server-side text cast — values arrive as PG literals, the shape
     * the transform layer expects. */
-  def pgsql(name: String, typeName: String): String =
-    s"""CAST("$name" AS text) AS "$name""""
+  def pgsqlPair(name: String, typeName: String): (String, String) =
+    (s"""CAST("$name" AS text)""", name)
+
+  def selectPairs(kind: String,
+                  cols: Seq[(String, String)]): Seq[(String, String)] =
+    kind match {
+      case "mysql" => cols.map { case (n, t) => mysqlPair(n, t) }
+      case "mssql" => cols.map { case (n, t) => mssqlPair(n, t) }
+      case "pgsql" => cols.map { case (n, t) => pgsqlPair(n, t) }
+      case _ => cols.map { case (n, _) => (s""""$n"""", n) }
+    }
+
+  def mysql(name: String, typeName: String): String = {
+    val (e, a) = mysqlPair(name, typeName)
+    if (e == s"`$a`") e else s"$e as `$a`"
+  }
+
+  def mssql(name: String, typeName: String): String = {
+    val (e, a) = mssqlPair(name, typeName)
+    if (e == s"[$a]") e else s"$e as [$a]"
+  }
+
+  def pgsql(name: String, typeName: String): String = {
+    val (e, a) = pgsqlPair(name, typeName)
+    s"""$e AS "$a""""
+  }
 
   def selectList(kind: String,
                  cols: Seq[(String, String)]): Seq[String] = kind match {

@@ -6,8 +6,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 /** Driver-free MS SQL Server read over the native TDS client — closes
   * the last driver gap (PG/MySQL speak their wire protocols, SQLite
   * reads the file format). Follows the reference's MSSQL source shape
-  * (src/sources/mssql/mssql.lisp): sys-views introspection, one
-  * streaming SELECT per table with per-type server-side rendering
+  * (src/sources/mssql/mssql.lisp): sys-views introspection, streaming
+  * SELECTs (range-partitioned where an integer identity/PK exists —
+  * beyond the reference's single FreeTDS stream) with per-type
+  * server-side rendering
   * ([[ColumnSqlExpressions.mssql]] — datetimes via convert(), bigints
   * via cast) so every value crosses the wire in a text-stable form. */
 object MssqlWireSource {
@@ -31,40 +33,88 @@ object MssqlWireSource {
     } finally conn.close()
   }
 
-  /** Read `schema.table`: one streaming TDS connection (the reference
-    * reads MSSQL single-stream too — no ctid/rowid analog to split on;
-    * the map-side work downstream is where Spark parallelism applies).
-    * `selectExpr` defaults to bracket-quoted discovered columns — pass
-    * [[ColumnSqlExpressions.mssql]] output for type-stable rendering. */
+  /** sys.partitions row-count ESTIMATE for the range-split guard and
+    * load ordering (heap or clustered index partitions only). */
+  def rowCountOf(params: TdsWire.ConnParams, schema: String,
+                 table: String): Long = {
+    val conn = new TdsWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"""SELECT cast(sum(p.rows) as bigint) FROM sys.partitions p
+            JOIN sys.objects o ON p.object_id = o.object_id
+            JOIN sys.schemas s ON o.schema_id = s.schema_id
+            WHERE s.name = '${schema.replace("'", "''")}'
+              AND o.name = '${table.replace("'", "''")}'
+              AND p.index_id IN (0, 1)""")
+      rows.headOption.flatMap(r => Option(r(0))).map(_.toLong).getOrElse(0L)
+    } finally conn.close()
+  }
+
+  /** min/max of the integer partition key. */
+  def integerBounds(params: TdsWire.ConnParams, schema: String,
+                    table: String, column: String): (Long, Long) = {
+    val conn = new TdsWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"SELECT MIN(${quoteIdent(column)}), MAX(${quoteIdent(column)}) " +
+          s"FROM ${quoteIdent(schema)}.${quoteIdent(table)}")
+      val r = rows.head
+      (Option(r(0)).map(_.toLong).getOrElse(0L),
+        Option(r(1)).map(_.toLong).getOrElse(0L))
+    } finally conn.close()
+  }
+
+  /** Read `schema.table` over TDS. With an integer `partitionKey`
+    * (identity / clustered integer PK from introspection) and enough
+    * rows (the `2 * rowsPerRange` guard) the read splits into one
+    * WHERE-range per Spark partition — BEYOND the reference, whose
+    * FreeTDS path is single-stream (src/sources/mssql/mssql.lisp): at
+    * 100× the biggest table this is the difference between one stream
+    * and N. Range count capped via [[RangeSplit.predicates]]; otherwise
+    * a single full-scan partition. `selectCols` is (server-side
+    * expression, output name) pairs — [[ColumnSqlExpressions.mssqlPair]]
+    * output for type-stable rendering; defaults to bracket-quoted
+    * discovered columns. */
   def read(spark: SparkSession, params: TdsWire.ConnParams,
            schema: String, table: String,
-           selectExpr: Seq[String] = Nil): DataFrame = {
+           partitionKey: Option[String] = None,
+           rowCountEstimate: Long = 0L,
+           rowsPerRange: Long = 10000L,
+           selectCols: Seq[(String, String)] = Nil): DataFrame = {
     val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
     val discovered =
-      if (selectExpr.nonEmpty) Nil
+      if (selectCols.nonEmpty) Nil
       else {
         val conn = new TdsWireConnection(params)
         try conn.query(s"SELECT TOP 0 * FROM $qtable")._1
         finally conn.close()
       }
     val cols =
-      if (selectExpr.nonEmpty) selectExpr else discovered.map(quoteIdent)
+      if (selectCols.nonEmpty) selectCols.map { case (e, a) =>
+        if (e == quoteIdent(a)) e else s"$e AS ${quoteIdent(a)}"
+      } else discovered.map(quoteIdent)
     require(cols.nonEmpty, s"no columns resolved for $schema.$table")
     val names =
-      if (selectExpr.nonEmpty) selectExpr.map(c =>
-        c.split("(?i) AS ").last.trim.stripPrefix("[").stripSuffix("]"))
-      else discovered
+      if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
+    val preds = partitionKey match {
+      case Some(pk) if rowCountEstimate >= 2 * rowsPerRange =>
+        val (lo, hi) = integerBounds(params, schema, table, pk)
+        RangeSplit.predicates(quoteIdent(pk), lo, hi, rowsPerRange,
+          rowCountEstimate)
+      case _ => Seq("1 = 1")
+    }
     val select = cols.mkString(", ")
     val p = params
     val rdd = spark.sparkContext
-      .parallelize(Seq(0), 1)
+      .parallelize(preds, preds.length)
       .mapPartitions { it =>
-        it.flatMap { _ =>
+        it.flatMap { pred =>
           val conn = new TdsWireConnection(p)
           val tc = org.apache.spark.TaskContext.get()
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => conn.close())
-          val (_, rows) = conn.queryStream(s"SELECT $select FROM $qtable")
+          val (_, rows) = conn.queryStream(
+            s"SELECT $select FROM $qtable WHERE $pred")
           new Iterator[Row] {
             private var closed = false
             override def hasNext: Boolean = {

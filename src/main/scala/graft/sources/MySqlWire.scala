@@ -10,8 +10,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * case through (src/sources/mysql/mysql.lisp:100-131 map-rows; the
   * reference bundles qmynd, its own Lisp protocol client, for exactly
   * this reason). Implements the slice a loader needs: handshake v10,
-  * `mysql_native_password` auth (+ AuthSwitch), COM_QUERY with the TEXT
-  * protocol resultset, COM_QUIT.
+  * `mysql_native_password` and `caching_sha2_password` auth (fast-auth
+  * scramble; full-auth cleartext over TLS; AuthSwitch between the two),
+  * COM_QUERY with the TEXT protocol resultset, COM_QUIT.
   *
   * Layout per the public MySQL Client/Server Protocol documentation
   * (3-byte little-endian payload length + sequence id per packet;
@@ -71,6 +72,9 @@ object MySqlWire {
   private[graft] def sha1(b: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-1").digest(b)
 
+  private[graft] def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
   /** `mysql_native_password` scramble:
     * SHA1(pass) XOR SHA1(salt ++ SHA1(SHA1(pass))). Empty password →
     * empty auth response, per the protocol. */
@@ -79,6 +83,17 @@ object MySqlWire {
     else {
       val p1 = sha1(password.getBytes(UTF_8))
       val p2 = sha1(salt ++ sha1(p1))
+      p1.zip(p2).map { case (a, b) => (a ^ b).toByte }
+    }
+
+  /** `caching_sha2_password` fast-auth scramble (MySQL ≥ 8.0 default):
+    * SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) ++ nonce). Empty
+    * password → empty auth response. */
+  def sha2Scramble(password: String, nonce: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.empty
+    else {
+      val p1 = sha256(password.getBytes(UTF_8))
+      val p2 = sha256(sha256(p1) ++ nonce)
       p1.zip(p2).map { case (a, b) => (a ^ b).toByte }
     }
 
@@ -236,8 +251,14 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
       }
       if ((cap & ClientPluginAuth) != 0) plugin = c.cstring
     }
-    require(plugin == "mysql_native_password",
-      s"unsupported default auth plugin $plugin (native_password only)")
+    // Speak the server's default when we know it; otherwise declare
+    // native_password and rely on AuthSwitchRequest (stock MySQL ≥ 8.0
+    // defaults to caching_sha2_password, so rejecting other defaults
+    // outright would make modern servers unreachable even for accounts
+    // configured with a plugin this client speaks).
+    val clientPlugin =
+      if (plugin == "caching_sha2_password") plugin
+      else "mysql_native_password"
 
     // TLS: MySQL's SSLRequest is the FIRST 32 BYTES of the handshake
     // response (caps incl. CLIENT_SSL, max packet, charset, 23 zeros);
@@ -276,13 +297,21 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
       out = new DataOutputStream(
         new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     }
-    val auth = nativePassword(params.password, salt)
+    def scrambleFor(pluginName: String, nonce: Array[Byte]): Array[Byte] =
+      pluginName match {
+        case "mysql_native_password" => nativePassword(params.password, nonce)
+        case "caching_sha2_password" => sha2Scramble(params.password, nonce)
+        case other => throw new java.io.IOException(
+          s"unsupported auth plugin $other (native_password / " +
+            "caching_sha2_password)")
+      }
+    val auth = scrambleFor(clientPlugin, salt)
     val b = new java.io.ByteArrayOutputStream()
     prefix32(b)
     b.write(params.user.getBytes(UTF_8)); b.write(0)
     b.write(auth.length); b.write(auth, 0, auth.length)
     if (withDb) { b.write(params.database.getBytes(UTF_8)); b.write(0) }
-    b.write("mysql_native_password".getBytes(UTF_8)); b.write(0)
+    b.write(clientPlugin.getBytes(UTF_8)); b.write(0)
     writePacket(b.toByteArray)
 
     var done = false
@@ -291,15 +320,31 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
       (r(0) & 0xFF) match {
         case 0x00 => done = true // OK
         case 0xFF => throw parseErr(r)
+        case 0x01 => // AuthMoreData: the caching_sha2 dance
+          (if (r.length > 1) r(1) & 0xFF else -1) match {
+            case 0x03 => () // fast-auth success; the OK packet follows
+            case 0x04 =>
+              // full authentication: over TLS the password goes in the
+              // clear (+ NUL), exactly what libmysqlclient does; without
+              // TLS the alternative is an RSA key exchange this client
+              // does not speak — fail with the actionable fix
+              if (!useTls) throw new java.io.IOException(
+                "caching_sha2_password full authentication requires TLS " +
+                  "(set sslmode=require) — the RSA key-exchange " +
+                  "fallback is not implemented")
+              writePacket(params.password.getBytes(UTF_8) :+ 0.toByte)
+            case other => throw new java.io.IOException(
+              s"unexpected AuthMoreData status $other")
+          }
         case 0xFE => // AuthSwitchRequest: plugin NUL-string + fresh salt
           val sc = new Cursor(r)
           sc.u1
           val newPlugin = sc.cstring
-          require(newPlugin == "mysql_native_password",
-            s"unsupported auth switch to $newPlugin")
-          // trailing NUL on the switch salt
-          val newSalt = sc.bytes(sc.remaining).takeWhile(_ != 0)
-          writePacket(nativePassword(params.password, newSalt))
+          // strip ONLY a trailing NUL — an interior 0x00 is salt data
+          val raw = sc.bytes(sc.remaining)
+          val newSalt =
+            if (raw.nonEmpty && raw.last == 0) raw.dropRight(1) else raw
+          writePacket(scrambleFor(newPlugin, newSalt))
         case other =>
           throw new java.io.IOException(s"unexpected auth reply $other")
       }

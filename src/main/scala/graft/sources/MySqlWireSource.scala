@@ -72,52 +72,48 @@ object MySqlWireSource {
     } finally conn.close()
   }
 
-  /** WHERE ranges for the split: `rowsPerRange` of the key space per
-    * partition, final range open-ended (concurrent inserts). */
-  private[sources] def rangePredicates(col: String, lo: Long, hi: Long,
-                                       rowsPerRange: Long): Seq[String] = {
-    val q = quoteIdent(col)
-    val n = math.max(1L, (hi - lo + rowsPerRange) / rowsPerRange)
-    (0L until n).map { i =>
-      val a = lo + i * rowsPerRange
-      val b = lo + (i + 1) * rowsPerRange
-      if (i == n - 1) s"$q >= $a"
-      else s"$q >= $a AND $q < $b"
-    }
-  }
+  /** WHERE ranges for the split — [[RangeSplit.predicates]] with
+    * back-quoted MySQL identifiers (count capped by the row estimate so
+    * sparse snowflake-style keys cannot explode the driver-side
+    * predicate list). */
+  private[graft] def rangePredicates(col: String, lo: Long, hi: Long,
+                                     rowsPerRange: Long,
+                                     rowCountEstimate: Long): Seq[String] =
+    RangeSplit.predicates(quoteIdent(col), lo, hi, rowsPerRange,
+      rowCountEstimate)
 
   /** Read `schema.table` over the wire. With an integer `partitionKey`
     * and enough rows (the reference's `2 * rowsPerRange` guard) the read
     * splits into one range predicate per Spark partition; otherwise it
-    * is a single full-scan partition. `selectExpr` defaults to the
-    * discovered columns back-quoted — pass
-    * [[ColumnSqlExpressions.mysql]] output for per-type server-side
-    * rendering (st_astext for geometry). */
+    * is a single full-scan partition. `selectCols` is (server-side
+    * expression, output name) pairs — [[ColumnSqlExpressions.mysqlPair]]
+    * output for per-type rendering (st_astext for geometry); defaults to
+    * the discovered columns back-quoted. */
   def read(spark: SparkSession, params: MySqlWire.ConnParams,
            schema: String, table: String,
            partitionKey: Option[String] = None,
            rowCountEstimate: Long = 0L,
            rowsPerRange: Long = 10000L,
-           selectExpr: Seq[String] = Nil): DataFrame = {
+           selectCols: Seq[(String, String)] = Nil): DataFrame = {
     val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
     val discovered =
-      if (selectExpr.nonEmpty) Nil
+      if (selectCols.nonEmpty) Nil
       else {
         val conn = new MySqlWireConnection(params)
         try conn.query(s"SELECT * FROM $qtable LIMIT 0")._1
         finally conn.close()
       }
     val cols =
-      if (selectExpr.nonEmpty) selectExpr else discovered.map(quoteIdent)
+      if (selectCols.nonEmpty) selectCols.map { case (e, a) =>
+        if (e == quoteIdent(a)) e else s"$e AS ${quoteIdent(a)}"
+      } else discovered.map(quoteIdent)
     require(cols.nonEmpty, s"no columns resolved for $schema.$table")
     val names =
-      if (selectExpr.nonEmpty) selectExpr.map(c =>
-        c.split("(?i) AS ").last.trim.stripPrefix("`").stripSuffix("`"))
-      else discovered
+      if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
     val preds = partitionKey match {
       case Some(pk) if rowCountEstimate >= 2 * rowsPerRange =>
         val (lo, hi) = integerBounds(params, schema, table, pk)
-        rangePredicates(pk, lo, hi, rowsPerRange)
+        rangePredicates(pk, lo, hi, rowsPerRange, rowCountEstimate)
       case _ => Seq("1 = 1")
     }
     val select = cols.mkString(", ")

@@ -71,23 +71,23 @@ object PgWireSource {
 
   /** Read `table` split into ctid page ranges, `pagesPerChunk` blocks
     * per partition (relpages from pg_class, as the JDBC path does).
-    * `selectExpr` defaults to the discovered column list (quoted) —
-    * pass CAST expressions for per-type source rewrites (used verbatim;
-    * quote identifiers yourself inside expressions). */
+    * `selectCols` is (server-side expression, output name) pairs —
+    * [[ColumnSqlExpressions.pgsqlPair]] output for per-type source
+    * rewrites (expressions used verbatim; quote identifiers yourself
+    * inside them); defaults to the discovered column list (quoted). */
   def readByCtid(spark: SparkSession, params: PgWire.ConnParams,
                  table: String, relpages: Long,
                  pagesPerChunk: Long = 1000L,
-                 selectExpr: Seq[String] = Nil): DataFrame = {
+                 selectCols: Seq[(String, String)] = Nil): DataFrame = {
     val discovered =
-      if (selectExpr.nonEmpty) Nil else columnsOf(params, table)
+      if (selectCols.nonEmpty) Nil else columnsOf(params, table)
     val cols =
-      if (selectExpr.nonEmpty) selectExpr
-      else discovered.map(PgWire.quoteIdent)
+      if (selectCols.nonEmpty) selectCols.map { case (e, a) =>
+        if (e == PgWire.quoteIdent(a)) e else s"$e AS ${PgWire.quoteIdent(a)}"
+      } else discovered.map(PgWire.quoteIdent)
     require(cols.nonEmpty, s"no columns resolved for $table")
     val names =
-      if (selectExpr.nonEmpty) selectExpr.map(c =>
-        c.split("(?i) AS ").last.trim.stripPrefix("\"").stripSuffix("\""))
-      else discovered
+      if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
     val preds = IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
     val select = cols.mkString(", ")
     val qtable = PgWire.quoteQualified(table)

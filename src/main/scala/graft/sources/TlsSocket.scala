@@ -9,8 +9,14 @@ import java.net.Socket
   * trust store plus hostname verification (`verify-full`). */
 private[graft] object TlsSocket {
 
+  /** `protocols` pins the enabled TLS versions (the TDS tunnel pins
+    * TLSv1.2: a 1.3 server's post-handshake NewSessionTicket flight
+    * would race the moment both sides stop framing records in TDS
+    * packets — the same reason FreeTDS and the vendor drivers shipped
+    * 1.2-only first). */
   def wrap(raw: Socket, host: String, port: Int,
-           verify: Boolean): javax.net.ssl.SSLSocket = {
+           verify: Boolean,
+           protocols: Array[String] = null): javax.net.ssl.SSLSocket = {
     val ctx =
       if (verify) javax.net.ssl.SSLContext.getDefault
       else {
@@ -31,6 +37,7 @@ private[graft] object TlsSocket {
     val ssl = ctx.getSocketFactory
       .createSocket(raw, host, port, true)
       .asInstanceOf[javax.net.ssl.SSLSocket]
+    if (protocols != null) ssl.setEnabledProtocols(protocols)
     if (verify) {
       val sp = ssl.getSSLParameters
       sp.setEndpointIdentificationAlgorithm("HTTPS")

@@ -16,6 +16,13 @@ import graft.sources.MySqlWire
   * @param authSwitch reply to the handshake response with an
   *   AuthSwitchRequest carrying a FRESH salt (the server-side re-auth
   *   path real servers take when the user's plugin differs)
+  * @param authPlugin the default plugin advertised in the handshake —
+  *   `mysql_native_password` or `caching_sha2_password` (the MySQL ≥ 8.0
+  *   default; fast-auth verifies the SHA-256 scramble, then AuthMoreData
+  *   0x03 + OK)
+  * @param sha2FullAuth with caching_sha2: demand FULL authentication
+  *   (AuthMoreData 0x04 — the cache-miss path of a real server), i.e.
+  *   the cleartext password + NUL, which the client only sends over TLS
   * @param onSelect   multi-result routing: first match wins, falls back
   *   to the single (tableCols, tableRows) table; `WHERE k >= a AND
   *   k < b` range predicates and LIMIT 0 apply to the routed rows
@@ -24,6 +31,8 @@ final class FakeMySqlServer(
     user: String = "graft",
     password: String = "secret",
     authSwitch: Boolean = false,
+    authPlugin: String = "mysql_native_password",
+    sha2FullAuth: Boolean = false,
     tableCols: Seq[String] = Nil,
     tableRows: Seq[Array[String]] = Nil,
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
@@ -123,7 +132,7 @@ final class FakeMySqlServer(
       hs.write(21) // auth data length
       hs.write(new Array[Byte](10), 0, 10)
       hs.write(salt, 8, 12); hs.write(0)
-      hs.write("mysql_native_password".getBytes(UTF_8)); hs.write(0)
+      hs.write(authPlugin.getBytes(UTF_8)); hs.write(0)
       sendPacket(hs.toByteArray)
 
       // ---- HandshakeResponse41 (possibly preceded by SSLRequest: the
@@ -159,16 +168,38 @@ final class FakeMySqlServer(
         val fresh = newSalt()
         val sw = new java.io.ByteArrayOutputStream()
         sw.write(0xFE)
-        sw.write("mysql_native_password".getBytes(UTF_8)); sw.write(0)
+        sw.write(authPlugin.getBytes(UTF_8)); sw.write(0)
         sw.write(fresh, 0, fresh.length); sw.write(0)
         sendPacket(sw.toByteArray)
         auth = readPacket()
         effectiveSalt = fresh
       }
-      val expected = MySqlWire.nativePassword(password, effectiveSalt)
-      if (gotUser != user || !java.util.Arrays.equals(auth, expected)) {
+      if (gotUser != user) {
         err(1045, "28000", s"Access denied for user '$gotUser'")
         return
+      }
+      if (authPlugin == "caching_sha2_password" && sha2FullAuth) {
+        // cache miss on a real server: demand the full exchange — the
+        // cleartext password + NUL (only sane over TLS, which the
+        // client enforces on its side)
+        sendPacket(Array[Byte](0x01, 0x04))
+        val pw = readPacket()
+        val gotPw = new String(pw, 0, math.max(0, pw.length - 1), UTF_8)
+        if (gotPw != password) {
+          err(1045, "28000", s"Access denied for user '$gotUser'")
+          return
+        }
+      } else {
+        val expected =
+          if (authPlugin == "caching_sha2_password")
+            MySqlWire.sha2Scramble(password, effectiveSalt)
+          else MySqlWire.nativePassword(password, effectiveSalt)
+        if (!java.util.Arrays.equals(auth, expected)) {
+          err(1045, "28000", s"Access denied for user '$gotUser'")
+          return
+        }
+        if (authPlugin == "caching_sha2_password")
+          sendPacket(Array[Byte](0x01, 0x03)) // fast-auth success
       }
       ok()
 

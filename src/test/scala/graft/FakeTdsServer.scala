@@ -24,10 +24,15 @@ final class FakeTdsServer(
     // called with the row index before each ROW token is written (all
     // full frames so far are flushed) — lets a test park the server
     // mid-result to prove the client streams
-    onRow: Int => Unit = _ => ()) extends AutoCloseable {
+    onRow: Int => Unit = _ => (),
+    // when set, PRELOGIN answers ENCRYPT_ON to a willing client and the
+    // TLS handshake runs tunneled in PRELOGIN-type packets, after which
+    // the whole stream is TLS ([MS-TDS] 3.3.5.3)
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   val executed = new ArrayBuffer[String]()
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  val tlsConnections = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var running = true
   private val server = new ServerSocket(0, 50,
     java.net.InetAddress.getLoopbackAddress)
@@ -48,10 +53,11 @@ final class FakeTdsServer(
 
   override def close(): Unit = { running = false; server.close() }
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock0: Socket): Unit = {
     connections.incrementAndGet()
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
 
     def sendPacket(tpe: Int, payload: Array[Byte]): Unit = {
@@ -108,12 +114,15 @@ final class FakeTdsServer(
 
     try {
       // ---- PRELOGIN ----
-      val (t0, _) = readMessage()
+      val (t0, preBody) = readMessage()
       require(t0 == TdsWire.PktPrelogin, s"expected PRELOGIN, got $t0")
+      val clientEnc = TdsWire.preloginOption(preBody, 1)
+        .filter(_.nonEmpty).map(_(0) & 0xFF).getOrElse(2)
+      val doTls = tls.isDefined && clientEnc != 2
       val pre = new java.io.ByteArrayOutputStream()
-      // VERSION + ENCRYPTION(not sup) option table
+      // VERSION + ENCRYPTION option table
       val version = Array[Byte](16, 0, 0, 0, 0, 0)
-      val enc = Array[Byte](2)
+      val enc = Array[Byte]((if (doTls) 1 else 2).toByte)
       var off = 2 * 5 + 1
       Seq((0, version), (1, enc)).foreach { case (tok, data) =>
         pre.write(tok)
@@ -124,6 +133,25 @@ final class FakeTdsServer(
       pre.write(0xFF)
       pre.write(version, 0, version.length); pre.write(enc, 0, enc.length)
       sendPacket(TdsWire.PktTabular, pre.toByteArray)
+
+      if (doTls) {
+        // tunneled handshake: our flights frame as PRELOGIN packets
+        // until the handshake completes, then the raw stream is TLS
+        tlsConnections.incrementAndGet()
+        val tunnel = new graft.sources.TdsTlsTunnel(sock, in, out)
+        val ssl = tls.get.getSocketFactory
+          .createSocket(tunnel, null, sock.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        ssl.setEnabledProtocols(Array("TLSv1.2"))
+        ssl.startHandshake()
+        tunnel.passthrough = true
+        sock = ssl
+        in = new DataInputStream(
+          new BufferedInputStream(ssl.getInputStream))
+        out = new DataOutputStream(
+          new BufferedOutputStream(ssl.getOutputStream))
+      }
 
       // ---- LOGIN7 ----
       val (t1, login) = readMessage()
@@ -175,8 +203,7 @@ final class FakeTdsServer(
           sendBuffered = false
           val (cols, allRows) =
             onSelect(sql).getOrElse((tableCols, tableRows))
-          val rows =
-            if (sql.toUpperCase.contains("TOP 0")) Nil else allRows
+          val rows = sliceRows(sql, cols, allRows)
           // stream the resultset: bytes fragment into 1024-byte frames
           // flushed as they fill, EOM on the last — so a client that
           // decodes lazily sees early rows while later ones are unsent
@@ -222,6 +249,28 @@ final class FakeTdsServer(
         System.err.println(s"[fake-tds] handler died: $e")
         e.printStackTrace()
     } finally sock.close()
+  }
+
+  /** Apply `WHERE [k] >= a [AND [k] < b]` range predicates and TOP 0
+    * the way [[graft.sources.MssqlWireSource]] emits them. */
+  private def sliceRows(sql: String, cols: Seq[String],
+                        rows: Seq[Array[String]]): Seq[Array[String]] = {
+    if (sql.toUpperCase.contains("TOP 0")) return Nil
+    val range =
+      "\\[([^\\]]+)\\] >= (-?\\d+)(?: AND \\[[^\\]]+\\] < (-?\\d+))?".r
+    range.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val idx = cols.indexOf(m.group(1))
+        if (idx < 0) rows
+        else {
+          val lo = m.group(2).toLong
+          val hi = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+          rows.filter { r =>
+            val v = r(idx).toLong; v >= lo && v < hi
+          }
+        }
+      case None => rows
+    }
   }
 
   /** Fragments a tabular response into 1024-byte frames, flushing each

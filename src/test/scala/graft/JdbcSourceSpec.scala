@@ -129,6 +129,12 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(selectList("mysql",
       Seq(("a", "int"), ("g", "geometry"))) ==
       Seq("`a`", "st_astext(`g`) as `g`"))
+    // the structured form the wire sources consume: alias carried
+    // separately, never re-parsed out of the expression string
+    assert(selectPairs("mssql", Seq(("t", "datetime"), ("n", "int"))) ==
+      Seq(("convert(varchar(30), [t], 126)", "t"), ("[n]", "n")))
+    assert(selectPairs("pgsql", Seq(("c", "jsonb"))) ==
+      Seq(("""CAST("c" AS text)""", "c")))
   }
 
   test("pg ctid predicates split the heap into block ranges") {

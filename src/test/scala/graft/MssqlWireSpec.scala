@@ -78,6 +78,28 @@ class MssqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("selectCols pairs: an expression containing ' as ' inside a " +
+    "literal keeps its declared output name") {
+    val seen = new scala.collection.mutable.ArrayBuffer[String]()
+    val srv = new FakeTdsServer(onSelect = sql => {
+      seen.synchronized(seen += sql)
+      if (sql.contains("[dbo].[t]"))
+        Some((Seq("lit", "id"), Seq(Array("x as y", "1"))))
+      else None
+    })
+    try {
+      val df = MssqlWireSource.read(spark, params(srv.port), "dbo", "t",
+        selectCols = Seq(("'x as y'", "lit"), ("[id]", "id")))
+      // the alias travels structurally — no string re-parsing of the
+      // expression, so the literal's " as " cannot corrupt the name
+      assert(df.columns.toSeq == Seq("lit", "id"))
+      val r = df.collect().head
+      assert(r.getString(0) == "x as y" && r.getString(1) == "1")
+      val sqls = seen.synchronized(seen.toList)
+      assert(sqls.exists(_.contains("'x as y' AS [lit], [id]")))
+    } finally srv.close()
+  }
+
   private val sysRows = Seq(
     Array("dbo", "users", "id", "int", "4", "10", "0", "f", "t", null),
     Array("dbo", "users", "name", "nvarchar", "100", "0", "0", "t", "f",
@@ -141,6 +163,83 @@ class MssqlWireSpec extends SparkSpec {
       val landed = dst.accepted.synchronized(dst.accepted.toList).sorted
       assert(landed == Seq("1\talice", "2\t\\N", "x", "y", "z"))
     } finally { src.close(); dst.close() }
+  }
+
+  test("TDS-tunneled TLS: prefer upgrades when the server offers " +
+    "encryption; login + typed resultset run over the channel; require " +
+    "fails fast against a plain server; disable stays plaintext") {
+    val srv = new FakeTdsServer(tls = Some(TestTls.context),
+      tableCols = Seq("v"), tableRows = Seq(Array("9"), Array(null)))
+    try {
+      val conn = new TdsWireConnection(params(srv.port)) // prefer
+      val (cols, rows) = conn.query("SELECT v FROM t")
+      val (_, typed) = conn.query("SELECT TYPED_DEMO")
+      conn.close()
+      assert(cols == Seq("v") &&
+        rows.map(_.toSeq) == Seq(Seq("9"), Seq(null)))
+      assert(typed.size == 3) // full token decode over TLS
+      assert(srv.tlsConnections.get == 1)
+      // disable → plaintext against the same TLS-capable server
+      val plainConn = new TdsWireConnection(
+        params(srv.port).copy(sslMode = "disable"))
+      val (_, rows2) = plainConn.query("SELECT v FROM t")
+      plainConn.close()
+      assert(rows2.size == 2 && srv.tlsConnections.get == 1)
+    } finally srv.close()
+    val plain = new FakeTdsServer()
+    try {
+      val e = intercept[java.io.IOException] {
+        new TdsWireConnection(params(plain.port).copy(sslMode = "require"))
+      }
+      assert(e.getMessage.contains("sslmode=require"))
+    } finally plain.close()
+  }
+
+  test("oversized SQLBatch splits across packets at the negotiated " +
+    "size (EOM on the last) instead of overflowing the u16 header") {
+    val srv = new FakeTdsServer()
+    try {
+      val conn = new TdsWireConnection(params(srv.port))
+      // 80k chars → 160 KB UTF-16, far past both the 4096-byte packet
+      // size and the 65,527-byte u16 ceiling
+      val big = "SET CONTEXT_INFO '" + ("a" * 80000) + "'"
+      conn.simpleCommand(big)
+      conn.close()
+      assert(srv.executed.synchronized(srv.executed.toList) == List(big))
+    } finally srv.close()
+  }
+
+  test("read: integer-range partitioned TDS read (identity PK) matches " +
+    "the single-stream result — beyond the reference's one FreeTDS " +
+    "stream") {
+    val n = 25
+    val rows = (0 until n).map(i =>
+      Array(i.toString, if (i % 5 == 0) null else s"v$i"))
+    val srv = new FakeTdsServer(
+      tableCols = Seq("k", "v"),
+      tableRows = rows,
+      onSelect = sql =>
+        if (sql.contains("MIN(")) Some((Seq("mn", "mx"),
+          Seq(Array("0", (n - 1).toString))))
+        else if (sql.contains("sys.partitions"))
+          Some((Seq("c"), Seq(Array(n.toString))))
+        else None)
+    try {
+      assert(MssqlWireSource.rowCountOf(params(srv.port), "dbo", "t") ==
+        n.toLong)
+      val df = MssqlWireSource.read(spark, params(srv.port), "dbo", "t",
+        partitionKey = Some("k"), rowCountEstimate = n.toLong,
+        rowsPerRange = 10L)
+      assert(df.rdd.getNumPartitions == 3)
+      val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._1.toInt)
+      assert(got.toSeq == rows.map(r => (r(0), r(1))))
+      val single = MssqlWireSource.read(spark, params(srv.port), "dbo",
+        "t")
+      assert(single.rdd.getNumPartitions == 1)
+      assert(single.collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._1.toInt).toSeq == got.toSeq)
+    } finally srv.close()
   }
 
   test("queryStream delivers rows while the server is still producing " +

@@ -118,10 +118,11 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
       r.getInt(3), r.getInt(4))).toSeq ==
       Seq((1L, 0, 7, 16, 12), (1L, 3, 7, 16, 12), (1L, 6, 7, 16, 12)))
-    // decoded band-0 (red) means follow the alternating pattern:
-    // red, blue, red — proving frames decode AND keep stream order
+    // decoded Rec.601 lumas follow the alternating pattern — pure red
+    // ≈ 0.299·255 ≈ 76, pure blue ≈ 0.114·255 ≈ 29 — proving frames
+    // decode AND keep stream order
     val lumas = out.map(_.getDouble(5))
-    assert(lumas(0) > 200.0 && lumas(2) > 200.0, lumas.mkString(","))
-    assert(lumas(1) < 60.0, lumas.mkString(","))
+    assert(lumas(0) > 55.0 && lumas(2) > 55.0, lumas.mkString(","))
+    assert(lumas(1) < 45.0, lumas.mkString(","))
   }
 }

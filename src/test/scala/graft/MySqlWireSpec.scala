@@ -35,6 +35,62 @@ class MySqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("auth: caching_sha2_password fast-auth (stock MySQL 8 default " +
+    "plugin) over plain TCP") {
+    val srv = new FakeMySqlServer(authPlugin = "caching_sha2_password",
+      tableCols = Seq("v"), tableRows = Seq(Array("1"), Array(null)))
+    try {
+      val conn = new MySqlWireConnection(params(srv.port))
+      val (cols, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(cols == Seq("v") &&
+        rows.map(_.toSeq) == Seq(Seq("1"), Seq(null)))
+    } finally srv.close()
+    // wrong password fails the scramble check server-side
+    val bad = new FakeMySqlServer(authPlugin = "caching_sha2_password",
+      password = "other")
+    try {
+      val e = intercept[MySqlWire.MySqlServerError] {
+        new MySqlWireConnection(params(bad.port))
+      }
+      assert(e.code == 1045)
+    } finally bad.close()
+  }
+
+  test("auth: caching_sha2_password full authentication runs over TLS; " +
+    "refused actionably without it") {
+    val srv = new FakeMySqlServer(authPlugin = "caching_sha2_password",
+      sha2FullAuth = true, tls = Some(TestTls.context),
+      tableCols = Seq("v"), tableRows = Seq(Array("7")))
+    try {
+      val conn = new MySqlWireConnection(params(srv.port)) // prefer → TLS
+      val (_, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(rows.map(_.toSeq) == Seq(Seq("7")))
+      assert(srv.tlsConnections.get == 1)
+    } finally srv.close()
+    val plain = new FakeMySqlServer(authPlugin = "caching_sha2_password",
+      sha2FullAuth = true)
+    try {
+      val e = intercept[java.io.IOException] {
+        new MySqlWireConnection(params(plain.port))
+      }
+      assert(e.getMessage.contains("TLS"))
+    } finally plain.close()
+  }
+
+  test("auth: AuthSwitchRequest to caching_sha2_password re-scrambles " +
+    "with SHA-256 against the fresh salt") {
+    val srv = new FakeMySqlServer(authSwitch = true,
+      authPlugin = "caching_sha2_password")
+    try {
+      val conn = new MySqlWireConnection(params(srv.port))
+      conn.simpleCommand("SET NAMES utf8mb4")
+      conn.close()
+      assert(srv.executed.synchronized(srv.executed.nonEmpty))
+    } finally srv.close()
+  }
+
   test("auth: wrong password is ERR 1045 with sql state") {
     val srv = new FakeMySqlServer(password = "other")
     try {
@@ -82,6 +138,34 @@ class MySqlWireSpec extends SparkSpec {
       // 1 LIMIT 0 discovery + 1 bounds + one connection per partition
       assert(srv.connections.get == 5)
     } finally srv.close()
+  }
+
+  test("rangePredicates: sparse keys cap at the row estimate, cover " +
+    "[lo, ∞) contiguously") {
+    // snowflake-style sparse key: 100k rows spread over a 10¹² key
+    // span must NOT generate 10⁸ driver-side predicate strings
+    val preds = MySqlWireSource.rangePredicates("k", 0L, 1000000000000L,
+      rowsPerRange = 10000L, rowCountEstimate = 100000L)
+    assert(preds.size == 10)
+    val bounded = "`k` >= (-?\\d+) AND `k` < (-?\\d+)".r
+    val open = "`k` >= (-?\\d+)".r
+    var expectLo = BigInt(0)
+    preds.init.foreach {
+      case bounded(a, b) =>
+        assert(BigInt(a) == expectLo, s"gap before $a")
+        expectLo = BigInt(b)
+      case p => fail(s"non-bounded mid predicate: $p")
+    }
+    preds.last match {
+      case open(a) => assert(BigInt(a) == expectLo) // open-ended tail
+      case p => fail(s"final predicate not open-ended: $p")
+    }
+    // dense keys keep the fine split (old behavior preserved)
+    assert(MySqlWireSource.rangePredicates("k", 0L, 24L, 10L,
+      rowCountEstimate = 25L).size == 3)
+    // and an estimate of 0 (empty stats) still yields one full scan
+    assert(MySqlWireSource.rangePredicates("k", 0L, 1000000L, 10L,
+      rowCountEstimate = 0L) == Seq("`k` >= 0"))
   }
 
   test("small tables skip the split (the reference's big-enough guard)") {
