@@ -120,11 +120,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val rowsPerRange =
       cmd.intOption("rows per range").map(_.toLong).getOrElse(10000L)
     val scheme = uri.takeWhile(_ != ':')
-    val (tables: Seq[Table], defaults, readTable) = scheme match {
+    val wantViews = cmd.materializeAllViews || cmd.materializeViews.nonEmpty
+    if (wantViews && scheme == "sqlite")
+      throw new UnsupportedOperationException(
+        "MATERIALIZE VIEWS needs a server to run SQL against — the " +
+          "sqlite:// file-format reader executes no SQL")
+    // viewOps: (run SQL in the SOURCE, introspect views, quote a view
+    // name) — the MATERIALIZE VIEWS surface; None where no server
+    // exists to run SQL against (the sqlite file reader)
+    val (baseTables: Seq[Table], defaults, readTable, viewOps) =
+      scheme match {
       case "mysql" =>
         val mp = graft.sources.MySqlWire.connParams(uri, decode)
         require(mp.database.nonEmpty, s"no database in $uri")
-        val read = (t: Table) => {
+        val read = (t: Table, _: Boolean) => {
           val pk = t.fields.find(_.autoIncrement).map(_.name)
           val rows = graft.sources.MySqlWireSource.rowCountOf(
             mp, mp.database, t.sourceName)
@@ -132,32 +141,56 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             t.sourceName, partitionKey = pk, rowCountEstimate = rows,
             rowsPerRange = rowsPerRange)
         }
+        val exec = (sql: String) => {
+          val c = new graft.sources.MySqlWireConnection(mp)
+          try c.simpleCommand(sql) finally c.close()
+        }
+        val iviews = (names: Option[Seq[String]]) =>
+          graft.sources.MySqlWireSource.introspectViews(
+            mp, mp.database, names)
         (graft.sources.MySqlWireSource.introspect(mp, mp.database),
-          graft.casting.DefaultCastRules.mysql, read)
+          graft.casting.DefaultCastRules.mysql, read,
+          Some((exec, iviews, graft.sources.MySqlWire.quoteIdent _)))
       case "pgsql" | "postgresql" | "postgres" =>
         val sp = graft.sinks.PgWire.connParams(uri, decode)
-        val read = (t: Table) => {
+        val read = (t: Table, isView: Boolean) => {
           val qualified = s"${t.schema}.${t.sourceName}"
-          val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
-          graft.sources.PgWireSource.readByCtid(spark, sp, qualified,
-            relpages = pages)
+          if (isView)
+            // views have no ctid to split on: one streaming connection
+            graft.sources.PgWireSource.readView(spark, sp, qualified)
+          else {
+            val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
+            graft.sources.PgWireSource.readByCtid(spark, sp, qualified,
+              relpages = pages)
+          }
         }
+        val exec = (sql: String) => {
+          val c = new graft.sinks.PgWireConnection(sp)
+          try c.simpleCommand(sql) finally c.close()
+        }
+        val iviews = (names: Option[Seq[String]]) =>
+          graft.sources.PgWireSource.introspectViews(sp, names)
         (graft.sources.PgWireSource.introspect(sp),
-          graft.casting.DefaultCastRules.pgsql, read)
+          graft.casting.DefaultCastRules.pgsql, read,
+          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)))
       case "sqlite" =>
         // sqlite:///path/to/file.db — the native file-format reader
         // (no server, no driver jar); row counts feed the size ordering
         val path = uri.stripPrefix("sqlite://")
-        val read = (t: Table) =>
+        val read = (t: Table, _: Boolean) =>
           graft.sources.SqliteSource.read(spark, path, t.sourceName)
         (graft.sources.SqliteSource.introspect(path, rowCounts = true),
-          graft.casting.DefaultCastRules.sqlite, read)
+          graft.casting.DefaultCastRules.sqlite, read, None)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
-        val read = (t: Table) => {
-          val pk = t.fields.find(_.autoIncrement).map(_.name)
-          val rows = graft.sources.MssqlWireSource.rowCountOf(
-            tp, t.schema, t.sourceName)
+        val read = (t: Table, isView: Boolean) => {
+          val pk =
+            if (isView) None
+            else t.fields.find(_.autoIncrement).map(_.name)
+          val rows =
+            if (isView) 0L
+            else graft.sources.MssqlWireSource.rowCountOf(
+              tp, t.schema, t.sourceName)
           graft.sources.MssqlWireSource.read(spark, tp, t.schema,
             t.sourceName,
             partitionKey = pk, rowCountEstimate = rows,
@@ -165,12 +198,46 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             selectCols = graft.sources.ColumnSqlExpressions.selectPairs(
               "mssql", t.fields.map(f => (f.name, f.typeName))))
         }
+        val exec = (sql: String) => {
+          val c = new graft.sources.TdsWireConnection(tp)
+          try c.simpleCommand(sql) finally c.close()
+        }
+        val iviews = (names: Option[Seq[String]]) =>
+          graft.sources.MssqlWireSource.introspectViews(tp, names)
         (graft.sources.MssqlWireSource.introspect(tp),
-          graft.casting.DefaultCastRules.mssql, read)
+          graft.casting.DefaultCastRules.mssql, read,
+          Some((exec, iviews, graft.sources.TdsWire.quoteIdent _)))
       case other => throw new UnsupportedOperationException(
         s"LOAD DATABASE source $other:// is not wired (mysql/pgsql/mssql " +
           "speak their native wire protocols, sqlite reads the file " +
           "format)")
+    }
+
+    // MATERIALIZE VIEWS (matviews.lisp:24-63): create user-defined
+    // views in the SOURCE, introspect the named (or all) views as
+    // tables, migrate them as ordinary tables, drop the created views
+    // afterward — success or failure
+    require(!wantViews || viewOps.nonEmpty,
+      s"MATERIALIZE VIEWS unsupported for $scheme://")
+    val createdViews = cmd.materializeViews.filter(_.definition.isDefined)
+    val viewTables: Seq[Table] = if (!wantViews) Nil else {
+      val (exec, iviews, quote) = viewOps.get
+      createdViews.foreach(v =>
+        exec(s"CREATE VIEW ${quote(v.name)} AS ${v.definition.get}"))
+      iviews(
+        if (cmd.materializeAllViews) None
+        else Some(cmd.materializeViews.map(_.name)))
+    }
+    val viewKeys = viewTables.map(t => (t.schema, t.sourceName)).toSet
+    val tables = baseTables ++ viewTables
+    def dropCreatedViews(): Unit = viewOps.foreach { case (exec, _, quote) =>
+      createdViews.foreach { v =>
+        try exec(s"DROP VIEW ${quote(v.name)}")
+        catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[graft] DROP VIEW ${v.name} failed: ${e.getMessage}")
+        }
+      }
     }
     val bySchema = tables.groupBy(_.schema).toSeq.sortBy(_._1)
     val cat = Catalog(uri, bySchema.map { case (s, ts) =>
@@ -182,13 +249,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val sink = new CopySink(
           endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
           rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
-        sink.write(readTable(t))
+        sink.write(readTable(t, viewKeys((t.schema, t.sourceName))))
       },
       workers = cmd.intOption("workers")
         .orElse(cmd.intOption("concurrency")).getOrElse(4),
       maxParallelIndexes =
         cmd.intOption("max parallel create index").getOrElse(0))
-    val summary = migrator.migrate(cat,
+    val summary = try migrator.migrate(cat,
       userCast = cmd.castRules,
       defaults = defaults,
       including = cmd.includingOnly,
@@ -205,6 +272,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       afterSchema = cmd.afterSchema,
       setParams = cmd.setParams,
       disableTriggers = cmd.boolOption("disable triggers"))
+    finally dropCreatedViews()
     summary.tables
   }
 

@@ -361,6 +361,21 @@ object IntrospectionSql {
          ON d.object_id = c.default_object_id
        ORDER BY s.name, t.name, c.column_id"""
 
+  /** [[mssqlColumns]] over sys.views — the MATERIALIZE VIEWS
+    * introspection path; `nameFilter` is an extra `AND ...` clause. */
+  def mssqlViewColumns(nameFilter: String): String =
+    s"""SELECT s.name AS schema_name, t.name AS table_name, c.name,
+       ty.name AS type_name, c.max_length, c.precision, c.scale,
+       c.is_nullable, c.is_identity, d.definition AS default_def
+       FROM sys.columns c
+       JOIN sys.views t ON t.object_id = c.object_id
+       JOIN sys.schemas s ON s.schema_id = t.schema_id
+       JOIN sys.types ty ON ty.user_type_id = c.user_type_id
+       LEFT JOIN sys.default_constraints d
+         ON d.object_id = c.default_object_id
+       WHERE 1 = 1 $nameFilter
+       ORDER BY s.name, t.name, c.column_id"""
+
   /** PostgreSQL pg_catalog (pgsql-schema.lisp:7-481). */
   val pgsqlColumns: String =
     """SELECT n.nspname, c.relname, a.attname,
@@ -374,6 +389,24 @@ object IntrospectionSql {
          ON d.adrelid = c.oid AND d.adnum = a.attnum
        WHERE c.relkind = 'r' AND NOT a.attisdropped
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ORDER BY n.nspname, c.relname, a.attnum"""
+
+  /** [[pgsqlColumns]] over VIEWS (plain + materialized) — the
+    * MATERIALIZE VIEWS introspection path; `nameFilter` is an extra
+    * `AND ...` clause ('' for MATERIALIZE ALL VIEWS). */
+  def pgsqlViewColumns(nameFilter: String): String =
+    s"""SELECT n.nspname, c.relname, a.attname,
+       format_type(a.atttypid, a.atttypmod) AS data_type,
+       pg_get_expr(d.adbin, d.adrelid) AS default_expr,
+       NOT a.attnotnull AS nullable
+       FROM pg_class c
+       JOIN pg_namespace n ON n.oid = c.relnamespace
+       JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+       LEFT JOIN pg_attrdef d
+         ON d.adrelid = c.oid AND d.adnum = a.attnum
+       WHERE c.relkind IN ('v', 'm') AND NOT a.attisdropped
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+         $nameFilter
        ORDER BY n.nspname, c.relname, a.attnum"""
 
   /** PG heap split by ctid block ranges

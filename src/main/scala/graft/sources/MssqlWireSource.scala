@@ -33,6 +33,32 @@ object MssqlWireSource {
     } finally conn.close()
   }
 
+  /** View introspection for MATERIALIZE VIEWS — the same sys-views
+    * column query over sys.views, restricted to `names` (None = ALL
+    * VIEWS). */
+  def introspectViews(params: TdsWire.ConnParams,
+                      names: Option[Seq[String]])
+      : Seq[graft.catalog.Table] = {
+    val filter = names match {
+      case Some(ns) if ns.nonEmpty =>
+        s"AND t.name IN (${ns.map(n => "'" + n.replace("'", "''") + "'")
+          .mkString(", ")})"
+      case _ => ""
+    }
+    val conn = new TdsWireConnection(params)
+    try {
+      val (_, rows) = conn.query(IntrospectionSql.mssqlViewColumns(filter))
+      IntrospectionRows.mssqlTables(rows.map { r =>
+        IntrospectionRows.MssqlColumn(r(0), r(1), r(2), r(3),
+          maxLength = r(4).toInt, precision = r(5).toInt,
+          scale = r(6).toInt,
+          nullable = r(7) == "t" || r(7) == "1",
+          identity = r(8) == "t" || r(8) == "1",
+          default = Option(r(9)))
+      })
+    } finally conn.close()
+  }
+
   /** sys.partitions row-count ESTIMATE for the range-split guard and
     * load ordering (heap or clustered index partitions only). */
   def rowCountOf(params: TdsWire.ConnParams, schema: String,

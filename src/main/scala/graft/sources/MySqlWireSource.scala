@@ -44,6 +44,36 @@ object MySqlWireSource {
     } finally conn.close()
   }
 
+  /** View introspection for MATERIALIZE VIEWS — the same
+    * information_schema query over table_type VIEW, restricted to
+    * `names` (None = ALL VIEWS). */
+  def introspectViews(params: MySqlWire.ConnParams, schema: String,
+                      names: Option[Seq[String]])
+      : Seq[graft.catalog.Table] = {
+    val conn = new MySqlWireConnection(params)
+    try {
+      val nameFilter = names match {
+        case Some(ns) if ns.nonEmpty =>
+          s" AND c.table_name IN (${ns.map(quoteLiteral).mkString(", ")})"
+        case _ => ""
+      }
+      val sql =
+        s"""SELECT c.table_name, c.column_name, c.column_type,
+            c.column_default, c.is_nullable, c.extra
+            FROM information_schema.columns c
+            JOIN information_schema.tables t
+              USING (table_schema, table_name)
+            WHERE c.table_schema = ${quoteLiteral(schema)}
+              AND t.table_type IN ('VIEW', 'SYSTEM VIEW')$nameFilter
+            ORDER BY c.table_name, c.ordinal_position"""
+      val (_, rows) = conn.query(sql)
+      IntrospectionRows.mysqlTables(schema, rows.map { r =>
+        IntrospectionRows.MySqlColumn(r(0), r(1), r(2), Option(r(3)),
+          nullable = r(4) == "YES", extra = Option(r(5)).getOrElse(""))
+      })
+    } finally conn.close()
+  }
+
   /** information_schema.tables row-count ESTIMATE (the reference's
     * sizing input for range splits and load ordering). */
   def rowCountOf(params: MySqlWire.ConnParams, schema: String,

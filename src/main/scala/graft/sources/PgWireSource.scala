@@ -44,6 +44,27 @@ object PgWireSource {
     } finally conn.close()
   }
 
+  /** View introspection for MATERIALIZE VIEWS — the same column query
+    * over relkind v/m, restricted to `names` (None = ALL VIEWS). */
+  def introspectViews(params: PgWire.ConnParams,
+                      names: Option[Seq[String]])
+      : Seq[graft.catalog.Table] = {
+    val filter = names match {
+      case Some(ns) if ns.nonEmpty =>
+        s"AND c.relname IN (${ns.map(PgWire.quoteLiteral).mkString(", ")})"
+      case _ => ""
+    }
+    val conn = new PgWireConnection(params)
+    try {
+      val (_, rows) = conn.query(IntrospectionSql.pgsqlViewColumns(filter))
+      IntrospectionRows.pgsqlTables(rows.map { r =>
+        IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
+          Option(r(4)),
+          nullable = r(5) == "t" || r(5) == "true")
+      })
+    } finally conn.close()
+  }
+
   /** `pg_class.relpages` for `table` (schema-qualified names accepted) —
     * the partition-count input [[readByCtid]] needs, same source the
     * reference uses for its ctid splits (pgsql.clj:206-208). relpages
@@ -78,7 +99,24 @@ object PgWireSource {
   def readByCtid(spark: SparkSession, params: PgWire.ConnParams,
                  table: String, relpages: Long,
                  pagesPerChunk: Long = 1000L,
-                 selectCols: Seq[(String, String)] = Nil): DataFrame = {
+                 selectCols: Seq[(String, String)] = Nil): DataFrame =
+    readWithPredicates(spark, params, table,
+      IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk),
+      selectCols)
+
+  /** Single-stream read WITHOUT ctid predicates — views (MATERIALIZE
+    * VIEWS) have no ctid to split on, so the load is one streaming wire
+    * connection. */
+  def readView(spark: SparkSession, params: PgWire.ConnParams,
+               table: String,
+               selectCols: Seq[(String, String)] = Nil): DataFrame =
+    readWithPredicates(spark, params, table, Seq("true"), selectCols)
+
+  private def readWithPredicates(spark: SparkSession,
+                                 params: PgWire.ConnParams,
+                                 table: String, preds: Seq[String],
+                                 selectCols: Seq[(String, String)])
+      : DataFrame = {
     val discovered =
       if (selectCols.nonEmpty) Nil else columnsOf(params, table)
     val cols =
@@ -88,7 +126,6 @@ object PgWireSource {
     require(cols.nonEmpty, s"no columns resolved for $table")
     val names =
       if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
-    val preds = IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
     val select = cols.mkString(", ")
     val qtable = PgWire.quoteQualified(table)
     val p = params // capture the case class, not this object

@@ -156,6 +156,38 @@ class PgWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("MATERIALIZE VIEWS support: view introspection filters by name " +
+    "server-side; readView streams WITHOUT ctid predicates") {
+    val viewCols = Seq("nspname", "relname", "attname", "data_type",
+      "default_expr", "nullable")
+    val seen = new scala.collection.mutable.ArrayBuffer[String]()
+    val srv = new FakePgServer(onSelect = sql => {
+      seen.synchronized(seen += sql)
+      if (sql.contains("relkind IN ('v', 'm')"))
+        Some((viewCols, Seq(
+          Array("public", "v1", "n", "integer", null, "t"))))
+      else if (sql.contains(""""public"."v1""""))
+        Some((Seq("n"), Seq(Array("1"), Array("2"))))
+      else None
+    })
+    try {
+      val vs = graft.sources.PgWireSource.introspectViews(
+        params(srv.port), Some(Seq("v1")))
+      assert(vs.map(_.name) == Seq("v1"))
+      assert(seen.synchronized(
+        seen.exists(_.contains("c.relname IN ('v1')"))))
+      val df = graft.sources.PgWireSource.readView(spark,
+        params(srv.port), "public.v1")
+      assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+      val readSql = seen.synchronized(
+        seen.filter(s => s.contains(""""public"."v1"""") &&
+          !s.contains("LIMIT 0")))
+      assert(readSql.nonEmpty &&
+        readSql.forall(s => s.contains("WHERE true") && !s.contains("ctid")),
+        readSql.mkString("; "))
+    } finally srv.close()
+  }
+
   test("relpagesOf reads pg_class over the wire") {
     val srv = new FakePgServer(tableCols = Seq("relpages"),
       tableRows = Seq(Array("42")))
