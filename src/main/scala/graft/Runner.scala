@@ -230,6 +230,43 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     }
     val viewKeys = viewTables.map(t => (t.schema, t.sourceName)).toSet
     val tables = baseTables ++ viewTables
+
+    // DISTRIBUTE (citus.lisp:250-340): rules with an FK chain BACKFILL
+    // the distribution key — the target table gains the key column and
+    // its data is the chain join ([[graft.operators.Citus]]); the
+    // create_distributed_table / create_reference_table DDL runs
+    // between schema creation and the data phase (afterSchema slot)
+    val backfill: Map[String, Ast.DistributeUsing] =
+      cmd.distribute.collect {
+        case r: Ast.DistributeUsing if r.from.nonEmpty =>
+          r.table.toLowerCase -> r
+      }.toMap
+    // catalog as INTROSPECTED (no prepended key) — the backfill
+    // dataflow resolves fkeys and source fields from it
+    val sourceCat = Catalog(uri,
+      tables.groupBy(_.schema).toSeq.sortBy(_._1).map { case (s, ts) =>
+        Schema(name = s, sourceName = s, tables = ts)
+      })
+    val tablesForTarget = tables.map { t =>
+      backfill.get(t.sourceName.toLowerCase) match {
+        case Some(rule) if !t.fields.exists(
+            _.name.equalsIgnoreCase(rule.column)) =>
+          val chainEnd = tables.find(
+            _.name.equalsIgnoreCase(rule.from.last)).getOrElse(
+            throw new IllegalArgumentException(
+              s"DISTRIBUTE FROM chain table ${rule.from.last} not found"))
+          val keyField = chainEnd.fields.find(
+            _.name.equalsIgnoreCase(rule.column)).getOrElse(
+            throw new IllegalArgumentException(
+              s"${rule.column} is not a column of ${chainEnd.name}"))
+          // the key lands as a plain column (autoIncrement would cast
+          // it to a fresh serial on the target)
+          t.copy(fields =
+            keyField.copy(table = t.sourceName, autoIncrement = false) +:
+              t.fields)
+        case _ => t
+      }
+    }
     def dropCreatedViews(): Unit = viewOps.foreach { case (exec, _, quote) =>
       createdViews.foreach { v =>
         try exec(s"DROP VIEW ${quote(v.name)}")
@@ -239,7 +276,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         }
       }
     }
-    val bySchema = tables.groupBy(_.schema).toSeq.sortBy(_._1)
+    val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
     val cat = Catalog(uri, bySchema.map { case (s, ts) =>
       Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
     })
@@ -249,7 +286,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val sink = new CopySink(
           endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
           rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
-        sink.write(readTable(t, viewKeys((t.schema, t.sourceName))))
+        val df = backfill.get(t.sourceName.toLowerCase) match {
+          case Some(rule) =>
+            val chain = rule.table +: rule.from
+            val frames = chain.map { n =>
+              val ct = tables.find(_.name.equalsIgnoreCase(n)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"DISTRIBUTE rule references unknown table $n"))
+              n -> readTable(ct, viewKeys((ct.schema, ct.sourceName)))
+            }.toMap
+            graft.operators.Citus.backfillJoin(sourceCat, rule, frames)
+          case None => readTable(t, viewKeys((t.schema, t.sourceName)))
+        }
+        sink.write(df)
       },
       workers = cmd.intOption("workers")
         .orElse(cmd.intOption("concurrency")).getOrElse(4),
@@ -269,7 +318,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       withIndexes = !cmd.boolOption("data only"),
       withFKeys = !cmd.boolOption("data only"),
       resetSequences = !cmd.boolOption("reset no sequences"),
-      afterSchema = cmd.afterSchema,
+      afterSchema = cmd.afterSchema ++
+        graft.operators.Citus.distributionDdl(cmd.distribute),
       setParams = cmd.setParams,
       disableTriggers = cmd.boolOption("disable triggers"))
     finally dropCreatedViews()

@@ -339,6 +339,24 @@ object IntrospectionSql {
     """SELECT table_name, table_rows FROM information_schema.tables
        WHERE table_schema = ?"""
 
+  /** [[mysqlIndexes]]/[[mysqlFKeys]] with the schema INLINED as a quoted
+    * literal — the text wire protocol has no placeholders. */
+  def mysqlIndexesInline(schemaLiteral: String): String =
+    s"""SELECT table_name, index_name, non_unique,
+       GROUP_CONCAT(column_name ORDER BY seq_in_index) AS columns
+       FROM information_schema.statistics
+       WHERE table_schema = $schemaLiteral
+       GROUP BY table_name, index_name, non_unique
+       ORDER BY table_name, index_name"""
+
+  def mysqlFKeysInline(schemaLiteral: String): String =
+    s"""SELECT constraint_name, table_name, column_name,
+       referenced_table_name, referenced_column_name, ordinal_position
+       FROM information_schema.key_column_usage
+       WHERE table_schema = $schemaLiteral
+         AND referenced_table_name IS NOT NULL
+       ORDER BY constraint_name, ordinal_position"""
+
   /** SQLite PRAGMA-based introspection (sqlite-schema.lisp). */
   val sqliteTableList: String =
     """SELECT name FROM sqlite_master
@@ -408,6 +426,79 @@ object IntrospectionSql {
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
          $nameFilter
        ORDER BY n.nspname, c.relname, a.attnum"""
+
+  /** pg_index with a column-name list aggregated in key order;
+    * expression members (attnum 0) aggregate to NULL columns and the
+    * mapper skips those indexes — an expression index cannot be
+    * recreated from a column list (pgsql-schema.lisp list-all-indexes
+    * keeps the full indexdef; the loader recreates plain ones). */
+  val pgsqlIndexes: String =
+    """SELECT n.nspname, t.relname, i.relname,
+       x.indisprimary, x.indisunique,
+       (SELECT string_agg(a.attname, ',' ORDER BY k.ord)
+        FROM unnest(x.indkey) WITH ORDINALITY AS k(attnum, ord)
+        JOIN pg_attribute a
+          ON a.attrelid = x.indrelid AND a.attnum = k.attnum
+        WHERE k.attnum > 0) AS columns
+       FROM pg_index x
+       JOIN pg_class i ON i.oid = x.indexrelid
+       JOIN pg_class t ON t.oid = x.indrelid
+       JOIN pg_namespace n ON n.oid = t.relnamespace
+       WHERE n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ORDER BY n.nspname, t.relname, i.relname"""
+
+  /** pg_constraint contype='f' with both column lists in key order. */
+  val pgsqlFKeys: String =
+    """SELECT c.conname, n.nspname, t.relname,
+       (SELECT string_agg(a.attname, ',' ORDER BY k.ord)
+        FROM unnest(c.conkey) WITH ORDINALITY AS k(attnum, ord)
+        JOIN pg_attribute a
+          ON a.attrelid = c.conrelid AND a.attnum = k.attnum),
+       ft.relname,
+       (SELECT string_agg(a.attname, ',' ORDER BY k.ord)
+        FROM unnest(c.confkey) WITH ORDINALITY AS k(attnum, ord)
+        JOIN pg_attribute a
+          ON a.attrelid = c.confrelid AND a.attnum = k.attnum)
+       FROM pg_constraint c
+       JOIN pg_class t ON t.oid = c.conrelid
+       JOIN pg_namespace n ON n.oid = t.relnamespace
+       JOIN pg_class ft ON ft.oid = c.confrelid
+       WHERE c.contype = 'f'
+       ORDER BY c.conname"""
+
+  /** sys.indexes one row PER KEY COLUMN (key_ordinal orders them;
+    * grouped client-side — TDS 7.1-era servers predate string_agg). */
+  val mssqlIndexes: String =
+    """SELECT s.name AS schema_name, t.name AS table_name,
+       i.name AS index_name, i.is_primary_key, i.is_unique,
+       c.name AS column_name, ic.key_ordinal
+       FROM sys.indexes i
+       JOIN sys.tables t ON t.object_id = i.object_id
+       JOIN sys.schemas s ON s.schema_id = t.schema_id
+       JOIN sys.index_columns ic
+         ON ic.object_id = i.object_id AND ic.index_id = i.index_id
+       JOIN sys.columns c
+         ON c.object_id = ic.object_id AND c.column_id = ic.column_id
+       WHERE i.name IS NOT NULL AND ic.is_included_column = 0
+       ORDER BY s.name, t.name, i.name, ic.key_ordinal"""
+
+  /** sys.foreign_keys one row per column pair (constraint_column_id
+    * orders them; grouped client-side). */
+  val mssqlFKeys: String =
+    """SELECT fk.name, s.name AS schema_name, tp.name AS table_name,
+       cp.name AS column_name, tr.name AS ref_table,
+       cr.name AS ref_column, fkc.constraint_column_id
+       FROM sys.foreign_keys fk
+       JOIN sys.foreign_key_columns fkc
+         ON fkc.constraint_object_id = fk.object_id
+       JOIN sys.tables tp ON tp.object_id = fk.parent_object_id
+       JOIN sys.schemas s ON s.schema_id = tp.schema_id
+       JOIN sys.columns cp ON cp.object_id = fkc.parent_object_id
+         AND cp.column_id = fkc.parent_column_id
+       JOIN sys.tables tr ON tr.object_id = fk.referenced_object_id
+       JOIN sys.columns cr ON cr.object_id = fkc.referenced_object_id
+         AND cr.column_id = fkc.referenced_column_id
+       ORDER BY fk.name, fkc.constraint_column_id"""
 
   /** PG heap split by ctid block ranges
     * (clojure/src/pgloader/source/pgsql.clj:206-208, 313-345). */
@@ -538,6 +629,95 @@ object IntrospectionRows {
           default = c.default, nullable = c.nullable,
           autoIncrement = c.extra.toLowerCase.contains("auto_increment"))))
     }
+
+  /** Attach [[IntrospectionSql.mysqlIndexesInline]] /
+    * [[IntrospectionSql.mysqlFKeysInline]] result rows to catalog
+    * tables. idxRows: (table, index_name, non_unique, columns-csv);
+    * fkRows: (constraint, table, column, ref_table, ref_column,
+    * ordinal). MySQL's implicit `PRIMARY` index becomes
+    * `<table>_pkey` (PG reserves the bare word). */
+  def mysqlAttachConstraints(tables: Seq[Table],
+                             idxRows: Seq[Array[String]],
+                             fkRows: Seq[Array[String]]): Seq[Table] = {
+    val idxByTable = idxRows.groupBy(_(0))
+    val fkByTable = fkRows.groupBy(_(1))
+    tables.map { t =>
+      val idxs = idxByTable.getOrElse(t.sourceName, Nil)
+        .filter(r => Option(r(3)).exists(_.nonEmpty)).map { r =>
+          val primary = r(1) == "PRIMARY"
+          Index(
+            name = if (primary) s"${t.sourceName}_pkey" else r(1),
+            table = t.sourceName, primary = primary,
+            unique = primary || r(2) == "0",
+            columns = r(3).split(",").toSeq)
+        }
+      val fks = fkByTable.getOrElse(t.sourceName, Nil)
+        .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>
+          val sorted = rows.sortBy(_(5).toInt)
+          FKey(name, t.sourceName, sorted.map(_(2)),
+            sorted.head(3), sorted.map(_(4)))
+        }
+      t.copy(indexes = idxs, fkeys = fks)
+    }
+  }
+
+  /** Attach [[IntrospectionSql.pgsqlIndexes]] /
+    * [[IntrospectionSql.pgsqlFKeys]] result rows. idxRows: (schema,
+    * table, index, is_primary t/f, is_unique t/f, columns-csv — NULL
+    * for expression indexes, skipped); fkRows: (name, schema, table,
+    * columns-csv, ref_table, ref_columns-csv). */
+  def pgsqlAttachConstraints(tables: Seq[Table],
+                             idxRows: Seq[Array[String]],
+                             fkRows: Seq[Array[String]]): Seq[Table] = {
+    val idxByTable = idxRows.groupBy(r => (r(0), r(1)))
+    val fkByTable = fkRows.groupBy(r => (r(1), r(2)))
+    tables.map { t =>
+      val key = (t.schema, t.sourceName)
+      val idxs = idxByTable.getOrElse(key, Nil)
+        .filter(r => Option(r(5)).exists(_.nonEmpty)).map { r =>
+          Index(name = r(2), table = t.sourceName,
+            primary = r(3) == "t" || r(3) == "true",
+            unique = r(4) == "t" || r(4) == "true",
+            columns = r(5).split(",").toSeq)
+        }
+      val fks = fkByTable.getOrElse(key, Nil).map { r =>
+        FKey(r(0), t.sourceName, r(3).split(",").toSeq,
+          r(4), r(5).split(",").toSeq)
+      }
+      t.copy(indexes = idxs, fkeys = fks)
+    }
+  }
+
+  /** Attach [[IntrospectionSql.mssqlIndexes]] /
+    * [[IntrospectionSql.mssqlFKeys]] result rows (one row PER KEY
+    * COLUMN; grouped here). idxRows: (schema, table, index,
+    * is_primary_key t/f/1/0, is_unique, column, key_ordinal); fkRows:
+    * (name, schema, table, column, ref_table, ref_column, ordinal). */
+  def mssqlAttachConstraints(tables: Seq[Table],
+                             idxRows: Seq[Array[String]],
+                             fkRows: Seq[Array[String]]): Seq[Table] = {
+    def truthy(s: String) = s == "t" || s == "1" || s == "true"
+    val idxByTable = idxRows.groupBy(r => (r(0), r(1)))
+    val fkByTable = fkRows.groupBy(r => (r(1), r(2)))
+    tables.map { t =>
+      val key = (t.schema, t.sourceName)
+      val idxs = idxByTable.getOrElse(key, Nil)
+        .groupBy(_(2)).toSeq.sortBy(_._1).map { case (name, rows) =>
+          val sorted = rows.sortBy(_(6).toInt)
+          Index(name = name, table = t.sourceName,
+            primary = truthy(sorted.head(3)),
+            unique = truthy(sorted.head(4)),
+            columns = sorted.map(_(5)))
+        }
+      val fks = fkByTable.getOrElse(key, Nil)
+        .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>
+          val sorted = rows.sortBy(_(6).toInt)
+          FKey(name, t.sourceName, sorted.map(_(3)),
+            sorted.head(4), sorted.map(_(5)))
+        }
+      t.copy(indexes = idxs, fkeys = fks)
+    }
+  }
 
   /** One row of [[IntrospectionSql.pgsqlColumns]] (pg_catalog join):
     * `dataType` is `format_type` output — already the typemod'd ctype

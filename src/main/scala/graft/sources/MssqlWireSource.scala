@@ -22,7 +22,7 @@ object MssqlWireSource {
     val conn = new TdsWireConnection(params)
     try {
       val (_, rows) = conn.query(IntrospectionSql.mssqlColumns)
-      IntrospectionRows.mssqlTables(rows.map { r =>
+      val tables = IntrospectionRows.mssqlTables(rows.map { r =>
         IntrospectionRows.MssqlColumn(r(0), r(1), r(2), r(3),
           maxLength = r(4).toInt, precision = r(5).toInt,
           scale = r(6).toInt,
@@ -30,6 +30,9 @@ object MssqlWireSource {
           identity = r(8) == "t" || r(8) == "1",
           default = Option(r(9)))
       })
+      val (_, idxRows) = conn.query(IntrospectionSql.mssqlIndexes)
+      val (_, fkRows) = conn.query(IntrospectionSql.mssqlFKeys)
+      IntrospectionRows.mssqlAttachConstraints(tables, idxRows, fkRows)
     } finally conn.close()
   }
 

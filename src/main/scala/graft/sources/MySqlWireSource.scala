@@ -22,7 +22,10 @@ object MySqlWireSource {
   /** Catalog introspection over the wire: the
     * [[IntrospectionSql.mysqlColumns]] information_schema query with the
     * schema inlined (the text protocol has no placeholders), mapped by
-    * [[IntrospectionRows.mysqlTables]]. */
+    * [[IntrospectionRows.mysqlTables]]; secondary indexes and foreign
+    * keys from information_schema statistics/key_column_usage so the
+    * target gets them rebuilt (mysql-schema.lisp list-all-indexes /
+    * list-all-fkeys). */
   def introspect(params: MySqlWire.ConnParams,
                  schema: String): Seq[graft.catalog.Table] = {
     val conn = new MySqlWireConnection(params)
@@ -37,10 +40,15 @@ object MySqlWireSource {
               AND t.table_type = 'BASE TABLE'
             ORDER BY c.table_name, c.ordinal_position"""
       val (_, rows) = conn.query(sql)
-      IntrospectionRows.mysqlTables(schema, rows.map { r =>
+      val tables = IntrospectionRows.mysqlTables(schema, rows.map { r =>
         IntrospectionRows.MySqlColumn(r(0), r(1), r(2), Option(r(3)),
           nullable = r(4) == "YES", extra = Option(r(5)).getOrElse(""))
       })
+      val (_, idxRows) = conn.query(
+        IntrospectionSql.mysqlIndexesInline(quoteLiteral(schema)))
+      val (_, fkRows) = conn.query(
+        IntrospectionSql.mysqlFKeysInline(quoteLiteral(schema)))
+      IntrospectionRows.mysqlAttachConstraints(tables, idxRows, fkRows)
     } finally conn.close()
   }
 

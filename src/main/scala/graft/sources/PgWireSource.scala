@@ -35,12 +35,15 @@ object PgWireSource {
     val conn = new PgWireConnection(params)
     try {
       val (_, rows) = conn.query(IntrospectionSql.pgsqlColumns)
-      IntrospectionRows.pgsqlTables(rows.map { r =>
+      val tables = IntrospectionRows.pgsqlTables(rows.map { r =>
         IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
           Option(r(4)),
           // boolean TEXT wire form is t/f
           nullable = r(5) == "t" || r(5) == "true")
       })
+      val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
+      val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
+      IntrospectionRows.pgsqlAttachConstraints(tables, idxRows, fkRows)
     } finally conn.close()
   }
 

@@ -206,6 +206,9 @@ final class FakeMySqlServer(
       // ---- command loop ----
       def sendResultset(sql: String): Unit = {
         val (cols, allRows) = onSelect(sql).getOrElse((tableCols, tableRows))
+        if (cols.isEmpty) { ok(); return } // a real server never sends
+        // a 0-column resultset; an unrouted SELECT behaves like a
+        // row-less statement
         val rows = sliceRows(sql, cols, allRows)
         val cnt = new java.io.ByteArrayOutputStream()
         MySqlWire.writeLenenc(cnt, cols.size.toLong)

@@ -106,9 +106,21 @@ class MssqlWireSpec extends SparkSpec {
       null),
     Array("dbo", "tags", "tag", "varchar", "10", "0", "0", "f", "f", null))
 
-  test("introspect maps sys-views rows into the cast engine") {
+  test("introspect maps sys-views rows into the cast engine, with " +
+    "indexes and foreign keys attached (per-key-column rows grouped)") {
     val srv = new FakeTdsServer(onSelect = sql =>
-      if (sql.contains("sys.columns")) Some((Seq("schema_name",
+      if (sql.contains("sys.indexes"))
+        Some((Seq("schema_name", "table_name", "index_name",
+          "is_primary_key", "is_unique", "column_name", "key_ordinal"),
+          Seq(Array("dbo", "users", "pk_users", "1", "1", "id", "1"),
+            Array("dbo", "users", "ix_users", "0", "0", "name", "1"),
+            Array("dbo", "users", "ix_users", "0", "0", "id", "2"))))
+      else if (sql.contains("sys.foreign_keys"))
+        Some((Seq("name", "schema_name", "table_name", "column_name",
+          "ref_table", "ref_column", "constraint_column_id"),
+          Seq(Array("fk_tags_users", "dbo", "tags", "tag", "users",
+            "name", "1"))))
+      else if (sql.contains("sys.columns")) Some((Seq("schema_name",
         "table_name", "name", "type_name", "max_length", "precision",
         "scale", "is_nullable", "is_identity", "default_def"), sysRows))
       else None)
@@ -119,6 +131,14 @@ class MssqlWireSpec extends SparkSpec {
       assert(users.fields.head.autoIncrement)
       // nvarchar lengths are UTF-16 bytes: 100 bytes → nvarchar(50)
       assert(users.fields(1).ctype == "nvarchar(50)")
+      // per-key-column rows group into composite-key indexes, ordered
+      // by key_ordinal
+      assert(users.indexes.map(i => (i.name, i.primary, i.unique,
+        i.columns)) == Seq(("ix_users", false, false, Seq("name", "id")),
+        ("pk_users", true, true, Seq("id"))))
+      assert(tables.find(_.name == "tags").get.fkeys ==
+        Seq(graft.catalog.FKey("fk_tags_users", "tags", Seq("tag"),
+          "users", Seq("name"))))
       val target = users.cast(Nil, graft.casting.DefaultCastRules.mssql)
       assert(target.columns.map(c => (c.name, c.pgType)) ==
         Seq(("id", "serial"), ("name", "text")))
@@ -127,7 +147,9 @@ class MssqlWireSpec extends SparkSpec {
 
   test("mssql→pg: Runner runs LOAD DATABASE FROM mssql:// end to end") {
     val src = new FakeTdsServer(onSelect = sql =>
-      if (sql.contains("sys.columns")) Some((Seq("schema_name",
+      if (sql.contains("sys.indexes") || sql.contains("sys.foreign_keys"))
+        Some((Nil, Nil)) // no constraints in this fixture
+      else if (sql.contains("sys.columns")) Some((Seq("schema_name",
         "table_name", "name", "type_name", "max_length", "precision",
         "scale", "is_nullable", "is_identity", "default_def"), sysRows))
       else if (sql.contains("[dbo].[users]"))
@@ -171,7 +193,9 @@ class MssqlWireSpec extends SparkSpec {
       "max_length", "precision", "scale", "is_nullable", "is_identity",
       "default_def")
     val src = new FakeTdsServer(onSelect = sql =>
-      if (sql.contains("sys.views"))
+      if (sql.contains("sys.indexes") || sql.contains("sys.foreign_keys"))
+        Some((Nil, Nil))
+      else if (sql.contains("sys.views"))
         Some((sysCols, Seq(
           Array("dbo", "v_top", "id", "int", "4", "10", "0", "f", "f",
             null))))

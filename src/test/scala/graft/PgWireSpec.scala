@@ -128,16 +128,29 @@ class PgWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
-  test("introspect maps pg_catalog rows to catalog tables over the wire") {
+  test("introspect maps pg_catalog rows to catalog tables over the " +
+    "wire, with indexes and foreign keys attached") {
     val catalogRows = Seq(
       Array("public", "users", "id", "integer",
         "nextval('users_id_seq'::regclass)", "f"),
       Array("public", "users", "city", "character varying(30)", null, "t"),
       Array("public", "orders", "oid", "bigint", null, "f"))
-    val srv = new FakePgServer(
-      tableCols = Seq("nspname", "relname", "attname", "data_type",
-        "default_expr", "nullable"),
-      tableRows = catalogRows)
+    val srv = new FakePgServer(onSelect = sql =>
+      if (sql.contains("pg_index"))
+        Some((Seq("nspname", "relname", "relname", "indisprimary",
+          "indisunique", "columns"),
+          Seq(Array("public", "users", "users_pkey", "t", "t", "id"),
+            // expression index: NULL column list → skipped
+            Array("public", "users", "users_city_expr", "f", "f", null))))
+      else if (sql.contains("contype = 'f'"))
+        Some((Seq("conname", "nspname", "relname", "cols", "ftable",
+          "fcols"),
+          Seq(Array("orders_user_fk", "public", "orders", "oid",
+            "users", "id"))))
+      else if (sql.contains("pg_attrdef"))
+        Some((Seq("nspname", "relname", "attname", "data_type",
+          "default_expr", "nullable"), catalogRows))
+      else None)
     try {
       val tables = graft.sources.PgWireSource.introspect(params(srv.port))
       assert(tables.map(_.name).sorted == Seq("orders", "users"))
@@ -147,6 +160,13 @@ class PgWireSpec extends SparkSpec {
         !users.fields.head.nullable)
       assert(users.fields(1).ctype == "character varying(30)" &&
         users.fields(1).nullable)
+      // plain indexes mapped; the expression index (NULL columns) is
+      // skipped — a column list cannot recreate it
+      assert(users.indexes.map(i => (i.name, i.primary, i.columns)) ==
+        Seq(("users_pkey", true, Seq("id"))))
+      val orders = tables.find(_.name == "orders").get
+      assert(orders.fkeys == Seq(graft.catalog.FKey("orders_user_fk",
+        "orders", Seq("oid"), "users", Seq("id"))))
       // the derived catalog drives the cast engine: serial from the
       // nextval default, varchar→text (the reference's pgsql defaults
       // drop the typemod on purpose)
@@ -226,7 +246,11 @@ class PgWireSpec extends SparkSpec {
     val userRows = Seq(Array("1", "alice"), Array("2", null))
     val tagRows = Seq(Array("x"), Array("y"), Array("z"))
     val src = new FakePgServer(onSelect = sql =>
-      if (sql.contains("pg_attribute"))
+      // index/fkey introspection queries also mention pg_attribute —
+      // route them first (no constraints in this fixture)
+      if (sql.contains("pg_index") || sql.contains("contype = 'f'"))
+        Some((Nil, Nil))
+      else if (sql.contains("pg_attribute"))
         Some((Seq("nspname", "relname", "attname", "data_type",
           "default_expr", "nullable"), catalogRows))
       else if (sql.contains("pg_class")) Some((Seq("relpages"),
