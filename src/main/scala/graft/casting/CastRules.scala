@@ -19,7 +19,8 @@ final case class SourceColumn(
     default: Option[String] = None,
     nullable: Boolean = true,
     autoIncrement: Boolean = false,
-    onUpdateCurrentTimestamp: Boolean = false) {
+    onUpdateCurrentTimestamp: Boolean = false,
+    comment: Option[String] = None) {
 
   /** Bare type name, lowercased, typemod and attribute keywords stripped.
     * Multi-word names survive (`character varying`, `double precision`,

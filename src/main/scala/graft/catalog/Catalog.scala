@@ -48,7 +48,7 @@ final case class Table(
     copy(columns = fields.map { f =>
       val r = CastEngine.cast(f, userRules, defaults)
       ColumnDef(f.name, r.pgType, r.sparkType, r.nullable, r.default,
-        r.transform)
+        r.transform, comment = f.comment)
     })
 
   /** Spark-side target schema. */

@@ -357,6 +357,33 @@ object IntrospectionSql {
          AND referenced_table_name IS NOT NULL
        ORDER BY constraint_name, ordinal_position"""
 
+  /** Table + column comments (list-table-comments.sql /
+    * list-columns-comments.sql). */
+  def mysqlTableCommentsInline(schemaLiteral: String): String =
+    s"""SELECT table_name, table_comment
+       FROM information_schema.tables
+       WHERE table_schema = $schemaLiteral
+         AND table_comment <> '' AND table_comment IS NOT NULL"""
+
+  def mysqlColumnCommentsInline(schemaLiteral: String): String =
+    s"""SELECT table_name, column_name, column_comment
+       FROM information_schema.columns
+       WHERE table_schema = $schemaLiteral
+         AND column_comment <> '' AND column_comment IS NOT NULL"""
+
+  /** CHECK constraints — MySQL ≥ 8.0.16 surfaces them in
+    * information_schema.CHECK_CONSTRAINTS; the JOIN returns no rows on
+    * older servers so this is safe anywhere (list-all-checks.sql). */
+  def mysqlChecksInline(schemaLiteral: String): String =
+    s"""SELECT tc.table_name, cc.constraint_name, cc.check_clause
+       FROM information_schema.table_constraints tc
+       JOIN information_schema.check_constraints cc
+         ON cc.constraint_schema = tc.table_schema
+        AND cc.constraint_name = tc.constraint_name
+       WHERE tc.table_schema = $schemaLiteral
+         AND tc.constraint_type = 'CHECK'
+       ORDER BY tc.table_name, cc.constraint_name"""
+
   /** SQLite PRAGMA-based introspection (sqlite-schema.lisp). */
   val sqliteTableList: String =
     """SELECT name FROM sqlite_master
@@ -499,6 +526,37 @@ object IntrospectionSql {
        JOIN sys.columns cr ON cr.object_id = fkc.referenced_object_id
          AND cr.column_id = fkc.referenced_column_id
        ORDER BY fk.name, fkc.constraint_column_id"""
+
+  /** Table / column comments (pgsql-schema.lisp comment handling). */
+  val pgsqlTableComments: String =
+    """SELECT n.nspname, c.relname, obj_description(c.oid, 'pg_class')
+       FROM pg_class c
+       JOIN pg_namespace n ON n.oid = c.relnamespace
+       WHERE c.relkind = 'r'
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+         AND obj_description(c.oid, 'pg_class') IS NOT NULL"""
+
+  val pgsqlColumnComments: String =
+    """SELECT n.nspname, c.relname, a.attname,
+       col_description(c.oid, a.attnum)
+       FROM pg_class c
+       JOIN pg_namespace n ON n.oid = c.relnamespace
+       JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+       WHERE c.relkind = 'r' AND NOT a.attisdropped
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+         AND col_description(c.oid, a.attnum) IS NOT NULL"""
+
+  /** CHECK constraints: pg_get_constraintdef renders `CHECK (expr)` —
+    * the mapper strips the wrapper, the target DDL re-adds it. */
+  val pgsqlChecks: String =
+    """SELECT n.nspname, t.relname, c.conname,
+       pg_get_constraintdef(c.oid)
+       FROM pg_constraint c
+       JOIN pg_class t ON t.oid = c.conrelid
+       JOIN pg_namespace n ON n.oid = t.relnamespace
+       WHERE c.contype = 'c'
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ORDER BY n.nspname, t.relname, c.conname"""
 
   /** PG heap split by ctid block ranges
     * (clojure/src/pgloader/source/pgsql.clj:206-208, 313-345). */
@@ -716,6 +774,59 @@ object IntrospectionRows {
             sorted.head(4), sorted.map(_(5)))
         }
       t.copy(indexes = idxs, fkeys = fks)
+    }
+  }
+
+  /** Attach MySQL table/column comments + CHECK clauses. tcRows:
+    * (table, comment); ccRows: (table, column, comment); checkRows:
+    * (table, constraint, clause). */
+  def mysqlAttachComments(tables: Seq[Table],
+                          tcRows: Seq[Array[String]],
+                          ccRows: Seq[Array[String]],
+                          checkRows: Seq[Array[String]]): Seq[Table] = {
+    val tc = tcRows.map(r => r(0) -> r(1)).toMap
+    val cc = ccRows.map(r => (r(0), r(1)) -> r(2)).toMap
+    val checks = checkRows.groupBy(_(0))
+    tables.map { t =>
+      t.copy(
+        comment = tc.get(t.sourceName).filter(_.nonEmpty),
+        fields = t.fields.map(f =>
+          f.copy(comment = cc.get((t.sourceName, f.name))
+            .filter(_.nonEmpty))),
+        checks = checks.getOrElse(t.sourceName, Nil).map(_(2)))
+    }
+  }
+
+  /** Strip pg_get_constraintdef's `CHECK (expr)` wrapper — the target
+    * DDL re-adds it. */
+  def stripPgCheckDef(d: String): String = {
+    val s = d.trim
+    if (s.toUpperCase.startsWith("CHECK") ) {
+      val inner = s.drop(5).trim
+      if (inner.startsWith("(") && inner.endsWith(")"))
+        inner.substring(1, inner.length - 1)
+      else inner
+    } else s
+  }
+
+  /** Attach PG table/column comments + CHECK clauses. tcRows: (schema,
+    * table, comment); ccRows: (schema, table, column, comment);
+    * checkRows: (schema, table, conname, constraintdef). */
+  def pgsqlAttachComments(tables: Seq[Table],
+                          tcRows: Seq[Array[String]],
+                          ccRows: Seq[Array[String]],
+                          checkRows: Seq[Array[String]]): Seq[Table] = {
+    val tc = tcRows.map(r => (r(0), r(1)) -> r(2)).toMap
+    val cc = ccRows.map(r => (r(0), r(1), r(2)) -> r(3)).toMap
+    val checks = checkRows.groupBy(r => (r(0), r(1)))
+    tables.map { t =>
+      t.copy(
+        comment = tc.get((t.schema, t.sourceName)).filter(_.nonEmpty),
+        fields = t.fields.map(f =>
+          f.copy(comment = cc.get((t.schema, t.sourceName, f.name))
+            .filter(_.nonEmpty))),
+        checks = checks.getOrElse((t.schema, t.sourceName), Nil)
+          .map(r => stripPgCheckDef(r(3))))
     }
   }
 

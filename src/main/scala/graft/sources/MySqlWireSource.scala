@@ -48,7 +48,15 @@ object MySqlWireSource {
         IntrospectionSql.mysqlIndexesInline(quoteLiteral(schema)))
       val (_, fkRows) = conn.query(
         IntrospectionSql.mysqlFKeysInline(quoteLiteral(schema)))
-      IntrospectionRows.mysqlAttachConstraints(tables, idxRows, fkRows)
+      val (_, tcRows) = conn.query(
+        IntrospectionSql.mysqlTableCommentsInline(quoteLiteral(schema)))
+      val (_, ccRows) = conn.query(
+        IntrospectionSql.mysqlColumnCommentsInline(quoteLiteral(schema)))
+      val (_, checkRows) = conn.query(
+        IntrospectionSql.mysqlChecksInline(quoteLiteral(schema)))
+      IntrospectionRows.mysqlAttachComments(
+        IntrospectionRows.mysqlAttachConstraints(tables, idxRows, fkRows),
+        tcRows, ccRows, checkRows)
     } finally conn.close()
   }
 

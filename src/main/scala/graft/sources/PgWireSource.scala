@@ -43,7 +43,12 @@ object PgWireSource {
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
-      IntrospectionRows.pgsqlAttachConstraints(tables, idxRows, fkRows)
+      val (_, tcRows) = conn.query(IntrospectionSql.pgsqlTableComments)
+      val (_, ccRows) = conn.query(IntrospectionSql.pgsqlColumnComments)
+      val (_, checkRows) = conn.query(IntrospectionSql.pgsqlChecks)
+      IntrospectionRows.pgsqlAttachComments(
+        IntrospectionRows.pgsqlAttachConstraints(tables, idxRows, fkRows),
+        tcRows, ccRows, checkRows)
     } finally conn.close()
   }
 

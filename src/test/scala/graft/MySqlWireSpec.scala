@@ -211,6 +211,15 @@ class MySqlWireSpec extends SparkSpec {
           Seq(Array("users", "PRIMARY", "0", "id"),
             Array("users", "idx_users_name", "1", "name"),
             Array("tags", "uq_tag", "0", "tag"))))
+      else if (sql.contains("table_comment"))
+        Some((Seq("table_name", "table_comment"),
+          Seq(Array("users", "user accounts"))))
+      else if (sql.contains("column_comment"))
+        Some((Seq("table_name", "column_name", "column_comment"),
+          Seq(Array("users", "name", "display name"))))
+      else if (sql.contains("check_constraints"))
+        Some((Seq("table_name", "constraint_name", "check_clause"),
+          Seq(Array("users", "users_chk_1", "(`id` > 0)"))))
       else if (sql.contains("key_column_usage"))
         Some((Seq("constraint_name", "table_name", "column_name",
           "referenced_table_name", "referenced_column_name",
@@ -238,6 +247,14 @@ class MySqlWireSpec extends SparkSpec {
         Seq(("uq_tag", true)))
       assert(tags.fkeys == Seq(graft.catalog.FKey("fk_tags_users",
         "tags", Seq("tag"), "users", Seq("name"))))
+      // comments and CHECK clauses survive into the catalog (and from
+      // there into the Migrator's COMMENT ON / ADD CONSTRAINT phases)
+      assert(users.comment == Some("user accounts"))
+      assert(users.fields(1).comment == Some("display name"))
+      assert(users.checks == Seq("(`id` > 0)"))
+      // the comment flows through the cast into the target column
+      assert(users.cast(Nil, graft.casting.DefaultCastRules.mysql)
+        .columns(1).comment == Some("display name"))
       // the MySQL default rule set drives the pg target types: int(11)
       // auto_increment → bigserial (mysql-cast-rules.lisp promotes int
       // to the 64-bit serial), varchar(25) → text (typemod dropped)
@@ -252,7 +269,9 @@ class MySqlWireSpec extends SparkSpec {
     val userRows = Seq(Array("1", "alice"), Array("2", null))
     val tagRows = Seq(Array("x"), Array("y"), Array("z"))
     val src = new FakeMySqlServer(onSelect = sql =>
-      if (sql.contains("information_schema.statistics"))
+      if (sql.contains("table_comment") || sql.contains("column_comment") ||
+          sql.contains("check_constraints")) Some((Nil, Nil))
+      else if (sql.contains("information_schema.statistics"))
         Some((Seq("table_name", "index_name", "non_unique", "columns"),
           Seq(Array("users", "idx_users_name", "1", "name"))))
       else if (sql.contains("key_column_usage"))
@@ -323,7 +342,9 @@ class MySqlWireSpec extends SparkSpec {
     val userRows = Seq(Array("1", "alice"), Array("2", null))
     val tagRows = Seq(Array("x"), Array("y"), Array("z"))
     val src = new FakeMySqlServer(onSelect = sql =>
-      if (sql.contains("information_schema.columns"))
+      if (sql.contains("table_comment") || sql.contains("column_comment") ||
+          sql.contains("check_constraints")) Some((Nil, Nil))
+      else if (sql.contains("information_schema.columns"))
         Some((Seq("table_name", "column_name", "column_type",
           "column_default", "is_nullable", "extra"), catalogRows))
       else if (sql.contains("information_schema.tables"))
@@ -379,7 +400,9 @@ class MySqlWireSpec extends SparkSpec {
       Array("orders", "oid", "int(11)", null, "NO", ""),
       Array("orders", "uid", "int(11)", null, "NO", ""))
     val src = new FakeMySqlServer(onSelect = sql =>
-      if (sql.contains("information_schema.statistics")) Some((Nil, Nil))
+      if (sql.contains("table_comment") || sql.contains("column_comment") ||
+          sql.contains("check_constraints")) Some((Nil, Nil))
+      else if (sql.contains("information_schema.statistics")) Some((Nil, Nil))
       else if (sql.contains("key_column_usage"))
         Some((Seq("constraint_name", "table_name", "column_name",
           "referenced_table_name", "referenced_column_name",
@@ -450,7 +473,9 @@ class MySqlWireSpec extends SparkSpec {
     val cols6 = Seq("table_name", "column_name", "column_type",
       "column_default", "is_nullable", "extra")
     val src = new FakeMySqlServer(onSelect = sql =>
-      if (sql.contains("information_schema.columns") &&
+      if (sql.contains("table_comment") || sql.contains("column_comment") ||
+          sql.contains("check_constraints")) Some((Nil, Nil))
+      else if (sql.contains("information_schema.columns") &&
           sql.contains("'VIEW'"))
         Some((cols6, Seq(
           Array("rich_users", "id", "int(11)", null, "NO", ""),

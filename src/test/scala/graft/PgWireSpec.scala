@@ -147,6 +147,16 @@ class PgWireSpec extends SparkSpec {
           "fcols"),
           Seq(Array("orders_user_fk", "public", "orders", "oid",
             "users", "id"))))
+      else if (sql.contains("contype = 'c'"))
+        Some((Seq("nspname", "relname", "conname", "def"),
+          Seq(Array("public", "users", "users_city_check",
+            "CHECK ((city <> ''))"))))
+      else if (sql.contains("obj_description"))
+        Some((Seq("nspname", "relname", "comment"),
+          Seq(Array("public", "users", "user accounts"))))
+      else if (sql.contains("col_description"))
+        Some((Seq("nspname", "relname", "attname", "comment"),
+          Seq(Array("public", "users", "city", "home town"))))
       else if (sql.contains("pg_attrdef"))
         Some((Seq("nspname", "relname", "attname", "data_type",
           "default_expr", "nullable"), catalogRows))
@@ -167,6 +177,11 @@ class PgWireSpec extends SparkSpec {
       val orders = tables.find(_.name == "orders").get
       assert(orders.fkeys == Seq(graft.catalog.FKey("orders_user_fk",
         "orders", Seq("oid"), "users", Seq("id"))))
+      // comments + CHECKs mapped; pg_get_constraintdef's CHECK (…)
+      // wrapper stripped (the target DDL re-adds it)
+      assert(users.comment == Some("user accounts"))
+      assert(users.fields(1).comment == Some("home town"))
+      assert(users.checks == Seq("(city <> '')"))
       // the derived catalog drives the cast engine: serial from the
       // nextval default, varchar→text (the reference's pgsql defaults
       // drop the typemod on purpose)
@@ -246,9 +261,10 @@ class PgWireSpec extends SparkSpec {
     val userRows = Seq(Array("1", "alice"), Array("2", null))
     val tagRows = Seq(Array("x"), Array("y"), Array("z"))
     val src = new FakePgServer(onSelect = sql =>
-      // index/fkey introspection queries also mention pg_attribute —
-      // route them first (no constraints in this fixture)
-      if (sql.contains("pg_index") || sql.contains("contype = 'f'"))
+      // index/fkey/check/comment introspection queries also mention
+      // pg_attribute/pg_class — route them first (none in this fixture)
+      if (sql.contains("pg_index") || sql.contains("contype") ||
+          sql.contains("_description"))
         Some((Nil, Nil))
       else if (sql.contains("pg_attribute"))
         Some((Seq("nspname", "relname", "attname", "data_type",
