@@ -128,7 +128,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // viewOps: (run SQL in the SOURCE, introspect views, quote a view
     // name) — the MATERIALIZE VIEWS surface; None where no server
     // exists to run SQL against (the sqlite file reader)
-    val (baseTables: Seq[Table], defaults, readTable, viewOps) =
+    val (baseTables: Seq[Table], defaults, readTable, viewOps,
+      sourceSequences: Seq[graft.catalog.SequenceDef]) =
       scheme match {
       case "mysql" =>
         val mp = graft.sources.MySqlWire.connParams(uri, decode)
@@ -150,7 +151,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             mp, mp.database, names)
         (graft.sources.MySqlWireSource.introspect(mp, mp.database),
           graft.casting.DefaultCastRules.mysql, read,
-          Some((exec, iviews, graft.sources.MySqlWire.quoteIdent _)))
+          Some((exec, iviews, graft.sources.MySqlWire.quoteIdent _)), Nil)
       case "pgsql" | "postgresql" | "postgres" =>
         val sp = graft.sinks.PgWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
@@ -172,7 +173,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.sources.PgWireSource.introspectViews(sp, names)
         (graft.sources.PgWireSource.introspect(sp),
           graft.casting.DefaultCastRules.pgsql, read,
-          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)))
+          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)), Nil)
       case "sqlite" =>
         // sqlite:///path/to/file.db — the native file-format reader
         // (no server, no driver jar); row counts feed the size ordering
@@ -180,7 +181,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val read = (t: Table, _: Boolean) =>
           graft.sources.SqliteSource.read(spark, path, t.sourceName)
         (graft.sources.SqliteSource.introspect(path, rowCounts = true),
-          graft.casting.DefaultCastRules.sqlite, read, None)
+          graft.casting.DefaultCastRules.sqlite, read, None, Nil)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
@@ -206,7 +207,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.sources.MssqlWireSource.introspectViews(tp, names)
         (graft.sources.MssqlWireSource.introspect(tp),
           graft.casting.DefaultCastRules.mssql, read,
-          Some((exec, iviews, graft.sources.TdsWire.quoteIdent _)))
+          Some((exec, iviews, graft.sources.TdsWire.quoteIdent _)),
+          graft.sources.MssqlWireSource.introspectSequences(tp))
       case other => throw new UnsupportedOperationException(
         s"LOAD DATABASE source $other:// is not wired (mysql/pgsql/mssql " +
           "speak their native wire protocols, sqlite reads the file " +
@@ -279,7 +281,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
     val cat = Catalog(uri, bySchema.map { case (s, ts) =>
       Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
-    })
+    }, sequences = sourceSequences)
     val migrator = new graft.orchestration.Migrator(
       executeDdl = executeDdl,
       loadTable = (t, setup) => {

@@ -17,7 +17,11 @@ final case class Catalog(name: String, schemas: Seq[Schema] = Nil,
                            * EXTENSION IF NOT EXISTS, core.clj:227-265) —
                            * user-declared; [[Ddl.requiredExtensions]]
                            * infers more from the cast column types. */
-                         extensions: Seq[String] = Nil) {
+                         extensions: Seq[String] = Nil,
+                         /** user-defined SEQUENCE objects to recreate
+                           * on the target (MSSQL sys.sequences,
+                           * mssql-schema.lisp:172-194). */
+                         sequences: Seq[SequenceDef] = Nil) {
   def allTables: Seq[Table] = schemas.flatMap(_.tables)
 
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
@@ -77,6 +81,19 @@ final case class Index(
     unique: Boolean = false,
     columns: Seq[String] = Nil,
     filter: Option[String] = None)
+
+/** A user-defined sequence (sys.sequences shape; identity columns are
+  * never in it — they map through serial/bigserial instead). */
+final case class SequenceDef(
+    schema: String,
+    name: String,
+    start: Long,
+    increment: Long,
+    minValue: Long,
+    maxValue: Long,
+    current: Option[Long] = None,
+    cycling: Boolean = false,
+    cache: Long = 0L)
 
 final case class FKey(
     name: String,
@@ -156,6 +173,21 @@ object Ddl {
   def createEnum(typeName: String, labels: Seq[String]): String =
     s"CREATE TYPE $typeName AS ENUM (" +
       labels.map(l => s"'${l.replace("'", "''")}'").mkString(", ") + ");"
+
+  def dropSequence(s: SequenceDef): String =
+    s"DROP SEQUENCE IF EXISTS ${s.schema}.${s.name} CASCADE;"
+
+  /** START is current + increment so the first nextval() on the target
+    * returns the next un-issued value
+    * (pgsql-create-schema.lisp:114-152). */
+  def createSequence(s: SequenceDef): String = {
+    val start = s.current.map(_ + s.increment).getOrElse(s.start)
+    s"CREATE SEQUENCE IF NOT EXISTS ${s.schema}.${s.name} AS bigint " +
+      s"START WITH $start INCREMENT BY ${s.increment} " +
+      s"MINVALUE ${s.minValue} MAXVALUE ${s.maxValue} " +
+      (if (s.cycling) "CYCLE" else "NO CYCLE") +
+      (if (s.cache > 0) s" CACHE ${s.cache}" else "") + ";"
+  }
 
   def addCheck(t: Table, name: String, expr: String): String =
     s"ALTER TABLE ${t.schema}.${t.name} ADD CONSTRAINT $name CHECK ($expr);"

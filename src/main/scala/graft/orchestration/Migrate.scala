@@ -161,6 +161,12 @@ final class Migrator(
     def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
+    // user-defined sequences right after the schemas, before any table
+    // references them (migrate-database.lisp:65-70)
+    cat.sequences.foreach { sq =>
+      if (includeDrop) preDdl(Ddl.dropSequence(sq))
+      preDdl(Ddl.createSequence(sq))
+    }
     // extensions before any table DDL — a column typed hstore/ip4r or
     // defaulted with uuid_generate_v4() needs its extension installed
     // first (core.clj:227-265)

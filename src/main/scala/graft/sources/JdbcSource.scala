@@ -509,6 +509,17 @@ object IntrospectionSql {
        WHERE i.name IS NOT NULL AND ic.is_included_column = 0
        ORDER BY s.name, t.name, i.name, ic.key_ordinal"""
 
+  /** User-defined SEQUENCE objects (list-all-sequences.sql — identity
+    * columns are never in sys.sequences, no filtering needed). */
+  val mssqlSequences: String =
+    """SELECT sc.name AS schema_name, s.name AS sequence_name,
+       CAST(s.start_value AS BIGINT), CAST(s.increment AS BIGINT),
+       CAST(s.minimum_value AS BIGINT), CAST(s.maximum_value AS BIGINT),
+       CAST(s.current_value AS BIGINT), s.is_cycling, s.cache_size
+       FROM sys.sequences s
+       JOIN sys.schemas sc ON sc.schema_id = s.schema_id
+       ORDER BY sc.name, s.name"""
+
   /** sys.foreign_keys one row per column pair (constraint_column_id
     * orders them; grouped client-side). */
   val mssqlFKeys: String =

@@ -36,6 +36,26 @@ object MssqlWireSource {
     } finally conn.close()
   }
 
+  /** User-defined sequences (sys.sequences → target CREATE SEQUENCE;
+    * mssql-schema.lisp:172-194). dbo maps to public downstream via the
+    * normal schema handling. */
+  def introspectSequences(params: TdsWire.ConnParams)
+      : Seq[graft.catalog.SequenceDef] = {
+    val conn = new TdsWireConnection(params)
+    try {
+      val (_, rows) = conn.query(IntrospectionSql.mssqlSequences)
+      rows.map { r =>
+        graft.catalog.SequenceDef(
+          schema = r(0), name = r(1),
+          start = r(2).toLong, increment = r(3).toLong,
+          minValue = r(4).toLong, maxValue = r(5).toLong,
+          current = Option(r(6)).map(_.toLong),
+          cycling = r(7) == "t" || r(7) == "1",
+          cache = Option(r(8)).map(_.toLong).getOrElse(0L))
+      }
+    } finally conn.close()
+  }
+
   /** View introspection for MATERIALIZE VIEWS — the same sys-views
     * column query over sys.views, restricted to `names` (None = ALL
     * VIEWS). */

@@ -145,10 +145,16 @@ class MssqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
-  test("mssql→pg: Runner runs LOAD DATABASE FROM mssql:// end to end") {
+  test("mssql→pg: Runner runs LOAD DATABASE FROM mssql:// end to end; " +
+    "user-defined sequences recreated with the next un-issued value") {
     val src = new FakeTdsServer(onSelect = sql =>
       if (sql.contains("sys.indexes") || sql.contains("sys.foreign_keys"))
         Some((Nil, Nil)) // no constraints in this fixture
+      else if (sql.contains("sys.sequences"))
+        Some((Seq("schema_name", "sequence_name", "start", "inc", "mn",
+          "mx", "cur", "cyc", "cache"),
+          Seq(Array("dbo", "order_seq", "1", "1", "1",
+            "9223372036854775807", "41", "f", "50"))))
       else if (sql.contains("sys.columns")) Some((Seq("schema_name",
         "table_name", "name", "type_name", "max_length", "precision",
         "scale", "is_nullable", "is_identity", "default_def"), sysRows))
@@ -182,6 +188,14 @@ class MssqlWireSpec extends SparkSpec {
       val ddl = dst.executed.synchronized(dst.executed.toList)
       assert(ddl.exists(s => s.contains("CREATE TABLE") &&
         s.contains("users")))
+      // the sequence lands BEFORE any CREATE TABLE, started at
+      // current + increment (42 — the next un-issued value)
+      val seqIdx = ddl.indexWhere(_.contains("CREATE SEQUENCE"))
+      assert(seqIdx >= 0 &&
+        ddl(seqIdx).contains("dbo.order_seq") &&
+        ddl(seqIdx).contains("START WITH 42") &&
+        ddl(seqIdx).contains("CACHE 50"), ddl.mkString("; "))
+      assert(seqIdx < ddl.indexWhere(_.contains("CREATE TABLE")))
       val landed = dst.accepted.synchronized(dst.accepted.toList).sorted
       assert(landed == Seq("1\talice", "2\t\\N", "x", "y", "z"))
     } finally { src.close(); dst.close() }
