@@ -138,9 +138,15 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           val pk = t.fields.find(_.autoIncrement).map(_.name)
           val rows = graft.sources.MySqlWireSource.rowCountOf(
             mp, mp.database, t.sourceName)
+          // DECODING TABLE NAMES MATCHING … AS cs: matched tables'
+          // bytes decode with the override charset (mysql.lisp
+          // *decoding-as* / apply-decoding-as-filters)
+          val cs = cmd.decodingAs.collectFirst {
+            case (pat, c) if pat.matches(t.sourceName) => c
+          }.getOrElse("UTF-8")
           graft.sources.MySqlWireSource.read(spark, mp, mp.database,
             t.sourceName, partitionKey = pk, rowCountEstimate = rows,
-            rowsPerRange = rowsPerRange)
+            rowsPerRange = rowsPerRange, charsetName = cs)
         }
         val exec = (sql: String) => {
           val c = new graft.sources.MySqlWireConnection(mp)

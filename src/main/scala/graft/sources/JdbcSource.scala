@@ -696,7 +696,11 @@ object IntrospectionRows {
       Table(name = tbl, schema = schema, sourceName = tbl,
         fields = cols.map(c => SourceColumn(tbl, c.name, c.columnType,
           default = c.default, nullable = c.nullable,
-          autoIncrement = c.extra.toLowerCase.contains("auto_increment"))))
+          autoIncrement = c.extra.toLowerCase.contains("auto_increment"),
+          // EXTRA carries `on update CURRENT_TIMESTAMP` — the Migrator
+          // emulates it with a plpgsql trigger after the data phase
+          onUpdateCurrentTimestamp =
+            c.extra.toLowerCase.contains("on update current_timestamp"))))
     }
 
   /** Attach [[IntrospectionSql.mysqlIndexesInline]] /

@@ -129,6 +129,15 @@ object MySqlWire {
       case -1L => null
       case n => new String(bytes(n.toInt), UTF_8)
     }
+    /** Length-encoded string decoded with an explicit charset — the
+      * DECODING TABLE NAMES MATCHING path, where a table's bytes are
+      * stored in a different encoding than the declared one
+      * (mysql.lisp *decoding-as*). */
+    def lenencStringAs(cs: java.nio.charset.Charset): String =
+      lenenc match {
+        case -1L => null
+        case n => new String(bytes(n.toInt), cs)
+      }
   }
 
   private[graft] def writeLenenc(o: java.io.ByteArrayOutputStream,
@@ -372,7 +381,9 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
     * as [[graft.sinks.PgWireConnection.queryStream]]. A row-less
     * statement (DDL, SET) yields (Nil, empty). Single-use until
     * drained. */
-  def queryStream(sql: String): (Seq[String], Iterator[Array[String]]) = {
+  def queryStream(sql: String,
+                  charset: java.nio.charset.Charset = UTF_8)
+      : (Seq[String], Iterator[Array[String]]) = {
     sendCommand(0x03, sql.getBytes(UTF_8)) // COM_QUERY
     val first = readPacket()
     (first(0) & 0xFF) match {
@@ -398,7 +409,7 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
               else if ((p(0) & 0xFF) == 0xFF) { done = true; throw parseErr(p) }
               else {
                 val c = new Cursor(p)
-                nextRow = Array.fill(ncols)(c.lenencString)
+                nextRow = Array.fill(ncols)(c.lenencStringAs(charset))
               }
             }
           override def hasNext: Boolean = { advance(); nextRow != null }

@@ -140,7 +140,8 @@ object MySqlWireSource {
            partitionKey: Option[String] = None,
            rowCountEstimate: Long = 0L,
            rowsPerRange: Long = 10000L,
-           selectCols: Seq[(String, String)] = Nil): DataFrame = {
+           selectCols: Seq[(String, String)] = Nil,
+           charsetName: String = "UTF-8"): DataFrame = {
     val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
     val discovered =
       if (selectCols.nonEmpty) Nil
@@ -173,7 +174,8 @@ object MySqlWireSource {
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => conn.close())
           val (_, rows) = conn.queryStream(
-            s"SELECT $select FROM $qtable WHERE $pred")
+            s"SELECT $select FROM $qtable WHERE $pred",
+            java.nio.charset.Charset.forName(charsetName))
           new Iterator[Row] {
             private var closed = false
             override def hasNext: Boolean = {

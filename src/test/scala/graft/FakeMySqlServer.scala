@@ -40,7 +40,11 @@ final class FakeMySqlServer(
     onRow: Int => Unit = _ => (),
     // TLS: when set, CLIENT_SSL is advertised and a 32-byte SSLRequest
     // upgrades the connection before the full handshake response
-    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    // row VALUE encoder — lets a test serve bytes stored in a charset
+    // other than utf8 (the DECODING TABLE NAMES MATCHING scenario)
+    rowEncoder: String => Array[Byte] = _.getBytes(UTF_8))
+    extends AutoCloseable {
 
   val executed = new ArrayBuffer[String]() // row-less statements
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -230,7 +234,14 @@ final class FakeMySqlServer(
         rows.zipWithIndex.foreach { case (r, i) =>
           onRow(i) // may block — prior rows are flushed per packet
           val rp = new java.io.ByteArrayOutputStream()
-          r.foreach(MySqlWire.writeLenencString(rp, _))
+          r.foreach { v =>
+            if (v == null) rp.write(0xFB)
+            else {
+              val b = rowEncoder(v)
+              MySqlWire.writeLenenc(rp, b.length.toLong)
+              rp.write(b, 0, b.length)
+            }
+          }
           sendPacket(rp.toByteArray)
         }
         eof()
