@@ -466,7 +466,8 @@ object IntrospectionSql {
         FROM unnest(x.indkey) WITH ORDINALITY AS k(attnum, ord)
         JOIN pg_attribute a
           ON a.attrelid = x.indrelid AND a.attnum = k.attnum
-        WHERE k.attnum > 0) AS columns
+        WHERE k.attnum > 0) AS columns,
+       pg_get_expr(x.indpred, x.indrelid) AS filter
        FROM pg_index x
        JOIN pg_class i ON i.oid = x.indexrelid
        JOIN pg_class t ON t.oid = x.indrelid
@@ -498,7 +499,7 @@ object IntrospectionSql {
   val mssqlIndexes: String =
     """SELECT s.name AS schema_name, t.name AS table_name,
        i.name AS index_name, i.is_primary_key, i.is_unique,
-       c.name AS column_name, ic.key_ordinal
+       c.name AS column_name, ic.key_ordinal, i.filter_definition
        FROM sys.indexes i
        JOIN sys.tables t ON t.object_id = i.object_id
        JOIN sys.schemas s ON s.schema_id = t.schema_id
@@ -737,8 +738,9 @@ object IntrospectionRows {
   /** Attach [[IntrospectionSql.pgsqlIndexes]] /
     * [[IntrospectionSql.pgsqlFKeys]] result rows. idxRows: (schema,
     * table, index, is_primary t/f, is_unique t/f, columns-csv — NULL
-    * for expression indexes, skipped); fkRows: (name, schema, table,
-    * columns-csv, ref_table, ref_columns-csv). */
+    * for expression indexes, skipped; partial-index predicate or NULL);
+    * fkRows: (name, schema, table, columns-csv, ref_table,
+    * ref_columns-csv). */
   def pgsqlAttachConstraints(tables: Seq[Table],
                              idxRows: Seq[Array[String]],
                              fkRows: Seq[Array[String]]): Seq[Table] = {
@@ -751,7 +753,9 @@ object IntrospectionRows {
           Index(name = r(2), table = t.sourceName,
             primary = r(3) == "t" || r(3) == "true",
             unique = r(4) == "t" || r(4) == "true",
-            columns = r(5).split(",").toSeq)
+            columns = r(5).split(",").toSeq,
+            // pg_get_expr(indpred) — partial indexes keep their WHERE
+            filter = Option(r(6)).filter(_.nonEmpty))
         }
       val fks = fkByTable.getOrElse(key, Nil).map { r =>
         FKey(r(0), t.sourceName, r(3).split(",").toSeq,
@@ -761,11 +765,41 @@ object IntrospectionRows {
     }
   }
 
+  /** Translate an MSSQL filtered-index predicate to PG slang
+    * (mssql-index-filters.lisp): strip bracket quoting, unwrap the
+    * parenthesized numeric literals MSSQL normalizes to, drop N''
+    * unicode-literal prefixes. Covers the generated forms
+    * `([active]=(1))`, `([end_date] IS NOT NULL)`,
+    * `([status]=N'A' AND [qty]>(0))`. */
+  def translateMssqlIndexFilter(filter: String): String = {
+    var s = filter.trim
+    // strip ONE outer paren pair when it wraps the whole expression
+    if (s.startsWith("(") && s.endsWith(")")) {
+      var depth = 0; var wraps = true
+      s.substring(1, s.length - 1).foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) wraps = false
+        case _ =>
+      }
+      if (wraps && depth == 0) s = s.substring(1, s.length - 1).trim
+    }
+    s = "\\[([^\\]]+)\\]".r.replaceAllIn(s,
+      m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+    s = s.replace("N'", "'")
+    var prev: String = null
+    while (prev != s) {
+      prev = s
+      s = "\\((-?\\d+(?:\\.\\d+)?)\\)".r.replaceAllIn(s, "$1")
+    }
+    s
+  }
+
   /** Attach [[IntrospectionSql.mssqlIndexes]] /
     * [[IntrospectionSql.mssqlFKeys]] result rows (one row PER KEY
     * COLUMN; grouped here). idxRows: (schema, table, index,
-    * is_primary_key t/f/1/0, is_unique, column, key_ordinal); fkRows:
-    * (name, schema, table, column, ref_table, ref_column, ordinal). */
+    * is_primary_key t/f/1/0, is_unique, column, key_ordinal,
+    * filter_definition or NULL); fkRows: (name, schema, table, column,
+    * ref_table, ref_column, ordinal). */
   def mssqlAttachConstraints(tables: Seq[Table],
                              idxRows: Seq[Array[String]],
                              fkRows: Seq[Array[String]]): Seq[Table] = {
@@ -780,7 +814,11 @@ object IntrospectionRows {
           Index(name = name, table = t.sourceName,
             primary = truthy(sorted.head(3)),
             unique = truthy(sorted.head(4)),
-            columns = sorted.map(_(5)))
+            columns = sorted.map(_(5)),
+            // filtered indexes: sys.indexes.filter_definition
+            // translated to PG slang
+            filter = Option(sorted.head(7)).filter(_.nonEmpty)
+              .map(translateMssqlIndexFilter))
         }
       val fks = fkByTable.getOrElse(key, Nil)
         .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>

@@ -111,10 +111,14 @@ class MssqlWireSpec extends SparkSpec {
     val srv = new FakeTdsServer(onSelect = sql =>
       if (sql.contains("sys.indexes"))
         Some((Seq("schema_name", "table_name", "index_name",
-          "is_primary_key", "is_unique", "column_name", "key_ordinal"),
-          Seq(Array("dbo", "users", "pk_users", "1", "1", "id", "1"),
-            Array("dbo", "users", "ix_users", "0", "0", "name", "1"),
-            Array("dbo", "users", "ix_users", "0", "0", "id", "2"))))
+          "is_primary_key", "is_unique", "column_name", "key_ordinal",
+          "filter_definition"),
+          Seq(Array("dbo", "users", "pk_users", "1", "1", "id", "1",
+            null),
+            Array("dbo", "users", "ix_users", "0", "0", "name", "1",
+              "([name] IS NOT NULL AND [id]>((0)))"),
+            Array("dbo", "users", "ix_users", "0", "0", "id", "2",
+              "([name] IS NOT NULL AND [id]>((0)))"))))
       else if (sql.contains("sys.foreign_keys"))
         Some((Seq("name", "schema_name", "table_name", "column_name",
           "ref_table", "ref_column", "constraint_column_id"),
@@ -132,10 +136,13 @@ class MssqlWireSpec extends SparkSpec {
       // nvarchar lengths are UTF-16 bytes: 100 bytes → nvarchar(50)
       assert(users.fields(1).ctype == "nvarchar(50)")
       // per-key-column rows group into composite-key indexes, ordered
-      // by key_ordinal
+      // by key_ordinal; the filtered index's predicate translates to
+      // PG slang (brackets stripped, numeric parens unwrapped)
       assert(users.indexes.map(i => (i.name, i.primary, i.unique,
         i.columns)) == Seq(("ix_users", false, false, Seq("name", "id")),
         ("pk_users", true, true, Seq("id"))))
+      assert(users.indexes.head.filter ==
+        Some("name IS NOT NULL AND id>0"))
       assert(tables.find(_.name == "tags").get.fkeys ==
         Seq(graft.catalog.FKey("fk_tags_users", "tags", Seq("tag"),
           "users", Seq("name"))))

@@ -138,10 +138,15 @@ class PgWireSpec extends SparkSpec {
     val srv = new FakePgServer(onSelect = sql =>
       if (sql.contains("pg_index"))
         Some((Seq("nspname", "relname", "relname", "indisprimary",
-          "indisunique", "columns"),
-          Seq(Array("public", "users", "users_pkey", "t", "t", "id"),
+          "indisunique", "columns", "filter"),
+          Seq(Array("public", "users", "users_pkey", "t", "t", "id",
+            null),
+            // partial index: pg_get_expr(indpred) → WHERE clause
+            Array("public", "users", "users_active_idx", "f", "f",
+              "city", "(city IS NOT NULL)"),
             // expression index: NULL column list → skipped
-            Array("public", "users", "users_city_expr", "f", "f", null))))
+            Array("public", "users", "users_city_expr", "f", "f", null,
+              null))))
       else if (sql.contains("contype = 'f'"))
         Some((Seq("conname", "nspname", "relname", "cols", "ftable",
           "fcols"),
@@ -170,10 +175,14 @@ class PgWireSpec extends SparkSpec {
         !users.fields.head.nullable)
       assert(users.fields(1).ctype == "character varying(30)" &&
         users.fields(1).nullable)
-      // plain indexes mapped; the expression index (NULL columns) is
-      // skipped — a column list cannot recreate it
-      assert(users.indexes.map(i => (i.name, i.primary, i.columns)) ==
-        Seq(("users_pkey", true, Seq("id"))))
+      // plain + partial indexes mapped (the WHERE predicate survives);
+      // the expression index (NULL columns) is skipped — a column list
+      // cannot recreate it
+      assert(users.indexes.map(i => (i.name, i.primary, i.columns,
+        i.filter)) ==
+        Seq(("users_pkey", true, Seq("id"), None),
+          ("users_active_idx", false, Seq("city"),
+            Some("(city IS NOT NULL)"))))
       val orders = tables.find(_.name == "orders").get
       assert(orders.fkeys == Seq(graft.catalog.FKey("orders_user_fk",
         "orders", Seq("oid"), "users", Seq("id"))))
