@@ -765,34 +765,6 @@ object IntrospectionRows {
     }
   }
 
-  /** Translate an MSSQL filtered-index predicate to PG slang
-    * (mssql-index-filters.lisp): strip bracket quoting, unwrap the
-    * parenthesized numeric literals MSSQL normalizes to, drop N''
-    * unicode-literal prefixes. Covers the generated forms
-    * `([active]=(1))`, `([end_date] IS NOT NULL)`,
-    * `([status]=N'A' AND [qty]>(0))`. */
-  def translateMssqlIndexFilter(filter: String): String = {
-    var s = filter.trim
-    // strip ONE outer paren pair when it wraps the whole expression
-    if (s.startsWith("(") && s.endsWith(")")) {
-      var depth = 0; var wraps = true
-      s.substring(1, s.length - 1).foreach {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth < 0) wraps = false
-        case _ =>
-      }
-      if (wraps && depth == 0) s = s.substring(1, s.length - 1).trim
-    }
-    s = "\\[([^\\]]+)\\]".r.replaceAllIn(s,
-      m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
-    s = s.replace("N'", "'")
-    var prev: String = null
-    while (prev != s) {
-      prev = s
-      s = "\\((-?\\d+(?:\\.\\d+)?)\\)".r.replaceAllIn(s, "$1")
-    }
-    s
-  }
 
   /** Attach [[IntrospectionSql.mssqlIndexes]] /
     * [[IntrospectionSql.mssqlFKeys]] result rows (one row PER KEY
@@ -815,10 +787,10 @@ object IntrospectionRows {
             primary = truthy(sorted.head(3)),
             unique = truthy(sorted.head(4)),
             columns = sorted.map(_(5)),
-            // filtered indexes: sys.indexes.filter_definition
-            // translated to PG slang
+            // filtered indexes: sys.indexes.filter_definition through
+            // the same MSSQL→PG predicate rewrite the DSL path uses
             filter = Option(sorted.head(7)).filter(_.nonEmpty)
-              .map(translateMssqlIndexFilter))
+              .map(graft.catalog.IndexFilters.mssqlToPg))
         }
       val fks = fkByTable.getOrElse(key, Nil)
         .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>

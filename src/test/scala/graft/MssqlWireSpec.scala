@@ -116,9 +116,9 @@ class MssqlWireSpec extends SparkSpec {
           Seq(Array("dbo", "users", "pk_users", "1", "1", "id", "1",
             null),
             Array("dbo", "users", "ix_users", "0", "0", "name", "1",
-              "([name] IS NOT NULL AND [id]>((0)))"),
+              "([name] IS NOT NULL AND [id]>(0))"),
             Array("dbo", "users", "ix_users", "0", "0", "id", "2",
-              "([name] IS NOT NULL AND [id]>((0)))"))))
+              "([name] IS NOT NULL AND [id]>(0))"))))
       else if (sql.contains("sys.foreign_keys"))
         Some((Seq("name", "schema_name", "table_name", "column_name",
           "ref_table", "ref_column", "constraint_column_id"),
@@ -142,7 +142,7 @@ class MssqlWireSpec extends SparkSpec {
         i.columns)) == Seq(("ix_users", false, false, Seq("name", "id")),
         ("pk_users", true, true, Seq("id"))))
       assert(users.indexes.head.filter ==
-        Some("name IS NOT NULL AND id>0"))
+        Some("name IS NOT NULL AND id > 0"))
       assert(tables.find(_.name == "tags").get.fkeys ==
         Seq(graft.catalog.FKey("fk_tags_users", "tags", Seq("tag"),
           "users", Seq("name"))))
