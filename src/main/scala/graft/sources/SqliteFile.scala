@@ -27,6 +27,8 @@ import java.nio.charset.{Charset, StandardCharsets}
   */
 object SqliteFile {
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   final case class MasterRow(kind: String, name: String, tblName: String,
                              rootPage: Int, sql: String)
 
@@ -83,7 +85,15 @@ object SqliteFile {
     }
 
     // ---- payload assembly (local + overflow chain) ----
+    /** One record's payload materializes fully (a cell IS a row value);
+      * the scan holds at most one page + one record at a time, so heap
+      * is bounded by the largest single record, not the table. Payloads
+      * past SQLite's own SQLITE_MAX_LENGTH default (1e9) are refused
+      * loudly rather than wrapped by toInt. */
     private def payload(pg: Array[Byte], at: Int, total: Long): Array[Byte] = {
+      require(total <= 1000000000L,
+        s"record payload $total B exceeds the 1 GB cap (SQLITE_MAX_LENGTH" +
+          " default) — refusing to materialize a corrupt-length cell")
       val p = total.toInt
       val maxLocal = usable - 35
       if (p <= maxLocal)
@@ -165,13 +175,18 @@ object SqliteFile {
             off += n
           case t if t >= 12 && t % 2 == 0 =>
             val n = ((t - 12) / 2).toInt
-            val sb = new StringBuilder(2 + 2 * n)
-            sb.append("\\x")
+            // digit-table hex, not per-byte format: multi-MB overflow
+            // blobs hex-encode in one linear pass
+            val chars = new Array[Char](2 + 2 * n)
+            chars(0) = '\\'; chars(1) = 'x'
             var j = 0
             while (j < n) {
-              sb.append(f"${payload(off + j) & 0xFF}%02x"); j += 1
+              val b = payload(off + j) & 0xFF
+              chars(2 + 2 * j) = HexDigits(b >> 4)
+              chars(3 + 2 * j) = HexDigits(b & 15)
+              j += 1
             }
-            out(c) = sb.toString
+            out(c) = new String(chars)
             off += n
           case other =>
             throw new IllegalArgumentException(s"reserved serial type $other")

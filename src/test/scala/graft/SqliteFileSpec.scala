@@ -236,4 +236,143 @@ class SqliteFileSpec extends SparkSpec {
     assert(user.columns.map(c => (c.name, c.pgType)) ==
       Seq(("id", "bigserial"), ("name", "text")))
   }
+
+  // ---- independent-writer cross-checks (graft.tools.SqliteGen shares
+  // no code with the reader; agreement is evidence, not tautology) ----
+
+  import graft.tools.SqliteGen
+  import graft.tools.SqliteGen.{VNull, VInt, VReal, VText, VBlob}
+
+  private def tmpDb(name: String): String = {
+    val f = java.io.File.createTempFile(name, ".db")
+    f.deleteOnExit(); f.getAbsolutePath
+  }
+
+  test("writer round-trip: every serial type reads back in fidelity " +
+    "form (NULL, 1/2/3/4/6/8-byte ints, float, unicode text, blob)") {
+    val p = tmpDb("roundtrip")
+    val w = new SqliteGen.Writer()
+    val rows = Seq[(Long, Seq[SqliteGen.V])](
+      (1L, Seq(VNull, VInt(0L), VReal(0.0), VText(""), VBlob(Array[Byte]()))),
+      (2L, Seq(VNull, VInt(-1L), VReal(-3.25), VText("café été"),
+        VBlob(Array[Byte](0, 127, -128, -1)))),
+      (3L, Seq(VNull, VInt(127L), VReal(1.5e300), VNull, VNull)),
+      (4L, Seq(VNull, VInt(-129L), VReal(java.lang.Double.MIN_VALUE),
+        VText("two\nlines"), VBlob(Array.tabulate[Byte](300)(_.toByte)))),
+      (5L, Seq(VNull, VInt(65536L), VReal(-0.0), VText("'quoted'"), VNull)),
+      (6L, Seq(VNull, VInt(-8388609L), VReal(42.0), VText("x" * 5000), VNull)),
+      (7L, Seq(VNull, VInt(2147483648L), VReal(1.0 / 3.0), VNull, VNull)),
+      (8L, Seq(VNull, VInt(140737488355328L), VReal(9.9), VNull, VNull)),
+      (9L, Seq(VNull, VInt(Long.MinValue), VReal(Double.MaxValue),
+        VNull, VNull)),
+      (10L, Seq(VNull, VInt(Long.MaxValue), VNull, VNull, VNull)))
+    w.table("t",
+      """CREATE TABLE t (id INTEGER PRIMARY KEY, i INTEGER, r REAL,
+        | s TEXT, b BLOB)""".stripMargin, rows.iterator)
+    w.save(p)
+    val got = SqliteSource.read(spark, p, "t").collect()
+      .map(r => (0 until 5).map(r.getString)).sortBy(_(0).toLong)
+    def hex(b: Array[Byte]): String =
+      "\\x" + b.map(x => f"${x & 0xFF}%02x").mkString
+    assert(got.length == 10)
+    assert(got(0) == Seq("1", "0", "0.0", "", "\\x"))
+    assert(got(1) == Seq("2", "-1", "-3.25", "café été",
+      "\\x007f80ff"))
+    assert(got(2) == Seq("3", "127", "1.5E300", null, null))
+    assert(got(3)(1) == "-129" &&
+      got(3)(2) == java.lang.Double.MIN_VALUE.toString &&
+      got(3)(3) == "two\nlines" &&
+      got(3)(4) == hex(Array.tabulate[Byte](300)(_.toByte)))
+    assert(got(4) == Seq("5", "65536", "-0.0", "'quoted'", null))
+    assert(got(5)(1) == "-8388609" && got(5)(3) == "x" * 5000)
+    assert(got(6)(1) == "2147483648")
+    assert(got(7)(1) == "140737488355328")
+    assert(got(8)(1) == Long.MinValue.toString &&
+      got(8)(2) == Double.MaxValue.toString)
+    assert(got(9)(1) == Long.MaxValue.toString)
+  }
+
+  test("writer: a 60k-row table builds multi-level interior pages and " +
+    "the distributed read partitions by root subtree") {
+    val p = tmpDb("multilevel")
+    SqliteGen.writeTrackDb(p, 60000)
+    val df = SqliteSource.read(spark, p, "Track")
+    assert(df.rdd.getNumPartitions > 1,
+      s"expected a subtree split, got ${df.rdd.getNumPartitions}")
+    import org.apache.spark.sql.functions._
+    val agg = df.agg(count(lit(1)), sum(col("TrackId").cast("long")),
+      countDistinct(col("TrackId"))).head()
+    assert(agg.getLong(0) == 60000L)
+    assert(agg.get(1).toString.toLong == 60000L * 60001L / 2)
+    assert(agg.getLong(2) == 60000L)
+    // spot rows at both ends through the interior walk
+    val byId = df.filter(col("TrackId").isin("1", "60000")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId("1") == "Track number 1 with a medium-length name")
+    assert(byId("60000") == "Track number 60000 with a medium-length name")
+  }
+
+  test("writer: a 64 MB blob spans ~16k overflow pages and reassembles " +
+    "byte-exactly (MD5), one record in memory at a time") {
+    val p = tmpDb("bigblob")
+    val n = 64 * 1024 * 1024
+    val blob = new Array[Byte](n)
+    var i = 0
+    while (i < n) { blob(i) = ((i * 31 + 7) & 0xFF).toByte; i += 1 }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val want = md5.digest(blob).map(b => f"$b%02x").mkString
+    val w = new SqliteGen.Writer()
+    w.table("blobs",
+      "CREATE TABLE blobs (id INTEGER PRIMARY KEY, data BLOB)",
+      Iterator((1L, Seq(VNull, VBlob(blob)))))
+    w.save(p)
+    assert(new java.io.File(p).length() > n.toLong,
+      "chain pages must be on disk")
+    val rows = SqliteSource.read(spark, p, "blobs").collect()
+    assert(rows.length == 1)
+    val hexStr = rows(0).getString(1)
+    assert(hexStr.length == 2 + 2 * n)
+    assert(hexStr.startsWith("\\x"))
+    val back = new Array[Byte](n)
+    var j = 0
+    while (j < n) {
+      back(j) = Integer.parseInt(hexStr.substring(2 + 2 * j, 4 + 2 * j),
+        16).toByte
+      j += 1
+    }
+    val got = java.security.MessageDigest.getInstance("MD5")
+      .digest(back).map(b => f"$b%02x").mkString
+    assert(got == want)
+  }
+
+  test("a corrupt cell claiming a >1 GB payload fails loudly instead " +
+    "of wrapping toInt") {
+    val p = tmpDb("corrupt")
+    val w = new SqliteGen.Writer()
+    w.table("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT)",
+      Iterator((1L, Seq[SqliteGen.V](VNull, VText("hello")))))
+    w.save(p)
+    // page 2 is the table leaf; its first cell pointer is at offset 8.
+    // Overwrite the cell's payload-length varint with 2e9 (5 bytes) —
+    // the guard must fire before any allocation.
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(4096 + 8)
+      val cellOff = ((raf.read() & 0xFF) << 8) | (raf.read() & 0xFF)
+      raf.seek(4096L + cellOff)
+      // varint(2_000_000_000) big-endian base-128
+      var v = 2000000000L
+      val groups = scala.collection.mutable.ArrayBuffer[Int]((v & 0x7F).toInt)
+      v >>= 7
+      while (v != 0) { groups += ((v & 0x7F) | 0x80).toInt; v >>= 7 }
+      groups.reverse.foreach(raf.write)
+    } finally raf.close()
+    val ex = intercept[Exception] {
+      SqliteSource.read(spark, p, "t").collect()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(ex).getMessage.contains("1 GB cap"),
+      s"unexpected: ${rootCause(ex)}")
+  }
 }
