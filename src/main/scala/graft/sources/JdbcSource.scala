@@ -262,6 +262,14 @@ object ColumnSqlExpressions {
         (s"convert(varchar(30), [$name], 126)", name)
       case "datetimeoffset" => (s"convert(varchar(35), [$name], 127)", name)
       case "bigint" => (s"cast([$name] as numeric(20))", name)
+      // xml has no direct TDS 7.1 rendering — nvarchar(max) arrives as
+      // the ntext token, which the client decodes (the reference lets
+      // FreeTDS do the same downgrade; mssql-cast-rules.lisp:66)
+      case "xml" => (s"convert(nvarchar(max), [$name])", name)
+      // CLR UDTs (hierarchyid/geography/geometry) → their binary form →
+      // the image token → bytea hex, matching the *-to-bytea cast rules
+      case "hierarchyid" | "geography" | "geometry" =>
+        (s"convert(varbinary(max), [$name])", name)
       case _ => (s"[$name]", name)
     }
 

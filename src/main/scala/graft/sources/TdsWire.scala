@@ -141,6 +141,20 @@ object TdsWire {
   private[graft] val TBigChar = 0xAF
   private[graft] val TNVarChar = 0xE7
   private[graft] val TNChar = 0xEF
+  private[graft] val TBigVarBin = 0xA5
+  private[graft] val TBigBinary = 0xAD
+  // money: 10^4-scaled integers ([MS-TDS] 2.2.5.5.1.4 MONEYTYPE)
+  private[graft] val TMoney = 0x3C
+  private[graft] val TMoney4 = 0x7A
+  private[graft] val TMoneyN = 0x6E
+  // legacy LOBs ([MS-TDS] 2.2.5.4.3 LONGLEN_TYPE): COLMETADATA carries a
+  // u32 max length + the owning table name; ROW data a B_VARBYTE textptr
+  // + 8-byte timestamp + u32 length + payload. The reference reads these
+  // through FreeTDS (mssql-cast-rules.lisp:12,56-65); varchar(max)-family
+  // values also arrive as these tokens at TDS 7.1.
+  private[graft] val TText = 0x23
+  private[graft] val TNText = 0x63
+  private[graft] val TImage = 0x22
 
   /** One column's wire shape: type + length/precision info. */
   private[graft] final case class ColInfo(name: String, tpe: Int,
@@ -416,6 +430,15 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
         case TBigVarChar | TBigChar | TNVarChar | TNChar =>
           maxLen = c.u16
           c.skip(5) // collation
+        case TBigVarBin | TBigBinary =>
+          maxLen = c.u16
+        case TMoney => maxLen = 8
+        case TMoney4 => maxLen = 4
+        case TMoneyN => maxLen = c.u8
+        case TText | TNText | TImage =>
+          maxLen = (c.u32 min Int.MaxValue.toLong).toInt
+          if (tpe != TImage) c.skip(5) // collation (text/ntext only)
+          c.usVarchar // owning table name ([MS-TDS] 7.1: one US_VARCHAR)
         case other => throw new IllegalArgumentException(
           f"unsupported column type 0x$other%02X (cast it server-side " +
             "via ColumnSqlExpressions.mssql)")
@@ -443,6 +466,32 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     }
     val signed = if (sign == 0) v.negate() else v
     new java.math.BigDecimal(signed, scale).toPlainString
+  }
+
+  /** money / smallmoney: a 10^4-scaled integer. The 8-byte form carries
+    * the HIGH 32 bits first, then the low 32 ([MS-TDS] MONEY — the one
+    * little-endian exception in the protocol); rendered to a fixed 4-dp
+    * decimal, the numeric form the money→numeric cast rule expects
+    * (mssql-cast-rules.lisp:12). */
+  private def renderMoney(scaled: Long): String =
+    java.math.BigDecimal.valueOf(scaled, 4).toPlainString
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** PG bytea hex (`\xdeadbeef`) — the rendering every binary-ish source
+    * column uses (SQLite BLOBs, MySQL blobs), so the sink's bytea path
+    * is shared. Digit-table loop: image values can be multi-MB. */
+  private def renderHex(b: Array[Byte]): String = {
+    val chars = new Array[Char](2 + 2 * b.length)
+    chars(0) = '\\'; chars(1) = 'x'
+    var j = 0
+    while (j < b.length) {
+      val v = b(j) & 0xFF
+      chars(2 + 2 * j) = HexDigits(v >> 4)
+      chars(3 + 2 * j) = HexDigits(v & 15)
+      j += 1
+    }
+    new String(chars)
   }
 
   private def renderDateTime(days: Int, t300: Long): String = {
@@ -512,6 +561,41 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       // avoid codepage guessing, so treat as Latin-1-compatible
       if (n == 0xFFFF) null
       else new String(c.bytes(n), java.nio.charset.StandardCharsets.ISO_8859_1)
+    case TBigVarBin | TBigBinary =>
+      val n = c.u16
+      if (n == 0xFFFF) null else renderHex(c.bytes(n))
+    case TMoney =>
+      val hi = c.u32.toInt.toLong // high 32 bits travel FIRST
+      val lo = c.u32
+      renderMoney((hi << 32) | lo)
+    case TMoney4 => renderMoney(c.u32.toInt.toLong)
+    case TMoneyN =>
+      val n = c.u8
+      if (n == 0) null
+      else if (n == 4) renderMoney(c.u32.toInt.toLong)
+      else {
+        val hi = c.u32.toInt.toLong
+        val lo = c.u32
+        renderMoney((hi << 32) | lo)
+      }
+    case TText | TNText | TImage =>
+      // TEXTPTR_AND_TIMESTAMP: a zero-length textptr means NULL (no
+      // further bytes); else textptr + 8-byte timestamp + u32 length +
+      // payload ([MS-TDS] 2.2.7.17 ROW, LONGLEN_TYPE value layout)
+      val ptrLen = c.u8
+      if (ptrLen == 0) null
+      else {
+        c.skip(ptrLen + 8)
+        val n = c.u32
+        require(n <= Int.MaxValue, s"LOB value too large: $n")
+        val data = c.bytes(n.toInt)
+        col.tpe match {
+          case TNText => new String(data, UTF_16LE)
+          case TText =>
+            new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case _ => renderHex(data)
+        }
+      }
   }
 
   // ---- queries ----

@@ -21,6 +21,11 @@ final class FakeTdsServer(
     tableRows: Seq[Array[String]] = Nil,
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
       _ => None,
+    // wire type per column name for the SELECT path (default NVARCHAR):
+    // TMoney / TMoneyN / TMoney4 take 4-dp decimal strings; TBigVarBin /
+    // TImage take `\x…` hex; TText ISO-8859-1; TNText UTF-16 — so tests
+    // drive the client's legacy-LOB and money decoders over real tokens
+    colTypes: Map[String, Int] = Map.empty,
     // called with the row index before each ROW token is written (all
     // full frames so far are flushed) — lets a test park the server
     // mid-result to prove the client streams
@@ -209,26 +214,92 @@ final class FakeTdsServer(
           // decodes lazily sees early rows while later ones are unsent
           val w = new PacketWriter(out)
           val h = new java.io.ByteArrayOutputStream()
+          val types = cols.map(c => colTypes.getOrElse(c, TdsWire.TNVarChar))
           h.write(TdsWire.TokColMetaData)
           le16(h, cols.size)
-          cols.foreach { c =>
+          cols.zip(types).foreach { case (c, t) =>
             le16(h, 0) // usertype
             le16(h, 0) // flags
-            h.write(TdsWire.TNVarChar)
-            le16(h, 8000)
-            h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
+            h.write(t)
+            t match {
+              case TdsWire.TNVarChar =>
+                le16(h, 8000)
+                h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
+              case TdsWire.TBigVarBin | TdsWire.TBigBinary => le16(h, 300)
+              case TdsWire.TMoney | TdsWire.TMoney4 => () // fixed-width
+              case TdsWire.TMoneyN => h.write(8)
+              case TdsWire.TText | TdsWire.TNText | TdsWire.TImage =>
+                le32(h, 0x7FFFFFFFL)
+                if (t != TdsWire.TImage)
+                  h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
+                // owning table name (US_VARCHAR at TDS 7.1)
+                le16(h, 1); val tn = "t".getBytes(UTF_16LE)
+                h.write(tn, 0, tn.length)
+              case other => throw new IllegalArgumentException(
+                s"fake server: unhandled colType $other")
+            }
             bVarchar(h, c)
           }
           w.write(h.toByteArray)
+          def scaled4(s: String): Long =
+            new java.math.BigDecimal(s).movePointRight(4).longValueExact
+          def hexBytes(s: String): Array[Byte] = {
+            require(s.startsWith("\\x"), s"not \\x hex: $s")
+            s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          }
           rows.zipWithIndex.foreach { case (r, i) =>
             onRow(i)
             val rb = new java.io.ByteArrayOutputStream()
             rb.write(TdsWire.TokRow)
-            r.foreach { v =>
-              if (v == null) le16(rb, 0xFFFF)
-              else {
-                val x = v.getBytes(UTF_16LE)
-                le16(rb, x.length); rb.write(x, 0, x.length)
+            r.zip(types).foreach { case (v, t) =>
+              def lob(data: Array[Byte]): Unit =
+                if (v == null) rb.write(0) // zero-length textptr = NULL
+                else {
+                  rb.write(16)
+                  rb.write(new Array[Byte](16), 0, 16) // textptr
+                  rb.write(new Array[Byte](8), 0, 8) // timestamp
+                  le32(rb, data.length.toLong)
+                  rb.write(data, 0, data.length)
+                }
+              def money8(): Unit = {
+                val s = scaled4(v)
+                le32(rb, (s >> 32) & 0xFFFFFFFFL) // high half FIRST
+                le32(rb, s & 0xFFFFFFFFL)
+              }
+              t match {
+                case TdsWire.TNVarChar =>
+                  if (v == null) le16(rb, 0xFFFF)
+                  else {
+                    val x = v.getBytes(UTF_16LE)
+                    le16(rb, x.length); rb.write(x, 0, x.length)
+                  }
+                case TdsWire.TBigVarBin | TdsWire.TBigBinary =>
+                  if (v == null) le16(rb, 0xFFFF)
+                  else {
+                    val x = hexBytes(v)
+                    le16(rb, x.length); rb.write(x, 0, x.length)
+                  }
+                case TdsWire.TMoney => money8()
+                case TdsWire.TMoney4 => le32(rb, scaled4(v) & 0xFFFFFFFFL)
+                case TdsWire.TMoneyN =>
+                  // like a real server: 4-byte form (smallmoney) when the
+                  // scaled value fits, else the 8-byte high-half-first form
+                  if (v == null) rb.write(0)
+                  else {
+                    val s = scaled4(v)
+                    if (s == s.toInt.toLong) {
+                      rb.write(4); le32(rb, s & 0xFFFFFFFFL)
+                    } else { rb.write(8); money8() }
+                  }
+                case TdsWire.TText => lob(
+                  if (v == null) null
+                  else v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                case TdsWire.TNText =>
+                  lob(if (v == null) null else v.getBytes(UTF_16LE))
+                case TdsWire.TImage =>
+                  lob(if (v == null) null else hexBytes(v))
+                case other => throw new IllegalArgumentException(
+                  s"fake server: unhandled colType $other")
               }
             }
             w.write(rb.toByteArray)
