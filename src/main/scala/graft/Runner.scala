@@ -228,53 +228,6 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     require(!wantViews || viewOps.nonEmpty,
       s"MATERIALIZE VIEWS unsupported for $scheme://")
     val createdViews = cmd.materializeViews.filter(_.definition.isDefined)
-    val viewTables: Seq[Table] = if (!wantViews) Nil else {
-      val (exec, iviews, quote) = viewOps.get
-      createdViews.foreach(v =>
-        exec(s"CREATE VIEW ${quote(v.name)} AS ${v.definition.get}"))
-      iviews(
-        if (cmd.materializeAllViews) None
-        else Some(cmd.materializeViews.map(_.name)))
-    }
-    val viewKeys = viewTables.map(t => (t.schema, t.sourceName)).toSet
-    val tables = baseTables ++ viewTables
-
-    // DISTRIBUTE (citus.lisp:250-340): rules with an FK chain BACKFILL
-    // the distribution key — the target table gains the key column and
-    // its data is the chain join ([[graft.operators.Citus]]); the
-    // create_distributed_table / create_reference_table DDL runs
-    // between schema creation and the data phase (afterSchema slot)
-    val backfill: Map[String, Ast.DistributeUsing] =
-      cmd.distribute.collect {
-        case r: Ast.DistributeUsing if r.from.nonEmpty =>
-          r.table.toLowerCase -> r
-      }.toMap
-    // catalog as INTROSPECTED (no prepended key) — the backfill
-    // dataflow resolves fkeys and source fields from it
-    val sourceCat = Catalog(uri,
-      tables.groupBy(_.schema).toSeq.sortBy(_._1).map { case (s, ts) =>
-        Schema(name = s, sourceName = s, tables = ts)
-      })
-    val tablesForTarget = tables.map { t =>
-      backfill.get(t.sourceName.toLowerCase) match {
-        case Some(rule) if !t.fields.exists(
-            _.name.equalsIgnoreCase(rule.column)) =>
-          val chainEnd = tables.find(
-            _.name.equalsIgnoreCase(rule.from.last)).getOrElse(
-            throw new IllegalArgumentException(
-              s"DISTRIBUTE FROM chain table ${rule.from.last} not found"))
-          val keyField = chainEnd.fields.find(
-            _.name.equalsIgnoreCase(rule.column)).getOrElse(
-            throw new IllegalArgumentException(
-              s"${rule.column} is not a column of ${chainEnd.name}"))
-          // the key lands as a plain column (autoIncrement would cast
-          // it to a fresh serial on the target)
-          t.copy(fields =
-            keyField.copy(table = t.sourceName, autoIncrement = false) +:
-              t.fields)
-        case _ => t
-      }
-    }
     def dropCreatedViews(): Unit = viewOps.foreach { case (exec, _, quote) =>
       createdViews.foreach { v =>
         try exec(s"DROP VIEW ${quote(v.name)}")
@@ -284,53 +237,116 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         }
       }
     }
-    val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
-    val cat = Catalog(uri, bySchema.map { case (s, ts) =>
-      Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
-    }, sequences = sourceSequences)
-    val migrator = new graft.orchestration.Migrator(
-      executeDdl = executeDdl,
-      loadTable = (t, setup) => {
-        val sink = new CopySink(
-          endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
-          rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
-        val df = backfill.get(t.sourceName.toLowerCase) match {
-          case Some(rule) =>
-            val chain = rule.table +: rule.from
-            val frames = chain.map { n =>
-              val ct = tables.find(_.name.equalsIgnoreCase(n)).getOrElse(
-                throw new IllegalArgumentException(
-                  s"DISTRIBUTE rule references unknown table $n"))
-              n -> readTable(ct, viewKeys((ct.schema, ct.sourceName)))
-            }.toMap
-            graft.operators.Citus.backfillJoin(sourceCat, rule, frames)
-          case None => readTable(t, viewKeys((t.schema, t.sourceName)))
+    // anything that can throw after the views exist in the CUSTOMER'S
+    // source database runs inside this try — view introspection,
+    // DISTRIBUTE chain validation, the unreadable-type preflight, DDL,
+    // data — so created views never leak (mysql.lisp cleanup semantics)
+    val summary = try {
+      val viewTables: Seq[Table] = if (!wantViews) Nil else {
+        val (exec, iviews, quote) = viewOps.get
+        createdViews.foreach(v =>
+          exec(s"CREATE VIEW ${quote(v.name)} AS ${v.definition.get}"))
+        iviews(
+          if (cmd.materializeAllViews) None
+          else Some(cmd.materializeViews.map(_.name)))
+      }
+      val viewKeys = viewTables.map(t => (t.schema, t.sourceName)).toSet
+      val tables = baseTables ++ viewTables
+
+      // fail-before-DDL preflight: an introspectable-but-unreadable source
+      // column must abort while the target catalog is untouched, not after
+      // CREATE TABLE has run and the first read dies mid-migration
+      if (scheme == "mssql") {
+        val bad = graft.sources.MssqlWireSource.unreadableColumns(tables)
+        require(bad.isEmpty,
+          "unreadable source column types (no target DDL was executed): " +
+            bad.mkString(", ") +
+            " — exclude these tables or drop the columns in the source")
+      }
+
+      // DISTRIBUTE (citus.lisp:250-340): rules with an FK chain BACKFILL
+      // the distribution key — the target table gains the key column and
+      // its data is the chain join ([[graft.operators.Citus]]); the
+      // create_distributed_table / create_reference_table DDL runs
+      // between schema creation and the data phase (afterSchema slot)
+      val backfill: Map[String, Ast.DistributeUsing] =
+        cmd.distribute.collect {
+          case r: Ast.DistributeUsing if r.from.nonEmpty =>
+            r.table.toLowerCase -> r
+        }.toMap
+      // catalog as INTROSPECTED (no prepended key) — the backfill
+      // dataflow resolves fkeys and source fields from it
+      val sourceCat = Catalog(uri,
+        tables.groupBy(_.schema).toSeq.sortBy(_._1).map { case (s, ts) =>
+          Schema(name = s, sourceName = s, tables = ts)
+        })
+      val tablesForTarget = tables.map { t =>
+        backfill.get(t.sourceName.toLowerCase) match {
+          case Some(rule) if !t.fields.exists(
+              _.name.equalsIgnoreCase(rule.column)) =>
+            val chainEnd = tables.find(
+              _.name.equalsIgnoreCase(rule.from.last)).getOrElse(
+              throw new IllegalArgumentException(
+                s"DISTRIBUTE FROM chain table ${rule.from.last} not found"))
+            val keyField = chainEnd.fields.find(
+              _.name.equalsIgnoreCase(rule.column)).getOrElse(
+              throw new IllegalArgumentException(
+                s"${rule.column} is not a column of ${chainEnd.name}"))
+            // the key lands as a plain column (autoIncrement would cast
+            // it to a fresh serial on the target)
+            t.copy(fields =
+              keyField.copy(table = t.sourceName, autoIncrement = false) +:
+                t.fields)
+          case _ => t
         }
-        sink.write(df)
-      },
-      workers = cmd.intOption("workers")
-        .orElse(cmd.intOption("concurrency")).getOrElse(4),
-      maxParallelIndexes =
-        cmd.intOption("max parallel create index").getOrElse(0))
-    val summary = try migrator.migrate(cat,
-      userCast = cmd.castRules,
-      defaults = defaults,
-      including = cmd.includingOnly,
-      excluding = cmd.excludingOnly,
-      alterSchema = cmd.alterSchema,
-      alterTable = cmd.alterTable,
-      truncate = cmd.boolOption("truncate"),
-      createTables = !cmd.boolOption("create no tables") &&
-        !cmd.boolOption("data only"),
-      includeDrop = cmd.boolOption("include drop"),
-      withIndexes = !cmd.boolOption("data only"),
-      withFKeys = !cmd.boolOption("data only"),
-      resetSequences = !cmd.boolOption("reset no sequences"),
-      afterSchema = cmd.afterSchema ++
-        graft.operators.Citus.distributionDdl(cmd.distribute),
-      setParams = cmd.setParams,
-      disableTriggers = cmd.boolOption("disable triggers"))
-    finally dropCreatedViews()
+      }
+      val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
+      val cat = Catalog(uri, bySchema.map { case (s, ts) =>
+        Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
+      }, sequences = sourceSequences)
+      val migrator = new graft.orchestration.Migrator(
+        executeDdl = executeDdl,
+        loadTable = (t, setup) => {
+          val sink = new CopySink(
+            endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
+            rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
+          val df = backfill.get(t.sourceName.toLowerCase) match {
+            case Some(rule) =>
+              val chain = rule.table +: rule.from
+              val frames = chain.map { n =>
+                val ct = tables.find(_.name.equalsIgnoreCase(n)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"DISTRIBUTE rule references unknown table $n"))
+                n -> readTable(ct, viewKeys((ct.schema, ct.sourceName)))
+              }.toMap
+              graft.operators.Citus.backfillJoin(sourceCat, rule, frames)
+            case None => readTable(t, viewKeys((t.schema, t.sourceName)))
+          }
+          sink.write(df)
+        },
+        workers = cmd.intOption("workers")
+          .orElse(cmd.intOption("concurrency")).getOrElse(4),
+        maxParallelIndexes =
+          cmd.intOption("max parallel create index").getOrElse(0))
+      migrator.migrate(cat,
+        userCast = cmd.castRules,
+        defaults = defaults,
+        including = cmd.includingOnly,
+        excluding = cmd.excludingOnly,
+        alterSchema = cmd.alterSchema,
+        alterTable = cmd.alterTable,
+        truncate = cmd.boolOption("truncate"),
+        createTables = !cmd.boolOption("create no tables") &&
+          !cmd.boolOption("data only"),
+        includeDrop = cmd.boolOption("include drop"),
+        withIndexes = !cmd.boolOption("data only"),
+        withFKeys = !cmd.boolOption("data only"),
+        resetSequences = !cmd.boolOption("reset no sequences"),
+        afterSchema = cmd.afterSchema ++
+          graft.operators.Citus.distributionDdl(cmd.distribute),
+        setParams = cmd.setParams,
+        disableTriggers = cmd.boolOption("disable triggers"))
+    } finally dropCreatedViews()
     summary.tables
   }
 

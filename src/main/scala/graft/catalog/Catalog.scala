@@ -174,15 +174,26 @@ object Ddl {
     s"CREATE TYPE $typeName AS ENUM (" +
       labels.map(l => s"'${l.replace("'", "''")}'").mkString(", ") + ");"
 
+  /** Sequence names arrive RAW from source introspection (sys.sequences)
+    * — not through the table-name normalization — so case-sensitive or
+    * reserved-word names must quote here. */
+  private def seqIdent(ident: String): String =
+    if (Identifiers.needsQuoting(ident))
+      "\"" + ident.replace("\"", "\"\"") + "\""
+    else ident
+
+  private def seqName(s: SequenceDef): String =
+    s"${seqIdent(s.schema)}.${seqIdent(s.name)}"
+
   def dropSequence(s: SequenceDef): String =
-    s"DROP SEQUENCE IF EXISTS ${s.schema}.${s.name} CASCADE;"
+    s"DROP SEQUENCE IF EXISTS ${seqName(s)} CASCADE;"
 
   /** START is current + increment so the first nextval() on the target
     * returns the next un-issued value
     * (pgsql-create-schema.lisp:114-152). */
   def createSequence(s: SequenceDef): String = {
     val start = s.current.map(_ + s.increment).getOrElse(s.start)
-    s"CREATE SEQUENCE IF NOT EXISTS ${s.schema}.${s.name} AS bigint " +
+    s"CREATE SEQUENCE IF NOT EXISTS ${seqName(s)} AS bigint " +
       s"START WITH $start INCREMENT BY ${s.increment} " +
       s"MINVALUE ${s.minValue} MAXVALUE ${s.maxValue} " +
       (if (s.cycling) "CYCLE" else "NO CYCLE") +

@@ -162,7 +162,12 @@ final class Migrator(
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
     // user-defined sequences right after the schemas, before any table
-    // references them (migrate-database.lisp:65-70)
+    // references them (migrate-database.lisp:65-70); a sequence living
+    // in a schema that holds no tables still needs its schema created —
+    // the loop above derives schemas from tables only
+    cat.sequences.map(_.schema).distinct.filter(_.nonEmpty)
+      .filterNot(s => cat.schemas.exists(_.name == s))
+      .foreach(s => preDdl(s"CREATE SCHEMA IF NOT EXISTS $s;"))
     cat.sequences.foreach { sq =>
       if (includeDrop) preDdl(Ddl.dropSequence(sq))
       preDdl(Ddl.createSequence(sq))

@@ -379,9 +379,11 @@ object IntrospectionSql {
        WHERE table_schema = $schemaLiteral
          AND column_comment <> '' AND column_comment IS NOT NULL"""
 
-  /** CHECK constraints — MySQL ≥ 8.0.16 surfaces them in
-    * information_schema.CHECK_CONSTRAINTS; the JOIN returns no rows on
-    * older servers so this is safe anywhere (list-all-checks.sql). */
+  /** CHECK constraints — information_schema.CHECK_CONSTRAINTS exists
+    * only on MySQL ≥ 8.0.16; on older servers the query itself fails
+    * with ER_UNKNOWN_TABLE (1109), so callers must treat that error as
+    * an empty result ([[graft.sources.MySqlWireSource.introspect]]
+    * does) rather than abort the migration (list-all-checks.sql). */
   def mysqlChecksInline(schemaLiteral: String): String =
     s"""SELECT tc.table_name, cc.constraint_name, cc.check_clause
        FROM information_schema.table_constraints tc
@@ -810,7 +812,21 @@ object IntrospectionRows {
     }
   }
 
-  /** Attach MySQL table/column comments + CHECK clauses. tcRows:
+  /** information_schema.check_constraints.CHECK_CLAUSE is MySQL slang:
+    * identifiers backtick-quoted, string escapes `\'`-style, literals
+    * prefixed with charset introducers (`_utf8mb4'x'`). PG wants double
+    * quotes, doubled single quotes, and no introducer — emitted verbatim
+    * the clause is invalid PG and ALTER TABLE … CHECK fails (the
+    * reference rewrites backticks at mysql-schema.lisp:204-207). */
+  def mysqlCheckToPg(clause: String): String =
+    clause.replaceAll("`([^`]+)`", "\"$1\"")
+      // MySQL renders EVERY quote in the clause as \' — delimiters and
+      // embedded doubled quotes alike — so \' maps to a plain '
+      .replace("\\'", "'")
+      .replaceAll("\\b_[a-z][a-z0-9]*(?=')", "")
+
+  /** Attach MySQL table/column comments + CHECK clauses (clauses
+    * rewritten to PG dialect via [[mysqlCheckToPg]]). tcRows:
     * (table, comment); ccRows: (table, column, comment); checkRows:
     * (table, constraint, clause). */
   def mysqlAttachComments(tables: Seq[Table],
@@ -826,7 +842,8 @@ object IntrospectionRows {
         fields = t.fields.map(f =>
           f.copy(comment = cc.get((t.sourceName, f.name))
             .filter(_.nonEmpty))),
-        checks = checks.getOrElse(t.sourceName, Nil).map(_(2)))
+        checks = checks.getOrElse(t.sourceName, Nil)
+          .map(r => mysqlCheckToPg(r(2))))
     }
   }
 

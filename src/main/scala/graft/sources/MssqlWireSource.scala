@@ -113,6 +113,43 @@ object MssqlWireSource {
     } finally conn.close()
   }
 
+  /** Source types the TDS client cannot bring across the wire at all:
+    * sql_variant's per-value type prefix is unimplemented, and cursor /
+    * table types are not column data. Everything else sys.types can
+    * surface is readable — natively decoded, rendered server-side
+    * ([[ColumnSqlExpressions.mssqlPair]]: xml, CLR UDTs, date/time
+    * family), or an alias type whose underlying token is one of those.
+    */
+  private val unreadableTypeNames = Set("sql_variant", "cursor", "table")
+
+  /** Fail-BEFORE-DDL preflight: walk the introspected catalog against
+    * the client's supported-type set, so a migration with an unreadable
+    * column aborts while the target catalog is still untouched — not
+    * after CREATE TABLE has run and the first read throws mid-load.
+    * Returns human-readable `schema.table.column (type)` entries. */
+  def unreadableColumns(tables: Seq[graft.catalog.Table]): Seq[String] =
+    for {
+      t <- tables
+      f <- t.fields
+      if unreadableTypeNames(f.typeName)
+    } yield s"${t.schema}.${t.sourceName}.${f.name} (${f.typeName})"
+
+  /** Wire-token → [[ColumnSqlExpressions.mssqlPair]] rendering for the
+    * TOP-0 discovery path. At TDS 7.1 only the datetime family (the
+    * server's default text rendering is locale-dependent) and bigint
+    * (stabilized via numeric(20) on the JDBC twin) need server-side
+    * expressions; everything else the client decodes to stable text. */
+  private def discoveredPair(ci: TdsWire.ColInfo): (String, String) =
+    ci.tpe match {
+      case TdsWire.TDateTime | TdsWire.TDateTimeN =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "datetime")
+      case TdsWire.TInt8 =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "bigint")
+      case TdsWire.TIntN if ci.maxLen == 8 =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "bigint")
+      case _ => (quoteIdent(ci.name), ci.name)
+    }
+
   /** Read `schema.table` over TDS. With an integer `partitionKey`
     * (identity / clustered integer PK from introspection) and enough
     * rows (the `2 * rowsPerRange` guard) the read splits into one
@@ -122,8 +159,9 @@ object MssqlWireSource {
     * and N. Range count capped via [[RangeSplit.predicates]]; otherwise
     * a single full-scan partition. `selectCols` is (server-side
     * expression, output name) pairs — [[ColumnSqlExpressions.mssqlPair]]
-    * output for type-stable rendering; defaults to bracket-quoted
-    * discovered columns. */
+    * output for type-stable rendering; when empty, columns and their
+    * wire types are discovered via a TOP-0 probe and routed through the
+    * same rendering ([[discoveredPair]]). */
   def read(spark: SparkSession, params: TdsWire.ConnParams,
            schema: String, table: String,
            partitionKey: Option[String] = None,
@@ -131,20 +169,22 @@ object MssqlWireSource {
            rowsPerRange: Long = 10000L,
            selectCols: Seq[(String, String)] = Nil): DataFrame = {
     val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
-    val discovered =
-      if (selectCols.nonEmpty) Nil
+    val resolved: Seq[(String, String)] =
+      if (selectCols.nonEmpty) selectCols
       else {
+        // TOP 0 probe: COLMETADATA tokens carry each column's wire type,
+        // so the discovered read composes the SAME per-type server-side
+        // rendering as an introspection-driven read — datetimes arrive
+        // ISO-8601, not in the server's locale default
         val conn = new TdsWireConnection(params)
-        try conn.query(s"SELECT TOP 0 * FROM $qtable")._1
+        try conn.queryMeta(s"SELECT TOP 0 * FROM $qtable").map(discoveredPair)
         finally conn.close()
       }
-    val cols =
-      if (selectCols.nonEmpty) selectCols.map { case (e, a) =>
-        if (e == quoteIdent(a)) e else s"$e AS ${quoteIdent(a)}"
-      } else discovered.map(quoteIdent)
+    val cols = resolved.map { case (e, a) =>
+      if (e == quoteIdent(a)) e else s"$e AS ${quoteIdent(a)}"
+    }
     require(cols.nonEmpty, s"no columns resolved for $schema.$table")
-    val names =
-      if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
+    val names = resolved.map(_._2)
     val preds = partitionKey match {
       case Some(pk) if rowCountEstimate >= 2 * rowsPerRange =>
         val (lo, hi) = integerBounds(params, schema, table, pk)

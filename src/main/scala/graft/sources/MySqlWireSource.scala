@@ -44,6 +44,12 @@ object MySqlWireSource {
         IntrospectionRows.MySqlColumn(r(0), r(1), r(2), Option(r(3)),
           nullable = r(4) == "YES", extra = Option(r(5)).getOrElse(""))
       })
+      // the server-default group_concat_max_len (1024) silently
+      // TRUNCATES the index column list on wide composite indexes,
+      // corrupting the trailing column name; raise it for this session
+      // before the GROUP_CONCAT query
+      try conn.simpleCommand("SET SESSION group_concat_max_len = 1048576")
+      catch { case _: MySqlWire.MySqlServerError => () }
       val (_, idxRows) = conn.query(
         IntrospectionSql.mysqlIndexesInline(quoteLiteral(schema)))
       val (_, fkRows) = conn.query(
@@ -52,8 +58,17 @@ object MySqlWireSource {
         IntrospectionSql.mysqlTableCommentsInline(quoteLiteral(schema)))
       val (_, ccRows) = conn.query(
         IntrospectionSql.mysqlColumnCommentsInline(quoteLiteral(schema)))
-      val (_, checkRows) = conn.query(
-        IntrospectionSql.mysqlChecksInline(quoteLiteral(schema)))
+      val checkRows =
+        // information_schema.CHECK_CONSTRAINTS appeared in MySQL 8.0.16;
+        // older servers raise ER_UNKNOWN_TABLE (1109) / ER_NO_SUCH_TABLE
+        // (1146) for the query itself — migrate without checks, exactly
+        // what those servers have
+        try conn.query(
+          IntrospectionSql.mysqlChecksInline(quoteLiteral(schema)))._2
+        catch {
+          case e: MySqlWire.MySqlServerError
+              if e.code == 1109 || e.code == 1146 => Nil
+        }
       IntrospectionRows.mysqlAttachComments(
         IntrospectionRows.mysqlAttachConstraints(tables, idxRows, fkRows),
         tcRows, ccRows, checkRows)

@@ -37,6 +37,9 @@ final class FakeMySqlServer(
     tableRows: Seq[Array[String]] = Nil,
     onSelect: String => Option[(Seq[String], Seq[Array[String]])] =
       _ => None,
+    // inject a server ERR for matching statements — e.g. the
+    // pre-8.0.16 unknown-table error for check_constraints queries
+    onError: String => Option[(Int, String, String)] = _ => None,
     onRow: Int => Unit = _ => (),
     // TLS: when set, CLIENT_SSL is advertised and a 32-byte SSLRequest
     // upgrades the connection before the full handshake response
@@ -254,11 +257,15 @@ final class FakeMySqlServer(
           case 0x0E => ok() // COM_PING
           case 0x03 =>
             val sql = new String(p, 1, p.length - 1, UTF_8)
-            if (sql.trim.toUpperCase.startsWith("SELECT"))
-              sendResultset(sql)
-            else {
-              executed.synchronized(executed += sql)
-              ok()
+            onError(sql) match {
+              case Some((code, state, msg)) => err(code, state, msg)
+              case None =>
+                if (sql.trim.toUpperCase.startsWith("SELECT"))
+                  sendResultset(sql)
+                else {
+                  executed.synchronized(executed += sql)
+                  ok()
+                }
             }
           case _ => ok()
         }

@@ -26,6 +26,10 @@ final class FakeTdsServer(
     // TImage take `\x…` hex; TText ISO-8859-1; TNText UTF-16 — so tests
     // drive the client's legacy-LOB and money decoders over real tokens
     colTypes: Map[String, Int] = Map.empty,
+    // per-query override merged over colTypes — lets a TOP 0 discovery
+    // probe advertise typed columns while the subsequent convert()-ed
+    // read returns plain NVARCHAR, like a real server would
+    colTypesFor: String => Map[String, Int] = _ => Map.empty,
     // called with the row index before each ROW token is written (all
     // full frames so far are flushed) — lets a test park the server
     // mid-result to prove the client streams
@@ -214,7 +218,8 @@ final class FakeTdsServer(
           // decodes lazily sees early rows while later ones are unsent
           val w = new PacketWriter(out)
           val h = new java.io.ByteArrayOutputStream()
-          val types = cols.map(c => colTypes.getOrElse(c, TdsWire.TNVarChar))
+          val ctMap = colTypes ++ colTypesFor(sql)
+          val types = cols.map(c => ctMap.getOrElse(c, TdsWire.TNVarChar))
           h.write(TdsWire.TokColMetaData)
           le16(h, cols.size)
           cols.zip(types).foreach { case (c, t) =>
@@ -228,6 +233,8 @@ final class FakeTdsServer(
               case TdsWire.TBigVarBin | TdsWire.TBigBinary => le16(h, 300)
               case TdsWire.TMoney | TdsWire.TMoney4 => () // fixed-width
               case TdsWire.TMoneyN => h.write(8)
+              case TdsWire.TDateTimeN => h.write(8)
+              case TdsWire.TIntN => h.write(8)
               case TdsWire.TText | TdsWire.TNText | TdsWire.TImage =>
                 le32(h, 0x7FFFFFFFL)
                 if (t != TdsWire.TImage)
@@ -290,6 +297,25 @@ final class FakeTdsServer(
                     if (s == s.toInt.toLong) {
                       rb.write(4); le32(rb, s & 0xFFFFFFFFL)
                     } else { rb.write(8); money8() }
+                  }
+                case TdsWire.TIntN =>
+                  if (v == null) rb.write(0)
+                  else {
+                    rb.write(8)
+                    val x = v.toLong
+                    (0 until 8).foreach(i =>
+                      rb.write(((x >> (8 * i)) & 0xFF).toInt))
+                  }
+                case TdsWire.TDateTimeN =>
+                  if (v == null) rb.write(0)
+                  else {
+                    val ldt = java.time.LocalDateTime.parse(
+                      v.replace(' ', 'T'))
+                    val days = java.time.temporal.ChronoUnit.DAYS.between(
+                      java.time.LocalDate.of(1900, 1, 1), ldt.toLocalDate)
+                    val t300 =
+                      ldt.toLocalTime.toNanoOfDay / 1000000L * 3L / 10L
+                    rb.write(8); le32(rb, days); le32(rb, t300)
                   }
                 case TdsWire.TText => lob(
                   if (v == null) null

@@ -231,6 +231,37 @@ class MigrateSpec extends AnyFunSuite {
     assert(ok.exitCode == 0)
   }
 
+  test("sequences: case-sensitive names quote, and a sequence-only " +
+    "schema gets CREATE SCHEMA before its CREATE SEQUENCE") {
+    // quoting unit: raw sys.sequences names never pass through the
+    // table-name normalization, so Ddl must quote where needed
+    val quoted = Ddl.createSequence(SequenceDef(
+      schema = "Sales", name = "Order-Seq", start = 1, increment = 1,
+      minValue = 1, maxValue = 100, current = None, cycling = false))
+    assert(quoted.contains("\"Sales\".\"Order-Seq\""), quoted)
+    assert(Ddl.dropSequence(SequenceDef("Sales", "Order-Seq", 1, 1, 1,
+      100, None, cycling = false)).contains("\"Sales\".\"Order-Seq\""))
+    // a sequence in a schema with no tables: the Migrator derives
+    // CREATE SCHEMA from table schemas, so the sequence loop must add
+    // its own schema first or CREATE SEQUENCE fails
+    val events = new ConcurrentLinkedQueue[String]
+    val migrator = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (t, _) => (t.rowCountEstimate, 0L), workers = 2)
+    migrator.migrate(
+      mkCatalog.copy(sequences = Seq(SequenceDef(
+        schema = "seqs", name = "order_seq", start = 5, increment = 1,
+        minValue = 1, maxValue = 1000, current = Some(41),
+        cycling = false))),
+      defaults = DefaultCastRules.mysql)
+    val ev = events.asScala.toSeq
+    val schemaIdx = ev.indexWhere(_ == "CREATE SCHEMA IF NOT EXISTS seqs;")
+    val seqIdx = ev.indexWhere(_.contains("CREATE SEQUENCE"))
+    assert(schemaIdx >= 0 && seqIdx > schemaIdx, ev.take(8))
+    assert(ev(seqIdx).contains("seqs.order_seq") &&
+      ev(seqIdx).contains("START WITH 42"), ev(seqIdx))
+  }
+
   test("post-phase DDL is skipped for tables whose copy failed") {
     // big's COPY fails → no PK attach for big, no sequence reset for big,
     // and mid's FK (which REFERENCES big) is skipped too
