@@ -121,13 +121,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       cmd.intOption("rows per range").map(_.toLong).getOrElse(10000L)
     val scheme = uri.takeWhile(_ != ':')
     val wantViews = cmd.materializeAllViews || cmd.materializeViews.nonEmpty
-    if (wantViews && scheme == "sqlite")
-      throw new UnsupportedOperationException(
-        "MATERIALIZE VIEWS needs a server to run SQL against — the " +
-          "sqlite:// file-format reader executes no SQL")
     // viewOps: (run SQL in the SOURCE, introspect views, quote a view
-    // name) — the MATERIALIZE VIEWS surface; None where no server
-    // exists to run SQL against (the sqlite file reader)
+    // name) — the MATERIALIZE VIEWS surface. Server sources run real
+    // SQL; sqlite:// has no server, so its viewOps keep an in-memory
+    // registry and evaluate view SELECTs through Spark SQL instead
     val (baseTables: Seq[Table], defaults, readTable, viewOps,
       sourceSequences: Seq[graft.catalog.SequenceDef]) =
       scheme match {
@@ -184,10 +181,84 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // sqlite:///path/to/file.db — the native file-format reader
         // (no server, no driver jar); row counts feed the size ordering
         val path = uri.stripPrefix("sqlite://")
-        val read = (t: Table, _: Boolean) =>
-          graft.sources.SqliteSource.read(spark, path, t.sourceName)
-        (graft.sources.SqliteSource.introspect(path, rowCounts = true),
-          graft.casting.DefaultCastRules.sqlite, read, None, Nil)
+        val base = graft.sources.SqliteSource.introspect(path,
+          rowCounts = true)
+        // MATERIALIZE VIEWS without a server (sqlite.lisp:93-160):
+        // inline `v AS $$…$$` definitions land in an in-memory registry
+        // (the customer's file is NEVER written), stored views come from
+        // sqlite_master, and both evaluate their SELECT through Spark
+        // SQL over the base tables registered as temp views in a
+        // private session. Views can reference earlier views — each
+        // evaluated view registers itself as a temp view too.
+        val created = scala.collection.mutable.LinkedHashMap[String, String]()
+        val viewSel = scala.collection.mutable.Map[String, String]()
+        lazy val viewSession = {
+          val s = spark.newSession()
+          // the base tables are all-string fidelity frames; SQLite
+          // compares dynamically typed values numerically where it can,
+          // so the view session needs Spark's lenient (non-ANSI) casts
+          // — '2.5' < 5 is a double comparison there, not a cast error
+          s.conf.set("spark.sql.ansi.enabled", "false")
+          base.foreach(t => graft.sources.SqliteSource
+            .read(s, path, t.sourceName)
+            .createOrReplaceTempView(t.sourceName))
+          s
+        }
+        def evalView(name: String, sel: String)
+            : org.apache.spark.sql.DataFrame = {
+          val df =
+            try viewSession.sql(sel)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  s"MATERIALIZE VIEWS over sqlite:// evaluates view SQL " +
+                    s"with Spark SQL; view $name does not parse/resolve: " +
+                    e.getMessage, e)
+            }
+          df.createOrReplaceTempView(name)
+          df
+        }
+        val VCreate =
+          """(?is)\s*CREATE\s+VIEW\s+"((?:[^"]|"")*)"\s+AS\s+(.*)""".r
+        val VDrop = """(?is)\s*DROP\s+VIEW\s+"((?:[^"]|"")*)"\s*""".r
+        val unq = (n: String) => n.replace("\"\"", "\"")
+        val exec: String => Unit = {
+          case VCreate(n, sel) => created(unq(n)) = sel.trim
+          case VDrop(n) => created.remove(unq(n)): Unit
+          case other => throw new UnsupportedOperationException(
+            "the sqlite:// file reader executes no SQL beyond " +
+              s"MATERIALIZE VIEWS bookkeeping: $other")
+        }
+        val iviews = (names: Option[Seq[String]]) => {
+          val fileViews = graft.sources.SqliteSource.introspectViews(path)
+          val chosen: Seq[(String, String)] = names match {
+            case None => created.toSeq ++
+              fileViews.filterNot { case (n, _) => created.contains(n) }
+            case Some(ns) => ns.map { n =>
+              n -> created.getOrElse(n, fileViews.toMap.getOrElse(n,
+                throw new IllegalArgumentException(
+                  s"no view $n in $path or MATERIALIZE VIEWS definitions")))
+            }
+          }
+          chosen.map { case (n, sel) =>
+            viewSel(n) = sel
+            val df = evalView(n, sel)
+            Table(name = n, schema = "main", sourceName = n,
+              fields = df.schema.fields.toSeq.map(f =>
+                graft.casting.SourceColumn(table = n, name = f.name,
+                  ctype = graft.sources.SqliteSource.ctypeOf(f.dataType))))
+          }
+        }
+        val read = (t: Table, isView: Boolean) =>
+          if (isView) {
+            // all-string fidelity frame like every other source read
+            val df = evalView(t.sourceName, viewSel(t.sourceName))
+            df.select(df.columns.toIndexedSeq.map(c =>
+              df.col(c).cast("string").as(c)): _*)
+          } else graft.sources.SqliteSource.read(spark, path, t.sourceName)
+        val quote = (n: String) => "\"" + n.replace("\"", "\"\"") + "\""
+        (base, graft.casting.DefaultCastRules.sqlite, read,
+          Some((exec, iviews, quote)), Nil)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {

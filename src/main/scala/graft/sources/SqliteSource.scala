@@ -35,6 +35,49 @@ object SqliteSource {
     db.master().filter(m => m.kind == "table" &&
       !m.name.startsWith("sqlite_"))
 
+  /** Views stored in sqlite_master as (name, SELECT text). The master
+    * row carries the full `CREATE VIEW … AS select …` statement; the
+    * SELECT body is what MATERIALIZE VIEWS evaluates through Spark SQL
+    * over the base tables (the reference instead runs the view inside
+    * the sqlite engine, src/sources/sqlite/sqlite.lisp:93-160 — a
+    * file-format reader has no SQL engine, Spark is ours). */
+  def introspectViews(path: String): Seq[(String, String)] = {
+    val db = SqliteFile.open(path)
+    try db.master().filter(_.kind == "view").map(m =>
+      m.name -> viewSelect(m.sql))
+    finally db.close()
+  }
+
+  private val ViewAs = (
+    "(?is)\\s*CREATE\\s+(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(?:\"(?:[^\"]|\"\")*\"|\\[[^\\]]*\\]|`(?:[^`]|``)*`|\\S+)\\s*" +
+      "(?:\\([^)]*\\)\\s*)?(?i:AS)\\s+(.*)").r
+
+  /** The SELECT body of a stored CREATE VIEW statement. */
+  def viewSelect(createSql: String): String = createSql match {
+    case ViewAs(sel) => sel.trim
+    case _ => throw new IllegalArgumentException(
+      s"cannot extract the SELECT from view DDL: $createSql")
+  }
+
+  /** Spark result type → the sqlite-flavored ctype the cast-engine
+    * guards expect — for MATERIALIZE VIEWS tables whose shape comes
+    * from a Spark SQL evaluation instead of PRAGMA table_info. */
+  def ctypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integer"
+      case FloatType | DoubleType => "double"
+      case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "datetime"
+      case BinaryType => "blob"
+      case _ => "text"
+    }
+  }
+
   /** The rowid-alias column index: a single-column INTEGER PRIMARY KEY
     * stores NULL in the record and takes the rowid (same rule as
     * [[IntrospectionRows.sqliteTable]]'s auto-increment detection). */

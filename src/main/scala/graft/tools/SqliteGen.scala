@@ -37,7 +37,7 @@ object SqliteGen {
     // sqlite_master leaf, filled in save()
     private val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]](null)
     private val master =
-      scala.collection.mutable.ArrayBuffer[(String, Int, String)]()
+      scala.collection.mutable.ArrayBuffer[(String, String, Int, String)]()
 
     private def alloc(pg: Array[Byte]): Int = { pages += pg; pages.length }
 
@@ -213,15 +213,22 @@ object SqliteGen {
       val root =
         if (leaves.isEmpty) alloc(packLeaf(Nil, 0))
         else buildTree(leaves.toSeq)
-      master += ((name, root, createSql))
+      master += (("table", name, root, createSql))
       root
     }
 
+    /** Record a VIEW in sqlite_master (rootpage 0, no B-tree — a view
+      * is pure DDL text; the reader's introspectViews extracts the
+      * SELECT body). */
+    def view(name: String, selectSql: String): Unit =
+      master += (("view", name, 0, s"CREATE VIEW $name AS $selectSql"))
+
     /** Assemble page 1 (header + sqlite_master) and write the file. */
     def save(path: String): Unit = {
-      val cells = master.toSeq.zipWithIndex.map { case ((name, root, sql), i) =>
-        leafCell(i + 1L, record(Seq(VText("table"), VText(name),
-          VText(name), VInt(root.toLong), VText(sql))))
+      val cells = master.toSeq.zipWithIndex.map {
+        case ((kind, name, root, sql), i) =>
+          leafCell(i + 1L, record(Seq(VText(kind), VText(name),
+            VText(name), VInt(root.toLong), VText(sql))))
       }
       require(cells.map(_.length + 2).sum + 108 <= pageSize,
         "sqlite_master spills past page 1 — fewer/shorter tables")
