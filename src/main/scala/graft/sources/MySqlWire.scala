@@ -97,6 +97,32 @@ object MySqlWire {
       p1.zip(p2).map { case (a, b) => (a ^ b).toByte }
     }
 
+  /** The RSA leg both `sha256_password` and `caching_sha2_password`
+    * full-auth use when the channel is NOT TLS: the NUL-terminated
+    * password XORed with the handshake scramble (cycled), encrypted
+    * with the server's public key under RSA-OAEP — what
+    * libmysqlclient's sha256_password_auth_client does. `pem` is the
+    * key exactly as the server sends it (PKCS#8 SubjectPublicKeyInfo
+    * between BEGIN/END PUBLIC KEY markers). */
+  private[graft] def rsaEncryptPassword(pem: String, password: String,
+                                        seed: Array[Byte]): Array[Byte] = {
+    val der = java.util.Base64.getMimeDecoder.decode(
+      pem.replace("-----BEGIN PUBLIC KEY-----", "")
+        .replace("-----END PUBLIC KEY-----", ""))
+    val key = java.security.KeyFactory.getInstance("RSA").generatePublic(
+      new java.security.spec.X509EncodedKeySpec(der))
+    val pw = password.getBytes(UTF_8) :+ 0.toByte
+    val xored = new Array[Byte](pw.length)
+    var i = 0
+    while (i < pw.length) {
+      xored(i) = (pw(i) ^ seed(i % seed.length)).toByte; i += 1
+    }
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xored)
+  }
+
   // ---- length-encoded primitives (shared with the fake server) ----
 
   /** Cursor over one packet payload. */
@@ -312,7 +338,7 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
         case "caching_sha2_password" => sha2Scramble(params.password, nonce)
         case other => throw new java.io.IOException(
           s"unsupported auth plugin $other (native_password / " +
-            "caching_sha2_password)")
+            "caching_sha2_password / sha256_password)")
       }
     val auth = scrambleFor(clientPlugin, salt)
     val b = new java.io.ByteArrayOutputStream()
@@ -323,25 +349,36 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
     b.write(clientPlugin.getBytes(UTF_8)); b.write(0)
     writePacket(b.toByteArray)
 
+    // the multi-round auth state: which plugin is live, its scramble
+    // (the RSA XOR seed), and whether the next AuthMoreData packet is
+    // the server's public key rather than a status byte
+    var curSalt = salt
+    var awaitingRsaKey = false
     var done = false
     while (!done) {
       val r = readPacket()
       (r(0) & 0xFF) match {
         case 0x00 => done = true // OK
         case 0xFF => throw parseErr(r)
+        case 0x01 if awaitingRsaKey =>
+          // AuthMoreData carrying the PEM public key we requested:
+          // reply with the OAEP-encrypted XORed password
+          awaitingRsaKey = false
+          val pem = new String(r, 1, r.length - 1, UTF_8)
+          writePacket(rsaEncryptPassword(pem, params.password, curSalt))
         case 0x01 => // AuthMoreData: the caching_sha2 dance
           (if (r.length > 1) r(1) & 0xFF else -1) match {
             case 0x03 => () // fast-auth success; the OK packet follows
             case 0x04 =>
               // full authentication: over TLS the password goes in the
-              // clear (+ NUL), exactly what libmysqlclient does; without
-              // TLS the alternative is an RSA key exchange this client
-              // does not speak — fail with the actionable fix
-              if (!useTls) throw new java.io.IOException(
-                "caching_sha2_password full authentication requires TLS " +
-                  "(set sslmode=require) — the RSA key-exchange " +
-                  "fallback is not implemented")
-              writePacket(params.password.getBytes(UTF_8) :+ 0.toByte)
+              // clear (+ NUL), exactly what libmysqlclient does;
+              // without TLS, request the server's RSA key (0x02) and
+              // answer with the encrypted exchange
+              if (useTls)
+                writePacket(params.password.getBytes(UTF_8) :+ 0.toByte)
+              else {
+                writePacket(Array(0x02.toByte)); awaitingRsaKey = true
+              }
             case other => throw new java.io.IOException(
               s"unexpected AuthMoreData status $other")
           }
@@ -351,9 +388,20 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
           val newPlugin = sc.cstring
           // strip ONLY a trailing NUL — an interior 0x00 is salt data
           val raw = sc.bytes(sc.remaining)
-          val newSalt =
+          curSalt =
             if (raw.nonEmpty && raw.last == 0) raw.dropRight(1) else raw
-          writePacket(scrambleFor(newPlugin, newSalt))
+          newPlugin match {
+            case "sha256_password" =>
+              // over TLS (or with no password at all): NUL-terminated
+              // cleartext; otherwise 0x01 requests the public key and
+              // the next AuthMoreData carries it
+              if (useTls || params.password.isEmpty)
+                writePacket(params.password.getBytes(UTF_8) :+ 0.toByte)
+              else {
+                writePacket(Array(0x01.toByte)); awaitingRsaKey = true
+              }
+            case _ => writePacket(scrambleFor(newPlugin, curSalt))
+          }
         case other =>
           throw new java.io.IOException(s"unexpected auth reply $other")
       }

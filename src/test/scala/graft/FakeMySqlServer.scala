@@ -185,13 +185,40 @@ final class FakeMySqlServer(
         err(1045, "28000", s"Access denied for user '$gotUser'")
         return
       }
-      if (authPlugin == "caching_sha2_password" && sha2FullAuth) {
+      // serve the RSA public key (AuthMoreData + PEM) and recover the
+      // cleartext from the client's OAEP(pw-NUL XOR salt-cycle) reply
+      def rsaExchange(seed: Array[Byte]): String = {
+        sendPacket(0x01.toByte +: FakeMySqlServer.publicKeyPem)
+        val enc = readPacket()
+        val c = javax.crypto.Cipher.getInstance(
+          "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          FakeMySqlServer.keyPair.getPrivate)
+        val dec = c.doFinal(enc)
+        val pw = dec.zipWithIndex.map { case (b, i) =>
+          (b ^ seed(i % seed.length)).toByte
+        }
+        new String(pw, 0, math.max(0, pw.length - 1), UTF_8)
+      }
+      if (authPlugin == "sha256_password") {
+        // auth is either the NUL-terminated cleartext (TLS / empty
+        // password) or the single 0x01 public-key request
+        val gotPw =
+          if (auth.length == 1 && auth(0) == 0x01) rsaExchange(effectiveSalt)
+          else new String(auth, 0, math.max(0, auth.length - 1), UTF_8)
+        if (gotPw != password) {
+          err(1045, "28000", s"Access denied for user '$gotUser'")
+          return
+        }
+      } else if (authPlugin == "caching_sha2_password" && sha2FullAuth) {
         // cache miss on a real server: demand the full exchange — the
-        // cleartext password + NUL (only sane over TLS, which the
-        // client enforces on its side)
+        // cleartext password + NUL over TLS, or the 0x02 key request
+        // followed by the RSA-encrypted password on a plain channel
         sendPacket(Array[Byte](0x01, 0x04))
         val pw = readPacket()
-        val gotPw = new String(pw, 0, math.max(0, pw.length - 1), UTF_8)
+        val gotPw =
+          if (pw.length == 1 && pw(0) == 0x02) rsaExchange(effectiveSalt)
+          else new String(pw, 0, math.max(0, pw.length - 1), UTF_8)
         if (gotPw != password) {
           err(1045, "28000", s"Access denied for user '$gotUser'")
           return
@@ -297,5 +324,23 @@ final class FakeMySqlServer(
         }
       case None => rows
     }
+  }
+}
+
+object FakeMySqlServer {
+  /** One shared 2048-bit pair for the sha256_password / caching_sha2
+    * RSA leg — generated once per test JVM. */
+  lazy val keyPair: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+
+  /** The key as MySQL serves it: PEM SubjectPublicKeyInfo. */
+  lazy val publicKeyPem: Array[Byte] = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+      .encodeToString(keyPair.getPublic.getEncoded)
+    s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+      .getBytes(UTF_8)
   }
 }

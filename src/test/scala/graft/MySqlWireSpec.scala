@@ -57,8 +57,8 @@ class MySqlWireSpec extends SparkSpec {
     } finally bad.close()
   }
 
-  test("auth: caching_sha2_password full authentication runs over TLS; " +
-    "refused actionably without it") {
+  test("auth: caching_sha2_password full authentication — cleartext " +
+    "over TLS, RSA key exchange on a plain channel") {
     val srv = new FakeMySqlServer(authPlugin = "caching_sha2_password",
       sha2FullAuth = true, tls = Some(TestTls.context),
       tableCols = Seq("v"), tableRows = Seq(Array("7")))
@@ -69,14 +69,56 @@ class MySqlWireSpec extends SparkSpec {
       assert(rows.map(_.toSeq) == Seq(Seq("7")))
       assert(srv.tlsConnections.get == 1)
     } finally srv.close()
+    // no TLS: 0x02 requests the server key, the password arrives
+    // OAEP-encrypted XORed with the scramble — never in the clear
     val plain = new FakeMySqlServer(authPlugin = "caching_sha2_password",
-      sha2FullAuth = true)
+      sha2FullAuth = true, tableCols = Seq("v"),
+      tableRows = Seq(Array("9")))
     try {
-      val e = intercept[java.io.IOException] {
-        new MySqlWireConnection(params(plain.port))
-      }
-      assert(e.getMessage.contains("TLS"))
+      val conn = new MySqlWireConnection(params(plain.port))
+      val (_, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(rows.map(_.toSeq) == Seq(Seq("9")))
+      assert(plain.tlsConnections.get == 0)
     } finally plain.close()
+  }
+
+  test("auth: sha256_password over TLS sends NUL-terminated cleartext " +
+    "after the AuthSwitch") {
+    val srv = new FakeMySqlServer(authPlugin = "sha256_password",
+      authSwitch = true, tls = Some(TestTls.context),
+      tableCols = Seq("v"), tableRows = Seq(Array("42")))
+    try {
+      val conn = new MySqlWireConnection(
+        params(srv.port).copy(sslMode = "require"))
+      val (_, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(rows.map(_.toSeq) == Seq(Seq("42")))
+      assert(srv.tlsConnections.get == 1)
+    } finally srv.close()
+  }
+
+  test("auth: sha256_password on a plain channel requests the RSA key " +
+    "(0x01) and answers encrypted; wrong password still 1045") {
+    val srv = new FakeMySqlServer(authPlugin = "sha256_password",
+      authSwitch = true, tableCols = Seq("v"),
+      tableRows = Seq(Array("11"), Array("12")))
+    try {
+      val conn = new MySqlWireConnection(
+        params(srv.port).copy(sslMode = "disable"))
+      val (cols, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(cols == Seq("v") &&
+        rows.map(_.toSeq) == Seq(Seq("11"), Seq("12")))
+    } finally srv.close()
+    val bad = new FakeMySqlServer(authPlugin = "sha256_password",
+      authSwitch = true, password = "other")
+    try {
+      val e = intercept[MySqlWire.MySqlServerError] {
+        new MySqlWireConnection(params(bad.port).copy(sslMode = "disable"))
+      }
+      assert(e.code == 1045)
+    } finally bad.close()
   }
 
   test("auth: AuthSwitchRequest to caching_sha2_password re-scrambles " +
@@ -661,8 +703,7 @@ class MySqlWireSpec extends SparkSpec {
     } finally { src.close(); dst.close() }
   }
 
-  test("MATERIALIZE ALL VIEWS introspects every view; sqlite:// " +
-    "materialize fails loudly (the file reader executes no SQL)") {
+  test("MATERIALIZE ALL VIEWS introspects every view") {
     val cols6 = Seq("table_name", "column_name", "column_type",
       "column_default", "is_nullable", "extra")
     // ALL VIEWS: the view query carries no name filter
@@ -688,14 +729,8 @@ class MySqlWireSpec extends SparkSpec {
       assert(seen.synchronized(seen.exists(
         _.contains("c.table_name IN ('v1', 'v2')"))))
     } finally srv.close()
-    val e = intercept[UnsupportedOperationException] {
-      new Runner(executeDdl = (_, _) => (),
-        endpointFactory = (_, _) => _ => null).runFile(spark,
-        """LOAD DATABASE FROM sqlite:///nonexistent.db
-             INTO postgresql://u@h/d
-             MATERIALIZE ALL VIEWS;""")
-    }
-    assert(e.getMessage.contains("MATERIALIZE VIEWS"))
+    // sqlite:// MATERIALIZE VIEWS no longer throws here — it evaluates
+    // view SQL through Spark SQL over the base tables (SqliteFileSpec)
   }
 
   test("sslmode: prefer upgrades to TLS when advertised; require fails " +
