@@ -37,7 +37,15 @@ final class FakeTdsServer(
     // when set, PRELOGIN answers ENCRYPT_ON to a willing client and the
     // TLS handshake runs tunneled in PRELOGIN-type packets, after which
     // the whole stream is TLS ([MS-TDS] 3.3.5.3)
-    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    // negotiated TDS major the LOGINACK announces: 0x71 (default) or
+    // 0x74 — at 0x74 the server expects ALL_HEADERS on batches, writes
+    // u32 usertypes, u64 DONE rowcounts, serves MAX columns PLP-chunked
+    // and speaks the 7.3 date/time token family
+    serverTds: Int = 0x71,
+    // varchar/nvarchar/varbinary columns to advertise as (MAX) — PLP
+    // values — in 7.4 mode; scale-7 is used for the time family
+    maxCols: Set[String] = Set.empty) extends AutoCloseable {
 
   val executed = new ArrayBuffer[String]()
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -104,6 +112,7 @@ final class FakeTdsServer(
     }
     def done(b: java.io.ByteArrayOutputStream, rows: Long): Unit = {
       b.write(TdsWire.TokDone); le16(b, 0); le16(b, 0); le32(b, rows)
+      if (serverTds >= 0x72) le32(b, 0) // u64 rowcount at 7.2+
     }
     def errorToken(b: java.io.ByteArrayOutputStream, number: Long,
                    msg: String): Unit = {
@@ -185,10 +194,15 @@ final class FakeTdsServer(
         sendPacket(TdsWire.PktTabular, resp.toByteArray)
         return
       }
-      // LOGINACK: interface, tdsversion, progname, progversion
+      // LOGINACK: interface, tdsversion, progname, progversion. The
+      // 7.4 version travels big-endian-first (74 00 00 04) like the
+      // spec examples; 7.1 keeps the LE form older stacks emit — the
+      // client's major-byte heuristic reads both
       val ack = new java.io.ByteArrayOutputStream()
       ack.write(1)
-      le32(ack, 0x71000001L)
+      if (serverTds >= 0x72) {
+        ack.write(serverTds); ack.write(0); ack.write(0); ack.write(4)
+      } else le32(ack, 0x71000001L)
       bVarchar(ack, "fake-mssql")
       le32(ack, 0L)
       resp.write(TdsWire.TokLoginAck)
@@ -199,8 +213,17 @@ final class FakeTdsServer(
 
       // ---- batch loop ----
       while (true) {
-        val (tb, body) = readMessage()
+        val (tb, body0) = readMessage()
         if (tb != TdsWire.PktSqlBatch) return
+        // 7.2+ batches start with ALL_HEADERS (u32 LE total length,
+        // headers, then the SQL text)
+        val body =
+          if (serverTds >= 0x72) {
+            val hl = ((body0(0) & 0xFF) | ((body0(1) & 0xFF) << 8) |
+              ((body0(2) & 0xFF) << 16) | ((body0(3) & 0xFF) << 24))
+            require(hl == 22, s"bad ALL_HEADERS length $hl")
+            java.util.Arrays.copyOfRange(body0, hl, body0.length)
+          } else body0
         val sql = new String(body, UTF_16LE)
         val b = new java.io.ByteArrayOutputStream()
         // the streaming SELECT branch sends its own frames; only the
@@ -223,23 +246,29 @@ final class FakeTdsServer(
           h.write(TdsWire.TokColMetaData)
           le16(h, cols.size)
           cols.zip(types).foreach { case (c, t) =>
-            le16(h, 0) // usertype
+            if (serverTds >= 0x72) le32(h, 0) else le16(h, 0) // usertype
             le16(h, 0) // flags
             h.write(t)
             t match {
-              case TdsWire.TNVarChar =>
-                le16(h, 8000)
+              case TdsWire.TNVarChar | TdsWire.TBigVarChar =>
+                le16(h, if (maxCols(c)) 0xFFFF else 8000)
                 h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
-              case TdsWire.TBigVarBin | TdsWire.TBigBinary => le16(h, 300)
+              case TdsWire.TBigVarBin | TdsWire.TBigBinary =>
+                le16(h, if (maxCols(c)) 0xFFFF else 300)
               case TdsWire.TMoney | TdsWire.TMoney4 => () // fixed-width
               case TdsWire.TMoneyN => h.write(8)
               case TdsWire.TDateTimeN => h.write(8)
               case TdsWire.TIntN => h.write(8)
+              case TdsWire.TDate => () // no metadata
+              case TdsWire.TTime | TdsWire.TDateTime2 |
+                  TdsWire.TDateTimeOffset => h.write(7) // scale
               case TdsWire.TText | TdsWire.TNText | TdsWire.TImage =>
                 le32(h, 0x7FFFFFFFL)
                 if (t != TdsWire.TImage)
                   h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
-                // owning table name (US_VARCHAR at TDS 7.1)
+                // owning table name: US_VARCHAR at 7.1, numparts-counted
+                // at 7.2+
+                if (serverTds >= 0x72) h.write(1)
                 le16(h, 1); val tn = "t".getBytes(UTF_16LE)
                 h.write(tn, 0, tn.length)
               case other => throw new IllegalArgumentException(
@@ -258,7 +287,7 @@ final class FakeTdsServer(
             onRow(i)
             val rb = new java.io.ByteArrayOutputStream()
             rb.write(TdsWire.TokRow)
-            r.zip(types).foreach { case (v, t) =>
+            r.lazyZip(types).lazyZip(cols).foreach { (v, t, cname) =>
               def lob(data: Array[Byte]): Unit =
                 if (v == null) rb.write(0) // zero-length textptr = NULL
                 else {
@@ -273,11 +302,49 @@ final class FakeTdsServer(
                 le32(rb, (s >> 32) & 0xFFFFFFFFL) // high half FIRST
                 le32(rb, s & 0xFFFFFFFFL)
               }
+              // PLP value: u64 total, the bytes split across TWO chunks
+              // (prove reassembly), zero terminator
+              def plp(data: Array[Byte]): Unit =
+                if (data == null)
+                  (0 until 8).foreach(_ => rb.write(0xFF)) // PLP_NULL
+                else {
+                  le32(rb, data.length.toLong); le32(rb, 0)
+                  val half = data.length / 2
+                  if (half > 0) {
+                    le32(rb, half.toLong); rb.write(data, 0, half)
+                  }
+                  if (data.length - half > 0) { // a 0-length chunk IS
+                    le32(rb, (data.length - half).toLong) // the terminator
+                    rb.write(data, half, data.length - half)
+                  }
+                  le32(rb, 0)
+                }
+              def leN(v: Long, n: Int): Unit =
+                (0 until n).foreach(i =>
+                  rb.write(((v >> (8 * i)) & 0xFF).toInt))
+              def days0001(d: java.time.LocalDate): Long =
+                java.time.temporal.ChronoUnit.DAYS.between(
+                  java.time.LocalDate.of(1, 1, 1), d)
+              // scale-7 time units: 100 ns
+              def timeUnits(t: java.time.LocalTime): Long =
+                t.toNanoOfDay / 100L
               t match {
-                case TdsWire.TNVarChar =>
+                case TdsWire.TNVarChar if maxCols(cname) =>
+                  plp(if (v == null) null else v.getBytes(UTF_16LE))
+                case TdsWire.TBigVarChar if maxCols(cname) =>
+                  plp(if (v == null) null
+                    else v.getBytes(
+                      java.nio.charset.StandardCharsets.ISO_8859_1))
+                case (TdsWire.TBigVarBin | TdsWire.TBigBinary)
+                    if maxCols(cname) =>
+                  plp(if (v == null) null else hexBytes(v))
+                case TdsWire.TNVarChar | TdsWire.TBigVarChar =>
                   if (v == null) le16(rb, 0xFFFF)
                   else {
-                    val x = v.getBytes(UTF_16LE)
+                    val x =
+                      if (t == TdsWire.TNVarChar) v.getBytes(UTF_16LE)
+                      else v.getBytes(
+                        java.nio.charset.StandardCharsets.ISO_8859_1)
                     le16(rb, x.length); rb.write(x, 0, x.length)
                   }
                 case TdsWire.TBigVarBin | TdsWire.TBigBinary =>
@@ -285,6 +352,44 @@ final class FakeTdsServer(
                   else {
                     val x = hexBytes(v)
                     le16(rb, x.length); rb.write(x, 0, x.length)
+                  }
+                case TdsWire.TDate =>
+                  if (v == null) rb.write(0)
+                  else {
+                    rb.write(3)
+                    leN(days0001(java.time.LocalDate.parse(v)), 3)
+                  }
+                case TdsWire.TTime =>
+                  if (v == null) rb.write(0)
+                  else {
+                    rb.write(5)
+                    leN(timeUnits(java.time.LocalTime.parse(v)), 5)
+                  }
+                case TdsWire.TDateTime2 =>
+                  if (v == null) rb.write(0)
+                  else {
+                    val ldt = java.time.LocalDateTime.parse(
+                      v.replace(' ', 'T'))
+                    rb.write(8)
+                    leN(timeUnits(ldt.toLocalTime), 5)
+                    leN(days0001(ldt.toLocalDate), 3)
+                  }
+                case TdsWire.TDateTimeOffset =>
+                  if (v == null) rb.write(0)
+                  else {
+                    // "yyyy-MM-dd HH:mm:ss.fffffff +hh:mm" — stored UTC
+                    val m = ("(\\S+) (\\S+) ([+-])(\\d{2}):(\\d{2})").r
+                      .findFirstMatchIn(v).getOrElse(
+                        throw new IllegalArgumentException(s"bad dto: $v"))
+                    val local = java.time.LocalDateTime.parse(
+                      m.group(1) + "T" + m.group(2))
+                    val off = (m.group(4).toInt * 60 + m.group(5).toInt) *
+                      (if (m.group(3) == "-") -1 else 1)
+                    val utc = local.minusMinutes(off.toLong)
+                    rb.write(10)
+                    leN(timeUnits(utc.toLocalTime), 5)
+                    leN(days0001(utc.toLocalDate), 3)
+                    leN((off & 0xFFFF).toLong, 2)
                   }
                 case TdsWire.TMoney => money8()
                 case TdsWire.TMoney4 => le32(rb, scaled4(v) & 0xFFFFFFFFL)
