@@ -207,7 +207,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         def evalView(name: String, sel: String)
             : org.apache.spark.sql.DataFrame = {
           val df =
-            try viewSession.sql(sel)
+            try viewSession.sql(
+              graft.sources.SqliteSource.toSparkIdentQuotes(sel))
             catch {
               case e: org.apache.spark.sql.AnalysisException =>
                 throw new IllegalArgumentException(

@@ -61,6 +61,58 @@ object SqliteSource {
       s"cannot extract the SELECT from view DDL: $createSql")
   }
 
+  /** SQLite view SQL → Spark SQL identifier quoting: double-quoted and
+    * bracket-quoted identifiers become backtick-quoted (outside ANSI
+    * mode Spark reads `"x"` as a STRING LITERAL, silently breaking any
+    * view written with SQLite's idiomatic quoting); '…' literals pass
+    * through untouched, including '' escapes. SQLite's
+    * double-quote-as-string fallback (a quoted name matching no
+    * column) is deliberately not honored — identifier semantics win,
+    * as they do in SQLite itself whenever the name resolves. */
+  def toSparkIdentQuotes(sql: String): String = {
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          out += '\''; i += 1
+          var done = false
+          while (!done && i < sql.length) {
+            val c = sql.charAt(i)
+            out += c; i += 1
+            if (c == '\'') {
+              if (i < sql.length && sql.charAt(i) == '\'') {
+                out += '\''; i += 1
+              } else done = true
+            }
+          }
+        case '"' =>
+          val name = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < sql.length) {
+            val c = sql.charAt(i)
+            if (c == '"') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '"') {
+                name += '"'; i += 2
+              } else { done = true; i += 1 }
+            } else { name += c; i += 1 }
+          }
+          out ++= "`"; out ++= name.toString.replace("`", "``")
+          out ++= "`"
+        case '[' =>
+          val end = sql.indexOf(']', i)
+          val stop = if (end < 0) sql.length else end
+          out ++= "`"
+          out ++= sql.substring(i + 1, stop).replace("`", "``")
+          out ++= "`"
+          i = stop + 1
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
   /** Spark result type → the sqlite-flavored ctype the cast-engine
     * guards expect — for MATERIALIZE VIEWS tables whose shape comes
     * from a Spark SQL evaluation instead of PRAGMA table_info. */

@@ -244,8 +244,11 @@ class SqliteFileSpec extends SparkSpec {
         (1L, Seq[SqliteGen.V](VNull, VText("apple"), VReal(2.5))),
         (2L, Seq[SqliteGen.V](VNull, VText("banana"), VReal(7.0))),
         (3L, Seq[SqliteGen.V](VNull, VText("cherry"), VReal(4.0)))))
-    // a view STORED in sqlite_master (reference sqlite.lisp:93-160)
-    w.view("cheap", "SELECT id, name FROM products WHERE price < 5")
+    // a view STORED in sqlite_master (reference sqlite.lisp:93-160),
+    // written with SQLite's idiomatic identifier quoting — the
+    // evaluator rewrites "x" / [x] to Spark backticks
+    w.view("cheap",
+      "SELECT \"id\", [name] FROM \"products\" WHERE price < 5")
     w.save(p)
     val before = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(p))
@@ -293,6 +296,23 @@ class SqliteFileSpec extends SparkSpec {
         java.nio.file.Paths.get(p))
       assert(java.util.Arrays.equals(before, after))
     } finally dst.close()
+  }
+
+  test("toSparkIdentQuotes: \"x\" and [x] become backticks; '…' " +
+    "literals and '' escapes survive untouched") {
+    import graft.sources.SqliteSource.toSparkIdentQuotes
+    assert(toSparkIdentQuotes("""SELECT "a b", [c]d] FROM "t"""") ==
+      "SELECT `a b`, `c`d] FROM `t`")
+    // "" inside a quoted identifier is a literal quote char
+    assert(toSparkIdentQuotes("SELECT \"we\"\"ird\" FROM t") ==
+      "SELECT `we\"ird` FROM t")
+    // string literals keep their quotes and '' escapes, and a " inside
+    // a string is NOT an identifier
+    assert(toSparkIdentQuotes("SELECT 'it''s \"fine\"' AS s FROM t") ==
+      "SELECT 'it''s \"fine\"' AS s FROM t")
+    // backticks in names are escaped, not doubled into confusion
+    assert(toSparkIdentQuotes("SELECT \"a`b\" FROM t") ==
+      "SELECT `a``b` FROM t")
   }
 
   test("a view Spark SQL cannot resolve fails loudly, not silently") {
