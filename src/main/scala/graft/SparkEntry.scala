@@ -1348,6 +1348,34 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // mixture rebalancing: largest subcorpus with sources in 3:2:1:…
+    // proportion, rows chosen deterministically by md5-of-id
+    "domain_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.mixtureResample(d, "source", "doc_id",
+          Map("src0" -> 3.0, "src1" -> 2.0))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-source 3-gram Jaccard overlap matrix (contamination audit)
+    "source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.sourceOverlap(d, "source", "doc_id", "text", n = 3,
+          checkpointGrams = true)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // unigram-LM rarity scoring: docs scored by corpus frequencies of
+    // their own tokens, exact integer arithmetic + one division
+    "token_rarity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Terms.tokenRarity(d, "doc_id", "text", checkpointTf = true)
+        .select(col("id").as("doc_id"), col("n_toks"), col("freq_sum"),
+          col("min_freq"), col("mean_freq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub: detection counts + masked text. Deterministic PII is
     // injected per doc_id (the synthetic corpus has none), then counted
     // and redacted with the shared Java/RE2 regex subset — both engines
@@ -2221,6 +2249,61 @@ object SparkEntry {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents) WHERE rn <= 20
          ORDER BY lang, doc_id""",
+
+    "domain_mix" ->
+      """WITH cw AS (SELECT CAST(source AS VARCHAR) AS stratum,
+             count(*) AS cnt,
+             CASE CAST(source AS VARCHAR) WHEN 'src0' THEN 3.0
+               WHEN 'src1' THEN 2.0 ELSE 1.0 END AS w
+           FROM documents GROUP BY source),
+         r AS (SELECT min(CAST(cnt AS DOUBLE) / w) AS ratio FROM cw),
+         t AS (SELECT stratum,
+             CAST(floor(w * (SELECT ratio FROM r)) AS BIGINT) AS tgt
+           FROM cw),
+         rn AS (SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT rn.doc_id, rn.source FROM rn
+         JOIN t ON CAST(rn.source AS VARCHAR) = t.stratum
+         WHERE rn.rn <= t.tgt ORDER BY rn.doc_id""",
+
+    "source_overlap" ->
+      """WITH w AS (SELECT doc_id, source,
+             regexp_split_to_array(text, '\s+') AS ws
+           FROM documents),
+         g AS (SELECT DISTINCT source,
+             array_to_string(ws[i:i+2], ' ') AS gram
+           FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+         n AS (SELECT source, count(*) AS ng FROM g GROUP BY source),
+         i AS (SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS inter_n
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.src_a, i.src_b,
+           CAST(na.ng AS BIGINT) AS n_a, CAST(nb.ng AS BIGINT) AS n_b,
+           CAST(i.inter_n AS BIGINT) AS inter_n,
+           CAST(i.inter_n AS DOUBLE) /
+             CAST(na.ng + nb.ng - i.inter_n AS DOUBLE) AS jaccard
+         FROM i JOIN n na ON na.source = i.src_a
+                JOIN n nb ON nb.source = i.src_b
+         ORDER BY src_a, src_b""",
+
+    "token_rarity" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w <> '' GROUP BY doc_id, w),
+         c AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf
+           GROUP BY w)
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+           CAST(sum(tf.tf * c.c) AS BIGINT) AS freq_sum,
+           CAST(min(c.c) AS BIGINT) AS min_freq,
+           CAST(sum(tf.tf * c.c) AS DOUBLE) /
+             CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
+         FROM tf JOIN c USING (w) GROUP BY tf.doc_id
+         ORDER BY tf.doc_id""",
 
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id, text ||

@@ -224,6 +224,112 @@ object Curation {
       .drop("__hex")
   }
 
+  /** Mixture rebalancing to TARGET PROPORTIONS — the corpus-mixing
+    * step run before shard writing (Pile/Dolma-style domain weights):
+    * keep the LARGEST subcorpus whose per-stratum sizes sit in the
+    * ratio `weights` prescribes. The limiting stratum is the one with
+    * the least data relative to its weight: with
+    * `ratio = min over strata of (count / weight)`, each stratum keeps
+    * its top `floor(weight * ratio)` rows by md5-of-id — deterministic
+    * and seed-free, so reruns, retried stages, and oracles keep the
+    * SAME rows (see [[weightedSample]] for the rate-based variant when
+    * the caller already knows the rates; this one derives them from
+    * the data).
+    *
+    * Shape at scale: the counts and targets frames are
+    * stratum-cardinality (tiny — broadcast), so the corpus passes
+    * through exactly one stratum-keyed window exchange. A dominant
+    * stratum serializes its own rank walk; if that bites, pre-trim
+    * with [[stratifiedSample]] (whose static cap pushes below the
+    * exchange) using any upper bound on the target.
+    *
+    * Floats: `count/weight`, one `min`, one `weight*ratio`, one
+    * `floor` — each a single IEEE-754 operation, so any engine
+    * reproduces the targets bit-for-bit.
+    */
+  def mixtureResample(df: DataFrame, stratumCol: String, idCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0.0),
+      "mixture weights must be > 0")
+    val clash = df.columns.toSeq
+      .intersect(Seq("__rn", "__stratum", "__tgt"))
+    require(clash.isEmpty,
+      s"input columns collide with internals: ${clash.mkString(",")}")
+    def wOf(s: Column): Column =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(element_at(typedLit(weights), s.cast("string")),
+        lit(defaultWeight))
+    val counts = df
+      .groupBy(col(stratumCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ratio = counts.agg(min(col("__cnt").cast("double") /
+      wOf(col("__stratum"))).as("__ratio"))
+    val targets = counts.crossJoin(broadcast(ratio))
+      .select(col("__stratum"),
+        floor(wOf(col("__stratum")) * col("__ratio")).cast("long")
+          .as("__tgt"))
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets),
+        col(stratumCol).cast("string") === col("__stratum"))
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__rn", "__stratum", "__tgt")
+  }
+
+  /** Cross-stratum contamination audit: pairwise Jaccard overlap of the
+    * DISTINCT word `n`-gram sets of every pair of stratum values (data
+    * sources, crawl snapshots, train/eval splits). High overlap between
+    * two "independent" sources means shared boilerplate or outright
+    * mirroring — the corpus-level signal behind dedup-across-sources
+    * decisions, and the same audit decontamination runs doc-level.
+    *
+    * Shape at scale: the corpus collapses FIRST to distinct
+    * (stratum, h1, h2) gram rows — 128-bit hash pairs, never gram text
+    * (cross-stratum collision odds ~2^-128 leave the integer counts
+    * exact in practice); the pair counts come from one equi-join on the
+    * hash pair (fan-out per gram = #strata containing it, bounded by
+    * stratum cardinality, not corpus size) and the output is
+    * strata²-sized. Set sizes broadcast back in. `checkpointGrams`
+    * materializes the distinct gram set once for its three consumers
+    * (same opt-in convention as [[Terms]]; executor-local blocks —
+    * swap for `checkpoint()` on a shared cluster).
+    *
+    * Output: (src_a, src_b, n_a, n_b, inter_n, jaccard), src_a < src_b,
+    * pairs with empty intersections omitted. `jaccard` is one division
+    * of exact integers — engine-exact.
+    */
+  def sourceOverlap(df: DataFrame, stratumCol: String, idCol: String,
+                    textCol: String, n: Int = 3,
+                    checkpointGrams: Boolean = false): DataFrame = {
+    val words = Grams.wordCols(n)
+    val g0 = Grams.positioned(df, idCol, textCol, n,
+        extra = Seq(stratumCol))
+      .select(col(stratumCol).as("src"),
+        xxhash64(words: _*).as("h1"),
+        xxhash64((lit("graft-overlap") +: words): _*).as("h2"))
+      .distinct()
+    val g = if (checkpointGrams) g0.localCheckpoint() else g0
+    val sizes = g.groupBy(col("src")).agg(count(lit(1)).as("ng"))
+    val inter = g.select(col("src").as("src_a"), col("h1"), col("h2"))
+      .join(g.select(col("src").as("src_b"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("ng").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("ng").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter_n"),
+        (col("inter_n").cast("double") /
+          (col("n_a") + col("n_b") - col("inter_n")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

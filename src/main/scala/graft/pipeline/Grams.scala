@@ -13,19 +13,25 @@ import org.apache.spark.sql.functions._
   */
 private[pipeline] object Grams {
 
-  /** One row per COMPLETE word n-gram: (id, pos, g0 … g(n-1)), `pos` =
-    * 0-based position of the gram's first word. Whitespace tokenization;
-    * documents shorter than `n` words produce no rows. */
+  /** One row per COMPLETE word n-gram: (id, extra…, pos, g0 … g(n-1)),
+    * `pos` = 0-based position of the gram's first word. Whitespace
+    * tokenization; documents shorter than `n` words produce no rows.
+    * `extra` columns ride through unchanged (constant per id — e.g. a
+    * source/domain label), so callers that key grams by something other
+    * than the document id don't need a corpus-sized join-back. */
   def positioned(df: DataFrame, idCol: String, textCol: String,
-                 n: Int): DataFrame = {
+                 n: Int, extra: Seq[String] = Nil): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ex = extra.map(col)
     val base = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
-      .select(col("id"), posexplode(col("ws")).as(Seq("pos", "g0")))
+      .select(col(idCol).as("id") +: ex :+
+        split(col(textCol), "\\s+").as("ws"): _*)
+      .select(col("id") +: ex :+
+        posexplode(col("ws")).as(Seq("pos", "g0")): _*)
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
     val leads = (1 until n).map(j =>
       lead(col("g0"), j).over(win).as(s"g$j"))
-    base.select(col("id") +: col("pos") +: col("g0") +: leads: _*)
+    base.select(col("id") +: ex ++: col("pos") +: col("g0") +: leads: _*)
       .filter(if (n > 1) col(s"g${n - 1}").isNotNull else lit(true))
   }
 

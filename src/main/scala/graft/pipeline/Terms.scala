@@ -123,4 +123,42 @@ object Terms {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(local: _*), out.schema)
   }
+
+  /** Unigram-LM rarity scoring — the cheap perplexity proxy: each
+    * document scored by the CORPUS frequencies of its own tokens. Low
+    * `mean_freq`/`min_freq` marks rare-token documents (OOV-heavy,
+    * often extraction noise); a very high `mean_freq` marks
+    * stopword-only boilerplate. The score a unigram LM assigns is a
+    * monotone transform of these counts, but the counts themselves are
+    * INTEGERS — summed exactly, with the single final division the
+    * only float — so unlike a sum-of-logs surprisal the result is
+    * bit-identical on every engine and every re-run (log-domain sums
+    * reorder under parallelism; exact integer sums can't).
+    *
+    * Shape for scale (the [[termStats]] pattern): tokenize once into
+    * doc-local (id, w, tf) counts — map-side combined, one row per
+    * posting; corpus counts fall out of a second vocabulary-sized
+    * aggregate that AQE broadcasts back onto the postings. Per-doc
+    * totals then reduce postings, not occurrences. `checkpointTf`
+    * materializes the posting frame once for its two consumers (same
+    * opt-in convention as [[termStats]]).
+    *
+    * Output: (id, n_toks, freq_sum, min_freq, mean_freq) with
+    * `freq_sum = Σ_tokens corpusCount(token)` and
+    * `mean_freq = freq_sum / n_toks`.
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String,
+                  checkpointTf: Boolean = false): DataFrame = {
+    val tf0 = termRows(df, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val corpus = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    tf.join(corpus, "w")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("c")).as("freq_sum"),
+        min(col("c")).as("min_freq"))
+      .withColumn("mean_freq",
+        col("freq_sum").cast("double") / col("n_toks").cast("double"))
+  }
 }

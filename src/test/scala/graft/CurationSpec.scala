@@ -65,6 +65,48 @@ class CurationSpec extends SparkSpec {
     assert(s2.count() == 200)
   }
 
+  test("mixtureResample: largest subcorpus at the target proportions") {
+    import spark.implicits._
+    // a: 6 rows w=2 → 6/2=3; b: 3 rows w=1 → 3; c: 2 rows default w=1
+    // → 2 is the limiting ratio → targets a=4, b=2, c=2
+    val df = ((1L to 6L).map((_, "a")) ++ (7L to 9L).map((_, "b")) ++
+      (10L to 11L).map((_, "c"))).toDF("id", "stratum")
+    val got = Curation.mixtureResample(df, "stratum", "id",
+      Map("a" -> 2.0, "b" -> 1.0))
+    val bySt = got.collect().map(r => r.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(bySt == Map("a" -> 4, "b" -> 2, "c" -> 2))
+    // deterministic: the kept rows are the md5-min ones, rerun-stable
+    val again = Curation.mixtureResample(df, "stratum", "id",
+      Map("a" -> 2.0, "b" -> 1.0))
+    assert(again.collect().map(_.getLong(0)).sorted.sameElements(
+      got.collect().map(_.getLong(0)).sorted))
+    // equal weights = balance to the smallest stratum
+    val eq = Curation.mixtureResample(df, "stratum", "id", Map.empty)
+    assert(eq.collect().map(_.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap.values.toSet == Set(2))
+  }
+
+  test("sourceOverlap: pairwise distinct-gram Jaccard, empty pairs " +
+    "omitted, within-source duplicates collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "a b c d"),  // grams {a b c, b c d}
+      (2L, "A", "a b c"),    // duplicate gram within A → distinct
+      (3L, "B", "b c d e"),  // grams {b c d, c d e}
+      (4L, "C", "x y z w")   // grams {x y z, y z w} — no overlap
+    ).toDF("id", "src", "text")
+    val got = Curation.sourceOverlap(df, "src", "id", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("A", "B", 2L, 2L, 1L, 1.0 / 3.0)))
+    // checkpointed path returns the same matrix
+    val ck = Curation.sourceOverlap(df, "src", "id", "text", n = 3,
+      checkpointGrams = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(ck.toSeq == Seq(("A", "B", 1L)))
+  }
+
   test("weightedSample: rate 1 keeps all, rate 0 keeps none, deterministic") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")

@@ -59,6 +59,21 @@ class TermsFunnelSpec extends SparkSpec {
     assert(got(2)._5 == 8.0 / 9.0)
   }
 
+  test("tokenRarity: exact corpus-frequency sums, one final division") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // corpus counts: x=2, y=2, z=1
+    val got = Terms.tokenRarity(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 6L, 2L, 2.0)))
+    assert(got(1) == ((2L, 2L, 3L, 1L, 1.5)))
+    // checkpointed path identical
+    val ck = Terms.tokenRarity(df, "doc_id", "text", checkpointTf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(ck.toSeq == Seq((1L, 6L), (2L, 3L)))
+  }
+
   test("quantizeInt8: max element hits ±127, zero vector → zeros") {
     import spark.implicits._
     val df = Seq(
