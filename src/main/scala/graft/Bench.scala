@@ -41,7 +41,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.memory", "8g")
-      // events.parquet carries TIMESTAMP(NANOS); read as long nanos
+      // older events.parquet carries TIMESTAMP(NANOS): read as long
+      // nanos (micros files are unaffected; SparkEntry normalizes both)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,13 +24,23 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions)
-    // and convert to a micros timestamp losslessly via integer division.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — read as
+    * long nanos via spark.sql.legacy.parquet.nanosAsLong (set in the
+    * Verify/Bench sessions) — and TIMESTAMP(MICROS, isAdjustedToUTC =
+    * false), which Spark reads as TIMESTAMP_NTZ. Normalize either to a
+    * session-UTC timestamp losslessly so every events query (and its
+    * DuckDB oracle, which sees the same naive micros) agrees. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Exact double aggregation: sum in decimal, return double. */
   private def dsum(c: Column): Column =
@@ -782,7 +792,7 @@ object SparkEntry {
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(normalizeEventTs)
       val agg = stream
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -1616,7 +1626,7 @@ object SparkEntry {
       def stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(normalizeEventTs)
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("c_ts"))

@@ -14,7 +14,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long nanos
+      // older events.parquet carries TIMESTAMP(NANOS): read as long
+      // nanos (micros files are unaffected; SparkEntry normalizes both)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
