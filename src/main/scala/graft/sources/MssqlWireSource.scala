@@ -114,13 +114,13 @@ object MssqlWireSource {
   }
 
   /** Source types the TDS client cannot bring across the wire at all:
-    * sql_variant's per-value type prefix is unimplemented, and cursor /
-    * table types are not column data. Everything else sys.types can
-    * surface is readable — natively decoded, rendered server-side
+    * cursor / table types are not column data. Everything else
+    * sys.types can surface is readable — natively decoded (including
+    * sql_variant's per-value SSVARIANT layout), rendered server-side
     * ([[ColumnSqlExpressions.mssqlPair]]: xml, CLR UDTs, date/time
     * family), or an alias type whose underlying token is one of those.
     */
-  private val unreadableTypeNames = Set("sql_variant", "cursor", "table")
+  private val unreadableTypeNames = Set("cursor", "table")
 
   /** Fail-BEFORE-DDL preflight: walk the introspected catalog against
     * the client's supported-type set, so a migration with an unreadable

@@ -176,6 +176,15 @@ object TdsWire {
   private[graft] val TTime = 0x29
   private[graft] val TDateTime2 = 0x2A
   private[graft] val TDateTimeOffset = 0x2B
+  /** smalldatetime's fixed non-nullable token — only ever seen as a
+    * sql_variant base type on the wire (plain columns arrive as
+    * DATETIMN with len 4). */
+  private[graft] val TDateTim4 = 0x3A
+  // sql_variant ([MS-TDS] 2.2.5.5.3): u32 total length (0 = NULL), then
+  // base type u8 + prop-byte count u8 + props + the value in the base
+  // type's fixed layout filling the rest. The reference reads these
+  // through FreeTDS (mssql-cast-rules.lisp:66 casts to text).
+  private[graft] val TVariant = 0x62
   /** maxLen sentinel: varchar/nvarchar/varbinary(MAX) — values arrive
     * PLP-chunked at TDS 7.2+ ([MS-TDS] 2.2.5.2.3). */
   private[graft] val PlpMax = 0xFFFF
@@ -490,6 +499,8 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
         case TDate => maxLen = 3
         case TTime | TDateTime2 | TDateTimeOffset =>
           scale = c.u8 // fraction digits; value width derives from it
+        case TVariant =>
+          maxLen = (c.u32 min Int.MaxValue.toLong).toInt
         case TText | TNText | TImage =>
           maxLen = (c.u32 min Int.MaxValue.toLong).toInt
           if (tpe != TImage) c.skip(5) // collation (text/ntext only)
@@ -598,6 +609,38 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     else base + "." + f"${t.getNano}%09d".take(scale)
   }
 
+  /** The 16-byte mixed-endian GUID layout: first three groups are LE,
+    * last two big-endian byte strings. */
+  private def renderGuid(b: Array[Byte]): String =
+    f"${leInt(b.slice(0, 4)) & 0xFFFFFFFFL}%08x-" +
+      f"${leInt(b.slice(4, 6)) & 0xFFFFL}%04x-" +
+      f"${leInt(b.slice(6, 8)) & 0xFFFFL}%04x-" +
+      b.slice(8, 10).map(x => f"${x & 0xFF}%02x").mkString + "-" +
+      b.slice(10, 16).map(x => f"${x & 0xFF}%02x").mkString
+
+  /** datetimeoffset payload: UTC time (`len-5` bytes of 10^-scale
+    * seconds) + 3-byte date + LE i16 offset minutes; rendered as local
+    * wall time with the +hh:mm suffix, SQL Server's textual form. */
+  private def renderDtOffset(b: Array[Byte], scale: Int): String = {
+    val n = b.length
+    val offMin = (leSlice(b, n - 2, n).toInt << 16) >> 16
+    var nanos = leSlice(b, 0, n - 5)
+    var i = scale
+    while (i < 9) { nanos *= 10; i += 1 }
+    val utc = java.time.LocalDate.of(1, 1, 1)
+      .plusDays(leSlice(b, n - 5, n - 2))
+      .atTime(java.time.LocalTime.ofNanoOfDay(nanos))
+    val local = utc.plusMinutes(offMin.toLong)
+    val t = local.toLocalTime
+    val base = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    val timeS =
+      if (scale == 0) base
+      else base + "." + f"${t.getNano}%09d".take(scale)
+    val sign = if (offMin < 0) "-" else "+"
+    val a = math.abs(offMin)
+    f"${local.toLocalDate} $timeS $sign${a / 60}%02d:${a % 60}%02d"
+  }
+
   private def renderDateTime(days: Int, t300: Long): String = {
     // days since 1900-01-01 + 1/300ths of a second; render ISO with ms
     val epoch1900 = java.time.LocalDate.of(1900, 1, 1)
@@ -640,15 +683,7 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       } else { val days = c.u32.toInt; renderDateTime(days, c.u32) }
     case TGuid =>
       val n = c.u8
-      if (n == 0) null
-      else {
-        val b = c.bytes(n)
-        f"${leInt(b.slice(0, 4)) & 0xFFFFFFFFL}%08x-" +
-          f"${leInt(b.slice(4, 6)) & 0xFFFFL}%04x-" +
-          f"${leInt(b.slice(6, 8)) & 0xFFFFL}%04x-" +
-          b.slice(8, 10).map(x => f"${x & 0xFF}%02x").mkString + "-" +
-          b.slice(10, 16).map(x => f"${x & 0xFF}%02x").mkString
-      }
+      if (n == 0) null else renderGuid(c.bytes(n))
     case TDecimalN | TNumericN =>
       val n = c.u8
       if (n == 0) null
@@ -702,29 +737,7 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       }
     case TDateTimeOffset =>
       val n = c.u8
-      if (n == 0) null
-      else {
-        // UTC time (n-5) + date (3) + LE i16 offset minutes; rendered
-        // as the local wall time with the +hh:mm suffix, SQL Server's
-        // textual form
-        val b = c.bytes(n)
-        val offMin = (leSlice(b, n - 2, n).toInt << 16) >> 16
-        var nanos = leSlice(b, 0, n - 5)
-        var i = col.scale
-        while (i < 9) { nanos *= 10; i += 1 }
-        val utc = java.time.LocalDate.of(1, 1, 1)
-          .plusDays(leSlice(b, n - 5, n - 2))
-          .atTime(java.time.LocalTime.ofNanoOfDay(nanos))
-        val local = utc.plusMinutes(offMin.toLong)
-        val t = local.toLocalTime
-        val base = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
-        val timeS =
-          if (col.scale == 0) base
-          else base + "." + f"${t.getNano}%09d".take(col.scale)
-        val sign = if (offMin < 0) "-" else "+"
-        val a = math.abs(offMin)
-        f"${local.toLocalDate} $timeS $sign${a / 60}%02d:${a % 60}%02d"
-      }
+      if (n == 0) null else renderDtOffset(c.bytes(n), col.scale)
     case TMoney =>
       val hi = c.u32.toInt.toLong // high 32 bits travel FIRST
       val lo = c.u32
@@ -757,6 +770,62 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
           case _ => renderHex(data)
         }
       }
+    case TVariant =>
+      // SSVARIANT ([MS-TDS] 2.2.5.5.3): u32 total length (0 = NULL),
+      // base type u8, prop-byte count u8, props, then the value in the
+      // base type's FIXED layout filling the remainder
+      val total = c.u32
+      if (total == 0L) null
+      else {
+        require(total >= 2 && total <= Int.MaxValue,
+          s"bad sql_variant length $total")
+        val base = c.u8
+        val nProps = c.u8
+        val props = c.bytes(nProps)
+        renderVariantValue(base, props, c.bytes((total - 2 - nProps).toInt))
+      }
+  }
+
+  /** One sql_variant value: props interpreted per base family —
+    * decimal carries (precision, scale), the 7.3 time family a scale,
+    * char types 5 collation + 2 max-length bytes, binary 2 max-length
+    * bytes, fixed types none. Rendered with the same text forms the
+    * plain column decoders use, so a variant column lands in its text
+    * target (the sql_variant→text cast rule, mssql-cast-rules.lisp:66)
+    * exactly as if each value's base type had been read directly. */
+  private def renderVariantValue(base: Int, props: Array[Byte],
+                                 data: Array[Byte]): String = base match {
+    case TInt1 | TInt2 | TInt4 | TInt8 => renderInt(data)
+    case TBit => if (data(0) == 0) "f" else "t"
+    case TFlt4 => java.lang.Float.toString(
+      java.lang.Float.intBitsToFloat(leSlice(data, 0, 4).toInt))
+    case TFlt8 => java.lang.Double.toString(
+      java.lang.Double.longBitsToDouble(leSlice(data, 0, 8)))
+    case TMoney => // high half first, the money-family layout
+      renderMoney((leSlice(data, 0, 4).toInt.toLong << 32) |
+        leSlice(data, 4, 8))
+    case TMoney4 => renderMoney(leSlice(data, 0, 4).toInt.toLong)
+    case TDateTime =>
+      renderDateTime(leSlice(data, 0, 4).toInt, leSlice(data, 4, 8))
+    case TDateTim4 => // days since 1900 u16 + minutes u16
+      renderDateTime(leSlice(data, 0, 2).toInt,
+        leSlice(data, 2, 4) * 60L * 300L)
+    case TGuid => renderGuid(data)
+    case TDecimalN | TNumericN =>
+      renderNumeric(data(0) & 0xFF, data.drop(1), props(1) & 0xFF)
+    case TDate => renderDate3(data, 0)
+    case TTime =>
+      renderTime7(leSlice(data, 0, data.length), props(0) & 0xFF)
+    case TDateTime2 =>
+      renderDate3(data, data.length - 3) + " " +
+        renderTime7(leSlice(data, 0, data.length - 3), props(0) & 0xFF)
+    case TDateTimeOffset => renderDtOffset(data, props(0) & 0xFF)
+    case TBigVarChar | TBigChar =>
+      new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    case TNVarChar | TNChar => new String(data, UTF_16LE)
+    case TBigVarBin | TBigBinary => renderHex(data)
+    case other => throw new java.io.IOException(
+      f"unsupported sql_variant base type 0x$other%02X")
   }
 
   // ---- queries ----

@@ -262,6 +262,7 @@ final class FakeTdsServer(
               case TdsWire.TDate => () // no metadata
               case TdsWire.TTime | TdsWire.TDateTime2 |
                   TdsWire.TDateTimeOffset => h.write(7) // scale
+              case TdsWire.TVariant => le32(h, 8009)
               case TdsWire.TText | TdsWire.TNText | TdsWire.TImage =>
                 le32(h, 0x7FFFFFFFL)
                 if (t != TdsWire.TImage)
@@ -421,6 +422,96 @@ final class FakeTdsServer(
                     val t300 =
                       ldt.toLocalTime.toNanoOfDay / 1000000L * 3L / 10L
                     rb.write(8); le32(rb, days); le32(rb, t300)
+                  }
+                case TdsWire.TVariant =>
+                  // SSVARIANT: values are tagged "kind:raw" strings so a
+                  // single column can mix base types like a real
+                  // sql_variant; u32 total 0 = NULL
+                  if (v == null) le32(rb, 0)
+                  else {
+                    val i = v.indexOf(':')
+                    val kind = v.substring(0, i)
+                    val raw = v.substring(i + 1)
+                    val vb = new java.io.ByteArrayOutputStream()
+                    def leNv(x: Long, n: Int): Unit =
+                      (0 until n).foreach(j =>
+                        vb.write(((x >> (8 * j)) & 0xFF).toInt))
+                    kind match {
+                      case "int" =>
+                        vb.write(TdsWire.TInt4); vb.write(0)
+                        leNv(raw.toLong, 4)
+                      case "bigint" =>
+                        vb.write(TdsWire.TInt8); vb.write(0)
+                        leNv(raw.toLong, 8)
+                      case "bit" =>
+                        vb.write(TdsWire.TBit); vb.write(0)
+                        vb.write(if (raw == "t") 1 else 0)
+                      case "flt8" =>
+                        vb.write(TdsWire.TFlt8); vb.write(0)
+                        leNv(java.lang.Double.doubleToLongBits(
+                          raw.toDouble), 8)
+                      case "numeric" => // "precision,scale,value"
+                        val Array(p, s, dv) = raw.split(",", 3)
+                        vb.write(TdsWire.TNumericN); vb.write(2)
+                        vb.write(p.toInt); vb.write(s.toInt)
+                        val bd = new java.math.BigDecimal(dv)
+                        vb.write(if (bd.signum() < 0) 0 else 1)
+                        leNv(bd.unscaledValue().abs().longValueExact, 8)
+                      case "money" =>
+                        vb.write(TdsWire.TMoney); vb.write(0)
+                        val s = scaled4(raw)
+                        leNv((s >> 32) & 0xFFFFFFFFL, 4) // high half FIRST
+                        leNv(s & 0xFFFFFFFFL, 4)
+                      case "nvarchar" =>
+                        vb.write(TdsWire.TNVarChar); vb.write(7)
+                        vb.write(new Array[Byte](5), 0, 5) // collation
+                        leNv(8000L, 2) // max length
+                        val x = raw.getBytes(UTF_16LE)
+                        vb.write(x, 0, x.length)
+                      case "varchar" =>
+                        vb.write(TdsWire.TBigVarChar); vb.write(7)
+                        vb.write(new Array[Byte](5), 0, 5)
+                        leNv(8000L, 2)
+                        val x = raw.getBytes(
+                          java.nio.charset.StandardCharsets.ISO_8859_1)
+                        vb.write(x, 0, x.length)
+                      case "varbinary" =>
+                        vb.write(TdsWire.TBigVarBin); vb.write(2)
+                        leNv(300L, 2)
+                        val x = hexBytes(raw)
+                        vb.write(x, 0, x.length)
+                      case "guid" => // mixed-endian: 3 LE groups, 2 BE
+                        vb.write(TdsWire.TGuid); vb.write(0)
+                        val g = raw.split("-")
+                        leNv(java.lang.Long.parseLong(g(0), 16), 4)
+                        leNv(java.lang.Long.parseLong(g(1), 16), 2)
+                        leNv(java.lang.Long.parseLong(g(2), 16), 2)
+                        (g(3) + g(4)).grouped(2).foreach(h =>
+                          vb.write(Integer.parseInt(h, 16)))
+                      case "date" =>
+                        vb.write(TdsWire.TDate); vb.write(0)
+                        leNv(days0001(java.time.LocalDate.parse(raw)), 3)
+                      case "datetime2" => // scale 7
+                        vb.write(TdsWire.TDateTime2); vb.write(1)
+                        vb.write(7)
+                        val ldt = java.time.LocalDateTime.parse(
+                          raw.replace(' ', 'T'))
+                        leNv(timeUnits(ldt.toLocalTime), 5)
+                        leNv(days0001(ldt.toLocalDate), 3)
+                      case "smalldatetime" =>
+                        vb.write(TdsWire.TDateTim4); vb.write(0)
+                        val ldt = java.time.LocalDateTime.parse(
+                          raw.replace(' ', 'T'))
+                        leNv(java.time.temporal.ChronoUnit.DAYS.between(
+                          java.time.LocalDate.of(1900, 1, 1),
+                          ldt.toLocalDate), 2)
+                        leNv(ldt.toLocalTime.toSecondOfDay / 60L, 2)
+                      case other => throw new IllegalArgumentException(
+                        s"fake server: unhandled variant kind $other")
+                    }
+                    le32(rb, vb.size().toLong)
+                    val arr = vb.toByteArray
+                    rb.write(arr, 0, arr.length)
                   }
                 case TdsWire.TText => lob(
                   if (v == null) null
