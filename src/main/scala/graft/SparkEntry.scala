@@ -1350,6 +1350,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fuzzy decontamination: corpus docs that NEARLY duplicate a
+    // benchmark doc (paraphrase-level overlap the exact n-gram semi-join
+    // misses). Bench rows are derived near-copies — two appended words —
+    // so the expected jaccard is exactly computable from gram sets.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq xq")).as("text"))
+      Dedup.minhashLshBipartite(d, bench, "doc_id", "text",
+          numPerms = 64, bands = 16, k = 3, threshold = 0.9)
+        .select(col("id_a").as("doc_id"), col("id_b").as("bench_id"),
+          col("jaccard"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // deterministic md5-keyed stratified sample, 20 docs per language
     "stratified_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2251,6 +2267,33 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM g
          WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
          ORDER BY doc_id""",
+
+    "decontaminate_fuzzy" ->
+      """WITH bench AS (SELECT doc_id + 200000 AS bid,
+             text || ' zq xq' AS text
+           FROM documents WHERE doc_id % 40 = 0),
+         wa AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+                FROM documents),
+         wb AS (SELECT bid, regexp_split_to_array(text, '\s+') AS ws
+                FROM bench),
+         ga AS (SELECT DISTINCT doc_id,
+                  array_to_string(ws[i:i+2], ' ') AS gram
+                FROM wa, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+         gb AS (SELECT DISTINCT bid,
+                  array_to_string(ws[i:i+2], ' ') AS gram
+                FROM wb, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+         na AS (SELECT doc_id, count(*) AS n FROM ga GROUP BY doc_id),
+         nb AS (SELECT bid, count(*) AS n FROM gb GROUP BY bid),
+         i AS (SELECT ga.doc_id, gb.bid, count(*) AS inter_n
+               FROM ga JOIN gb USING (gram) GROUP BY 1, 2)
+         SELECT i.doc_id, i.bid AS bench_id,
+           CAST(i.inter_n AS DOUBLE) /
+             CAST(na.n + nb.n - i.inter_n AS DOUBLE) AS jaccard
+         FROM i JOIN na ON na.doc_id = i.doc_id
+                JOIN nb ON nb.bid = i.bid
+         WHERE CAST(i.inter_n AS DOUBLE) /
+             CAST(na.n + nb.n - i.inter_n AS DOUBLE) >= 0.9
+         ORDER BY i.doc_id, bench_id""",
 
     "stratified_sample" ->
       """SELECT doc_id, lang FROM (

@@ -83,11 +83,12 @@ object Dedup {
     array_distinct(transform(shingles(text, k), s => xxhash64(s)))
 
   /** Distinct hashed k-shingles as (id, h) ROWS, fully codegen: tokenize
-    * → posexplode → window `lead` for the k-gram → xxhash64 of the word
-    * tuple. Documents shorter than k hash their whole text (matching
-    * [[shingles]]). One shuffle on id; every downstream consumer
-    * (signature aggregate, prefix filter, count-based verification) is a
-    * plain relational op over these rows. */
+    * → explode the gram start-index range → xxhash64 of the word tuple,
+    * with no shuffle at all before the consumer's own. Documents shorter
+    * than k hash their whole text (matching [[shingles]]). Every
+    * downstream consumer (signature aggregate, prefix filter,
+    * count-based verification) is a plain relational op over these
+    * rows. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     // complete k-grams via the shared positioned-gram helper (documents
@@ -102,29 +103,35 @@ object Dedup {
     full.unionAll(short).distinct()
   }
 
-  // MinHash parameters: h_i(x) = (a_i * x + b_i) mod p, deterministic
-  // seeds. Magnitudes chosen so a*h+b < 2^63 stays overflow-free under
-  // ANSI arithmetic: h masked to 32 bits, a < 2^30, b < 2^30.
-  private val MersennePrime = (1L << 61) - 1
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+  // Per-permutation hash: xxhash64 re-seeded with a per-perm salt as a
+  // leading literal argument. Earlier rounds used the textbook affine
+  // family min((a*h + b) mod p) with a,b < 2^30 and h masked to 32 bits
+  // so products stay overflow-free under ANSI arithmetic — but with
+  // those magnitudes a*h + b < 2^62 NEVER exceeds p = 2^61-1, the mod
+  // never wraps, and the map is order-preserving in h: every
+  // "permutation" picks the document's single minimum-hash shingle, so
+  // a 128-perm signature degenerates to one permutation repeated and
+  // LSH recall collapses from 1-(1-j^r)^b to ~j per pair (caught by the
+  // bipartite decontamination oracle: pairs at jaccard 0.977 missed).
+  // Seeded xxhash64 mixes fully regardless of argument magnitude, costs
+  // the same one multiply-rotate round, and cannot overflow.
+  private def permSalts(n: Int, seed: Long): Seq[Long] = {
     val r = new java.util.Random(seed)
-    Seq.fill(n)((r.nextInt((1 << 30) - 1).toLong + 1,
-                 r.nextInt(1 << 30).toLong))
+    Seq.fill(n)(r.nextLong())
   }
 
   /** MinHash signature (array of `numPerms` longs) over a pre-hashed
     * shingle array, in ONE pass: a single `aggregate` whose accumulator
     * is the running 128-slot minimum vector. Column-function form for
     * ad-hoc use; the LSH pipeline below uses the codegen'd
-    * explode+groupBy equivalent (`signatures`), which is faster still. */
+    * explode+groupBy equivalent (`signatureCols`), which is faster
+    * still. */
   def minhashSignature(hashes: Column, numPerms: Int = 128,
                        seed: Long = 42L): Column = {
-    val ab = array(perms(numPerms, seed).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    val salts = array(permSalts(numPerms, seed).map(lit): _*)
     aggregate(hashes, array_repeat(lit(Long.MaxValue), numPerms),
-      (acc, h) => zip_with(acc, ab, (m, p) =>
-        least(m, pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) * p.getField("a")
-          + p.getField("b"), lit(MersennePrime)))))
+      (acc, h) => zip_with(acc, salts, (m, s) =>
+        least(m, xxhash64(s, h))))
   }
 
   /** MinHash signatures from (id, h) shingle rows: ONE hash-aggregate of
@@ -132,14 +139,11 @@ object Dedup {
     * narrow row per doc leaves each task). Output keeps the per-perm
     * columns (`__m0…`) so band buckets can be built without re-slicing an
     * array through interpreted HOFs. This is the 100 TB path. */
-  private def signatureCols(rows: DataFrame, numPerms: Int,
+  private[pipeline] def signatureCols(rows: DataFrame, numPerms: Int,
                             seed: Long): DataFrame = {
-    val ps = perms(numPerms, seed)
-    val masked = rows.select(col("id"),
-      col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
-    val aggs = ps.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"__m$i") }
-    masked.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = permSalts(numPerms, seed).zipWithIndex.map { case (s, i) =>
+      min(xxhash64(lit(s), col("h"))).as(s"__m$i") }
+    rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact jaccard over candidate pairs from shingle ROWS: count shared
@@ -149,11 +153,12 @@ object Dedup {
     * the set sizes however its own plan gets them cheapest (ngram: a
     * window over the prefix join's existing id partitioning; minhash: a
     * count-only aggregate joined to the tiny candidate set). */
-  private def verifyJaccardRows(cand: DataFrame, rows: DataFrame,
+  private def verifyJaccardRows(cand: DataFrame, rowsA: DataFrame,
+                                rowsB: DataFrame,
                                 threshold: Double): DataFrame =
     cand
-      .join(rows.as("ra"), col("id_a") === col("ra.id"))
-      .join(rows.as("rb"),
+      .join(rowsA.as("ra"), col("id_a") === col("ra.id"))
+      .join(rowsB.as("rb"),
         col("id_b") === col("rb.id") && col("ra.h") === col("rb.h"))
       // sz_a/sz_b are functions of the pair key — grouping on them adds
       // nothing to cardinality, it just keeps them selectable
@@ -164,6 +169,23 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** (id, band, bucket) rows from a `signatureCols` frame: band buckets
+    * built straight off the per-perm min columns — codegen'd string
+    * concat + xxhash64, no array slicing through interpreted HOFs. */
+  private[pipeline] def bandBuckets(sig: DataFrame, numPerms: Int,
+                          bands: Int): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
 
   /** LSH banding: explode the signature into `bands` (bandId, bandHash)
     * rows. Docs sharing any band bucket are near-dup candidates. */
@@ -187,9 +209,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numPerms / bands
     // the shingle rows feed BOTH the signature aggregate and the
-    // verification join, so the tokenize/posexplode/window lineage runs
+    // verification join, so the tokenize/explode lineage runs
     // more than once. Deliberately NOT persisted: measured at sf0.1,
     // caching the exploded rows (MEMORY_AND_DISK) made the whole pipeline
     // 2.2× SLOWER (14.8 s vs 6.6 s solo) — building the columnar cache
@@ -198,18 +219,8 @@ object Dedup {
     // narrow codegen'd lineage. Recompute is also the scale-safe choice:
     // nothing corpus-sized gets pinned in executor memory.
     val rows = shingleHashRows(df, idCol, textCol, k)
-    val sig = signatureCols(rows, numPerms, seed)
-    // band buckets straight from the per-perm columns (no array slicing)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
-    }
-    val buckets = sig.select(col("id"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
+      numPerms, bands)
     val cand0 = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -233,7 +244,49 @@ object Dedup {
         "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
         "id_b")
-    verifyJaccardRows(cand, rows, threshold)
+    verifyJaccardRows(cand, rows, rows, threshold)
+  }
+
+  /** Bipartite MinHash+LSH: near-duplicate pairs BETWEEN two corpora —
+    * the fuzzy-decontamination shape. The exact n-gram semi-join
+    * (`Curation.decontaminate`) only catches verbatim benchmark overlap;
+    * this catches paraphrase-level contamination: any `left` doc whose
+    * shingle set nearly duplicates a `right` (benchmark/eval) doc, with
+    * every candidate verified by exact jaccard.
+    *
+    * Same permutations, banding, and seed as [[minhashLsh]], so a doc
+    * buckets identically on both sides. The bucket join is left×right
+    * instead of a self-join — and at scale the eval side is tiny
+    * relative to the training corpus, so AQE broadcasts its bucket and
+    * shingle rows and the corpus side is never re-shuffled.
+    *
+    * @return (id_a from `left`, id_b from `right`, jaccard), all
+    *         verified jaccard >= threshold
+    */
+  def minhashLshBipartite(left: DataFrame, right: DataFrame,
+                          idCol: String, textCol: String,
+                          numPerms: Int = 128, bands: Int = 32,
+                          k: Int = 3, threshold: Double = 0.5,
+                          seed: Long = 42L): DataFrame = {
+    val rowsL = shingleHashRows(left, idCol, textCol, k)
+    val rowsR = shingleHashRows(right, idCol, textCol, k)
+    val bL = bandBuckets(signatureCols(rowsL, numPerms, seed),
+      numPerms, bands)
+    val bR = bandBuckets(signatureCols(rowsR, numPerms, seed),
+      numPerms, bands)
+    val cand0 = bL.as("x").join(bR.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val szL = rowsL.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val szR = rowsR.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val cand = cand0
+      .join(szL.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(szR.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+    verifyJaccardRows(cand, rowsL, rowsR, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum
@@ -366,7 +419,7 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .distinct()
-    verifyJaccardRows(cand, rows, threshold)
+    verifyJaccardRows(cand, rows, rows, threshold)
   }
 
   /** Embedding cosine near-dup: LSH over random hyperplane sign bits →

@@ -58,6 +58,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
+  test("bipartite minhash pairs cross-corpus near-dups only") {
+    val bench = Seq(
+      // identical to docs 1 and 2
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "totally unrelated words about benchmarks and evals here")
+    ).toDF("id", "text")
+    val r = Dedup.minhashLshBipartite(docs, bench, "id", "text",
+        numPerms = 64, bands = 16, threshold = 0.9)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // doc 3 (one word off, jaccard ~0.54) must NOT clear 0.9
+    assert(r.toSeq == Seq((1L, 101L, 1.0), (2L, 101L, 1.0)))
+  }
+
   test("simhash exact pairs = identical-text pairs only") {
     val pairs = Dedup.simhashExactPairs(docs, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
