@@ -1350,6 +1350,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming near-dup: the same contract as dedup_minhash, but
+    // candidates come from the streaming per-bucket-state operator
+    // consuming the corpus as a file stream (continuous ingest shape);
+    // verification is the shared batch exact-jaccard. Output must equal
+    // the batch pipeline's — the state op is batching-invariant.
+    "stream_neardup" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val srcRoot = new java.io.File(scratch("stream_neardup_src"))
+        .getAbsolutePath
+      inflated.write.mode("overwrite").parquet(srcRoot)
+      val stream = s.readStream.schema(inflated.schema).parquet(srcRoot)
+      val cands = graft.streaming.NearDup.candidatePairs(stream,
+        "doc_id", "text", numPerms = 64, bands = 16, k = 3)
+      val outRoot = new java.io.File(scratch("stream_neardup_sink"))
+        .getAbsolutePath
+      val q = cands.toDF("id_a", "id_b").writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outRoot)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val pairs = s.read.parquet(outRoot).distinct()
+      Dedup.verifyPairs(pairs, inflated, "doc_id", "text",
+          k = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // fuzzy decontamination: corpus docs that NEARLY duplicate a
     // benchmark doc (paraphrase-level overlap the exact n-gram semi-join
     // misses). Bench rows are derived near-copies — two appended words —
@@ -2267,6 +2302,24 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM g
          WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
          ORDER BY doc_id""",
+
+    // identical contract to dedup_minhash — the streaming candidate op
+    // must reach the same verified pair set as the batch pipeline
+    "stream_neardup" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM inflated),
+         sets AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+         ORDER BY id_a, id_b""",
 
     "decontaminate_fuzzy" ->
       """WITH bench AS (SELECT doc_id + 200000 AS bid,

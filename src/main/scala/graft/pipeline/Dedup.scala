@@ -76,11 +76,21 @@ object Dedup {
   }
 
   /** Distinct 64-bit-hashed word k-shingles — the document's set
-    * representation. Column form for ad-hoc use; the pipelines below use
+    * representation, hash-identical to [[shingleHashRows]] (the word
+    * TUPLE is hashed, not the joined string), so the column and row
+    * forms are interchangeable: signatures built from either bucket
+    * together (streaming NearDup computes row-local signatures from
+    * this; the batch pipeline verifies its candidates from the rows).
+    * Column form for ad-hoc/streaming use; the batch pipelines use
     * [[shingleHashRows]], which avoids higher-order functions entirely
     * (Spark HOFs run interpreted per element, outside codegen). */
-  def hashedShingles(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+  def hashedShingles(text: Column, k: Int): Column = {
+    val ws = split(text, "\\s+")
+    val full = transform(sequence(lit(0), size(ws) - k),
+      i => xxhash64((0 until k).map(j => element_at(ws, i + j + 1)): _*))
+    array_distinct(when(size(ws) < k,
+      array(xxhash64(array_join(ws, " ")))).otherwise(full))
+  }
 
   /** Distinct hashed k-shingles as (id, h) ROWS, fully codegen: tokenize
     * → explode the gram start-index range → xxhash64 of the word tuple,
@@ -287,6 +297,28 @@ object Dedup {
       .join(szR.select(col("id").as("id_b"), col("sz").as("sz_b")),
         "id_b")
     verifyJaccardRows(cand, rowsL, rowsR, threshold)
+  }
+
+  /** Exact-jaccard verification of an EXTERNAL candidate pair list —
+    * the batch half of streaming candidate generation (see
+    * `streaming.NearDup`), and generally useful for re-scoring pairs
+    * from any source. `pairs` must carry (id_a, id_b); shingle sets and
+    * sizes are built from `docs` and every pair is verified the same
+    * way the self-join pipeline verifies its own candidates.
+    *
+    * @return (id_a, id_b, jaccard) with verified jaccard >= threshold
+    */
+  def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, k: Int = 3,
+                  threshold: Double = 0.5): DataFrame = {
+    val rows = shingleHashRows(docs, idCol, textCol, k)
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val cand = pairs.select(col("id_a"), col("id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+    verifyJaccardRows(cand, rows, rows, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum
