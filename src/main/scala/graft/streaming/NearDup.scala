@@ -50,8 +50,18 @@ object NearDup {
     val sig = Dedup.minhashSignature(
       Dedup.hashedShingles(col(textCol), k), numPerms, seed)
     docs
-      .select(col(idCol).cast("long").as("id"),
-        explode(Dedup.lshBands(sig, bands, numPerms / bands)).as("bb"))
+      .select(col(idCol).cast("long").as("id"), sig.as("__sig"))
+      // materialization barrier: `lshBands` reads the signature once per
+      // band inside an interpreted HOF lambda, and CollapseProject would
+      // otherwise inline the whole `numPerms`-aggregate into that lambda
+      // — recomputing the signature `bands` times per row (measured 40×
+      // wall on the sf0.1 stream). The repartition pins `__sig` to an
+      // attribute; the exchange is narrow (id + numPerms longs) and the
+      // stateful operator shuffles on (band, bucket) right after anyway.
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(Dedup.lshBands(col("__sig"), bands,
+          numPerms / bands)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("id"))
       .as[(Int, Long, Long)]
