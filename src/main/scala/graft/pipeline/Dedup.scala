@@ -125,7 +125,7 @@ object Dedup {
   // bipartite decontamination oracle: pairs at jaccard 0.977 missed).
   // Seeded xxhash64 mixes fully regardless of argument magnitude, costs
   // the same one multiply-rotate round, and cannot overflow.
-  private def permSalts(n: Int, seed: Long): Seq[Long] = {
+  private[graft] def permSalts(n: Int, seed: Long): Seq[Long] = {
     val r = new java.util.Random(seed)
     Seq.fill(n)(r.nextLong())
   }

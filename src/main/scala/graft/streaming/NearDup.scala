@@ -1,8 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.pipeline.Dedup
 
 /** Streaming near-duplicate candidate detection: MinHash+LSH over an
@@ -11,16 +14,26 @@ import graft.pipeline.Dedup
   * batches and must flag near-dups against everything already seen
   * WITHOUT re-scanning the corpus.
   *
-  * Shape: each arriving document computes its signature ROW-LOCALLY
-  * (the column-form `minhashSignature` — no streaming aggregation, so
-  * the one stateful operator is the bucket store), explodes to
-  * (band, bucket) keys, and `flatMapGroupsWithState` keeps the ids
-  * seen per bucket. A new doc emits one candidate pair per stored
-  * bucket-mate, then joins the store. Output is batching-invariant:
-  * the union of emitted pairs (as min,max, deduped downstream) equals
-  * the batch pipeline's bucket-join candidates no matter how the
-  * stream is chopped into micro-batches — intra-batch ids pair in
-  * sorted order, replays of an already-stored id emit nothing.
+  * Shape: each arriving document computes its (band, bucket) keys
+  * ROW-LOCALLY in one typed map — no streaming aggregation, so the one
+  * stateful operator is the bucket store — and `flatMapGroupsWithState`
+  * keeps the ids seen per bucket. A new doc emits one candidate pair
+  * per stored bucket-mate, then joins the store. Output is
+  * batching-invariant: the union of emitted pairs (as min,max, deduped
+  * downstream) equals the batch pipeline's bucket-join candidates no
+  * matter how the stream is chopped into micro-batches — intra-batch
+  * ids pair in sorted order, replays of an already-stored id emit
+  * nothing.
+  *
+  * The per-doc hashing reproduces the expression pipeline EXACTLY
+  * (xxhash64 word-tuple shingles, per-perm seeded-xxhash64 minima,
+  * banding over the comma-joined per-perm minima — see
+  * `Dedup.hashedShingles` / `minhashSignature` / `lshBands`, whose
+  * composition is also what `NearDupStreamSpec` asserts this equals),
+  * but in a tight primitive loop: the interpreted-HOF form re-entered
+  * the 64-perm aggregate per band (slice inside a lambda) and even
+  * with a materialization barrier paid ~3,300 boxed expression evals
+  * per document, which dominated the stream's wall-clock.
   *
   * State per key is a bounded id list: `maxBucket` caps degenerate
   * buckets (boilerplate shingle floods); past the cap a new id still
@@ -37,6 +50,67 @@ import graft.pipeline.Dedup
   */
 object NearDup {
 
+  private def hashLong(v: Long, seed: Long): Long =
+    XxHash64Function.hash(v, LongType, seed)
+  private def hashStr(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(s, StringType, seed)
+
+  /** (band, bucket) keys for one document — hash-identical to
+    * `lshBands(minhashSignature(hashedShingles(text,k)))`. */
+  private[streaming] def bucketKeys(text: String, numPerms: Int,
+                                    bands: Int, k: Int,
+                                    saltSeeds: Array[Long]): Array[Long] = {
+    val ws = text.split("\\s+", -1)
+    // distinct hashed k-shingles (word-tuple chain, seed 42)
+    val hs: Array[Long] =
+      if (ws.length < k)
+        Array(hashStr(UTF8String.fromString(ws.mkString(" ")), 42L))
+      else {
+        val out = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i <= ws.length - k) {
+          var h = 42L
+          var j = 0
+          while (j < k) {
+            h = hashStr(UTF8String.fromString(ws(i + j)), h); j += 1
+          }
+          out.add(h); i += 1
+        }
+        val arr = new Array[Long](out.size)
+        val it = out.iterator(); var n = 0
+        while (it.hasNext) { arr(n) = it.next(); n += 1 }
+        arr
+      }
+    // per-perm minima of xxhash64(salt, h)
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var si = 0
+    while (si < numPerms) {
+      var m = Long.MaxValue
+      var hi = 0
+      while (hi < hs.length) {
+        val v = hashLong(hs(hi), saltSeeds(si))
+        if (v < m) m = v
+        hi += 1
+      }
+      mins(si) = m; si += 1
+    }
+    // band buckets: xxhash64 of the comma-joined minima slice
+    val rowsPerBand = numPerms / bands
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r)); r += 1
+      }
+      buckets(b) = hashStr(UTF8String.fromString(sb.toString), 42L)
+      b += 1
+    }
+    buckets
+  }
+
   /** (id_a, id_b) candidate pairs (id_a < id_b), possibly repeated
     * across bands/batches — `.distinct()` after the sink. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
@@ -47,24 +121,20 @@ object NearDup {
       s"bands ($bands) must divide numPerms ($numPerms)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = Dedup.minhashSignature(
-      Dedup.hashedShingles(col(textCol), k), numPerms, seed)
+    // pre-fold each salt with the leading-literal position of
+    // xxhash64(salt, h): hash(salt, 42) is the seed h is hashed with
+    val saltSeeds = Dedup.permSalts(numPerms, seed)
+      .map(s => hashLong(s, 42L)).toArray
     docs
-      .select(col(idCol).cast("long").as("id"), sig.as("__sig"))
-      // materialization barrier: `lshBands` reads the signature once per
-      // band inside an interpreted HOF lambda, and CollapseProject would
-      // otherwise inline the whole `numPerms`-aggregate into that lambda
-      // — recomputing the signature `bands` times per row (measured 40×
-      // wall on the sf0.1 stream). The repartition pins `__sig` to an
-      // attribute; the exchange is narrow (id + numPerms longs) and the
-      // stateful operator shuffles on (band, bucket) right after anyway.
-      .repartition(col("id"))
-      .select(col("id"),
-        explode(Dedup.lshBands(col("__sig"), bands,
-          numPerms / bands)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("id"))
-      .as[(Int, Long, Long)]
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, text) =>
+        if (id == null || text == null) Iterator.empty
+        else {
+          val bk = bucketKeys(text, numPerms, bands, k, saltSeeds)
+          Iterator.tabulate(bk.length)(b => (b, bk(b), id.longValue()))
+        }
+      }
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
