@@ -55,6 +55,12 @@ class DedupSpec extends SparkSpec {
       .orderBy("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    // the NEAR pair (one word of twelve differs, jaccard ~0.54): banding
+    // at 128/32 detects it with p ≈ 0.94 and the fixed seed makes the
+    // outcome deterministic — a permutation-family regression (e.g. the
+    // round-12 degenerate-affine bug) turns detection into a ~0.54 coin
+    // flip and this assertion is the tripwire
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 })
     assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
