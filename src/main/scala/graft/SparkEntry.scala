@@ -1141,14 +1141,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // embedding cosine near-dup via hyperplane LSH buckets
+    // embedding cosine near-dup via BANDED hyperplane LSH: exact copies
+    // (cosine 1) AND genuinely-near perturbed copies (first element
+    // ×1.1, cosine >= 0.9993 on this data; natural pairs top out at
+    // 0.601) must all surface at threshold 0.99 — the recall the
+    // single-bucket shape couldn't deliver
     "dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val inflated = e.select(col("vec_id"), col("embedding")).unionAll(
-        e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val vecD = transform(col("embedding"), x => x.cast("double"))
+      val perturbed = concat(
+        array(element_at(col("embedding"), 1).cast("double") * 1.1),
+        slice(vecD, 2, 63))
+      val inflated = e.select(col("vec_id"), vecD.as("embedding"))
+        .unionAll(e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            vecD.as("embedding")))
+        .unionAll(e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            perturbed.as("embedding")))
       Dedup.embeddingNearDup(inflated, "vec_id", "embedding",
-          dim = 64, planes = 16, threshold = 0.9999)
+          dim = 64, bands = 8, bitsPerBand = 8, threshold = 0.99)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2228,12 +2240,14 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "dedup_embedding" ->
-      """WITH inflated AS (
-           SELECT vec_id, embedding FROM embeddings
+      """SELECT id_a, id_b FROM (
+           SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+           FROM embeddings WHERE vec_id % 10 = 0
            UNION ALL
-           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0)
-         SELECT vec_id AS id_a, vec_id + 10000 AS id_b
-         FROM embeddings WHERE vec_id % 10 = 0
+           SELECT vec_id, vec_id + 20000 FROM embeddings WHERE vec_id % 7 = 0
+           UNION ALL
+           SELECT vec_id + 10000, vec_id + 20000
+           FROM embeddings WHERE vec_id % 70 = 0)
          ORDER BY id_a, id_b""",
 
     "similarity_bruteforce" ->

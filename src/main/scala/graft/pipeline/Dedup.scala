@@ -463,13 +463,33 @@ object Dedup {
     * set is small. No cache: the narrow projections are recomputed —
     * cheaper than pinning the corpus in memory. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, planes: Int = 16, threshold: Double = 0.9,
+                       dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                       threshold: Double = 0.9,
                        seed: Long = 42L): DataFrame = {
+    require(bands * bitsPerBand <= 64,
+      s"bands*bitsPerBand must fit a long, got ${bands * bitsPerBand}")
+    // Banded (multi-table) hyperplane LSH. A single all-planes bucket —
+    // the pre-round-12 shape — has recall p^planes for per-bit agreement
+    // p = 1 - theta/pi: at cosine 0.9 (p ≈ 0.856) a 16-bit bucket finds
+    // ~8% of true pairs. Banding the sign bits into `bands` keys of
+    // `bitsPerBand` bits makes recall 1-(1-p^r)^b — ~0.94 at cosine 0.9
+    // with 8×8, and ~1-2e-9 at the near-identical cosines the dedup
+    // contract targets — the same fix the MinHash family got.
+    val planes = bands * bitsPerBand
     val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val buckets = df.select(col(idCol).as("id"), sigCol.as("bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    val banded = df.select(col(idCol).as("id"), sigCol.as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * bitsPerBand)
+              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")

@@ -78,6 +78,26 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 101L, 1.0), (2L, 101L, 1.0)))
   }
 
+  test("banded hyperplane LSH finds moderate-cosine pairs, not orthogonal") {
+    // cosine(1, 2) = 0.97 — the single-bucket shape found such pairs
+    // with probability ~0.2; banded 8×8 detects at ~0.997 and the fixed
+    // seed pins the outcome
+    val dim = 64
+    def vec(first: Double, second: Double): Seq[Double] =
+      first +: second +: Seq.fill(dim - 2)(0.0)
+    val vs = Seq(
+      (1L, vec(1.0, 0.0)),
+      (2L, vec(0.97, math.sqrt(1 - 0.97 * 0.97))),
+      (3L, vec(0.0, 1.0))  // orthogonal to doc 1
+    ).toDF("id", "v")
+    val pairs = Dedup.embeddingNearDup(vs, "id", "v", dim = dim,
+        bands = 8, bitsPerBand = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("simhash exact pairs = identical-text pairs only") {
     val pairs = Dedup.simhashExactPairs(docs, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
