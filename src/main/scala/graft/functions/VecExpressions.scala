@@ -151,6 +151,117 @@ case class VecDist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed sign bits of `matrix.length / dim` hyperplane dot products in
+  * ONE fused loop: bit p of the result is set iff
+  * `sum_j vec_j * matrix[p*dim + j] >= 0` (index-order double
+  * accumulation from +0.0, identical to chaining [[VecDot]] per plane).
+  * The plane matrix rides along as a single referenced object instead of
+  * `planes` separate 64-literal array expressions — the per-plane
+  * spelling paid array construction and expression dispatch per plane
+  * per row, which dominated banded-LSH signature time once bands×bits
+  * reached 128 planes. NULL vector or a length != `dim` yields NULL (the
+  * HOF chain folded those to an all-zero signature; null keys drop out
+  * of bucket joins, which is the safer contract and is documented at the
+  * call site).
+  *
+  * Not SQL-registered: the matrix is a plan-time artifact derived from a
+  * seed, not something a SQL caller can pass.
+  */
+case class HyperplaneSig(child: Expression, matrix: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim > 0 && matrix.length % dim == 0,
+    s"matrix length ${matrix.length} must be a multiple of dim $dim")
+  private val numPlanes = matrix.length / dim
+  require(numPlanes <= 64, s"at most 64 planes fit a long, got $numPlanes")
+
+  override def prettyName: String = "hyperplane_sig"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+        IntegerType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array of float/double/integral elements, " +
+        s"got ${other.simpleString}")
+  }
+
+  private def getDouble(arr: ArrayData, dt: DataType, i: Int): Double =
+    dt match {
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case ByteType    => arr.getByte(i).toDouble
+      case ShortType   => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType    => arr.getLong(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val dt = elemType
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0d
+      var j = 0
+      while (j < dim) {
+        if (a.isNullAt(j)) return null
+        acc += getDouble(a, dt, j) * matrix(p * dim + j)
+        j += 1
+      }
+      if (acc >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  private def genGet(arr: String, dt: DataType, i: String): String =
+    dt match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("planes", matrix, "double[]")
+      val sig = ctx.freshName("hsSig")
+      val acc = ctx.freshName("hsAcc")
+      val p = ctx.freshName("hsP")
+      val j = ctx.freshName("hsJ")
+      val bad = ctx.freshName("hsBad")
+      s"""
+         |boolean $bad = ($c.numElements() != $dim);
+         |long $sig = 0L;
+         |if (!$bad) {
+         |  for (int $p = 0; $p < $numPlanes && !$bad; $p++) {
+         |    double $acc = 0.0d;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      if ($c.isNullAt($j)) { $bad = true; break; }
+         |      $acc += ${genGet(c, elemType, j)} * $m[$p * $dim + $j];
+         |    }
+         |    if (!$bad && $acc >= 0) $sig |= 1L << $p;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sig; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VecExpressions {
   def vecDot(a: Column, b: Column): Column =
@@ -160,4 +271,8 @@ object VecExpressions {
   def vecDist2(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDist2(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
+
+  def hyperplaneSig(vec: Column, matrix: Array[Double], dim: Int): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec),
+      matrix, dim))
 }

