@@ -111,6 +111,105 @@ object NearDup {
     buckets
   }
 
+  /** Horizon-bounded variant: candidate pairs whose event times lie
+    * within `horizonMs` of each other — "dedup tonight's crawl against
+    * the last N days" with state that EVICTS. `docs` must carry a
+    * timestamp column; the watermark is declared here (typed transforms
+    * strip event-time metadata, so pass the pipeline's delay as
+    * `watermarkDelay`). A stored id becomes unpairable only once the
+    * watermark passes
+    * `ts + horizonMs`, at which point no future in-watermark document
+    * can be within the horizon — eviction never drops a pair the
+    * contract owes. The pair set is batching-invariant for the same
+    * reasons as [[candidatePairs]], with the |Δts| ≤ horizon filter
+    * applied symmetrically (late-but-in-watermark docs pair with newer
+    * stored ones and vice versa).
+    *
+    * State per bucket: (id, tsMillis) entries, pruned on every trigger
+    * against the watermark (an entry drops once watermark > ts +
+    * horizon) and removed wholesale by event-time timeout when the
+    * bucket goes quiet — bounded by bucket rate × horizon, the
+    * streaming analog of the interval join's O(rate × horizon)
+    * invariant. */
+  def candidatePairsWithin(docs: DataFrame, idCol: String,
+                           textCol: String, tsCol: String,
+                           horizonMs: Long, watermarkDelay: String,
+                           numPerms: Int = 64, bands: Int = 16,
+                           k: Int = 3, seed: Long = 42L,
+                           maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+    require(numPerms % bands == 0,
+      s"bands ($bands) must divide numPerms ($numPerms)")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val saltSeeds = Dedup.permSalts(numPerms, seed)
+      .map(s => hashLong(s, 42L)).toArray
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text"), col(tsCol).as("ts"))
+      .as[(java.lang.Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        if (id == null || text == null || ts == null) Iterator.empty
+        else {
+          val bk = bucketKeys(text, numPerms, bands, k, saltSeeds)
+          Iterator.tabulate(bk.length)(b =>
+            (b, bk(b), id.longValue(), ts))
+        }
+      }
+      // the typed flatMap strips event-time metadata, so the watermark
+      // (which EventTimeTimeout requires) is re-declared on the exploded
+      // rows — pass the same delay the upstream pipeline uses
+      .toDF("band", "bucket", "id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it0: Iterator[(Int, Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long)]]) =>
+          val it = it0.map(r => (r._1, r._2, r._3, r._4.getTime))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val stored = state.getOption.getOrElse(Nil)
+            val storedIds = stored.map(_._1).toSet
+            val fresh = it.map(r => (r._3, r._4)).toArray
+              .distinct.sortBy(r => (r._1, r._2))
+              .filterNot(r => storedIds(r._1))
+            val out = Seq.newBuilder[(Long, Long)]
+            for ((id, ts) <- fresh) {
+              stored.foreach { case (o, ots) =>
+                if (math.abs(ts - ots) <= horizonMs)
+                  out += ((math.min(id, o), math.max(id, o)))
+              }
+            }
+            for (i <- fresh.indices; j <- i + 1 until fresh.length)
+              if (math.abs(fresh(i)._2 - fresh(j)._2) <= horizonMs)
+                out += ((fresh(i)._1, fresh(j)._1))
+            if (fresh.nonEmpty) {
+              // prune against the WATERMARK, not the newest entry: an
+              // entry is safe to drop only once watermark > ts + horizon
+              // (no admissible future row can then be within horizon of
+              // it — a newer bucket-mate proves nothing about what late
+              // rows the watermark still admits)
+              val wm = state.getCurrentWatermarkMs()
+              val kept = (fresh.toList ::: stored)
+                .filter(_._2 + horizonMs >= wm)
+                .sortBy(r => (-r._2, r._1)).take(maxBucket)
+              if (kept.isEmpty) {
+                if (state.exists) state.remove()
+              } else {
+                state.update(kept)
+                val expiry = kept.map(_._2).max + horizonMs
+                if (expiry > wm) state.setTimeoutTimestamp(expiry)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** (id_a, id_b) candidate pairs (id_a < id_b), possibly repeated
     * across bands/batches — `.distinct()` after the sink. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,

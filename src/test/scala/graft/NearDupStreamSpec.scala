@@ -74,6 +74,43 @@ class NearDupStreamSpec extends SparkSpec {
     assert(verified == batchPairs)
   }
 
+  test("horizon-bounded: in-horizon pairs emit, stale buckets evict") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    val docs = mem.toDS().toDF("id", "text", "ts")
+    val pairs = NearDup.candidatePairsWithin(docs, "id", "text", "ts",
+      horizonMs = 30L * 60000L, watermarkDelay = "1 minute",
+      numPerms = 64, bands = 16, k = 3)
+    val qn = "neardup_win_" + System.nanoTime()
+    val q = pairs.toDF("id_a", "id_b").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(qn).start()
+    try {
+      def got() = spark.table(qn).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: doc 1 at t0; batch 2: copy at t+10 (in horizon) pairs
+      mem.addData((1L, doc1, t(0)))
+      q.processAllAvailable()
+      mem.addData((2L, doc1, t(10)))
+      q.processAllAvailable()
+      assert(got().contains((1L, 2L)))
+      // advance the watermark (t45 - 1min delay = t44) past 1 and 2's
+      // expiry (t10 + 30 = t40) -> their bucket state evicts; a copy at
+      // t50 is beyond horizon of both -> no new pairs
+      mem.addData((9L, numbers, t(45)))
+      q.processAllAvailable()
+      mem.addData((3L, doc1, t(50)))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 2L)))
+      // but a copy within horizon of 3 still pairs
+      mem.addData((4L, doc1, t(55)))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 2L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("maxBucket caps state but capped ids still pair against the store") {
     val copies = (1L to 6L).map(i => (i, doc1))
     val got = runStream2(Seq(copies.take(3), copies.drop(3)), maxBucket = 2)
