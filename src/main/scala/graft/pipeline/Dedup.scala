@@ -480,7 +480,12 @@ object Dedup {
     // 10×); 16-bit keys hold ~n²·b/2^17 false candidates, linear-ish at
     // any realistic density, and recall at the near-identical cosines
     // the dedup contract targets stays ≥0.99 (raise `bands` when
-    // hunting looser pairs — 1-(1-p^16)^b governs).
+    // hunting looser pairs — 1-(1-p^16)^b governs). Sizing at scale:
+    // keep 2^bitsPerBand within a couple orders of magnitude of n so
+    // random non-neighbors stay spread (≈ bitsPerBand ≳ log2(n) − 7;
+    // a billion vectors wants 24–32-bit keys with bands raised to hold
+    // recall — each band is its own signature, so width is per-band,
+    // not split out of one 64-bit budget).
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         hyperplaneSignature(col(vecCol), dim, bitsPerBand,
