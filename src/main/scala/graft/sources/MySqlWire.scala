@@ -97,15 +97,32 @@ object MySqlWire {
       p1.zip(p2).map { case (a, b) => (a ^ b).toByte }
     }
 
+  /** RSA padding for the public-key password exchange: servers from
+    * 8.0.5 use RSA-OAEP(SHA-1); older servers (5.7's sha256_password,
+    * early 8.0) only accept PKCS#1 v1.5 — the same switch point
+    * libmysqlclient and Connector/J use. Version strings look like
+    * "8.0.33", "5.7.44-log", "8.0.0-fake". */
+  private[graft] def rsaPaddingTransform(serverVersion: String): String = {
+    val nums = serverVersion.split("[^0-9]+").filter(_.nonEmpty)
+      .take(3).map(_.toLong).padTo(3, 0L)
+    val v = nums(0) * 10000 + nums(1) * 100 + nums(2)
+    if (v >= 80005L) "RSA/ECB/OAEPWithSHA-1AndMGF1Padding"
+    else "RSA/ECB/PKCS1Padding"
+  }
+
   /** The RSA leg both `sha256_password` and `caching_sha2_password`
     * full-auth use when the channel is NOT TLS: the NUL-terminated
     * password XORed with the handshake scramble (cycled), encrypted
-    * with the server's public key under RSA-OAEP — what
-    * libmysqlclient's sha256_password_auth_client does. `pem` is the
-    * key exactly as the server sends it (PKCS#8 SubjectPublicKeyInfo
-    * between BEGIN/END PUBLIC KEY markers). */
+    * with the server's public key — OAEP or PKCS#1 v1.5 per
+    * [[rsaPaddingTransform]], what libmysqlclient's
+    * sha256_password_auth_client does. `pem` is the key exactly as the
+    * server sends it (PKCS#8 SubjectPublicKeyInfo between BEGIN/END
+    * PUBLIC KEY markers). */
   private[graft] def rsaEncryptPassword(pem: String, password: String,
-                                        seed: Array[Byte]): Array[Byte] = {
+                                        seed: Array[Byte],
+                                        transform: String =
+                                          "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+      : Array[Byte] = {
     val der = java.util.Base64.getMimeDecoder.decode(
       pem.replace("-----BEGIN PUBLIC KEY-----", "")
         .replace("-----END PUBLIC KEY-----", ""))
@@ -117,8 +134,7 @@ object MySqlWire {
     while (i < pw.length) {
       xored(i) = (pw(i) ^ seed(i % seed.length)).toByte; i += 1
     }
-    val c = javax.crypto.Cipher.getInstance(
-      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    val c = javax.crypto.Cipher.getInstance(transform)
     c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
     c.doFinal(xored)
   }
@@ -211,6 +227,9 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
   private var out = new DataOutputStream(
     new BufferedOutputStream(sock.getOutputStream, 1 << 16))
   private var seq = 0
+  /** Server version from the handshake — drives the RSA padding choice
+    * ([[MySqlWire.rsaPaddingTransform]]). */
+  private var serverVersion = ""
 
   handshake()
 
@@ -263,7 +282,7 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
     if ((p(0) & 0xFF) == 0xFF) throw parseErr(p)
     val c = new Cursor(p)
     require(c.u1 == 10, "protocol v10 expected")
-    c.cstring // server version
+    serverVersion = c.cstring
     c.skip(4) // thread id
     val salt1 = c.bytes(8)
     c.skip(1) // filler
@@ -365,7 +384,8 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
           // reply with the OAEP-encrypted XORed password
           awaitingRsaKey = false
           val pem = new String(r, 1, r.length - 1, UTF_8)
-          writePacket(rsaEncryptPassword(pem, params.password, curSalt))
+          writePacket(rsaEncryptPassword(pem, params.password, curSalt,
+            rsaPaddingTransform(serverVersion)))
         case 0x01 => // AuthMoreData: the caching_sha2 dance
           (if (r.length > 1) r(1) & 0xFF else -1) match {
             case 0x03 => () // fast-auth success; the OK packet follows

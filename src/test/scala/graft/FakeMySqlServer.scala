@@ -30,6 +30,9 @@ import graft.sources.MySqlWire
 final class FakeMySqlServer(
     user: String = "graft",
     password: String = "secret",
+    // version string served in the handshake; also selects the RSA
+    // padding the server accepts (pre-8.0.5 = PKCS#1 v1.5)
+    serverVersion: String = "8.0.0-fake",
     authSwitch: Boolean = false,
     authPlugin: String = "mysql_native_password",
     sha2FullAuth: Boolean = false,
@@ -124,7 +127,7 @@ final class FakeMySqlServer(
       val salt = newSalt()
       val hs = new java.io.ByteArrayOutputStream()
       hs.write(10)
-      hs.write("8.0.0-fake".getBytes(UTF_8)); hs.write(0)
+      hs.write(serverVersion.getBytes(UTF_8)); hs.write(0)
       hs.write(Array[Byte](1, 0, 0, 0), 0, 4) // thread id
       hs.write(salt, 0, 8); hs.write(0)
       val capLow = MySqlWire.ClientProtocol41 |
@@ -191,7 +194,7 @@ final class FakeMySqlServer(
         sendPacket(0x01.toByte +: FakeMySqlServer.publicKeyPem)
         val enc = readPacket()
         val c = javax.crypto.Cipher.getInstance(
-          "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          graft.sources.MySqlWire.rsaPaddingTransform(serverVersion))
         c.init(javax.crypto.Cipher.DECRYPT_MODE,
           FakeMySqlServer.keyPair.getPrivate)
         val dec = c.doFinal(enc)

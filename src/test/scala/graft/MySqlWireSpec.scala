@@ -121,6 +121,32 @@ class MySqlWireSpec extends SparkSpec {
     } finally bad.close()
   }
 
+  test("auth: sha256_password against a 5.7 server encrypts with " +
+    "PKCS#1 v1.5 (pre-8.0.5 servers reject OAEP)") {
+    val srv = new FakeMySqlServer(authPlugin = "sha256_password",
+      authSwitch = true, serverVersion = "5.7.44-log",
+      tableCols = Seq("v"), tableRows = Seq(Array("57")))
+    try {
+      val conn = new MySqlWireConnection(
+        params(srv.port).copy(sslMode = "disable"))
+      val (_, rows) = conn.query("SELECT v FROM t")
+      conn.close()
+      assert(rows.map(_.toSeq) == Seq(Seq("57")))
+    } finally srv.close()
+  }
+
+  test("RSA padding switches exactly at server 8.0.5") {
+    import graft.sources.MySqlWire.rsaPaddingTransform
+    assert(rsaPaddingTransform("5.7.44-log") == "RSA/ECB/PKCS1Padding")
+    assert(rsaPaddingTransform("8.0.4") == "RSA/ECB/PKCS1Padding")
+    assert(rsaPaddingTransform("8.0.5") ==
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    assert(rsaPaddingTransform("8.0.33-ubuntu") ==
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    assert(rsaPaddingTransform("11.4.2-MariaDB") ==
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+  }
+
   test("auth: AuthSwitchRequest to caching_sha2_password re-scrambles " +
     "with SHA-256 against the fresh salt") {
     val srv = new FakeMySqlServer(authSwitch = true,
