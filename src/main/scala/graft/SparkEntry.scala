@@ -9,7 +9,8 @@ import graft.operators.{DateFormat, Funnel, ProjectFields}
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
 import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
 import graft.sinks.{BatchRetry, CopyEndpoint, CopyError}
-import graft.pipeline.{Classifier, Cluster, Curation, Dedup, Multimodal, Similarity, Terms, TextAnalysis}
+import graft.functions.StringExpressions
+import graft.pipeline.{Classifier, Cluster, Curation, Dedup, Multimodal, Retrieval, Similarity, Terms, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1449,6 +1450,65 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 lexical retrieval: top-5 docs per probe query, broadcast
+    // query-term filter keeps the corpus pipeline narrow; scores as
+    // order-independent integer micros
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq(
+        (1, "spark window agg stream"),
+        (2, "customer order join merge"),
+        (3, "hash table scan fast")).toDF("qid", "qtext")
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          probes, "qid", "qtext", k = 5, checkpointTf = true)
+        .select(col("qid"), col("id").as("doc_id"), col("score_micro"),
+          col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // corpus-wide paragraph dedup (C4/CCNet step): documents re-chunked
+    // into 10-word paragraphs (the synthetic corpus is single-line), the
+    // globally-first occurrence of each repeated paragraph survives,
+    // docs reassembled in order
+    "paragraph_dedup" -> ((s, dir) => {
+      val ws = filter(split(col("text"), " "), w => w =!= "")
+      val np = ceil(size(ws).cast("double") / lit(10.0)).cast("int")
+      val paras = transform(
+        sequence(lit(0), greatest(np, lit(1)) - 1),
+        g => array_join(slice(ws, g * 10 + 1, lit(10)), " "))
+      val d2 = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(paras, "\n\n").as("text"))
+      Curation.paragraphDedup(d2, "doc_id", "text", "\n\n", minChars = 1)
+        .select(col("id").as("doc_id"), col("text"), col("n_paras"),
+          col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC normalization (native codegen expression): combining
+    // sequences injected deterministically (the corpus is ASCII), then
+    // folded to precomposed forms; char counts prove real composition
+    "text_normalize" -> ((s, dir) => {
+      val injected = regexp_replace(col("text"), "a", "a\u0301")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(injected).cast("long").as("len_raw"),
+          StringExpressions.unicodeNormalize(injected, "NFC")
+            .as("text_nfc"))
+        .withColumn("len_nfc", length(col("text_nfc")).cast("long"))
+        .select(col("doc_id"), col("text_nfc"), col("len_raw"),
+          col("len_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE first-merge table: top-50 adjacent char pairs weighted by
+    // corpus word frequency — vocabulary-compressed before the pair
+    // explosion, integer-only
+    "bpe_pairs" -> ((s, dir) => {
+      Terms.bpePairs(t(s, dir, "documents"), "doc_id", "text", topN = 50)
+        .orderBy(col("rank"))
+    }),
+
     // PII scrub: detection counts + masked text. Deterministic PII is
     // injected per doc_id (the synthetic corpus has none), then counted
     // and redacted with the shared Java/RE2 regex subset — both engines
@@ -2424,6 +2484,98 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "bm25_topk" ->
+      """WITH q(qid, qtext) AS (VALUES
+           (1, 'spark window agg stream'),
+           (2, 'customer order join merge'),
+           (3, 'hash table scan fast')),
+         qt AS (SELECT DISTINCT qid,
+             unnest(string_split_regex(lower(qtext), '[^a-z0-9'']+')) AS w
+           FROM q),
+         dl AS (SELECT doc_id, CAST(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9'']+'),
+             x -> x <> '')) AS BIGINT) AS dl FROM documents),
+         c AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total FROM dl),
+         toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN (SELECT w FROM qt WHERE w <> '')
+           GROUP BY doc_id, w),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         part AS (SELECT qt.qid, tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+                           + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+               * CAST(tf.tf AS DOUBLE) * 2.2
+               / (CAST(tf.tf AS DOUBLE) + 1.2 *
+                  (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+                   (CAST(c.total AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS sm
+           FROM tf JOIN dfq USING (w) JOIN qt USING (w)
+                JOIN dl USING (doc_id), c),
+         sc AS (SELECT qid, doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
+           FROM part GROUP BY qid, doc_id),
+         r AS (SELECT qid, doc_id, score_micro, row_number() OVER (
+             PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rank
+           FROM sc)
+         SELECT qid, doc_id, score_micro, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "paragraph_dedup" ->
+      """WITH ws AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         d2 AS (SELECT doc_id, array_to_string(list_transform(
+             range(greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1)),
+             g -> array_to_string(list_slice(ws, g*10+1, g*10+10), ' ')),
+             chr(10)||chr(10)) AS text FROM ws),
+         paras AS (SELECT doc_id,
+             unnest(string_split(text, chr(10)||chr(10))) AS para,
+             generate_subscripts(string_split(text, chr(10)||chr(10)), 1)
+               AS idx
+           FROM d2),
+         k AS (SELECT doc_id, idx, para, row_number() OVER (
+             PARTITION BY para ORDER BY doc_id, idx) AS rn FROM paras),
+         kept AS (SELECT doc_id, idx, para FROM k
+           WHERE length(para) < 1 OR rn = 1),
+         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+           FROM kept GROUP BY doc_id),
+         np AS (SELECT doc_id, CAST(len(string_split(text,
+             chr(10)||chr(10))) AS BIGINT) AS n_paras FROM d2)
+         SELECT np.doc_id, coalesce(reb.text, '') AS text, np.n_paras,
+           coalesce(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         FROM np LEFT JOIN reb USING (doc_id) ORDER BY np.doc_id""",
+
+    "text_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+             regexp_replace(text, 'a', 'a' || chr(769), 'g') AS t
+           FROM documents)
+         SELECT doc_id, nfc_normalize(t) AS text_nfc,
+           CAST(length(t) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc
+         FROM inj ORDER BY doc_id""",
+
+    "bpe_pairs" ->
+      """WITH toks AS (SELECT
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         words AS (SELECT w, count(*) AS c FROM toks WHERE w <> ''
+           GROUP BY w HAVING length(w) >= 2),
+         pairs AS (SELECT substring(w, CAST(i AS INT), 1) AS l,
+             substring(w, CAST(i AS INT) + 1, 1) AS r, c
+           FROM words, UNNEST(range(1, length(w))) AS t(i)),
+         agg AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY l, r),
+         head AS (SELECT * FROM agg
+           ORDER BY pair_count DESC, l ASC, r ASC LIMIT 50)
+         SELECT l AS "left", r AS "right", pair_count,
+           CAST(row_number() OVER (
+             ORDER BY pair_count DESC, l ASC, r ASC) AS INT) AS rank
+         FROM head ORDER BY rank""",
 
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id, text ||

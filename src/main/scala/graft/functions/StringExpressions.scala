@@ -90,9 +90,67 @@ case class CsvParseLine(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Native expression for Unicode normalization (NFC/NFD/NFKC/NFKD) — the
+  * text-curation step that folds combining sequences ("e" + U+0301) into
+  * their canonical forms before hashing, dedup, or tokenization; without
+  * it, byte-distinct spellings of identical text defeat every
+  * exact-match operator. Delegates to `java.text.Normalizer` with an
+  * `isNormalized` fast path: for already-normal text (virtually all of a
+  * real corpus) the input UTF8String is returned as-is, no allocation.
+  * Codegen keeps the hot path inside whole-stage codegen. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  @transient private lazy val normForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got " +
+          child.dataType.simpleString)
+    else if (!Set("NFC", "NFD", "NFKC", "NFKD")
+        .contains(form.toUpperCase(java.util.Locale.ROOT)))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName form must be one of NFC/NFD/NFKC/NFKD, got $form")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_normalize"
+
+  protected override def nullSafeEval(input: Any): Any =
+    StringExpressions.unicodeNormalize(
+      input.asInstanceOf[UTF8String], normForm)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normForm", normForm,
+      "java.text.Normalizer.Form")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringExpressions.unicodeNormalize($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object StringExpressions {
   def copyUnescape(c: Column): Column =
     ExpressionUtils.column(CopyUnescape(ExpressionUtils.expression(c)))
+
+  /** Scalar spec for [[UnicodeNormalize]] (called from codegen): returns
+    * the INPUT object untouched when already in `form` — the dominant
+    * case — so the hot path is one table-driven quick-check pass. */
+  def unicodeNormalize(s: UTF8String,
+                       form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
+  def unicodeNormalize(c: Column, form: String): Column =
+    ExpressionUtils.column(
+      UnicodeNormalize(ExpressionUtils.expression(c), form))
 
   def csvParseLine(c: Column, dialect: graft.sources.CsvDialect): Column =
     ExpressionUtils.column(CsvParseLine(ExpressionUtils.expression(c),

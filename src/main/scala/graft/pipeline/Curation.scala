@@ -330,6 +330,65 @@ object Curation {
           .as("jaccard"))
   }
 
+  /** Corpus-wide PARAGRAPH-level exact dedup (the C4/CCNet curation
+    * step): split every document on `sep`, keep only the globally FIRST
+    * occurrence of each repeated paragraph — first by (doc id, position
+    * in doc), the deterministic rule any engine reproduces — and
+    * reassemble the surviving paragraphs in their original order.
+    * Complements [[Dedup.exact]] (whole-document) and [[dupSpans]]
+    * (word-gram span coverage): boilerplate paragraphs (headers,
+    * licenses, navigation) repeat across documents whose full texts are
+    * unique and whose gram spans dilute below any doc-level threshold.
+    *
+    * Paragraphs shorter than `minChars` are never deduped (an empty or
+    * one-word paragraph repeating is not boilerplate evidence) — they
+    * always survive in place.
+    *
+    * Scale shape: the exchange key is a 128-bit hash pair of the
+    * paragraph, never the text (16-byte shuffle rows for the
+    * first-occurrence aggregate, same convention as [[Dedup]]); the
+    * survivor check is a broadcast-or-shuffle join back on that pair
+    * plus the (id, idx) equality. Reassembly groups by doc id —
+    * paragraphs of one doc co-locate, `array_sort` on (idx, para)
+    * structs restores order without a window. One doc's paragraphs fit
+    * one task by construction (a document is bounded; the corpus is
+    * not).
+    *
+    * Output: (id, text, n_paras, n_kept) — `text` is the deduped
+    * document (empty string when every paragraph was removed), counts
+    * cover eligible + ineligible paragraphs.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n", minChars: Int = 1): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("idx", "para")))
+    val eligible = length(col("para")) >= minChars
+    val hashed = paras.select(col("id"), col("idx"), col("para"),
+      eligible.as("elig"),
+      xxhash64(col("para")).as("h1"),
+      xxhash64(lit("graft-para"), col("para")).as("h2"))
+    // first occurrence per paragraph: min (id, idx) struct — one
+    // hash-aggregate on the 16-byte pair
+    val first = hashed.filter(col("elig"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    val kept = hashed
+      .join(first, Seq("h1", "h2"), "left")
+      .filter(!col("elig") ||
+        (col("first.id") === col("id") && col("first.idx") === col("idx")))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), sep).as("text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), sepLit)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

@@ -161,4 +161,45 @@ object Terms {
       .withColumn("mean_freq",
         col("freq_sum").cast("double") / col("n_toks").cast("double"))
   }
+
+  /** BPE first-merge statistics: the top-`topN` adjacent CHARACTER pairs
+    * across the corpus, weighted by word frequency — the table a BPE /
+    * WordPiece tokenizer trainer consults to pick its next merge (the
+    * highest-count pair IS merge #1). Counting within words only, no
+    * end-of-word marker — the simplest published variant (Sennrich et
+    * al. 2016 §3.2, minus the `</w>` symbol), documented as such.
+    *
+    * Scale shape: the corpus compresses to its VOCABULARY first (one
+    * doc-local then one global word-count aggregate — the same two-level
+    * shape as [[vocabCoverage]]), so the quadratic-ish pair explosion
+    * runs over distinct words, not token occurrences; a 100 TB corpus
+    * has a vocabulary in the low millions. Pairs come from a pure
+    * column-level `transform(sequence(...))` over each word — no window,
+    * no second explode pass — and the final head is an
+    * `orderBy().limit()` TakeOrdered, not a global sort.
+    *
+    * Output: (left, right, pair_count, rank), rank 1..topN by count
+    * desc then (left, right) asc — integer-only, engine-exact.
+    */
+  def bpePairs(df: DataFrame, idCol: String, textCol: String,
+               topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val words = termRows(df, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(col("c"),
+      explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("l"),
+          col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
+    val head = pairs
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+      .limit(topN)
+    // rank over the topN-row head only — cheap by construction
+    val w = Window.orderBy(col("pair_count").desc, col("left").asc,
+      col("right").asc)
+    head.withColumn("rank", row_number().over(w))
+      .select(col("left"), col("right"), col("pair_count"), col("rank"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.StringExpressions
+
+/** Unit semantics for the round-12 curation additions: BM25 retrieval,
+  * paragraph-level dedup, Unicode normalization, and BPE pair counts —
+  * each pinned against hand-computed expectations on tiny fixtures (the
+  * sf0.01 oracle gate covers corpus-scale parity). */
+class RetrievalCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25: rarer term dominates, rank deterministic, k respected") {
+    // d1 matches 'cat' (df=1), d2+d3 match 'dog' (df=2): idf(cat) >
+    // idf(dog), equal tf/dl => d1 outranks; d2 < d3 only via id tiebreak
+    val docs = Seq(
+      (1L, "cat runs"), (2L, "dog runs"), (3L, "dog walks"),
+      (4L, "bird sings")).toDF("id", "text")
+    val qs = Seq((10, "cat dog")).toDF("qid", "q")
+    val out = Retrieval.bm25TopK(docs, "id", "text", qs, "qid", "q", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    // equal-idf, equal-tf, equal-dl pair must score identically
+    assert(out(1).getLong(2) == out(2).getLong(2))
+    assert(out(0).getLong(2) > out(1).getLong(2))
+  }
+
+  test("bm25: term frequency raises the score, query terms are distinct") {
+    val docs = Seq(
+      (1L, "ant ant ant x"), (2L, "ant y z w")).toDF("id", "text")
+    // repeated query term must count once — same result as 'ant'
+    val qs = Seq((1, "ant ant")).toDF("qid", "q")
+    val once = Retrieval.bm25TopK(docs, "id", "text",
+      Seq((1, "ant")).toDF("qid", "q"), "qid", "q", k = 2).collect()
+    val twice = Retrieval.bm25TopK(docs, "id", "text", qs,
+      "qid", "q", k = 2).collect()
+    assert(once.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      twice.map(r => (r.getLong(1), r.getLong(2))).toSet)
+    val byId = once.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byId(1L) > byId(2L)) // tf=3 beats tf=1 at equal dl
+  }
+
+  test("bm25: docs matching no term are absent") {
+    val docs = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
+    val out = Retrieval.bm25TopK(docs, "id", "text",
+      Seq((1, "aa")).toDF("qid", "q"), "qid", "q", k = 10).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  // -------------------------------------------------- paragraph dedup
+
+  private def pdedup(rows: Seq[(Long, String)], minChars: Int = 1) =
+    Curation.paragraphDedup(rows.toDF("id", "text"), "id", "text",
+        "\n\n", minChars)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("paragraph dedup keeps the globally first occurrence in place") {
+    val out = pdedup(Seq(
+      (1L, "alpha\n\nshared para\n\nbeta"),
+      (2L, "shared para\n\ngamma"),
+      (3L, "gamma\n\ndelta")))
+    assert(out(0) == ((1L, "alpha\n\nshared para\n\nbeta", 3L, 3L)))
+    assert(out(1) == ((2L, "gamma", 2L, 1L)))
+    // 'gamma' first occurred in doc 2 idx 1 < doc 3 idx 0
+    assert(out(2) == ((3L, "delta", 2L, 1L)))
+  }
+
+  test("paragraph dedup: duplicate WITHIN one doc collapses to first") {
+    val out = pdedup(Seq((5L, "x\n\ny\n\nx")))
+    assert(out(0) == ((5L, "x\n\ny", 3L, 2L)))
+  }
+
+  test("paragraph dedup: short paragraphs always survive; empty doc row") {
+    val out = pdedup(Seq(
+      (1L, "ab\n\nab\n\nzz long paragraph"),
+      (2L, "zz long paragraph")), minChars = 3)
+    // 'ab' is below minChars => both copies stay
+    assert(out(0) == ((1L, "ab\n\nab\n\nzz long paragraph", 3L, 3L)))
+    assert(out(1) == ((2L, "", 1L, 0L)))
+  }
+
+  // ---------------------------------------------- unicode normalization
+
+  test("NFC composes combining sequences; NFD decomposes; ASCII is identity") {
+    val nfc = eval1(StringExpressions.unicodeNormalize(
+      lit("é plain"), "NFC"))
+    assert(nfc.toString == "é plain")
+    val nfd = eval1(StringExpressions.unicodeNormalize(
+      lit("é"), "NFD"))
+    assert(nfd.toString == "é")
+    assert(eval1(StringExpressions.unicodeNormalize(
+      lit("ascii only"), "NFC")).toString == "ascii only")
+    // NFKC folds compatibility forms (fullwidth digits)
+    assert(eval1(StringExpressions.unicodeNormalize(
+      lit("１２"), "NFKC")).toString == "12")
+  }
+
+  test("unicode_normalize: null in, null out; bad form rejected") {
+    assert(eval1(StringExpressions.unicodeNormalize(
+      lit(null).cast("string"), "NFC")) == null)
+    val ex = intercept[Exception] {
+      spark.range(1).select(StringExpressions.unicodeNormalize(
+        lit("x"), "NFX")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("nfc"))
+  }
+
+  // --------------------------------------------------------- BPE pairs
+
+  test("bpe pairs: counts weighted by word frequency, rank deterministic") {
+    // 'abab' x2 -> pairs ab,ba,ab weighted 2: ab=4, ba=2; 'cd' x3 -> cd=3
+    val docs = Seq(
+      (1L, "abab cd"), (2L, "abab cd"), (3L, "cd")).toDF("id", "text")
+    val out = Terms.bpePairs(docs, "id", "text", topN = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 4L, 1), ("c", "d", 3L, 2), ("b", "a", 2L, 3)))
+  }
+
+  test("bpe pairs: single-char words contribute nothing; topN caps") {
+    val docs = Seq((1L, "a b c xy xy zz")).toDF("id", "text")
+    val out = Terms.bpePairs(docs, "id", "text", topN = 1).collect()
+    assert(out.length == 1)
+    assert((out(0).getString(0), out(0).getString(1), out(0).getLong(2))
+      == (("x", "y", 2L)))
+  }
+}
