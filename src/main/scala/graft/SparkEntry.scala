@@ -1414,6 +1414,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // asymmetric containment decontamination: bench items are TRUNCATED
+    // doc prefixes, so Jaccard vs the full doc dilutes but containment
+    // stays 1.0 — the contamination shape symmetric gating misses
+    "decontaminate_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          array_join(slice(split(col("text"), "\\s+"), 1, 20), " ")
+            .as("text"))
+      Curation.benchContainment(d, bench, "doc_id", "text", n = 5,
+          threshold = 0.6)
+        .select(col("id").as("doc_id"), col("bench_id"), col("inter_n"),
+          col("bench_n"), col("containment"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // deterministic md5-keyed stratified sample, 20 docs per language
     "stratified_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2421,6 +2437,32 @@ object SparkEntry {
          WHERE CAST(i.inter_n AS DOUBLE) /
              CAST(na.n + nb.n - i.inter_n AS DOUBLE) >= 0.9
          ORDER BY i.doc_id, bench_id""",
+
+    "decontaminate_containment" ->
+      """WITH bench AS (SELECT doc_id + 500000 AS bid,
+             array_to_string((regexp_split_to_array(text, '\s+'))[1:20],
+               ' ') AS text
+           FROM documents WHERE doc_id % 37 = 0),
+         wa AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+                FROM documents),
+         wb AS (SELECT bid, regexp_split_to_array(text, '\s+') AS ws
+                FROM bench),
+         ga AS (SELECT DISTINCT doc_id,
+                  array_to_string(ws[i:i+4], ' ') AS gram
+                FROM wa, UNNEST(generate_series(1, len(ws)-4)) AS t(i)),
+         gb AS (SELECT DISTINCT bid,
+                  array_to_string(ws[i:i+4], ' ') AS gram
+                FROM wb, UNNEST(generate_series(1, len(ws)-4)) AS t(i)),
+         nb AS (SELECT bid, count(*) AS bench_n FROM gb GROUP BY bid),
+         iv AS (SELECT ga.doc_id, gb.bid, count(*) AS inter_n
+               FROM ga JOIN gb USING (gram) GROUP BY 1, 2)
+         SELECT iv.doc_id, iv.bid AS bench_id, iv.inter_n, nb.bench_n,
+           CAST(iv.inter_n AS DOUBLE) / CAST(nb.bench_n AS DOUBLE)
+             AS containment
+         FROM iv JOIN nb USING (bid)
+         WHERE CAST(iv.inter_n AS DOUBLE) / CAST(nb.bench_n AS DOUBLE)
+           >= 0.6
+         ORDER BY iv.doc_id, bench_id""",
 
     "stratified_sample" ->
       """SELECT doc_id, lang FROM (

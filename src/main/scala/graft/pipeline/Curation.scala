@@ -83,6 +83,44 @@ object Curation {
       .select(col("id")).distinct()
   }
 
+  /** Asymmetric benchmark CONTAINMENT (Broder): for each (doc, bench)
+    * pair sharing word `n`-grams, the fraction of the BENCH document's
+    * distinct grams present in the doc — `|A∩B| / |B|`. The graded
+    * companion to [[decontaminate]]: a benchmark item quoted inside a
+    * much longer training document has near-total containment while its
+    * JACCARD dilutes below any symmetric threshold (|A∪B| grows with
+    * the doc), so Jaccard-gated scrubbing misses exactly the most
+    * dangerous contamination shape. Pairs at or above `threshold`
+    * survive.
+    *
+    * Scale shape: both sides collapse to distinct (id, 128-bit gram
+    * pair) rows; the bench side is a benchmark suite — tiny relative to
+    * the corpus — so AQE broadcasts it and the corpus never re-shuffles;
+    * bench gram-set sizes ride in as a second broadcast. One integer
+    * count per surviving pair, one exact division. Nothing wider than
+    * 24 bytes/row moves.
+    *
+    * Output: (id, bench_id, inter_n, bench_n, containment), pairs with
+    * containment >= threshold.
+    */
+  def benchContainment(docs: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, n: Int = 13,
+                       threshold: Double = 0.8): DataFrame = {
+    val dg = gramHashRows(docs, idCol, textCol, n)
+    val bg = gramHashRows(bench, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("h1"), col("h2"))
+    val sizes = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+    dg.join(bg, Seq("h1", "h2"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter_n"))
+      .join(broadcast(sizes), "bench_id")
+      .withColumn("containment",
+        col("inter_n").cast("double") / col("bench_n").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id"), col("bench_id"), col("inter_n"), col("bench_n"),
+        col("containment"))
+  }
+
   /** Duplicated-span coverage — the exact-substring dedup SIGNAL: for
     * each document, the fraction of its tokens covered by some word
     * `n`-gram that occurs more than once in the corpus (within or across

@@ -85,6 +85,38 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out(1) == ((2L, "", 1L, 0L)))
   }
 
+  // ------------------------------------------------ bench containment
+
+  test("containment: quoted benchmark scores 1.0 where jaccard dilutes") {
+    // doc 1 contains the full bench text plus 6 more words: containment
+    // of bench-in-doc = 1.0; jaccard = 3/(3+6+... ) far below
+    val docs = Seq(
+      (1L, "q w e r t y padding one two three four five six"),
+      (2L, "totally unrelated words here nothing shared at all")
+    ).toDF("id", "text")
+    val bench = Seq((9L, "q w e r t y")).toDF("id", "text")
+    val out = Curation.benchContainment(docs, bench, "id", "text",
+        n = 3, threshold = 0.8).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((1L, 9L, 4L, 4L, 1.0)))
+  }
+
+  test("containment: partial overlap below threshold is filtered") {
+    val docs = Seq((1L, "a b c d x y z")).toDF("id", "text")
+    val bench = Seq((9L, "a b c d q q q q")).toDF("id", "text")
+    // bench has 5 DISTINCT 3-grams ('q q q' repeats), doc shares 2
+    // => containment 2/5 = 0.4
+    val kept = Curation.benchContainment(docs, bench, "id", "text",
+      n = 3, threshold = 0.5).collect()
+    assert(kept.isEmpty)
+    val all = Curation.benchContainment(docs, bench, "id", "text",
+      n = 3, threshold = 0.0).collect()
+    assert(all.length == 1 && all(0).getLong(2) == 2L
+      && all(0).getLong(3) == 5L)
+  }
+
   // ---------------------------------------------- unicode normalization
 
   test("NFC composes combining sequences; NFD decomposes; ASCII is identity") {
