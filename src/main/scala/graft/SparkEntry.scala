@@ -1687,6 +1687,22 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // per-label class prototypes via 2^20 fixed-point integer sums —
+    // float means made addition-order-independent and engine-exact
+    "embedding_centroids" -> ((s, dir) => {
+      graft.pipeline.Drift.labelCentroids(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // centroid drift between the even/odd vec_id cohorts: the
+    // distribution-shift check per label, exact integer cross products
+    "embedding_drift" -> ((s, dir) => {
+      graft.pipeline.Drift.centroidDrift(t(s, dir, "embeddings"),
+          "embedding", "label", col("vec_id") % 2 === 0)
+        .orderBy(col("label"))
+    }),
+
     // symmetric int8 embedding quantization, exploded to scalar rows so
     // the oracle compares exact integers plus the per-vector scale
     "embed_quantize" -> ((s, dir) => {
@@ -2839,6 +2855,49 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              CAST(total AS DOUBLE) AS cum_frac
          FROM head, tot ORDER BY rank""",
+
+    "embedding_centroids" ->
+      """WITH base AS (SELECT label, unnest(embedding) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+           FROM embeddings),
+         q AS (SELECT label, pos,
+             CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+           FROM base),
+         g AS (SELECT label, pos, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS sum_q
+           FROM q GROUP BY label, pos)
+         SELECT label, CAST(pos AS BIGINT) AS pos, n, sum_q,
+           (CAST(sum_q AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE)
+             AS centroid
+         FROM g ORDER BY label, pos""",
+
+    "embedding_drift" ->
+      """WITH base AS (SELECT vec_id, label, unnest(embedding) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+           FROM embeddings),
+         q AS (SELECT label, pos, vec_id % 2 = 0 AS is_ref,
+             CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+           FROM base),
+         g AS (SELECT label, pos, is_ref, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS s
+           FROM q GROUP BY label, pos, is_ref),
+         p AS (SELECT r.label, r.pos, r.s AS sa, r.n AS na,
+             c.s AS sb, c.n AS nb
+           FROM (SELECT * FROM g WHERE is_ref) r
+           JOIN (SELECT * FROM g WHERE NOT is_ref) c
+             USING (label, pos)),
+         t AS (SELECT label, na, nb,
+             CAST(CAST(sa*nb - sb*na AS DOUBLE) *
+                  CAST(sa*nb - sb*na AS DOUBLE) AS DECIMAL(38,6)) AS t2
+           FROM p),
+         d AS (SELECT label, CAST(min(na) AS BIGINT) AS n_ref,
+             CAST(min(nb) AS BIGINT) AS n_cur, sum(t2) AS num
+           FROM t GROUP BY label)
+         SELECT label, n_ref, n_cur,
+           CAST(floor(sqrt(CAST(num AS DOUBLE)) /
+             (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1048576.0)
+             * 1000000000.0 + 0.5) AS BIGINT) AS drift_nano
+         FROM d ORDER BY label""",
 
     "embed_quantize" ->
       """WITH base AS (

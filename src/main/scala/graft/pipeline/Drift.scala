@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding-distribution monitoring: per-label centroids and
+  * between-cohort centroid drift — the check a training pipeline runs
+  * when a new crawl/snapshot lands ("did the class prototypes move?")
+  * and the input to nearest-class-mean labeling. Pipeline extension
+  * (no reference equivalent); designed Spark-first.
+  *
+  * Engine-exact arithmetic: float means are addition-order-dependent in
+  * IEEE, so every vector component is fixed-pointed FIRST —
+  * `floor(x * 2^shift)` is an exact double op (scaling by a power of
+  * two never rounds) — and all aggregation happens on LONG sums, which
+  * are order-independent. Centroids divide two exact integers in
+  * doubles (deterministic); drift squares exact-integer cross products
+  * in doubles (deterministic: the inputs are < 2^53) and sums them as
+  * DECIMAL, so any engine reproduces every output bit.
+  *
+  * Scale shape: one posexplode of the vectors into (label, pos) keyed
+  * rows — the only exchange; cardinality after aggregation is
+  * labels × dims, broadcast-sized for any real label set. No vector is
+  * ever collected; no pairwise anything.
+  */
+object Drift {
+
+  private val Shift = 20
+  private val ScaleD = math.pow(2, Shift) // 1048576.0
+
+  /** (label, pos, q) fixed-point component rows. */
+  private def qRows(df: DataFrame, vecCol: String, labelCol: String,
+                    extra: Seq[Column] = Nil): DataFrame =
+    df.select((col(labelCol).as("label") +: extra) :+
+        posexplode(col(vecCol)).as(Seq("pos", "e")): _*)
+      .withColumn("q", floor(col("e").cast("double") * lit(ScaleD)))
+      .drop("e")
+
+  /** Per-label centroids: (label, pos, n, sum_q, centroid) with
+    * `centroid = (sum_q / 2^20) / n` — the class prototype at ~1e-6
+    * component resolution, bit-reproducible across engines and runs. */
+  def labelCentroids(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    qRows(df, vecCol, labelCol)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("n"),
+        col("sum_q"),
+        ((col("sum_q").cast("double") / lit(ScaleD)) /
+          col("n").cast("double")).as("centroid"))
+
+  /** Centroid drift between two cohorts of the same corpus (ref vs
+    * cur, split by `refCond` — e.g. snapshot id, time window, source):
+    * per label, the L2 distance between the cohorts' centroids.
+    *
+    * The per-dimension difference is formed WITHOUT dividing first:
+    * `sa/na - sb/nb` = `(sa*nb - sb*na) / (na*nb)`, and the numerator
+    * is an exact long (components are 20-bit fixed point, so the
+    * products stay far under 2^63 for any realistic cohort). Squares
+    * accumulate as DECIMAL(38,6) — doubles above 2^52 carry no
+    * fraction, so the cast is exact — and one sqrt + one division
+    * finish per label.
+    *
+    * Output: (label, n_ref, n_cur, drift_nano) — the distance in
+    * integer NANOS (`floor(d * 1e9 + 0.5)`): the decimal→double
+    * conversion feeding the sqrt is correctly rounded in the JVM but
+    * double-rounded through some engines' int128-scaled decimals
+    * (measured: 1-ulp disagreement vs DuckDB), so the raw double is
+    * not comparable bit-for-bit and the nano grid absorbs it. Labels
+    * present in only one cohort are omitted (no centroid to compare).
+    */
+  def centroidDrift(df: DataFrame, vecCol: String, labelCol: String,
+                    refCond: Column): DataFrame = {
+    val g = qRows(df, vecCol, labelCol, Seq(refCond.as("is_ref")))
+      .groupBy(col("label"), col("pos"), col("is_ref"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val refs = g.filter(col("is_ref"))
+      .select(col("label"), col("pos"), col("s").as("sa"),
+        col("n").as("na"))
+    val curs = g.filter(!col("is_ref"))
+      .select(col("label"), col("pos"), col("s").as("sb"),
+        col("n").as("nb"))
+    val term = (col("sa") * col("nb") - col("sb") * col("na"))
+      .cast("double")
+    refs.join(curs, Seq("label", "pos"))
+      .select(col("label"), col("na"), col("nb"),
+        (term * term).cast(DecimalType(38, 6)).as("t2"))
+      .groupBy(col("label"))
+      .agg(min(col("na")).as("n_ref"), min(col("nb")).as("n_cur"),
+        sum(col("t2")).as("num"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        floor(sqrt(col("num").cast("double")) /
+          (col("n_ref").cast("double") * col("n_cur").cast("double") *
+            lit(ScaleD)) * lit(1e9) + lit(0.5)).cast("long")
+          .as("drift_nano"))
+  }
+}

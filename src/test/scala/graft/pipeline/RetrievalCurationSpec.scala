@@ -143,6 +143,46 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("nfc"))
   }
 
+  // ----------------------------------------------------- embedding drift
+
+  test("label centroids: exact fixed-point means, per label and dim") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(3.0f, 2.0f), 7),
+      (3L, Seq(5.0f, 5.0f), 8)).toDF("vec_id", "embedding", "label")
+    val out = Drift.labelCentroids(df, "embedding", "label")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (7, 0L, 2L, 2.0), (7, 1L, 2L, 1.0),
+      (8, 0L, 1L, 5.0), (8, 1L, 1L, 5.0)))
+  }
+
+  test("centroid drift: identical cohorts -> 0; known offset -> exact L2") {
+    val same = Seq(
+      (0L, Seq(1.0f, 2.0f), 1), (1L, Seq(1.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val z = Drift.centroidDrift(same, "embedding", "label",
+      col("vec_id") % 2 === 0).collect()
+    assert(z.length == 1 && z(0).getLong(3) == 0L)
+    // ref (0,0), cur (3,4): L2 = 5 => 5e9 nanos
+    val off = Seq(
+      (0L, Seq(0.0f, 0.0f), 1), (1L, Seq(3.0f, 4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val d = Drift.centroidDrift(off, "embedding", "label",
+      col("vec_id") % 2 === 0).collect()
+    assert(d(0).getLong(3) == 5000000000L)
+  }
+
+  test("centroid drift: single-cohort labels are omitted") {
+    val df = Seq(
+      (0L, Seq(1.0f), 1), (1L, Seq(1.0f), 1), (2L, Seq(9.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    // label 2 exists only in the ref cohort (vec_id 2 is even)
+    val out = Drift.centroidDrift(df, "embedding", "label",
+      col("vec_id") % 2 === 0).collect()
+    assert(out.map(_.getInt(0)).toSet == Set(1))
+  }
+
   // --------------------------------------------------------- BPE pairs
 
   test("bpe pairs: counts weighted by word frequency, rank deterministic") {
