@@ -1466,6 +1466,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM surprisal scoring (CCNet-shaped perplexity filter):
+    // per-token -ln p rounds to integer micros, docs sum longs
+    "unigram_surprisal" -> ((s, dir) => {
+      Terms.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          checkpointTf = true)
+        .select(col("id").as("doc_id"), col("n_toks"),
+          col("sum_nats_micro"), col("mean_nats_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 lexical retrieval: top-5 docs per probe query, broadcast
     // query-term filter keeps the corpus pipeline narrow; scores as
     // order-independent integer micros
@@ -2542,6 +2552,26 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w <> '' GROUP BY doc_id, w),
+         c AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c FROM tf
+           GROUP BY w),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+         scored AS (SELECT tf.doc_id, tf.tf,
+             tf.tf * CAST(floor(-ln(CAST(c.c AS DOUBLE) /
+               CAST(tot.total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               AS nm
+           FROM tf JOIN c USING (w), tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+           CAST(sum(nm) AS BIGINT) AS sum_nats_micro,
+           CAST(sum(nm) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+             AS mean_nats_micro
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES

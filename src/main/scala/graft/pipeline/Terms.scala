@@ -162,6 +162,48 @@ object Terms {
         col("freq_sum").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** Unigram language-model surprisal — the CCNet-shaped quality
+    * signal: score each document by the mean negative log-probability
+    * of its tokens under the corpus's own unigram distribution
+    * (`p(w) = count(w) / total`). Low surprisal ≈ common boilerplate;
+    * high surprisal ≈ rare-token noise (OCR garbage, hex dumps); the
+    * middle band is what curation keeps. The log-domain companion to
+    * [[tokenRarity]] (whose integer frequency sums stay engine-exact
+    * but compress the head of the Zipf curve that perplexity-style
+    * filtering keys on).
+    *
+    * Engine-exact: `-ln(c/total)` is transcendental, so each PER-TOKEN
+    * surprisal rounds to integer MICROS first (`floor(x*1e6 + 0.5)`)
+    * and documents aggregate LONG sums — addition-order-independent,
+    * same convention as [[Retrieval.bm25TopK]]. `mean_nats_micro`
+    * divides two exact integers in doubles.
+    *
+    * Scale shape: identical to [[tokenRarity]] — postings aggregate
+    * doc-locally first, the corpus-count table is vocabulary-sized and
+    * broadcasts back on. `checkpointTf` materializes the narrow posting
+    * frame once for its two consumers (same opt-in convention).
+    *
+    * Output: (id, n_toks, sum_nats_micro, mean_nats_micro).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       checkpointTf: Boolean = false): DataFrame = {
+    val tf0 = termRows(df, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val corpus = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val total = corpus.agg(sum(col("c")).as("total"))
+    val natsMicro = floor(-log(col("c").cast("double") /
+      col("total").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    tf.join(corpus, "w")
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("tf"), (col("tf") * natsMicro).as("nm"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("nm")).as("sum_nats_micro"))
+      .withColumn("mean_nats_micro",
+        col("sum_nats_micro").cast("double") / col("n_toks").cast("double"))
+  }
+
   /** BPE first-merge statistics: the top-`topN` adjacent CHARACTER pairs
     * across the corpus, weighted by word frequency — the table a BPE /
     * WordPiece tokenizer trainer consults to pick its next merge (the

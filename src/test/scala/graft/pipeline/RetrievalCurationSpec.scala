@@ -143,6 +143,23 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("nfc"))
   }
 
+  // --------------------------------------------------- unigram surprisal
+
+  test("unigram surprisal: exact micro-nats against hand computation") {
+    // corpus: a a a b  => p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("id", "text")
+    val out = Terms.unigramSurprisal(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sa = math.floor(-math.log(3.0 / 4.0) * 1e6 + 0.5).toLong
+    val sb = math.floor(-math.log(1.0 / 4.0) * 1e6 + 0.5).toLong
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3 * sa, (3 * sa).toDouble / 3.0),
+      (2L, 1L, sb, sb.toDouble)))
+    // rare token scores strictly higher than the common one
+    assert(sb > sa)
+  }
+
   // ----------------------------------------------------- embedding drift
 
   test("label centroids: exact fixed-point means, per label and dim") {
