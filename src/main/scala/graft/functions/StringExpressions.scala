@@ -134,9 +134,69 @@ case class UnicodeNormalize(child: Expression, form: String)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Native expression applying a learned BPE merge table to a text
+  * column: lowercase, split on the [[graft.pipeline.Terms]] separator
+  * class, encode each word by repeatedly merging its lowest-rank
+  * adjacent pair ([[graft.pipeline.Bpe.encodeWord]] is the scalar
+  * spec), emit one flat token array — the whole tokenize in a single
+  * compiled pass with the merge ranks riding as a plan-serialized
+  * reference object (broadcast with the plan, no shuffle, no per-row
+  * driver involvement). */
+case class BpeEncode(child: Expression,
+                     merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  protected override def nullSafeEval(input: Any): Any =
+    StringExpressions.bpeEncodeText(input.asInstanceOf[UTF8String], rank)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", rank,
+      "scala.collection.immutable.Map")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringExpressions.bpeEncodeText($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object StringExpressions {
   def copyUnescape(c: Column): Column =
     ExpressionUtils.column(CopyUnescape(ExpressionUtils.expression(c)))
+
+  /** Scalar spec for [[BpeEncode]] (called from codegen). */
+  def bpeEncodeText(s: UTF8String,
+                    rank: Map[(String, String), Int])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9']+")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty)
+        graft.pipeline.Bpe.encodeWord(words(i), rank)
+          .foreach(t => out += UTF8String.fromString(t))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(c), merges))
 
   /** Scalar spec for [[UnicodeNormalize]] (called from codegen): returns
     * the INPUT object untouched when already in `form` — the dominant
