@@ -1466,6 +1466,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // markup stripping (crawl boilerplate removal): synthetic HTML with
+    // script/style subtrees and entities wraps each doc, then strips
+    // back — both engines run byte-identical regex chains
+    "html_strip" -> ((s, dir) => {
+      val injected = concat(
+        lit("<html><head><script type=\"text/js\">if (1 < 2) { x(); }" +
+          "</script><style>p { color: red; }</style></head>" +
+          "<body class=\"d\"><p>"),
+        col("text"),
+        lit("</p><br/>&nbsp;<a href=\"/x?a=1&amp;b=2\">link</a> " +
+          "tail &lt;kept&gt; &#39;q&#39;</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.pipeline.TextAnalysis.stripMarkup(injected).as("clean"))
+        .withColumn("clean_len", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-LM surprisal scoring (CCNet-shaped perplexity filter):
     // per-token -ln p rounds to integer micros, docs sum longs
     "unigram_surprisal" -> ((s, dir) => {
@@ -2552,6 +2569,28 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "html_strip" ->
+      """WITH inj AS (SELECT doc_id,
+           '<html><head><script type="text/js">if (1 < 2) { x(); }' ||
+           '</script><style>p { color: red; }</style></head>' ||
+           '<body class="d"><p>' || text ||
+           '</p><br/>&nbsp;<a href="/x?a=1&amp;b=2">link</a> ' ||
+           'tail &lt;kept&gt; &#39;q&#39;</body></html>' AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM inj),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
+           AS t FROM s2),
+         s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+           replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g'))
+           AS clean FROM s4)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_len
+         FROM s5 ORDER BY doc_id""",
 
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,

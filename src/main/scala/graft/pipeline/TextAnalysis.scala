@@ -22,6 +22,35 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+"), lit(0)))
 
+  /** Markup stripping — the boilerplate-removal step web-crawl curation
+    * runs before any text operator sees a document: drop
+    * `<script>`/`<style>` subtrees wholesale (their CONTENT is code,
+    * not text), flatten remaining tags to spaces (so `a</p><p>b` does
+    * not glue into one word), decode the five ubiquitous named entities
+    * plus `&#39;`/`&nbsp;`, and collapse whitespace. Entity order
+    * matters and is the standard one: `&amp;` decodes LAST so
+    * `&amp;lt;` yields the literal `&lt;` instead of double-decoding.
+    *
+    * Pure Column chain (regexp_replace/replace — codegen'd, one narrow
+    * pass, no shuffle); patterns stay inside the shared Java/RE2 regex
+    * subset (`(?s)` + lazy `.*?` are in both) so an external oracle
+    * reproduces the transform byte-for-byte. NOT a full HTML5 parser —
+    * documented contract: tags are `<[^>]*>` runs, which is what
+    * crawl-scale strippers (and the reference C4 pipeline) use.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?s)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
       "for", "on", "with", "as", "at", "by"),

@@ -133,6 +133,20 @@ class RetrievalCurationSpec extends SparkSpec {
       lit("１２"), "NFKC")).toString == "12")
   }
 
+  test("stripMarkup: tags/script/style go, entities decode, text stays") {
+    def strip(s: String): String =
+      spark.range(1).select(TextAnalysis.stripMarkup(lit(s))).head()
+        .getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    assert(strip("<script>if (a<b) { x(); }</script>kept") == "kept")
+    assert(strip("<style a=b>p{}</style>kept") == "kept")
+    // &amp; decodes LAST: &amp;lt; is a literal &lt;, not <
+    assert(strip("&amp;lt; &lt; &gt; &quot; &#39; x&nbsp;y")
+      == "&lt; < > \" ' x y")
+    assert(strip("a</p><p>b") == "a b") // tags become spaces, no gluing
+    assert(strip("  spaced\t\nout  ") == "spaced out")
+  }
+
   test("unicode_normalize: null in, null out; bad form rejected") {
     assert(eval1(StringExpressions.unicodeNormalize(
       lit(null).cast("string"), "NFC")) == null)
