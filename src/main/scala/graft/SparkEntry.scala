@@ -1466,6 +1466,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic 80/10/10 train/val/test split: md5-banded, stable
+    // under corpus growth — a doc keeps its split across versions
+    "split_assign" -> ((s, dir) => {
+      Curation.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // markup stripping (crawl boilerplate removal): synthetic HTML with
     // script/style subtrees and entities wraps each doc, then strips
     // back — both engines run byte-identical regex chains
@@ -2569,6 +2578,15 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "split_assign" ->
+      """SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                  'cccccccccccccccccccccccccccccccc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) <
+                  'e6666666666666666666666666666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
 
     "html_strip" ->
       """WITH inj AS (SELECT doc_id,

@@ -427,6 +427,51 @@ object Curation {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Deterministic train/val/test assignment: each row's md5-of-id maps
+    * to a point in [0, 2^128) and falls into the split whose cumulative
+    * weight band contains it. Seed-free, engine-exact, and STABLE under
+    * corpus growth — a document keeps its split forever regardless of
+    * what else is added (the property `rand()`-based splitting loses),
+    * which is what keeps eval sets uncontaminated across corpus
+    * versions.
+    *
+    * Exactness: thresholds are `floor(cumWeight * 2^128)` computed in
+    * exact decimal arithmetic and compared as 32-digit hex strings —
+    * lowercase-hex lexicographic order IS numeric order, so any engine
+    * with an md5 function reproduces the assignment with string
+    * compares alone. Shuffle-free: one narrow projection.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val key = md5(col(idCol).cast("string"))
+    val labels = splits.map(_._1)
+    val bands = hashSplitThresholds(splits.map(_._2))
+    val assigned = bands.zip(labels.init).foldRight(
+      lit(labels.last): Column) { case ((t, l), rest) =>
+      when(key < lit(t), lit(l)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Upper-bound hex thresholds for all but the last split (exact
+    * decimal cumulative weights scaled to 2^128, floored). Exposed so
+    * external oracles can embed the identical literals. */
+  def hashSplitThresholds(weights: Seq[Double]): Seq[String] = {
+    // java BigDecimal: multiply is EXACT by default (Scala's wrapper
+    // carries MathContext.DECIMAL128, which silently rounds the 39-digit
+    // product of cum * 2^128 at 34 significant digits)
+    val two128 = new java.math.BigDecimal(
+      (BigInt(1) << 128).bigInteger)
+    weights.init.scanLeft(java.math.BigDecimal.ZERO) { (acc, w) =>
+      acc.add(new java.math.BigDecimal(w.toString))
+    }.tail.map { cum =>
+      f"${cum.multiply(two128).toBigInteger}%032x".takeRight(32)
+    }
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

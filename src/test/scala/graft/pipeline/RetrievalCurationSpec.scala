@@ -85,6 +85,28 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out(1) == ((2L, "", 1L, 0L)))
   }
 
+  // ---------------------------------------------------- hash split
+
+  test("hashSplit: exact thresholds, stability under corpus growth") {
+    assert(Curation.hashSplitThresholds(Seq(0.8, 0.1, 0.1)) == Seq(
+      "cccccccccccccccccccccccccccccccc",
+      "e6666666666666666666666666666666"))
+    val small = (0L until 200L).map(i => (i, s"d$i")).toDF("id", "t")
+    val big = (0L until 400L).map(i => (i, s"d$i")).toDF("id", "t")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Curation.hashSplit(df, "id", splits)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small); val b = assign(big)
+    // growth never reassigns an existing row
+    assert(a.forall { case (k, v) => b(k) == v })
+    // proportions land near the weights (md5 is uniform)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   // ------------------------------------------------ bench containment
 
   test("containment: quoted benchmark scores 1.0 where jaccard dilutes") {
