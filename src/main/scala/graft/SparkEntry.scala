@@ -1466,6 +1466,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // packing-QA report: per (bucket, shard) doc count, tokens and fill
+    // fraction vs budget over the first-fit packed corpus
+    "pack_efficiency" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Curation.packSequences(toks, "doc_id", "n_tok",
+        budgetTokens = 2048L, bucketCol = pmod(col("doc_id"), lit(8L)))
+      Curation.packEfficiency(packed, 2048L)
+        .orderBy(col("bucket"), col("shard"))
+    }),
+
     // deterministic 80/10/10 train/val/test split: md5-banded, stable
     // under corpus growth — a doc keeps its split across versions
     "split_assign" -> ((s, dir) => {
@@ -2578,6 +2589,26 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "pack_efficiency" ->
+      """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+               AS start_offset
+           FROM tk),
+         p AS (SELECT bucket,
+             CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT)
+               AS shard,
+             n_tokens
+           FROM o)
+         SELECT bucket, shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill
+         FROM p GROUP BY bucket, shard ORDER BY bucket, shard""",
 
     "split_assign" ->
       """SELECT doc_id,

@@ -427,6 +427,23 @@ object Curation {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Shard-fill report over a [[packSequences]] output — the packing-QA
+    * table a trainer checks before burning GPU-hours on badly-packed
+    * shards: per (bucket, shard), document count, token total and fill
+    * fraction vs the budget. Fill can exceed 1.0 when a document
+    * straddles a boundary (first-fit assigns it where its first token
+    * lands) and the closing shard of each bucket under-fills — both are
+    * exactly what the report exists to surface. One aggregate over the
+    * already-narrow packed frame; `fill` divides exact longs.
+    */
+  def packEfficiency(packed: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    packed.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("fill",
+        col("tokens").cast("double") / lit(budgetTokens.toDouble))
+  }
+
   /** Deterministic train/val/test assignment: each row's md5-of-id maps
     * to a point in [0, 2^128) and falls into the split whose cumulative
     * weight band contains it. Seed-free, engine-exact, and STABLE under
