@@ -99,9 +99,10 @@ class VecExpressionsSpec extends SparkSpec {
     assert(got.getDouble(1) == 2.5)
   }
 
-  test("GraftExtensions registers vec_dot / vec_dist2 for SQL use") {
+  test("GraftExtensions registers the native function set for SQL use") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
-    assert(names == Set("vec_dot", "vec_dist2"))
+    assert(names == Set("vec_dot", "vec_dist2", "copy_unescape",
+      "unicode_normalize", "bpe_encode"))
     // post-hoc registration on a live session (the driver's contract:
     // SparkEntry.queries receives a session built without extensions)
     GraftExtensions.register(spark)
@@ -109,5 +110,26 @@ class VecExpressionsSpec extends SparkSpec {
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d, " +
         "vec_dist2(array(1.0d, 2.0d), array(3.0d, 4.0d)) e").collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+  }
+
+  test("string natives work from SQL: normalize, unescape, bpe") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT unicode_normalize('é x', 'NFC') n, " +
+        "copy_unescape('a\\\\tb') u, " +
+        "bpe_encode('lowest', array(array('e','s'), array('es','t'), " +
+        "array('l','o'), array('lo','w'))) t").collect()(0)
+    assert(r.getString(0) == "é x")
+    assert(r.getString(1) == "a\tb")
+    assert(r.getSeq[String](2).toList == List("low", "est"))
+    // foldable expressions count as literals (constant-equivalent)...
+    assert(spark.sql("SELECT unicode_normalize('x', concat('NF', 'C'))")
+      .collect()(0).getString(0) == "x")
+    // ...but a column reference is rejected loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', f) " +
+        "FROM VALUES ('NFC') t(f)").collect()
+    }
+    assert(ex.getMessage.contains("literal"))
   }
 }
