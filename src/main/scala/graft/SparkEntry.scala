@@ -1466,6 +1466,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode: synthetic PCM WAVs (every property an
+    // arithmetic function of the id) round-trip through the RIFF/WAV
+    // parser; integer-exact features the oracle recomputes by formula
+    "audio_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudioTable(
+        t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeatures(media).orderBy(col("media_id"))
+    }),
+
     // packing-QA report: per (bucket, shard) doc count, tokens and fill
     // fraction vs budget over the first-fit packed corpus
     "pack_efficiency" -> ((s, dir) => {
@@ -2589,6 +2598,33 @@ object SparkEntry {
              CAST(sum(tf.tf) AS DOUBLE) AS mean_freq
          FROM tf JOIN c USING (w) GROUP BY tf.doc_id
          ORDER BY tf.doc_id""",
+
+    "audio_features" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             200 + doc_id % 100 AS n
+           FROM documents)
+         SELECT media_id,
+           CAST(ch AS INT) AS channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n AS BIGINT) * 1000000 // rate AS duration_us,
+           (SELECT CAST(sum(v*v) AS BIGINT) FROM
+              (SELECT ((media_id*31 + g*7) % 65536) - 32768 AS v
+               FROM generate_series(0, 597) t(g)
+               WHERE g < n*ch) q) AS sum_sq,
+           (SELECT CAST(max(abs(v)) AS BIGINT) FROM
+              (SELECT ((media_id*31 + g*7) % 65536) - 32768 AS v
+               FROM generate_series(0, 597) t(g)
+               WHERE g < n*ch) q) AS peak_abs,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM generate_series(0, 597) t(g)
+            WHERE g < n*ch - ch
+              AND (((media_id*31 + g*7) % 65536) - 32768) *
+                  (((media_id*31 + (g+ch)*7) % 65536) - 32768) < 0)
+             AS zero_crossings
+         FROM p ORDER BY media_id""",
 
     "pack_efficiency" ->
       """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,

@@ -191,6 +191,145 @@ object Multimodal {
           length(col("content")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Decoded WAV: negative/zero fields mark not-a-wav (in-band, like
+    * image decode's (0,0,0)). `samples` are centered signed values
+    * (16-bit LE as-is; 8-bit unsigned shifted by −128), interleaved by
+    * frame. */
+  final case class Wav(channels: Int, sampleRate: Int, bits: Int,
+                       samples: Array[Int])
+
+  /** REAL audio decode — PCM WAV needs no codec library, just the RIFF
+    * container walk (shared discipline with [[aviFrames]]): find the
+    * `fmt ` and `data` chunks, skipping unknown chunks with odd-size
+    * padding per spec. Returns null for anything that is not a PCM WAV
+    * (compressed formats, truncated files, other containers) — callers
+    * surface the in-band marker row. Supports the two PCM sample
+    * layouts that exist in the wild: 16-bit signed LE and 8-bit
+    * unsigned. */
+  def decodeWav(bytes: Array[Byte]): Wav = {
+    if (bytes == null || bytes.length < 44) return null
+    def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (u16(o) & 0xFFFFL) | ((u16(o + 2) & 0xFFFFL) << 16)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var fmt: (Int, Int, Int, Int) = null // (audioFormat, ch, rate, bits)
+    var data: (Int, Int) = null          // (offset, size)
+    while (off + 8 <= bytes.length && (fmt == null || data == null)) {
+      val id = tag(off)
+      val sz = u32(off + 4).toInt
+      val body = off + 8
+      if (sz < 0 || body + sz > bytes.length) return null
+      id match {
+        case "fmt " if sz >= 16 =>
+          fmt = (u16(body), u16(body + 2), u32(body + 4).toInt,
+            u16(body + 14))
+        case "data" => data = (body, sz)
+        case _ => // skip unknown chunk (LIST, fact, cue ...)
+      }
+      off = body + sz + (sz & 1) // odd sizes pad to even per RIFF
+    }
+    (fmt, data) match {
+      case ((1, ch, rate, bits), (dOff, dSz))
+          if ch > 0 && rate > 0 && (bits == 16 || bits == 8) =>
+        val n = if (bits == 16) dSz / 2 else dSz
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (bits == 16) (u16(dOff + i * 2) << 16) >> 16 // sign-extend
+            else (bytes(dOff + i) & 0xFF) - 128
+          i += 1
+        }
+        Wav(ch, rate, bits, out)
+      case _ => null
+    }
+  }
+
+  /** Audio feature extraction over binary WAV content — the audio twin
+    * of [[extractFeatures]]: one typed mapPartitions pass, bounded
+    * memory (one file's samples at a time), integer-exact outputs so
+    * any engine reproduces them from the same bytes. Not-a-wav rows
+    * come back as all-zero markers, in-band.
+    *
+    * Output per row: (media_id, channels, sample_rate, n_frames,
+    * duration_us, sum_sq, peak_abs, zero_crossings) —
+    * `duration_us = n_frames * 1e6 / rate` floored;
+    * `zero_crossings` counts strict sign flips per channel between
+    * consecutive frames. */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val w = decodeWav(raw)
+        if (w == null) (id, 0, 0, 0L, 0L, 0L, 0L, 0L)
+        else {
+          val ch = w.channels
+          val nFrames = w.samples.length / ch
+          var sumSq = 0L; var peak = 0L; var zcr = 0L
+          var g = 0
+          while (g < nFrames * ch) {
+            val v = w.samples(g).toLong
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (g + ch < nFrames * ch) {
+              val nx = w.samples(g + ch).toLong
+              if (v * nx < 0) zcr += 1
+            }
+            g += 1
+          }
+          (id, ch, w.sampleRate, nFrames.toLong,
+            nFrames.toLong * 1000000L / w.sampleRate, sumSq, peak, zcr)
+        }
+      })
+      .toDF("media_id", "channels", "sample_rate", "n_frames",
+        "duration_us", "sum_sq", "peak_abs", "zero_crossings")
+  }
+
+  /** Canonical PCM WAV bytes: 16-bit signed LE, interleaved. */
+  def syntheticWav(channels: Int, sampleRate: Int,
+                   samples: Array[Int]): Array[Byte] = {
+    val dataSz = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream(44 + dataSz)
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(36L + dataSz); tag("WAVE")
+    tag("fmt "); w32(16L); w16(1); w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * channels * 2); w16(channels * 2); w16(16)
+    tag("data"); w32(dataSz.toLong)
+    samples.foreach(w16)
+    bos.toByteArray
+  }
+
+  /** Synthetic audio table from an id column: one real PCM WAV per row
+    * with every property an arithmetic function of the id —
+    * channels = 1 + id%2, rate = 8000 + (id%3)·4000,
+    * frames = 200 + id%100, sample g = ((id·31 + g·7) mod 65536) −
+    * 32768 — so an external oracle recomputes every decoded feature
+    * from the formula while the engine decodes real bytes. */
+  def syntheticAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ch = 1 + (id % 2).toInt
+        val rate = 8000 + ((id % 3) * 4000).toInt
+        val n = 200 + (id % 100).toInt
+        val samples = Array.tabulate(n * ch)(g =>
+          (((id * 31 + g.toLong * 7) % 65536) - 32768).toInt)
+        (id, "audio", syntheticWav(ch, rate, samples))
+      })
+      .toDF("media_id", "media_type", "content")
+      .select(col("media_id"), col("media_type"), col("content"),
+        struct(lit("synthetic").as("source"),
+          length(col("content")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Frame-sampling plumbing: given a media row representing a video of
     * `n_frames` (faked from byte length), emit one row per sampled
     * frame — the explode shape a real frame extractor produces. Kept

@@ -125,4 +125,79 @@ class MultimodalSpec extends SparkSpec {
     assert(lumas(0) > 55.0 && lumas(2) > 55.0, lumas.mkString(","))
     assert(lumas(1) < 45.0, lumas.mkString(","))
   }
+
+  test("WAV decode round-trips 16-bit PCM, channels and rate") {
+    val samples = Array(100, -200, 32767, -32768, 0, 7)
+    val wav = Multimodal.syntheticWav(2, 44100, samples)
+    val w = Multimodal.decodeWav(wav)
+    assert(w != null && w.channels == 2 && w.sampleRate == 44100
+      && w.bits == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode skips unknown chunks with odd-size RIFF padding") {
+    // hand-build: RIFF [ junk(3, padded) | fmt | data ]
+    val base = Multimodal.syntheticWav(1, 8000, Array(1, -1, 2))
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 9, 9, 9, 0) // size 3 + 1 pad byte
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // fix RIFF size field
+    val sz = spliced.length - 8
+    spliced(4) = (sz & 0xFF).toByte; spliced(5) = ((sz >> 8) & 0xFF).toByte
+    spliced(6) = ((sz >> 16) & 0xFF).toByte; spliced(7) = ((sz >> 24) & 0xFF).toByte
+    val w = Multimodal.decodeWav(spliced)
+    assert(w != null && w.samples.toSeq == Seq(1, -1, 2))
+  }
+
+  test("WAV decode: 8-bit unsigned centers at zero") {
+    // 8-bit variant built by hand from a 16-bit template's header
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    bos.write("RIFF".getBytes); w32(36 + 4); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(8000)
+    w32(8000); w16(1); w16(8)
+    bos.write("data".getBytes); w32(4)
+    Seq(0, 128, 255, 200).foreach(bos.write)
+    val w = Multimodal.decodeWav(bos.toByteArray)
+    assert(w != null && w.bits == 8)
+    assert(w.samples.toSeq == Seq(-128, 0, 127, 72))
+  }
+
+  test("WAV decode: corrupt/non-wav bytes come back as in-band markers") {
+    assert(Multimodal.decodeWav(null) == null)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.decodeWav(("RIFFxxxxNOPE" + "x" * 64)
+      .getBytes("US-ASCII")) == null)
+    // truncated data chunk claims more bytes than exist
+    val good = Multimodal.syntheticWav(1, 8000, Array(1, 2, 3, 4))
+    assert(Multimodal.decodeWav(good.dropRight(3)) == null)
+    // compressed format tag (2 = ADPCM) is not PCM -> rejected
+    val adpcm = good.clone(); adpcm(20) = 2
+    assert(Multimodal.decodeWav(adpcm) == null)
+    // and the Spark path surfaces zero-marker rows, not failures
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, good), (2L, Array[Byte](9, 9)))
+      .toDF("media_id", "content")
+    val rows = Multimodal.audioFeatures(df).orderBy("media_id").collect()
+    assert(rows(0).getLong(3) == 4L) // n_frames
+    assert(rows(1).getInt(1) == 0 && rows(1).getLong(5) == 0L)
+  }
+
+  test("audio features: hand-computed zcr/rms on a known signal") {
+    // mono: [3, -3, 3, -3] -> zcr 3, sum_sq 36, peak 3
+    val wav = Multimodal.syntheticWav(1, 1000, Array(3, -3, 3, -3))
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((7L, wav)).toDF("media_id", "content")
+    val r = Multimodal.audioFeatures(df).collect()(0)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7)) == ((4L, 4000L, 36L, 3L, 3L)))
+    // stereo: channels are independent streams -> no cross-channel zcr
+    val st = Multimodal.syntheticWav(2, 1000, Array(3, -3, 3, -3))
+    val r2 = Multimodal.audioFeatures(
+      Seq((8L, st)).toDF("media_id", "content")).collect()(0)
+    assert(r2.getLong(3) == 2L && r2.getLong(7) == 0L)
+  }
 }
