@@ -1475,6 +1475,18 @@ object SparkEntry {
       Multimodal.audioFeatures(media).orderBy(col("media_id"))
     }),
 
+    // decode -> decimate-by-2 -> re-encode -> decode again: features of
+    // the resampled audio prove the re-encoded bytes parse; the oracle
+    // recomputes from the generator formula over kept frames
+    "audio_resample" -> ((s, dir) => {
+      val media = Multimodal.syntheticAudioTable(
+        t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeatures(
+          Multimodal.resampleAudio(media, 2)
+            .select(col("media_id"), col("content")))
+        .orderBy(col("media_id"))
+    }),
+
     // packing-QA report: per (bucket, shard) doc count, tokens and fill
     // fraction vs budget over the first-fit packed corpus
     "pack_efficiency" -> ((s, dir) => {
@@ -2625,6 +2637,39 @@ object SparkEntry {
                   (((media_id*31 + (g+ch)*7) % 65536) - 32768) < 0)
              AS zero_crossings
          FROM p ORDER BY media_id""",
+
+    "audio_resample" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             200 + doc_id % 100 AS n
+           FROM documents),
+         r AS (SELECT media_id, ch, rate // 2 AS rate2,
+             (n + 1) // 2 AS np FROM p)
+         SELECT media_id,
+           CAST(ch AS INT) AS channels,
+           CAST(rate2 AS INT) AS sample_rate,
+           CAST(np AS BIGINT) AS n_frames,
+           CAST(np AS BIGINT) * 1000000 // rate2 AS duration_us,
+           (SELECT CAST(sum(v*v) AS BIGINT) FROM
+              (SELECT ((media_id*31 +
+                  ((2*(gp//ch))*ch + gp%ch)*7) % 65536) - 32768 AS v
+               FROM generate_series(0, 299) t(gp)
+               WHERE gp < np*ch) q) AS sum_sq,
+           (SELECT CAST(max(abs(v)) AS BIGINT) FROM
+              (SELECT ((media_id*31 +
+                  ((2*(gp//ch))*ch + gp%ch)*7) % 65536) - 32768 AS v
+               FROM generate_series(0, 299) t(gp)
+               WHERE gp < np*ch) q) AS peak_abs,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM generate_series(0, 299) t(gp)
+            WHERE gp < (np-1)*ch
+              AND (((media_id*31 +
+                    ((2*(gp//ch))*ch + gp%ch)*7) % 65536) - 32768) *
+                  (((media_id*31 +
+                    ((2*(gp//ch)+2)*ch + gp%ch)*7) % 65536) - 32768) < 0)
+             AS zero_crossings
+         FROM r ORDER BY media_id""",
 
     "pack_efficiency" ->
       """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,

@@ -290,6 +290,49 @@ object Multimodal {
         "duration_us", "sum_sq", "peak_abs", "zero_crossings")
   }
 
+  /** Integer-factor audio decimation — the audio twin of the
+    * nearest-neighbor [[resize]]: keep every `factor`-th FRAME (all
+    * channels of it), divide the declared rate, re-encode as 16-bit
+    * PCM. Decimation (not interpolation) for the same reason resize is
+    * nearest-neighbor: bit-reproducible on any engine with no
+    * filter-kernel ambiguity; a production pipeline that needs
+    * anti-aliasing swaps the kernel, the plumbing stands. Non-wav
+    * bytes and non-divisible rates pass through as null content rows
+    * (in-band, filterable).
+    *
+    * Output: (media_id, content, channels, sample_rate, n_frames) of
+    * the RESAMPLED audio. */
+  def resampleAudio(df: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val w = decodeWav(raw)
+        if (w == null || w.sampleRate % factor != 0)
+          (id, null: Array[Byte], 0, 0, 0L)
+        else {
+          val ch = w.channels
+          val nFrames = w.samples.length / ch
+          val kept = (0 until nFrames by factor).toArray
+          val out = new Array[Int](kept.length * ch)
+          var i = 0
+          while (i < kept.length) {
+            var c = 0
+            while (c < ch) {
+              out(i * ch + c) = w.samples(kept(i) * ch + c)
+              c += 1
+            }
+            i += 1
+          }
+          val rate = w.sampleRate / factor
+          (id, syntheticWav(ch, rate, out), ch, rate, kept.length.toLong)
+        }
+      })
+      .toDF("media_id", "content", "channels", "sample_rate", "n_frames")
+  }
+
   /** Canonical PCM WAV bytes: 16-bit signed LE, interleaved. */
   def syntheticWav(channels: Int, sampleRate: Int,
                    samples: Array[Int]): Array[Byte] = {

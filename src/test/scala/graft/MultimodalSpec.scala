@@ -185,6 +185,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 0 && rows(1).getLong(5) == 0L)
   }
 
+  test("audio resample: frame decimation keeps channels aligned") {
+    val spark0 = spark
+    import spark0.implicits._
+    // stereo frames: (1,2) (3,4) (5,6) (7,8) -> factor 2 -> (1,2) (5,6)
+    val wav = Multimodal.syntheticWav(2, 8000,
+      Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val out = Multimodal.resampleAudio(
+      Seq((1L, wav)).toDF("media_id", "content"), 2).collect()(0)
+    assert(out.getInt(2) == 2 && out.getInt(3) == 4000
+      && out.getLong(4) == 2L)
+    val re = Multimodal.decodeWav(out.getAs[Array[Byte]](1))
+    assert(re.samples.toSeq == Seq(1, 2, 5, 6))
+    // factor 3 does not divide 8000 -> in-band null row
+    val bad = Multimodal.resampleAudio(
+      Seq((2L, wav)).toDF("media_id", "content"), 3).collect()(0)
+    assert(bad.isNullAt(1) && bad.getInt(2) == 0)
+  }
+
   test("audio features: hand-computed zcr/rms on a known signal") {
     // mono: [3, -3, 3, -3] -> zcr 3, sum_sq 36, peak 3
     val wav = Multimodal.syntheticWav(1, 1000, Array(3, -3, 3, -3))
