@@ -895,6 +895,61 @@ object SparkEntry {
       s.read.parquet(outRoot).orderBy(col("user_id"), col("event_type"))
     }),
 
+    // streaming ordered-step funnel: per-user stateful chain over a
+    // watermarked stream, emitted when the user goes quiet; sentinel
+    // rows advance the watermark in two phases so every user's timeout
+    // fires deterministically. Must equal the BATCH funnel exactly.
+    "events_stream_funnel" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sent1 = maxUs + 3L * 3600L * 1000000L // quiet 60 min + margin
+      val srcRoot = new java.io.File(scratch("events_stream_funnel_src"))
+        .getAbsolutePath
+      def sentinel(uid: Long, us: Long) =
+        s.range(1).select(lit(uid).as("user_id"),
+          timestamp_micros(lit(us)).as("ts"),
+          lit("noop").as("event_type"))
+      e.unionAll(sentinel(-1L, sent1)).coalesce(1)
+        .write.mode("overwrite").parquet(srcRoot)
+      import s.implicits._
+      val stream = s.readStream
+        .schema(s.read.parquet(srcRoot).schema).parquet(srcRoot)
+        .withWatermark("ts", "1 second")
+        .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)]
+      val out = graft.streaming.FunnelStream.streaming(stream,
+        Seq("signup", "click", "purchase"), quietMinutes = 60)
+      val outRoot = new java.io.File(scratch("events_stream_funnel_sink"))
+        .getAbsolutePath
+      val q = out.toDF("user_id", "chain").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outRoot)
+          ()
+        }
+        .start()
+      // phase 1: all real events + sentinel1 process; watermark advances
+      q.processAllAvailable()
+      // phase 2: sentinel2 triggers a DATA batch in which every user's
+      // timeout (< the now-advanced watermark) fires
+      sentinel(-2L, sent1 + 3600L * 1000000L)
+        .write.mode("append").parquet(srcRoot)
+      q.processAllAvailable()
+      q.stop()
+      def step(i: Int) = {
+        val c = col("chain").getItem(i)
+        when(c === -1L, lit(null).cast("long")).otherwise(c)
+      }
+      s.read.parquet(outRoot)
+        .filter(col("user_id") >= 0 && col("chain").getItem(0) =!= -1L)
+        .select(col("user_id"), step(0).as("t1_us"), step(1).as("t2_us"),
+          step(2).as("t3_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // CDC latest-wins merge: the change-log → current-state collapse.
     // Version key = micros-truncated ts (both engines see the same
     // deterministic ns→us truncation of the parquet TIMESTAMP(NANOS);
@@ -3116,6 +3171,25 @@ object SparkEntry {
     // the same join+min-aggregate chain: step i = earliest matching
     // event strictly after step i-1, NULL propagating from drop-off
     "event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT s1.user_id, s1.t1_us,
+             min(CASE WHEN epoch_us(e.ts) > s1.t1_us
+                 THEN epoch_us(e.ts) END) AS t2_us
+           FROM s1 LEFT JOIN events e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY s1.user_id, s1.t1_us),
+         s3 AS (SELECT s2.user_id, s2.t1_us, s2.t2_us,
+             min(CASE WHEN epoch_us(e.ts) > s2.t2_us
+                 THEN epoch_us(e.ts) END) AS t3_us
+           FROM s2 LEFT JOIN events e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY s2.user_id, s2.t1_us, s2.t2_us)
+         SELECT user_id, t1_us, t2_us, t3_us FROM s3 ORDER BY user_id""",
+
+    // identical semantics to the batch funnel — the streaming path must
+    // converge to the same table once every user's quiet window closes
+    "events_stream_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
            FROM events WHERE event_type = 'signup' GROUP BY user_id),
          s2 AS (SELECT s1.user_id, s1.t1_us,

@@ -78,7 +78,14 @@ object Sessionize {
             state.remove()
             Iterator.single((uid, s.start, s.last, s.n))
           } else {
-            val times = it.map(e => e._2.getTime * 1000L).toSeq.sorted
+            // floorDiv+getNanos, not getTime*1000: getTime is millis and
+            // would truncate the sub-millisecond part the batch path
+            // keeps via unix_micros (the same defect the funnel oracle
+            // caught — see FunnelStream)
+            val times = it.map { e =>
+              Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
+                e._2.getNanos / 1000L
+            }.toSeq.sorted
             val (closed, open) =
               fold(times, gap, state.getOption)
             open match {
