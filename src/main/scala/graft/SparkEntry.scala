@@ -895,6 +895,18 @@ object SparkEntry {
       s.read.parquet(outRoot).orderBy(col("user_id"), col("event_type"))
     }),
 
+    // per-type z-score outliers over event values: exact-decimal
+    // moments broadcast back onto the rows, z emitted as integer micros
+    "value_outliers" -> ((s, dir) => {
+      graft.operators.Profile.outliers(
+          t(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", zThreshold = 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z_micro"))
+        .orderBy(col("event_id"))
+    }),
+
     // streaming ordered-step funnel: per-user stateful chain over a
     // watermarked stream, emitted when the user goes quiet; sentinel
     // rows advance the watermark in two phases so every user's timeout
@@ -3186,6 +3198,23 @@ object SparkEntry {
              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
            GROUP BY s2.user_id, s2.t1_us, s2.t2_us)
          SELECT user_id, t1_us, t2_us, t3_us FROM s3 ORDER BY user_id""",
+
+    "value_outliers" ->
+      """WITH g AS (SELECT event_type, count(value) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value*value AS DECIMAL(27,6))) AS DOUBLE)
+               AS s2
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+           CAST(floor((e.value - s/n) /
+               sqrt(greatest(s2/n - (s/n)*(s/n), 0.0))
+               * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+         FROM events e JOIN g USING (event_type)
+         WHERE n > 1
+           AND sqrt(greatest(s2/n - (s/n)*(s/n), 0.0)) > 0
+           AND abs((e.value - s/n) /
+               sqrt(greatest(s2/n - (s/n)*(s/n), 0.0))) >= 2.5
+         ORDER BY e.event_id""",
 
     // identical semantics to the batch funnel — the streaming path must
     // converge to the same table once every user's quiet window closes

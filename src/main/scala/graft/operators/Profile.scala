@@ -77,4 +77,41 @@ object Profile {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-group z-score outliers — the distribution-drift alarm a
+    * pipeline runs over every numeric signal (event values, doc
+    * lengths, embedding norms): rows whose value sits more than
+    * `zThreshold` standard deviations from their GROUP's mean.
+    *
+    * Shape: one group-keyed aggregate (sum/sum-of-squares in exact
+    * DECIMAL — map-side combined, engine-reproducible), broadcast back
+    * onto the rows (group cardinality ≪ row count), one narrow filter.
+    * The z-score emits as integer MICROS: mean/variance derive from
+    * exact decimal sums, but the final divide-by-sqrt is a double and
+    * the micro grid keeps it engine-comparable ([[graft.pipeline.Drift]]
+    * precedent). Groups with zero variance or a single row emit no
+    * outliers (no scale to judge against).
+    *
+    * Output: input row + (z_micro); only rows with |z| >= zThreshold.
+    */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+               zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val g = df.groupBy(col(groupCol)).agg(
+      count(col(valueCol)).as("__n"),
+      sum(col(valueCol).cast(DecimalType(27, 6))).as("__s"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(27, 6)))
+        .as("__s2"))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val ex2 = col("__s2").cast("double") / n
+    val std = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+    val z = (col(valueCol) - mean) / std
+    df.join(broadcast(g), groupCol)
+      .filter(col("__n") > 1 && std > 0 &&
+        abs(z) >= lit(zThreshold))
+      .withColumn("z_micro",
+        floor(z * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__n", "__s", "__s2")
+  }
 }

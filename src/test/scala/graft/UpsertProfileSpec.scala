@@ -113,4 +113,23 @@ class UpsertProfileSpec extends SparkSpec {
     q.stop()
     assert(got.toSeq == Seq(1L, 2L))
   }
+
+  test("outliers: only far-from-group-mean rows survive, z in micros") {
+    import spark.implicits._
+    // group a: nine 10s and one 100 -> the 100 is the outlier
+    // group b: constant -> zero variance -> no outliers
+    val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++
+      Seq((10L, "a", 100.0)) ++
+      (11L to 14L).map(i => (i, "b", 5.0))
+    val df = rows.toDF("id", "g", "v")
+    val out = graft.operators.Profile.outliers(df, "g", "v",
+      zThreshold = 2.0).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 10L)
+    // hand-check: mean 19, var = E[x^2]-mean^2 = 1090-361 = 729, std 27
+    // z = (100-19)/27 = 3.0
+    assert(out(0).getLong(3) == 3000000L)
+    // single-row groups emit nothing
+    val single = Seq((1L, "x", 42.0)).toDF("id", "g", "v")
+    assert(graft.operators.Profile.outliers(single, "g", "v").isEmpty)
+  }
 }
