@@ -112,6 +112,8 @@ object Profile {
         abs(z) >= lit(zThreshold))
       .withColumn("z_micro",
         floor(z * lit(1e6) + lit(0.5)).cast("long"))
-      .drop("__n", "__s", "__s2")
+      // the USING join moves the group key first — restore the input's
+      // column order so the operator is order-preserving + one column
+      .select(df.columns.map(col) :+ col("z_micro"): _*)
   }
 }
