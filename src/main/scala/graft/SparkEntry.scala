@@ -895,6 +895,17 @@ object SparkEntry {
       s.read.parquet(outRoot).orderBy(col("user_id"), col("event_type"))
     }),
 
+    // MOSS winnowing fingerprints (k=3-gram hashes, w=4 windows,
+    // rightmost-minimal rule): md5 variant so the oracle reproduces the
+    // SELECTION, not just the grouping
+    "winnow_fingerprint" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.winnow(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4, hash = md5(_))
+        .select(col("id").as("doc_id"),
+          col("fp_pos").cast("long").as("fp_pos"), col("fp_hash"))
+        .orderBy(col("doc_id"), col("fp_pos"))
+    }),
+
     // per-type z-score outliers over event values: exact-decimal
     // moments broadcast back onto the rows, z emitted as integer micros
     "value_outliers" -> ((s, dir) => {
@@ -3198,6 +3209,23 @@ object SparkEntry {
              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
            GROUP BY s2.user_id, s2.t1_us, s2.t2_us)
          SELECT user_id, t1_us, t2_us, t3_us FROM s3 ORDER BY user_id""",
+
+    "winnow_fingerprint" ->
+      """WITH wsrc AS (SELECT doc_id,
+             regexp_split_to_array(text, '\s+') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(ws[i:i+2], ' ')) AS h
+           FROM wsrc, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         m AS (SELECT doc_id, pos, h,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             max(pos) OVER (PARTITION BY doc_id) AS maxp
+           FROM g)
+         SELECT DISTINCT doc_id, -(sel.np) AS fp_pos, sel.h AS fp_hash
+         FROM m WHERE pos <= maxp - 3
+         ORDER BY doc_id, fp_pos""",
 
     "value_outliers" ->
       """WITH g AS (SELECT event_type, count(value) AS n,

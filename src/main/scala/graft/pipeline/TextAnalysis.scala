@@ -51,6 +51,52 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and keep each window's RIGHTMOST minimal hash
+    * — the guarantee is that any shared substring of at least
+    * `k + w − 1` words between two documents shares at least one
+    * fingerprint, at ~2/(w+1) selection density. The position-robust
+    * complement to [[graft.pipeline.Dedup.simhash]] (which fingerprints
+    * whole documents): winnowing survives insertion/reordering around
+    * the match.
+    *
+    * Shape: positioned gram rows → one per-doc window pass (min over a
+    * `(hash, −pos)` struct, so the rightmost-tie rule is the ORDER on
+    * the struct, not procedural code) → distinct. The partition key is
+    * the document — windows never cross documents, so the pass
+    * parallelizes per doc and no global sort exists.
+    *
+    * `hash` maps the gram's space-joined text to its hash column —
+    * default `xxhash64` (codegen, 8-byte shuffle rows); pass `md5` when
+    * an external engine must reproduce the SELECTION (argmin needs
+    * hash-value parity, not just grouping parity).
+    *
+    * Output: (id, fp_pos, fp_hash), docs shorter than `k + w − 1` words
+    * emit nothing (no full window).
+    */
+  def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
+             textCol: String, k: Int = 3, w: Int = 4,
+             hash: Column => Column = org.apache.spark.sql.functions.xxhash64(_))
+      : org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val gramText = concat_ws(" ", graft.pipeline.Grams.wordCols(k): _*)
+    val grams = graft.pipeline.Grams.positioned(df, idCol, textCol, k)
+      .select(col("id"), col("pos"), hash(gramText).as("h"))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val full = Window.partitionBy(col("id"))
+    grams
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(win))
+      .withColumn("__maxp", max(col("pos")).over(full))
+      .filter(col("pos") <= col("__maxp") - (w - 1))
+      .select(col("id"), (-col("m.np")).as("fp_pos"),
+        col("m.h").as("fp_hash"))
+      .distinct()
+  }
+
   private val stopwords = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
       "for", "on", "with", "as", "at", "by"),

@@ -179,6 +179,51 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("nfc"))
   }
 
+  // ------------------------------------------------------- winnowing
+
+  test("winnow: guarantee — a shared run of >= k+w-1 words shares a " +
+    "fingerprint; selection is position-robust") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared nine ten eleven twelve thirteen")
+    ).toDF("id", "text")
+    val fp = TextAnalysis.winnow(docs, "id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty,
+      "shared 6-word run (k=3, w=4) must share a fingerprint")
+    // density: every window contributes, so gaps between selected
+    // positions are < w
+    val pos1 = fp.filter(_._1 == 1L).map(_._2).sorted
+    assert(pos1.zip(pos1.tail).forall { case (a, b) => b - a <= 4 })
+  }
+
+  test("winnow: docs shorter than k+w-1 words emit nothing") {
+    val docs = Seq((1L, "a b c d e")).toDF("id", "text") // 5 < 3+4-1
+    assert(TextAnalysis.winnow(docs, "id", "text", k = 3, w = 4)
+      .collect().isEmpty)
+    // exactly k+w-1 = one full window = exactly one fingerprint
+    val just = Seq((2L, "a b c d e f")).toDF("id", "text")
+    assert(TextAnalysis.winnow(just, "id", "text", k = 3, w = 4)
+      .collect().length == 1)
+  }
+
+  test("winnow: rightmost-minimal tie rule via repeated grams") {
+    import org.apache.spark.sql.functions.md5
+    // 'x x x x x x' : all 3-grams identical -> one hash, window picks
+    // the RIGHTMOST position in each window; distinct positions = one
+    // per window start
+    val docs = Seq((1L, "x x x x x x x")).toDF("id", "text")
+    val fp = TextAnalysis.winnow(docs, "id", "text", k = 3, w = 4,
+        hash = md5(_))
+      .collect().map(r => r.getInt(1)).sorted
+    // gram positions 0..4, window starts 0..1 -> rightmost of [0..3] is
+    // 3, of [1..4] is 4
+    assert(fp.toSeq == Seq(3, 4))
+  }
+
   // --------------------------------------------------- unigram surprisal
 
   test("unigram surprisal: exact micro-nats against hand computation") {
