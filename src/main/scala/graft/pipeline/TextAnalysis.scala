@@ -51,10 +51,14 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
-  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    * algorithm): hash every word `k`-gram, slide a window of `w`
-    * consecutive hashes, and keep each window's RIGHTMOST minimal hash
-    * — the guarantee is that any shared substring of at least
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken §4, the MOSS
+    * family): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and keep each window's RIGHTMOST minimal hash.
+    * (The paper's "robust" refinement instead re-picks the previous
+    * window's choice on ties to shrink the fingerprint set; the
+    * rightmost rule here keeps selection a pure ORDER — position-exact
+    * and engine-reproducible — and both variants carry the same
+    * guarantee.) Guarantee: any shared substring of at least
     * `k + w − 1` words between two documents shares at least one
     * fingerprint, at ~2/(w+1) selection density. The position-robust
     * complement to [[graft.pipeline.Dedup.simhash]] (which fingerprints
