@@ -3164,15 +3164,17 @@ object SparkEntry {
            JOIN (SELECT * FROM g WHERE NOT is_ref) c
              USING (label, pos)),
          t AS (SELECT label, na, nb,
-             CAST(CAST(sa*nb - sb*na AS DOUBLE) *
-                  CAST(sa*nb - sb*na AS DOUBLE) AS DECIMAL(38,6)) AS t2
+             CAST((CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)/1048576.0 -
+                   CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)/1048576.0) *
+                  (CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)/1048576.0 -
+                   CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)/1048576.0)
+               AS DECIMAL(38,18)) AS t2
            FROM p),
          d AS (SELECT label, CAST(min(na) AS BIGINT) AS n_ref,
              CAST(min(nb) AS BIGINT) AS n_cur, sum(t2) AS num
            FROM t GROUP BY label)
          SELECT label, n_ref, n_cur,
-           CAST(floor(sqrt(CAST(num AS DOUBLE)) /
-             (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 1048576.0)
+           CAST(floor(sqrt(CAST(num AS DOUBLE))
              * 1000000000.0 + 0.5) AS BIGINT) AS drift_nano
          FROM d ORDER BY label""",
 
@@ -3229,9 +3231,9 @@ object SparkEntry {
 
     "value_outliers" ->
       """WITH g AS (SELECT event_type, count(value) AS n,
-             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
-             CAST(sum(CAST(value*value AS DECIMAL(27,6))) AS DOUBLE)
-               AS s2
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) *
+                      CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type)
          SELECT e.event_id, e.event_type, e.value,
            CAST(floor((e.value - s/n) /

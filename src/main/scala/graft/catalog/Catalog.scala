@@ -185,6 +185,13 @@ object Ddl {
   private def seqName(s: SequenceDef): String =
     s"${seqIdent(s.schema)}.${seqIdent(s.name)}"
 
+  /** CREATE SCHEMA for a sequence-only schema — quoted with the SAME
+    * rule as the sequence DDL: an unquoted `CREATE SCHEMA Sales` folds
+    * to lowercase while `CREATE SEQUENCE "Sales"."s1"` does not, and
+    * the mismatch fails mid-migration. */
+  def createSequenceSchema(schema: String): String =
+    s"CREATE SCHEMA IF NOT EXISTS ${seqIdent(schema)};"
+
   def dropSequence(s: SequenceDef): String =
     s"DROP SEQUENCE IF EXISTS ${seqName(s)} CASCADE;"
 

@@ -97,11 +97,14 @@ object Profile {
   def outliers(df: DataFrame, groupCol: String, valueCol: String,
                zThreshold: Double = 3.0): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    // square AFTER the decimal cast: long-typed inputs (byte counters)
+    // would overflow v*v in their native type before the cast could
+    // make the moment exact
+    val vDec = col(valueCol).cast(DecimalType(18, 6))
     val g = df.groupBy(col(groupCol)).agg(
       count(col(valueCol)).as("__n"),
-      sum(col(valueCol).cast(DecimalType(27, 6))).as("__s"),
-      sum((col(valueCol) * col(valueCol)).cast(DecimalType(27, 6)))
-        .as("__s2"))
+      sum(vDec).as("__s"),
+      sum(vDec * vDec).as("__s2"))
     val n = col("__n").cast("double")
     val mean = col("__s").cast("double") / n
     val ex2 = col("__s2").cast("double") / n

@@ -167,7 +167,7 @@ final class Migrator(
     // the loop above derives schemas from tables only
     cat.sequences.map(_.schema).distinct.filter(_.nonEmpty)
       .filterNot(s => cat.schemas.exists(_.name == s))
-      .foreach(s => preDdl(s"CREATE SCHEMA IF NOT EXISTS $s;"))
+      .foreach(s => preDdl(Ddl.createSequenceSchema(s)))
     cat.sequences.foreach { sq =>
       if (includeDrop) preDdl(Ddl.dropSequence(sq))
       preDdl(Ddl.createSequence(sq))

@@ -84,7 +84,7 @@ object Bpe {
   /** Train from a corpus: vocabulary via two aggregates (doc-local,
     * then global), bounded driver collect of the top `maxVocab` words
     * by count (count desc, word asc — deterministic). */
-  def trainFromCorpus(df: DataFrame, idCol: String, textCol: String,
+  def trainFromCorpus(df: DataFrame, textCol: String,
                       numMerges: Int, maxVocab: Int = 100000)
       : Seq[(String, String)] = {
     val head = df.select(

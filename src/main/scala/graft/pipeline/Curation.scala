@@ -463,6 +463,11 @@ object Curation {
     require(splits.nonEmpty, "need at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    // a zero-weight TRAILING split would push the previous cumulative
+    // threshold to exactly 2^128, whose 33-hex rendering truncates to
+    // all-zeros and inverts every assignment
+    require(splits.forall(_._2 > 0),
+      s"every split weight must be > 0: ${splits.map(_._2).mkString(",")}")
     val key = md5(col(idCol).cast("string"))
     val labels = splits.map(_._1)
     val bands = hashSplitThresholds(splits.map(_._2))

@@ -54,13 +54,14 @@ object Drift {
     * cur, split by `refCond` — e.g. snapshot id, time window, source):
     * per label, the L2 distance between the cohorts' centroids.
     *
-    * The per-dimension difference is formed WITHOUT dividing first:
-    * `sa/na - sb/nb` = `(sa*nb - sb*na) / (na*nb)`, and the numerator
-    * is an exact long (components are 20-bit fixed point, so the
-    * products stay far under 2^63 for any realistic cohort). Squares
-    * accumulate as DECIMAL(38,6) — doubles above 2^52 carry no
-    * fraction, so the cast is exact — and one sqrt + one division
-    * finish per label.
+    * Arithmetic that cannot overflow at ANY cohort size: the cohort
+    * sums are exact longs; each per-dimension mean `s / n / 2^20`
+    * is the correctly-rounded double of an exact rational
+    * (deterministic on every IEEE engine — no long product `sa*nb`
+    * whose 2^63 ceiling a 10^7-row cohort would cross); the squared
+    * difference accumulates as DECIMAL(38,18) (capacity 10^20 —
+    * embeddings with components beyond 10^9 do not exist), and one
+    * sqrt finishes per label.
     *
     * Output: (label, n_ref, n_cur, drift_nano) — the distance in
     * integer NANOS (`floor(d * 1e9 + 0.5)`): the decimal→double
@@ -81,18 +82,17 @@ object Drift {
     val curs = g.filter(!col("is_ref"))
       .select(col("label"), col("pos"), col("s").as("sb"),
         col("n").as("nb"))
-    val term = (col("sa") * col("nb") - col("sb") * col("na"))
-      .cast("double")
+    val d = col("sa").cast("double") / col("na").cast("double") /
+      lit(ScaleD) -
+      col("sb").cast("double") / col("nb").cast("double") / lit(ScaleD)
     refs.join(curs, Seq("label", "pos"))
       .select(col("label"), col("na"), col("nb"),
-        (term * term).cast(DecimalType(38, 6)).as("t2"))
+        (d * d).cast(DecimalType(38, 18)).as("t2"))
       .groupBy(col("label"))
       .agg(min(col("na")).as("n_ref"), min(col("nb")).as("n_cur"),
         sum(col("t2")).as("num"))
       .select(col("label"), col("n_ref"), col("n_cur"),
-        floor(sqrt(col("num").cast("double")) /
-          (col("n_ref").cast("double") * col("n_cur").cast("double") *
-            lit(ScaleD)) * lit(1e9) + lit(0.5)).cast("long")
-          .as("drift_nano"))
+        floor(sqrt(col("num").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("drift_nano"))
   }
 }

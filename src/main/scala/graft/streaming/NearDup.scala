@@ -174,8 +174,12 @@ object NearDup {
           } else {
             val stored = state.getOption.getOrElse(Nil)
             val storedIds = stored.map(_._1).toSet
+            // ONE entry per id: dedup on the id alone (first-seen ts) —
+            // dedup on (id, ts) let a same-batch replay with a second
+            // timestamp emit a self-pair (id, id) and store the id twice
             val fresh = it.map(r => (r._3, r._4)).toArray
-              .distinct.sortBy(r => (r._1, r._2))
+              .sortBy(r => (r._1, r._2))
+              .distinctBy(_._1)
               .filterNot(r => storedIds(r._1))
             val out = Seq.newBuilder[(Long, Long)]
             for ((id, ts) <- fresh) {
@@ -201,8 +205,13 @@ object NearDup {
                 if (state.exists) state.remove()
               } else {
                 state.update(kept)
+                // timeouts are NOT sticky — they must be re-registered
+                // every invocation, and registering at <= the current
+                // watermark throws; expiry == wm (an entry exactly at
+                // the eviction boundary) must still get a timeout or a
+                // quiet bucket's state leaks forever
                 val expiry = kept.map(_._2).max + horizonMs
-                if (expiry > wm) state.setTimeoutTimestamp(expiry)
+                state.setTimeoutTimestamp(math.max(expiry, wm + 1))
               }
             }
             out.result().iterator

@@ -44,7 +44,7 @@ class BpeSpec extends SparkSpec {
   test("native BpeEncode expression matches the scalar spec end-to-end") {
     val docs = Seq((1L, "the lowest and newest"), (2L, "Low, LOWER!"))
       .toDF("id", "text")
-    val merges = Bpe.trainFromCorpus(docs, "id", "text", numMerges = 3)
+    val merges = Bpe.trainFromCorpus(docs, "text", numMerges = 3)
     val rank = merges.zipWithIndex.toMap
     val got = docs.select(col("id"), Bpe.encode(col("text"), merges)
         .as("toks")).orderBy("id").collect()
@@ -82,7 +82,7 @@ class BpeSpec extends SparkSpec {
   test("trainFromCorpus honors the maxVocab bound deterministically") {
     val docs = Seq((1L, "aa aa aa bb bb zz")).toDF("id", "text")
     // maxVocab 2 keeps {aa(3), bb(2)}: first merge must be (a,a)
-    val m = Bpe.trainFromCorpus(docs, "id", "text", numMerges = 1,
+    val m = Bpe.trainFromCorpus(docs, "text", numMerges = 1,
       maxVocab = 2)
     assert(m == Seq(("a", "a")))
   }
