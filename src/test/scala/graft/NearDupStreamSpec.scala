@@ -111,6 +111,36 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("horizon-bounded: same-batch replay with two timestamps never " +
+    "self-pairs") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    def t(min: Long) = new Timestamp((60 + min) * 60000L)
+    val docs = mem.toDS().toDF("id", "text", "ts")
+    val pairs = NearDup.candidatePairsWithin(docs, "id", "text", "ts",
+      horizonMs = 30L * 60000L, watermarkDelay = "1 minute",
+      numPerms = 64, bands = 16, k = 3)
+    val qn = "neardup_replay_" + System.nanoTime()
+    val q = pairs.toDF("id_a", "id_b").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(qn).start()
+    try {
+      // doc 1 arrives TWICE in one batch, different timestamps — the
+      // (id, ts)-dedup regression emitted (1, 1) here
+      mem.addData((1L, doc1, t(0)), (1L, doc1, t(5)))
+      q.processAllAvailable()
+      assert(spark.table(qn).count() == 0)
+      // and the id is stored ONCE: a true copy pairs exactly once
+      mem.addData((2L, doc1, t(10)))
+      q.processAllAvailable()
+      val rows = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((1L, 2L)))
+      assert(!rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("maxBucket caps state but capped ids still pair against the store") {
     val copies = (1L to 6L).map(i => (i, doc1))
     val got = runStream2(Seq(copies.take(3), copies.drop(3)), maxBucket = 2)

@@ -107,6 +107,17 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("hashSplit rejects zero and non-unit weights loudly") {
+    val df = Seq((1L, "x")).toDF("id", "t")
+    // zero-weight trailing split once inverted every assignment
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, "id", Seq("train" -> 1.0, "holdout" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   // ------------------------------------------------ bench containment
 
   test("containment: quoted benchmark scores 1.0 where jaccard dilutes") {
