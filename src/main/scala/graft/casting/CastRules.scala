@@ -338,6 +338,13 @@ object DefaultCastRules {
       Some("byte-vector-to-bytea")),
     r(RuleSource(Some("geography")), RuleTarget("bytea", BinaryType),
       Some("byte-vector-to-bytea")),
+    // geometry ships over the wire as convert(varbinary(max), ...)
+    // exactly like geography (ColumnSqlExpressions.mssqlPair) — without
+    // this rule the type passed through as PG "geometry", which only
+    // exists under PostGIS and then expects WKB, not SQL Server's CLR
+    // serialization
+    r(RuleSource(Some("geometry")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
     r(RuleSource(Some("binary")), RuleTarget("bytea", BinaryType),
       Some("byte-vector-to-bytea")),
     r(RuleSource(Some("varbinary")), RuleTarget("bytea", BinaryType),
@@ -359,6 +366,11 @@ object DefaultCastRules {
     r(RuleSource(Some("numeric")), RuleTarget("numeric", keepTypemod = true)),
     r(RuleSource(Some("datetime")), RuleTarget("timestamptz", TimestampType)),
     r(RuleSource(Some("datetime2")), RuleTarget("timestamptz", TimestampType)),
+    // rendered ISO-8601 WITH offset (convert style 127 / the native
+    // 7.3 token decoder) — without this rule the type passed through
+    // as PG "datetimeoffset", which does not exist, failing CREATE TABLE
+    r(RuleSource(Some("datetimeoffset")),
+      RuleTarget("timestamptz", TimestampType)),
     r(RuleSource(Some("smalldatetime")),
       RuleTarget("timestamptz", TimestampType)),
     r(RuleSource(Some("date")), RuleTarget("date", DateType)),

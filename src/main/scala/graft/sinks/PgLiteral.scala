@@ -29,14 +29,8 @@ object PgLiteral {
 
   /** Per-column formatter; never receives null (the sink writes `\N`). */
   def formatter(dt: DataType): Any => String = dt match {
-    case BinaryType => v => {
-      val b = v.asInstanceOf[Array[Byte]]
-      val sb = new StringBuilder(2 + b.length * 2)
-      sb.append("\\x")
-      var i = 0
-      while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
-      sb.toString
-    }
+    case BinaryType => v =>
+      graft.sources.ByteaHex.render(v.asInstanceOf[Array[Byte]])
     case BooleanType => v => if (v.asInstanceOf[Boolean]) "t" else "f"
     case TimestampType => {
       case t: java.sql.Timestamp => formatInstant(t.toInstant)

@@ -257,7 +257,11 @@ object ColumnSqlExpressions {
 
   def mssqlPair(name: String, typeName: String): (String, String) =
     typeName.toLowerCase match {
-      case "time" => (s"convert(varchar(30), [$name], 114)", name)
+      // style 114 renders hh:mi:ss:mmm — a COLON before the millis,
+      // which PG's time parser rejects; STUFF position 9 (1-based)
+      // swaps it for the dot
+      case "time" =>
+        (s"stuff(convert(varchar(30), [$name], 114), 9, 1, '.')", name)
       case "datetime" | "datetime2" | "smalldatetime" | "date" =>
         (s"convert(varchar(30), [$name], 126)", name)
       case "datetimeoffset" => (s"convert(varchar(35), [$name], 127)", name)
@@ -818,12 +822,71 @@ object IntrospectionRows {
     * quotes, doubled single quotes, and no introducer — emitted verbatim
     * the clause is invalid PG and ALTER TABLE … CHECK fails (the
     * reference rewrites backticks at mysql-schema.lisp:204-207). */
-  def mysqlCheckToPg(clause: String): String =
-    clause.replaceAll("`([^`]+)`", "\"$1\"")
-      // MySQL renders EVERY quote in the clause as \' — delimiters and
-      // embedded doubled quotes alike — so \' maps to a plain '
-      .replace("\\'", "'")
-      .replaceAll("\\b_[a-z][a-z0-9]*(?=')", "")
+  def mysqlCheckToPg(clause: String): String = {
+    // a character walk, NOT regexes over the whole clause: a regex
+    // rewrite applied inside string-literal CONTENT corrupted literals
+    // containing backticks ('see `col` docs') and truncated literals
+    // ending in an introducer-shaped word ('_utf8') — only identifier
+    // and literal DELIMITERS may be transformed
+    val out = new StringBuilder(clause.length + 8)
+    val n = clause.length
+    // length of a quote token at position p: 1 for ', 2 for \', 0 if
+    // neither
+    def quoteTok(s: String, p: Int): Int =
+      if (s.charAt(p) == '\'') 1
+      else if (s.charAt(p) == '\\' && p + 1 < s.length &&
+        s.charAt(p + 1) == '\'') 2
+      else 0
+    var i = 0
+    while (i < n) {
+      clause(i) match {
+        case '`' => // backtick identifier (`` = embedded backtick)
+          val id = new StringBuilder
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (clause(i) == '`') {
+              if (i + 1 < n && clause(i + 1) == '`') { id += '`'; i += 2 }
+              else { open = false; i += 1 }
+            } else { id += clause(i); i += 1 }
+          }
+          out += '"'
+          out ++= id.toString.replace("\"", "\"\"")
+          out += '"'
+        case c if quoteTok(clause, i) > 0 =>
+          // string literal. MySQL renders the DELIMITERS themselves as
+          // \' (an empty literal is \'\'), so a quote token is either
+          // bare ' or backslash-escaped \'; an immediately-following
+          // second quote token is an embedded quote (doubled form)
+          i += quoteTok(clause, i)
+          out += '\''
+          var open = true
+          while (i < n && open) {
+            if (clause(i) == '\\' && i + 1 < n && clause(i + 1) == '\\') {
+              out += '\\'; i += 2
+            } else {
+              val q = quoteTok(clause, i)
+              if (q > 0) {
+                i += q
+                val q2 = if (i < n) quoteTok(clause, i) else 0
+                if (q2 > 0) { out ++= "''"; i += q2 }
+                else { open = false; out += '\'' }
+              } else { out += clause(i); i += 1 }
+            }
+          }
+        case '_' if (i == 0 || (!clause(i - 1).isLetterOrDigit &&
+            clause(i - 1) != '_' && clause(i - 1) != '`')) =>
+          // charset introducer (_utf8mb4'x') — only when the word is
+          // IMMEDIATELY followed by a quote token, outside any literal
+          var j = i + 1
+          while (j < n && (clause(j).isLetterOrDigit)) j += 1
+          if (j > i + 1 && j < n && quoteTok(clause, j) > 0) i = j
+          else { out += clause(i); i += 1 }
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
+  }
 
   /** Attach MySQL table/column comments + CHECK clauses (clauses
     * rewritten to PG dialect via [[mysqlCheckToPg]]). tcRows:

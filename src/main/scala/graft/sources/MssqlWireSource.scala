@@ -143,6 +143,20 @@ object MssqlWireSource {
     ci.tpe match {
       case TdsWire.TDateTime | TdsWire.TDateTimeN =>
         ColumnSqlExpressions.mssqlPair(ci.name, "datetime")
+      case TdsWire.TDateTim4 =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "smalldatetime")
+      // the 7.3 family must route server-side too: the native token
+      // decoders render e.g. datetime2 as '… 12:34:56.1230000' while
+      // introspection-driven reads use convert style 126 — the two
+      // paths must stay byte-identical (queryMeta's contract)
+      case TdsWire.TDate =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "date")
+      case TdsWire.TTime =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "time")
+      case TdsWire.TDateTime2 =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "datetime2")
+      case TdsWire.TDateTimeOffset =>
+        ColumnSqlExpressions.mssqlPair(ci.name, "datetimeoffset")
       case TdsWire.TInt8 =>
         ColumnSqlExpressions.mssqlPair(ci.name, "bigint")
       case TdsWire.TIntN if ci.maxLen == 8 =>

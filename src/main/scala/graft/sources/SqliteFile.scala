@@ -27,8 +27,6 @@ import java.nio.charset.{Charset, StandardCharsets}
   */
 object SqliteFile {
 
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   final case class MasterRow(kind: String, name: String, tblName: String,
                              rootPage: Int, sql: String)
 
@@ -175,18 +173,9 @@ object SqliteFile {
             off += n
           case t if t >= 12 && t % 2 == 0 =>
             val n = ((t - 12) / 2).toInt
-            // digit-table hex, not per-byte format: multi-MB overflow
-            // blobs hex-encode in one linear pass
-            val chars = new Array[Char](2 + 2 * n)
-            chars(0) = '\\'; chars(1) = 'x'
-            var j = 0
-            while (j < n) {
-              val b = payload(off + j) & 0xFF
-              chars(2 + 2 * j) = HexDigits(b >> 4)
-              chars(3 + 2 * j) = HexDigits(b & 15)
-              j += 1
-            }
-            out(c) = new String(chars)
+            // digit-table hex via the shared renderer: multi-MB
+            // overflow blobs hex-encode in one linear pass
+            out(c) = ByteaHex.render(payload, off, n)
             off += n
           case other =>
             throw new IllegalArgumentException(s"reserved serial type $other")

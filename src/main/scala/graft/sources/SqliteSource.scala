@@ -107,6 +107,20 @@ object SqliteSource {
           out ++= sql.substring(i + 1, stop).replace("`", "``")
           out ++= "`"
           i = stop + 1
+        // comments pass through VERBATIM: a quote character inside a
+        // -- or /* */ comment must not open an identifier/literal scan
+        // (it would swallow sql — including the line break that ends a
+        // -- comment — until the next quote)
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val nl = sql.indexOf('\n', i)
+          val stop = if (nl < 0) sql.length else nl
+          out ++= sql.substring(i, stop)
+          i = stop
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val end = sql.indexOf("*/", i + 2)
+          val stop = if (end < 0) sql.length else end + 2
+          out ++= sql.substring(i, stop)
+          i = stop
         case c => out += c; i += 1
       }
     }

@@ -391,8 +391,14 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
       (host, false), (params.user, false), (params.password, true),
       (app, false), (params.host, false), ("", false) /* unused */,
       (lib, false), ("", false) /* language */, (params.database, false))
+    // TDS 7.2+ grows the fixed portion by ibChangePassword/cch (4) +
+    // cbSSPILong (4) — a server parsing LOGIN7 strictly per the
+    // DECLARED version would otherwise consume the first 8 data bytes
+    // as those missing fields
+    val modern = ((params.requestTds >>> 24) & 0xFF) >= 0x72
     val fixedLen = 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 +
-      fields.size * 4 + 6 + 4 + 4 // through ibAtchDBFile/cch
+      fields.size * 4 + 6 + 4 + 4 + // through ibAtchDBFile/cch
+      (if (modern) 8 else 0)
     val data = new java.io.ByteArrayOutputStream()
     val dirs = Seq.newBuilder[(Int, Int)] // (offset, chars)
     var off = fixedLen
@@ -417,6 +423,10 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
     b.write(new Array[Byte](6), 0, 6) // ClientID
     le16(0); le16(0) // SSPI
     le16(0); le16(0) // AtchDBFile
+    if (modern) {
+      le16(0); le16(0) // ibChangePassword / cchChangePassword (7.2+)
+      le32(0L) // cbSSPILong (7.2+)
+    }
     b.write(data.toByteArray)
     sendPacket(PktLogin7, b.toByteArray)
 
@@ -519,6 +529,10 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
   }
 
   private def leInt(b: Array[Byte]): Long = {
+    // tinyint (1 byte) is the ONE UNSIGNED member of the int family
+    // ([MS-TDS] INT1 0-255): sign-extending it turned 200 into -56 —
+    // silent corruption for every value in 128..255
+    if (b.length == 1) return b(0) & 0xFFL
     var v = if ((b(b.length - 1) & 0x80) != 0) -1L else 0L
     var i = b.length - 1
     while (i >= 0) { v = (v << 8) | (b(i) & 0xFFL); i -= 1 }
@@ -547,23 +561,10 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
   private def renderMoney(scaled: Long): String =
     java.math.BigDecimal.valueOf(scaled, 4).toPlainString
 
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** PG bytea hex (`\xdeadbeef`) — the rendering every binary-ish source
     * column uses (SQLite BLOBs, MySQL blobs), so the sink's bytea path
     * is shared. Digit-table loop: image values can be multi-MB. */
-  private def renderHex(b: Array[Byte]): String = {
-    val chars = new Array[Char](2 + 2 * b.length)
-    chars(0) = '\\'; chars(1) = 'x'
-    var j = 0
-    while (j < b.length) {
-      val v = b(j) & 0xFF
-      chars(2 + 2 * j) = HexDigits(v >> 4)
-      chars(3 + 2 * j) = HexDigits(v & 15)
-      j += 1
-    }
-    new String(chars)
-  }
+  private def renderHex(b: Array[Byte]): String = ByteaHex.render(b)
 
   /** PLP_BODY ([MS-TDS] 2.2.5.2.3): u64 total (0xFF…FF = NULL, 0xFF…FE
     * = unknown), then (u32 chunk length, bytes)* terminated by a zero

@@ -255,6 +255,7 @@ final class FakeTdsServer(
                 h.write(Array[Byte](0, 0, 0, 0, 0), 0, 5) // collation
               case TdsWire.TBigVarBin | TdsWire.TBigBinary =>
                 le16(h, if (maxCols(c)) 0xFFFF else 300)
+              case TdsWire.TInt1 => () // fixed 1-byte, no metadata
               case TdsWire.TMoney | TdsWire.TMoney4 => () // fixed-width
               case TdsWire.TMoneyN => h.write(8)
               case TdsWire.TDateTimeN => h.write(8)
@@ -404,6 +405,8 @@ final class FakeTdsServer(
                       rb.write(4); le32(rb, s & 0xFFFFFFFFL)
                     } else { rb.write(8); money8() }
                   }
+                case TdsWire.TInt1 => // unsigned 0-255, one raw byte
+                  rb.write(v.toInt & 0xFF)
                 case TdsWire.TIntN =>
                   if (v == null) rb.write(0)
                   else {

@@ -217,4 +217,26 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.select("N_ID").collect().map(_.getInt(0)).sorted.toSeq ==
       Seq(1, 2))
   }
+
+  test("mysqlCheckToPg rewrites delimiters only — literal content is " +
+    "sacrosanct") {
+    import graft.sources.IntrospectionRows.mysqlCheckToPg
+    // backticks INSIDE a literal survive; outside become double quotes
+    assert(mysqlCheckToPg("(`note` <> _utf8mb4\\'see `col` docs\\')") ==
+      "(\"note\" <> 'see `col` docs')")
+    // a literal ENDING in an introducer-shaped word survives
+    assert(mysqlCheckToPg("(`c` in (_utf8mb4\\'_utf8\\'))") ==
+      "(\"c\" in ('_utf8'))")
+    // empty literal; doubled escaped quotes = one embedded quote
+    assert(mysqlCheckToPg("((`id` > 0) and (`name` <> _utf8mb4\\'\\'))")
+      == "((\"id\" > 0) and (\"name\" <> ''))")
+    assert(mysqlCheckToPg("(`a` = _latin1\\'it\\'\\'s\\')") ==
+      "(\"a\" = 'it''s')")
+    // bare quotes (older servers render without escapes) still work
+    assert(mysqlCheckToPg("(`a` = 'x' or `a` = '')") ==
+      "(\"a\" = 'x' or \"a\" = '')")
+    // escaped backslash inside a literal
+    assert(mysqlCheckToPg("(`p` <> _utf8\\'c:\\\\tmp\\')") ==
+      "(\"p\" <> 'c:\\tmp')")
+  }
 }

@@ -60,6 +60,22 @@ class MssqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("tinyint is UNSIGNED: 128-255 decode as themselves, never " +
+    "sign-extended") {
+    val srv = new FakeTdsServer(
+      tableCols = Seq("b"),
+      colTypes = Map("b" -> TdsWire.TInt1),
+      tableRows = Seq(Array("200"), Array("255"), Array("0"),
+        Array("127")))
+    try {
+      val conn = new TdsWireConnection(params(srv.port))
+      val (_, rows) = conn.query("SELECT * FROM t")
+      conn.close()
+      // the sign-extension regression returned -56 for 200
+      assert(rows.map(_.head) == Seq("200", "255", "0", "127"))
+    } finally srv.close()
+  }
+
   test("legacy LOB + money tokens decode: money, money4, moneyN, " +
     "varbinary, binary, text, ntext, image, with NULL variants") {
     val srv = new FakeTdsServer(

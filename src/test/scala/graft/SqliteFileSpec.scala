@@ -313,6 +313,16 @@ class SqliteFileSpec extends SparkSpec {
     // backticks in names are escaped, not doubled into confusion
     assert(toSparkIdentQuotes("SELECT \"a`b\" FROM t") ==
       "SELECT `a``b` FROM t")
+    // quotes inside comments must NOT open an identifier/literal scan
+    assert(toSparkIdentQuotes(
+      "SELECT a -- \"legacy\" name\nFROM \"t\"") ==
+      "SELECT a -- \"legacy\" name\nFROM `t`")
+    assert(toSparkIdentQuotes(
+      "SELECT /* the \"old\" col, don't */ \"b\" FROM t") ==
+      "SELECT /* the \"old\" col, don't */ `b` FROM t")
+    // unterminated block comment passes through
+    assert(toSparkIdentQuotes("SELECT a /* \" FROM t") ==
+      "SELECT a /* \" FROM t")
   }
 
   test("a view Spark SQL cannot resolve fails loudly, not silently") {
