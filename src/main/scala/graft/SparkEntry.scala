@@ -3234,16 +3234,20 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
              CAST(sum(CAST(value AS DECIMAL(18,6)) *
                       CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
-           FROM events GROUP BY event_type)
+           FROM events GROUP BY event_type),
+         g2 AS (SELECT event_type, n, s, s2,
+             CASE WHEN s2/n - (s/n)*(s/n) <= (s2/n) * 1e-12 THEN 0.0
+                  ELSE s2/n - (s/n)*(s/n) END AS vr
+           FROM g)
          SELECT e.event_id, e.event_type, e.value,
            CAST(floor((e.value - s/n) /
-               sqrt(greatest(s2/n - (s/n)*(s/n), 0.0))
+               sqrt(greatest(vr, 0.0))
                * 1000000.0 + 0.5) AS BIGINT) AS z_micro
-         FROM events e JOIN g USING (event_type)
+         FROM events e JOIN g2 USING (event_type)
          WHERE n > 1
-           AND sqrt(greatest(s2/n - (s/n)*(s/n), 0.0)) > 0
+           AND sqrt(greatest(vr, 0.0)) > 0
            AND abs((e.value - s/n) /
-               sqrt(greatest(s2/n - (s/n)*(s/n), 0.0))) >= 2.5
+               sqrt(greatest(vr, 0.0))) >= 2.5
          ORDER BY e.event_id""",
 
     // identical semantics to the batch funnel — the streaming path must

@@ -86,8 +86,10 @@ object GraftExtensions {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             (0 until a.numElements()).map { i =>
               val p = a.getArray(i)
-              require(p != null && p.numElements() == 2,
-                "bpe_encode: each merge must be a 2-element array")
+              require(p != null && p.numElements() == 2 &&
+                !p.isNullAt(0) && !p.isNullAt(1),
+                "bpe_encode: each merge must be a 2-element array of " +
+                  "non-null strings")
               (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
             }
           case other => throw new IllegalArgumentException(

@@ -183,7 +183,7 @@ object StringExpressions {
                     rank: Map[(String, String), Int])
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val words = s.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9']+")
+      .split(graft.pipeline.Terms.SeparatorClass)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.length) {

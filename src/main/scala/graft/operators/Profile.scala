@@ -92,11 +92,21 @@ object Profile {
     * precedent). Groups with zero variance or a single row emit no
     * outliers (no scale to judge against).
     *
+    * Magnitude contract: values quantize at 1e-6 and must fit
+    * DECIMAL(18,6) (|v| < 1e12), with the per-group sum of squares
+    * inside DECIMAL(38,12) (~1e26) — under Spark's default ANSI mode a
+    * group beyond either bound fails LOUDLY (cast/sum overflow error)
+    * rather than skewing moments.
+    *
     * Output: input row + (z_micro); only rows with |z| >= zThreshold.
     */
   def outliers(df: DataFrame, groupCol: String, valueCol: String,
                zThreshold: Double = 3.0): DataFrame = {
     require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val clash = df.columns.toSeq
+      .intersect(Seq("__n", "__s", "__s2", "z_micro"))
+    require(clash.isEmpty,
+      s"input columns collide with internals: ${clash.mkString(",")}")
     // square AFTER the decimal cast: long-typed inputs (byte counters)
     // would overflow v*v in their native type before the cast could
     // make the moment exact
@@ -108,7 +118,14 @@ object Profile {
     val n = col("__n").cast("double")
     val mean = col("__s").cast("double") / n
     val ex2 = col("__s2").cast("double") / n
-    val std = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+    // relative epsilon, not a bare >0 guard: for an (effectively)
+    // constant group, ex2 - mean² is rounding NOISE around zero — a
+    // stray +1e-18 residue would make std ~1e-9 and flag quantization
+    // dust as extreme outliers
+    val rawVar = ex2 - mean * mean
+    val variance = when(rawVar <= ex2 * lit(1e-12), lit(0.0))
+      .otherwise(rawVar)
+    val std = sqrt(greatest(variance, lit(0.0)))
     val z = (col(valueCol) - mean) / std
     df.join(broadcast(g), groupCol)
       .filter(col("__n") > 1 && std > 0 &&

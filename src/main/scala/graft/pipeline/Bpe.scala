@@ -88,7 +88,7 @@ object Bpe {
                       numMerges: Int, maxVocab: Int = 100000)
       : Seq[(String, String)] = {
     val head = df.select(
-        explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("w"))
+        explode(split(lower(col(textCol)), Terms.SeparatorClass)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)

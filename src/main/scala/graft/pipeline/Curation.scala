@@ -310,8 +310,11 @@ object Curation {
     val key = md5(col(idCol).cast("string"))
     val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))
+      // null-SAFE equality: a null stratum is a real stratum here — with
+      // plain ===, its rows fed the limiting ratio (shrinking every
+      // other stratum's quota) and then vanished from the join output
       .join(broadcast(targets),
-        col(stratumCol).cast("string") === col("__stratum"))
+        col(stratumCol).cast("string") <=> col("__stratum"))
       .filter(col("__rn") <= col("__tgt"))
       .drop("__rn", "__stratum", "__tgt")
   }

@@ -324,7 +324,12 @@ object Dedup {
                   threshold: Double = 0.5): DataFrame = {
     val rows = shingleHashRows(docs, idCol, textCol, k)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val cand = pairs.select(col("id_a"), col("id_b"))
+    // dedup HERE, not as a caller precondition: streaming candidate
+    // generation legitimately repeats pairs across bands/batches, and a
+    // pair present m times would join the shingle rows m times —
+    // shared becomes m·|A∩B| and jaccard inflates past 1 (a true 0.33
+    // at m=3 verifies as 1.0)
+    val cand = pairs.select(col("id_a"), col("id_b")).distinct()
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
         "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),

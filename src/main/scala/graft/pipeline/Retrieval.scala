@@ -54,7 +54,7 @@ object Retrieval {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                checkpointTf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = split(lower(col(textCol)), "[^a-z0-9']+")
+    val toks = split(lower(col(textCol)), Terms.SeparatorClass)
     // narrow per-doc token count — no explode, zero-token docs included
     val dl = docs.select(col(idCol).as("id"),
       size(filter(toks, w => w =!= "")).cast("long").as("dl"))
@@ -64,7 +64,7 @@ object Retrieval {
     // DISTINCT query terms, broadcast — the filter that keeps the
     // corpus-side pipeline narrow
     val qterms = queries.select(col(qidCol).as("qid"),
-        explode(split(lower(col(qtextCol)), "[^a-z0-9']+")).as("w"))
+        explode(split(lower(col(qtextCol)), Terms.SeparatorClass)).as("w"))
       .filter(col("w") =!= "").distinct()
     // no distinct: a left-semi build side dedups by construction
     val termSet = broadcast(qterms.select(col("w")))
@@ -81,7 +81,7 @@ object Retrieval {
         size(filter(toks, w => w =!= "")).cast("long").as("dl"),
         col(textCol).as("__text"))
       .select(col("id"), col("dl"),
-        explode(split(lower(col("__text")), "[^a-z0-9']+")).as("w"))
+        explode(split(lower(col("__text")), Terms.SeparatorClass)).as("w"))
       .join(termSet, Seq("w"), "left_semi")
       .groupBy(col("id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))

@@ -19,13 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Terms {
 
+  /** THE tokenizer separator class — every term-level operator (term
+    * stats, BM25, BPE train AND the native BpeEncode expression) must
+    * split identically or their documented parity silently breaks;
+    * reference this constant, never restate the literal. */
+  val SeparatorClass = "[^a-z0-9']+"
+
   /** One row per token occurrence: (id, w). Lower-cased alphanumeric
     * tokens; everything else is a separator. */
   private[pipeline] def termRows(df: DataFrame, idCol: String,
                                  textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9']+")).as("w"))
+        explode(split(lower(col(textCol)), SeparatorClass)).as("w"))
       .filter(col("w") =!= "")
+
+  /** (id, w, tf) postings with the opt-in narrow materialization every
+    * consumer shares — [[tokenRarity]], [[unigramSurprisal]] and
+    * [[termStats]] differ only in what they join/score on top. */
+  private[pipeline] def postings(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 checkpointTf: Boolean): DataFrame = {
+    val tf0 = termRows(df, idCol, textCol)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    if (checkpointTf) tf0.localCheckpoint() else tf0
+  }
 
   /** Term frequency per (doc, term) and document frequency per term,
     * joined: (id, w, tf, df). The doc-frequency table derives from the
@@ -48,9 +65,7 @@ object Terms {
   private[pipeline] def termStats(df: DataFrame, idCol: String,
                                   textCol: String,
                                   checkpointTf: Boolean = false): DataFrame = {
-    val tf0 = termRows(df, idCol, textCol)
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val tf = postings(df, idCol, textCol, checkpointTf)
     val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     tf.join(docFreq, "w")
   }
@@ -149,9 +164,7 @@ object Terms {
     */
   def tokenRarity(df: DataFrame, idCol: String, textCol: String,
                   checkpointTf: Boolean = false): DataFrame = {
-    val tf0 = termRows(df, idCol, textCol)
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val tf = postings(df, idCol, textCol, checkpointTf)
     val corpus = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
     tf.join(corpus, "w")
       .groupBy(col("id"))
@@ -187,9 +200,7 @@ object Terms {
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                        checkpointTf: Boolean = false): DataFrame = {
-    val tf0 = termRows(df, idCol, textCol)
-      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-    val tf = if (checkpointTf) tf0.localCheckpoint() else tf0
+    val tf = postings(df, idCol, textCol, checkpointTf)
     val corpus = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val total = corpus.agg(sum(col("c")).as("total"))
     val natsMicro = floor(-log(col("c").cast("double") /

@@ -56,6 +56,8 @@ object FunnelStream {
                 steps: Seq[String], quietMinutes: Int)
       : Dataset[(Long, Seq[Long])] = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(quietMinutes > 0,
+      s"quietMinutes must be > 0, got $quietMinutes")
     val spark = events.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
@@ -85,7 +87,12 @@ object FunnelStream {
               stepIdx.get(tpe).foreach(i => perStep(i) += us)
             }
             state.update(FState(perStep.map(_.toSeq), maxTs))
-            state.setTimeoutTimestamp(maxTs / 1000L + quietMs)
+            // clamp above the watermark: an event arriving exactly at
+            // the boundary would otherwise register a timeout <= the
+            // watermark, which throws and kills the query (same guard
+            // as NearDup.candidatePairsWithin)
+            state.setTimeoutTimestamp(math.max(maxTs / 1000L + quietMs,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

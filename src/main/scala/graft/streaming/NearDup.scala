@@ -191,28 +191,31 @@ object NearDup {
             for (i <- fresh.indices; j <- i + 1 until fresh.length)
               if (math.abs(fresh(i)._2 - fresh(j)._2) <= horizonMs)
                 out += ((fresh(i)._1, fresh(j)._1))
-            if (fresh.nonEmpty) {
-              // prune against the WATERMARK, not the newest entry: an
-              // entry is safe to drop only once watermark > ts + horizon
-              // (no admissible future row can then be within horizon of
-              // it — a newer bucket-mate proves nothing about what late
-              // rows the watermark still admits)
-              val wm = state.getCurrentWatermarkMs()
-              val kept = (fresh.toList ::: stored)
-                .filter(_._2 + horizonMs >= wm)
-                .sortBy(r => (-r._2, r._1)).take(maxBucket)
-              if (kept.isEmpty) {
-                if (state.exists) state.remove()
-              } else {
-                state.update(kept)
-                // timeouts are NOT sticky — they must be re-registered
-                // every invocation, and registering at <= the current
-                // watermark throws; expiry == wm (an entry exactly at
-                // the eviction boundary) must still get a timeout or a
-                // quiet bucket's state leaks forever
-                val expiry = kept.map(_._2).max + horizonMs
-                state.setTimeoutTimestamp(math.max(expiry, wm + 1))
-              }
+            // state maintenance runs UNCONDITIONALLY — not only when
+            // fresh ids arrived: Spark cancels a group's timeout on any
+            // invocation that does not re-register it, so a replay-only
+            // batch (fresh empty after the storedIds filter) would
+            // otherwise disable eviction for the bucket forever.
+            // Prune against the WATERMARK, not the newest entry: an
+            // entry is safe to drop only once watermark > ts + horizon
+            // (no admissible future row can then be within horizon of
+            // it — a newer bucket-mate proves nothing about what late
+            // rows the watermark still admits)
+            val wm = state.getCurrentWatermarkMs()
+            val kept = (fresh.toList ::: stored)
+              .filter(_._2 + horizonMs >= wm)
+              .sortBy(r => (-r._2, r._1)).take(maxBucket)
+            if (kept.isEmpty) {
+              if (state.exists) state.remove()
+            } else {
+              state.update(kept)
+              // timeouts are NOT sticky — they must be re-registered
+              // every invocation, and registering at <= the current
+              // watermark throws; expiry == wm (an entry exactly at
+              // the eviction boundary) must still get a timeout or a
+              // quiet bucket's state leaks forever
+              val expiry = kept.map(_._2).max + horizonMs
+              state.setTimeoutTimestamp(math.max(expiry, wm + 1))
             }
             out.result().iterator
           }
