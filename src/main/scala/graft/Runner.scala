@@ -199,9 +199,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // so the view session needs Spark's lenient (non-ANSI) casts
           // — '2.5' < 5 is a double comparison there, not a cast error
           s.conf.set("spark.sql.ansi.enabled", "false")
-          base.foreach(t => graft.sources.SqliteSource
-            .read(s, path, t.sourceName)
-            .createOrReplaceTempView(t.sourceName))
+          base.foreach { t =>
+            // a SQLite table name Spark cannot hold as a temp view
+            // (dots, etc.) must not sink the whole session — views that
+            // actually reference it still fail loudly at eval
+            try graft.sources.SqliteSource.read(s, path, t.sourceName)
+              .createOrReplaceTempView(t.sourceName)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                System.err.println(s"[graft] sqlite table " +
+                  s"'${t.sourceName}' not registrable for view " +
+                  s"evaluation: ${e.getMessage}")
+            }
+          }
           s
         }
         def evalView(name: String, sel: String)
@@ -241,9 +251,34 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                   s"no view $n in $path or MATERIALIZE VIEWS definitions")))
             }
           }
-          chosen.map { case (n, sel) =>
-            viewSel(n) = sel
-            val df = evalView(n, sel)
+          // resolve to a FIXPOINT, not in listing order: a view may
+          // reference other views (a server source resolves stored
+          // views itself; Spark only sees what we have registered), so
+          // retry unresolved views until a full pass makes no progress
+          val dfs = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+          var pending = chosen
+          var progress = true
+          var firstErr: Option[Throwable] = None
+          while (pending.nonEmpty && progress) {
+            progress = false
+            firstErr = None
+            val still = Seq.newBuilder[(String, String)]
+            pending.foreach { case (n, sel) =>
+              try {
+                dfs(n) = evalView(n, sel)
+                viewSel(n) = sel
+                progress = true
+              } catch {
+                case e: IllegalArgumentException =>
+                  if (firstErr.isEmpty) firstErr = Some(e)
+                  still += ((n, sel))
+              }
+            }
+            pending = still.result()
+          }
+          if (pending.nonEmpty) throw firstErr.get
+          chosen.map { case (n, _) =>
+            val df = dfs(n)
             Table(name = n, schema = "main", sourceName = n,
               fields = df.schema.fields.toSeq.map(f =>
                 graft.casting.SourceColumn(table = n, name = f.name,
@@ -327,9 +362,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
 
       // fail-before-DDL preflight: an introspectable-but-unreadable source
       // column must abort while the target catalog is untouched, not after
-      // CREATE TABLE has run and the first read dies mid-migration
+      // CREATE TABLE has run and the first read dies mid-migration.
+      // Checked AGAINST THE FILTERED table set — the same
+      // INCLUDING/EXCLUDING predicate the migration applies — so
+      // excluding an offending table (the error's own advice) works
       if (scheme == "mssql") {
-        val bad = graft.sources.MssqlWireSource.unreadableColumns(tables)
+        val checked = tables.filter(t => graft.catalog.CatalogRewrite
+          .kept(t.schema, t.name, cmd.includingOnly, cmd.excludingOnly))
+        val bad = graft.sources.MssqlWireSource.unreadableColumns(checked)
         require(bad.isEmpty,
           "unreadable source column types (no target DDL was executed): " +
             bad.mkString(", ") +

@@ -1238,8 +1238,12 @@ object SparkEntry {
         .unionAll(e.filter(col("vec_id") % 7 === 0)
           .select((col("vec_id") + 20000).as("vec_id"),
             perturbed.as("embedding")))
+      // bitsPerBand 16 per the operator's own sizing guidance — the
+      // 8-bit keys this query previously passed put the 10x corpus in
+      // 256 buckets/band, the measured-quadratic shape the comment in
+      // Dedup.embeddingNearDup warns against
       Dedup.embeddingNearDup(inflated, "vec_id", "embedding",
-          dim = 64, bands = 8, bitsPerBand = 8, threshold = 0.99)
+          dim = 64, bands = 8, bitsPerBand = 16, threshold = 0.99)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

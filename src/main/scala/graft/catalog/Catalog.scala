@@ -128,8 +128,29 @@ object Identifiers {
         .replaceAll("[ -]", "_").toLowerCase
   }
 
+  /** PostgreSQL's RESERVED keywords (pg_get_keywords() category 'R' +
+    * the can't-be-column 'T' entries) — a lowercase name like `order`
+    * passes the character-class check yet still needs quotes. */
+  private val pgReserved: Set[String] = Set(
+    "all", "analyse", "analyze", "and", "any", "array", "as", "asc",
+    "asymmetric", "authorization", "between", "binary", "both", "case",
+    "cast", "check", "collate", "collation", "column", "concurrently",
+    "constraint", "create", "cross", "current_catalog", "current_date",
+    "current_role", "current_schema", "current_time",
+    "current_timestamp", "current_user", "default", "deferrable",
+    "desc", "distinct", "do", "else", "end", "except", "false", "fetch",
+    "for", "foreign", "freeze", "from", "full", "grant", "group",
+    "having", "ilike", "in", "initially", "inner", "intersect", "into",
+    "is", "isnull", "join", "lateral", "leading", "left", "like",
+    "limit", "localtime", "localtimestamp", "natural", "not", "notnull",
+    "null", "offset", "on", "only", "or", "order", "outer", "overlaps",
+    "placing", "primary", "references", "returning", "right", "select",
+    "session_user", "similar", "some", "symmetric", "table", "tablesample",
+    "then", "to", "trailing", "true", "union", "unique", "user",
+    "using", "variadic", "verbose", "when", "where", "window", "with")
+
   def needsQuoting(ident: String): Boolean =
-    plainIdent.findFirstIn(ident).isEmpty
+    plainIdent.findFirstIn(ident).isEmpty || pgReserved(ident)
 
   /** PG truncates identifiers to 63 BYTES; report names that collide after
     * truncation (catalog.lisp:402-430). Returns truncated→originals with >1
@@ -174,13 +195,20 @@ object Ddl {
     s"CREATE TYPE $typeName AS ENUM (" +
       labels.map(l => s"'${l.replace("'", "''")}'").mkString(", ") + ");"
 
-  /** Sequence names arrive RAW from source introspection (sys.sequences)
-    * — not through the table-name normalization — so case-sensitive or
-    * reserved-word names must quote here. */
-  private def seqIdent(ident: String): String =
-    if (Identifiers.needsQuoting(ident))
-      "\"" + ident.replace("\"", "\"\"") + "\""
-    else ident
+  /** Sequence names arrive RAW from source introspection
+    * (sys.sequences). FOLD to lowercase first, then quote only what
+    * still needs it (specials, reserved words): the rest of the DDL
+    * surface emits raw identifiers UNQUOTED and lets PG fold them, so a
+    * preserved-case quoted "Sales" here would reference a schema the
+    * table path created as `sales` — the downcase-first rule keeps
+    * every surface landing on the same name (and matches the
+    * reference's default identifier casing). */
+  private def seqIdent(ident: String): String = {
+    val folded = ident.toLowerCase
+    if (Identifiers.needsQuoting(folded))
+      "\"" + folded.replace("\"", "\"\"") + "\""
+    else folded
+  }
 
   private def seqName(s: SequenceDef): String =
     s"${seqIdent(s.schema)}.${seqIdent(s.name)}"

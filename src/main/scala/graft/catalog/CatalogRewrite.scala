@@ -13,31 +13,51 @@ object CatalogRewrite {
   private def matchesAny(pats: Seq[NamePattern], name: String): Boolean =
     pats.exists(_.matches(name))
 
+  /** The INCLUDING/EXCLUDING predicate for one table — shared by
+    * [[filter]] and by pre-DDL checks that must see the SAME table set
+    * the migration will actually touch (a preflight that runs on the
+    * unfiltered catalog aborts on tables the user explicitly
+    * excluded). */
+  def kept(schemaName: String, tableName: String,
+           including: Seq[TableFilter],
+           excluding: Seq[TableFilter]): Boolean = {
+    val inc = including.filter(_.inSchema.forall(_ == schemaName))
+    val exc = excluding.filter(_.inSchema.forall(_ == schemaName))
+    val included =
+      including.isEmpty || inc.exists(f => matchesAny(f.patterns, tableName))
+    val excluded = exc.exists(f => matchesAny(f.patterns, tableName))
+    included && !excluded
+  }
+
   /** Keep only tables passing INCLUDING (when present) and not matching
     * EXCLUDING; filters scoped to a schema only apply there. */
   def filter(cat: Catalog, including: Seq[TableFilter],
              excluding: Seq[TableFilter]): Catalog =
     cat.copy(schemas = cat.schemas.map { s =>
-      s.copy(tables = s.tables.filter { t =>
-        val inc = including.filter(_.inSchema.forall(_ == s.name))
-        val exc = excluding.filter(_.inSchema.forall(_ == s.name))
-        val included =
-          including.isEmpty || inc.exists(f => matchesAny(f.patterns, t.name))
-        val excluded = exc.exists(f => matchesAny(f.patterns, t.name))
-        included && !excluded
-      })
+      s.copy(tables = s.tables.filter(t =>
+        kept(s.name, t.name, including, excluding)))
     })
 
   /** `ALTER SCHEMA 'a' RENAME TO 'b'`. */
   def alterSchema(cat: Catalog, renames: Seq[(String, String)]): Catalog = {
     val m = renames.toMap
-    cat.copy(schemas = cat.schemas.map { s =>
-      m.get(s.name) match {
-        case Some(to) => s.copy(name = to,
-          tables = s.tables.map(_.copy(schema = to)))
-        case None => s
-      }
-    })
+    cat.copy(
+      schemas = cat.schemas.map { s =>
+        m.get(s.name) match {
+          case Some(to) => s.copy(name = to,
+            tables = s.tables.map(_.copy(schema = to)))
+          case None => s
+        }
+      },
+      // sequences follow their schema's rename — left behind, they
+      // would silently re-create and populate the OLD schema on the
+      // target while every table lands in the new one
+      sequences = cat.sequences.map { sq =>
+        m.get(sq.schema) match {
+          case Some(to) => sq.copy(schema = to)
+          case None => sq
+        }
+      })
   }
 
   /** `ALTER TABLE NAMES MATCHING … RENAME TO / SET SCHEMA …`. First

@@ -233,14 +233,20 @@ class MigrateSpec extends AnyFunSuite {
 
   test("sequences: case-sensitive names quote, and a sequence-only " +
     "schema gets CREATE SCHEMA before its CREATE SEQUENCE") {
-    // quoting unit: raw sys.sequences names never pass through the
-    // table-name normalization, so Ddl must quote where needed
+    // fold-then-quote: raw sys.sequences names downcase first (the
+    // whole DDL surface emits identifiers unquoted and lets PG fold,
+    // so preserved-case quoting would miss the schema the table path
+    // created), then quote only what still needs it
     val quoted = Ddl.createSequence(SequenceDef(
       schema = "Sales", name = "Order-Seq", start = 1, increment = 1,
       minValue = 1, maxValue = 100, current = None, cycling = false))
-    assert(quoted.contains("\"Sales\".\"Order-Seq\""), quoted)
+    assert(quoted.contains("sales.\"order-seq\""), quoted)
     assert(Ddl.dropSequence(SequenceDef("Sales", "Order-Seq", 1, 1, 1,
-      100, None, cycling = false)).contains("\"Sales\".\"Order-Seq\""))
+      100, None, cycling = false)).contains("sales.\"order-seq\""))
+    // a reserved word still quotes after folding
+    assert(Ddl.createSequence(SequenceDef(
+      "dbo", "order", 1, 1, 1, 100, None, cycling = false))
+      .contains("dbo.\"order\""))
     // a sequence in a schema with no tables: the Migrator derives
     // CREATE SCHEMA from table schemas, so the sequence loop must add
     // its own schema first or CREATE SEQUENCE fails
