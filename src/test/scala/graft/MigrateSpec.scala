@@ -268,6 +268,23 @@ class MigrateSpec extends AnyFunSuite {
       ev(seqIdx).contains("START WITH 42"), ev(seqIdx))
   }
 
+  test("ALTER SCHEMA renames carry sequences; kept() mirrors the " +
+    "filter predicate") {
+    val cat = mkCatalog.copy(sequences = Seq(SequenceDef(
+      schema = "dbo", name = "s1", start = 1, increment = 1,
+      minValue = 1, maxValue = 10, current = None, cycling = false)))
+    val renamed = CatalogRewrite.alterSchema(cat, Seq("dbo" -> "public2"))
+    // a sequence left in the old schema would be silently re-created
+    // there on the target while every table followed the rename
+    assert(renamed.sequences.map(_.schema) == Seq("public2"))
+    // the standalone predicate agrees with filter() — the mssql
+    // preflight uses it so EXCLUDING an unreadable table works
+    val exc = Seq(TableFilter(
+      Seq(NamePattern("legacy_.*", isRegex = true)), inSchema = None))
+    assert(!CatalogRewrite.kept("dbo", "legacy_stuff", Nil, exc))
+    assert(CatalogRewrite.kept("dbo", "fine_table", Nil, exc))
+  }
+
   test("post-phase DDL is skipped for tables whose copy failed") {
     // big's COPY fails → no PK attach for big, no sequence reset for big,
     // and mid's FK (which REFERENCES big) is skipped too
