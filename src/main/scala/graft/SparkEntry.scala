@@ -1580,6 +1580,20 @@ object SparkEntry {
         .orderBy(col("bucket"), col("shard"))
     }),
 
+    // eval-hygiene audit: exact-duplicate groups straddling the
+    // train/val/test boundary (dup waves injected so leaks exist)
+    "split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val inflated = d.unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+      Curation.splitLeakage(inflated, "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("keep_id"))
+    }),
+
     // deterministic 80/10/10 train/val/test split: md5-banded, stable
     // under corpus growth — a doc keeps its split across versions
     "split_assign" -> ((s, dir) => {
@@ -2772,6 +2786,31 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS tokens,
            CAST(sum(n_tokens) AS DOUBLE) / 2048.0 AS fill
          FROM p GROUP BY bucket, shard ORDER BY bucket, shard""",
+
+    "split_leakage" ->
+      """WITH inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 40000 AS doc_id, text FROM documents
+           WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 80000 AS doc_id, text FROM documents
+           WHERE doc_id % 15 = 0),
+         a AS (SELECT doc_id, text,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+                    'cccccccccccccccccccccccccccccccc' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) <
+                    'e6666666666666666666666666666666' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM inflated),
+         g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             count(*) AS n_docs,
+             list_sort(list_distinct(list(split))) AS sl
+           FROM a GROUP BY text)
+         SELECT keep_id, n_docs,
+           CAST(len(sl) AS BIGINT) AS n_splits,
+           array_to_string(sl, ',') AS splits
+         FROM g WHERE len(sl) > 1 ORDER BY keep_id""",
 
     "split_assign" ->
       """SELECT doc_id,

@@ -497,6 +497,36 @@ object Curation {
     }
   }
 
+  /** Cross-split leakage audit — the eval-hygiene check run right after
+    * [[hashSplit]]: exact-duplicate groups whose members landed in MORE
+    * THAN ONE split (a test document with a training-set copy measures
+    * memorization, not generalization). Dedup-then-split does not make
+    * this vacuous: re-crawls, near-identical mirrors admitted after the
+    * dedup threshold, and split assignments inherited from earlier
+    * corpus versions all reintroduce it — this is the audit that proves
+    * the invariant instead of assuming it.
+    *
+    * Shape: one 16-byte text-hash aggregate (collect each group's
+    * distinct splits as a sorted set — bounded by the split count, not
+    * the group), filter groups spanning > 1. Output:
+    * (keep_id, n_docs, n_splits, splits) with `splits` a comma-joined
+    * sorted list and `keep_id` the group's minimum id — engine-exact.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    hashSplit(df, idCol, splits)
+      .groupBy(xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit("graft-leak"), col(textCol)).as("h2"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_set(col("split"))), ",")
+          .as("splits"),
+        size(collect_set(col("split"))).cast("long").as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .select(col("keep_id"), col("n_docs"), col("n_splits"),
+        col("splits"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

@@ -107,6 +107,28 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("splitLeakage flags only duplicate groups straddling splits") {
+    // ids 1 and 1001 share text; md5-banded splits differ for this
+    // pair (verified below); unique docs never appear
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val df = Seq(
+      (1L, "dup text one"), (1001L, "dup text one"),
+      (2L, "unique text"), (3L, "same split dup"), (3L + 1000L, "same split dup")
+    ).toDF("id", "text")
+    val assign = Curation.hashSplit(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val out = Curation.splitLeakage(df, "id", "text", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val expectLeaks = Seq((1L, 1001L), (3L, 1003L))
+      .filter { case (x, y) => assign(x) != assign(y) }
+      .map(_._1).toSet
+    assert(out.map(_._1).toSet == expectLeaks)
+    out.foreach { case (_, nDocs, nSplits, sl) =>
+      assert(nDocs == 2L && nSplits == 2L && sl == "a,b")
+    }
+  }
+
   test("hashSplit rejects zero and non-unit weights loudly") {
     val df = Seq((1L, "x")).toDF("id", "t")
     // zero-weight trailing split once inverted every assignment
