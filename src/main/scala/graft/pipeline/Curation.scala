@@ -471,6 +471,8 @@ object Curation {
     // all-zeros and inverts every assignment
     require(splits.forall(_._2 > 0),
       s"every split weight must be > 0: ${splits.map(_._2).mkString(",")}")
+    require(!df.columns.contains("split"),
+      "input column 'split' collides with the output column")
     val key = md5(col(idCol).cast("string"))
     val labels = splits.map(_._1)
     val bands = hashSplitThresholds(splits.map(_._2))
