@@ -1138,6 +1138,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // classifier evaluation: ROC-AUC of the hashed-linear margin
+    // against the lang=='en' weak label — exact Mann–Whitney with tie
+    // pairs over distinct-margin groups, one double division at the end
+    "classifier_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Classifier.scoreHashed(docs, "doc_id", "text",
+          Classifier.scrambledWeightsMilli(1024), biasMilli = 250L)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("y")), "doc_id")
+      Classifier.aucByLabel(scored, "margin_milli", "y")
+        .select(col("n_pos"), col("n_neg"), col("wins"),
+          col("tie_pairs"), col("auc_micro"))
+    }),
+
     // corpus-relative quality gate: keep the top half by classifier
     // margin (exact percentile threshold over integer margins)
     "quality_filter" -> ((s, dir) => {
@@ -1620,12 +1634,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the published Gopher quality rule set: docs stretched to varying
+    // word counts (some clear the 50-word floor), bullet/ellipsis line
+    // structure and '#' symbols injected by deterministic replaces both
+    // engines reproduce byte-for-byte; all ratios integer micros
+    "gopher_rules" -> ((s, dir) => {
+      val n = (lit(1) + col("doc_id") % 6).cast("int")
+      val stretched = array_join(
+        array_repeat(concat(col("text"), lit(" ")), n), "")
+      val injected = replace(replace(replace(
+        replace(stretched, lit(" scan "), lit("\n- scan ")),
+        lit(" window "), lit(" window...\n")),
+        lit(" hash "), lit(" # hash ")),
+        lit(" join "), lit(" and of join "))
+      Curation.gopherRules(
+          t(s, dir, "documents").select(col("doc_id"),
+            injected.as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("n_lines"),
+          col("mean_word_len_micro"), col("symbol_ratio_micro"),
+          col("bullet_frac_micro"), col("ellipsis_frac_micro"),
+          col("alpha_frac_micro"), col("stop_hits"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-LM surprisal scoring (CCNet-shaped perplexity filter):
     // per-token -ln p rounds to integer micros, docs sum longs
     "unigram_surprisal" -> ((s, dir) => {
       Terms.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
           checkpointTf = true)
         .select(col("id").as("doc_id"), col("n_toks"),
+          col("sum_nats_micro"), col("mean_nats_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // interpolated bigram-LM surprisal (the KenLM-style perplexity
+    // filter conditioned on context): per-bigram -ln p in integer
+    // micros, doc-level long sums; counts aggregate-compressed first
+    "bigram_surprisal" -> ((s, dir) => {
+      Terms.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
           col("sum_nats_micro"), col("mean_nats_micro"))
         .orderBy(col("doc_id"))
     }),
@@ -2374,6 +2422,39 @@ object SparkEntry {
          FROM documents d LEFT JOIN s USING (doc_id)
          ORDER BY d.doc_id""",
 
+    "classifier_auc" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         tw AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+           FROM toks WHERE w <> ''),
+         s AS (SELECT doc_id,
+             sum((b * 2654435761) % 2000 - 1000) AS tok_margin
+           FROM tw GROUP BY doc_id),
+         mm AS (SELECT d.doc_id,
+             CAST(250 + COALESCE(s.tok_margin, 0) AS BIGINT) AS m,
+             (d.lang = 'en') AS y
+           FROM documents d LEFT JOIN s USING (doc_id)),
+         g AS (SELECT m,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+           FROM mm GROUP BY m),
+         c AS (SELECT p, q, COALESCE(sum(q) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS neg_below FROM g),
+         a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(q) AS BIGINT) AS n_neg,
+             CAST(sum(p * neg_below) AS BIGINT) AS wins,
+             CAST(sum(p * q) AS BIGINT) AS tie_pairs FROM c)
+         SELECT n_pos, n_neg, wins, tie_pairs,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(floor(CAST(2 * wins + tie_pairs AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) END AS auc_micro
+         FROM a""",
+
     "preflight_validate" ->
       """WITH staged AS (
            SELECT o_orderkey,
@@ -2843,6 +2924,64 @@ object SparkEntry {
          SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_len
          FROM s5 ORDER BY doc_id""",
 
+    "gopher_rules" ->
+      """WITH s AS (SELECT doc_id, replace(replace(replace(replace(
+             repeat(text || ' ', CAST(1 + doc_id % 6 AS INT)),
+             ' scan ', chr(10) || '- scan '),
+             ' window ', ' window...' || chr(10)),
+             ' hash ', ' # hash '),
+             ' join ', ' and of join ') AS text FROM documents),
+         f AS (SELECT doc_id, lower(text) AS t,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               w -> w <> '') AS words,
+             string_split(lower(text), chr(10)) AS lines
+           FROM s),
+         g AS (SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(floor(CAST(list_sum(list_transform(words,
+                 w -> length(w))) AS DOUBLE)
+               / greatest(CAST(len(words) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS mean_word_len_micro,
+             CAST(floor(
+               ((length(t) - length(replace(t, '...', ''))) / 3
+                + (length(t) - length(replace(t, '#', ''))))
+               / greatest(CAST(len(words) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS symbol_ratio_micro,
+             CAST(floor(CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-•*]'))) AS DOUBLE)
+               / greatest(CAST(len(lines) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS bullet_frac_micro,
+             CAST(floor(CAST(len(list_filter(lines,
+                 l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
+               / greatest(CAST(len(lines) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS ellipsis_frac_micro,
+             CAST(floor(CAST(len(list_filter(words,
+                 w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / greatest(CAST(len(words) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS alpha_frac_micro,
+             CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS stop_hits
+           FROM f)
+         SELECT doc_id, n_words, n_lines, mean_word_len_micro,
+           symbol_ratio_micro, bullet_frac_micro, ellipsis_frac_micro,
+           alpha_frac_micro, stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+            AND symbol_ratio_micro <= 100000
+            AND bullet_frac_micro <= 900000
+            AND ellipsis_frac_micro <= 300000
+            AND alpha_frac_micro >= 800000
+            AND stop_hits >= 2) AS pass
+         FROM g ORDER BY doc_id""",
+
     "unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id,
              unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
@@ -2862,6 +3001,34 @@ object SparkEntry {
            CAST(sum(nm) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
              AS mean_nats_micro
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9'']+'),
+             x -> x <> '') AS ws FROM documents),
+         toks AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks
+           GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+         bg AS (SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+           FROM w, unnest(range(1, len(ws))) t(i)),
+         c2 AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c2 FROM bg
+           GROUP BY v, w),
+         sc AS (SELECT bg.doc_id,
+             CAST(floor(-ln(
+               0.9 * (CAST(c2.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+               + (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+                 * (CAST(u2.c1 AS DOUBLE)
+                                / CAST(tot.total AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS nm
+           FROM bg JOIN c2 USING (v, w)
+             JOIN c1 u1 ON u1.w = bg.v
+             JOIN c1 u2 ON u2.w = bg.w, tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nm) AS BIGINT) AS sum_nats_micro,
+           CAST(sum(nm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_nats_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     "bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES

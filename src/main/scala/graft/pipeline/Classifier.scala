@@ -81,6 +81,44 @@ object Classifier {
     * per the library's no-hidden-caching convention (localCheckpoint =
     * executor-local blocks; swap for `checkpoint()` + a reliable dir on
     * a shared cluster, and consider `percentile_approx` at 100 TB). */
+  /** ROC-AUC of a score column against a boolean label — the evaluation
+    * half of the quality-classifier loop (how well does the cheap score
+    * rank the trusted label?). Mann–Whitney formulation with exact tie
+    * handling: AUC = (wins + ties/2) / (n_pos · n_neg), where `wins`
+    * counts (positive, negative) pairs the positive out-scores and
+    * `tie_pairs` counts equal-score pairs.
+    *
+    * Scale shape: the corpus first compresses to DISTINCT score values
+    * (one hash aggregate — for integer-milli margins that is bounded by
+    * the margin range, orders of magnitude below document count); the
+    * only ordered pass is a cumulative sum over that compressed frame.
+    * No per-document ranks, no corpus-sized sort, no collect. Counts
+    * are exact integers; the single double division happens once, so
+    * `auc_micro` is engine-exact.
+    *
+    * Output (one row): (n_pos, n_neg, wins, tie_pairs, auc_micro);
+    * `auc_micro` is NULL when either class is empty (AUC undefined).
+    */
+  def aucByLabel(scored: DataFrame, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("neg_below",
+      coalesce(sum(col("q")).over(w), lit(0L)))
+    c.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p") * col("neg_below")).as("wins"),
+        sum(col("p") * col("q")).as("tie_pairs"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor((lit(2L) * col("wins") + col("tie_pairs")).cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
+            * lit(1e6) + lit(0.5)).cast("long")))
+  }
+
   def filterByMarginPercentile(scored: DataFrame, marginCol: String,
                                p: Double,
                                checkpointScored: Boolean = false)

@@ -529,6 +529,82 @@ object Curation {
         col("splits"))
   }
 
+  /** The published Gopher document-quality rule set (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Appendix A.1.1) — the standard first-pass filter
+    * every web-scale curation pipeline runs before dedup:
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. mean word length in [3, 10] characters
+    *   3. symbol-to-word ratio ≤ 0.1 (symbols: `#` and `...`)
+    *   4. ≤ 90% of lines start with a bullet (`-`, `•`, `*`)
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. at least 2 of the 8 probe stopwords
+    *      (the/be/to/of/and/that/have/with) occur
+    *
+    * (The paper's repetition thresholds — duplicate-line and n-gram
+    * fractions — live in [[repetitionFeatures]] / [[dupSpans]]; this is
+    * the per-document half that needs no corpus context.)
+    *
+    * Pure `Column` projection: one narrow pass over corpus bytes, no
+    * shuffle, embarrassingly parallel — the 100 TB shape is a map-only
+    * stage. Every transcendental-free ratio is emitted as integer
+    * MICROS (`floor(x·1e6 + 0.5)`, the library's engine-exact rounding
+    * convention) and the rule thresholds compare on those integers, so
+    * an external engine reproduces pass/fail bit-for-bit.
+    *
+    * Word = maximal `\s+`-separated run; line = `\n`-separated; both on
+    * the lower-cased text so the stopword probe is case-insensitive.
+    * Empty documents (0 words / 0 lines) divide by a floor of 1 and
+    * fail rules 1 and 7.
+    *
+    * Output: (id, n_words, n_lines, mean_word_len_micro,
+    * symbol_ratio_micro, bullet_frac_micro, ellipsis_frac_micro,
+    * alpha_frac_micro, stop_hits, pass).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def micro(x: Column): Column =
+      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    val t = lower(col(textCol))
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val lines = split(t, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val safeWords = greatest(nWords, lit(1L)).cast("double")
+    val safeLines = greatest(nLines, lit(1L)).cast("double")
+    val sumLen = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    // non-overlapping occurrence counts via length deltas — exact and
+    // engine-reproducible (replace scans left-to-right everywhere)
+    val nEllipsis = (length(t) - length(replace(t, lit("...")))) / 3
+    val nHash = length(t) - length(replace(t, lit("#")))
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-•*]")))
+    val nEllLine = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]")))
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stop.map(sw => array_contains(words, sw).cast("long"))
+      .reduce(_ + _)
+    val out = df.select(col(idCol).as("id"),
+      nWords.as("n_words"), nLines.as("n_lines"),
+      micro(sumLen.cast("double") / safeWords).as("mean_word_len_micro"),
+      micro((nEllipsis + nHash).cast("double") / safeWords)
+        .as("symbol_ratio_micro"),
+      micro(nBullet.cast("double") / safeLines).as("bullet_frac_micro"),
+      micro(nEllLine.cast("double") / safeLines).as("ellipsis_frac_micro"),
+      micro(nAlpha.cast("double") / safeWords).as("alpha_frac_micro"),
+      stopHits.as("stop_hits"))
+    out.withColumn("pass",
+      col("n_words").between(50L, 100000L) &&
+        col("mean_word_len_micro").between(3000000L, 10000000L) &&
+        col("symbol_ratio_micro") <= 100000L &&
+        col("bullet_frac_micro") <= 900000L &&
+        col("ellipsis_frac_micro") <= 300000L &&
+        col("alpha_frac_micro") >= 800000L &&
+        col("stop_hits") >= 2L)
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

@@ -215,6 +215,72 @@ object Terms {
         col("sum_nats_micro").cast("double") / col("n_toks").cast("double"))
   }
 
+  /** Interpolated BIGRAM language-model surprisal — the next rung past
+    * [[unigramSurprisal]] on the CCNet/KenLM perplexity-filter ladder:
+    * each token is scored by its probability GIVEN the previous token,
+    * backed off to the unigram distribution (Jelinek–Mercer
+    * interpolation):
+    *
+    *   p(w | v) = λ · c(v,w)/c(v)  +  (1−λ) · c(w)/N
+    *
+    * Boilerplate that unigram filtering cannot see (common words in
+    * predictable order) scores low; scrambled/garbled text (common
+    * words in IMPROBABLE order) scores high — exactly the split that
+    * motivates conditioning on context. A document's first token has no
+    * context and is skipped, so `n_bigrams = n_tokens − 1`; documents
+    * shorter than two tokens emit no row.
+    *
+    * Engine-exact by the library's convention: per-bigram `-ln p`
+    * rounds to integer micros before the doc-level LONG sum. The
+    * interpolation is evaluated in one fixed shape
+    * (`λ·(c2/c1v) + (1−λ)·(c1w/N)`) so an external engine reproduces
+    * the double bit-for-bit.
+    *
+    * Scale shape: counts are aggregate-compressed BEFORE any join — the
+    * bigram-count table has one row per DISTINCT adjacent pair (the
+    * corpus's bigram vocabulary, orders of magnitude below token
+    * occurrences), the unigram table one row per term. Bigram
+    * occurrences join those tables on their own keys (narrow rows,
+    * map-side combinable aggregates on both ends); nothing corpus-sized
+    * is cached or collected. Tokenization is [[SeparatorClass]] — the
+    * same tokenizer as every term-level operator.
+    *
+    * Output: (id, n_bigrams, sum_nats_micro, mean_nats_micro).
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1), got $lambda")
+    val ws = filter(split(lower(col(textCol)), SeparatorClass),
+      w => w =!= "")
+    val base = df.select(col(idCol).as("id"), ws.as("ws"))
+    val toks = base.select(col("id"), explode(col("ws")).as("w"))
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1")).as("total"))
+    val idxs = when(size(col("ws")) >= 2, sequence(lit(0),
+      size(col("ws")) - 2)).otherwise(array().cast("array<int>"))
+    val bg = base.select(col("id"), col("ws"), explode(idxs).as("pos"))
+      .select(col("id"), element_at(col("ws"), col("pos") + 1).as("v"),
+        element_at(col("ws"), col("pos") + 2).as("w"))
+    val c2 = bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2"))
+    val p = lit(lambda) *
+        (col("c2").cast("double") / col("c1v").cast("double")) +
+      lit(1.0 - lambda) *
+        (col("c1").cast("double") / col("total").cast("double"))
+    bg.join(c2, Seq("v", "w"))
+      .join(c1.select(col("w").as("v"), col("c1").as("c1v")), "v")
+      .join(c1, "w")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("nm"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nm")).as("sum_nats_micro"))
+      .withColumn("mean_nats_micro",
+        col("sum_nats_micro").cast("double") /
+          col("n_bigrams").cast("double"))
+  }
+
   /** BPE first-merge statistics: the top-`topN` adjacent CHARACTER pairs
     * across the corpus, weighted by word frequency — the table a BPE /
     * WordPiece tokenizer trainer consults to pick its next merge (the

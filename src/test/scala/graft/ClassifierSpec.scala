@@ -81,4 +81,26 @@ class ClassifierSpec extends SparkSpec {
     val got = Classifier.scoreHashed(df, "doc_id", "text", w).collect()(0)
     assert(got.getLong(1) == -300L && !got.getBoolean(3))
   }
+
+  test("aucByLabel: exact wins/ties vs hand-counted pairs") {
+    import spark.implicits._
+    // pos scores {3, 2, 2}, neg {1, 2}: wins 4 of 6 pairs, 2 ties
+    // → AUC = (4 + 2/2) / 6 = 0.8333…
+    val df = Seq((3L, true), (2L, true), (2L, true),
+      (1L, false), (2L, false)).toDF("s", "y")
+    val r = Classifier.aucByLabel(df, "s", "y").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 833333L)
+  }
+
+  test("aucByLabel: perfect ranking is 1.0; one-class data is NULL") {
+    import spark.implicits._
+    val perfect = Seq((10L, true), (9L, true), (1L, false), (0L, false))
+      .toDF("s", "y")
+    assert(Classifier.aucByLabel(perfect, "s", "y").head()
+      .getLong(4) == 1000000L)
+    val oneClass = Seq((5L, true), (6L, true)).toDF("s", "y")
+    assert(Classifier.aucByLabel(oneClass, "s", "y").head().isNullAt(4))
+  }
 }

@@ -193,4 +193,41 @@ class CurationSpec extends SparkSpec {
     }
     assert(packed == expect)
   }
+
+  test("gopher rules: every feature hand-checked on a crafted doc") {
+    import spark.implicits._
+    // 2 lines; line 2 starts with a bullet; line 1 ends with ellipsis;
+    // words: the(1) of(1) ab(2) ...(1) #(1) -(bullet, 1) = 7 words
+    val docs = Seq(
+      (1L, "the of ab ...\n- ab # Ab"),
+      (2L, "")).toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val d1 = r(0)
+    assert(d1.getLong(1) == 8L)   // n_words
+    assert(d1.getLong(2) == 2L)   // n_lines
+    // lens: the=3 of=2 ab=2 ...=3 -=1 ab=2 #=1 ab=2 → 16/8 = 2.0
+    assert(d1.getLong(3) == 2000000L)
+    // symbols: one '...' + one '#' over 8 words = 0.25
+    assert(d1.getLong(4) == 250000L)
+    assert(d1.getLong(5) == 500000L)  // 1 bullet line of 2
+    assert(d1.getLong(6) == 500000L)  // 1 ellipsis line of 2
+    // alpha words: the of ab ab ab → 5/8
+    assert(d1.getLong(7) == 625000L)
+    assert(d1.getLong(8) == 2L)       // stop hits: the, of
+    assert(!d1.getBoolean(9))         // fails word count + mean len
+    val d2 = r(1)                     // empty doc: floors, no crash
+    assert(d2.getLong(1) == 0L && d2.getLong(8) == 0L
+      && !d2.getBoolean(9))
+  }
+
+  test("gopher rules: a long clean document passes") {
+    import spark.implicits._
+    val body = (1 to 30).map(_ => "the cat and dog ran with that toy")
+      .mkString(" ")
+    val got = Curation.gopherRules(
+      Seq((7L, body)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(got.getLong(1) == 240L)
+    assert(got.getBoolean(9))
+  }
 }

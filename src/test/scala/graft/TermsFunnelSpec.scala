@@ -222,4 +222,27 @@ class TermsFunnelSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
     }
   }
+
+  test("bigramSurprisal: interpolated probabilities vs hand-counted LM") {
+    import spark.implicits._
+    // corpus: a b a b | b a → c1(a)=3 c1(b)=3 N=6; c2(a,b)=2 c2(b,a)=2
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Terms
+      .bigramSurprisal(docs, "doc_id", "text", lambda = 0.9)
+      .orderBy("id").collect()
+    def nm(c2: Long, c1v: Long, c1w: Long, n: Long): Long =
+      math.floor(-math.log(
+        0.9 * (c2.toDouble / c1v.toDouble) +
+        (1.0 - 0.9) * (c1w.toDouble / n.toDouble)) * 1e6 + 0.5).toLong
+    val ab = nm(2, 3, 3, 7) // c1 includes 'solo': N=7
+    val ba = nm(2, 3, 3, 7)
+    // doc 3 has one token → no bigrams → no row
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 3L) // n_bigrams = n_tokens - 1
+    assert(got(0).getLong(2) == 2 * ab + ba)
+    assert(got(1).getLong(1) == 1L)
+    assert(got(1).getLong(2) == ba)
+    assert(got(1).getDouble(3) == ba.toDouble)
+  }
 }
