@@ -1678,6 +1678,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-Min sketch heavy hitters: one-pass mergeable (d, idx, cnt)
+    // sketch over token occurrences, then distinct-token point queries.
+    // The exact-count oracle is valid because CMS never undercounts and
+    // at width 8192 over this vocabulary no token collides in all 4
+    // depth rows (verified deterministic), so est == exact count
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z0-9']+"))
+          .as("w"))
+        .filter(col("w") =!= "")
+      graft.pipeline.Sketches.heavyHitters(toks, "w", minCount = 500L,
+          width = 8192, depth = 4)
+        .select(col("w"), col("est"))
+        .orderBy(col("w"))
+    }),
+
     // BM25 lexical retrieval: top-5 docs per probe query, broadcast
     // query-term filter keeps the corpus pipeline narrow; scores as
     // order-independent integer micros
@@ -3029,6 +3045,14 @@ object SparkEntry {
            CAST(sum(nm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              AS mean_nats_micro
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    "cms_heavy_hitters" ->
+      """WITH toks AS (SELECT
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         c AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM toks
+           WHERE w <> '' GROUP BY w)
+         SELECT w, est FROM c WHERE est >= 500 ORDER BY w""",
 
     "bm25_topk" ->
       """WITH q(qid, qtext) AS (VALUES
