@@ -1658,6 +1658,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the published C4 cleaning rules: sentence breaks, a javascript
+    // line and curly braces injected by deterministic replaces; lines
+    // are filtered (terminal punctuation, ≥5 words, no javascript) and
+    // docs voted on surviving-line count and brace/lorem content
+    "c4_rules" -> ((s, dir) => {
+      val injected = replace(replace(replace(replace(
+        col("text"), lit(" data "), lit(" data.\n")),
+        lit(" fast "), lit(" fast!\n")),
+        lit(" slow "), lit(" javascript slow ")),
+        lit(" batch "), lit(" { batch "))
+      Curation.c4Rules(
+          t(s, dir, "documents").select(col("doc_id"),
+            injected.as("text")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("keep"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-LM surprisal scoring (CCNet-shaped perplexity filter):
     // per-token -ln p rounds to integer micros, docs sum longs
     "unigram_surprisal" -> ((s, dir) => {
@@ -2996,6 +3015,28 @@ object SparkEntry {
             AND ellipsis_frac_micro <= 300000
             AND alpha_frac_micro >= 800000
             AND stop_hits >= 2) AS pass
+         FROM g ORDER BY doc_id""",
+
+    "c4_rules" ->
+      """WITH s AS (SELECT doc_id, replace(replace(replace(replace(text,
+             ' data ', ' data.' || chr(10)),
+             ' fast ', ' fast!' || chr(10)),
+             ' slow ', ' javascript slow '),
+             ' batch ', ' { batch ') AS text FROM documents),
+         f AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines FROM s),
+         g AS (SELECT doc_id, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\s+'),
+                 w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM f)
+         SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+           (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS keep,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean
          FROM g ORDER BY doc_id""",
 
     "unigram_surprisal" ->

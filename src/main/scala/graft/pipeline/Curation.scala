@@ -605,6 +605,48 @@ object Curation {
         col("stop_hits") >= 2L)
   }
 
+  /** The published C4 cleaning rule set (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2) — the LINE-level complement to [[gopherRules]]
+    * (Gopher votes a whole document; C4 first edits its lines, then
+    * votes):
+    *
+    *   - keep only lines ending in a terminal punctuation mark
+    *     (`.` `!` `?` `"`), ignoring trailing whitespace;
+    *   - keep only lines with at least 5 words;
+    *   - drop any line containing the word "javascript";
+    *   - drop the whole document when fewer than 3 lines survive, or
+    *     when it contains "lorem ipsum" or a curly brace `{`.
+    *
+    * Pure `Column` projection (nested higher-order filters — no
+    * explode, no shuffle; the 100 TB shape is a map-only stage). Line
+    * membership tests are case-insensitive where the paper's are
+    * ("javascript", "lorem ipsum"); the cleaned text preserves
+    * surviving lines verbatim (original case), joined with `\n`.
+    *
+    * Output: (id, n_lines, n_kept, keep, clean) — `clean` is empty when
+    * no line survives; callers typically filter on `keep` and write
+    * `clean` as the new text.
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript"))
+    val lowerT = lower(col(textCol))
+    df.select(col(idCol).as("id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        kept.as("__kept"),
+        (!lowerT.contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("__docok"))
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        (col("n_kept") >= 3 && col("__docok")).as("keep"),
+        concat_ws("\n", col("__kept")).as("clean"))
+  }
+
   /** Deterministic stratified sample: at most `perStratum` rows per
     * value of `stratumCol`, chosen by md5 of the id — a stable,
     * seed-free order that any engine reproduces (no `rand()`, so reruns

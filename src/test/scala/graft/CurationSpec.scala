@@ -221,6 +221,30 @@ class CurationSpec extends SparkSpec {
       && !d2.getBoolean(9))
   }
 
+  test("c4 rules: line filter, doc vote, clean reassembly") {
+    import spark.implicits._
+    val good = "this line has five words.\nso does this one too!\n" +
+      "and a third keeps it?\ntrailing ws is fine .  "
+    val docs = Seq(
+      (1L, good),                                   // 4 lines, all kept
+      (2L, good + "\nno punct here at all\nshort."),// 2 rejected lines
+      (3L, "only two good lines here.\nboth of them end well."),
+      (4L, good + "\nthe javascript line dies here."),
+      (5L, good.replace("five", "{ five")),         // brace kills doc
+      (6L, "Lorem Ipsum dolor sit amet here.\n" + good))
+      .toDF("doc_id", "text")
+    val r = Curation.c4Rules(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(r(0).getLong(2) == 4L && r(0).getBoolean(3))
+    assert(r(0).getString(4) == good)
+    assert(r(1).getLong(1) == 6L && r(1).getLong(2) == 4L
+      && r(1).getBoolean(3))
+    assert(r(2).getLong(2) == 2L && !r(2).getBoolean(3)) // < 3 kept
+    assert(r(3).getLong(2) == 4L)  // javascript line rejected
+    assert(!r(4).getBoolean(3))    // '{' vetoes the document
+    assert(!r(5).getBoolean(3))    // lorem ipsum veto, case-insensitive
+  }
+
   test("gopher rules: a long clean document passes") {
     import spark.implicits._
     val body = (1 to 30).map(_ => "the cat and dog ran with that toy")
