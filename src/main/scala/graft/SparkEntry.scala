@@ -1285,6 +1285,26 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // hard-pair mining for contrastive training: per anchor, top-3
+    // most-similar DIFFERENT-label vectors (hard negatives) and top-3
+    // least-similar SAME-label vectors (hard positives); milli-quantized
+    // integer dot products keep ranking engine-exact
+    "hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qe = (c: Column) =>
+        transform(c, x => round(x.cast("double") * 1000).cast("long"))
+      val anchors = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("a_id"), qe(col("embedding")).as("a_vec"),
+          col("label").as("a_label"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("c_id"), qe(col("embedding")).as("c_vec"),
+          col("label").as("c_label"))
+      graft.pipeline.Similarity.hardPairs(anchors, corpus, k = 3)
+        .select(col("a_id"), col("kind"), col("rank"), col("c_id"),
+          col("score").cast("long").as("score"))
+        .orderBy(col("a_id"), col("kind"), col("rank"))
+    }),
+
     // LSH-bucketed ANN (scale path). Oracle = recall gate: the LSH top-k
     // must recover >= 2/3 of the exact brute-force top-k per query.
     // Random hyperplane LSH only has signal for STRONG neighbors (random
@@ -2638,6 +2658,38 @@ object SparkEntry {
             FROM s)
          SELECT q_id, c_id, rank, CAST(score AS BIGINT) AS score FROM r WHERE rank <= 3
          ORDER BY q_id, rank""",
+
+    "hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS a_id, label AS a_label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                AS a_vec
+            FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS c_id, label AS c_label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                AS c_vec
+            FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT a_id, c_id, a_label, c_label,
+              (SELECT sum(x.qe * x.ce)
+               FROM (SELECT unnest(a_vec) AS qe, unnest(c_vec) AS ce) x)
+                AS score
+            FROM a CROSS JOIN c),
+         neg AS (SELECT a_id, 'neg' AS kind,
+              row_number() OVER (PARTITION BY a_id
+                ORDER BY score DESC, c_id ASC) AS rank,
+              c_id, score
+            FROM s WHERE a_label <> c_label QUALIFY rank <= 3),
+         pos AS (SELECT a_id, 'pos' AS kind,
+              row_number() OVER (PARTITION BY a_id
+                ORDER BY score ASC, c_id ASC) AS rank,
+              c_id, score
+            FROM s WHERE a_label = c_label AND a_id <> c_id
+            QUALIFY rank <= 3),
+         u AS (SELECT * FROM neg UNION ALL SELECT * FROM pos)
+         SELECT a_id, kind, CAST(rank AS BIGINT) AS rank, c_id,
+           CAST(score AS BIGINT) AS score
+         FROM u ORDER BY a_id, kind, rank""",
 
     // recall gates: the approximate indexes must recover the exact top-k
     // (thresholds verified in-query; the oracle pins the verdict per query)

@@ -41,6 +41,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-pair mining for contrastive/metric training: for each anchor,
+    * the top-`k` HIGHEST-scoring candidates with a DIFFERENT label
+    * (`kind = "neg"` — the near-misses a contrastive loss learns most
+    * from) and the top-`k` LOWEST-scoring candidates with the SAME
+    * label (`kind = "pos"` — the hardest positives). The curation step
+    * behind triplet/InfoNCE dataset construction.
+    *
+    * Scale shape follows [[bruteForceTopK]]: the anchor set MUST be
+    * small (it broadcasts; the corpus is scanned once, never shuffled
+    * wider than (anchor, candidate, score) rows, and the per-anchor
+    * row_number filter triggers WindowGroupLimit pushdown). For
+    * corpus-sized anchor sets, run per anchor batch, or feed the
+    * candidate generation from [[lshTopK]]/[[ivfTopK]] instead of the
+    * cross product.
+    *
+    * `score` defaults to [[dot]] — pass normalized (or milli-quantized
+    * integer) vectors for cosine semantics with engine-exact sums.
+    * Same-id pairs are excluded from positives (a vector is not its own
+    * hard positive); anchors and corpus share an id space only if the
+    * caller says so, which is why ids, vectors and labels all have
+    * column-name knobs.
+    *
+    * Output: (aId, kind, rank, cId, score), rank 1..k per (anchor,
+    * kind), ties broken by candidate id.
+    */
+  def hardPairs(anchors: DataFrame, corpus: DataFrame, k: Int,
+                aId: String = "a_id", aVec: String = "a_vec",
+                aLabel: String = "a_label",
+                cId: String = "c_id", cVec: String = "c_vec",
+                cLabel: String = "c_label",
+                score: (Column, Column) => Column = dot): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .select(col(aId), col(cId), col(aLabel), col(cLabel),
+        score(col(aVec), col(cVec)).as("score"))
+    val wNeg = Window.partitionBy(col(aId))
+      .orderBy(col("score").desc, col(cId).asc)
+    val neg = scored.filter(col(aLabel) =!= col(cLabel))
+      .withColumn("rank", row_number().over(wNeg))
+      .filter(col("rank") <= k).withColumn("kind", lit("neg"))
+    val wPos = Window.partitionBy(col(aId))
+      .orderBy(col("score").asc, col(cId).asc)
+    val pos = scored
+      .filter(col(aLabel) === col(cLabel) && col(aId) =!= col(cId))
+      .withColumn("rank", row_number().over(wPos))
+      .filter(col("rank") <= k).withColumn("kind", lit("pos"))
+    neg.unionByName(pos)
+      .select(col(aId), col("kind"), col("rank"), col(cId), col("score"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed by random-hyperplane
     * signature; only same-bucket pairs are scored. `probes=0` uses the
     * exact bucket; `probes=n` additionally probes buckets at Hamming

@@ -206,4 +206,24 @@ class ClusterSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 3L))
   }
+
+  test("hardPairs: nearest other-label and farthest same-label, self excluded") {
+    import spark.implicits._
+    // 1-D integer vectors make dot products readable: anchor a=(10), label 0
+    val anchors = Seq((1L, Seq(10L), 0)).toDF("a_id", "a_vec", "a_label")
+    val corpus = Seq(
+      (1L, Seq(10L), 0),   // same id+label: excluded from positives
+      (2L, Seq(9L), 0),    // pos, score 90
+      (3L, Seq(2L), 0),    // pos, score 20 → hardest positive (rank 1)
+      (4L, Seq(8L), 1),    // neg, score 80 → hardest negative (rank 1)
+      (5L, Seq(3L), 1),    // neg, score 30
+      (6L, Seq(8L), 1))    // neg, score 80, tie → id order after 4
+      .toDF("c_id", "c_vec", "c_label")
+    val got = graft.pipeline.Similarity.hardPairs(anchors, corpus, k = 2)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("neg", 1, 4L, 80.0), ("neg", 2, 6L, 80.0),
+      ("pos", 1, 3L, 20.0), ("pos", 2, 2L, 90.0)))
+  }
 }
