@@ -1711,7 +1711,8 @@ object SparkEntry {
     // filter conditioned on context): per-bigram -ln p in integer
     // micros, doc-level long sums; counts aggregate-compressed first
     "bigram_surprisal" -> ((s, dir) => {
-      Terms.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      Terms.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          checkpointGrams = true)
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("sum_nats_micro"), col("mean_nats_micro"))
         .orderBy(col("doc_id"))

@@ -236,45 +236,70 @@ object Terms {
     * (`λ·(c2/c1v) + (1−λ)·(c1w/N)`) so an external engine reproduces
     * the double bit-for-bit.
     *
-    * Scale shape: counts are aggregate-compressed BEFORE any join — the
-    * bigram-count table has one row per DISTINCT adjacent pair (the
-    * corpus's bigram vocabulary, orders of magnitude below token
-    * occurrences), the unigram table one row per term. Bigram
-    * occurrences join those tables on their own keys (narrow rows,
-    * map-side combinable aggregates on both ends); nothing corpus-sized
-    * is cached or collected. Tokenization is [[SeparatorClass]] — the
-    * same tokenizer as every term-level operator.
+    * Scale shape — the [[Dedup]]/[[Curation]] hash invariant, not the
+    * term-stats one (the output needs no gram STRINGS, so none may
+    * shuffle): bigram occurrences compress doc-locally to
+    * (id, occurrence-count) rows keyed by a 128-bit gram hash pair plus
+    * the two 64-bit word hashes, the count tables aggregate over those
+    * hashes (map-side combined), and every join matches on 8–16-byte
+    * keys — raw words never enter an exchange. A 64-bit word-hash
+    * collision merges two words' counts (~2⁻⁶⁴, the library's accepted
+    * convention); the bigram identity carries 128 bits. Nothing
+    * corpus-sized is cached or collected. Tokenization is
+    * [[SeparatorClass]] — the same tokenizer as every term-level
+    * operator.
     *
     * Output: (id, n_bigrams, sum_nats_micro, mean_nats_micro).
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
-                      lambda: Double = 0.9): DataFrame = {
+                      lambda: Double = 0.9,
+                      checkpointGrams: Boolean = false): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"lambda must be in (0, 1), got $lambda")
     val ws = filter(split(lower(col(textCol)), SeparatorClass),
       w => w =!= "")
     val base = df.select(col(idCol).as("id"), ws.as("ws"))
-    val toks = base.select(col("id"), explode(col("ws")).as("w"))
-    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c1 = base.select(explode(col("ws")).as("w"))
+      .groupBy(xxhash64(col("w")).as("hw"))
+      .agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum(col("c1")).as("total"))
     val idxs = when(size(col("ws")) >= 2, sequence(lit(0),
       size(col("ws")) - 2)).otherwise(array().cast("array<int>"))
+    // hash at the explode site: only (id, 4 hashes) rows ever shuffle
     val bg = base.select(col("id"), col("ws"), explode(idxs).as("pos"))
       .select(col("id"), element_at(col("ws"), col("pos") + 1).as("v"),
         element_at(col("ws"), col("pos") + 2).as("w"))
-    val c2 = bg.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2"))
+      .select(col("id"), xxhash64(col("v")).as("hv"),
+        xxhash64(col("w")).as("hw"),
+        xxhash64(col("v"), col("w")).as("h1"),
+        xxhash64(lit("graft-bigram-2"), col("v"), col("w")).as("h2"))
+    // doc-locally compressed gram rows feed BOTH the corpus count table
+    // and the scoring join — `checkpointGrams` materializes the narrow
+    // (id, hashes, occ) frame once instead of re-running the
+    // tokenize+explode lineage per consumer (same opt-in convention as
+    // `checkpointTf` elsewhere in this file)
+    val bgc0 = bg.groupBy(col("id"), col("h1"), col("h2"), col("hv"),
+        col("hw"))
+      .agg(count(lit(1)).as("occ"))
+    val bgc = if (checkpointGrams) bgc0.localCheckpoint() else bgc0
+    val c2 = bgc.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("occ")).as("c2"))
     val p = lit(lambda) *
         (col("c2").cast("double") / col("c1v").cast("double")) +
       lit(1.0 - lambda) *
         (col("c1").cast("double") / col("total").cast("double"))
-    bg.join(c2, Seq("v", "w"))
-      .join(c1.select(col("w").as("v"), col("c1").as("c1v")), "v")
-      .join(c1, "w")
+    // the three count tables are vocabulary-sized (distinct grams /
+    // terms, aggregate-compressed) — broadcast them explicitly so the
+    // corpus-sized gram frame is never exchange-partitioned by join key
+    bgc.join(broadcast(c2), Seq("h1", "h2"))
+      .join(broadcast(c1.select(col("hw").as("hv"),
+        col("c1").as("c1v"))), "hv")
+      .join(broadcast(c1), "hw")
       .crossJoin(broadcast(total))
-      .select(col("id"),
-        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("nm"))
+      .select(col("id"), col("occ"), (col("occ") *
+        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long")).as("nm"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(sum(col("occ")).as("n_bigrams"),
         sum(col("nm")).as("sum_nats_micro"))
       .withColumn("mean_nats_micro",
         col("sum_nats_micro").cast("double") /
