@@ -1299,7 +1299,8 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("c_id"), qe(col("embedding")).as("c_vec"),
           col("label").as("c_label"))
-      graft.pipeline.Similarity.hardPairs(anchors, corpus, k = 3)
+      graft.pipeline.Similarity.hardPairs(anchors, corpus, k = 3,
+          checkpointScored = true)
         .select(col("a_id"), col("kind"), col("rank"), col("c_id"),
           col("score").cast("long").as("score"))
         .orderBy(col("a_id"), col("kind"), col("rank"))
@@ -1672,7 +1673,8 @@ object SparkEntry {
             injected.as("text")),
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_words"), col("n_lines"),
-          col("mean_word_len_micro"), col("symbol_ratio_micro"),
+          col("mean_word_len_micro"), col("hash_ratio_micro"),
+          col("ellipsis_sym_ratio_micro"),
           col("bullet_frac_micro"), col("ellipsis_frac_micro"),
           col("alpha_frac_micro"), col("stop_hits"), col("pass"))
         .orderBy(col("doc_id"))
@@ -1725,7 +1727,7 @@ object SparkEntry {
     // depth rows (verified deterministic), so est == exact count
     "cms_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z0-9']+"))
+        .select(explode(split(lower(col("text")), Terms.SeparatorClass))
           .as("w"))
         .filter(col("w") =!= "")
       graft.pipeline.Sketches.heavyHitters(toks, "w", minCount = 500L,
@@ -3032,10 +3034,13 @@ object SparkEntry {
                / greatest(CAST(len(words) AS BIGINT), 1)
                * 1000000.0 + 0.5) AS BIGINT) AS mean_word_len_micro,
              CAST(floor(
-               ((length(t) - length(replace(t, '...', ''))) / 3
-                + (length(t) - length(replace(t, '#', ''))))
+               CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
                / greatest(CAST(len(words) AS BIGINT), 1)
-               * 1000000.0 + 0.5) AS BIGINT) AS symbol_ratio_micro,
+               * 1000000.0 + 0.5) AS BIGINT) AS hash_ratio_micro,
+             CAST(floor(
+               ((length(t) - length(replace(t, '...', ''))) / 3)
+               / greatest(CAST(len(words) AS BIGINT), 1)
+               * 1000000.0 + 0.5) AS BIGINT) AS ellipsis_sym_ratio_micro,
              CAST(floor(CAST(len(list_filter(lines,
                  l -> regexp_matches(l, '^\s*[-•*]'))) AS DOUBLE)
                / greatest(CAST(len(lines) AS BIGINT), 1)
@@ -3059,11 +3064,13 @@ object SparkEntry {
                AS BIGINT) AS stop_hits
            FROM f)
          SELECT doc_id, n_words, n_lines, mean_word_len_micro,
-           symbol_ratio_micro, bullet_frac_micro, ellipsis_frac_micro,
+           hash_ratio_micro, ellipsis_sym_ratio_micro,
+           bullet_frac_micro, ellipsis_frac_micro,
            alpha_frac_micro, stop_hits,
            (n_words BETWEEN 50 AND 100000
             AND mean_word_len_micro BETWEEN 3000000 AND 10000000
-            AND symbol_ratio_micro <= 100000
+            AND hash_ratio_micro <= 100000
+            AND ellipsis_sym_ratio_micro <= 100000
             AND bullet_frac_micro <= 900000
             AND ellipsis_frac_micro <= 300000
             AND alpha_frac_micro >= 800000

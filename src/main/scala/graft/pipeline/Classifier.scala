@@ -81,6 +81,22 @@ object Classifier {
     * per the library's no-hidden-caching convention (localCheckpoint =
     * executor-local blocks; swap for `checkpoint()` + a reliable dir on
     * a shared cluster, and consider `percentile_approx` at 100 TB). */
+  def filterByMarginPercentile(scored: DataFrame, marginCol: String,
+                               p: Double,
+                               checkpointScored: Boolean = false)
+      : DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    require(!scored.columns.contains("__thr"),
+      "input column __thr collides with internals")
+    val s = if (checkpointScored) scored.localCheckpoint() else scored
+    val thr = s.agg(
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$marginCol`)")
+        .as("__thr"))
+    s.crossJoin(broadcast(thr))
+      .filter(col(marginCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** ROC-AUC of a score column against a boolean label — the evaluation
     * half of the quality-classifier loop (how well does the cheap score
     * rank the trusted label?). Mann–Whitney formulation with exact tie
@@ -117,21 +133,5 @@ object Classifier {
           floor((lit(2L) * col("wins") + col("tie_pairs")).cast("double")
             / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")
             * lit(1e6) + lit(0.5)).cast("long")))
-  }
-
-  def filterByMarginPercentile(scored: DataFrame, marginCol: String,
-                               p: Double,
-                               checkpointScored: Boolean = false)
-      : DataFrame = {
-    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
-    require(!scored.columns.contains("__thr"),
-      "input column __thr collides with internals")
-    val s = if (checkpointScored) scored.localCheckpoint() else scored
-    val thr = s.agg(
-      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$marginCol`)")
-        .as("__thr"))
-    s.crossJoin(broadcast(thr))
-      .filter(col(marginCol) >= col("__thr"))
-      .drop("__thr")
   }
 }

@@ -536,7 +536,8 @@ object Curation {
     *
     *   1. 50 ≤ word count ≤ 100,000
     *   2. mean word length in [3, 10] characters
-    *   3. symbol-to-word ratio ≤ 0.1 (symbols: `#` and `...`)
+    *   3. symbol-to-word ratio ≤ 0.1 for EACH symbol (`#` and `...` —
+    *      the paper gates on "either", i.e. both ratios must clear)
     *   4. ≤ 90% of lines start with a bullet (`-`, `•`, `*`)
     *   5. ≤ 30% of lines end with an ellipsis
     *   6. ≥ 80% of words contain at least one alphabetic character
@@ -560,8 +561,8 @@ object Curation {
     * fail rules 1 and 7.
     *
     * Output: (id, n_words, n_lines, mean_word_len_micro,
-    * symbol_ratio_micro, bullet_frac_micro, ellipsis_frac_micro,
-    * alpha_frac_micro, stop_hits, pass).
+    * hash_ratio_micro, ellipsis_sym_ratio_micro, bullet_frac_micro,
+    * ellipsis_frac_micro, alpha_frac_micro, stop_hits, pass).
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
@@ -589,8 +590,9 @@ object Curation {
     val out = df.select(col(idCol).as("id"),
       nWords.as("n_words"), nLines.as("n_lines"),
       micro(sumLen.cast("double") / safeWords).as("mean_word_len_micro"),
-      micro((nEllipsis + nHash).cast("double") / safeWords)
-        .as("symbol_ratio_micro"),
+      micro(nHash.cast("double") / safeWords).as("hash_ratio_micro"),
+      micro(nEllipsis.cast("double") / safeWords)
+        .as("ellipsis_sym_ratio_micro"),
       micro(nBullet.cast("double") / safeLines).as("bullet_frac_micro"),
       micro(nEllLine.cast("double") / safeLines).as("ellipsis_frac_micro"),
       micro(nAlpha.cast("double") / safeWords).as("alpha_frac_micro"),
@@ -598,7 +600,8 @@ object Curation {
     out.withColumn("pass",
       col("n_words").between(50L, 100000L) &&
         col("mean_word_len_micro").between(3000000L, 10000000L) &&
-        col("symbol_ratio_micro") <= 100000L &&
+        col("hash_ratio_micro") <= 100000L &&
+        col("ellipsis_sym_ratio_micro") <= 100000L &&
         col("bullet_frac_micro") <= 900000L &&
         col("ellipsis_frac_micro") <= 300000L &&
         col("alpha_frac_micro") >= 800000L &&

@@ -61,7 +61,17 @@ object Similarity {
     * Same-id pairs are excluded from positives (a vector is not its own
     * hard positive); anchors and corpus share an id space only if the
     * caller says so, which is why ids, vectors and labels all have
-    * column-name knobs.
+    * column-name knobs. NULL semantics: rows with a NULL label on
+    * either side match neither kind (SQL three-valued comparison —
+    * documented, not accidental), and NULL scores (a NULL vector)
+    * sort LAST in both orderings, so an unscoreable row can never
+    * displace a real pair from the top-k.
+    *
+    * The scored cross product feeds both kinds; `checkpointScored`
+    * materializes it once ((anchor, candidate, score) — anchors ×
+    * corpus rows, far narrower than the corpus when anchors are the
+    * documented small set) instead of re-running the corpus scan + dot
+    * products per kind — the same opt-in convention as `checkpointTf`.
     *
     * Output: (aId, kind, rank, cId, score), rank 1..k per (anchor,
     * kind), ties broken by candidate id.
@@ -71,18 +81,21 @@ object Similarity {
                 aLabel: String = "a_label",
                 cId: String = "c_id", cVec: String = "c_vec",
                 cLabel: String = "c_label",
-                score: (Column, Column) => Column = dot): DataFrame = {
+                score: (Column, Column) => Column = dot,
+                checkpointScored: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val scored = corpus.crossJoin(broadcast(anchors))
+    val scored0 = corpus.crossJoin(broadcast(anchors))
       .select(col(aId), col(cId), col(aLabel), col(cLabel),
         score(col(aVec), col(cVec)).as("score"))
+    val scored = if (checkpointScored) scored0.localCheckpoint()
+                 else scored0
     val wNeg = Window.partitionBy(col(aId))
-      .orderBy(col("score").desc, col(cId).asc)
+      .orderBy(col("score").desc_nulls_last, col(cId).asc)
     val neg = scored.filter(col(aLabel) =!= col(cLabel))
       .withColumn("rank", row_number().over(wNeg))
       .filter(col("rank") <= k).withColumn("kind", lit("neg"))
     val wPos = Window.partitionBy(col(aId))
-      .orderBy(col("score").asc, col(cId).asc)
+      .orderBy(col("score").asc_nulls_last, col(cId).asc)
     val pos = scored
       .filter(col(aLabel) === col(cLabel) && col(aId) =!= col(cId))
       .withColumn("rank", row_number().over(wPos))

@@ -65,7 +65,10 @@ object Sketches {
 
   /** Point-query estimates for every row of `probes`: min over the
     * depth counters each probe item hashes to. Cells absent from the
-    * sketch count 0. Output: probes' columns + `est`.
+    * sketch count 0. NULL probe items are dropped, mirroring the build
+    * side (xxhash64 would otherwise skip the null argument and read
+    * the salt-only buckets — a spurious count for an item the sketch
+    * never saw). Output: probes' columns + `est`.
     *
     * Scale: probes explode ×depth, join the (≤ depth·width row —
     * broadcast-sized by construction) sketch, and re-group — the probe
@@ -76,7 +79,7 @@ object Sketches {
       require(!probes.columns.contains(r),
         s"probe column $r collides with sketch internals"))
     val cols = probes.columns.map(col).toSeq
-    probes
+    probes.filter(col(itemCol).isNotNull)
       .select(cols :+
         explode(bucketCols(col(itemCol), width, depth)).as("b"): _*)
       .join(broadcast(sketch),

@@ -226,4 +226,19 @@ class ClusterSpec extends SparkSpec {
       ("neg", 1, 4L, 80.0), ("neg", 2, 6L, 80.0),
       ("pos", 1, 3L, 20.0), ("pos", 2, 2L, 90.0)))
   }
+
+  test("hardPairs: null vectors sort last, null labels match neither kind") {
+    import spark.implicits._
+    val anchors = Seq((1L, Seq(10L), Some(0))).toDF("a_id", "a_vec", "a_label")
+    val corpus = Seq(
+      (2L, Some(Seq(9L)), Some(0)),   // pos, score 90
+      (3L, None: Option[Seq[Long]], Some(0)), // null vec: never rank 1
+      (4L, Some(Seq(8L)), Some(1)),   // neg, score 80
+      (5L, Some(Seq(7L)), None))      // null label: neither kind
+      .toDF("c_id", "c_vec", "c_label")
+    val got = graft.pipeline.Similarity
+      .hardPairs(anchors, corpus, k = 1, checkpointScored = true)
+      .collect().map(r => (r.getString(1), r.getLong(3))).sorted.toSeq
+    assert(got == Seq(("neg", 4L), ("pos", 2L)))
+  }
 }

@@ -208,17 +208,18 @@ class CurationSpec extends SparkSpec {
     assert(d1.getLong(2) == 2L)   // n_lines
     // lens: the=3 of=2 ab=2 ...=3 -=1 ab=2 #=1 ab=2 → 16/8 = 2.0
     assert(d1.getLong(3) == 2000000L)
-    // symbols: one '...' + one '#' over 8 words = 0.25
-    assert(d1.getLong(4) == 250000L)
-    assert(d1.getLong(5) == 500000L)  // 1 bullet line of 2
-    assert(d1.getLong(6) == 500000L)  // 1 ellipsis line of 2
+    // per-symbol ratios (the paper gates each): one '#', one '...'
+    assert(d1.getLong(4) == 125000L)
+    assert(d1.getLong(5) == 125000L)
+    assert(d1.getLong(6) == 500000L)  // 1 bullet line of 2
+    assert(d1.getLong(7) == 500000L)  // 1 ellipsis line of 2
     // alpha words: the of ab ab ab → 5/8
-    assert(d1.getLong(7) == 625000L)
-    assert(d1.getLong(8) == 2L)       // stop hits: the, of
-    assert(!d1.getBoolean(9))         // fails word count + mean len
+    assert(d1.getLong(8) == 625000L)
+    assert(d1.getLong(9) == 2L)       // stop hits: the, of
+    assert(!d1.getBoolean(10))        // fails word count + mean len
     val d2 = r(1)                     // empty doc: floors, no crash
-    assert(d2.getLong(1) == 0L && d2.getLong(8) == 0L
-      && !d2.getBoolean(9))
+    assert(d2.getLong(1) == 0L && d2.getLong(9) == 0L
+      && !d2.getBoolean(10))
   }
 
   test("c4 rules: line filter, doc vote, clean reassembly") {
@@ -252,6 +253,19 @@ class CurationSpec extends SparkSpec {
     val got = Curation.gopherRules(
       Seq((7L, body)).toDF("doc_id", "text"), "doc_id", "text").head()
     assert(got.getLong(1) == 240L)
-    assert(got.getBoolean(9))
+    assert(got.getBoolean(10))
+  }
+
+  test("gopher rules: per-symbol ratio gate matches the paper's 'either'") {
+    import spark.implicits._
+    // one '#' and one '...' mid-document: each per-symbol ratio clears
+    // 0.1 on its own (the paper's "either" gate); symbols sit mid-line
+    // so the line-end ellipsis rule stays untriggered
+    val w18 = (1 to 18).map(_ => "the cat and dog sat with that toy")
+      .mkString(" ")
+    val ok = Seq((1L, s"$w18 # ... $w18")).toDF("doc_id", "text")
+    val row = Curation.gopherRules(ok, "doc_id", "text").head()
+    assert(row.getLong(4) <= 100000L && row.getLong(5) <= 100000L)
+    assert(row.getBoolean(10))
   }
 }

@@ -65,6 +65,16 @@ class SketchesSpec extends SparkSpec {
     assert(est == Map("a" -> 2L))
   }
 
+  test("cmsEstimate drops null probes instead of reading salt buckets") {
+    import spark.implicits._
+    val df = Seq.fill(50)("busy").toDF("w")
+    val sk = Sketches.cmsSketch(df, "w", 4, 1) // tiny: collisions likely
+    val probes = Seq(Some("busy"), None).toDF("w")
+    val got = Sketches.cmsEstimate(sk, probes, "w", 4, 1).collect()
+    assert(got.length == 1 && got(0).getString(0) == "busy"
+      && got(0).getLong(1) == 50L)
+  }
+
   test("heavyHitters keeps only items at or above the threshold") {
     import spark.implicits._
     val df = (Seq.fill(10)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
