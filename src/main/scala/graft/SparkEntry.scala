@@ -1736,6 +1736,84 @@ object SparkEntry {
         .orderBy(col("w"))
     }),
 
+    // STREAMING Count-Min maintenance: the same sketch cells as a
+    // streaming aggregation — CMS is a linear sketch, so update-mode
+    // cumulative cell counts ARE the merged sketch, and state is
+    // bounded at depth×width cells no matter how long the stream runs
+    // (no watermark needed). Micro-batch emissions land through the
+    // distributed COPY sink; merge-on-read keeps the latest value per
+    // cell; the final sketch answers the same heavy-hitter probe as
+    // the batch path, against the same exact-count oracle.
+    "stream_cms_topk" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val toks = stream
+        .select(explode(split(lower(col("text")), Terms.SeparatorClass))
+          .as("w"))
+        .filter(col("w") =!= "")
+      val cells = graft.pipeline.Sketches.cmsSketch(toks, "w",
+        width = 8192, depth = 4)
+      val outRoot = new java.io.File(scratch("stream_cms_sink"))
+        .getAbsolutePath
+      val q = cells.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val dirB = new java.io.File(outRoot, s"batch-$batchId")
+          dirB.mkdirs()
+          val abs = dirB.getAbsolutePath
+          val sink = new graft.sinks.CopySink(endpointFactory = pid =>
+            new CopyEndpoint {
+              private val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(
+                  new java.io.File(abs, f"part-$pid%05d.dat"), true),
+                1 << 16)
+              def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
+              override def close(): Unit = out.close()
+            })
+          sink.write(batch)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val batchDirs = new java.io.File(outRoot).listFiles()
+        .filter(d => d.getName.startsWith("batch-") &&
+          d.listFiles() != null && d.listFiles().nonEmpty)
+        .sortBy(_.getName.stripPrefix("batch-").toLong)
+      val merged =
+        if (batchDirs.length == 1)
+          CopyText.read(s, batchDirs.head.getAbsolutePath,
+            Seq("d", "idx", "cnt"))
+        else {
+          val emissions = batchDirs.map { d =>
+            CopyText.read(s, d.getAbsolutePath, Seq("d", "idx", "cnt"))
+              .withColumn("__batch",
+                lit(d.getName.stripPrefix("batch-").toLong))
+          }.reduce(_ unionAll _)
+          val latest = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("d"), col("idx"))
+            .orderBy(col("__batch").desc)
+          emissions
+            .withColumn("__rn", row_number().over(latest))
+            .filter(col("__rn") === 1)
+            .drop("__batch", "__rn")
+        }
+      val sketch = merged.select(col("d").cast("int").as("d"),
+        col("idx").cast("long").as("idx"), col("cnt").cast("long").as("cnt"))
+      val probes = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), Terms.SeparatorClass))
+          .as("w"))
+        .filter(col("w") =!= "").distinct()
+      graft.pipeline.Sketches.cmsEstimate(sketch, probes, "w",
+          width = 8192, depth = 4)
+        .filter(col("est") >= 500L)
+        .select(col("w"), col("est"))
+        .orderBy(col("w"))
+    }),
+
     // BM25 lexical retrieval: top-5 docs per probe query, broadcast
     // query-term filter keeps the corpus pipeline narrow; scores as
     // order-independent integer micros
@@ -3146,6 +3224,14 @@ object SparkEntry {
            CAST(sum(nm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              AS mean_nats_micro
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    "stream_cms_topk" ->
+      """WITH toks AS (SELECT
+             unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS w
+           FROM documents),
+         c AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM toks
+           WHERE w <> '' GROUP BY w)
+         SELECT w, est FROM c WHERE est >= 500 ORDER BY w""",
 
     "cms_heavy_hitters" ->
       """WITH toks AS (SELECT
