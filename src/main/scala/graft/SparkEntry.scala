@@ -1680,6 +1680,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus snapshot diff (data-versioning audit): v2 derived
+    // deterministically — every 7th doc dropped, every 5th rewritten,
+    // a shifted-id tail appended — and reconciled against v1 on
+    // 128-bit content hashes in one full-outer join
+    "snapshot_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2-edit")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.snapshotDiff(v1.select(col("doc_id"), col("text")), v2,
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the published C4 cleaning rules: sentence breaks, a javascript
     // line and curly braces injected by deterministic replaces; lines
     // are filtered (terminal punctuation, ≥5 words, no javascript) and
@@ -3154,6 +3173,28 @@ object SparkEntry {
             AND alpha_frac_micro >= 800000
             AND stop_hits >= 2) AS pass
          FROM g ORDER BY doc_id""",
+
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2-edit'
+               ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 3 = 0),
+         j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             v1.text AS t1, v2.text AS t2,
+             v1.doc_id IS NOT NULL AS ino,
+             v2.doc_id IS NOT NULL AS inn
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT doc_id,
+           CASE WHEN NOT ino THEN 'added'
+                WHEN NOT inn THEN 'removed'
+                WHEN t1 <> t2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM j WHERE NOT (ino AND inn AND t1 = t2)
+         ORDER BY doc_id""",
 
     "c4_rules" ->
       """WITH s AS (SELECT doc_id, replace(replace(replace(replace(text,

@@ -608,6 +608,41 @@ object Curation {
         col("stop_hits") >= 2L)
   }
 
+  /** Corpus snapshot diff — the data-versioning audit between two
+    * releases of the same corpus: which documents were ADDED, REMOVED,
+    * or CHANGED (same id, different content)? The provenance table a
+    * training run records next to its data hash.
+    *
+    * Scale shape: both snapshots compress to (id, 128-bit content
+    * hash) rows — raw content never enters the exchange — and meet in
+    * ONE full-outer join on the id (co-partitioned by the join itself;
+    * at petabyte scale, bucket both snapshots by id at write time and
+    * the exchange disappears). Unchanged rows are dropped by default
+    * (`keepUnchanged = true` keeps them — the full reconciliation
+    * table). A 2⁻¹²⁸ hash collision reports a changed document as
+    * unchanged — the library's accepted convention.
+    *
+    * Output: (id, status ∈ added|removed|changed[|unchanged]).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCol: String,
+                   keepUnchanged: Boolean = false): DataFrame = {
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("id"),
+        xxhash64(col(contentCol)).as(s"h1$tag"),
+        xxhash64(lit("graft-snap-2"), col(contentCol)).as(s"h2$tag"),
+        lit(true).as(s"in$tag"))
+    val joined = hashed(oldDf, "o")
+      .join(hashed(newDf, "n"), Seq("id"), "full_outer")
+    val status = when(col("ino").isNull, lit("added"))
+      .when(col("inn").isNull, lit("removed"))
+      .when(col("h1o") =!= col("h1n") || col("h2o") =!= col("h2n"),
+        lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = joined.select(col("id"), status.as("status"))
+    if (keepUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
   /** The published C4 cleaning rule set (Raffel et al. 2020, "Exploring
     * the Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", §2.2) — the LINE-level complement to [[gopherRules]]

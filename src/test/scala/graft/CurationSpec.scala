@@ -222,6 +222,21 @@ class CurationSpec extends SparkSpec {
       && !d2.getBoolean(10))
   }
 
+  test("snapshotDiff: added/removed/changed, unchanged dropped by default") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val d = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(d == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    val full = Curation.snapshotDiff(v1, v2, "doc_id", "text",
+        keepUnchanged = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(full.contains((1L, "unchanged")) && full.length == 4)
+  }
+
   test("c4 rules: line filter, doc vote, clean reassembly") {
     import spark.implicits._
     val good = "this line has five words.\nso does this one too!\n" +
