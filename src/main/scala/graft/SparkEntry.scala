@@ -60,6 +60,72 @@ object SparkEntry {
     p
   }
 
+  /** Shared harness for UPDATE-mode streaming queries that land through
+    * the distributed COPY sink: run `agg` to completion, one batch dir
+    * per micro-batch emission, then merge-on-read — the LATEST emission
+    * per `keyCols` wins (update mode re-emits a key's cumulative value
+    * each time it changes, so later batch ids carry the newer
+    * aggregate). `flatten` projects each batch to the flat `fields`
+    * layout before COPY rendering. Returns STRING columns named
+    * `fields` (COPY text round-trip — callers cast); zero fired
+    * micro-batches (empty/missing source) merge to an empty frame
+    * instead of NPE-ing on a never-created sink root. Part files are
+    * opened with append=false so a retried sink task REWRITES its
+    * partition file — append mode would fuse a failed attempt's
+    * partial line with the retry's bytes into a torn COPY row. */
+  private def updateStreamViaCopySink(s: SparkSession,
+      agg: DataFrame, scratchName: String,
+      flatten: DataFrame => DataFrame, fields: Seq[String],
+      keyCols: Seq[String]): DataFrame = {
+    val outRoot = new java.io.File(scratch(scratchName)).getAbsolutePath
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dirB = new java.io.File(outRoot, s"batch-$batchId")
+        dirB.mkdirs()
+        val abs = dirB.getAbsolutePath
+        val sink = new graft.sinks.CopySink(endpointFactory = pid =>
+          new CopyEndpoint {
+            private val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(
+                new java.io.File(abs, f"part-$pid%05d.dat"), false),
+              1 << 16)
+            def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
+            override def close(): Unit = out.close()
+          })
+        sink.write(flatten(batch))
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchDirs = Option(new java.io.File(outRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.getName.startsWith("batch-") &&
+        d.listFiles() != null && d.listFiles().nonEmpty)
+      .sortBy(_.getName.stripPrefix("batch-").toLong)
+    if (batchDirs.isEmpty) {
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields.map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.StringType))))
+    } else if (batchDirs.length == 1) {
+      // single emission → nothing to merge, skip the dedupe shuffle
+      CopyText.read(s, batchDirs.head.getAbsolutePath, fields)
+    } else {
+      val emissions = batchDirs.map { d =>
+        CopyText.read(s, d.getAbsolutePath, fields)
+          .withColumn("__batch",
+            lit(d.getName.stripPrefix("batch-").toLong))
+      }.reduce(_ unionAll _)
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__batch").desc)
+      emissions
+        .withColumn("__rn", row_number().over(latest))
+        .filter(col("__rn") === 1)
+        .drop("__batch", "__rn")
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -811,56 +877,11 @@ object SparkEntry {
       // by batchId, and the read takes the LATEST emission per
       // (window, event_type) — the standard upsert-sink contract for
       // update-mode streams.
-      val outRoot = new java.io.File(scratch("events_stream_sink"))
-        .getAbsolutePath
-      val q = agg.writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val flat = batch.select(
-            col("window.start").as("w_start"), col("event_type"),
-            col("n"), col("total_value"))
-          val dirB = new java.io.File(outRoot, s"batch-$batchId")
-          dirB.mkdirs()
-          val abs = dirB.getAbsolutePath
-          val sink = new graft.sinks.CopySink(endpointFactory = pid =>
-            new CopyEndpoint {
-              private val out = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(
-                  new java.io.File(abs, f"part-$pid%05d.dat"), true),
-                1 << 16)
-              def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
-              override def close(): Unit = out.close()
-            })
-          sink.write(flat)
-          ()
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
-      // merge-on-read: union every batch's emissions, keep the latest
-      // row per key (later batchId wins — it carries the updated agg)
-      val batchDirs = new java.io.File(outRoot).listFiles()
-        .filter(d => d.getName.startsWith("batch-") &&
-          d.listFiles() != null && d.listFiles().nonEmpty)
-        .sortBy(_.getName.stripPrefix("batch-").toLong)
-      val merged =
-        if (batchDirs.length == 1)
-          // single emission → nothing to merge, skip the dedupe shuffle
-          CopyText.read(s, batchDirs.head.getAbsolutePath,
-            Seq("w_start", "event_type", "n", "total_value"))
-        else {
-          val emissions = batchDirs.map { d =>
-            CopyText.read(s, d.getAbsolutePath,
-                Seq("w_start", "event_type", "n", "total_value"))
-              .withColumn("__batch",
-                lit(d.getName.stripPrefix("batch-").toLong))
-          }.reduce(_ unionAll _)
-          val latest = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("w_start"), col("event_type"))
-            .orderBy(col("__batch").desc)
-          emissions
-            .withColumn("__rn", row_number().over(latest))
-            .filter(col("__rn") === 1)
-            .drop("__batch", "__rn")
-        }
+      val merged = updateStreamViaCopySink(s, agg, "events_stream_sink",
+        b => b.select(col("window.start").as("w_start"),
+          col("event_type"), col("n"), col("total_value")),
+        Seq("w_start", "event_type", "n", "total_value"),
+        Seq("w_start", "event_type"))
       merged
         .select(col("w_start").cast("timestamp").as("w_start"),
           col("event_type"), col("n").cast("long").as("n"),
@@ -1777,49 +1798,8 @@ object SparkEntry {
         .filter(col("w") =!= "")
       val cells = graft.pipeline.Sketches.cmsSketch(toks, "w",
         width = 8192, depth = 4)
-      val outRoot = new java.io.File(scratch("stream_cms_sink"))
-        .getAbsolutePath
-      val q = cells.writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val dirB = new java.io.File(outRoot, s"batch-$batchId")
-          dirB.mkdirs()
-          val abs = dirB.getAbsolutePath
-          val sink = new graft.sinks.CopySink(endpointFactory = pid =>
-            new CopyEndpoint {
-              private val out = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(
-                  new java.io.File(abs, f"part-$pid%05d.dat"), true),
-                1 << 16)
-              def send(rows: Seq[Array[Byte]]): Unit = rows.foreach(out.write)
-              override def close(): Unit = out.close()
-            })
-          sink.write(batch)
-          ()
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
-      val batchDirs = new java.io.File(outRoot).listFiles()
-        .filter(d => d.getName.startsWith("batch-") &&
-          d.listFiles() != null && d.listFiles().nonEmpty)
-        .sortBy(_.getName.stripPrefix("batch-").toLong)
-      val merged =
-        if (batchDirs.length == 1)
-          CopyText.read(s, batchDirs.head.getAbsolutePath,
-            Seq("d", "idx", "cnt"))
-        else {
-          val emissions = batchDirs.map { d =>
-            CopyText.read(s, d.getAbsolutePath, Seq("d", "idx", "cnt"))
-              .withColumn("__batch",
-                lit(d.getName.stripPrefix("batch-").toLong))
-          }.reduce(_ unionAll _)
-          val latest = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("d"), col("idx"))
-            .orderBy(col("__batch").desc)
-          emissions
-            .withColumn("__rn", row_number().over(latest))
-            .filter(col("__rn") === 1)
-            .drop("__batch", "__rn")
-        }
+      val merged = updateStreamViaCopySink(s, cells, "stream_cms_sink",
+        identity, Seq("d", "idx", "cnt"), Seq("d", "idx"))
       val sketch = merged.select(col("d").cast("int").as("d"),
         col("idx").cast("long").as("idx"), col("cnt").cast("long").as("cnt"))
       val probes = t(s, dir, "documents")

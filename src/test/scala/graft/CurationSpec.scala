@@ -273,14 +273,20 @@ class CurationSpec extends SparkSpec {
 
   test("gopher rules: per-symbol ratio gate matches the paper's 'either'") {
     import spark.implicits._
-    // one '#' and one '...' mid-document: each per-symbol ratio clears
-    // 0.1 on its own (the paper's "either" gate); symbols sit mid-line
-    // so the line-end ellipsis rule stays untriggered
-    val w18 = (1 to 18).map(_ => "the cat and dog sat with that toy")
+    // 20 '#' and 20 '...' over 336 words, all mid-line: each
+    // per-symbol ratio is 20/336 ≈ 0.06 ≤ 0.1 (passes the paper's
+    // per-symbol gate) while the SUM is ≈ 0.12 > 0.1 — the document
+    // the old combined-ratio reading wrongly rejected. This is the
+    // discriminating case: a regression back to a summed gate flips
+    // this doc to pass=false.
+    val base = (1 to 37).map(_ => "the cat and dog sat with that toy")
       .mkString(" ")
-    val ok = Seq((1L, s"$w18 # ... $w18")).toDF("doc_id", "text")
+    val syms = (1 to 20).map(_ => "# ...").mkString(" ")
+    // trailing word keeps the line from ENDING in '...' (rule 5)
+    val ok = Seq((1L, s"$base $syms end")).toDF("doc_id", "text")
     val row = Curation.gopherRules(ok, "doc_id", "text").head()
     assert(row.getLong(4) <= 100000L && row.getLong(5) <= 100000L)
+    assert(row.getLong(4) + row.getLong(5) > 100000L) // sum gate differs
     assert(row.getBoolean(10))
   }
 }
