@@ -1701,6 +1701,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode-script composition (pre-langid crawl step): Cyrillic/CJK/
+    // Greek glyphs injected into thirds of the ASCII corpus by
+    // deterministic replaces; per-script fractions in integer micros,
+    // dominant picked by fixed priority on those integers
+    "text_scripts" -> ((s, dir) => {
+      // half-alphabet replacements make dominance a per-document coin
+      // flip between latin and the injected script — the priority/tie
+      // logic is actually exercised, not just the fractions
+      val injected = when(col("doc_id") % 4 === 1,
+          regexp_replace(col("text"), "[a-m]", "д"))
+        .when(col("doc_id") % 4 === 2,
+          regexp_replace(col("text"), "[a-m]", "中"))
+        .when(col("doc_id") % 4 === 3,
+          regexp_replace(col("text"), "[n-z]", "ω"))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.scriptProfile(injected).as("p"))
+        .select(col("doc_id"), col("p.n_glyphs"), col("p.latin_micro"),
+          col("p.digit_micro"), col("p.cjk_micro"),
+          col("p.cyrillic_micro"), col("p.greek_micro"),
+          col("p.arabic_micro"), col("p.dominant"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // high-entropy token scan (detect-secrets heuristic): every third
+    // doc gets a Tok<md5> credential-shaped suffix whose hex diversity
+    // straddles the 0.5 gate — some flag, some don't, both engines
+    // agree because the gate compares integer micros
+    "secret_scan" -> ((s, dir) => {
+      val injected = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" Tok"),
+            md5(col("doc_id").cast("string"))))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.secretCandidates(injected).as("p"))
+        .select(col("doc_id"),
+          col("p.n_candidates").as("n_candidates"),
+          array_join(col("p.candidates"), ",").as("candidates"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus snapshot diff (data-versioning audit): v2 derived
     // deterministically — every 7th doc dropped, every 5th rewritten,
     // a shifted-id tail appended — and reconciled against v1 on
@@ -3153,6 +3196,77 @@ object SparkEntry {
             AND alpha_frac_micro >= 800000
             AND stop_hits >= 2) AS pass
          FROM g ORDER BY doc_id""",
+
+    "text_scripts" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1
+                    THEN regexp_replace(text, '[a-m]', 'д', 'g')
+                  WHEN doc_id % 4 = 2
+                    THEN regexp_replace(text, '[a-m]', '中', 'g')
+                  WHEN doc_id % 4 = 3
+                    THEN regexp_replace(text, '[n-z]', 'ω', 'g')
+                  ELSE text END AS t FROM documents),
+         f AS (SELECT doc_id,
+             regexp_replace(t, '\s+', '', 'g') AS nw FROM s),
+         g AS (SELECT doc_id,
+             CAST(length(nw) AS BIGINT) AS n_glyphs,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS latin_micro,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS digit_micro,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS cjk_micro,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^\x{0400}-\x{04ff}]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS cyrillic_micro,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^\x{0370}-\x{03ff}]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS greek_micro,
+             CAST(floor(CAST(length(regexp_replace(nw,
+                 '[^\x{0600}-\x{06ff}]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(nw), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS arabic_micro
+           FROM f),
+         h AS (SELECT *, greatest(latin_micro, digit_micro, cjk_micro,
+             cyrillic_micro, greek_micro, arabic_micro) AS m FROM g)
+         SELECT doc_id, n_glyphs, latin_micro, digit_micro, cjk_micro,
+           cyrillic_micro, greek_micro, arabic_micro,
+           CASE WHEN m = 0 THEN 'other'
+                WHEN latin_micro = m THEN 'latin'
+                WHEN digit_micro = m THEN 'digit'
+                WHEN cjk_micro = m THEN 'cjk'
+                WHEN cyrillic_micro = m THEN 'cyrillic'
+                WHEN greek_micro = m THEN 'greek'
+                ELSE 'arabic' END AS dominant
+         FROM h ORDER BY doc_id""",
+
+    "secret_scan" ->
+      """WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || ' Tok' || md5(CAST(doc_id AS VARCHAR))
+               ELSE text END AS t FROM documents),
+         tk AS (SELECT doc_id,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '')
+               AS toks FROM s),
+         c AS (SELECT doc_id, list_filter(toks, x ->
+             length(x) >= 20
+             AND regexp_matches(x, '^[A-Za-z0-9+/=_-]+$')
+             AND CAST(floor(
+               CAST(len(list_distinct(string_split(x, ''))) AS DOUBLE)
+               / CAST(greatest(len(string_split(x, '')), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) >= 500000) AS cands
+           FROM tk)
+         SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+           COALESCE(array_to_string(cands, ','), '') AS candidates
+         FROM c ORDER BY doc_id""",
 
     "snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

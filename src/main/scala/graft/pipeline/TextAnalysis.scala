@@ -131,6 +131,74 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Unicode-script composition — the crawl-curation step BEFORE
+    * language ID (script is cheap and unambiguous; language is a model):
+    * per-document fractions of Latin, digit, CJK, Cyrillic, Greek and
+    * Arabic codepoints over the non-whitespace length, plus the dominant
+    * script. Fractions are integer micros (the library's engine-exact
+    * convention); the dominant pick compares those integers with a FIXED
+    * priority order on ties (latin, digit, cjk, cyrillic, greek, arabic,
+    * then "other"), so any engine reproduces it. Pure Column projection,
+    * no shuffle. */
+  def scriptProfile(text: Column): Column = {
+    def micro(x: Column): Column =
+      floor(x * lit(1e6) + lit(0.5)).cast("long")
+    val nonWs = regexp_replace(text, "\\s+", "")
+    val n = length(nonWs)
+    val safeN = greatest(n, lit(1)).cast("double")
+    def frac(keepClass: String): Column =
+      micro(length(regexp_replace(nonWs, s"[^$keepClass]", ""))
+        .cast("double") / safeN)
+    val latin = frac("a-zA-Z")
+    val digit = frac("0-9")
+    val cjk = frac("\\x{4e00}-\\x{9fff}")
+    val cyr = frac("\\x{0400}-\\x{04ff}")
+    val greek = frac("\\x{0370}-\\x{03ff}")
+    val arabic = frac("\\x{0600}-\\x{06ff}")
+    val m = greatest(latin, digit, cjk, cyr, greek, arabic)
+    val dominant = when(m === 0, lit("other"))
+      .when(latin === m, lit("latin"))
+      .when(digit === m, lit("digit"))
+      .when(cjk === m, lit("cjk"))
+      .when(cyr === m, lit("cyrillic"))
+      .when(greek === m, lit("greek"))
+      .otherwise(lit("arabic"))
+    struct(n.cast("long").as("n_glyphs"),
+      latin.as("latin_micro"), digit.as("digit_micro"),
+      cjk.as("cjk_micro"), cyr.as("cyrillic_micro"),
+      greek.as("greek_micro"), arabic.as("arabic_micro"),
+      dominant.as("dominant"))
+  }
+
+  /** High-entropy token scan — the credential/secret SIGNAL a code or
+    * crawl corpus runs before release (the detect-secrets heuristic
+    * family): tokens at least `minLen` chars drawn from the base64/hex
+    * charset whose character DIVERSITY (distinct chars / length) is at
+    * least `minDiversity` — long diverse single-charset runs are API
+    * keys, tokens and hashes; prose words are short or low-diversity.
+    * Regex-based [[graft.pipeline.Scrub]] catches formatted PII; this
+    * catches the unformatted rest. Returns a struct
+    * (n_candidates, candidates) — the flagged tokens in document order
+    * (callers redact or reject on n_candidates > 0). Pure Column
+    * expression (nested HOFs), no shuffle. Diversity compares in
+    * integer micros so the threshold is engine-exact. */
+  def secretCandidates(text: Column, minLen: Int = 20,
+                       minDiversity: Double = 0.5): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val charset = "^[A-Za-z0-9+/=_-]+$"
+    val cands = filter(toks, t => {
+      val chars = split(t, "")
+      val diversityMicro = floor(
+        size(array_distinct(chars)).cast("double") /
+          greatest(size(chars), lit(1)).cast("double") *
+          lit(1e6) + lit(0.5)).cast("long")
+      length(t) >= minLen && t.rlike(charset) &&
+        diversityMicro >= (minDiversity * 1e6).toLong
+    })
+    struct(size(cands).cast("long").as("n_candidates"),
+      cands.as("candidates"))
+  }
+
   /** Quality features: length, token count, mean token length, punctuation
     * ratio, digit ratio, uppercase ratio. Returns a struct. */
   def qualityFeatures(text: Column): Column = {

@@ -334,4 +334,36 @@ class RetrievalCurationSpec extends SparkSpec {
     assert((out(0).getString(0), out(0).getString(1), out(0).getLong(2))
       == (("x", "y", 2L)))
   }
+
+  test("scriptProfile: per-script fractions and fixed-priority dominance") {
+    import spark.implicits._
+    // "ab 12 中中" → non-ws glyphs: a b 1 2 中 中 = 6
+    val r = Seq(("ab 12 中中")).toDF("t")
+      .select(TextAnalysis.scriptProfile(col("t")).as("p"))
+      .select("p.*").head()
+    assert(r.getLong(0) == 6L)                 // n_glyphs
+    assert(r.getLong(1) == 333333L)            // latin 2/6
+    assert(r.getLong(2) == 333333L)            // digit 2/6
+    assert(r.getLong(3) == 333333L)            // cjk 2/6
+    assert(r.getString(7) == "latin")          // 3-way tie → priority
+    // empty doc → zero glyphs, dominant "other"
+    val e = Seq(("  ")).toDF("t")
+      .select(TextAnalysis.scriptProfile(col("t")).as("p"))
+      .select("p.*").head()
+    assert(e.getLong(0) == 0L && e.getString(7) == "other")
+  }
+
+  test("secretCandidates: length, charset and diversity gates") {
+    import spark.implicits._
+    val key = "aB3dE5gH7jK9mN1pQsUv"          // 20 chars, 20 distinct
+    val monotone = "aaaaaaaaaaaaaaaaaaaa"      // 20 chars, diversity .05
+    val short = "aB3dE5gH7"                    // high diversity, short
+    val badCharset = key.dropRight(1) + "!"   // '!' breaks the charset
+    val r = Seq((s"hello $key $monotone $short $badCharset world"))
+      .toDF("t")
+      .select(TextAnalysis.secretCandidates(col("t")).as("p"))
+      .select("p.*").head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getSeq[String](1) == Seq(key))
+  }
 }
