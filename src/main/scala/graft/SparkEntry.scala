@@ -1803,6 +1803,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PSI drift between two value cohorts (production-ML drift alarm):
+    // cohort b's values deterministically shifted+scaled, pooled
+    // equal-width bins, Laplace-smoothed shares, per-bin terms in
+    // integer micros before the sum
+    "psi_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.filter(col("user_id") % 2 === 0).select(col("value"))
+      val b = e.filter(col("user_id") % 2 === 1)
+        .select((col("value") * 1.15 + 10).as("value"))
+      graft.pipeline.Drift.valuePsi(a, b, "value", bins = 10)
+    }),
+
+    // PMI collocations (phrase mining): top adjacent word pairs by
+    // pointwise mutual information with a min-count floor; exact
+    // integer counts, one double PMI expression, micro-rounded
+    "collocations_pmi" -> ((s, dir) => {
+      Terms.collocations(t(s, dir, "documents"), "doc_id", "text",
+          topN = 20, minCount = 5L)
+        .select(col("v"), col("w"), col("pair_count"),
+          col("pmi_micro"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Count-Min sketch heavy hitters: one-pass mergeable (d, idx, cnt)
     // sketch over token occurrences, then distinct-token point queries.
     // The exact-count oracle is valid because CMS never undercounts and
@@ -3367,6 +3390,67 @@ object SparkEntry {
          c AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM toks
            WHERE w <> '' GROUP BY w)
          SELECT w, est FROM c WHERE est >= 500 ORDER BY w""",
+
+    "psi_drift" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE user_id % 2 = 0 AND value IS NOT NULL),
+         b AS (SELECT CAST(value * 1.15 + 10 AS DOUBLE) AS v FROM events
+           WHERE user_id % 2 = 1 AND value IS NOT NULL),
+         pool AS (SELECT min(v) AS lo, max(v) AS hi FROM
+           (SELECT v FROM a UNION ALL SELECT v FROM b)),
+         ba AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 10)
+             AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+           FROM a, pool GROUP BY 1),
+         bb AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 10)
+             AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS c
+           FROM b, pool GROUP BY 1),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM a),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b),
+         bins AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+         sa AS (SELECT bin, COALESCE(c, 0) AS ca
+           FROM bins LEFT JOIN ba USING (bin)),
+         sb AS (SELECT bin, COALESCE(c, 0) AS cb
+           FROM bins LEFT JOIN bb USING (bin)),
+         terms AS (SELECT CAST(floor(
+             (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+              - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+             * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+                  / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT) AS tm
+           FROM sa JOIN sb USING (bin), na, nb)
+         SELECT na.na AS n_a, nb.nb AS n_b,
+           CASE WHEN na.na > 0 AND nb.nb > 0
+             AND NOT (pool.lo IS NULL OR pool.lo = pool.hi)
+             THEN (SELECT CAST(sum(tm) AS BIGINT) FROM terms) END
+             AS psi_micro
+         FROM na, nb, pool""",
+
+    "collocations_pmi" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9'']+'),
+             x -> x <> '') AS ws FROM documents),
+         toks AS (SELECT unnest(ws) AS w FROM w),
+         c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks
+           GROUP BY w),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks),
+         bg AS (SELECT ws[i] AS v, ws[i + 1] AS w
+           FROM w, unnest(range(1, len(ws))) t(i)),
+         c2 AS (SELECT v, w, CAST(count(*) AS BIGINT) AS pair_count
+           FROM bg GROUP BY v, w HAVING count(*) >= 5),
+         nbg AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT)
+           AS n_bg FROM w),
+         p AS (SELECT c2.v, c2.w, pair_count,
+             CAST(floor(ln(
+               (CAST(pair_count AS DOUBLE) / CAST(n_bg AS DOUBLE))
+               / ((CAST(u1.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                  * (CAST(u2.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+           FROM c2 JOIN c1 u1 ON u1.w = c2.v
+             JOIN c1 u2 ON u2.w = c2.w, nt, nbg),
+         r AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC,
+             v ASC, w ASC) AS rank FROM p)
+         SELECT v, w, pair_count, pmi_micro, rank FROM r
+         WHERE rank <= 20 ORDER BY rank""",
 
     "cms_heavy_hitters" ->
       """WITH toks AS (SELECT

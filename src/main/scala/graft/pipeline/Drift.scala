@@ -95,4 +95,70 @@ object Drift {
         floor(sqrt(col("num").cast("double")) * lit(1e9) + lit(0.5))
           .cast("long").as("drift_nano"))
   }
+
+  /** Population Stability Index between two cohorts of a numeric
+    * column — the standard production-ML drift alarm (PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 investigate): equal-width bins over
+    * the POOLED min/max, Laplace-smoothed bin shares
+    * `p = (c+1)/(n+bins)` so empty bins stay finite, and
+    * `PSI = Σ (p−q)·ln(p/q)`.
+    *
+    * Engine-exact: bin assignment is integer comparisons on the shared
+    * edges, each bin's term rounds to integer micros BEFORE the final
+    * sum (the library's convention — log-domain sums reorder under
+    * parallelism; 10 integer micros cannot). The per-cohort bin tables
+    * are `bins` rows; the only corpus-wide work is one min/max
+    * aggregate and one binned count per cohort — two narrow scans, no
+    * join wider than `bins` rows. NULL values are excluded (they carry
+    * no position on the value axis).
+    *
+    * Output (one row): (n_a, n_b, psi_micro); NULL psi when either
+    * cohort is empty or the pooled range is degenerate (min == max).
+    */
+  def valuePsi(a: DataFrame, b: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val av = a.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val bv = b.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val pooled = av.unionAll(bv)
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // bin index: floor((v - lo) / (hi - lo) * bins) clamped to bins-1;
+    // a degenerate pooled range (lo == hi) would divide by zero under
+    // ANSI — route everything to bin 0 (psi is NULLed by `deg` anyway)
+    def binned(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(pooled))
+        .select(when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("v") - col("lo"))
+              / (col("hi") - col("lo")) * lit(bins)).cast("int"),
+            lit(bins - 1))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val allBins = av.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    def shares(df: DataFrame, cName: String, nName: String): DataFrame = {
+      val n = df.agg(sum(col("c")).as(nName))
+      allBins.join(df, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("c"), lit(0L)).as(cName))
+        .crossJoin(broadcast(n))
+    }
+    val pa = shares(binned(av), "ca", "na")
+    val pb = shares(binned(bv), "cb", "nb")
+    val p = (col("ca") + 1).cast("double") /
+      (col("na") + bins).cast("double")
+    val q = (col("cb") + 1).cast("double") /
+      (col("nb") + bins).cast("double")
+    val termMicro = floor((p - q) * log(p / q) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val degenerate = pooled.select(
+      (col("lo").isNull || col("lo") === col("hi")).as("deg"))
+    pa.join(pb, "bin")
+      .crossJoin(broadcast(degenerate))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        sum(termMicro).as("sum_micro"), min(col("deg")).as("deg"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && !col("deg"),
+          col("sum_micro")).as("psi_micro"))
+  }
 }

@@ -306,6 +306,67 @@ object Terms {
           col("n_bigrams").cast("double"))
   }
 
+  /** PMI collocations — the phrase-mining table (Church & Hanks 1990,
+    * "Word Association Norms, Mutual Information, and Lexicography"):
+    * the top-`topN` adjacent word pairs by pointwise mutual information
+    *
+    *   PMI(v,w) = ln( p(v,w) / (p(v)·p(w)) ),
+    *   p(v,w) = c(v,w)/N_bigrams, p(x) = c(x)/N_tokens,
+    *
+    * gated by `minCount` occurrences (raw PMI favors hapax pairs — the
+    * classic failure the count floor exists for). High-PMI pairs are
+    * collocations ("san francisco"); curation uses the table for
+    * tokenizer phrase lists and template detection.
+    *
+    * This is a [[termStats]]-family operator: the OUTPUT is the word
+    * pair, so pair strings are the aggregation keys (doc-locally
+    * map-side combined; the table after aggregation is bigram-
+    * vocabulary-sized). The head is orderBy().limit() — TakeOrdered,
+    * never a global sort; rank is a window over the topN-row head
+    * only. PMI rounds to integer micros AFTER the count ratios (exact
+    * integer counts, one double expression per pair) so the ordering
+    * and values reproduce on any engine.
+    *
+    * Output: (v, w, pair_count, pmi_micro, rank), rank 1..topN by
+    * pmi desc then (v, w) asc.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   topN: Int = 20, minCount: Long = 5L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val ws = filter(split(lower(col(textCol)), SeparatorClass),
+      w => w =!= "")
+    val base = df.select(col(idCol).as("id"), ws.as("ws"))
+    val c1 = base.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = c1.agg(sum(col("c1")).as("n_tok"))
+    val idxs = when(size(col("ws")) >= 2, sequence(lit(0),
+      size(col("ws")) - 2)).otherwise(array().cast("array<int>"))
+    val c2 = base.select(col("ws"), explode(idxs).as("pos"))
+      .select(element_at(col("ws"), col("pos") + 1).as("v"),
+        element_at(col("ws"), col("pos") + 2).as("w"))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val nBg = base.select(
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_bg"))
+    val pmi = log(
+      (col("pair_count").cast("double") / col("n_bg").cast("double")) /
+        ((col("c1v").cast("double") / col("n_tok").cast("double")) *
+          (col("c1").cast("double") / col("n_tok").cast("double"))))
+    val head = c2
+      .join(broadcast(c1.select(col("w").as("v"), col("c1").as("c1v"))),
+        "v")
+      .join(broadcast(c1), "w")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("v"), col("w"), col("pair_count"),
+        floor(pmi * lit(1e6) + lit(0.5)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("v").asc, col("w").asc)
+      .limit(topN)
+    val rw = Window.orderBy(col("pmi_micro").desc, col("v").asc,
+      col("w").asc)
+    head.withColumn("rank", row_number().over(rw))
+  }
+
   /** BPE first-merge statistics: the top-`topN` adjacent CHARACTER pairs
     * across the corpus, weighted by word frequency — the table a BPE /
     * WordPiece tokenizer trainer consults to pick its next merge (the

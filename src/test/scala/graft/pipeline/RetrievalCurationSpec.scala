@@ -353,6 +353,41 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getString(7) == "other")
   }
 
+  test("valuePsi: two-bin hand check, degenerate and empty guards") {
+    import spark.implicits._
+    val a = Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0).toDF("value")
+    val b = Seq(1.0, 1.0).toDF("value")
+    val r = Drift.valuePsi(a, b, "value", bins = 2).head()
+    // pooled lo=0 hi=1; a bins (3,3) n=6; b bins (0,2) n=2
+    // p=(4/8,4/8) q=(1/4,3/4); terms micro-rounded then summed
+    def term(p: Double, q: Double): Long =
+      math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+    val expect = term(4.0 / 8, 1.0 / 4) + term(4.0 / 8, 3.0 / 4)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == expect)
+    // constant pooled range → NULL psi, counts still reported
+    val c = Seq(5.0, 5.0).toDF("value")
+    assert(Drift.valuePsi(c, c, "value").head().isNullAt(2))
+    // empty cohort → NULL psi
+    val e = Seq.empty[Double].toDF("value")
+    assert(Drift.valuePsi(a, e, "value").head().isNullAt(2))
+  }
+
+  test("collocations: PMI formula and min-count floor, hand-checked") {
+    import spark.implicits._
+    // tokens: x3 y3 z1, N=7; bigrams: (x,y)x3 (y,x)x1 (y,z)x1, Nb=5
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = Terms.collocations(docs, "doc_id", "text",
+      topN = 5, minCount = 2L).collect()
+    assert(got.length == 1) // only (x,y) clears the floor
+    val r = got(0)
+    val pmi = math.log((3.0 / 5.0) /
+      ((3.0 / 7.0) * (3.0 / 7.0)))
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("x", "y", 3L)))
+    assert(r.getLong(3) == math.floor(pmi * 1e6 + 0.5).toLong)
+    assert(r.getInt(4) == 1)
+  }
+
   test("secretCandidates: length, charset and diversity gates") {
     import spark.implicits._
     val key = "aB3dE5gH7jK9mN1pQsUv"          // 20 chars, 20 distinct
