@@ -1815,6 +1815,27 @@ object SparkEntry {
       graft.pipeline.Drift.valuePsi(a, b, "value", bins = 10)
     }),
 
+    // exact two-sample KS statistic (bin-free drift companion): same
+    // shifted cohorts as psi_drift; CDF gaps over distinct values in
+    // integer micros, max taken after rounding
+    "ks_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.filter(col("user_id") % 2 === 0).select(col("value"))
+      val b = e.filter(col("user_id") % 2 === 1)
+        .select((col("value") * 1.15 + 10).as("value"))
+      graft.pipeline.Drift.valueKs(a, b, "value")
+    }),
+
+    // per-source Jensen–Shannon divergence from the corpus unigram
+    // blend (domain-mix diagnostic): one tokenize pass, vocab×strata
+    // scoring grid, per-term contributions in integer micros
+    "source_divergence" -> ((s, dir) => {
+      Terms.sourceDivergence(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum").as("source"), col("n_toks"),
+          col("js_micro"))
+        .orderBy(col("source"))
+    }),
+
     // PMI collocations (phrase mining): top adjacent word pairs by
     // pointwise mutual information with a min-count floor; exact
     // integer counts, one double PMI expression, micro-rounded
@@ -3424,6 +3445,65 @@ object SparkEntry {
              THEN (SELECT CAST(sum(tm) AS BIGINT) FROM terms) END
              AS psi_micro
          FROM na, nb, pool""",
+
+    "ks_drift" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE user_id % 2 = 0 AND value IS NOT NULL),
+         b AS (SELECT CAST(value * 1.15 + 10 AS DOUBLE) AS v FROM events
+           WHERE user_id % 2 = 1 AND value IS NOT NULL),
+         ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a
+           GROUP BY v),
+         cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b
+           GROUP BY v),
+         g AS (SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+           FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         c AS (SELECT
+             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS fa,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS fb
+           FROM g),
+         gaps AS (SELECT CAST(floor(abs(
+             CAST(fa AS DOUBLE) / CAST(greatest(na, 1) AS DOUBLE)
+             - CAST(fb AS DOUBLE) / CAST(greatest(nb, 1) AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS gap FROM c, t)
+         SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+             THEN (SELECT max(gap) FROM gaps) END AS ks_micro
+         FROM t""",
+
+    "source_divergence" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9'']+'),
+             x -> x <> '')) AS w FROM documents),
+         cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+           FROM toks GROUP BY source, w),
+         cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM cs
+           GROUP BY w),
+         ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM cs
+           GROUP BY source),
+         tt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM cw),
+         grid AS (SELECT ns.source, cw.w, ns.n_s, cw.c_w, cs.c_sw
+           FROM cw CROSS JOIN ns
+           LEFT JOIN cs ON cs.source = ns.source AND cs.w = cw.w),
+         pq AS (SELECT source, n_s,
+             CAST(COALESCE(c_sw, 0) AS DOUBLE) / CAST(n_s AS DOUBLE)
+               AS p,
+             CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q,
+             0.5 * (CAST(COALESCE(c_sw, 0) AS DOUBLE)
+                      / CAST(n_s AS DOUBLE)
+                    + CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS m
+           FROM grid, tt),
+         terms AS (SELECT source, n_s, CAST(floor((
+             0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+             + 0.5 * (q * ln(q / m)))
+             * 1000000.0 + 0.5) AS BIGINT) AS tm FROM pq)
+         SELECT source, n_s AS n_toks,
+           CAST(sum(tm) AS BIGINT) AS js_micro
+         FROM terms GROUP BY source, n_s ORDER BY source""",
 
     "collocations_pmi" ->
       """WITH w AS (SELECT doc_id, list_filter(

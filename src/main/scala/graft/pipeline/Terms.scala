@@ -306,6 +306,54 @@ object Terms {
           col("n_bigrams").cast("double"))
   }
 
+  /** Per-stratum Jensen–Shannon divergence from the corpus unigram
+    * distribution — the domain-mix DIAGNOSTIC behind reweighting
+    * decisions ([[graft.pipeline.Curation.mixtureResample]] moves data;
+    * this measures which sources are lexically far from the blend):
+    *
+    *   JS(P_s ‖ Q) = ½·KL(P_s ‖ M) + ½·KL(Q ‖ M),  M = ½(P_s + Q),
+    *
+    * with P_s the stratum's unigram distribution and Q the corpus's.
+    * Bounded by ln 2; 0 means the source is lexically indistinguishable
+    * from the corpus blend.
+    *
+    * Scale shape: ONE tokenize pass builds (stratum, term) counts;
+    * per-term corpus counts and stratum totals derive from that table
+    * by further aggregation (never a second corpus scan). The scoring
+    * grid is vocabulary × strata rows — aggregate-compressed, orders of
+    * magnitude below corpus bytes (terms absent from a stratum still
+    * contribute their ½·q·ln(q/m) mass through a left join). Per-term
+    * contributions round to integer micros before the per-stratum sum —
+    * engine-exact by the library's convention.
+    *
+    * Output: (stratum, n_toks, js_micro), one row per stratum.
+    */
+  def sourceDivergence(df: DataFrame, stratumCol: String,
+                       textCol: String): DataFrame = {
+    val toks = df.select(col(stratumCol).as("stratum"),
+        explode(filter(split(lower(col(textCol)), SeparatorClass),
+          w => w =!= "")).as("w"))
+    val cs = toks.groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = cs.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = cs.groupBy(col("stratum")).agg(sum(col("c_sw")).as("n_s"))
+    val total = cw.agg(sum(col("c_w")).as("n_tot"))
+    val p = coalesce(col("c_sw"), lit(0L)).cast("double") /
+      col("n_s").cast("double")
+    val q = col("c_w").cast("double") / col("n_tot").cast("double")
+    val m = lit(0.5) * (p + q)
+    val term = lit(0.5) *
+        when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      lit(0.5) * (q * log(q / m))
+    cw.crossJoin(broadcast(ns))
+      .join(cs, Seq("stratum", "w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_s"),
+        floor(term * lit(1e6) + lit(0.5)).cast("long").as("tm"))
+      .groupBy(col("stratum"))
+      .agg(min(col("n_s")).as("n_toks"), sum(col("tm")).as("js_micro"))
+  }
+
   /** PMI collocations — the phrase-mining table (Church & Hanks 1990,
     * "Word Association Norms, Mutual Information, and Lexicography"):
     * the top-`topN` adjacent word pairs by pointwise mutual information

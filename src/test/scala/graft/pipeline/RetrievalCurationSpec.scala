@@ -373,6 +373,34 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(Drift.valuePsi(a, e, "value").head().isNullAt(2))
   }
 
+  test("valueKs: exact CDF-gap max, hand-checked; empty cohort NULL") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0).toDF("value")
+    val b = Seq(2.0, 3.0).toDF("value")
+    val r = Drift.valueKs(a, b, "value").head()
+    // distinct v 1,2,3: F_a = .5,1,1; F_b = 0,.5,1 → max gap .5
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 500000L)
+    val e = Seq.empty[Double].toDF("value")
+    assert(Drift.valueKs(a, e, "value").head().isNullAt(2))
+  }
+
+  test("sourceDivergence: JS vs hand-computed two-stratum corpus") {
+    import spark.implicits._
+    val docs = Seq(("A", "x x"), ("B", "y y")).toDF("source", "text")
+    def tm(p: Double, q: Double): Long = {
+      val m = 0.5 * (p + q)
+      math.floor((0.5 * (if (p > 0) p * math.log(p / m) else 0.0)
+        + 0.5 * (q * math.log(q / m))) * 1e6 + 0.5).toLong
+    }
+    // stratum A: word x (p=1,q=.5) + word y (p=0,q=.5); B symmetric
+    val expect = tm(1.0, 0.5) + tm(0.0, 0.5)
+    val got = Terms.sourceDivergence(docs, "source", "text")
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 2L, expect), ("B", 2L, expect)))
+  }
+
   test("collocations: PMI formula and min-count floor, hand-checked") {
     import spark.implicits._
     // tokens: x3 y3 z1, N=7; bigrams: (x,y)x3 (y,x)x1 (y,z)x1, Nb=5
