@@ -3,13 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Generate an N× scaled copy of a testdata directory's `documents` and
-  * `embeddings` tables — the corpus behind the scale-curve measurements
-  * in COVERAGE.md (dedup/ANN wall-time at 1× vs 10×). Replica k offsets
-  * ids by k·1,000,000 and perturbs content deterministically (a per-copy
-  * suffix token on text, a per-copy epsilon on one embedding dimension),
-  * so the scaled corpus has both more documents AND a denser near-dup
-  * pair structure — the honest stress for candidate-generation scaling.
+/** Generate an N× scaled copy of a testdata directory's `documents`,
+  * `embeddings` and `events` tables — the corpus behind the scale-curve
+  * measurements in COVERAGE.md (dedup/ANN wall-time at 1× vs 10×).
+  * Replica k offsets ids by k·1,000,000 and perturbs content
+  * deterministically (a per-copy suffix token on text, a per-copy
+  * epsilon on one embedding dimension), so the scaled corpus has both
+  * more documents AND a denser near-dup pair structure — the honest
+  * stress for candidate-generation scaling. Events replicate with
+  * offset event/user ids and a per-copy value epsilon (new users, same
+  * value distribution shape — what the drift operators expect of a
+  * bigger cohort).
   *
   * Usage: ScaleCorpus <srcSfDir> <outDir> [factor=10]
   */
@@ -23,6 +27,9 @@ object ScaleCorpus {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      // older events.parquet carries TIMESTAMP(NANOS): read as long
+      // nanos (SparkEntry.normalizeEventTs handles either layout)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -54,7 +61,20 @@ object ScaleCorpus {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[scale] wrote ${factor}x documents+embeddings to $out")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val evCopies = (0 until factor).map { k =>
+      if (k == 0) events
+      else events.select(
+        (col("event_id") + k * 10000000L).as("event_id"), col("ts"),
+        (col("user_id") + k * 1000000L).as("user_id"),
+        col("event_type"),
+        (col("value") + lit(k * 1e-3)).as("value"), col("props"))
+    }
+    evCopies.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scale] wrote ${factor}x documents+embeddings+events to $out")
     spark.stop()
   }
 }
