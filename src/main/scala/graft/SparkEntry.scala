@@ -100,8 +100,7 @@ object SparkEntry {
     val batchDirs = Option(new java.io.File(outRoot).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(d => d.getName.startsWith("batch-") &&
-        d.listFiles() != null && d.listFiles().nonEmpty)
-      .sortBy(_.getName.stripPrefix("batch-").toLong)
+        Option(d.listFiles()).exists(_.nonEmpty))
     if (batchDirs.isEmpty) {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(fields.map(f =>
@@ -1840,7 +1839,7 @@ object SparkEntry {
     // pointwise mutual information with a min-count floor; exact
     // integer counts, one double PMI expression, micro-rounded
     "collocations_pmi" -> ((s, dir) => {
-      Terms.collocations(t(s, dir, "documents"), "doc_id", "text",
+      Terms.collocations(t(s, dir, "documents"), "text",
           topN = 20, minCount = 5L)
         .select(col("v"), col("w"), col("pair_count"),
           col("pmi_micro"), col("rank"))
@@ -3458,8 +3457,8 @@ object SparkEntry {
          g AS (SELECT COALESCE(ca.v, cb.v) AS v,
              COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
            FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
-         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-             CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         t AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
+             CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb FROM g),
          c AS (SELECT
              sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW) AS fa,

@@ -115,51 +115,6 @@ object Drift {
     * Output (one row): (n_a, n_b, psi_micro); NULL psi when either
     * cohort is empty or the pooled range is degenerate (min == max).
     */
-  /** Exact two-sample Kolmogorov–Smirnov statistic — the bin-free
-    * companion to [[valuePsi]]: `KS = max_v |F_a(v) − F_b(v)|` over the
-    * pooled empirical CDFs. PSI answers "how much did the distribution
-    * move" through a fixed binning; KS answers "what is the largest
-    * CDF gap anywhere" with no binning choice at all.
-    *
-    * Scale shape (the [[Classifier.aucByLabel]] pattern): both cohorts
-    * compress to per-DISTINCT-value counts first, and the only ordered
-    * pass is a cumulative sum over that compressed frame — bounded by
-    * distinct values, not rows. Each CDF gap is two exact integer
-    * ratios in doubles, micro-rounded BEFORE the max, so the statistic
-    * reproduces on any engine. NULLs are excluded.
-    *
-    * Output (one row): (n_a, n_b, ks_micro); NULL ks when either
-    * cohort is empty.
-    */
-  def valueKs(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def counted(df: DataFrame, cName: String): DataFrame =
-      df.select(col(valueCol).cast("double").as("v"))
-        .filter(col("v").isNotNull)
-        .groupBy(col("v")).agg(count(lit(1)).as(cName))
-    val g = counted(a, "ca").join(counted(b, "cb"), Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
-    val totals = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // greatest(·,1) keeps the division ANSI-safe when a cohort is
-    // empty — ks_micro is NULLed below in that case anyway
-    val gapMicro = floor(abs(
-      col("fa").cast("double") / greatest(col("n_a"), lit(1L)).cast("double") -
-        col("fb").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))
-      * lit(1e6) + lit(0.5)).cast("long")
-    g.select(sum(col("ca")).over(w).as("fa"),
-        sum(col("cb")).over(w).as("fb"))
-      .crossJoin(broadcast(totals))
-      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
-        max(gapMicro).as("gap"))
-      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        when(col("n_a") > 0 && col("n_b") > 0, col("gap"))
-          .as("ks_micro"))
-  }
-
   def valuePsi(a: DataFrame, b: DataFrame, valueCol: String,
                bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
@@ -205,5 +160,50 @@ object Drift {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         when(col("n_a") > 0 && col("n_b") > 0 && !col("deg"),
           col("sum_micro")).as("psi_micro"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the bin-free
+    * companion to [[valuePsi]]: `KS = max_v |F_a(v) − F_b(v)|` over the
+    * pooled empirical CDFs. PSI answers "how much did the distribution
+    * move" through a fixed binning; KS answers "what is the largest
+    * CDF gap anywhere" with no binning choice at all.
+    *
+    * Scale shape (the [[Classifier.aucByLabel]] pattern): both cohorts
+    * compress to per-DISTINCT-value counts first, and the only ordered
+    * pass is a cumulative sum over that compressed frame — bounded by
+    * distinct values, not rows. Each CDF gap is two exact integer
+    * ratios in doubles, micro-rounded BEFORE the max, so the statistic
+    * reproduces on any engine. NULLs are excluded.
+    *
+    * Output (one row): (n_a, n_b, ks_micro); NULL ks when either
+    * cohort is empty.
+    */
+  def valueKs(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counted(df: DataFrame, cName: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as(cName))
+    val g = counted(a, "ca").join(counted(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // greatest(·,1) keeps the division ANSI-safe when a cohort is
+    // empty — ks_micro is NULLed below in that case anyway
+    val gapMicro = floor(abs(
+      col("fa").cast("double") / greatest(col("n_a"), lit(1L)).cast("double") -
+        col("fb").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))
+      * lit(1e6) + lit(0.5)).cast("long")
+    g.select(sum(col("ca")).over(w).as("fa"),
+        sum(col("cb")).over(w).as("fb"))
+      .crossJoin(broadcast(totals))
+      .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+        max(gapMicro).as("gap"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("gap"))
+          .as("ks_micro"))
   }
 }

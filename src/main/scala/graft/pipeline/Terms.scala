@@ -330,9 +330,10 @@ object Terms {
     */
   def sourceDivergence(df: DataFrame, stratumCol: String,
                        textCol: String): DataFrame = {
-    val toks = df.select(col(stratumCol).as("stratum"),
-        explode(filter(split(lower(col(textCol)), SeparatorClass),
-          w => w =!= "")).as("w"))
+    // termRows keys by "id" — here the id IS the stratum (one shared
+    // tokenizer for every term-level operator, per the file header)
+    val toks = termRows(df, stratumCol, textCol)
+      .select(col("id").as("stratum"), col("w"))
     val cs = toks.groupBy(col("stratum"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
     val cw = cs.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
@@ -378,12 +379,14 @@ object Terms {
     * Output: (v, w, pair_count, pmi_micro, rank), rank 1..topN by
     * pmi desc then (v, w) asc.
     */
-  def collocations(df: DataFrame, idCol: String, textCol: String,
+  def collocations(df: DataFrame, textCol: String,
                    topN: Int = 20, minCount: Long = 5L): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
+    // no id column: bigram adjacency is row-local to each document's
+    // token array, and the output is corpus-level pairs
     val ws = filter(split(lower(col(textCol)), SeparatorClass),
       w => w =!= "")
-    val base = df.select(col(idCol).as("id"), ws.as("ws"))
+    val base = df.select(ws.as("ws"))
     val c1 = base.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val nTok = c1.agg(sum(col("c1")).as("n_tok"))

@@ -62,9 +62,12 @@ object ScaleCorpus {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val events = spark.read.parquet(s"$src/events.parquet")
+    // every copy (k=0 included) selects the SAME explicit column list —
+    // positional unionAll must never depend on the parquet's physical
+    // order (ts-as-long and user_id are union-compatible, so a reorder
+    // would silently cross-assign them)
     val evCopies = (0 until factor).map { k =>
-      if (k == 0) events
-      else events.select(
+      events.select(
         (col("event_id") + k * 10000000L).as("event_id"), col("ts"),
         (col("user_id") + k * 1000000L).as("user_id"),
         col("event_type"),

@@ -405,7 +405,7 @@ class RetrievalCurationSpec extends SparkSpec {
     import spark.implicits._
     // tokens: x3 y3 z1, N=7; bigrams: (x,y)x3 (y,x)x1 (y,z)x1, Nb=5
     val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
-    val got = Terms.collocations(docs, "doc_id", "text",
+    val got = Terms.collocations(docs, "text",
       topN = 5, minCount = 2L).collect()
     assert(got.length == 1) // only (x,y) clears the floor
     val r = got(0)
