@@ -1814,6 +1814,50 @@ object SparkEntry {
       graft.pipeline.Drift.valuePsi(a, b, "value", bins = 10)
     }),
 
+    // STREAMING drift monitor: per-hour-window PSI of event values
+    // against the whole-corpus reference distribution. Bin edges are
+    // fixed up front (the contract any incremental monitor needs — a
+    // 2-double driver collect), per-(window, bin) counts accumulate as
+    // an update-mode streaming aggregation with state bounded at
+    // windows × bins, and the merged counts score through the same
+    // Laplace-smoothed micro-term arithmetic as batch PSI
+    "events_stream_psi" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val batch = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("ts"), col("value").cast("double").as("v"))
+      val Array(lo, hi) = batch.agg(min(col("v")), max(col("v")))
+        .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+      def binE(v: Column): Column =
+        if (hi == lo) lit(0)
+        else least(floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(10))
+          .cast("int"), lit(9))
+      val ref = batch.groupBy(binE(col("v")).as("bin"))
+        .agg(count(lit(1)).as("cr"))
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .transform(normalizeEventTs)
+        .filter(col("value").isNotNull)
+        .select(col("ts"), col("value").cast("double").as("v"))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour"), binE(col("v")).as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val merged = updateStreamViaCopySink(s, agg, "events_stream_psi",
+        b => b.select(col("window.start").as("w_start"), col("bin"),
+          col("c")),
+        Seq("w_start", "bin", "c"), Seq("w_start", "bin"))
+      graft.pipeline.Drift.psiFromBinCounts(
+          merged.select(col("w_start").cast("timestamp").as("w_start"),
+            col("bin").cast("int").as("bin"),
+            col("c").cast("long").as("c")),
+          "w_start", "bin", "c", ref, "bin", "cr", bins = 10)
+        .select(col("w_start"), col("n"), col("psi_micro"))
+        .orderBy(col("w_start"))
+    }),
+
     // exact two-sample KS statistic (bin-free drift companion): same
     // shifted cohorts as psi_drift; CDF gaps over distinct values in
     // integer micros, max taken after rounding
@@ -3444,6 +3488,39 @@ object SparkEntry {
              THEN (SELECT CAST(sum(tm) AS BIGINT) FROM terms) END
              AS psi_micro
          FROM na, nb, pool""",
+
+    "events_stream_psi" ->
+      """WITH v AS (SELECT ts, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
+         r AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+         ref AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 10)
+             AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS cr
+           FROM v, r GROUP BY 1),
+         nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n_r FROM ref),
+         wb AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+             least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT), 9)
+               AS bin, CAST(count(*) AS BIGINT) AS c
+           FROM v, r GROUP BY 1, 2),
+         ng AS (SELECT w_start, CAST(sum(c) AS BIGINT) AS n_g FROM wb
+           GROUP BY w_start),
+         grid AS (SELECT ng.w_start, ng.n_g, b.bin, wb.c, ref.cr
+           FROM ng CROSS JOIN
+             (SELECT CAST(range AS INT) AS bin FROM range(10)) b
+           LEFT JOIN wb ON wb.w_start = ng.w_start AND wb.bin = b.bin
+           LEFT JOIN ref ON ref.bin = b.bin),
+         terms AS (SELECT w_start, n_g, CAST(floor((
+             (CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+                / CAST(n_g + 10 AS DOUBLE)
+              - CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                / CAST(n_r + 10 AS DOUBLE))
+             * ln((CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+                     / CAST(n_g + 10 AS DOUBLE))
+                  / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+                     / CAST(n_r + 10 AS DOUBLE))))
+             * 1000000.0 + 0.5) AS BIGINT) AS tm
+           FROM grid, nr)
+         SELECT w_start, n_g AS n, CAST(sum(tm) AS BIGINT) AS psi_micro
+         FROM terms GROUP BY w_start, n_g ORDER BY w_start""",
 
     "ks_drift" ->
       """WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events

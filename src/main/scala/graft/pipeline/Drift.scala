@@ -162,6 +162,51 @@ object Drift {
           col("sum_micro")).as("psi_micro"))
   }
 
+  /** PSI per GROUP against one reference bin table — the monitoring
+    * core behind a streaming drift alarm: callers bin values upstream
+    * (fixed, pre-agreed edges — the contract any incremental monitor
+    * needs, since edges must not move while state accumulates) and
+    * hand this (group, bin, c) counts; every group is scored against
+    * the same reference with the [[valuePsi]] arithmetic (Laplace
+    * smoothing, per-bin integer-micro terms, engine-exact).
+    *
+    * Bins absent from a group (or the reference) count 0 via the grid
+    * join, so a group that saw values in only one bin still pays the
+    * full divergence. Shapes: the grid is groups × `bins` rows; the
+    * reference is `bins` rows and broadcasts.
+    *
+    * Output: (group, n, psi_micro) — one row per group present in
+    * `counts`.
+    */
+  def psiFromBinCounts(counts: DataFrame, groupCol: String,
+                       binCol: String, cCol: String,
+                       ref: DataFrame, refBinCol: String,
+                       refCCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val c = counts.select(col(groupCol).as("g"),
+      col(binCol).cast("int").as("bin"), col(cCol).cast("long").as("c"))
+    val r = ref.select(col(refBinCol).cast("int").as("bin"),
+      col(refCCol).cast("long").as("cr"))
+    val nr = r.agg(sum(col("cr")).as("n_r"))
+    val ng = c.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val allBins = counts.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val grid = ng.crossJoin(allBins)
+      .join(c, Seq("g", "bin"), "left")
+      .join(broadcast(r), Seq("bin"), "left")
+      .crossJoin(broadcast(nr))
+    val p = (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+      (col("n_g") + bins).cast("double")
+    val q = (coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+      (col("n_r") + bins).cast("double")
+    val termMicro = floor((p - q) * log(p / q) * lit(1e6) + lit(0.5))
+      .cast("long")
+    grid.select(col("g"), col("n_g"), termMicro.as("tm"))
+      .groupBy(col("g"))
+      .agg(min(col("n_g")).as("n"), sum(col("tm")).as("psi_micro"))
+      .select(col("g").as(groupCol), col("n"), col("psi_micro"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the bin-free
     * companion to [[valuePsi]]: `KS = max_v |F_a(v) − F_b(v)|` over the
     * pooled empirical CDFs. PSI answers "how much did the distribution

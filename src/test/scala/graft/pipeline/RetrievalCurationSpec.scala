@@ -385,6 +385,25 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(Drift.valueKs(a, e, "value").head().isNullAt(2))
   }
 
+  test("psiFromBinCounts: per-group PSI vs the valuePsi arithmetic") {
+    import spark.implicits._
+    // group g1 saw bins (0:3, 1:3); reference is (0:1, 1:3); bins=2
+    val counts = Seq(("g1", 0, 3L), ("g1", 1, 3L)).toDF("g", "bin", "c")
+    val ref = Seq((0, 1L), (1, 3L)).toDF("bin", "cr")
+    def tm(p: Double, q: Double): Long =
+      math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+    val expect = tm(4.0 / 8, 2.0 / 6) + tm(4.0 / 8, 4.0 / 6)
+    val r = graft.pipeline.Drift.psiFromBinCounts(counts, "g", "bin",
+      "c", ref, "bin", "cr", bins = 2).head()
+    assert(r.getString(0) == "g1" && r.getLong(1) == 6L)
+    assert(r.getLong(2) == expect)
+    // a group with every value in one bin still pays the empty bin
+    val skew = Seq(("g2", 0, 6L)).toDF("g", "bin", "c")
+    val r2 = graft.pipeline.Drift.psiFromBinCounts(skew, "g", "bin",
+      "c", ref, "bin", "cr", bins = 2).head()
+    assert(r2.getLong(2) == tm(7.0 / 8, 2.0 / 6) + tm(1.0 / 8, 4.0 / 6))
+  }
+
   test("sourceDivergence: JS vs hand-computed two-stratum corpus") {
     import spark.implicits._
     val docs = Seq(("A", "x x"), ("B", "y y")).toDF("source", "text")
