@@ -1827,12 +1827,22 @@ object SparkEntry {
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val batch = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("ts"), col("value").cast("double").as("v"))
-      val Array(lo, hi) = batch.agg(min(col("v")), max(col("v")))
-        .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+      val edges = batch.agg(min(col("v")), max(col("v"))).head()
+      if (edges.isNullAt(0)) {
+        // no non-null values → no windows to monitor: empty result
+        // (matches the oracle, which yields zero window groups)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("w_start",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("psi_micro",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+      val (lo, hi) = (edges.getDouble(0), edges.getDouble(1))
       def binE(v: Column): Column =
-        if (hi == lo) lit(0)
-        else least(floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(10))
-          .cast("int"), lit(9))
+        graft.pipeline.Drift.binIndex(v, lit(lo), lit(hi), 10)
       val ref = batch.groupBy(binE(col("v")).as("bin"))
         .agg(count(lit(1)).as("cr"))
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1856,6 +1866,7 @@ object SparkEntry {
           "w_start", "bin", "c", ref, "bin", "cr", bins = 10)
         .select(col("w_start"), col("n"), col("psi_micro"))
         .orderBy(col("w_start"))
+      }
     }),
 
     // exact two-sample KS statistic (bin-free drift companion): same
@@ -3493,13 +3504,15 @@ object SparkEntry {
       """WITH v AS (SELECT ts, CAST(value AS DOUBLE) AS v FROM events
            WHERE value IS NOT NULL),
          r AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
-         ref AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 10)
-             AS INT), 9) AS bin, CAST(count(*) AS BIGINT) AS cr
+         ref AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+             least(CAST(floor((v - lo) / (hi - lo) * 10)
+             AS INT), 9) END AS bin, CAST(count(*) AS BIGINT) AS cr
            FROM v, r GROUP BY 1),
          nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n_r FROM ref),
          wb AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
-             least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT), 9)
-               AS bin, CAST(count(*) AS BIGINT) AS c
+             CASE WHEN hi = lo THEN 0 ELSE
+               least(CAST(floor((v - lo) / (hi - lo) * 10) AS INT), 9)
+               END AS bin, CAST(count(*) AS BIGINT) AS c
            FROM v, r GROUP BY 1, 2),
          ng AS (SELECT w_start, CAST(sum(c) AS BIGINT) AS n_g FROM wb
            GROUP BY w_start),

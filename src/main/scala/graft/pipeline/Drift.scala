@@ -124,15 +124,9 @@ object Drift {
       .filter(col("v").isNotNull)
     val pooled = av.unionAll(bv)
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    // bin index: floor((v - lo) / (hi - lo) * bins) clamped to bins-1;
-    // a degenerate pooled range (lo == hi) would divide by zero under
-    // ANSI — route everything to bin 0 (psi is NULLed by `deg` anyway)
     def binned(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(pooled))
-        .select(when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(floor((col("v") - col("lo"))
-              / (col("hi") - col("lo")) * lit(bins)).cast("int"),
-            lit(bins - 1))).as("bin"))
+        .select(binIndex(col("v"), col("lo"), col("hi"), bins).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("c"))
     val allBins = av.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin"))
@@ -161,6 +155,18 @@ object Drift {
         when(col("n_a") > 0 && col("n_b") > 0 && !col("deg"),
           col("sum_micro")).as("psi_micro"))
   }
+
+  /** THE equal-width bin index every PSI surface shares:
+    * `floor((v − lo) / (hi − lo) · bins)` clamped to `bins − 1`, with a
+    * degenerate range (lo == hi — ANSI division by zero otherwise)
+    * routing everything to bin 0. [[valuePsi]] and the streaming
+    * monitor's fixed-edge binning must stay bit-identical or the
+    * "same arithmetic as batch PSI" contract silently breaks — edit
+    * here, never inline. */
+  def binIndex(v: Column, lo: Column, hi: Column, bins: Int): Column =
+    when(hi === lo, lit(0))
+      .otherwise(least(floor((v - lo) / (hi - lo) * lit(bins))
+        .cast("int"), lit(bins - 1)))
 
   /** PSI per GROUP against one reference bin table — the monitoring
     * core behind a streaming drift alarm: callers bin values upstream

@@ -34,8 +34,13 @@ object ScaleCorpus {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // every copy (k=0 included) selects the SAME explicit column list —
+    // positional unionAll must never depend on the parquet's physical
+    // order (lang/source are union-compatible strings, so a reorder
+    // would silently cross-assign them)
     val docCopies = (0 until factor).map { k =>
-      if (k == 0) docs
+      if (k == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
       else docs.select(
         (col("doc_id") + k * 1000000L).as("doc_id"),
         concat(col("text"), lit(s" rep$k-"), col("doc_id")).as("text"),
@@ -48,7 +53,8 @@ object ScaleCorpus {
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
     val embCopies = (0 until factor).map { k =>
-      if (k == 0) embs
+      if (k == 0) embs.select(col("vec_id"), col("embedding"),
+        col("label"))
       else embs.select(
         (col("vec_id") + k * 1000000L).as("vec_id"),
         // nudge one dimension per copy: near-identical, not identical
