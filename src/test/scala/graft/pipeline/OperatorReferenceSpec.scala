@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized cross-checks of the round-12 rule/sketch/drift operators
+  * against independent driver-side scalar references — one Spark job
+  * per property over a seeded random corpus (batch-style, not
+  * per-case forAll: a Spark job per ScalaCheck case would dominate the
+  * suite's wall). The references restate the SEMANTICS in plain Scala
+  * (Java regex + arithmetic), so an operator bug in HOF plumbing,
+  * regex dialect or rounding shows up as a row mismatch. */
+class OperatorReferenceSpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(0xC0FFEE)
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  // ---- random corpus shared by the rule-set properties ----
+  private val vocabulary = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with", "cat", "dog", "spark", "merge", "a", "#", "...",
+    "-", "•", "javascript", "lorem", "ipsum", "{", "x1", "longword")
+  private def randomDoc(): String = {
+    val n = rng.nextInt(80)
+    (0 until n).map { _ =>
+      val w = vocabulary(rng.nextInt(vocabulary.length))
+      if (rng.nextInt(8) == 0) w + "\n" else w + " "
+    }.mkString
+  }
+  private lazy val docs = (0 until 200).map(i => (i.toLong, randomDoc()))
+
+  test("gopherRules matches a scalar reference on 200 random docs") {
+    import spark.implicits._
+    def ref(text: String) = {
+      val t = text.toLowerCase
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val lines = t.split("\n", -1)
+      val nW = words.length.toLong
+      val nL = lines.length.toLong
+      val safeW = math.max(nW, 1L).toDouble
+      val safeL = math.max(nL, 1L).toDouble
+      val sumLen = words.map(_.length.toLong).sum
+      val nEll = (t.length - t.replace("...", "").length) / 3.0
+      val nHash = (t.length - t.replace("#", "").length).toDouble
+      def cnt(xs: Array[String], re: String) =
+        xs.count(s => re.r.findFirstIn(s).isDefined)
+      val nBullet = cnt(lines, "^\\s*[-•*]")
+      val nEllLine = cnt(lines, "\\.\\.\\.\\s*$")
+      val nAlpha = cnt(words, "[a-z]")
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with").count(words.contains)
+      val m = (nW, nL, micro(sumLen.toDouble / safeW),
+        micro(nHash / safeW), micro(nEll / safeW),
+        micro(nBullet / safeL), micro(nEllLine / safeL),
+        micro(nAlpha / safeW), stop.toLong)
+      val pass = m._1 >= 50 && m._1 <= 100000 &&
+        m._3 >= 3000000L && m._3 <= 10000000L &&
+        m._4 <= 100000L && m._5 <= 100000L &&
+        m._6 <= 900000L && m._7 <= 300000L &&
+        m._8 >= 800000L && m._9 >= 2L
+      (m, pass)
+    }
+    val got = Curation.gopherRules(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("id").collect()
+    docs.zip(got).foreach { case ((id, text), row) =>
+      val (m, pass) = ref(text)
+      val gm = (row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7),
+        row.getLong(8), row.getLong(9))
+      assert(row.getLong(0) == id)
+      assert(gm == m, s"doc $id features: got $gm want $m [$text]")
+      assert(row.getBoolean(10) == pass, s"doc $id pass [$text]")
+    }
+  }
+
+  test("c4Rules matches a scalar reference on 200 random docs") {
+    import spark.implicits._
+    def ref(text: String) = {
+      val lines = text.split("\n", -1)
+      val kept = lines.filter { l =>
+        "[.!?\"]$".r.findFirstIn(l.replaceAll(" +$", "")).isDefined &&
+          l.split("\\s+").count(_.nonEmpty) >= 5 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      val keep = kept.length >= 3 &&
+        !text.toLowerCase.contains("lorem ipsum") &&
+        !text.contains("{")
+      (lines.length.toLong, kept.length.toLong, keep, kept.mkString("\n"))
+    }
+    val got = Curation.c4Rules(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("id").collect()
+    docs.zip(got).foreach { case ((id, text), row) =>
+      val (nl, nk, keep, clean) = ref(text)
+      assert((row.getLong(1), row.getLong(2), row.getBoolean(3),
+        row.getString(4)) == ((nl, nk, keep, clean)),
+        s"doc $id [$text]")
+    }
+  }
+
+  test("CMS never undercounts over random corpora and geometries") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val width = 1 + rng.nextInt(64)
+      val depth = 1 + rng.nextInt(4)
+      val items = (0 until 500).map(_ => s"t${rng.nextInt(40)}")
+      val df = items.toDF("w")
+      val exact = items.groupBy(identity).map { case (k, v) =>
+        (k, v.size.toLong) }
+      val sk = Sketches.cmsSketch(df, "w", width, depth)
+      val est = Sketches.cmsEstimate(sk, df.distinct(), "w", width, depth)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet == exact.keySet)
+      est.foreach { case (k, e) =>
+        assert(e >= exact(k),
+          s"trial $trial ($width×$depth): undercount on $k")
+      }
+    }
+  }
+
+  test("valueKs: symmetric, bounded, zero on identical cohorts") {
+    import spark.implicits._
+    val a = (0 until 300).map(_ => rng.nextInt(40).toDouble).toDF("value")
+    val b = (0 until 200).map(_ => (rng.nextInt(40) + 5).toDouble)
+      .toDF("value")
+    val ab = Drift.valueKs(a, b, "value").head().getLong(2)
+    val ba = Drift.valueKs(b, a, "value").head().getLong(2)
+    assert(ab == ba)                       // |F_a - F_b| is symmetric
+    assert(ab >= 0L && ab <= 1000000L)     // a probability gap
+    assert(Drift.valueKs(a, a, "value").head().getLong(2) == 0L)
+  }
+
+  test("snapshotDiff matches a scalar set-reconciliation reference") {
+    import spark.implicits._
+    val v1 = (0 until 150).map(i => (i.toLong, s"doc-${rng.nextInt(30)}"))
+    val v2 = (50 until 200).map(i => (i.toLong, s"doc-${rng.nextInt(30)}"))
+    val m1 = v1.toMap; val m2 = v2.toMap
+    val expect = ((m1.keySet ++ m2.keySet).flatMap { id =>
+      (m1.get(id), m2.get(id)) match {
+        case (Some(_), None) => Some(id -> "removed")
+        case (None, Some(_)) => Some(id -> "added")
+        case (Some(x), Some(y)) if x != y => Some(id -> "changed")
+        case _ => None
+      }
+    }).toMap
+    val got = Curation.snapshotDiff(v1.toDF("id", "text"),
+        v2.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect)
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+}
