@@ -2499,7 +2499,7 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, source FROM d
          WHERE rate >= 1.0
-            OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            OR substring(md5('graft-wsamp-' || CAST(doc_id AS VARCHAR)), 1, 8)
                < printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
          ORDER BY doc_id""",
 
@@ -3037,7 +3037,8 @@ object SparkEntry {
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang, row_number() OVER (
              PARTITION BY lang
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             ORDER BY md5('graft-strat-' || CAST(doc_id AS VARCHAR)),
+               doc_id) AS rn
            FROM documents) WHERE rn <= 20
          ORDER BY lang, doc_id""",
 
@@ -3053,7 +3054,8 @@ object SparkEntry {
            FROM cw),
          rn AS (SELECT doc_id, source, row_number() OVER (
              PARTITION BY source
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             ORDER BY md5('graft-mix-' || CAST(doc_id AS VARCHAR)),
+               doc_id) AS rn
            FROM documents)
          SELECT rn.doc_id, rn.source FROM rn
          JOIN t ON CAST(rn.source AS VARCHAR) = t.stratum
@@ -3186,9 +3188,9 @@ object SparkEntry {
            SELECT doc_id + 80000 AS doc_id, text FROM documents
            WHERE doc_id % 15 = 0),
          a AS (SELECT doc_id, text,
-             CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+             CASE WHEN md5('graft-split-' || CAST(doc_id AS VARCHAR)) <
                     'cccccccccccccccccccccccccccccccc' THEN 'train'
-                  WHEN md5(CAST(doc_id AS VARCHAR)) <
+                  WHEN md5('graft-split-' || CAST(doc_id AS VARCHAR)) <
                     'e6666666666666666666666666666666' THEN 'val'
                   ELSE 'test' END AS split
            FROM inflated),
@@ -3203,9 +3205,9 @@ object SparkEntry {
 
     "split_assign" ->
       """SELECT doc_id,
-           CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+           CASE WHEN md5('graft-split-' || CAST(doc_id AS VARCHAR)) <
                   'cccccccccccccccccccccccccccccccc' THEN 'train'
-                WHEN md5(CAST(doc_id AS VARCHAR)) <
+                WHEN md5('graft-split-' || CAST(doc_id AS VARCHAR)) <
                   'e6666666666666666666666666666666' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
@@ -4079,7 +4081,8 @@ object SparkEntry {
          SELECT user_id, t1_us, t2_us, t3_us FROM s3 ORDER BY user_id""",
 
     "global_shuffle" ->
-      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex
+      """WITH h AS (SELECT doc_id,
+           md5('graft-shuf-' || CAST(doc_id AS VARCHAR)) AS hex
            FROM documents),
          s AS (SELECT doc_id, hex,
              CAST('0x' || substr(hex, 1, 8) AS BIGINT) % 8 AS shard

@@ -27,15 +27,17 @@ object Curation {
     * `dup_word_frac` is a pure Column expression (no shuffle);
     * `top_bigram_frac` is two doc-keyed hash aggregates over
     * (id, xxhash64(bigram)) rows — the shuffle carries 16 bytes/row.
-    * Documents with fewer than two words have no bigrams → 0.0.
+    * Documents with fewer than two words have no bigrams → 0.0; a
+    * NULL text scores (0.0, 0.0) — both fractions, consistently, so
+    * one row never mixes a null gate with a passing one.
     */
   def repetitionFeatures(df: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
     val ws = split(col(textCol), "\\s+")
     val base = df.select(col(idCol).as("id"), ws.as("ws"))
     val wordFrac = base.select(col("id"),
-      (lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
-        size(col("ws"))).as("dup_word_frac"))
+      coalesce(lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+        size(col("ws")), lit(0.0)).as("dup_word_frac"))
     // group on the hashed bigram, not the word pair: a within-doc
     // collision (2^-64) shifts one count; raw pairs ship the corpus
     val grams = Grams.positioned(df, idCol, textCol, 2)
@@ -213,7 +215,12 @@ object Curation {
     * every engine renders identically (no base-conversion quirks).
     * Resolution 2^-32 — plenty for mixture weights.
     *
-    * Rows whose stratum has no rate entry get `defaultRate`.
+    * Rows whose stratum has no rate entry get `defaultRate`. The hash
+    * is salted `graft-wsamp-` — each md5-of-id operator salts its own
+    * key so composed selections (sample → split, sample → shuffle)
+    * stay independent instead of perfectly correlated. A NULL id's key
+    * is SQL-null, so null-id rows survive only where the rate is 1.0
+    * (documented; filter or key them upstream if they matter).
     */
   def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
                      rates: Map[String, Double],
@@ -224,7 +231,8 @@ object Curation {
       else coalesce(element_at(
         typedLit(rates), col(stratumCol).cast("string")),
         lit(defaultRate))
-    val keyHex = substring(md5(col(idCol).cast("string")), 1, 8)
+    val keyHex = substring(
+      md5(concat(lit("graft-wsamp-"), col(idCol).cast("string"))), 1, 8)
     val thrHex = format_string("%08x",
       floor(rateCol * 4294967296.0).cast("long"))
     df.filter(rateCol >= 1.0 || keyHex < thrHex)
@@ -251,7 +259,7 @@ object Curation {
     val clash = df.columns.toSeq.intersect(Seq("shard", "pos", "__hex"))
     require(clash.isEmpty,
       s"input columns collide with outputs/internals: ${clash.mkString(",")}")
-    val hex = md5(col(idCol).cast("string"))
+    val hex = md5(concat(lit("graft-shuf-"), col(idCol).cast("string")))
     val shard = pmod(conv(substring(hex, 1, 8), 16, 10).cast("long"),
       lit(numShards.toLong))
     val w = Window.partitionBy(col("shard"))
@@ -307,7 +315,7 @@ object Curation {
       .select(col("__stratum"),
         floor(wOf(col("__stratum")) * col("__ratio")).cast("long")
           .as("__tgt"))
-    val key = md5(col(idCol).cast("string"))
+    val key = md5(concat(lit("graft-mix-"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       // null-SAFE equality: a null stratum is a real stratum here — with
@@ -460,6 +468,15 @@ object Curation {
     * lowercase-hex lexicographic order IS numeric order, so any engine
     * with an md5 function reproduces the assignment with string
     * compares alone. Shuffle-free: one narrow projection.
+    *
+    * Every md5-of-id operator in this file salts its hash with its OWN
+    * prefix (`graft-split-` here): an unsalted shared hash makes
+    * sampling and splitting perfectly CORRELATED — downsample at rate
+    * 0.1 then split 80/10/10 and every surviving row's key sits below
+    * the first band, leaving val/test silently EMPTY. Distinct salts
+    * make composed selections independent; a NULL id hashes to null
+    * and falls through every band to the LAST split (documented, not
+    * accidental — filter null ids upstream if that matters).
     */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
@@ -473,7 +490,8 @@ object Curation {
       s"every split weight must be > 0: ${splits.map(_._2).mkString(",")}")
     require(!df.columns.contains("split"),
       "input column 'split' collides with the output column")
-    val key = md5(col(idCol).cast("string"))
+    val key =
+      md5(concat(lit("graft-split-"), col(idCol).cast("string")))
     val labels = splits.map(_._1)
     val bands = hashSplitThresholds(splits.map(_._2))
     val assigned = bands.zip(labels.init).foldRight(
@@ -516,7 +534,10 @@ object Curation {
     */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
                    splits: Seq[(String, Double)]): DataFrame = {
-    hashSplit(df, idCol, splits)
+    // null-text rows are excluded: xxhash64 skips null arguments, so
+    // every null-text doc would hash to the seed pair and surface as
+    // one giant false-positive "duplicate" group spanning the splits
+    hashSplit(df.filter(col(textCol).isNotNull), idCol, splits)
       .groupBy(xxhash64(col(textCol)).as("h1"),
         xxhash64(lit("graft-leak"), col(textCol)).as("h2"))
       .agg(min(col(idCol)).as("keep_id"),
@@ -699,7 +720,7 @@ object Curation {
                        idCol: String): DataFrame = {
     require(!df.columns.contains("__rn"),
       "input column __rn collides with internals")
-    val key = md5(col(idCol).cast("string"))
+    val key = md5(concat(lit("graft-strat-"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)

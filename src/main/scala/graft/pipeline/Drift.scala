@@ -29,11 +29,17 @@ object Drift {
   private val Shift = 20
   private val ScaleD = math.pow(2, Shift) // 1048576.0
 
-  /** (label, pos, q) fixed-point component rows. */
+  /** (label, pos, q) fixed-point component rows. NaN and NULL
+    * components are DROPPED before counting — `floor(NaN)` codegens to
+    * long 0, so an unfiltered NaN (a failed encoder's output) would
+    * silently pull the centroid toward 0, and a null would inflate `n`
+    * while skipping the sum; dropping keeps each (label, pos) mean a
+    * mean of its VALID values. */
   private def qRows(df: DataFrame, vecCol: String, labelCol: String,
                     extra: Seq[Column] = Nil): DataFrame =
     df.select((col(labelCol).as("label") +: extra) :+
         posexplode(col(vecCol)).as(Seq("pos", "e")): _*)
+      .filter(col("e").isNotNull && !isnan(col("e").cast("double")))
       .withColumn("q", floor(col("e").cast("double") * lit(ScaleD)))
       .drop("e")
 
@@ -189,8 +195,16 @@ object Drift {
                        ref: DataFrame, refBinCol: String,
                        refCCol: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // a bin id outside [0, bins) means the caller binned with DIFFERENT
+    // edges than it declared — its mass would inflate every group total
+    // while its own divergence term silently vanished from the grid, so
+    // the contract break fails LOUDLY instead
+    val checkedBin = when(col(binCol).between(0, bins - 1),
+      col(binCol).cast("int")).otherwise(raise_error(concat(
+      lit(s"psiFromBinCounts: bin out of [0, $bins): "),
+      col(binCol).cast("string"))).cast("int"))
     val c = counts.select(col(groupCol).as("g"),
-      col(binCol).cast("int").as("bin"), col(cCol).cast("long").as("c"))
+      checkedBin.as("bin"), col(cCol).cast("long").as("c"))
     val r = ref.select(col(refBinCol).cast("int").as("bin"),
       col(refCCol).cast("long").as("cr"))
     val nr = r.agg(sum(col("cr")).as("n_r"))

@@ -46,7 +46,13 @@ object Sketches {
       : DataFrame = {
     require(width > 0 && depth > 0,
       s"width/depth must be positive, got $width/$depth")
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // a negative weight would DECREMENT counter cells and silently void
+    // the never-undercounts guarantee heavyHitters relies on — reject
+    // it loudly at the row
+    val w = weightCol.map(c =>
+      when(col(c) >= 0, col(c).cast("long")).otherwise(
+        raise_error(concat(lit("cmsSketch: negative weight: "),
+          col(c).cast("string"))).cast("long"))).getOrElse(lit(1L))
     df.filter(col(itemCol).isNotNull)
       .select(explode(bucketCols(col(itemCol), width, depth)).as("b"),
         w.as("w"))

@@ -288,10 +288,13 @@ object Terms {
         (col("c2").cast("double") / col("c1v").cast("double")) +
       lit(1.0 - lambda) *
         (col("c1").cast("double") / col("total").cast("double"))
-    // the three count tables are vocabulary-sized (distinct grams /
-    // terms, aggregate-compressed) — broadcast them explicitly so the
-    // corpus-sized gram frame is never exchange-partitioned by join key
-    bgc.join(broadcast(c2), Seq("h1", "h2"))
+    // the two UNIGRAM tables are term-vocabulary-sized and broadcast
+    // explicitly; the BIGRAM table c2 is left to AQE — its distinct-pair
+    // vocabulary grows super-linearly (measured in the scale curve) and
+    // at web scale outgrows any broadcast, where the fallback is a
+    // shuffle join on the 16-byte (h1, h2) key, the library's
+    // documented shape
+    bgc.join(c2, Seq("h1", "h2"))
       .join(broadcast(c1.select(col("hw").as("hv"),
         col("c1").as("c1v"))), "hv")
       .join(broadcast(c1), "hw")
@@ -346,8 +349,18 @@ object Terms {
     val term = lit(0.5) *
         when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
       lit(0.5) * (q * log(q / m))
-    cw.crossJoin(broadcast(ns))
-      .join(cs, Seq("stratum", "w"), "left")
+    // null-SAFE stratum equality: a NULL stratum is a real stratum here
+    // (same convention as mixtureResample) — a null-unsafe key would
+    // leave every c_sw unmatched and report the null stratum at the
+    // p≡0 divergence (~½·ln 2) regardless of its content. Aliases,
+    // because grid and cs share the cs lineage (self-join detection).
+    val grid = cw.crossJoin(broadcast(ns)).as("g")
+    grid.join(cs.as("cs"),
+        col("g.stratum") <=> col("cs.stratum") &&
+          col("g.w") === col("cs.w"),
+        "left")
+      .select(col("g.stratum").as("stratum"), col("g.n_s").as("n_s"),
+        col("g.c_w").as("c_w"), col("cs.c_sw").as("c_sw"))
       .crossJoin(broadcast(total))
       .select(col("stratum"), col("n_s"),
         floor(term * lit(1e6) + lit(0.5)).cast("long").as("tm"))

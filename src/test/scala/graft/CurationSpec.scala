@@ -56,7 +56,8 @@ class CurationSpec extends SparkSpec {
     val naive = df.withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("stratum"))
-          .orderBy(md5(col("id").cast("string")), col("id"))))
+          .orderBy(md5(concat(lit("graft-strat-"),
+            col("id").cast("string"))), col("id"))))
       .filter(col("rn") <= 10).drop("rn")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(s1.toSet == naive.toSet)

@@ -149,6 +149,76 @@ class OperatorReferenceSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sampling and splitting are independent (distinct salts)") {
+    import spark.implicits._
+    val ids = (1L to 400L).map(i => (i, "s")).toDF("id", "stratum")
+    val kept = Curation.weightedSample(ids, "stratum", "id",
+      Map("s" -> 0.25))
+    val splits = Curation.hashSplit(kept, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // with one UNSALTED shared hash every sampled row sits below the
+    // first band and val/test are empty; distinct salts keep all three
+    assert(splits.keySet == Set("train", "val", "test"), splits.toString)
+  }
+
+  test("sourceDivergence treats a NULL stratum as a real stratum") {
+    import spark.implicits._
+    // both strata have the corpus distribution → p = q → JS exactly 0;
+    // a null-unsafe join would score the null stratum at p≡0 (~½·ln 2)
+    val docs = Seq((Some("A"), "x y"), (None, "x y"))
+      .toDF("source", "text")
+    val got = Terms.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(got == Seq(0L, 0L))
+  }
+
+  test("psiFromBinCounts fails loudly on out-of-range bins") {
+    import spark.implicits._
+    val bad = Seq(("g", 12, 5L)).toDF("g", "bin", "c")
+    val ref = Seq((0, 1L)).toDF("bin", "cr")
+    val e = intercept[Exception] {
+      Drift.psiFromBinCounts(bad, "g", "bin", "c", ref, "bin", "cr",
+        bins = 10).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("cmsSketch rejects negative weights loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("b", -2L)).toDF("w", "n")
+    val e = intercept[Exception] {
+      Sketches.cmsSketch(df, "w", 16, 2, Some("n")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("splitLeakage ignores null-text rows; centroids skip NaN/null") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("dup")), (2L, Some("dup")),
+      (3L, None), (4L, None), (5L, None)).toDF("doc_id", "text")
+    val leaks = Curation.splitLeakage(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "test" -> 0.5)).collect()
+    // only the real 'dup' group may surface — never a null-text group
+    assert(leaks.forall(_.getLong(1) == 2L))
+    val vecs = Seq((0, Seq(1.0f)), (0, Seq(Float.NaN)),
+      (0, Seq(3.0f))).toDF("label", "embedding")
+    val c = Drift.labelCentroids(vecs, "embedding", "label").head()
+    assert(c.getLong(2) == 2L)            // NaN component dropped from n
+    assert(c.getDouble(4) == 2.0)         // mean of the VALID 1.0 and 3.0
+  }
+
+  test("repetitionFeatures scores null text (0, 0) consistently") {
+    import spark.implicits._
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("a a")))
+      .toDF("doc_id", "text")
+    val r = Curation.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) == 0.0 && r(0).getDouble(2) == 0.0)
+    assert(r(1).getDouble(1) == 0.5)
+  }
+
   test("every query has an oracle and every oracle has a query") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
