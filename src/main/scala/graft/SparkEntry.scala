@@ -3160,7 +3160,7 @@ object SparkEntry {
 
     "pack_efficiency" ->
       """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,
-             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
                AS n_tokens
            FROM documents),
          o AS (SELECT doc_id, bucket, n_tokens,
@@ -3221,9 +3221,9 @@ object SparkEntry {
            'tail &lt;kept&gt; &#39;q&#39;</body></html>' AS t
            FROM documents),
          s1 AS (SELECT doc_id, regexp_replace(t,
-           '(?s)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM inj),
+           '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM inj),
          s2 AS (SELECT doc_id, regexp_replace(t,
-           '(?s)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
          s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g')
            AS t FROM s2),
          s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(
@@ -3744,7 +3744,7 @@ object SparkEntry {
 
     "token_pack" ->
       """WITH tk AS (SELECT doc_id, doc_id % 8 AS bucket,
-             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
            FROM documents),
          o AS (SELECT doc_id, bucket, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -3848,19 +3848,19 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
          length(text) AS n_chars,
-         len(regexp_split_to_array(text, '\s+')) AS n_tokens,
-         CAST(length(text) AS DOUBLE) / greatest(len(regexp_split_to_array(text, '\s+')), 1) AS mean_token_len,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1) AS mean_token_len,
          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
-         round((CASE WHEN len(regexp_split_to_array(text, '\s+')) < 5 THEN 0.2
-               WHEN len(regexp_split_to_array(text, '\s+')) > 10000 THEN 0.5 ELSE 1.0 END) *
+         round((CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) < 5 THEN 0.2
+               WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 10000 THEN 0.5 ELSE 1.0 END) *
          (CASE WHEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 0.3 ELSE 1.0 END) *
          (CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.3 THEN 0.3 ELSE 1.0 END), 4) AS quality
          FROM documents ORDER BY doc_id""",
 
     "text_token_count" ->
       """SELECT doc_id,
-         len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+')) AS n_bpeish_tokens
          FROM documents ORDER BY doc_id""",
 
@@ -3886,7 +3886,7 @@ object SparkEntry {
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
         s"""CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
             t -> list_contains($arr, t))) AS DOUBLE) /
-            greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)"""
+            greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t2 -> t2 <> '')), 1)"""
       }
       val en = ratio("en", Seq("the", "a", "of", "and", "to", "in", "is",
         "that", "it", "for", "on", "with", "as", "at", "by"))
@@ -4122,8 +4122,11 @@ object SparkEntry {
 
     "text_chunks" ->
       """WITH base AS (
-           SELECT doc_id, regexp_split_to_array(text, '\s+') AS parts,
-             len(regexp_split_to_array(text, '\s+')) AS n
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS parts,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS n
            FROM documents),
          st AS (
            SELECT doc_id, parts, n,

@@ -114,11 +114,19 @@ object Classifier {
     *
     * Output (one row): (n_pos, n_neg, wins, tie_pairs, auc_micro);
     * `auc_micro` is NULL when either class is empty (AUC undefined).
+    * Rows with a NULL label or NULL score are EXCLUDED (unlabeled /
+    * unscoreable rows carry no ranking information — silently counting
+    * null labels as negatives would deflate AUC). Exactness domain:
+    * the pair counts are longs, so n_pos·n_neg must stay below 2^63 —
+    * ~3×10⁹ rows per class; beyond that, widen the two pair sums to
+    * DECIMAL(38,0) (the counts themselves never overflow).
     */
   def aucByLabel(scored: DataFrame, scoreCol: String,
                  labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = scored.groupBy(col(scoreCol).as("s"))
+    val g = scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
     val w = Window.orderBy(col("s"))

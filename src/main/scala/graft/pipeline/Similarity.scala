@@ -22,7 +22,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; NULL for zero-norm inputs (the quantity is
+    * undefined there, and an unguarded division is a DIVIDE_BY_ZERO
+    * crash under the ANSI mode this library targets). NULLs sort last
+    * under the descending rank every top-k here uses, so an all-zeros
+    * vector can never displace a real neighbor. */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np =!= 0.0, dot(a, b) / np)
+  }
 
   /** Brute-force cosine top-k: every query scored against every corpus
     * vector. Baseline / oracle path. The queries side MUST be small — it is
@@ -125,7 +133,10 @@ object Similarity {
     val probeBuckets = array(
       (qSig +: (0 until probes).map(b => qSig.bitwiseXOR(lit(1L << b)))): _*)
     val qb = queries.withColumn("bucket", explode(probeBuckets))
-    val scored = qb.join(cb, Seq("bucket"))
+    // the query side is the documented small side — broadcast it
+    // explicitly (every sibling top-k here hints its small side; left
+    // to stats alone the planner may shuffle the whole bucketed corpus)
+    val scored = broadcast(qb).join(cb, Seq("bucket"))
       .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cosine"))
       .distinct()
     val w = Window.partitionBy(col(qId))
@@ -162,8 +173,11 @@ object Similarity {
               cId: String = "c_id", cVec: String = "c_vec",
               ctId: String = "ct_id", ctVec: String = "ct_vec")
       : DataFrame = {
+    // row identity = the full column tuple: fully-duplicate input rows
+    // (same id AND vector) collapse to one assignment — ids are the
+    // caller's identity contract, so duplicates there are input errors,
+    // not data this operator preserves
     def assign(df: DataFrame, vec: String, n: Int, out: String) = {
-      val w = Window.partitionBy(df.columns.head, vec)
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("__d", cosine(col(vec), col(ctVec)))
       val ww = Window.partitionBy(df.columns.map(col): _*)

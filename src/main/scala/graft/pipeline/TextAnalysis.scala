@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens. Boundary EMPTY split segments are filtered:
+    * `split(" a b ", "\s+")` yields `["", "a", "b"]` under Spark's
+    * limit=-1 semantics, and counting that "" as a token inflated
+    * every downstream denominator (token counts, mean lengths,
+    * stopword ratios, chunk sizes) and made fingerprints
+    * trim-sensitive. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -33,16 +40,18 @@ object TextAnalysis {
     *
     * Pure Column chain (regexp_replace/replace — codegen'd, one narrow
     * pass, no shuffle); patterns stay inside the shared Java/RE2 regex
-    * subset (`(?s)` + lazy `.*?` are in both) so an external oracle
+    * subset (`(?is)` + lazy `.*?` are in both — case-insensitive, since
+    * real HTML spells `<SCRIPT>`/`<Style>` freely and the closing tag
+    * may carry whitespace before `>`) so an external oracle
     * reproduces the transform byte-for-byte. NOT a full HTML5 parser —
     * documented contract: tags are `<[^>]*>` runs, which is what
     * crawl-scale strippers (and the reference C4 pipeline) use.
     */
   def stripMarkup(text: Column): Column = {
     val noScript = regexp_replace(text,
-      "(?s)<script\\b[^>]*>.*?</script>", " ")
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript,
-      "(?s)<style\\b[^>]*>.*?</style>", " ")
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -120,7 +129,10 @@ object TextAnalysis {
   }
 
   /** n-gram-heuristic language ID: CJK characters → zh; otherwise the
-    * language whose stopword list hits most; ties/no-hits → "und". */
+    * language whose stopword-ratio is highest; an exact ratio TIE
+    * resolves to the lexicographically greatest language code (the
+    * order on the (ratio, code) struct — deterministic, engine-
+    * reproducible); "und" only when NO list hits at all. */
   def langId(text: Column): Column = {
     val langs = Seq("en", "de", "fr", "es")
     val scores = langs.map(l => struct(stopwordRatio(text, l).as("s"),
@@ -143,7 +155,10 @@ object TextAnalysis {
   def scriptProfile(text: Column): Column = {
     def micro(x: Column): Column =
       floor(x * lit(1e6) + lit(0.5)).cast("long")
-    val nonWs = regexp_replace(text, "\\s+", "")
+    // NULL text profiles like the empty document (0 glyphs, dominant
+    // "other") — unguarded, the NULL fractions would null every when()
+    // condition and fall through to the LAST branch ("arabic")
+    val nonWs = regexp_replace(coalesce(text, lit("")), "\\s+", "")
     val n = length(nonWs)
     val safeN = greatest(n, lit(1)).cast("double")
     def frac(keepClass: String): Column =

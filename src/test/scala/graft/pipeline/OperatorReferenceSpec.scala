@@ -219,6 +219,50 @@ class OperatorReferenceSpec extends SparkSpec {
     assert(r(1).getDouble(1) == 0.5)
   }
 
+  test("tokens() drops boundary empties; fingerprints trim-insensitive") {
+    import spark.implicits._
+    val r = spark.range(1).select(
+      TextAnalysis.tokenCount(lit(" hello world ")).as("n"),
+      TextAnalysis.tokenCount(lit("   ")).as("blank"),
+      TextAnalysis.fingerprint(lit("a b")).as("f1"),
+      TextAnalysis.fingerprint(lit(" a b ")).as("f2"),
+      TextAnalysis.scriptProfile(lit(null: String)).as("p")).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0)
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getStruct(4).getString(7) == "other") // null text dominant
+  }
+
+  test("stripMarkup drops uppercase/space-closed script content") {
+    import spark.implicits._
+    val html = "a <SCRIPT>var x;</SCRIPT> b <Style>p{}</style > c"
+    val got = spark.range(1)
+      .select(TextAnalysis.stripMarkup(lit(html))).head().getString(0)
+    assert(got == "a b c")
+  }
+
+  test("cosine is NULL on zero-norm vectors; top-k never crashes") {
+    import spark.implicits._
+    val queries = Seq((1L, Seq(0.0, 0.0))).toDF("q_id", "q_vec")
+    val corpus = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 0.0)))
+      .toDF("c_id", "c_vec")
+    // zero-norm query: every cosine NULL, ranks still total-ordered
+    val r = Similarity.bruteForceTopK(queries, corpus, k = 2).collect()
+    assert(r.length == 2 && r.forall(_.isNullAt(2)))
+    // zero-norm corpus row sinks below a real neighbor
+    val q2 = Seq((1L, Seq(1.0, 0.0))).toDF("q_id", "q_vec")
+    val top = Similarity.bruteForceTopK(q2, corpus, k = 1).head()
+    assert(top.getLong(1) == 10L)
+  }
+
+  test("aucByLabel excludes NULL labels and NULL scores") {
+    import spark.implicits._
+    val df = Seq((Some(3L), Some(true)), (Some(1L), Some(false)),
+      (Some(9L), None), (None, Some(true))).toDF("s", "y")
+    val r = Classifier.aucByLabel(df, "s", "y").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getLong(4) == 1000000L)
+  }
+
   test("every query has an oracle and every oracle has a query") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
