@@ -51,7 +51,11 @@ object Cluster {
     // fold the k (cluster, centroid) pairs into ONE struct-valued
     // min(...) expression via a collected centroid array: the corpus
     // row never leaves its partition and the comparison is codegen'd.
-    // k×dim is driver-small by contract (same contract as broadcast).
+    // Contract: k×dim literals must stay PLAN-small (≲10⁵ doubles —
+    // tighter than a broadcast TABLE's limit, because these are
+    // folded into the expression tree and codegen'd); at
+    // SemDeDup-scale k (10⁴ clusters × 10²⁺ dims) switch to the
+    // crossJoin(broadcast(centroids)) + per-row min shape instead.
     val cents = centroids.select(col(cidCol), col(cvecCol))
       .collect().sortBy(_.getAs[Any](cidCol).toString)
     val scored = cents.map { r =>
@@ -78,6 +82,13 @@ object Cluster {
     * (cluster, dim) aggregate (recomputation); nothing corpus-sized is
     * cached, collected, or shuffled wider than 20 bytes/row. An empty
     * cluster keeps its previous centroid (the standard fix).
+    *
+    * Contract: `idCol` must be LONG-CASTABLE — ids key the
+    * deterministic seeding order and the assignments output. A
+    * non-numeric id fails loudly under ANSI mode (the library's
+    * target); map string ids to a dense numeric key upstream (the
+    * Dedup/Similarity operators keep ids opaque; the k-means pair
+    * does not).
     */
   def kmeans(spark: SparkSession, df: DataFrame, idCol: String,
              vecCol: String, k: Int, iters: Int = 5)
@@ -177,17 +188,23 @@ object Cluster {
     * Output: the KEPT (id, cluster) rows.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, threshold: Double)
+                    centroids: DataFrame, threshold: Double,
+                    checkpointAssigned: Boolean = false)
       : DataFrame = {
     // Pair-predicate cost dominates (it runs once per within-cluster
     // candidate pair, and higher-order aggregates are interpreted, not
     // codegen'd): precompute each vector's norm ONCE so the pair test
     // is a single dot-product HOF — `dot(x,y) >= t·|x|·|y|` — instead
-    // of cosine's three aggregates per pair.
-    val a = assign(df, idCol, vecCol, centroids, carry = Seq(vecCol))
+    // of cosine's three aggregates per pair. The assigned frame feeds
+    // THREE consumers (both self-join sides + the anti-join left);
+    // `checkpointAssigned` materializes it once instead of re-running
+    // the k-distance assignment scan per consumer — the same opt-in
+    // convention as checkpointTf/checkpointScored elsewhere.
+    val a0 = assign(df, idCol, vecCol, centroids, carry = Seq(vecCol))
       .select(col(idCol).as("id"), col("cluster"),
         col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
+    val a = if (checkpointAssigned) a0.localCheckpoint() else a0
     // left_anti tolerates duplicate right-side ids, so the dropped set
     // needs no distinct (saves a shuffle + aggregate).
     val dropped = a.as("x").join(a.as("y"),

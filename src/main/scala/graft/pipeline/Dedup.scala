@@ -165,26 +165,37 @@ object Dedup {
     * count-only aggregate joined to the tiny candidate set). */
   private def verifyJaccardRows(cand: DataFrame, rowsA: DataFrame,
                                 rowsB: DataFrame,
-                                threshold: Double): DataFrame =
-    cand
+                                threshold: Double): DataFrame = {
+    val shared = cand
       .join(rowsA.as("ra"), col("id_a") === col("ra.id"))
       .join(rowsB.as("rb"),
         col("id_b") === col("rb.id") && col("ra.h") === col("rb.h"))
-      // sz_a/sz_b are functions of the pair key — grouping on them adds
-      // nothing to cardinality, it just keeps them selectable
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // LEFT join back onto the candidates: a zero-overlap pair must
+    // score jaccard 0.0, not vanish — at threshold 0.0 the contract is
+    // "every submitted pair gets a score" (sz >= 1 by construction, so
+    // the denominator never zeroes)
+    cand.join(shared, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+        (coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("shared"), lit(0L)))
+            .cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** (id, band, bucket) rows from a `signatureCols` frame: band buckets
     * built straight off the per-perm min columns — codegen'd string
     * concat + xxhash64, no array slicing through interpreted HOFs. */
   private[pipeline] def bandBuckets(sig: DataFrame, numPerms: Int,
                           bands: Int): DataFrame = {
+    // mirror of the streaming twin's guard (NearDup.candidatePairs):
+    // bands > numPerms makes rowsPerBand 0 — every doc hashes the
+    // EMPTY concat into one global bucket and the candidate join goes
+    // quadratic; a non-divisor silently drops trailing permutations
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"bands must divide numPerms: got numPerms=$numPerms bands=$bands")
     val rowsPerBand = numPerms / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -329,7 +340,16 @@ object Dedup {
     // pair present m times would join the shingle rows m times —
     // shared becomes m·|A∩B| and jaccard inflates past 1 (a true 0.33
     // at m=3 verifies as 1.0)
-    val cand = pairs.select(col("id_a"), col("id_b")).distinct()
+    // canonicalize orientation and drop self-pairs BEFORE the distinct:
+    // external candidate sources may emit (a,b) and (b,a) across
+    // batches, and both would otherwise verify and double downstream
+    // pair counts (least/greatest skip nulls, so a null-id pair
+    // collapses to a self-pair and is dropped here too)
+    val cand = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
         "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
@@ -617,6 +637,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a non-converged exit means the labels are WRONG (vertices of one
+    // component still carry different ids) — survivors() downstream
+    // would keep several "representatives" of one duplicate group with
+    // no signal. Refuse to return them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "pointer-jumping rounds; raise maxIter (rounds needed grow " +
+          "with log2 of the largest component's diameter)")
     // the result is backed by the final round's persisted RDD (its
     // lineage chains through every unpersisted round — recomputing it
     // would replay the whole loop). Park it in the per-session slot:
@@ -672,15 +701,20 @@ object Dedup {
   /** One representative per dedup component — the keep-list a curation
     * pipeline feeds downstream: highest `scoreCol` wins, ties break to
     * the smallest id. One window pass over (id, component, score) rows;
-    * the score join stays narrow (id + one numeric). */
+    * the score join stays narrow (id + one numeric). Docs with NO score
+    * row participate at the LOWEST priority (LEFT join, NULL scores
+    * sort last) — an inner join would silently drop them, and a
+    * component whose every member lost its score row would emit no
+    * keep_id at all, deleting the whole group downstream. */
   def survivors(components: DataFrame, scores: DataFrame,
                 idCol: String = "id",
                 scoreCol: String = "score"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("component"))
-      .orderBy(col("__s").desc, col(idCol))
+      .orderBy(col("__s").desc_nulls_last, col(idCol))
     components
-      .join(scores.select(col(idCol), col(scoreCol).as("__s")), idCol)
+      .join(scores.select(col(idCol), col(scoreCol).as("__s")), Seq(idCol),
+        "left")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("component"), col(idCol).as("keep_id"))

@@ -195,4 +195,51 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, _) => a == 2 && b == 3 })
     assert(!pairs.exists { case (a, b, _) => b == 4 || b == 5 || a == 4 })
   }
+
+  test("bandBuckets refuses bands that don't divide numPerms") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "id", "text", numPerms = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "id", "text", numPerms = 100, bands = 32)
+    }
+  }
+
+  test("verifyPairs canonicalizes orientation, drops self-pairs, scores zero overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.verifyPairs(pairs, docs, "id", "text", k = 2,
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // (1,2)+(2,1) collapse to one row; (1,1) dropped; (1,3) shares no
+    // shingle yet scores 0.0 instead of vanishing
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L), (1L, 3L)))
+    assert(got(1)._3 == 0.0)
+  }
+
+  test("connectedComponents refuses to return non-converged labels") {
+    import spark.implicits._
+    // a 64-node chain needs ~log2(64) pointer-jump rounds; 1 is not it
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 1).collect()
+    }
+  }
+
+  test("survivors keep unscored docs at lowest priority, never drop groups") {
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "component")
+    val scores = Seq((1L, 0.1), (2L, 0.9)).toDF("id", "score")
+    // component 7 has NO score rows: it must still emit a keep_id
+    val keep = Dedup.survivors(comp, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(keep == Seq((1L, 2L), (7L, 7L)))
+  }
 }
