@@ -14,11 +14,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Exactness under out-of-order arrival: a later-arriving EARLIER
   * step-k event can retroactively change every downstream choice (the
   * chain is a greedy argmin cascade), so the state holds each step's
-  * full time list until emission — bounded by the quiet-window horizon
-  * times the per-user event rate (the same state-size contract as the
-  * watermarked interval join), NOT by corpus size. Only times whose
-  * type is a funnel step are kept; everything else just advances the
-  * quiet clock.
+  * full time list until emission — bounded by the length of the
+  * user's current activity BURST times the step-event rate (state
+  * clears only at a quiet-window emission; a key that never goes
+  * quiet for `quietMinutes` — a bot, a monitor — accumulates until it
+  * does, so cap such keys upstream or pick a quiet window the traffic
+  * actually honors). NOT bounded by corpus size, but looser than the
+  * interval join's rate × horizon contract. Only times whose type is
+  * a funnel step are kept; everything else just advances the quiet
+  * clock.
   */
 object FunnelStream {
 
@@ -60,7 +64,13 @@ object FunnelStream {
       s"quietMinutes must be > 0, got $quietMinutes")
     val spark = events.sparkSession
     import spark.implicits._
-    val stepIdx = steps.zipWithIndex.toMap
+    // an event type may appear at SEVERAL funnel positions (re-engage
+    // funnels like view→buy→view) — route it to every matching index;
+    // a single-index map would collapse duplicates to the last slot
+    // and report zero conversions where the batch operator converts
+    val stepIdx: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
     val quietMs = quietMinutes * 60L * 1000L
     events
       .groupByKey(_._1)
@@ -84,7 +94,7 @@ object FunnelStream {
               val us = Math.floorDiv(ts.getTime, 1000L) * 1000000L +
                 ts.getNanos / 1000L
               if (us > maxTs) maxTs = us
-              stepIdx.get(tpe).foreach(i => perStep(i) += us)
+              stepIdx.getOrElse(tpe, Nil).foreach(i => perStep(i) += us)
             }
             state.update(FState(perStep.map(_.toSeq), maxTs))
             // clamp above the watermark: an event arriving exactly at

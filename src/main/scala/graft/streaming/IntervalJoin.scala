@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * @param leftTs   left event-time column name
   * @param rightTs  right event-time column name
   * @param horizon  max right.ts − left.ts, e.g. "10 minutes"
+  *
+  * The right side's copy of `keyCol` is dropped from the output (the
+  * equi-join makes it redundant, and keeping both made a plain
+  * `col(keyCol)` reference on the result AMBIGUOUS); every other
+  * column of both sides survives — reference same-named non-key
+  * columns through the `l.`/`r.` aliases.
   */
 object IntervalJoin {
   def join(left: DataFrame, right: DataFrame, keyCol: String,
@@ -32,8 +38,9 @@ object IntervalJoin {
     val l = left.alias("l")
     val r = right.alias("r")
     l.join(r,
-      col(s"l.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
+      .drop(col(s"r.$keyCol"))
   }
 }

@@ -67,12 +67,18 @@ object NearDup {
         Array(hashStr(UTF8String.fromString(ws.mkString(" ")), 42L))
       else {
         val out = new java.util.LinkedHashSet[java.lang.Long]()
+        // convert each word to UTF8String ONCE — the shingle loop
+        // otherwise re-wraps every word k times on the stream's
+        // documented hot path
+        val us = new Array[UTF8String](ws.length)
+        var w = 0
+        while (w < ws.length) { us(w) = UTF8String.fromString(ws(w)); w += 1 }
         var i = 0
         while (i <= ws.length - k) {
           var h = 42L
           var j = 0
           while (j < k) {
-            h = hashStr(UTF8String.fromString(ws(i + j)), h); j += 1
+            h = hashStr(us(i + j), h); j += 1
           }
           out.add(h); i += 1
         }
@@ -137,8 +143,8 @@ object NearDup {
                            numPerms: Int = 64, bands: Int = 16,
                            k: Int = 3, seed: Long = 42L,
                            maxBucket: Int = 4096): Dataset[(Long, Long)] = {
-    require(numPerms % bands == 0,
-      s"bands ($bands) must divide numPerms ($numPerms)")
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"bands must divide numPerms: got numPerms=$numPerms bands=$bands")
     require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -202,9 +208,17 @@ object NearDup {
             // it — a newer bucket-mate proves nothing about what late
             // rows the watermark still admits)
             val wm = state.getCurrentWatermarkMs()
-            val kept = (fresh.toList ::: stored)
+            // cap policy = the class contract: STORED in-horizon ids
+            // are never evicted for fresh ones (a newest-first take
+            // would drop entries the watermark still owes pairs for);
+            // fresh ids are admitted newest-first into remaining room
+            val prunedStored = stored.filter(_._2 + horizonMs >= wm)
+            val admitted = fresh.toList
               .filter(_._2 + horizonMs >= wm)
-              .sortBy(r => (-r._2, r._1)).take(maxBucket)
+              .sortBy(r => (-r._2, r._1))
+              .take(math.max(0, maxBucket - prunedStored.size))
+            val kept = (prunedStored ::: admitted)
+              .sortBy(r => (-r._2, r._1))
             if (kept.isEmpty) {
               if (state.exists) state.remove()
             } else {
@@ -228,8 +242,8 @@ object NearDup {
                      numPerms: Int = 64, bands: Int = 16, k: Int = 3,
                      seed: Long = 42L,
                      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
-    require(numPerms % bands == 0,
-      s"bands ($bands) must divide numPerms ($numPerms)")
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"bands must divide numPerms: got numPerms=$numPerms bands=$bands")
     val spark = docs.sparkSession
     import spark.implicits._
     // pre-fold each salt with the leading-literal position of

@@ -44,12 +44,18 @@ object Sessionize {
     * n_events), one row per session. */
   def batch(events: DataFrame, userCol: String, tsCol: String,
             gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0, s"gap must be positive, got $gapMinutes")
     val spark = events.sparkSession
     import spark.implicits._
     val gap = gapMinutes * 60L * 1000000L
     events
       .select(col(userCol).cast("long"), unix_micros(col(tsCol)))
-      .as[(Long, Long)]
+      // decode through boxed longs and DROP null user/ts rows — a
+      // primitive (Long, Long) encoder would throw on the first null
+      // instead of skipping the row (the NearDup ingestion convention)
+      .as[(Option[Long], Option[Long])]
+      .flatMap { case (u, t) =>
+        for (uu <- u; tt <- t) yield (uu, tt) }
       .groupByKey(_._1)
       .flatMapGroups { (uid: Long, it: Iterator[(Long, Long)]) =>
         val times = it.map(_._2).toArray.sorted.toSeq
@@ -64,6 +70,7 @@ object Sessionize {
     * when the event-time watermark passes last + gap (timeout). */
   def streaming(events: Dataset[(Long, java.sql.Timestamp)],
                 gapMinutes: Int): Dataset[(Long, Long, Long, Long)] = {
+    require(gapMinutes > 0, s"gap must be positive, got $gapMinutes")
     val spark = events.sparkSession
     import spark.implicits._
     val gap = gapMinutes * 60L * 1000000L
@@ -91,8 +98,15 @@ object Sessionize {
             open match {
               case Some(s) =>
                 state.update(s)
-                // close when the watermark passes last + gap
-                state.setTimeoutTimestamp(s.last / 1000L + gap / 1000L)
+                // close when the watermark passes last + gap; clamp to
+                // watermark+1 — a watermark jump past last+gap (idle
+                // stream resuming behind a far-future event) would
+                // otherwise register a timeout at or below the current
+                // watermark, which THROWS and kills the query (same
+                // guard as NearDup.candidatePairsWithin / FunnelStream)
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                  math.max(s.last / 1000L + gap / 1000L, wm + 1L))
               case None => if (state.exists) state.remove()
             }
             closed.iterator.map(s => (uid, s.start, s.last, s.n))

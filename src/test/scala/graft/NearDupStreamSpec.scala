@@ -169,4 +169,15 @@ class NearDupStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     } finally q.stop()
   }
+
+  test("band guards reject zero, negative and non-divisor band counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("id", "text")
+    for (bad <- Seq(0, -16, 48, 128)) {
+      intercept[IllegalArgumentException] {
+        graft.streaming.NearDup.candidatePairs(docs, "id", "text",
+          numPerms = 64, bands = bad)
+      }
+    }
+  }
 }

@@ -71,4 +71,22 @@ class SessionizeSpec extends SparkSpec {
       assert(rows.exists(r => r._2 == 180 * M)) // second session closed too
     } finally q.stop()
   }
+
+  test("batch sessionize skips null user/ts rows instead of crashing") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("2024-01-01 00:00:00")),
+      (None, Some("2024-01-01 00:01:00")),       // null user: skipped
+      (Some(1L), Option.empty[String]))           // null ts: skipped
+      .toDF("user_id", "ts")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+          .as("ts"))
+    val got = graft.streaming.Sessionize
+      .batch(df, "user_id", "ts", gapMinutes = 30).collect()
+    assert(got.length == 1 && got(0).getLong(3) == 1L)
+    intercept[IllegalArgumentException] {
+      graft.streaming.Sessionize.batch(df, "user_id", "ts", 0)
+    }
+  }
 }
