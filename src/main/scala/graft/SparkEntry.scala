@@ -4047,7 +4047,7 @@ object SparkEntry {
                       CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type),
          g2 AS (SELECT event_type, n, s, s2,
-             CASE WHEN s2/n - (s/n)*(s/n) <= (s2/n) * 1e-12 THEN 0.0
+             CASE WHEN s2/n - (s/n)*(s/n) <= (s2/n) * 1e-14 THEN 0.0
                   ELSE s2/n - (s/n)*(s/n) END AS vr
            FROM g)
          SELECT e.event_id, e.event_type, e.value,

@@ -77,13 +77,19 @@ object AsOfJoin {
     val r = right
       // equi-key contract: NULL keys never match (SQL join semantics;
       // the window's partitionBy would otherwise group NULLs together
-      // and attach right payloads to NULL-keyed left rows)
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      // and attach right payloads to NULL-keyed left rows). A NULL
+      // right TIMESTAMP is dropped too: ASC sorts nulls FIRST, so an
+      // unfiltered null-ts row would become the "earliest" payload and
+      // attach to every left row before the first real right row.
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull)
+        .reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(col(rightTs).as("__ts"),
           lit(rightSide).as("__side")) ++
           tieBreak.map(c => col(c).as(s"__tb_$c")) ++
-          Seq(struct(payload.map(col): _*).as("__pay")) ++
+          // qcol: a payload name containing '.' must resolve as the
+          // literal column, not a nested-field path
+          Seq(struct(payload.map(ProjectFields.qcol): _*).as("__pay")) ++
           leftCols.filterNot(keys.contains)
             .map(c => lit(null).as(c)): _*)
 
@@ -96,6 +102,6 @@ object AsOfJoin {
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === leftSide)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__match.$p").as(p)): _*)
+        payload.map(p => col("__match").getField(p).as(p)): _*)
   }
 }

@@ -30,12 +30,26 @@ object Citus {
     */
   def backfillJoin(cat: Catalog, rule: DistributeUsing,
                    frames: Map[String, DataFrame]): DataFrame = {
-    val tables = cat.allTables.map(t => t.name -> t).toMap
-    def table(n: String): Table = tables.getOrElse(n,
+    // case-INSENSITIVE resolution throughout — the DSL preserves the
+    // user's case while introspection reports the catalog's, and every
+    // other layer (Runner, the fkey search below) already matches
+    // insensitively; an exact-case map would pass DDL and then throw
+    // here, mid-migration
+    val tables = cat.allTables.map(t => t.name.toLowerCase -> t).toMap
+    def table(n: String): Table = tables.getOrElse(n.toLowerCase,
       throw new IllegalArgumentException(s"unknown table in rule: $n"))
+    def frame(n: String): DataFrame = frames.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(n) => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no source frame for table: $n"))
 
     val source = table(rule.table)
-    var df = frames(rule.table)
+    var df = frames.getOrElse(rule.table, frame(rule.table))
+    // the frame whose columns the NEXT hop's fkey lives on — join
+    // conditions resolve through it (expression-id based), never by
+    // name on the accumulated frame, where a denormalized column of an
+    // earlier chain table with the same name would be ambiguous
+    var curFrame = df
     var current = source
     // walk the declared FK chain: each hop joins on the fkey that points
     // at the next FROM table (citus.lisp:312-340)
@@ -45,17 +59,18 @@ object Citus {
         throw new IllegalArgumentException(
           s"${current.name} has no foreign key to $hop — " +
             "DISTRIBUTE ... FROM chain must follow fkeys"))
-      val right = frames(hop)
+      val right = frame(hop)
       val cond = fkey.columns.zip(fkey.foreignColumns).map {
-        case (c, fc) => df(c) === right(fc)
+        case (c, fc) => curFrame(c) === right(fc)
       }.reduce(_ && _)
       df = df.join(broadcast(right), cond, "inner")
+      curFrame = right
       current = table(hop)
     }
     // distribution key comes from the LAST hop's frame; source columns
     // follow (citus-format-sql-select column ordering)
-    val lastFrame = frames(rule.from.lastOption.getOrElse(rule.table))
-    val srcFrame = frames(rule.table)
+    val lastFrame = frame(rule.from.lastOption.getOrElse(rule.table))
+    val srcFrame = frame(rule.table)
     df.select(
       (lastFrame(rule.column).as(rule.column) +:
         source.fields.map(f => srcFrame(f.name))): _*)

@@ -38,8 +38,10 @@ object Funnel {
     val clash = events.columns.toSeq
       .filterNot(c => c == userCol || c == tsCol || c == typeCol)
       .intersect(reserved)
-    require(clash.isEmpty && userCol != "__t" && tsCol != "user",
+    require(clash.isEmpty,
       s"event columns collide with outputs/internals: ${clash.mkString(",")}")
+    require(userCol != "__t" && tsCol != "user",
+      s"userCol/tsCol collide with internals: userCol=$userCol tsCol=$tsCol")
     val slice = (st: String) => events.filter(col(typeCol) === st)
       .select(col(userCol).as("user"), col(tsCol).as("__t"))
     val base = slice(steps.head).groupBy(col("user"))

@@ -71,9 +71,13 @@ object Profile {
       val name = s"${c}_${label(p)}"
       if (approx)
         percentile_approx(col(c), lit(p), lit(accuracy)).as(name)
-      else
-        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$c`)")
+      else {
+        // double embedded backticks (the qcol escaping rule) — a raw
+        // interpolation would mis-parse a column named a`b
+        val q = c.replace("`", "``")
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$q`)")
           .as(name)
+      }
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -121,9 +125,12 @@ object Profile {
     // relative epsilon, not a bare >0 guard: for an (effectively)
     // constant group, ex2 - mean² is rounding NOISE around zero — a
     // stray +1e-18 residue would make std ~1e-9 and flag quantization
-    // dust as extreme outliers
+    // dust as extreme outliers. 1e-14: ~50× above the double-rounding
+    // floor (~2e-16 relative) but far below genuine tiny variances —
+    // the earlier 1e-12 silently zeroed real std below 1e-6 of a
+    // group's RMS (micros-scaled money at offset 1e6, std 0.5)
     val rawVar = ex2 - mean * mean
-    val variance = when(rawVar <= ex2 * lit(1e-12), lit(0.0))
+    val variance = when(rawVar <= ex2 * lit(1e-14), lit(0.0))
       .otherwise(rawVar)
     val std = sqrt(greatest(variance, lit(0.0)))
     val z = (col(valueCol) - mean) / std

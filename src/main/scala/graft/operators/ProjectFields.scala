@@ -82,7 +82,13 @@ object ProjectFields {
     }
     spec.dateFormat match {
       case Some(fmt) =>
-        to_timestamp(trimmed, DateFormat.translate(fmt)).cast("string")
+        // try_to_timestamp: a malformed value becomes NULL and flows to
+        // the reject/preflight layer — plain to_timestamp THROWS under
+        // ANSI mode on the first bad row and aborts the whole load,
+        // the failure mode the Validate layer exists to prevent (same
+        // precedent as Validate's try_cast)
+        try_to_timestamp(trimmed, lit(DateFormat.translate(fmt)))
+          .cast("string")
       case None => trimmed
     }
   }
@@ -129,16 +135,36 @@ object DateFormat {
     "PM" -> "a"
   )
 
-  /** Translate a PG-style format to a Spark datetime pattern; characters
-    * outside the token set pass through as literal separators. */
+  /** Translate a PG-style format to a Spark datetime pattern. PG
+    * templates are CASE-INSENSITIVE (`dd/mm/yyyy` ≡ `DD/MM/YYYY` —
+    * matched insensitively here; an exact-case match would pass the
+    * lowercase spelling through, where `mm` means MINUTE to Spark),
+    * `"..."` runs are literal text (emitted single-quote-escaped), and
+    * any stray LETTER outside the token set is quoted too — unquoted
+    * it would be a Spark pattern character with entirely different
+    * meaning. Non-letter separators pass through unchanged. */
   def translate(pgFormat: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < pgFormat.length) {
-      val rest = pgFormat.substring(i)
-      tokens.find { case (tok, _) => rest.startsWith(tok) } match {
-        case Some((tok, rep)) => sb.append(rep); i += tok.length
-        case None => sb.append(pgFormat.charAt(i)); i += 1
+      val c = pgFormat.charAt(i)
+      if (c == '"') {
+        val close = pgFormat.indexOf('"', i + 1)
+        val end = if (close < 0) pgFormat.length else close
+        val lit0 = pgFormat.substring(i + 1, end)
+        if (lit0.nonEmpty)
+          sb.append('\'').append(lit0.replace("'", "''")).append('\'')
+        i = if (close < 0) end else end + 1
+      } else {
+        tokens.find { case (tok, _) =>
+          pgFormat.regionMatches(true, i, tok, 0, tok.length) } match {
+          case Some((tok, rep)) => sb.append(rep); i += tok.length
+          case None =>
+            if (c == '\'') sb.append("''")
+            else if (c.isLetter) sb.append('\'').append(c).append('\'')
+            else sb.append(c)
+            i += 1
+        }
       }
     }
     sb.toString

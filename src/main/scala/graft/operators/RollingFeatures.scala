@@ -38,6 +38,18 @@ object RollingFeatures {
                    lookbacks: Seq[(String, Long)],
                    sumCols: Seq[String] = Nil): DataFrame = {
     require(lookbacks.nonEmpty, "need at least one lookback window")
+    // generated names must not overwrite inputs (withColumn replaces
+    // silently) or each other (a duplicated suffix would mask the
+    // earlier window's feature)
+    val outNames = lookbacks.flatMap { case (sfx, _) =>
+      s"n_$sfx" +: sumCols.map(c => s"sum_${c}_$sfx") }
+    require(outNames.distinct.length == outNames.length,
+      s"duplicate lookback suffixes generate colliding outputs: " +
+        outNames.diff(outNames.distinct).mkString(","))
+    val clash = df.columns.toSeq.intersect(outNames)
+    require(clash.isEmpty,
+      s"input columns collide with generated features: " +
+        clash.mkString(","))
     lookbacks.foldLeft(df) { case (d, (suffix, lb)) =>
       val w = timeFrame(keys, timeCol, lb)
       val withN = d.withColumn(s"n_$suffix", count(lit(1)).over(w))

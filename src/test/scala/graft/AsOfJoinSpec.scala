@@ -85,4 +85,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin")
       && !plan.contains("CartesianProduct"))
   }
+
+  test("a NULL right timestamp never becomes the earliest match") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L)).toDF("k", "ts")
+    val quotes = Seq(
+      (1L, Option.empty[Long], 111.1),  // null ts: must not attach
+      (1L, Some(50L), 42.0))
+      .toDF("k", "ts", "px")
+    val got = graft.operators.AsOfJoin.asOf(trades, quotes,
+      keys = Seq("k"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("px")).head()
+    assert(got.getDouble(2) == 42.0)
+  }
 }

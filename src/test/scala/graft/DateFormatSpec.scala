@@ -30,4 +30,19 @@ class DateFormatSpec extends SparkSpec {
     assert(row.getString(1) == "2004-10-02 00:00:00")
     assert(row.getString(2) == "2004-10-02 00:00:00")
   }
+
+  test("translate: case-insensitive tokens, quoted literals and letters") {
+    // PG templates are case-insensitive: dd/mm/yyyy means day/month/year
+    assert(DateFormat.translate("dd/mm/yyyy") == "dd/MM/yyyy")
+    // a "..." run is literal text, quoted for the Java pattern
+    assert(DateFormat.translate("YYYY-MM-DD\"T\"HH24:MI") ==
+      "yyyy-MM-dd'T'HH:mm")
+    // a stray letter outside the token set must be quoted too —
+    // unquoted it is a Spark pattern char with a different meaning
+    assert(DateFormat.translate("YYYYxMM") == "yyyy'x'MM")
+    val row = evalRow(
+      to_timestamp(lit("25/12/2004"),
+        DateFormat.translate("dd/mm/yyyy")).cast("string"))
+    assert(row.getString(0) == "2004-12-25 00:00:00")
+  }
 }
