@@ -543,6 +543,11 @@ object Runner {
       .appName("graft-load")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // pin UTC like every other graft session: timestamp RENDERING
+      // (from_unixtime, timestamptz literals) follows the session zone,
+      // and the reference renders timestamptz in UTC — an unpinned
+      // session would load different wall-clock strings per host TZ
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val t0 = System.nanoTime()
     // driver-free by default: DDL and COPY both speak the wire protocol

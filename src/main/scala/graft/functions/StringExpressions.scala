@@ -178,12 +178,18 @@ object StringExpressions {
   def copyUnescape(c: Column): Column =
     ExpressionUtils.column(CopyUnescape(ExpressionUtils.expression(c)))
 
+  // compiled ONCE: String.split only fast-paths single-char patterns,
+  // so splitting by the multi-char separator class per ROW would pay a
+  // Pattern.compile on the expression's documented hot path
+  private val SeparatorPattern =
+    java.util.regex.Pattern.compile(graft.pipeline.Terms.SeparatorClass)
+
   /** Scalar spec for [[BpeEncode]] (called from codegen). */
   def bpeEncodeText(s: UTF8String,
                     rank: Map[(String, String), Int])
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val words = s.toString.toLowerCase(java.util.Locale.ROOT)
-      .split(graft.pipeline.Terms.SeparatorClass)
+    val words = SeparatorPattern.split(
+      s.toString.toLowerCase(java.util.Locale.ROOT))
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.length) {

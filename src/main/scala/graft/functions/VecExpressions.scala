@@ -28,6 +28,32 @@ import org.apache.spark.sql.types._
   * `Expression` with `doGenCode` beats a Scala UDF. Registered for SQL use
   * via [[GraftExtensions]] (`vec_dot`, `vec_dist2`).
   */
+/** Shared element accessors for the array-of-numeric expressions —
+  * ONE six-case type dispatch (eval + codegen spelling), not per-class
+  * copies that drift apart when a supported element type is added. */
+private[functions] object VecElem {
+  def getDouble(arr: ArrayData, dt: DataType, i: Int): Double =
+    dt match {
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case ByteType    => arr.getByte(i).toDouble
+      case ShortType   => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType    => arr.getLong(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  def genGet(arr: String, dt: DataType, i: String): String =
+    dt match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+}
+
 abstract class VecFoldExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -61,15 +87,7 @@ abstract class VecFoldExpression extends BinaryExpression {
   protected def combineCode(acc: String, a: String, b: String): String
 
   private def getDouble(arr: ArrayData, dt: DataType, i: Int): Double =
-    dt match {
-      case FloatType   => arr.getFloat(i).toDouble
-      case DoubleType  => arr.getDouble(i)
-      case ByteType    => arr.getByte(i).toDouble
-      case ShortType   => arr.getShort(i).toDouble
-      case IntegerType => arr.getInt(i).toDouble
-      case LongType    => arr.getLong(i).toDouble
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    VecElem.getDouble(arr, dt, i)
 
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[ArrayData]
@@ -88,15 +106,7 @@ abstract class VecFoldExpression extends BinaryExpression {
   }
 
   private def genGet(arr: String, dt: DataType, i: String): String =
-    dt match {
-      case FloatType   => s"(double) $arr.getFloat($i)"
-      case DoubleType  => s"$arr.getDouble($i)"
-      case ByteType    => s"(double) $arr.getByte($i)"
-      case ShortType   => s"(double) $arr.getShort($i)"
-      case IntegerType => s"(double) $arr.getInt($i)"
-      case LongType    => s"(double) $arr.getLong($i)"
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    VecElem.genGet(arr, dt, i)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
@@ -174,6 +184,18 @@ case class HyperplaneSig(child: Expression, matrix: Array[Double], dim: Int)
   private val numPlanes = matrix.length / dim
   require(numPlanes <= 64, s"at most 64 planes fit a long, got $numPlanes")
 
+  // content equality for the embedded Array: the case-class default is
+  // array REFERENCE identity, so two nodes built from the same
+  // seed-derived matrix would never compare equal and Catalyst's
+  // common-subexpression elimination could not deduplicate them
+  override def equals(o: Any): Boolean = o match {
+    case h: HyperplaneSig => child == h.child && dim == h.dim &&
+      java.util.Arrays.equals(matrix, h.matrix)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(dim), Int.box(java.util.Arrays.hashCode(matrix)))
+
   override def prettyName: String = "hyperplane_sig"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -191,15 +213,7 @@ case class HyperplaneSig(child: Expression, matrix: Array[Double], dim: Int)
   }
 
   private def getDouble(arr: ArrayData, dt: DataType, i: Int): Double =
-    dt match {
-      case FloatType   => arr.getFloat(i).toDouble
-      case DoubleType  => arr.getDouble(i)
-      case ByteType    => arr.getByte(i).toDouble
-      case ShortType   => arr.getShort(i).toDouble
-      case IntegerType => arr.getInt(i).toDouble
-      case LongType    => arr.getLong(i).toDouble
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    VecElem.getDouble(arr, dt, i)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -222,15 +236,7 @@ case class HyperplaneSig(child: Expression, matrix: Array[Double], dim: Int)
   }
 
   private def genGet(arr: String, dt: DataType, i: String): String =
-    dt match {
-      case FloatType   => s"(double) $arr.getFloat($i)"
-      case DoubleType  => s"$arr.getDouble($i)"
-      case ByteType    => s"(double) $arr.getByte($i)"
-      case ShortType   => s"(double) $arr.getShort($i)"
-      case IntegerType => s"(double) $arr.getInt($i)"
-      case LongType    => s"(double) $arr.getLong($i)"
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    }
+    VecElem.genGet(arr, dt, i)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =

@@ -114,7 +114,15 @@ final class CopySink(
     onErrorStop: Boolean = false,
     rejectDir: Option[String] = None) extends Serializable {
 
-  /** Write `df`; returns (sent, rejected) via accumulators. */
+  /** Write `df`; returns (sent, rejected) via accumulators.
+    *
+    * Delivery contract: at-least-once per PARTITION — each COPY batch
+    * commits atomically, but a Spark task retry (or a speculative
+    * attempt) re-runs its partition from the first row and re-commits
+    * batches the failed attempt already landed. That is the standard
+    * non-transactional-sink trade (the reference's loader makes the
+    * same one); load into a staging table and MERGE, or disable
+    * spark.speculation, when the target demands exactly-once. */
   def write(df: DataFrame): (Long, Long) = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("rowsSent")
@@ -127,13 +135,18 @@ final class CopySink(
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val endpoint = factory(pid)
+      // a plain Writer, NOT PrintWriter: PrintWriter swallows
+      // IOExceptions behind an internal flag, so a disk-full reject
+      // directory would silently lose the replay file while the job
+      // reported N rejected rows as safely captured
       val rejectWriter = rDir.map { d =>
         val dir = new java.io.File(d); dir.mkdirs()
-        new java.io.PrintWriter(new java.io.File(dir, f"part-$pid%05d.dat"))
+        new java.io.BufferedWriter(new java.io.FileWriter(
+          new java.io.File(dir, f"part-$pid%05d.dat")))
       }
       val rejectFn: (Array[Byte], String) => Unit = (row, msg) => {
         if (stop) throw CopyError(None, msg)
-        rejectWriter.foreach(w => w.print(new String(row, "UTF-8")))
+        rejectWriter.foreach(w => w.write(new String(row, "UTF-8")))
         rejected.add(1)
       }
       try {
@@ -194,10 +207,18 @@ final class JdbcInsertEndpoint(url: String, props: java.util.Properties,
     } catch {
       case e: java.sql.BatchUpdateException =>
         conn.rollback(); ps.clearBatch()
-        // update counts locate the first failed row when provided
+        // update counts attribute a row ONLY when exactly one statement
+        // failed: under pgjdbc's reWriteBatchedInserts every row of the
+        // rewritten chunk is marked EXECUTE_FAILED, and blaming the
+        // first index would reject good row 1, then good row 2, …
+        // before reaching the bad one — fall back to bisect instead
         val counts = e.getUpdateCounts
-        val bad = counts.indexWhere(_ == java.sql.Statement.EXECUTE_FAILED)
-        val line = if (bad >= 0) Some(bad + 1) else None
+        val failed = counts.zipWithIndex
+          .filter(_._1 == java.sql.Statement.EXECUTE_FAILED)
+        val line = failed match {
+          case Array((_, i)) => Some(i + 1)
+          case _ => None
+        }
         throw CopyError(line,
           Option(e.getCause).getOrElse(e).getMessage)
       case e: Exception =>
@@ -244,7 +265,12 @@ final class PgCopyEndpoint(url: String, props: java.util.Properties,
       case e: Exception =>
         conn.rollback()
         val msg = Option(e.getCause).getOrElse(e).getMessage
-        val line = lineRe.findFirstMatchIn(msg).map(_.group(1).toInt)
+        // LAST match: pgjdbc puts the primary error (which may QUOTE
+        // row data containing "COPY t, line N") before the CONTEXT
+        // line — a first-match would blame whatever line number the
+        // bad row's own data happened to mention
+        val line = lineRe.findAllMatchIn(msg).toSeq.lastOption
+          .map(_.group(1).toInt)
         throw CopyError(line, msg)
     }
   }

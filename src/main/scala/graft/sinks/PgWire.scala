@@ -90,8 +90,12 @@ object PgWire {
       * containing "line 42" cannot shadow the position report. */
     def copyLine: Option[Int] = {
       val re = "COPY [^,]+, line (\\d+)".r
+      // M-field fallback takes the LAST match: the primary message may
+      // QUOTE row data that itself contains "COPY t, line N" before
+      // the real position report
       fields.get('W').flatMap(w => re.findFirstMatchIn(w))
-        .orElse(re.findFirstMatchIn(fields.getOrElse('M', "")))
+        .orElse(re.findAllMatchIn(fields.getOrElse('M', ""))
+          .toSeq.lastOption)
         .map(_.group(1).toInt)
     }
     def contextMessage: String =
@@ -145,7 +149,16 @@ final class PgWireConnection(params: PgWire.ConnParams)
   private val out = new DataOutputStream(
     new BufferedOutputStream(sock.getOutputStream, 1 << 16))
 
-  startup()
+  // a failed startup (wrong password, unsupported auth, server error)
+  // must not leak the connected socket — nobody can call close() on a
+  // half-constructed object, and Spark's task retries multiply the
+  // leak across attempts × partitions
+  try startup()
+  catch {
+    case e: Throwable =>
+      try sock.close() catch { case _: Throwable => () }
+      throw e
+  }
 
   /** TCP connect + SSLRequest negotiation per [[PgWire.SslModes]]. The
     * SSLRequest frame (int32 8, int32 80877103) precedes any startup
