@@ -174,14 +174,30 @@ object Identifiers {
   * (src/pgsql/pgsql-ddl.lisp; clojure/src/pgloader/ddl/common.clj:227-248).
   */
 object Ddl {
+  /** Identifier for emitted DDL: fold to lowercase (the catalog casing
+    * step normally folds upstream — this is belt for raw paths), then
+    * quote only when PG requires it (reserved word, specials) — the
+    * same fold-then-quote rule as the sequence DDL, so ordinary names
+    * stay bare and every surface lands on the same folded name. A
+    * reserved-word column (`order`) or a name with specials otherwise
+    * emits invalid DDL that aborts the intolerant pre phase. */
+  private def q(ident: String): String = {
+    val folded = ident.toLowerCase
+    if (Identifiers.needsQuoting(folded))
+      "\"" + folded.replace("\"", "\"\"") + "\""
+    else folded
+  }
+  private def qq(schema: String, name: String): String =
+    if (schema.isEmpty) q(name) else s"${q(schema)}.${q(name)}"
+
   def createTable(t: Table, ifNotExists: Boolean = false): String = {
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val cols = t.columns.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
       val dft = c.default.map(d => s" DEFAULT $d").getOrElse("")
-      s"  ${c.name} ${c.pgType}$nn$dft"
+      s"  ${q(c.name)} ${c.pgType}$nn$dft"
     }
-    s"CREATE TABLE $ine${t.schema}.${t.name}\n(\n${cols.mkString(",\n")}\n);"
+    s"CREATE TABLE $ine${qq(t.schema, t.name)}\n(\n${cols.mkString(",\n")}\n);"
   }
 
   /** MySQL ENUM/SET columns become dynamic PG ENUM types named
@@ -189,7 +205,12 @@ object Ddl {
     * ddl/common.clj:557-574). Returns the labels parsed from the source
     * ctype, e.g. `enum('a','b')` → a, b. */
   def enumLabels(ctype: String): Seq[String] =
-    "'([^']*)'".r.findAllMatchIn(ctype).map(_.group(1)).toSeq
+    // a label may CONTAIN an escaped quote ('' in the source ctype —
+    // enum('it''s','no')); the naive [^']* class would split it into
+    // two bogus labels and the real value then fails the enum check
+    // at load time
+    "'((?:[^']|'')*)'".r.findAllMatchIn(ctype)
+      .map(_.group(1).replace("''", "'")).toSeq
 
   def createEnum(typeName: String, labels: Seq[String]): String =
     s"CREATE TYPE $typeName AS ENUM (" +
@@ -227,7 +248,13 @@ object Ddl {
     * returns the next un-issued value
     * (pgsql-create-schema.lisp:114-152). */
   def createSequence(s: SequenceDef): String = {
-    val start = s.current.map(_ + s.increment).getOrElse(s.start)
+    // clamp into [min, max]: an EXHAUSTED non-cycling source sequence
+    // has current == maxValue, and current + increment would overflow
+    // the declared bound — PG rejects such a START and the intolerant
+    // pre phase would abort the whole migration
+    val start = s.current.map(c =>
+      math.min(math.max(c + s.increment, s.minValue), s.maxValue))
+      .getOrElse(s.start)
     s"CREATE SEQUENCE IF NOT EXISTS ${seqName(s)} AS bigint " +
       s"START WITH $start INCREMENT BY ${s.increment} " +
       s"MINVALUE ${s.minValue} MAXVALUE ${s.maxValue} " +
@@ -236,42 +263,42 @@ object Ddl {
   }
 
   def addCheck(t: Table, name: String, expr: String): String =
-    s"ALTER TABLE ${t.schema}.${t.name} ADD CONSTRAINT $name CHECK ($expr);"
+    s"ALTER TABLE ${qq(t.schema, t.name)} ADD CONSTRAINT ${q(name)} CHECK ($expr);"
 
   def commentOnTable(t: Table, comment: String): String =
-    s"COMMENT ON TABLE ${t.schema}.${t.name} IS " +
+    s"COMMENT ON TABLE ${qq(t.schema, t.name)} IS " +
       s"'${comment.replace("'", "''")}';"
 
   def commentOnColumn(t: Table, c: ColumnDef, comment: String): String =
-    s"COMMENT ON COLUMN ${t.schema}.${t.name}.${c.name} IS " +
+    s"COMMENT ON COLUMN ${qq(t.schema, t.name)}.${q(c.name)} IS " +
       s"'${comment.replace("'", "''")}';"
 
   def createIndex(i: Index, schema: String = "public"): String = {
     val uq = if (i.unique || i.primary) "UNIQUE " else ""
     val where = i.filter.map(f => s" WHERE $f").getOrElse("")
-    s"CREATE ${uq}INDEX ${i.name} ON $schema.${i.table} " +
-      s"(${i.columns.mkString(", ")})$where;"
+    s"CREATE ${uq}INDEX ${q(i.name)} ON ${qq(schema, i.table)} " +
+      s"(${i.columns.map(q).mkString(", ")})$where;"
   }
 
   /** PK built as UNIQUE index first, then attached — lets index builds run
     * in parallel after the load (migrate-database.lisp:177-181). */
   def attachPrimaryKey(i: Index, schema: String = "public"): String =
-    s"ALTER TABLE $schema.${i.table} ADD PRIMARY KEY USING INDEX ${i.name};"
+    s"ALTER TABLE ${qq(schema, i.table)} ADD PRIMARY KEY USING INDEX ${q(i.name)};"
 
   def addFKey(f: FKey, schema: String = "public"): String =
-    s"ALTER TABLE $schema.${f.table} ADD CONSTRAINT ${f.name} " +
-      s"FOREIGN KEY (${f.columns.mkString(", ")}) " +
-      s"REFERENCES $schema.${f.foreignTable} " +
-      s"(${f.foreignColumns.mkString(", ")})" +
+    s"ALTER TABLE ${qq(schema, f.table)} ADD CONSTRAINT ${q(f.name)} " +
+      s"FOREIGN KEY (${f.columns.map(q).mkString(", ")}) " +
+      s"REFERENCES ${qq(schema, f.foreignTable)} " +
+      s"(${f.foreignColumns.map(q).mkString(", ")})" +
       f.onUpdate.map(u => s" ON UPDATE $u").getOrElse("") +
       f.onDelete.map(d => s" ON DELETE $d").getOrElse("") + ";"
 
-  def truncate(t: Table): String = s"TRUNCATE ${t.schema}.${t.name};"
+  def truncate(t: Table): String = s"TRUNCATE ${qq(t.schema, t.name)};"
 
   /** WITH include drop (CASCADE takes dependent FKs with it, as the
     * reference's drop phase does). */
   def dropTable(t: Table): String =
-    s"DROP TABLE IF EXISTS ${t.schema}.${t.name} CASCADE;"
+    s"DROP TABLE IF EXISTS ${qq(t.schema, t.name)} CASCADE;"
 
   def createExtension(name: String): String =
     s"""CREATE EXTENSION IF NOT EXISTS "$name";"""

@@ -32,11 +32,23 @@ object CatalogRewrite {
   /** Keep only tables passing INCLUDING (when present) and not matching
     * EXCLUDING; filters scoped to a schema only apply there. */
   def filter(cat: Catalog, including: Seq[TableFilter],
-             excluding: Seq[TableFilter]): Catalog =
-    cat.copy(schemas = cat.schemas.map { s =>
+             excluding: Seq[TableFilter]): Catalog = {
+    val filtered = cat.copy(schemas = cat.schemas.map { s =>
       s.copy(tables = s.tables.filter(t =>
         kept(s.name, t.name, including, excluding)))
     })
+    // prune fkeys pointing at tables the filter removed — they were
+    // never created on the target, so an unpruned REFERENCES would fail
+    // in the post phase and flip the whole run's exit code (the
+    // reference prunes these too)
+    val surviving = filtered.schemas.flatMap(_.tables.map(_.name)).toSet
+    filtered.copy(schemas = filtered.schemas.map { s =>
+      s.copy(tables = s.tables.map { t =>
+        t.copy(fkeys = t.fkeys.filter(fk =>
+          surviving.contains(fk.foreignTable)))
+      })
+    })
+  }
 
   /** `ALTER SCHEMA 'a' RENAME TO 'b'`. */
   def alterSchema(cat: Catalog, renames: Seq[(String, String)]): Catalog = {
@@ -65,21 +77,41 @@ object CatalogRewrite {
     * schema nodes (creating the target schema node if needed). */
   def alterTable(cat: Catalog, rules: Seq[AlterTableRule]): Catalog = {
     if (rules.isEmpty) return cat
-    // apply renames in place, collect schema moves
+    // apply renames in place, collect schema moves; a rename must
+    // follow through to the table's OWN index/fkey back-references AND
+    // to every other table's fkeys pointing at it — left stale, the
+    // post phase emits CREATE INDEX/REFERENCES against the OLD name
+    // and every statement fails with "relation does not exist"
     var moved = Seq.empty[(Table, String)]
+    var renames = Map.empty[String, String] // old name -> new name
     val renamed = cat.schemas.map { s =>
       s.copy(tables = s.tables.flatMap { t =>
         rules.find(r => matchesAny(r.patterns, t.name)) match {
           case Some(AlterTableRule(_, RenameTo(n))) =>
-            Some(t.copy(name = n))
+            renames += t.name -> n
+            Some(t.copy(name = n,
+              indexes = t.indexes.map(_.copy(table = n)),
+              fkeys = t.fkeys.map(_.copy(table = n))))
           case Some(AlterTableRule(_, SetSchema(target))) =>
             moved :+= (t.copy(schema = target), target); None
           case _ => Some(t) // tablespace/params don't reshape the catalog
         }
       })
     }
+    val refFixed =
+      if (renames.isEmpty) renamed
+      else renamed.map { s =>
+        s.copy(tables = s.tables.map { t =>
+          t.copy(fkeys = t.fkeys.map { fk =>
+            renames.get(fk.foreignTable) match {
+              case Some(n) => fk.copy(foreignTable = n)
+              case None => fk
+            }
+          })
+        })
+      }
     val bySchema = moved.groupBy(_._2)
-    val withMoves = renamed.map { s =>
+    val withMoves = refFixed.map { s =>
       bySchema.get(s.name) match {
         case Some(ts) => s.copy(tables = s.tables ++ ts.map(_._1))
         case None => s
@@ -108,7 +140,19 @@ object CatalogRewrite {
           val n = seen.getOrElse(key, 0)
           seen(key) = n + 1
           if (n == 0) i
-          else i.copy(name = Identifiers.truncate63(s"${i.name}_$n"))
+          else {
+            // truncate the BASE, never the suffix: for a 63-byte name,
+            // truncate63(name_N) cuts the suffix back off and the
+            // "uniquified" name still collides
+            val suffix = s"_$n"
+            val base = i.name.getBytes("UTF-8")
+            val room = 63 - suffix.getBytes("UTF-8").length
+            var m = math.min(base.length, room)
+            // back off to a UTF-8 codepoint boundary
+            while (m > 0 && m < base.length && (base(m) & 0xC0) == 0x80)
+              m -= 1
+            i.copy(name = new String(base, 0, m, "UTF-8") + suffix)
+          }
         })
       })
     })

@@ -140,8 +140,10 @@ final class Migrator(
     // statement that WOULD have run, as a reviewable plan
     def ddl(sql: String): Unit = if (!dryRun) executeDdl(sql, gucSql)
 
-    // BEFORE LOAD DO, first of all
-    beforeLoad.foreach(ddl)
+    // (BEFORE LOAD DO runs below, after driver-side catalog validation
+    // — it mutates the TARGET, and a run the collision check is about
+    // to abort must not have executed the user's statements first; it
+    // is also recorded in Summary.preDdl so dry-run plans carry it)
 
     // ---- 1. process-catalog (migrate-database.lisp:253-302)
     var cat = CatalogRewrite.filter(cat0, including, excluding)
@@ -150,8 +152,14 @@ final class Migrator(
     // source index names are table-scoped; PG's are schema-scoped
     // (core.clj:746-753) — dedupe before any CREATE INDEX
     cat = CatalogRewrite.uniquifyIndexNames(cat)
-    val collisions = Identifiers.collisions(
-      cat.allTables.map(t => s"${t.schema}.${t.name}"))
+    // PG truncates each IDENTIFIER to 63 bytes, never the qualified
+    // pair — truncating "schema.name" as one string would spuriously
+    // collide legal sub-63-byte names whose qualified spelling crosses
+    // the boundary; collide per schema on the table name alone
+    val collisions = cat.allTables.groupBy(_.schema).flatMap {
+      case (sch, ts) => Identifiers.collisions(ts.map(_.name))
+        .map { case (k, v) => s"$sch.$k" -> v }
+    }
     require(collisions.isEmpty,
       s"identifier collision after 63-byte truncation: $collisions")
     cat = cat.cast(userCast, defaults)
@@ -159,6 +167,8 @@ final class Migrator(
     // ---- 2. prepare target (prepare-pgsql-database :11-150)
     val pre = Seq.newBuilder[String]
     def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
+    // BEFORE LOAD DO, ahead of any schema DDL (and inside the plan)
+    beforeLoad.foreach(preDdl)
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
     // user-defined sequences right after the schemas, before any table
@@ -190,7 +200,22 @@ final class Migrator(
             val isEnumish = field.exists(f =>
               f.typeName == "enum" || f.typeName == "set")
             if (isEnumish && (c.pgType == "enum" || c.pgType == "enum[]")) {
-              val tn = s"${t.name}_${c.name}"
+              // SCHEMA-qualified type name: two same-named tables in
+              // different schemas would otherwise fight over one type;
+              // includeDrop drops it first — DROP TABLE CASCADE does
+              // not remove types, so the documented re-run flow would
+              // abort on "type already exists" in the intolerant pre
+              // phase
+              // qualified OUTSIDE the default schema only: two
+              // same-named tables in different schemas must not fight
+              // over one type, while public-schema types keep the
+              // reference's bare `<table>_<column>` name
+              val tn =
+                if (t.schema.nonEmpty && t.schema != "public")
+                  s"${t.schema}.${t.name}_${c.name}"
+                else s"${t.name}_${c.name}"
+              if (includeDrop)
+                preDdl(s"DROP TYPE IF EXISTS $tn CASCADE;")
               preDdl(Ddl.createEnum(tn, Ddl.enumLabels(field.get.ctype)))
               c.copy(pgType =
                 if (c.pgType.endsWith("[]")) tn + "[]" else tn)
@@ -283,6 +308,15 @@ final class Migrator(
         case scala.util.control.NonFatal(e) =>
           ddlErrors.add((sql, Option(e.getMessage).getOrElse(e.toString)))
       }
+    // the index builds interleave with the data phase in a REAL run
+    // (executed concurrently via ddl()); record the successful ones in
+    // the summary here so the report matches what a dry-run plans —
+    // otherwise CREATE INDEX statements vanish from postDdl exactly
+    // when they ran
+    if (!dryRun && withIndexes)
+      okTables.foreach(t => t.indexes
+        .filterNot(i => failedIndexes.contains((t.schema, i.name)))
+        .foreach(i => post += Ddl.createIndex(i, t.schema)))
     // dry-run: the index builds that normally interleave with the data
     // phase still belong in the reviewable plan
     if (dryRun && withIndexes)

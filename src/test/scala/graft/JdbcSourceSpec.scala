@@ -76,8 +76,12 @@ class JdbcSourceSpec extends AnyFunSuite {
     val cast = cat.cast(Nil, DefaultCastRules.ansi)
     val nations = cast.allTables.find(_.name == "NATIONS").get
     val ddl = Ddl.createTable(nations)
-    assert(ddl.contains("N_ID integer NOT NULL"))
-    assert(ddl.contains("N_BUDGET numeric(12,2)"))
+    // Derby reports uppercase identifiers; emitted DDL folds them (the
+    // reference's downcase identifier-case default — unquoted N_ID and
+    // n_id are the same name to PG, and folding keeps every emission
+    // surface consistent with the quote-only-when-needed rule)
+    assert(ddl.contains("n_id integer NOT NULL"))
+    assert(ddl.contains("n_budget numeric(12,2)"))
     val pk = nations.indexes.find(_.primary).get
     assert(Ddl.attachPrimaryKey(pk).contains("ADD PRIMARY KEY USING INDEX"))
     assert(Ddl.addFKey(nations.fkeys.head).contains("REFERENCES"))
