@@ -40,12 +40,15 @@ object CatalogRewrite {
     // prune fkeys pointing at tables the filter removed — they were
     // never created on the target, so an unpruned REFERENCES would fail
     // in the post phase and flip the whole run's exit code (the
-    // reference prunes these too)
-    val surviving = filtered.schemas.flatMap(_.tables.map(_.name)).toSet
+    // reference prunes these too). Keyed by (schema, name): addFKey
+    // qualifies foreignTable with the OWNING table's schema, so a
+    // same-named survivor in a DIFFERENT schema must not save the fkey.
+    val surviving = filtered.schemas
+      .flatMap(s => s.tables.map(t => (s.name, t.name))).toSet
     filtered.copy(schemas = filtered.schemas.map { s =>
       s.copy(tables = s.tables.map { t =>
         t.copy(fkeys = t.fkeys.filter(fk =>
-          surviving.contains(fk.foreignTable)))
+          surviving.contains((s.name, fk.foreignTable))))
       })
     })
   }
@@ -83,12 +86,15 @@ object CatalogRewrite {
     // post phase emits CREATE INDEX/REFERENCES against the OLD name
     // and every statement fails with "relation does not exist"
     var moved = Seq.empty[(Table, String)]
-    var renames = Map.empty[String, String] // old name -> new name
+    // keyed by (schema, old name): fkey targets resolve in the OWNING
+    // table's schema, so a rename in schema A must not retarget a
+    // same-named fkey reference in schema B
+    var renames = Map.empty[(String, String), String]
     val renamed = cat.schemas.map { s =>
       s.copy(tables = s.tables.flatMap { t =>
         rules.find(r => matchesAny(r.patterns, t.name)) match {
           case Some(AlterTableRule(_, RenameTo(n))) =>
-            renames += t.name -> n
+            renames += (s.name, t.name) -> n
             Some(t.copy(name = n,
               indexes = t.indexes.map(_.copy(table = n)),
               fkeys = t.fkeys.map(_.copy(table = n))))
@@ -103,7 +109,7 @@ object CatalogRewrite {
       else renamed.map { s =>
         s.copy(tables = s.tables.map { t =>
           t.copy(fkeys = t.fkeys.map { fk =>
-            renames.get(fk.foreignTable) match {
+            renames.get((s.name, fk.foreignTable)) match {
               case Some(n) => fk.copy(foreignTable = n)
               case None => fk
             }

@@ -144,28 +144,42 @@ object DateFormat {
     * it would be a Spark pattern character with entirely different
     * meaning. Non-letter separators pass through unchanged. */
   def translate(pgFormat: String): String = {
-    val sb = new StringBuilder
+    // Two passes: tokenize into pattern chunks vs literal text, then
+    // render with CONSECUTIVE literals coalesced into ONE quoted run.
+    // Emitting per-character quotes would put 'x''y' in the output for
+    // adjacent stray letters, which Java datetime patterns read as the
+    // literal x'y (doubled quote inside a run = escaped apostrophe),
+    // not xy.
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    def addLit(s: String): Unit = if (s.nonEmpty) {
+      if (chunks.nonEmpty && chunks.last._1)
+        chunks(chunks.length - 1) = (true, chunks.last._2 + s)
+      else chunks += ((true, s))
+    }
     var i = 0
     while (i < pgFormat.length) {
       val c = pgFormat.charAt(i)
       if (c == '"') {
         val close = pgFormat.indexOf('"', i + 1)
         val end = if (close < 0) pgFormat.length else close
-        val lit0 = pgFormat.substring(i + 1, end)
-        if (lit0.nonEmpty)
-          sb.append('\'').append(lit0.replace("'", "''")).append('\'')
+        addLit(pgFormat.substring(i + 1, end))
         i = if (close < 0) end else end + 1
       } else {
         tokens.find { case (tok, _) =>
           pgFormat.regionMatches(true, i, tok, 0, tok.length) } match {
-          case Some((tok, rep)) => sb.append(rep); i += tok.length
+          case Some((tok, rep)) => chunks += ((false, rep)); i += tok.length
           case None =>
-            if (c == '\'') sb.append("''")
-            else if (c.isLetter) sb.append('\'').append(c).append('\'')
-            else sb.append(c)
+            if (c == '\'' || c.isLetter) addLit(c.toString)
+            else chunks += ((false, c.toString))
             i += 1
         }
       }
+    }
+    val sb = new StringBuilder
+    chunks.foreach {
+      case (true, lit) =>
+        sb.append('\'').append(lit.replace("'", "''")).append('\'')
+      case (false, pat) => sb.append(pat)
     }
     sb.toString
   }

@@ -115,8 +115,8 @@ object Drift {
     * parallelism; 10 integer micros cannot). The per-cohort bin tables
     * are `bins` rows; the only corpus-wide work is one min/max
     * aggregate and one binned count per cohort — two narrow scans, no
-    * join wider than `bins` rows. NULL values are excluded (they carry
-    * no position on the value axis).
+    * join wider than `bins` rows. NULL and NaN values are excluded
+    * (they carry no position on the value axis).
     *
     * Output (one row): (n_a, n_b, psi_micro); NULL psi when either
     * cohort is empty or the pooled range is degenerate (min == max).
@@ -124,10 +124,13 @@ object Drift {
   def valuePsi(a: DataFrame, b: DataFrame, valueCol: String,
                bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // NaN must be dropped alongside NULL: Spark orders NaN greatest, so a
+    // single NaN would poison the pooled max and turn every binIndex
+    // division into NaN (ANSI floor(NaN) then throws). Mirrors qRows.
     val av = a.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
     val bv = b.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
     val pooled = av.unionAll(bv)
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     def binned(df: DataFrame): DataFrame =

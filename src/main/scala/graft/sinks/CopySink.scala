@@ -141,8 +141,12 @@ final class CopySink(
       // reported N rejected rows as safely captured
       val rejectWriter = rDir.map { d =>
         val dir = new java.io.File(d); dir.mkdirs()
+        // explicit UTF-8: rows were decoded from UTF-8 bytes, and the
+        // platform-default charset would silently mangle them ('?')
+        // on a non-UTF-8 host
         new java.io.BufferedWriter(new java.io.FileWriter(
-          new java.io.File(dir, f"part-$pid%05d.dat")))
+          new java.io.File(dir, f"part-$pid%05d.dat"),
+          java.nio.charset.StandardCharsets.UTF_8))
       }
       val rejectFn: (Array[Byte], String) => Unit = (row, msg) => {
         if (stop) throw CopyError(None, msg)

@@ -45,4 +45,18 @@ class DateFormatSpec extends SparkSpec {
         DateFormat.translate("dd/mm/yyyy")).cast("string"))
     assert(row.getString(0) == "2004-12-25 00:00:00")
   }
+
+  test("translate: adjacent stray letters coalesce into ONE quoted run") {
+    // per-char quoting would emit 'x''y' — which Java patterns read as
+    // the literal x'y (doubled quote inside a run = apostrophe), not xy
+    assert(DateFormat.translate("YYYYMMxzDD") == "yyyyMM'xz'dd")
+    // stray letters merge with an adjacent "..." literal run too
+    assert(DateFormat.translate("YYYY\"ab\"xMM") == "yyyy'abx'MM")
+    // a stray apostrophe inside a coalesced run stays escaped
+    assert(DateFormat.translate("YYYYx'zMM") == "yyyy'x''z'MM")
+    val row = evalRow(
+      to_timestamp(lit("2004-10xz-02"),
+        DateFormat.translate("YYYY-MMxz-DD")).cast("string"))
+    assert(row.getString(0) == "2004-10-02 00:00:00")
+  }
 }

@@ -99,6 +99,64 @@ class MigrateSpec extends AnyFunSuite {
     assert(scoped.allTables.map(_.name).contains("big"))
   }
 
+  test("fkey pruning and rename follow-through are schema-scoped") {
+    // two schemas each hold a `users`; `a.orders` references a.users.
+    // Excluding a.users must prune that fkey even though b.users
+    // survives — addFKey qualifies the target with the OWNING schema,
+    // so the post phase would otherwise REFERENCES a never-created
+    // a.users
+    def t(schema: String, name: String, fks: Seq[FKey] = Nil) = Table(
+      name = name, schema = schema,
+      fields = Seq(SourceColumn(name, "id", "int(10)", nullable = false)),
+      fkeys = fks)
+    val cat = Catalog("test", Seq(
+      Schema("a", tables = Seq(
+        t("a", "users"),
+        t("a", "orders", Seq(FKey("o_fk", "orders", Seq("id"),
+          "users", Seq("id")))))),
+      Schema("b", tables = Seq(t("b", "users")))))
+    val pruned = CatalogRewrite.filter(cat,
+      including = Nil,
+      excluding = Seq(TableFilter(Seq(NamePattern("users",
+        isRegex = false)), Some("a"))))
+    val orders = pruned.schemas.find(_.name == "a").get
+      .tables.find(_.name == "orders").get
+    assert(orders.fkeys.isEmpty, "fkey to excluded a.users must be pruned")
+    assert(pruned.schemas.find(_.name == "b").get
+      .tables.exists(_.name == "users"))
+
+    // rename follow-through is schema-scoped too: renaming b.users2
+    // must NOT retarget a.orders' fkey (which resolves in schema a)
+    val cat2 = Catalog("test", Seq(
+      Schema("a", tables = Seq(
+        t("a", "users"),
+        t("a", "orders", Seq(FKey("o_fk", "orders", Seq("id"),
+          "users", Seq("id")))))),
+      Schema("b", tables = Seq(t("b", "users2")))))
+    val renamed = CatalogRewrite.alterTable(cat2, Seq(
+      AlterTableRule(Seq(NamePattern("^users2?$", isRegex = true)),
+        RenameTo("accounts"))))
+    // a.users matched too and renamed — a.orders' fkey follows its OWN
+    // schema's rename to accounts; a name-only map keyed by "users2"
+    // collisions would be indistinguishable, so also check the b-only
+    // rename in isolation:
+    val aOrders = renamed.schemas.find(_.name == "a").get
+      .tables.find(_.name == "orders").get
+    assert(aOrders.fkeys.head.foreignTable == "accounts")
+    val cat3 = Catalog("test", Seq(
+      Schema("a", tables = Seq(
+        t("a", "orders", Seq(FKey("o_fk", "orders", Seq("id"),
+          "ext", Seq("id")))))), // no a.ext — resolves (dangling) in a
+      Schema("b", tables = Seq(t("b", "ext")))))
+    val renamedBOnly = CatalogRewrite.alterTable(cat3, Seq(
+      AlterTableRule(Seq(NamePattern("^ext$", isRegex = true)),
+        RenameTo("ext_new")))) // only b.ext exists and renames
+    val aOrders2 = renamedBOnly.schemas.find(_.name == "a").get
+      .tables.find(_.name == "orders").get
+    assert(aOrders2.fkeys.head.foreignTable == "ext",
+      "b-schema rename must not retarget a-schema fkey references")
+  }
+
   test("alter table rename and set schema rewrite the catalog") {
     val cat = mkCatalog
     val renamed = CatalogRewrite.alterTable(cat, Seq(

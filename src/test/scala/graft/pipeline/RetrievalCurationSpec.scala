@@ -371,6 +371,12 @@ class RetrievalCurationSpec extends SparkSpec {
     // empty cohort → NULL psi
     val e = Seq.empty[Double].toDF("value")
     assert(Drift.valuePsi(a, e, "value").head().isNullAt(2))
+    // NaN rows are dropped like NULLs — unfiltered, a single NaN
+    // poisons the pooled max (Spark orders NaN greatest) and every
+    // binIndex division goes NaN
+    val an = Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, Double.NaN).toDF("value")
+    val rn = Drift.valuePsi(an, b, "value", bins = 2).head()
+    assert(rn.getLong(0) == 6L && rn.getLong(2) == r.getLong(2))
   }
 
   test("valueKs: exact CDF-gap max, hand-checked; empty cohort NULL") {
