@@ -1827,6 +1827,7 @@ object SparkEntry {
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val batch = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("ts"), col("value").cast("double").as("v"))
+        .filter(!isnan(col("v")))
       val edges = batch.agg(min(col("v")), max(col("v"))).head()
       if (edges.isNullAt(0)) {
         // no non-null values → no windows to monitor: empty result
@@ -1852,6 +1853,7 @@ object SparkEntry {
         .transform(normalizeEventTs)
         .filter(col("value").isNotNull)
         .select(col("ts"), col("value").cast("double").as("v"))
+        .filter(!isnan(col("v")))
       val agg = stream
         .groupBy(window(col("ts"), "1 hour"), binE(col("v")).as("bin"))
         .agg(count(lit(1)).as("c"))
@@ -1986,6 +1988,16 @@ object SparkEntry {
       Curation.paragraphDedup(d2, "doc_id", "text", "\n\n", minChars = 1)
         .select(col("id").as("doc_id"), col("text"), col("n_paras"),
           col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-document exact-substring dedup (Lee et al. ExactSubstr):
+    // every duplicated token span >= 8 tokens keeps its global first
+    // occurrence only; k-gram keep-first removal + token reassembly
+    "substr_dedup" -> ((s, dir) => {
+      Dedup.substrDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("text"), col("n_tokens"),
+          col("n_removed"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3695,6 +3707,37 @@ object SparkEntry {
          SELECT np.doc_id, coalesce(reb.text, '') AS text, np.n_paras,
            coalesce(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept
          FROM np LEFT JOIN reb USING (doc_id) ORDER BY np.doc_id""",
+
+    "substr_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+             regexp_split_to_array(text, '\s+') AS ws,
+             len(regexp_split_to_array(text, '\s+')) AS nt
+           FROM documents),
+         grams AS (SELECT doc_id, s - 1 AS pos,
+             array_to_string(ws[s:s+7], ' ') AS g
+           FROM toks, unnest(range(1, greatest(nt - 8 + 2, 1))) t(s)),
+         occ AS (SELECT doc_id, pos, g,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos)
+               AS rn,
+             count(*) OVER (PARTITION BY g) AS c
+           FROM grams),
+         removed AS (SELECT DISTINCT doc_id, pos + j AS tokidx
+           FROM occ, unnest(range(0, 8)) u(j)
+           WHERE c > 1 AND rn > 1),
+         tokens AS (SELECT doc_id,
+             unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS tokidx
+           FROM toks),
+         kept AS (SELECT t.doc_id, t.tokidx, t.tok FROM tokens t
+           LEFT JOIN removed r
+             ON t.doc_id = r.doc_id AND t.tokidx = r.tokidx
+           WHERE r.doc_id IS NULL),
+         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tokidx) AS text
+           FROM kept GROUP BY doc_id)
+         SELECT toks.doc_id, coalesce(reb.text, '') AS text,
+           CAST(toks.nt AS BIGINT) AS n_tokens,
+           CAST(toks.nt - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+         FROM toks LEFT JOIN reb USING (doc_id) ORDER BY toks.doc_id""",
 
     "text_normalize" ->
       """WITH inj AS (SELECT doc_id,

@@ -720,6 +720,84 @@ object Dedup {
       .select(col("component"), col(idCol).as("keep_id"))
   }
 
+  /** Cross-document exact-substring dedup — the ExactSubstr operator of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022): any token span of length >= k that occurs more
+    * than once in the corpus keeps exactly its FIRST occurrence (global
+    * (id, pos) order) and every other occurrence is removed from the
+    * text. The strongest published dedup for LM training data: unlike
+    * document- or paragraph-level dedup it catches boilerplate,
+    * licenses, and quoted passages embedded inside otherwise-unique
+    * documents.
+    *
+    * Spark-first shape (no suffix array): a span of >= k duplicated
+    * tokens is exactly a run of duplicated k-grams, so k-gram-level
+    * keep-first removal reproduces span-level removal token-for-token —
+    * every token of a duplicated longer span is covered by some
+    * non-first duplicated k-gram occurrence, and overlapping spans
+    * union naturally at the token level.
+    *
+    *   1. positioned k-grams (one codegen'd pass, [[Grams.positioned]]),
+    *      keyed by a 2×64-bit hash pair — shuffle rows carry 16 bytes +
+    *      position, never gram text;
+    *   2. one hash-aggregate per gram: occurrence count + global first
+    *      occurrence `min(struct(id, pos))`;
+    *   3. occurrences of duplicated grams that are NOT the first →
+    *      their k covered token indexes (narrow explode + distinct);
+    *   4. reassembly exactly like [[Curation.paragraphDedup]]: tokens of
+    *      one doc co-locate under one `groupBy(id)`, `array_sort` on
+    *      (idx, token) structs restores order — a document is bounded,
+    *      so one doc per task always fits.
+    *
+    * All joins are equi-joins on hashed keys; nothing corpus-wide is
+    * collected or crossed. At 100 TB the gram table is the dominant
+    * cost — one narrow shuffle of (16-byte hash, id, pos) rows, the
+    * same bill every shingle operator here already pays.
+    *
+    * Tokenization is `\s+` (matching the library's other word
+    * operators); reassembly joins surviving tokens with single spaces,
+    * so original whitespace is canonicalized — the standard trade of
+    * token-level dedup.
+    *
+    * Output: (id, text, n_tokens, n_removed), one row per input doc;
+    * docs shorter than k tokens pass through untouched.
+    */
+  def substrDedup(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 50): DataFrame = {
+    require(k >= 2, s"min duplicated span length must be >= 2, got $k")
+    val words = Grams.wordCols(k)
+    val occ = Grams.positioned(df, idCol, textCol, k)
+      .select(col("id"), col("pos"),
+        xxhash64(words: _*).as("h1"),
+        xxhash64((lit("graft-substr") +: words): _*).as("h2"))
+    val stats = occ.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h1"), col("h2"), col("first"))
+    val removedTokens = occ.join(stats, Seq("h1", "h2"))
+      .filter(!(col("first.id") === col("id") &&
+        col("first.pos") === col("pos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokidx"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("tokidx", "tok")))
+    val kept = toks.join(removedTokens, Seq("id", "tokidx"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tokidx"),
+            col("tok")))), x => x.getField("tok")), " ").as("text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Pack the sign bits of `planes` random-hyperplane dot products —
     * one fused native expression over a seed-derived plane matrix (the
     * per-plane VecDot spelling paid array construction and dispatch per

@@ -26,6 +26,48 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("substrDedup removes every non-first duplicated span, keeps first") {
+    // doc 1 carries the canonical 6-token span; doc 2 embeds the SAME
+    // span mid-text; doc 3 repeats it twice; doc 4 is clean; doc 5 is
+    // shorter than k and passes through untouched
+    val span = "alpha bravo charlie delta echo foxtrot"
+    val d = Seq(
+      (1L, s"intro one two $span outro three"),
+      (2L, s"unrelated lead-in words here $span and a tail"),
+      (3L, s"$span filler filler filler $span"),
+      (4L, "nothing duplicated in this document at all today"),
+      (5L, "tiny doc")
+    ).toDF("id", "text")
+    val r = Dedup.substrDedup(d, "id", "text", k = 6)
+      .orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: global first occurrence (min id) — untouched
+    assert(byId(1L) == (s"intro one two $span outro three", 11L, 0L))
+    // doc 2: the 6 span tokens removed, surrounding text survives
+    assert(byId(2L) == ("unrelated lead-in words here and a tail", 13L, 6L))
+    // doc 3: BOTH occurrences removed (neither is the global first)
+    assert(byId(3L) == ("filler filler filler", 15L, 12L))
+    assert(byId(4L)._3 == 0L && byId(5L)._3 == 0L)
+    assert(byId(5L)._1 == "tiny doc")
+  }
+
+  test("substrDedup overlapping spans union at the token level") {
+    // docs 1 and 2 share a 7-token span; with k=6 the span is covered
+    // by two overlapping 6-grams in doc 2 — removal must excise all 7
+    // tokens once, not double-count
+    val d = Seq(
+      (1L, "p q r s t u v w x"),
+      (2L, "zz p q r s t u v yy")
+    ).toDF("id", "text")
+    val r = Dedup.substrDedup(d, "id", "text", k = 6)
+      .orderBy("id").collect()
+    assert(r(0).getString(1) == "p q r s t u v w x")
+    assert(r(0).getLong(3) == 0L)
+    assert(r(1).getString(1) == "zz yy")
+    assert(r(1).getLong(3) == 7L)
+  }
+
   test("incremental exact dedup drops corpus-matched and intra-batch dups") {
     val corpus = Seq((10L, "already kept text"), (11L, "another kept one"))
       .toDF("id", "text")
