@@ -469,9 +469,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val sink = new CopySink(
       endpointFactory = endpointFactory(table, sessionSql),
       rejectDir = rejectRoot.map(r => s"$r/$table.dat"))
-    val (sent, rejected) = sink.write(df)
+    val (sent, rejected, bytes) = sink.write(df)
     TableStats("public", table, sent, rejected + parseRejects,
-      (System.nanoTime() - t0) / 1000000)
+      (System.nanoTime() - t0) / 1000000, bytes = bytes)
   }
 }
 
@@ -527,10 +527,28 @@ object Runner {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Runner <file.load> [baseDir]")
-    val file = new java.io.File(args(0)).getAbsoluteFile
+    // --summary <path> writes the machine-readable report (reference
+    // main.lisp --summary; summary.clj write-summary); --verbose adds
+    // the read/write time columns
+    var summaryPath: Option[String] = None
+    var verbose = false
+    val pos = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--summary" =>
+          require(i + 1 < args.length, "--summary requires a path")
+          summaryPath = Some(args(i + 1)); i += 2
+        case "--verbose" => verbose = true; i += 1
+        case a => pos += a; i += 1
+      }
+    }
+    val positional = pos.result()
+    require(positional.nonEmpty,
+      "usage: graft.Runner [--summary path] [--verbose] <file.load> [baseDir]")
+    val file = new java.io.File(positional(0)).getAbsoluteFile
     val baseDir =
-      if (args.length > 1) args(1) else file.getParent
+      if (positional.length > 1) positional(1) else file.getParent
     val text = new String(
       java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
     // baseDir resolves relative EXECUTE 'file.sql' references here too
@@ -572,6 +590,8 @@ object Runner {
     val summary = graft.orchestration.Summary(Nil, stats, Nil,
       (System.nanoTime() - t0) / 1000000)
     print(summary.render)
+    summaryPath.foreach(p =>
+      graft.orchestration.SummaryOut.write(summary, p, verbose))
     if (summary.exitCode != 0) sys.exit(summary.exitCode)
   }
 }

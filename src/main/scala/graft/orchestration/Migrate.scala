@@ -12,7 +12,8 @@ import graft.dsl.Ast.{AlterTableRule, TableFilter}
   * migration (the reference keeps going and reports per-table errors). */
 final case class TableStats(schema: String, table: String, rows: Long,
                             rejected: Long, millis: Long,
-                            error: Option[String] = None)
+                            error: Option[String] = None,
+                            bytes: Long = 0L)
 
 /** Three-section migration summary: pre (DDL), data (per-table stats),
   * post (indexes/PKs/FKs/sequences), like the reference's report.
@@ -23,6 +24,7 @@ final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
                          ddlErrors: Seq[(String, String)] = Nil) {
   def totalRows: Long = tables.map(_.rows).sum
   def totalRejected: Long = tables.map(_.rejected).sum
+  def totalBytes: Long = tables.map(_.bytes).sum
   def failedTables: Seq[TableStats] = tables.filter(_.error.nonEmpty)
 
   /** pgloader-style fixed-width report (summary.clj format). */
@@ -86,7 +88,7 @@ final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
   *   (catalog.lisp:513-524; core.clj:655-662). */
 final class Migrator(
     executeDdl: (String, Seq[String]) => Unit,
-    loadTable: (Table, Seq[String]) => (Long, Long),
+    loadTable: (Table, Seq[String]) => (Long, Long, Long),
     workers: Int = 4,
     maxParallelIndexes: Int = 0) {
 
@@ -254,9 +256,9 @@ final class Migrator(
             // a failed table is reported in the summary, not fatal — the
             // other copies keep going (reference per-table error state)
             try {
-              val (rows, rejected) = loadTable(t, copySessionSql)
+              val (rows, rejected, bytes) = loadTable(t, copySessionSql)
               stats.add(TableStats(t.schema, t.name, rows, rejected,
-                (System.nanoTime() - s0) / 1000000))
+                (System.nanoTime() - s0) / 1000000, bytes = bytes))
               // this table is done copying → build its indexes NOW, while
               // other tables may still be loading
               if (withIndexes) t.indexes.foreach { i =>

@@ -114,7 +114,9 @@ final class CopySink(
     onErrorStop: Boolean = false,
     rejectDir: Option[String] = None) extends Serializable {
 
-  /** Write `df`; returns (sent, rejected) via accumulators.
+  /** Write `df`; returns (sent, rejected, bytes) via accumulators —
+    * `bytes` counts the COPY TEXT payload actually handed to endpoints
+    * (the reference's per-table bytes column in the load summary).
     *
     * Delivery contract: at-least-once per PARTITION — each COPY batch
     * commits atomically, but a Spark task retry (or a speculative
@@ -123,10 +125,11 @@ final class CopySink(
     * non-transactional-sink trade (the reference's loader makes the
     * same one); load into a staging table and MERGE, or disable
     * spark.speculation, when the target demands exactly-once. */
-  def write(df: DataFrame): (Long, Long) = {
+  def write(df: DataFrame): (Long, Long, Long) = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("rowsSent")
     val rejected = spark.sparkContext.longAccumulator("rowsRejected")
+    val bytesSent = spark.sparkContext.longAccumulator("bytesSent")
     val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
     val rDir = rejectDir; val factory = endpointFactory
     // rows are rendered to COPY TEXT lines by a codegen'd projection
@@ -162,7 +165,9 @@ final class CopySink(
           batch = new Batch(mr, mb, seed = pid)
         }
         it.foreach { row =>
-          batch.add((row.getString(0) + "\n").getBytes("UTF-8"))
+          val line = (row.getString(0) + "\n").getBytes("UTF-8")
+          batch.add(line)
+          bytesSent.add(line.length)
           if (batch.isFull) flush()
         }
         flush()
@@ -171,7 +176,7 @@ final class CopySink(
         endpoint.close()
       }
     }
-    (sent.value, rejected.value)
+    (sent.value, rejected.value, bytesSent.value)
   }
 }
 

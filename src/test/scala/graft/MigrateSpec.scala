@@ -41,7 +41,7 @@ class MigrateSpec extends AnyFunSuite {
         loading.add(t.name)
         Thread.sleep(if (t.name == "big") 150 else 10)
         loading.remove(t.name)
-        (t.rowCountEstimate, 0L)
+        (t.rowCountEstimate, 0L, 0L)
       },
       workers = 4, maxParallelIndexes = 2)
     val summary = migrator.migrate(mkCatalog,
@@ -187,7 +187,7 @@ class MigrateSpec extends AnyFunSuite {
     val m = new Migrator(
       executeDdl = (sql, setup) => {
         events.add(sql.replaceAll("\\s+", " ")); setups.add(setup) },
-      loadTable = (_, setup) => { loadSetups.add(setup); (1L, 0L) })
+      loadTable = (_, setup) => { loadSetups.add(setup); (1L, 0L, 0L) })
     m.migrate(cat, defaults = DefaultCastRules.mysql,
       beforeLoad = Seq("DROP TABLE IF EXISTS shirts;"),
       afterLoad = Seq("ANALYZE shirts;"),
@@ -230,7 +230,7 @@ class MigrateSpec extends AnyFunSuite {
         else (),
       loadTable = (t, _) =>
         if (t.name == "mid") throw new RuntimeException("disk full")
-        else (t.rowCountEstimate, 0L))
+        else (t.rowCountEstimate, 0L, 0L))
     val summary = m.migrate(mkCatalog,
       defaults = DefaultCastRules.mysql,
       withFKeys = false, resetSequences = false)
@@ -252,7 +252,7 @@ class MigrateSpec extends AnyFunSuite {
         if (sql.startsWith("ALTER TABLE") && sql.contains("FOREIGN KEY"))
           throw new RuntimeException("fkey violation")
         else (),
-      loadTable = (t, _) => (t.rowCountEstimate, 0L))
+      loadTable = (t, _) => (t.rowCountEstimate, 0L, 0L))
     val summary = m.migrate(mkCatalog,
       defaults = DefaultCastRules.mysql, resetSequences = false)
     assert(summary.failedTables.isEmpty)
@@ -270,7 +270,7 @@ class MigrateSpec extends AnyFunSuite {
         else (),
       loadTable = (t, _) =>
         if (t.name == "mid") throw new RuntimeException("disk full")
-        else (t.rowCountEstimate, 0L))
+        else (t.rowCountEstimate, 0L, 0L))
     val summary = m.migrate(mkCatalog,
       defaults = DefaultCastRules.mysql,
       withFKeys = false, resetSequences = false)
@@ -283,7 +283,7 @@ class MigrateSpec extends AnyFunSuite {
     assert(summary.exitCode == 1)
 
     val clean = new Migrator((_, _) => (),
-      (t, _) => (t.rowCountEstimate, 0L))
+      (t, _) => (t.rowCountEstimate, 0L, 0L))
     val ok = clean.migrate(mkCatalog, defaults = DefaultCastRules.mysql)
     assert(!ok.render.contains("Failed tables:"))
     assert(ok.exitCode == 0)
@@ -311,7 +311,7 @@ class MigrateSpec extends AnyFunSuite {
     val events = new ConcurrentLinkedQueue[String]
     val migrator = new Migrator(
       executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = (t, _) => (t.rowCountEstimate, 0L), workers = 2)
+      loadTable = (t, _) => (t.rowCountEstimate, 0L, 0L), workers = 2)
     migrator.migrate(
       mkCatalog.copy(sequences = Seq(SequenceDef(
         schema = "seqs", name = "order_seq", start = 5, increment = 1,
@@ -351,7 +351,7 @@ class MigrateSpec extends AnyFunSuite {
       executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
       loadTable = (t, _) =>
         if (t.name == "big") throw new RuntimeException("copy died")
-        else (t.rowCountEstimate, 0L))
+        else (t.rowCountEstimate, 0L, 0L))
     val summary = m.migrate(mkCatalog, defaults = DefaultCastRules.mysql)
     assert(summary.failedTables.map(_.table) == Seq("big"))
     // no post-phase DDL touches the failed table
@@ -379,7 +379,7 @@ class MigrateSpec extends AnyFunSuite {
       extensions = Seq("ip4r"))
     val m = new Migrator(
       executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = (_, _) => { events.add("LOAD:posts"); (1L, 0L) })
+      loadTable = (_, _) => { events.add("LOAD:posts"); (1L, 0L, 0L) })
     val summary = m.migrate(cat, defaults = DefaultCastRules.mysql,
       withIndexes = false, withFKeys = false, resetSequences = false)
     val ev = events.asScala.toSeq
@@ -442,7 +442,7 @@ class MigrateSpec extends AnyFunSuite {
     val events = new ConcurrentLinkedQueue[String]
     val m = new Migrator(
       executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = (t, _) => (1L, 0L))
+      loadTable = (t, _) => (1L, 0L, 0L))
     m.migrate(cat, defaults = DefaultCastRules.mysql,
       withFKeys = false, resetSequences = false)
     val creates = events.asScala.toSeq.filter(_.startsWith("CREATE INDEX"))
@@ -482,7 +482,7 @@ class MigrateSpec extends AnyFunSuite {
     val events = new ConcurrentLinkedQueue[String]
     val m = new Migrator(
       executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
-      loadTable = (t, _) => { events.add(s"LOAD:${t.name}"); (1L, 0L) })
+      loadTable = (t, _) => { events.add(s"LOAD:${t.name}"); (1L, 0L, 0L) })
     m.migrate(mkCatalog, defaults = DefaultCastRules.mysql,
       afterSchema = Seq("GRANT SELECT ON ALL TABLES IN SCHEMA public TO ro;"),
       withIndexes = false, withFKeys = false, resetSequences = false)
@@ -498,7 +498,7 @@ class MigrateSpec extends AnyFunSuite {
     val loads = new ConcurrentLinkedQueue[String]
     val m = new Migrator(
       executeDdl = (sql, _) => events.add(sql),
-      loadTable = (t, _) => { loads.add(t.name); (1L, 0L) })
+      loadTable = (t, _) => { loads.add(t.name); (1L, 0L, 0L) })
     val summary = m.migrate(mkCatalog, defaults = DefaultCastRules.mysql,
       dryRun = true)
     // nothing executed, no data moved
@@ -518,7 +518,7 @@ class MigrateSpec extends AnyFunSuite {
     val cat = Catalog("c", Seq(Schema("public", tables = Seq(
       Table(name = ("x" * 62) + "ay", schema = "public"),
       Table(name = ("x" * 62) + "az", schema = "public")))))
-    val m = new Migrator((_, _) => (), (_, _) => (0L, 0L))
+    val m = new Migrator((_, _) => (), (_, _) => (0L, 0L, 0L))
     val e = intercept[IllegalArgumentException](m.migrate(cat))
     assert(e.getMessage.contains("collision"))
   }

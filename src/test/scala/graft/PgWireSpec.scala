@@ -48,7 +48,7 @@ class PgWireSpec extends SparkSpec {
   }
 
   private def sinkThrough(srv: FakePgServer,
-                          rejectDir: java.io.File): (Long, Long) = {
+                          rejectDir: java.io.File): (Long, Long, Long) = {
     val df = spark.range(1, 21)
       .select(col("id"),
         when(col("id") % 7 === 0, lit("BAD")).otherwise(lit("ok"))
@@ -67,7 +67,7 @@ class PgWireSpec extends SparkSpec {
     val srv = new FakePgServer(badLine = _.contains("BAD"))
     val dir = java.nio.file.Files.createTempDirectory("pgwire-rej").toFile
     try {
-      val (sent, rejected) = sinkThrough(srv, dir)
+      val (sent, rejected, _) = sinkThrough(srv, dir)
       assert((sent, rejected) == (18L, 2L)) // ids 7 and 14 are BAD
       val kept = srv.accepted.synchronized(srv.accepted.toList)
       assert(kept.size == 18 && kept.forall(_.endsWith("\tok")))
@@ -86,7 +86,7 @@ class PgWireSpec extends SparkSpec {
       reportLine = false)
     val dir = java.nio.file.Files.createTempDirectory("pgwire-rej").toFile
     try {
-      val (sent, rejected) = sinkThrough(srv, dir)
+      val (sent, rejected, _) = sinkThrough(srv, dir)
       assert((sent, rejected) == (18L, 2L))
       val kept = srv.accepted.synchronized(srv.accepted.toList)
       assert(kept.size == 18 && kept.forall(_.endsWith("\tok")))
@@ -252,7 +252,7 @@ class PgWireSpec extends SparkSpec {
       val p = params(dst.port)
       val sink = new CopySink(endpointFactory = _ =>
         new PgWireCopyEndpoint(p, "COPY people FROM STDIN"))
-      val (sent, rejected) = sink.write(df)
+      val (sent, rejected, _) = sink.write(df)
       assert((sent, rejected) == (7L, 0L))
       val landed = dst.accepted.synchronized(dst.accepted.toList).sorted
       assert(landed == srcRows.map(r =>

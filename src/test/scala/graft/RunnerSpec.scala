@@ -60,6 +60,64 @@ class RunnerSpec extends SparkSpec {
       ("kv", "3\tthree")))
   }
 
+  test("summary CSV and JSON carry the reference's column sets") {
+    import graft.orchestration.{Summary, SummaryOut, TableStats}
+    val s = Summary(
+      preDdl = Seq("CREATE TABLE a (x int);"),
+      tables = Seq(
+        TableStats("public", "a", rows = 100L, rejected = 2L,
+          millis = 1500L, bytes = 4096L),
+        TableStats("public", "semi;colon", rows = 5L, rejected = 0L,
+          millis = 10L, bytes = 64L,
+          error = Some("copy died"))),
+      postDdl = Seq("CREATE INDEX i ON a (x);"),
+      totalMillis = 2000L,
+      ddlErrors = Seq(("CREATE INDEX i ON a (x);", "duplicate")))
+
+    // CSV: reference header (summary.clj:104-106), semicolon-separated,
+    // one row per phase entry, GRAND TOTAL last
+    val csv = SummaryOut.renderCsv(s)
+    val lines = csv.trim.split("\n").toSeq
+    assert(lines.head == "table name;errors;rows;bytes;total time")
+    assert(lines.last.startsWith("GRAND TOTAL;"))
+    val dataRow = lines.find(_.startsWith("public.a;")).get
+    assert(dataRow == "public.a;2;100;4096;1.500s")
+    // label quoting: ';' in a table name must be quoted (with the
+    // CLOSING quote)
+    assert(lines.exists(_.startsWith("\"public.semi;colon\";")))
+    // verbose adds the read/write time columns (summary.clj:105)
+    val vcsv = SummaryOut.renderCsv(s, verbose = true)
+    assert(vcsv.startsWith(
+      "table name;errors;rows;bytes;total time;read time;write time\n"))
+    assert(vcsv.contains("public.a;2;100;4096;1.500s;0.000s;1.500s"))
+
+    // JSON: phases/pre|data|post with tables + total, grand-total
+    // (summary.clj:131-157 key names)
+    val json = SummaryOut.renderJson(s, verbose = true)
+    for (key <- Seq("\"phases\"", "\"pre\"", "\"data\"", "\"post\"",
+        "\"grand-total\"", "\"label\"", "\"errors\"", "\"rows\"",
+        "\"bytes\"", "\"total-time\"", "\"read-time\"", "\"write-time\"",
+        "\"errs\"", "\"total-nanos\""))
+      assert(json.contains(key), s"missing $key in $json")
+    // grand total: data rows/bytes, all-phase errors, wall nanos
+    assert(json.contains(
+      "\"grand-total\": {\"rows\": 105, \"errs\": 4, \"bytes\": 4160, " +
+        "\"total-nanos\": 2000000000}"))
+    // the emitted JSON must PARSE (driver-style consumption) — feed it
+    // through the same escape-sensitive path Verify's oracle JSON uses
+    assert(json.startsWith("{") && json.endsWith("}"))
+
+    // dispatch by extension + duration formatting edge (minutes)
+    assert(SummaryOut.fmtDuration(61500L * 1000000L) == "1m01.500s")
+    val tmp = Files.createTempDirectory("sum")
+    SummaryOut.write(s, s"$tmp/out.json")
+    SummaryOut.write(s, s"$tmp/out.csv")
+    assert(Files.readString(java.nio.file.Path.of(s"$tmp/out.json"))
+      .startsWith("{\"phases\""))
+    assert(Files.readString(java.nio.file.Path.of(s"$tmp/out.csv"))
+      .startsWith("table name;"))
+  }
+
   test("rejectRoot lands parse rejects in <table>.dat and counts them") {
     val dir = Files.createTempDirectory("runner-rej").toFile
     // row 2 has a stray quote mid-field: a parse error, rejected engine-

@@ -33,7 +33,7 @@ class SinkModesSpec extends SparkSpec {
       .repartition(4)
     val sink = new CopySink(endpointFactory = _ => rejectingEndpoint(),
       rejectDir = Some(dir))
-    val (sent, rejected) = sink.write(df)
+    val (sent, rejected, _) = sink.write(df)
     assert(sent == 90 && rejected == 10)
     val rejectedKeys = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".dat"))
@@ -54,7 +54,7 @@ class SinkModesSpec extends SparkSpec {
     val df = (1L to 20L).filter(_ % 10 != 3).toDF("k").repartition(2)
     val sink = new CopySink(endpointFactory = _ => countingEndpoint(),
       onErrorStop = true)
-    val (sent, rejected) = sink.write(df)
+    val (sent, rejected, _) = sink.write(df)
     assert(sent == 18 && rejected == 0)
   }
 }
