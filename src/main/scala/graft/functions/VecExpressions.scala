@@ -268,6 +268,156 @@ case class HyperplaneSig(child: Expression, matrix: Array[Double], dim: Int)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Top-`topN` nearest centroids by cosine for one vector against a
+  * DRIVER-SMALL centroid matrix embedded in the expression (rows
+  * L2-normalized at construction, so ranking by plain dot equals
+  * ranking by cosine — the row's own norm is a positive constant).
+  * Returns `array<long>` of centroid ids, best first, ties to the
+  * smaller id; NULL for a NULL vector, a length != dim, or a NULL
+  * element.
+  *
+  * This is the IVF hot path done as a narrow map: the
+  * crossJoin(broadcast(centroids)) + window-top-1 spelling it replaces
+  * materialized n×nlist rows CARRYING FULL VECTORS through a
+  * corpus-wide exchange and sort — the dominant cost of the whole
+  * operator at any scale, for what is per-row arithmetic. Cost here is
+  * nlist×dim multiply-adds per row inside whole-stage codegen, zero
+  * shuffle. nlist is bounded by the driver-small centroid contract
+  * (pqTrain's codebook note applies — a matrix of ~10⁴ × dim doubles
+  * rides the closure like HyperplaneSig's planes).
+  */
+case class NearestCells(child: Expression, matrix: Array[Double],
+                        ids: Array[Long], dim: Int, topN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim > 0 && matrix.length % dim == 0,
+    s"matrix length ${matrix.length} must be a multiple of dim $dim")
+  private val nCents = matrix.length / dim
+  require(ids.length == nCents,
+    s"ids length ${ids.length} != centroid count $nCents")
+  require(topN >= 1, s"topN must be >= 1, got $topN")
+
+  // content equality for the embedded arrays (see HyperplaneSig)
+  override def equals(o: Any): Boolean = o match {
+    case n: NearestCells => child == n.child && dim == n.dim &&
+      topN == n.topN && java.util.Arrays.equals(matrix, n.matrix) &&
+      java.util.Arrays.equals(ids, n.ids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(dim), Int.box(topN),
+    Int.box(java.util.Arrays.hashCode(matrix)),
+    Int.box(java.util.Arrays.hashCode(ids)))
+
+  override def prettyName: String = "nearest_cells"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+        IntegerType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array of float/double/integral elements, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    val dt = elemType
+    val vec = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (a.isNullAt(j)) return null
+      vec(j) = VecElem.getDouble(a, dt, j)
+      j += 1
+    }
+    val n = math.min(topN, nCents)
+    val bestScore = Array.fill(n)(Double.NegativeInfinity)
+    val bestId = new Array[Long](n)
+    var c = 0
+    while (c < nCents) {
+      var acc = 0.0d
+      var k = 0
+      while (k < dim) { acc += vec(k) * matrix(c * dim + k); k += 1 }
+      // insertion into the small top-N buffer; ties to the smaller id
+      var pos = n
+      while (pos > 0 && (acc > bestScore(pos - 1) ||
+          (acc == bestScore(pos - 1) && ids(c) < bestId(pos - 1)))) pos -= 1
+      if (pos < n) {
+        var m = n - 1
+        while (m > pos) {
+          bestScore(m) = bestScore(m - 1); bestId(m) = bestId(m - 1); m -= 1
+        }
+        bestScore(pos) = acc; bestId(pos) = ids(c)
+      }
+      c += 1
+    }
+    // fewer centroids than topN: all of them (n = min(topN, nCents))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestId)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", matrix, "double[]")
+      val cid = ctx.addReferenceObj("centIds", ids, "long[]")
+      val bad = ctx.freshName("ncBad")
+      val vec = ctx.freshName("ncVec")
+      val bs = ctx.freshName("ncBestS")
+      val bi = ctx.freshName("ncBestI")
+      val j = ctx.freshName("ncJ")
+      val c = ctx.freshName("ncC")
+      val k = ctx.freshName("ncK")
+      val acc = ctx.freshName("ncAcc")
+      val pos = ctx.freshName("ncPos")
+      val mm = ctx.freshName("ncM")
+      val out = ctx.freshName("ncOut")
+      val n = math.min(topN, nCents)
+      s"""
+         |boolean $bad = ($a.numElements() != $dim);
+         |long[] $out = null;
+         |if (!$bad) {
+         |  double[] $vec = new double[$dim];
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($a.isNullAt($j)) { $bad = true; break; }
+         |    $vec[$j] = ${VecElem.genGet(a, elemType, j)};
+         |  }
+         |  if (!$bad) {
+         |    double[] $bs = new double[$n];
+         |    long[] $bi = new long[$n];
+         |    java.util.Arrays.fill($bs, Double.NEGATIVE_INFINITY);
+         |    for (int $c = 0; $c < $nCents; $c++) {
+         |      double $acc = 0.0d;
+         |      for (int $k = 0; $k < $dim; $k++)
+         |        $acc += $vec[$k] * $m[$c * $dim + $k];
+         |      int $pos = $n;
+         |      while ($pos > 0 && ($acc > $bs[$pos - 1] ||
+         |          ($acc == $bs[$pos - 1] && $cid[$c] < $bi[$pos - 1])))
+         |        $pos--;
+         |      if ($pos < $n) {
+         |        for (int $mm = $n - 1; $mm > $pos; $mm--) {
+         |          $bs[$mm] = $bs[$mm - 1]; $bi[$mm] = $bi[$mm - 1];
+         |        }
+         |        $bs[$pos] = $acc; $bi[$pos] = $cid[$c];
+         |      }
+         |    }
+         |    $out = $bi;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VecExpressions {
   def vecDot(a: Column, b: Column): Column =
@@ -281,4 +431,9 @@ object VecExpressions {
   def hyperplaneSig(vec: Column, matrix: Array[Double], dim: Int): Column =
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec),
       matrix, dim))
+
+  def nearestCells(vec: Column, matrix: Array[Double], ids: Array[Long],
+                   dim: Int, topN: Int): Column =
+    ExpressionUtils.column(NearestCells(ExpressionUtils.expression(vec),
+      matrix, ids, dim, topN))
 }

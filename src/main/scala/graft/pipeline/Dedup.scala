@@ -481,12 +481,30 @@ object Dedup {
         count(lit(1)).over(szWin).as("sz"))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("h"), col("sz"))
+      .select(col("id"), col("h"), col("rn"), col("sz"))
+    // PPJoin+ positional filter on the FIRST prefix match. Both
+    // prefixes are sorted by the same global (df, h) order, so the
+    // shared shingles appear in the same relative order on both sides
+    // and the first match (min rn on either side) has no shared shingle
+    // before it — hence overlap <= 1 + min(|x|-i, |y|-j). A Jaccard-t
+    // pair needs overlap >= ceil(t/(1+t)·(|x|+|y|)); candidates whose
+    // positional bound can't reach that die BEFORE the verify join ever
+    // ships their shingle sets. Sound (never drops a true pair), and
+    // the dedup replaces the bare distinct() — same exchange, one agg.
+    val reqOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .distinct()
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"),
+        col("x.rn").as("rn_a"), col("y.rn").as("rn_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("rn_a")).as("i1"), min(col("rn_b")).as("j1"))
+      // first-match positional bound: 1 + min(remaining after the
+      // first shared prefix shingle on each side)
+      .filter(lit(1) + least(col("sz_a") - col("i1"),
+        col("sz_b") - col("j1")) >= reqOverlap)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
     verifyJaccardRows(cand, rows, rows, threshold)
   }
 

@@ -165,28 +165,49 @@ object Similarity {
         .otherwise(floor(x.cast("double") * 127.0d / scale + 0.5d)))
 
   /** IVF-style ANN: corpus assigned to the nearest of `centroids`; queries
-    * probe the `nprobe` nearest centroids. Centroids are a small broadcast
-    * table (id, vec). */
+    * probe the `nprobe` nearest centroids. Centroids are DRIVER-SMALL by
+    * contract (like pqTrain's codebook — nlist ≈ √n rows): they are
+    * collected once, L2-normalized, and embedded in a native
+    * [[graft.functions.NearestCells]] expression, so both assignments
+    * are pure narrow maps inside whole-stage codegen. The previous
+    * crossJoin(broadcast) + window spelling materialized n×nlist rows
+    * carrying FULL VECTORS through a corpus-wide exchange + sort — that
+    * exchange, not the dot products, dominated the operator's scale
+    * curve (measured 3.1× wall at 10× rows before, assignment-bound).
+    * Ranking by dot against normalized centroids equals ranking by
+    * cosine (the row norm is a positive per-row constant); ties break
+    * to the smaller centroid id, as before. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               centroids: DataFrame, k: Int, nprobe: Int = 2,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "c_id", cVec: String = "c_vec",
               ctId: String = "ct_id", ctVec: String = "ct_vec")
       : DataFrame = {
-    // row identity = the full column tuple: fully-duplicate input rows
-    // (same id AND vector) collapse to one assignment — ids are the
-    // caller's identity contract, so duplicates there are input errors,
-    // not data this operator preserves
-    def assign(df: DataFrame, vec: String, n: Int, out: String) = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("__d", cosine(col(vec), col(ctVec)))
-      val ww = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("__d").desc, col(ctId).asc)
-      scored.withColumn("__r", row_number().over(ww))
-        .filter(col("__r") <= n)
-        .withColumnRenamed(ctId, out)
-        .drop(ctVec, "__d", "__r")
+    val cents = centroids.select(col(ctId).cast("long"), col(ctVec))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      s"all centroids must share dim $dim")
+    val ids = cents.map(_._1)
+    val matrix = cents.flatMap { case (_, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0.0) v else v.map(_ / norm)
     }
+    def assign(df: DataFrame, vec: String, n: Int, out: String) =
+      df.withColumn("__cells",
+          graft.functions.VecExpressions.nearestCells(col(vec), matrix,
+            ids, dim, n))
+        .filter(col("__cells").isNotNull)
+        .withColumn(out, explode(col("__cells")))
+        .drop("__cells")
     val cAssigned = assign(corpus, cVec, 1, "cell")
     val qAssigned = assign(queries, qVec, nprobe, "cell")
     val scored = qAssigned.join(cAssigned, Seq("cell"))

@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   * value distribution shape — what the drift operators expect of a
   * bigger cohort).
   *
-  * Usage: ScaleCorpus <srcSfDir> <outDir> [factor=10]
+  * Usage: ScaleCorpus <srcSfDir> <outDir> [factor=10] [tables=docs,embs,events]
+  * (the 4th arg restricts output — e.g. `documents` alone for the
+  * 100×-edges dedup_components stress, where replicating 100× events
+  * would write gigabytes nothing reads)
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleCorpus <srcSfDir> <outDir> [factor]")
+    require(args.length >= 2, "usage: ScaleCorpus <srcSfDir> <outDir> [factor] [tables]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(',').map(_.trim).toSet
+      else Set("documents", "embeddings", "events")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -33,6 +39,7 @@ object ScaleCorpus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     // every copy (k=0 included) selects the SAME explicit column list —
     // positional unionAll must never depend on the parquet's physical
@@ -49,7 +56,9 @@ object ScaleCorpus {
     docCopies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
     val embCopies = (0 until factor).map { k =>
@@ -66,7 +75,9 @@ object ScaleCorpus {
     embCopies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (tables("events")) {
     val events = spark.read.parquet(s"$src/events.parquet")
     // every copy (k=0 included) selects the SAME explicit column list —
     // positional unionAll must never depend on the parquet's physical
@@ -82,8 +93,9 @@ object ScaleCorpus {
     evCopies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
-    println(s"[scale] wrote ${factor}x documents+embeddings+events to $out")
+    println(s"[scale] wrote ${factor}x ${tables.toSeq.sorted.mkString("+")} to $out")
     spark.stop()
   }
 }

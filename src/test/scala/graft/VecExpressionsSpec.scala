@@ -99,6 +99,43 @@ class VecExpressionsSpec extends SparkSpec {
     assert(got.getDouble(1) == 2.5)
   }
 
+  test("nearestCells ranks by cosine, breaks ties to smaller id") {
+    import spark.implicits._
+    // 2-d centroids: id 10 → (1,0), id 20 → (0,1), id 30 → (-1,0);
+    // matrix rows pre-normalized by the caller contract exercised here
+    val matrix = Array(1.0, 0.0, 0.0, 1.0, -1.0, 0.0)
+    val ids = Array(10L, 20L, 30L)
+    val df = Seq(
+      (1L, Seq(2.0f, 0.1f)),   // → 10, then 20, then 30
+      (2L, Seq(0.0f, -3.0f)),  // → equidistant 10/30 at dot 0 → tie → 10
+      (3L, Seq(-1.0f, 1.0f))   // → 20 and 30 tie at dot 1/√2... no: 20=1, 30=1
+    ).toDF("id", "v")
+    val r = df.select(col("id"),
+        graft.functions.VecExpressions.nearestCells(col("v"), matrix, ids,
+          dim = 2, topN = 2).as("cells"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[Long](1) == Seq(10L, 20L))
+    // vec (0,-3): dots = (0, -3, 0) → ids 10 and 30 tie at 0 → 10 first
+    assert(r(1).getSeq[Long](1) == Seq(10L, 30L))
+    // vec (-1,1): dots = (-1, 1, 1) → 20 and 30 tie at 1 → smaller first
+    assert(r(2).getSeq[Long](1) == Seq(20L, 30L))
+    // topN > nCents clamps; wrong length / null element → NULL
+    val one = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+    val r2 = one.select(col("id"),
+        graft.functions.VecExpressions.nearestCells(col("v"), matrix, ids,
+          dim = 2, topN = 9).as("cells"))
+      .orderBy("id").collect()
+    assert(r2(0).getSeq[Long](1) == Seq(10L, 20L, 30L))
+    assert(r2(1).isNullAt(1) && r2(2).isNullAt(1))
+    // interpreted (literal-fold) path agrees with codegen
+    val lit2 = Seq(1).toDF("x").select(
+      graft.functions.VecExpressions.nearestCells(
+        typedLit(Seq(2.0f, 0.1f)), matrix, ids, 2, 2).as("cells"))
+      .collect()(0)
+    assert(lit2.getSeq[Long](0) == Seq(10L, 20L))
+  }
+
   test("GraftExtensions registers the native function set for SQL use") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names == Set("vec_dot", "vec_dist2", "copy_unescape",
