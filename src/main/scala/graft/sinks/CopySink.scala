@@ -123,8 +123,10 @@ final class CopySink(
     * attempt) re-runs its partition from the first row and re-commits
     * batches the failed attempt already landed. That is the standard
     * non-transactional-sink trade (the reference's loader makes the
-    * same one); load into a staging table and MERGE, or disable
-    * spark.speculation, when the target demands exactly-once. */
+    * same one); when the target demands exactly-once, use the opt-in
+    * [[ExactlyOnce]] wrapper (per-partition stage tables truncated per
+    * task attempt, one atomic publish transaction) or disable
+    * spark.speculation. */
   def write(df: DataFrame): (Long, Long, Long) = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("rowsSent")

@@ -7,6 +7,58 @@ import graft.sinks.{CopyEndpoint, CopyError, CopySink}
   * .dat files in COPY text, docs/batches.rst:27-34) and on-error-stop
   * (fail fast, no recovery — copy-from-queue.lisp:53-59). */
 object SinkModesSpec {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicInteger
+
+  /** In-memory "database" for the exactly-once harness: stage tables as
+    * row buffers with TRUNCATE-on-endpoint-open semantics (mirroring
+    * PgWireCopyEndpoint running its sessionSetup once per task attempt),
+    * a target table, and an attempt counter that fails partition 0's
+    * FIRST attempt midway — after it already landed a batch. */
+  object StageDb {
+    val stages = new ConcurrentHashMap[String, java.util.List[String]]
+    val target = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String])
+    val p0Attempts = new AtomicInteger(0)
+    def reset(): Unit = { stages.clear(); target.clear(); p0Attempts.set(0) }
+
+    def exec(sql: String): Unit = {
+      val s = sql.trim
+      if (s.startsWith("CREATE TABLE IF NOT EXISTS ")) {
+        val name = s.stripPrefix("CREATE TABLE IF NOT EXISTS ")
+          .takeWhile(!_.isSpaceChar)
+        stages.putIfAbsent(name, java.util.Collections.synchronizedList(
+          new java.util.ArrayList[String]))
+      } else if (s.startsWith("BEGIN;")) {
+        // the publish transaction: INSERT INTO target SELECT * FROM stage
+        "FROM ([^;]+);".r.findAllMatchIn(s).foreach { m =>
+          target.addAll(stages.get(m.group(1).trim))
+        }
+      } else if (s.startsWith("DROP TABLE IF EXISTS ")) {
+        stages.remove(s.stripPrefix("DROP TABLE IF EXISTS ")
+          .stripSuffix(";").trim)
+      } else sys.error(s"unexpected sql: $s")
+    }
+
+    /** One endpoint per task ATTEMPT; opening truncates its stage. */
+    def endpoint(stage: String, pid: Int): CopyEndpoint = {
+      stages.get(stage).clear() // TRUNCATE in session setup
+      val attempt = if (pid == 0) p0Attempts.incrementAndGet() else 99
+      new CopyEndpoint {
+        var batches = 0
+        def send(rows: Seq[Array[Byte]]): Unit = {
+          rows.foreach(b =>
+            stages.get(stage).add(new String(b, "UTF-8").stripSuffix("\n")))
+          batches += 1
+          // partition 0, first attempt: die AFTER landing a batch — the
+          // double-send the default sink would re-commit
+          if (pid == 0 && attempt == 1)
+            sys.error("simulated task death after partial send")
+        }
+      }
+    }
+  }
+
   def rejectingEndpoint(): CopyEndpoint = new CopyEndpoint {
     def send(rows: Seq[Array[Byte]]): Unit =
       rows.zipWithIndex.foreach { case (b, i) =>
@@ -48,6 +100,36 @@ class SinkModesSpec extends SparkSpec {
       onErrorStop = true)
     val e = intercept[org.apache.spark.SparkException](sink.write(df))
     assert(e.getMessage != null)
+  }
+
+  test("exactly-once staging: a retried partial send lands once") {
+    import graft.sinks.ExactlyOnce
+    StageDb.reset()
+    val df = (1L to 40L).toDF("k").repartition(2)
+    // attempt 1: partition 0 lands a batch into its stage, then dies →
+    // the job fails before publish; nothing reached the target
+    val e = intercept[org.apache.spark.SparkException] {
+      ExactlyOnce.write(df, "t", StageDb.exec, StageDb.endpoint,
+        maxRows = 5)
+    }
+    assert(e.getMessage != null)
+    assert(StageDb.target.isEmpty, "failed run must publish nothing")
+    assert(StageDb.p0Attempts.get() == 1)
+    // the failed attempt DID land rows in its stage — the double-send
+    // hazard the default at-least-once sink would re-commit
+    assert(StageDb.stages.values().stream()
+      .mapToInt(_.size).sum() > 0)
+    // retry (same semantics as a task retry: the endpoint factory runs
+    // again for the partition, TRUNCATE erases the failed attempt's
+    // rows before any resend)
+    val (sent, rejected, _) =
+      ExactlyOnce.write(df, "t", StageDb.exec, StageDb.endpoint,
+        maxRows = 5)
+    assert(sent == 40 && rejected == 0)
+    import scala.jdk.CollectionConverters._
+    val landed = StageDb.target.asScala.map(_.toLong).sorted.toSeq
+    assert(landed == (1L to 40L), s"each row exactly once, got $landed")
+    assert(StageDb.stages.isEmpty, "stages dropped after publish")
   }
 
   test("clean data passes through untouched in stop mode") {
