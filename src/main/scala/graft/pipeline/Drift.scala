@@ -236,27 +236,56 @@ object Drift {
     * move" through a fixed binning; KS answers "what is the largest
     * CDF gap anywhere" with no binning choice at all.
     *
-    * Scale shape (the [[Classifier.aucByLabel]] pattern): both cohorts
-    * compress to per-DISTINCT-value counts first, and the only ordered
-    * pass is a cumulative sum over that compressed frame — bounded by
-    * distinct values, not rows. Each CDF gap is two exact integer
-    * ratios in doubles, micro-rounded BEFORE the max, so the statistic
-    * reproduces on any engine. NULLs are excluded.
+    * Scale shape (the [[Classifier.aucByLabel]] pattern, then one step
+    * further): both cohorts compress to per-DISTINCT-value counts
+    * first, and the cumulative sums run as a TWO-LEVEL prefix — values
+    * hash into `buckets` ordered range buckets, each bucket's running
+    * sum is a window PARTITIONED by bucket (parallel, spill-safe), and
+    * the tiny per-bucket totals (≤ `buckets` rows) take the only
+    * global-ordered pass to produce each bucket's exclusive offset.
+    * The old single global `Window.orderBy(v)` put EVERY distinct value
+    * through one partition — fine for integer-ish domains, a
+    * single-task sort of a corpus-sized frame for continuous doubles.
+    * Results are identical: fa/fb = within-bucket prefix + bucket
+    * offset. Degenerate ranges (constant, ±Inf endpoints, NaN max)
+    * collapse to one bucket, which is exactly the old shape. Each CDF
+    * gap is two exact integer ratios in doubles, micro-rounded BEFORE
+    * the max, so the statistic reproduces on any engine. NULLs are
+    * excluded.
     *
     * Output (one row): (n_a, n_b, ks_micro); NULL ks when either
     * cohort is empty.
     */
-  def valueKs(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def valueKs(a: DataFrame, b: DataFrame, valueCol: String,
+              buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     def counted(df: DataFrame, cName: String): DataFrame =
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull)
         .groupBy(col("v")).agg(count(lit(1)).as(cName))
-    val g = counted(a, "ca").join(counted(b, "cb"), Seq("v"), "full_outer")
+    val g0 = counted(a, "ca").join(counted(b, "cb"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val totals = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("v"))
+    val range = g0.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // bucket index: monotone in v; any non-finite span (constant range,
+    // infinite endpoints, NaN present — NaN sorts greatest into hi)
+    // falls back to the single bucket 0, i.e. the old global shape
+    val span = col("hi") - col("lo")
+    val bucketExpr = when(col("lo").isNull || span === 0.0d ||
+        isnan(span) || span === lit(Double.PositiveInfinity), lit(0))
+      .otherwise(least(lit(buckets - 1), greatest(lit(0),
+        floor((col("v") - col("lo")) / span * buckets).cast("int"))))
+    val g = g0.crossJoin(broadcast(range)).withColumn("bk", bucketExpr)
+    val wb = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("bk"))
+      .agg(sum(col("ca")).as("bca"), sum(col("cb")).as("bcb"))
+      .select(col("bk"),
+        coalesce(sum(col("bca")).over(wb), lit(0L)).as("oa"),
+        coalesce(sum(col("bcb")).over(wb), lit(0L)).as("ob"))
+    val totals = g0.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val wi = Window.partitionBy(col("bk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // greatest(·,1) keeps the division ANSI-safe when a cohort is
     // empty — ks_micro is NULLed below in that case anyway
@@ -264,8 +293,9 @@ object Drift {
       col("fa").cast("double") / greatest(col("n_a"), lit(1L)).cast("double") -
         col("fb").cast("double") / greatest(col("n_b"), lit(1L)).cast("double"))
       * lit(1e6) + lit(0.5)).cast("long")
-    g.select(sum(col("ca")).over(w).as("fa"),
-        sum(col("cb")).over(w).as("fb"))
+    g.join(broadcast(offsets), "bk")
+      .select((sum(col("ca")).over(wi) + col("oa")).as("fa"),
+        (sum(col("cb")).over(wi) + col("ob")).as("fb"))
       .crossJoin(broadcast(totals))
       .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
         max(gapMicro).as("gap"))

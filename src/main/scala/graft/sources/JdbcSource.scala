@@ -958,11 +958,19 @@ object IntrospectionRows {
     rows.groupBy(r => (r.schema, r.table)).toSeq.sortBy(_._1).map {
       case ((sch, tbl), cols) =>
         Table(name = tbl, schema = sch, sourceName = tbl,
-          fields = cols.map(c => SourceColumn(tbl, c.name, c.dataType,
-            default = c.default,
-            nullable = c.nullable,
-            autoIncrement =
-              c.default.exists(_.toLowerCase.startsWith("nextval(")))))
+          fields = cols.map { c =>
+            val serial =
+              c.default.exists(_.toLowerCase.startsWith("nextval("))
+            // a serial's nextval(...) default IS its serial-ness — the
+            // target renders `serial`/`bigserial`, which carries its own
+            // default; keeping the source expression too makes
+            // CREATE TABLE fail with "multiple default values" (caught
+            // live against PostgreSQL 15, t:LiveServerSpec pg→pg)
+            SourceColumn(tbl, c.name, c.dataType,
+              default = if (serial) None else c.default,
+              nullable = c.nullable,
+              autoIncrement = serial)
+          })
     }
 
   /** Group the flat sys.columns rows into catalog tables, ordered like

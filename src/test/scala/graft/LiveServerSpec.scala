@@ -97,6 +97,74 @@ class LiveServerSpec extends SparkSpec {
     info(s"live MSSQL: read ${df.count()} rows from ${t.sourceName}")
   }
 
+  test("live pg→pg: whole-database DSL migration between real databases " +
+    "(GRAFT_LIVE_PG_URI + GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val text =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables, workers = 2;"""
+    val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text)
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.error.isEmpty),
+      stats.filter(_.error.nonEmpty).mkString("; "))
+    // row counts must MATCH the live source, table for table
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    stats.foreach { st =>
+      val c = new graft.sinks.PgWireConnection(dp)
+      try {
+        val got = c.query(
+          s"SELECT count(*) FROM ${PgWire.quoteIdent(st.schema)}." +
+            s"${PgWire.quoteIdent(st.table)}")._2.head(0).toLong
+        assert(got == st.rows,
+          s"${st.table}: migrated ${st.rows}, destination holds $got")
+      } finally c.close()
+    }
+    info(s"live pg→pg: ${stats.map(_.rows).sum} rows across " +
+      s"${stats.size} tables, counts verified on the destination")
+  }
+
+  test("live PG: SCRAM-SHA-256 auth + exactly-once staged publish " +
+    "(GRAFT_LIVE_PG_SCRAM_URI)") {
+    assume(env("GRAFT_LIVE_PG_SCRAM_URI").isDefined,
+      "set GRAFT_LIVE_PG_SCRAM_URI to run")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val p = PgWire.connParams(env("GRAFT_LIVE_PG_SCRAM_URI").get,
+      this.decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try sql.split(";").map(_.trim).filter(_.nonEmpty)
+        .foreach(s => c.simpleCommand(s))
+      finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS eonce")
+    exec("CREATE TABLE eonce (k bigint, v text)")
+    val df = spark.range(1, 101)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .repartition(2)
+    val (sent, rejected, _) = graft.sinks.ExactlyOnce.write(
+      df, "eonce", exec,
+      endpointFor = (stage, _) => new PgWireCopyEndpoint(
+        p, s"COPY ${PgWire.quoteIdent(stage)} FROM STDIN",
+        sessionSetup = Seq(s"TRUNCATE ${PgWire.quoteIdent(stage)}")),
+      quote = PgWire.quoteIdent)
+    assert(sent == 100 && rejected == 0)
+    val c = new graft.sinks.PgWireConnection(p)
+    try {
+      val n = c.query("SELECT count(*), count(DISTINCT k) FROM eonce")
+        ._2.head.map(_.toLong).toSeq
+      assert(n == Seq(100L, 100L), s"each row exactly once, got $n")
+      val stages = c.query("SELECT count(*) FROM pg_tables " +
+        "WHERE tablename LIKE 'eonce__graft_stage%'")._2.head(0).toLong
+      assert(stages == 0L, "stage tables dropped after publish")
+    } finally c.close()
+    info("live PG: SCRAM auth + staged exactly-once publish verified")
+  }
+
   test("live mysql→pg: the DSL-text migration the fake-server e2e runs " +
     "(GRAFT_LIVE_MYSQL_URI + GRAFT_LIVE_PG_URI)") {
     assume(env("GRAFT_LIVE_MYSQL_URI").isDefined &&

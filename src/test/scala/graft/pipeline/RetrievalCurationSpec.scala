@@ -391,6 +391,25 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(Drift.valueKs(a, e, "value").head().isNullAt(2))
   }
 
+  test("valueKs: two-level bucketed prefix matches the single-bucket sum") {
+    import spark.implicits._
+    // 500 distinct values spread across buckets; cohort b shifted —
+    // the bucketed path (buckets=8) must equal the degenerate
+    // single-bucket path (buckets=1, the old global-window shape)
+    val rnd = new scala.util.Random(11)
+    val av = Seq.fill(500)(rnd.nextDouble() * 100).toDF("value")
+    val bv = Seq.fill(400)(rnd.nextDouble() * 100 + 15).toDF("value")
+    val r8 = Drift.valueKs(av, bv, "value", buckets = 8).head()
+    val r1 = Drift.valueKs(av, bv, "value", buckets = 1).head()
+    assert(r8.getLong(0) == 500L && r8.getLong(1) == 400L)
+    assert(r8.getLong(2) == r1.getLong(2))
+    assert(r8.getLong(2) > 0L)
+    // constant range degenerates to one bucket and still answers
+    val c = Seq(5.0, 5.0, 5.0).toDF("value")
+    assert(Drift.valueKs(c, c, "value", buckets = 8).head()
+      .getLong(2) == 0L)
+  }
+
   test("psiFromBinCounts: per-group PSI vs the valuePsi arithmetic") {
     import spark.implicits._
     // group g1 saw bins (0:3, 1:3); reference is (0:1, 1:3); bins=2
