@@ -73,12 +73,37 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {
-          case (table, df) => load(table.getOrElse("data"), df, copySessionSql)
+          case (table, df) => load(table.getOrElse("data"), df,
+            copySessionSql, nameColumns = cmd.fields.nonEmpty)
         }
       case "database" => runDatabase(spark, cmd)
       case _ =>
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
-        val table = cmd.targetTable.getOrElse("data")
+        // schema-qualified targets (INTO pg:///db?schema.table / TARGET
+        // TABLE schema.table) must keep their schema — an unqualified
+        // COPY lands in the wrong relation (live golden csv.partial)
+        val table = (cmd.targetSchema, cmd.targetTable) match {
+          case (Some(s), Some(tn)) => s"$s.$tn"
+          case (_, tn) => tn.getOrElse("data")
+        }
+        // `WITH create table` on DBF/IXF loads: the file format carries
+        // its own schema, so the target table is created from it
+        // (db3.lisp / ixf.lisp cast path; fixture dbf-31.load)
+        if (cmd.boolOption("create table") || cmd.boolOption("create tables"))
+          fileSchemaDdl(spark, cmd, baseDir).foreach { cols =>
+            val qt = graft.sinks.PgWire.quoteQualified(table)
+            if (cmd.boolOption("include drop"))
+              executeDdl(s"DROP TABLE IF EXISTS $qt;", gucSql)
+            executeDdl(
+              s"CREATE TABLE IF NOT EXISTS $qt (${cols.mkString(", ")});",
+              gucSql)
+          }
+        // `WITH truncate` empties the target before loading (the
+        // reference truncates in its before-copy hook) — without it a
+        // re-run silently doubles the table (live golden dbf-31)
+        if (cmd.boolOption("truncate"))
+          executeDdl("TRUNCATE " +
+            s"${graft.sinks.PgWire.quoteQualified(table)};", gucSql)
         // parse rejects: written to the table's reject dir and counted
         // (the reference's cl-csv error path); runs BEFORE the load so
         // the sink's own per-partition reject parts land alongside
@@ -89,11 +114,41 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             spark.read.textFile(dir).count()
           }
         }.getOrElse(0L)
-        Seq(load(table, df, copySessionSql, parseRejects))
+        Seq(load(table, df, copySessionSql, parseRejects,
+          nameColumns = cmd.fields.nonEmpty ||
+            cmd.targetColumns.nonEmpty))
     }
     cmd.afterLoad.foreach(executeDdl(_, gucSql))
     cmd.finallyDo.foreach(executeDdl(_, gucSql))
     results
+  }
+
+  /** Column DDL (name + PG type) from a self-describing file source's
+    * own schema — DBF field descriptors / IXF column records. None for
+    * formats that carry no schema (CSV/COPY/fixed rely on BEFORE LOAD
+    * DO or a pre-created table). */
+  private def fileSchemaDdl(spark: SparkSession, cmd: Ast.LoadCommand,
+                            baseDir: String): Option[Seq[String]] = {
+    def firstPath: String = PlanBuilder
+      .resolvePath(spark, cmd.source.get, baseDir).split(',').head
+    def q(n: String) = graft.sinks.PgWire.quoteIdent(n.toLowerCase)
+    cmd.loadType match {
+      case "dbf" =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(firstPath))
+        val h = graft.sources.DbfSource.parseHeader(bytes)
+        Some(h.fields.map(f =>
+          s"${q(f.name)} ${graft.sources.DbfSource.pgType(f)}"))
+      case "ixf" =>
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(firstPath))
+        try {
+          val cols = graft.sources.IxfSource.readColumns(in)
+          Some(cols.map(c =>
+            s"${q(c.name)} ${graft.sources.IxfSource.pgType(c)}"))
+        } finally in.close()
+      case _ => None
+    }
   }
 
   /** `LOAD DATABASE FROM mysql://… | pgsql://…` — the reference's
@@ -464,10 +519,30 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
 
   private def load(table: String, df: org.apache.spark.sql.DataFrame,
                    sessionSql: Seq[String],
-                   parseRejects: Long = 0L): TableStats = {
+                   parseRejects: Long = 0L,
+                   nameColumns: Boolean = false): TableStats = {
     val t0 = System.nanoTime()
+    // loads with REAL column names — an explicit field/column list, or
+    // csv-header-derived names — send a COPY column list: the user's
+    // pre-created table may order columns differently from the
+    // command's field list, and a positional COPY then type-fails or
+    // silently cross-assigns (caught by the live-PG goldens csv-header
+    // and csv-trim-extra-blanks; the reference always sends its
+    // copy-column-list). Synthetic positional names (c1../col1.. from
+    // a list-less load) keep positional COPY — the target's DDL
+    // provides the real names server-side. The DATABASE path stays
+    // positional too: it creates the table in the frame's own order.
+    val synthetic = df.columns.forall(_.matches("c(ol)?\\d+"))
+    val target =
+      if (nameColumns || !synthetic)
+        // nameColumns ⇔ the names were written by the user (or a csv
+        // header): quote as-written. File-schema names (DBF/IXF) fold
+        // to lowercase, matching the DDL that created the table.
+        graft.sinks.PgWire.copyTarget(table, df.columns.toSeq,
+          preserveCase = nameColumns)
+      else graft.sinks.PgWire.quoteQualified(table)
     val sink = new CopySink(
-      endpointFactory = endpointFactory(table, sessionSql),
+      endpointFactory = endpointFactory(target, sessionSql),
       rejectDir = rejectRoot.map(r => s"$r/$table.dat"))
     val (sent, rejected, bytes) = sink.write(df)
     TableStats("public", table, sent, rejected + parseRejects,

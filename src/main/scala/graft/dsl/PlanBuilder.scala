@@ -102,9 +102,23 @@ object PlanBuilder {
       case "dbf" =>
         // per-FILE encoding: DECODING rules may match only some of a
         // glob's files
-        encodingGroups(cmd, path, "ISO-8859-1").map { case (enc, ps) =>
-          graft.sources.DbfSource.read(spark, ps.mkString(","), enc)
+        val raw = encodingGroups(cmd, path, "ISO-8859-1").map {
+          case (enc, ps) =>
+            graft.sources.DbfSource.read(spark, ps.mkString(","), enc)
         }.reduce(_ unionAll _)
+        // the db3 DEFAULT cast transforms (trim char padding, numeric
+        // cleanup, YYYYMMDD→ISO dates, T/F→t/f booleans) apply to every
+        // dbf load, like the reference's db3-cast-rules defaults — raw
+        // field text would type-fail on a real target (live golden
+        // dbf-8b: logical blanks must become NULL)
+        val header = graft.sources.DbfSource.parseHeader(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+            path.split(',').head)))
+        header.fields.foldLeft(raw) { (d, f) =>
+          d.withColumn(f.name,
+            graft.sources.DbfSource.defaultTransform(f)(
+              org.apache.spark.sql.functions.col(s"`${f.name}`")))
+        }
       case "ixf" => graft.sources.IxfSource.read(spark, path)
       case t => throw new UnsupportedOperationException(
         s"load type '$t' is not a file dataflow")
@@ -237,7 +251,18 @@ object PlanBuilder {
       val nCols = CsvSource.parseLine(sample.head, d0.separator,
         d0.quote, d0.doubledQuote).getOrElse(
         throw new IllegalStateException("dialect failed to parse sample"))
-      val cols = (1 to nCols).map(i => s"col$i")
+      // `csv header` without HAVING FIELDS: the header line NAMES the
+      // columns (the reference matches them against the target catalog
+      // by name) — so downstream COPY can send a column list instead of
+      // relying on positional order. Fall back to col1..colN otherwise.
+      val headerNames =
+        if (d0.header)
+          sample.drop(d0.skipLines).headOption.flatMap(h =>
+            CsvSource.parseLineFields(h, d0.separator, d0.quote,
+              d0.doubledQuote))
+        else None
+      val cols = headerNames.filter(_.length == nCols)
+        .getOrElse((1 to nCols).map(i => s"col$i"))
       CsvSource.read(spark, path, d0, cols)
     }
   }
@@ -279,8 +304,71 @@ object PlanBuilder {
   /** HAVING FIELDS preprocessing + TARGET COLUMNS projection.
     * (`trim unquoted blanks` happens inside the CSV reader, where the
     * quoted/unquoted distinction still exists — not here.) */
+  /** Target column → type, parsed from the command's own BEFORE LOAD DO
+    * `CREATE TABLE` statement. The reference applies its WITH-level
+    * `date format` to fields whose TARGET column is a date/time type,
+    * known from the live PG catalog (project-fields.lisp:44-46
+    * target-date/time-column-names); a file load here has no catalog
+    * connection, but the reference's own convention ships the target
+    * DDL inline in BEFORE LOAD DO — parse the column list from it.
+    * Empty map when no CREATE TABLE for the target is present (the
+    * global format then applies to nothing, as before). */
+  private[graft] def ddlColumnTypes(cmd: LoadCommand): Map[String, String] = {
+    val table = cmd.targetTable.getOrElse("data").toLowerCase
+    val qualified = cmd.targetSchema.map(s =>
+      s"$s.$table".toLowerCase)
+    val re = ("(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+      "(\"?[\\w $]+\"?)\\s*\\((.*)\\)").r
+    cmd.beforeLoad.iterator.flatMap { sql =>
+      re.findFirstMatchIn(sql) match {
+        case Some(m)
+          if {
+            val n = m.group(1).replace("\"", "").trim.toLowerCase
+            n == table || qualified.contains(n) ||
+              n.endsWith("." + table)
+          } =>
+          // split the column list on commas at paren depth 0 (types
+          // like numeric(8,2) carry inner commas)
+          val body = m.group(2)
+          val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+          val sb = new StringBuilder
+          var depth = 0
+          body.foreach {
+            case '(' => depth += 1; sb.append('(')
+            case ')' => depth -= 1; sb.append(')')
+            case ',' if depth == 0 => cols += sb.toString; sb.clear()
+            case c => sb.append(c)
+          }
+          if (sb.nonEmpty) cols += sb.toString
+          cols.iterator.map(_.trim).filter(_.nonEmpty).flatMap { c =>
+            val (name, rest) =
+              if (c.startsWith("\"")) {
+                val e = c.indexOf('"', 1)
+                (c.substring(1, e), c.substring(e + 1))
+              } else {
+                val e = c.indexWhere(_.isWhitespace)
+                if (e < 0) (c, "") else (c.substring(0, e), c.substring(e))
+              }
+            val tpe = rest.trim.toLowerCase
+            if (name.isEmpty || tpe.isEmpty) None
+            else Some(name.toLowerCase -> tpe)
+          }
+        case _ => Iterator.empty
+      }
+    }.toMap
+  }
+
+  private def isDateTimestampType(t: String): Boolean =
+    t.startsWith("date") || t.startsWith("timestamp")
+  private def isTimeType(t: String): Boolean =
+    t.startsWith("time") && !t.startsWith("timestamp")
+
   private def project(df: DataFrame, cmd: LoadCommand): DataFrame = {
+    val globalFmt = cmd.option("date format")
+    val targetTypes =
+      if (globalFmt.isDefined) ddlColumnTypes(cmd) else Map.empty[String, String]
     val specs = cmd.fields.map { f =>
+      val tpe = targetTypes.get(f.name.toLowerCase)
       FieldSpec(f.name,
         nullIfs = f.nullIfs.map {
           case NullIfBlanks => NullIf.Blanks
@@ -289,7 +377,10 @@ object PlanBuilder {
         trim =
           if (f.trimRight) TrimMode.Right
           else TrimMode.None,
-        dateFormat = f.dateFormat)
+        dateFormat = f.dateFormat.orElse(
+          globalFmt.filter(_ => tpe.exists(t =>
+            isDateTimestampType(t) || isTimeType(t)))),
+        timeOnly = tpe.exists(isTimeType))
     }
     val fieldSet = cmd.fields.map(_.name).toSet
     val targets =

@@ -47,7 +47,12 @@ object ProjectFields {
       trim: TrimMode = TrimMode.None,
       /** PG to_char-style format, e.g. `DD/MM/YYYY HH24:MI:SS.US`
         * (src/parsers/date-format.lisp:13-145). */
-      dateFormat: Option[String] = None)
+      dateFormat: Option[String] = None,
+      /** Render the parsed value as a TIME-OF-DAY string (target column
+        * is a PG time type) — a full timestamp string would fail the
+        * server's time parser. Also inferred when the format itself has
+        * no date tokens. */
+      timeOnly: Boolean = false)
 
   /** Target column (TARGET COLUMNS clause). Exactly one of the value
     * sources applies; default is the same-named preprocessed field. */
@@ -87,8 +92,18 @@ object ProjectFields {
         // ANSI mode on the first bad row and aborts the whole load,
         // the failure mode the Validate layer exists to prevent (same
         // precedent as Validate's try_cast)
-        try_to_timestamp(trimmed, lit(DateFormat.translate(fmt)))
-          .cast("string")
+        val pat = DateFormat.translate(fmt)
+        val ts = try_to_timestamp(trimmed, lit(pat))
+        // a time-typed target (or a format with no date tokens at all,
+        // e.g. `HH24:MI.SS`) must render time-of-day — a full
+        // timestamp string fails PG's time parser (live golden
+        // csv-parse-date). Fractional seconds ride along only when the
+        // format carries them; PG trims trailing zeros itself.
+        if (spec.timeOnly || !DateFormat.hasDateTokens(pat)) {
+          val out = if (pat.contains('S')) "HH:mm:ss.SSSSSS"
+                    else "HH:mm:ss"
+          date_format(ts, out).cast("string")
+        } else ts.cast("string")
       case None => trimmed
     }
   }
@@ -118,6 +133,18 @@ object ProjectFields {
   * v4 translation clojure/src/pgloader/source/csv.clj:118-170).
   */
 object DateFormat {
+
+  /** Does a TRANSLATED Java pattern reference any date field (year,
+    * month, day) outside quoted literal runs? Time-only formats parse
+    * to 1970-01-01 and must render as time-of-day. */
+  def hasDateTokens(javaPattern: String): Boolean = {
+    var inQuote = false
+    javaPattern.exists { c =>
+      if (c == '\'') { inQuote = !inQuote; false }
+      else !inQuote && (c == 'y' || c == 'M' || c == 'd')
+    }
+  }
+
   // Longest-match-first token table.
   private val tokens: Seq[(String, String)] = Seq(
     "YYYY" -> "yyyy",
@@ -181,6 +208,10 @@ object DateFormat {
         sb.append('\'').append(lit.replace("'", "''")).append('\'')
       case (false, pat) => sb.append(pat)
     }
-    sb.toString
+    // fractional seconds are OPTIONAL on input — PG's to_timestamp (and
+    // the reference's date parser) accept `…HH24-MI-SS.US` against a
+    // value with no fraction at all; Java patterns need an explicit
+    // optional section for that (live golden csv-parse-date row 4)
+    """\.S+""".r.replaceAllIn(sb.toString, m => "[" + m.group(0) + "]")
   }
 }

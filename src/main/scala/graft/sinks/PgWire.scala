@@ -77,6 +77,26 @@ object PgWire {
       case _ => quoteIdent(name)
     }
 
+  /** Render a COPY target WITH an explicit column list — `"t" ("a", "b")`
+    * — pre-quoted so it passes [[quoteQualified]] untouched. File loads
+    * MUST name their columns: the user's pre-created table can order
+    * columns differently from the command's field list, and a
+    * positional COPY then type-fails or silently cross-assigns (the
+    * reference always sends its copy-column-list).
+    *
+    * Case: names the USER wrote (field lists, target columns, header
+    * names) are quoted AS WRITTEN (`preserveCase = true` — the
+    * reference's apply-identifier-case keeps quoted spellings, and a
+    * `"camelCase"` target column must not fold); names harvested from
+    * a SOURCE FILE's own schema (DBF/IXF descriptors, often uppercase)
+    * fold to lowercase like the DDL path that created the table. */
+  def copyTarget(table: String, columns: Seq[String],
+                 preserveCase: Boolean = true): String =
+    if (columns.isEmpty) quoteQualified(table)
+    else quoteQualified(table) +
+      columns.map(c => quoteIdent(if (preserveCase) c else c.toLowerCase))
+        .mkString(" (", ", ", ")")
+
   /** Single-quote a string literal, doubling internal quotes (for
     * `'…'::regclass` casts built from catalog names). */
   def quoteLiteral(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -77,6 +77,9 @@ object CsvSource {
     // last expected column" can never fire through this path.
     val parsed = lines.toDF("value")
       .filter(length(col("value")) > 0) // blank lines are skipped
+      // undecodable-byte rows (BadDecode sentinel) are malformed — the
+      // rejects() companion surfaces them
+      .filter(!col("value").startsWith(SkipLines.BadDecode))
       .select(graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect).as("__fields"))
     parsed
@@ -107,10 +110,14 @@ object CsvSource {
       .filter(length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect))
-      .filter(col("__fields").isNull ||
+      .filter(col("value").startsWith(SkipLines.BadDecode) ||
+        col("__fields").isNull ||
         (if (requireFullArity)
           size(col("__fields")) < fieldNames.length else lit(false)))
-      .select(col("value"))
+      // strip the sentinel: the reject file carries the (replacement-
+      // decoded) row text
+      .select(regexp_replace(col("value"),
+        "^" + SkipLines.BadDecode, "").as("value"))
   }
 
   /** [[read]] plus a `__serial` column numbering rows 1..N in LOAD
@@ -368,6 +375,38 @@ object CsvSource {
       i += 1
     }
     if (inQuote) None else Some(fields)
+  }
+
+  /** Split one line into field VALUES with the dialect's quote rules —
+    * driver-side only (header-name extraction); the distributed path
+    * stays on the codegen'd CsvParseLine. None on an unterminated
+    * quote. */
+  private[graft] def parseLineFields(line: String, sep: Char, quote: Char,
+                                     doubled: Boolean)
+      : Option[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && !doubled && i + 1 < line.length) {
+          sb.append(line.charAt(i + 1)); i += 1
+        } else if (c == quote) {
+          if (doubled && i + 1 < line.length && line.charAt(i + 1) == quote) {
+            sb.append(quote); i += 1
+          } else inQuote = false
+        } else sb.append(c)
+      } else {
+        if (c == quote) inQuote = true
+        else if (c == sep) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    if (inQuote) None else Some(out.toSeq.map(_.trim))
   }
 
   private val separators = Seq('\t', ',', ';', '|', '%', '^', '!', '$')

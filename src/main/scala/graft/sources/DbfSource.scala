@@ -257,7 +257,11 @@ object DbfSource {
     case 'D' => "date"
     case 'L' => "boolean"
     case 'I' => "integer"
-    case 'Y' => "numeric(19,4)"
+    // Y currency is a 10^-4-scaled int64; the reference loads the RAW
+    // scaled integer as bigint (db3-cast-rules.lisp:23-25) — a
+    // numeric(19,4) column would render a different scale than the
+    // reference's expected output
+    case 'Y' => "bigint"
     case _ => "text"
   }
 

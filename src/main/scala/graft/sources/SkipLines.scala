@@ -99,15 +99,35 @@ object SkipLines {
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
       val cut = bc.value.getOrElse(file, 0L)
-      val decoder = java.nio.charset.Charset.forName(cs)
+      val charset = java.nio.charset.Charset.forName(cs)
+      // STRICT per-line decode: bytes the declared charset cannot
+      // represent make the ROW malformed (the reference's decoder
+      // errors and routes the row to rejects — csv-error.load's
+      // 'héhé' line under encoding 'ascii'); silent replacement
+      // would load mojibake. Failed lines carry the BadDecode
+      // sentinel (a Unicode noncharacter no valid decode produces) so
+      // the reject scan can still surface the original-ish text.
       it.collect {
         case (off, line) if off.get() >= cut =>
-          (file, off.get(),
-            new String(line.getBytes, 0, line.getLength, decoder))
+          val decoded =
+            try new java.lang.String(charset.newDecoder()
+              .decode(java.nio.ByteBuffer.wrap(line.getBytes, 0,
+                line.getLength)).toString)
+            catch {
+              case _: java.nio.charset.CharacterCodingException =>
+                SkipLines.BadDecode + new String(line.getBytes, 0,
+                  line.getLength, charset)
+            }
+          (file, off.get(), decoded)
       }
     }
     kept.toDF("__file", "__off", "value")
   }
+
+  /** Sentinel prefix marking a line whose bytes the declared charset
+    * could not decode (U+FFFF: a noncharacter that no successful
+    * decode emits). */
+  val BadDecode = "\uffff"
 
   /** The lines of `path` with the first `skip` lines of EACH file
     * removed, as a Dataset[String], decoded with `charset` (any

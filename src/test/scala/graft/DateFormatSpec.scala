@@ -11,8 +11,10 @@ class DateFormatSpec extends SparkSpec {
     assert(DateFormat.translate("YYYY-MM-DD") == "yyyy-MM-dd")
     assert(DateFormat.translate("DD/MM/YYYY HH24:MI:SS") ==
       "dd/MM/yyyy HH:mm:ss")
+    // the fraction is an optional input section — PG accepts a
+    // fraction-less value against a .US-bearing template
     assert(DateFormat.translate("DD/MM/YYYY HH24:MI:SS.US") ==
-      "dd/MM/yyyy HH:mm:ss.SSSSSS")
+      "dd/MM/yyyy HH:mm:ss[.SSSSSS]")
     assert(DateFormat.translate("MM/DD/YY") == "MM/dd/yy")
     assert(DateFormat.translate("YYYYMMDD") == "yyyyMMdd")
     assert(DateFormat.translate("HH12:MI AM") == "hh:mm a")

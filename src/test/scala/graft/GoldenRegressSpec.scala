@@ -52,13 +52,14 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, expected("csv-non-printable", fields))
   }
 
-  test("csv-header.load: header line dropped, fields matched positionally") {
-    // no field list: positional col1..col6; the target table orders
-    // `another` before `fields` (name-matching against the header is
-    // the PG-catalog side of the reference) — reorder + type here
+  test("csv-header.load: header line names the columns") {
+    // no field list, `csv header` set: the PLAN names its columns from
+    // the header line (the live COPY path sends them as the column
+    // list); the target table orders `another` before `fields` —
+    // reorder + type here like the name-matching server side would
     val act = plan("csv-header.load").select(
-      col("col1"), col("col2"), col("col3"), col("col4"),
-      col("col6"), col("col5").cast("long"))
+      col("somefields"), col("rekplcode"), col("`repl$grpid`"),
+      col("`repl$id`"), col("another"), col("fields").cast("long"))
     val exp = expected("csv-header",
         Seq("somefields", "rekplcode", "grpid", "id", "another", "fields"))
       .select(col("somefields"), col("rekplcode"), col("grpid"),
@@ -182,18 +183,18 @@ class GoldenRegressSpec extends SparkSpec {
   }
 
   test("csv-parse-date.load: per-field + command date formats, tz render") {
-    // hr carries a per-field [date format 'HH24:MI.SS'] and is parsed
-    // by the engine (epoch-dated time); ts is typed timestamptz only in
-    // the target DDL, so its command-level 'MM-DD-YYYY HH24-MI-SS.US'
-    // format and PG's Europe/Paris timestamptz rendering (SET timezone)
-    // are emulated here
+    // the PLAN now parses both: hr via its per-field [date format
+    // 'HH24:MI.SS'] (rendered time-of-day), ts via the command-level
+    // 'MM-DD-YYYY HH24-MI-SS.US' applied through the BEFORE LOAD DO
+    // DDL's timestamptz typing — only PG's Europe/Paris timestamptz
+    // RENDERING (SET timezone) is emulated here
     val pgTsTz = udf { (s: String) =>
       if (s == null) null
       else {
-        val m = ("(\\d{2})-(\\d{2})-(\\d{4}) " +
-          "(\\d{2})-(\\d{2})-(\\d{2})(?:\\.(\\d+))?").r
+        val m = ("(\\d{4})-(\\d{2})-(\\d{2}) " +
+          "(\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d+))?").r
         s.trim match {
-          case m(mo, d, y, h, mi, se, frac) =>
+          case m(y, mo, d, h, mi, se, frac) =>
             val zone = java.time.ZoneId.of("Europe/Paris")
             val zdt = java.time.ZonedDateTime.of(y.toInt, mo.toInt,
               d.toInt, h.toInt, mi.toInt, se.toInt, 0, zone)
@@ -210,7 +211,7 @@ class GoldenRegressSpec extends SparkSpec {
     val act = plan("csv-parse-date.load").select(
       col("row num").cast("long").as("rn"),
       pgTsTz(col("ts")).as("ts"),
-      substring(col("hr"), 12, 8).as("hr"))
+      col("hr"))
     val exp = expected("csv-parse-date", Seq("rn", "ts", "hr")).select(
       col("rn").cast("long").as("rn"), col("ts"), col("hr"))
     assertGolden(act, exp)
@@ -361,16 +362,13 @@ class GoldenRegressSpec extends SparkSpec {
 
   test("dbf-8b.load: real dBase IV file with memo (.dbt) fields") {
     import graft.sources.DbfSource
+    // the plan applies the db3 default transforms itself
     val raw = plan("dbf-8b.load")
     val fields = Seq(("character", 'C', 0), ("numerical", 'N', 2),
       ("date", 'D', 0), ("logical", 'L', 0), ("float", 'F', 18),
       ("memo", 'M', 0))
-    val t = fields.map { case (n, ft, dec) =>
-      DbfSource.defaultTransform(
-        DbfSource.DbfField(n, ft, 20, dec))(col(n)).as(n)
-    }
     // float: PG prints 15 significant digits; compare rounded doubles
-    val act = raw.select(t: _*).select(
+    val act = raw.select(
       col("character"), col("numerical"),
       col("date"), col("logical"),
       round(col("float").cast("double"), 10).as("float"), col("memo"))
@@ -408,18 +406,17 @@ class GoldenRegressSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/data/DNORDOC.DBF"))
     val header = DbfSource.parseHeader(bytes)
     val raw = plan("dbf-memo.load")
+    // the plan applies the db3 defaults itself; layer only the
+    // command's USER casts on top (both idempotent over the defaults)
     val cols = header.fields.map { f =>
-      val base0 = DbfSource.defaultTransform(f)(col(f.name))
-      // the command's cast: normdocid → (empty-string-to-null (right-trim _))
       val t =
         if (f.name == "normdocid")
           graft.functions.Transforms.registry("empty-string-to-null")(
             graft.functions.Transforms.registry("right-trim")(col(f.name)))
-        // the command's cast: doctype → db3-numeric-to-pgsql-integer
         else if (f.name == "doctype")
           graft.functions.Transforms.registry(
             "db3-numeric-to-pgsql-integer")(col(f.name))
-        else base0
+        else col(f.name)
       t.as(f.name)
     }
     val act = raw.select(cols: _*)
@@ -437,9 +434,8 @@ class GoldenRegressSpec extends SparkSpec {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/data/reg2013.dbf"))
     val header = DbfSource.parseHeader(bytes)
-    val raw = plan("dbf.load")
-    val act = raw.select(header.fields.map(f =>
-      DbfSource.defaultTransform(f)(col(f.name)).as(f.name)): _*)
+    val raw = plan("dbf.load") // plan applies the db3 defaults itself
+    val act = raw.select(header.fields.map(f => col(f.name)): _*)
     val exp = expected("dbf", header.fields.map(_.name))
     assertGolden(act, exp)
   }
@@ -449,9 +445,8 @@ class GoldenRegressSpec extends SparkSpec {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/data/dbase_31.dbf"))
     val header = DbfSource.parseHeader(bytes)
-    val raw = plan("dbf-31.load")
-    val act = raw.select(header.fields.map(f =>
-      DbfSource.defaultTransform(f)(col(f.name)).as(f.name)): _*)
+    val raw = plan("dbf-31.load") // plan applies the db3 defaults itself
+    val act = raw.select(header.fields.map(f => col(f.name)): _*)
     val exp = expected("dbf-31", header.fields.map(_.name))
     assertGolden(act, exp)
   }

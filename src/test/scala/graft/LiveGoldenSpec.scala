@@ -1,0 +1,107 @@
+package graft
+
+import graft.sinks.{PgWire, PgWireConnection, PgWireCopyEndpoint}
+
+/** Env-gated LIVE golden regressions: the reference's own regress method
+  * (src/regress/regress.lisp:17-112) — run each `.load` fixture
+  * end-to-end into a REAL PostgreSQL (DDL + COPY over the wire client),
+  * COPY the reference's `expected/<name>.out` into a `(LIKE target)`
+  * twin, and assert `EXCEPT ALL` empty BOTH WAYS inside the database.
+  * Unlike GoldenRegressSpec (plan-level, compares DataFrames), this
+  * proves the full production path — DDL, typed COPY text rendering,
+  * reject/tolerated-error semantics — against a genuine server's
+  * parsing and type system.
+  *
+  * Gated on GRAFT_LIVE_PG_URI (a scratch database — fixtures DROP and
+  * recreate their tables). The fixture's own `INTO postgresql:///…`
+  * only contributes the target TABLE name; the Runner routes every
+  * statement and COPY to the live URI.
+  */
+class LiveGoldenSpec extends SparkSpec {
+
+  private val base = "/root/reference/test"
+  private def liveUri: Option[String] =
+    sys.env.get("GRAFT_LIVE_PG_URI").filter(_.nonEmpty)
+  private val decode =
+    (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def runner(uri: String): Runner = {
+    val dp = PgWire.connParams(uri, decode)
+    new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup))
+  }
+
+  /** Fixtures with an expected/<name>.out and only local/inline inputs
+    * — the driving list is exactly the names here. Excluded, with
+    * reasons: csv-districts (13 MB census download not in the repo),
+    * csv-temp (loads via a TEMP table; per-statement connections can't
+    * see it), csv-before-after (needs the ip4r server extension),
+    * dbf/dbf-memo (their own data files need cp850/cp866 handling
+    * covered by the plan-level goldens). */
+  private val fixtures = Seq(
+    "copy-hex", "copy", "csv-header", "csv-non-printable", "csv-nulls",
+    "csv-trim-extra-blanks", "csv-keep-extra-blanks", "csv-parse-date",
+    "csv-escape-mode", "csv-missing-col", "csv-using-sexp", "csv-json",
+    "fields-with-periods", "fixed", "serial", "udc", "xzero",
+    "overflow", "partial", "errors", "csv-error", "csv-guess",
+    "csv-filename-pattern", "dbf-31", "dbf-8b", "ixf", "fk-reject",
+    "allcols", "csv")
+  // csv-before-after additionally requires the ip4r extension on the
+  // server (its AFTER LOAD casts to ip4r) — not part of a stock
+  // PostgreSQL install; covered at plan level by GoldenRegressSpec
+
+  for (name <- fixtures)
+    test(s"live golden: $name.load loads + matches expected inside PG") {
+      assume(liveUri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+      val uri = liveUri.get
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/$name.load")), "UTF-8")
+      val (cmd, _) = graft.dsl.Parser.parseWithInline(text, base)
+      val table = (cmd.targetSchema, cmd.targetTable) match {
+        case (Some(s), Some(t)) => s"$s.$t"
+        case (_, t) => t.getOrElse("data")
+      }
+      val q = PgWire.quoteQualified(table)
+
+      runner(uri).runFile(spark, text, base)
+
+      val p = PgWire.connParams(uri, decode)
+      val c = new PgWireConnection(p)
+      try {
+        // the command's SET params (search_path!) must apply on the
+        // compare connection too — the loaded table may resolve
+        // through them
+        cmd.setParams.foreach { case (k, v) =>
+          c.simpleCommand(s"SET $k = '$v'") }
+        c.simpleCommand("DROP TABLE IF EXISTS __graft_expected")
+        c.simpleCommand(s"CREATE TABLE __graft_expected (LIKE $q)")
+        val exp = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+          .get(s"$base/regress/expected/$name.out"))
+        c.copyIn("COPY __graft_expected FROM STDIN", exp)
+        // the reference renders a missing dbf memo pointer as the
+        // literal string NIL (its lisp nil); we store SQL NULL — same
+        // normalization the plan-level dbf goldens apply
+        if (name == "dbf-8b")
+          c.simpleCommand("UPDATE __graft_expected SET memo = NULL " +
+            "WHERE memo = 'NIL'")
+        val r = c.query(
+          s"SELECT (SELECT count(*) FROM (TABLE $q EXCEPT ALL " +
+            "TABLE __graft_expected) a) AS extra, " +
+            s"(SELECT count(*) FROM (TABLE __graft_expected EXCEPT ALL " +
+            s"TABLE $q) b) AS missing, " +
+            s"(SELECT count(*) FROM $q) AS n")._2.head
+        assert(r(0) == "0" && r(1) == "0",
+          s"$name: extra=${r(0)} missing=${r(1)} (n=${r(2)})")
+        info(s"live golden $name: ${r(2)} rows byte-equal inside PG")
+        c.simpleCommand("DROP TABLE IF EXISTS __graft_expected")
+      } finally c.close()
+    }
+}

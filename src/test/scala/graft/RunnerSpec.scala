@@ -13,10 +13,13 @@ object RunnerSpec {
   def endpoint(table: String,
                sessionSetup: Seq[String]): Int => CopyEndpoint = _ => {
     endpointSetups.add(sessionSetup)
+    // the Runner passes a rendered COPY target — `"kv" ("k", "v")` —
+    // strip to the bare table name for the assertions
+    val label = table.split(" \\(")(0).replace("\"", "")
     new CopyEndpoint {
       def send(rows: Seq[Array[Byte]]): Unit =
         rows.foreach(b => received.add(
-          (table, new String(b, "UTF-8").stripSuffix("\n"))))
+          (label, new String(b, "UTF-8").stripSuffix("\n"))))
     }
   }
 }
