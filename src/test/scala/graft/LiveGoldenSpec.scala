@@ -20,8 +20,7 @@ import graft.sinks.{PgWire, PgWireConnection, PgWireCopyEndpoint}
 class LiveGoldenSpec extends SparkSpec {
 
   private val base = "/root/reference/test"
-  private def liveUri: Option[String] =
-    sys.env.get("GRAFT_LIVE_PG_URI").filter(_.nonEmpty)
+  private def liveUri: Option[String] = LivePg.uri
   private val decode =
     (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
 

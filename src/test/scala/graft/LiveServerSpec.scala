@@ -20,8 +20,14 @@ import graft.sinks.{PgWire, PgWireCopyEndpoint}
   */
 class LiveServerSpec extends SparkSpec {
 
-  private def env(k: String): Option[String] =
-    sys.env.get(k).filter(_.nonEmpty)
+  private def env(k: String): Option[String] = k match {
+    // PG URIs auto-resolve: env override first, else the auto-started
+    // local cluster (LivePg); MySQL/MSSQL stay env-only (no binaries)
+    case "GRAFT_LIVE_PG_URI" => LivePg.uri
+    case "GRAFT_LIVE_PG_DEST_URI" => LivePg.destUri
+    case "GRAFT_LIVE_PG_SCRAM_URI" => LivePg.scramUri
+    case _ => sys.env.get(k).filter(_.nonEmpty)
+  }
 
   private val decode =
     (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
