@@ -132,20 +132,31 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     def firstPath: String = PlanBuilder
       .resolvePath(spark, cmd.source.get, baseDir).split(',').head
     def q(n: String) = graft.sinks.PgWire.quoteIdent(n.toLowerCase)
+    // a USER cast rule with a target overrides the file-derived column
+    // type (dbf-memo.load: normdocid to uuid, doctype to integer)
+    def userType(tbl: String, name: String, ctype: String)
+        : Option[String] =
+      cmd.castRules.find(r => r.target.nonEmpty && r.source.matches(
+        graft.casting.SourceColumn(tbl, name, ctype)))
+        .map(_.target.get.pgType)
     cmd.loadType match {
       case "dbf" =>
         val bytes = java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(firstPath))
         val h = graft.sources.DbfSource.parseHeader(bytes)
+        val tbl = cmd.targetTable.getOrElse("data")
         Some(h.fields.map(f =>
-          s"${q(f.name)} ${graft.sources.DbfSource.pgType(f)}"))
+          s"${q(f.name)} ${userType(tbl, f.name, f.ftype.toString)
+            .getOrElse(graft.sources.DbfSource.pgType(f))}"))
       case "ixf" =>
         val in = new java.io.BufferedInputStream(
           new java.io.FileInputStream(firstPath))
         try {
           val cols = graft.sources.IxfSource.readColumns(in)
+          val tbl = cmd.targetTable.getOrElse("data")
           Some(cols.map(c =>
-            s"${q(c.name)} ${graft.sources.IxfSource.pgType(c)}"))
+            s"${q(c.name)} ${userType(tbl, c.name, c.typeCode.toString)
+              .getOrElse(graft.sources.IxfSource.pgType(c))}"))
         } finally in.close()
       case _ => None
     }

@@ -114,10 +114,24 @@ object PlanBuilder {
         val header = graft.sources.DbfSource.parseHeader(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
             path.split(',').head)))
-        header.fields.foldLeft(raw) { (d, f) =>
+        val defaulted = header.fields.foldLeft(raw) { (d, f) =>
           d.withColumn(f.name,
             graft.sources.DbfSource.defaultTransform(f)(
               org.apache.spark.sql.functions.col(s"`${f.name}`")))
+        }
+        // the command's USER cast rules layer on top of the defaults
+        // (dbf-memo.load: `column dnordoc.normdocid to uuid using
+        // (lambda …)` — the reference resolves user casts over the
+        // db3 defaults the same way, cast.clj resolve-specs)
+        val tbl = cmd.targetTable.getOrElse("data")
+        header.fields.foldLeft(defaulted) { (d, f) =>
+          graft.casting.CastEngine.cast(
+              graft.casting.SourceColumn(tbl, f.name, f.ftype.toString),
+              cmd.castRules, Nil).transform match {
+            case Some(fn) => d.withColumn(f.name,
+              fn(org.apache.spark.sql.functions.col(s"`${f.name}`")))
+            case None => d
+          }
         }
       case "ixf" => graft.sources.IxfSource.read(spark, path)
       case t => throw new UnsupportedOperationException(

@@ -41,8 +41,7 @@ class LiveGoldenSpec extends SparkSpec {
   /** Fixtures with an expected/<name>.out and only local/inline inputs
     * — the driving list is exactly the names here. Excluded, with
     * reasons: csv-districts (13 MB census download not in the repo),
-    * csv-temp (loads via a TEMP table; per-statement connections can't
-    * see it), csv-before-after (needs the ip4r server extension),
+    * csv-before-after (needs the ip4r server extension),
     * dbf/dbf-memo (their own data files need cp850/cp866 handling
     * covered by the plan-level goldens). */
   private val fixtures = Seq(
@@ -52,7 +51,7 @@ class LiveGoldenSpec extends SparkSpec {
     "fields-with-periods", "fixed", "serial", "udc", "xzero",
     "overflow", "partial", "errors", "csv-error", "csv-guess",
     "csv-filename-pattern", "dbf-31", "dbf-8b", "ixf", "fk-reject",
-    "allcols", "csv")
+    "allcols", "csv", "csv-temp", "dbf", "dbf-memo")
   // csv-before-after additionally requires the ip4r extension on the
   // server (its AFTER LOAD casts to ip4r) — not part of a stock
   // PostgreSQL install; covered at plan level by GoldenRegressSpec
@@ -88,9 +87,9 @@ class LiveGoldenSpec extends SparkSpec {
         // the reference renders a missing dbf memo pointer as the
         // literal string NIL (its lisp nil); we store SQL NULL — same
         // normalization the plan-level dbf goldens apply
-        if (name == "dbf-8b")
-          c.simpleCommand("UPDATE __graft_expected SET memo = NULL " +
-            "WHERE memo = 'NIL'")
+        Map("dbf-8b" -> "memo", "dbf-memo" -> "docname").get(name)
+          .foreach(col => c.simpleCommand(
+            s"UPDATE __graft_expected SET $col = NULL WHERE $col = 'NIL'"))
         val r = c.query(
           s"SELECT (SELECT count(*) FROM (TABLE $q EXCEPT ALL " +
             "TABLE __graft_expected) a) AS extra, " +
