@@ -39,11 +39,10 @@ class LiveGoldenSpec extends SparkSpec {
   }
 
   /** Fixtures with an expected/<name>.out and only local/inline inputs
-    * — the driving list is exactly the names here. Excluded, with
-    * reasons: csv-districts (13 MB census download not in the repo),
-    * csv-before-after (needs the ip4r server extension),
-    * dbf/dbf-memo (their own data files need cp850/cp866 handling
-    * covered by the plan-level goldens). */
+    * — the driving list is exactly the names here. The ONLY exclusion
+    * is csv-before-after, whose AFTER LOAD needs the ip4r server
+    * extension (not in a stock PostgreSQL; plan-level golden covers
+    * it). */
   private val fixtures = Seq(
     "copy-hex", "copy", "csv-header", "csv-non-printable", "csv-nulls",
     "csv-trim-extra-blanks", "csv-keep-extra-blanks", "csv-parse-date",
@@ -51,7 +50,7 @@ class LiveGoldenSpec extends SparkSpec {
     "fields-with-periods", "fixed", "serial", "udc", "xzero",
     "overflow", "partial", "errors", "csv-error", "csv-guess",
     "csv-filename-pattern", "dbf-31", "dbf-8b", "ixf", "fk-reject",
-    "allcols", "csv", "csv-temp", "dbf", "dbf-memo")
+    "allcols", "csv", "csv-temp", "dbf", "dbf-memo", "csv-districts")
   // csv-before-after additionally requires the ip4r extension on the
   // server (its AFTER LOAD casts to ip4r) — not part of a stock
   // PostgreSQL install; covered at plan level by GoldenRegressSpec
@@ -90,11 +89,16 @@ class LiveGoldenSpec extends SparkSpec {
         Map("dbf-8b" -> "memo", "dbf-memo" -> "docname").get(name)
           .foreach(col => c.simpleCommand(
             s"UPDATE __graft_expected SET $col = NULL WHERE $col = 'NIL'"))
+        // compare the canonical COMPOSITE-TEXT rendering of each row:
+        // identical to EXCEPT ALL on the rows, but types without an
+        // equality operator (point, csv-districts) still compare
         val r = c.query(
-          s"SELECT (SELECT count(*) FROM (TABLE $q EXCEPT ALL " +
-            "TABLE __graft_expected) a) AS extra, " +
-            s"(SELECT count(*) FROM (TABLE __graft_expected EXCEPT ALL " +
-            s"TABLE $q) b) AS missing, " +
+          s"SELECT (SELECT count(*) FROM (" +
+            s"SELECT (t.*)::text FROM $q t EXCEPT ALL " +
+            "SELECT (t.*)::text FROM __graft_expected t) a) AS extra, " +
+            "(SELECT count(*) FROM (" +
+            "SELECT (t.*)::text FROM __graft_expected t EXCEPT ALL " +
+            s"SELECT (t.*)::text FROM $q t) b) AS missing, " +
             s"(SELECT count(*) FROM $q) AS n")._2.head
         assert(r(0) == "0" && r(1) == "0",
           s"$name: extra=${r(0)} missing=${r(1)} (n=${r(2)})")
