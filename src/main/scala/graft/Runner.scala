@@ -31,6 +31,24 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    endpointFactory: (String, Seq[String]) => Int => CopyEndpoint,
                    rejectRoot: Option[String] = None) {
 
+  /** Full summaries of the DATABASE loads this Runner executed (one per
+    * LOAD DATABASE command): the Migrator's pre/data/post phases and
+    * tolerated DDL errors — the machine-readable `--summary` output
+    * needs them, where `runFile`'s flat stats lose the phase detail. */
+  @volatile private var dbSummaries: Seq[graft.orchestration.Summary] = Nil
+
+  /** Build the FULL run summary from [[runFile]]'s stats: database
+    * loads contribute their Migrator phases (pre DDL, post DDL,
+    * tolerated errors); file loads contribute their per-table stats. */
+  def fullSummary(stats: Seq[TableStats],
+                  totalMillis: Long): graft.orchestration.Summary =
+    graft.orchestration.Summary(
+      preDdl = dbSummaries.flatMap(_.preDdl),
+      tables = stats,
+      postDdl = dbSummaries.flatMap(_.postDdl),
+      totalMillis = totalMillis,
+      ddlErrors = dbSummaries.flatMap(_.ddlErrors))
+
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
               baseDir: String = "."): Seq[TableStats] = {
@@ -525,6 +543,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         setParams = cmd.setParams,
         disableTriggers = cmd.boolOption("disable triggers"))
     } finally dropCreatedViews()
+    dbSummaries = dbSummaries :+ summary
     summary.tables
   }
 
@@ -673,7 +692,7 @@ object Runner {
     val stats =
       try runner.runFile(spark, text, baseDir)
       finally spark.stop()
-    val summary = graft.orchestration.Summary(Nil, stats, Nil,
+    val summary = runner.fullSummary(stats,
       (System.nanoTime() - t0) / 1000000)
     print(summary.render)
     summaryPath.foreach(p =>

@@ -154,6 +154,13 @@ class SqliteFileSpec extends SparkSpec {
       val landed = dst.accepted.synchronized(dst.accepted.toList).sorted
       assert(landed == Seq("1\tapple\t10", "2\tbanana\tlots-of-it",
         "3\tcherry\t5"))
+      // the --summary output needs the Migrator's REAL phases: the full
+      // summary carries the pre-phase DDL (CREATE TABLE), not the
+      // empty sections a flat stats rebuild would produce
+      val full = runner.fullSummary(stats, totalMillis = 1L)
+      assert(full.preDdl.exists(_.contains("CREATE TABLE")),
+        s"pre phase lost: ${full.preDdl}")
+      assert(full.tables == stats && full.ddlErrors.isEmpty)
     } finally dst.close()
   }
 
