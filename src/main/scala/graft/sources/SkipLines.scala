@@ -107,12 +107,15 @@ object SkipLines {
       // would load mojibake. Failed lines carry the BadDecode
       // sentinel (a Unicode noncharacter no valid decode produces) so
       // the reject scan can still surface the original-ish text.
+      // ONE decoder per partition (the convenience decode() resets it
+      // each call) — per-line construction would allocate on the
+      // scan's hottest path.
+      val decoder = charset.newDecoder()
       it.collect {
         case (off, line) if off.get() >= cut =>
           val decoded =
-            try new java.lang.String(charset.newDecoder()
-              .decode(java.nio.ByteBuffer.wrap(line.getBytes, 0,
-                line.getLength)).toString)
+            try decoder.decode(java.nio.ByteBuffer.wrap(line.getBytes,
+              0, line.getLength)).toString
             catch {
               case _: java.nio.charset.CharacterCodingException =>
                 SkipLines.BadDecode + new String(line.getBytes, 0,
