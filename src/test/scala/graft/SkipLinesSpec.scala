@@ -36,6 +36,30 @@ class SkipLinesSpec extends SparkSpec {
       Seq("x", "y"))
   }
 
+  test("strict decode: undecodable bytes reject the ROW, not mojibake") {
+    // a latin1 'é' (0xE9) in a file declared ascii: the reference's
+    // decoder errors and the row lands in rejects (csv-error.load);
+    // replacement-decoding would silently load mojibake
+    val dir = Files.createTempDirectory("strictdec").toFile
+    val f = new java.io.File(dir, "x.csv")
+    Files.write(f.toPath,
+      ("ok|1\n" + "hé|2\n" + "fine|3\n").getBytes("ISO-8859-1"))
+    val d = CsvDialect(separator = '|', encoding = "us-ascii",
+      skipLines = 1) // skip>0 forces the decoding path
+    val got = CsvSource.read(spark, f.getAbsolutePath, d, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(("fine", "3")))
+    val rej = CsvSource.rejects(spark, f.getAbsolutePath, d, Seq("a", "b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rej.length == 1 && rej.head.endsWith("|2"),
+      s"undecodable row must surface in rejects: $rej")
+    // the same bytes under the RIGHT charset load fully
+    val ok = CsvSource.read(spark, f.getAbsolutePath,
+        d.copy(encoding = "latin1"), Seq("a", "b"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(ok == Seq("fine", "hé"))
+  }
+
   test("CSV read honors skipLines + header per file") {
     val dir = tmpDir(
       "a.csv" -> "junk|junk\nk|v\n1|one\n2|two\n",
