@@ -68,6 +68,16 @@ class LiveGoldenSpec extends SparkSpec {
       }
       val q = PgWire.quoteQualified(table)
 
+      // rerun-proof: fixtures relying on `WITH create table` use
+      // CREATE TABLE IF NOT EXISTS, so a stale table from an earlier
+      // run (or an older type mapping) would silently survive
+      locally {
+        val p0 = PgWire.connParams(uri, decode)
+        val c0 = new PgWireConnection(p0)
+        try c0.simpleCommand(s"DROP TABLE IF EXISTS $q")
+        finally c0.close()
+      }
+
       runner(uri).runFile(spark, text, base)
 
       val p = PgWire.connParams(uri, decode)
