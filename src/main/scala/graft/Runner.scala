@@ -159,8 +159,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         .map(_.target.get.pgType)
     cmd.loadType match {
       case "dbf" =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(firstPath))
+        // header only — 32 + 32·nFields + 1 bytes; never the whole file
+        // on the driver (a dbf can be gigabytes)
+        val in = new java.io.FileInputStream(firstPath)
+        val bytes =
+          try in.readNBytes(32 * 2049 + 1)
+          finally in.close()
         val h = graft.sources.DbfSource.parseHeader(bytes)
         val tbl = cmd.targetTable.getOrElse("data")
         Some(h.fields.map(f =>

@@ -111,9 +111,13 @@ object PlanBuilder {
         // dbf load, like the reference's db3-cast-rules defaults — raw
         // field text would type-fail on a real target (live golden
         // dbf-8b: logical blanks must become NULL)
-        val header = graft.sources.DbfSource.parseHeader(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-            path.split(',').head)))
+        // header only (32 + 32·nFields + 1 bytes) — never the whole
+        // file on the driver
+        val headerBytes = {
+          val in = new java.io.FileInputStream(path.split(',').head)
+          try in.readNBytes(32 * 2049 + 1) finally in.close()
+        }
+        val header = graft.sources.DbfSource.parseHeader(headerBytes)
         val defaulted = header.fields.foldLeft(raw) { (d, f) =>
           d.withColumn(f.name,
             graft.sources.DbfSource.defaultTransform(f)(
