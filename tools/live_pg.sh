@@ -11,7 +11,7 @@ useradd -m pguser 2>/dev/null || true
 mkdir -p /tmp/pgsock /tmp/pgdata
 chown pguser /tmp/pgsock /tmp/pgdata
 if [ ! -f /tmp/pgdata/PG_VERSION ]; then
-  su pguser -c "initdb -D /tmp/pgdata -U graft --auth=trust" >/dev/null
+  su pguser -c "cd /tmp && initdb -D /tmp/pgdata -U graft --auth=trust" >/dev/null
   # SCRAM enforcement for one user, BEFORE the generic trust rules
   python3 - <<'EOF'
 p = '/tmp/pgdata/pg_hba.conf'
@@ -35,6 +35,26 @@ CREATE USER scramuser WITH PASSWORD 'sc ram+p@ss';
 GRANT ALL ON DATABASE graftdb2 TO scramuser;
 EOF
 su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d graftdb2 -c 'GRANT ALL ON SCHEMA public TO scramuser;'" >/dev/null 2>&1 || true
+# seed the source database: the live introspection and pg→pg migration
+# smokes need at least one table with rows
+su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d graftdb" <<'EOF' >/dev/null 2>&1 || true
+CREATE TABLE IF NOT EXISTS items (
+  id serial primary key, name text not null, qty int,
+  price numeric(8,2), added date);
+INSERT INTO items (name, qty, price, added)
+SELECT 'item-' || g, g % 50, (g % 1000) / 7.0,
+       date '2024-01-01' + (g % 365)
+FROM generate_series(1, 5000) g
+WHERE NOT EXISTS (SELECT 1 FROM items);
+CREATE TABLE IF NOT EXISTS tags (tag_id int primary key, label text,
+  note text);
+INSERT INTO tags
+SELECT g, 'tag' || g,
+       CASE WHEN g % 5 = 0 THEN NULL ELSE E'sp\tcial "' || g END
+FROM generate_series(1, 200) g
+WHERE NOT EXISTS (SELECT 1 FROM tags);
+ANALYZE;
+EOF
 cat <<EOF
 export GRAFT_LIVE_PG_URI='postgresql://graft@127.0.0.1:$PORT/graftdb'
 export GRAFT_LIVE_PG_DEST_URI='postgresql://graft@127.0.0.1:$PORT/graftdb2'
