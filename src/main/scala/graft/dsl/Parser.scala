@@ -119,6 +119,20 @@ private final class Parser(in: String, baseDir: String = ".") {
     }
   }
 
+  /** identifier with the reference's default apply-identifier-case
+    * (:downcase, src/utils/quoting.lisp): an UNQUOTED name folds to
+    * lowercase — PostgreSQL folds unquoted DDL identifiers, so the COPY
+    * column list built from these names must fold the same way or a
+    * `HAVING FIELDS (ID, Name)` load fails with "column does not
+    * exist" against its own unquoted CREATE TABLE — while a
+    * double-quoted spelling is preserved exactly as written. */
+  def identCased(): String = {
+    ws()
+    val wasQuoted = pos < in.length && in.charAt(pos) == '"'
+    val s = ident()
+    if (wasQuoted) s else s.toLowerCase
+  }
+
   def tryQuoted(): Option[String] = {
     ws()
     if (pos < in.length && in.charAt(pos) == '\'') {
@@ -289,7 +303,7 @@ private final class Parser(in: String, baseDir: String = ".") {
   }
 
   private def parseField(fixed: Boolean): FieldDef = {
-    val name = ident()
+    val name = identCased()
     var f = FieldDef(name)
     if (fixed && tryKw("from")) {
       val start = integer()
@@ -327,7 +341,7 @@ private final class Parser(in: String, baseDir: String = ".") {
     val out = Seq.newBuilder[TargetColDef]
     var more = true
     while (more) {
-      val name = ident()
+      val name = identCased()
       var td = TargetColDef(name)
       // optional type words until ',', ')' or 'using'
       val typeWords = Seq.newBuilder[String]

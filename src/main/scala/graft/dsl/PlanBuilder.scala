@@ -336,7 +336,7 @@ object PlanBuilder {
     val qualified = cmd.targetSchema.map(s =>
       s"$s.$table".toLowerCase)
     val re = ("(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
-      "(\"?[\\w $]+\"?)\\s*\\((.*)\\)").r
+      "(\"?[\\w $]+\"?)\\s*\\(").r
     cmd.beforeLoad.iterator.flatMap { sql =>
       re.findFirstMatchIn(sql) match {
         case Some(m)
@@ -345,9 +345,26 @@ object PlanBuilder {
             n == table || qualified.contains(n) ||
               n.endsWith("." + table)
           } =>
+          // find the MATCHING close paren by depth-counting from the
+          // opening '(' — the same statement string may carry trailing
+          // SQL after the CREATE TABLE, or CHECK constraints with
+          // nested parens, and a greedy regex capture to the LAST ')'
+          // would swallow it into a garbage column-type map
+          val open = m.end - 1
+          var depth0 = 0; var i0 = open; var close = -1
+          while (i0 < sql.length && close < 0) {
+            sql.charAt(i0) match {
+              case '(' => depth0 += 1
+              case ')' => depth0 -= 1; if (depth0 == 0) close = i0
+              case _ =>
+            }
+            i0 += 1
+          }
+          if (close < 0) Iterator.empty
+          else {
           // split the column list on commas at paren depth 0 (types
           // like numeric(8,2) carry inner commas)
-          val body = m.group(2)
+          val body = sql.substring(open + 1, close)
           val cols = scala.collection.mutable.ArrayBuffer.empty[String]
           val sb = new StringBuilder
           var depth = 0
@@ -370,6 +387,7 @@ object PlanBuilder {
             val tpe = rest.trim.toLowerCase
             if (name.isEmpty || tpe.isEmpty) None
             else Some(name.toLowerCase -> tpe)
+          }
           }
         case _ => Iterator.empty
       }
@@ -417,7 +435,12 @@ object PlanBuilder {
       // a dq-string naming an existing FIELD is a quoted field reference
       // (csv-non-printable.load `c1 text using "Some-Field"`); any other
       // string is a constant column value (udc.load)
+      // case-insensitive: the field list folds unquoted names to
+      // lowercase at parse time (identCased), but the dq-string keeps
+      // the user's spelling — match it against the folded set too
       if (fieldNames.contains(v)) TargetColumn(td.name, fromField = Some(v))
+      else if (fieldNames.contains(v.toLowerCase))
+        TargetColumn(td.name, fromField = Some(v.toLowerCase))
       else TargetColumn(td.name, constant = Some(v))
     case Some(SqlExpr(sql)) => TargetColumn(td.name, usingExpr = Some(sql))
     case Some(Sexp(raw)) =>

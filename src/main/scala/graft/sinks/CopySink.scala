@@ -106,13 +106,20 @@ object BatchRetry {
   * @param endpointFactory built ON THE EXECUTOR per partition (must be a
   *   serializable closure); e.g. opens one PG connection per task.
   * @param onErrorStop fail-fast streaming mode (copy-from-queue.lisp:53-59)
+  * @param onPartitionSuccess executor-side hook run after a partition's
+  *   final flush succeeds (before the endpoint closes) — a serializable
+  *   closure, typically adding to an accumulator so the driver learns
+  *   which task attempt completed each partition ([[ExactlyOnce]]'s
+  *   winner tracking). Result-stage accumulator semantics apply: only
+  *   the first successful completion per partition is recorded.
   */
 final class CopySink(
     endpointFactory: Int => CopyEndpoint,
     maxRows: Int = 25000,
     maxBytes: Long = 20L << 20,
     onErrorStop: Boolean = false,
-    rejectDir: Option[String] = None) extends Serializable {
+    rejectDir: Option[String] = None,
+    onPartitionSuccess: Int => Unit = null) extends Serializable {
 
   /** Write `df`; returns (sent, rejected, bytes) via accumulators —
     * `bytes` counts the COPY TEXT payload actually handed to endpoints
@@ -124,9 +131,9 @@ final class CopySink(
     * batches the failed attempt already landed. That is the standard
     * non-transactional-sink trade (the reference's loader makes the
     * same one); when the target demands exactly-once, use the opt-in
-    * [[ExactlyOnce]] wrapper (per-partition stage tables truncated per
-    * task attempt, one atomic publish transaction) or disable
-    * spark.speculation. */
+    * [[ExactlyOnce]] wrapper (a stage table per task ATTEMPT — so
+    * concurrent speculative attempts stay isolated — and one atomic
+    * publish transaction of the winning attempts). */
   def write(df: DataFrame): (Long, Long, Long) = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("rowsSent")
@@ -134,6 +141,7 @@ final class CopySink(
     val bytesSent = spark.sparkContext.longAccumulator("bytesSent")
     val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
     val rDir = rejectDir; val factory = endpointFactory
+    val successHook = onPartitionSuccess
     // rows are rendered to COPY TEXT lines by a codegen'd projection
     // (typed PG literals + escaping); the sink tasks only batch bytes
     val lines = df.select(CopyText.lineColumn(df).as("value"))
@@ -173,6 +181,7 @@ final class CopySink(
           if (batch.isFull) flush()
         }
         flush()
+        if (successHook != null) successHook(pid)
       } finally {
         rejectWriter.foreach(_.close())
         endpoint.close()

@@ -63,7 +63,7 @@ object CsvSource {
     // a header line is just one more per-file line to drop — field names
     // come from the declared list, matching the reference's HAVING FIELDS
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
-    val lines = SkipLines.lines(spark, path, skip,
+    val lines = SkipLines.linesDF(spark, path, skip,
       canonicalEncoding(dialect.encoding))
     // one native-expression parse per line ([[parseFields]] is the
     // scalar spec), then positional field extraction; `get` is
@@ -75,11 +75,11 @@ object CsvSource {
     // list, so extra fields are consumed/dropped before the server ever
     // sees them (errors.load row 8 loads), and PG's "extra data after
     // last expected column" can never fire through this path.
-    val parsed = lines.toDF("value")
+    val parsed = lines
       .filter(length(col("value")) > 0) // blank lines are skipped
-      // undecodable-byte rows (BadDecode sentinel) are malformed — the
-      // rejects() companion surfaces them
-      .filter(!col("value").startsWith(SkipLines.BadDecode))
+      // undecodable-byte rows (__bad from the strict decode) are
+      // malformed — the rejects() companion surfaces them
+      .filter(!col("__bad"))
       .select(graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect).as("__fields"))
     parsed
@@ -104,20 +104,18 @@ object CsvSource {
               requireFullArity: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
-    val lines = SkipLines.lines(spark, path, skip,
+    val lines = SkipLines.linesDF(spark, path, skip,
       canonicalEncoding(dialect.encoding))
-    lines.toDF("value")
+    lines
       .filter(length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect))
-      .filter(col("value").startsWith(SkipLines.BadDecode) ||
+      .filter(col("__bad") ||
         col("__fields").isNull ||
         (if (requireFullArity)
           size(col("__fields")) < fieldNames.length else lit(false)))
-      // strip the sentinel: the reject file carries the (replacement-
-      // decoded) row text
-      .select(regexp_replace(col("value"),
-        "^" + SkipLines.BadDecode, "").as("value"))
+      // the reject file carries the (replacement-decoded) row text
+      .select(col("value"))
   }
 
   /** [[read]] plus a `__serial` column numbering rows 1..N in LOAD
@@ -146,6 +144,7 @@ object CsvSource {
       canonicalEncoding(dialect.encoding))
     val parsed = lines
       .filter(length(col("value")) > 0)
+      .filter(!col("__bad")) // undecodable rows are rejects, not data
       .select(col("__file"), col("__off"),
         graft.functions.StringExpressions
           .csvParseLine(col("value"), dialect).as("__fields"))

@@ -78,12 +78,12 @@ object SkipLines {
     }
   }
 
-  /** Like [[lines]], but keeping each line's provenance: (file, off,
-    * value) where `off` is the record's native byte offset. (file, off)
-    * is a total order over the input in FILE ORDER — the load order the
-    * reference gets implicitly from sequential reads, and the basis for
-    * serial-column assignment. Costs nothing extra: the offsets are the
-    * TextInputFormat record keys either way. */
+  /** Like [[linesDF]], but keeping each line's provenance: (file, off,
+    * value, __bad) where `off` is the record's native byte offset.
+    * (file, off) is a total order over the input in FILE ORDER — the
+    * load order the reference gets implicitly from sequential reads,
+    * and the basis for serial-column assignment. Costs nothing extra:
+    * the offsets are the TextInputFormat record keys either way. */
   def linesWithPosition(spark: SparkSession, path: String, skip: Int,
                         charset: String = "UTF-8")
       : org.apache.spark.sql.DataFrame = {
@@ -92,9 +92,16 @@ object SkipLines {
       else cutOffsets(spark, path, skip)
     val bc = spark.sparkContext.broadcast(cuts)
     val cs = charset
+    // minPartitions=1, NOT the hadoopFile default of 2: the default
+    // derives goalSize = totalSize/2, so even a 300-byte inline file
+    // splits into two concurrent tasks — and two COPY tasks interleave
+    // PG serial-default assignment, breaking the reference's file-order
+    // ids (csv-trim-extra-blanks golden). Large files still split at
+    // the block size (32 MB local), so scan parallelism at scale is
+    // unchanged; only sub-block files collapse to one in-order task.
     val rdd = spark.sparkContext
       .hadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text])
+        classOf[LongWritable], classOf[Text], 1)
       .asInstanceOf[HadoopRDD[LongWritable, Text]]
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
@@ -104,43 +111,52 @@ object SkipLines {
       // represent make the ROW malformed (the reference's decoder
       // errors and routes the row to rejects — csv-error.load's
       // 'héhé' line under encoding 'ascii'); silent replacement
-      // would load mojibake. Failed lines carry the BadDecode
-      // sentinel (a Unicode noncharacter no valid decode produces) so
-      // the reject scan can still surface the original-ish text.
+      // would load mojibake. Failed lines are flagged with an
+      // out-of-band `__bad` boolean (an in-band string sentinel would
+      // misclassify a legitimate line starting with that character —
+      // even noncharacters like U+FFFF are encodable in valid UTF-8),
+      // and `value` carries the replacement-decoded text so the reject
+      // scan can still surface the original-ish row.
       // ONE decoder per partition (the convenience decode() resets it
       // each call) — per-line construction would allocate on the
       // scan's hottest path.
       val decoder = charset.newDecoder()
       it.collect {
         case (off, line) if off.get() >= cut =>
-          val decoded =
-            try decoder.decode(java.nio.ByteBuffer.wrap(line.getBytes,
-              0, line.getLength)).toString
+          val (decoded, bad) =
+            try (decoder.decode(java.nio.ByteBuffer.wrap(line.getBytes,
+              0, line.getLength)).toString, false)
             catch {
               case _: java.nio.charset.CharacterCodingException =>
-                SkipLines.BadDecode + new String(line.getBytes, 0,
-                  line.getLength, charset)
+                (new String(line.getBytes, 0,
+                  line.getLength, charset), true)
             }
-          (file, off.get(), decoded)
+          (file, off.get(), decoded, bad)
       }
     }
-    kept.toDF("__file", "__off", "value")
+    kept.toDF("__file", "__off", "value", "__bad")
   }
 
-  /** Sentinel prefix marking a line whose bytes the declared charset
-    * could not decode (U+FFFF: a noncharacter that no successful
-    * decode emits). */
-  val BadDecode = "\uffff"
-
   /** The lines of `path` with the first `skip` lines of EACH file
-    * removed, as a Dataset[String], decoded with `charset` (any
-    * ASCII-compatible charset: records still split on `\n` bytes). */
+    * removed, as (value, __bad), decoded STRICTLY with `charset` (any
+    * ASCII-compatible charset: records still split on `\n` bytes).
+    * `__bad` marks rows whose bytes the charset could not decode \u2014
+    * the SAME reject contract with or without skip lines, UTF-8
+    * included (a spark.read.textFile fast path would decode leniently
+    * and silently load U+FFFD mojibake). */
+  def linesDF(spark: SparkSession, path: String, skip: Int,
+              charset: String = "UTF-8"): org.apache.spark.sql.DataFrame =
+    linesWithPosition(spark, path, skip, charset)
+      .select("value", "__bad")
+
+  /** The DECODABLE lines of `path` with the first `skip` lines of EACH
+    * file removed, as a Dataset[String]. Undecodable rows are DROPPED \u2014
+    * callers with a reject path use [[linesDF]] and route them. */
   def lines(spark: SparkSession, path: String, skip: Int,
             charset: String = "UTF-8"): Dataset[String] = {
     import spark.implicits._
-    if (skip <= 0 && charset.equalsIgnoreCase("utf-8"))
-      return spark.read.textFile(path.split(","): _*)
     linesWithPosition(spark, path, skip, charset)
+      .filter(!org.apache.spark.sql.functions.col("__bad"))
       .select("value").as[String]
   }
 }

@@ -142,9 +142,13 @@ class LiveServerSpec extends SparkSpec {
     val p = PgWire.connParams(env("GRAFT_LIVE_PG_SCRAM_URI").get,
       this.decode)
     def exec(sql: String): Unit = {
+      // ONE simple-query message per call: the wrapper sends
+      // multi-statement strings (BEGIN;…;COMMIT publish, DO $$…$$
+      // cleanup with ';' inside the dollar-quoted body) that a naive
+      // ';' split would corrupt; the simple protocol runs them all and
+      // simpleCommand drains to ReadyForQuery
       val c = new graft.sinks.PgWireConnection(p)
-      try sql.split(";").map(_.trim).filter(_.nonEmpty)
-        .foreach(s => c.simpleCommand(s))
+      try c.simpleCommand(sql)
       finally c.close()
     }
     exec("DROP TABLE IF EXISTS eonce")
@@ -154,9 +158,9 @@ class LiveServerSpec extends SparkSpec {
       .repartition(2)
     val (sent, rejected, _) = graft.sinks.ExactlyOnce.write(
       df, "eonce", exec,
-      endpointFor = (stage, _) => new PgWireCopyEndpoint(
+      endpointFor = (stage, setup, _) => new PgWireCopyEndpoint(
         p, s"COPY ${PgWire.quoteIdent(stage)} FROM STDIN",
-        sessionSetup = Seq(s"TRUNCATE ${PgWire.quoteIdent(stage)}")),
+        sessionSetup = setup),
       quote = PgWire.quoteIdent)
     assert(sent == 100 && rejected == 0)
     val c = new graft.sinks.PgWireConnection(p)

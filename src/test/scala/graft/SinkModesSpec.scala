@@ -10,11 +10,13 @@ object SinkModesSpec {
   import java.util.concurrent.ConcurrentHashMap
   import java.util.concurrent.atomic.AtomicInteger
 
-  /** In-memory "database" for the exactly-once harness: stage tables as
-    * row buffers with TRUNCATE-on-endpoint-open semantics (mirroring
-    * PgWireCopyEndpoint running its sessionSetup once per task attempt),
-    * a target table, and an attempt counter that fails partition 0's
-    * FIRST attempt midway — after it already landed a batch. */
+  /** In-memory "database" for the exactly-once harness: per-ATTEMPT
+    * stage tables as row buffers whose CREATE+TRUNCATE arrives via the
+    * endpoint's session setup (mirroring PgWireCopyEndpoint running it
+    * once per task attempt), a target table, a pattern-drop for the
+    * wrapper's DO-block cleanup, and an attempt counter that fails
+    * partition 0's FIRST attempt midway — after it already landed a
+    * batch. */
   object StageDb {
     val stages = new ConcurrentHashMap[String, java.util.List[String]]
     val target = java.util.Collections.synchronizedList(
@@ -24,25 +26,32 @@ object SinkModesSpec {
 
     def exec(sql: String): Unit = {
       val s = sql.trim
-      if (s.startsWith("CREATE TABLE IF NOT EXISTS ")) {
-        val name = s.stripPrefix("CREATE TABLE IF NOT EXISTS ")
-          .takeWhile(!_.isSpaceChar)
-        stages.putIfAbsent(name, java.util.Collections.synchronizedList(
-          new java.util.ArrayList[String]))
+      if (s.startsWith("DO $$")) {
+        // the wrapper's pattern drop of ALL stage tables for the target
+        val prefix = "LIKE '([^%]+)%'".r.findFirstMatchIn(s)
+          .getOrElse(sys.error(s"bad drop block: $s"))
+          .group(1).replace("\\", "")
+        stages.keySet().removeIf(k => k.startsWith(prefix))
       } else if (s.startsWith("BEGIN;")) {
         // the publish transaction: INSERT INTO target SELECT * FROM stage
         "FROM ([^;]+);".r.findAllMatchIn(s).foreach { m =>
           target.addAll(stages.get(m.group(1).trim))
         }
-      } else if (s.startsWith("DROP TABLE IF EXISTS ")) {
-        stages.remove(s.stripPrefix("DROP TABLE IF EXISTS ")
-          .stripSuffix(";").trim)
       } else sys.error(s"unexpected sql: $s")
     }
 
-    /** One endpoint per task ATTEMPT; opening truncates its stage. */
-    def endpoint(stage: String, pid: Int): CopyEndpoint = {
-      stages.get(stage).clear() // TRUNCATE in session setup
+    /** One endpoint per task ATTEMPT; its session setup CREATEs and
+      * truncates the attempt's OWN stage table. */
+    def endpoint(stage: String, setup: Seq[String],
+                 pid: Int): CopyEndpoint = {
+      setup.map(_.trim.stripSuffix(";")).foreach { st =>
+        if (st.startsWith("CREATE TABLE IF NOT EXISTS "))
+          stages.putIfAbsent(stage,
+            java.util.Collections.synchronizedList(
+              new java.util.ArrayList[String]))
+        else if (st.startsWith("TRUNCATE ")) stages.get(stage).clear()
+        else sys.error(s"unexpected session setup: $st")
+      }
       val attempt = if (pid == 0) p0Attempts.incrementAndGet() else 99
       new CopyEndpoint {
         var batches = 0
@@ -119,9 +128,9 @@ class SinkModesSpec extends SparkSpec {
     // hazard the default at-least-once sink would re-commit
     assert(StageDb.stages.values().stream()
       .mapToInt(_.size).sum() > 0)
-    // retry (same semantics as a task retry: the endpoint factory runs
-    // again for the partition, TRUNCATE erases the failed attempt's
-    // rows before any resend)
+    // retry: each attempt stages into its OWN per-attemptId table, and
+    // the rerun's pre-clean drops the failed attempt's leftovers — only
+    // winning attempts publish
     val (sent, rejected, _) =
       ExactlyOnce.write(df, "t", StageDb.exec, StageDb.endpoint,
         maxRows = 5)
@@ -130,6 +139,28 @@ class SinkModesSpec extends SparkSpec {
     val landed = StageDb.target.asScala.map(_.toLong).sorted.toSeq
     assert(landed == (1L to 40L), s"each row exactly once, got $landed")
     assert(StageDb.stages.isEmpty, "stages dropped after publish")
+  }
+
+  test("exactly-once: a losing attempt's stage never publishes") {
+    import graft.sinks.ExactlyOnce
+    StageDb.reset()
+    StageDb.p0Attempts.set(10) // no simulated deaths this run
+    // a concurrent/stale attempt left a COMPLETE stage behind (the
+    // speculative-loser shape: same rows, or a crashed prior run's
+    // garbage) — publish must take only the winning attempts' stages
+    StageDb.stages.put(ExactlyOnce.stageName("t", 0, 999L),
+      java.util.Collections.synchronizedList(new java.util.ArrayList(
+        java.util.List.of("31337"))))
+    val df = (1L to 20L).toDF("k").repartition(2)
+    val (sent, _, _) =
+      ExactlyOnce.write(df, "t", StageDb.exec, StageDb.endpoint,
+        maxRows = 5)
+    assert(sent == 20)
+    import scala.jdk.CollectionConverters._
+    val landed = StageDb.target.asScala.map(_.toLong).sorted.toSeq
+    assert(landed == (1L to 20L),
+      s"loser/stale stage rows must not publish, got $landed")
+    assert(StageDb.stages.isEmpty, "all stages (winners AND strays) dropped")
   }
 
   test("clean data passes through untouched in stop mode") {
