@@ -26,10 +26,14 @@ import graft.sinks.{CopyEndpoint, CopySink}
   *   CSV parse rejects are counted into the stats — the parse-reject
   *   pass is a second source scan, so it is opt-in (the sink-side
   *   rejects from the COPY endpoint are always counted)
+  * @param queryTarget read-only SQL against the target, rows as string
+  *   arrays (used by `WITH drop indexes` to list the target table's
+  *   index definitions); null disables the option with a clear error
   */
 final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    endpointFactory: (String, Seq[String]) => Int => CopyEndpoint,
-                   rejectRoot: Option[String] = None) {
+                   rejectRoot: Option[String] = None,
+                   queryTarget: String => Seq[Array[String]] = null) {
 
   /** Full summaries of the DATABASE loads this Runner executed (one per
     * LOAD DATABASE command): the Migrator's pre/data/post phases and
@@ -53,13 +57,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   def runFile(spark: SparkSession, text: String,
               baseDir: String = "."): Seq[TableStats] = {
     // baseDir also resolves EXECUTE 'file.sql' references at parse time
-    val (first, inline) = Parser.parseWithInline(text, baseDir)
+    val (first, trailing) = Parser.parseWithInline(text, baseDir)
+    // the trailing text after the first command is an inline DATA
+    // payload only for `FROM inline` (test/reformat.load pattern);
+    // otherwise it is MORE COMMANDS (a multi-command file, e.g. a
+    // multi-table CSV load) and must parse, not feed the first load
+    val inline =
+      if (first.source.contains(Ast.InlineData)) trailing else None
     // archives expand to ordered sub-commands; other types run directly
     val cmds =
       if (first.loadType == "archive") Seq(first)
       else Parser.parseAll(
         text.substring(0, findInlineCut(text, inline)), baseDir)
-    cmds.flatMap(cmd => runCommand(spark, cmd, baseDir, inline))
+    try cmds.flatMap(cmd => runCommand(spark, cmd, baseDir, inline))
+    finally drainIndexRebuilds() // surface async rebuild failures here
   }
 
   private def findInlineCut(text: String, inline: Option[String]): Int =
@@ -80,19 +91,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         (if (cmd.boolOption("disable triggers"))
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    cmd.beforeLoad.foreach(executeDdl(_, gucSql))
+    cmd.beforeLoad.foreach(ddl(_, gucSql))
     // file loads have no schema-creation phase of their own, so AFTER
     // CREATE SCHEMA DO runs at the same seam, after BEFORE LOAD DO and
     // before any data (the reference fires it once the target table
     // exists, migrate-database.lisp:459-465). Database loads DO have a
     // schema phase — the Migrator places the hook after its DDL.
     if (cmd.loadType != "database")
-      cmd.afterSchema.foreach(executeDdl(_, gucSql))
+      cmd.afterSchema.foreach(ddl(_, gucSql))
     val results = cmd.loadType match {
       case "archive" =>
         PlanBuilder.buildArchive(spark, cmd, baseDir).map {
           case (table, df) => load(table.getOrElse("data"), df,
-            copySessionSql, nameColumns = cmd.fields.nonEmpty)
+            copySessionSql, nameColumns = cmd.fields.nonEmpty,
+            exactlyOnce = cmd.boolOption("exactly once"))
         }
       case "database" => runDatabase(spark, cmd)
       case _ =>
@@ -111,8 +123,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           fileSchemaDdl(spark, cmd, baseDir).foreach { cols =>
             val qt = graft.sinks.PgWire.quoteQualified(table)
             if (cmd.boolOption("include drop"))
-              executeDdl(s"DROP TABLE IF EXISTS $qt;", gucSql)
-            executeDdl(
+              ddl(s"DROP TABLE IF EXISTS $qt;", gucSql)
+            ddl(
               s"CREATE TABLE IF NOT EXISTS $qt (${cols.mkString(", ")});",
               gucSql)
           }
@@ -120,7 +132,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // reference truncates in its before-copy hook) — without it a
         // re-run silently doubles the table (live golden dbf-31)
         if (cmd.boolOption("truncate"))
-          executeDdl("TRUNCATE " +
+          ddl("TRUNCATE " +
             s"${graft.sinks.PgWire.quoteQualified(table)};", gucSql)
         // parse rejects: written to the table's reject dir and counted
         // (the reference's cl-csv error path); runs BEFORE the load so
@@ -132,13 +144,130 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             spark.read.textFile(dir).count()
           }
         }.getOrElse(0L)
-        Seq(load(table, df, copySessionSql, parseRejects,
+        // `WITH drop indexes` (csv.lisp option; copy-format drops the
+        // target's indexes before COPY and recreates them after — index
+        // maintenance during bulk load costs more than one rebuild):
+        // constraint-backed indexes drop via their constraint, plain
+        // ones via DROP INDEX; the rebuild is submitted ASYNC so it
+        // overlaps the NEXT command's data load (the reference's
+        // create-indexes-again runs in its parallel index pool), and
+        // drains before any later DDL or at end of run
+        val droppedIdx =
+          if (cmd.boolOption("drop indexes"))
+            dropTargetIndexes(table, gucSql)
+          else Nil
+        val stats = Seq(load(table, df, copySessionSql, parseRejects,
           nameColumns = cmd.fields.nonEmpty ||
-            cmd.targetColumns.nonEmpty))
+            cmd.targetColumns.nonEmpty,
+          exactlyOnce = cmd.boolOption("exactly once")))
+        rebuildIndexesAsync(table, droppedIdx, gucSql)
+        stats
     }
-    cmd.afterLoad.foreach(executeDdl(_, gucSql))
-    cmd.finallyDo.foreach(executeDdl(_, gucSql))
+    cmd.afterLoad.foreach(ddl(_, gucSql))
+    cmd.finallyDo.foreach(ddl(_, gucSql))
     results
+  }
+
+  // ---- `WITH drop indexes`: drop before COPY, rebuild in parallel ----
+
+  /** Daemon pool for async index rebuilds — sized like the reference's
+    * default index pool (max-parallel-create-index defaults to the CPU
+    * count; a handful is plenty since each build is server-side). */
+  private lazy val indexPool = java.util.concurrent.Executors
+    .newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-index-rebuild"); t.setDaemon(true); t
+      })
+  private val pendingRebuilds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.util.concurrent.Future[_]]
+
+  /** Wait for every submitted rebuild; rethrows the first failure. */
+  private def drainIndexRebuilds(): Unit = {
+    var f = pendingRebuilds.poll()
+    while (f != null) {
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+      f = pendingRebuilds.poll()
+    }
+  }
+
+  /** DDL with a rebuild barrier: user DDL (and any later command's
+    * schema work) must observe completed indexes/constraints, so every
+    * runner-issued statement drains the async pool first. The rebuild
+    * tasks themselves call `executeDdl` directly. */
+  private def ddl(sql: String, gucSql: Seq[String]): Unit = {
+    drainIndexRebuilds()
+    executeDdl(sql, gucSql)
+  }
+
+  /** (indexName, indexDef, constraint (name, contype)) for every index
+    * on `table`, dropping each as it is listed — constraint-backed
+    * indexes (PK/unique) via DROP CONSTRAINT, plain ones via DROP
+    * INDEX. Mirrors the reference's drop-indexes path
+    * (pgsql/pgsql-index.lisp drop-indexes + list-indexes). */
+  private def dropTargetIndexes(table: String, gucSql: Seq[String])
+      : Seq[(String, String, Option[(String, String)])] = {
+    require(queryTarget != null,
+      "WITH drop indexes needs the Runner's queryTarget channel")
+    val (schema, rel) = table.split("\\.") match {
+      case Array(s, t) => (s, t)
+      case _ => ("public", table)
+    }
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val qt = graft.sinks.PgWire.quoteQualified(table)
+    val rows = queryTarget(
+      "SELECT i.relname, pg_get_indexdef(ix.indexrelid), " +
+        "con.conname, con.contype::text " +
+        "FROM pg_index ix " +
+        "JOIN pg_class i ON i.oid = ix.indexrelid " +
+        "JOIN pg_class t ON t.oid = ix.indrelid " +
+        "JOIN pg_namespace n ON n.oid = t.relnamespace " +
+        "LEFT JOIN pg_constraint con ON con.conindid = ix.indexrelid " +
+        s"WHERE t.relname = ${lit(rel)} AND n.nspname = ${lit(schema)}")
+    rows.map { r =>
+      val con = Option(r(2)).map(c => (c, r(3)))
+      con match {
+        case Some((cname, _)) =>
+          executeDdl(s"ALTER TABLE $qt DROP CONSTRAINT " +
+            s"${graft.sinks.PgWire.quoteIdent(cname)};", gucSql)
+        case None =>
+          // an index lives in its table's schema; unqualified DROP
+          // would resolve against search_path (csv.partial golden)
+          executeDdl(
+            s"DROP INDEX ${graft.sinks.PgWire.quoteIdent(schema)}." +
+              s"${graft.sinks.PgWire.quoteIdent(r(0))};", gucSql)
+      }
+      (r(0), r(1), con)
+    }
+  }
+
+  /** Recreate dropped indexes in the shared pool: each task runs the
+    * saved CREATE INDEX definition, then re-attaches the constraint
+    * (`ADD CONSTRAINT … PRIMARY KEY/UNIQUE USING INDEX`) when the index
+    * backed one — the reference's create-indexes-again semantics. */
+  private def rebuildIndexesAsync(
+      table: String,
+      dropped: Seq[(String, String, Option[(String, String)])],
+      gucSql: Seq[String]): Unit = {
+    val qt = graft.sinks.PgWire.quoteQualified(table)
+    dropped.foreach { case (iname, idef, con) =>
+      pendingRebuilds.add(indexPool.submit(new Runnable {
+        def run(): Unit = {
+          executeDdl(s"$idef;", gucSql)
+          con.foreach { case (cname, ctype) =>
+            val kind = if (ctype == "p") "PRIMARY KEY" else "UNIQUE"
+            executeDdl(s"ALTER TABLE $qt ADD CONSTRAINT " +
+              s"${graft.sinks.PgWire.quoteIdent(cname)} $kind USING INDEX " +
+              s"${graft.sinks.PgWire.quoteIdent(iname)};", gucSql)
+          }
+        }
+      }))
+    }
   }
 
   /** Column DDL (name + PG type) from a self-describing file source's
@@ -507,7 +636,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {
-          val sink = new CopySink(
+          lazy val sink = new CopySink(
             endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
             rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
           val df = backfill.get(t.sourceName.toLowerCase) match {
@@ -522,7 +651,32 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               graft.operators.Citus.backfillJoin(sourceCat, rule, frames)
             case None => readTable(t, viewKeys((t.schema, t.sourceName)))
           }
-          sink.write(df)
+          if (cmd.boolOption("exactly once")) {
+            // staged publish per table — same wrapper as file loads;
+            // the migrated table is positional (created in frame
+            // order). Locals only in endpointFor (see load()).
+            val ef = endpointFactory
+            graft.sinks.ExactlyOnce.write(df, s"${t.schema}.${t.name}",
+              exec = sql => executeDdl(sql, setup),
+              endpointFor = (stage, stageSetup, pid) => ef(
+                graft.sinks.PgWire.quoteQualified(stage),
+                setup ++ stageSetup)(pid),
+              quote = graft.sinks.PgWire.quoteQualified,
+              dropStagesSql = { tq =>
+                val Array(schema, rel) = tq.split("\\.", 2)
+                def lit(x: String) =
+                  x.replace("'", "''").replace("_", "\\_")
+                "DO $$ DECLARE r record; BEGIN " +
+                  "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
+                  s"WHERE schemaname = '${schema.replace("'", "''")}' " +
+                  "AND tablename LIKE " +
+                  s"'${lit(graft.sinks.ExactlyOnce.stagePrefix(rel))}%' " +
+                  "ESCAPE '\\' LOOP " +
+                  "EXECUTE 'DROP TABLE ' || quote_ident(r.schemaname) || " +
+                  "'.' || quote_ident(r.tablename); " +
+                  "END LOOP; END $$;"
+              })
+          } else sink.write(df)
         },
         workers = cmd.intOption("workers")
           .orElse(cmd.intOption("concurrency")).getOrElse(4),
@@ -554,7 +708,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   private def load(table: String, df: org.apache.spark.sql.DataFrame,
                    sessionSql: Seq[String],
                    parseRejects: Long = 0L,
-                   nameColumns: Boolean = false): TableStats = {
+                   nameColumns: Boolean = false,
+                   exactlyOnce: Boolean = false): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -575,10 +730,55 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         graft.sinks.PgWire.copyTarget(table, df.columns.toSeq,
           preserveCase = nameColumns)
       else graft.sinks.PgWire.quoteQualified(table)
-    val sink = new CopySink(
-      endpointFactory = endpointFactory(target, sessionSql),
-      rejectDir = rejectRoot.map(r => s"$r/$table.dat"))
-    val (sent, rejected, bytes) = sink.write(df)
+    val (sent, rejected, bytes) =
+      if (exactlyOnce) {
+        // `WITH exactly once`: route through the staged-publish wrapper
+        // (per-attempt stage tables + one atomic publish). The stage
+        // clones the target's layout, so a named-column load COPYies
+        // into the stage with the SAME column list; rejects are counted
+        // but not written to reject files on this path (a rejected row
+        // never reaches the stage, so nothing can double-publish).
+        // the endpointFor closure ships to executors inside the
+        // sink's endpoint factory: capture LOCALS only (field access
+        // would drag the non-serializable Runner; df.columns would
+        // drag the DataFrame)
+        val ef = endpointFactory
+        val ss = sessionSql
+        val cols = df.columns.toSeq
+        val nc = nameColumns
+        val synth = synthetic
+        val stageTargetFor = (stage: String) =>
+          if (nc || !synth)
+            graft.sinks.PgWire.copyTarget(stage, cols,
+              preserveCase = nc)
+          else graft.sinks.PgWire.quoteQualified(stage)
+        // schema-qualified targets need a schema-aware stage drop: the
+        // default DO block matches pg_tables.tablename, which is the
+        // BARE relname
+        val dropSql: String => String =
+          if (!table.contains('.')) null
+          else { t =>
+            val Array(schema, rel) = t.split("\\.", 2)
+            def lit(x: String) = x.replace("'", "''").replace("_", "\\_")
+            "DO $$ DECLARE r record; BEGIN " +
+              "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
+              s"WHERE schemaname = '${schema.replace("'", "''")}' " +
+              "AND tablename LIKE " +
+              s"'${lit(graft.sinks.ExactlyOnce.stagePrefix(rel))}%' " +
+              "ESCAPE '\\' LOOP " +
+              "EXECUTE 'DROP TABLE ' || quote_ident(r.schemaname) || " +
+              "'.' || quote_ident(r.tablename); " +
+              "END LOOP; END $$;"
+          }
+        graft.sinks.ExactlyOnce.write(df, table,
+          exec = sql => executeDdl(sql, sessionSql),
+          endpointFor = (stage, setup, pid) =>
+            ef(stageTargetFor(stage), ss ++ setup)(pid),
+          quote = graft.sinks.PgWire.quoteQualified,
+          dropStagesSql = dropSql)
+      } else new CopySink(
+        endpointFactory = endpointFactory(target, sessionSql),
+        rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
     TableStats("public", table, sent, rejected + parseRejects,
       (System.nanoTime() - t0) / 1000000, bytes = bytes)
   }
@@ -670,6 +870,10 @@ object Runner {
       .appName("graft-load")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // a loader CLI has no use for the web UI; skipping it shaves
+      // ~0.5 s off every invocation (the reference's CLI starts no
+      // server either)
+      .config("spark.ui.enabled", "false")
       // pin UTC like every other graft session: timestamp RENDERING
       // (from_unixtime, timestamptz literals) follows the session zone,
       // and the reference renders timestamptz in UTC — an unpinned
@@ -692,7 +896,11 @@ object Runner {
           s"COPY ${graft.sinks.PgWire.quoteQualified(table)} FROM STDIN",
           sessionSql),
       // reference root-dir semantics (rejected rows → <root>/<table>.dat)
-      rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"))
+      rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(wire)
+        try c.query(sql)._2 finally c.close()
+      })
     val stats =
       try runner.runFile(spark, text, baseDir)
       finally spark.stop()

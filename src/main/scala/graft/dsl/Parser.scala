@@ -416,6 +416,10 @@ private final class Parser(in: String, baseDir: String = ".") {
     Seq("max", "parallel", "create", "index") -> "int",
     Seq("on", "error", "stop") -> "flag",
     Seq("on", "error", "resume", "next") -> "flag",
+    // extension beyond the reference's grammar (grammar.clj:239-248
+    // slot): opt-in exactly-once delivery via per-attempt stage tables
+    // + one atomic publish ([[graft.sinks.ExactlyOnce]])
+    Seq("exactly", "once") -> "flag",
     Seq("multiple", "readers", "per", "thread") -> "flag",
     Seq("single", "reader") -> "flag",
     Seq("quote", "identifiers") -> "flag",

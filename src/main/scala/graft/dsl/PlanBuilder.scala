@@ -231,7 +231,12 @@ object PlanBuilder {
         // trimming unquoted blanks IS the reference default; `keep
         // unquoted blanks` opts out ("trim unquoted blanks" merely
         // restates the default) — pgloader.1.md, csv-parser.lisp
-        !cmd.boolOption("keep unquoted blanks"))
+        !cmd.boolOption("keep unquoted blanks"),
+      // `workers` — the reference's concurrent COPY writers (default 4,
+      // params.lisp *workers*) — maps to input splits here: each split
+      // is one COPY connection. SkipLines only honors it on inputs big
+      // enough for ≥4 MB per split, so fixtures stay single-task.
+      splitHint = cmd.intOption("workers").getOrElse(4))
 
   private def readCsv(spark: SparkSession, cmd: LoadCommand,
                       path: String): DataFrame = {

@@ -28,7 +28,12 @@ final case class CsvDialect(
       * trimmed (then empty → NULL); quoted blanks survive — the
       * reference's unquoted-empty-string-is-nil semantics
       * (csv.lisp:77-78). */
-    trimUnquoted: Boolean = false)
+    trimUnquoted: Boolean = false,
+    /** Desired read/write parallelism — the DSL `workers` option (the
+      * reference's concurrent COPY writers, params.lisp *workers*).
+      * [[SkipLines]] honors it only when the input is big enough
+      * (≥4 MB per split), so small fixtures keep one in-order task. */
+    splitHint: Int = 1)
 
 object CsvSource {
 
@@ -64,7 +69,7 @@ object CsvSource {
     // come from the declared list, matching the reference's HAVING FIELDS
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
-      canonicalEncoding(dialect.encoding))
+      canonicalEncoding(dialect.encoding), dialect.splitHint)
     // one native-expression parse per line ([[parseFields]] is the
     // scalar spec), then positional field extraction; `get` is
     // out-of-bounds-NULL, so ragged short lines pad with NULLs and
@@ -105,7 +110,7 @@ object CsvSource {
     import org.apache.spark.sql.functions._
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
-      canonicalEncoding(dialect.encoding))
+      canonicalEncoding(dialect.encoding), dialect.splitHint)
     lines
       .filter(length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions

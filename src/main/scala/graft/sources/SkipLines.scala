@@ -21,9 +21,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object SkipLines {
 
-  /** Byte offset of the first line *after* the `n`-th newline, per file. */
-  private def cutOffsets(spark: SparkSession, path: String,
-                         n: Int): Map[String, Long] = {
+  /** The FileStatus of every input file a (possibly comma-joined,
+    * possibly glob) path resolves to. */
+  private def fileStatuses(spark: SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     // comma-separated multi-path input, as Hadoop's FileInputFormat takes
     val matched = path.split(",").toSeq.flatMap { one =>
@@ -31,14 +32,20 @@ object SkipLines {
       val fs = p.getFileSystem(hconf)
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     }
-    val files = matched.flatMap { st =>
+    matched.flatMap { st =>
       val fs = st.getPath.getFileSystem(hconf)
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
       else Seq(st)
     }
-    files.map { st =>
+  }
+
+  /** Byte offset of the first line *after* the `n`-th newline, per file. */
+  private def cutOffsets(spark: SparkSession, path: String,
+                         n: Int): Map[String, Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    fileStatuses(spark, path).map { st =>
       val fs = st.getPath.getFileSystem(hconf)
       val in = fs.open(st.getPath)
       var off = 0L
@@ -84,24 +91,41 @@ object SkipLines {
     * load order the reference gets implicitly from sequential reads,
     * and the basis for serial-column assignment. Costs nothing extra:
     * the offsets are the TextInputFormat record keys either way. */
+  /** Floor on bytes-per-split when `splitHint` asks for parallelism:
+    * a task under ~4 MB of COPY payload finishes before its scheduling
+    * cost amortizes, and splitting tiny files breaks the file-order
+    * serial-id contract the regress goldens check. */
+  private val MinSplitBytes = 4L << 20
+
   def linesWithPosition(spark: SparkSession, path: String, skip: Int,
-                        charset: String = "UTF-8")
+                        charset: String = "UTF-8", splitHint: Int = 1)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val cuts = if (skip <= 0) Map.empty[String, Long]
       else cutOffsets(spark, path, skip)
     val bc = spark.sparkContext.broadcast(cuts)
     val cs = charset
-    // minPartitions=1, NOT the hadoopFile default of 2: the default
-    // derives goalSize = totalSize/2, so even a 300-byte inline file
-    // splits into two concurrent tasks — and two COPY tasks interleave
-    // PG serial-default assignment, breaking the reference's file-order
-    // ids (csv-trim-extra-blanks golden). Large files still split at
-    // the block size (32 MB local), so scan parallelism at scale is
-    // unchanged; only sub-block files collapse to one in-order task.
+    // minPartitions governs FileInputFormat's goalSize (= total/min):
+    // the hadoopFile DEFAULT of 2 splits even a 300-byte inline file
+    // into two concurrent tasks — and two COPY tasks interleave PG
+    // serial-default assignment, breaking the reference's file-order
+    // ids (csv-trim-extra-blanks golden). So: 1 unless the caller asks
+    // for write parallelism (the DSL `workers` option — the
+    // reference's concurrent COPY writers), and even then never below
+    // [[MinSplitBytes]] per split, so sub-4MB fixtures stay one
+    // in-order task. Files beyond the 32 MB block size still split at
+    // block boundaries regardless; scan parallelism at scale is
+    // unchanged.
+    val minParts =
+      if (splitHint <= 1) 1
+      else {
+        val total = fileStatuses(spark, path).map(_.getLen).sum
+        math.min(splitHint.toLong,
+          math.max(1L, total / MinSplitBytes)).toInt
+      }
     val rdd = spark.sparkContext
       .hadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], 1)
+        classOf[LongWritable], classOf[Text], minParts)
       .asInstanceOf[HadoopRDD[LongWritable, Text]]
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
@@ -145,8 +169,9 @@ object SkipLines {
     * included (a spark.read.textFile fast path would decode leniently
     * and silently load U+FFFD mojibake). */
   def linesDF(spark: SparkSession, path: String, skip: Int,
-              charset: String = "UTF-8"): org.apache.spark.sql.DataFrame =
-    linesWithPosition(spark, path, skip, charset)
+              charset: String = "UTF-8", splitHint: Int = 1)
+      : org.apache.spark.sql.DataFrame =
+    linesWithPosition(spark, path, skip, charset, splitHint)
       .select("value", "__bad")
 
   /** The DECODABLE lines of `path` with the first `skip` lines of EACH

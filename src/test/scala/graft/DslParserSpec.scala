@@ -34,6 +34,19 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.option("encoding").contains("utf-8"))
   }
 
+  test("WITH exactly once parses beside the error-mode flags") {
+    val cmd = Parser.parse(
+      """LOAD CSV FROM '/data/sample.csv'
+           INTO postgresql://user@localhost/db
+           WITH fields terminated by ',',
+                on error stop,
+                exactly once,
+                workers = 8;""")
+    assert(cmd.boolOption("exactly once"))
+    assert(cmd.boolOption("on error stop"))
+    assert(cmd.intOption("workers").contains(8))
+  }
+
   test("csv into table with column list") {
     val cmd = Parser.parse(
       """LOAD CSV FROM '/data/users.csv'

@@ -35,7 +35,11 @@ class LiveGoldenSpec extends SparkSpec {
         } finally c.close()
       },
       endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
-        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup))
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      })
   }
 
   /** Fixtures with an expected/<name>.out and only local/inline inputs

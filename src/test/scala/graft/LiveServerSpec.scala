@@ -45,7 +45,11 @@ class LiveServerSpec extends SparkSpec {
         } finally c.close()
       },
       endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
-        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup))
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      })
   }
 
   test("live PG: introspect the catalog and ctid-read a table " +
@@ -192,6 +196,118 @@ class LiveServerSpec extends SparkSpec {
       s"${stats.size} tables")
   }
 
+  test("live PG: `WITH exactly once` in a .load file stages, survives " +
+    "a failed run, and lands rows exactly once (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q1(sql: String): String = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2.head(0) finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS eonce_dsl")
+    val csv = java.nio.file.Files.createTempFile("eonce", ".csv")
+    java.nio.file.Files.writeString(csv,
+      (1 to 100).map(i => s"$i,row$i").mkString("\n"))
+    val text =
+      s"""LOAD CSV FROM '$csv' HAVING FIELDS (id, v)
+            INTO $uri TARGET TABLE eonce_dsl
+            WITH fields terminated by ',', exactly once,
+                 batch rows = 10
+          BEFORE LOAD DO
+            $$$$ create table if not exists eonce_dsl
+                 (id int, v text); $$$$;"""
+    // a Runner whose endpoints die on partition 0's FIRST attempt after
+    // one committed batch — the run-retry shape: run 1 fails after rows
+    // already landed in a stage; nothing may publish. Run 2 pre-cleans
+    // the orphan stage and lands everything exactly once.
+    LiveServerSpec.eonceFailures.set(1)
+    def failingRunner(): Runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => pid =>
+        new LiveServerSpec.FirstAttemptFailingEndpoint(
+          new PgWireCopyEndpoint(dp, s"COPY $table FROM STDIN", setup),
+          pid),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      })
+    val e = intercept[Exception](failingRunner().runFile(spark, text))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("injected") ||
+        Option(e.getCause).exists(_.getMessage.contains("injected"))),
+      s"run must fail on the INJECTED error, got: $e")
+    assert(q1("SELECT count(*) FROM eonce_dsl") == "0",
+      "failed run must publish nothing")
+    val orphanStages = q1("SELECT count(*) FROM pg_tables WHERE " +
+      "tablename LIKE 'eonce\\_dsl\\_\\_graft\\_stage\\_p%' ESCAPE '\\'")
+    assert(orphanStages.toInt > 0,
+      "the failed attempt's stage rows must exist (the double-send " +
+        "hazard the rerun must NOT republish)")
+    // rerun: pre-clean drops the orphan, everything lands exactly once
+    val stats = failingRunner().runFile(spark, text)
+    assert(stats.map(_.rows).sum == 100)
+    assert(q1("SELECT count(*) FROM eonce_dsl") == "100")
+    assert(q1("SELECT count(DISTINCT id) FROM eonce_dsl") == "100",
+      "no row may land twice")
+    assert(q1("SELECT count(*) FROM pg_tables WHERE " +
+      "tablename LIKE 'eonce\\_dsl\\_\\_graft\\_stage\\_p%' ESCAPE '\\'")
+      == "0", "stages dropped after publish")
+    exec("DROP TABLE eonce_dsl")
+  }
+
+  test("live PG: WITH drop indexes drops before COPY and rebuilds " +
+    "PK/unique/plain indexes after (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS dropidx")
+    // one PK (constraint), one plain index — both kinds must survive
+    exec("CREATE TABLE dropidx (id int PRIMARY KEY, v text)")
+    exec("CREATE INDEX dropidx_v_idx ON dropidx (v)")
+    val csv = java.nio.file.Files.createTempFile("dropidx", ".csv")
+    java.nio.file.Files.writeString(csv,
+      (1 to 500).map(i => s"$i,val$i").mkString("\n"))
+    val text =
+      s"""LOAD CSV FROM '$csv' HAVING FIELDS (id, v)
+            INTO $uri TARGET TABLE dropidx
+            WITH fields terminated by ',', drop indexes;"""
+    val stats = pgRunner(uri).runFile(spark, text)
+    assert(stats.map(_.rows).sum == 500)
+    val idx = q("SELECT indexname FROM pg_indexes " +
+      "WHERE tablename = 'dropidx' ORDER BY 1").map(_(0))
+    assert(idx == Seq("dropidx_pkey", "dropidx_v_idx"),
+      s"indexes after rebuild: $idx")
+    val con = q("SELECT contype::text FROM pg_constraint " +
+      "WHERE conrelid = 'dropidx'::regclass AND contype = 'p'")
+    assert(con.nonEmpty, "PK constraint must be re-attached")
+    // the PK must actually enforce: a duplicate id insert fails
+    val dup = intercept[Exception](exec("INSERT INTO dropidx VALUES (1, 'x')"))
+    assert(dup.getMessage.toLowerCase.contains("duplicate"),
+      s"expected duplicate-key rejection, got: ${dup.getMessage}")
+    exec("DROP TABLE dropidx")
+  }
+
   test("live mssql→pg: the DSL-text migration the fake-server e2e runs " +
     "(GRAFT_LIVE_MSSQL_URI + GRAFT_LIVE_PG_URI)") {
     assume(env("GRAFT_LIVE_MSSQL_URI").isDefined &&
@@ -207,5 +323,29 @@ class LiveServerSpec extends SparkSpec {
       stats.filter(_.error.nonEmpty).mkString("; "))
     info(s"live mssql→pg: ${stats.map(_.rows).sum} rows across " +
       s"${stats.size} tables")
+  }
+}
+
+object LiveServerSpec {
+  /** Remaining injected endpoint failures for the exactly-once DSL
+    * test (decremented executor-side; local mode shares the JVM). */
+  val eonceFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Dies on partition 0's first attempt after one COMMITTED batch —
+    * the run-retry shape (a static class: an anonymous endpoint inside
+    * the suite would capture the non-serializable test instance). */
+  class FirstAttemptFailingEndpoint(real: graft.sinks.CopyEndpoint,
+                                    pid: Int)
+      extends graft.sinks.CopyEndpoint with Serializable {
+    private var batches = 0
+    def send(rows: Seq[Array[Byte]]): Unit = {
+      real.send(rows); batches += 1
+      if (pid == 0 && batches == 1 &&
+          eonceFailures.getAndDecrement() > 0) {
+        real.close() // commit what landed, like a process crash
+        sys.error("injected failure after one committed batch")
+      }
+    }
+    override def close(): Unit = real.close()
   }
 }
