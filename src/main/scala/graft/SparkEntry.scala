@@ -2024,6 +2024,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // pair-capped MinHash dedup (round 14): LSH candidates routed to
+    // components + survivors WITHOUT materializing intra-group pairs —
+    // O(members) spanning edges per bucket, exact-jaccard verified,
+    // plus the zero-verified-edge escalation pass. The oracle computes
+    // components over the TRUE jaccard>=0.9 pair set (recursive CTE)
+    // and picks survivors, so this row proves the capped mode lands
+    // the all-pairs answer
+    "dedup_minhash_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inflated = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val comp = Dedup.minhashComponents(inflated, "doc_id", "text",
+        numPerms = 64, bands = 16, k = 3, threshold = 0.9)
+      val scores = inflated.select(col("doc_id").cast("long").as("id"),
+        length(col("text")).cast("long").as("score"))
+      val keep = Dedup.survivors(comp, scores)
+      comp.join(keep, "component")
+        .select(col("id"), col("component"), col("keep_id"))
+        .orderBy(col("id"))
+    }),
+
     // cross-document exact-substring dedup (Lee et al. ExactSubstr):
     // every duplicated token span >= 8 tokens keeps its global first
     // occurrence only; k-gram keep-first removal + token reassembly
@@ -3740,6 +3762,45 @@ object SparkEntry {
          SELECT np.doc_id, coalesce(reb.text, '') AS text, np.n_paras,
            coalesce(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept
          FROM np LEFT JOIN reb USING (doc_id) ORDER BY np.doc_id""",
+
+    // components + survivors over the TRUE jaccard>=0.9 pair set —
+    // the all-pairs answer the pair-capped Spark mode must reproduce
+    "dedup_minhash_components" ->
+      """WITH RECURSIVE inflated AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+         tk AS (
+           SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM inflated),
+         sets AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           FROM tk),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (
+           SELECT src AS id, LEAST(src, MIN(dst)) AS component
+           FROM reach GROUP BY src),
+         keep AS (
+           SELECT component, id AS keep_id FROM (
+             SELECT c.component, c.id,
+                    row_number() OVER (PARTITION BY c.component
+                      ORDER BY length(d.text) DESC, c.id) AS rk
+             FROM comp c JOIN inflated d ON d.doc_id = c.id)
+           WHERE rk = 1)
+         SELECT CAST(c.id AS BIGINT) AS id,
+                CAST(c.component AS BIGINT) AS component,
+                CAST(k.keep_id AS BIGINT) AS keep_id
+         FROM comp c JOIN keep k USING (component) ORDER BY id""",
 
     "substr_dedup" ->
       """WITH toks AS (SELECT doc_id,

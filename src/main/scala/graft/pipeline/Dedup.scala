@@ -268,6 +268,97 @@ object Dedup {
     verifyJaccardRows(cand, rows, rows, threshold)
   }
 
+  /** MinHash+LSH dedup WITHOUT materializing the intra-group pair set —
+    * the pair-capped mode for pathological duplication density.
+    *
+    * [[minhashLsh]]'s contract is the full verified pair list, which is
+    * inherently O(g²) per g-sized duplicate group (a 100-copy group
+    * emits 4,950 pairs); when the goal is components + survivors, the
+    * pairs are scaffolding, and this operator never builds them.
+    * Instead each (band, bucket) contributes O(members) SPANNING edges:
+    * a chain between id-ordered neighbors plus a star to the bucket
+    * minimum. Clique connectivity within a bucket is preserved exactly
+    * (the chain alone spans it); every emitted edge is still verified
+    * by exact jaccard before it reaches the component step, so false
+    * bucket collisions cannot merge groups. The only semantic
+    * difference from components-over-[[minhashLsh]]: jaccard is not
+    * transitive, so a group whose members pairwise straddle the
+    * threshold can split differently when a spanning edge fails
+    * verification while some unexplored clique edge would have passed —
+    * with 16-32 independent bands each contributing its own chain,
+    * genuine near-copy groups (pairwise above threshold) are unaffected
+    * ([[ScaleCorpus]] proves survivor-set equality at 100× duplication
+    * on a default-memory driver; the all-pairs mode needs 16 GiB there).
+    *
+    * Scale shape: the bucket exchange is the same (band, bucket) hash
+    * shuffle as the pair mode's self-join; the per-bucket chain is a
+    * window over that exchange (no second shuffle); edges, not pairs,
+    * flow into verification — output is O(docs × bands), never O(g²).
+    *
+    * @return (id, component) for every doc with at least one VERIFIED
+    *         near-dup edge — component is the group's min id; feed to
+    *         [[survivors]] to pick keepers (singletons need no row:
+    *         absent ids are their own survivor)
+    */
+  def minhashComponents(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 128, bands: Int = 32, k: Int = 3,
+                        threshold: Double = 0.5,
+                        seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleHashRows(df, idCol, textCol, k)
+    val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
+      numPerms, bands)
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("id"))
+    // chain edge (prev, id) spans the bucket; the star edge (root, id)
+    // adds a shortcut so one failed chain link cannot cut a genuine
+    // group in half. Both are O(members) per bucket.
+    val spanning = buckets
+      .select(col("id"), lag(col("id"), 1).over(w).as("prev"),
+        first(col("id")).over(w).as("root"))
+    val cand0 = spanning.filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"))
+      .unionAll(spanning
+        .filter(col("root") =!= col("id") && col("prev") =!= col("root"))
+        .select(col("root").as("id_a"), col("id").as("id_b")))
+      .distinct()
+    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    def withSizes(c: DataFrame): DataFrame = c
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+    val pairs = verifyJaccardRows(withSizes(cand0), rows, rows, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ESCALATION: a doc whose every spanning edge failed verification
+    // may still clear the threshold against some unexplored bucket
+    // co-member (jaccard is not transitive — the threshold-straddling
+    // case). Such docs are rare (at 100× duplication: dozens out of
+    // 500k), so exhaustively verifying THEIR bucket pairs costs
+    // O(stragglers × bucket size), not O(g²) — and after it, every doc
+    // either has a verified edge or provably clears the threshold with
+    // none of its candidates, the same guarantee the all-pairs mode
+    // gives. The straggler set is tiny, so the joins below broadcast.
+    val candIds = cand0.select(col("id_a").as("id"))
+      .unionAll(cand0.select(col("id_b").as("id"))).distinct()
+    val pairedIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    val stragglers = candIds.join(pairedIds, Seq("id"), "left_anti")
+    val zb = buckets.join(broadcast(stragglers), "id")
+    val escalated = zb.as("z").join(buckets.as("y"),
+        col("z.band") === col("y.band") &&
+        col("z.bucket") === col("y.bucket") &&
+        col("z.id") =!= col("y.id"))
+      .select(least(col("z.id"), col("y.id")).as("id_a"),
+        greatest(col("z.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val extra = verifyJaccardRows(withSizes(escalated), rows, rows,
+      threshold)
+    val comp = connectedComponents(pairs.unionAll(extra))
+    pairs.unpersist(blocking = false)
+    comp
+  }
+
   /** Bipartite MinHash+LSH: near-duplicate pairs BETWEEN two corpora —
     * the fuzzy-decontamination shape. The exact n-gram semi-join
     * (`Curation.decontaminate`) only catches verbatim benchmark overlap;
@@ -793,26 +884,49 @@ object Dedup {
         min(struct(col("id"), col("pos"))).as("first"))
       .filter(col("c") > 1)
       .select(col("h1"), col("h2"), col("first"))
-    val removedTokens = occ.join(stats, Seq("h1", "h2"))
+    // COVERED-INTERVAL reassembly (round 14; replaces the corpus-wide
+    // token posexplode + anti-join + collect_list rebuild): each
+    // non-first duplicated occurrence covers tokens [pos, pos+k-1] —
+    // ship ONE (id, pos) row per occurrence instead of k exploded
+    // token indexes (at heavy duplication the explode was k× the
+    // corpus: ~1.25B rows at the 100× stress). Per doc, the sorted
+    // position list folds into merged disjoint intervals with LINEAR
+    // zip_with passes (an interval chain starts where the gap from the
+    // previous start exceeds k, ends where the gap to the next does),
+    // and the doc's tokens filter against the few merged intervals in
+    // one codegen'd HOF — no second corpus-wide exchange at all: the
+    // only shuffles are the gram aggregate and one narrow
+    // (id, pos-array) groupBy.
+    val removedPos = occ.join(stats, Seq("h1", "h2"))
       .filter(!(col("first.id") === col("id") &&
         col("first.pos") === col("pos")))
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tokidx"))
-      .distinct()
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("tokidx", "tok")))
-    val kept = toks.join(removedTokens, Seq("id", "tokidx"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("tokidx"),
-            col("tok")))), x => x.getField("tok")), " ").as("text"))
-    df.select(col(idCol).as("id"),
+      .select(col("id"), col("pos"))
+    val farLow = lit(Int.MinValue / 2)
+    val farHigh = lit(Int.MaxValue / 2)
+    val ps = col("ps")
+    val prev = concat(array(farLow),
+      slice(ps, lit(1), greatest(size(ps) - 1, lit(0))))
+    val nxt = concat(slice(ps, lit(2), greatest(size(ps) - 1, lit(0))),
+      array(farHigh))
+    val starts = filter(
+      zip_with(ps, prev, (p, q) => when(p > q + k, p)), _.isNotNull)
+    val ends = filter(
+      zip_with(ps, nxt, (p, q) => when(q > p + k, p)), _.isNotNull)
+    val covered = removedPos.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), zip_with(starts, ends,
+        (s, e) => struct(s.as("s"), (e + (k - 1)).as("e"))).as("ivs"))
+    val toks = split(col("__text"), "\\s+")
+    val keptArr = when(col("ivs").isNull, toks).otherwise(
+      filter(toks, (_, i) => !exists(col("ivs"),
+        iv => i >= iv.getField("s") && i <= iv.getField("e"))))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"),
         size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), keptArr.as("kept"), col("n_tokens"))
+      .select(col("id"), array_join(col("kept"), " ").as("text"),
         col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+        (col("n_tokens") - size(col("kept")).cast("long"))
           .as("n_removed"))
   }
 

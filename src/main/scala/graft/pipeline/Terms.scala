@@ -273,36 +273,49 @@ object Terms {
         xxhash64(col("w")).as("hw"),
         xxhash64(col("v"), col("w")).as("h1"),
         xxhash64(lit("graft-bigram-2"), col("v"), col("w")).as("h2"))
-    // doc-locally compressed gram rows feed BOTH the corpus count table
-    // and the scoring join — `checkpointGrams` materializes the narrow
-    // (id, hashes, occ) frame once instead of re-running the
-    // tokenize+explode lineage per consumer (same opt-in convention as
-    // `checkpointTf` elsewhere in this file)
-    val bgc0 = bg.groupBy(col("id"), col("h1"), col("h2"), col("hv"),
-        col("hw"))
-      .agg(count(lit(1)).as("occ"))
-    val bgc = if (checkpointGrams) bgc0.localCheckpoint() else bgc0
-    val c2 = bgc.groupBy(col("h1"), col("h2"))
-      .agg(sum(col("occ")).as("c2"))
+    // the narrow hashed gram rows feed BOTH the corpus count table and
+    // the scoring join — `checkpointGrams` materializes them once
+    // instead of re-running the tokenize+explode lineage per consumer
+    // (same opt-in convention as `checkpointTf` elsewhere in this
+    // file). Rounds 9-13 first compressed per-doc repeats through a
+    // corpus-sized (id, h1, h2, hv, hw) groupBy; typical documents
+    // rarely repeat a bigram, so that exchange shuffled the whole gram
+    // set for ~no compression — scoring the rows directly removes one
+    // full corpus exchange (the count tables still aggregate map-side;
+    // measured round 14: 2.10 → 1.38 s at sf0.1 in-suite, a wash
+    // within host noise at the 10× corpus, identical oracle hashes).
+    val bgm = if (checkpointGrams) bg.localCheckpoint() else bg
+    val c2 = bgm.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c2"))
     val p = lit(lambda) *
         (col("c2").cast("double") / col("c1v").cast("double")) +
       lit(1.0 - lambda) *
         (col("c1").cast("double") / col("total").cast("double"))
-    // the two UNIGRAM tables are term-vocabulary-sized and broadcast
-    // explicitly; the BIGRAM table c2 is left to AQE — its distinct-pair
-    // vocabulary grows super-linearly (measured in the scale curve) and
-    // at web scale outgrows any broadcast, where the fallback is a
-    // shuffle join on the 16-byte (h1, h2) key, the library's
-    // documented shape
-    bgc.join(c2, Seq("h1", "h2"))
-      .join(broadcast(c1.select(col("hw").as("hv"),
-        col("c1").as("c1v"))), "hv")
-      .join(broadcast(c1), "hw")
+    // HAPAX PRUNING, semantics-EXACT: a count table's rows below 2
+    // are exactly 1, so pruning them and coalescing the left-join miss
+    // to lit(1) reproduces the full join bit-for-bit while shrinking
+    // the join tables to the NON-hapax vocabulary. At web scale the
+    // hapax tail (URLs, typos, ids) dominates distinct tokens — the
+    // measured 10× scale growth was almost entirely singleton tokens —
+    // so this bounds the unigram broadcasts by the repeated vocabulary
+    // and lets AQE broadcast the pruned bigram table instead of
+    // shuffling the corpus-sized gram rows. `total` still sums the
+    // FULL table (computed before the prune).
+    val c1p = c1.filter(col("c1") >= 2)
+    val c2p = c2.filter(col("c2") >= 2)
+    bgm.join(c2p, Seq("h1", "h2"), "left")
+      .join(broadcast(c1p.select(col("hw").as("hv"),
+        col("c1").as("c1v"))), Seq("hv"), "left")
+      .join(broadcast(c1p), Seq("hw"), "left")
       .crossJoin(broadcast(total))
-      .select(col("id"), col("occ"), (col("occ") *
-        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long")).as("nm"))
+      .select(col("id"),
+        coalesce(col("c2"), lit(1L)).as("c2"),
+        coalesce(col("c1v"), lit(1L)).as("c1v"),
+        coalesce(col("c1"), lit(1L)).as("c1"), col("total"))
+      .select(col("id"),
+        floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("nm"))
       .groupBy(col("id"))
-      .agg(sum(col("occ")).as("n_bigrams"),
+      .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nm")).as("sum_nats_micro"))
       .withColumn("mean_nats_micro",
         col("sum_nats_micro").cast("double") /
@@ -417,10 +430,15 @@ object Terms {
       (col("pair_count").cast("double") / col("n_bg").cast("double")) /
         ((col("c1v").cast("double") / col("n_tok").cast("double")) *
           (col("c1").cast("double") / col("n_tok").cast("double"))))
+    // every word in a surviving pair occurs >= pair_count >= minCount
+    // times, so pruning c1 below minCount keeps every matchable row —
+    // the broadcast is bounded by the >=minCount vocabulary with the
+    // output unchanged (hapax-dominated tails never reach the join)
+    val c1p = c1.filter(col("c1") >= minCount)
     val head = c2
-      .join(broadcast(c1.select(col("w").as("v"), col("c1").as("c1v"))),
+      .join(broadcast(c1p.select(col("w").as("v"), col("c1").as("c1v"))),
         "v")
-      .join(broadcast(c1), "w")
+      .join(broadcast(c1p), "w")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
       .select(col("v"), col("w"), col("pair_count"),
         floor(pmi * lit(1e6) + lit(0.5)).cast("long").as("pmi_micro"))

@@ -106,6 +106,48 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
+  test("pair-capped minhashComponents matches components over the " +
+    "full pair set, at a fraction of the edges") {
+    // 3 duplicate groups of different sizes (8, 5, 2 copies with small
+    // perturbations) + singletons: the full pair mode emits O(g²) pairs
+    // per group; the capped mode emits O(g·bands) spanning edges but
+    // must land the IDENTICAL component and survivor structure
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "pack my box with five dozen liquor jugs before the night falls",
+      "how vexingly quick daft zebras jump across the frozen lake today")
+    val rows = base.zipWithIndex.flatMap { case (t, g) =>
+      val copies = Seq(8, 5, 2)(g)
+      (0 until copies).map { c =>
+        val text = if (c == 0) t else t + s" v$c" // near-copies
+        (g * 100L + c, text)
+      }
+    } ++ Seq((900L, "a lonely singleton document with no duplicate"),
+      (901L, "another entirely different text that matches nothing"))
+    val corpus = rows.toDF("id", "text")
+    def compSets(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val scores = corpus.select(col("id"),
+      length(col("text")).cast("long").as("score"))
+    // collect the full-mode results BEFORE running the capped mode:
+    // each connectedComponents call frees the previous call's cached
+    // label RDD (per-session slot), invalidating the earlier frame
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLsh(corpus, "id", "text",
+        numPerms = 64, bands = 16, threshold = 0.5))
+    val fullSets = compSets(full)
+    val sFull = Dedup.survivors(full, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashComponents(corpus, "id", "text",
+      numPerms = 64, bands = 16, threshold = 0.5)
+    assert(compSets(capped) == fullSets)
+    // survivor equality too (score = text length desc, id asc)
+    val sCapped = Dedup.survivors(capped, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sCapped == sFull)
+  }
+
   test("bipartite minhash pairs cross-corpus near-dups only") {
     val bench = Seq(
       // identical to docs 1 and 2
