@@ -56,6 +56,9 @@ JVMFLAGS=(
 # RUNS=3 protocol does, and (b) records an AppCDS class archive so the
 # timed runs skip ~10k class loads/verifications (standard JVM
 # deployment practice — same bytes, same work, faster classloading)
+# a CDS archive recorded against an older jar fails validation and
+# silently disables sharing — rebuild whenever the jar is newer
+if [ /tmp/graft_bench.jsa -ot "$JAR" ] 2>/dev/null; then rm -f /tmp/graft_bench.jsa; fi
 if [ ! -f /tmp/graft_bench.jsa ]; then
   echo "=== warm-up (untimed; records AppCDS archive) ==="
   java "${JVMFLAGS[@]}" -XX:ArchiveClassesAtExit=/tmp/graft_bench.jsa \
