@@ -300,7 +300,8 @@ object PlanBuilder {
           s"fixed field ${f.name} lacks 'for'")))
     }
     FixedWidth.read(spark, path, specs,
-      skipLines = cmd.intOption("skip header").getOrElse(0))
+      skipLines = cmd.intOption("skip header").getOrElse(0),
+      splitHint = cmd.intOption("workers").getOrElse(4))
   }
 
   private def readCopy(spark: SparkSession, cmd: LoadCommand,
@@ -321,7 +322,8 @@ object PlanBuilder {
         (1 to n).map(i => s"c$i")
     }
     CopyText.read(spark, path, names, delimiter = delim,
-      nullAs = cmd.option("null").getOrElse("\\N"))
+      nullAs = cmd.option("null").getOrElse("\\N"),
+      splitHint = cmd.intOption("workers").getOrElse(4))
   }
 
   /** HAVING FIELDS preprocessing + TARGET COLUMNS projection.

@@ -222,9 +222,15 @@ object CopyText {
 
   /** Distributed read of a COPY TEXT file → all-string DataFrame; the
     * split/unescape runs as Column expressions (codegen), and the text
-    * source splits large files by line, so this scales with input size. */
+    * source splits large files by line, so this scales with input size.
+    * Decoding is the STRICT per-line path ([[SkipLines.lines]]) — same
+    * reject contract as the CSV source (a lenient textFile would load
+    * U+FFFD mojibake for bytes UTF-8 cannot decode; PG's own COPY
+    * errors on them). `splitHint` maps the DSL `workers` option to
+    * input splits (>=4 MB each), one COPY connection per split. */
   def read(spark: SparkSession, path: String, fieldNames: Seq[String],
-           delimiter: Char = '\t', nullAs: String = "\\N"): DataFrame = {
+           delimiter: Char = '\t', nullAs: String = "\\N",
+           splitHint: Int = 1): DataFrame = {
     val parts = split(col("value"),
       java.util.regex.Pattern.quote(delimiter.toString), -1)
     val fields = fieldNames.zipWithIndex.map { case (n, i) =>
@@ -232,7 +238,8 @@ object CopyText {
       when(raw.isNull || raw === nullAs, lit(null: String))
         .otherwise(unescapeColumn(raw)).as(n)
     }
-    spark.read.textFile(path.split(","): _*).toDF("value").select(fields: _*)
+    SkipLines.lines(spark, path, 0, "UTF-8", splitHint)
+      .toDF("value").select(fields: _*)
   }
 
   /** Distributed write: one codegen'd projection to the line column, then

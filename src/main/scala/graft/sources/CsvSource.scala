@@ -455,11 +455,13 @@ object FixedWidth {
   final case class FieldPos(name: String, start: Int, length: Int)
 
   def read(spark: SparkSession, path: String, specs: Seq[FieldPos],
-           skipLines: Int = 0): DataFrame = {
-    val text =
-      if (skipLines > 0) SkipLines.lines(spark, path, skipLines)
-        .toDF("__line")
-      else spark.read.textFile(path.split(","): _*).toDF("__line")
+           skipLines: Int = 0, splitHint: Int = 1): DataFrame = {
+    // always the strict decode path — skip<=0 used to take a lenient
+    // textFile shortcut, giving the format a DIFFERENT reject contract
+    // depending on whether `skip header` was configured (the CSV
+    // source's round-13 ADVICE finding, fixed here the same way)
+    val text = SkipLines.lines(spark, path, skipLines, "UTF-8", splitHint)
+      .toDF("__line")
     project(text, "__line", specs).drop("__line")
   }
 

@@ -178,9 +178,10 @@ object SkipLines {
     * file removed, as a Dataset[String]. Undecodable rows are DROPPED \u2014
     * callers with a reject path use [[linesDF]] and route them. */
   def lines(spark: SparkSession, path: String, skip: Int,
-            charset: String = "UTF-8"): Dataset[String] = {
+            charset: String = "UTF-8", splitHint: Int = 1)
+      : Dataset[String] = {
     import spark.implicits._
-    linesWithPosition(spark, path, skip, charset)
+    linesWithPosition(spark, path, skip, charset, splitHint)
       .filter(!org.apache.spark.sql.functions.col("__bad"))
       .select("value").as[String]
   }

@@ -60,6 +60,25 @@ class SkipLinesSpec extends SparkSpec {
     assert(ok == Seq("fine", "hé"))
   }
 
+  test("splitHint splits only inputs big enough for 4 MB per split") {
+    // tiny file: splitHint must NOT shatter it — file-order serial
+    // semantics depend on sub-4MB inputs staying one task
+    val small = tmpDir("s.txt" -> (1 to 100).map(i => s"row$i").mkString("\n"))
+    assert(SkipLines.lines(spark, small, 0, "UTF-8", splitHint = 8)
+      .rdd.getNumPartitions == 1)
+    // ~9 MB file: splitHint=8 is size-capped to 2 splits (9MB/4MB)
+    val line = "x" * 99
+    val big = tmpDir("b.txt" ->
+      Seq.fill(90000)(line).mkString("\n"))
+    val parts = SkipLines.lines(spark, big, 0, "UTF-8", splitHint = 8)
+      .rdd.getNumPartitions
+    assert(parts == 2, s"9 MB at hint 8 must size-cap to 2 splits, got $parts")
+    // no hint: one split regardless (sub-block file)
+    assert(SkipLines.lines(spark, big, 0).rdd.getNumPartitions == 1)
+    // rows identical across split settings
+    assert(SkipLines.lines(spark, big, 0, "UTF-8", 8).count() == 90000L)
+  }
+
   test("CSV read honors skipLines + header per file") {
     val dir = tmpDir(
       "a.csv" -> "junk|junk\nk|v\n1|one\n2|two\n",
