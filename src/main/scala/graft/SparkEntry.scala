@@ -2031,7 +2031,18 @@ object SparkEntry {
     // components over the TRUE jaccard>=0.9 pair set (recursive CTE)
     // and picks survivors, so this row proves the capped mode lands
     // the all-pairs answer
-    "dedup_minhash_components" -> ((s, dir) => {
+    "dedup_minhash_components" -> ((s0, dir) => {
+      // derived-partitions session, same rule as dedup_components: the
+      // verified spanning graph is CHAIN-deep (star edges to the group
+      // min can fail verification near the threshold), so pointer
+      // jumping runs ~log2(chain) rounds — each round's fixed cost
+      // scales with shuffle partitions, and the spanning edge set is
+      // bounded by docs × bands, far below one partition's worth here
+      val s = s0.newSession()
+      val nDocs = t(s0, dir, "documents").count()
+      val edgeEstimate = nDocs * 17L // ≤ bands chain + star per doc
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, edgeEstimate / 1000000L).toString)
       val d = t(s, dir, "documents")
       val inflated = d.select(col("doc_id"), col("text")).unionAll(
         d.filter(col("doc_id") % 10 === 0)

@@ -306,8 +306,14 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = shingleHashRows(df, idCol, textCol, k)
+    // the bucket frame feeds THREE separate plans (the spanning
+    // window, and both sides of the escalation join) — persist the
+    // NARROW (id, band, bucket) rows so the signature aggregate (the
+    // expensive corpus pass) runs once, not three times; ~24 bytes ×
+    // bands per doc, orders of magnitude below corpus bytes
     val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
       numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("id"))
     // chain edge (prev, id) spans the bucket; the star edge (root, id)
@@ -344,6 +350,13 @@ object Dedup {
     val pairedIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     val stragglers = candIds.join(pairedIds, Seq("id"), "left_anti")
+    // the escalation rides in the SAME plan as the component edges —
+    // no stragglers means the joins below are empty and cost nothing,
+    // and keeping everything in one plan means the whole candidate +
+    // verify + escalate pipeline materializes in ONE action (the
+    // component step's edge count) instead of one action per stage
+    // (each of which re-ran the shared lineage; measured at sf0.1 the
+    // single-plan shape cut the query roughly in half)
     val zb = buckets.join(broadcast(stragglers), "id")
     val escalated = zb.as("z").join(buckets.as("y"),
         col("z.band") === col("y.band") &&
@@ -355,6 +368,7 @@ object Dedup {
     val extra = verifyJaccardRows(withSizes(escalated), rows, rows,
       threshold)
     val comp = connectedComponents(pairs.unionAll(extra))
+    buckets.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     comp
   }
@@ -665,6 +679,16 @@ object Dedup {
     * O(log diameter) rounds, not O(diameter) — a 10^6-node chain
     * converges within ~25 rounds instead of 10^6.
     *
+    * Small graphs skip the loop entirely: below `smallGraphEdges`
+    * directed edges (default 4M ≈ 64 MB of longs — ordinary driver
+    * headroom, same budget class as a broadcast side), the edge list
+    * collects once and a union-find with path compression labels it in
+    * O(E·α). The distributed loop pays ~0.5-2 s of planning+scheduling
+    * PER ROUND regardless of data size, so a chain-shaped thousand-edge
+    * graph costs ~15 s iteratively and ~2 ms via union-find; meanwhile
+    * the 21M-edge 100× stress stays on the loop. The fast path requires
+    * long ids (every pipeline caller); other id types keep the loop.
+    *
     * @param pairs (idA, idB) undirected edges
     * @return (id, component) — component = min id reachable; only ids
     *   that appear in some pair are returned (singletons are their own
@@ -672,11 +696,48 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          smallGraphEdges: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= smallGraphEdges) {
+      val es = edges.collect()
+      edges.unpersist(blocking = false)
+      // free the PREVIOUS loop call's cached label state, as the loop
+      // path does — the fast path itself pins nothing
+      releaseComponents(pairs.sparkSession)
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r).longValue != r) r = parent.get(r).longValue
+        var c = x0
+        while (parent.get(c).longValue != c) {
+          val n = parent.get(c).longValue; parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps every root the component's minimum id
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val spark = pairs.sparkSession
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach(v =>
+        out.add(org.apache.spark.sql.Row(v.longValue(), find(v))))
+      return spark.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     // label state is lineage-TRUNCATED each round: the pointer-jumping
     // self-join references the round's frame TWICE, so without
     // truncation the logical plan doubles per round — exponential plan
@@ -929,6 +990,14 @@ object Dedup {
         (col("n_tokens") - size(col("kept")).cast("long"))
           .as("n_removed"))
   }
+
+  // profiling shims (ProfMhc) — same visibility surface as the tests
+  private[graft] def bandBucketsPub(sig: DataFrame, numPerms: Int,
+      bands: Int): DataFrame = bandBuckets(sig, numPerms, bands)
+  private[graft] def signatureColsPub(rows: DataFrame, numPerms: Int,
+      seed: Long): DataFrame = signatureCols(rows, numPerms, seed)
+  private[graft] def verifyJaccardRowsPub(cand: DataFrame, a: DataFrame,
+      b: DataFrame, t: Double): DataFrame = verifyJaccardRows(cand, a, b, t)
 
   /** Pack the sign bits of `planes` random-hyperplane dot products —
     * one fused native expression over a seed-derived plane matrix (the

@@ -237,7 +237,9 @@ class DedupSpec extends SparkSpec {
   private def componentsDropResult(): Unit = {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("id_a", "id_b")
-    Dedup.connectedComponents(edges).collect()
+    // smallGraphEdges = 0 forces the distributed loop (this test is
+    // about the loop's RDD cache; the union-find fast path pins nothing)
+    Dedup.connectedComponents(edges, smallGraphEdges = 0L).collect()
   }
 
   test("component cache holds the label RDD only weakly") {
@@ -312,7 +314,9 @@ class DedupSpec extends SparkSpec {
     // a 64-node chain needs ~log2(64) pointer-jump rounds; 1 is not it
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(edges, maxIter = 1).collect()
+      // force the loop: the union-find fast path has no iteration cap
+      Dedup.connectedComponents(edges, maxIter = 1,
+        smallGraphEdges = 0L).collect()
     }
   }
 

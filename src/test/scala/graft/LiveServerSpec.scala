@@ -138,6 +138,42 @@ class LiveServerSpec extends SparkSpec {
       s"${stats.size} tables, counts verified on the destination")
   }
 
+  test("live pg→pg: whole-database migration WITH exactly once stages " +
+    "and publishes atomically (GRAFT_LIVE_PG_URI + GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val text =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables, exactly once;"""
+    val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text)
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.error.isEmpty),
+      stats.filter(_.error.nonEmpty).mkString("; "))
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    stats.foreach { st =>
+      val c = new graft.sinks.PgWireConnection(dp)
+      try {
+        val got = c.query(
+          s"SELECT count(*) FROM ${PgWire.quoteIdent(st.schema)}." +
+            s"${PgWire.quoteIdent(st.table)}")._2.head(0).toLong
+        assert(got == st.rows,
+          s"${st.table}: migrated ${st.rows}, destination holds $got")
+      } finally c.close()
+    }
+    // every stage table must be gone after its publish
+    val c = new graft.sinks.PgWireConnection(dp)
+    val strays =
+      try c.query("SELECT count(*) FROM pg_tables WHERE tablename " +
+        "LIKE '%\\_\\_graft\\_stage\\_p%' ESCAPE '\\'")._2.head(0)
+      finally c.close()
+    assert(strays == "0", s"$strays stage tables left behind")
+    info(s"live pg→pg exactly-once: ${stats.map(_.rows).sum} rows across " +
+      s"${stats.size} tables, counts verified, zero stage leftovers")
+  }
+
   test("live PG: SCRAM-SHA-256 auth + exactly-once staged publish " +
     "(GRAFT_LIVE_PG_SCRAM_URI)") {
     assume(env("GRAFT_LIVE_PG_SCRAM_URI").isDefined,
