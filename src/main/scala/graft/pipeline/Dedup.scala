@@ -305,6 +305,10 @@ object Dedup {
                         threshold: Double = 0.5,
                         seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the hashed shingle rows are RECOMPUTED per consumer, not
+    // persisted — measured at sf0.1 (round 14): caching the exploded
+    // rows cost ~4 s MORE than recomputing the codegen'd lineage,
+    // the same trade minhashLsh documents
     val rows = shingleHashRows(df, idCol, textCol, k)
     // the bucket frame feeds THREE separate plans (the spanning
     // window, and both sides of the escalation join) — persist the
