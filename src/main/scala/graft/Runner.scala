@@ -328,6 +328,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   private def runDatabase(spark: SparkSession,
                           cmd: Ast.LoadCommand): Seq[TableStats] = {
     import graft.catalog.{Catalog, Schema, Table}
+    // a prior file-load command's async index rebuilds must complete
+    // before the Migrator starts issuing its own DDL (the per-command
+    // ddl() wrapper drains, but the Migrator holds raw executeDdl)
+    drainIndexRebuilds()
     val uri = cmd.source match {
       case Some(Ast.Uri(u)) => u
       case other => throw new IllegalArgumentException(
