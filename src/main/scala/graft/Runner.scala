@@ -160,7 +160,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           nameColumns = cmd.fields.nonEmpty ||
             cmd.targetColumns.nonEmpty,
           exactlyOnce = cmd.boolOption("exactly once")))
-        rebuildIndexesAsync(table, droppedIdx, gucSql)
+        rebuildIndexesAsync(table, droppedIdx, gucSql,
+          cmd.intOption("max parallel create index").getOrElse(0))
         stats
     }
     cmd.afterLoad.foreach(ddl(_, gucSql))
@@ -253,11 +254,21 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   private def rebuildIndexesAsync(
       table: String,
       dropped: Seq[(String, String, Option[(String, String)])],
-      gucSql: Seq[String]): Unit = {
+      gucSql: Seq[String],
+      maxParallel: Int = 0): Unit = {
     val qt = graft.sinks.PgWire.quoteQualified(table)
+    // `WITH max parallel create index = n` (the reference's option,
+    // honored by the Migrator's pool for database loads) bounds THIS
+    // command's concurrent rebuilds without resizing the shared pool
+    val gate = if (maxParallel > 0)
+      Some(new java.util.concurrent.Semaphore(maxParallel)) else None
     dropped.foreach { case (iname, idef, con) =>
       pendingRebuilds.add(indexPool.submit(new Runnable {
         def run(): Unit = {
+          gate.foreach(_.acquire())
+          try rebuild() finally gate.foreach(_.release())
+        }
+        private def rebuild(): Unit = {
           executeDdl(s"$idef;", gucSql)
           con.foreach { case (cname, ctype) =>
             val kind = if (ctype == "p") "PRIMARY KEY" else "UNIQUE"
