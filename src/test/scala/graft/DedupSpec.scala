@@ -68,6 +68,51 @@ class DedupSpec extends SparkSpec {
     assert(r(1).getLong(3) == 7L)
   }
 
+  test("substrDedup matches a brute-force model on randomized corpora") {
+    // adversarial randomized check for the covered-interval reassembly:
+    // small alphabets force heavy gram collisions, overlapping and
+    // adjacent duplicated spans, spans at document edges, whole-doc
+    // duplicates, and docs shorter than k. The model recomputes removal
+    // from first principles: global k-gram occurrence lists, keep the
+    // (id, pos)-minimal occurrence of each duplicated gram, remove the
+    // union of [pos, pos+k-1] over the rest.
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 12) {
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val vocab = ('a' to ('a' + 3 + rnd.nextInt(3)).toChar).map(_.toString)
+      val docs = (0 until (4 + rnd.nextInt(5))).map { id =>
+        val len = rnd.nextInt(14) // 0..13 tokens, some below k
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // model
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.isEmpty) Array("") else t.split("\\s+")) }.toMap
+      val occs = for {
+        (id, ws) <- toks.toSeq; pos <- 0 to ws.length - k
+      } yield (ws.slice(pos, pos + k).toSeq, (id, pos))
+      val removed = occs.groupBy(_._1).values.filter(_.size > 1)
+        .flatMap(os => os.map(_._2).sorted.tail) // all but global first
+        .toSeq
+      val removedIdx = removed.groupBy(_._1).map { case (id, ps) =>
+        id -> ps.flatMap(p => p._2 until p._2 + k).toSet }
+      val expect = docs.map { case (id, _) =>
+        val ws = toks(id)
+        val rm = removedIdx.getOrElse(id, Set.empty)
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !rm(i) => w }
+        (id, kept.mkString(" "), ws.length.toLong,
+          (ws.length - kept.length).toLong)
+      }.sortBy(_._1)
+      val got = Dedup.substrDedup(docs.toDF("id", "text"), "id", "text", k)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == expect,
+        s"trial $trial (k=$k) mismatch:\n got=$got\n exp=$expect\n docs=$docs")
+    }
+  }
+
   test("incremental exact dedup drops corpus-matched and intra-batch dups") {
     val corpus = Seq((10L, "already kept text"), (11L, "another kept one"))
       .toDF("id", "text")
