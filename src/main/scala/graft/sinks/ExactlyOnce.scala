@@ -78,7 +78,8 @@ object ExactlyOnce extends Serializable {
             publishSql: (String, String) => String = null,
             dropStagesSql: String => String = null,
             maxRows: Int = 25000,
-            maxBytes: Long = 20L << 20): (Long, Long, Long) = {
+            maxBytes: Long = 20L << 20,
+            publishExtra: Seq[String] = Nil): (Long, Long, Long) = {
     val mkStage: (String, String) => String =
       if (createStageSql != null) createStageSql
       else (stage, target) =>
@@ -121,10 +122,53 @@ object ExactlyOnce extends Serializable {
     val result = sink.write(df)
     import scala.jdk.CollectionConverters._
     val stages = winners.value.asScala.toSeq.distinct.sorted
-    // atomic publish: all partitions land or none
+    // atomic publish: all partitions land or none; `publishExtra`
+    // statements (e.g. the streaming epoch marker) commit atomically
+    // WITH the data
     exec((Seq("BEGIN;") ++ stages.map(mkPublish(_, table)) ++
-      Seq("COMMIT;")).mkString(" "))
+      publishExtra ++ Seq("COMMIT;")).mkString(" "))
     exec(mkDrop(table))
     result
+  }
+
+  /** Exactly-once STREAMING delivery: the `foreachBatch` body for a
+    * Structured Streaming query writing to PostgreSQL. Spark's
+    * foreachBatch is at-least-once — after a crash between a batch's
+    * side effect and the checkpoint commit, the SAME (queryId, batchId)
+    * replays. This wrapper makes the replay a no-op: each batch stages
+    * per task attempt exactly like [[write]], and the publish
+    * transaction ALSO inserts an epoch marker row into
+    * `<table>__graft_epochs` — data and marker commit atomically, so a
+    * replayed batch sees its marker and skips, and a crash BEFORE the
+    * publish left no marker and no published rows (the rerun's
+    * pre-clean drops its orphan stages). The standard idempotent-sink
+    * pattern, with the dedup ledger server-side in the target database.
+    *
+    * Usage: `ds.writeStream.foreachBatch { (batch, id) =>
+    *   ExactlyOnce.writeStreamBatch(batch, "events", qid, id, …); () }`
+    *
+    * @param query read-only SQL against the target (epoch lookup)
+    * @return (sent, rejected, bytes); (0, 0, 0) for a replayed batch
+    */
+  def writeStreamBatch(df: DataFrame, table: String,
+                       queryId: String, batchId: Long,
+                       exec: String => Unit,
+                       query: String => Seq[Array[String]],
+                       endpointFor: (String, Seq[String], Int) => CopyEndpoint,
+                       quote: String => String = identity,
+                       maxRows: Int = 25000,
+                       maxBytes: Long = 20L << 20): (Long, Long, Long) = {
+    val epochs = s"${table}__graft_epochs"
+    val qlit = "'" + queryId.replace("'", "''") + "'"
+    exec(s"CREATE TABLE IF NOT EXISTS ${quote(epochs)} " +
+      "(query_id text NOT NULL, batch_id bigint NOT NULL, " +
+      "PRIMARY KEY (query_id, batch_id));")
+    val seen = query(s"SELECT 1 FROM ${quote(epochs)} " +
+      s"WHERE query_id = $qlit AND batch_id = $batchId")
+    if (seen.nonEmpty) (0L, 0L, 0L)
+    else write(df, table, exec, endpointFor, quote,
+      maxRows = maxRows, maxBytes = maxBytes,
+      publishExtra = Seq(s"INSERT INTO ${quote(epochs)} " +
+        s"VALUES ($qlit, $batchId);"))
   }
 }

@@ -303,6 +303,45 @@ class LiveServerSpec extends SparkSpec {
     exec("DROP TABLE eonce_dsl")
   }
 
+  test("live PG: exactly-once streaming batches — a replayed batch id " +
+    "is a no-op, data+marker commit atomically (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    import org.apache.spark.sql.functions.col
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS sevents")
+    exec("DROP TABLE IF EXISTS sevents__graft_epochs")
+    exec("CREATE TABLE sevents (k bigint)")
+    def ep(stage: String, setup: Seq[String], pid: Int) =
+      new PgWireCopyEndpoint(dp,
+        s"COPY ${PgWire.quoteQualified(stage)} FROM STDIN", setup)
+    def batch(ids: Range, batchId: Long) =
+      graft.sinks.ExactlyOnce.writeStreamBatch(
+        spark.range(ids.head, ids.last + 1).select(col("id").as("k")),
+        "sevents", "q-live", batchId, exec, q, ep,
+        quote = PgWire.quoteQualified)
+    assert(batch(1 to 50, 0L)._1 == 50)
+    // foreachBatch replay after a checkpoint-loss crash: same batch id
+    // arrives again — the epoch marker (committed WITH the data) makes
+    // it a no-op
+    assert(batch(1 to 50, 0L) == ((0L, 0L, 0L)))
+    assert(batch(51 to 80, 1L)._1 == 30)
+    assert(q("SELECT count(*), count(DISTINCT k) FROM sevents")
+      .head.toSeq == Seq("80", "80"))
+    assert(q("SELECT count(*) FROM sevents__graft_epochs")
+      .head(0) == "2")
+    exec("DROP TABLE sevents")
+    exec("DROP TABLE sevents__graft_epochs")
+  }
+
   test("live PG: WITH drop indexes drops before COPY and rebuilds " +
     "PK/unique/plain indexes after (GRAFT_LIVE_PG_DEST_URI)") {
     assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
