@@ -356,11 +356,18 @@ object PlanBuilder {
           // opening '(' — the same statement string may carry trailing
           // SQL after the CREATE TABLE, or CHECK constraints with
           // nested parens, and a greedy regex capture to the LAST ')'
-          // would swallow it into a garbage column-type map
+          // would swallow it into a garbage column-type map. Parens
+          // inside single-quoted literals (DEFAULT ')', CHECK
+          // expressions) must not count — skip quoted runs, with ''
+          // as the in-literal escape
           val open = m.end - 1
           var depth0 = 0; var i0 = open; var close = -1
+          var inQ0 = false
           while (i0 < sql.length && close < 0) {
-            sql.charAt(i0) match {
+            val ch = sql.charAt(i0)
+            if (inQ0) { if (ch == '\'') inQ0 = false }
+            else ch match {
+              case '\'' => inQ0 = true
               case '(' => depth0 += 1
               case ')' => depth0 -= 1; if (depth0 == 0) close = i0
               case _ =>
@@ -375,10 +382,12 @@ object PlanBuilder {
           val cols = scala.collection.mutable.ArrayBuffer.empty[String]
           val sb = new StringBuilder
           var depth = 0
+          var inQ = false
           body.foreach {
-            case '(' => depth += 1; sb.append('(')
-            case ')' => depth -= 1; sb.append(')')
-            case ',' if depth == 0 => cols += sb.toString; sb.clear()
+            case '\'' => inQ = !inQ; sb.append('\'')
+            case '(' if !inQ => depth += 1; sb.append('(')
+            case ')' if !inQ => depth -= 1; sb.append(')')
+            case ',' if depth == 0 && !inQ => cols += sb.toString; sb.clear()
             case c => sb.append(c)
           }
           if (sb.nonEmpty) cols += sb.toString

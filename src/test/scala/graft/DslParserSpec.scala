@@ -34,6 +34,25 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.option("encoding").contains("utf-8"))
   }
 
+  test("ddlColumnTypes survives quoted parens/commas and trailing SQL") {
+    val cmd = Parser.parse(
+      """LOAD CSV FROM '/data/x.csv'
+           HAVING FIELDS (a, b, c)
+           INTO postgresql:///db TARGET TABLE t
+           WITH fields terminated by ','
+           BEFORE LOAD DO
+           $$ create table t (
+                a text default ')(,''',
+                b numeric(8,2) check (b > (1)),
+                c date
+              ); create index t_c on t (c); $$;""")
+    val types = graft.dsl.PlanBuilder.ddlColumnTypes(cmd)
+    assert(types("a").startsWith("text"))
+    assert(types("b").startsWith("numeric(8,2)"))
+    assert(types("c") == "date")
+    assert(types.size == 3, s"got $types")
+  }
+
   test("WITH exactly once parses beside the error-mode flags") {
     val cmd = Parser.parse(
       """LOAD CSV FROM '/data/sample.csv'
