@@ -676,21 +676,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               endpointFor = (stage, stageSetup, pid) => ef(
                 graft.sinks.PgWire.quoteQualified(stage),
                 setup ++ stageSetup)(pid),
-              quote = graft.sinks.PgWire.quoteQualified,
-              dropStagesSql = { tq =>
-                val Array(schema, rel) = tq.split("\\.", 2)
-                def lit(x: String) =
-                  x.replace("'", "''").replace("_", "\\_")
-                "DO $$ DECLARE r record; BEGIN " +
-                  "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
-                  s"WHERE schemaname = '${schema.replace("'", "''")}' " +
-                  "AND tablename LIKE " +
-                  s"'${lit(graft.sinks.ExactlyOnce.stagePrefix(rel))}%' " +
-                  "ESCAPE '\\' LOOP " +
-                  "EXECUTE 'DROP TABLE ' || quote_ident(r.schemaname) || " +
-                  "'.' || quote_ident(r.tablename); " +
-                  "END LOOP; END $$;"
-              })
+              quote = graft.sinks.PgWire.quoteQualified)
           } else sink.write(df)
         },
         workers = cmd.intOption("workers")
@@ -767,30 +753,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             graft.sinks.PgWire.copyTarget(stage, cols,
               preserveCase = nc)
           else graft.sinks.PgWire.quoteQualified(stage)
-        // schema-qualified targets need a schema-aware stage drop: the
-        // default DO block matches pg_tables.tablename, which is the
-        // BARE relname
-        val dropSql: String => String =
-          if (!table.contains('.')) null
-          else { t =>
-            val Array(schema, rel) = t.split("\\.", 2)
-            def lit(x: String) = x.replace("'", "''").replace("_", "\\_")
-            "DO $$ DECLARE r record; BEGIN " +
-              "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
-              s"WHERE schemaname = '${schema.replace("'", "''")}' " +
-              "AND tablename LIKE " +
-              s"'${lit(graft.sinks.ExactlyOnce.stagePrefix(rel))}%' " +
-              "ESCAPE '\\' LOOP " +
-              "EXECUTE 'DROP TABLE ' || quote_ident(r.schemaname) || " +
-              "'.' || quote_ident(r.tablename); " +
-              "END LOOP; END $$;"
-          }
+        // stage cleanup: ExactlyOnce's default drop is schema-aware
+        // (filters pg_tables.schemaname, matches the BARE relname,
+        // drops schema-qualified) for both bare and qualified targets
         graft.sinks.ExactlyOnce.write(df, table,
           exec = sql => executeDdl(sql, sessionSql),
           endpointFor = (stage, setup, pid) =>
             ef(stageTargetFor(stage), ss ++ setup)(pid),
-          quote = graft.sinks.PgWire.quoteQualified,
-          dropStagesSql = dropSql)
+          quote = graft.sinks.PgWire.quoteQualified)
       } else new CopySink(
         endpointFactory = endpointFactory(target, sessionSql),
         rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)

@@ -65,10 +65,85 @@ import org.apache.spark.sql.DataFrame
   */
 object ExactlyOnce extends Serializable {
 
-  def stagePrefix(table: String): String = s"${table}__graft_stage_p"
+  /** `"schema.rel"` → `(Some(schema), rel)`; bare `"rel"` → `(None, rel)`.
+    * Split on the FIRST dot, matching the Runner's own qualified-name
+    * convention (`t.schema + "." + t.name`).
+    */
+  private[sinks] def splitQualified(t: String): (Option[String], String) =
+    t.split("\\.", 2) match {
+      case Array(s, r) => (Some(s), r)
+      case _           => (None, t)
+    }
 
-  def stageName(table: String, pid: Int, attemptId: Long): String =
-    s"${stagePrefix(table)}${pid}_a$attemptId"
+  /** Bare-relname base bounded so every stage name fits PostgreSQL's
+    * NAMEDATALEN (63 bytes). Worst-case suffix is
+    * `__graft_stage_p<10-digit pid>_a<19-digit attemptId>` = 46 bytes,
+    * leaving 17 for the base. Longer relnames keep an 8-byte name
+    * prefix plus 8 hex chars of the name's SHA-1 — distinct long names
+    * stay distinct AFTER truncation. Without the bound PG silently
+    * truncates identifiers at 63 bytes, so two concurrent attempts
+    * whose stage names differ only past byte 63 would collide on ONE
+    * table and the `CREATE IF NOT EXISTS` + `TRUNCATE` session setup
+    * would erase the winner's rows — exactly the speculation hazard
+    * the per-attempt design exists to prevent.
+    */
+  private def boundBase(rel: String, budget: Int = 63 - 46): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (rel.getBytes(utf8).length <= budget) rel
+    else {
+      val h = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(rel.getBytes(utf8)).take(4).map("%02x".format(_)).mkString
+      val pre = new java.lang.StringBuilder
+      var i = 0; var n = 0
+      while (i < rel.length) {
+        val cp = rel.codePointAt(i)
+        val w = new String(Character.toChars(cp)).getBytes(utf8).length
+        if (n + w > budget - 9) i = rel.length
+        else { pre.appendCodePoint(cp); n += w; i += Character.charCount(cp) }
+      }
+      s"$pre-$h"
+    }
+  }
+
+  /** Stage-table name prefix for `table`'s BARE relname — what stage
+    * relnames start with, and what the drop pattern matches. Any schema
+    * qualifier in `table` is stripped (pg_tables.tablename holds the
+    * bare relname); [[stageName]] re-attaches it.
+    */
+  def stagePrefix(table: String): String =
+    s"${boundBase(splitQualified(table)._2)}__graft_stage_p"
+
+  def stageName(table: String, pid: Int, attemptId: Long): String = {
+    val (schema, _) = splitQualified(table)
+    schema.fold("")(_ + ".") + s"${stagePrefix(table)}${pid}_a$attemptId"
+  }
+
+  /** Default stage cleanup (PostgreSQL): one DO block dropping every
+    * stage of `table`'s relname in `table`'s OWN schema. Qualified
+    * names filter on `pg_tables.schemaname` and match the BARE relname
+    * (pg_tables.tablename is never schema-qualified — a
+    * `'schema.rel…%'` pattern matches nothing, which would leak one
+    * stage table per task attempt forever). Unqualified names filter
+    * on `current_schema()` — that is where the unqualified
+    * `CREATE TABLE` placed the stages — and the drop is always
+    * schema-qualified so `search_path` can never resolve it to a
+    * same-named table in another schema.
+    */
+  def defaultDropStagesSql(table: String): String = {
+    val (schema, rel) = splitQualified(table)
+    def lit(x: String) = x.replace("'", "''")
+    val schemaFilter = schema match {
+      case Some(s) => s"schemaname = '${lit(s)}'"
+      case None    => "schemaname = current_schema()"
+    }
+    val pat = lit(stagePrefix(rel)).replace("_", "\\_")
+    "DO $$ DECLARE r record; BEGIN " +
+      "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
+      s"WHERE $schemaFilter AND tablename LIKE '$pat%' ESCAPE '\\' LOOP " +
+      "EXECUTE 'DROP TABLE ' || quote_ident(r.schemaname) || '.' || " +
+      "quote_ident(r.tablename); " +
+      "END LOOP; END $$;"
+  }
 
   def write(df: DataFrame, table: String,
             exec: String => Unit,
@@ -89,14 +164,7 @@ object ExactlyOnce extends Serializable {
       else (stage, target) =>
         s"INSERT INTO ${quote(target)} SELECT * FROM ${quote(stage)};"
     val mkDrop: String => String =
-      if (dropStagesSql != null) dropStagesSql
-      else t =>
-        "DO $$ DECLARE r record; BEGIN " +
-          "FOR r IN SELECT tablename FROM pg_tables WHERE tablename LIKE " +
-          s"'${stagePrefix(t).replace("'", "''").replace("_", "\\_")}%' " +
-          "ESCAPE '\\' LOOP " +
-          "EXECUTE 'DROP TABLE ' || quote_ident(r.tablename); " +
-          "END LOOP; END $$;"
+      if (dropStagesSql != null) dropStagesSql else defaultDropStagesSql
     // pre-clean: a previously crashed run's stages must not publish
     exec(mkDrop(table))
     val winners = df.sparkSession.sparkContext
@@ -147,7 +215,23 @@ object ExactlyOnce extends Serializable {
     * Usage: `ds.writeStream.foreachBatch { (batch, id) =>
     *   ExactlyOnce.writeStreamBatch(batch, "events", qid, id, …); () }`
     *
+    * '''queryId stability contract''': the guarantee holds only while
+    * `(queryId, batchId)` is stable across restarts of the same query —
+    * pass `query.id` (stable per checkpoint location) or a user-chosen
+    * stream name. NEVER pass `query.runId`: it changes on every
+    * restart, so a post-crash replay arrives under a fresh ledger key
+    * and the batch double-publishes. And if the CHECKPOINT itself is
+    * lost, Spark restarts batch ids at 0 while the ledger still holds
+    * the old run's markers — batches would silently no-op against
+    * stale entries. After checkpoint loss either start a fresh
+    * `queryId` (accepting re-delivery of unacknowledged source data,
+    * the standard foreachBatch-ledger limitation) or dedup on a data
+    * key via a custom publish instead of the epoch ledger.
+    *
     * @param query read-only SQL against the target (epoch lookup)
+    * @param dropStagesSql stage-cleanup override forwarded to [[write]]
+    *                      (e.g. for non-PG targets); default handles
+    *                      bare and schema-qualified `table` names
     * @return (sent, rejected, bytes); (0, 0, 0) for a replayed batch
     */
   def writeStreamBatch(df: DataFrame, table: String,
@@ -157,8 +241,15 @@ object ExactlyOnce extends Serializable {
                        endpointFor: (String, Seq[String], Int) => CopyEndpoint,
                        quote: String => String = identity,
                        maxRows: Int = 25000,
-                       maxBytes: Long = 20L << 20): (Long, Long, Long) = {
-    val epochs = s"${table}__graft_epochs"
+                       maxBytes: Long = 20L << 20,
+                       dropStagesSql: String => String = null): (Long, Long, Long) = {
+    // ledger name bounded the same way as stage names: two long-named
+    // tables whose relnames differ only past NAMEDATALEN must not
+    // truncate onto ONE ledger (same (queryId, batchId) key space —
+    // a collision would silently no-op the other table's batches)
+    val (tschema, trel) = splitQualified(table)
+    val epochs = tschema.fold("")(_ + ".") +
+      s"${boundBase(trel, 63 - "__graft_epochs".length)}__graft_epochs"
     val qlit = "'" + queryId.replace("'", "''") + "'"
     exec(s"CREATE TABLE IF NOT EXISTS ${quote(epochs)} " +
       "(query_id text NOT NULL, batch_id bigint NOT NULL, " +
@@ -167,6 +258,7 @@ object ExactlyOnce extends Serializable {
       s"WHERE query_id = $qlit AND batch_id = $batchId")
     if (seen.nonEmpty) (0L, 0L, 0L)
     else write(df, table, exec, endpointFor, quote,
+      dropStagesSql = dropStagesSql,
       maxRows = maxRows, maxBytes = maxBytes,
       publishExtra = Seq(s"INSERT INTO ${quote(epochs)} " +
         s"VALUES ($qlit, $batchId);"))

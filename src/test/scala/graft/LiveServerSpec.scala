@@ -342,6 +342,49 @@ class LiveServerSpec extends SparkSpec {
     exec("DROP TABLE sevents__graft_epochs")
   }
 
+  test("live PG: streaming exactly-once to a schema-QUALIFIED table " +
+    "drops its stages, and a changed queryId re-delivers " +
+    "(GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    import org.apache.spark.sql.functions.col
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP SCHEMA IF EXISTS graft_sq CASCADE")
+    exec("CREATE SCHEMA graft_sq")
+    exec("CREATE TABLE graft_sq.sev (k bigint)")
+    def ep(stage: String, setup: Seq[String], pid: Int) =
+      new PgWireCopyEndpoint(dp,
+        s"COPY ${PgWire.quoteQualified(stage)} FROM STDIN", setup)
+    def batch(ids: Range, qid: String, batchId: Long) =
+      graft.sinks.ExactlyOnce.writeStreamBatch(
+        spark.range(ids.head, ids.last + 1).select(col("id").as("k")),
+        "graft_sq.sev", qid, batchId, exec, q, ep,
+        quote = PgWire.quoteQualified)
+    assert(batch(1 to 40, "qa", 0L)._1 == 40)
+    // the regression this pins: the default cleanup used to match
+    // pg_tables.tablename against a 'graft_sq.sev…%' pattern (never
+    // matches — tablename is the bare relname), leaking one stage
+    // table per task attempt per batch forever
+    assert(q("SELECT count(*) FROM pg_tables WHERE schemaname = " +
+      "'graft_sq' AND tablename LIKE 'sev\\_\\_graft\\_stage\\_p%' " +
+      "ESCAPE '\\'").head(0) == "0", "qualified-table stages must drop")
+    // same (queryId, batchId) replays as a no-op…
+    assert(batch(1 to 40, "qa", 0L) == ((0L, 0L, 0L)))
+    // …but a CHANGED queryId (the runId-passing mistake the doc warns
+    // about) is a fresh ledger key: the batch re-delivers
+    assert(batch(1 to 40, "qb", 0L)._1 == 40)
+    assert(q("SELECT count(*) FROM graft_sq.sev").head(0) == "80")
+    exec("DROP SCHEMA graft_sq CASCADE")
+  }
+
   test("live PG: WITH drop indexes drops before COPY and rebuilds " +
     "PK/unique/plain indexes after (GRAFT_LIVE_PG_DEST_URI)") {
     assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,

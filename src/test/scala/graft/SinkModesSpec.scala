@@ -163,6 +163,54 @@ class SinkModesSpec extends SparkSpec {
     assert(StageDb.stages.isEmpty, "all stages (winners AND strays) dropped")
   }
 
+  test("stage names fit NAMEDATALEN and stay distinct for long tables") {
+    import graft.sinks.ExactlyOnce
+    // short names keep the historical shape
+    assert(ExactlyOnce.stageName("t", 0, 1L) == "t__graft_stage_p0_a1")
+    assert(ExactlyOnce.stageName("s.t", 3, 7L) == "s.t__graft_stage_p3_a7")
+    // long relnames: bounded so the WORST-case suffix (10-digit pid,
+    // 19-digit attempt) still fits PG's 63-byte NAMEDATALEN — silent
+    // identifier truncation would otherwise collapse two concurrent
+    // attempts' stages onto one table
+    val long1 = "x" * 80
+    val long2 = "x" * 79 + "y" // differs only past any truncation point
+    val n1 = ExactlyOnce.stageName(long1, Int.MaxValue, Long.MaxValue)
+    val n2 = ExactlyOnce.stageName(long2, Int.MaxValue, Long.MaxValue)
+    assert(n1.getBytes("UTF-8").length <= 63, s"${n1.length} bytes: $n1")
+    assert(n1 != n2, "names differing past the bound must stay distinct")
+    // the schema qualifier is NOT part of the 63-byte relname budget
+    val q = ExactlyOnce.stageName("myschema." + long1, 0, 1L)
+    assert(q.startsWith("myschema."))
+    assert(q.drop("myschema.".length).getBytes("UTF-8").length <= 63)
+    // drop pattern and created names agree for long tables
+    assert(n1.startsWith(ExactlyOnce.stagePrefix(long1)))
+    assert(q.drop("myschema.".length)
+      .startsWith(ExactlyOnce.stagePrefix("myschema." + long1)))
+    // multi-byte identifiers are cut on codepoint boundaries
+    val uni = "é" * 50
+    val un = ExactlyOnce.stageName(uni, Int.MaxValue, Long.MaxValue)
+    assert(un.getBytes("UTF-8").length <= 63)
+    assert(un.startsWith(ExactlyOnce.stagePrefix(uni)))
+  }
+
+  test("default stage drop is schema-aware and schema-qualified") {
+    import graft.sinks.ExactlyOnce
+    val q = ExactlyOnce.defaultDropStagesSql("myschema.rel")
+    // filter on the table's OWN schema, pattern on the BARE relname
+    // (pg_tables.tablename is never qualified — a 'schema.rel%' pattern
+    // matches nothing and leaks one stage per attempt forever)
+    assert(q.contains("schemaname = 'myschema'"), q)
+    assert(q.contains("'rel\\_\\_graft\\_stage\\_p%'"), q)
+    assert(!q.contains("myschema.rel__"), q)
+    // the drop itself is schema-qualified — quote_ident(tablename)
+    // alone resolves through search_path and can hit the wrong schema
+    assert(q.contains("quote_ident(r.schemaname) || '.' || " +
+      "quote_ident(r.tablename)"), q)
+    val u = ExactlyOnce.defaultDropStagesSql("rel")
+    assert(u.contains("schemaname = current_schema()"), u)
+    assert(u.contains("'rel\\_\\_graft\\_stage\\_p%'"), u)
+  }
+
   test("clean data passes through untouched in stop mode") {
     val df = (1L to 20L).filter(_ % 10 != 3).toDF("k").repartition(2)
     val sink = new CopySink(endpointFactory = _ => countingEndpoint(),
