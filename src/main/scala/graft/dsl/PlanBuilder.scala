@@ -144,26 +144,39 @@ object PlanBuilder {
     project(raw, cmd)
   }
 
-  /** The parse-reject companion of [[build]] for CSV loads: the raw
-    * malformed lines [[graft.sources.CsvSource.read]] drops (stray
-    * quote, unterminated quote — the reference logs each cl-csv parse
-    * error, counts it in stats and lands the row in the table's .dat
-    * reject file). None for non-CSV load types (fixed-width pads
-    * ragged lines, COPY lines always split), for stdin (not
+  /** The parse-reject companion of [[build]] for line-oriented file
+    * loads: the raw lines the reader drops, so the loader counts them
+    * and lands them in the table's .dat reject file instead of losing
+    * the signal (the reference logs each parse/decode error, counts it
+    * in stats and routes the row to table.dat). For CSV that is parse
+    * errors (stray quote, unterminated quote) plus undecodable-byte
+    * rows; for COPY and fixed-width it is undecodable-byte rows (their
+    * line structure can't otherwise fail: COPY lines always split,
+    * fixed-width pads ragged lines). None for non-line formats
+    * (DBF/IXF decode per-field with charset fallback), for stdin (not
     * re-readable — the rejects pass is a second scan), and for the
-    * rare no-fields guessed-dialect path. */
+    * rare no-fields guessed-dialect CSV path. */
   def buildRejects(spark: SparkSession, cmd: LoadCommand,
                    baseDir: String = ".",
                    inlineData: Option[String] = None): Option[DataFrame] = {
-    def rejectsAt(path: String): Option[DataFrame] = {
-      val names = fieldNames(cmd)
-      if (names.isEmpty) None
-      else Some(encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
-        graft.sources.CsvSource.rejects(spark, ps.mkString(","),
-          csvDialect(cmd, enc), names)
-      }.reduce(_ unionAll _))
+    def rejectsAt(path: String): Option[DataFrame] = cmd.loadType match {
+      case "csv" =>
+        val names = fieldNames(cmd)
+        if (names.isEmpty) None
+        else Some(encodingGroups(cmd, path, "UTF-8").map { case (enc, ps) =>
+          graft.sources.CsvSource.rejects(spark, ps.mkString(","),
+            csvDialect(cmd, enc), names)
+        }.reduce(_ unionAll _))
+      case "copy" =>
+        Some(graft.sources.CopyText.rejects(spark, path,
+          splitHint = cmd.intOption("workers").getOrElse(4)))
+      case "fixed" =>
+        Some(graft.sources.FixedWidth.rejects(spark, path,
+          skipLines = cmd.intOption("skip header").getOrElse(0),
+          splitHint = cmd.intOption("workers").getOrElse(4)))
+      case _ => None
     }
-    if (cmd.loadType != "csv") None
+    if (!Set("csv", "copy", "fixed").contains(cmd.loadType)) None
     else cmd.source.flatMap {
       case Stdin => None
       case InlineData =>

@@ -223,11 +223,14 @@ object CopyText {
   /** Distributed read of a COPY TEXT file → all-string DataFrame; the
     * split/unescape runs as Column expressions (codegen), and the text
     * source splits large files by line, so this scales with input size.
-    * Decoding is the STRICT per-line path ([[SkipLines.lines]]) — same
-    * reject contract as the CSV source (a lenient textFile would load
-    * U+FFFD mojibake for bytes UTF-8 cannot decode; PG's own COPY
-    * errors on them). `splitHint` maps the DSL `workers` option to
-    * input splits (>=4 MB each), one COPY connection per split. */
+    * Decoding is the STRICT per-line path ([[SkipLines.linesDF]]) —
+    * same reject contract as the CSV source (a lenient textFile would
+    * load U+FFFD mojibake for bytes UTF-8 cannot decode; PG's own COPY
+    * errors on them). Undecodable rows are excluded here and surfaced
+    * by [[rejects]], so a loader counts them and lands them in the
+    * table's reject file instead of losing the signal. `splitHint`
+    * maps the DSL `workers` option to input splits (>=4 MB each), one
+    * COPY connection per split. */
   def read(spark: SparkSession, path: String, fieldNames: Seq[String],
            delimiter: Char = '\t', nullAs: String = "\\N",
            splitHint: Int = 1): DataFrame = {
@@ -238,9 +241,20 @@ object CopyText {
       when(raw.isNull || raw === nullAs, lit(null: String))
         .otherwise(unescapeColumn(raw)).as(n)
     }
-    SkipLines.lines(spark, path, 0, "UTF-8", splitHint)
-      .toDF("value").select(fields: _*)
+    SkipLines.linesDF(spark, path, 0, "UTF-8", splitHint)
+      .filter(!col("__bad"))
+      .select(fields: _*)
   }
+
+  /** The rows [[read]] drops: lines whose bytes UTF-8 cannot decode
+    * strictly. Same scan lineage as [[read]]; the reject file carries
+    * the replacement-decoded row text (the same value/`__bad` contract
+    * as [[CsvSource.rejects]]). */
+  def rejects(spark: SparkSession, path: String,
+              splitHint: Int = 1): DataFrame =
+    SkipLines.linesDF(spark, path, 0, "UTF-8", splitHint)
+      .filter(col("__bad"))
+      .select(col("value"))
 
   /** Distributed write: one codegen'd projection to the line column, then
     * the text writer (the reject-file / golden-file format). */

@@ -459,10 +459,26 @@ object FixedWidth {
     // always the strict decode path — skip<=0 used to take a lenient
     // textFile shortcut, giving the format a DIFFERENT reject contract
     // depending on whether `skip header` was configured (the CSV
-    // source's round-13 ADVICE finding, fixed here the same way)
-    val text = SkipLines.lines(spark, path, skipLines, "UTF-8", splitHint)
-      .toDF("__line")
-    project(text, "__line", specs).drop("__line")
+    // source's round-13 ADVICE finding, fixed here the same way).
+    // Undecodable rows are excluded here and surfaced by [[rejects]].
+    import org.apache.spark.sql.functions.col
+    val text = SkipLines.linesDF(spark, path, skipLines, "UTF-8",
+        splitHint)
+      .filter(!col("__bad"))
+      .withColumnRenamed("value", "__line")
+    project(text, "__line", specs).drop("__line", "__bad")
+  }
+
+  /** The rows [[read]] drops: lines whose bytes UTF-8 cannot decode
+    * strictly — the loader counts these and lands them in the reject
+    * file (same contract as [[CsvSource.rejects]]; ragged lines are
+    * NOT rejects, they pad with NULLs). */
+  def rejects(spark: SparkSession, path: String, skipLines: Int = 0,
+              splitHint: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    SkipLines.linesDF(spark, path, skipLines, "UTF-8", splitHint)
+      .filter(col("__bad"))
+      .select(col("value"))
   }
 
   /** Columnize an existing single-string column (used by both the file

@@ -146,6 +146,31 @@ class RunnerSpec extends SparkSpec {
     assert(rejLines == Seq("2|o\"no|x"))
   }
 
+  test("COPY loads count undecodable rows as rejects, not silent drops") {
+    val dir = Files.createTempDirectory("runner-copyrej").toFile
+    val f = new java.io.File(dir, "cp.dat")
+    val out = new java.io.FileOutputStream(f)
+    out.write("1\tone\n".getBytes("UTF-8"))
+    out.write("2\thé\n".getBytes("ISO-8859-1")) // invalid UTF-8 byte
+    out.write("3\tthree\n".getBytes("UTF-8"))
+    out.close()
+    val rejRoot = Files.createTempDirectory("runner-copyrej-root").toFile
+    val text =
+      s"""LOAD COPY FROM '${f.getAbsolutePath}' (k, v)
+          INTO postgresql:///t TARGET TABLE cp;"""
+    RunnerSpec.received.clear()
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint,
+      rejectRoot = Some(rejRoot.getAbsolutePath))
+    val stats = runner.runFile(spark, text)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("cp", 2L, 1L)),
+      s"undecodable row must be COUNTED rejected, got $stats")
+    val rejLines = spark.read.textFile(
+      new java.io.File(rejRoot, "cp.dat").getAbsolutePath).collect().toSeq
+    assert(rejLines.length == 1 && rejLines.head.startsWith("2\t"),
+      s"undecodable row must land in the reject file: $rejLines")
+  }
+
   test("inline load goes through the same path") {
     val text =
       """LOAD CSV FROM inline

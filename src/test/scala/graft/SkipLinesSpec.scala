@@ -60,6 +60,38 @@ class SkipLinesSpec extends SparkSpec {
     assert(ok == Seq("fine", "hé"))
   }
 
+  test("COPY and fixed-width reads surface undecodable rows as rejects") {
+    // invalid UTF-8 (a lone 0xE9 latin1 byte) mid-file: the row must
+    // not silently vanish — it is excluded from data AND surfaced by
+    // the rejects() companion so the loader counts it (the r14 ADVICE
+    // finding: these paths dropped __bad rows with stats unchanged)
+    val dir = Files.createTempDirectory("strictrej").toFile
+    val f = new java.io.File(dir, "x.dat")
+    val out = new java.io.FileOutputStream(f)
+    out.write("ok\t1\n".getBytes("UTF-8"))
+    out.write("hé\t2\n".getBytes("ISO-8859-1")) // bad UTF-8
+    out.write("fine\t3\n".getBytes("UTF-8"))
+    out.close()
+    val copied = graft.sources.CopyText
+      .read(spark, f.getAbsolutePath, Seq("a", "b"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(copied == Seq("fine", "ok"))
+    val copyRej = graft.sources.CopyText.rejects(spark, f.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq
+    assert(copyRej.length == 1 && copyRej.head.endsWith("\t2"),
+      s"undecodable COPY row must surface in rejects: $copyRej")
+    import graft.sources.FixedWidth
+    val specs = Seq(FixedWidth.FieldPos("a", 0, 4),
+      FixedWidth.FieldPos("b", 4, 2))
+    val fixed = FixedWidth.read(spark, f.getAbsolutePath, specs)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(fixed.length == 2, s"bad row excluded from fixed data: $fixed")
+    val fixedRej = FixedWidth.rejects(spark, f.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq
+    assert(fixedRej.length == 1,
+      s"undecodable fixed row must surface in rejects: $fixedRej")
+  }
+
   test("splitHint splits only inputs big enough for 4 MB per split") {
     // tiny file: splitHint must NOT shatter it — file-order serial
     // semantics depend on sub-4MB inputs staying one task
