@@ -206,15 +206,21 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     executeDdl(sql, gucSql)
   }
 
-  /** (indexName, indexDef, constraint (name, contype)) for every index
-    * on `table`, dropping each as it is listed — constraint-backed
-    * indexes (PK/unique) via DROP CONSTRAINT, plain ones via DROP
-    * INDEX. Mirrors the reference's drop-indexes path
-    * (pgsql/pgsql-index.lisp drop-indexes + list-indexes). */
+  /** (indexName, indexDef, constraint (name, contype, condef)) for
+    * every index on `table`, dropping each as it is listed —
+    * constraint-backed indexes (PK/unique/exclusion) via DROP
+    * CONSTRAINT, plain ones via DROP INDEX. Mirrors the reference's
+    * drop-indexes path (pgsql/pgsql-index.lisp drop-indexes +
+    * sql/list-all-indexes.sql, which also carries
+    * pg_get_constraintdef for the non-PK/unique rebuild). */
   private def dropTargetIndexes(table: String, gucSql: Seq[String])
-      : Seq[(String, String, Option[(String, String)])] = {
+      : Seq[(String, String, Option[(String, String, String)])] = {
     require(queryTarget != null,
       "WITH drop indexes needs the Runner's queryTarget channel")
+    // a prior same-table command's async rebuilds must not race this
+    // command's list/drop — the listing would see half-rebuilt indexes
+    // and the drops could interleave with in-flight CREATEs
+    drainIndexRebuilds()
     val (schema, rel) = table.split("\\.") match {
       case Array(s, t) => (s, t)
       case _ => ("public", table)
@@ -223,7 +229,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val qt = graft.sinks.PgWire.quoteQualified(table)
     val rows = queryTarget(
       "SELECT i.relname, pg_get_indexdef(ix.indexrelid), " +
-        "con.conname, con.contype::text " +
+        "con.conname, con.contype::text, " +
+        "pg_get_constraintdef(con.oid) " +
         "FROM pg_index ix " +
         "JOIN pg_class i ON i.oid = ix.indexrelid " +
         "JOIN pg_class t ON t.oid = ix.indrelid " +
@@ -231,9 +238,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         "LEFT JOIN pg_constraint con ON con.conindid = ix.indexrelid " +
         s"WHERE t.relname = ${lit(rel)} AND n.nspname = ${lit(schema)}")
     rows.map { r =>
-      val con = Option(r(2)).map(c => (c, r(3)))
+      val con = Option(r(2)).map(c => (c, r(3), r(4)))
       con match {
-        case Some((cname, _)) =>
+        case Some((cname, _, _)) =>
           executeDdl(s"ALTER TABLE $qt DROP CONSTRAINT " +
             s"${graft.sinks.PgWire.quoteIdent(cname)};", gucSql)
         case None =>
@@ -253,7 +260,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * backed one — the reference's create-indexes-again semantics. */
   private def rebuildIndexesAsync(
       table: String,
-      dropped: Seq[(String, String, Option[(String, String)])],
+      dropped: Seq[(String, String, Option[(String, String, String)])],
       gucSql: Seq[String],
       maxParallel: Int = 0): Unit = {
     val qt = graft.sinks.PgWire.quoteQualified(table)
@@ -268,14 +275,27 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           gate.foreach(_.acquire())
           try rebuild() finally gate.foreach(_.release())
         }
-        private def rebuild(): Unit = {
-          executeDdl(s"$idef;", gucSql)
-          con.foreach { case (cname, ctype) =>
+        private def rebuild(): Unit = con match {
+          // PK/unique: build the index first (no ACCESS EXCLUSIVE lock
+          // while it builds), then attach the constraint to it — the
+          // reference's two-statement shape (pgsql-ddl.lisp:225-245)
+          case Some((cname, ctype, _)) if ctype == "p" || ctype == "u" =>
+            executeDdl(s"$idef;", gucSql)
             val kind = if (ctype == "p") "PRIMARY KEY" else "UNIQUE"
             executeDdl(s"ALTER TABLE $qt ADD CONSTRAINT " +
               s"${graft.sinks.PgWire.quoteIdent(cname)} $kind USING INDEX " +
               s"${graft.sinks.PgWire.quoteIdent(iname)};", gucSql)
-          }
+          // any OTHER constraint-backed index (exclusion constraints,
+          // contype 'x'): USING INDEX only accepts unique/PK indexes,
+          // and rebuilding as UNIQUE would change semantics — recreate
+          // from the saved constraint definition, which builds its own
+          // index (the reference's index-condef branch,
+          // pgsql-ddl.lisp:247-250)
+          case Some((cname, _, condef)) =>
+            executeDdl(s"ALTER TABLE $qt ADD CONSTRAINT " +
+              s"${graft.sinks.PgWire.quoteIdent(cname)} $condef;", gucSql)
+          case None =>
+            executeDdl(s"$idef;", gucSql)
         }
       }))
     }

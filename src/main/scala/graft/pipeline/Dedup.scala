@@ -709,33 +709,78 @@ object Dedup {
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longIds && edges.count() <= smallGraphEdges) {
-      val es = edges.collect()
+      // PRIMITIVE collection: each partition packs its (src, dst)
+      // pairs into one Array[Long] — the driver holds packed longs
+      // (~16 B/edge), never GenericRows (~100 B/edge with two boxed
+      // Longs; at the 4M-edge gate that is the difference between
+      // ~64 MB and ~400 MB of driver allocation)
+      val packed = edges.rdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+        Iterator.single(b.result())
+      }.collect()
       edges.unpersist(blocking = false)
       // free the PREVIOUS loop call's cached label state, as the loop
       // path does — the fast path itself pins nothing
       releaseComponents(pairs.sparkSession)
-      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      def find(x0: Long): Long = {
-        var r = x0
-        while (parent.get(r).longValue != r) r = parent.get(r).longValue
-        var c = x0
-        while (parent.get(c).longValue != c) {
-          val n = parent.get(c).longValue; parent.put(c, r); c = n
+      // vertex table: sorted unique endpoint ids; vertices are indexed
+      // by rank, so union-by-min-INDEX is union-by-min-id and the
+      // whole union-find runs on primitive arrays
+      val total = packed.iterator.map(_.length).sum
+      val sorted = new Array[Long](total)
+      var off = 0
+      packed.foreach { a =>
+        System.arraycopy(a, 0, sorted, off, a.length); off += a.length
+      }
+      java.util.Arrays.sort(sorted)
+      var n = 0
+      var i = 0
+      while (i < total) {
+        if (n == 0 || sorted(n - 1) != sorted(i)) {
+          sorted(n) = sorted(i); n += 1
         }
+        i += 1
+      }
+      val vids = java.util.Arrays.copyOf(sorted, n)
+      val parent = new Array[Int](n)
+      var j = 0
+      while (j < n) { parent(j) = j; j += 1 }
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      es.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union-by-min keeps every root the component's minimum id
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      packed.foreach { a =>
+        var k = 0
+        while (k < a.length) {
+          val ra = find(java.util.Arrays.binarySearch(vids, a(k)))
+          val rb = find(java.util.Arrays.binarySearch(vids, a(k + 1)))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          k += 2
+        }
       }
+      val comp = new Array[Long](n)
+      j = 0
+      while (j < n) { comp(j) = vids(find(j)); j += 1 }
+      // ship the result as a parallelized RDD over two BROADCAST
+      // primitive arrays — a LocalRelation of millions of rows would
+      // embed them in the logical plan and re-serialize into every
+      // consuming task
       val spark = pairs.sparkSession
-      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      parent.keySet().forEach(v =>
-        out.add(org.apache.spark.sql.Row(v.longValue(), find(v))))
-      return spark.createDataFrame(out,
+      val sc = spark.sparkContext
+      val bIds = sc.broadcast(vids)
+      val bComp = sc.broadcast(comp)
+      val slices = math.max(1, math.min(sc.defaultParallelism,
+        n / 100000 + 1))
+      val rows = sc.parallelize(0 until n, slices).mapPartitions { it =>
+        val idsL = bIds.value; val compL = bComp.value
+        it.map(k => org.apache.spark.sql.Row(idsL(k), compL(k)))
+      }
+      return spark.createDataFrame(rows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType, nullable = false),

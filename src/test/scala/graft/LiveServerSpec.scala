@@ -426,6 +426,52 @@ class LiveServerSpec extends SparkSpec {
     exec("DROP TABLE dropidx")
   }
 
+  test("live PG: WITH drop indexes rebuilds an EXCLUSION constraint as " +
+    "an exclusion constraint, not UNIQUE (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS dropexcl")
+    exec("CREATE TABLE dropexcl (id int, r int4range, " +
+      "CONSTRAINT dropexcl_no_overlap EXCLUDE USING gist (r WITH &&))")
+    val csv = java.nio.file.Files.createTempFile("dropexcl", ".csv")
+    java.nio.file.Files.writeString(csv,
+      (1 to 50).map(i => s"$i|[${i * 10},${i * 10 + 5})").mkString("\n"))
+    val text =
+      s"""LOAD CSV FROM '$csv' HAVING FIELDS (id, r)
+            INTO $uri TARGET TABLE dropexcl
+            WITH fields terminated by '|', drop indexes;"""
+    val stats = pgRunner(uri).runFile(spark, text)
+    assert(stats.map(_.rows).sum == 50)
+    // the regression this pins: the rebuild used to re-attach ANY
+    // non-'p' constraint-backed index as UNIQUE — conindid is also set
+    // for contype 'x', so the exclusion constraint came back with
+    // different semantics (overlapping ranges would load)
+    val con = q("SELECT contype::text, pg_get_constraintdef(oid) " +
+      "FROM pg_constraint WHERE conrelid = 'dropexcl'::regclass " +
+      "AND conname = 'dropexcl_no_overlap'")
+    assert(con.nonEmpty, "exclusion constraint must be re-attached")
+    assert(con.head(0) == "x",
+      s"must rebuild as an EXCLUSION constraint, got ${con.head.toSeq}")
+    assert(con.head(1).contains("EXCLUDE USING gist"), con.head(1))
+    // and it must actually enforce: an overlapping range insert fails
+    val e = intercept[Exception](
+      exec("INSERT INTO dropexcl VALUES (99, '[10,12)')"))
+    assert(e.getMessage.toLowerCase.contains("conflict") ||
+      e.getMessage.toLowerCase.contains("exclusion"),
+      s"expected exclusion violation, got: ${e.getMessage}")
+    exec("DROP TABLE dropexcl")
+  }
+
   test("live mssql→pg: the DSL-text migration the fake-server e2e runs " +
     "(GRAFT_LIVE_MSSQL_URI + GRAFT_LIVE_PG_URI)") {
     assume(env("GRAFT_LIVE_MSSQL_URI").isDefined &&
