@@ -315,8 +315,15 @@ object Dedup {
     // NARROW (id, band, bucket) rows so the signature aggregate (the
     // expensive corpus pass) runs once, not three times; ~24 bytes ×
     // bands per doc, orders of magnitude below corpus bytes
+    // repartitioned by (band, bucket) BEFORE the cache: the spanning
+    // window needs exactly that hash partitioning (so its exchange is
+    // satisfied for free), and it makes every bucket COMPLETE within
+    // one cached partition — the escalation pass below can then emit
+    // straggler×co-member candidates from a single scan instead of a
+    // self-join's two
     val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
       numPerms, bands)
+      .repartition(col("band"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("id"))
@@ -326,12 +333,16 @@ object Dedup {
     val spanning = buckets
       .select(col("id"), lag(col("id"), 1).over(w).as("prev"),
         first(col("id")).over(w).as("root"))
+    // persisted: cand0 feeds the verify AND the straggler anti-join —
+    // without the cache the window re-sorts every bucket per consumer;
+    // the frame itself is tiny (deduped candidate edges)
     val cand0 = spanning.filter(col("prev").isNotNull)
       .select(col("prev").as("id_a"), col("id").as("id_b"))
       .unionAll(spanning
         .filter(col("root") =!= col("id") && col("prev") =!= col("root"))
         .select(col("root").as("id_a"), col("id").as("id_b")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     def withSizes(c: DataFrame): DataFrame = c
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
@@ -343,36 +354,189 @@ object Dedup {
     // ESCALATION: a doc whose every spanning edge failed verification
     // may still clear the threshold against some unexplored bucket
     // co-member (jaccard is not transitive — the threshold-straddling
-    // case). Such docs are rare (at 100× duplication: dozens out of
-    // 500k), so exhaustively verifying THEIR bucket pairs costs
-    // O(stragglers × bucket size), not O(g²) — and after it, every doc
-    // either has a verified edge or provably clears the threshold with
-    // none of its candidates, the same guarantee the all-pairs mode
-    // gives. The straggler set is tiny, so the joins below broadcast.
-    val candIds = cand0.select(col("id_a").as("id"))
-      .unionAll(cand0.select(col("id_b").as("id"))).distinct()
-    val pairedIds = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
-    val stragglers = candIds.join(pairedIds, Seq("id"), "left_anti")
-    // the escalation rides in the SAME plan as the component edges —
-    // no stragglers means the joins below are empty and cost nothing,
-    // and keeping everything in one plan means the whole candidate +
-    // verify + escalate pipeline materializes in ONE action (the
-    // component step's edge count) instead of one action per stage
-    // (each of which re-ran the shared lineage; measured at sf0.1 the
-    // single-plan shape cut the query roughly in half)
-    val zb = buckets.join(broadcast(stragglers), "id")
-    val escalated = zb.as("z").join(buckets.as("y"),
-        col("z.band") === col("y.band") &&
-        col("z.bucket") === col("y.bucket") &&
-        col("z.id") =!= col("y.id"))
-      .select(least(col("z.id"), col("y.id")).as("id_a"),
-        greatest(col("z.id"), col("y.id")).as("id_b"))
-      .distinct()
-    val extra = verifyJaccardRows(withSizes(escalated), rows, rows,
-      threshold)
-    val comp = connectedComponents(pairs.unionAll(extra))
+    // case). Such docs are structurally rare (a straggler is a doc ALL
+    // of whose spanning edges straddled the threshold; at 100×
+    // duplication: dozens out of 500k), so the escalation CANDIDATES
+    // are collected in one action over the three caches and — when few
+    // — verified DRIVER-side from a single filtered shingle pass.
+    // Round 14 instead kept escalation inside the component step's one
+    // big plan; profiled at sf0.1 (MinhashCompProfile) the escalation
+    // verify — three full shingle-lineage passes — ran TWICE more
+    // inside the doubled edge union, ~6 s of the query's 10.8 s, to
+    // contribute a handful of edges.
+    // driver budgets: candidate/pair frames collect packed (≤32 MB a
+    // side at the cap) for the driver-side straggler diff; anything
+    // larger — or a pathological straggler/bucket structure — falls
+    // back to the round-14 distributed spelling below
+    val escCap = 20000
+    val candCap = 2000000L
+    val stragCap = 100000
+    def packedPairs(f: DataFrame): Array[Long] = {
+      val parts = f.select(col("id_a"), col("id_b")).rdd.mapPartitions {
+        it =>
+          val b = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+          Iterator.single(b.result())
+      }.collect()
+      val total = parts.iterator.map(_.length).sum
+      val out = new Array[Long](total)
+      var off = 0
+      parts.foreach { a =>
+        System.arraycopy(a, 0, out, off, a.length); off += a.length
+      }
+      out
+    }
+    // first action: materializes the bucket pipeline into the caches
+    // (the verified-pairs frame is a FILTER of cand0, so nPairs ≤
+    // nCand and this one gate covers both collects)
+    val nCand = cand0.count()
+    // escalation CANDIDATES (pairs still owed a verification):
+    // null = fall back to the distributed spelling
+    var escPairs: Array[(Long, Long)] = null
+    var nPairs = -1L
+    if (nCand <= candCap) {
+      val candArr = packedPairs(cand0)
+      val pairArr = packedPairs(pairs) // materializes the verify cache
+      nPairs = pairArr.length / 2
+      val paired = pairArr.clone()
+      java.util.Arrays.sort(paired)
+      val stragSet = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i < candArr.length) {
+        val v = candArr(i)
+        if (java.util.Arrays.binarySearch(paired, v) < 0) stragSet.add(v)
+        i += 1
+      }
+      if (stragSet.isEmpty) escPairs = Array.empty
+      else if (stragSet.size <= stragCap) {
+        // ONE co-located scan: buckets is cached hash-partitioned by
+        // (band, bucket), so every bucket's members live inside one
+        // partition — straggler×co-member pairs fall out of a local
+        // group-by, no self-join, no second scan
+        val stragSorted = {
+          val a = new Array[Long](stragSet.size)
+          var j = 0
+          val it = stragSet.iterator()
+          while (it.hasNext) { a(j) = it.next(); j += 1 }
+          java.util.Arrays.sort(a); a
+        }
+        val bcStrag = df.sparkSession.sparkContext.broadcast(stragSorted)
+        val cap = escCap + 1
+        val pieces = buckets.select(col("band"), col("bucket"), col("id"))
+          .rdd.mapPartitions { it =>
+            val strag = bcStrag.value
+            def isStrag(x: Long) =
+              java.util.Arrays.binarySearch(strag, x) >= 0
+            val groups = new java.util.HashMap[(Int, Long),
+              scala.collection.mutable.ArrayBuffer[Long]]()
+            it.foreach { r =>
+              groups.computeIfAbsent((r.getInt(0), r.getLong(1)),
+                _ => new scala.collection.mutable.ArrayBuffer[Long]())
+                .append(r.getLong(2))
+            }
+            val out = new scala.collection.mutable.ArrayBuffer[
+              (Long, Long)]()
+            groups.values.forEach { ms =>
+              if (out.length <= cap && ms.exists(isStrag(_)))
+                ms.foreach { s =>
+                  if (isStrag(s))
+                    ms.foreach { m =>
+                      if (m != s && out.length <= cap)
+                        out.append((math.min(s, m), math.max(s, m)))
+                    }
+                }
+            }
+            Iterator.single(out.toArray)
+          }.collect()
+        val all = pieces.iterator.flatten.toArray
+        if (all.length <= escCap) {
+          // already-verified pairs (a straggler's own chain/star edges,
+          // which by definition all FAILED) re-verify to the same
+          // jaccard — exclude them; in the common case every escalated
+          // candidate was already tried and the escalation ends here
+          val tried = new java.util.HashSet[(Long, Long)]()
+          var j = 0
+          while (j < candArr.length) {
+            val a = candArr(j); val b = candArr(j + 1)
+            if (stragSet.contains(a) || stragSet.contains(b))
+              tried.add((math.min(a, b), math.max(a, b)))
+            j += 2
+          }
+          escPairs = all.distinct.filterNot(tried.contains)
+        }
+      }
+    }
+    if (nPairs < 0) nPairs = pairs.count() // fallback path only
+    val extra: Option[DataFrame] =
+      if (escPairs == null) {
+        // fallback: the round-14 distributed spelling — anti-join
+        // stragglers, self-join buckets on (band, bucket), distributed
+        // verify; localCheckpoint so the component step's edge union
+        // reads the materialized result instead of re-running the
+        // verify lineage
+        val candIds = cand0.select(col("id_a").as("id"))
+          .unionAll(cand0.select(col("id_b").as("id"))).distinct()
+        val pairedIds = pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+        val stragglers = candIds.join(pairedIds, Seq("id"), "left_anti")
+        val zb = buckets.join(broadcast(stragglers), "id")
+        val escalated = zb.as("z").join(buckets.as("y"),
+            col("z.band") === col("y.band") &&
+            col("z.bucket") === col("y.bucket") &&
+            col("z.id") =!= col("y.id"))
+          .select(least(col("z.id"), col("y.id")).as("id_a"),
+            greatest(col("z.id"), col("y.id")).as("id_b"))
+          .distinct()
+          .join(cand0, Seq("id_a", "id_b"), "left_anti")
+        Some(verifyJaccardRows(withSizes(escalated), rows, rows,
+          threshold).localCheckpoint())
+      }
+      else if (escPairs.isEmpty) None
+      else {
+        // driver-side exact verify: ONE corpus shingle pass restricted
+        // to the involved docs (broadcast semi-join), sets compared on
+        // the driver — identical math to verifyJaccardRows
+        // (shingleHashRows is distinct, so |set| is the sz count and
+        // shared/(sz_a+sz_b-shared) is intersection over union)
+        import df.sparkSession.implicits._
+        val inv = escPairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val sets = new java.util.HashMap[Long,
+          java.util.HashSet[Long]](inv.length * 2)
+        inv.foreach(i => sets.put(i, new java.util.HashSet[Long]()))
+        rows.join(broadcast(inv.toSeq.toDF("id")), "id")
+          .select(col("id"), col("h"))
+          .rdd.mapPartitions { it =>
+            val b = new scala.collection.mutable.ArrayBuilder.ofLong
+            it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+            Iterator.single(b.result())
+          }.collect().foreach { a =>
+            var i = 0
+            while (i < a.length) {
+              sets.get(a(i)).add(a(i + 1)); i += 2
+            }
+          }
+        val passing = escPairs.flatMap { case (a, b) =>
+          val (sa, sb) = (sets.get(a), sets.get(b))
+          var shared = 0
+          val (small, large) =
+            if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+          small.forEach(h => if (large.contains(h)) shared += 1)
+          val j = shared.toDouble / (sa.size + sb.size - shared)
+          if (j >= threshold) Some((a, b, j)) else None
+        }
+        if (passing.isEmpty) None
+        else Some(passing.toSeq.toDF("id_a", "id_b", "jaccard"))
+      }
+    val (edgesIn, nEdges) = extra match {
+      case None => (pairs, nPairs)
+      case Some(e) => (pairs.unionAll(e), nPairs + e.count())
+    }
+    // both inputs are cached/local and counted, so hand the component
+    // step its edge budget — it skips its own pre-count action
+    val comp = connectedComponents(edgesIn,
+      edgeCountHint = Some(2L * nEdges))
     buckets.unpersist(blocking = false)
+    cand0.unpersist(blocking = false)
     pairs.unpersist(blocking = false)
     comp
   }
@@ -701,25 +865,34 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25,
-                          smallGraphEdges: Long = 4000000L): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val longIds = edges.schema.fields.forall(
+                          smallGraphEdges: Long = 4000000L,
+                          edgeCountHint: Option[Long] = None): DataFrame = {
+    val undirected = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val longIds = undirected.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= smallGraphEdges) {
+    // gate on UNDIRECTED pair count (the caller passes an upper bound
+    // on directed edges when it already counted — either way an
+    // over-estimate can only send a fast-path-sized graph to the loop,
+    // never a too-big graph to the driver). The fast path needs no
+    // direction-doubling and no distinct: union-find is order- and
+    // duplicate-insensitive, so the raw pair frame collects straight
+    // off the caller's (usually cached) plan with NO shuffle — the
+    // doubled-distinct exchange only exists for the iterative path.
+    val underGate = edgeCountHint match {
+      case Some(hint) => hint <= smallGraphEdges
+      case None => 2L * undirected.count() <= smallGraphEdges
+    }
+    if (longIds && underGate) {
       // PRIMITIVE collection: each partition packs its (src, dst)
       // pairs into one Array[Long] — the driver holds packed longs
       // (~16 B/edge), never GenericRows (~100 B/edge with two boxed
       // Longs; at the 4M-edge gate that is the difference between
       // ~64 MB and ~400 MB of driver allocation)
-      val packed = edges.rdd.mapPartitions { it =>
+      val packed = undirected.rdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
         Iterator.single(b.result())
       }.collect()
-      edges.unpersist(blocking = false)
       // free the PREVIOUS loop call's cached label state, as the loop
       // path does — the fast path itself pins nothing
       releaseComponents(pairs.sparkSession)
@@ -787,6 +960,12 @@ object Dedup {
           org.apache.spark.sql.types.StructField("component",
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
+    // iterative path: direction-doubled deduped edges, persisted —
+    // every pointer-jumping round joins against them
+    val edges = undirected
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // label state is lineage-TRUNCATED each round: the pointer-jumping
     // self-join references the round's frame TWICE, so without
     // truncation the logical plan doubles per round — exponential plan
