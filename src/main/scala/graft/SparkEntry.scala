@@ -2894,10 +2894,18 @@ object SparkEntry {
          sets AS (
            SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
              ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-           FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+           FROM toks),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sets),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b
+         FROM shared
+         JOIN sz za ON za.doc_id = id_a
+         JOIN sz zb ON zb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.9
          ORDER BY id_a, id_b""",
 
     // simhash collision candidates verified by exact text equality ⇒ the
@@ -2923,11 +2931,19 @@ object SparkEntry {
          sets AS (
            SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
              ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-           FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.95
+           FROM toks),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sets),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (za.sz + zb.sz - c) AS jaccard
+         FROM shared
+         JOIN sz za ON za.doc_id = id_a
+         JOIN sz zb ON zb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.95
          ORDER BY id_a, id_b""",
 
     "dedup_embedding" ->
@@ -3052,10 +3068,18 @@ object SparkEntry {
          sets AS (
            SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
              ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
-           FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9
+           FROM toks),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sets),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b
+         FROM shared
+         JOIN sz za ON za.doc_id = id_a
+         JOIN sz zb ON zb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.9
          ORDER BY id_a, id_b""",
 
     "decontaminate_fuzzy" ->
@@ -3787,10 +3811,18 @@ object SparkEntry {
            SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
              ELSE list_transform(generate_series(1, len(tk)-2), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
            FROM tk),
+         sz AS (SELECT doc_id, len(sh) AS sz FROM sets),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
          pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.9),
+           SELECT id_a, id_b
+           FROM shared
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.9),
          edges AS (
            SELECT id_a AS src, id_b AS dst FROM pairs
            UNION SELECT id_b, id_a FROM pairs),
