@@ -784,7 +784,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       } else new CopySink(
         endpointFactory = endpointFactory(target, sessionSql),
         rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
-    TableStats("public", table, sent, rejected + parseRejects,
+    // summary label: a qualified TARGET TABLE already carries its
+    // schema — don't prefix "public." on top (public.public.t)
+    val (statSchema, statTable) = table.indexOf('.') match {
+      case -1 => ("public", table)
+      case i  => (table.substring(0, i), table.substring(i + 1))
+    }
+    TableStats(statSchema, statTable, sent, rejected + parseRejects,
       (System.nanoTime() - t0) / 1000000, bytes = bytes)
   }
 }

@@ -63,6 +63,22 @@ class RunnerSpec extends SparkSpec {
       ("kv", "3\tthree")))
   }
 
+  test("qualified TARGET TABLE splits into schema+table stats, not " +
+      "a double public. prefix") {
+    val dir = Files.createTempDirectory("runnerq").toFile
+    Files.writeString(new java.io.File(dir, "q.csv").toPath, "1|one\n")
+    val text =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/q.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE myschema.q
+          WITH fields terminated by '|';"""
+    RunnerSpec.received.clear()
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint)
+    val stats = runner.runFile(spark, text)
+    assert(stats.map(s => (s.schema, s.table, s.rows)) ==
+      Seq(("myschema", "q", 1L)))
+  }
+
   test("summary CSV and JSON carry the reference's column sets") {
     import graft.orchestration.{Summary, SummaryOut, TableStats}
     val s = Summary(
