@@ -182,19 +182,38 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       })
   private val pendingRebuilds =
     new java.util.concurrent.ConcurrentLinkedQueue[
-      java.util.concurrent.Future[_]]
+      (String, java.util.concurrent.Future[_])]
+
+  private def awaitRebuild(f: java.util.concurrent.Future[_]): Unit =
+    try f.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
 
   /** Wait for every submitted rebuild; rethrows the first failure. */
   private def drainIndexRebuilds(): Unit = {
-    var f = pendingRebuilds.poll()
-    while (f != null) {
-      try f.get()
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e)
-      }
-      f = pendingRebuilds.poll()
+    var e = pendingRebuilds.poll()
+    while (e != null) {
+      awaitRebuild(e._2)
+      e = pendingRebuilds.poll()
     }
+  }
+
+  /** Wait only for `table`'s own rebuilds — the same-table list/drop
+    * race guard in [[dropTargetIndexes]]. Other tables' in-flight
+    * rebuilds keep overlapping this command's load (the point of the
+    * async pool: table N's CREATE INDEX runs server-side while table
+    * N+1 COPYies). */
+  private def drainIndexRebuilds(table: String): Unit = {
+    val it = pendingRebuilds.iterator()
+    val mine = scala.collection.mutable.ArrayBuffer[
+      java.util.concurrent.Future[_]]()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 == table) { mine += e._2; it.remove() }
+    }
+    mine.foreach(awaitRebuild)
   }
 
   /** DDL with a rebuild barrier: user DDL (and any later command's
@@ -219,8 +238,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       "WITH drop indexes needs the Runner's queryTarget channel")
     // a prior same-table command's async rebuilds must not race this
     // command's list/drop — the listing would see half-rebuilt indexes
-    // and the drops could interleave with in-flight CREATEs
-    drainIndexRebuilds()
+    // and the drops could interleave with in-flight CREATEs. Scoped to
+    // THIS table: other tables' rebuilds overlap this command's load.
+    drainIndexRebuilds(table)
     val (schema, rel) = table.split("\\.") match {
       case Array(s, t) => (s, t)
       case _ => ("public", table)
@@ -270,7 +290,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val gate = if (maxParallel > 0)
       Some(new java.util.concurrent.Semaphore(maxParallel)) else None
     dropped.foreach { case (iname, idef, con) =>
-      pendingRebuilds.add(indexPool.submit(new Runnable {
+      pendingRebuilds.add((table, indexPool.submit(new Runnable {
         def run(): Unit = {
           gate.foreach(_.acquire())
           try rebuild() finally gate.foreach(_.release())
@@ -297,7 +317,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           case None =>
             executeDdl(s"$idef;", gucSql)
         }
-      }))
+      })))
     }
   }
 
