@@ -35,6 +35,15 @@ CREATE USER scramuser WITH PASSWORD 'sc ram+p@ss';
 GRANT ALL ON DATABASE graftdb2 TO scramuser;
 EOF
 su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d graftdb2 -c 'GRANT ALL ON SCHEMA public TO scramuser;'" >/dev/null 2>&1 || true
+# bulk-load-friendly WAL sizing: back-to-back bench runs write ~0.5 GB
+# WAL each; at the 1 GB max_wal_size default every run triggers
+# forced checkpoints whose flushing contends with the next run's COPY
+# (sampler showed LWLock/WALWrite waits). Harmless for the test DBs.
+su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d postgres" <<'EOF' >/dev/null 2>&1 || true
+ALTER SYSTEM SET max_wal_size = '6GB';
+ALTER SYSTEM SET checkpoint_timeout = '15min';
+SELECT pg_reload_conf();
+EOF
 # seed the source database: the live introspection and pg→pg migration
 # smokes need at least one table with rows
 su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d graftdb" <<'EOF' >/dev/null 2>&1 || true
