@@ -143,8 +143,15 @@ final class CopySink(
     val rDir = rejectDir; val factory = endpointFactory
     val successHook = onPartitionSuccess
     // rows are rendered to COPY TEXT lines by a codegen'd projection
-    // (typed PG literals + escaping); the sink tasks only batch bytes
-    val lines = df.select(CopyText.lineColumn(df).as("value"))
+    // (typed PG literals + escaping), newline-terminated and cast to
+    // BINARY inside codegen: the task receives the UTF-8 bytes
+    // directly instead of decoding each UTF8String to a java String
+    // only to re-encode it (profiled: numChars+decodeLoop+getBytes
+    // was a top-5 sink cost at reference-bench scale)
+    import org.apache.spark.sql.functions.{concat, lit}
+    val lines = df.select(
+      concat(CopyText.lineColumn(df), lit("\n"))
+        .cast(org.apache.spark.sql.types.BinaryType).as("value"))
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val endpoint = factory(pid)
@@ -175,7 +182,7 @@ final class CopySink(
           batch = new Batch(mr, mb, seed = pid)
         }
         it.foreach { row =>
-          val line = (row.getString(0) + "\n").getBytes("UTF-8")
+          val line = row.getAs[Array[Byte]](0)
           batch.add(line)
           bytesSent.add(line.length)
           if (batch.isFull) flush()

@@ -472,7 +472,36 @@ final class PgWireConnection(params: PgWire.ConnParams)
     * batches are bounded (20 MiB cap) long before socket-buffer
     * deadlock territory.
     * @return rows loaded per the server's `COPY n` tag */
-  def copyIn(sql: String, data: Array[Byte]): Long = {
+  /** COPY FROM STDIN of pre-formatted row byte-arrays, one CopyData
+    * frame per row (libpq's PQputCopyData shape — PG accepts arbitrary
+    * frame boundaries). Avoids flattening the batch into one payload
+    * array: the only copy of each row is into the socket's buffered
+    * stream. */
+  def copyInRows(sql: String, rows: scala.collection.IndexedSeq[Array[Byte]])
+      : Long = copyInStreaming(sql, { () =>
+    var i = 0
+    val n = rows.length
+    while (i < n) {
+      val r = rows(i)
+      out.writeByte('d'); out.writeInt(r.length + 4)
+      out.write(r, 0, r.length)
+      i += 1
+    }
+  })
+
+  def copyIn(sql: String, data: Array[Byte]): Long =
+    copyInStreaming(sql, { () =>
+      // stream the payload in 64 KiB frames
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(1 << 16, data.length - off)
+        out.writeByte('d'); out.writeInt(n + 4)
+        out.write(data, off, n)
+        off += n
+      }
+    })
+
+  private def copyInStreaming(sql: String, writeData: () => Unit): Long = {
     writeMsg('Q', cstring(sql)); out.flush()
     var err: PgServerError = null
     var sentData = false
@@ -481,14 +510,8 @@ final class PgWireConnection(params: PgWire.ConnParams)
     while (!ready) {
       val (tpe, payload) = readMsg()
       tpe match {
-        case 'G' => // CopyInResponse: stream the payload in 64 KiB frames
-          var off = 0
-          while (off < data.length) {
-            val n = math.min(1 << 16, data.length - off)
-            out.writeByte('d'); out.writeInt(n + 4)
-            out.write(data, off, n)
-            off += n
-          }
+        case 'G' => // CopyInResponse
+          writeData()
           out.writeByte('c'); out.writeInt(4) // CopyDone
           out.flush()
           sentData = true
@@ -525,8 +548,14 @@ final class PgWireCopyEndpoint(params: PgWire.ConnParams, copySql: String,
   sessionSetup.foreach(s => conn.simpleCommand(s.stripSuffix(";")))
 
   override def send(rows: Seq[Array[Byte]]): Unit = {
-    val bytes = rows.toArray.flatten
-    try conn.copyIn(copySql, bytes)
+    // no flatten: each row streams as its own CopyData frame, so the
+    // batch payload is never re-copied into one giant array (profiled:
+    // the flatten was a top-5 sink cost at reference-bench scale)
+    val idx = rows match {
+      case is: scala.collection.IndexedSeq[Array[Byte]] => is
+      case other => other.toIndexedSeq
+    }
+    try conn.copyInRows(copySql, idx)
     catch {
       case e: PgWire.PgServerError =>
         throw CopyError(e.copyLine, e.contextMessage)

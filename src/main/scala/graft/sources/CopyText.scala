@@ -138,19 +138,13 @@ object CopyText {
   // sink's per-row needs; the Column versions keep bulk reads/writes
   // inside whole-stage codegen — no RDD row boxing on the hot path.
 
-  private def rep(c: Column, from: String, to: String): Column =
-    call_function("replace", c, lit(from), lit(to))
-
-  /** Column-level [[escape]]: backslash first, then the control chars. */
-  def escapeColumn(c: Column): Column = {
-    var x = rep(c, "\\", "\\\\")
-    x = rep(x, "\b", "\\b")
-    x = rep(x, "\f", "\\f")
-    x = rep(x, "\n", "\\n")
-    x = rep(x, "\r", "\\r")
-    x = rep(x, "\t", "\\t")
-    rep(x, "\u000B", "\\v")
-  }
+  /** Column-level [[escape]]: the native one-pass byte-level expression
+    * ([[graft.functions.StringExpressions.copyEscapeBytes]]) — the
+    * 7-chained-`replace` formulation it replaced re-scanned and
+    * re-allocated every field seven times per row and profiled (JFR)
+    * as the sink's single hottest cost at reference-bench scale. */
+  def escapeColumn(c: Column): Column =
+    graft.functions.StringExpressions.copyEscape(c)
 
   /** Column-level [[unescape]]: the native one-pass expression (the
     * replace-chain it replaced couldn't express `\xH[H]`/octal escapes

@@ -22,6 +22,26 @@ object CopyTextProps extends Properties("CopyText") {
     CopyText.unescape(CopyText.escape(s)) == s
   }
 
+  // multi-byte UTF-8 in the mix: the native escape works on BYTES and
+  // must never touch continuation bytes
+  private val unicodeStr: Gen[String] = Gen.listOf(Gen.frequency(
+    3 -> anyChar.map(_.toString),
+    1 -> Gen.oneOf("\u00e9", "\u03a9", "\u6f22", "\ud83d\ude42", "\u00a0")))
+    .map(_.mkString)
+
+  property("native copyEscapeBytes = scalar escape spec") =
+    forAll(unicodeStr) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      graft.functions.StringExpressions.copyEscapeBytes(u).toString ==
+        CopyText.escape(s)
+    }
+
+  property("copyEscapeBytes returns the input object when clean") = Prop {
+    val u = org.apache.spark.unsafe.types.UTF8String
+      .fromString("no escapes héré 漢字")
+    graft.functions.StringExpressions.copyEscapeBytes(u) eq u
+  }
+
   property("parseLine∘formatRow = id (nulls preserved)") =
     forAll(Gen.nonEmptyListOf(value)) { vs =>
       val arr = vs.toArray
