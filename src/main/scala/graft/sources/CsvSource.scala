@@ -81,7 +81,7 @@ object CsvSource {
     // sees them (errors.load row 8 loads), and PG's "extra data after
     // last expected column" can never fire through this path.
     val parsed = lines
-      .filter(length(col("value")) > 0) // blank lines are skipped
+      .filter(octet_length(col("value")) > 0) // blank lines skipped (octet_length: O(1), no char scan)
       // undecodable-byte rows (__bad from the strict decode) are
       // malformed — the rejects() companion surfaces them
       .filter(!col("__bad"))
@@ -112,7 +112,7 @@ object CsvSource {
     val lines = SkipLines.linesDF(spark, path, skip,
       canonicalEncoding(dialect.encoding), dialect.splitHint)
     lines
-      .filter(length(col("value")) > 0)
+      .filter(octet_length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions
         .csvParseLine(col("value"), dialect))
       .filter(col("__bad") ||
@@ -148,7 +148,7 @@ object CsvSource {
     val lines = SkipLines.linesWithPosition(spark, path, skip,
       canonicalEncoding(dialect.encoding))
     val parsed = lines
-      .filter(length(col("value")) > 0)
+      .filter(octet_length(col("value")) > 0)
       .filter(!col("__bad")) // undecodable rows are rejects, not data
       .select(col("__file"), col("__off"),
         graft.functions.StringExpressions
@@ -241,7 +241,7 @@ object CsvSource {
       }
     import spark.implicits._
     val parsed = spark.createDataset(records).toDF("value")
-      .filter(length(col("value")) > 0)
+      .filter(octet_length(col("value")) > 0)
       .select(graft.functions.StringExpressions
         .csvParseLine(col("value"), d).as("__fields"))
     parsed
@@ -340,10 +340,19 @@ object CsvSource {
 
   /** [[parseFields]] in the engine's wire shapes, called from the
     * generated code of [[graft.functions.CsvParseLine]] and its
-    * interpreted eval. */
+    * interpreted eval. ASCII-dialect lines (the overwhelmingly common
+    * case) parse directly over the UTF-8 BYTES, emitting zero-copy
+    * UTF8String slices of the line buffer — no decode to java String,
+    * no per-field re-encode (JFR-profiled as the read side's dominant
+    * cost at reference-bench scale). Byte-level scanning is correct
+    * because separator/quote/blank/backslash are ASCII and UTF-8
+    * continuation bytes are ≥ 0x80; a non-ASCII separator or quote
+    * falls back to the scalar spec. CsvParseFieldsSpec pins byte-path
+    * ≡ spec equivalence property-style across dialects. */
   def parseFieldsData(line: org.apache.spark.unsafe.types.UTF8String,
                       d: CsvDialect)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (d.separator < 0x80 && d.quote < 0x80) return parseFieldsBytes(line, d)
     val vs = parseFields(line.toString, d)
     if (vs == null) return null // malformed row -> NULL array = rejected
     val out = new Array[Any](vs.length)
@@ -354,6 +363,105 @@ object CsvSource {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Byte-level twin of [[parseFields]] (same control flow, same
+    * semantics — see that method's contract). Only reached for ASCII
+    * separator+quote. */
+  private def parseFieldsBytes(
+      line: org.apache.spark.unsafe.types.UTF8String, d: CsvDialect)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = line.getBytes
+    val n = bytes.length
+    val sep = d.separator.toByte
+    val hasQ = d.quote != '\u0000'
+    val q = d.quote.toByte
+    val trim = d.trimUnquoted
+    val doubled = d.doubledQuote
+    val nv: Array[Byte] =
+      if (d.nullValue.nonEmpty)
+        d.nullValue.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else null
+    @inline def isBlank(b: Byte): Boolean =
+      (b == ' ' || b == '\t') && b != sep
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    var done = false
+    while (!done) {
+      var j = i
+      if (trim) while (j < n && isBlank(bytes(j))) j += 1
+      if (hasQ && j < n && bytes(j) == q) {
+        // quoted field: scan to the closing quote; only build a copy
+        // when a doubled quote / backslash escape actually occurred
+        j += 1
+        val start = j
+        var closed = false
+        var needsBuild = false
+        var k = j
+        while (k < n && !closed) {
+          val b = bytes(k)
+          if (b == q) {
+            if (doubled && k + 1 < n && bytes(k + 1) == q) {
+              needsBuild = true; k += 2
+            } else { closed = true; k += 1 }
+          } else if (!doubled && b == '\\' && k + 1 < n) {
+            needsBuild = true; k += 2
+          } else k += 1
+        }
+        if (!closed) return null // unterminated quote: parse error
+        val endQuote = k - 1
+        j = k
+        while (j < n && bytes(j) != sep) {
+          if (!isBlank(bytes(j))) return null // junk after close quote
+          j += 1
+        }
+        if (!needsBuild)
+          out += UTF8String.fromBytes(bytes, start, endQuote - start)
+        else {
+          val buf = new Array[Byte](endQuote - start)
+          var o = 0
+          var p = start
+          while (p < endQuote) {
+            val b = bytes(p)
+            if (doubled && b == q) { buf(o) = q; o += 1; p += 2 }
+            else if (!doubled && b == '\\' && p + 1 < n) {
+              buf(o) = bytes(p + 1); o += 1; p += 2
+            } else { buf(o) = b; o += 1; p += 1 }
+          }
+          out += UTF8String.fromBytes(buf, 0, o)
+        }
+      } else {
+        // unquoted field: raw until separator; a quote byte inside is
+        // a parse error
+        var end = j
+        while (end < n && bytes(end) != sep) {
+          if (hasQ && bytes(end) == q) return null
+          end += 1
+        }
+        var s = i
+        var e = end
+        if (trim) {
+          while (s < e && isBlank(bytes(s))) s += 1
+          while (e > s && isBlank(bytes(e - 1))) e -= 1
+        }
+        if (e == s) out += null // unquoted empty -> NULL
+        else if (nv != null && e - s == nv.length && {
+          var p = 0
+          var eq = true
+          while (eq && p < nv.length) {
+            if (bytes(s + p) != nv(p)) eq = false
+            p += 1
+          }
+          eq
+        }) out += null
+        else out += UTF8String.fromBytes(bytes, s, e - s)
+        j = end
+      }
+      if (j < n && bytes(j) == sep) i = j + 1
+      else done = true
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Tiny driver-side CSV line parser used only by the guesser. Returns

@@ -131,6 +131,43 @@ class CsvParseFieldsSpec extends SparkSpec {
     assert(lineRead.toSeq == Seq("2"))
   }
 
+  test("byte-level parseFieldsData equals the scalar spec across " +
+      "dialects (randomized)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260814)
+    val dialects = for {
+      sep <- Seq(',', '\t', '|', ';')
+      quote <- Seq('"', '\'', '\u0000', ' ')
+      doubled <- Seq(true, false)
+      trim <- Seq(true, false)
+      nullV <- Seq("", "NULL", "\\N")
+    } yield CsvDialect(separator = sep, quote = quote,
+      doubledQuote = doubled, trimUnquoted = trim, nullValue = nullV)
+    val alphabet = "ab,;|\t'\"\\ Né€漢NULL"
+    def randLine(): String =
+      (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val lines = (1 to 400).map(_ => randLine()) ++ Seq(
+      "", "\"\"", "a,\"b\"\"c\",d", "a,\"b\\\"c\",d", "\\", "a\\",
+      "é,漢 字, \"q,q\" ", "NULL, NULL ,x", "\\N,x", "a,'b',c")
+    var checked = 0
+    for (d <- dialects; line <- lines) {
+      val spec = CsvSource.parseFields(line, d)
+      val got = CsvSource.parseFieldsData(UTF8String.fromString(line), d)
+      if (spec == null) assert(got == null, s"dialect=$d line=<$line>")
+      else {
+        assert(got != null, s"dialect=$d line=<$line>")
+        val gotSeq = (0 until got.numElements()).map { i =>
+          val u = got.getUTF8String(i)
+          if (u == null) null else u.toString
+        }
+        assert(gotSeq == spec.toSeq, s"dialect=$d line=<$line>")
+      }
+      checked += 1
+    }
+    assert(checked > 10000)
+  }
+
   test("column expression path matches the scalar spec") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
