@@ -479,11 +479,18 @@ final class PgWireConnection(params: PgWire.ConnParams)
     * stream. */
   def copyInRows(sql: String, rows: scala.collection.IndexedSeq[Array[Byte]])
       : Long = copyInStreaming(sql, { () =>
+    // 5-byte frame header written as ONE buffered write — writeByte +
+    // writeInt is five per-byte stream calls per row
+    val hdr = new Array[Byte](5)
+    hdr(0) = 'd'
     var i = 0
     val n = rows.length
     while (i < n) {
       val r = rows(i)
-      out.writeByte('d'); out.writeInt(r.length + 4)
+      val len = r.length + 4
+      hdr(1) = (len >>> 24).toByte; hdr(2) = (len >>> 16).toByte
+      hdr(3) = (len >>> 8).toByte; hdr(4) = len.toByte
+      out.write(hdr, 0, 5)
       out.write(r, 0, r.length)
       i += 1
     }

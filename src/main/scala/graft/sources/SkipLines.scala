@@ -130,7 +130,6 @@ object SkipLines {
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
       val cut = bc.value.getOrElse(file, 0L)
-      val charset = java.nio.charset.Charset.forName(cs)
       // STRICT per-line decode: bytes the declared charset cannot
       // represent make the ROW malformed (the reference's decoder
       // errors and routes the row to rejects — csv-error.load's
@@ -141,24 +140,85 @@ object SkipLines {
       // even noncharacters like U+FFFF are encodable in valid UTF-8),
       // and `value` carries the replacement-decoded text so the reject
       // scan can still surface the original-ish row.
-      // ONE decoder per partition (the convenience decode() resets it
-      // each call) — per-line construction would allocate on the
-      // scan's hottest path.
-      val decoder = charset.newDecoder()
-      it.collect {
-        case (off, line) if off.get() >= cut =>
-          val (decoded, bad) =
-            try (decoder.decode(java.nio.ByteBuffer.wrap(line.getBytes,
-              0, line.getLength)).toString, false)
-            catch {
-              case _: java.nio.charset.CharacterCodingException =>
-                (new String(line.getBytes, 0,
-                  line.getLength, charset), true)
-            }
-          (file, off.get(), decoded, bad)
+      //
+      // `value` travels as UTF-8 BYTES (binary, cast to string below —
+      // a zero-copy wrap): for UTF-8 input the strict check is a pure
+      // byte-level well-formedness scan ([[isWellFormedUtf8]], pinned
+      // to the JDK decoder's judgments by SkipLinesSpec), so the line
+      // is never decoded to a java String at all; other charsets pay
+      // the unavoidable transcode. A bad UTF-8 row keeps its raw
+      // bytes — reading them back as a string replacement-decodes,
+      // exactly what the reject file carried before.
+      if (cs.equalsIgnoreCase("UTF-8") || cs.equalsIgnoreCase("utf8")) {
+        it.collect {
+          case (off, line) if off.get() >= cut =>
+            val bytes = java.util.Arrays.copyOfRange(
+              line.getBytes, 0, line.getLength)
+            (file, off.get(), bytes,
+              !isWellFormedUtf8(bytes, 0, bytes.length))
+        }
+      } else {
+        val charset = java.nio.charset.Charset.forName(cs)
+        // ONE decoder per partition (the convenience decode() resets
+        // it each call) — per-line construction would allocate on the
+        // scan's hottest path.
+        val decoder = charset.newDecoder()
+        it.collect {
+          case (off, line) if off.get() >= cut =>
+            val (decoded, bad) =
+              try (decoder.decode(java.nio.ByteBuffer.wrap(line.getBytes,
+                0, line.getLength)).toString, false)
+              catch {
+                case _: java.nio.charset.CharacterCodingException =>
+                  (new String(line.getBytes, 0,
+                    line.getLength, charset), true)
+              }
+            (file, off.get(),
+              decoded.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              bad)
+        }
       }
     }
     kept.toDF("__file", "__off", "value", "__bad")
+      .withColumn("value", org.apache.spark.sql.functions.col("value")
+        .cast(org.apache.spark.sql.types.StringType))
+  }
+
+  /** RFC 3629 UTF-8 well-formedness (no overlongs, no surrogates,
+    * max U+10FFFF) — byte-level equivalent of a strict JDK UTF-8
+    * decoder succeeding (SkipLinesSpec pins the equivalence over
+    * random byte sequences). */
+  private[graft] def isWellFormedUtf8(b: Array[Byte], off: Int,
+                                        len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val b0 = b(i) & 0xFF
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xC2) return false // continuation byte / overlong
+      else if (b0 < 0xE0) { // 2-byte
+        if (i + 1 >= end || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (b0 < 0xF0) { // 3-byte
+        if (i + 2 >= end) return false
+        val b1 = b(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80) return false
+        if (b0 == 0xE0 && b1 < 0xA0) return false // overlong
+        if (b0 == 0xED && b1 > 0x9F) return false // surrogate range
+        if ((b(i + 2) & 0xC0) != 0x80) return false
+        i += 3
+      } else if (b0 < 0xF5) { // 4-byte
+        if (i + 3 >= end) return false
+        val b1 = b(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80) return false
+        if (b0 == 0xF0 && b1 < 0x90) return false // overlong
+        if (b0 == 0xF4 && b1 > 0x8F) return false // beyond U+10FFFF
+        if ((b(i + 2) & 0xC0) != 0x80 || (b(i + 3) & 0xC0) != 0x80)
+          return false
+        i += 4
+      } else return false // F5..FF never valid
+    }
+    true
   }
 
   /** The lines of `path` with the first `skip` lines of EACH file

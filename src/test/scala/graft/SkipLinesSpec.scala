@@ -111,6 +111,62 @@ class SkipLinesSpec extends SparkSpec {
     assert(SkipLines.lines(spark, big, 0, "UTF-8", 8).count() == 90000L)
   }
 
+  test("isWellFormedUtf8 equals the strict JDK UTF-8 decoder " +
+      "(randomized + exhaustive short sequences)") {
+    import graft.sources.SkipLines
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def jdkAccepts(b: Array[Byte]): Boolean =
+      try {
+        utf8.newDecoder().decode(java.nio.ByteBuffer.wrap(b)); true
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => false
+      }
+    // exhaustive: every 1- and 2-byte sequence
+    for (a <- 0 to 255) {
+      val s1 = Array(a.toByte)
+      assert(SkipLines.isWellFormedUtf8(s1, 0, 1) == jdkAccepts(s1),
+        s"1-byte $a")
+    }
+    for (a <- 0 to 255; b <- Seq(0x00, 0x41, 0x7F, 0x80, 0x9F, 0xA0,
+        0xBF, 0xC0, 0xC2, 0xE0, 0xED, 0xF0, 0xF4, 0xF5, 0xFF)) {
+      val s2 = Array(a.toByte, b.toByte)
+      assert(SkipLines.isWellFormedUtf8(s2, 0, 2) == jdkAccepts(s2),
+        s"2-byte $a,$b")
+    }
+    // randomized longer sequences, biased toward structured bytes
+    val rnd = new scala.util.Random(42)
+    val pool = Array(0x24, 0x7F, 0x80, 0x9F, 0xA0, 0xBF, 0xC1, 0xC2,
+      0xDF, 0xE0, 0xE1, 0xEC, 0xED, 0xEE, 0xF0, 0xF3, 0xF4, 0xF5)
+    for (_ <- 1 to 20000) {
+      val len = 1 + rnd.nextInt(8)
+      val b = Array.fill(len)(pool(rnd.nextInt(pool.length)).toByte)
+      assert(SkipLines.isWellFormedUtf8(b, 0, len) == jdkAccepts(b),
+        s"seq ${b.map(x => x & 0xFF).mkString(",")}")
+    }
+    // valid text round-trips
+    for (s <- Seq("", "plain", "h\u00e9h\u00e9", "\u6f22\u5b57",
+        "\ud83d\ude42 ok", "\u0000nul")) {
+      val b = s.getBytes(utf8)
+      assert(SkipLines.isWellFormedUtf8(b, 0, b.length), s)
+    }
+  }
+
+  test("undecodable UTF-8 rows are flagged __bad with bytes preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("badutf").toFile
+    val f = new java.io.File(dir, "x.csv")
+    val out = new java.io.FileOutputStream(f)
+    out.write("1,ok\n".getBytes("UTF-8"))
+    out.write(Array[Byte]('2', ',', 0xC3.toByte, 0x28, '\n')) // bad cont.
+    out.write("3,fine\n".getBytes("UTF-8"))
+    out.close()
+    val rows = SkipLines.linesDF(spark, f.getAbsolutePath, 0, "UTF-8")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rows.count(_._2) == 1)
+    assert(rows.filter(!_._2).map(_._1).sorted == Seq("1,ok", "3,fine"))
+    // the bad row's string form replacement-decodes
+    assert(rows.find(_._2).get._1.startsWith("2,"))
+  }
+
   test("CSV read honors skipLines + header per file") {
     val dir = tmpDir(
       "a.csv" -> "junk|junk\nk|v\n1|one\n2|two\n",
