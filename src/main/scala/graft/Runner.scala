@@ -206,15 +206,33 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * async pool: table N's CREATE INDEX runs server-side while table
     * N+1 COPYies). */
   private def drainIndexRebuilds(table: String): Unit = {
+    val key = rebuildKey(table)
     val it = pendingRebuilds.iterator()
     val mine = scala.collection.mutable.ArrayBuffer[
       java.util.concurrent.Future[_]]()
     while (it.hasNext) {
       val e = it.next()
-      if (e._1 == table) { mine += e._2; it.remove() }
+      if (e._1 == key) { mine += e._2; it.remove() }
     }
-    mine.foreach(awaitRebuild)
+    // await EVERY dequeued future even after a failure — stopping at
+    // the first throw would abandon still-running rebuilds that the
+    // end-of-run drain can no longer see (they were already dequeued)
+    var firstFailure: Throwable = null
+    mine.foreach { f =>
+      try awaitRebuild(f)
+      catch { case t: Throwable =>
+        if (firstFailure == null) firstFailure = t
+      }
+    }
+    if (firstFailure != null) throw firstFailure
   }
+
+  /** Canonical per-relation key for the rebuild queue: bare names get
+    * the default schema, so `foo` and `public.foo` (the same pg_class
+    * relation) drain together — a mixed-spelling pair of commands must
+    * not bypass the same-table race guard. */
+  private def rebuildKey(table: String): String =
+    if (table.indexOf('.') < 0) "public." + table else table
 
   /** DDL with a rebuild barrier: user DDL (and any later command's
     * schema work) must observe completed indexes/constraints, so every
@@ -241,7 +259,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // and the drops could interleave with in-flight CREATEs. Scoped to
     // THIS table: other tables' rebuilds overlap this command's load.
     drainIndexRebuilds(table)
-    val (schema, rel) = table.split("\\.") match {
+    // first-dot split — the same convention as PgWire.quoteQualified
+    // and ExactlyOnce.splitQualified, so index handling, sink naming
+    // and summary stats all agree on which relation a dotted string
+    // targets
+    val (schema, rel) = table.split("\\.", 2) match {
       case Array(s, t) => (s, t)
       case _ => ("public", table)
     }
@@ -290,7 +312,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val gate = if (maxParallel > 0)
       Some(new java.util.concurrent.Semaphore(maxParallel)) else None
     dropped.foreach { case (iname, idef, con) =>
-      pendingRebuilds.add((table, indexPool.submit(new Runnable {
+      pendingRebuilds.add((rebuildKey(table), indexPool.submit(new Runnable {
         def run(): Unit = {
           gate.foreach(_.acquire())
           try rebuild() finally gate.foreach(_.release())

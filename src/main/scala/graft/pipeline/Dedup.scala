@@ -394,7 +394,11 @@ object Dedup {
     // null = fall back to the distributed spelling
     var escPairs: Array[(Long, Long)] = null
     var nPairs = -1L
-    if (nCand <= candCap) {
+    // the packed driver path reads ids as primitive longs; any other
+    // id type rides the type-agnostic distributed fallback
+    val idIsLong = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong && nCand <= candCap) {
       val candArr = packedPairs(cand0)
       val pairArr = packedPairs(pairs) // materializes the verify cache
       nPairs = pairArr.length / 2
@@ -422,30 +426,44 @@ object Dedup {
         }
         val bcStrag = df.sparkSession.sparkContext.broadcast(stragSorted)
         val cap = escCap + 1
+        // streaming group scan: buckets are hash-partitioned by
+        // (band, bucket), so sorting WITHIN the partition makes each
+        // bucket's members contiguous — O(one bucket) working memory
+        // instead of a HashMap over the whole partition (boxed tuple
+        // keys, O(partition) heap)
         val pieces = buckets.select(col("band"), col("bucket"), col("id"))
+          .sortWithinPartitions(col("band"), col("bucket"))
           .rdd.mapPartitions { it =>
             val strag = bcStrag.value
             def isStrag(x: Long) =
               java.util.Arrays.binarySearch(strag, x) >= 0
-            val groups = new java.util.HashMap[(Int, Long),
-              scala.collection.mutable.ArrayBuffer[Long]]()
-            it.foreach { r =>
-              groups.computeIfAbsent((r.getInt(0), r.getLong(1)),
-                _ => new scala.collection.mutable.ArrayBuffer[Long]())
-                .append(r.getLong(2))
-            }
             val out = new scala.collection.mutable.ArrayBuffer[
               (Long, Long)]()
-            groups.values.forEach { ms =>
-              if (out.length <= cap && ms.exists(isStrag(_)))
-                ms.foreach { s =>
+            val members = new scala.collection.mutable.ArrayBuffer[Long]()
+            def flush(): Unit = {
+              if (out.length <= cap && members.exists(isStrag(_)))
+                members.foreach { s =>
                   if (isStrag(s))
-                    ms.foreach { m =>
+                    members.foreach { m =>
                       if (m != s && out.length <= cap)
                         out.append((math.min(s, m), math.max(s, m)))
                     }
                 }
+              members.clear()
             }
+            var curBand = 0
+            var curBucket = 0L
+            var any = false
+            it.foreach { r =>
+              val b = r.getInt(0)
+              val bk = r.getLong(1)
+              if (!any) { curBand = b; curBucket = bk; any = true }
+              else if (b != curBand || bk != curBucket) {
+                flush(); curBand = b; curBucket = bk
+              }
+              members.append(r.getLong(2))
+            }
+            if (any) flush()
             Iterator.single(out.toArray)
           }.collect()
         val all = pieces.iterator.flatten.toArray
@@ -878,6 +896,18 @@ object Dedup {
     // duplicate-insensitive, so the raw pair frame collects straight
     // off the caller's (usually cached) plan with NO shuffle — the
     // doubled-distinct exchange only exists for the iterative path.
+    // hint-less callers pay a gate count AND (on the fast path) a
+    // collect over the same lineage — persist the narrow edge frame
+    // across the two actions so the caller's plan runs once; the loop
+    // path's doubled-distinct also reads it from cache. Released
+    // before returning on the fast path; the loop path releases it as
+    // soon as its doubled edge frame is built.
+    val gatePersisted = edgeCountHint.isEmpty &&
+      undirected.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE
+    if (gatePersisted)
+      undirected.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val underGate = edgeCountHint match {
       case Some(hint) => hint <= smallGraphEdges
       case None => 2L * undirected.count() <= smallGraphEdges
@@ -893,6 +923,7 @@ object Dedup {
         it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
         Iterator.single(b.result())
       }.collect()
+      if (gatePersisted) undirected.unpersist(blocking = false)
       // free the PREVIOUS loop call's cached label state, as the loop
       // path does — the fast path itself pins nothing
       releaseComponents(pairs.sparkSession)
@@ -966,6 +997,8 @@ object Dedup {
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize before dropping the gate cache
+    if (gatePersisted) undirected.unpersist(blocking = false)
     // label state is lineage-TRUNCATED each round: the pointer-jumping
     // self-join references the round's frame TWICE, so without
     // truncation the logical plan doubles per round — exponential plan

@@ -86,6 +86,16 @@ object ExactlyOnce extends Serializable {
     * table and the `CREATE IF NOT EXISTS` + `TRUNCATE` session setup
     * would erase the winner's rows — exactly the speculation hazard
     * the per-attempt design exists to prevent.
+    *
+    * Continuity note: for relnames LONGER than the budget this hashed
+    * base differs from the unbounded names earlier revisions produced
+    * (which PG truncated), so epochs ledgers and crashed-run stage
+    * tables created by those revisions are not recognized after an
+    * upgrade. Before upgrading a deployment that streams into such
+    * long-named tables: stop the query at a checkpointed batch
+    * boundary and drop leftover `<rel>__graft_stage_*` /
+    * `<rel>__graft_epochs` tables manually — otherwise the fresh
+    * ledger re-delivers already-published batches.
     */
   private def boundBase(rel: String, budget: Int = 63 - 46): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

@@ -193,6 +193,23 @@ class DedupSpec extends SparkSpec {
     assert(sCapped == sFull)
   }
 
+  test("minhashComponents with non-Long ids rides the distributed " +
+      "fallback instead of crashing") {
+    // string doc ids: the packed driver-side escalation reads ids as
+    // primitive longs and must be bypassed, not crash (regression:
+    // the r15 driver-side escalation assumed LongType unconditionally)
+    val rows = Seq(
+      ("a1", "the quick brown fox jumps over the lazy dog near the bank"),
+      ("a2", "the quick brown fox jumps over the lazy dog near the bank v"),
+      ("b1", "an entirely different text about nothing in particular"))
+    val corpus = rows.toDF("id", "text")
+    val comps = Dedup.minhashComponents(corpus, "id", "text",
+      numPerms = 64, bands = 16, threshold = 0.5)
+    val sets = comps.collect().map(r => (r.getString(1), r.getString(0)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(sets.contains(Set("a1", "a2")))
+  }
+
   test("bipartite minhash pairs cross-corpus near-dups only") {
     val bench = Seq(
       // identical to docs 1 and 2

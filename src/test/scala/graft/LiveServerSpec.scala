@@ -423,6 +423,24 @@ class LiveServerSpec extends SparkSpec {
     val dup = intercept[Exception](exec("INSERT INTO dropidx VALUES (1, 'x')"))
     assert(dup.getMessage.toLowerCase.contains("duplicate"),
       s"expected duplicate-key rejection, got: ${dup.getMessage}")
+
+    // mixed-spelling same-relation sequence: a second command naming
+    // the SAME relation with an explicit schema qualifier must drain
+    // the first command's async rebuilds (rebuildKey normalizes bare
+    // names to public.<rel>) and end with indexes intact
+    val text2 =
+      s"""LOAD CSV FROM '$csv' HAVING FIELDS (id, v)
+            INTO $uri TARGET TABLE dropidx
+            WITH truncate, fields terminated by ',', drop indexes;
+          LOAD CSV FROM '$csv' HAVING FIELDS (id, v)
+            INTO $uri TARGET TABLE public.dropidx
+            WITH truncate, fields terminated by ',', drop indexes;"""
+    val stats2 = pgRunner(uri).runFile(spark, text2)
+    assert(stats2.map(_.rows).sum == 1000)
+    val idx2 = q("SELECT indexname FROM pg_indexes " +
+      "WHERE tablename = 'dropidx' ORDER BY 1").map(_(0))
+    assert(idx2 == Seq("dropidx_pkey", "dropidx_v_idx"),
+      s"indexes after mixed-spelling rebuild: $idx2")
     exec("DROP TABLE dropidx")
   }
 
