@@ -26,14 +26,12 @@ case class CopyUnescape(child: Expression) extends UnaryExpression {
   override def prettyName: String = "copy_unescape"
 
   protected override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(graft.sources.CopyText.unescape(
-      input.asInstanceOf[UTF8String].toString))
+    StringExpressions.copyUnescapeFast(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.sources.CopyText.unescape($c.toString()))")
+      s"graft.functions.StringExpressions.copyUnescapeFast($c)")
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
@@ -214,6 +212,25 @@ object StringExpressions {
 
   def copyEscape(c: Column): Column =
     ExpressionUtils.column(CopyEscape(ExpressionUtils.expression(c)))
+
+  /** [[CopyUnescape]]'s runtime: a field with no backslash byte (the
+    * overwhelmingly common case) is returned unchanged — zero
+    * allocation, no decode; only fields that actually carry an escape
+    * pay the String-based spec ([[graft.sources.CopyText.unescape]],
+    * which owns the full hex/octal/control grammar). A backslash is
+    * ASCII, so the byte scan cannot false-negative on multi-byte
+    * UTF-8. */
+  def copyUnescapeFast(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x5C) // '\'
+        return UTF8String.fromString(
+          graft.sources.CopyText.unescape(s.toString))
+      i += 1
+    }
+    s
+  }
 
   /** One-pass COPY TEXT escape over UTF-8 bytes (called from codegen
     * and eval). Returns the INPUT object itself when nothing needs
