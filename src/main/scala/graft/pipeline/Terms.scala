@@ -335,12 +335,16 @@ object Terms {
     *
     * Scale shape: ONE tokenize pass builds (stratum, term) counts;
     * per-term corpus counts and stratum totals derive from that table
-    * by further aggregation (never a second corpus scan). The scoring
-    * grid is vocabulary × strata rows — aggregate-compressed, orders of
-    * magnitude below corpus bytes (terms absent from a stratum still
-    * contribute their ½·q·ln(q/m) mass through a left join). Per-term
+    * by further aggregation (never a second corpus scan). Terms absent
+    * from a stratum contribute their ½·q·ln 2 mass ANALYTICALLY — a
+    * per-word correction summed once over the vocabulary — so the
+    * scoring work is one equi-join on the PRESENT (stratum, term) rows,
+    * never a materialized vocabulary × strata grid (which at thousands
+    * of strata would dwarf the present rows it pads). Per-term
     * contributions round to integer micros before the per-stratum sum —
-    * engine-exact by the library's convention.
+    * engine-exact by the library's convention, and bit-identical to the
+    * padded-grid spelling (see the body comment for the float-sequence
+    * argument).
     *
     * Output: (stratum, n_toks, js_micro), one row per stratum.
     */
@@ -355,30 +359,44 @@ object Terms {
     val cw = cs.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val ns = cs.groupBy(col("stratum")).agg(sum(col("c_sw")).as("n_s"))
     val total = cw.agg(sum(col("c_w")).as("n_tot"))
-    val p = coalesce(col("c_sw"), lit(0L)).cast("double") /
-      col("n_s").cast("double")
+    // A term ABSENT from a stratum (p = 0) contributes
+    //   ½·q·ln(q/m) = ½·q·ln 2  with m = ½(0 + q),
+    // which depends on the WORD alone. So the vocabulary × strata
+    // grid (a padded left join whose null rows all evaluate to that
+    // constant-in-w value) collapses algebraically:
+    //   js_micro(s) = Σ_present tm(p,q) + (R_tot − Σ_present r_w),
+    // with r_w the absent-cell micros and R_tot their vocabulary sum.
+    // The per-cell floor(·×1e6 + ½) happens on exactly the same
+    // per-(stratum, term) values as the grid spelling — bit-identical
+    // output, vocabulary-sized work instead of vocabulary × strata
+    // r_w's float sequence mirrors the grid cell EXACTLY:
+    // q/m with m = ½q is exactly 2.0 in IEEE double (same mantissa,
+    // exponent−1), so the absent cell evaluates
+    // 0.0 + 0.5·(q·ln 2), then ·1e6, then +0.5 — reproduced here
+    // operation-for-operation so the floor lands identically
     val q = col("c_w").cast("double") / col("n_tot").cast("double")
+    val cwr = cw.crossJoin(broadcast(total))
+      .withColumn("r_w", floor(
+        (lit(0.5) * (q * lit(math.log(2.0)))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+    val rtot = cwr.agg(sum(col("r_w")).as("r_tot"))
+    val p = col("c_sw").cast("double") / col("n_s").cast("double")
     val m = lit(0.5) * (p + q)
-    val term = lit(0.5) *
-        when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+    val term = lit(0.5) * (p * log(p / m)) +
       lit(0.5) * (q * log(q / m))
     // null-SAFE stratum equality: a NULL stratum is a real stratum here
-    // (same convention as mixtureResample) — a null-unsafe key would
-    // leave every c_sw unmatched and report the null stratum at the
-    // p≡0 divergence (~½·ln 2) regardless of its content. Aliases,
-    // because grid and cs share the cs lineage (self-join detection).
-    val grid = cw.crossJoin(broadcast(ns)).as("g")
-    grid.join(cs.as("cs"),
-        col("g.stratum") <=> col("cs.stratum") &&
-          col("g.w") === col("cs.w"),
-        "left")
-      .select(col("g.stratum").as("stratum"), col("g.n_s").as("n_s"),
-        col("g.c_w").as("c_w"), col("cs.c_sw").as("c_sw"))
-      .crossJoin(broadcast(total))
+    // (same convention as mixtureResample)
+    val ns2 = ns.select(col("stratum").as("ns_stratum"), col("n_s"))
+    cs.join(cwr, Seq("w"))
+      .join(broadcast(ns2), col("stratum") <=> col("ns_stratum"))
       .select(col("stratum"), col("n_s"),
-        floor(term * lit(1e6) + lit(0.5)).cast("long").as("tm"))
+        (floor(term * lit(1e6) + lit(0.5)).cast("long") -
+          col("r_w")).as("tm"))
       .groupBy(col("stratum"))
-      .agg(min(col("n_s")).as("n_toks"), sum(col("tm")).as("js_micro"))
+      .agg(min(col("n_s")).as("n_toks"), sum(col("tm")).as("adj"))
+      .crossJoin(broadcast(rtot))
+      .select(col("stratum"), col("n_toks"),
+        (col("adj") + col("r_tot")).as("js_micro"))
   }
 
   /** PMI collocations — the phrase-mining table (Church & Hanks 1990,

@@ -473,4 +473,48 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(r.getLong(0) == 1L)
     assert(r.getSeq[String](1) == Seq(key))
   }
+
+  test("sourceDivergence: collapse equals brute-force grid, randomized") {
+    // model: the padded vocabulary-by-strata grid with per-cell micro
+    // rounding -- exactly the spelling the analytic absent-cell
+    // correction replaced; 12 seeded corpora including a null stratum
+    val rnd = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "dd", "ee", "ff", "g'h")
+    for (trial <- 1 to 12) {
+      val nDocs = 3 + rnd.nextInt(8)
+      val docs = (1 to nDocs).map { _ =>
+        val src = rnd.nextInt(4) match {
+          case 0 => null
+          case k => s"s$k"
+        }
+        val text = Seq.fill(1 + rnd.nextInt(12))(
+          words(rnd.nextInt(words.length))).mkString(" ")
+        (src, text)
+      }
+      val df = docs.toDF("source", "text")
+      // driver-side brute force over the padded grid
+      val toks = docs.flatMap { case (s, t) =>
+        t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+          .map(w => (s, w))
+      }
+      val cSW = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cW = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nS = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nTot = toks.size.toLong
+      val expect = nS.map { case (s, ns) =>
+        val js = cW.keys.toSeq.map { w =>
+          val p = cSW.getOrElse((s, w), 0L).toDouble / ns
+          val q = cW(w).toDouble / nTot
+          val m = 0.5 * (p + q)
+          val term = 0.5 * (if (p > 0) p * math.log(p / m) else 0.0) +
+            0.5 * (q * math.log(q / m))
+          math.floor(term * 1e6 + 0.5).toLong
+        }.sum
+        (s, ns, js)
+      }.toSet
+      val got = Terms.sourceDivergence(df, "source", "text").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }
