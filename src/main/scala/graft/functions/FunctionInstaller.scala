@@ -22,6 +22,22 @@ object FunctionInstaller {
   def expression(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over executor-built `InternalRow`s (values already in
+    * catalyst form, e.g. `UTF8String`) — skips the per-field
+    * `ExpressionEncoder` pass `createDataFrame(rdd, schema)` runs on
+    * external `Row`s. The wire sources use this to hand their decoded
+    * byte slices straight to the scan; `RDDScanExec` applies an
+    * `UnsafeProjection` per partition, so rows may share transient
+    * buffers (each row's values must stay valid only until the next
+    * `next()`). */
+  def internalDataFrame(spark: SparkSession,
+                        rows: org.apache.spark.rdd.RDD[
+                          org.apache.spark.sql.catalyst.InternalRow],
+                        schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
+
   def install(spark: SparkSession,
               fns: Seq[(FunctionIdentifier, ExpressionInfo,
                 Seq[Expression] => Expression)]): Unit =

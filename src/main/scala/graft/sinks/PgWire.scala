@@ -392,6 +392,29 @@ final class PgWireConnection(params: PgWire.ConnParams)
     }
   }
 
+  // [[parseDataRow]] decoded to UTF8String SLICES of the message
+  // payload — no java-String decode/re-encode per field (the values
+  // head into a DataFrame, whose native string form is UTF8String
+  // bytes anyway). Array[Any] so the scan can wrap the array in a
+  // GenericInternalRow without a copy; slices alias the payload
+  // buffer, which is private to its row.
+  private def parseDataRowData(payload: Array[Byte]): Array[Any] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val n = buf.getShort.toInt
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt
+      if (len >= 0) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(payload, buf.position(), len)
+        buf.position(buf.position() + len)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Run one simple-protocol SELECT, STREAMING the TEXT-format result:
     * column names are read eagerly (RowDescription precedes the data),
     * then each DataRow frame decodes only as the iterator is consumed —
@@ -406,10 +429,22 @@ final class PgWireConnection(params: PgWire.ConnParams)
     * raised mid-stream surfaces as [[PgWire.PgServerError]] from
     * hasNext/next after the stream drains to ready — the connection
     * stays usable afterwards. */
-  def queryStream(sql: String): (Seq[String], Iterator[Array[String]]) = {
+  def queryStream(sql: String): (Seq[String], Iterator[Array[String]]) =
+    queryStreamWith(sql, parseDataRow)
+
+  /** [[queryStream]] with catalyst-form rows: each DataRow decodes to
+    * UTF8String slices of its wire payload (null = SQL NULL), ready to
+    * wrap in a `GenericInternalRow` — the distributed readers' path
+    * (no per-field java-String round-trip). Same streaming/error
+    * contract as [[queryStream]]. */
+  def queryStreamData(sql: String): (Seq[String], Iterator[Array[Any]]) =
+    queryStreamWith(sql, parseDataRowData)
+
+  private def queryStreamWith[T >: Null <: AnyRef](
+      sql: String, parse: Array[Byte] => T): (Seq[String], Iterator[T]) = {
     writeMsg('Q', cstring(sql)); out.flush()
     var cols: Seq[String] = Nil
-    var firstRow: Array[String] = null
+    var firstRow: T = null
     var err: PgServerError = null
     var finished = false
     // read up to the header (or straight to ready on an early error /
@@ -419,7 +454,7 @@ final class PgWireConnection(params: PgWire.ConnParams)
       val (tpe, payload) = readMsg()
       tpe match {
         case 'T' => cols = parseRowDescription(payload); sawData = true
-        case 'D' => firstRow = parseDataRow(payload); sawData = true
+        case 'D' => firstRow = parse(payload); sawData = true
         case 'E' => err = parseError(payload)
         case 'Z' => finished = true
         case _ => ()
@@ -428,15 +463,15 @@ final class PgWireConnection(params: PgWire.ConnParams)
     if (finished && err != null) throw err
     val pendingErr = err
     val wasFinished = finished
-    val it = new Iterator[Array[String]] {
-      private var nextRow: Array[String] = firstRow
+    val it = new Iterator[T] {
+      private var nextRow: T = firstRow
       private var done = wasFinished
       private var pending: PgServerError = pendingErr
       private def advance(): Unit = {
         while (nextRow == null && !done) {
           val (tpe, payload) = readMsg()
           tpe match {
-            case 'D' => nextRow = parseDataRow(payload)
+            case 'D' => nextRow = parse(payload)
             case 'E' => pending = parseError(payload)
             case 'Z' => done = true
             case _ => () // CommandComplete / notices
@@ -447,7 +482,7 @@ final class PgWireConnection(params: PgWire.ConnParams)
         }
       }
       override def hasNext: Boolean = { advance(); nextRow != null }
-      override def next(): Array[String] = {
+      override def next(): T = {
         advance()
         if (nextRow == null) throw new NoSuchElementException("drained")
         val r = nextRow; nextRow = null; r

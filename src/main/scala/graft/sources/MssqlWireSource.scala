@@ -218,19 +218,35 @@ object MssqlWireSource {
             tc.addTaskCompletionListener[Unit](_ => conn.close())
           val (_, rows) = conn.queryStream(
             s"SELECT $select FROM $qtable WHERE $pred")
-          new Iterator[Row] {
+          // TDS values arrive UTF-16 and must transcode anyway; the
+          // internal-row wrap still skips the Row +
+          // ExpressionEncoder pass per row
+          new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
             private var closed = false
             override def hasNext: Boolean = {
               val h = rows.hasNext
               if (!h && !closed) { closed = true; conn.close() }
               h
             }
-            override def next(): Row = Row.fromSeq(rows.next().toSeq)
+            override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+              val vs = rows.next()
+              val out = new Array[Any](vs.length)
+              var i = 0
+              while (i < vs.length) {
+                if (vs(i) != null)
+                  out(i) = org.apache.spark.unsafe.types.UTF8String
+                    .fromString(vs(i))
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(out)
+            }
           }
         }
       }
     val sparkSchema = StructType(names.map(n =>
       StructField(n, StringType, nullable = true)))
-    spark.createDataFrame(rdd, sparkSchema)
+    org.apache.spark.sql.graft.FunctionInstaller
+      .internalDataFrame(spark, rdd, sparkSchema)
   }
 }

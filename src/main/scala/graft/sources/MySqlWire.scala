@@ -180,6 +180,22 @@ object MySqlWire {
         case -1L => null
         case n => new String(bytes(n.toInt), cs)
       }
+    /** Length-encoded value as a catalyst `UTF8String` — a zero-copy
+      * slice of the packet buffer when `cs` is UTF-8 (each row owns
+      * its packet array, so the alias is row-private), transcoded
+      * through a java String otherwise; null for the NULL marker. */
+    def lenencData(cs: java.nio.charset.Charset): AnyRef = lenenc match {
+      case -1L => null
+      case n =>
+        val len = n.toInt
+        if (cs eq UTF_8) {
+          val v = org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(buf, pos, len)
+          pos += len
+          v
+        } else org.apache.spark.unsafe.types.UTF8String
+          .fromString(new String(bytes(len), cs))
+    }
   }
 
   private[graft] def writeLenenc(o: java.io.ByteArrayOutputStream,
@@ -451,7 +467,27 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
     * drained. */
   def queryStream(sql: String,
                   charset: java.nio.charset.Charset = UTF_8)
-      : (Seq[String], Iterator[Array[String]]) = {
+      : (Seq[String], Iterator[Array[String]]) =
+    queryStreamWith(sql,
+      (c, n) => Array.fill(n)(c.lenencStringAs(charset)))
+
+  /** [[queryStream]] with catalyst-form rows — values decode to
+    * `UTF8String` ([[Cursor.lenencData]]: packet slices for UTF-8,
+    * transcode otherwise), ready to wrap in a `GenericInternalRow`.
+    * The distributed reader's path; same streaming contract. */
+  def queryStreamData(sql: String,
+                      charset: java.nio.charset.Charset = UTF_8)
+      : (Seq[String], Iterator[Array[Any]]) =
+    queryStreamWith(sql, (c, n) => {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = c.lenencData(charset); i += 1 }
+      out
+    })
+
+  private def queryStreamWith[T >: Null <: AnyRef](
+      sql: String, mkRow: (Cursor, Int) => T)
+      : (Seq[String], Iterator[T]) = {
     sendCommand(0x03, sql.getBytes(UTF_8)) // COM_QUERY
     val first = readPacket()
     (first(0) & 0xFF) match {
@@ -467,21 +503,18 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
         }
         val eof = readPacket()
         require(isEof(eof), "expected EOF after column definitions")
-        val it = new Iterator[Array[String]] {
-          private var nextRow: Array[String] = null
+        val it = new Iterator[T] {
+          private var nextRow: T = null
           private var done = false
           private def advance(): Unit =
             while (nextRow == null && !done) {
               val p = readPacket()
               if (isEof(p)) done = true
               else if ((p(0) & 0xFF) == 0xFF) { done = true; throw parseErr(p) }
-              else {
-                val c = new Cursor(p)
-                nextRow = Array.fill(ncols)(c.lenencStringAs(charset))
-              }
+              else nextRow = mkRow(new Cursor(p), ncols)
             }
           override def hasNext: Boolean = { advance(); nextRow != null }
-          override def next(): Array[String] = {
+          override def next(): T = {
             advance()
             if (nextRow == null) throw new NoSuchElementException("drained")
             val r = nextRow; nextRow = null; r

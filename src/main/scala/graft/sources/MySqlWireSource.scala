@@ -188,22 +188,28 @@ object MySqlWireSource {
           val tc = org.apache.spark.TaskContext.get()
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => conn.close())
-          val (_, rows) = conn.queryStream(
+          // catalyst-form rows (UTF8String packet slices for UTF-8
+          // connections) through the internal-row scan — same
+          // String-free path as PgWireSource.readWithPredicates
+          val (_, rows) = conn.queryStreamData(
             s"SELECT $select FROM $qtable WHERE $pred",
             java.nio.charset.Charset.forName(charsetName))
-          new Iterator[Row] {
+          new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
             private var closed = false
             override def hasNext: Boolean = {
               val h = rows.hasNext
               if (!h && !closed) { closed = true; conn.close() }
               h
             }
-            override def next(): Row = Row.fromSeq(rows.next().toSeq)
+            override def next(): org.apache.spark.sql.catalyst.InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(rows.next())
           }
         }
       }
     val sparkSchema = StructType(names.map(n =>
       StructField(n, StringType, nullable = true)))
-    spark.createDataFrame(rdd, sparkSchema)
+    org.apache.spark.sql.graft.FunctionInstaller
+      .internalDataFrame(spark, rdd, sparkSchema)
   }
 }

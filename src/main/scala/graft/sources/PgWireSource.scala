@@ -137,6 +137,11 @@ object PgWireSource {
     val select = cols.mkString(", ")
     val qtable = PgWire.quoteQualified(table)
     val p = params // capture the case class, not this object
+    // rows decode straight to catalyst form (UTF8String slices of the
+    // wire payload, wrapped in GenericInternalRow) and enter the plan
+    // via the internal-row scan — no per-field java-String round-trip
+    // and no ExpressionEncoder pass. RDDScanExec's UnsafeProjection
+    // copies each row out before anything downstream retains it.
     val rdd = spark.sparkContext
       .parallelize(preds, preds.length)
       .mapPartitions { it =>
@@ -148,21 +153,24 @@ object PgWireSource {
           val tc = org.apache.spark.TaskContext.get()
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => conn.close())
-          val (_, rows) = conn.queryStream(
+          val (_, rows) = conn.queryStreamData(
             s"SELECT $select FROM $qtable WHERE $pred")
-          new Iterator[Row] {
+          new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
             private var closed = false
             override def hasNext: Boolean = {
               val h = rows.hasNext
               if (!h && !closed) { closed = true; conn.close() }
               h
             }
-            override def next(): Row = Row.fromSeq(rows.next().toSeq)
+            override def next(): org.apache.spark.sql.catalyst.InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(rows.next())
           }
         }
       }
     val schema = StructType(names.map(n =>
       StructField(n, StringType, nullable = true)))
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graft.FunctionInstaller
+      .internalDataFrame(spark, rdd, schema)
   }
 }
