@@ -51,7 +51,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       tables = stats,
       postDdl = dbSummaries.flatMap(_.postDdl),
       totalMillis = totalMillis,
-      ddlErrors = dbSummaries.flatMap(_.ddlErrors))
+      ddlErrors = dbSummaries.flatMap(_.ddlErrors),
+      phaseEntries = dbSummaries.flatMap(_.phaseEntries))
 
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
@@ -419,6 +420,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // name) — the MATERIALIZE VIEWS surface. Server sources run real
     // SQL; sqlite:// has no server, so its viewOps keep an in-memory
     // registry and evaluate view SELECTs through Spark SQL instead
+    val fetchT0 = System.nanoTime()
     val (baseTables: Seq[Table], defaults, readTable, viewOps,
       sourceSequences: Seq[graft.catalog.SequenceDef]) =
       scheme match {
@@ -621,6 +623,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           "speak their native wire protocols, sqlite reads the file " +
           "format)")
     }
+    // reference "fetch meta data" pre entry (core.clj:513-514): the
+    // source-catalog introspection wall, rows = tables discovered
+    val fetchNanos = System.nanoTime() - fetchT0
 
     // MATERIALIZE VIEWS (matviews.lisp:24-63): create user-defined
     // views in the SOURCE, introspect the named (or all) views as
@@ -764,7 +769,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         setParams = cmd.setParams,
         disableTriggers = cmd.boolOption("disable triggers"))
     } finally dropCreatedViews()
-    dbSummaries = dbSummaries :+ summary
+    dbSummaries = dbSummaries :+ summary.copy(phaseEntries =
+      graft.orchestration.PhaseEntry("pre", "fetch meta data",
+        baseTables.size.toLong, fetchNanos) +: summary.phaseEntries)
     summary.tables
   }
 

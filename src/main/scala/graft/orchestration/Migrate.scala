@@ -15,13 +15,27 @@ final case class TableStats(schema: String, table: String, rows: Long,
                             error: Option[String] = None,
                             bytes: Long = 0L)
 
+/** One itemized phase-timing row for the summary report — the
+  * reference's named pre/post stats entries ("fetch meta data",
+  * "Create tables", "COPY Wall-Clock Time", "Create Indexes",
+  * "Primary Keys", "Create Foreign Keys", "Create Check Constraints",
+  * "Reset Sequences"; core.clj stats/new-entry!/update-entry! sites
+  * at :513,:716,:769,:779,:1001-1059). `section` is "pre" or "post";
+  * `rows` counts the statements/objects the step processed; `nanos`
+  * is the step's wall time. */
+final case class PhaseEntry(section: String, label: String,
+                            rows: Long, nanos: Long)
+
 /** Three-section migration summary: pre (DDL), data (per-table stats),
   * post (indexes/PKs/FKs/sequences), like the reference's report.
   * `ddlErrors` collects index/post-phase DDL failures (statement →
-  * message) that did not abort the run. */
+  * message) that did not abort the run. `phaseEntries` itemizes the
+  * pre/post phases with real wall times ([[PhaseEntry]]); empty for
+  * dry runs and for loads that predate the phase clock. */
 final case class Summary(preDdl: Seq[String], tables: Seq[TableStats],
                          postDdl: Seq[String], totalMillis: Long,
-                         ddlErrors: Seq[(String, String)] = Nil) {
+                         ddlErrors: Seq[(String, String)] = Nil,
+                         phaseEntries: Seq[PhaseEntry] = Nil) {
   def totalRows: Long = tables.map(_.rows).sum
   def totalRejected: Long = tables.map(_.rejected).sum
   def totalBytes: Long = tables.map(_.bytes).sum
@@ -166,8 +180,14 @@ final class Migrator(
       s"identifier collision after 63-byte truncation: $collisions")
     cat = cat.cast(userCast, defaults)
 
+    // itemized pre/post wall times for the summary report (the
+    // reference's named stats entries — see [[PhaseEntry]]); dry runs
+    // skip them: no work happens, so the times would be noise
+    val phaseEntries = Seq.newBuilder[PhaseEntry]
+
     // ---- 2. prepare target (prepare-pgsql-database :11-150)
     val pre = Seq.newBuilder[String]
+    val preT0 = System.nanoTime()
     def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
     // BEFORE LOAD DO, ahead of any schema DDL (and inside the plan)
     beforeLoad.foreach(preDdl)
@@ -230,6 +250,11 @@ final class Migrator(
     if (truncate) cat.allTables.foreach(t => preDdl(Ddl.truncate(t)))
     // AFTER CREATE SCHEMA DO: the schema exists, no data has moved yet
     afterSchema.foreach(preDdl)
+    // reference "Create tables" pre entry (core.clj:716,764-766):
+    // rows = catalog table count, nanos = the whole target-prepare wall
+    if (!dryRun)
+      phaseEntries += PhaseEntry("pre", "Create tables",
+        cat.allTables.size.toLong, System.nanoTime() - preT0)
 
     // ---- 3. data phase: biggest tables first
     // (optimize-table-copy-ordering :304-320), index builds overlapping
@@ -248,7 +273,13 @@ final class Migrator(
     val failedIndexes = new ConcurrentLinkedQueue[(String, String)]
     val indexFutures =
       new ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
+    // wall clock of the first index SUBMIT — "Create Indexes" measures
+    // from there to the last build's completion (core.clj idx-wall-t0),
+    // so it reports how long index work extended past its start, most
+    // of which overlaps the remaining copies
+    val idxWallT0 = new java.util.concurrent.atomic.AtomicLong(0L)
     try {
+      val copyT0 = System.nanoTime()
       val copyFutures = if (dryRun) Nil else ordered.map { t =>
         copyPool.submit(new Runnable {
           def run(): Unit = {
@@ -262,6 +293,7 @@ final class Migrator(
               // this table is done copying → build its indexes NOW, while
               // other tables may still be loading
               if (withIndexes) t.indexes.foreach { i =>
+                idxWallT0.compareAndSet(0L, System.nanoTime())
                 indexFutures.add(indexPool.submit(new Runnable {
                   def run(): Unit = {
                     val sql = Ddl.createIndex(i, t.schema)
@@ -285,7 +317,13 @@ final class Migrator(
         })
       }
       copyFutures.foreach(_.get())
+      if (!dryRun)
+        phaseEntries += PhaseEntry("post", "COPY Wall-Clock Time", 0L,
+          System.nanoTime() - copyT0)
       indexFutures.asScala.foreach(_.get())
+      if (!dryRun && withIndexes && !indexFutures.isEmpty)
+        phaseEntries += PhaseEntry("post", "Create Indexes",
+          indexFutures.size.toLong, System.nanoTime() - idxWallT0.get())
     } finally {
       // never leak the non-daemon pools, whatever threw above
       copyPool.shutdownNow()
@@ -305,11 +343,29 @@ final class Migrator(
     val okTables = cat.allTables
       .filterNot(t => failedCopies((t.schema, t.name)))
     val post = Seq.newBuilder[String]
-    def postDdl(sql: String): Unit =
+    var postCount = 0L
+    def postDdl(sql: String): Unit = {
+      postCount += 1
       try { ddl(sql); post += sql } catch {
         case scala.util.control.NonFatal(e) =>
           ddlErrors.add((sql, Option(e.getMessage).getOrElse(e.toString)))
       }
+    }
+    // timed post step: rows = statements attempted inside `body`
+    // (failures land in ddlErrors but still count as attempted, like
+    // the reference's exec-post-ddl! accounting); `always` emits the
+    // entry even when the step had nothing to do (the reference
+    // creates "Create Foreign Keys"/"Reset Sequences" entries whenever
+    // the option is on, but "Primary Keys"/"Create Check Constraints"
+    // only when work exists — core.clj:1007,1016,1042,1050)
+    def timedPost(label: String, always: Boolean)(body: => Unit): Unit = {
+      val t = System.nanoTime(); val n0 = postCount
+      body
+      val n = postCount - n0
+      if (!dryRun && (always || n > 0))
+        phaseEntries += PhaseEntry("post", label, n,
+          System.nanoTime() - t)
+    }
     // the index builds interleave with the data phase in a REAL run
     // (executed concurrently via ddl()); record the successful ones in
     // the summary here so the report matches what a dry-run plans —
@@ -325,25 +381,37 @@ final class Migrator(
       okTables.foreach(t => t.indexes.foreach(i =>
         postDdl(Ddl.createIndex(i, t.schema))))
     if (withIndexes)
-      okTables.foreach(t => t.indexes.filter(_.primary)
-        // an index whose build failed has nothing to attach the PK to
-        .filterNot(i => failedIndexes.contains((t.schema, i.name)))
-        .foreach(i => postDdl(Ddl.attachPrimaryKey(i, t.schema))))
+      timedPost("Primary Keys", always = false) {
+        okTables.foreach(t => t.indexes.filter(_.primary)
+          // an index whose build failed has nothing to attach the PK to
+          .filterNot(i => failedIndexes.contains((t.schema, i.name)))
+          .foreach(i => postDdl(Ddl.attachPrimaryKey(i, t.schema))))
+      }
     if (withFKeys)
-      okTables.foreach(t =>
-        // the REFERENCED side of an FK must have loaded too
-        t.fkeys.filterNot(f => failedCopies((t.schema, f.foreignTable)))
-          .foreach(f => postDdl(Ddl.addFKey(f, t.schema))))
+      timedPost("Create Foreign Keys", always = true) {
+        okTables.foreach(t =>
+          // the REFERENCED side of an FK must have loaded too
+          t.fkeys.filterNot(f => failedCopies((t.schema, f.foreignTable)))
+            .foreach(f => postDdl(Ddl.addFKey(f, t.schema))))
+      }
     if (resetSequences)
+      timedPost("Reset Sequences", always = true) {
+        okTables.foreach(t =>
+          t.columns.filter(c =>
+            c.pgType == "serial" || c.pgType == "bigserial")
+            .foreach(c => postDdl(Ddl.resetSequence(t, c.name))))
+      }
+    timedPost("Create Check Constraints", always = false) {
       okTables.foreach(t =>
-        t.columns.filter(c => c.pgType == "serial" || c.pgType == "bigserial")
-          .foreach(c => postDdl(Ddl.resetSequence(t, c.name))))
-    okTables.foreach { t =>
-      t.checks.zipWithIndex.foreach { case (expr, i) =>
-        postDdl(Ddl.addCheck(t, s"${t.name}_check_$i", expr)) }
-      t.comment.foreach(cm => postDdl(Ddl.commentOnTable(t, cm)))
-      t.columns.foreach(c =>
-        c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
+        t.checks.zipWithIndex.foreach { case (expr, i) =>
+          postDdl(Ddl.addCheck(t, s"${t.name}_check_$i", expr)) })
+    }
+    timedPost("Install Comments", always = false) {
+      okTables.foreach { t =>
+        t.comment.foreach(cm => postDdl(Ddl.commentOnTable(t, cm)))
+        t.columns.foreach(c =>
+          c.comment.foreach(cm => postDdl(Ddl.commentOnColumn(t, c, cm))))
+      }
     }
     // MySQL ON UPDATE CURRENT_TIMESTAMP → plpgsql trigger emulation
     // (pgsql-trigger.lisp; ddl/common.clj:576-601). Created AFTER the data
@@ -366,6 +434,6 @@ final class Migrator(
     Summary(pre.result(),
       stats.asScala.toSeq.sortBy(s => byName((s.schema, s.table))),
       post.result(), (System.nanoTime() - t0) / 1000000,
-      ddlErrors.asScala.toSeq)
+      ddlErrors.asScala.toSeq, phaseEntries.result())
   }
 }

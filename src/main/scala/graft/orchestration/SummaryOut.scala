@@ -9,13 +9,16 @@ package graft.orchestration
   * rows, bytes, total time (verbose adds read time / write time), with
   * per-phase totals and a grand total.
   *
-  * Two honest deviations, both documented here rather than silent:
-  *   - per-table read/write times: Spark fuses source scan and sink
-  *     write into one job, so the reader/writer split the reference's
-  *     thread pairs measure does not exist — read time is reported 0
-  *     and write time carries the table's wall time;
-  *   - pre/post phases appear as one aggregate entry each (our DDL
-  *     phases record statements, not per-step timings).
+  * One honest deviation, documented here rather than silent:
+  * per-table read/write times — Spark fuses source scan and sink
+  * write into one job, so the reader/writer split the reference's
+  * thread pairs measure does not exist; read time is reported 0 and
+  * write time carries the table's wall time. Database migrations
+  * itemize the pre/post phases with real wall times
+  * ([[PhaseEntry]]: "fetch meta data", "Create tables",
+  * "COPY Wall-Clock Time", "Create Indexes", "Primary Keys", …);
+  * runs without a phase clock (file loads, dry runs) fall back to
+  * one aggregate zero-time entry per phase.
   */
 object SummaryOut {
 
@@ -40,8 +43,17 @@ object SummaryOut {
                                  readNanos: Long, writeNanos: Long)
 
   private def entries(s: Summary): Map[String, Seq[Entry]] = {
+    // itemized phase rows when the run recorded them ([[PhaseEntry]] —
+    // the reference's named pre/post entries with real wall times);
+    // the single aggregate "pre load"/"post load" rows remain the
+    // fallback for runs without a phase clock (file loads, dry runs)
+    def itemized(section: String): Seq[Entry] =
+      s.phaseEntries.filter(_.section == section).map(pe =>
+        Entry(pe.label, 0L, pe.rows, 0L, pe.nanos, 0L, pe.nanos))
+    val preItems = itemized("pre")
     val pre =
-      if (s.preDdl.isEmpty) Nil
+      if (preItems.nonEmpty) preItems
+      else if (s.preDdl.isEmpty) Nil
       else Seq(Entry("pre load", 0L, 0L, 0L, 0L, 0L, 0L))
     val data = s.tables.map { t =>
       val nanos = t.millis * 1000000L
@@ -49,8 +61,15 @@ object SummaryOut {
         t.rejected + (if (t.error.nonEmpty) 1L else 0L),
         t.rows, t.bytes, nanos, 0L, nanos)
     }
+    val postItems = itemized("post")
     val post =
-      if (s.postDdl.isEmpty && s.ddlErrors.isEmpty) Nil
+      if (postItems.nonEmpty)
+        // tolerated DDL failures stay visible next to the itemized
+        // rows (they are not attributable to one step after the fact)
+        postItems ++ (if (s.ddlErrors.isEmpty) Nil
+          else Seq(Entry("post load errors", s.ddlErrors.size.toLong,
+            0L, 0L, 0L, 0L, 0L)))
+      else if (s.postDdl.isEmpty && s.ddlErrors.isEmpty) Nil
       else Seq(Entry("post load", s.ddlErrors.size.toLong, 0L, 0L, 0L,
         0L, 0L))
     Map("pre" -> pre, "data" -> data, "post" -> post)

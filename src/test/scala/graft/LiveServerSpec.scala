@@ -68,6 +68,41 @@ class LiveServerSpec extends SparkSpec {
     info(s"live PG: read ${df.count()} rows from $qualified")
   }
 
+  test("live PG: queryStreamData decodes catalyst rows — UTF8String " +
+    "payload slices with NULL / multibyte / empty / tab intact, " +
+    "connection reusable after the stream and after a mid-stream error") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI to run")
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val c = new graft.sinks.PgWireConnection(sp)
+    try {
+      val (cols, it) = c.queryStreamData(
+        "SELECT i::text AS i, v FROM (VALUES " +
+          "(1, 'héllo — 日本語'), (2, NULL), (3, ''), (4, E'a\\tb')" +
+          ") t(i, v) ORDER BY t.i")
+      assert(cols == Seq("i", "v"))
+      val rows = it.toVector
+      assert(rows.map(_.length) == Vector(2, 2, 2, 2))
+      // values are UTF8String (catalyst form), decoded byte-exactly
+      val vs = rows.map(_(1))
+      assert(vs(0).isInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      assert(vs(0).toString == "héllo — 日本語")
+      assert(vs(1) == null) // SQL NULL → null, NOT an empty string
+      assert(vs(2).toString == "") // empty string stays a value
+      assert(vs(3).toString == "a\tb")
+      // the connection stays usable after the stream drains
+      val (_, again) = c.queryStreamData("SELECT 'ok'")
+      assert(again.toVector.head(0).toString == "ok")
+      // a mid-stream server error surfaces from the iterator after the
+      // delivered prefix, and the connection recovers to ready
+      val (_, bad) = c.queryStreamData(
+        "SELECT (1 / (i - 2))::text FROM generate_series(1, 5) i")
+      intercept[graft.sinks.PgWire.PgServerError] { bad.toVector }
+      val (_, after) = c.queryStreamData("SELECT 'recovered'")
+      assert(after.toVector.head(0).toString == "recovered")
+    } finally c.close()
+  }
+
   test("live MySQL: introspect, range-read the largest table " +
     "(GRAFT_LIVE_MYSQL_URI)") {
     assume(env("GRAFT_LIVE_MYSQL_URI").isDefined,

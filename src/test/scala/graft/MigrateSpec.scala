@@ -83,6 +83,28 @@ class MigrateSpec extends AnyFunSuite {
     assert(summary.totalRows == 1110 && summary.totalRejected == 0)
     assert(summary.render.contains("public.big"))
     assert(summary.render.contains("Total"))
+
+    // itemized phase timings (reference's named pre/post entries):
+    // Create tables counts the 3 kept tables; Create Indexes counts
+    // the 3 builds; Primary Keys the 3 attaches; Create Foreign Keys
+    // mid's single FK; Reset Sequences the 3 serial resets; the COPY
+    // wall covers at least big's 150ms sleep
+    def entry(label: String) =
+      summary.phaseEntries.find(_.label == label).getOrElse(
+        fail(s"missing phase entry $label in ${summary.phaseEntries}"))
+    assert(entry("Create tables").section == "pre")
+    assert(entry("Create tables").rows == 3)
+    assert(entry("Create Indexes").rows == 3)
+    assert(entry("Primary Keys").rows == 3)
+    assert(entry("Create Foreign Keys").rows == 1)
+    assert(entry("Reset Sequences").rows == 3)
+    assert(entry("COPY Wall-Clock Time").nanos >= 150L * 1000000L)
+    assert(summary.phaseEntries.filter(_.section == "post")
+      .forall(_.nanos >= 0L))
+    // no checks/comments in this catalog → those entries are absent
+    assert(!summary.phaseEntries.exists(_.label == "Install Comments"))
+    assert(!summary.phaseEntries.exists(
+      _.label == "Create Check Constraints"))
   }
 
   test("including/excluding filters with schema scope") {
@@ -510,6 +532,8 @@ class MigrateSpec extends AnyFunSuite {
     assert(summary.postDdl.exists(_.contains("ADD PRIMARY KEY USING INDEX")))
     assert(summary.postDdl.exists(_.contains("FOREIGN KEY")))
     assert(summary.postDdl.exists(_.contains("setval")))
+    // no phase clock on a plan: nothing ran, times would be noise
+    assert(summary.phaseEntries.isEmpty)
   }
 
   test("identifier collision check fails fast") {

@@ -184,6 +184,25 @@ class MySqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("queryStreamData decodes catalyst rows: UTF8String packet " +
+    "slices on UTF-8, NULL marker → null, multibyte intact") {
+    val srv = new FakeMySqlServer(
+      tableCols = Seq("id", "name"),
+      tableRows = Seq(Array("1", "héllo — 日本語"), Array("2", null),
+        Array("3", "")))
+    try {
+      val conn = new MySqlWireConnection(params(srv.port))
+      val (cols, it) = conn.queryStreamData("SELECT id, name FROM t")
+      val rows = it.toVector
+      conn.close()
+      assert(cols == Seq("id", "name"))
+      assert(rows.forall(r => r(0)
+        .isInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+      assert(rows.map(r => Option(r(1)).map(_.toString)) ==
+        Vector(Some("héllo — 日本語"), None, Some("")))
+    } finally srv.close()
+  }
+
   test("read: integer-range partitioned distributed read over the wire") {
     val n = 25
     val rows = (0 until n).map(i =>

@@ -137,6 +137,41 @@ class RunnerSpec extends SparkSpec {
       .startsWith("table name;"))
   }
 
+  test("summary itemizes pre/post phases when the run recorded them") {
+    import graft.orchestration.{PhaseEntry, Summary, SummaryOut,
+      TableStats}
+    val s = Summary(
+      preDdl = Seq("CREATE TABLE a (x int);"),
+      tables = Seq(TableStats("public", "a", rows = 10L, rejected = 0L,
+        millis = 100L, bytes = 64L)),
+      postDdl = Seq("CREATE INDEX i ON a (x);"),
+      totalMillis = 900L,
+      ddlErrors = Seq(("ALTER TABLE a ADD x;", "dup")),
+      phaseEntries = Seq(
+        PhaseEntry("pre", "fetch meta data", 1L, 12000000L),
+        PhaseEntry("pre", "Create tables", 1L, 34000000L),
+        PhaseEntry("post", "COPY Wall-Clock Time", 0L, 100000000L),
+        PhaseEntry("post", "Create Indexes", 1L, 56000000L),
+        PhaseEntry("post", "Primary Keys", 1L, 7000000L)))
+    val csv = SummaryOut.renderCsv(s)
+    // itemized rows replace the aggregate "pre load"/"post load"
+    assert(csv.contains("fetch meta data;0;1;0;0.012s"))
+    assert(csv.contains("Create tables;0;1;0;0.034s"))
+    assert(csv.contains("COPY Wall-Clock Time;0;0;0;0.100s"))
+    assert(csv.contains("Create Indexes;0;1;0;0.056s"))
+    assert(csv.contains("Primary Keys;0;1;0;0.007s"))
+    assert(!csv.contains("pre load"))
+    // tolerated DDL errors stay VISIBLE next to the itemized rows
+    assert(csv.contains("post load errors;1;0;0"))
+    // JSON: the post section total sums the itemized walls
+    val json = SummaryOut.renderJson(s)
+    assert(json.contains("\"label\": \"Create Indexes\""))
+    assert(json.contains("\"total-nanos\": " +
+      (100000000L + 56000000L + 7000000L)))
+    // grand errors include the itemized-phase error row exactly once
+    assert(json.contains("\"errs\": 1, \"bytes\": 64"))
+  }
+
   test("rejectRoot lands parse rejects in <table>.dat and counts them") {
     val dir = Files.createTempDirectory("runner-rej").toFile
     // row 2 has a stray quote mid-field: a parse error, rejected engine-
