@@ -41,6 +41,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * needs them, where `runFile`'s flat stats lose the phase detail. */
   @volatile private var dbSummaries: Seq[graft.orchestration.Summary] = Nil
 
+  /** Named phase entries recorded by FILE loads — before/after/finally
+    * DDL walls ([[graft.orchestration.PhaseEntry]]); database loads
+    * carry theirs inside their Migrator summaries. */
+  private val fileEntries = new java.util.concurrent.ConcurrentLinkedQueue[
+    graft.orchestration.PhaseEntry]
+  // blocked-on-rebuild accounting: total driver nanos spent WAITING on
+  // async `drop indexes` rebuilds (the non-overlapped index cost — the
+  // reference's "Index Build Completion" entry, core.clj:769) and the
+  // number of rebuild futures drained. The overlapped part of each
+  // build costs no wall time and is deliberately not reported.
+  private val rebuildWaitNanos = new java.util.concurrent.atomic.AtomicLong
+  private val rebuildsDrained = new java.util.concurrent.atomic.AtomicLong
+
   /** Build the FULL run summary from [[runFile]]'s stats: database
     * loads contribute their Migrator phases (pre DDL, post DDL,
     * tolerated errors); file loads contribute their per-table stats. */
@@ -52,7 +65,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       postDdl = dbSummaries.flatMap(_.postDdl),
       totalMillis = totalMillis,
       ddlErrors = dbSummaries.flatMap(_.ddlErrors),
-      phaseEntries = dbSummaries.flatMap(_.phaseEntries))
+      phaseEntries = dbSummaries.flatMap(_.phaseEntries) ++
+        fileEntries.toArray(Array.empty[graft.orchestration.PhaseEntry]) ++
+        (if (rebuildsDrained.get > 0)
+           Seq(graft.orchestration.PhaseEntry("post",
+             "Index Build Completion", rebuildsDrained.get,
+             rebuildWaitNanos.get))
+         else Nil))
 
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
@@ -92,7 +111,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         (if (cmd.boolOption("disable triggers"))
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    cmd.beforeLoad.foreach(ddl(_, gucSql))
+    timedDdl("pre", "before load", cmd.beforeLoad, gucSql)
     // file loads have no schema-creation phase of their own, so AFTER
     // CREATE SCHEMA DO runs at the same seam, after BEFORE LOAD DO and
     // before any data (the reference fires it once the target table
@@ -165,10 +184,27 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
     }
-    cmd.afterLoad.foreach(ddl(_, gucSql))
-    cmd.finallyDo.foreach(ddl(_, gucSql))
+    timedDdl("post", "after load", cmd.afterLoad, gucSql)
+    timedDdl("post", "finally", cmd.finallyDo, gucSql)
     results
   }
+
+  /** Run a DO-block statement list through [[ddl]] and record one
+    * [[graft.orchestration.PhaseEntry]] for it (rows = statements).
+    * The entry's wall EXCLUDES time spent blocked draining async index
+    * rebuilds inside `ddl`'s barrier — that wait is index-build cost,
+    * reported once under "Index Build Completion", and attributing it
+    * here would double-bill it to whatever DDL happened to run next. */
+  private def timedDdl(section: String, label: String,
+                       stmts: Seq[String], gucSql: Seq[String]): Unit =
+    if (stmts.nonEmpty) {
+      val w0 = rebuildWaitNanos.get(); val t0 = System.nanoTime()
+      stmts.foreach(ddl(_, gucSql))
+      val waited = rebuildWaitNanos.get() - w0
+      fileEntries.add(graft.orchestration.PhaseEntry(section, label,
+        stmts.size.toLong,
+        math.max(0L, System.nanoTime() - t0 - waited)))
+    }
 
   // ---- `WITH drop indexes`: drop before COPY, rebuild in parallel ----
 
@@ -185,12 +221,17 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     new java.util.concurrent.ConcurrentLinkedQueue[
       (String, java.util.concurrent.Future[_])]
 
-  private def awaitRebuild(f: java.util.concurrent.Future[_]): Unit =
+  private def awaitRebuild(f: java.util.concurrent.Future[_]): Unit = {
+    val t0 = System.nanoTime()
     try f.get()
     catch {
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)
+    } finally {
+      rebuildWaitNanos.addAndGet(System.nanoTime() - t0)
+      rebuildsDrained.incrementAndGet()
     }
+  }
 
   /** Wait for every submitted rebuild; rethrows the first failure. */
   private def drainIndexRebuilds(): Unit = {

@@ -172,6 +172,50 @@ class RunnerSpec extends SparkSpec {
     assert(json.contains("\"errs\": 1, \"bytes\": 64"))
   }
 
+  test("file loads record before/after/finally and Index Build " +
+    "Completion phase entries, rebuild wait not billed to after-load") {
+    val dir = Files.createTempDirectory("runner-phases").toFile
+    Files.writeString(new java.io.File(dir, "kv.csv").toPath,
+      "1|one\n2|two\n")
+    val text =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/kv.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE kv
+          WITH fields terminated by '|', drop indexes
+          BEFORE LOAD DO
+            $$$$ create table kv (k int, v text); $$$$,
+            $$$$ create index kv_pre on kv (v); $$$$
+          AFTER LOAD DO $$$$ analyze kv; $$$$
+          FINALLY DO $$$$ vacuum kv; $$$$;"""
+    RunnerSpec.received.clear()
+    val runner = new Runner(
+      // the async rebuild is the only slow statement: its wall must
+      // land in "Index Build Completion", NOT in "after load" (whose
+      // first ddl() drains the rebuild behind its barrier)
+      (sql, _) => if (sql.trim.startsWith("CREATE INDEX"))
+        Thread.sleep(300),
+      RunnerSpec.endpoint,
+      queryTarget = _ => Seq(Array[String](
+        "kv_idx", "CREATE INDEX kv_idx ON public.kv (k)",
+        null, null, null)))
+    val stats = runner.runFile(spark, text)
+    val summary = runner.fullSummary(stats, 1000L)
+    def entry(label: String) =
+      summary.phaseEntries.find(_.label == label).getOrElse(
+        fail(s"missing $label in ${summary.phaseEntries}"))
+    assert(entry("before load").section == "pre")
+    assert(entry("before load").rows == 2)
+    assert(entry("after load").rows == 1)
+    assert(entry("finally").rows == 1)
+    val idx = entry("Index Build Completion")
+    assert(idx.section == "post" && idx.rows == 1)
+    assert(idx.nanos >= 100L * 1000000L,
+      s"rebuild wait should carry the sleep, got ${idx.nanos}")
+    assert(entry("after load").nanos < 200L * 1000000L,
+      "after-load wall must exclude the rebuild drain " +
+        s"(got ${entry("after load").nanos})")
+  }
+
   test("rejectRoot lands parse rejects in <table>.dat and counts them") {
     val dir = Files.createTempDirectory("runner-rej").toFile
     // row 2 has a stray quote mid-field: a parse error, rejected engine-
