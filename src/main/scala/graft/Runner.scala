@@ -28,12 +28,20 @@ import graft.sinks.{CopyEndpoint, CopySink}
   *   rejects from the COPY endpoint are always counted)
   * @param queryTarget read-only SQL against the target, rows as string
   *   arrays (used by `WITH drop indexes` to list the target table's
-  *   index definitions); null disables the option with a clear error
+  *   index definitions and by `WITH copy binary` to resolve the
+  *   target's column types); null disables the option with a clear
+  *   error
+  * @param binaryEndpointFactory like `endpointFactory` but issuing
+  *   `COPY … WITH (FORMAT binary)` with binary framing
+  *   ([[graft.sinks.PgBinary]]) — used by `WITH copy binary`; null
+  *   disables the option with a clear error
   */
 final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    endpointFactory: (String, Seq[String]) => Int => CopyEndpoint,
                    rejectRoot: Option[String] = None,
-                   queryTarget: String => Seq[Array[String]] = null) {
+                   queryTarget: String => Seq[Array[String]] = null,
+                   binaryEndpointFactory:
+                     (String, Seq[String]) => Int => CopyEndpoint = null) {
 
   /** Full summaries of the DATABASE loads this Runner executed (one per
     * LOAD DATABASE command): the Migrator's pre/data/post phases and
@@ -179,7 +187,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val stats = Seq(load(table, df, copySessionSql, parseRejects,
           nameColumns = cmd.fields.nonEmpty ||
             cmd.targetColumns.nonEmpty,
-          exactlyOnce = cmd.boolOption("exactly once")))
+          exactlyOnce = cmd.boolOption("exactly once"),
+          binary = cmd.boolOption("copy binary")))
         rebuildIndexesAsync(table, droppedIdx, gucSql,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
@@ -382,6 +391,67 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             executeDdl(s"$idef;", gucSql)
         }
       })))
+    }
+  }
+
+  /** `WITH copy binary`: resolve each frame column's target type from
+    * the TARGET catalog and map it to a binary encoder
+    * ([[graft.sinks.PgBinary.kindOf]]). None → the load falls back to
+    * COPY TEXT, with a stderr note naming the first unsupported
+    * column — the option is a performance hint, not a new failure
+    * mode. `named` loads map frame columns to attributes by name
+    * (as-written, then lowercased — the same folding the COPY column
+    * list resolves under); positional loads require the frame to cover
+    * the table's full column list in attnum order, exactly like a
+    * list-less COPY statement. */
+  private def binaryKinds(table: String, cols: Seq[String],
+                          named: Boolean,
+                          requested: Boolean)
+      : Option[Seq[graft.sinks.PgBinKind]] = {
+    if (!requested) return None
+    require(queryTarget != null,
+      "WITH copy binary needs the Runner's queryTarget channel")
+    require(binaryEndpointFactory != null,
+      "WITH copy binary needs the Runner's binaryEndpointFactory")
+    def note(why: String): Option[Seq[graft.sinks.PgBinKind]] = {
+      System.err.println(
+        s"graft: WITH copy binary falls back to COPY TEXT for $table" +
+          s" ($why)")
+      None
+    }
+    val (schema, rel) = table.split("\\.", 2) match {
+      case Array(s, t) => (s, t)
+      case _ => ("public", table)
+    }
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val attrs = queryTarget(
+      "SELECT a.attname, t.typname FROM pg_attribute a " +
+        "JOIN pg_class c ON c.oid = a.attrelid " +
+        "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+        "JOIN pg_type t ON t.oid = a.atttypid " +
+        s"WHERE c.relname = ${lit(rel)} AND n.nspname = ${lit(schema)} " +
+        "AND a.attnum > 0 AND NOT a.attisdropped ORDER BY a.attnum")
+    if (attrs.isEmpty) return note("target table not found in catalog")
+    val byName = attrs.map(r => r(0) -> r(1)).toMap
+    val typnames: Seq[Option[(String, String)]] =
+      if (named)
+        cols.map(c => byName.get(c).orElse(byName.get(c.toLowerCase))
+          .map(t => (c, t)))
+      else if (attrs.length == cols.length)
+        attrs.toSeq.map(r => Some((r(0), r(1))))
+      else return note(s"positional load of ${cols.length} columns " +
+        s"into a ${attrs.length}-column table")
+    if (typnames.exists(_.isEmpty)) {
+      val missing = cols(typnames.indexWhere(_.isEmpty))
+      return note(s"column $missing not found on target")
+    }
+    val kinds = typnames.flatten.map { case (c, t) =>
+      (c, t, graft.sinks.PgBinary.kindOf(t))
+    }
+    kinds.find(_._3.isEmpty) match {
+      case Some((c, t, _)) =>
+        note(s"column $c has type $t, no binary encoder")
+      case None => Some(kinds.map(_._3.get))
     }
   }
 
@@ -759,9 +829,6 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {
-          lazy val sink = new CopySink(
-            endpointFactory = endpointFactory(s"${t.schema}.${t.name}", setup),
-            rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
           val df = backfill.get(t.sourceName.toLowerCase) match {
             case Some(rule) =>
               val chain = rule.table +: rule.from
@@ -785,7 +852,25 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 graft.sinks.PgWire.quoteQualified(stage),
                 setup ++ stageSetup)(pid),
               quote = graft.sinks.PgWire.quoteQualified)
-          } else sink.write(df)
+          } else {
+            // `WITH copy binary` on database loads: positional frames
+            // in created-column order, types resolved per table from
+            // the TARGET catalog (the Migrator's DDL ran already) —
+            // unsupported types fall back to COPY TEXT table-by-table
+            val qualified = s"${t.schema}.${t.name}"
+            val sink = binaryKinds(qualified, df.columns.toSeq,
+              named = false,
+              requested = cmd.boolOption("copy binary")) match {
+              case Some(kinds) => new CopySink(
+                endpointFactory = binaryEndpointFactory(qualified, setup),
+                rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
+                renderer = graft.sinks.PgBinary.renderer(kinds))
+              case None => new CopySink(
+                endpointFactory = endpointFactory(qualified, setup),
+                rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
+            }
+            sink.write(df)
+          }
         },
         workers = cmd.intOption("workers")
           .orElse(cmd.intOption("concurrency")).getOrElse(4),
@@ -820,7 +905,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    sessionSql: Seq[String],
                    parseRejects: Long = 0L,
                    nameColumns: Boolean = false,
-                   exactlyOnce: Boolean = false): TableStats = {
+                   exactlyOnce: Boolean = false,
+                   binary: Boolean = false): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -871,9 +957,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           endpointFor = (stage, setup, pid) =>
             ef(stageTargetFor(stage), ss ++ setup)(pid),
           quote = graft.sinks.PgWire.quoteQualified)
-      } else new CopySink(
-        endpointFactory = endpointFactory(target, sessionSql),
-        rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
+      } else binaryKinds(table, df.columns.toSeq,
+        named = nameColumns || !synthetic, requested = binary) match {
+        case Some(kinds) => new CopySink(
+          endpointFactory = binaryEndpointFactory(target, sessionSql),
+          rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
+          renderer = graft.sinks.PgBinary.renderer(kinds)).write(df)
+        case None => new CopySink(
+          endpointFactory = endpointFactory(target, sessionSql),
+          rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
+      }
+    if (binary && exactlyOnce)
+      System.err.println("graft: WITH copy binary is ignored under " +
+        "WITH exactly once (stage loads run COPY TEXT); " +
+        s"$table loads via the staged text path")
     // summary label: a qualified TARGET TABLE already carries its
     // schema — don't prefix "public." on top (public.public.t)
     val (statSchema, statTable) = table.indexOf('.') match {
@@ -1001,7 +1098,12 @@ object Runner {
       queryTarget = sql => {
         val c = new graft.sinks.PgWireConnection(wire)
         try c.query(sql)._2 finally c.close()
-      })
+      },
+      binaryEndpointFactory = (table, sessionSql) => _ =>
+        new graft.sinks.PgWireCopyEndpoint(wire,
+          s"COPY ${graft.sinks.PgWire.quoteQualified(table)} " +
+            "FROM STDIN WITH (FORMAT binary)",
+          sessionSql, binary = true))
     val stats =
       try runner.runFile(spark, text, baseDir)
       finally spark.stop()

@@ -420,6 +420,10 @@ private final class Parser(in: String, baseDir: String = ".") {
     // slot): opt-in exactly-once delivery via per-attempt stage tables
     // + one atomic publish ([[graft.sinks.ExactlyOnce]])
     Seq("exactly", "once") -> "flag",
+    // extension: encode rows to COPY BINARY on the executors when the
+    // target's column types all have binary encoders (PgBinary) — the
+    // server skips its per-field text input routines
+    Seq("copy", "binary") -> "flag",
     Seq("multiple", "readers", "per", "thread") -> "flag",
     Seq("single", "reader") -> "flag",
     Seq("quote", "identifiers") -> "flag",

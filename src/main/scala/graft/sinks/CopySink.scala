@@ -119,7 +119,9 @@ final class CopySink(
     maxBytes: Long = 20L << 20,
     onErrorStop: Boolean = false,
     rejectDir: Option[String] = None,
-    onPartitionSuccess: Int => Unit = null) extends Serializable {
+    onPartitionSuccess: Int => Unit = null,
+    renderer: DataFrame => DataFrame = CopySink.textRenderer)
+  extends Serializable {
 
   /** Write `df`; returns (sent, rejected, bytes) via accumulators —
     * `bytes` counts the COPY TEXT payload actually handed to endpoints
@@ -142,16 +144,16 @@ final class CopySink(
     val mr = maxRows; val mb = maxBytes; val stop = onErrorStop
     val rDir = rejectDir; val factory = endpointFactory
     val successHook = onPartitionSuccess
-    // rows are rendered to COPY TEXT lines by a codegen'd projection
-    // (typed PG literals + escaping), newline-terminated and cast to
-    // BINARY inside codegen: the task receives the UTF-8 bytes
-    // directly instead of decoding each UTF8String to a java String
-    // only to re-encode it (profiled: numChars+decodeLoop+getBytes
-    // was a top-5 sink cost at reference-bench scale)
-    import org.apache.spark.sql.functions.{concat, lit}
-    val lines = df.select(
-      concat(CopyText.lineColumn(df), lit("\n"))
-        .cast(org.apache.spark.sql.types.BinaryType).as("value"))
+    // rows are rendered by a codegen'd projection to (value, reject):
+    // COPY TEXT lines by default (typed PG literals + escaping,
+    // newline-terminated, cast to BINARY inside codegen so the task
+    // receives UTF-8 bytes without a UTF8String→String round-trip —
+    // profiled as a top-5 sink cost at reference-bench scale), or
+    // COPY BINARY tuple frames ([[PgBinary.renderer]]). A null value
+    // = the renderer could not encode the row (binary path only) —
+    // routed to rejects with the `reject` column's text rendering,
+    // matching what the server itself would do to that row.
+    val lines = renderer(df)
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val endpoint = factory(pid)
@@ -183,9 +185,16 @@ final class CopySink(
         }
         it.foreach { row =>
           val line = row.getAs[Array[Byte]](0)
-          batch.add(line)
-          bytesSent.add(line.length)
-          if (batch.isFull) flush()
+          if (line == null)
+            // binary-encode failure: the row text is in the reject
+            // column; reject it exactly like a server-refused row
+            rejectFn(row.getAs[Array[Byte]](1),
+              "value does not parse as its target type (COPY BINARY)")
+          else {
+            batch.add(line)
+            bytesSent.add(line.length)
+            if (batch.isFull) flush()
+          }
         }
         flush()
         if (successHook != null) successHook(pid)
@@ -195,6 +204,20 @@ final class CopySink(
       }
     }
     (sent.value, rejected.value, bytesSent.value)
+  }
+}
+
+object CopySink {
+  /** Default renderer: (value = COPY TEXT line bytes, reject = null).
+    * `value` is never null here — text rendering cannot fail; the
+    * reject column exists so both renderers share one row shape. */
+  def textRenderer: DataFrame => DataFrame = { df =>
+    import org.apache.spark.sql.functions.{concat, lit}
+    df.select(
+      concat(CopyText.lineColumn(df), lit("\n"))
+        .cast(org.apache.spark.sql.types.BinaryType).as("value"),
+      lit(null).cast(org.apache.spark.sql.types.BinaryType)
+        .as("reject"))
   }
 }
 

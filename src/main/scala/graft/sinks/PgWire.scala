@@ -531,6 +531,31 @@ final class PgWireConnection(params: PgWire.ConnParams)
     }
   })
 
+  /** COPY BINARY variant of [[copyInRows]]: same row-frame streaming,
+    * wrapped in the binary stream header and int16 −1 trailer — each
+    * send is one self-contained `COPY … WITH (FORMAT binary)`
+    * statement, so [[BatchRetry]]'s prefix/bisect resends re-wrap
+    * naturally. Rows are pre-encoded tuple frames
+    * ([[PgBinary.rowColumn]]). */
+  def copyInRowsBinary(sql: String,
+                       rows: scala.collection.IndexedSeq[Array[Byte]])
+      : Long = copyInStreaming(sql, { () =>
+    val hdr = new Array[Byte](5)
+    hdr(0) = 'd'
+    def frame(r: Array[Byte]): Unit = {
+      val len = r.length + 4
+      hdr(1) = (len >>> 24).toByte; hdr(2) = (len >>> 16).toByte
+      hdr(3) = (len >>> 8).toByte; hdr(4) = len.toByte
+      out.write(hdr, 0, 5)
+      out.write(r, 0, r.length)
+    }
+    frame(PgBinary.Header)
+    var i = 0
+    val n = rows.length
+    while (i < n) { frame(rows(i)); i += 1 }
+    frame(PgBinary.Trailer)
+  })
+
   def copyIn(sql: String, data: Array[Byte]): Long =
     copyInStreaming(sql, { () =>
       // stream the payload in 64 KiB frames
@@ -584,7 +609,8 @@ final class PgWireConnection(params: PgWire.ConnParams)
   * the reference parses `CONTEXT: COPY …, line N`
   * (copy-retry-batch.lisp:47-52). */
 final class PgWireCopyEndpoint(params: PgWire.ConnParams, copySql: String,
-                               sessionSetup: Seq[String] = Nil)
+                               sessionSetup: Seq[String] = Nil,
+                               binary: Boolean = false)
     extends CopyEndpoint {
   private val conn = new PgWireConnection(params)
   sessionSetup.foreach(s => conn.simpleCommand(s.stripSuffix(";")))
@@ -597,8 +623,10 @@ final class PgWireCopyEndpoint(params: PgWire.ConnParams, copySql: String,
       case is: scala.collection.IndexedSeq[Array[Byte]] => is
       case other => other.toIndexedSeq
     }
-    try conn.copyInRows(copySql, idx)
-    catch {
+    try {
+      if (binary) conn.copyInRowsBinary(copySql, idx)
+      else conn.copyInRows(copySql, idx)
+    } catch {
       case e: PgWire.PgServerError =>
         throw CopyError(e.copyLine, e.contextMessage)
     }

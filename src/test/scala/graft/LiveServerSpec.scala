@@ -49,7 +49,11 @@ class LiveServerSpec extends SparkSpec {
       queryTarget = sql => {
         val c = new graft.sinks.PgWireConnection(dp)
         try c.query(sql)._2 finally c.close()
-      })
+      },
+      binaryEndpointFactory = (table, setup) => _ =>
+        new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true))
   }
 
   test("live PG: introspect the catalog and ctid-read a table " +
@@ -101,6 +105,115 @@ class LiveServerSpec extends SparkSpec {
       val (_, after) = c.queryStreamData("SELECT 'recovered'")
       assert(after.toVector.head(0).toString == "recovered")
     } finally c.close()
+  }
+
+  test("live PG: COPY BINARY round-trips every supported type equal " +
+    "to the COPY TEXT path (WITH copy binary)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-bin").toFile
+    // every PgBinKind in one row set: negatives, fractions, float and
+    // numeric specials, zoned/fractional timestamps, the 24:00 time
+    // endpoint, braced-uppercase uuid, multibyte text
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "all.csv").toPath,
+      "t|-7|42|9007199254740993|1.5|2.25|2000-01-01|" +
+        "2000-01-01 00:00:01.5|2000-01-01 01:00:00+01|13:14:15.25|" +
+        "12345.678|00010203-0405-0607-0809-0a0b0c0d0e0f|" +
+        "héllo — 日本語|vc1|abc\n" +
+      "f|32767|-2147483648|-1|NaN|-Infinity|1999-12-31|infinity|" +
+        "2024-06-30T23:59:59Z|24:00:00|NaN|" +
+        "{00010203-0405-0607-0809-0A0B0C0D0E0F}|x|y|z\n")
+    val cols = "b bool, i2 int2, i4 int4, i8 int8, f4 float4, " +
+      "f8 float8, d date, ts timestamp, tz timestamptz, tm time, " +
+      "n numeric, u uuid, t text, vc varchar(20), ch char(3)"
+    def loadCmd(table: String, opts: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/all.csv'
+          HAVING FIELDS (b, i2, i4, i8, f4, f8, d, ts, tz, tm, n, u,
+                         t, vc, ch)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|'$opts
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ create table $table ($cols); $$$$;"""
+    val runner = pgRunner(uri)
+    val stats = runner.runFile(spark,
+      loadCmd("bin_all", ", copy binary") + "\n" +
+        loadCmd("txt_all", ""))
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("bin_all", 2L, 0L), ("txt_all", 2L, 0L)))
+    val c = new graft.sinks.PgWireConnection(
+      PgWire.connParams(uri, decode))
+    try {
+      // the twin tables must be row-identical BOTH ways — the server's
+      // own equality semantics judge the binary datums
+      for (q <- Seq(
+        "SELECT count(*) FROM (SELECT * FROM bin_all EXCEPT ALL " +
+          "SELECT * FROM txt_all) x",
+        "SELECT count(*) FROM (SELECT * FROM txt_all EXCEPT ALL " +
+          "SELECT * FROM bin_all) x"))
+        assert(c.query(q)._2.head(0) == "0", q)
+      // canonical renderings spot-checked against the server itself
+      val r = c.query("SELECT i8::text, f4::text, d::text, ts::text, " +
+        "tm::text, n::text, u::text, t, ch FROM bin_all ORDER BY i4")._2
+      assert(r(0).toSeq == Seq("-1", "NaN", "1999-12-31", "infinity",
+        "24:00:00", "NaN", "00010203-0405-0607-0809-0a0b0c0d0e0f",
+        "x", "z  "))
+      assert(r(1).toSeq == Seq("9007199254740993", "1.5", "2000-01-01",
+        "2000-01-01 00:00:01.5", "13:14:15.25", "12345.678",
+        "00010203-0405-0607-0809-0a0b0c0d0e0f", "héllo — 日本語",
+        "abc"))
+      // NULL field frames live: a direct binary sink write with nulls
+      c.simpleCommand("drop table if exists bin_nulls")
+      c.simpleCommand("create table bin_nulls (i int4, s text)")
+      import spark.implicits._
+      val df = Seq(("1", "a"), (null, null), ("3", null))
+        .toDF("i", "s")
+      val dp = PgWire.connParams(uri, decode)
+      val (sent, rej, _) = new graft.sinks.CopySink(
+        endpointFactory = _ => new PgWireCopyEndpoint(dp,
+          "COPY bin_nulls FROM STDIN WITH (FORMAT binary)",
+          binary = true),
+        renderer = graft.sinks.PgBinary.renderer(
+          Seq(graft.sinks.PgBinKind.I4, graft.sinks.PgBinKind.Text)))
+        .write(df)
+      assert((sent, rej) == (3L, 0L))
+      assert(c.query("SELECT count(*) FROM bin_nulls WHERE i IS NULL " +
+        "AND s IS NULL")._2.head(0) == "1")
+    } finally c.close()
+  }
+
+  test("live PG: COPY BINARY keeps the per-row reject contract — " +
+    "server CHECK violations (line-numbered) and executor encode " +
+    "failures both reject, the rest load") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-binrej").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "rej.csv").toPath,
+      "1|a\n2|b\n999|check-violation\noops|encode-failure\n4|d\n5|e\n")
+    val runner = pgRunner(uri)
+    val stats = runner.runFile(spark,
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/rej.csv'
+          HAVING FIELDS (i, s)
+          INTO $uri TARGET TABLE bin_rej
+          WITH fields terminated by '|', copy binary
+          BEFORE LOAD DO
+            $$$$ drop table if exists bin_rej; $$$$,
+            $$$$ create table bin_rej (i int4 check (i < 100),
+                   s text); $$$$;""")
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("bin_rej", 4L, 2L)))
+    val c = new graft.sinks.PgWireConnection(
+      PgWire.connParams(uri, decode))
+    try assert(c.query(
+      "SELECT string_agg(s, ',' ORDER BY i) FROM bin_rej")._2
+      .head(0) == "a,b,d,e")
+    finally c.close()
   }
 
   test("live MySQL: introspect, range-read the largest table " +
@@ -171,6 +284,47 @@ class LiveServerSpec extends SparkSpec {
     }
     info(s"live pg→pg: ${stats.map(_.rows).sum} rows across " +
       s"${stats.size} tables, counts verified on the destination")
+  }
+
+  test("live pg→pg: WITH copy binary migrates the whole database " +
+    "content-identical to the text path (server-side digests)") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def migrate(opts: String): Seq[graft.orchestration.TableStats] =
+      pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get).runFile(spark,
+        s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+              INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+              WITH include drop, create tables, workers = 2$opts;""")
+    // one digest per table from the server's own row rendering — the
+    // strongest cross-path equality there is: if binary datums décoded
+    // differently (float bits, numeric dscale, date/ts micros), the
+    // ::text rendering diverges and the digest catches it
+    def digests(stats: Seq[graft.orchestration.TableStats])
+        : Map[String, String] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try stats.map { st =>
+        val q = s"${PgWire.quoteIdent(st.schema)}." +
+          s"${PgWire.quoteIdent(st.table)}"
+        s"${st.schema}.${st.table}" -> c.query(
+          s"SELECT coalesce(md5(string_agg(t::text, E'\\n' " +
+            s"ORDER BY t::text)), 'empty') FROM $q t")._2.head(0)
+      }.toMap finally c.close()
+    }
+    val textStats = migrate("")
+    assert(textStats.nonEmpty && textStats.forall(_.error.isEmpty))
+    val want = digests(textStats)
+    val binStats = migrate(", copy binary")
+    assert(binStats.forall(_.error.isEmpty),
+      binStats.filter(_.error.nonEmpty).mkString("; "))
+    assert(binStats.map(_.rows).sum == textStats.map(_.rows).sum)
+    val got = digests(binStats)
+    val diff = want.keySet.union(got.keySet)
+      .filter(k => want.get(k) != got.get(k))
+    assert(diff.isEmpty, s"content diverged for: ${diff.mkString(", ")}")
+    info(s"live pg→pg copy binary: ${binStats.map(_.rows).sum} rows / " +
+      s"${binStats.size} tables digest-identical to the text path")
   }
 
   test("live pg→pg: whole-database migration WITH exactly once stages " +

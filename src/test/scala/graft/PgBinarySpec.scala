@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sinks.{PgBinKind, PgBinary}
+
+/** COPY BINARY encoders: exact wire bytes for known values (PG docs
+  * "Binary Format" + the send/recv routines' layouts), the reject
+  * contract (unparseable → null), and the codegen'd row renderer. */
+class PgBinarySpec extends SparkSpec {
+
+  private def enc(v: String, k: PgBinKind): Array[Byte] =
+    PgBinary.encodeField(UTF8String.fromString(v), k)
+
+  private def hex(b: Array[Byte]): String =
+    if (b == null) "NULL" else b.map("%02x".format(_)).mkString
+
+  test("header and trailer bytes") {
+    assert(hex(PgBinary.Header) ==
+      "5047434f50590aff0d0a00" + "00000000" + "00000000")
+    assert(hex(PgBinary.Trailer) == "ffff")
+    assert(hex(PgBinary.NullField) == "ffffffff")
+  }
+
+  test("integer encodings: length-prefixed big-endian, range-checked") {
+    assert(hex(enc("42", PgBinKind.I4)) == "00000004" + "0000002a")
+    assert(hex(enc("-1", PgBinKind.I4)) == "00000004" + "ffffffff")
+    assert(hex(enc(" 7 ", PgBinKind.I2)) == "00000002" + "0007")
+    assert(hex(enc("-32768", PgBinKind.I2)) == "00000002" + "8000")
+    assert(enc("32768", PgBinKind.I2) == null) // int2 overflow rejects
+    assert(hex(enc("-9223372036854775808", PgBinKind.I8)) ==
+      "00000008" + "8000000000000000")
+    assert(enc("9223372036854775808", PgBinKind.I8) == null)
+    assert(enc("12.5", PgBinKind.I4) == null)
+    assert(enc("", PgBinKind.I4) == null)
+    assert(enc("+5", PgBinKind.I4) != null)
+  }
+
+  test("bool, float4/8: PG spellings, out-of-range rejects") {
+    assert(hex(enc("t", PgBinKind.Bool)) == "00000001" + "01")
+    assert(hex(enc("NO", PgBinKind.Bool)) == "00000001" + "00")
+    assert(enc("maybe", PgBinKind.Bool) == null)
+    assert(hex(enc("1.5", PgBinKind.F4)) == "00000004" + "3fc00000")
+    assert(hex(enc("NaN", PgBinKind.F8)) == "00000008" + "7ff8000000000000")
+    assert(hex(enc("-Infinity", PgBinKind.F4)) == "00000004" + "ff800000")
+    assert(enc("1e39", PgBinKind.F4) == null) // float4 overflow
+    assert(enc("1e-46", PgBinKind.F4) == null) // float4 underflow
+    assert(enc("1e309", PgBinKind.F8) == null) // float8 overflow
+    assert(enc("1.5f", PgBinKind.F8) == null) // Java suffix laxity
+  }
+
+  test("date: days since 2000-01-01, infinity sentinels") {
+    assert(hex(enc("2000-01-01", PgBinKind.Date)) ==
+      "00000004" + "00000000")
+    assert(hex(enc("1999-12-31", PgBinKind.Date)) ==
+      "00000004" + "ffffffff")
+    assert(hex(enc("2000-02-01", PgBinKind.Date)) ==
+      "00000004" + "0000001f")
+    assert(hex(enc("infinity", PgBinKind.Date)) ==
+      "00000004" + "7fffffff")
+    assert(enc("2000-13-01", PgBinKind.Date) == null)
+    assert(enc("2000-1-1", PgBinKind.Date) != null) // single digits OK
+  }
+
+  test("timestamp/timestamptz: micros since 2000-01-01, zone handling") {
+    assert(hex(enc("2000-01-01 00:00:00", PgBinKind.Ts)) ==
+      "00000008" + "0000000000000000")
+    assert(hex(enc("2000-01-01 00:00:01.5", PgBinKind.Ts)) ==
+      "00000008" + "%016x".format(1500000L))
+    // timestamptz applies the offset: 01:00+01 = midnight UTC
+    assert(hex(enc("2000-01-01 01:00:00+01", PgBinKind.TsTz)) ==
+      "00000008" + "0000000000000000")
+    assert(hex(enc("2000-01-01T00:00:00Z", PgBinKind.TsTz)) ==
+      "00000008" + "0000000000000000")
+    // plain timestamp IGNORES a trailing offset (timestamp_in does)
+    assert(hex(enc("2000-01-01 01:00:00+01", PgBinKind.Ts)) ==
+      "00000008" + "%016x".format(3600000000L))
+    assert(enc("2000-01-01 25:00:00", PgBinKind.Ts) == null)
+    assert(enc("not a ts", PgBinKind.Ts) == null)
+  }
+
+  test("time: micros since midnight, 24:00 endpoint") {
+    assert(hex(enc("00:00:01", PgBinKind.Time)) ==
+      "00000008" + "%016x".format(1000000L))
+    assert(enc("24:00:00", PgBinKind.Time) != null)
+    assert(enc("24:00:01", PgBinKind.Time) == null)
+  }
+
+  test("numeric: base-10000 groups, weight, dscale, specials") {
+    // 12345.678 → groups [1,2345,6780], weight 1, dscale 3
+    assert(hex(enc("12345.678", PgBinKind.Num)) ==
+      "0000000e" + "0003" + "0001" + "0000" + "0003" +
+        "0001" + "0929" + "1a7c")
+    // 0.00: zero digits, dscale 2
+    assert(hex(enc("0.00", PgBinKind.Num)) ==
+      "00000008" + "0000" + "0000" + "0000" + "0002")
+    // -0.0001 → one group [1], weight -1, sign neg, dscale 4
+    assert(hex(enc("-0.0001", PgBinKind.Num)) ==
+      "0000000a" + "0001" + "ffff" + "4000" + "0004" + "0001")
+    // 1e5 (scientific in, dscale 0) = 100000 → [10], weight 1
+    assert(hex(enc("1e5", PgBinKind.Num)) ==
+      "0000000a" + "0001" + "0001" + "0000" + "0000" + "000a")
+    assert(hex(enc("NaN", PgBinKind.Num)) ==
+      "00000008" + "0000" + "0000" + "c000" + "0000")
+    assert(hex(enc("-Infinity", PgBinKind.Num)) ==
+      "00000008" + "0000" + "0000" + "f000" + "0000")
+    assert(enc("12,5", PgBinKind.Num) == null)
+  }
+
+  test("uuid and text") {
+    assert(hex(enc("00010203-0405-0607-0809-0a0b0c0d0e0f",
+      PgBinKind.Uuid)) ==
+      "00000010" + "000102030405060708090a0b0c0d0e0f")
+    assert(enc("not-a-uuid", PgBinKind.Uuid) == null)
+    // text: raw UTF-8 bytes, NO escaping — a tab stays one byte
+    assert(hex(enc("a\tb", PgBinKind.Text)) == "00000003" + "610962")
+    assert(hex(enc("é", PgBinKind.Text)) == "00000002" + "c3a9")
+  }
+
+  test("rowColumn renders codegen'd tuple frames; encode failure " +
+    "nulls the row and the renderer emits its COPY TEXT line") {
+    import spark.implicits._
+    val df = Seq(("1", "2000-01-01", "ok"), ("x", "2000-01-01", "bad"),
+      (null, "2000-01-02", "nul")).toDF("i", "d", "s")
+    val kinds = Seq(PgBinKind.I4, PgBinKind.Date, PgBinKind.Text)
+    val out = PgBinary.renderer(kinds)(df).collect()
+      .map(r => (r.getAs[Array[Byte]]("value"),
+        r.getAs[Array[Byte]]("reject")))
+    assert(out.length == 3)
+    val (v0, r0) = out(0)
+    assert(hex(v0) == "0003" + // field count
+      "00000004" + "00000001" + // int4 1
+      "00000004" + "00000000" + // date 2000-01-01
+      "00000002" + "6f6b" && r0 == null)
+    val (v1, r1) = out(1)
+    assert(v1 == null && new String(r1, "UTF-8") == "x\t2000-01-01\tbad\n")
+    val (v2, r2) = out(2)
+    assert(hex(v2) == "0003" + "ffffffff" + // NULL field
+      "00000004" + "00000001" + "00000003" + "6e756c" && r2 == null)
+  }
+}
