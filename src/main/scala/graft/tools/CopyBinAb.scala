@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B harness for the `WITH copy binary` sink: loads a generated
+  * corpus of the PG types whose text input routines are expensive
+  * server-side (numeric, timestamptz, float8, uuid) through BOTH sink
+  * paths into a live PostgreSQL and prints per-mode walls. The
+  * employees-shaped benches are int/date/varchar-dominated, where
+  * `int4in`/`date_in` are cheap and binary shows no local win — this
+  * tool measures the regime the binary path exists for.
+  *
+  * Usage: CopyBinAb <pgUri> [rows=3000000] [mode=both|text|binary]
+  * Pair with an external PG-CPU probe (postmaster cutime delta) for
+  * the server-side split.
+  */
+object CopyBinAb {
+  def main(args: Array[String]): Unit = {
+    val uri = args(0)
+    val rows = if (args.length > 1) args(1).toLong else 3000000L
+    val mode = if (args.length > 2) args(2) else "both"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("copy-bin-ab").getOrCreate()
+    import org.apache.spark.sql.functions._
+
+    val decode = (s: String) => graft.Runner.pctDecode(s)
+    val wire = graft.sinks.PgWire.connParams(uri, decode)
+    def ddl(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(wire)
+      try c.simpleCommand(sql) finally c.close()
+    }
+
+    // deterministic text values, rendered ONCE and cached so both
+    // modes read identical bytes (the A/B measures the sink only)
+    val df = spark.range(rows).select(
+      format_string("%d.%04d", col("id") % 1000000L,
+        col("id") % 10000L).as("n"),
+      concat(lit("2024-03-"),
+        lpad(((col("id") % 28L) + 1L).cast("string"), 2, "0"),
+        lit(" 12:34:56."), lpad((col("id") % 1000000L).cast("string"),
+          6, "0"), lit("+00")).as("ts"),
+      format_string("%d.%09d", col("id") % 97L,
+        col("id") % 1000000000L).as("f"),
+      format_string("%08x-0000-4000-8000-%012x", col("id") % 100000L,
+        col("id")).as("u")).cache()
+    df.count() // materialize outside the timed section
+
+    def run(binary: Boolean): Double = {
+      val table = if (binary) "ab_bin" else "ab_txt"
+      ddl(s"DROP TABLE IF EXISTS $table")
+      ddl(s"CREATE TABLE $table (n numeric(14,4), ts timestamptz, " +
+        "f float8, u uuid)")
+      val t0 = System.nanoTime()
+      val sink =
+        if (binary) new graft.sinks.CopySink(
+          endpointFactory = _ => new graft.sinks.PgWireCopyEndpoint(
+            wire, s"COPY $table FROM STDIN WITH (FORMAT binary)",
+            binary = true),
+          renderer = graft.sinks.PgBinary.renderer(Seq(
+            graft.sinks.PgBinKind.Num, graft.sinks.PgBinKind.TsTz,
+            graft.sinks.PgBinKind.F8, graft.sinks.PgBinKind.Uuid)))
+        else new graft.sinks.CopySink(
+          endpointFactory = _ => new graft.sinks.PgWireCopyEndpoint(
+            wire, s"COPY $table FROM STDIN"))
+      val (sent, rejected, _) = sink.write(df)
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(sent == rows && rejected == 0,
+        s"$table: sent=$sent rejected=$rejected")
+      secs
+    }
+
+    // warm both paths once (codegen compile, connections), then time
+    if (mode == "both") { run(false); run(true) }
+    val out = mode match {
+      case "text" => Seq("text" -> run(false))
+      case "binary" => Seq("binary" -> run(true))
+      case _ => Seq("text" -> run(false), "binary" -> run(true),
+        "text2" -> run(false), "binary2" -> run(true))
+    }
+    out.foreach { case (m, s) => println(f"$m%s: $s%.2f s") }
+    spark.stop()
+  }
+}

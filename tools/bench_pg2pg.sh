@@ -28,7 +28,10 @@ fi
 mkdir -p /tmp/pg2pg_bench
 sed "s|{{PGURI}}|$BASE/empsrc|g" tools/bench_employees.load \
   > /tmp/pg2pg_bench/seed.load
+# EXTRA_WITH adds WITH options to the migration (e.g.
+# EXTRA_WITH=", copy binary" for the COPY BINARY A/B)
 sed -e "s|{{SRCURI}}|$BASE/empsrc|g" -e "s|{{DSTURI}}|$BASE/empdst|g" \
+  -e "s|{{EXTRAOPTS}}|${EXTRA_WITH:-}|g" \
   tools/bench_pg2pg.load > /tmp/pg2pg_bench/pg2pg.load
 
 sbt -batch "package" >/dev/null
