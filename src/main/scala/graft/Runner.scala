@@ -845,13 +845,21 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // staged publish per table — same wrapper as file loads;
             // the migrated table is positional (created in frame
             // order). Locals only in endpointFor (see load()).
-            val ef = endpointFactory
+            val kinds = binaryKinds(s"${t.schema}.${t.name}",
+              df.columns.toSeq, named = false,
+              requested = cmd.boolOption("copy binary"))
+            val ef = kinds match {
+              case Some(_) => binaryEndpointFactory
+              case None => endpointFactory
+            }
             graft.sinks.ExactlyOnce.write(df, s"${t.schema}.${t.name}",
               exec = sql => executeDdl(sql, setup),
               endpointFor = (stage, stageSetup, pid) => ef(
                 graft.sinks.PgWire.quoteQualified(stage),
                 setup ++ stageSetup)(pid),
-              quote = graft.sinks.PgWire.quoteQualified)
+              quote = graft.sinks.PgWire.quoteQualified,
+              renderer = kinds.map(graft.sinks.PgBinary.renderer)
+                .getOrElse(graft.sinks.CopySink.textRenderer))
           } else {
             // `WITH copy binary` on database loads: positional frames
             // in created-column order, types resolved per table from
@@ -927,6 +935,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         graft.sinks.PgWire.copyTarget(table, df.columns.toSeq,
           preserveCase = nameColumns)
       else graft.sinks.PgWire.quoteQualified(table)
+    // `WITH copy binary`: resolve the target's column encoders once;
+    // both the direct and the exactly-once staged path use them (the
+    // stage clones the target's layout)
+    val binKinds = binaryKinds(table, df.columns.toSeq,
+      named = nameColumns || !synthetic, requested = binary)
     val (sent, rejected, bytes) =
       if (exactlyOnce) {
         // `WITH exactly once`: route through the staged-publish wrapper
@@ -939,7 +952,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // sink's endpoint factory: capture LOCALS only (field access
         // would drag the non-serializable Runner; df.columns would
         // drag the DataFrame)
-        val ef = endpointFactory
+        val ef = binKinds match {
+          case Some(_) => binaryEndpointFactory
+          case None => endpointFactory
+        }
         val ss = sessionSql
         val cols = df.columns.toSeq
         val nc = nameColumns
@@ -956,9 +972,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           exec = sql => executeDdl(sql, sessionSql),
           endpointFor = (stage, setup, pid) =>
             ef(stageTargetFor(stage), ss ++ setup)(pid),
-          quote = graft.sinks.PgWire.quoteQualified)
-      } else binaryKinds(table, df.columns.toSeq,
-        named = nameColumns || !synthetic, requested = binary) match {
+          quote = graft.sinks.PgWire.quoteQualified,
+          renderer = binKinds.map(graft.sinks.PgBinary.renderer)
+            .getOrElse(graft.sinks.CopySink.textRenderer))
+      } else binKinds match {
         case Some(kinds) => new CopySink(
           endpointFactory = binaryEndpointFactory(target, sessionSql),
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
@@ -967,10 +984,6 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           endpointFactory = endpointFactory(target, sessionSql),
           rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
       }
-    if (binary && exactlyOnce)
-      System.err.println("graft: WITH copy binary is ignored under " +
-        "WITH exactly once (stage loads run COPY TEXT); " +
-        s"$table loads via the staged text path")
     // summary label: a qualified TARGET TABLE already carries its
     // schema — don't prefix "public." on top (public.public.t)
     val (statSchema, statTable) = table.indexOf('.') match {

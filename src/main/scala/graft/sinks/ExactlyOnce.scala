@@ -164,7 +164,9 @@ object ExactlyOnce extends Serializable {
             dropStagesSql: String => String = null,
             maxRows: Int = 25000,
             maxBytes: Long = 20L << 20,
-            publishExtra: Seq[String] = Nil): (Long, Long, Long) = {
+            publishExtra: Seq[String] = Nil,
+            renderer: DataFrame => DataFrame = CopySink.textRenderer)
+      : (Long, Long, Long) = {
     val mkStage: (String, String) => String =
       if (createStageSql != null) createStageSql
       else (stage, target) =>
@@ -196,7 +198,11 @@ object ExactlyOnce extends Serializable {
       maxRows = maxRows, maxBytes = maxBytes,
       // runs after the attempt's final flush: result-stage accumulator
       // semantics record exactly one completed attempt per partition
-      onPartitionSuccess = pid => winners.add(attemptStage(pid)))
+      onPartitionSuccess = pid => winners.add(attemptStage(pid)),
+      // COPY BINARY rides through unchanged: the stage clones the
+      // target's layout (LIKE), so the target-resolved renderer and a
+      // binary endpointFor stage the same datums the direct path sends
+      renderer = renderer)
     val result = sink.write(df)
     import scala.jdk.CollectionConverters._
     val stages = winners.value.asScala.toSeq.distinct.sorted

@@ -40,6 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * everywhere), where COPY TEXT would consult the server's TimeZone.
   * Types outside [[kindOf]]'s map (bytea, intervals, arrays, enums,
   * domains, …) make the Runner fall back to COPY TEXT for the table.
+  * `WITH exactly once` composes: the stage tables clone the target's
+  * layout (LIKE), so the staged path ships the same binary datums.
   */
 /** Supported COPY BINARY target-type encodings; top-level so generated
   * code can declare the reference-object field with a plain Java type

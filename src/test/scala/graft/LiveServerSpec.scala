@@ -185,6 +185,136 @@ class LiveServerSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("live PG: WITH copy binary, exactly once stages binary datums " +
+    "and publishes atomically, content-equal to the plain text load") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-bineo").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "eo.csv").toPath,
+      "1|12.50|2024-01-02 03:04:05.6+00|a\n" +
+        "2|NaN|infinity|héllo\n3|-0.007|2000-01-01T00:00:00Z|c\n")
+    def cmd(table: String, opts: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/eo.csv'
+          HAVING FIELDS (i, n, tz, s)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|'$opts
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ create table $table (i int4, n numeric(10,3),
+                   tz timestamptz, s text); $$$$;"""
+    val stats = pgRunner(uri).runFile(spark,
+      cmd("eo_bin", ", copy binary, exactly once") + "\n" +
+        cmd("eo_txt", ""))
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("eo_bin", 3L, 0L), ("eo_txt", 3L, 0L)))
+    val c = new graft.sinks.PgWireConnection(
+      PgWire.connParams(uri, decode))
+    try {
+      assert(c.query("SELECT count(*) FROM (SELECT * FROM eo_bin " +
+        "EXCEPT ALL SELECT * FROM eo_txt) x")._2.head(0) == "0")
+      // no stage leftovers after the atomic publish
+      assert(c.query("SELECT count(*) FROM pg_tables WHERE tablename " +
+        "LIKE 'eo\\_bin\\_\\_graft\\_stage%'")._2.head(0) == "0")
+    } finally c.close()
+  }
+
+  test("live PG: COPY BINARY randomized cross-check — 600 seeded " +
+    "random rows per type land digest-identical to the text path") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    def numeric(): String = rnd.nextInt(10) match {
+      case 0 => "NaN"
+      case 1 => (if (rnd.nextBoolean()) "" : String else "-") +
+        "Infinity"
+      case 2 => s"${rnd.nextLong()}e${rnd.nextInt(40) - 20}"
+      case _ =>
+        val ip = BigInt(rnd.nextInt(80) + 1, rnd).toString
+        val fp = if (rnd.nextBoolean()) "" : String
+          else "." + (0 until rnd.nextInt(30) + 1)
+            .map(_ => rnd.nextInt(10)).mkString
+        (if (rnd.nextBoolean()) "-" else "") + ip + fp
+    }
+    def date(): String = {
+      val d = java.time.LocalDate.ofEpochDay(
+        rnd.between(-719162L, 2921939L)) // years 1..9999
+      f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+    }
+    def time(): String = {
+      val m = rnd.between(0L, 86400000000L)
+      f"${m / 3600000000L}%02d:${m / 60000000L % 60}%02d:" +
+        f"${m / 1000000L % 60}%02d.${m % 1000000L}%06d"
+    }
+    def ts(zoned: Boolean): String = {
+      val base = s"${date()} ${time()}"
+      if (!zoned) base
+      else rnd.nextInt(4) match {
+        case 0 => base + "Z"
+        case 1 => base + f"+${rnd.nextInt(15)}%02d:${rnd.nextInt(60)}%02d"
+        case 2 => base + f"-${rnd.nextInt(15)}%02d"
+        case _ => base // zoneless tz input = UTC (engine pins UTC)
+      }
+    }
+    def text(): String = {
+      val chars = "ab\\\t\n\r日本語é ,|'\""
+      (0 until rnd.nextInt(12))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    def f8(): String = rnd.nextInt(12) match {
+      case 0 => "NaN"; case 1 => "Infinity"; case 2 => "-Infinity"
+      case _ => java.lang.Double.toString(
+        java.lang.Math.pow(10, rnd.between(-300.0, 300.0)) *
+          (rnd.nextDouble() - 0.5))
+    }
+    def f4(): String = java.lang.Float.toString(
+      (java.lang.Math.pow(10, rnd.between(-30.0, 30.0)) *
+        (rnd.nextDouble() - 0.5)).toFloat)
+    def uuid(): String = java.util.UUID.nameUUIDFromBytes(
+      rnd.nextLong().toString.getBytes("UTF-8")).toString
+    val rows = (0 until 600).map { k =>
+      (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
+        date(), ts(false), ts(true), time(), uuid(), text())
+    }
+    import spark.implicits._
+    val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
+      "tm", "u", "t")
+    val dp = PgWire.connParams(uri, decode)
+    val c = new graft.sinks.PgWireConnection(dp)
+    try {
+      val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
+        "d date, ts timestamp, tz timestamptz, tm time, u uuid, t text"
+      val kinds = {
+        import graft.sinks.PgBinKind._
+        Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text)
+      }
+      for (t <- Seq("rnd_txt", "rnd_bin")) {
+        c.simpleCommand(s"drop table if exists $t")
+        c.simpleCommand(s"create table $t ($cols)")
+      }
+      val (s1, r1, _) = new graft.sinks.CopySink(
+        endpointFactory = _ => new PgWireCopyEndpoint(dp,
+          "COPY rnd_txt FROM STDIN")).write(df)
+      val (s2, r2, _) = new graft.sinks.CopySink(
+        endpointFactory = _ => new PgWireCopyEndpoint(dp,
+          "COPY rnd_bin FROM STDIN WITH (FORMAT binary)",
+          binary = true),
+        renderer = graft.sinks.PgBinary.renderer(kinds)).write(df)
+      assert((s1, r1) == (600L, 0L) && (s2, r2) == (600L, 0L),
+        s"text sent=$s1 rej=$r1, binary sent=$s2 rej=$r2")
+      def digest(t: String) = c.query("SELECT md5(string_agg(x::text," +
+        s" E'\\n' ORDER BY x.k)) FROM $t x")._2.head(0)
+      assert(digest("rnd_bin") == digest("rnd_txt"),
+        "binary and text renderings diverged — diff rows: " +
+          c.query("SELECT x.k FROM rnd_bin x JOIN rnd_txt y USING (k)" +
+            " WHERE x::text <> y::text LIMIT 5")._2
+            .map(_.mkString).mkString(","))
+    } finally c.close()
+  }
+
   test("live PG: COPY BINARY keeps the per-row reject contract — " +
     "server CHECK violations (line-numbered) and executor encode " +
     "failures both reject, the rest load") {
