@@ -290,7 +290,14 @@ object PgBinary {
     if (low == "infinity") return java.lang.Long.valueOf(TsInf)
     if (low == "-infinity") return java.lang.Long.valueOf(TsNegInf)
     val sep = s.indexWhere(c => c == ' ' || c == 'T')
-    if (sep < 0) return null
+    if (sep < 0) {
+      // date-only input is a valid timestamp (midnight), as
+      // timestamp_in accepts
+      val d = parseIsoDate(s)
+      return if (d == null) null
+        else java.lang.Long.valueOf(
+          (d.toEpochDay - PgEpochDay) * 86400000000L)
+    }
     val date = parseIsoDate(s.substring(0, sep))
     if (date == null) return null
     // zone suffix: trailing Z or the LAST +/- after the time separator

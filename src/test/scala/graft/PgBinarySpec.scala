@@ -76,6 +76,9 @@ class PgBinarySpec extends SparkSpec {
       "00000008" + "%016x".format(3600000000L))
     assert(enc("2000-01-01 25:00:00", PgBinKind.Ts) == null)
     assert(enc("not a ts", PgBinKind.Ts) == null)
+    // date-only input = midnight, as timestamp_in accepts
+    assert(hex(enc("2000-01-02", PgBinKind.Ts)) ==
+      "00000008" + "%016x".format(86400000000L))
   }
 
   test("time: micros since midnight, 24:00 endpoint") {
