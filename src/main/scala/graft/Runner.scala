@@ -399,13 +399,17 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * ([[graft.sinks.PgBinary.kindOf]]). None → the load falls back to
     * COPY TEXT, with a stderr note naming the first unsupported
     * column — the option is a performance hint, not a new failure
-    * mode. `named` loads map frame columns to attributes by name
-    * (as-written, then lowercased — the same folding the COPY column
-    * list resolves under); positional loads require the frame to cover
+    * mode. `named` loads map frame columns to attributes under the
+    * SAME folding the COPY column list is rendered with
+    * (`PgWire.copyTarget`): user-written names (`preserveCase`) match
+    * the attribute exactly, file-schema names match lowercased — a
+    * mixed lookup could resolve kinds from a DIFFERENT column than the
+    * COPY list targets. Positional loads require the frame to cover
     * the table's full column list in attnum order, exactly like a
     * list-less COPY statement. */
   private def binaryKinds(table: String, cols: Seq[String],
                           named: Boolean,
+                          preserveCase: Boolean,
                           requested: Boolean)
       : Option[Seq[graft.sinks.PgBinKind]] = {
     if (!requested) return None
@@ -435,8 +439,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val byName = attrs.map(r => r(0) -> r(1)).toMap
     val typnames: Seq[Option[(String, String)]] =
       if (named)
-        cols.map(c => byName.get(c).orElse(byName.get(c.toLowerCase))
-          .map(t => (c, t)))
+        cols.map { c =>
+          val key = if (preserveCase) c else c.toLowerCase
+          byName.get(key).map(t => (c, t))
+        }
       else if (attrs.length == cols.length)
         attrs.toSeq.map(r => Some((r(0), r(1))))
       else return note(s"positional load of ${cols.length} columns " +
@@ -846,7 +852,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // the migrated table is positional (created in frame
             // order). Locals only in endpointFor (see load()).
             val kinds = binaryKinds(s"${t.schema}.${t.name}",
-              df.columns.toSeq, named = false,
+              df.columns.toSeq, named = false, preserveCase = false,
               requested = cmd.boolOption("copy binary"))
             val ef = kinds match {
               case Some(_) => binaryEndpointFactory
@@ -867,12 +873,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // unsupported types fall back to COPY TEXT table-by-table
             val qualified = s"${t.schema}.${t.name}"
             val sink = binaryKinds(qualified, df.columns.toSeq,
-              named = false,
+              named = false, preserveCase = false,
               requested = cmd.boolOption("copy binary")) match {
               case Some(kinds) => new CopySink(
                 endpointFactory = binaryEndpointFactory(qualified, setup),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
-                renderer = graft.sinks.PgBinary.renderer(kinds))
+                renderer = graft.sinks.PgBinary.renderer(kinds),
+                rejectRender =
+                  graft.sinks.PgBinary.frameToTextLine(_, kinds))
               case None => new CopySink(
                 endpointFactory = endpointFactory(qualified, setup),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
@@ -939,7 +947,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // both the direct and the exactly-once staged path use them (the
     // stage clones the target's layout)
     val binKinds = binaryKinds(table, df.columns.toSeq,
-      named = nameColumns || !synthetic, requested = binary)
+      named = nameColumns || !synthetic, preserveCase = nameColumns,
+      requested = binary)
     val (sent, rejected, bytes) =
       if (exactlyOnce) {
         // `WITH exactly once`: route through the staged-publish wrapper
@@ -979,7 +988,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         case Some(kinds) => new CopySink(
           endpointFactory = binaryEndpointFactory(target, sessionSql),
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
-          renderer = graft.sinks.PgBinary.renderer(kinds)).write(df)
+          renderer = graft.sinks.PgBinary.renderer(kinds),
+          rejectRender =
+            graft.sinks.PgBinary.frameToTextLine(_, kinds)).write(df)
         case None => new CopySink(
           endpointFactory = endpointFactory(target, sessionSql),
           rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)

@@ -120,7 +120,8 @@ final class CopySink(
     onErrorStop: Boolean = false,
     rejectDir: Option[String] = None,
     onPartitionSuccess: Int => Unit = null,
-    renderer: DataFrame => DataFrame = CopySink.textRenderer)
+    renderer: DataFrame => DataFrame = CopySink.textRenderer,
+    rejectRender: Array[Byte] => Array[Byte] = null)
   extends Serializable {
 
   /** Write `df`; returns (sent, rejected, bytes) via accumulators —
@@ -177,9 +178,18 @@ final class CopySink(
       }
       try {
         var batch = new Batch(mr, mb, seed = pid)
+        // SERVER-rejected rows reach BatchRetry as the bytes we SENT —
+        // binary tuple frames under the binary renderer. The reject
+        // file must hold replayable COPY TEXT, so those frames pass
+        // through rejectRender (PgBinary.frameToTextLine) first;
+        // encode-failure rejects below already carry text.
+        val rr = rejectRender
+        val sendReject: (Array[Byte], String) => Unit =
+          if (rr == null) rejectFn
+          else (row, msg) => rejectFn(rr(row), msg)
         def flush(): Unit = if (batch.nonEmpty) {
           val (s, _) = BatchRetry.sendWithRecovery(
-            endpoint, batch.rows.toIndexedSeq, rejectFn)
+            endpoint, batch.rows.toIndexedSeq, sendReject)
           sent.add(s)
           batch = new Batch(mr, mb, seed = pid)
         }

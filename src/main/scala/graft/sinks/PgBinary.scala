@@ -251,12 +251,25 @@ object PgBinary {
     val last = s.charAt(s.length - 1)
     if (last == 'd' || last == 'D' || last == 'f' || last == 'F')
       return null
+    // Java's grammar also accepts hex-float literals (0x1.8p3), which
+    // float8in rejects — looser-than-server is the one direction the
+    // fidelity contract forbids
+    if (s.indexOf('x') >= 0 || s.indexOf('X') >= 0) return null
     try {
       val d = java.lang.Double.parseDouble(s)
       // an infinite result from a NUMERIC spelling (handled above) is
-      // an overflow — float8in rejects "1e309" as out of range
-      if (java.lang.Double.isInfinite(d)) null
-      else java.lang.Double.valueOf(d)
+      // an overflow — float8in rejects "1e309" as out of range; a ZERO
+      // result from a nonzero mantissa ("1e-400") is an underflow,
+      // rejected the same way (mantissa only: "0e999" is a true zero)
+      if (java.lang.Double.isInfinite(d)) return null
+      if (d == 0.0) {
+        val eIdx = {
+          val e = s.indexOf('e'); if (e >= 0) e else s.indexOf('E')
+        }
+        val mantissa = if (eIdx >= 0) s.substring(0, eIdx) else s
+        if (mantissa.exists(c => c >= '1' && c <= '9')) return null
+      }
+      java.lang.Double.valueOf(d)
     } catch { case _: NumberFormatException => null }
   }
 
@@ -268,12 +281,22 @@ object PgBinary {
     if (low == "-infinity") return Integer.valueOf(DateNegInf)
     val d = parseIsoDate(s)
     if (d == null) null
-    else Integer.valueOf((d.toEpochDay - PgEpochDay).toInt)
+    else {
+      // exact narrowing: a year-5-million date must reject (as date_in
+      // would), not wrap int32 into a silently-wrong in-range day
+      val days = d.toEpochDay - PgEpochDay
+      if (days < Int.MinValue || days > Int.MaxValue) null
+      else Integer.valueOf(days.toInt)
+    }
   }
 
   private def parseIsoDate(s: String): java.time.LocalDate = {
     val parts = s.split("-", -1)
     if (parts.length != 3) return null
+    // digits only: Integer.parseInt's sign laxity would accept
+    // "2000-+1-01", which date_in rejects
+    if (!parts.forall(p => p.nonEmpty && p.length <= 9 &&
+      p.forall(_.isDigit))) return null
     try java.time.LocalDate.of(parts(0).toInt, parts(1).toInt,
       parts(2).toInt)
     catch { case scala.util.control.NonFatal(_) => null }
@@ -294,9 +317,7 @@ object PgBinary {
       // date-only input is a valid timestamp (midnight), as
       // timestamp_in accepts
       val d = parseIsoDate(s)
-      return if (d == null) null
-        else java.lang.Long.valueOf(
-          (d.toEpochDay - PgEpochDay) * 86400000000L)
+      return if (d == null) null else dayMicros(d, 0L, 0L)
     }
     val date = parseIsoDate(s.substring(0, sep))
     if (date == null) return null
@@ -324,11 +345,21 @@ object PgBinary {
     val tod = parseTimeMicros(s.substring(sep + 1, timeEnd),
       max24 = false)
     if (tod == null) return null
-    var micros = (date.toEpochDay - PgEpochDay) * 86400000000L +
-      tod.longValue
-    if (applyZone && zoned) micros -= zoneMinutes * 60000000L
-    java.lang.Long.valueOf(micros)
+    dayMicros(date, tod.longValue,
+      if (applyZone && zoned) zoneMinutes * 60000000L else 0L)
   }
+
+  /** date + time-of-day − zone shift as exact int64 micros; null on
+    * overflow (a year-400000 timestamp must reject, not wrap into a
+    * silently-wrong in-range datum). Values inside int64 but outside
+    * PG's own timestamp range are left to `timestamp_recv`'s range
+    * check — a per-row server reject, same contract. */
+  private def dayMicros(date: java.time.LocalDate, tod: Long,
+                        zoneShift: Long): java.lang.Long =
+    try java.lang.Long.valueOf(Math.subtractExact(Math.addExact(
+      Math.multiplyExact(date.toEpochDay - PgEpochDay, 86400000000L),
+      tod), zoneShift))
+    catch { case _: ArithmeticException => null }
 
   /** `±HH`, `±HHMM`, `±HH:MM` → signed minutes. */
   private def parseZoneMinutes(z: String): Integer = {
@@ -353,7 +384,10 @@ object PgBinary {
     val main = s.split("\\.", 2)
     val hms = main(0).split(":", -1)
     if (hms.length < 2 || hms.length > 3) return null
-    if (!hms.forall(p => p.nonEmpty && p.forall(_.isDigit))) return null
+    // bound BEFORE toInt: "00:00:12345678901" must reject the row,
+    // not throw NumberFormatException and kill the task
+    if (!hms.forall(p =>
+      p.nonEmpty && p.length <= 9 && p.forall(_.isDigit))) return null
     val h = hms(0).toInt
     val m = hms(1).toInt
     val sec = if (hms.length == 3) hms(2).toInt else 0
@@ -393,6 +427,14 @@ object PgBinary {
     val plain = bd.abs.stripTrailingZeros
     if (plain.unscaledValue.signum == 0)
       return numericGroups(Array.empty, 0, neg = false, dscale)
+    // bound BEFORE materializing the plain string: "1e2000000000"
+    // would otherwise build a 2-billion-char string and kill the task;
+    // integer-digit count is computable from precision/scale, and PG's
+    // numeric itself caps at 131072 integer digits (numeric_in
+    // rejects beyond it). The fraction side is already bounded by the
+    // dscale <= 0x3FFF check above (stripTrailingZeros only lowers
+    // scale).
+    if (plain.precision.toLong - plain.scale > 131072L) return null
     // digits left of the point, grouped in 4 from the point outwards
     val text = plain.toPlainString
     val dot = text.indexOf('.')
@@ -478,6 +520,114 @@ object PgBinary {
     }
     concat((cnt +: fields.toIndexedSeq): _*)
   }
+
+  /** Decode one tuple frame back to a COPY TEXT line — the reject
+    * channel's REPLAYABLE representation for rows the SERVER refused
+    * (constraint violations): the sink holds only the sent frames at
+    * retry time, and raw binary bytes in a .dat file would be
+    * unreplayable garbage. The rendering is canonical for the datum
+    * actually shipped (input "+5" re-renders "5", "1e5" numeric
+    * re-renders "100000" with its dscale): replaying it loads the
+    * same value. Defensive: any malformed frame falls back to the
+    * raw bytes rather than failing the reject path. */
+  def frameToTextLine(frame: Array[Byte],
+                      kinds: Seq[PgBinKind]): Array[Byte] =
+    try {
+      val sb = new java.lang.StringBuilder
+      var off = 0
+      def u8(): Int = { val v = frame(off) & 0xFF; off += 1; v }
+      def rdI16(): Int = ((u8() << 8) | u8()).toShort.toInt
+      def rdI32(): Int = (u8() << 24) | (u8() << 16) | (u8() << 8) | u8()
+      def rdI64(): Long = ((rdI32().toLong) << 32) | (rdI32() & 0xFFFFFFFFL)
+      def dateStr(days: Int): String =
+        if (days == DateInf) "infinity"
+        else if (days == DateNegInf) "-infinity"
+        else {
+          val d = java.time.LocalDate.ofEpochDay(days + PgEpochDay)
+          f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+        }
+      def timeStr(micros: Long): String = {
+        val f = micros % 1000000L
+        val sec = micros / 1000000L
+        val base = f"${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"
+        if (f == 0) base else f"$base.$f%06d"
+      }
+      def tsStr(micros: Long): String =
+        if (micros == TsInf) "infinity"
+        else if (micros == TsNegInf) "-infinity"
+        else {
+          val tod = java.lang.Math.floorMod(micros, 86400000000L)
+          val days = java.lang.Math.floorDiv(micros, 86400000000L)
+          s"${dateStr(days.toInt)} ${timeStr(tod)}"
+        }
+      val n = rdI16()
+      require(n == kinds.length, s"$n fields for ${kinds.length} kinds")
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append('\t')
+        val len = rdI32()
+        if (len == -1) sb.append("\\N")
+        else {
+          val end = off + len
+          kinds(i) match {
+            case Text =>
+              sb.append(graft.sources.CopyText.escape(
+                new String(frame, off, len, "UTF-8")))
+            case Bool => sb.append(if (frame(off) == 1) 't' else 'f')
+            case I2 => sb.append(rdI16())
+            case I4 => sb.append(rdI32())
+            case I8 => sb.append(rdI64())
+            case F4 => sb.append(
+              java.lang.Float.intBitsToFloat(rdI32()))
+            case F8 => sb.append(
+              java.lang.Double.longBitsToDouble(rdI64()))
+            case Date => sb.append(dateStr(rdI32()))
+            case Ts => sb.append(tsStr(rdI64()))
+            case TsTz =>
+              val m = rdI64()
+              sb.append(tsStr(m))
+              if (m != TsInf && m != TsNegInf) sb.append("+00")
+            case Time => sb.append(timeStr(rdI64()))
+            case Num => sb.append(numericStr(rdI16(), rdI16(), rdI16(),
+              rdI16(), () => rdI16()))
+            case Uuid =>
+              val hx = (0 until 16).map(j =>
+                "%02x".format(frame(off + j) & 0xFF)).mkString
+              sb.append(hx.substring(0, 8)).append('-')
+                .append(hx.substring(8, 12)).append('-')
+                .append(hx.substring(12, 16)).append('-')
+                .append(hx.substring(16, 20)).append('-')
+                .append(hx.substring(20))
+          }
+          off = end
+        }
+        i += 1
+      }
+      sb.append('\n')
+      sb.toString.getBytes("UTF-8")
+    } catch { case scala.util.control.NonFatal(_) => frame }
+
+  private def numericStr(ndigits: Int, weight: Int, sign: Int,
+                         dscale: Int, next: () => Int): String =
+    sign match {
+      case 0xC000 | -16384 => "NaN"
+      case 0xD000 | -12288 => "Infinity"
+      case 0xF000 | -4096 => "-Infinity"
+      case _ =>
+        var acc = java.math.BigDecimal.ZERO
+        val tenK = java.math.BigDecimal.valueOf(10000L)
+        var i = 0
+        while (i < ndigits) {
+          acc = acc.multiply(tenK)
+            .add(java.math.BigDecimal.valueOf(next().toLong))
+          i += 1
+        }
+        // value = acc × 10000^(weight − ndigits + 1), then pin dscale
+        val scaled = acc.scaleByPowerOfTen(4 * (weight - ndigits + 1))
+          .setScale(dscale)
+        val s = scaled.toPlainString
+        if (sign == 0x4000 && scaled.signum != 0) "-" + s else s
+    }
 
   /** [[CopySink]] renderer for the binary path: `value` = the tuple
     * frame, `reject` = the row's COPY TEXT line (only materialized for

@@ -513,23 +513,7 @@ final class PgWireConnection(params: PgWire.ConnParams)
     * array: the only copy of each row is into the socket's buffered
     * stream. */
   def copyInRows(sql: String, rows: scala.collection.IndexedSeq[Array[Byte]])
-      : Long = copyInStreaming(sql, { () =>
-    // 5-byte frame header written as ONE buffered write — writeByte +
-    // writeInt is five per-byte stream calls per row
-    val hdr = new Array[Byte](5)
-    hdr(0) = 'd'
-    var i = 0
-    val n = rows.length
-    while (i < n) {
-      val r = rows(i)
-      val len = r.length + 4
-      hdr(1) = (len >>> 24).toByte; hdr(2) = (len >>> 16).toByte
-      hdr(3) = (len >>> 8).toByte; hdr(4) = len.toByte
-      out.write(hdr, 0, 5)
-      out.write(r, 0, r.length)
-      i += 1
-    }
-  })
+      : Long = copyInStreaming(sql, () => writeRowFrames(rows))
 
   /** COPY BINARY variant of [[copyInRows]]: same row-frame streaming,
     * wrapped in the binary stream header and int16 −1 trailer — each
@@ -540,21 +524,30 @@ final class PgWireConnection(params: PgWire.ConnParams)
   def copyInRowsBinary(sql: String,
                        rows: scala.collection.IndexedSeq[Array[Byte]])
       : Long = copyInStreaming(sql, { () =>
-    val hdr = new Array[Byte](5)
-    hdr(0) = 'd'
-    def frame(r: Array[Byte]): Unit = {
-      val len = r.length + 4
-      hdr(1) = (len >>> 24).toByte; hdr(2) = (len >>> 16).toByte
-      hdr(3) = (len >>> 8).toByte; hdr(4) = len.toByte
-      out.write(hdr, 0, 5)
-      out.write(r, 0, r.length)
-    }
-    frame(PgBinary.Header)
+    writeFrame(PgBinary.Header)
+    writeRowFrames(rows)
+    writeFrame(PgBinary.Trailer)
+  })
+
+  // 5-byte CopyData frame header written as ONE buffered write —
+  // writeByte + writeInt is five per-byte stream calls per row
+  private val frameHdr: Array[Byte] = { val h = new Array[Byte](5)
+    h(0) = 'd'; h }
+
+  private def writeFrame(r: Array[Byte]): Unit = {
+    val len = r.length + 4
+    frameHdr(1) = (len >>> 24).toByte; frameHdr(2) = (len >>> 16).toByte
+    frameHdr(3) = (len >>> 8).toByte; frameHdr(4) = len.toByte
+    out.write(frameHdr, 0, 5)
+    out.write(r, 0, r.length)
+  }
+
+  private def writeRowFrames(
+      rows: scala.collection.IndexedSeq[Array[Byte]]): Unit = {
     var i = 0
     val n = rows.length
-    while (i < n) { frame(rows(i)); i += 1 }
-    frame(PgBinary.Trailer)
-  })
+    while (i < n) { writeFrame(rows(i)); i += 1 }
+  }
 
   def copyIn(sql: String, data: Array[Byte]): Long =
     copyInStreaming(sql, { () =>

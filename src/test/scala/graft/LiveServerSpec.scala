@@ -326,7 +326,31 @@ class LiveServerSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       new java.io.File(dir, "rej.csv").toPath,
       "1|a\n2|b\n999|check-violation\noops|encode-failure\n4|d\n5|e\n")
-    val runner = pgRunner(uri)
+    // a rejectRoot-ed runner: the reject FILE contract matters here —
+    // server-refused rows decode from their binary frames back to
+    // replayable COPY TEXT, never raw frame bytes
+    val rejRoot = java.nio.file.Files
+      .createTempDirectory("live-binrej-root").toFile.getAbsolutePath
+    val dp = PgWire.connParams(uri, decode)
+    val runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      rejectRoot = Some(rejRoot),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => _ =>
+        new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true))
     val stats = runner.runFile(spark,
       s"""LOAD CSV FROM '${dir.getAbsolutePath}/rej.csv'
           HAVING FIELDS (i, s)
@@ -338,12 +362,21 @@ class LiveServerSpec extends SparkSpec {
                    s text); $$$$;""")
     assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
       Seq(("bin_rej", 4L, 2L)))
-    val c = new graft.sinks.PgWireConnection(
-      PgWire.connParams(uri, decode))
+    val c = new graft.sinks.PgWireConnection(dp)
     try assert(c.query(
       "SELECT string_agg(s, ',' ORDER BY i) FROM bin_rej")._2
       .head(0) == "a,b,d,e")
     finally c.close()
+    // both reject kinds land as TEXT lines: the CHECK-violating row
+    // decoded from its binary frame, the unparseable row as its
+    // original COPY TEXT rendering
+    val rejLines = java.nio.file.Files.list(
+      java.nio.file.Path.of(rejRoot, "bin_rej.dat")).toArray
+      .map(_.toString).filter(_.endsWith(".dat")).sorted
+      .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+      .toSet
+    assert(rejLines == Set("999\tcheck-violation",
+      "oops\tencode-failure"), s"reject file held $rejLines")
   }
 
   test("live MySQL: introspect, range-read the largest table " +

@@ -119,6 +119,62 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("é", PgBinKind.Text)) == "00000002" + "c3a9")
   }
 
+  test("hostile values reject the row, never throw or silently wrap") {
+    // over-long digit runs must not throw NumberFormatException
+    assert(enc("00:00:12345678901", PgBinKind.Time) == null)
+    assert(enc("2020-01-01 99999999999:00", PgBinKind.Ts) == null)
+    // float underflow/overflow and Java-only grammars reject like the
+    // server's own input routines
+    assert(enc("1e-400", PgBinKind.F8) == null)
+    assert(enc("1e-400", PgBinKind.F4) == null)
+    assert(enc("0e999", PgBinKind.F8) != null) // true zero stays a zero
+    assert(enc("0x1.8p3", PgBinKind.F8) == null)
+    // extreme years reject instead of wrapping into in-range datums
+    assert(enc("11761191-01-01", PgBinKind.Date) == null ||
+      hex(enc("11761191-01-01", PgBinKind.Date)).startsWith("00000004"))
+    assert({
+      val e = enc("11761191-01-01", PgBinKind.Date)
+      e == null || {
+        // if encodable it must be the TRUE day delta, not a wrap
+        val days = java.time.LocalDate.of(11761191, 1, 1).toEpochDay
+        days - 10957 <= Int.MaxValue
+      }
+    })
+    assert(enc("999999999-01-01 00:00:00", PgBinKind.Ts) == null)
+    // numeric with a planet-sized exponent rejects without
+    // materializing the plain-notation string
+    assert(enc("1e2000000000", PgBinKind.Num) == null)
+    // sign laxity inside date fields rejects
+    assert(enc("2000-+1-01", PgBinKind.Date) == null)
+  }
+
+  test("frameToTextLine decodes a tuple frame back to a replayable " +
+    "COPY TEXT line (the server-reject file path)") {
+    val kinds = Seq(PgBinKind.I4, PgBinKind.Num, PgBinKind.Date,
+      PgBinKind.TsTz, PgBinKind.Time, PgBinKind.F8, PgBinKind.Uuid,
+      PgBinKind.Bool, PgBinKind.Text)
+    val vals = Seq("42", "-12345.678", "1999-12-31",
+      "2000-01-01 01:00:00+01", "13:14:15.25", "1.5",
+      "00010203-0405-0607-0809-0a0b0c0d0e0f", "t", "a\tb\\c")
+    val frame = Array[Byte](0, kinds.length.toByte) ++
+      vals.zip(kinds).flatMap { case (v, k) =>
+        enc(v, k).toSeq
+      }
+    val line = new String(
+      PgBinary.frameToTextLine(frame, kinds), "UTF-8")
+    // canonical datum renderings: tz applied (UTC+00), tab/backslash
+    // re-escaped, numeric dscale preserved
+    assert(line == "42\t-12345.678\t1999-12-31\t" +
+      "2000-01-01 00:00:00+00\t13:14:15.250000\t1.5\t" +
+      "00010203-0405-0607-0809-0a0b0c0d0e0f\tt\ta\\tb\\\\c\n")
+    // NULL fields decode to \N; malformed frames fall back to raw
+    val nullFrame = Array[Byte](0, 1) ++ PgBinary.NullField
+    assert(new String(PgBinary.frameToTextLine(nullFrame,
+      Seq(PgBinKind.I4)), "UTF-8") == "\\N\n")
+    val junk = Array[Byte](9, 9, 9)
+    assert(PgBinary.frameToTextLine(junk, kinds) eq junk)
+  }
+
   test("rowColumn renders codegen'd tuple frames; encode failure " +
     "nulls the row and the renderer emits its COPY TEXT line") {
     import spark.implicits._
