@@ -323,27 +323,50 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val rows = queryTarget(
       "SELECT i.relname, pg_get_indexdef(ix.indexrelid), " +
         "con.conname, con.contype::text, " +
-        "pg_get_constraintdef(con.oid) " +
+        "pg_get_constraintdef(con.oid), " +
+        // a PK/unique index other tables' FOREIGN KEYs depend on can't
+        // be dropped without CASCADE (which would drop the FKs) — flag
+        // it so the drop is SKIPPED and the load runs with it in place
+        "EXISTS (SELECT 1 FROM pg_constraint fk WHERE fk.contype = 'f' " +
+        "AND fk.conindid = ix.indexrelid)::text " +
         "FROM pg_index ix " +
         "JOIN pg_class i ON i.oid = ix.indexrelid " +
         "JOIN pg_class t ON t.oid = ix.indrelid " +
         "JOIN pg_namespace n ON n.oid = t.relnamespace " +
+        // conindid alone also matches FOREIGN KEY constraints on OTHER
+        // tables (an FK's conindid is the REFERENCED table's PK/unique
+        // index), which would drop/rebuild the FK against the wrong
+        // table. Only the constraint that OWNS the index counts: same
+        // relation and an index-backed contype — the reference resolves
+        // the same ownership via pg_depend deptype='i'
+        // (sql/list-all-indexes.sql:25-29)
         "LEFT JOIN pg_constraint con ON con.conindid = ix.indexrelid " +
+        "AND con.conrelid = ix.indrelid " +
+        "AND con.contype IN ('p','u','x') " +
         s"WHERE t.relname = ${lit(rel)} AND n.nspname = ${lit(schema)}")
-    rows.map { r =>
+    rows.flatMap { r =>
       val con = Option(r(2)).map(c => (c, r(3), r(4)))
-      con match {
-        case Some((cname, _, _)) =>
-          executeDdl(s"ALTER TABLE $qt DROP CONSTRAINT " +
-            s"${graft.sinks.PgWire.quoteIdent(cname)};", gucSql)
-        case None =>
-          // an index lives in its table's schema; unqualified DROP
-          // would resolve against search_path (csv.partial golden)
-          executeDdl(
-            s"DROP INDEX ${graft.sinks.PgWire.quoteIdent(schema)}." +
-              s"${graft.sinks.PgWire.quoteIdent(r(0))};", gucSql)
+      if (r(5) == "true") {
+        // inbound-FK-pinned index: keep it through the load (slower
+        // COPY for that index, but the FKs — and the load — survive)
+        System.err.println(
+          s"graft: WITH drop indexes keeps ${r(0)} on $qt " +
+            "(foreign keys on other tables depend on it)")
+        None
+      } else {
+        con match {
+          case Some((cname, _, _)) =>
+            executeDdl(s"ALTER TABLE $qt DROP CONSTRAINT " +
+              s"${graft.sinks.PgWire.quoteIdent(cname)};", gucSql)
+          case None =>
+            // an index lives in its table's schema; unqualified DROP
+            // would resolve against search_path (csv.partial golden)
+            executeDdl(
+              s"DROP INDEX ${graft.sinks.PgWire.quoteIdent(schema)}." +
+                s"${graft.sinks.PgWire.quoteIdent(r(0))};", gucSql)
+        }
+        Some((r(0), r(1), con))
       }
-      (r(0), r(1), con)
     }
   }
 
@@ -865,7 +888,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 setup ++ stageSetup)(pid),
               quote = graft.sinks.PgWire.quoteQualified,
               renderer = kinds.map(graft.sinks.PgBinary.renderer)
-                .getOrElse(graft.sinks.CopySink.textRenderer))
+                .getOrElse(graft.sinks.CopySink.textRenderer),
+              rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
+              rejectRender = kinds.map(k =>
+                graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
+                .orNull)
           } else {
             // `WITH copy binary` on database loads: positional frames
             // in created-column order, types resolved per table from
@@ -954,9 +981,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // `WITH exactly once`: route through the staged-publish wrapper
         // (per-attempt stage tables + one atomic publish). The stage
         // clones the target's layout, so a named-column load COPYies
-        // into the stage with the SAME column list; rejects are counted
-        // but not written to reject files on this path (a rejected row
-        // never reaches the stage, so nothing can double-publish).
+        // into the stage with the SAME column list; rejected rows get
+        // the same replayable reject files as the direct path (they
+        // never reach a stage, so nothing can double-publish).
         // the endpointFor closure ships to executors inside the
         // sink's endpoint factory: capture LOCALS only (field access
         // would drag the non-serializable Runner; df.columns would
@@ -983,7 +1010,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             ef(stageTargetFor(stage), ss ++ setup)(pid),
           quote = graft.sinks.PgWire.quoteQualified,
           renderer = binKinds.map(graft.sinks.PgBinary.renderer)
-            .getOrElse(graft.sinks.CopySink.textRenderer))
+            .getOrElse(graft.sinks.CopySink.textRenderer),
+          rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
+          rejectRender = binKinds.map(k =>
+            graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
+            .orNull)
       } else binKinds match {
         case Some(kinds) => new CopySink(
           endpointFactory = binaryEndpointFactory(target, sessionSql),

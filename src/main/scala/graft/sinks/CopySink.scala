@@ -125,8 +125,12 @@ final class CopySink(
   extends Serializable {
 
   /** Write `df`; returns (sent, rejected, bytes) via accumulators —
-    * `bytes` counts the COPY TEXT payload actually handed to endpoints
-    * (the reference's per-table bytes column in the load summary).
+    * `bytes` counts the rendered row payload actually handed to
+    * endpoints in the ACTIVE format: COPY TEXT lines under the default
+    * renderer, COPY BINARY tuple frames under [[graft.sinks.PgBinary]]'s
+    * (so summary byte totals are not comparable across formats — binary
+    * frames of the same rows are usually smaller). This is the
+    * reference's per-table bytes column in the load summary.
     *
     * Delivery contract: at-least-once per PARTITION — each COPY batch
     * commits atomically, but a Spark task retry (or a speculative

@@ -97,10 +97,29 @@ object ExactlyOnce extends Serializable {
     * `<rel>__graft_epochs` tables manually — otherwise the fresh
     * ledger re-delivers already-published batches.
     */
+  /** relnames already warned about this JVM — the hashed-base hazard
+    * is per deployment, not per call, and stageName runs per task
+    * attempt; an unbounded stderr stream would bury the warning. */
+  private val warnedBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def boundBase(rel: String, budget: Int = 63 - 46): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     if (rel.getBytes(utf8).length <= budget) rel
     else {
+      // surface the continuity hazard at runtime, not just in this doc:
+      // pre-hashing revisions produced names PG silently truncated, so
+      // a ledger/stage created by them is NOT recognized after an
+      // upgrade — a streaming query on this relname starts a fresh
+      // ledger and re-delivers already-published batches
+      if (warnedBases.add(rel))
+        System.err.println(
+          s"graft: relname '$rel' exceeds the stage-name byte budget " +
+            s"($budget); staging/ledger names use a hashed base. If " +
+            "this table was written by a pre-hashing graft version, " +
+            "drop its old __graft_stage_*/__graft_epochs tables before " +
+            "streaming into it — the fresh ledger would otherwise " +
+            "re-deliver already-published batches.")
       val h = java.security.MessageDigest.getInstance("SHA-1")
         .digest(rel.getBytes(utf8)).take(4).map("%02x".format(_)).mkString
       val pre = new java.lang.StringBuilder
@@ -165,7 +184,9 @@ object ExactlyOnce extends Serializable {
             maxRows: Int = 25000,
             maxBytes: Long = 20L << 20,
             publishExtra: Seq[String] = Nil,
-            renderer: DataFrame => DataFrame = CopySink.textRenderer)
+            renderer: DataFrame => DataFrame = CopySink.textRenderer,
+            rejectDir: Option[String] = None,
+            rejectRender: Array[Byte] => Array[Byte] = null)
       : (Long, Long, Long) = {
     val mkStage: (String, String) => String =
       if (createStageSql != null) createStageSql
@@ -202,7 +223,12 @@ object ExactlyOnce extends Serializable {
       // COPY BINARY rides through unchanged: the stage clones the
       // target's layout (LIKE), so the target-resolved renderer and a
       // binary endpointFor stage the same datums the direct path sends
-      renderer = renderer)
+      renderer = renderer,
+      // rejected rows never reach a stage table, so they can't
+      // double-publish — reject FILES are pure diagnostics here and
+      // carry the same replayable contract as the direct path
+      rejectDir = rejectDir,
+      rejectRender = rejectRender)
     val result = sink.write(df)
     import scala.jdk.CollectionConverters._
     val stages = winners.value.asScala.toSeq.distinct.sorted
@@ -258,7 +284,10 @@ object ExactlyOnce extends Serializable {
                        quote: String => String = identity,
                        maxRows: Int = 25000,
                        maxBytes: Long = 20L << 20,
-                       dropStagesSql: String => String = null): (Long, Long, Long) = {
+                       dropStagesSql: String => String = null,
+                       rejectDir: Option[String] = None,
+                       rejectRender: Array[Byte] => Array[Byte] = null)
+      : (Long, Long, Long) = {
     // ledger name bounded the same way as stage names: two long-named
     // tables whose relnames differ only past NAMEDATALEN must not
     // truncate onto ONE ledger (same (queryId, batchId) key space —
@@ -277,6 +306,7 @@ object ExactlyOnce extends Serializable {
       dropStagesSql = dropStagesSql,
       maxRows = maxRows, maxBytes = maxBytes,
       publishExtra = Seq(s"INSERT INTO ${quote(epochs)} " +
-        s"VALUES ($qlit, $batchId);"))
+        s"VALUES ($qlit, $batchId);"),
+      rejectDir = rejectDir, rejectRender = rejectRender)
   }
 }

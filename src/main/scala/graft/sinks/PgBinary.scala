@@ -297,6 +297,10 @@ object PgBinary {
     // "2000-+1-01", which date_in rejects
     if (!parts.forall(p => p.nonEmpty && p.length <= 9 &&
       p.forall(_.isDigit))) return null
+    // PG's calendar has no year 0 (date_in rejects '0000-01-01');
+    // LocalDate is proleptic and would silently map it to 1 BC —
+    // looser than the server, which the fidelity contract forbids
+    if (parts(0).toInt == 0) return null
     try java.time.LocalDate.of(parts(0).toInt, parts(1).toInt,
       parts(2).toInt)
     catch { case scala.util.control.NonFatal(_) => null }
@@ -539,12 +543,22 @@ object PgBinary {
       def rdI16(): Int = ((u8() << 8) | u8()).toShort.toInt
       def rdI32(): Int = (u8() << 24) | (u8() << 16) | (u8() << 8) | u8()
       def rdI64(): Long = ((rdI32().toLong) << 32) | (rdI32() & 0xFFFFFFFFL)
+      // proleptic year <= 0 is BC in PG's text form (year 0 = 1 BC);
+      // '%04d' of the raw proleptic year would render '0000'/'-001',
+      // which date_in cannot replay — PG spells these '0001-01-01 BC'
+      def dateParts(days: Int): (String, Boolean) = {
+        val d = java.time.LocalDate.ofEpochDay(days + PgEpochDay)
+        val y = d.getYear
+        val disp = if (y > 0) y else 1 - y
+        (f"$disp%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d",
+          y <= 0)
+      }
       def dateStr(days: Int): String =
         if (days == DateInf) "infinity"
         else if (days == DateNegInf) "-infinity"
         else {
-          val d = java.time.LocalDate.ofEpochDay(days + PgEpochDay)
-          f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+          val (s, bc) = dateParts(days)
+          if (bc) s + " BC" else s
         }
       def timeStr(micros: Long): String = {
         val f = micros % 1000000L
@@ -552,13 +566,17 @@ object PgBinary {
         val base = f"${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"
         if (f == 0) base else f"$base.$f%06d"
       }
-      def tsStr(micros: Long): String =
+      // the era token goes AFTER the zone suffix ('… 00:00:00+00 BC'),
+      // matching PG's own timestamptz output — so the zone is threaded
+      // in rather than appended by the caller
+      def tsStr(micros: Long, zone: String): String =
         if (micros == TsInf) "infinity"
         else if (micros == TsNegInf) "-infinity"
         else {
           val tod = java.lang.Math.floorMod(micros, 86400000000L)
           val days = java.lang.Math.floorDiv(micros, 86400000000L)
-          s"${dateStr(days.toInt)} ${timeStr(tod)}"
+          val (ds, bc) = dateParts(days.toInt)
+          s"$ds ${timeStr(tod)}$zone" + (if (bc) " BC" else "")
         }
       val n = rdI16()
       require(n == kinds.length, s"$n fields for ${kinds.length} kinds")
@@ -582,11 +600,8 @@ object PgBinary {
             case F8 => sb.append(
               java.lang.Double.longBitsToDouble(rdI64()))
             case Date => sb.append(dateStr(rdI32()))
-            case Ts => sb.append(tsStr(rdI64()))
-            case TsTz =>
-              val m = rdI64()
-              sb.append(tsStr(m))
-              if (m != TsInf && m != TsNegInf) sb.append("+00")
+            case Ts => sb.append(tsStr(rdI64(), ""))
+            case TsTz => sb.append(tsStr(rdI64(), "+00"))
             case Time => sb.append(timeStr(rdI64()))
             case Num => sb.append(numericStr(rdI16(), rdI16(), rdI16(),
               rdI16(), () => rdI16()))

@@ -379,6 +379,75 @@ class LiveServerSpec extends SparkSpec {
       "oops\tencode-failure"), s"reject file held $rejLines")
   }
 
+  test("live PG: `WITH exactly once` writes the same replayable reject " +
+    "files as the direct path, text and binary (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-eorej").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "rej.csv").toPath,
+      "1|a\n2|b\noops|bad-int\n4|d\n")
+    val rejRoot = java.nio.file.Files
+      .createTempDirectory("live-eorej-root").toFile.getAbsolutePath
+    val dp = PgWire.connParams(uri, decode)
+    val runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      rejectRoot = Some(rejRoot),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => _ =>
+        new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true))
+    def cmd(table: String, withs: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/rej.csv'
+          HAVING FIELDS (i, s)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|', exactly once$withs
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ create table $table (i int4, s text); $$$$;"""
+    // text path: the unparseable int is SERVER-refused during the
+    // stage COPY — the bisect isolates it and the reject file gets the
+    // original COPY TEXT line (the r15 ADVICE gap: this path used to
+    // count rejects but write no file)
+    val st1 = runner.runFile(spark, cmd("eo_rej_txt", ""))
+    assert(st1.map(s => (s.rows, s.rejected)) == Seq((3L, 1L)), st1)
+    // binary path: the same row fails executor-side ENCODE; its reject
+    // rendering is already text
+    val st2 = runner.runFile(spark, cmd("eo_rej_bin", ", copy binary"))
+    assert(st2.map(s => (s.rows, s.rejected)) == Seq((3L, 1L)), st2)
+    val c = new graft.sinks.PgWireConnection(dp)
+    try {
+      for (t <- Seq("eo_rej_txt", "eo_rej_bin")) {
+        assert(c.query(
+          s"SELECT string_agg(s, ',' ORDER BY i) FROM $t")._2
+          .head(0) == "a,b,d", s"$t contents")
+      }
+    } finally c.close()
+    for (t <- Seq("eo_rej_txt", "eo_rej_bin")) {
+      val rejLines = java.nio.file.Files.list(
+        java.nio.file.Path.of(rejRoot, s"$t.dat")).toArray
+        .map(_.toString).filter(_.endsWith(".dat")).sorted
+        .flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines())
+        .toSet
+      assert(rejLines == Set("oops\tbad-int"),
+        s"$t reject file held $rejLines")
+    }
+  }
+
   test("live MySQL: introspect, range-read the largest table " +
     "(GRAFT_LIVE_MYSQL_URI)") {
     assume(env("GRAFT_LIVE_MYSQL_URI").isDefined,
@@ -840,6 +909,71 @@ class LiveServerSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("exclusion"),
       s"expected exclusion violation, got: ${e.getMessage}")
     exec("DROP TABLE dropexcl")
+  }
+
+  test("live PG: WITH drop indexes on a table REFERENCED by foreign " +
+    "keys drops only the owning constraints (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS dropref_child")
+    exec("DROP TABLE IF EXISTS dropref")
+    // the regression this pins: an FK's conindid points at the
+    // REFERENCED table's PK/unique index, so a bare
+    // `con.conindid = ix.indexrelid` join listed the child's (and the
+    // self-referential) FK against the target's index rows — the drop
+    // then ran `ALTER TABLE dropref DROP CONSTRAINT <child fk>`
+    // (error, aborting the load) and the condef rebuild branch would
+    // have re-ADDed the FK onto the wrong table
+    exec("CREATE TABLE dropref (id int PRIMARY KEY, " +
+      "parent int REFERENCES dropref (id))")
+    // a plain index on the same table is NOT FK-pinned: it must still
+    // be dropped and rebuilt while the PK index is kept in place
+    exec("CREATE INDEX dropref_parent_idx ON dropref (parent)")
+    exec("CREATE TABLE dropref_child (cid int PRIMARY KEY, " +
+      "ref int REFERENCES dropref (id))")
+    val csv = java.nio.file.Files.createTempFile("dropref", ".csv")
+    java.nio.file.Files.writeString(csv,
+      (1 to 200).map(i => s"$i,${math.max(1, i / 2)}").mkString("\n"))
+    val text =
+      s"""LOAD CSV FROM '$csv' HAVING FIELDS (id, parent)
+            INTO $uri TARGET TABLE dropref
+            WITH fields terminated by ',', drop indexes;"""
+    val stats = pgRunner(uri).runFile(spark, text)
+    assert(stats.map(_.rows).sum == 200)
+    assert(stats.forall(_.error.isEmpty),
+      stats.filter(_.error.nonEmpty).mkString("; "))
+    // the FK-pinned PK index was kept in place; the plain index was
+    // dropped and rebuilt — both present after the load
+    val idx = q("SELECT indexname FROM pg_indexes " +
+      "WHERE tablename = 'dropref' ORDER BY 1").map(_(0))
+    assert(idx == Seq("dropref_parent_idx", "dropref_pkey"),
+      s"indexes after load: $idx")
+    val pk = q("SELECT contype::text FROM pg_constraint " +
+      "WHERE conrelid = 'dropref'::regclass AND contype = 'p'")
+    assert(pk.nonEmpty, "PK constraint must survive the load")
+    // both FKs survive untouched, each on its own table
+    val fks = q("SELECT conrelid::regclass::text, conname " +
+      "FROM pg_constraint WHERE contype = 'f' AND " +
+      "confrelid = 'dropref'::regclass ORDER BY 1")
+    assert(fks.map(_(0)).sorted == Seq("dropref", "dropref_child"),
+      s"FKs referencing dropref after the load: ${fks.map(_.toSeq)}")
+    // and the child FK still enforces against the loaded data
+    val e = intercept[Exception](
+      exec("INSERT INTO dropref_child VALUES (1, 99999)"))
+    assert(e.getMessage.toLowerCase.contains("foreign key"),
+      s"expected FK violation, got: ${e.getMessage}")
+    exec("DROP TABLE dropref_child")
+    exec("DROP TABLE dropref")
   }
 
   test("live mssql→pg: the DSL-text migration the fake-server e2e runs " +

@@ -59,6 +59,13 @@ class PgBinarySpec extends SparkSpec {
       "00000004" + "7fffffff")
     assert(enc("2000-13-01", PgBinKind.Date) == null)
     assert(enc("2000-1-1", PgBinKind.Date) != null) // single digits OK
+    // PG's calendar has no year 0: date_in rejects '0000-01-01', so
+    // the encoder must too — LocalDate's proleptic year 0 would load
+    // as '0001-01-01 BC', looser than the server
+    assert(enc("0000-01-01", PgBinKind.Date) == null)
+    assert(enc("0000-01-01 00:00:00", PgBinKind.Ts) == null)
+    assert(enc("0000-01-01", PgBinKind.Ts) == null)
+    assert(enc("0001-01-01", PgBinKind.Date) != null) // year 1 AD fine
   }
 
   test("timestamp/timestamptz: micros since 2000-01-01, zone handling") {
@@ -173,6 +180,33 @@ class PgBinarySpec extends SparkSpec {
       Seq(PgBinKind.I4)), "UTF-8") == "\\N\n")
     val junk = Array[Byte](9, 9, 9)
     assert(PgBinary.frameToTextLine(junk, kinds) eq junk)
+  }
+
+  test("frameToTextLine renders BC dates/timestamps in PG's replayable " +
+    "era form, never a bare negative/zero year") {
+    // our encoder no longer produces BC datums (year<=0 rejects), but
+    // the decode path stays defensive: a crafted frame with a BC day
+    // count must render PG's own spelling. days -730119 = proleptic
+    // 0000-01-01 = PG '0001-01-01 BC'
+    def i32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def i64(v: Long) = i32((v >> 32).toInt) ++ i32(v.toInt)
+    val bcDays = java.time.LocalDate.of(0, 1, 1).toEpochDay.toInt - 10957
+    val dateFrame = Array[Byte](0, 1) ++ i32(4) ++ i32(bcDays)
+    assert(new String(PgBinary.frameToTextLine(dateFrame,
+      Seq(PgBinKind.Date)), "UTF-8") == "0001-01-01 BC\n")
+    val bcMicros = bcDays.toLong * 86400000000L + 3600000000L
+    val tsFrame = Array[Byte](0, 1) ++ i32(8) ++ i64(bcMicros)
+    assert(new String(PgBinary.frameToTextLine(tsFrame,
+      Seq(PgBinKind.Ts)), "UTF-8") == "0001-01-01 01:00:00 BC\n")
+    // timestamptz: era token AFTER the zone, matching PG's output form
+    assert(new String(PgBinary.frameToTextLine(tsFrame,
+      Seq(PgBinKind.TsTz)), "UTF-8") == "0001-01-01 01:00:00+00 BC\n")
+    // 2 BC: proleptic year -1 → displayed year 0002
+    val bc2 = java.time.LocalDate.of(-1, 3, 5).toEpochDay.toInt - 10957
+    val bc2Frame = Array[Byte](0, 1) ++ i32(4) ++ i32(bc2)
+    assert(new String(PgBinary.frameToTextLine(bc2Frame,
+      Seq(PgBinKind.Date)), "UTF-8") == "0002-03-05 BC\n")
   }
 
   test("rowColumn renders codegen'd tuple frames; encode failure " +
