@@ -106,11 +106,21 @@ object Classifier {
     *
     * Scale shape: the corpus first compresses to DISTINCT score values
     * (one hash aggregate — for integer-milli margins that is bounded by
-    * the margin range, orders of magnitude below document count); the
-    * only ordered pass is a cumulative sum over that compressed frame.
-    * No per-document ranks, no corpus-sized sort, no collect. Counts
-    * are exact integers; the single double division happens once, so
-    * `auc_micro` is engine-exact.
+    * the margin range, orders of magnitude below document count), and
+    * the cumulative negative count runs as a TWO-LEVEL prefix (the
+    * [[Drift.valueKs]] shape): numeric scores hash into `buckets`
+    * ordered range buckets, each bucket's running sum is a window
+    * PARTITIONED by bucket (parallel, spill-safe), and each bucket's
+    * exclusive offset comes from a broadcast triangular self-join over
+    * the ≤`buckets` bucket totals — no global-ordered window anywhere,
+    * so a CONTINUOUS double score (distinct-count ≈ corpus-count, the
+    * normal classifier output) never funnels the corpus through one
+    * task. Degenerate ranges (constant, ±Inf endpoints, NaN present)
+    * collapse to one bucket; non-numeric orderable scores (no monotone
+    * bucket function exists) keep the old single global pass over the
+    * distinct values. No per-document ranks, no corpus-sized sort, no
+    * collect. Counts are exact integers; the single double division
+    * happens once, so `auc_micro` is engine-exact.
     *
     * Output (one row): (n_pos, n_neg, wins, tie_pairs, auc_micro);
     * `auc_micro` is NULL when either class is empty (AUC undefined).
@@ -122,17 +132,60 @@ object Classifier {
     * DECIMAL(38,0) (the counts themselves never overflow).
     */
   def aucByLabel(scored: DataFrame, scoreCol: String,
-                 labelCol: String): DataFrame = {
+                 labelCol: String, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val g = scored
       .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val c = g.withColumn("neg_below",
-      coalesce(sum(col("q")).over(w), lit(0L)))
+    // the bucket function must be MONOTONE in the score's own ordering;
+    // double(score) is for numerics/dates/timestamps. Anything else
+    // (strings, ...) has no cheap monotone map — keep the single global
+    // pass over distinct values for those, documented above.
+    val bucketable = scored.schema(scoreCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    val c = if (!bucketable) {
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("neg_below",
+        coalesce(sum(col("q")).over(w), lit(0L)))
+    } else {
+      val gv = g.withColumn("v", col("s").cast("double"))
+      val range = gv.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      // monotone range bucket; any non-finite span (constant range,
+      // ±Inf endpoints, NaN — NaN sorts greatest into hi) falls back
+      // to the single bucket 0, i.e. the old global shape
+      val span = col("hi") - col("lo")
+      val bucketExpr = when(col("lo").isNull || span === 0.0d ||
+          isnan(span) || span === lit(Double.PositiveInfinity), lit(0))
+        .otherwise(least(lit(buckets - 1), greatest(lit(0),
+          floor((col("v") - col("lo")) / span * buckets).cast("int"))))
+      val gb = gv.crossJoin(broadcast(range)).withColumn("bk", bucketExpr)
+      // exclusive per-bucket offsets WITHOUT a global window (even a
+      // bounded one warns and single-tasks): a broadcast triangular
+      // self-join over the ≤`buckets` bucket totals
+      val bt = gb.groupBy(col("bk")).agg(sum(col("q")).as("bq"))
+      val offsets = bt.select(col("bk"), col("bq"))
+        .join(broadcast(bt.select(col("bk").as("bk2"), col("bq").as("bq2"))),
+          col("bk2") < col("bk"), "left")
+        .groupBy(col("bk"))
+        .agg(coalesce(sum(col("bq2")), lit(0L)).as("oq"))
+      // within-bucket exclusive prefix, ordered by the ORIGINAL score
+      // (exact even where double() collapses distinct wide integers),
+      // partitioned so every bucket sorts independently
+      val wi = Window.partitionBy(col("bk")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      gb.join(broadcast(offsets), "bk")
+        .withColumn("neg_below",
+          coalesce(sum(col("q")).over(wi), lit(0L)) + col("oq"))
+    }
     c.agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
         sum(col("p") * col("neg_below")).as("wins"),
         sum(col("p") * col("q")).as("tie_pairs"))

@@ -241,8 +241,9 @@ object Drift {
     * first, and the cumulative sums run as a TWO-LEVEL prefix — values
     * hash into `buckets` ordered range buckets, each bucket's running
     * sum is a window PARTITIONED by bucket (parallel, spill-safe), and
-    * the tiny per-bucket totals (≤ `buckets` rows) take the only
-    * global-ordered pass to produce each bucket's exclusive offset.
+    * the tiny per-bucket totals (≤ `buckets` rows) produce each
+    * bucket's exclusive offset through a broadcast triangular
+    * self-join — no global-ordered pass anywhere in the plan.
     * The old single global `Window.orderBy(v)` put EVERY distinct value
     * through one partition — fine for integer-ish domains, a
     * single-task sort of a corpus-sized frame for continuous doubles.
@@ -277,13 +278,19 @@ object Drift {
       .otherwise(least(lit(buckets - 1), greatest(lit(0),
         floor((col("v") - col("lo")) / span * buckets).cast("int"))))
     val g = g0.crossJoin(broadcast(range)).withColumn("bk", bucketExpr)
-    val wb = Window.orderBy(col("bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = g.groupBy(col("bk"))
+    // exclusive per-bucket offsets via a broadcast triangular self-join
+    // over the ≤`buckets` bucket totals — a global-ordered window here
+    // would be bounded by construction but still single-task (and trip
+    // Spark's "No Partition Defined" warning in every caller's log)
+    val bt = g.groupBy(col("bk"))
       .agg(sum(col("ca")).as("bca"), sum(col("cb")).as("bcb"))
-      .select(col("bk"),
-        coalesce(sum(col("bca")).over(wb), lit(0L)).as("oa"),
-        coalesce(sum(col("bcb")).over(wb), lit(0L)).as("ob"))
+    val offsets = bt.select(col("bk"))
+      .join(broadcast(bt.select(col("bk").as("bk2"),
+        col("bca").as("bca2"), col("bcb").as("bcb2"))),
+        col("bk2") < col("bk"), "left")
+      .groupBy(col("bk"))
+      .agg(coalesce(sum(col("bca2")), lit(0L)).as("oa"),
+        coalesce(sum(col("bcb2")), lit(0L)).as("ob"))
     val totals = g0.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val wi = Window.partitionBy(col("bk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

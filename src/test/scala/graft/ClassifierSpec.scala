@@ -103,4 +103,70 @@ class ClassifierSpec extends SparkSpec {
     val oneClass = Seq((5L, true), (6L, true)).toDF("s", "y")
     assert(Classifier.aucByLabel(oneClass, "s", "y").head().isNullAt(4))
   }
+
+  test("aucByLabel: continuous double scores — brute-force parity and " +
+    "NO unpartitioned window in the plan (the 100 TB shape)") {
+    import spark.implicits._
+    // continuous scores: distinct-count ≈ row-count, the shape where a
+    // global Window.orderBy would funnel the whole corpus through one
+    // task. Deterministic pseudo-random doubles, some exact duplicates
+    // to exercise the tie arithmetic across bucket boundaries.
+    val rows = (0 until 4000).map { i =>
+      val h = (i.toLong * 2654435761L) % 100000L
+      val s = if (i % 37 == 0) 0.5 else h.toDouble / 1000.0
+      (s, (i * 2654435761L % 3L) != 0L)
+    }
+    val df = rows.toDF("s", "y").repartition(7)
+    val out = Classifier.aucByLabel(df, "s", "y")
+    // every Window in the optimized plan must be PARTITIONED — the
+    // two-level prefix leaves no global-ordered window anywhere
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the within-bucket window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "found an unpartitioned (single-task) window in the plan")
+    val r = out.head()
+    // brute force over all (pos, neg) pairs
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins2 = pos.map(p => neg.count(_ < p).toLong).sum
+    val ties = pos.map(p => neg.count(_ == p).toLong).sum
+    assert(r.getLong(0) == pos.size.toLong &&
+      r.getLong(1) == neg.size.toLong)
+    assert(r.getLong(2) == wins2, s"wins ${r.getLong(2)} vs $wins2")
+    assert(r.getLong(3) == ties, s"ties ${r.getLong(3)} vs $ties")
+    val expect = math.floor((2.0 * wins2 + ties) /
+      (2.0 * pos.size * neg.size) * 1e6 + 0.5).toLong
+    assert(r.getLong(4) == expect)
+  }
+
+  test("aucByLabel: degenerate numeric ranges (constant, ±Inf, NaN) " +
+    "fall back to one bucket and stay exact") {
+    import spark.implicits._
+    val const = Seq((5.0, true), (5.0, false), (5.0, true)).toDF("s", "y")
+    val rc = Classifier.aucByLabel(const, "s", "y").head()
+    // all tied: AUC = ties/2 / pairs = 0.5
+    assert(rc.getLong(4) == 500000L)
+    val inf = Seq((Double.NegativeInfinity, false), (0.0, false),
+      (1.0, true), (Double.PositiveInfinity, true)).toDF("s", "y")
+    assert(Classifier.aucByLabel(inf, "s", "y").head()
+      .getLong(4) == 1000000L)
+    val nan = Seq((Double.NaN, true), (1.0, true), (0.0, false))
+      .toDF("s", "y")
+    // NaN sorts greatest: both positives out-rank the one negative
+    assert(Classifier.aucByLabel(nan, "s", "y").head()
+      .getLong(4) == 1000000L)
+  }
+
+  test("aucByLabel: non-numeric (string) scores keep the exact global " +
+    "path") {
+    import spark.implicits._
+    val df = Seq(("c", true), ("b", true), ("a", false), ("b", false))
+      .toDF("s", "y")
+    val r = Classifier.aucByLabel(df, "s", "y").head()
+    // pos {c, b}, neg {a, b}: wins = c>{a,b} + b>{a} = 3, ties = 1
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 875000L)
+  }
 }
