@@ -188,7 +188,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           nameColumns = cmd.fields.nonEmpty ||
             cmd.targetColumns.nonEmpty,
           exactlyOnce = cmd.boolOption("exactly once"),
-          binary = cmd.boolOption("copy binary")))
+          binary = cmd.option("copy binary")))
         rebuildIndexesAsync(table, droppedIdx, gucSql,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
@@ -433,9 +433,9 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   private def binaryKinds(table: String, cols: Seq[String],
                           named: Boolean,
                           preserveCase: Boolean,
-                          requested: Boolean)
+                          mode: Option[String])
       : Option[Seq[graft.sinks.PgBinKind]] = {
-    if (!requested) return None
+    if (mode.isEmpty) return None
     require(queryTarget != null,
       "WITH copy binary needs the Runner's queryTarget channel")
     require(binaryEndpointFactory != null,
@@ -480,7 +480,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     kinds.find(_._3.isEmpty) match {
       case Some((c, t, _)) =>
         note(s"column $c has type $t, no binary encoder")
-      case None => Some(kinds.map(_._3.get))
+      case None =>
+        val resolved = kinds.map(_._3.get)
+        // `copy binary auto`: binary pays off where the server's text
+        // input routine is expensive (numeric_in's base-10⁴ build,
+        // timestamptz_in's datetime parse, uuid_in, byteain's hex
+        // re-parse — CopyBinAb measured −13–25% server CPU on those);
+        // int/date/varchar-only tables measured ~0, so auto keeps them
+        // on COPY TEXT and skips the executor-side encode entirely
+        if (mode.contains("auto") && !resolved.exists(Runner.expensiveKind)) {
+          System.err.println(
+            s"graft: WITH copy binary auto keeps COPY TEXT for $table " +
+              "(no expensive-input column types)")
+          None
+        } else Some(resolved)
     }
   }
 
@@ -876,7 +889,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // order). Locals only in endpointFor (see load()).
             val kinds = binaryKinds(s"${t.schema}.${t.name}",
               df.columns.toSeq, named = false, preserveCase = false,
-              requested = cmd.boolOption("copy binary"))
+              mode = cmd.option("copy binary"))
             val ef = kinds match {
               case Some(_) => binaryEndpointFactory
               case None => endpointFactory
@@ -901,7 +914,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             val qualified = s"${t.schema}.${t.name}"
             val sink = binaryKinds(qualified, df.columns.toSeq,
               named = false, preserveCase = false,
-              requested = cmd.boolOption("copy binary")) match {
+              mode = cmd.option("copy binary")) match {
               case Some(kinds) => new CopySink(
                 endpointFactory = binaryEndpointFactory(qualified, setup),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
@@ -949,7 +962,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    parseRejects: Long = 0L,
                    nameColumns: Boolean = false,
                    exactlyOnce: Boolean = false,
-                   binary: Boolean = false): TableStats = {
+                   binary: Option[String] = None): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -975,7 +988,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // stage clones the target's layout)
     val binKinds = binaryKinds(table, df.columns.toSeq,
       named = nameColumns || !synthetic, preserveCase = nameColumns,
-      requested = binary)
+      mode = binary)
     val (sent, rejected, bytes) =
       if (exactlyOnce) {
         // `WITH exactly once`: route through the staged-publish wrapper
@@ -1047,6 +1060,18 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
   * glue only.
   */
 object Runner {
+
+  /** The kinds whose server-side TEXT input routine is expensive
+    * enough for COPY BINARY to pay (CopyBinAb A/B: −13–25% server CPU
+    * on numeric/timestamptz/uuid-heavy loads; byteain shares the
+    * re-parse shape). `copy binary auto` enables binary per table
+    * exactly when one of these resolves. */
+  private[graft] def expensiveKind(k: graft.sinks.PgBinKind): Boolean =
+    k match {
+      case graft.sinks.PgBinKind.Num | graft.sinks.PgBinKind.TsTz |
+           graft.sinks.PgBinKind.Uuid | graft.sinks.PgBinKind.Bytea => true
+      case _ => false
+    }
 
   /** Percent-decode exactly once, splitting done beforehand on the RAW
     * (still percent-encoded) string so an encoded ':' in a password

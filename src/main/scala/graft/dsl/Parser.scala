@@ -422,8 +422,12 @@ private final class Parser(in: String, baseDir: String = ".") {
     Seq("exactly", "once") -> "flag",
     // extension: encode rows to COPY BINARY on the executors when the
     // target's column types all have binary encoders (PgBinary) — the
-    // server skips its per-field text input routines
-    Seq("copy", "binary") -> "flag",
+    // server skips its per-field text input routines. `copy binary
+    // auto` enables it per table only when an expensive-input column
+    // type is present (numeric/timestamptz/uuid/bytea — where the A/B
+    // measured the server-CPU win; int/date/varchar-only tables stay
+    // on COPY TEXT, where binary measured ~0)
+    Seq("copy", "binary") -> "binmode",
     Seq("multiple", "readers", "per", "thread") -> "flag",
     Seq("single", "reader") -> "flag",
     Seq("quote", "identifiers") -> "flag",
@@ -456,6 +460,8 @@ private final class Parser(in: String, baseDir: String = ".") {
           val key = kws.mkString(" ")
           kind match {
             case "flag" => out += key -> "true"
+            case "binmode" =>
+              out += key -> (if (tryKw("auto")) "auto" else "true")
             case "int" => trySym('='); out += key -> integer().toString
             case "size" =>
               trySym('=')

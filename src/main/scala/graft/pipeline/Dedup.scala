@@ -344,26 +344,11 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    def withSizes(c: DataFrame): DataFrame = c
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+    def withSizes(c: DataFrame, sz: DataFrame): DataFrame = c
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")),
         "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")),
         "id_b")
-    val pairs = verifyJaccardRows(withSizes(cand0), rows, rows, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ESCALATION: a doc whose every spanning edge failed verification
-    // may still clear the threshold against some unexplored bucket
-    // co-member (jaccard is not transitive — the threshold-straddling
-    // case). Such docs are structurally rare (a straggler is a doc ALL
-    // of whose spanning edges straddled the threshold; at 100×
-    // duplication: dozens out of 500k), so the escalation CANDIDATES
-    // are collected in one action over the three caches and — when few
-    // — verified DRIVER-side from a single filtered shingle pass.
-    // Round 14 instead kept escalation inside the component step's one
-    // big plan; profiled at sf0.1 (MinhashCompProfile) the escalation
-    // verify — three full shingle-lineage passes — ran TWICE more
-    // inside the doubled edge union, ~6 s of the query's 10.8 s, to
-    // contribute a handful of edges.
     // driver budgets: candidate/pair frames collect packed (≤32 MB a
     // side at the cap) for the driver-side straggler diff; anything
     // larger — or a pathological straggler/bucket structure — falls
@@ -387,19 +372,97 @@ object Dedup {
       out
     }
     // first action: materializes the bucket pipeline into the caches
-    // (the verified-pairs frame is a FILTER of cand0, so nPairs ≤
-    // nCand and this one gate covers both collects)
     val nCand = cand0.count()
-    // escalation CANDIDATES (pairs still owed a verification):
-    // null = fall back to the distributed spelling
-    var escPairs: Array[(Long, Long)] = null
-    var nPairs = -1L
     // the packed driver path reads ids as primitive longs; any other
     // id type rides the type-agnostic distributed fallback
     val idIsLong = df.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    if (idIsLong && nCand <= candCap) {
-      val candArr = packedPairs(cand0)
+    val candArr: Array[Long] =
+      if (idIsLong && nCand <= candCap) packedPairs(cand0) else null
+    // ENDPOINT GATE (sparse-duplication win regime): when the candidate
+    // edges touch ≪ the corpus — huge crawl, rare duplicates — the
+    // verify pass's shingle lineage re-tokenizes mostly docs that
+    // appear in NO candidate, so restrict it to the endpoints via a
+    // broadcast semi-join. Gated at endpoints×10 ≤ docs: the dense
+    // ×100 stress (endpoints ≈ corpus) measured the unconditional
+    // filter at 59.5→152.6 s (the broadcast probe prunes nothing and
+    // costs a probe per shingle row), while the sparse 500k corpus
+    // measures the gated filter as a ~2× verify-pass win (COVERAGE
+    // round 16). corpus size is a FREE count: the cached buckets frame
+    // holds exactly `bands` rows per doc.
+    val verifyRows = {
+      val filtered =
+        // GRAFT_MINHASH_NO_ENDPOINT_FILTER: measurement control (the
+        // COVERAGE A/B's same-code baseline) and production escape
+        // valve — the gate itself needs no tuning knob
+        if (candArr == null ||
+            sys.env.contains("GRAFT_MINHASH_NO_ENDPOINT_FILTER")) None
+        else {
+          // gate evaluation must stay cheap in the DENSE (reject) case:
+          // a boxed HashSet over the ~2×cap endpoint ids measured
+          // +11-14 s paired on the ×100 stress (boxing + a ~200 MB
+          // structure held across the job's GC); a primitive sorted
+          // clone counts distinct endpoints in ~0.1 s and is freed
+          // here. The corpus-size count (one action over the cached
+          // buckets) is itself only paid AFTER the absolute check:
+          // the filter's design point is a SMALL broadcast endpoint
+          // set (probe per shingle row), so >stragCap endpoints
+          // short-circuit to unfiltered without any extra action —
+          // paired swapped-order dense runs attributed ~3-6 s to the
+          // count alone
+          val sorted = candArr.clone()
+          java.util.Arrays.sort(sorted)
+          var nEps = 0
+          var i = 0
+          while (i < sorted.length) {
+            if (i == 0 || sorted(i) != sorted(i - 1)) nEps += 1
+            i += 1
+          }
+          if (nEps <= stragCap &&
+              nEps.toLong * 10 <= buckets.count() / math.max(bands, 1)) {
+            import df.sparkSession.implicits._
+            val epsSeq: Seq[Long] = {
+              val b = Seq.newBuilder[Long]
+              var j = 0
+              while (j < sorted.length) {
+                if (j == 0 || sorted(j) != sorted(j - 1)) b += sorted(j)
+                j += 1
+              }
+              b.result()
+            }
+            Some(rows.join(broadcast(epsSeq.toDF("id")),
+              Seq("id"), "left_semi"))
+          } else None
+        }
+      filtered.getOrElse(rows)
+    }
+    // sizes for the cand0 verify come from the SAME (possibly
+    // filtered) lineage — identical counts for endpoint docs, since
+    // shingleHashRows is per-doc independent
+    val vSizes =
+      if (verifyRows eq rows) sizes
+      else verifyRows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = verifyJaccardRows(withSizes(cand0, vSizes), verifyRows,
+      verifyRows, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ESCALATION: a doc whose every spanning edge failed verification
+    // may still clear the threshold against some unexplored bucket
+    // co-member (jaccard is not transitive — the threshold-straddling
+    // case). Such docs are structurally rare (a straggler is a doc ALL
+    // of whose spanning edges straddled the threshold; at 100×
+    // duplication: dozens out of 500k), so the escalation CANDIDATES
+    // are collected in one action over the three caches and — when few
+    // — verified DRIVER-side from a single filtered shingle pass.
+    // Round 14 instead kept escalation inside the component step's one
+    // big plan; profiled at sf0.1 (MinhashCompProfile) the escalation
+    // verify — three full shingle-lineage passes — ran TWICE more
+    // inside the doubled edge union, ~6 s of the query's 10.8 s, to
+    // contribute a handful of edges.
+    // escalation CANDIDATES (pairs still owed a verification):
+    // null = fall back to the distributed spelling
+    var escPairs: Array[(Long, Long)] = null
+    var nPairs = -1L
+    if (candArr != null) {
       val pairArr = packedPairs(pairs) // materializes the verify cache
       nPairs = pairArr.length / 2
       val paired = pairArr.clone()
@@ -506,7 +569,7 @@ object Dedup {
             greatest(col("z.id"), col("y.id")).as("id_b"))
           .distinct()
           .join(cand0, Seq("id_a", "id_b"), "left_anti")
-        Some(verifyJaccardRows(withSizes(escalated), rows, rows,
+        Some(verifyJaccardRows(withSizes(escalated, sizes), rows, rows,
           threshold).localCheckpoint())
       }
       else if (escPairs.isEmpty) None

@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Jan 8 1999`), and such rows reject under binary; (2) a zoneless
   * timestamptz value is interpreted as UTC (this engine pins UTC
   * everywhere), where COPY TEXT would consult the server's TimeZone.
-  * Types outside [[kindOf]]'s map (bytea, intervals, arrays, enums,
+  * Types outside [[kindOf]]'s map (intervals, arrays, enums,
   * domains, …) make the Runner fall back to COPY TEXT for the table.
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
@@ -62,6 +62,7 @@ object PgBinKind {
   case object Time extends PgBinKind("time")
   case object Num extends PgBinKind("numeric")
   case object Uuid extends PgBinKind("uuid")
+  case object Bytea extends PgBinKind("bytea")
   case object Text extends PgBinKind("text")
 }
 
@@ -84,6 +85,7 @@ object PgBinary {
     case "time" => Some(Time)
     case "numeric" => Some(Num)
     case "uuid" => Some(Uuid)
+    case "bytea" => Some(Bytea)
     case "text" | "varchar" | "bpchar" | "name" => Some(Text)
     case _ => None
   }
@@ -178,6 +180,7 @@ object PgBinary {
       }
       case Num => encodeNumeric(v)
       case Uuid => encodeUuid(v)
+      case Bytea => encodeBytea(v)
     }
 
   private def i8(l: Long): Array[Byte] = {
@@ -481,6 +484,71 @@ object PgBinary {
     out
   }
 
+  /** bytea text → raw bytes (the `byteasend` payload), mirroring
+    * `byteain` (varlena.c) exactly: `\x` (lowercase x, no leading
+    * trim — byteain trims nothing) starts the hex form, where
+    * whitespace is allowed BETWEEN byte pairs but not inside one and
+    * the digit count must be even; anything else is the legacy escape
+    * form — `\\\\` is one backslash byte, `\nnn` (exactly three octal
+    * digits, first 0–3) is one byte, a lone `\` rejects, every other
+    * byte (including non-ASCII UTF-8 bytes) passes through literally.
+    * This is the encoder that moves `byteain`'s hex re-parse — the
+    * most expensive per-byte input routine on blob-heavy loads, and
+    * what every §2.7 binary transform's `\x` output pays — off the
+    * single server onto the executor fleet. */
+  private def encodeBytea(v: UTF8String): Array[Byte] = {
+    val n = v.numBytes()
+    if (n >= 2 && v.getByte(0) == '\\' && v.getByte(1) == 'x') {
+      val buf = new Array[Byte]((n - 2) / 2 max 0)
+      var cnt = 0
+      var hi = -1
+      var i = 2
+      while (i < n) {
+        val b = v.getByte(i)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') {
+          // hex_decode skips whitespace before a pair only — a space
+          // between a pair's two digits is a server error
+          if (hi >= 0) return null
+        } else {
+          val d = Character.digit(b, 16)
+          if (d < 0) return null
+          if (hi < 0) hi = d
+          else { buf(cnt) = ((hi << 4) | d).toByte; cnt += 1; hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) return null // odd number of hex digits
+      byteaOut(buf, cnt)
+    } else {
+      val buf = new Array[Byte](n)
+      var cnt = 0
+      var i = 0
+      while (i < n) {
+        val b = v.getByte(i)
+        if (b != '\\') { buf(cnt) = b; cnt += 1; i += 1 }
+        else if (i + 1 < n && v.getByte(i + 1) == '\\') {
+          buf(cnt) = '\\'; cnt += 1; i += 2
+        } else if (i + 3 < n &&
+          v.getByte(i + 1) >= '0' && v.getByte(i + 1) <= '3' &&
+          v.getByte(i + 2) >= '0' && v.getByte(i + 2) <= '7' &&
+          v.getByte(i + 3) >= '0' && v.getByte(i + 3) <= '7') {
+          buf(cnt) = (((v.getByte(i + 1) - '0') << 6) |
+            ((v.getByte(i + 2) - '0') << 3) |
+            (v.getByte(i + 3) - '0')).toByte
+          cnt += 1; i += 4
+        } else return null
+      }
+      byteaOut(buf, cnt)
+    }
+  }
+
+  private def byteaOut(buf: Array[Byte], cnt: Int): Array[Byte] = {
+    val out = new Array[Byte](4 + cnt)
+    writeInt(out, 0, cnt)
+    System.arraycopy(buf, 0, out, 4, cnt)
+    out
+  }
+
   private def encodeUuid(v: UTF8String): Array[Byte] = {
     val s = v.trim().toString.replace("-", "")
       .stripPrefix("{").stripSuffix("}")
@@ -613,6 +681,17 @@ object PgBinary {
                 .append(hx.substring(12, 16)).append('-')
                 .append(hx.substring(16, 20)).append('-')
                 .append(hx.substring(20))
+            case Bytea =>
+              // the COPY TEXT spelling of byteain's hex form: the
+              // column value is `\x…`, whose backslash the line escapes
+              sb.append("\\\\x")
+              var j = 0
+              while (j < len) {
+                val b = frame(off + j) & 0xFF
+                sb.append(Character.forDigit(b >> 4, 16))
+                  .append(Character.forDigit(b & 0xF, 16))
+                j += 1
+              }
           }
           off = end
         }

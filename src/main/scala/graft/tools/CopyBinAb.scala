@@ -11,14 +11,18 @@ import org.apache.spark.sql.SparkSession
   * tool measures the regime the binary path exists for.
   *
   * Usage: CopyBinAb <pgUri> [rows=3000000] [mode=both|text|binary]
-  * Pair with an external PG-CPU probe (postmaster cutime delta) for
-  * the server-side split.
+  *                  [corpus=num|bytea]
+  * `corpus=bytea` loads (int4, 64-byte bytea) rows — the regime where
+  * the server pays `byteain`'s hex re-parse per value under COPY TEXT
+  * and the binary path ships raw bytes. Pair with an external PG-CPU
+  * probe (postmaster cutime delta) for the server-side split.
   */
 object CopyBinAb {
   def main(args: Array[String]): Unit = {
     val uri = args(0)
     val rows = if (args.length > 1) args(1).toLong else 3000000L
     val mode = if (args.length > 2) args(2) else "both"
+    val corpus = if (args.length > 3) args(3) else "num"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,33 +40,48 @@ object CopyBinAb {
 
     // deterministic text values, rendered ONCE and cached so both
     // modes read identical bytes (the A/B measures the sink only)
-    val df = spark.range(rows).select(
-      format_string("%d.%04d", col("id") % 1000000L,
-        col("id") % 10000L).as("n"),
-      concat(lit("2024-03-"),
-        lpad(((col("id") % 28L) + 1L).cast("string"), 2, "0"),
-        lit(" 12:34:56."), lpad((col("id") % 1000000L).cast("string"),
-          6, "0"), lit("+00")).as("ts"),
-      format_string("%d.%09d", col("id") % 97L,
-        col("id") % 1000000000L).as("f"),
-      format_string("%08x-0000-4000-8000-%012x", col("id") % 100000L,
-        col("id")).as("u")).cache()
+    val df = (corpus match {
+      case "bytea" =>
+        // 64 raw bytes per value = 128 hex chars after `\x`, the shape
+        // every §2.7 binary transform's output pays under COPY TEXT
+        spark.range(rows).select(
+          (col("id") % 2000000000L).cast("string").as("k"),
+          concat(lit("\\x"), md5(col("id").cast("string")),
+            md5((col("id") + 1L).cast("string")),
+            md5((col("id") + 2L).cast("string")),
+            md5((col("id") + 3L).cast("string"))).as("b"))
+      case _ => spark.range(rows).select(
+        format_string("%d.%04d", col("id") % 1000000L,
+          col("id") % 10000L).as("n"),
+        concat(lit("2024-03-"),
+          lpad(((col("id") % 28L) + 1L).cast("string"), 2, "0"),
+          lit(" 12:34:56."), lpad((col("id") % 1000000L).cast("string"),
+            6, "0"), lit("+00")).as("ts"),
+        format_string("%d.%09d", col("id") % 97L,
+          col("id") % 1000000000L).as("f"),
+        format_string("%08x-0000-4000-8000-%012x", col("id") % 100000L,
+          col("id")).as("u"))
+    }).cache()
     df.count() // materialize outside the timed section
+    val (cols, kinds) = corpus match {
+      case "bytea" => ("k int4, b bytea",
+        Seq(graft.sinks.PgBinKind.I4, graft.sinks.PgBinKind.Bytea))
+      case _ => ("n numeric(14,4), ts timestamptz, f float8, u uuid",
+        Seq(graft.sinks.PgBinKind.Num, graft.sinks.PgBinKind.TsTz,
+          graft.sinks.PgBinKind.F8, graft.sinks.PgBinKind.Uuid))
+    }
 
     def run(binary: Boolean): Double = {
       val table = if (binary) "ab_bin" else "ab_txt"
       ddl(s"DROP TABLE IF EXISTS $table")
-      ddl(s"CREATE TABLE $table (n numeric(14,4), ts timestamptz, " +
-        "f float8, u uuid)")
+      ddl(s"CREATE TABLE $table ($cols)")
       val t0 = System.nanoTime()
       val sink =
         if (binary) new graft.sinks.CopySink(
           endpointFactory = _ => new graft.sinks.PgWireCopyEndpoint(
             wire, s"COPY $table FROM STDIN WITH (FORMAT binary)",
             binary = true),
-          renderer = graft.sinks.PgBinary.renderer(Seq(
-            graft.sinks.PgBinKind.Num, graft.sinks.PgBinKind.TsTz,
-            graft.sinks.PgBinKind.F8, graft.sinks.PgBinKind.Uuid)))
+          renderer = graft.sinks.PgBinary.renderer(kinds))
         else new graft.sinks.CopySink(
           endpointFactory = _ => new graft.sinks.PgWireCopyEndpoint(
             wire, s"COPY $table FROM STDIN"))

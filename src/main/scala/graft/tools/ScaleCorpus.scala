@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   * (the 4th arg restricts output — e.g. `documents` alone for the
   * 100×-edges dedup_components stress, where replicating 100× events
   * would write gigabytes nothing reads)
+  *
+  * `ScaleCorpus sparse <outDir> [docs=500000] [dupEvery=100]` writes
+  * the OPPOSITE duplication regime: `docs` synthetic documents whose
+  * texts are independent 150-token draws from a 50k vocabulary
+  * (pairwise near-zero shingle overlap), except one doc per
+  * `dupEvery` which is a near-copy of its predecessor (one appended
+  * unique token — shingle jaccard ≈ 0.97). This is the huge-corpus /
+  * rare-duplicate shape real web crawls have after coarse exact
+  * dedup, and the win regime for endpoint-based candidate pruning
+  * that the dense ×100 stress can never show.
   */
 object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleCorpus <srcSfDir> <outDir> [factor] [tables]")
+    if (args(0) == "sparse") { sparse(args); return }
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
     val tables: Set[String] =
@@ -96,6 +107,36 @@ object ScaleCorpus {
     }
 
     println(s"[scale] wrote ${factor}x ${tables.toSeq.sorted.mkString("+")} to $out")
+    spark.stop()
+  }
+
+  private def sparse(args: Array[String]): Unit = {
+    val out = args(1)
+    val n = if (args.length > 2) args(2).toLong else 500000L
+    val dupEvery = if (args.length > 3) args(3).toInt else 100
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // id ≡ 1 (mod dupEvery) is a near-copy of id−1; everything else is
+    // an independent token draw (xxhash64 over (effective id, position))
+    val isDup = col("id") % dupEvery === 1 && col("id") > 0
+    val eff = when(isDup, col("id") - 1).otherwise(col("id"))
+    val toks = transform(sequence(lit(0), lit(149)),
+      j => concat(lit("w"), pmod(xxhash64(eff, j), lit(50000L))))
+    val body = array_join(toks, " ")
+    val text = when(isDup, concat(body, lit(" u"), col("id")))
+      .otherwise(body)
+    spark.range(n).select(col("id").as("doc_id"), text.as("text"),
+        lit("en").as("lang"), lit("sparse").as("source"),
+        length(text).as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scale] wrote sparse corpus: $n docs, 1/$dupEvery " +
+      s"near-dup incidence to $out")
     spark.stop()
   }
 }

@@ -193,6 +193,34 @@ class DedupSpec extends SparkSpec {
     assert(sCapped == sFull)
   }
 
+  test("minhashComponents sparse corpus: the endpoint verify filter " +
+    "gates ON and matches the full pair mode exactly") {
+    // 2 near-dup pairs among 60 unique docs: endpoints (4) × 10 ≤ docs
+    // (64), so the broadcast-semi endpoint filter engages — the verify
+    // lineage must produce the IDENTICAL components/survivors it does
+    // unfiltered (the filter only skips docs in no candidate edge)
+    val unique = (0 until 60).map { i =>
+      (1000L + i, (0 until 12).map(j => s"tok${i}x$j").mkString(" "))
+    }
+    val dups = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the bank v"),
+      (11L, "pack my box with five dozen liquor jugs before night falls"),
+      (12L, "pack my box with five dozen liquor jugs before night fall"))
+    val corpus = (unique ++ dups).toDF("id", "text")
+    def compSets(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLsh(corpus, "id", "text",
+        numPerms = 64, bands = 16, threshold = 0.5))
+    val fullSets = compSets(full)
+    assert(fullSets == Set(Set(1L, 2L), Set(11L, 12L)), s"full: $fullSets")
+    val capped = Dedup.minhashComponents(corpus, "id", "text",
+      numPerms = 64, bands = 16, threshold = 0.5)
+    assert(compSets(capped) == fullSets)
+  }
+
   test("minhashComponents with non-Long ids rides the distributed " +
       "fallback instead of crashing") {
     // string doc ids: the packed driver-side escalation reads ids as

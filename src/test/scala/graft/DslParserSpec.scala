@@ -66,6 +66,19 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.intOption("workers").contains(8))
   }
 
+  test("WITH copy binary parses plain and auto modes") {
+    def opts(withs: String) = Parser.parse(
+      s"""LOAD CSV FROM '/data/sample.csv'
+           INTO postgresql://user@localhost/db
+           WITH fields terminated by ',', $withs;""")
+    assert(opts("copy binary").option("copy binary").contains("true"))
+    val auto = opts("copy binary auto, workers = 2")
+    assert(auto.option("copy binary").contains("auto"))
+    assert(auto.intOption("workers").contains(2))
+    // `auto` is consumed by the option, not left dangling before ','
+    assert(opts("copy binary, truncate").boolOption("truncate"))
+  }
+
   test("csv into table with column list") {
     val cmd = Parser.parse(
       """LOAD CSV FROM '/data/users.csv'

@@ -275,21 +275,34 @@ class LiveServerSpec extends SparkSpec {
         (rnd.nextDouble() - 0.5)).toFloat)
     def uuid(): String = java.util.UUID.nameUUIDFromBytes(
       rnd.nextLong().toString.getBytes("UTF-8")).toString
+    def bytea(): String = rnd.nextInt(4) match {
+      case 0 => "\\x" + (0 until rnd.nextInt(20))
+        .map(_ => "%02x".format(rnd.nextInt(256))).mkString
+      case 1 => "\\x" + (0 until rnd.nextInt(10))
+        .map(_ => "%02X ".format(rnd.nextInt(256))).mkString.trim
+      case 2 => (0 until rnd.nextInt(10)).map(_ => rnd.nextInt(4) match {
+        case 0 => "\\\\"
+        case 1 => "\\%03o".format(rnd.nextInt(256))
+        case _ => ('a' + rnd.nextInt(26)).toChar.toString
+      }).mkString
+      case _ => "\\x"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
-        date(), ts(false), ts(true), time(), uuid(), text())
+        date(), ts(false), ts(true), time(), uuid(), text(), bytea())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t")
+      "tm", "u", "t", "b")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
-        "d date, ts timestamp, tz timestamptz, tm time, u uuid, t text"
+        "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
+        "t text, b bytea"
       val kinds = {
         import graft.sinks.PgBinKind._
-        Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text)
+        Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text, Bytea)
       }
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")
@@ -312,6 +325,74 @@ class LiveServerSpec extends SparkSpec {
           c.query("SELECT x.k FROM rnd_bin x JOIN rnd_txt y USING (k)" +
             " WHERE x::text <> y::text LIMIT 5")._2
             .map(_.mkString).mkString(","))
+    } finally c.close()
+  }
+
+  test("live PG: WITH copy binary auto picks binary exactly for tables " +
+    "with expensive-input column types (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-binauto").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "cheap.csv").toPath, "1|2020-01-02|x\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "exp.csv").toPath, "1|12.50\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "blob.csv").toPath, "1|\\xdeadbeef\n")
+    // the binary endpoint factory's OUTER call happens driver-side per
+    // table at sink construction — recording there identifies exactly
+    // the tables auto routed to COPY BINARY
+    val binaryTargets = scala.collection.mutable.Set[String]()
+    val runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => {
+        binaryTargets.synchronized { binaryTargets += table }
+        _ => new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true)
+      })
+    def cmd(table: String, file: String, fields: String, ddlCols: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/$file'
+          HAVING FIELDS ($fields)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|', copy binary auto
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ create table $table ($ddlCols); $$$$;"""
+    val stats = runner.runFile(spark,
+      cmd("ab_cheap", "cheap.csv", "i, d, s",
+        "i int4, d date, s text") + "\n" +
+        cmd("ab_exp", "exp.csv", "i, n", "i int4, n numeric(10,2)") + "\n" +
+        cmd("ab_blob", "blob.csv", "i, b", "i int4, b bytea"))
+    assert(stats.map(_.rows).sum == 3 && stats.forall(_.error.isEmpty),
+      stats.mkString("; "))
+    // auto: numeric and bytea tables went binary, the int/date/text
+    // table stayed on COPY TEXT
+    assert(binaryTargets.exists(_.contains("ab_exp")) &&
+      binaryTargets.exists(_.contains("ab_blob")) &&
+      !binaryTargets.exists(_.contains("ab_cheap")),
+      s"auto routed binary to: $binaryTargets")
+    val c = new graft.sinks.PgWireConnection(dp)
+    try {
+      assert(c.query("SELECT s FROM ab_cheap")._2.head(0) == "x")
+      assert(c.query("SELECT n::text FROM ab_exp")._2.head(0) == "12.50")
+      assert(c.query("SELECT encode(b, 'hex') FROM ab_blob")._2
+        .head(0) == "deadbeef")
     } finally c.close()
   }
 

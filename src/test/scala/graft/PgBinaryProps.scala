@@ -16,7 +16,7 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Bool, PgBinKind.I2, PgBinKind.I4, PgBinKind.I8,
     PgBinKind.F4, PgBinKind.F8, PgBinKind.Date, PgBinKind.Ts,
     PgBinKind.TsTz, PgBinKind.Time, PgBinKind.Num, PgBinKind.Uuid,
-    PgBinKind.Text)
+    PgBinKind.Bytea, PgBinKind.Text)
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
@@ -28,6 +28,9 @@ object PgBinaryProps extends Properties("PgBinary") {
     Gen.const("infinity"), Gen.const("nan"), Gen.const("1e999999999"),
     Gen.const("99999999999999999999"), Gen.const("2000-01-01"),
     Gen.const("12:34:56"), Gen.const("é漢"),
+    Gen.const("\\x"), Gen.const("\\xdead"), Gen.const("\\xbee"),
+    Gen.const("\\101"), Gen.const("\\\\"), Gen.const("\\9"),
+    Gen.const("\\x0 1"), Gen.const("deadBEEF"),
     Gen.asciiPrintableStr.map(_.take(8)))
   private val hostile: Gen[String] =
     Gen.listOfN(4, fragment).map(_.mkString).flatMap(s =>

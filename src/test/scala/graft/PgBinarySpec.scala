@@ -126,6 +126,36 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("é", PgBinKind.Text)) == "00000002" + "c3a9")
   }
 
+  test("bytea: hex and legacy escape forms mirror byteain exactly") {
+    // hex form: raw bytes, lowercase/uppercase digits, whitespace
+    // between PAIRS allowed (hex_decode), odd digits reject
+    assert(hex(enc("\\xDEADbeef", PgBinKind.Bytea)) ==
+      "00000004" + "deadbeef")
+    assert(hex(enc("\\x", PgBinKind.Bytea)) == "00000000")
+    assert(hex(enc("\\xde ad\tbe\nef", PgBinKind.Bytea)) ==
+      "00000004" + "deadbeef")
+    assert(enc("\\xdea", PgBinKind.Bytea) == null) // odd digit count
+    assert(enc("\\xzz", PgBinKind.Bytea) == null)
+    // whitespace INSIDE a pair is a server error (hex_decode takes the
+    // second digit immediately)
+    assert(enc("\\xd e", PgBinKind.Bytea) == null)
+    // byteain checks a lowercase x and trims nothing: '\X…' and
+    // ' \x…' both fall to the escape form (and reject on the lone \)
+    assert(enc("\\Xdead", PgBinKind.Bytea) == null)
+    assert(enc(" \\xdead", PgBinKind.Bytea) == null)
+    // escape form: literal bytes, \\ and exactly-3-octal-digit escapes
+    assert(hex(enc("abc", PgBinKind.Bytea)) == "00000003" + "616263")
+    assert(hex(enc("a\\\\b", PgBinKind.Bytea)) == "00000003" + "615c62")
+    assert(hex(enc("\\101\\000\\377", PgBinKind.Bytea)) ==
+      "00000003" + "4100ff")
+    assert(enc("\\477", PgBinKind.Bytea) == null) // first digit > 3
+    assert(enc("\\41", PgBinKind.Bytea) == null) // two digits only
+    assert(enc("a\\", PgBinKind.Bytea) == null) // trailing lone \
+    assert(enc("\\9", PgBinKind.Bytea) == null)
+    // non-ASCII UTF-8 bytes pass through literally
+    assert(hex(enc("é", PgBinKind.Bytea)) == "00000002" + "c3a9")
+  }
+
   test("hostile values reject the row, never throw or silently wrap") {
     // over-long digit runs must not throw NumberFormatException
     assert(enc("00:00:12345678901", PgBinKind.Time) == null)
@@ -207,6 +237,17 @@ class PgBinarySpec extends SparkSpec {
     val bc2Frame = Array[Byte](0, 1) ++ i32(4) ++ i32(bc2)
     assert(new String(PgBinary.frameToTextLine(bc2Frame,
       Seq(PgBinKind.Date)), "UTF-8") == "0002-03-05 BC\n")
+  }
+
+  test("frameToTextLine renders bytea as the escaped hex spelling") {
+    val frame = Array[Byte](0, 1) ++ enc("\\x00ff5c09", PgBinKind.Bytea)
+    // the LINE carries an escaped backslash: unescaping yields \x00ff5c09
+    assert(new String(PgBinary.frameToTextLine(frame,
+      Seq(PgBinKind.Bytea)), "UTF-8") == "\\\\x00ff5c09\n")
+    // and an escape-form input decodes to the SAME canonical hex
+    val frame2 = Array[Byte](0, 1) ++ enc("\\000\\377\\\\\t", PgBinKind.Bytea)
+    assert(new String(PgBinary.frameToTextLine(frame2,
+      Seq(PgBinKind.Bytea)), "UTF-8") == "\\\\x00ff5c09\n")
   }
 
   test("rowColumn renders codegen'd tuple frames; encode failure " +
