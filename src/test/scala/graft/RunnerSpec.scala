@@ -195,9 +195,10 @@ class RunnerSpec extends SparkSpec {
       (sql, _) => if (sql.trim.startsWith("CREATE INDEX"))
         Thread.sleep(300),
       RunnerSpec.endpoint,
+      // 6th column = the inbound-FK-pinned flag ('false' = droppable)
       queryTarget = _ => Seq(Array[String](
         "kv_idx", "CREATE INDEX kv_idx ON public.kv (k)",
-        null, null, null)))
+        null, null, null, "false")))
     val stats = runner.runFile(spark, text)
     val summary = runner.fullSummary(stats, 1000L)
     def entry(label: String) =
