@@ -452,30 +452,69 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     }
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val attrs = queryTarget(
-      "SELECT a.attname, t.typname FROM pg_attribute a " +
+      "SELECT a.attname, t.typname, t.typtype::text, " +
+        "t.typbasetype::text, t.typcategory::text, t.typelem::text " +
+        "FROM pg_attribute a " +
         "JOIN pg_class c ON c.oid = a.attrelid " +
         "JOIN pg_namespace n ON n.oid = c.relnamespace " +
         "JOIN pg_type t ON t.oid = a.atttypid " +
         s"WHERE c.relname = ${lit(rel)} AND n.nspname = ${lit(schema)} " +
         "AND a.attnum > 0 AND NOT a.attisdropped ORDER BY a.attnum")
     if (attrs.isEmpty) return note("target table not found in catalog")
-    val byName = attrs.map(r => r(0) -> r(1)).toMap
-    val typnames: Seq[Option[(String, String)]] =
+    val byName = attrs.map(r => r(0) -> r).toMap
+    val typnames: Seq[Option[(String, Array[String])]] =
       if (named)
         cols.map { c =>
           val key = if (preserveCase) c else c.toLowerCase
           byName.get(key).map(t => (c, t))
         }
       else if (attrs.length == cols.length)
-        attrs.toSeq.map(r => Some((r(0), r(1))))
+        attrs.toSeq.map(r => Some((r(0), r)))
       else return note(s"positional load of ${cols.length} columns " +
         s"into a ${attrs.length}-column table")
     if (typnames.exists(_.isEmpty)) {
       val missing = cols(typnames.indexWhere(_.isEmpty))
       return note(s"column $missing not found on target")
     }
-    val kinds = typnames.flatten.map { case (c, t) =>
-      (c, t, graft.sinks.PgBinary.kindOf(t))
+    // enum columns encode as TEXT payloads (enum_recv reads the label
+    // string); domain columns encode as their BASE type (the domain's
+    // recv is the base type's recv + the domain checks), chasing
+    // nested domains through pg_type.typbasetype; 1-D ARRAY columns
+    // (typcategory 'A') encode as Arr of the resolved ELEMENT kind
+    // with the element's pg_type.oid in the payload (array_recv
+    // validates it). MySQL enum → PG enum is a DEFAULT cast in every
+    // migration, so without this the whole table silently fell back
+    // to COPY TEXT.
+    def typeRow(oid: String): Option[Array[String]] = {
+      val r = queryTarget(
+        "SELECT typname, typtype::text, typbasetype::text, " +
+          s"typcategory::text, typelem::text FROM pg_type WHERE oid = $oid")
+      r.headOption
+    }
+    def resolveKind(typname: String, typtype: String, baseOid: String,
+                    typcat: String, elemOid: String,
+                    depth: Int): Option[graft.sinks.PgBinKind] =
+      typtype match {
+        case "e" => Some(graft.sinks.PgBinKind.Text)
+        case "d" if depth < 10 && baseOid != null && baseOid != "0" =>
+          typeRow(baseOid).flatMap(r =>
+            resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1))
+        case _ if typcat == "A" && elemOid != null && elemOid != "0" &&
+            depth < 10 =>
+          typeRow(elemOid).flatMap(r =>
+            resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1)) match {
+            // no nested arrays: array-of-array doesn't exist in PG
+            // (multi-dim is one array type), but a domain chain could
+            // in principle loop back — guard on the kind
+            case Some(ek) if !ek.isInstanceOf[graft.sinks.PgBinKind.Arr] =>
+              Some(graft.sinks.PgBinKind.Arr(ek,
+                java.lang.Long.parseLong(elemOid).toInt))
+            case _ => None
+          }
+        case _ => graft.sinks.PgBinary.kindOf(typname)
+      }
+    val kinds = typnames.flatten.map { case (c, r) =>
+      (c, r(1), resolveKind(r(1), r(2), r(3), r(4), r(5), 0))
     }
     kinds.find(_._3.isEmpty) match {
       case Some((c, t, _)) =>
@@ -1070,6 +1109,9 @@ object Runner {
     k match {
       case graft.sinks.PgBinKind.Num | graft.sinks.PgBinKind.TsTz |
            graft.sinks.PgBinKind.Uuid | graft.sinks.PgBinKind.Bytea => true
+      // array_in pays a per-element quote/escape scan plus the element
+      // input routine — expensive regardless of the element kind
+      case _: graft.sinks.PgBinKind.Arr => true
       case _ => false
     }
 

@@ -38,8 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Jan 8 1999`), and such rows reject under binary; (2) a zoneless
   * timestamptz value is interpreted as UTC (this engine pins UTC
   * everywhere), where COPY TEXT would consult the server's TimeZone.
-  * Types outside [[kindOf]]'s map (intervals, arrays, enums,
-  * domains, …) make the Runner fall back to COPY TEXT for the table.
+  * The Runner additionally resolves ENUM columns to [[PgBinKind.Text]]
+  * (`enum_recv` reads the label string) and DOMAIN columns to their
+  * base type's kind (a domain's recv is the base recv + its checks);
+  * types outside that resolution (intervals, arrays, composites, …)
+  * make the Runner fall back to COPY TEXT for the table.
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
   */
@@ -64,6 +67,14 @@ object PgBinKind {
   case object Uuid extends PgBinKind("uuid")
   case object Bytea extends PgBinKind("bytea")
   case object Text extends PgBinKind("text")
+
+  /** One-dimensional array of a scalar kind. `elemOid` is the ELEMENT
+    * type's pg_type.oid, resolved from the target catalog
+    * (`array_recv` requires the sent element OID to match the
+    * column's element type — it is part of the wire payload, unlike
+    * every scalar kind). Nested arrays are not constructed. */
+  final case class Arr(elem: PgBinKind, elemOid: Int)
+      extends PgBinKind("_" + elem.typname)
 }
 
 object PgBinary {
@@ -181,6 +192,7 @@ object PgBinary {
       case Num => encodeNumeric(v)
       case Uuid => encodeUuid(v)
       case Bytea => encodeBytea(v)
+      case a: Arr => encodeArray(v, a)
     }
 
   private def i8(l: Long): Array[Byte] = {
@@ -549,6 +561,108 @@ object PgBinary {
     out
   }
 
+  /** 1-D array text → `array_recv` wire form: int32 ndim (0 for the
+    * empty array, as array_send itself emits), int32 has-null flag,
+    * int32 element type OID, then per dim (length, lower bound 1),
+    * then per element the SAME length-prefixed payload the scalar
+    * encoders emit (−1 = NULL). The text grammar mirrors `array_in`'s
+    * 1-D core: `{…}` with `,` separators, double-quoted elements with
+    * backslash escapes, backslash escapes in unquoted elements,
+    * unquoted case-insensitive NULL, whitespace trimmed around
+    * unquoted elements. Narrower than the server — documented in the
+    * class-doc fidelity caveats: multi-dimensional arrays, explicit
+    * `[lo:hi]=` dimension specs, and a custom typdelim (only box uses
+    * one) reject the row instead of loading. */
+  private def encodeArray(v: UTF8String, a: Arr): Array[Byte] = {
+    val s = v.toString
+    val n = s.length
+    var i = 0
+    def skipWs(): Unit =
+      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    skipWs()
+    if (i >= n || s.charAt(i) != '{') return null
+    i += 1
+    val elems = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var hasNull = false
+    skipWs()
+    if (i < n && s.charAt(i) == '}') i += 1 // empty array
+    else {
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i >= n) return null
+        if (s.charAt(i) == '{') return null // nested: unsupported
+        var quoted = false
+        var elemText: String = null
+        if (s.charAt(i) == '"') {
+          quoted = true; i += 1
+          val sb = new java.lang.StringBuilder
+          var closed = false
+          while (!closed) {
+            if (i >= n) return null
+            val c = s.charAt(i)
+            if (c == '\\') {
+              if (i + 1 >= n) return null
+              sb.append(s.charAt(i + 1)); i += 2
+            } else if (c == '"') { closed = true; i += 1 }
+            else { sb.append(c); i += 1 }
+          }
+          elemText = sb.toString
+        } else {
+          val sb = new java.lang.StringBuilder
+          while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}') {
+            val c = s.charAt(i)
+            if (c == '\\') {
+              if (i + 1 >= n) return null
+              sb.append(s.charAt(i + 1)); i += 2
+            } else if (c == '"') return null // mid-element quote errors
+            else { sb.append(c); i += 1 }
+          }
+          var e = sb.length
+          while (e > 0 && (sb.charAt(e - 1) == ' ' ||
+            sb.charAt(e - 1) == '\t')) e -= 1
+          if (e == 0) return null // empty unquoted element errors
+          elemText = sb.substring(0, e)
+        }
+        skipWs()
+        if (i >= n) return null
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _ => return null
+        }
+        if (!quoted && elemText.equalsIgnoreCase("null")) {
+          elems += null; hasNull = true
+        } else {
+          val enc = encodeField(UTF8String.fromString(elemText), a.elem)
+          if (enc == null) return null
+          elems += enc
+        }
+      }
+    }
+    skipWs()
+    if (i != n) return null // trailing garbage after '}'
+    val empty = elems.isEmpty
+    var total = if (empty) 12 else 20
+    elems.foreach(e => total += (if (e == null) 4 else e.length))
+    val out = new Array[Byte](4 + total)
+    writeInt(out, 0, total)
+    writeInt(out, 4, if (empty) 0 else 1)
+    writeInt(out, 8, if (hasNull) 1 else 0)
+    writeInt(out, 12, a.elemOid)
+    var off = 16
+    if (!empty) {
+      writeInt(out, 16, elems.length)
+      writeInt(out, 20, 1)
+      off = 24
+    }
+    elems.foreach { e =>
+      if (e == null) { writeInt(out, off, -1); off += 4 }
+      else { System.arraycopy(e, 0, out, off, e.length); off += e.length }
+    }
+    out
+  }
+
   private def encodeUuid(v: UTF8String): Array[Byte] = {
     val s = v.trim().toString.replace("-", "")
       .stripPrefix("{").stripSuffix("}")
@@ -646,6 +760,86 @@ object PgBinary {
           val (ds, bc) = dateParts(days.toInt)
           s"$ds ${timeStr(tod)}$zone" + (if (bc) " BC" else "")
         }
+      // plain (pre-COPY-escape) text of one datum payload of `len`
+      // bytes at `off`; advances `off` past it. The field loop applies
+      // CopyText.escape once per FIELD — identity for the numeric/date
+      // spellings, the backslash escape for text/bytea/array forms.
+      def datumText(k: PgBinKind, len: Int): String = {
+        val end = off + len
+        val out = k match {
+          case Text =>
+            val s = new String(frame, off, len, "UTF-8"); off = end; s
+          case Bool =>
+            val s = if (frame(off) == 1) "t" else "f"; off = end; s
+          case I2 => rdI16().toString
+          case I4 => rdI32().toString
+          case I8 => rdI64().toString
+          case F4 => java.lang.Float.intBitsToFloat(rdI32()).toString
+          case F8 => java.lang.Double.longBitsToDouble(rdI64()).toString
+          case Date => dateStr(rdI32())
+          case Ts => tsStr(rdI64(), "")
+          case TsTz => tsStr(rdI64(), "+00")
+          case Time => timeStr(rdI64())
+          case Num => numericStr(rdI16(), rdI16(), rdI16(),
+            rdI16(), () => rdI16())
+          case Uuid =>
+            val hx = (0 until 16).map(j =>
+              "%02x".format(frame(off + j) & 0xFF)).mkString
+            off = end
+            hx.substring(0, 8) + "-" + hx.substring(8, 12) + "-" +
+              hx.substring(12, 16) + "-" + hx.substring(16, 20) + "-" +
+              hx.substring(20)
+          case Bytea =>
+            // byteain's hex form — the field-level escape doubles the
+            // backslash in the line
+            val b = new java.lang.StringBuilder("\\x")
+            var j = 0
+            while (j < len) {
+              val x = frame(off + j) & 0xFF
+              b.append(Character.forDigit(x >> 4, 16))
+                .append(Character.forDigit(x & 0xF, 16))
+              j += 1
+            }
+            off = end
+            b.toString
+          case a: Arr =>
+            // decode back to an array literal with every non-null
+            // element double-quoted (always replayable regardless of
+            // element content); NULL elements stay the bare keyword
+            val ndim = rdI32()
+            rdI32() // has-null flag — recomputed by array_in on replay
+            rdI32() // element oid
+            if (ndim == 0) "{}"
+            else {
+              require(ndim == 1, s"$ndim-dim array in reject frame")
+              val count = rdI32()
+              rdI32() // lower bound
+              val b = new java.lang.StringBuilder("{")
+              var j = 0
+              while (j < count) {
+                if (j > 0) b.append(',')
+                val elen = rdI32()
+                if (elen == -1) b.append("NULL")
+                else {
+                  val et = datumText(a.elem, elen)
+                  b.append('"')
+                  var p = 0
+                  while (p < et.length) {
+                    val c = et.charAt(p)
+                    if (c == '"' || c == '\\') b.append('\\')
+                    b.append(c)
+                    p += 1
+                  }
+                  b.append('"')
+                }
+                j += 1
+              }
+              b.append('}').toString
+            }
+        }
+        require(off == end, s"datum length mismatch for $k")
+        out
+      }
       val n = rdI16()
       require(n == kinds.length, s"$n fields for ${kinds.length} kinds")
       var i = 0
@@ -653,48 +847,8 @@ object PgBinary {
         if (i > 0) sb.append('\t')
         val len = rdI32()
         if (len == -1) sb.append("\\N")
-        else {
-          val end = off + len
-          kinds(i) match {
-            case Text =>
-              sb.append(graft.sources.CopyText.escape(
-                new String(frame, off, len, "UTF-8")))
-            case Bool => sb.append(if (frame(off) == 1) 't' else 'f')
-            case I2 => sb.append(rdI16())
-            case I4 => sb.append(rdI32())
-            case I8 => sb.append(rdI64())
-            case F4 => sb.append(
-              java.lang.Float.intBitsToFloat(rdI32()))
-            case F8 => sb.append(
-              java.lang.Double.longBitsToDouble(rdI64()))
-            case Date => sb.append(dateStr(rdI32()))
-            case Ts => sb.append(tsStr(rdI64(), ""))
-            case TsTz => sb.append(tsStr(rdI64(), "+00"))
-            case Time => sb.append(timeStr(rdI64()))
-            case Num => sb.append(numericStr(rdI16(), rdI16(), rdI16(),
-              rdI16(), () => rdI16()))
-            case Uuid =>
-              val hx = (0 until 16).map(j =>
-                "%02x".format(frame(off + j) & 0xFF)).mkString
-              sb.append(hx.substring(0, 8)).append('-')
-                .append(hx.substring(8, 12)).append('-')
-                .append(hx.substring(12, 16)).append('-')
-                .append(hx.substring(16, 20)).append('-')
-                .append(hx.substring(20))
-            case Bytea =>
-              // the COPY TEXT spelling of byteain's hex form: the
-              // column value is `\x…`, whose backslash the line escapes
-              sb.append("\\\\x")
-              var j = 0
-              while (j < len) {
-                val b = frame(off + j) & 0xFF
-                sb.append(Character.forDigit(b >> 4, 16))
-                  .append(Character.forDigit(b & 0xF, 16))
-                j += 1
-              }
-          }
-          off = end
-        }
+        else sb.append(
+          graft.sources.CopyText.escape(datumText(kinds(i), len)))
         i += 1
       }
       sb.append('\n')

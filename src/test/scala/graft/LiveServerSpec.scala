@@ -287,22 +287,33 @@ class LiveServerSpec extends SparkSpec {
       }).mkString
       case _ => "\\x"
     }
+    def numArr(): String = rnd.nextInt(5) match {
+      case 0 => "{}"
+      case 1 => "{NULL}"
+      case _ => "{" + (0 until rnd.nextInt(4) + 1).map(_ =>
+        if (rnd.nextInt(5) == 0) "NULL"
+        else if (rnd.nextBoolean()) numeric().replace(",", "")
+        else "\"" + numeric().replace("\"", "") + "\"").mkString(",") +
+        "}"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
-        date(), ts(false), ts(true), time(), uuid(), text(), bytea())
+        date(), ts(false), ts(true), time(), uuid(), text(), bytea(),
+        numArr())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t", "b")
+      "tm", "u", "t", "b", "na")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
         "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
-        "t text, b bytea"
+        "t text, b bytea, na numeric[]"
       val kinds = {
         import graft.sinks.PgBinKind._
-        Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text, Bytea)
+        Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text,
+          Bytea, Arr(Num, 1700))
       }
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")
@@ -326,6 +337,171 @@ class LiveServerSpec extends SparkSpec {
             " WHERE x::text <> y::text LIMIT 5")._2
             .map(_.mkString).mkString(","))
     } finally c.close()
+  }
+
+  test("live PG: COPY BINARY resolves enum columns to text payloads " +
+    "and domain columns to their base kind (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS et_bin")
+    exec("DROP TABLE IF EXISTS et_txt")
+    exec("DROP DOMAIN IF EXISTS money2 CASCADE")
+    exec("DROP DOMAIN IF EXISTS money1 CASCADE")
+    exec("DROP TYPE IF EXISTS mood CASCADE")
+    exec("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    exec("CREATE DOMAIN money1 AS numeric(10,2) CHECK (VALUE >= 0)")
+    // nested domain: the resolver must chase typbasetype transitively
+    exec("CREATE DOMAIN money2 AS money1")
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-enumdom").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "ed.csv").toPath,
+      "1|happy|12.50|3.25\n2|sad|0.00|99.99\n3|ok|7.77|0.01\n" +
+        // domain CHECK violation: must reject per row under binary too
+        "4|ok|-1.00|1.00\n")
+    // same runner wiring as the auto test, tracking binary routing
+    val binaryTargets = scala.collection.mutable.Set[String]()
+    val runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => {
+        binaryTargets.synchronized { binaryTargets += table }
+        _ => new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true)
+      })
+    def cmd(table: String, withs: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/ed.csv'
+          HAVING FIELDS (i, m, a, b)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|'$withs
+          BEFORE LOAD DO
+            $$$$ create table $table (i int4, m mood,
+                   a money1, b money2); $$$$;"""
+    // `copy binary auto` must see the domains' BASE kind (numeric =
+    // expensive) and route this table binary even though the enum
+    // itself is a text payload
+    val stats = runner.runFile(spark,
+      cmd("et_bin", ", copy binary auto") + "\n" + cmd("et_txt", ""))
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("et_bin", 3L, 1L), ("et_txt", 3L, 1L)), stats.mkString("; "))
+    assert(binaryTargets.exists(_.contains("et_bin")) &&
+      !binaryTargets.exists(_.contains("et_txt")),
+      s"binary routing: $binaryTargets")
+    assert(q("SELECT count(*) FROM (SELECT * FROM et_bin " +
+      "EXCEPT ALL SELECT * FROM et_txt) x").head(0) == "0")
+    assert(q("SELECT m::text, a::text, b::text FROM et_bin " +
+      "WHERE i = 1").head.toSeq == Seq("happy", "12.50", "3.25"))
+    // bad enum label rejects per row under binary (server-side
+    // enum_in equivalent), not the task
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "ed2.csv").toPath, "9|angry|1.00|1.00\n")
+    val st2 = runner.runFile(spark,
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/ed2.csv'
+          HAVING FIELDS (i, m, a, b)
+          INTO $uri TARGET TABLE et_bin
+          WITH fields terminated by '|', copy binary;""")
+    assert(st2.map(s => (s.rows, s.rejected)) == Seq((0L, 1L)), st2)
+    exec("DROP TABLE et_bin"); exec("DROP TABLE et_txt")
+    exec("DROP DOMAIN money2"); exec("DROP DOMAIN money1")
+    exec("DROP TYPE mood")
+  }
+
+  test("live PG: COPY BINARY 1-D array columns land content-equal to " +
+    "the text path, bad elements reject per row (GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    exec("DROP TABLE IF EXISTS arr_bin")
+    exec("DROP TABLE IF EXISTS arr_txt")
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-arrbin").toFile
+    // quoted separators/escapes, NULL elements, empty arrays, numeric
+    // dscale forms, a unicode element; | as the CSV separator keeps
+    // the commas free for the array literals
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "arr.csv").toPath,
+      "1|{1,2,3}|{\"a,b\",NULL,\"c\\\"d\"}|{1.50,NULL}\n" +
+        "2|{}|{}|{}\n" +
+        "3|{NULL}|{\"é漢\",\"x y\"}|{0.00,-7.125,1e2}\n" +
+        "4|{7,oops}|{ok}|{1.00}\n") // bad int element: rejects per row
+    val binaryTargets = scala.collection.mutable.Set[String]()
+    val runner = new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try {
+          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
+          c.simpleCommand(sql.stripSuffix(";"))
+        } finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new graft.sinks.PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => {
+        binaryTargets.synchronized { binaryTargets += table }
+        _ => new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true)
+      })
+    def cmd(table: String, withs: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/arr.csv'
+          HAVING FIELDS (i, xs, ss, ns)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|', fields not enclosed$withs
+          BEFORE LOAD DO
+            $$$$ create table $table (i int4, xs int4[],
+                   ss text[], ns numeric(8,2)[]); $$$$;"""
+    // `auto` treats arrays as expensive (array_in's per-element scan)
+    val stats = runner.runFile(spark,
+      cmd("arr_bin", ", copy binary auto") + "\n" + cmd("arr_txt", ""))
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("arr_bin", 3L, 1L), ("arr_txt", 3L, 1L)), stats.mkString("; "))
+    assert(binaryTargets.exists(_.contains("arr_bin")),
+      s"auto must route the array table binary: $binaryTargets")
+    assert(q("SELECT count(*) FROM (SELECT * FROM arr_bin " +
+      "EXCEPT ALL SELECT * FROM arr_txt) x").head(0) == "0")
+    val r1 = q("SELECT xs::text, ss::text, ns::text FROM arr_bin " +
+      "WHERE i = 1").head.toSeq
+    assert(r1 == Seq("{1,2,3}", "{\"a,b\",NULL,\"c\\\"d\"}",
+      "{1.50,NULL}"), r1)
+    // the column's typmod applies on the binary path exactly as on
+    // text: numeric(8,2) rounds -7.125 and expands 1e2
+    assert(q("SELECT ns::text FROM arr_bin WHERE i = 3")
+      .head(0) == "{0.00,-7.13,100.00}")
+    exec("DROP TABLE arr_bin"); exec("DROP TABLE arr_txt")
   }
 
   test("live PG: WITH copy binary auto picks binary exactly for tables " +

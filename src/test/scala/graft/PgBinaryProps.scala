@@ -16,7 +16,9 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Bool, PgBinKind.I2, PgBinKind.I4, PgBinKind.I8,
     PgBinKind.F4, PgBinKind.F8, PgBinKind.Date, PgBinKind.Ts,
     PgBinKind.TsTz, PgBinKind.Time, PgBinKind.Num, PgBinKind.Uuid,
-    PgBinKind.Bytea, PgBinKind.Text)
+    PgBinKind.Bytea, PgBinKind.Text,
+    PgBinKind.Arr(PgBinKind.I4, 23), PgBinKind.Arr(PgBinKind.Text, 25),
+    PgBinKind.Arr(PgBinKind.Num, 1700))
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
@@ -31,6 +33,9 @@ object PgBinaryProps extends Properties("PgBinary") {
     Gen.const("\\x"), Gen.const("\\xdead"), Gen.const("\\xbee"),
     Gen.const("\\101"), Gen.const("\\\\"), Gen.const("\\9"),
     Gen.const("\\x0 1"), Gen.const("deadBEEF"),
+    Gen.const("{"), Gen.const("}"), Gen.const("{}"), Gen.const(","),
+    Gen.const("{1,2}"), Gen.const("{NULL}"), Gen.const("\"q\""),
+    Gen.const("""{"a\"b",null}"""), Gen.const("{{1},{2}}"),
     Gen.asciiPrintableStr.map(_.take(8)))
   private val hostile: Gen[String] =
     Gen.listOfN(4, fragment).map(_.mkString).flatMap(s =>

@@ -156,6 +156,57 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("é", PgBinKind.Bytea)) == "00000002" + "c3a9")
   }
 
+  test("array: 1-D array_recv wire form, array_in 1-D text grammar") {
+    val ints = PgBinKind.Arr(PgBinKind.I4, 23)
+    val texts = PgBinKind.Arr(PgBinKind.Text, 25)
+    // {1,NULL,3}: ndim 1, has-null, elemoid 23, dim (3,1), elements
+    assert(hex(enc("{1,NULL,3}", ints)) ==
+      "00000028" + "00000001" + "00000001" + "00000017" +
+        "00000003" + "00000001" +
+        "00000004" + "00000001" + "ffffffff" + "00000004" + "00000003")
+    // empty array: ndim 0, no dims (array_send's own spelling)
+    assert(hex(enc("{}", ints)) ==
+      "0000000c" + "00000000" + "00000000" + "00000017")
+    assert(hex(enc(" { 1 , 2 } ", ints)) == // ws around elements/braces
+      hex(enc("{1,2}", ints)))
+    // quoted elements: separators/braces/escapes inside; unquoted
+    // lowercase null is NULL, quoted "NULL" is the string
+    assert(hex(enc("""{"a,b",null,"c\"d","NULL"}""", texts)) ==
+      "0000002e" + "00000001" + "00000001" + "00000019" +
+        "00000004" + "00000001" +
+        "00000003" + "612c62" + "ffffffff" +
+        "00000003" + "632264" + "00000004" + "4e554c4c")
+    // element failures reject the row (strict element grammar)
+    assert(enc("{1,x}", ints) == null)
+    // malformed shapes reject: nested, dim specs, trailing garbage,
+    // empty unquoted element, unterminated quote, mid-element quote
+    assert(enc("{{1},{2}}", ints) == null)
+    assert(enc("[1:2]={1,2}", ints) == null)
+    assert(enc("{1,2}x", ints) == null)
+    assert(enc("{1,,2}", ints) == null)
+    assert(enc("""{"a}""", texts) == null)
+    assert(enc("""{a"b}""", texts) == null)
+    assert(enc("1,2", ints) == null)
+  }
+
+  test("array: frameToTextLine renders a replayable always-quoted " +
+    "array literal") {
+    val texts = PgBinKind.Arr(PgBinKind.Text, 25)
+    val nums = PgBinKind.Arr(PgBinKind.Num, 1700)
+    val f1 = Array[Byte](0, 1) ++ enc("""{"a b",null,"c\\d"}""", texts)
+    // tab-free field: the line escape is identity here; elements come
+    // back double-quoted with their backslashes re-escaped TWICE
+    // (once for the array literal, once for the COPY line)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(texts)), "UTF-8")
+      == "{\"a b\",NULL,\"c\\\\\\\\d\"}\n")
+    val f2 = Array[Byte](0, 1) ++ enc("{1e2,NULL}", nums)
+    assert(new String(PgBinary.frameToTextLine(f2, Seq(nums)), "UTF-8")
+      == "{\"100\",NULL}\n")
+    val f3 = Array[Byte](0, 1) ++ enc("{}", nums)
+    assert(new String(PgBinary.frameToTextLine(f3, Seq(nums)), "UTF-8")
+      == "{}\n")
+  }
+
   test("hostile values reject the row, never throw or silently wrap") {
     // over-long digit runs must not throw NumberFormatException
     assert(enc("00:00:12345678901", PgBinKind.Time) == null)
