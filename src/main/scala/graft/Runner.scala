@@ -1108,7 +1108,8 @@ object Runner {
   private[graft] def expensiveKind(k: graft.sinks.PgBinKind): Boolean =
     k match {
       case graft.sinks.PgBinKind.Num | graft.sinks.PgBinKind.TsTz |
-           graft.sinks.PgBinKind.Uuid | graft.sinks.PgBinKind.Bytea => true
+           graft.sinks.PgBinKind.Uuid | graft.sinks.PgBinKind.Bytea |
+           graft.sinks.PgBinKind.Ival => true
       // array_in pays a per-element quote/escape scan plus the element
       // input routine — expensive regardless of the element kind
       case _: graft.sinks.PgBinKind.Arr => true

@@ -39,10 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * timestamptz value is interpreted as UTC (this engine pins UTC
   * everywhere), where COPY TEXT would consult the server's TimeZone.
   * The Runner additionally resolves ENUM columns to [[PgBinKind.Text]]
-  * (`enum_recv` reads the label string) and DOMAIN columns to their
-  * base type's kind (a domain's recv is the base recv + its checks);
-  * types outside that resolution (intervals, arrays, composites, …)
-  * make the Runner fall back to COPY TEXT for the table.
+  * (`enum_recv` reads the label string), DOMAIN columns to their
+  * base type's kind (a domain's recv is the base recv + its checks),
+  * and 1-D ARRAY columns to [[PgBinKind.Arr]] of the element's kind;
+  * types outside that resolution (composites, ranges,
+  * multi-dimensional array VALUES, …) make the Runner fall back to
+  * COPY TEXT for the table (or, for per-VALUE shapes like a
+  * multi-dim array datum, reject the row).
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
   */
@@ -66,6 +69,7 @@ object PgBinKind {
   case object Num extends PgBinKind("numeric")
   case object Uuid extends PgBinKind("uuid")
   case object Bytea extends PgBinKind("bytea")
+  case object Ival extends PgBinKind("interval")
   case object Text extends PgBinKind("text")
 
   /** One-dimensional array of a scalar kind. `elemOid` is the ELEMENT
@@ -97,6 +101,7 @@ object PgBinary {
     case "numeric" => Some(Num)
     case "uuid" => Some(Uuid)
     case "bytea" => Some(Bytea)
+    case "interval" => Some(Ival)
     case "text" | "varchar" | "bpchar" | "name" => Some(Text)
     case _ => None
   }
@@ -192,6 +197,7 @@ object PgBinary {
       case Num => encodeNumeric(v)
       case Uuid => encodeUuid(v)
       case Bytea => encodeBytea(v)
+      case Ival => encodeInterval(v)
       case a: Arr => encodeArray(v, a)
     }
 
@@ -561,6 +567,185 @@ object PgBinary {
     out
   }
 
+  /** interval text → `interval_recv` wire form: int64 micros, int32
+    * days, int32 months — the three components PG keeps SEPARATE
+    * (a month is not a fixed number of days, a day not a fixed number
+    * of hours across DST; binary must preserve the split exactly).
+    * Two grammars, both subsets of `interval_in` (narrower-is-allowed
+    * per the class-doc caveats): ISO 8601 `P[nY][nM][nW][nD]
+    * [T[nH][nM][nS]]` with per-field signs and a decimal fraction on
+    * S only, and the postgres output style — `[±]N unit` terms
+    * (year/yr, mon/month, week, day, hour/hr, minute/min, second/sec,
+    * millisecond/ms, microsecond/us, plurals) plus an optional
+    * `[±]HH:MM[:SS[.ffffff]]` clock and a trailing `ago` (negates
+    * all, the verbose style's suffix). Fractions anywhere else
+    * (e.g. '1.5 days', which interval_in cascades) reject the row. */
+  private def encodeInterval(v: UTF8String): Array[Byte] = {
+    val s = v.trim().toString
+    if (s.isEmpty) return null
+    var months = 0L
+    var days = 0L
+    var micros = 0L
+    def addMonths(x: Long): Boolean = { months = Math.addExact(months, x); true }
+    def addDays(x: Long): Boolean = { days = Math.addExact(days, x); true }
+    def addMicros(x: Long): Boolean = { micros = Math.addExact(micros, x); true }
+    try {
+      if (s.charAt(0) == 'P' || s.charAt(0) == 'p') {
+        // ISO 8601 duration
+        var i = 1
+        var inTime = false
+        var any = false
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == 'T' || c == 't') {
+            if (inTime) return null
+            inTime = true; i += 1
+          } else {
+            var sign = 1L
+            if (c == '+') i += 1
+            else if (c == '-') { sign = -1L; i += 1 }
+            val ds = i
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+            if (i == ds || i - ds > 18) return null
+            val whole = java.lang.Long.parseLong(s.substring(ds, i))
+            var fracMicros = 0L
+            var hasFrac = false
+            if (i < s.length && s.charAt(i) == '.') {
+              hasFrac = true
+              i += 1
+              val fs = i
+              while (i < s.length && s.charAt(i).isDigit) i += 1
+              if (i == fs || i - fs > 6) return null
+              fracMicros = java.lang.Long.parseLong(
+                (s.substring(fs, i) + "000000").substring(0, 6))
+            }
+            if (i >= s.length) return null
+            val unit = s.charAt(i)
+            i += 1
+            any = true
+            (inTime, Character.toUpperCase(unit)) match {
+              case (false, 'Y') if !hasFrac =>
+                addMonths(sign * Math.multiplyExact(whole, 12L))
+              case (false, 'M') if !hasFrac => addMonths(sign * whole)
+              case (false, 'W') if !hasFrac =>
+                addDays(sign * Math.multiplyExact(whole, 7L))
+              case (false, 'D') if !hasFrac => addDays(sign * whole)
+              case (true, 'H') if !hasFrac =>
+                addMicros(sign * Math.multiplyExact(whole, 3600000000L))
+              case (true, 'M') if !hasFrac =>
+                addMicros(sign * Math.multiplyExact(whole, 60000000L))
+              case (true, 'S') =>
+                addMicros(sign * Math.addExact(
+                  Math.multiplyExact(whole, 1000000L), fracMicros))
+              case _ => return null
+            }
+          }
+        }
+        if (!any) return null
+      } else {
+        // postgres style: "N unit" terms, optional clock, optional ago
+        val toks = s.split("\\s+")
+        var t = 0
+        var any = false
+        var negateAll = false
+        val clockRe =
+          "([+-]?)(\\d{1,15}):(\\d{1,2})(?::(\\d{1,2})(?:\\.(\\d{1,6}))?)?".r
+        while (t < toks.length) {
+          val tok = toks(t)
+          tok match {
+            case clockRe(sg, hh, mm, ss, ff) =>
+              val sign = if (sg == "-") -1L else 1L
+              val mmL = mm.toLong
+              val ssL = if (ss == null) 0L else ss.toLong
+              if (mmL > 59 || ssL > 59) return null
+              val frac = if (ff == null) 0L
+                else ((ff + "000000").substring(0, 6)).toLong
+              var m = Math.multiplyExact(hh.toLong, 3600000000L)
+              m = Math.addExact(m, mmL * 60000000L)
+              m = Math.addExact(m, ssL * 1000000L)
+              m = Math.addExact(m, frac)
+              addMicros(sign * m)
+              any = true
+              t += 1
+            case "ago" | "AGO" if t == toks.length - 1 =>
+              negateAll = true; t += 1
+            case _ =>
+              // "<signed int> <unit>" pair; decimal fraction only on
+              // second units
+              if (t + 1 >= toks.length) return null
+              val numTok = tok
+              val unitTok = toks(t + 1).toLowerCase(java.util.Locale.ROOT)
+              val dot = numTok.indexOf('.')
+              val intPart = if (dot < 0) numTok else numTok.substring(0, dot)
+              val body =
+                if (intPart.startsWith("+") || intPart.startsWith("-"))
+                  intPart.substring(1)
+                else intPart
+              if (body.isEmpty || body.length > 18 ||
+                !body.forall(_.isDigit)) return null
+              val whole = java.lang.Long.parseLong(intPart)
+              var fracMicros = 0L
+              if (dot >= 0) {
+                val f = numTok.substring(dot + 1)
+                if (f.isEmpty || f.length > 6 || !f.forall(_.isDigit))
+                  return null
+                fracMicros = ((f + "000000").substring(0, 6)).toLong
+                if (numTok.startsWith("-")) fracMicros = -fracMicros
+              }
+              val secUnit = Set("second", "seconds", "sec", "secs")
+              val msUnit = Set("millisecond", "milliseconds", "ms")
+              val usUnit = Set("microsecond", "microseconds", "us")
+              // fractional seconds are exact in micros; fractional
+              // ms/us would need sub-micro rounding (interval_in
+              // rounds, truncation would load a DIFFERENT value) and
+              // fractional day+ units cascade — both reject
+              if (dot >= 0 && !secUnit(unitTok)) return null
+              unitTok match {
+                case "year" | "years" | "yr" | "yrs" =>
+                  addMonths(Math.multiplyExact(whole, 12L))
+                case "mon" | "mons" | "month" | "months" =>
+                  addMonths(whole)
+                case "week" | "weeks" =>
+                  addDays(Math.multiplyExact(whole, 7L))
+                case "day" | "days" => addDays(whole)
+                case "hour" | "hours" | "hr" | "hrs" =>
+                  addMicros(Math.multiplyExact(whole, 3600000000L))
+                case "minute" | "minutes" | "min" | "mins" =>
+                  addMicros(Math.multiplyExact(whole, 60000000L))
+                case u if secUnit(u) =>
+                  addMicros(Math.addExact(
+                    Math.multiplyExact(whole, 1000000L), fracMicros))
+                case u if msUnit(u) =>
+                  addMicros(Math.multiplyExact(whole, 1000L))
+                case u if usUnit(u) => addMicros(whole)
+                case _ => return null
+              }
+              any = true
+              t += 2
+          }
+        }
+        if (!any) return null
+        if (negateAll) {
+          months = Math.negateExact(months)
+          days = Math.negateExact(days)
+          micros = Math.negateExact(micros)
+        }
+      }
+    } catch {
+      case _: ArithmeticException => return null
+      case _: NumberFormatException => return null
+    }
+    if (months < Int.MinValue || months > Int.MaxValue ||
+      days < Int.MinValue || days > Int.MaxValue) return null
+    val out = new Array[Byte](4 + 16)
+    writeInt(out, 0, 16)
+    var j = 0
+    while (j < 8) { out(4 + j) = (micros >> (56 - 8 * j)).toByte; j += 1 }
+    writeInt(out, 12, days.toInt)
+    writeInt(out, 16, months.toInt)
+    out
+  }
+
   /** 1-D array text → `array_recv` wire form: int32 ndim (0 for the
     * empty array, as array_send itself emits), int32 has-null flag,
     * int32 element type OID, then per dim (length, lower bound 1),
@@ -789,6 +974,28 @@ object PgBinary {
             hx.substring(0, 8) + "-" + hx.substring(8, 12) + "-" +
               hx.substring(12, 16) + "-" + hx.substring(16, 20) + "-" +
               hx.substring(20)
+          case Ival =>
+            // canonical signed-ISO form, live-verified replayable
+            // ('P-1M-2DT-3.5S' round-trips through interval_in)
+            val us = rdI64()
+            val d = rdI32()
+            val m = rdI32()
+            val b = new java.lang.StringBuilder("P")
+            b.append(m).append('M').append(d).append("DT")
+            val neg = us < 0
+            val au = if (us == Long.MinValue) BigInt(us).abs
+              else BigInt(math.abs(us))
+            val whole = au / 1000000
+            val frac = (au % 1000000).toLong
+            if (neg) b.append('-')
+            b.append(whole)
+            if (frac != 0) {
+              val f = "%06d".format(frac).reverse.dropWhile(_ == '0')
+                .reverse
+              b.append('.').append(f)
+            }
+            b.append('S')
+            b.toString
           case Bytea =>
             // byteain's hex form — the field-level escape doubles the
             // backslash in the line

@@ -296,24 +296,33 @@ class LiveServerSpec extends SparkSpec {
         else "\"" + numeric().replace("\"", "") + "\"").mkString(",") +
         "}"
     }
+    def ival(): String = rnd.nextInt(4) match {
+      case 0 => s"P${rnd.between(-40, 40)}M${rnd.between(-99, 99)}D" +
+        s"T${rnd.between(-500000L, 500000L)}.${rnd.nextInt(1000000)}S"
+      case 1 => s"${rnd.between(-40, 40)} mons ${rnd.between(-99, 99)} days"
+      case 2 => f"${rnd.between(-99, 99)}%d days " +
+        f"${if (rnd.nextBoolean()) "+" else "-"}%s${rnd.nextInt(24)}%02d:" +
+        f"${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      case _ => "00:00:00"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
         date(), ts(false), ts(true), time(), uuid(), text(), bytea(),
-        numArr())
+        numArr(), ival())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t", "b", "na")
+      "tm", "u", "t", "b", "na", "iv")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
         "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
-        "t text, b bytea, na numeric[]"
+        "t text, b bytea, na numeric[], iv interval"
       val kinds = {
         import graft.sinks.PgBinKind._
         Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text,
-          Bytea, Arr(Num, 1700))
+          Bytea, Arr(Num, 1700), Ival)
       }
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")

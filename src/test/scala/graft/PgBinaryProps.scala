@@ -16,9 +16,10 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Bool, PgBinKind.I2, PgBinKind.I4, PgBinKind.I8,
     PgBinKind.F4, PgBinKind.F8, PgBinKind.Date, PgBinKind.Ts,
     PgBinKind.TsTz, PgBinKind.Time, PgBinKind.Num, PgBinKind.Uuid,
-    PgBinKind.Bytea, PgBinKind.Text,
+    PgBinKind.Bytea, PgBinKind.Text, PgBinKind.Ival,
     PgBinKind.Arr(PgBinKind.I4, 23), PgBinKind.Arr(PgBinKind.Text, 25),
-    PgBinKind.Arr(PgBinKind.Num, 1700))
+    PgBinKind.Arr(PgBinKind.Num, 1700),
+    PgBinKind.Arr(PgBinKind.Ival, 1186))
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
@@ -36,6 +37,9 @@ object PgBinaryProps extends Properties("PgBinary") {
     Gen.const("{"), Gen.const("}"), Gen.const("{}"), Gen.const(","),
     Gen.const("{1,2}"), Gen.const("{NULL}"), Gen.const("\"q\""),
     Gen.const("""{"a\"b",null}"""), Gen.const("{{1},{2}}"),
+    Gen.const("P1Y2M3DT4H5M6.5S"), Gen.const("mons"), Gen.const("ago"),
+    Gen.const("3 days"), Gen.const("-1 days +02:03:00"),
+    Gen.const("P-1M-2DT-3.5S"), Gen.const("1.5 days"),
     Gen.asciiPrintableStr.map(_.take(8)))
   private val hostile: Gen[String] =
     Gen.listOfN(4, fragment).map(_.mkString).flatMap(s =>

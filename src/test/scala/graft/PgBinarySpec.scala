@@ -156,6 +156,55 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("é", PgBinKind.Bytea)) == "00000002" + "c3a9")
   }
 
+  test("interval: micros/days/months split preserved, ISO and " +
+    "postgres styles, fraction-cascade rejects") {
+    val k = PgBinKind.Ival
+    def iv(us: Long, d: Int, m: Int): String =
+      "00000010" + "%016x".format(us) + "%08x".format(d) + "%08x".format(m)
+    // ISO and the equivalent postgres output style land identical
+    assert(hex(enc("P1Y2M3DT4H5M6.5S", k)) ==
+      iv((4L * 3600 + 5 * 60 + 6) * 1000000L + 500000L, 3, 14))
+    assert(hex(enc("1 year 2 mons 3 days 04:05:06.5", k)) ==
+      hex(enc("P1Y2M3DT4H5M6.5S", k)))
+    // mixed signs: components stay SEPARATE (never normalized)
+    assert(hex(enc("-1 days +02:03:00", k)) == iv(7380000000L, -1, 0))
+    assert(hex(enc("P-1M-2DT-3.5S", k)) == iv(-3500000L, -2, -1))
+    // verbose 'ago' negates everything; weeks scale to days
+    assert(hex(enc("3 weeks ago", k)) == iv(0L, -21, 0))
+    assert(hex(enc("00:00:00", k)) == iv(0L, 0, 0))
+    assert(hex(enc("90 min", k)) == iv(5400000000L, 0, 0))
+    assert(hex(enc("5 us", k)) == iv(5L, 0, 0))
+    assert(hex(enc("250 ms", k)) == iv(250000L, 0, 0))
+    assert(hex(enc("04:05", k)) == iv(4L * 3600000000L + 300000000L, 0, 0))
+    // rejects: cascading fractions, sub-micro rounding, bare numbers,
+    // unknown units, empty/garbage, 7-digit fractions
+    assert(enc("1.5 days", k) == null)
+    assert(enc("1.5 ms", k) == null)
+    assert(enc("1", k) == null)
+    assert(enc("2 fortnights", k) == null)
+    assert(enc("P", k) == null)
+    assert(enc("PT", k) == null)
+    assert(enc("PT0.1234567S", k) == null)
+    assert(enc("", k) == null)
+  }
+
+  test("interval: frameToTextLine renders the replayable signed-ISO " +
+    "form") {
+    val k = PgBinKind.Ival
+    val f1 = Array[Byte](0, 1) ++ enc("P14M3DT4.25S", k)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(k)), "UTF-8") ==
+      "P14M3DT4.25S\n")
+    val f2 = Array[Byte](0, 1) ++ enc("-1 days +02:03:00", k)
+    assert(new String(PgBinary.frameToTextLine(f2, Seq(k)), "UTF-8") ==
+      "P0M-1DT7380S\n")
+    val f3 = Array[Byte](0, 1) ++ enc("P-1M-2DT-3.5S", k)
+    assert(new String(PgBinary.frameToTextLine(f3, Seq(k)), "UTF-8") ==
+      "P-1M-2DT-3.5S\n")
+    val f4 = Array[Byte](0, 1) ++ enc("00:00:00", k)
+    assert(new String(PgBinary.frameToTextLine(f4, Seq(k)), "UTF-8") ==
+      "P0M0DT0S\n")
+  }
+
   test("array: 1-D array_recv wire form, array_in 1-D text grammar") {
     val ints = PgBinKind.Arr(PgBinKind.I4, 23)
     val texts = PgBinKind.Arr(PgBinKind.Text, 25)
