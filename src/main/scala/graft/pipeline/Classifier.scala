@@ -140,24 +140,34 @@ object Classifier {
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
-    // the bucket function must be MONOTONE in the score's own ordering;
-    // double(score) is for numerics/dates/timestamps. Anything else
-    // (strings, ...) has no cheap monotone map — keep the single global
-    // pass over distinct values for those, documented above.
-    val bucketable = scored.schema(scoreCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => true
-      case _ => false
-    }
-    val c = if (!bucketable) {
+    // the bucket function must be MONOTONE in the score's own ordering.
+    // Each bucketable type gets its own monotone double map — a plain
+    // double cast is only legal for numerics and TIMESTAMP (dates and
+    // TIMESTAMP_NTZ cannot cast to double; Spark fails analysis).
+    // Anything else (strings, ...) has no cheap monotone map — keep
+    // the single global pass over distinct values for those,
+    // documented above.
+    val bucketValue: Option[org.apache.spark.sql.Column] =
+      scored.schema(scoreCol).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Some(col("s").cast("double"))
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(col("s").cast("double"))
+        case org.apache.spark.sql.types.DateType =>
+          Some(unix_date(col("s")).cast("double"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // reinterpreting through TIMESTAMP applies one fixed session
+          // offset — monotone, which is all the bucket map needs
+          Some(unix_micros(col("s").cast("timestamp")).cast("double"))
+        case _ => None
+      }
+    val c = if (bucketValue.isEmpty) {
       val w = Window.orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, -1)
       g.withColumn("neg_below",
         coalesce(sum(col("q")).over(w), lit(0L)))
     } else {
-      val gv = g.withColumn("v", col("s").cast("double"))
+      val gv = g.withColumn("v", bucketValue.get)
       val range = gv.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       // monotone range bucket; any non-finite span (constant range,
       // ±Inf endpoints, NaN — NaN sorts greatest into hi) falls back
@@ -172,7 +182,7 @@ object Classifier {
       // bounded one warns and single-tasks): a broadcast triangular
       // self-join over the ≤`buckets` bucket totals
       val bt = gb.groupBy(col("bk")).agg(sum(col("q")).as("bq"))
-      val offsets = bt.select(col("bk"), col("bq"))
+      val offsets = bt.select(col("bk"))
         .join(broadcast(bt.select(col("bk").as("bk2"), col("bq").as("bq2"))),
           col("bk2") < col("bk"), "left")
         .groupBy(col("bk"))

@@ -643,7 +643,22 @@ object PgBinary {
         }
         if (!any) return null
       } else {
-        // postgres style: "N unit" terms, optional clock, optional ago
+        // postgres style: "N unit" terms, optional clock, optional ago.
+        // interval_in rejects CONFLICTING fields (DecodeInterval's
+        // tmask): a repeated unit, two clocks, or a unit overlapping a
+        // clock ('3 hours 1:00') all error server-side — mirror that
+        // with a seen-mask. A clock claims hour|min|ALL seconds (PG's
+        // DTK_TIME_M, live-verified: '04:05 1 sec' and '04:05:06 1 ms'
+        // both reject); a FRACTIONAL seconds unit claims sec|ms|us
+        // ('1.5 sec 1 ms' rejects) while an integer one claims sec
+        // only ('1 sec 1 ms' loads).
+        val Y = 1; val MO = 2; val W = 4; val D = 8
+        val H = 16; val MI = 32; val SEC = 64; val MS = 128; val US = 256
+        var seen = 0
+        def claim(bits: Int): Boolean = {
+          if ((seen & bits) != 0) false
+          else { seen |= bits; true }
+        }
         val toks = s.split("\\s+")
         var t = 0
         var any = false
@@ -654,6 +669,7 @@ object PgBinary {
           val tok = toks(t)
           tok match {
             case clockRe(sg, hh, mm, ss, ff) =>
+              if (!claim(H | MI | SEC | MS | US)) return null
               val sign = if (sg == "-") -1L else 1L
               val mmL = mm.toLong
               val ssL = if (ss == null) 0L else ss.toLong
@@ -702,22 +718,34 @@ object PgBinary {
               if (dot >= 0 && !secUnit(unitTok)) return null
               unitTok match {
                 case "year" | "years" | "yr" | "yrs" =>
+                  if (!claim(Y)) return null
                   addMonths(Math.multiplyExact(whole, 12L))
                 case "mon" | "mons" | "month" | "months" =>
+                  if (!claim(MO)) return null
                   addMonths(whole)
                 case "week" | "weeks" =>
+                  if (!claim(W)) return null
                   addDays(Math.multiplyExact(whole, 7L))
-                case "day" | "days" => addDays(whole)
+                case "day" | "days" =>
+                  if (!claim(D)) return null
+                  addDays(whole)
                 case "hour" | "hours" | "hr" | "hrs" =>
+                  if (!claim(H)) return null
                   addMicros(Math.multiplyExact(whole, 3600000000L))
                 case "minute" | "minutes" | "min" | "mins" =>
+                  if (!claim(MI)) return null
                   addMicros(Math.multiplyExact(whole, 60000000L))
                 case u if secUnit(u) =>
+                  if (!claim(if (dot >= 0) SEC | MS | US else SEC))
+                    return null
                   addMicros(Math.addExact(
                     Math.multiplyExact(whole, 1000000L), fracMicros))
                 case u if msUnit(u) =>
+                  if (!claim(MS)) return null
                   addMicros(Math.multiplyExact(whole, 1000L))
-                case u if usUnit(u) => addMicros(whole)
+                case u if usUnit(u) =>
+                  if (!claim(US)) return null
+                  addMicros(whole)
                 case _ => return null
               }
               any = true
@@ -778,6 +806,7 @@ object PgBinary {
         if (i >= n) return null
         if (s.charAt(i) == '{') return null // nested: unsupported
         var quoted = false
+        var escaped = false
         var elemText: String = null
         if (s.charAt(i) == '"') {
           quoted = true; i += 1
@@ -799,8 +828,10 @@ object PgBinary {
             val c = s.charAt(i)
             if (c == '\\') {
               if (i + 1 >= n) return null
+              escaped = true
               sb.append(s.charAt(i + 1)); i += 2
-            } else if (c == '"') return null // mid-element quote errors
+            } else if (c == '"' || c == '{') return null
+            // mid-element quote/brace is a server error
             else { sb.append(c); i += 1 }
           }
           var e = sb.length
@@ -816,7 +847,9 @@ object PgBinary {
           case '}' => i += 1; done = true
           case _ => return null
         }
-        if (!quoted && elemText.equalsIgnoreCase("null")) {
+        // only a BARE null token is SQL NULL: array_in treats an
+        // escaped (`\NULL`) or quoted spelling as the literal string
+        if (!quoted && !escaped && elemText.equalsIgnoreCase("null")) {
           elems += null; hasNull = true
         } else {
           val enc = encodeField(UTF8String.fromString(elemText), a.elem)

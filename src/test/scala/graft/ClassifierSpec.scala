@@ -159,6 +159,25 @@ class ClassifierSpec extends SparkSpec {
       .getLong(4) == 1000000L)
   }
 
+  test("aucByLabel: date and timestamp scores bucket without an " +
+    "analysis error (regression: cast(date as double) is illegal)") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    val dates = Seq(
+      (Date.valueOf("2024-03-01"), true), (Date.valueOf("2024-02-01"), true),
+      (Date.valueOf("2024-01-01"), false), (Date.valueOf("2024-02-01"), false)
+    ).toDF("s", "y")
+    val rd = Classifier.aucByLabel(dates, "s", "y").head()
+    // pos {03-01, 02-01}, neg {01-01, 02-01}: wins 3, ties 1 → 0.875
+    assert(rd.getLong(2) == 3L && rd.getLong(3) == 1L &&
+      rd.getLong(4) == 875000L)
+    val tss = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), true),
+      (Timestamp.valueOf("2024-01-01 05:00:00"), false)).toDF("s", "y")
+    assert(Classifier.aucByLabel(tss, "s", "y").head().getLong(4)
+      == 1000000L)
+  }
+
   test("aucByLabel: non-numeric (string) scores keep the exact global " +
     "path") {
     import spark.implicits._

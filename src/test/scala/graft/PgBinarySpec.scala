@@ -176,6 +176,19 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("5 us", k)) == iv(5L, 0, 0))
     assert(hex(enc("250 ms", k)) == iv(250000L, 0, 0))
     assert(hex(enc("04:05", k)) == iv(4L * 3600000000L + 300000000L, 0, 0))
+    // field-conflict parity with DecodeInterval's tmask (all verified
+    // against interval_in live): repeats, two clocks, unit-vs-clock
+    // overlap, and fractional-seconds claiming sec|ms|us all reject;
+    // non-overlapping combinations load
+    assert(enc("1 day 1 day", k) == null)
+    assert(enc("1:00 2:00", k) == null)
+    assert(enc("3 hours 1:00", k) == null)
+    assert(enc("04:05 1 sec", k) == null) // a clock claims ALL seconds
+    assert(enc("04:05:06 1 ms", k) == null)
+    assert(enc("1.5 sec 1 ms", k) == null)
+    assert(hex(enc("1 sec 1 ms", k)) == iv(1001000L, 0, 0))
+    assert(hex(enc("1.5 sec 1 min", k)) == iv(61500000L, 0, 0))
+    assert(hex(enc("1 mon 1 week", k)) == iv(0L, 7, 1))
     // rejects: cascading fractions, sub-micro rounding, bare numbers,
     // unknown units, empty/garbage, 7-digit fractions
     assert(enc("1.5 days", k) == null)
@@ -229,13 +242,20 @@ class PgBinarySpec extends SparkSpec {
     assert(enc("{1,x}", ints) == null)
     // malformed shapes reject: nested, dim specs, trailing garbage,
     // empty unquoted element, unterminated quote, mid-element quote
+    // or brace (array_in: Unexpected '{' character)
     assert(enc("{{1},{2}}", ints) == null)
     assert(enc("[1:2]={1,2}", ints) == null)
     assert(enc("{1,2}x", ints) == null)
     assert(enc("{1,,2}", ints) == null)
     assert(enc("""{"a}""", texts) == null)
     assert(enc("""{a"b}""", texts) == null)
+    assert(enc("{a{b}", texts) == null)
     assert(enc("1,2", ints) == null)
+    // an ESCAPED null token is the literal string (array_in keeps
+    // '\NULL' as 'NULL'), never SQL NULL
+    assert(hex(enc("""{\NULL}""", texts)) ==
+      "0000001c" + "00000001" + "00000000" + "00000019" +
+        "00000001" + "00000001" + "00000004" + "4e554c4c")
   }
 
   test("array: frameToTextLine renders a replayable always-quoted " +
