@@ -72,6 +72,12 @@ object PgBinKind {
   case object Ival extends PgBinKind("interval")
   case object Text extends PgBinKind("text")
 
+  /** `jsonb_recv`: one version byte (1) then the json TEXT — the
+    * server still parses it (jsonb_from_cstring), so this kind saves
+    * no server CPU by itself; it exists so a jsonb column doesn't
+    * force the whole TABLE off the binary path. */
+  case object Jsonb extends PgBinKind("jsonb")
+
   /** One-dimensional array of a scalar kind. `elemOid` is the ELEMENT
     * type's pg_type.oid, resolved from the target catalog
     * (`array_recv` requires the sent element OID to match the
@@ -102,7 +108,10 @@ object PgBinary {
     case "uuid" => Some(Uuid)
     case "bytea" => Some(Bytea)
     case "interval" => Some(Ival)
-    case "text" | "varchar" | "bpchar" | "name" => Some(Text)
+    case "jsonb" => Some(Jsonb)
+    // json_recv and xml_recv both read the raw text form
+    case "text" | "varchar" | "bpchar" | "name" | "json" | "xml" =>
+      Some(Text)
     case _ => None
   }
 
@@ -198,6 +207,14 @@ object PgBinary {
       case Uuid => encodeUuid(v)
       case Bytea => encodeBytea(v)
       case Ival => encodeInterval(v)
+      case Jsonb =>
+        val n = v.numBytes()
+        val out = new Array[Byte](5 + n)
+        writeInt(out, 0, n + 1)
+        out(4) = 1 // jsonb_recv version
+        v.writeToMemory(out,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 5)
+        out
       case a: Arr => encodeArray(v, a)
     }
 
@@ -987,6 +1004,10 @@ object PgBinary {
         val out = k match {
           case Text =>
             val s = new String(frame, off, len, "UTF-8"); off = end; s
+          case Jsonb =>
+            // skip the version byte; the payload is the json text
+            val s = new String(frame, off + 1, len - 1, "UTF-8")
+            off = end; s
           case Bool =>
             val s = if (frame(off) == 1) "t" else "f"; off = end; s
           case I2 => rdI16().toString

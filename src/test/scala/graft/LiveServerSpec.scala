@@ -305,24 +305,29 @@ class LiveServerSpec extends SparkSpec {
         f"${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
       case _ => "00:00:00"
     }
+    def jsonb(): String = rnd.nextInt(3) match {
+      case 0 => s"""{"k": ${rnd.nextInt(1000)}, "s": "v${rnd.nextInt(100)}"}"""
+      case 1 => s"[${rnd.nextInt(10)}, null, ${rnd.nextDouble()}]"
+      case _ => "null"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
         date(), ts(false), ts(true), time(), uuid(), text(), bytea(),
-        numArr(), ival())
+        numArr(), ival(), jsonb())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t", "b", "na", "iv")
+      "tm", "u", "t", "b", "na", "iv", "js")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
         "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
-        "t text, b bytea, na numeric[], iv interval"
+        "t text, b bytea, na numeric[], iv interval, js jsonb"
       val kinds = {
         import graft.sinks.PgBinKind._
         Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text,
-          Bytea, Arr(Num, 1700), Ival)
+          Bytea, Arr(Num, 1700), Ival, Jsonb)
       }
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")

@@ -16,7 +16,7 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Bool, PgBinKind.I2, PgBinKind.I4, PgBinKind.I8,
     PgBinKind.F4, PgBinKind.F8, PgBinKind.Date, PgBinKind.Ts,
     PgBinKind.TsTz, PgBinKind.Time, PgBinKind.Num, PgBinKind.Uuid,
-    PgBinKind.Bytea, PgBinKind.Text, PgBinKind.Ival,
+    PgBinKind.Bytea, PgBinKind.Text, PgBinKind.Ival, PgBinKind.Jsonb,
     PgBinKind.Arr(PgBinKind.I4, 23), PgBinKind.Arr(PgBinKind.Text, 25),
     PgBinKind.Arr(PgBinKind.Num, 1700),
     PgBinKind.Arr(PgBinKind.Ival, 1186))

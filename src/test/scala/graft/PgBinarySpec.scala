@@ -156,6 +156,15 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("é", PgBinKind.Bytea)) == "00000002" + "c3a9")
   }
 
+  test("jsonb: version byte 1 then the raw json text; decode strips it") {
+    assert(hex(enc("""{"a":1}""", PgBinKind.Jsonb)) ==
+      "00000008" + "01" + "7b2261223a317d")
+    assert(hex(enc("", PgBinKind.Jsonb)) == "00000001" + "01")
+    val f = Array[Byte](0, 1) ++ enc("""{"a":\t1}""", PgBinKind.Jsonb)
+    assert(new String(PgBinary.frameToTextLine(f,
+      Seq(PgBinKind.Jsonb)), "UTF-8") == "{\"a\":\\\\t1}\n")
+  }
+
   test("interval: micros/days/months split preserved, ISO and " +
     "postgres styles, fraction-cascade rejects") {
     val k = PgBinKind.Ival
