@@ -413,6 +413,12 @@ object DefaultCastRules {
     r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
       RuleTarget("bigserial", LongType)),
     r(RuleSource(Some("character varying")), RuleTarget("text", StringType)),
-    r(RuleSource(Some("varchar")), RuleTarget("text", StringType))
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType)),
+    // PG-source ENUM columns arrive with their labels inlined by the
+    // introspection (ctype `enum('a','b')` / `enum[]('a','b')`) — the
+    // same shape MySQL enums take, so the DDL layer registers the
+    // dynamic `<table>_<column>` type for both
+    r(RuleSource(Some("enum")), RuleTarget("enum", StringType)),
+    r(RuleSource(Some("enum[]")), RuleTarget("enum[]", StringType))
   )
 }

@@ -220,7 +220,8 @@ final class Migrator(
           val patched = t.columns.map { c =>
             val field = t.fields.find(_.name == c.name)
             val isEnumish = field.exists(f =>
-              f.typeName == "enum" || f.typeName == "set")
+              f.typeName == "enum" || f.typeName == "set" ||
+                f.typeName == "enum[]")
             if (isEnumish && (c.pgType == "enum" || c.pgType == "enum[]")) {
               // SCHEMA-qualified type name: two same-named tables in
               // different schemas would otherwise fight over one type;

@@ -435,15 +435,29 @@ object IntrospectionSql {
        WHERE 1 = 1 $nameFilter
        ORDER BY s.name, t.name, c.column_id"""
 
-  /** PostgreSQL pg_catalog (pgsql-schema.lisp:7-481). */
+  /** PostgreSQL pg_catalog (pgsql-schema.lisp:7-481). `enum_labels`
+    * carries the quoted, sort-ordered label list when the column's
+    * type (or its array element type) is an ENUM — the reference's
+    * pgsql source recreates enums on the target the same way its
+    * MySQL source does, and without the labels a pg→pg migration of
+    * an enum table fails the target CREATE TABLE on the missing
+    * type. */
   val pgsqlColumns: String =
     """SELECT n.nspname, c.relname, a.attname,
        format_type(a.atttypid, a.atttypmod) AS data_type,
        pg_get_expr(d.adbin, d.adrelid) AS default_expr,
-       NOT a.attnotnull AS nullable
+       NOT a.attnotnull AS nullable,
+       (SELECT string_agg(quote_literal(e.enumlabel), ','
+               ORDER BY e.enumsortorder)
+        FROM pg_enum e
+        WHERE e.enumtypid = CASE WHEN ty.typtype = 'e' THEN a.atttypid
+                                 WHEN et.typtype = 'e' THEN ty.typelem
+                            END) AS enum_labels
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+       JOIN pg_type ty ON ty.oid = a.atttypid
+       LEFT JOIN pg_type et ON et.oid = ty.typelem
        LEFT JOIN pg_attrdef d
          ON d.adrelid = c.oid AND d.adnum = a.attnum
        WHERE c.relkind = 'r' AND NOT a.attisdropped
@@ -949,7 +963,10 @@ object IntrospectionRows {
     * `timestamp with time zone`). */
   final case class PgColumn(schema: String, table: String, name: String,
                             dataType: String, default: Option[String],
-                            nullable: Boolean)
+                            nullable: Boolean,
+                            /** quoted label list when the column's
+                              * type (or array element) is an ENUM. */
+                            enumLabels: Option[String] = None)
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -966,7 +983,18 @@ object IntrospectionRows {
             // default; keeping the source expression too makes
             // CREATE TABLE fail with "multiple default values" (caught
             // live against PostgreSQL 15, t:LiveServerSpec pg→pg)
-            SourceColumn(tbl, c.name, c.dataType,
+            // an ENUM column's ctype becomes the MySQL-shaped
+            // `enum('a','b')` (array element enums: `enum[]('a','b')`
+            // so typeName strips to enum[]) — the cast layer and the
+            // Migrator's dynamic-type DDL then treat pg and mysql
+            // enum sources identically
+            val ctype = c.enumLabels match {
+              case Some(labels) if c.dataType.endsWith("[]") =>
+                s"enum[]($labels)"
+              case Some(labels) => s"enum($labels)"
+              case None => c.dataType
+            }
+            SourceColumn(tbl, c.name, ctype,
               default = if (serial) None else c.default,
               nullable = c.nullable,
               autoIncrement = serial)

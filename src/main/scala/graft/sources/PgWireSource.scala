@@ -39,7 +39,10 @@ object PgWireSource {
         IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
           Option(r(4)),
           // boolean TEXT wire form is t/f
-          nullable = r(5) == "t" || r(5) == "true")
+          nullable = r(5) == "t" || r(5) == "true",
+          // tolerant of 6-column responses (test doubles serving the
+          // pre-enum-labels shape)
+          enumLabels = if (r.length > 6) Option(r(6)) else None)
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)

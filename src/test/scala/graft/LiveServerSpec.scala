@@ -830,6 +830,51 @@ class LiveServerSpec extends SparkSpec {
       s"${binStats.size} tables digest-identical to the text path")
   }
 
+  test("live pg→pg: migration WITH copy binary over enum/array/jsonb/" +
+    "interval columns lands content-equal (GRAFT_LIVE_PG_URI + DEST)") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def ex(p: PgWire.ConnParams)(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(p: PgWire.ConnParams)(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.query(sql)._2 finally c.close()
+    }
+    ex(sp)("DROP TABLE IF EXISTS exotic_src")
+    ex(sp)("DROP TYPE IF EXISTS mood_src CASCADE")
+    ex(sp)("CREATE TYPE mood_src AS ENUM ('low', 'mid', 'high')")
+    ex(sp)("CREATE TABLE exotic_src (id int4 PRIMARY KEY, m mood_src, " +
+      "tags text[], meta jsonb, dur interval, amt numeric(10,2))")
+    ex(sp)("INSERT INTO exotic_src VALUES " +
+      "(1, 'high', '{a,\"b c\",NULL}', '{\"k\": 1}', " +
+      "'1 year 2 mons 3 days 04:05:06', 12.50), " +
+      "(2, 'low', '{}', 'null', '-1 days +02:03:00', NULL), " +
+      "(3, NULL, NULL, '[1, null]', NULL, 0.01)")
+    val text =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables, copy binary
+            INCLUDING ONLY TABLE NAMES MATCHING 'exotic_src';"""
+    val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("exotic_src", 3L, 0L)), stats.mkString("; "))
+    // content equality: the destination's text renderings match the
+    // source row for row (however the migration mapped the types)
+    val sel = "SELECT id::text, m::text, tags::text, meta::text, " +
+      "dur::text, amt::text FROM exotic_src ORDER BY id"
+    val src = q(sp)(sel).map(_.toSeq)
+    val dst = q(dp)(sel).map(_.toSeq)
+    assert(dst == src, s"src=$src\ndst=$dst")
+    ex(sp)("DROP TABLE exotic_src")
+    ex(sp)("DROP TYPE mood_src")
+  }
+
   test("live pg→pg: whole-database migration WITH exactly once stages " +
     "and publishes atomically (GRAFT_LIVE_PG_URI + GRAFT_LIVE_PG_DEST_URI)") {
     assume(env("GRAFT_LIVE_PG_URI").isDefined &&
