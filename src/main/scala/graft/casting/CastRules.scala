@@ -20,7 +20,14 @@ final case class SourceColumn(
     nullable: Boolean = true,
     autoIncrement: Boolean = false,
     onUpdateCurrentTimestamp: Boolean = false,
-    comment: Option[String] = None) {
+    comment: Option[String] = None,
+    /** ENUM label list for a PG-source enum column (or enum-array
+      * element). Kept OUT of the ctype so `typeName` stays the real
+      * source type name — user CAST rules keyed on it (`CAST type mood
+      * to text`) keep matching, and labels containing parens can't
+      * corrupt the typemod stripping. The Migrator's dynamic-type DDL
+      * consumes it when no user rule retargeted the column. */
+    enumLabels: Option[Seq[String]] = None) {
 
   /** Bare type name, lowercased, typemod and attribute keywords stripped.
     * Multi-word names survive (`character varying`, `double precision`,
@@ -413,12 +420,6 @@ object DefaultCastRules {
     r(RuleSource(Some("bigint"), autoIncrement = Some(true)),
       RuleTarget("bigserial", LongType)),
     r(RuleSource(Some("character varying")), RuleTarget("text", StringType)),
-    r(RuleSource(Some("varchar")), RuleTarget("text", StringType)),
-    // PG-source ENUM columns arrive with their labels inlined by the
-    // introspection (ctype `enum('a','b')` / `enum[]('a','b')`) — the
-    // same shape MySQL enums take, so the DDL layer registers the
-    // dynamic `<table>_<column>` type for both
-    r(RuleSource(Some("enum")), RuleTarget("enum", StringType)),
-    r(RuleSource(Some("enum[]")), RuleTarget("enum[]", StringType))
+    r(RuleSource(Some("varchar")), RuleTarget("text", StringType))
   )
 }

@@ -220,9 +220,18 @@ final class Migrator(
           val patched = t.columns.map { c =>
             val field = t.fields.find(_.name == c.name)
             val isEnumish = field.exists(f =>
-              f.typeName == "enum" || f.typeName == "set" ||
-                f.typeName == "enum[]")
-            if (isEnumish && (c.pgType == "enum" || c.pgType == "enum[]")) {
+              f.typeName == "enum" || f.typeName == "set")
+            // PG-source enums carry their labels in the IR and keep
+            // the REAL source type name — which only needs a dynamic
+            // type when no user CAST rule retargeted the column (a
+            // passthrough pgType still equals the source ctype; a
+            // user `CAST type mood to text` leaves pgType = text and
+            // this block alone)
+            val pgEnum = field.exists(f =>
+              f.enumLabels.nonEmpty && c.pgType == f.ctype)
+            if ((isEnumish &&
+                  (c.pgType == "enum" || c.pgType == "enum[]")) ||
+                pgEnum) {
               // SCHEMA-qualified type name: two same-named tables in
               // different schemas would otherwise fight over one type;
               // includeDrop drops it first — DROP TABLE CASCADE does
@@ -239,7 +248,9 @@ final class Migrator(
                 else s"${t.name}_${c.name}"
               if (includeDrop)
                 preDdl(s"DROP TYPE IF EXISTS $tn CASCADE;")
-              preDdl(Ddl.createEnum(tn, Ddl.enumLabels(field.get.ctype)))
+              val labels = field.get.enumLabels.getOrElse(
+                Ddl.enumLabels(field.get.ctype))
+              preDdl(Ddl.createEnum(tn, labels))
               c.copy(pgType =
                 if (c.pgType.endsWith("[]")) tn + "[]" else tn)
             } else c

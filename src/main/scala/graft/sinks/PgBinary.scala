@@ -109,8 +109,12 @@ object PgBinary {
     case "bytea" => Some(Bytea)
     case "interval" => Some(Ival)
     case "jsonb" => Some(Jsonb)
-    // json_recv and xml_recv both read the raw text form
-    case "text" | "varchar" | "bpchar" | "name" | "json" | "xml" =>
+    // json_recv reads the raw text form. xml is deliberately ABSENT:
+    // xml_recv converts the payload per the document's own encoding
+    // declaration while the text path converts from client_encoding —
+    // a LATIN1-declared document would land mojibake under binary, a
+    // silent divergence from the text path, so xml tables fall back
+    case "text" | "varchar" | "bpchar" | "name" | "json" =>
       Some(Text)
     case _ => None
   }

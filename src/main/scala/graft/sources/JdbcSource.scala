@@ -4,7 +4,7 @@ import java.sql.{Connection, DriverManager}
 import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.casting.SourceColumn
-import graft.catalog.{Catalog, FKey, Index, Schema, Table}
+import graft.catalog.{Catalog, Ddl, FKey, Index, Schema, Table}
 
 /** Database source: schema introspection + (partitioned) reads over JDBC.
   *
@@ -447,7 +447,8 @@ object IntrospectionSql {
        format_type(a.atttypid, a.atttypmod) AS data_type,
        pg_get_expr(d.adbin, d.adrelid) AS default_expr,
        NOT a.attnotnull AS nullable,
-       (SELECT string_agg(quote_literal(e.enumlabel), ','
+       (SELECT string_agg('''' || replace(e.enumlabel, '''', '''''')
+                            || '''', ','
                ORDER BY e.enumsortorder)
         FROM pg_enum e
         WHERE e.enumtypid = CASE WHEN ty.typtype = 'e' THEN a.atttypid
@@ -471,10 +472,19 @@ object IntrospectionSql {
     s"""SELECT n.nspname, c.relname, a.attname,
        format_type(a.atttypid, a.atttypmod) AS data_type,
        pg_get_expr(d.adbin, d.adrelid) AS default_expr,
-       NOT a.attnotnull AS nullable
+       NOT a.attnotnull AS nullable,
+       (SELECT string_agg('''' || replace(e.enumlabel, '''', '''''')
+                            || '''', ','
+               ORDER BY e.enumsortorder)
+        FROM pg_enum e
+        WHERE e.enumtypid = CASE WHEN ty.typtype = 'e' THEN a.atttypid
+                                 WHEN et.typtype = 'e' THEN ty.typelem
+                            END) AS enum_labels
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+       JOIN pg_type ty ON ty.oid = a.atttypid
+       LEFT JOIN pg_type et ON et.oid = ty.typelem
        LEFT JOIN pg_attrdef d
          ON d.adrelid = c.oid AND d.adnum = a.attnum
        WHERE c.relkind IN ('v', 'm') AND NOT a.attisdropped
@@ -983,21 +993,25 @@ object IntrospectionRows {
             // default; keeping the source expression too makes
             // CREATE TABLE fail with "multiple default values" (caught
             // live against PostgreSQL 15, t:LiveServerSpec pg→pg)
-            // an ENUM column's ctype becomes the MySQL-shaped
-            // `enum('a','b')` (array element enums: `enum[]('a','b')`
-            // so typeName strips to enum[]) — the cast layer and the
-            // Migrator's dynamic-type DDL then treat pg and mysql
-            // enum sources identically
-            val ctype = c.enumLabels match {
-              case Some(labels) if c.dataType.endsWith("[]") =>
-                s"enum[]($labels)"
-              case Some(labels) => s"enum($labels)"
-              case None => c.dataType
-            }
-            SourceColumn(tbl, c.name, ctype,
-              default = if (serial) None else c.default,
+            // ENUM columns keep their REAL source type name in ctype
+            // (user CAST rules keyed on it must still match); the
+            // labels travel separately for the Migrator's dynamic-type
+            // DDL. The default expression drops its `::mood` cast —
+            // the source type never exists on the target, and an
+            // untyped literal coerces to the recreated type at DDL
+            // time.
+            val labels = c.enumLabels.map(Ddl.enumLabels)
+            val default =
+              if (serial) None
+              else if (labels.nonEmpty)
+                c.default.map(_.replaceAll(
+                  "::\"?[\\w$]+\"?(\\.\"?[\\w$]+\"?)?(\\[\\])?$", ""))
+              else c.default
+            SourceColumn(tbl, c.name, c.dataType,
+              default = default,
               nullable = c.nullable,
-              autoIncrement = serial)
+              autoIncrement = serial,
+              enumLabels = labels)
           })
     }
 

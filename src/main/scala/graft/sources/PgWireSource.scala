@@ -71,7 +71,8 @@ object PgWireSource {
       IntrospectionRows.pgsqlTables(rows.map { r =>
         IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
           Option(r(4)),
-          nullable = r(5) == "t" || r(5) == "true")
+          nullable = r(5) == "t" || r(5) == "true",
+          enumLabels = if (r.length > 6) Option(r(6)) else None)
       })
     } finally conn.close()
   }

@@ -847,14 +847,18 @@ class LiveServerSpec extends SparkSpec {
     }
     ex(sp)("DROP TABLE IF EXISTS exotic_src")
     ex(sp)("DROP TYPE IF EXISTS mood_src CASCADE")
-    ex(sp)("CREATE TYPE mood_src AS ENUM ('low', 'mid', 'high')")
-    ex(sp)("CREATE TABLE exotic_src (id int4 PRIMARY KEY, m mood_src, " +
+    // a label with a quote exercises the quoting round-trip; the
+    // DEFAULT exercises the ::mood_src cast strip (the source type
+    // never exists on the target)
+    ex(sp)("CREATE TYPE mood_src AS ENUM ('low', 'mid', 'it''s high')")
+    ex(sp)("CREATE TABLE exotic_src (id int4 PRIMARY KEY, " +
+      "m mood_src DEFAULT 'mid', ms mood_src[], " +
       "tags text[], meta jsonb, dur interval, amt numeric(10,2))")
     ex(sp)("INSERT INTO exotic_src VALUES " +
-      "(1, 'high', '{a,\"b c\",NULL}', '{\"k\": 1}', " +
+      "(1, 'it''s high', '{low,mid}', '{a,\"b c\",NULL}', '{\"k\": 1}', " +
       "'1 year 2 mons 3 days 04:05:06', 12.50), " +
-      "(2, 'low', '{}', 'null', '-1 days +02:03:00', NULL), " +
-      "(3, NULL, NULL, '[1, null]', NULL, 0.01)")
+      "(2, 'low', '{}', '{}', 'null', '-1 days +02:03:00', NULL), " +
+      "(3, DEFAULT, NULL, NULL, '[1, null]', NULL, 0.01)")
     val text =
       s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
             INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
@@ -866,11 +870,31 @@ class LiveServerSpec extends SparkSpec {
       Seq(("exotic_src", 3L, 0L)), stats.mkString("; "))
     // content equality: the destination's text renderings match the
     // source row for row (however the migration mapped the types)
-    val sel = "SELECT id::text, m::text, tags::text, meta::text, " +
-      "dur::text, amt::text FROM exotic_src ORDER BY id"
+    val sel = "SELECT id::text, m::text, ms::text, tags::text, " +
+      "meta::text, dur::text, amt::text FROM exotic_src ORDER BY id"
     val src = q(sp)(sel).map(_.toSeq)
     val dst = q(dp)(sel).map(_.toSeq)
     assert(dst == src, s"src=$src\ndst=$dst")
+    // the stripped DEFAULT still works on the target's dynamic type
+    ex(dp)("INSERT INTO exotic_src (id) VALUES (99)")
+    assert(q(dp)("SELECT m::text FROM exotic_src WHERE id = 99")
+      .head(0) == "mid")
+    // a user CAST rule keyed on the REAL source type name still wins:
+    // the column lands as text, no dynamic type is registered for it
+    val text2 =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables, copy binary
+            CAST type mood_src to text drop default
+            INCLUDING ONLY TABLE NAMES MATCHING 'exotic_src';"""
+    val stats2 = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text2)
+    assert(stats2.map(_.rows).sum == 3, stats2.mkString("; "))
+    assert(q(dp)("SELECT format_type(a.atttypid, NULL) " +
+      "FROM pg_attribute a WHERE a.attrelid = 'exotic_src'::regclass " +
+      "AND a.attname = 'm'").head(0) == "text")
+    assert(q(dp)("SELECT m FROM exotic_src WHERE id = 1")
+      .head(0) == "it's high")
     ex(sp)("DROP TABLE exotic_src")
     ex(sp)("DROP TYPE mood_src")
   }
