@@ -500,7 +500,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           typeRow(baseOid).flatMap(r =>
             resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1))
         case _ if typcat == "A" && elemOid != null && elemOid != "0" &&
-            depth < 10 =>
+            typname != null && typname.startsWith("_") && depth < 10 =>
+          // typcategory 'A' alone also matches int2vector/oidvector,
+          // whose recv functions demand lower bound 0 — encodeArray
+          // writes 1, so every row would be server-rejected. True
+          // array types are exactly the '_elem'-named ones; vectors
+          // fall through to kindOf => None => COPY TEXT fallback.
           typeRow(elemOid).flatMap(r =>
             resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1)) match {
             // no nested arrays: array-of-array doesn't exist in PG

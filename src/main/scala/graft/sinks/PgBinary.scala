@@ -845,18 +845,27 @@ object PgBinary {
           elemText = sb.toString
         } else {
           val sb = new java.lang.StringBuilder
+          // like array_in's dstendptr: position just past the last
+          // escaped or non-whitespace char — the trailing trim must
+          // not consume escaped whitespace ('{a\ }' is the 2-char
+          // element "a ", not "a")
+          var lastSig = 0
           while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}') {
             val c = s.charAt(i)
             if (c == '\\') {
               if (i + 1 >= n) return null
               escaped = true
               sb.append(s.charAt(i + 1)); i += 2
+              lastSig = sb.length
             } else if (c == '"' || c == '{') return null
             // mid-element quote/brace is a server error
-            else { sb.append(c); i += 1 }
+            else {
+              sb.append(c); i += 1
+              if (c != ' ' && c != '\t') lastSig = sb.length
+            }
           }
           var e = sb.length
-          while (e > 0 && (sb.charAt(e - 1) == ' ' ||
+          while (e > lastSig && (sb.charAt(e - 1) == ' ' ||
             sb.charAt(e - 1) == '\t')) e -= 1
           if (e == 0) return null // empty unquoted element errors
           elemText = sb.substring(0, e)

@@ -999,13 +999,20 @@ object IntrospectionRows {
             // DDL. The default expression drops its `::mood` cast —
             // the source type never exists on the target, and an
             // untyped literal coerces to the recreated type at DDL
-            // time.
+            // time. Strips ALL trailing cast segments ('a'::text::mood
+            // must not leave a ::text that has no assignment cast to
+            // the recreated enum), and an identifier is either a
+            // "quoted name" (any chars, "" = literal quote — spaces
+            // and specials included) or a bare \w$ word, optionally
+            // schema-qualified, optionally with [] suffixes.
             val labels = c.enumLabels.map(Ddl.enumLabels)
+            val castIdent = "(\"([^\"]|\"\")*\"|[\\w$]+)"
+            val castSeg =
+              s"::$castIdent(\\.$castIdent)?(\\s*\\[\\s*\\])*"
             val default =
               if (serial) None
               else if (labels.nonEmpty)
-                c.default.map(_.replaceAll(
-                  "::\"?[\\w$]+\"?(\\.\"?[\\w$]+\"?)?(\\[\\])?$", ""))
+                c.default.map(_.replaceAll(s"($castSeg)+$$", ""))
               else c.default
             SourceColumn(tbl, c.name, c.dataType,
               default = default,

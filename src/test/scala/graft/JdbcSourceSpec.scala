@@ -243,4 +243,33 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(mysqlCheckToPg("(`p` <> _utf8\\'c:\\\\tmp\\')") ==
       "(\"p\" <> 'c:\\tmp')")
   }
+
+  test("pgsql enum-column defaults strip EVERY trailing cast segment, " +
+    "quoted type names included") {
+    import graft.sources.IntrospectionRows.{PgColumn, pgsqlTables}
+    def stripped(default: String): Option[String] = {
+      val t = pgsqlTables(Seq(PgColumn("public", "t", "c", "mood",
+        Some(default), nullable = true, enumLabels = Some("'a','b'"))))
+      t.head.fields.head.default
+    }
+    assert(stripped("'happy'::mood") == Some("'happy'"))
+    // quoted type name with a space — \w$-only matching left it intact
+    // and CREATE TABLE failed on the nonexistent source type
+    assert(stripped("'happy'::\"my mood\"") == Some("'happy'"))
+    assert(stripped("'x'::public.\"my mood\"") == Some("'x'"))
+    assert(stripped("'it''s'::\"mo\"\"od\"") == Some("'it''s'"))
+    // chained cast: stripping only the final ::mood left a ::text
+    // default with no assignment cast to the recreated enum
+    assert(stripped("'a'::text::mood") == Some("'a'"))
+    // enum ARRAY column defaults
+    assert(stripped("'{a,b}'::mood[]") == Some("'{a,b}'"))
+    assert(stripped("'{a}'::\"my mood\"[]") == Some("'{a}'"))
+    // no cast at all: untouched
+    assert(stripped("'a'") == Some("'a'"))
+    // a NON-enum column keeps its cast (only enum types vanish on the
+    // target)
+    val plain = pgsqlTables(Seq(PgColumn("public", "t", "c", "text",
+      Some("'t'::text"), nullable = true)))
+    assert(plain.head.fields.head.default == Some("'t'::text"))
+  }
 }

@@ -899,6 +899,46 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("DROP TYPE mood_src")
   }
 
+  test("live pg→pg: int2vector/oidvector columns fall back to COPY " +
+    "TEXT under copy binary, never per-row reject (typcategory 'A' " +
+    "is not 'array')") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def ex(p: PgWire.ConnParams)(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(p: PgWire.ConnParams)(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.query(sql)._2 finally c.close()
+    }
+    // int2vector/oidvector share typcategory 'A' with true arrays but
+    // their recv functions demand lower bound 0 — resolveKind keying
+    // on the category alone sent them through encodeArray (lb 1) and
+    // the server rejected EVERY row instead of the table falling back
+    ex(sp)("DROP TABLE IF EXISTS vec_src")
+    ex(sp)("CREATE TABLE vec_src (id int4 PRIMARY KEY, " +
+      "iv int2vector, ov oidvector)")
+    ex(sp)("INSERT INTO vec_src VALUES (1, '1 2 3', '10 20'), " +
+      "(2, '', '0'), (3, NULL, NULL)")
+    val text =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables, copy binary
+            INCLUDING ONLY TABLE NAMES MATCHING 'vec_src';"""
+    val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("vec_src", 3L, 0L)), stats.mkString("; "))
+    val sel = "SELECT id::text, iv::text, ov::text FROM vec_src " +
+      "ORDER BY id"
+    assert(q(dp)(sel).map(_.toSeq) == q(sp)(sel).map(_.toSeq))
+    ex(sp)("DROP TABLE vec_src")
+  }
+
   test("live pg→pg: whole-database migration WITH exactly once stages " +
     "and publishes atomically (GRAFT_LIVE_PG_URI + GRAFT_LIVE_PG_DEST_URI)") {
     assume(env("GRAFT_LIVE_PG_URI").isDefined &&

@@ -265,6 +265,17 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("""{\NULL}""", texts)) ==
       "0000001c" + "00000001" + "00000000" + "00000019" +
         "00000001" + "00000001" + "00000004" + "4e554c4c")
+    // ESCAPED trailing whitespace survives the trim (array_in keeps
+    // '{a\ }' as the 2-char element "a ", dstendptr semantics);
+    // unescaped whitespace AFTER the escaped char still trims
+    assert(hex(enc("{a\\ }", texts)) ==
+      "0000001a" + "00000001" + "00000000" + "00000019" +
+        "00000001" + "00000001" + "00000002" + "6120")
+    assert(hex(enc("{a\\  }", texts)) == hex(enc("{a\\ }", texts)))
+    // an all-escaped-whitespace element is valid ('{\ }' = " ")
+    assert(hex(enc("{\\ }", texts)) ==
+      "00000019" + "00000001" + "00000000" + "00000019" +
+        "00000001" + "00000001" + "00000001" + "20")
   }
 
   test("array: frameToTextLine renders a replayable always-quoted " +
