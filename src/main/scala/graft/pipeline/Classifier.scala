@@ -116,11 +116,14 @@ object Classifier {
     * so a CONTINUOUS double score (distinct-count ≈ corpus-count, the
     * normal classifier output) never funnels the corpus through one
     * task. Degenerate ranges (constant, ±Inf endpoints, NaN present)
-    * collapse to one bucket; non-numeric orderable scores (no monotone
-    * bucket function exists) keep the old single global pass over the
-    * distinct values. No per-document ranks, no corpus-sized sort, no
-    * collect. Counts are exact integers; the single double division
-    * happens once, so `auc_micro` is engine-exact.
+    * collapse to one bucket; STRING scores bucket through their first
+    * 8 UTF-8 bytes read as an unsigned big-endian integer (monotone
+    * under Spark's byte-wise string comparison); only genuinely
+    * unorderable-by-monotone-map types (booleans, arrays) keep the
+    * single global pass over the distinct values. No per-document
+    * ranks, no corpus-sized sort, no collect. Counts are exact
+    * integers; the single double division happens once, so
+    * `auc_micro` is engine-exact.
     *
     * Output (one row): (n_pos, n_neg, wins, tie_pairs, auc_micro);
     * `auc_micro` is NULL when either class is empty (AUC undefined).
@@ -144,8 +147,8 @@ object Classifier {
     // Each bucketable type gets its own monotone double map — a plain
     // double cast is only legal for numerics and TIMESTAMP (dates and
     // TIMESTAMP_NTZ cannot cast to double; Spark fails analysis).
-    // Anything else (strings, ...) has no cheap monotone map — keep
-    // the single global pass over distinct values for those,
+    // Anything else (booleans, arrays, ...) has no cheap monotone map —
+    // keep the single global pass over distinct values for those,
     // documented above.
     val bucketValue: Option[org.apache.spark.sql.Column] =
       scored.schema(scoreCol).dataType match {
@@ -159,6 +162,19 @@ object Classifier {
           // reinterpreting through TIMESTAMP applies one fixed session
           // offset — monotone, which is all the bucket map needs
           Some(unix_micros(col("s").cast("timestamp")).cast("double"))
+        case org.apache.spark.sql.types.StringType =>
+          // Spark string ordering IS unsigned byte-wise comparison
+          // (UTF8String.compareTo), so the first 8 UTF-8 bytes read as
+          // an unsigned big-endian integer are monotone: strings that
+          // differ inside the prefix order exactly like the integers,
+          // and strings sharing all 8 bytes tie into one bucket where
+          // the within-bucket window (ordered by the ORIGINAL string)
+          // resolves them exactly. Shorter strings zero-pad on the
+          // right — 0x00 is the smallest byte, matching "prefix sorts
+          // first". conv() reads the 16 hex digits as unsigned 64-bit;
+          // the long→double rounding is itself monotone.
+          Some(conv(rpad(hex(substring(col("s").cast("binary"), 1, 8)),
+            16, "0"), 16, 10).cast("double"))
         case _ => None
       }
     val c = if (bucketValue.isEmpty) {

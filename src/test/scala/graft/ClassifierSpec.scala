@@ -178,8 +178,8 @@ class ClassifierSpec extends SparkSpec {
       == 1000000L)
   }
 
-  test("aucByLabel: non-numeric (string) scores keep the exact global " +
-    "path") {
+  test("aucByLabel: string scores bucket via the 8-byte prefix — " +
+    "hand-counted pairs stay exact") {
     import spark.implicits._
     val df = Seq(("c", true), ("b", true), ("a", false), ("b", false))
       .toDF("s", "y")
@@ -187,5 +187,59 @@ class ClassifierSpec extends SparkSpec {
     // pos {c, b}, neg {a, b}: wins = c>{a,b} + b>{a} = 3, ties = 1
     assert(r.getLong(2) == 3L && r.getLong(3) == 1L)
     assert(r.getLong(4) == 875000L)
+  }
+
+  test("aucByLabel: string scores — brute-force parity over multi-byte " +
+    "UTF-8 and shared-8-byte prefixes, NO unpartitioned window") {
+    import spark.implicits._
+    // adversarial inputs for the byte-prefix bucket map: strings that
+    // agree on their first 8 bytes and differ after (the map MUST tie
+    // them into one bucket and the within-bucket window resolve them),
+    // multi-byte UTF-8 (é=2 bytes, 日=3, 🚀=4 — high bytes exercise
+    // the UNSIGNED reading; a signed one would order them before
+    // ASCII), empty and 1-char strings (right zero-pad), and exact
+    // duplicates across labels for the tie arithmetic
+    val pool = Vector("", "a", "z", "prefix__", "prefix__a", "prefix__b",
+      "prefix__zzzz", "café", "cafz", "日本語テキスト", "日本語テキス",
+      "🚀rocket", "🚀🚀", "ÿÿ", "~tilde", "same8byt-x",
+      "same8byt-y", "abc", "abd", "ab")
+    val rows = (0 until 600).map { i =>
+      val s = pool(((i.toLong * 2654435761L) % pool.size).toInt.abs)
+      (s, (i * 2654435761L % 3L) != 0L)
+    }
+    val df = rows.toDF("s", "y").repartition(5)
+    val out = Classifier.aucByLabel(df, "s", "y")
+    // the plan assertion is now UNCONDITIONAL for strings: every
+    // Window partitioned, none global
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the within-bucket window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "found an unpartitioned (single-task) window in the plan")
+    val r = out.head()
+    // brute force with Spark's own comparator semantics: UTF8String
+    // byte-wise unsigned comparison == comparing UTF-8 byte arrays
+    def bytes(s: String) = s.getBytes("UTF-8")
+    def lt(a: String, b: String): Boolean = {
+      val (x, y) = (bytes(a), bytes(b))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins2 = pos.map(p => neg.count(q => lt(q, p)).toLong).sum
+    val ties = pos.map(p => neg.count(_ == p).toLong).sum
+    assert(r.getLong(2) == wins2, s"wins ${r.getLong(2)} vs $wins2")
+    assert(r.getLong(3) == ties, s"ties ${r.getLong(3)} vs $ties")
+    val expect = math.floor((2.0 * wins2 + ties) /
+      (2.0 * pos.size * neg.size) * 1e6 + 0.5).toLong
+    assert(r.getLong(4) == expect)
   }
 }
