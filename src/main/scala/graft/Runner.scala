@@ -453,7 +453,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val attrs = queryTarget(
       "SELECT a.attname, t.typname, t.typtype::text, " +
-        "t.typbasetype::text, t.typcategory::text, t.typelem::text " +
+        "t.typbasetype::text, t.typcategory::text, t.typelem::text, " +
+        "t.oid::text " +
         "FROM pg_attribute a " +
         "JOIN pg_class c ON c.oid = a.attrelid " +
         "JOIN pg_namespace n ON n.oid = c.relnamespace " +
@@ -491,14 +492,32 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           s"typcategory::text, typelem::text FROM pg_type WHERE oid = $oid")
       r.headOption
     }
-    def resolveKind(typname: String, typtype: String, baseOid: String,
-                    typcat: String, elemOid: String,
+    def resolveKind(oid: String, typname: String, typtype: String,
+                    baseOid: String, typcat: String, elemOid: String,
                     depth: Int): Option[graft.sinks.PgBinKind] =
       typtype match {
         case "e" => Some(graft.sinks.PgBinKind.Text)
         case "d" if depth < 10 && baseOid != null && baseOid != "0" =>
           typeRow(baseOid).flatMap(r =>
-            resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1))
+            resolveKind(baseOid, r(0), r(1), r(2), r(3), r(4),
+              depth + 1))
+        case "r" if depth < 10 =>
+          // custom (and built-in) RANGE types: pg_range carries the
+          // subtype; the bound datums ship as that kind's payloads.
+          // Multiranges (typtype 'm') stay unresolved → COPY TEXT.
+          queryTarget("SELECT rngsubtype::text FROM pg_range " +
+              s"WHERE rngtypid = $oid").headOption.map(_(0))
+            .filter(s => s != null && s != "0")
+            .flatMap(sub => typeRow(sub).flatMap(r =>
+              resolveKind(sub, r(0), r(1), r(2), r(3), r(4),
+                depth + 1))) match {
+            // a range's subtype can be any orderable scalar (or even
+            // an array), but never another range — guard regardless
+            case Some(ek)
+                if !ek.isInstanceOf[graft.sinks.PgBinKind.Rng] =>
+              Some(graft.sinks.PgBinKind.Rng(ek, typname))
+            case _ => None
+          }
         case _ if typcat == "A" && elemOid != null && elemOid != "0" &&
             typname != null && typname.startsWith("_") && depth < 10 =>
           // typcategory 'A' alone also matches int2vector/oidvector,
@@ -507,7 +526,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // array types are exactly the '_elem'-named ones; vectors
           // fall through to kindOf => None => COPY TEXT fallback.
           typeRow(elemOid).flatMap(r =>
-            resolveKind(r(0), r(1), r(2), r(3), r(4), depth + 1)) match {
+            resolveKind(elemOid, r(0), r(1), r(2), r(3), r(4),
+              depth + 1)) match {
             // no nested arrays: array-of-array doesn't exist in PG
             // (multi-dim is one array type), but a domain chain could
             // in principle loop back — guard on the kind
@@ -519,7 +539,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         case _ => graft.sinks.PgBinary.kindOf(typname)
       }
     val kinds = typnames.flatten.map { case (c, r) =>
-      (c, r(1), resolveKind(r(1), r(2), r(3), r(4), r(5), 0))
+      (c, r(1), resolveKind(r(6), r(1), r(2), r(3), r(4), r(5), 0))
     }
     kinds.find(_._3.isEmpty) match {
       case Some((c, t, _)) =>
@@ -1118,6 +1138,9 @@ object Runner {
       // array_in pays a per-element quote/escape scan plus the element
       // input routine — expensive regardless of the element kind
       case _: graft.sinks.PgBinKind.Arr => true
+      // range_in parses both bounds through the subtype input routine
+      // plus a canonicalization call — expensive like arrays
+      case _: graft.sinks.PgBinKind.Rng => true
       case _ => false
     }
 

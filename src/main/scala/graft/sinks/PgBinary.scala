@@ -41,11 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The Runner additionally resolves ENUM columns to [[PgBinKind.Text]]
   * (`enum_recv` reads the label string), DOMAIN columns to their
   * base type's kind (a domain's recv is the base recv + its checks),
-  * and 1-D ARRAY columns to [[PgBinKind.Arr]] of the element's kind;
-  * types outside that resolution (composites, ranges,
-  * multi-dimensional array VALUES, …) make the Runner fall back to
-  * COPY TEXT for the table (or, for per-VALUE shapes like a
-  * multi-dim array datum, reject the row).
+  * ARRAY columns to [[PgBinKind.Arr]] of the element's kind (values
+  * may be multi-dimensional — up to array_in's 6-dim cap), and RANGE
+  * columns to [[PgBinKind.Rng]] of the pg_range subtype's kind; types
+  * outside that resolution (composites, multiranges, custom base
+  * types, …) make the Runner fall back to COPY TEXT for the table
+  * (or, for per-VALUE shapes like an explicit `[lo:hi]=` dim spec,
+  * reject the row).
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
   */
@@ -85,6 +87,16 @@ object PgBinKind {
     * every scalar kind). Nested arrays are not constructed. */
   final case class Arr(elem: PgBinKind, elemOid: Int)
       extends PgBinKind("_" + elem.typname)
+
+  /** Range over a subtype kind (`range_recv`: one flags byte, then a
+    * length-prefixed bound datum per present bound). The server
+    * canonicalizes on receive exactly like `range_in` (discrete
+    * ranges: '[1,3]' lands as '[1,4)'), so the encoder ships the
+    * parsed bounds verbatim. Built-in ranges resolve by name in
+    * [[PgBinary.kindOf]]; custom ranges resolve their subtype through
+    * pg_range in the Runner's catalog pass. */
+  final case class Rng(elem: PgBinKind, rangeTypname: String)
+      extends PgBinKind(rangeTypname)
 }
 
 object PgBinary {
@@ -116,8 +128,24 @@ object PgBinary {
     // silent divergence from the text path, so xml tables fall back
     case "text" | "varchar" | "bpchar" | "name" | "json" =>
       Some(Text)
+    // built-in range types carry fixed subtypes (pg_range bootstrap);
+    // custom ranges resolve through the Runner's catalog pass instead
+    case "int4range" => Some(Rng(I4, "int4range"))
+    case "int8range" => Some(Rng(I8, "int8range"))
+    case "numrange" => Some(Rng(Num, "numrange"))
+    case "daterange" => Some(Rng(Date, "daterange"))
+    case "tsrange" => Some(Rng(Ts, "tsrange"))
+    case "tstzrange" => Some(Rng(TsTz, "tstzrange"))
     case _ => None
   }
+
+  // range flag bits (rangetypes.h RANGE_EMPTY/LB_INC/UB_INC/LB_INF/
+  // UB_INF — part of the public binary wire format)
+  private val RngEmpty = 0x01
+  private val RngLbInc = 0x02
+  private val RngUbInc = 0x04
+  private val RngLbInf = 0x08
+  private val RngUbInf = 0x10
 
   // PG epoch 2000-01-01: epoch-day 10957; date ±infinity sentinels
   // (datatype/timestamp.h DATEVAL_NOEND/NOBEGIN, DT_NOEND/NOBEGIN)
@@ -220,7 +248,114 @@ object PgBinary {
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 5)
         out
       case a: Arr => encodeArray(v, a)
+      case r: Rng => encodeRange(v, r)
     }
+
+  /** `range_recv` wire form from the `range_in`/`range_out` text
+    * grammar, live-pinned against PostgreSQL 15: optional whitespace
+    * around the literal; `empty` case-insensitive; else `[`/`(`,
+    * lower bound, `,`, upper bound, `)`/`]`. A bound is INFINITE only
+    * when zero characters AND no quotes were consumed (`""` is the
+    * empty-string bound, `[ ,b]` is the one-space bound — unquoted
+    * whitespace is PRESERVED, the subtype's own input routine trims
+    * where it trims). Quotes toggle mid-bound (`"a"x` = `ax`), `""`
+    * inside quotes is a literal quote, backslash escapes everywhere.
+    * An inclusivity flag on an infinite bound drops silently, like
+    * range_in ('[,5]' → '(,5]'). The server canonicalizes on receive
+    * (range_serialize), so discrete ranges need no client-side
+    * canonicalization. */
+  private def encodeRange(v: UTF8String, r: Rng): Array[Byte] = {
+    val s = v.toString
+    val n = s.length
+    var i = 0
+    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i + 5 <= n && s.regionMatches(true, i, "empty", 0, 5)) {
+      var j = i + 5
+      while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+      if (j != n) return null
+      val out = new Array[Byte](5)
+      writeInt(out, 0, 1); out(4) = RngEmpty.toByte
+      return out
+    }
+    if (i >= n) return null
+    var flags = 0
+    s.charAt(i) match {
+      case '[' => flags |= RngLbInc; i += 1
+      case '(' => i += 1
+      case _ => return null
+    }
+    // parse one bound up to an unquoted/unescaped `,`/`)`/`]`.
+    // Result: null = syntax error, None = infinite, Some(text) = bound
+    def bound(): Option[Option[String]] = {
+      val sb = new java.lang.StringBuilder
+      var sawQuote = false
+      var inq = false
+      while (true) {
+        if (i >= n) return null // unterminated bound
+        val c = s.charAt(i)
+        if (inq) {
+          if (c == '"') {
+            if (i + 1 < n && s.charAt(i + 1) == '"') {
+              sb.append('"'); i += 2
+            } else { inq = false; i += 1 }
+          } else if (c == '\\') {
+            if (i + 1 >= n) return null
+            sb.append(s.charAt(i + 1)); i += 2
+          } else { sb.append(c); i += 1 }
+        } else c match {
+          case ',' | ')' | ']' =>
+            return Some(if (sb.length == 0 && !sawQuote) None
+              else Some(sb.toString))
+          case '"' => sawQuote = true; inq = true; i += 1
+          case '\\' =>
+            if (i + 1 >= n) return null
+            sb.append(s.charAt(i + 1)); i += 2
+          case c2 => sb.append(c2); i += 1
+        }
+      }
+      null // unreachable
+    }
+    val lower = bound()
+    if (lower == null) return null
+    if (i >= n || s.charAt(i) != ',') return null
+    i += 1
+    val upper = bound()
+    if (upper == null) return null
+    if (i >= n) return null
+    s.charAt(i) match {
+      case ']' => flags |= RngUbInc; i += 1
+      case ')' => i += 1
+      case _ => return null
+    }
+    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i != n) return null // trailing garbage
+    if (lower.get.isEmpty) { flags |= RngLbInf; flags &= ~RngLbInc }
+    if (upper.get.isEmpty) { flags |= RngUbInf; flags &= ~RngUbInc }
+    val lb = lower.get match {
+      case Some(t) =>
+        val e = encodeField(UTF8String.fromString(t), r.elem)
+        if (e == null) return null
+        e
+      case None => null
+    }
+    val ub = upper.get match {
+      case Some(t) =>
+        val e = encodeField(UTF8String.fromString(t), r.elem)
+        if (e == null) return null
+        e
+      case None => null
+    }
+    val total = 1 + (if (lb == null) 0 else lb.length) +
+      (if (ub == null) 0 else ub.length)
+    val out = new Array[Byte](4 + total)
+    writeInt(out, 0, total)
+    out(4) = flags.toByte
+    var off = 5
+    if (lb != null) { System.arraycopy(lb, 0, out, off, lb.length)
+      off += lb.length }
+    if (ub != null) System.arraycopy(ub, 0, out, off, ub.length)
+    out
+  }
 
   private def i8(l: Long): Array[Byte] = {
     val out = new Array[Byte](12)
@@ -795,18 +930,21 @@ object PgBinary {
     out
   }
 
-  /** 1-D array text → `array_recv` wire form: int32 ndim (0 for the
+  /** Array text → `array_recv` wire form: int32 ndim (0 for the
     * empty array, as array_send itself emits), int32 has-null flag,
     * int32 element type OID, then per dim (length, lower bound 1),
-    * then per element the SAME length-prefixed payload the scalar
-    * encoders emit (−1 = NULL). The text grammar mirrors `array_in`'s
-    * 1-D core: `{…}` with `,` separators, double-quoted elements with
-    * backslash escapes, backslash escapes in unquoted elements,
-    * unquoted case-insensitive NULL, whitespace trimmed around
+    * then per element in row-major order the SAME length-prefixed
+    * payload the scalar encoders emit (−1 = NULL). The text grammar
+    * mirrors `array_in` (live-pinned): `{…}` with `,` separators,
+    * nested braces for multi-dim (consistent sibling counts, no
+    * scalar/array mixing per level, max 6 dims, empty braces only as
+    * the whole literal), double-quoted elements with backslash
+    * escapes, backslash escapes in unquoted elements, unquoted
+    * case-insensitive NULL, unescaped whitespace trimmed around
     * unquoted elements. Narrower than the server — documented in the
-    * class-doc fidelity caveats: multi-dimensional arrays, explicit
-    * `[lo:hi]=` dimension specs, and a custom typdelim (only box uses
-    * one) reject the row instead of loading. */
+    * class-doc fidelity caveats: explicit `[lo:hi]=` dimension specs
+    * and a custom typdelim (only box uses one) reject the row
+    * instead of loading. */
   private def encodeArray(v: UTF8String, a: Arr): Array[Byte] = {
     val s = v.toString
     val n = s.length
@@ -815,94 +953,141 @@ object PgBinary {
       while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
     skipWs()
     if (i >= n || s.charAt(i) != '{') return null
-    i += 1
+    // the ONLY legal empty form is the whole literal '{}' — an empty
+    // sub-array ('{{}}', '{{1},{}}') is a server error (live-pinned:
+    // array_in 'Unexpected "}" character')
+    val save = i
+    i += 1; skipWs()
+    if (i < n && s.charAt(i) == '}') {
+      i += 1; skipWs()
+      if (i != n) return null
+      val out = new Array[Byte](16)
+      writeInt(out, 0, 12)
+      writeInt(out, 4, 0) // ndim 0: array_send's own empty spelling
+      writeInt(out, 8, 0)
+      writeInt(out, 12, a.elemOid)
+      return out
+    }
+    i = save
     val elems = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var hasNull = false
-    skipWs()
-    if (i < n && s.charAt(i) == '}') i += 1 // empty array
-    else {
+    // array_in's dimensionality rules, live-pinned: nesting depth sets
+    // ndim (max 6); every level's sibling count must match the first
+    // visit; scalars and sub-arrays never mix at one level — so all
+    // leaves sit at the same depth and dim-product == element count
+    val dimCounts = new Array[Int](6)
+    val childKind = new Array[Int](6) // 0 unset, 1 scalar, 2 array
+    var ndim = 0
+    // one scalar element; i at its first char, left at the separator
+    def parseElem(): Boolean = {
+      var quoted = false
+      var escaped = false
+      var elemText: String = null
+      if (s.charAt(i) == '"') {
+        quoted = true; i += 1
+        val sb = new java.lang.StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= n) return false
+          val c = s.charAt(i)
+          if (c == '\\') {
+            if (i + 1 >= n) return false
+            sb.append(s.charAt(i + 1)); i += 2
+          } else if (c == '"') { closed = true; i += 1 }
+          else { sb.append(c); i += 1 }
+        }
+        elemText = sb.toString
+      } else {
+        val sb = new java.lang.StringBuilder
+        // like array_in's dstendptr: position just past the last
+        // escaped or non-whitespace char — the trailing trim must
+        // not consume escaped whitespace ('{a\ }' is the 2-char
+        // element "a ", not "a")
+        var lastSig = 0
+        while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}') {
+          val c = s.charAt(i)
+          if (c == '\\') {
+            if (i + 1 >= n) return false
+            escaped = true
+            sb.append(s.charAt(i + 1)); i += 2
+            lastSig = sb.length
+          } else if (c == '"' || c == '{') return false
+          // mid-element quote/brace is a server error
+          else {
+            sb.append(c); i += 1
+            if (c != ' ' && c != '\t') lastSig = sb.length
+          }
+        }
+        var e = sb.length
+        while (e > lastSig && (sb.charAt(e - 1) == ' ' ||
+          sb.charAt(e - 1) == '\t')) e -= 1
+        if (e == 0) return false // empty unquoted element errors
+        elemText = sb.substring(0, e)
+      }
+      // only a BARE null token is SQL NULL: array_in treats an
+      // escaped (`\NULL`) or quoted spelling as the literal string
+      if (!quoted && !escaped && elemText.equalsIgnoreCase("null")) {
+        elems += null; hasNull = true; true
+      } else {
+        val enc = encodeField(UTF8String.fromString(elemText), a.elem)
+        if (enc == null) false
+        else { elems += enc; true }
+      }
+    }
+    // one '{…}' level; i at the '{', left past the closing '}'
+    def parseLevel(level: Int): Boolean = {
+      if (level >= 6) return false // MAXDIM
+      i += 1
+      var count = 0
       var done = false
       while (!done) {
         skipWs()
-        if (i >= n) return null
-        if (s.charAt(i) == '{') return null // nested: unsupported
-        var quoted = false
-        var escaped = false
-        var elemText: String = null
-        if (s.charAt(i) == '"') {
-          quoted = true; i += 1
-          val sb = new java.lang.StringBuilder
-          var closed = false
-          while (!closed) {
-            if (i >= n) return null
-            val c = s.charAt(i)
-            if (c == '\\') {
-              if (i + 1 >= n) return null
-              sb.append(s.charAt(i + 1)); i += 2
-            } else if (c == '"') { closed = true; i += 1 }
-            else { sb.append(c); i += 1 }
-          }
-          elemText = sb.toString
-        } else {
-          val sb = new java.lang.StringBuilder
-          // like array_in's dstendptr: position just past the last
-          // escaped or non-whitespace char — the trailing trim must
-          // not consume escaped whitespace ('{a\ }' is the 2-char
-          // element "a ", not "a")
-          var lastSig = 0
-          while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}') {
-            val c = s.charAt(i)
-            if (c == '\\') {
-              if (i + 1 >= n) return null
-              escaped = true
-              sb.append(s.charAt(i + 1)); i += 2
-              lastSig = sb.length
-            } else if (c == '"' || c == '{') return null
-            // mid-element quote/brace is a server error
-            else {
-              sb.append(c); i += 1
-              if (c != ' ' && c != '\t') lastSig = sb.length
-            }
-          }
-          var e = sb.length
-          while (e > lastSig && (sb.charAt(e - 1) == ' ' ||
-            sb.charAt(e - 1) == '\t')) e -= 1
-          if (e == 0) return null // empty unquoted element errors
-          elemText = sb.substring(0, e)
+        if (i >= n) return false
+        s.charAt(i) match {
+          case '{' =>
+            if (childKind(level) == 1) return false
+            childKind(level) = 2
+            if (!parseLevel(level + 1)) return false
+          case '}' => return false // empty sub-array / dangling comma
+          case _ =>
+            if (childKind(level) == 2) return false
+            childKind(level) = 1
+            if (level + 1 > ndim) ndim = level + 1
+            if (!parseElem()) return false
         }
+        count += 1
         skipWs()
-        if (i >= n) return null
+        if (i >= n) return false
         s.charAt(i) match {
           case ',' => i += 1
           case '}' => i += 1; done = true
-          case _ => return null
-        }
-        // only a BARE null token is SQL NULL: array_in treats an
-        // escaped (`\NULL`) or quoted spelling as the literal string
-        if (!quoted && !escaped && elemText.equalsIgnoreCase("null")) {
-          elems += null; hasNull = true
-        } else {
-          val enc = encodeField(UTF8String.fromString(elemText), a.elem)
-          if (enc == null) return null
-          elems += enc
+          case _ => return false
         }
       }
+      if (dimCounts(level) == 0) dimCounts(level) = count
+      else if (dimCounts(level) != count) return false
+      true
     }
+    if (!parseLevel(0)) return null
     skipWs()
     if (i != n) return null // trailing garbage after '}'
-    val empty = elems.isEmpty
-    var total = if (empty) 12 else 20
+    var product = 1L
+    var d = 0
+    while (d < ndim) { product *= dimCounts(d); d += 1 }
+    if (product != elems.length) return null // defensive
+    var total = 12 + ndim * 8
     elems.foreach(e => total += (if (e == null) 4 else e.length))
     val out = new Array[Byte](4 + total)
     writeInt(out, 0, total)
-    writeInt(out, 4, if (empty) 0 else 1)
+    writeInt(out, 4, ndim)
     writeInt(out, 8, if (hasNull) 1 else 0)
     writeInt(out, 12, a.elemOid)
     var off = 16
-    if (!empty) {
-      writeInt(out, 16, elems.length)
-      writeInt(out, 20, 1)
-      off = 24
+    d = 0
+    while (d < ndim) {
+      writeInt(out, off, dimCounts(d))
+      writeInt(out, off + 4, 1) // text literals have no [lo:hi]= specs
+      off += 8; d += 1
     }
     elems.foreach { e =>
       if (e == null) { writeInt(out, off, -1); off += 4 }
@@ -1079,36 +1264,82 @@ object PgBinary {
           case a: Arr =>
             // decode back to an array literal with every non-null
             // element double-quoted (always replayable regardless of
-            // element content); NULL elements stay the bare keyword
+            // element content); NULL elements stay the bare keyword.
+            // Multi-dim frames render nested braces in row-major
+            // order — the text literal's own element order. A non-1
+            // lower bound can't be spelled without a [lo:hi]= spec
+            // (which replay would misparse), so such frames fall back
+            // to the raw bytes via the require.
             val ndim = rdI32()
             rdI32() // has-null flag — recomputed by array_in on replay
             rdI32() // element oid
             if (ndim == 0) "{}"
             else {
-              require(ndim == 1, s"$ndim-dim array in reject frame")
-              val count = rdI32()
-              rdI32() // lower bound
-              val b = new java.lang.StringBuilder("{")
-              var j = 0
-              while (j < count) {
-                if (j > 0) b.append(',')
-                val elen = rdI32()
-                if (elen == -1) b.append("NULL")
-                else {
-                  val et = datumText(a.elem, elen)
-                  b.append('"')
-                  var p = 0
-                  while (p < et.length) {
-                    val c = et.charAt(p)
-                    if (c == '"' || c == '\\') b.append('\\')
-                    b.append(c)
-                    p += 1
-                  }
-                  b.append('"')
-                }
-                j += 1
+              require(ndim >= 1 && ndim <= 6,
+                s"$ndim-dim array in reject frame")
+              val counts = new Array[Int](ndim)
+              var d = 0
+              while (d < ndim) {
+                counts(d) = rdI32()
+                require(rdI32() == 1, "non-1 array lower bound")
+                d += 1
               }
-              b.append('}').toString
+              val b = new java.lang.StringBuilder
+              def render(level: Int): Unit = {
+                b.append('{')
+                var j = 0
+                while (j < counts(level)) {
+                  if (j > 0) b.append(',')
+                  if (level == ndim - 1) {
+                    val elen = rdI32()
+                    if (elen == -1) b.append("NULL")
+                    else {
+                      val et = datumText(a.elem, elen)
+                      b.append('"')
+                      var p = 0
+                      while (p < et.length) {
+                        val c = et.charAt(p)
+                        if (c == '"' || c == '\\') b.append('\\')
+                        b.append(c)
+                        p += 1
+                      }
+                      b.append('"')
+                    }
+                  } else render(level + 1)
+                  j += 1
+                }
+                b.append('}')
+              }
+              render(0)
+              b.toString
+            }
+          case r: Rng =>
+            // decode back to a range literal; present bounds come out
+            // always-quoted (replayable regardless of content — the
+            // range grammar quotes like the array grammar)
+            val flags = u8()
+            if ((flags & 0x01) != 0) "empty"
+            else {
+              val b = new java.lang.StringBuilder
+              b.append(if ((flags & 0x02) != 0) '[' else '(')
+              def appendBound(): Unit = {
+                val blen = rdI32()
+                val bt = datumText(r.elem, blen)
+                b.append('"')
+                var p = 0
+                while (p < bt.length) {
+                  val c = bt.charAt(p)
+                  if (c == '"' || c == '\\') b.append('\\')
+                  b.append(c)
+                  p += 1
+                }
+                b.append('"')
+              }
+              if ((flags & 0x08) == 0) appendBound()
+              b.append(',')
+              if ((flags & 0x10) == 0) appendBound()
+              b.append(if ((flags & 0x04) != 0) ']' else ')')
+              b.toString
             }
         }
         require(off == end, s"datum length mismatch for $k")

@@ -185,6 +185,78 @@ class LiveServerSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("live PG: COPY BINARY range kinds — built-in ranges, a custom " +
+    "range via pg_range resolution, canonicalization on receive") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-rng").toFile
+    // every built-in range kind + a custom text range: inclusive
+    // bounds (the server canonicalizes discrete ranges on receive),
+    // infinite bounds, empty, quoted bounds with separators inside
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "r.csv").toPath,
+      "1|[1,3]|[,5)|[\"1.50\",2.75]|[2024-01-01,2024-01-05]|" +
+        "[2000-01-01 00:00:00,2000-01-02 12:00:00)|" +
+        "[2000-01-01 01:00:00+01,)|[\"a,x\",\"b c\")\n" +
+      "2|empty|(,)|empty|empty|empty|empty|(\"\",x]\n" +
+      "3|(-3,0]|[9007199254740993,]|(,)|(-infinity,2024-01-01)|" +
+        "[1999-12-31 23:59:59.5,infinity]|empty|[q,]\n")
+    val cols = "id int4, i4r int4range, i8r int8range, nr numrange, " +
+      "dr daterange, tsr tsrange, tzr tstzrange, tr textrange"
+    def loadCmd(table: String, opts: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/r.csv'
+          HAVING FIELDS (id, i4r, i8r, nr, dr, tsr, tzr, tr)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|',
+               fields optionally enclosed by '^'$opts
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ do 'begin create type textrange as range
+                 (subtype = text); exception when duplicate_object
+                 then null; end'; $$$$,
+            $$$$ create table $table ($cols); $$$$;"""
+    val runner = pgRunner(uri)
+    // capture the Runner's fallback notes: the binary load must NOT
+    // fall back to COPY TEXT (silent fallback would make the content
+    // comparison prove nothing about the range encoders)
+    val errBuf = new java.io.ByteArrayOutputStream
+    val realErr = System.err
+    val stats = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      runner.runFile(spark,
+        loadCmd("rng_bin", ", copy binary") + "\n" +
+          loadCmd("rng_txt", ""))
+    } finally System.setErr(realErr)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("rng_bin", 3L, 0L), ("rng_txt", 3L, 0L)),
+      stats.mkString("; "))
+    val notes = errBuf.toString("UTF-8")
+    assert(!notes.contains("falls back to COPY TEXT for"),
+      s"binary load silently fell back:\n$notes")
+    val c = new graft.sinks.PgWireConnection(
+      PgWire.connParams(uri, decode))
+    try {
+      for (q <- Seq(
+        "SELECT count(*) FROM (SELECT * FROM rng_bin EXCEPT ALL " +
+          "SELECT * FROM rng_txt) x",
+        "SELECT count(*) FROM (SELECT * FROM rng_txt EXCEPT ALL " +
+          "SELECT * FROM rng_bin) x"))
+        assert(c.query(q)._2.head(0) == "0", q)
+      // range_recv canonicalizes exactly like range_in: discrete
+      // inclusive uppers advance, numeric dscale survives
+      val r = c.query("SELECT i4r::text, i8r::text, nr::text, " +
+        "dr::text, tzr::text, tr::text FROM rng_bin WHERE id = 1")._2
+      assert(r.head.toSeq == Seq("[1,4)", "(,5)", "[1.50,2.75]",
+        "[2024-01-01,2024-01-06)", "[\"2000-01-01 00:00:00+00\",)",
+        "[\"a,x\",\"b c\")"))
+      // the empty-string text bound is a real bound, not infinite
+      assert(c.query("SELECT lower(tr) = '' FROM rng_bin " +
+        "WHERE id = 2")._2.head(0) == "t")
+    } finally c.close()
+  }
+
   test("live PG: WITH copy binary, exactly once stages binary datums " +
     "and publishes atomically, content-equal to the plain text load") {
     assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
@@ -853,12 +925,15 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("CREATE TYPE mood_src AS ENUM ('low', 'mid', 'it''s high')")
     ex(sp)("CREATE TABLE exotic_src (id int4 PRIMARY KEY, " +
       "m mood_src DEFAULT 'mid', ms mood_src[], " +
-      "tags text[], meta jsonb, dur interval, amt numeric(10,2))")
+      "tags text[], meta jsonb, dur interval, amt numeric(10,2), " +
+      "grid int4[][])")
     ex(sp)("INSERT INTO exotic_src VALUES " +
       "(1, 'it''s high', '{low,mid}', '{a,\"b c\",NULL}', '{\"k\": 1}', " +
-      "'1 year 2 mons 3 days 04:05:06', 12.50), " +
-      "(2, 'low', '{}', '{}', 'null', '-1 days +02:03:00', NULL), " +
-      "(3, DEFAULT, NULL, NULL, '[1, null]', NULL, 0.01)")
+      "'1 year 2 mons 3 days 04:05:06', 12.50, " +
+      "'{{1,2},{3,NULL}}'), " +
+      "(2, 'low', '{}', '{}', 'null', '-1 days +02:03:00', NULL, " +
+      "'{{{7}},{{8}}}'), " +
+      "(3, DEFAULT, NULL, NULL, '[1, null]', NULL, 0.01, NULL)")
     val text =
       s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
             INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
@@ -871,7 +946,8 @@ class LiveServerSpec extends SparkSpec {
     // content equality: the destination's text renderings match the
     // source row for row (however the migration mapped the types)
     val sel = "SELECT id::text, m::text, ms::text, tags::text, " +
-      "meta::text, dur::text, amt::text FROM exotic_src ORDER BY id"
+      "meta::text, dur::text, amt::text, grid::text, " +
+      "array_ndims(grid)::text FROM exotic_src ORDER BY id"
     val src = q(sp)(sel).map(_.toSeq)
     val dst = q(dp)(sel).map(_.toSeq)
     assert(dst == src, s"src=$src\ndst=$dst")

@@ -19,7 +19,11 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Bytea, PgBinKind.Text, PgBinKind.Ival, PgBinKind.Jsonb,
     PgBinKind.Arr(PgBinKind.I4, 23), PgBinKind.Arr(PgBinKind.Text, 25),
     PgBinKind.Arr(PgBinKind.Num, 1700),
-    PgBinKind.Arr(PgBinKind.Ival, 1186))
+    PgBinKind.Arr(PgBinKind.Ival, 1186),
+    PgBinKind.Rng(PgBinKind.I4, "int4range"),
+    PgBinKind.Rng(PgBinKind.Num, "numrange"),
+    PgBinKind.Rng(PgBinKind.Date, "daterange"),
+    PgBinKind.Rng(PgBinKind.Text, "textrange"))
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
@@ -37,9 +41,14 @@ object PgBinaryProps extends Properties("PgBinary") {
     Gen.const("{"), Gen.const("}"), Gen.const("{}"), Gen.const(","),
     Gen.const("{1,2}"), Gen.const("{NULL}"), Gen.const("\"q\""),
     Gen.const("""{"a\"b",null}"""), Gen.const("{{1},{2}}"),
+    Gen.const("{{1,2},{3,4}}"), Gen.const("{{}}"), Gen.const("{1,{2}}"),
+    Gen.const("{{{1}}}"),
     Gen.const("P1Y2M3DT4H5M6.5S"), Gen.const("mons"), Gen.const("ago"),
     Gen.const("3 days"), Gen.const("-1 days +02:03:00"),
     Gen.const("P-1M-2DT-3.5S"), Gen.const("1.5 days"),
+    Gen.const("[1,3)"), Gen.const("[1,3]"), Gen.const("empty"),
+    Gen.const("(,)"), Gen.const("[,5]"), Gen.const("""["a",b)"""),
+    Gen.const("[1,"), Gen.const("["), Gen.const("]"), Gen.const("("),
     Gen.asciiPrintableStr.map(_.take(8)))
   private val hostile: Gen[String] =
     Gen.listOfN(4, fragment).map(_.mkString).flatMap(s =>

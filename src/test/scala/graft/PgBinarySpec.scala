@@ -249,10 +249,9 @@ class PgBinarySpec extends SparkSpec {
         "00000003" + "632264" + "00000004" + "4e554c4c")
     // element failures reject the row (strict element grammar)
     assert(enc("{1,x}", ints) == null)
-    // malformed shapes reject: nested, dim specs, trailing garbage,
+    // malformed shapes reject: dim specs, trailing garbage,
     // empty unquoted element, unterminated quote, mid-element quote
     // or brace (array_in: Unexpected '{' character)
-    assert(enc("{{1},{2}}", ints) == null)
     assert(enc("[1:2]={1,2}", ints) == null)
     assert(enc("{1,2}x", ints) == null)
     assert(enc("{1,,2}", ints) == null)
@@ -276,6 +275,98 @@ class PgBinarySpec extends SparkSpec {
     assert(hex(enc("{\\ }", texts)) ==
       "00000019" + "00000001" + "00000000" + "00000019" +
         "00000001" + "00000001" + "00000001" + "20")
+  }
+
+  test("array: multi-dimensional array_recv wire form, array_in " +
+    "dimensionality rules (live-pinned)") {
+    val ints = PgBinKind.Arr(PgBinKind.I4, 23)
+    // {{1,2},{3,4}}: ndim 2, dims (2,1)(2,1), row-major elements
+    assert(hex(enc("{{1,2},{3,4}}", ints)) ==
+      "0000003c" + "00000002" + "00000000" + "00000017" +
+        "00000002" + "00000001" + "00000002" + "00000001" +
+        "00000004" + "00000001" + "00000004" + "00000002" +
+        "00000004" + "00000003" + "00000004" + "00000004")
+    // 2×1, whitespace between sub-arrays, NULL leaf
+    assert(hex(enc(" { {1} , {NULL} } ", ints)) ==
+      "00000028" + "00000002" + "00000001" + "00000017" +
+        "00000002" + "00000001" + "00000001" + "00000001" +
+        "00000004" + "00000001" + "ffffffff")
+    // 3-dim
+    assert(hex(enc("{{{1,2}},{{3,4}}}", ints)).startsWith(
+      "00000044" + "00000003" + "00000000" + "00000017" +
+        "00000002" + "00000001" + "00000001" + "00000001" +
+        "00000002" + "00000001"))
+    // array_in's own rejects, each probed live: ragged dims, mixed
+    // scalar/array at one level (either order), ragged depth, empty
+    // sub-arrays anywhere, >6 dims
+    assert(enc("{{1},{2,3}}", ints) == null)
+    assert(enc("{{1,2},{3}}", ints) == null)
+    assert(enc("{1,{2}}", ints) == null)
+    assert(enc("{{1},2}", ints) == null)
+    assert(enc("{{{1}},{{2},{3}}}", ints) == null)
+    assert(enc("{{}}", ints) == null)
+    assert(enc("{{1},{}}", ints) == null)
+    assert(enc("{{},{}}", ints) == null)
+    assert(enc("{{{{{{{1}}}}}}}", ints) == null)
+    // reject frames render replayable nested literals
+    val f = Array[Byte](0, 1) ++ enc("{{1,2},{3,4}}", ints)
+    assert(new String(PgBinary.frameToTextLine(f, Seq(ints)), "UTF-8")
+      == "{{\"1\",\"2\"},{\"3\",\"4\"}}\n")
+  }
+
+  test("range: range_recv wire form from the range_in text grammar " +
+    "(live-pinned against PostgreSQL 15)") {
+    val i4r = PgBinKind.Rng(PgBinKind.I4, "int4range")
+    val numr = PgBinKind.Rng(PgBinKind.Num, "numrange")
+    val dater = PgBinKind.Rng(PgBinKind.Date, "daterange")
+    // [1,3): flags LB_INC(0x02), two length-prefixed int4 bounds
+    assert(hex(enc("[1,3)", i4r)) ==
+      "00000011" + "02" + "00000004" + "00000001" +
+        "00000004" + "00000003")
+    // [1,3]: ships inclusive flags verbatim — the server canonicalizes
+    // on receive (range_serialize), landing as [1,4)
+    assert(hex(enc("[1,3]", i4r)) ==
+      "00000011" + "06" + "00000004" + "00000001" +
+        "00000004" + "00000003")
+    // empty: single flags byte, case-insensitive, whitespace-tolerant
+    assert(hex(enc("empty", i4r)) == "00000001" + "01")
+    assert(hex(enc("  EMPTY ", i4r)) == "00000001" + "01")
+    // both-infinite: LB_INF|UB_INF
+    assert(hex(enc("(,)", i4r)) == "00000001" + "18")
+    // an inclusivity flag on an infinite bound drops silently, like
+    // range_in ('[,5]' → lower-inf + upper-inc = 0x0c, NOT 0x0e)
+    assert(hex(enc("[,5]", i4r)) ==
+      "00000009" + "0c" + "00000004" + "00000005")
+    assert(hex(enc("[5,]", i4r)) ==
+      "00000009" + "12" + "00000004" + "00000005")
+    // whitespace around the literal; quoted bounds feed the subtype
+    // encoder the UNQUOTED text
+    assert(hex(enc(" [1,2) ", i4r)) == hex(enc("[1,2)", i4r)))
+    assert(hex(enc("[\"1.50\",2)", numr)) == hex(enc("[1.50,2)", numr)))
+    // an explicit '-infinity' bound is PRESENT (date sentinel datum),
+    // not RANGE_LB_INF — range_in parses it through date_in the same
+    assert(hex(enc("[-infinity,2024-01-01)", dater)) ==
+      "00000011" + "02" + "00000004" + "80000000" +
+        "00000004" + "0000223e")
+    // malformed shapes and bound-parse failures reject the row
+    assert(enc("[1,2", i4r) == null) // unterminated
+    assert(enc("1,2)", i4r) == null) // missing open
+    assert(enc("[1;2)", i4r) == null) // bad separator
+    assert(enc("[1,2) x", i4r) == null) // trailing garbage
+    assert(enc("[a,2)", i4r) == null) // subtype parse failure
+    assert(enc("[\"1,2)", i4r) == null) // unterminated quote
+    assert(enc("emptyx", i4r) == null)
+    // range frames in reject files decode to replayable always-quoted
+    // literals
+    val f1 = Array[Byte](0, 1) ++ enc("[1,3)", i4r)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(i4r)), "UTF-8")
+      == "[\"1\",\"3\")\n")
+    val f2 = Array[Byte](0, 1) ++ enc("empty", i4r)
+    assert(new String(PgBinary.frameToTextLine(f2, Seq(i4r)), "UTF-8")
+      == "empty\n")
+    val f3 = Array[Byte](0, 1) ++ enc("(,5]", i4r)
+    assert(new String(PgBinary.frameToTextLine(f3, Seq(i4r)), "UTF-8")
+      == "(,\"5\"]\n")
   }
 
   test("array: frameToTextLine renders a replayable always-quoted " +
