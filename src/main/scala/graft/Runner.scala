@@ -489,7 +489,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     def typeRow(oid: String): Option[Array[String]] = {
       val r = queryTarget(
         "SELECT typname, typtype::text, typbasetype::text, " +
-          s"typcategory::text, typelem::text FROM pg_type WHERE oid = $oid")
+          "typcategory::text, typelem::text, typrelid::text " +
+          s"FROM pg_type WHERE oid = $oid")
       r.headOption
     }
     def resolveKind(oid: String, typname: String, typtype: String,
@@ -517,6 +518,49 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 if !ek.isInstanceOf[graft.sinks.PgBinKind.Rng] =>
               Some(graft.sinks.PgBinKind.Rng(ek, typname))
             case _ => None
+          }
+        case "m" if depth < 10 =>
+          // MULTIRANGE types: pg_range maps rngmultitypid back to the
+          // member range type; members ship as that range's payloads.
+          queryTarget("SELECT rngtypid::text FROM pg_range " +
+              s"WHERE rngmultitypid = $oid").headOption.map(_(0))
+            .filter(s => s != null && s != "0")
+            .flatMap(rt => typeRow(rt).flatMap(r =>
+              resolveKind(rt, r(0), r(1), r(2), r(3), r(4),
+                depth + 1))) match {
+            case Some(rk: graft.sinks.PgBinKind.Rng) =>
+              Some(graft.sinks.PgBinKind.Mrng(rk, typname))
+            case _ => None
+          }
+        case "c" if depth < 10 =>
+          // COMPOSITE types: the attribute list lives in pg_attribute
+          // under pg_type.typrelid; record_recv validates field count
+          // AND every per-field type OID, so both ride in the kind.
+          // Dropped attributes would desync the wire field list from
+          // the text grammar — bail to COPY TEXT if any exist.
+          val relOid = typeRow(oid).map(_(5)).getOrElse("0")
+          if (relOid == null || relOid == "0") None
+          else if (queryTarget("SELECT count(*) FROM pg_attribute " +
+              s"WHERE attrelid = $relOid AND attisdropped")
+              .headOption.exists(_(0) != "0")) None
+          else {
+            val fields = queryTarget(
+              "SELECT t.oid::text, t.typname, t.typtype::text, " +
+                "t.typbasetype::text, t.typcategory::text, " +
+                "t.typelem::text FROM pg_attribute a " +
+                "JOIN pg_type t ON t.oid = a.atttypid " +
+                s"WHERE a.attrelid = $relOid AND a.attnum > 0 " +
+                "ORDER BY a.attnum")
+            if (fields.isEmpty) None
+            else {
+              val resolved = fields.map(f =>
+                resolveKind(f(0), f(1), f(2), f(3), f(4), f(5),
+                  depth + 1).map(k =>
+                  (k, java.lang.Long.parseLong(f(0)).toInt)))
+              if (resolved.exists(_.isEmpty)) None
+              else Some(graft.sinks.PgBinKind.Comp(
+                resolved.map(_.get), typname))
+            }
           }
         case _ if typcat == "A" && elemOid != null && elemOid != "0" &&
             typname != null && typname.startsWith("_") && depth < 10 =>
@@ -1141,6 +1185,10 @@ object Runner {
       // range_in parses both bounds through the subtype input routine
       // plus a canonicalization call — expensive like arrays
       case _: graft.sinks.PgBinKind.Rng => true
+      // record_in runs every field through its attribute's input
+      // routine plus the quote/escape scan
+      case _: graft.sinks.PgBinKind.Comp => true
+      case _: graft.sinks.PgBinKind.Mrng => true
       case _ => false
     }
 

@@ -42,10 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`enum_recv` reads the label string), DOMAIN columns to their
   * base type's kind (a domain's recv is the base recv + its checks),
   * ARRAY columns to [[PgBinKind.Arr]] of the element's kind (values
-  * may be multi-dimensional — up to array_in's 6-dim cap), and RANGE
-  * columns to [[PgBinKind.Rng]] of the pg_range subtype's kind; types
-  * outside that resolution (composites, multiranges, custom base
-  * types, …) make the Runner fall back to COPY TEXT for the table
+  * may be multi-dimensional — up to array_in's 6-dim cap), RANGE
+  * columns to [[PgBinKind.Rng]] of the pg_range subtype's kind,
+  * MULTIRANGE columns to [[PgBinKind.Mrng]] of the member range, and
+  * COMPOSITE columns to [[PgBinKind.Comp]] over the attribute kinds +
+  * OIDs; types outside that resolution (custom base types whose recv
+  * semantics the engine cannot know, composites with dropped
+  * attributes) make the Runner fall back to COPY TEXT for the table
   * (or, for per-VALUE shapes like an explicit `[lo:hi]=` dim spec,
   * reject the row).
   * `WITH exactly once` composes: the stage tables clone the target's
@@ -97,6 +100,24 @@ object PgBinKind {
     * pg_range in the Runner's catalog pass. */
   final case class Rng(elem: PgBinKind, rangeTypname: String)
       extends PgBinKind(rangeTypname)
+
+  /** Multirange over a range kind (`multirange_recv`: int32 range
+    * count, then per member range an int32 length + that range's own
+    * payload — pinned from a live COPY TO (FORMAT binary) hexdump).
+    * The server canonicalizes on receive exactly like multirange_in
+    * (sorts, merges overlaps/adjacents, drops empty members). */
+  final case class Mrng(rng: Rng, mrTypname: String)
+      extends PgBinKind(mrTypname)
+
+  /** Composite type (`record_recv`: int32 field count, then per field
+    * int32 attribute type OID + the length-prefixed datum, −1 = NULL).
+    * `fields` carries each attribute's kind AND its pg_type oid in
+    * attnum order, resolved from the target catalog — record_recv
+    * validates both the count and every per-field OID against the
+    * column's composite type. */
+  final case class Comp(fields: Seq[(PgBinKind, Int)],
+                        compTypname: String)
+      extends PgBinKind(compTypname)
 }
 
 object PgBinary {
@@ -249,7 +270,191 @@ object PgBinary {
         out
       case a: Arr => encodeArray(v, a)
       case r: Rng => encodeRange(v, r)
+      case c: Comp => encodeComposite(v, c)
+      case m: Mrng => encodeMultirange(v, m)
     }
+
+  /** `multirange_recv` wire form from the `multirange_in` grammar,
+    * live-pinned: optional ASCII whitespace; `{` members `}` with `,`
+    * separators; each member is a full range literal (`[`/`(` …
+    * `)`/`]`, quote/escape-aware — a quoted bound may contain `}` or
+    * `,`) or the bare `empty` keyword; `{}` is the empty multirange.
+    * Members ship in input order with empties INCLUDED — the server
+    * sorts, merges and drops empties on receive (make_multirange),
+    * exactly like the text path. */
+  private def encodeMultirange(v: UTF8String, m: Mrng): Array[Byte] = {
+    val s = v.toString
+    val n = s.length
+    var i = 0
+    def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
+        ch == '\u000B' || ch == '\f'
+    while (i < n && isWs(s.charAt(i))) i += 1
+    if (i >= n || s.charAt(i) != '{') return null
+    i += 1
+    val members =
+      new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (i < n && isWs(s.charAt(i))) i += 1
+    if (i < n && s.charAt(i) == '}') i += 1 // empty multirange
+    else {
+      var done = false
+      while (!done) {
+        while (i < n && isWs(s.charAt(i))) i += 1
+        if (i >= n) return null
+        if (s.regionMatches(true, i, "empty", 0, 5)) {
+          val e = encodeField(UTF8String.fromString("empty"), m.rng)
+          if (e == null) return null
+          members += e
+          i += 5
+        } else if (s.charAt(i) == '[' || s.charAt(i) == '(') {
+          // scan the member range literal to its unquoted close
+          // bracket, quote/escape-aware (quoted bounds may contain
+          // any of , } ] ))
+          val start = i
+          i += 1
+          var inq = false
+          var closed = false
+          while (!closed) {
+            if (i >= n) return null
+            val ch = s.charAt(i)
+            if (inq) {
+              if (ch == '"') {
+                if (i + 1 < n && s.charAt(i + 1) == '"') i += 2
+                else { inq = false; i += 1 }
+              } else if (ch == '\\') {
+                if (i + 1 >= n) return null
+                i += 2
+              } else i += 1
+            } else ch match {
+              case ')' | ']' => i += 1; closed = true
+              case '"' => inq = true; i += 1
+              case '\\' =>
+                if (i + 1 >= n) return null
+                i += 2
+              case _ => i += 1
+            }
+          }
+          val e = encodeField(
+            UTF8String.fromString(s.substring(start, i)), m.rng)
+          if (e == null) return null
+          members += e
+        } else return null
+        while (i < n && isWs(s.charAt(i))) i += 1
+        if (i >= n) return null
+        s.charAt(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case _ => return null
+        }
+      }
+    }
+    while (i < n && isWs(s.charAt(i))) i += 1
+    if (i != n) return null // trailing garbage
+    var total = 4
+    members.foreach(e => total += e.length)
+    val out = new Array[Byte](4 + total)
+    writeInt(out, 0, total)
+    writeInt(out, 4, members.length)
+    var off = 8
+    members.foreach { e =>
+      System.arraycopy(e, 0, out, off, e.length); off += e.length
+    }
+    out
+  }
+
+  /** `record_recv` wire form from the `record_in`/`record_out` text
+    * grammar, live-pinned against PostgreSQL 15: optional ASCII
+    * whitespace around the literal; `(` fields `)` with `,`
+    * separators; a zero-char unquoted field is SQL NULL while `""` is
+    * the empty string; unquoted whitespace is PRESERVED (`( x )` is
+    * the 3-char field `" x "`); quotes toggle mid-field (`a""b` =
+    * `ab`, `"a""b"` = `a"b`); backslash escapes everywhere; the field
+    * count must equal the composite's attribute count exactly. */
+  private def encodeComposite(v: UTF8String, c: Comp): Array[Byte] = {
+    val s = v.toString
+    val n = s.length
+    var i = 0
+    def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
+        ch == '\u000B' || ch == '\f'
+    while (i < n && isWs(s.charAt(i))) i += 1
+    if (i >= n || s.charAt(i) != '(') return null
+    i += 1
+    // one field up to an unquoted/unescaped `,` or `)`. Result:
+    // null = syntax error, None = SQL NULL, Some(text) = field value
+    def field(): Option[Option[String]] = {
+      val sb = new java.lang.StringBuilder
+      var sawQuote = false
+      var inq = false
+      while (true) {
+        if (i >= n) return null // unterminated
+        val ch = s.charAt(i)
+        if (inq) {
+          if (ch == '"') {
+            if (i + 1 < n && s.charAt(i + 1) == '"') {
+              sb.append('"'); i += 2
+            } else { inq = false; i += 1 }
+          } else if (ch == '\\') {
+            if (i + 1 >= n) return null
+            sb.append(s.charAt(i + 1)); i += 2
+          } else { sb.append(ch); i += 1 }
+        } else ch match {
+          case ',' | ')' =>
+            return Some(if (sb.length == 0 && !sawQuote) None
+              else Some(sb.toString))
+          case '"' => sawQuote = true; inq = true; i += 1
+          case '\\' =>
+            if (i + 1 >= n) return null
+            sb.append(s.charAt(i + 1)); i += 2
+          case c2 => sb.append(c2); i += 1
+        }
+      }
+      null // unreachable
+    }
+    val vals = new scala.collection.mutable.ArrayBuffer[Option[String]]()
+    var done = false
+    while (!done) {
+      val f = field()
+      if (f == null) return null
+      vals += f.get
+      if (i >= n) return null
+      s.charAt(i) match {
+        case ',' => i += 1
+        case ')' => i += 1; done = true
+        case _ => return null
+      }
+    }
+    while (i < n && isWs(s.charAt(i))) i += 1
+    if (i != n) return null // trailing garbage
+    if (vals.length != c.fields.length) return null // count must match
+    val encs = new Array[Array[Byte]](vals.length)
+    var j = 0
+    while (j < vals.length) {
+      vals(j) match {
+        case Some(t) =>
+          val e = encodeField(UTF8String.fromString(t), c.fields(j)._1)
+          if (e == null) return null
+          encs(j) = e
+        case None => encs(j) = null
+      }
+      j += 1
+    }
+    var total = 4
+    encs.foreach(e => total += 4 + (if (e == null) 4 else e.length))
+    val out = new Array[Byte](4 + total)
+    writeInt(out, 0, total)
+    writeInt(out, 4, vals.length)
+    var off = 8
+    j = 0
+    while (j < encs.length) {
+      writeInt(out, off, c.fields(j)._2); off += 4
+      val e = encs(j)
+      if (e == null) { writeInt(out, off, -1); off += 4 }
+      else { System.arraycopy(e, 0, out, off, e.length); off += e.length }
+      j += 1
+    }
+    out
+  }
 
   /** `range_recv` wire form from the `range_in`/`range_out` text
     * grammar, live-pinned against PostgreSQL 15: optional whitespace
@@ -268,10 +473,16 @@ object PgBinary {
     val s = v.toString
     val n = s.length
     var i = 0
-    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    // ASCII whitespace ONLY (PG's isspace): Character.isWhitespace
+    // also matches Unicode spaces the server rejects — accepting them
+    // would silently load literals the text path errors on
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+        c == '\u000B' || c == '\f'
+    while (i < n && isWs(s.charAt(i))) i += 1
     if (i + 5 <= n && s.regionMatches(true, i, "empty", 0, 5)) {
       var j = i + 5
-      while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+      while (j < n && isWs(s.charAt(j))) j += 1
       if (j != n) return null
       val out = new Array[Byte](5)
       writeInt(out, 0, 1); out(4) = RngEmpty.toByte
@@ -327,7 +538,7 @@ object PgBinary {
       case ')' => i += 1
       case _ => return null
     }
-    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    while (i < n && isWs(s.charAt(i))) i += 1
     if (i != n) return null // trailing garbage
     if (lower.get.isEmpty) { flags |= RngLbInf; flags &= ~RngLbInc }
     if (upper.get.isEmpty) { flags |= RngUbInf; flags &= ~RngUbInc }
@@ -1341,6 +1552,46 @@ object PgBinary {
               b.append(if ((flags & 0x04) != 0) ']' else ')')
               b.toString
             }
+          case m: Mrng =>
+            // decode back to a multirange literal — each member is a
+            // length-prefixed range payload, the datumText contract
+            val cnt = rdI32()
+            val b = new java.lang.StringBuilder("{")
+            var j = 0
+            while (j < cnt) {
+              if (j > 0) b.append(',')
+              val rlen = rdI32()
+              b.append(datumText(m.rng, rlen))
+              j += 1
+            }
+            b.append('}').toString
+          case c: Comp =>
+            // decode back to a record literal: NULL fields render as
+            // nothing between separators, present fields always-quoted
+            val nf = rdI32()
+            require(nf == c.fields.length,
+              s"$nf fields for ${c.fields.length}-field composite")
+            val b = new java.lang.StringBuilder("(")
+            var j = 0
+            while (j < nf) {
+              if (j > 0) b.append(',')
+              require(rdI32() == c.fields(j)._2, "field oid mismatch")
+              val flen = rdI32()
+              if (flen != -1) {
+                val ft = datumText(c.fields(j)._1, flen)
+                b.append('"')
+                var p = 0
+                while (p < ft.length) {
+                  val ch = ft.charAt(p)
+                  if (ch == '"' || ch == '\\') b.append('\\')
+                  b.append(ch)
+                  p += 1
+                }
+                b.append('"')
+              }
+              j += 1
+            }
+            b.append(')').toString
         }
         require(off == end, s"datum length mismatch for $k")
         out

@@ -199,15 +199,18 @@ class LiveServerSpec extends SparkSpec {
       new java.io.File(dir, "r.csv").toPath,
       "1|[1,3]|[,5)|[\"1.50\",2.75]|[2024-01-01,2024-01-05]|" +
         "[2000-01-01 00:00:00,2000-01-02 12:00:00)|" +
-        "[2000-01-01 01:00:00+01,)|[\"a,x\",\"b c\")\n" +
-      "2|empty|(,)|empty|empty|empty|empty|(\"\",x]\n" +
+        "[2000-01-01 01:00:00+01,)|[\"a,x\",\"b c\")|" +
+        "{[1,2),[2,3)}|(7,\"x, y\")\n" +
+      "2|empty|(,)|empty|empty|empty|empty|(\"\",x]|{}|(,)\n" +
       "3|(-3,0]|[9007199254740993,]|(,)|(-infinity,2024-01-01)|" +
-        "[1999-12-31 23:59:59.5,infinity]|empty|[q,]\n")
+        "[1999-12-31 23:59:59.5,infinity]|empty|[q,]|" +
+        "{empty,[4,5)}|(8,)\n")
     val cols = "id int4, i4r int4range, i8r int8range, nr numrange, " +
-      "dr daterange, tsr tsrange, tzr tstzrange, tr textrange"
+      "dr daterange, tsr tsrange, tzr tstzrange, tr textrange, " +
+      "mr int4multirange, pc rng_pt"
     def loadCmd(table: String, opts: String) =
       s"""LOAD CSV FROM '${dir.getAbsolutePath}/r.csv'
-          HAVING FIELDS (id, i4r, i8r, nr, dr, tsr, tzr, tr)
+          HAVING FIELDS (id, i4r, i8r, nr, dr, tsr, tzr, tr, mr, pc)
           INTO $uri TARGET TABLE $table
           WITH fields terminated by '|',
                fields optionally enclosed by '^'$opts
@@ -215,6 +218,9 @@ class LiveServerSpec extends SparkSpec {
             $$$$ drop table if exists $table; $$$$,
             $$$$ do 'begin create type textrange as range
                  (subtype = text); exception when duplicate_object
+                 then null; end'; $$$$,
+            $$$$ do 'begin create type rng_pt as (a int4, b text);
+                 exception when duplicate_object
                  then null; end'; $$$$,
             $$$$ create table $table ($cols); $$$$;"""
     val runner = pgRunner(uri)
@@ -245,15 +251,22 @@ class LiveServerSpec extends SparkSpec {
           "SELECT * FROM rng_bin) x"))
         assert(c.query(q)._2.head(0) == "0", q)
       // range_recv canonicalizes exactly like range_in: discrete
-      // inclusive uppers advance, numeric dscale survives
+      // inclusive uppers advance, numeric dscale survives; multirange
+      // recv sorts+merges members ({[1,2),[2,3)} lands {[1,3)});
+      // composite NULL-vs-empty-string field semantics survive
       val r = c.query("SELECT i4r::text, i8r::text, nr::text, " +
-        "dr::text, tzr::text, tr::text FROM rng_bin WHERE id = 1")._2
+        "dr::text, tzr::text, tr::text, mr::text, pc::text " +
+        "FROM rng_bin WHERE id = 1")._2
       assert(r.head.toSeq == Seq("[1,4)", "(,5)", "[1.50,2.75]",
         "[2024-01-01,2024-01-06)", "[\"2000-01-01 00:00:00+00\",)",
-        "[\"a,x\",\"b c\")"))
+        "[\"a,x\",\"b c\")", "{[1,3)}", "(7,\"x, y\")"))
       // the empty-string text bound is a real bound, not infinite
       assert(c.query("SELECT lower(tr) = '' FROM rng_bin " +
         "WHERE id = 2")._2.head(0) == "t")
+      // empty multirange members vanish on receive, like the text path
+      assert(c.query("SELECT mr::text, (pc).a::text, (pc).b IS NULL " +
+        "FROM rng_bin WHERE id = 3")._2.head.toSeq ==
+        Seq("{[4,5)}", "8", "t"))
     } finally c.close()
   }
 

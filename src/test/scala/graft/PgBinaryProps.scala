@@ -23,7 +23,13 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Rng(PgBinKind.I4, "int4range"),
     PgBinKind.Rng(PgBinKind.Num, "numrange"),
     PgBinKind.Rng(PgBinKind.Date, "daterange"),
-    PgBinKind.Rng(PgBinKind.Text, "textrange"))
+    PgBinKind.Rng(PgBinKind.Text, "textrange"),
+    PgBinKind.Mrng(PgBinKind.Rng(PgBinKind.I4, "int4range"),
+      "int4multirange"),
+    PgBinKind.Mrng(PgBinKind.Rng(PgBinKind.Text, "textrange"),
+      "textmultirange"),
+    PgBinKind.Comp(Seq((PgBinKind.I4, 23), (PgBinKind.Text, 25)), "pt"),
+    PgBinKind.Comp(Seq((PgBinKind.Num, 1700)), "n1"))
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
@@ -49,6 +55,9 @@ object PgBinaryProps extends Properties("PgBinary") {
     Gen.const("[1,3)"), Gen.const("[1,3]"), Gen.const("empty"),
     Gen.const("(,)"), Gen.const("[,5]"), Gen.const("""["a",b)"""),
     Gen.const("[1,"), Gen.const("["), Gen.const("]"), Gen.const("("),
+    Gen.const("{[1,3),[5,7)}"), Gen.const("{empty}"),
+    Gen.const("(1,hi)"), Gen.const("(1,)"), Gen.const("(,)"),
+    Gen.const("""(1,"a""b")"""), Gen.const(")"),
     Gen.asciiPrintableStr.map(_.take(8)))
   private val hostile: Gen[String] =
     Gen.listOfN(4, fragment).map(_.mkString).flatMap(s =>

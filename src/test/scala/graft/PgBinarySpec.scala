@@ -369,6 +369,101 @@ class PgBinarySpec extends SparkSpec {
       == "(,\"5\"]\n")
   }
 
+  test("composite: record_recv wire form from the record_in text " +
+    "grammar (live-pinned against PostgreSQL 15)") {
+    val c = PgBinKind.Comp(
+      Seq((PgBinKind.I4, 23), (PgBinKind.Text, 25)), "pt")
+    // (1,hi): nfields, then per field oid + length-prefixed datum
+    assert(hex(enc("(1,hi)", c)) ==
+      "0000001a" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "00000002" + "6869")
+    // a zero-char unquoted field is SQL NULL; a quoted "" is the
+    // empty string — live-probed record_in semantics
+    assert(hex(enc("(1,)", c)) ==
+      "00000018" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "ffffffff")
+    assert(hex(enc("(1,\"\")", c)) ==
+      "00000018" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "00000000")
+    // unquoted whitespace is PRESERVED in the field text (the
+    // subtype's input routine trims where it trims: int4in does,
+    // text does not)
+    assert(hex(enc("( 1 , x )", c)) ==
+      "0000001b" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "00000003" + "207820")
+    // quotes toggle mid-field; "" inside quotes is a literal quote
+    assert(hex(enc("(1,a\"\"b)", c)) == hex(enc("(1,ab)", c)))
+    assert(hex(enc("(1,\"a\"\"b\")", c)) ==
+      "0000001b" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "00000003" + "612262")
+    // escaped separator; whitespace around the literal
+    assert(hex(enc("(1,a\\,b)", c)) ==
+      "0000001b" + "00000002" +
+        "00000017" + "00000004" + "00000001" +
+        "00000019" + "00000003" + "612c62")
+    assert(hex(enc(" (1,x) ", c)) == hex(enc("(1,x)", c)))
+    // field count must match exactly (record_in: malformed)
+    assert(enc("(1)", c) == null)
+    assert(enc("(1,x,2)", c) == null)
+    assert(enc("()", c) == null) // one NULL field ≠ two fields
+    assert(enc("(1,x", c) == null) // unterminated
+    assert(enc("(a,x)", c) == null) // field parse failure
+    assert(enc("(1,\"x)", c) == null) // unterminated quote
+    // reject frames decode to replayable record literals: present
+    // fields always-quoted, NULLs as nothing between separators
+    val f1 = Array[Byte](0, 1) ++ enc("(1,hi)", c)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(c)), "UTF-8")
+      == "(\"1\",\"hi\")\n")
+    val f2 = Array[Byte](0, 1) ++ enc("(1,)", c)
+    assert(new String(PgBinary.frameToTextLine(f2, Seq(c)), "UTF-8")
+      == "(\"1\",)\n")
+  }
+
+  test("multirange: multirange_recv wire form (pinned from a live " +
+    "COPY TO (FORMAT binary) hexdump)") {
+    val m = PgBinKind.Mrng(
+      PgBinKind.Rng(PgBinKind.I4, "int4range"), "int4multirange")
+    // {[1,3),[5,7)}: int32 count, then per member int32 length + the
+    // range's own payload — byte-for-byte the live hexdump
+    assert(hex(enc("{[1,3),[5,7)}", m)) ==
+      "0000002e" + "00000002" +
+        "00000011" + "02" + "00000004" + "00000001" +
+          "00000004" + "00000003" +
+        "00000011" + "02" + "00000004" + "00000005" +
+          "00000004" + "00000007")
+    // empty multirange; whitespace tolerated everywhere
+    assert(hex(enc("{}", m)) == "00000004" + "00000000")
+    assert(hex(enc(" { } ", m)) == hex(enc("{}", m)))
+    assert(hex(enc("{ [1,3) , [5,7) }", m)) ==
+      hex(enc("{[1,3),[5,7)}", m)))
+    // an 'empty' member ships as an empty range — the server drops it
+    // on receive (make_multirange), like multirange_in does
+    assert(hex(enc("{empty}", m)) ==
+      "00000009" + "00000001" + "00000001" + "01")
+    // unordered/overlapping members ship verbatim — canonicalization
+    // (sort+merge) happens server-side on receive, live-pinned in the
+    // e2e ('{[1,2),[2,3)}' lands '{[1,3)}')
+    assert(enc("{[5,6),[1,2)}", m) != null)
+    // malformed shapes reject (all probed live)
+    assert(enc("{[1,2)", m) == null) // unterminated
+    assert(enc("{[1,2),}", m) == null) // dangling comma
+    assert(enc("{1,2}", m) == null) // bare scalars
+    assert(enc("empty", m) == null) // no braces
+    assert(enc("{[a,2)}", m) == null) // bound parse failure
+    // reject frames decode to replayable multirange literals
+    val f1 = Array[Byte](0, 1) ++ enc("{[1,3),[5,7)}", m)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(m)), "UTF-8")
+      == "{[\"1\",\"3\"),[\"5\",\"7\")}\n")
+    val f2 = Array[Byte](0, 1) ++ enc("{}", m)
+    assert(new String(PgBinary.frameToTextLine(f2, Seq(m)), "UTF-8")
+      == "{}\n")
+  }
+
   test("array: frameToTextLine renders a replayable always-quoted " +
     "array literal") {
     val texts = PgBinKind.Arr(PgBinKind.Text, 25)

@@ -66,8 +66,23 @@ if [ ! -f /tmp/graft_bench.jsa ]; then
     /tmp/employees_bench/employees.load >/dev/null 2>&1 || true
 fi
 
+# host-state columns: pg_stat_wal deltas + 1-min loadavg bracket each
+# timed run, so the band attribution (engine vs host WAL/fsync noise)
+# lives in the artifact rather than the narrative. wal_write_time /
+# wal_sync_time need track_wal_io_timing=on to be non-zero; the
+# counters themselves are always maintained.
+wal_snap() {
+  psql "$PGURI" -At -c \
+    "SELECT wal_records||'|'||wal_bytes||'|'||wal_buffers_full||'|'||
+            wal_write||'|'||wal_sync||'|'||
+            round(wal_write_time)||'|'||round(wal_sync_time)
+     FROM pg_stat_wal" 2>/dev/null || echo "0|0|0|0|0|0|0"
+}
+
 for n in $(seq 1 "$RUNS"); do
   echo "=== employees graft run $n/$RUNS ==="
+  w0=$(wal_snap)
+  la0=$(cut -d' ' -f1 /proc/loadavg)
   t0=$(perl -MTime::HiRes=time -e 'printf "%d\n", time()*1000')
   java "${JVMFLAGS[@]}" \
     -XX:SharedArchiveFile=/tmp/graft_bench.jsa \
@@ -76,7 +91,24 @@ for n in $(seq 1 "$RUNS"); do
     --summary "/tmp/employees_bench/summary_$n.json" \
     /tmp/employees_bench/employees.load
   t1=$(perl -MTime::HiRes=time -e 'printf "%d\n", time()*1000')
+  w1=$(wal_snap)
+  la1=$(cut -d' ' -f1 /proc/loadavg)
   echo "run $n wall: $(( t1 - t0 )) ms"
+  python3 - "$w0" "$w1" "$la0" "$la1" "$(( t1 - t0 ))" "$n" <<'PYEOF'
+import sys, json
+w0 = [int(x) for x in sys.argv[1].split('|')]
+w1 = [int(x) for x in sys.argv[2].split('|')]
+keys = ["wal_records", "wal_bytes", "wal_buffers_full",
+        "wal_write", "wal_sync", "wal_write_time_ms", "wal_sync_time_ms"]
+host = {k: b - a for k, a, b in zip(keys, w0, w1)}
+host["loadavg_before"] = float(sys.argv[3])
+host["loadavg_after"] = float(sys.argv[4])
+host["wall_ms"] = int(sys.argv[5])
+line = json.dumps(host, sort_keys=True)
+print("run %s host-state: %s" % (sys.argv[6], line))
+with open("/tmp/employees_bench/host_%s.json" % sys.argv[6], "w") as f:
+    f.write(line + "\n")
+PYEOF
 done
 
 echo "=== summaries ==="

@@ -42,6 +42,10 @@ su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d graftdb2 -c 'GRA
 su pguser -c "cd /tmp && psql -h 127.0.0.1 -p $PORT -U graft -d postgres" <<'EOF' >/dev/null 2>&1 || true
 ALTER SYSTEM SET max_wal_size = '6GB';
 ALTER SYSTEM SET checkpoint_timeout = '15min';
+-- populate pg_stat_wal's write/sync TIME columns so the bench
+-- scripts' host-state artifacts can attribute wall-band drift to
+-- WAL I/O (one clock_gettime per write/sync — negligible)
+ALTER SYSTEM SET track_wal_io_timing = on;
 SELECT pg_reload_conf();
 EOF
 # seed the source database: the live introspection and pg→pg migration
