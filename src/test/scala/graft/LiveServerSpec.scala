@@ -395,25 +395,70 @@ class LiveServerSpec extends SparkSpec {
       case 1 => s"[${rnd.nextInt(10)}, null, ${rnd.nextDouble()}]"
       case _ => "null"
     }
+    // range: hi ≥ lo+2 keeps every bracket combo canonicalizable for
+    // the discrete subtype ('(5,5)' would ERROR server-side on both
+    // paths — a shared reject, but the assert wants 0 rejects)
+    def i4range(): String =
+      if (rnd.nextInt(8) == 0) "empty"
+      else {
+        val lo = rnd.nextInt(2000000) - 1000000
+        val hi = lo + 2 + rnd.nextInt(1000)
+        val l = if (rnd.nextInt(4) == 0) "" else lo.toString
+        val u = if (rnd.nextInt(4) == 0) "" else hi.toString
+        (if (rnd.nextBoolean()) "[" else "(") + l + "," + u +
+          (if (rnd.nextBoolean()) "]" else ")")
+      }
+    def numMr(): String =
+      "{" + (0 until rnd.nextInt(4)).map { _ =>
+        if (rnd.nextInt(6) == 0) "empty"
+        else {
+          val lo = rnd.nextInt(10000) - 5000
+          // hi ≥ lo+1: the .xx fractions can't flip the bound order
+          val hi = lo + 1 + rnd.nextInt(500)
+          (if (rnd.nextBoolean()) "[" else "(") +
+            (if (rnd.nextInt(4) == 0) "" else s"$lo.${rnd.nextInt(100)}") +
+            "," +
+            (if (rnd.nextInt(4) == 0) "" else s"$hi.${rnd.nextInt(100)}") +
+            (if (rnd.nextBoolean()) "]" else ")")
+        }
+      }.mkString(",") + "}"
+    def comp(): String = {
+      val a = if (rnd.nextInt(5) == 0) "" else
+        (rnd.nextInt(200000) - 100000).toString
+      val b = if (rnd.nextInt(5) == 0) "" // SQL NULL field
+        else "\"" + text().flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case ch => ch.toString
+        } + "\""
+      s"($a,$b)"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
         date(), ts(false), ts(true), time(), uuid(), text(), bytea(),
-        numArr(), ival(), jsonb())
+        numArr(), ival(), jsonb(), i4range(), numMr(), comp())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t", "b", "na", "iv", "js")
+      "tm", "u", "t", "b", "na", "iv", "js", "r4", "nmr", "ct")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
         "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
-        "t text, b bytea, na numeric[], iv interval, js jsonb"
+        "t text, b bytea, na numeric[], iv interval, js jsonb, " +
+        "r4 int4range, nmr nummultirange, ct rnd_ct"
       val kinds = {
         import graft.sinks.PgBinKind._
         Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text,
-          Bytea, Arr(Num, 1700), Ival, Jsonb)
+          Bytea, Arr(Num, 1700), Ival, Jsonb,
+          Rng(I4, "int4range"),
+          Mrng(Rng(Num, "numrange"), "nummultirange"),
+          Comp(Seq((I4, 23), (Text, 25)), "rnd_ct"))
       }
+      c.simpleCommand("do 'begin create type rnd_ct as " +
+        "(a int4, b text); exception when duplicate_object " +
+        "then null; end'")
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")
         c.simpleCommand(s"create table $t ($cols)")
