@@ -683,7 +683,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // registry and evaluate view SELECTs through Spark SQL instead
     val fetchT0 = System.nanoTime()
     val (baseTables: Seq[Table], defaults, readTable, viewOps,
-      sourceSequences: Seq[graft.catalog.SequenceDef]) =
+      sourceSequences: Seq[graft.catalog.SequenceDef],
+      sourceCustomTypes: Seq[graft.catalog.CustomType]) =
       scheme match {
       case "mysql" =>
         val mp = graft.sources.MySqlWire.connParams(uri, decode)
@@ -711,7 +712,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             mp, mp.database, names)
         (graft.sources.MySqlWireSource.introspect(mp, mp.database),
           graft.casting.DefaultCastRules.mysql, read,
-          Some((exec, iviews, graft.sources.MySqlWire.quoteIdent _)), Nil)
+          Some((exec, iviews, graft.sources.MySqlWire.quoteIdent _)),
+          Nil, Nil)
       case "pgsql" | "postgresql" | "postgres" =>
         val sp = graft.sinks.PgWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
@@ -733,7 +735,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.sources.PgWireSource.introspectViews(sp, names)
         (graft.sources.PgWireSource.introspect(sp),
           graft.casting.DefaultCastRules.pgsql, read,
-          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)), Nil)
+          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)), Nil,
+          graft.sources.PgWireSource.introspectCustomTypes(sp))
       case "sqlite" =>
         // sqlite:///path/to/file.db — the native file-format reader
         // (no server, no driver jar); row counts feed the size ordering
@@ -851,7 +854,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           } else graft.sources.SqliteSource.read(spark, path, t.sourceName)
         val quote = (n: String) => "\"" + n.replace("\"", "\"\"") + "\""
         (base, graft.casting.DefaultCastRules.sqlite, read,
-          Some((exec, iviews, quote)), Nil)
+          Some((exec, iviews, quote)), Nil, Nil)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
@@ -878,7 +881,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         (graft.sources.MssqlWireSource.introspect(tp),
           graft.casting.DefaultCastRules.mssql, read,
           Some((exec, iviews, graft.sources.TdsWire.quoteIdent _)),
-          graft.sources.MssqlWireSource.introspectSequences(tp))
+          graft.sources.MssqlWireSource.introspectSequences(tp), Nil)
       case other => throw new UnsupportedOperationException(
         s"LOAD DATABASE source $other:// is not wired (mysql/pgsql/mssql " +
           "speak their native wire protocols, sqlite reads the file " +
@@ -975,7 +978,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
       val cat = Catalog(uri, bySchema.map { case (s, ts) =>
         Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
-      }, sequences = sourceSequences)
+      }, sequences = sourceSequences,
+        customTypes = sourceCustomTypes)
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {

@@ -21,7 +21,14 @@ final case class Catalog(name: String, schemas: Seq[Schema] = Nil,
                          /** user-defined SEQUENCE objects to recreate
                            * on the target (MSSQL sys.sequences,
                            * mssql-schema.lisp:172-194). */
-                         sequences: Seq[SequenceDef] = Nil) {
+                         sequences: Seq[SequenceDef] = Nil,
+                         /** pg-source user-defined types (domains,
+                           * composites, ranges, enums) referenced —
+                           * directly or nested — by migrated columns;
+                           * the Migrator recreates the post-cast
+                           * NEEDED subset on the target before CREATE
+                           * TABLE ([[CustomTypes.needed]]). */
+                         customTypes: Seq[CustomType] = Nil) {
   def allTables: Seq[Table] = schemas.flatMap(_.tables)
 
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
@@ -103,6 +110,135 @@ final case class FKey(
     foreignColumns: Seq[String],
     onUpdate: Option[String] = None,
     onDelete: Option[String] = None)
+
+/** One pg-source user-defined type, introspected with its
+  * target-ready DDL body. `kind` is pg_type.typtype ('d' domain,
+  * 'c' composite, 'r' range, 'e' enum); `body` is the pre-rendered
+  * definition TAIL built server-side by format_type /
+  * pg_get_constraintdef (e.g. `(a integer, b text)` for a composite,
+  * `integer DEFAULT 1 NOT NULL CHECK ((VALUE > 0))` for a domain);
+  * `refs` lists the `schema.name` keys of OTHER user-defined types
+  * this one references (domain base, composite fields, range subtype)
+  * — the topological-order input. */
+final case class CustomType(
+    schema: String,
+    name: String,
+    kind: String,
+    body: String,
+    refs: Seq[String] = Nil)
+
+/** Recreate pg-source user-defined column types on the target — the
+  * same completeness story enums got (SourceColumn.enumLabels), for
+  * the families that can't ride in one column field: domains,
+  * composites, ranges (+ their auto multiranges) and enums nested
+  * inside them. The NEEDED subset is computed from the post-cast
+  * catalog (a user `CAST type posint_src to int4` removes the
+  * column's reference and the type is not created), closed over
+  * `refs`, and emitted in dependency order. */
+object CustomTypes {
+
+  /** Strip a column's pgType down to its (schema?, name) reference:
+    * optional `"quoted"` or bare segments, optional schema qualifier,
+    * optional trailing `[]`s. Returns None for types that cannot
+    * reference a user type (typemods like `numeric(10,2)` pass
+    * through — a user type name never carries a typmod suffix in
+    * format_type output). */
+  private[graft] def typeRef(pgType: String)
+      : Option[(Option[String], String)] = {
+    var s = pgType.trim
+    while (s.endsWith("[]")) s = s.stripSuffix("[]").trim
+    def seg(in: String): Option[(String, String)] =
+      if (in.startsWith("\"")) {
+        // "quoted name" with "" doubling
+        val sb = new java.lang.StringBuilder
+        var i = 1
+        while (i < in.length) {
+          val c = in.charAt(i)
+          if (c == '"') {
+            if (i + 1 < in.length && in.charAt(i + 1) == '"') {
+              sb.append('"'); i += 2
+            } else return Some((sb.toString, in.substring(i + 1)))
+          } else { sb.append(c); i += 1 }
+        }
+        None // unterminated quote
+      } else {
+        val end0 = in.indexOf('.')
+        val end = if (end0 == -1) in.length else end0
+        val n = in.substring(0, end)
+        if (n.isEmpty || !n.forall(c =>
+            c.isLetterOrDigit || c == '_' || c == '$')) None
+        else Some((n, in.substring(end)))
+      }
+    seg(s) match {
+      case Some((first, rest)) if rest.isEmpty => Some((None, first))
+      case Some((first, rest)) if rest.startsWith(".") =>
+        seg(rest.substring(1)) match {
+          case Some((second, "")) => Some((Some(first), second))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The post-cast NEEDED subset of `cat.customTypes` in dependency
+    * order (referenced types first): seeds from every remaining
+    * column's pgType, closed over `refs`. */
+  def needed(cat: Catalog): Seq[CustomType] = {
+    if (cat.customTypes.isEmpty) return Nil
+    val byKey = cat.customTypes.map(ct =>
+      s"${ct.schema}.${ct.name}" -> ct).toMap
+    val byName = cat.customTypes.groupBy(_.name)
+    def resolve(ref: (Option[String], String)): Option[CustomType] =
+      ref match {
+        case (Some(sch), n) => byKey.get(s"$sch.$n")
+        case (None, n) => byName.get(n) match {
+          // unqualified reference: unique name wins; an ambiguous
+          // name (same type name in two schemas) prefers public,
+          // format_type's own search_path-relative rendering
+          case Some(Seq(one)) => Some(one)
+          case Some(many) => many.find(_.schema == "public")
+          case None => None
+        }
+      }
+    val seeds = cat.allTables.flatMap(_.columns)
+      .flatMap(c => typeRef(c.pgType)).flatMap(resolve)
+    // close over refs, then DFS post-order = dependencies first
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val ordered = Seq.newBuilder[CustomType]
+    def visit(ct: CustomType): Unit = {
+      val key = s"${ct.schema}.${ct.name}"
+      if (!seen.contains(key)) {
+        seen += key
+        ct.refs.flatMap(byKey.get).foreach(visit)
+        ordered += ct
+      }
+    }
+    seeds.foreach(visit)
+    ordered.result()
+  }
+
+  private def q(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** Schema-qualified quoted name; public stays unqualified (matching
+    * format_type's search_path-relative column references). */
+  def qname(ct: CustomType): String =
+    if (ct.schema == "public" || ct.schema.isEmpty) q(ct.name)
+    else s"${q(ct.schema)}.${q(ct.name)}"
+
+  def dropSql(ct: CustomType): String =
+    (if (ct.kind == "d") "DROP DOMAIN IF EXISTS "
+     else "DROP TYPE IF EXISTS ") + qname(ct) + " CASCADE;"
+
+  def createSql(ct: CustomType): String = ct.kind match {
+    case "d" => s"CREATE DOMAIN ${qname(ct)} AS ${ct.body};"
+    case "c" => s"CREATE TYPE ${qname(ct)} AS ${ct.body};"
+    case "r" => s"CREATE TYPE ${qname(ct)} AS RANGE ${ct.body};"
+    case "e" => s"CREATE TYPE ${qname(ct)} AS ENUM ${ct.body};"
+    case k => throw new IllegalArgumentException(
+      s"unknown custom type kind $k for ${ct.name}")
+  }
+}
 
 /** Identifier-case handling + PG 63-byte truncation collision detection
   * (src/params.lisp:124 *identifier-case*; catalog.lisp:402-430).

@@ -215,6 +215,26 @@ final class Migrator(
     if (createTables) {
       if (includeDrop)
         cat.allTables.foreach(t => preDdl(Ddl.dropTable(t)))
+      // pg-source user-defined types (domains, composites, ranges +
+      // enums nested inside them), recreated before any table
+      // references them — the same completeness story enums got,
+      // for the families a single column field can't carry. NEEDED
+      // subset only, computed on the POST-cast catalog: a user
+      // `CAST type posint_src to int4` removes the column's
+      // reference and the type is not recreated. Emitted in
+      // dependency order (refs first); drops run reversed, after
+      // the table drops (CASCADE would otherwise chase still-
+      // existing tables from a prior run).
+      val neededTypes = graft.catalog.CustomTypes.needed(cat)
+      neededTypes.map(_.schema).distinct
+        .filter(s => s.nonEmpty && s != "public")
+        .filterNot(s => cat.schemas.exists(_.name == s))
+        .foreach(s => preDdl(s"CREATE SCHEMA IF NOT EXISTS $s;"))
+      if (includeDrop)
+        neededTypes.reverse.foreach(ct =>
+          preDdl(graft.catalog.CustomTypes.dropSql(ct)))
+      neededTypes.foreach(ct =>
+        preDdl(graft.catalog.CustomTypes.createSql(ct)))
       cat = cat.copy(schemas = cat.schemas.map(s => s.copy(
         tables = s.tables.map { t =>
           val patched = t.columns.map { c =>

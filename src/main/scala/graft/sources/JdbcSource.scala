@@ -608,6 +608,126 @@ object IntrospectionSql {
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
        ORDER BY n.nspname, t.relname, c.conname"""
 
+  /** User-defined types referenced by user-table columns, directly or
+    * NESTED (array element, domain base, range subtype, multirange's
+    * range, composite field — a recursive closure), with a
+    * target-ready DDL BODY rendered server-side (format_type +
+    * pg_get_constraintdef, so typemods/collations/defaults come out in
+    * PG's own canonical spelling) and the `schema.name` keys of other
+    * user types each one references (the topological-sort input).
+    * typtype filter: domains, composites, ranges, enums — array types
+    * auto-create with their element, multiranges with their range,
+    * and custom BASE types cannot be recreated from the catalog at
+    * all (their in/out/recv functions live in C). */
+  val pgsqlCustomTypes: String =
+    """WITH RECURSIVE seed(oid) AS (
+         SELECT DISTINCT a.atttypid
+         FROM pg_attribute a
+         JOIN pg_class c ON c.oid = a.attrelid
+         JOIN pg_namespace n ON n.oid = c.relnamespace
+         WHERE c.relkind IN ('r', 'p', 'm', 'v') AND a.attnum > 0
+           AND NOT a.attisdropped
+           AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ),
+       closure(oid) AS (
+         SELECT oid FROM seed
+         UNION
+         SELECT x.oid FROM closure cl, LATERAL (
+           SELECT t.typelem AS oid FROM pg_type t
+             WHERE t.oid = cl.oid AND t.typelem <> 0
+           UNION ALL
+           SELECT t.typbasetype FROM pg_type t
+             WHERE t.oid = cl.oid AND t.typbasetype <> 0
+           UNION ALL
+           SELECT r.rngsubtype FROM pg_range r
+             WHERE r.rngtypid = cl.oid
+           UNION ALL
+           SELECT r.rngtypid FROM pg_range r
+             WHERE r.rngmultitypid = cl.oid
+           UNION ALL
+           SELECT a2.atttypid FROM pg_type t
+             JOIN pg_attribute a2 ON a2.attrelid = t.typrelid
+             WHERE t.oid = cl.oid AND t.typtype = 'c'
+               AND t.typrelid <> 0 AND a2.attnum > 0
+               AND NOT a2.attisdropped
+         ) x
+       ),
+       refs(oid, ref) AS (
+         SELECT cl.oid, x.ref FROM closure cl, LATERAL (
+           SELECT t.typbasetype AS ref FROM pg_type t
+             WHERE t.oid = cl.oid AND t.typbasetype <> 0
+           UNION ALL
+           SELECT r.rngsubtype FROM pg_range r
+             WHERE r.rngtypid = cl.oid
+           UNION ALL
+           SELECT CASE WHEN et.typelem <> 0 THEN et.typelem
+                       ELSE a2.atttypid END
+             FROM pg_type t
+             JOIN pg_attribute a2 ON a2.attrelid = t.typrelid
+             JOIN pg_type et ON et.oid = a2.atttypid
+             WHERE t.oid = cl.oid AND t.typtype = 'c'
+               AND t.typrelid <> 0 AND a2.attnum > 0
+               AND NOT a2.attisdropped
+         ) x
+       )
+       SELECT tn.nspname, t.typname, t.typtype::text,
+         CASE t.typtype
+           WHEN 'd' THEN format_type(t.typbasetype, t.typtypmod)
+             || CASE WHEN t.typcollation NOT IN (0, 100)
+                  THEN ' COLLATE ' || (SELECT quote_ident(collname)
+                    FROM pg_collation WHERE oid = t.typcollation)
+                  ELSE '' END
+             || COALESCE(' DEFAULT ' || t.typdefault, '')
+             || CASE WHEN t.typnotnull THEN ' NOT NULL' ELSE '' END
+             || COALESCE((SELECT ' ' ||
+                  string_agg(pg_get_constraintdef(c2.oid), ' '
+                    ORDER BY c2.conname)
+                  FROM pg_constraint c2 WHERE c2.contypid = t.oid), '')
+           WHEN 'c' THEN '(' || (SELECT string_agg(
+               quote_ident(a3.attname) || ' '
+                 || format_type(a3.atttypid, a3.atttypmod)
+                 || CASE WHEN a3.attcollation NOT IN (0, 100)
+                      THEN ' COLLATE ' || (SELECT quote_ident(collname)
+                        FROM pg_collation WHERE oid = a3.attcollation)
+                      ELSE '' END,
+               ', ' ORDER BY a3.attnum)
+             FROM pg_attribute a3
+             WHERE a3.attrelid = t.typrelid AND a3.attnum > 0
+               AND NOT a3.attisdropped) || ')'
+           WHEN 'r' THEN '(subtype = '
+             || format_type(r.rngsubtype, NULL)
+             || ', subtype_opclass = ' || (SELECT quote_ident(opcname)
+                  FROM pg_opclass WHERE oid = r.rngsubopc)
+             || CASE WHEN r.rngcollation NOT IN (0, 100)
+                  THEN ', collation = ' || (SELECT quote_ident(collname)
+                    FROM pg_collation WHERE oid = r.rngcollation)
+                  ELSE '' END
+             || ', multirange_type_name = '
+             || (SELECT quote_ident(mt.typname) FROM pg_type mt
+                  WHERE mt.oid = r.rngmultitypid)
+             || ')'
+           WHEN 'e' THEN '(' || COALESCE((SELECT
+               string_agg(quote_literal(enumlabel), ', '
+                 ORDER BY enumsortorder)
+               FROM pg_enum e WHERE e.enumtypid = t.oid), '') || ')'
+         END,
+         COALESCE((SELECT string_agg(DISTINCT
+             rn2.nspname || '.' || rt.typname, E'\n')
+           FROM refs rf
+           JOIN pg_type rt ON rt.oid = rf.ref
+           JOIN pg_namespace rn2 ON rn2.oid = rt.typnamespace
+           WHERE rf.oid = t.oid
+             AND rn2.nspname NOT IN ('pg_catalog',
+                                     'information_schema')
+             AND rt.typtype IN ('d', 'c', 'r', 'e')), '')
+       FROM closure cl
+       JOIN pg_type t ON t.oid = cl.oid
+       JOIN pg_namespace tn ON tn.oid = t.typnamespace
+       LEFT JOIN pg_range r ON r.rngtypid = t.oid
+       WHERE tn.nspname NOT IN ('pg_catalog', 'information_schema')
+         AND t.typtype IN ('d', 'c', 'r', 'e')
+       ORDER BY tn.nspname, t.typname"""
+
   /** PG heap split by ctid block ranges
     * (clojure/src/pgloader/source/pgsql.clj:206-208, 313-345). */
   def pgsqlCtidPredicates(relpages: Long, pagesPerChunk: Long)
@@ -966,6 +1086,16 @@ object IntrospectionRows {
           .map(r => stripPgCheckDef(r(3))))
     }
   }
+
+  /** Map [[IntrospectionSql.pgsqlCustomTypes]] rows (schema, name,
+    * typtype, body, newline-separated refs) to [[CustomType]]s. */
+  def pgsqlCustomTypes(rows: Seq[Array[String]])
+      : Seq[graft.catalog.CustomType] =
+    rows.map(r => graft.catalog.CustomType(
+      schema = r(0), name = r(1), kind = r(2),
+      body = Option(r(3)).getOrElse(""),
+      refs = Option(r(4)).filter(_.nonEmpty)
+        .map(_.split('\n').toSeq).getOrElse(Nil)))
 
   /** One row of [[IntrospectionSql.pgsqlColumns]] (pg_catalog join):
     * `dataType` is `format_type` output — already the typemod'd ctype

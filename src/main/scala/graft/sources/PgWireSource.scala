@@ -55,6 +55,17 @@ object PgWireSource {
     } finally conn.close()
   }
 
+  /** User-defined types referenced (directly or nested) by source
+    * columns, with target-ready DDL bodies — the Migrator recreates
+    * the needed subset before CREATE TABLE. */
+  def introspectCustomTypes(params: PgWire.ConnParams)
+      : Seq[graft.catalog.CustomType] = {
+    val conn = new PgWireConnection(params)
+    try IntrospectionRows.pgsqlCustomTypes(
+      conn.query(IntrospectionSql.pgsqlCustomTypes)._2)
+    finally conn.close()
+  }
+
   /** View introspection for MATERIALIZE VIEWS — the same column query
     * over relkind v/m, restricted to `names` (None = ALL VIEWS). */
   def introspectViews(params: PgWire.ConnParams,

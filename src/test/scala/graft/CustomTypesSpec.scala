@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.StringType
+import graft.catalog.{Catalog, ColumnDef, CustomType, CustomTypes,
+  Schema, Table}
+
+/** [[CustomTypes]] — pg-source user-defined type recreation: pgType
+  * reference parsing, the post-cast needed-subset closure, dependency
+  * ordering, and DDL rendering. The live leg (LiveServerSpec) drives
+  * the same machinery through a real pg→pg migration. */
+class CustomTypesSpec extends AnyFunSuite {
+
+  test("typeRef parses bare, quoted, qualified and array spellings") {
+    assert(CustomTypes.typeRef("posint") == Some((None, "posint")))
+    assert(CustomTypes.typeRef("posint[]") == Some((None, "posint")))
+    assert(CustomTypes.typeRef("posint[][]") == Some((None, "posint")))
+    assert(CustomTypes.typeRef("s.t") == Some((Some("s"), "t")))
+    assert(CustomTypes.typeRef("\"my type\"") ==
+      Some((None, "my type")))
+    assert(CustomTypes.typeRef("\"s s\".\"t.t\"[]") ==
+      Some((Some("s s"), "t.t")))
+    assert(CustomTypes.typeRef("\"a\"\"b\"") == Some((None, "a\"b")))
+    // typemods never appear on user-type references — reject, so
+    // builtin spellings can't false-match a user type name
+    assert(CustomTypes.typeRef("numeric(10,2)").isEmpty)
+    assert(CustomTypes.typeRef("character varying(30)").isEmpty)
+    assert(CustomTypes.typeRef("\"unterminated").isEmpty)
+  }
+
+  private def cat(cols: Seq[String], types: Seq[CustomType]): Catalog =
+    Catalog("test", schemas = Seq(Schema(name = "public",
+      sourceName = "public", tables = Seq(Table(name = "t",
+        schema = "public", sourceName = "t",
+        columns = cols.zipWithIndex.map { case (ct, i) =>
+          ColumnDef(s"c$i", ct, StringType) })))),
+      customTypes = types)
+
+  test("needed: post-cast references only, closed over refs, " +
+    "dependencies first") {
+    val dom = CustomType("public", "posint", "d",
+      "integer CHECK ((VALUE > 0))")
+    val pair = CustomType("public", "pair", "c",
+      "(a posint, b text)", refs = Seq("public.posint"))
+    val rng = CustomType("public", "trange", "r",
+      "(subtype = text, subtype_opclass = text_ops, " +
+        "multirange_type_name = tmr)")
+    val unused = CustomType("public", "ghost", "c", "(x integer)")
+    // the column references pair (which refs posint) and trange;
+    // ghost is defined but unreferenced; int4 matches nothing
+    val c = cat(Seq("pair", "trange[]", "int4"),
+      Seq(pair, dom, rng, unused))
+    val n = CustomTypes.needed(c)
+    assert(n.map(_.name) == Seq("posint", "pair", "trange"))
+    // a cast that retargets the column drops the whole chain
+    val c2 = cat(Seq("int4", "trange[]", "int4"),
+      Seq(pair, dom, rng, unused))
+    assert(CustomTypes.needed(c2).map(_.name) == Seq("trange"))
+  }
+
+  test("needed: unqualified ambiguous names prefer public; qualified " +
+    "names match exactly") {
+    val pub = CustomType("public", "pt", "c", "(a integer)")
+    val other = CustomType("app", "pt", "c", "(b text)")
+    val c1 = cat(Seq("pt"), Seq(other, pub))
+    assert(CustomTypes.needed(c1) == Seq(pub))
+    val c2 = cat(Seq("app.pt"), Seq(other, pub))
+    assert(CustomTypes.needed(c2) == Seq(other))
+  }
+
+  test("DDL rendering: kind-specific CREATE, quoted identifiers, " +
+    "DOMAIN vs TYPE drops") {
+    val dom = CustomType("public", "posint", "d",
+      "integer DEFAULT 1 NOT NULL CHECK ((VALUE > 0))")
+    assert(CustomTypes.createSql(dom) ==
+      "CREATE DOMAIN \"posint\" AS integer DEFAULT 1 NOT NULL " +
+        "CHECK ((VALUE > 0));")
+    assert(CustomTypes.dropSql(dom) ==
+      "DROP DOMAIN IF EXISTS \"posint\" CASCADE;")
+    val comp = CustomType("app", "my type", "c", "(a integer, b text)")
+    assert(CustomTypes.createSql(comp) ==
+      "CREATE TYPE \"app\".\"my type\" AS (a integer, b text);")
+    val rng = CustomType("public", "tr", "r",
+      "(subtype = text, subtype_opclass = text_ops, " +
+        "multirange_type_name = tmr)")
+    assert(CustomTypes.createSql(rng) ==
+      "CREATE TYPE \"tr\" AS RANGE (subtype = text, " +
+        "subtype_opclass = text_ops, multirange_type_name = tmr);")
+    val en = CustomType("public", "mood", "e", "('low', 'it''s high')")
+    assert(CustomTypes.createSql(en) ==
+      "CREATE TYPE \"mood\" AS ENUM ('low', 'it''s high');")
+    assert(CustomTypes.dropSql(en) ==
+      "DROP TYPE IF EXISTS \"mood\" CASCADE;")
+  }
+}
