@@ -118,8 +118,9 @@ object Classifier {
     * task. Degenerate ranges (constant, ±Inf endpoints, NaN present)
     * collapse to one bucket; STRING scores bucket through their first
     * 8 UTF-8 bytes read as an unsigned big-endian integer (monotone
-    * under Spark's byte-wise string comparison); only genuinely
-    * unorderable-by-monotone-map types (booleans, arrays) keep the
+    * under Spark's byte-wise string comparison); booleans through a
+    * two-valued indicator; only genuinely unorderable-by-monotone-map
+    * types (arrays, structs) keep the
     * single global pass over the distinct values. No per-document
     * ranks, no corpus-sized sort, no collect. Counts are exact
     * integers; the single double division happens once, so
@@ -147,7 +148,7 @@ object Classifier {
     // Each bucketable type gets its own monotone double map — a plain
     // double cast is only legal for numerics and TIMESTAMP (dates and
     // TIMESTAMP_NTZ cannot cast to double; Spark fails analysis).
-    // Anything else (booleans, arrays, ...) has no cheap monotone map —
+    // Anything else (arrays, structs, ...) has no cheap monotone map —
     // keep the single global pass over distinct values for those,
     // documented above.
     val bucketValue: Option[org.apache.spark.sql.Column] =
@@ -162,6 +163,10 @@ object Classifier {
           // reinterpreting through TIMESTAMP applies one fixed session
           // offset — monotone, which is all the bucket map needs
           Some(unix_micros(col("s").cast("timestamp")).cast("double"))
+        case org.apache.spark.sql.types.BooleanType =>
+          // false < true in Spark's boolean ordering — a two-valued
+          // monotone map (cast-free: ANSI boolean→double rules vary)
+          Some(when(col("s"), 1.0d).otherwise(0.0d))
         case org.apache.spark.sql.types.StringType =>
           // Spark string ordering IS unsigned byte-wise comparison
           // (UTF8String.compareTo), so the first 8 UTF-8 bytes read as

@@ -178,6 +178,21 @@ class ClassifierSpec extends SparkSpec {
       == 1000000L)
   }
 
+  test("aucByLabel: boolean scores bucket (false < true), exact") {
+    import spark.implicits._
+    val df = Seq((true, true), (true, false), (false, true),
+      (false, false), (true, true)).toDF("s", "y")
+    val r = Classifier.aucByLabel(df, "s", "y").head()
+    // pos scores {T,F,T}, neg {T,F}: wins = T>F twice = 2, ties:
+    // T-T pairs 2, F-F pairs 1 → 3
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L)
+    val wins = Classifier.aucByLabel(df, "s", "y")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("aucByLabel: string scores bucket via the 8-byte prefix — " +
     "hand-counted pairs stay exact") {
     import spark.implicits._
