@@ -736,7 +736,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         (graft.sources.PgWireSource.introspect(sp),
           graft.casting.DefaultCastRules.pgsql, read,
           Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)), Nil,
-          graft.sources.PgWireSource.introspectCustomTypes(sp))
+          // only create-tables runs consume the type closure — a
+          // data-only / create-no-tables load skips the recursive
+          // catalog query entirely
+          if (cmd.boolOption("create no tables") ||
+              cmd.boolOption("data only")) Nil
+          else graft.sources.PgWireSource.introspectCustomTypes(sp))
       case "sqlite" =>
         // sqlite:///path/to/file.db — the native file-format reader
         // (no server, no driver jar); row counts feed the size ordering

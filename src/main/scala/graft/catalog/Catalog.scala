@@ -188,21 +188,32 @@ object CustomTypes {
     val byKey = cat.customTypes.map(ct =>
       s"${ct.schema}.${ct.name}" -> ct).toMap
     val byName = cat.customTypes.groupBy(_.name)
+    // format_type renders a type name UNQUALIFIED when it is visible
+    // on the source search_path, whose default is "$user", public —
+    // so an ambiguous unqualified name resolves user-schema first,
+    // then public. The user schema comes from the catalog's own
+    // source URI (scheme://user[:pass]@…).
+    val userSchema: Option[String] =
+      "^[a-zA-Z0-9+]+://([^:/@]+)(:[^@]*)?@".r
+        .findFirstMatchIn(cat.name).map(_.group(1))
     def resolve(ref: (Option[String], String)): Option[CustomType] =
       ref match {
         case (Some(sch), n) => byKey.get(s"$sch.$n")
         case (None, n) => byName.get(n) match {
-          // unqualified reference: unique name wins; an ambiguous
-          // name (same type name in two schemas) prefers public,
-          // format_type's own search_path-relative rendering
           case Some(Seq(one)) => Some(one)
-          case Some(many) => many.find(_.schema == "public")
+          case Some(many) =>
+            many.find(ct => userSchema.contains(ct.schema))
+              .orElse(many.find(_.schema == "public"))
           case None => None
         }
       }
     val seeds = cat.allTables.flatMap(_.columns)
       .flatMap(c => typeRef(c.pgType)).flatMap(resolve)
-    // close over refs, then DFS post-order = dependencies first
+    // close over refs, then DFS post-order = dependencies first.
+    // Multirange ALIAS rows (kind 'm') can seed and carry refs — a
+    // column typed as the multirange must pull in its range — but
+    // are dropped from the emission: CREATE TYPE … AS RANGE creates
+    // the multirange too.
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     val ordered = Seq.newBuilder[CustomType]
     def visit(ct: CustomType): Unit = {
@@ -214,11 +225,15 @@ object CustomTypes {
       }
     }
     seeds.foreach(visit)
-    ordered.result()
+    ordered.result().filterNot(_.kind == "m")
   }
 
-  private def q(ident: String): String =
+  /** Exact-case quoted identifier — custom-type names and their
+    * schemas come verbatim from pg_namespace/pg_type and the column
+    * references render the same spelling, so no case folding. */
+  def quoteIdent(ident: String): String =
     "\"" + ident.replace("\"", "\"\"") + "\""
+  private def q(ident: String): String = quoteIdent(ident)
 
   /** Schema-qualified quoted name; public stays unqualified (matching
     * format_type's search_path-relative column references). */

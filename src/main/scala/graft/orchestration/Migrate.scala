@@ -229,7 +229,8 @@ final class Migrator(
       neededTypes.map(_.schema).distinct
         .filter(s => s.nonEmpty && s != "public")
         .filterNot(s => cat.schemas.exists(_.name == s))
-        .foreach(s => preDdl(s"CREATE SCHEMA IF NOT EXISTS $s;"))
+        .foreach(s => preDdl("CREATE SCHEMA IF NOT EXISTS " +
+          s"${graft.catalog.CustomTypes.quoteIdent(s)};"))
       if (includeDrop)
         neededTypes.reverse.foreach(ct =>
           preDdl(graft.catalog.CustomTypes.dropSql(ct)))

@@ -168,6 +168,14 @@ object PgBinary {
   private val RngLbInf = 0x08
   private val RngUbInf = 0x10
 
+  /** ASCII whitespace ONLY (PG's isspace) for the range/multirange/
+    * composite literal grammars: Character.isWhitespace also matches
+    * Unicode spaces the server rejects — accepting them would
+    * silently load literals the text path errors on. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+      c == '\u000B' || c == '\f'
+
   // PG epoch 2000-01-01: epoch-day 10957; date ±infinity sentinels
   // (datatype/timestamp.h DATEVAL_NOEND/NOBEGIN, DT_NOEND/NOBEGIN)
   private val PgEpochDay = 10957L
@@ -286,20 +294,17 @@ object PgBinary {
     val s = v.toString
     val n = s.length
     var i = 0
-    def isWs(ch: Char): Boolean =
-      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
-        ch == '\u000B' || ch == '\f'
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i >= n || s.charAt(i) != '{') return null
     i += 1
     val members =
       new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i < n && s.charAt(i) == '}') i += 1 // empty multirange
     else {
       var done = false
       while (!done) {
-        while (i < n && isWs(s.charAt(i))) i += 1
+        while (i < n && isAsciiWs(s.charAt(i))) i += 1
         if (i >= n) return null
         if (s.regionMatches(true, i, "empty", 0, 5)) {
           val e = encodeField(UTF8String.fromString("empty"), m.rng)
@@ -339,7 +344,7 @@ object PgBinary {
           if (e == null) return null
           members += e
         } else return null
-        while (i < n && isWs(s.charAt(i))) i += 1
+        while (i < n && isAsciiWs(s.charAt(i))) i += 1
         if (i >= n) return null
         s.charAt(i) match {
           case ',' => i += 1
@@ -348,7 +353,7 @@ object PgBinary {
         }
       }
     }
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i != n) return null // trailing garbage
     var total = 4
     members.foreach(e => total += e.length)
@@ -374,10 +379,7 @@ object PgBinary {
     val s = v.toString
     val n = s.length
     var i = 0
-    def isWs(ch: Char): Boolean =
-      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
-        ch == '\u000B' || ch == '\f'
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i >= n || s.charAt(i) != '(') return null
     i += 1
     // one field up to an unquoted/unescaped `,` or `)`. Result:
@@ -424,7 +426,7 @@ object PgBinary {
         case _ => return null
       }
     }
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i != n) return null // trailing garbage
     if (vals.length != c.fields.length) return null // count must match
     val encs = new Array[Array[Byte]](vals.length)
@@ -473,16 +475,10 @@ object PgBinary {
     val s = v.toString
     val n = s.length
     var i = 0
-    // ASCII whitespace ONLY (PG's isspace): Character.isWhitespace
-    // also matches Unicode spaces the server rejects — accepting them
-    // would silently load literals the text path errors on
-    def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-        c == '\u000B' || c == '\f'
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i + 5 <= n && s.regionMatches(true, i, "empty", 0, 5)) {
       var j = i + 5
-      while (j < n && isWs(s.charAt(j))) j += 1
+      while (j < n && isAsciiWs(s.charAt(j))) j += 1
       if (j != n) return null
       val out = new Array[Byte](5)
       writeInt(out, 0, 1); out(4) = RngEmpty.toByte
@@ -538,7 +534,7 @@ object PgBinary {
       case ')' => i += 1
       case _ => return null
     }
-    while (i < n && isWs(s.charAt(i))) i += 1
+    while (i < n && isAsciiWs(s.charAt(i))) i += 1
     if (i != n) return null // trailing garbage
     if (lower.get.isEmpty) { flags |= RngLbInf; flags &= ~RngLbInc }
     if (upper.get.isEmpty) { flags |= RngUbInf; flags &= ~RngUbInc }
@@ -1529,10 +1525,10 @@ object PgBinary {
             // always-quoted (replayable regardless of content — the
             // range grammar quotes like the array grammar)
             val flags = u8()
-            if ((flags & 0x01) != 0) "empty"
+            if ((flags & RngEmpty) != 0) "empty"
             else {
               val b = new java.lang.StringBuilder
-              b.append(if ((flags & 0x02) != 0) '[' else '(')
+              b.append(if ((flags & RngLbInc) != 0) '[' else '(')
               def appendBound(): Unit = {
                 val blen = rdI32()
                 val bt = datumText(r.elem, blen)
@@ -1546,10 +1542,10 @@ object PgBinary {
                 }
                 b.append('"')
               }
-              if ((flags & 0x08) == 0) appendBound()
+              if ((flags & RngLbInf) == 0) appendBound()
               b.append(',')
-              if ((flags & 0x10) == 0) appendBound()
-              b.append(if ((flags & 0x04) != 0) ']' else ')')
+              if ((flags & RngUbInf) == 0) appendBound()
+              b.append(if ((flags & RngUbInc) != 0) ']' else ')')
               b.toString
             }
           case m: Mrng =>

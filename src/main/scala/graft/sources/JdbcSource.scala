@@ -615,10 +615,13 @@ object IntrospectionSql {
     * pg_get_constraintdef, so typemods/collations/defaults come out in
     * PG's own canonical spelling) and the `schema.name` keys of other
     * user types each one references (the topological-sort input).
-    * typtype filter: domains, composites, ranges, enums — array types
-    * auto-create with their element, multiranges with their range,
-    * and custom BASE types cannot be recreated from the catalog at
-    * all (their in/out/recv functions live in C). */
+    * typtype filter: domains, composites, ranges, enums, plus
+    * MULTIRANGE alias rows (kind 'm', empty body, refs = their range)
+    * so a column typed as a multirange can seed its range's creation
+    * — the CREATE itself always rides with the range. Array types
+    * auto-create with their element, and custom BASE types cannot be
+    * recreated from the catalog at all (their in/out/recv functions
+    * live in C). */
   val pgsqlCustomTypes: String =
     """WITH RECURSIVE seed(oid) AS (
          SELECT DISTINCT a.atttypid
@@ -653,22 +656,40 @@ object IntrospectionSql {
          ) x
        ),
        refs(oid, ref) AS (
-         SELECT cl.oid, x.ref FROM closure cl, LATERAL (
-           SELECT t.typbasetype AS ref FROM pg_type t
+         -- raw dependency edges, then NORMALIZE each through one
+         -- array-element dereference ('CREATE DOMAIN il AS posint[]'
+         -- must depend on posint, not the filtered-out '_posint')
+         -- and one multirange→range mapping (a composite field or
+         -- domain base typed as a multirange depends on the RANGE,
+         -- which is what actually gets a CREATE statement)
+         SELECT cl.oid, norm.ref FROM closure cl
+         CROSS JOIN LATERAL (
+           SELECT t.typbasetype AS raw FROM pg_type t
              WHERE t.oid = cl.oid AND t.typbasetype <> 0
            UNION ALL
            SELECT r.rngsubtype FROM pg_range r
              WHERE r.rngtypid = cl.oid
            UNION ALL
-           SELECT CASE WHEN et.typelem <> 0 THEN et.typelem
-                       ELSE a2.atttypid END
+           SELECT r.rngtypid FROM pg_range r
+             WHERE r.rngmultitypid = cl.oid
+           UNION ALL
+           SELECT a2.atttypid
              FROM pg_type t
              JOIN pg_attribute a2 ON a2.attrelid = t.typrelid
-             JOIN pg_type et ON et.oid = a2.atttypid
              WHERE t.oid = cl.oid AND t.typtype = 'c'
                AND t.typrelid <> 0 AND a2.attnum > 0
                AND NOT a2.attisdropped
          ) x
+         CROSS JOIN LATERAL (
+           SELECT COALESCE(
+               (SELECT mr.rngtypid FROM pg_range mr
+                 WHERE mr.rngmultitypid = elem.eoid),
+               elem.eoid) AS ref
+           FROM (SELECT CASE WHEN et.typtype = 'b'
+                               AND et.typelem <> 0
+                             THEN et.typelem ELSE x.raw END AS eoid
+                 FROM pg_type et WHERE et.oid = x.raw) elem
+         ) norm
        )
        SELECT tn.nspname, t.typname, t.typtype::text,
          CASE t.typtype
@@ -725,7 +746,7 @@ object IntrospectionSql {
        JOIN pg_namespace tn ON tn.oid = t.typnamespace
        LEFT JOIN pg_range r ON r.rngtypid = t.oid
        WHERE tn.nspname NOT IN ('pg_catalog', 'information_schema')
-         AND t.typtype IN ('d', 'c', 'r', 'e')
+         AND t.typtype IN ('d', 'c', 'r', 'e', 'm')
        ORDER BY tn.nspname, t.typname"""
 
   /** PG heap split by ctid block ranges

@@ -1133,6 +1133,38 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("DROP TYPE ct_pair CASCADE")
     ex(sp)("DROP DOMAIN ct_posint CASCADE")
     ex(sp)("DROP TYPE ct_trange CASCADE")
+    // review-found edges: (a) a domain over a DOMAIN ARRAY — the
+    // dependency edge runs through the filtered-out array type, so
+    // the refs normalization must dereference it or the emission
+    // order breaks; (b) a table whose ONLY custom-type reference is
+    // a MULTIRANGE column — the alias row must seed its range
+    ex(sp)("DROP TABLE IF EXISTS ct_edge")
+    ex(sp)("DROP DOMAIN IF EXISTS ct_intlist CASCADE")
+    ex(sp)("DROP DOMAIN IF EXISTS ct_pos2 CASCADE")
+    ex(sp)("DROP TYPE IF EXISTS ct_erange CASCADE")
+    ex(sp)("CREATE DOMAIN ct_pos2 AS int4 CHECK (VALUE > 0)")
+    ex(sp)("CREATE DOMAIN ct_intlist AS ct_pos2[]")
+    ex(sp)("CREATE TYPE ct_erange AS RANGE (subtype = int4, " +
+      "multirange_type_name = ct_emr)")
+    ex(sp)("CREATE TABLE ct_edge (id int4, il ct_intlist, m ct_emr)")
+    ex(sp)("INSERT INTO ct_edge VALUES " +
+      "(1, ARRAY[1,2]::ct_pos2[], '{[1,2),[5,6)}'), (2, NULL, '{}')")
+    val text3 =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables
+            INCLUDING ONLY TABLE NAMES MATCHING 'ct_edge';"""
+    val stats3 = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text3)
+    assert(stats3.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("ct_edge", 2L, 0L)), stats3.mkString("; "))
+    val sel3 = "SELECT id::text, il::text, m::text FROM ct_edge " +
+      "ORDER BY id"
+    assert(q(dp)(sel3).map(_.toSeq) == q(sp)(sel3).map(_.toSeq))
+    ex(sp)("DROP TABLE ct_edge")
+    ex(sp)("DROP DOMAIN ct_intlist CASCADE")
+    ex(sp)("DROP DOMAIN ct_pos2 CASCADE")
+    ex(sp)("DROP TYPE ct_erange CASCADE")
   }
 
   test("live pg→pg: int2vector/oidvector columns fall back to COPY " +
