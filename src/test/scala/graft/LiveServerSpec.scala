@@ -1165,6 +1165,33 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("DROP DOMAIN ct_intlist CASCADE")
     ex(sp)("DROP DOMAIN ct_pos2 CASCADE")
     ex(sp)("DROP TYPE ct_erange CASCADE")
+    // MATERIALIZE VIEWS: a custom-typed VIEW column must pull its
+    // type too (the closure seeds over relkind v/m as well)
+    ex(sp)("DROP VIEW IF EXISTS ct_view")
+    ex(sp)("DROP TABLE IF EXISTS ct_vbase")
+    ex(sp)("DROP DOMAIN IF EXISTS ct_vpos CASCADE")
+    ex(sp)("CREATE DOMAIN ct_vpos AS int4 CHECK (VALUE > 0)")
+    ex(sp)("CREATE TABLE ct_vbase (id int4, p ct_vpos)")
+    ex(sp)("INSERT INTO ct_vbase VALUES (1, 5), (2, 7)")
+    ex(sp)("CREATE VIEW ct_view AS SELECT id, p FROM ct_vbase")
+    val text4 =
+      s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+            INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+            WITH include drop, create tables
+            MATERIALIZE VIEWS ct_view
+            INCLUDING ONLY TABLE NAMES MATCHING 'ct_view';"""
+    val stats4 = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+      .runFile(spark, text4)
+    assert(stats4.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("ct_view", 2L, 0L)), stats4.mkString("; "))
+    assert(q(dp)("SELECT format_type(a.atttypid, NULL) " +
+      "FROM pg_attribute a WHERE a.attrelid = 'ct_view'::regclass " +
+      "AND a.attname = 'p'").head(0) == "ct_vpos")
+    assert(q(dp)("SELECT p::text FROM ct_view ORDER BY id")
+      .map(_(0)) == Seq("5", "7"))
+    ex(sp)("DROP VIEW ct_view")
+    ex(sp)("DROP TABLE ct_vbase")
+    ex(sp)("DROP DOMAIN ct_vpos CASCADE")
   }
 
   test("live pg→pg: int2vector/oidvector columns fall back to COPY " +
