@@ -433,32 +433,65 @@ class LiveServerSpec extends SparkSpec {
         } + "\""
       s"($a,$b)"
     }
+    // stacked quoting: a composite literal as a QUOTED array element
+    def quoteIn(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case ch => ch.toString
+      } + "\""
+    def compArr(): String = rnd.nextInt(5) match {
+      case 0 => "{}"
+      case 1 => "{NULL}"
+      case _ => "{" + (0 until rnd.nextInt(3) + 1)
+        .map(_ => quoteIn(comp())).mkString(",") + "}"
+    }
+    // a composite whose FIRST field is itself a range literal
+    def compR(): String = {
+      val r = if (rnd.nextInt(5) == 0) "" else quoteIn(i4range())
+      val b = if (rnd.nextInt(5) == 0) "" else quoteIn(text())
+      s"($r,$b)"
+    }
     val rows = (0 until 600).map { k =>
       (k.toString, numeric(), rnd.nextLong().toString, f8(), f4(),
         date(), ts(false), ts(true), time(), uuid(), text(), bytea(),
-        numArr(), ival(), jsonb(), i4range(), numMr(), comp())
+        numArr(), ival(), jsonb(), i4range(), numMr(), comp(),
+        compArr(), compR())
     }
     import spark.implicits._
     val df = rows.toDF("k", "n", "i8", "f8", "f4", "d", "ts", "tz",
-      "tm", "u", "t", "b", "na", "iv", "js", "r4", "nmr", "ct")
+      "tm", "u", "t", "b", "na", "iv", "js", "r4", "nmr", "ct",
+      "ca", "cr")
     val dp = PgWire.connParams(uri, decode)
     val c = new graft.sinks.PgWireConnection(dp)
     try {
       val cols = "k int4, n numeric, i8 int8, f8 float8, f4 float4, " +
         "d date, ts timestamp, tz timestamptz, tm time, u uuid, " +
         "t text, b bytea, na numeric[], iv interval, js jsonb, " +
-        "r4 int4range, nmr nummultirange, ct rnd_ct"
+        "r4 int4range, nmr nummultirange, ct rnd_ct, ca rnd_ct[], " +
+        "cr rnd_rc"
+      c.simpleCommand("do 'begin create type rnd_ct as " +
+        "(a int4, b text); exception when duplicate_object " +
+        "then null; end'")
+      c.simpleCommand("do 'begin create type rnd_rc as " +
+        "(r int4range, b text); exception when duplicate_object " +
+        "then null; end'")
+      // array_recv demands the COLUMN's element oid in the payload —
+      // rnd_ct is a runtime-created type, so fetch its oid live
+      val ctOid = c.query(
+        "SELECT oid FROM pg_type WHERE typname = 'rnd_ct'")
+        ._2.head(0).toInt
       val kinds = {
         import graft.sinks.PgBinKind._
+        val ct = Comp(Seq((I4, 23), (Text, 25)), "rnd_ct")
         Seq(I4, Num, I8, F8, F4, Date, Ts, TsTz, Time, Uuid, Text,
           Bytea, Arr(Num, 1700), Ival, Jsonb,
           Rng(I4, "int4range"),
           Mrng(Rng(Num, "numrange"), "nummultirange"),
-          Comp(Seq((I4, 23), (Text, 25)), "rnd_ct"))
+          ct, Arr(ct, ctOid),
+          Comp(Seq((Rng(I4, "int4range"), 3904), (Text, 25)),
+            "rnd_rc"))
       }
-      c.simpleCommand("do 'begin create type rnd_ct as " +
-        "(a int4, b text); exception when duplicate_object " +
-        "then null; end'")
       for (t <- Seq("rnd_txt", "rnd_bin")) {
         c.simpleCommand(s"drop table if exists $t")
         c.simpleCommand(s"create table $t ($cols)")

@@ -29,7 +29,14 @@ object PgBinaryProps extends Properties("PgBinary") {
     PgBinKind.Mrng(PgBinKind.Rng(PgBinKind.Text, "textrange"),
       "textmultirange"),
     PgBinKind.Comp(Seq((PgBinKind.I4, 23), (PgBinKind.Text, 25)), "pt"),
-    PgBinKind.Comp(Seq((PgBinKind.Num, 1700)), "n1"))
+    PgBinKind.Comp(Seq((PgBinKind.Num, 1700)), "n1"),
+    // stacked-quoting nests: array-of-composite, composite-with-range
+    PgBinKind.Arr(
+      PgBinKind.Comp(Seq((PgBinKind.I4, 23), (PgBinKind.Text, 25)),
+        "pt"), 90001),
+    PgBinKind.Comp(Seq(
+      (PgBinKind.Rng(PgBinKind.I4, "int4range"), 3904),
+      (PgBinKind.Text, 25)), "rc"))
 
   // hostile bias: number-ish and datetime-ish fragments glued
   // randomly, long digit runs, signs, separators, exponent markers,
