@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   * tool measures the regime the binary path exists for.
   *
   * Usage: CopyBinAb <pgUri> [rows=3000000] [mode=both|text|binary]
-  *                  [corpus=num|bytea]
+  *                  [corpus=num|bytea|range]
   * `corpus=bytea` loads (int4, 64-byte bytea) rows — the regime where
   * the server pays `byteain`'s hex re-parse per value under COPY TEXT
-  * and the binary path ships raw bytes. Pair with an external PG-CPU
-  * probe (postmaster cutime delta) for the server-side split.
+  * and the binary path ships raw bytes. `corpus=range` loads
+  * (int4range, tsrange, int4multirange) rows — range_in parses both
+  * bounds through the subtype input routine plus a canonicalization
+  * call, the basis for `copy binary auto` counting ranges expensive.
+  * Pair with an external PG-CPU probe (postmaster cutime delta) for
+  * the server-side split.
   */
 object CopyBinAb {
   def main(args: Array[String]): Unit = {
@@ -50,6 +54,22 @@ object CopyBinAb {
             md5((col("id") + 1L).cast("string")),
             md5((col("id") + 2L).cast("string")),
             md5((col("id") + 3L).cast("string"))).as("b"))
+      case "range" =>
+        // discrete + timestamp ranges and a 2-member multirange —
+        // range_in pays subtype_in per bound + canonicalization
+        spark.range(rows).select(
+          format_string("[%d,%d)", col("id") % 1000000L,
+            col("id") % 1000000L + 3L).as("r"),
+          concat(lit("[2024-03-"),
+            lpad(((col("id") % 28L) + 1L).cast("string"), 2, "0"),
+            lit(" 00:00:00,2024-03-"),
+            lpad(((col("id") % 28L) + 1L).cast("string"), 2, "0"),
+            lit(" 12:34:56."),
+            lpad((col("id") % 1000000L).cast("string"), 6, "0"),
+            lit(")")).as("tr"),
+          format_string("{[%d,%d),[%d,%d)}", col("id") % 500000L,
+            col("id") % 500000L + 2L, col("id") % 500000L + 10L,
+            col("id") % 500000L + 14L).as("m"))
       case _ => spark.range(rows).select(
         format_string("%d.%04d", col("id") % 1000000L,
           col("id") % 10000L).as("n"),
@@ -66,6 +86,15 @@ object CopyBinAb {
     val (cols, kinds) = corpus match {
       case "bytea" => ("k int4, b bytea",
         Seq(graft.sinks.PgBinKind.I4, graft.sinks.PgBinKind.Bytea))
+      case "range" =>
+        ("r int4range, tr tsrange, m int4multirange",
+          Seq(graft.sinks.PgBinKind.Rng(graft.sinks.PgBinKind.I4,
+              "int4range"),
+            graft.sinks.PgBinKind.Rng(graft.sinks.PgBinKind.Ts,
+              "tsrange"),
+            graft.sinks.PgBinKind.Mrng(
+              graft.sinks.PgBinKind.Rng(graft.sinks.PgBinKind.I4,
+                "int4range"), "int4multirange")))
       case _ => ("n numeric(14,4), ts timestamptz, f float8, u uuid",
         Seq(graft.sinks.PgBinKind.Num, graft.sinks.PgBinKind.TsTz,
           graft.sinks.PgBinKind.F8, graft.sinks.PgBinKind.Uuid))
