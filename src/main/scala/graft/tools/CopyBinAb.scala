@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * tool measures the regime the binary path exists for.
   *
   * Usage: CopyBinAb <pgUri> [rows=3000000] [mode=both|text|binary]
-  *                  [corpus=num|bytea|range]
+  *                  [corpus=num|bytea|range|comp]
   * `corpus=bytea` loads (int4, 64-byte bytea) rows — the regime where
   * the server pays `byteain`'s hex re-parse per value under COPY TEXT
   * and the binary path ships raw bytes. `corpus=range` loads
@@ -70,6 +70,14 @@ object CopyBinAb {
           format_string("{[%d,%d),[%d,%d)}", col("id") % 500000L,
             col("id") % 500000L + 2L, col("id") % 500000L + 10L,
             col("id") % 500000L + 14L).as("m"))
+      case "comp" =>
+        // a (numeric, text, timestamptz) composite — record_in runs
+        // every field through its attribute's input routine plus the
+        // quote/escape scan
+        spark.range(rows).select(
+          format_string("(%d.%04d,\"v %d\",2024-03-%02d 12:34:56+00)",
+            col("id") % 1000000L, col("id") % 10000L,
+            col("id") % 100000L, (col("id") % 28L) + 1L).as("c"))
       case _ => spark.range(rows).select(
         format_string("%d.%04d", col("id") % 1000000L,
           col("id") % 10000L).as("n"),
@@ -95,6 +103,22 @@ object CopyBinAb {
             graft.sinks.PgBinKind.Mrng(
               graft.sinks.PgBinKind.Rng(graft.sinks.PgBinKind.I4,
                 "int4range"), "int4multirange")))
+      case "comp" =>
+        ddl("do 'begin create type ab_ct as (n numeric(14,4), " +
+          "t text, ts timestamptz); exception when duplicate_object " +
+          "then null; end'")
+        val oids = {
+          val c = new graft.sinks.PgWireConnection(wire)
+          try c.query("SELECT a.attname, a.atttypid::text " +
+            "FROM pg_attribute a JOIN pg_type t ON t.typrelid = " +
+            "a.attrelid WHERE t.typname = 'ab_ct' AND a.attnum > 0 " +
+            "ORDER BY a.attnum")._2.map(_(1).toInt)
+          finally c.close()
+        }
+        ("c ab_ct", Seq(graft.sinks.PgBinKind.Comp(Seq(
+          (graft.sinks.PgBinKind.Num, oids(0)),
+          (graft.sinks.PgBinKind.Text, oids(1)),
+          (graft.sinks.PgBinKind.TsTz, oids(2))), "ab_ct")))
       case _ => ("n numeric(14,4), ts timestamptz, f float8, u uuid",
         Seq(graft.sinks.PgBinKind.Num, graft.sinks.PgBinKind.TsTz,
           graft.sinks.PgBinKind.F8, graft.sinks.PgBinKind.Uuid))
