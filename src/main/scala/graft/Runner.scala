@@ -896,6 +896,22 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // source-catalog introspection wall, rows = tables discovered
     val fetchNanos = System.nanoTime() - fetchT0
 
+    // driver-local fast path for small tables (per-table Spark-job
+    // floor amortization, [[graft.sinks.LocalCopy]]): sources that can
+    // cheaply prove a table fits one partition return a streaming
+    // driver-side scan; everything else keeps the distributed read.
+    // Probed at LOAD time (from the Migrator's copy-pool thread), so
+    // `workers` small tables still stream concurrently.
+    val localScan: graft.catalog.Table =>
+        Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] =
+      scheme match {
+        case "pgsql" | "postgresql" | "postgres" =>
+          val sp = graft.sinks.PgWire.connParams(uri, decode)
+          t => graft.sources.PgWireSource.localScanIfSmall(
+            sp, s"${t.schema}.${t.sourceName}")
+        case _ => _ => None
+      }
+
     // MATERIALIZE VIEWS (matviews.lisp:24-63): create user-defined
     // views in the SOURCE, introspect the named (or all) views as
     // tables, migrate them as ordinary tables, drop the created views
@@ -988,6 +1004,38 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {
+          // small-table fast path: stream the table driver-side through
+          // the same batch/reject/endpoint machinery (LocalCopy) —
+          // skips the per-table Spark job entirely. Backfilled tables
+          // need the join dataflow, views have no relpages signal, and
+          // exactly-once keeps the staged task-attempt machinery: all
+          // three stay on the distributed path.
+          val local =
+            if (backfill.contains(t.sourceName.toLowerCase) ||
+                viewKeys((t.schema, t.sourceName)) ||
+                cmd.boolOption("exactly once")) None
+            else localScan(t)
+          if (local.isDefined) {
+            val (cols, rows, close) = local.get()
+            try {
+              val qualified = s"${t.schema}.${t.name}"
+              val kinds = binaryKinds(qualified, cols,
+                named = false, preserveCase = false,
+                mode = cmd.option("copy binary"))
+              val ef = kinds match {
+                case Some(_) => binaryEndpointFactory
+                case None => endpointFactory
+              }
+              graft.sinks.LocalCopy.write(rows,
+                endpointFactory = ef(qualified, setup),
+                render = kinds.map(graft.sinks.LocalCopy.binaryRender)
+                  .getOrElse(graft.sinks.LocalCopy.textRender),
+                rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
+                rejectRender = kinds.map(k =>
+                  graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
+                  .orNull)
+            } finally close()
+          } else {
           val df = backfill.get(t.sourceName.toLowerCase) match {
             case Some(rule) =>
               val chain = rule.table +: rule.from
@@ -1043,6 +1091,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
             }
             sink.write(df)
+          }
           }
         },
         workers = cmd.intOption("workers")

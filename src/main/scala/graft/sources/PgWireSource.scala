@@ -104,6 +104,32 @@ object PgWireSource {
     } finally conn.close()
   }
 
+  /** Driver-local scan for tables below the single-ctid-chunk
+    * threshold — the per-table Spark-job floor amortization
+    * ([[graft.sinks.LocalCopy]]). A table whose relpages fit in ONE
+    * [[IntrospectionSql.pgsqlCtidPredicates]] chunk would run as a
+    * single Spark task anyway, so reading its wire stream on the
+    * calling thread loses no parallelism and skips the job-submit
+    * floor (and, in a mixed migration, the scheduler queueing behind
+    * a big table's partitions — measured at whole seconds for 9-row
+    * tables). Returns None for bigger tables; Some(open) hands back
+    * (column names, streaming row iterator, close) — the stream holds
+    * one row at a time, so even a stale-relpages surprise stays
+    * bounded-memory (the distributed path would also read it on one
+    * connection). */
+  def localScanIfSmall(params: PgWire.ConnParams, table: String,
+                       pagesPerChunk: Long = 1000L)
+      : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
+    val pages = relpagesOf(params, table)
+    if (pages >= pagesPerChunk) None
+    else Some(() => {
+      val conn = new PgWireConnection(params)
+      val (cols, rows) = conn.queryStream(
+        s"SELECT * FROM ${PgWire.quoteQualified(table)}")
+      (cols, rows, () => conn.close())
+    })
+  }
+
   /** Column names of `table`, discovered driver-side from a LIMIT 0
     * RowDescription — no catalog query needed. */
   def columnsOf(params: PgWire.ConnParams, table: String): Seq[String] = {
