@@ -997,10 +997,22 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         }
       }
       val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
+      // unqualified type names in the closure resolve in the SOURCE
+      // session's search-path order — captured live, not guessed from
+      // the URI (only pg sources ship custom types today)
+      val sourceSearchPath: Seq[String] =
+        if (sourceCustomTypes.isEmpty) Nil
+        else scheme match {
+          case "pgsql" | "postgresql" | "postgres" =>
+            graft.sources.PgWireSource.searchPathOf(
+              graft.sinks.PgWire.connParams(uri, decode))
+          case _ => Nil
+        }
       val cat = Catalog(uri, bySchema.map { case (s, ts) =>
         Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
       }, sequences = sourceSequences,
-        customTypes = sourceCustomTypes)
+        customTypes = sourceCustomTypes,
+        searchPath = sourceSearchPath)
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {

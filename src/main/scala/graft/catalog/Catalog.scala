@@ -28,7 +28,15 @@ final case class Catalog(name: String, schemas: Seq[Schema] = Nil,
                            * the Migrator recreates the post-cast
                            * NEEDED subset on the target before CREATE
                            * TABLE ([[CustomTypes.needed]]). */
-                         customTypes: Seq[CustomType] = Nil) {
+                         customTypes: Seq[CustomType] = Nil,
+                         /** the SOURCE session's effective schema
+                           * search path (`current_schemas(false)` at
+                           * introspection time, $user resolved
+                           * server-side) — the resolution order for
+                           * UNQUALIFIED type names in format_type
+                           * output ([[CustomTypes.resolver]]); empty
+                           * = fall back to the URI-user heuristic. */
+                         searchPath: Seq[String] = Nil) {
   def allTables: Seq[Table] = schemas.flatMap(_.tables)
 
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
@@ -180,6 +188,40 @@ object CustomTypes {
     }
   }
 
+  /** pgType string → the source custom type it references, if any —
+    * the shared resolution the NEEDED closure and the Migrator's
+    * enum-column handling both use. format_type renders a type name
+    * UNQUALIFIED when it is visible on the source search_path, so an
+    * ambiguous unqualified name resolves in search-path order:
+    * `cat.searchPath` when introspection captured it
+    * (`current_schemas(false)` — $user already resolved server-side),
+    * else the percent-DECODED URI user then public (the raw-URI
+    * regex alone mis-resolved `user%20name`-style logins). */
+  def resolver(cat: Catalog): String => Option[CustomType] = {
+    if (cat.customTypes.isEmpty) return _ => None
+    val byKey = cat.customTypes.map(ct =>
+      s"${ct.schema}.${ct.name}" -> ct).toMap
+    val byName = cat.customTypes.groupBy(_.name)
+    val pathSchemas: Seq[String] =
+      if (cat.searchPath.nonEmpty) cat.searchPath
+      else {
+        val userSchema: Option[String] =
+          "^[a-zA-Z0-9+]+://([^:/@]+)(:[^@]*)?@".r
+            .findFirstMatchIn(cat.name).map(m =>
+              java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+        userSchema.toSeq :+ "public"
+      }
+    pgType => typeRef(pgType).flatMap {
+      case (Some(sch), n) => byKey.get(s"$sch.$n")
+      case (None, n) => byName.get(n) match {
+        case Some(Seq(one)) => Some(one)
+        case Some(many) =>
+          pathSchemas.flatMap(s => many.find(_.schema == s)).headOption
+        case None => None
+      }
+    }
+  }
+
   /** The post-cast NEEDED subset of `cat.customTypes` in dependency
     * order (referenced types first): seeds from every remaining
     * column's pgType, closed over `refs`. */
@@ -187,28 +229,9 @@ object CustomTypes {
     if (cat.customTypes.isEmpty) return Nil
     val byKey = cat.customTypes.map(ct =>
       s"${ct.schema}.${ct.name}" -> ct).toMap
-    val byName = cat.customTypes.groupBy(_.name)
-    // format_type renders a type name UNQUALIFIED when it is visible
-    // on the source search_path, whose default is "$user", public —
-    // so an ambiguous unqualified name resolves user-schema first,
-    // then public. The user schema comes from the catalog's own
-    // source URI (scheme://user[:pass]@…).
-    val userSchema: Option[String] =
-      "^[a-zA-Z0-9+]+://([^:/@]+)(:[^@]*)?@".r
-        .findFirstMatchIn(cat.name).map(_.group(1))
-    def resolve(ref: (Option[String], String)): Option[CustomType] =
-      ref match {
-        case (Some(sch), n) => byKey.get(s"$sch.$n")
-        case (None, n) => byName.get(n) match {
-          case Some(Seq(one)) => Some(one)
-          case Some(many) =>
-            many.find(ct => userSchema.contains(ct.schema))
-              .orElse(many.find(_.schema == "public"))
-          case None => None
-        }
-      }
+    val resolve = resolver(cat)
     val seeds = cat.allTables.flatMap(_.columns)
-      .flatMap(c => typeRef(c.pgType)).flatMap(resolve)
+      .flatMap(c => resolve(c.pgType))
     // close over refs, then DFS post-order = dependencies first.
     // Multirange ALIAS rows (kind 'm') can seed and carry refs — a
     // column typed as the multirange must pull in its range — but

@@ -226,6 +226,14 @@ final class Migrator(
       // the table drops (CASCADE would otherwise chase still-
       // existing tables from a prior run).
       val neededTypes = graft.catalog.CustomTypes.needed(cat)
+      // a column whose type the closure recreates keeps that
+      // source-named type — the <table>_<column> rewrite below is for
+      // sources whose enums are INLINE column types (MySQL enum/set);
+      // running both created the source-named enum unused and, under
+      // include drop, a gratuitous extra DROP TYPE CASCADE
+      val closureResolved = graft.catalog.CustomTypes.resolver(cat)
+      val neededKeys =
+        neededTypes.map(ct => s"${ct.schema}.${ct.name}").toSet
       neededTypes.map(_.schema).distinct
         .filter(s => s.nonEmpty && s != "public")
         .filterNot(s => cat.schemas.exists(_.name == s))
@@ -249,7 +257,11 @@ final class Migrator(
             // user `CAST type mood to text` leaves pgType = text and
             // this block alone)
             val pgEnum = field.exists(f =>
-              f.enumLabels.nonEmpty && c.pgType == f.ctype)
+              f.enumLabels.nonEmpty && c.pgType == f.ctype) &&
+              // the custom-type closure already recreates this very
+              // type under its source name — keep the column on it
+              !closureResolved(c.pgType).exists(ct =>
+                neededKeys(s"${ct.schema}.${ct.name}"))
             if ((isEnumish &&
                   (c.pgType == "enum" || c.pgType == "enum[]")) ||
                 pgEnum) {

@@ -1156,8 +1156,11 @@ object PgBinary {
     val s = v.toString
     val n = s.length
     var i = 0
+    // all ASCII whitespace, like array_in's own scanner (\n, \r, \v,
+    // \f between tokens are server-legal; space/tab-only skipping
+    // rejected rows the COPY TEXT path loads)
     def skipWs(): Unit =
-      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+      while (i < n && isAsciiWs(s.charAt(i))) i += 1
     skipWs()
     if (i >= n || s.charAt(i) != '{') return null
     // the ONLY legal empty form is the whole literal '{}' — an empty
@@ -1222,12 +1225,13 @@ object PgBinary {
           // mid-element quote/brace is a server error
           else {
             sb.append(c); i += 1
-            if (c != ' ' && c != '\t') lastSig = sb.length
+            // scanner_isspace: ALL ASCII whitespace trims, not just
+            // space/tab (live-pinned: '{a\f}' loads the element "a")
+            if (!isAsciiWs(c)) lastSig = sb.length
           }
         }
         var e = sb.length
-        while (e > lastSig && (sb.charAt(e - 1) == ' ' ||
-          sb.charAt(e - 1) == '\t')) e -= 1
+        while (e > lastSig && isAsciiWs(sb.charAt(e - 1))) e -= 1
         if (e == 0) return false // empty unquoted element errors
         elemText = sb.substring(0, e)
       }

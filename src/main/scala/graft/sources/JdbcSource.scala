@@ -695,8 +695,11 @@ object IntrospectionSql {
          CASE t.typtype
            WHEN 'd' THEN format_type(t.typbasetype, t.typtypmod)
              || CASE WHEN t.typcollation NOT IN (0, 100)
-                  THEN ' COLLATE ' || (SELECT quote_ident(collname)
-                    FROM pg_collation WHERE oid = t.typcollation)
+                  THEN ' COLLATE ' || (SELECT quote_ident(cn.nspname)
+                      || '.' || quote_ident(collname)
+                    FROM pg_collation col
+                    JOIN pg_namespace cn ON cn.oid = col.collnamespace
+                    WHERE col.oid = t.typcollation)
                   ELSE '' END
              || COALESCE(' DEFAULT ' || t.typdefault, '')
              || CASE WHEN t.typnotnull THEN ' NOT NULL' ELSE '' END
@@ -708,8 +711,11 @@ object IntrospectionSql {
                quote_ident(a3.attname) || ' '
                  || format_type(a3.atttypid, a3.atttypmod)
                  || CASE WHEN a3.attcollation NOT IN (0, 100)
-                      THEN ' COLLATE ' || (SELECT quote_ident(collname)
-                        FROM pg_collation WHERE oid = a3.attcollation)
+                      THEN ' COLLATE ' || (SELECT quote_ident(cn.nspname)
+                          || '.' || quote_ident(collname)
+                        FROM pg_collation col
+                        JOIN pg_namespace cn ON cn.oid = col.collnamespace
+                        WHERE col.oid = a3.attcollation)
                       ELSE '' END,
                ', ' ORDER BY a3.attnum)
              FROM pg_attribute a3
@@ -717,14 +723,37 @@ object IntrospectionSql {
                AND NOT a3.attisdropped) || ')'
            WHEN 'r' THEN '(subtype = '
              || format_type(r.rngsubtype, NULL)
-             || ', subtype_opclass = ' || (SELECT quote_ident(opcname)
-                  FROM pg_opclass WHERE oid = r.rngsubopc)
+             -- opclass/collation/diff names render SCHEMA-QUALIFIED:
+             -- the target session's search path need not match the
+             -- source's, and an unqualified non-path opclass fails
+             -- CREATE TYPE outright
+             || ', subtype_opclass = ' || (SELECT quote_ident(opn.nspname)
+                  || '.' || quote_ident(opcname)
+                  FROM pg_opclass oc
+                  JOIN pg_namespace opn ON opn.oid = oc.opcnamespace
+                  WHERE oc.oid = r.rngsubopc)
              || CASE WHEN r.rngcollation NOT IN (0, 100)
-                  THEN ', collation = ' || (SELECT quote_ident(collname)
-                    FROM pg_collation WHERE oid = r.rngcollation)
+                  THEN ', collation = ' || (SELECT quote_ident(cn.nspname)
+                    || '.' || quote_ident(collname)
+                    FROM pg_collation col
+                    JOIN pg_namespace cn ON cn.oid = col.collnamespace
+                    WHERE col.oid = r.rngcollation)
+                  ELSE '' END
+             -- rngsubdiff is user-settable (e.g. subtype_diff =
+             -- float8mi) and changes GiST behavior — dropping it
+             -- silently would recreate a DIFFERENT range type
+             || CASE WHEN r.rngsubdiff::oid <> 0
+                  THEN ', subtype_diff = ' || (SELECT
+                    quote_ident(pn.nspname) || '.' || quote_ident(p.proname)
+                    FROM pg_proc p
+                    JOIN pg_namespace pn ON pn.oid = p.pronamespace
+                    WHERE p.oid = r.rngsubdiff::oid)
                   ELSE '' END
              || ', multirange_type_name = '
-             || (SELECT quote_ident(mt.typname) FROM pg_type mt
+             || (SELECT quote_ident(mn.nspname) || '.'
+                  || quote_ident(mt.typname)
+                  FROM pg_type mt
+                  JOIN pg_namespace mn ON mn.oid = mt.typnamespace
                   WHERE mt.oid = r.rngmultitypid)
              || ')'
            WHEN 'e' THEN '(' || COALESCE((SELECT

@@ -66,6 +66,20 @@ object PgWireSource {
     finally conn.close()
   }
 
+  /** The session's effective schema search path —
+    * `current_schemas(false)`: $user resolved and non-existent
+    * entries dropped server-side. This is the resolution order for
+    * UNQUALIFIED type names in the custom-type closure
+    * ([[graft.catalog.CustomTypes.resolver]]); a customized source
+    * search_path or a percent-encoded login would mis-resolve under
+    * any client-side guess. */
+  def searchPathOf(params: PgWire.ConnParams): Seq[String] = {
+    val conn = new PgWireConnection(params)
+    try conn.query(
+      "SELECT unnest(current_schemas(false))")._2.map(_(0)).toSeq
+    finally conn.close()
+  }
+
   /** View introspection for MATERIALIZE VIEWS — the same column query
     * over relkind v/m, restricted to `names` (None = ALL VIEWS). */
   def introspectViews(params: PgWire.ConnParams,

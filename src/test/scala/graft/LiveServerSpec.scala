@@ -1227,6 +1227,72 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("DROP DOMAIN ct_vpos CASCADE")
   }
 
+  test("live pg→pg: range recreation carries subtype_diff and " +
+    "schema-qualified opclass; enum columns keep the SOURCE-NAMED " +
+    "type (no <table>_<column> duplicate)") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def ex(p: PgWire.ConnParams)(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(p: PgWire.ConnParams)(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.query(sql)._2 finally c.close()
+    }
+    ex(sp)("DROP TABLE IF EXISTS adv_src")
+    ex(sp)("DROP TYPE IF EXISTS adv_frange CASCADE")
+    ex(sp)("DROP TYPE IF EXISTS adv_mood CASCADE")
+    // float8mi is the built-in subtype_diff the docs themselves use;
+    // dropping it silently would change GiST behavior on the target
+    ex(sp)("CREATE TYPE adv_frange AS RANGE (subtype = float8, " +
+      "subtype_diff = float8mi)")
+    ex(sp)("CREATE TYPE adv_mood AS ENUM ('sad', 'ok', 'happy')")
+    ex(sp)("CREATE TABLE adv_src (id int4 PRIMARY KEY, " +
+      "r adv_frange, m adv_mood, ms adv_mood[])")
+    ex(sp)("INSERT INTO adv_src VALUES " +
+      "(1, '[1.5,2.5)', 'happy', '{sad,ok}'), " +
+      "(2, 'empty', NULL, '{}')")
+    def migrate(opts: String): Unit = {
+      val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+        .runFile(spark,
+          s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+                INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+                WITH include drop, create tables$opts
+                INCLUDING ONLY TABLE NAMES MATCHING 'adv_src';""")
+      assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+        Seq(("adv_src", 2L, 0L)), stats.mkString("; "))
+      val sel = "SELECT id::text, r::text, m::text, ms::text " +
+        "FROM adv_src ORDER BY id"
+      assert(q(dp)(sel).map(_.toSeq) == q(sp)(sel).map(_.toSeq))
+    }
+    migrate("")
+    // the recreated range kept its subtype_diff
+    assert(q(dp)("SELECT r.rngsubdiff::regproc::text FROM pg_range r " +
+      "JOIN pg_type t ON t.oid = r.rngtypid " +
+      "WHERE t.typname = 'adv_frange'").head(0) == "float8mi",
+      "subtype_diff lost in recreation")
+    // enum columns kept the SOURCE-NAMED type; no duplicate
+    // adv_src_m / adv_src_ms enum was created
+    assert(q(dp)("SELECT format_type(a.atttypid, NULL) " +
+      "FROM pg_attribute a WHERE a.attrelid = 'adv_src'::regclass " +
+      "AND a.attname = 'm'").head(0) == "adv_mood")
+    assert(q(dp)("SELECT count(*) FROM pg_type t " +
+      "JOIN pg_namespace n ON n.oid = t.typnamespace " +
+      "WHERE n.nspname = 'public' AND t.typname LIKE 'adv_src_%'")
+      .head(0) == "0", "gratuitous <table>_<column> enum created")
+    // re-run through the binary encoders: the enum resolves on the
+    // recreated source-named target type; the second include-drop
+    // pass also proves the drop set has no dangling duplicate
+    migrate(", copy binary")
+    ex(sp)("DROP TABLE adv_src")
+    ex(sp)("DROP TYPE adv_frange CASCADE")
+    ex(sp)("DROP TYPE adv_mood CASCADE")
+  }
+
   test("live pg→pg: int2vector/oidvector columns fall back to COPY " +
     "TEXT under copy binary, never per-row reject (typcategory 'A' " +
     "is not 'array')") {

@@ -240,6 +240,11 @@ class PgBinarySpec extends SparkSpec {
       "0000000c" + "00000000" + "00000000" + "00000017")
     assert(hex(enc(" { 1 , 2 } ", ints)) == // ws around elements/braces
       hex(enc("{1,2}", ints)))
+    // array_in skips ALL ASCII whitespace between tokens (\n \r \v
+    // \f), not just space/tab — '{1,\n2}' is server-valid
+    assert(hex(enc("{1,\n2}", ints)) == hex(enc("{1,2}", ints)))
+    assert(hex(enc("{\r1,2\f}\n", ints)) ==
+      hex(enc("{1,2}", ints)))
     // quoted elements: separators/braces/escapes inside; unquoted
     // lowercase null is NULL, quoted "NULL" is the string
     assert(hex(enc("""{"a,b",null,"c\"d","NULL"}""", texts)) ==
