@@ -536,13 +536,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // COMPOSITE types: the attribute list lives in pg_attribute
           // under pg_type.typrelid; record_recv validates field count
           // AND every per-field type OID, so both ride in the kind.
-          // Dropped attributes would desync the wire field list from
-          // the text grammar — bail to COPY TEXT if any exist.
+          // DROPPED attributes are skipped by BOTH grammars — record_in
+          // consumes no text position for them and record_send emits
+          // count + (oid, datum) for the NON-dropped fields only in
+          // attnum order (live-pinned hexdump: a 3-attnum composite
+          // with attnum 2 dropped ships count 2, oids of attnums 1,3)
+          // — so filtering them here keeps text and wire aligned 1:1.
           val relOid = typeRow(oid).map(_(5)).getOrElse("0")
           if (relOid == null || relOid == "0") None
-          else if (queryTarget("SELECT count(*) FROM pg_attribute " +
-              s"WHERE attrelid = $relOid AND attisdropped")
-              .headOption.exists(_(0) != "0")) None
           else {
             val fields = queryTarget(
               "SELECT t.oid::text, t.typname, t.typtype::text, " +
@@ -550,7 +551,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 "t.typelem::text FROM pg_attribute a " +
                 "JOIN pg_type t ON t.oid = a.atttypid " +
                 s"WHERE a.attrelid = $relOid AND a.attnum > 0 " +
-                "ORDER BY a.attnum")
+                "AND NOT a.attisdropped ORDER BY a.attnum")
             if (fields.isEmpty) None
             else {
               val resolved = fields.map(f =>

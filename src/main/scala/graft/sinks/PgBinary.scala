@@ -45,12 +45,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * may be multi-dimensional — up to array_in's 6-dim cap), RANGE
   * columns to [[PgBinKind.Rng]] of the pg_range subtype's kind,
   * MULTIRANGE columns to [[PgBinKind.Mrng]] of the member range, and
-  * COMPOSITE columns to [[PgBinKind.Comp]] over the attribute kinds +
-  * OIDs; types outside that resolution (custom base types whose recv
-  * semantics the engine cannot know, composites with dropped
-  * attributes) make the Runner fall back to COPY TEXT for the table
-  * (or, for per-VALUE shapes like an explicit `[lo:hi]=` dim spec,
-  * reject the row).
+  * COMPOSITE columns to [[PgBinKind.Comp]] over the NON-dropped
+  * attribute kinds + OIDs in attnum order (dropped attributes are
+  * skipped by record_in's text grammar and record_send's wire form
+  * alike, so filtering them keeps the two aligned — live-pinned);
+  * types outside that resolution (custom base types whose recv
+  * semantics the engine cannot know) make the Runner fall back to
+  * COPY TEXT for the table (or, for per-VALUE shapes like an explicit
+  * `[lo:hi]=` dim spec, reject the row).
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
   */

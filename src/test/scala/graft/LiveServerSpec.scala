@@ -270,6 +270,73 @@ class LiveServerSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("live PG: COPY BINARY composites with DROPPED attributes — " +
+    "non-dropped fields ship in attnum order, digest-identical to " +
+    "text, including nested in arrays") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dir = java.nio.file.Files
+      .createTempDirectory("live-dcomp").toFile
+    // the composite lost its MIDDLE attribute: text positions and the
+    // wire field list must both skip it (record_in/record_send do)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "d.csv").toPath,
+      "1|(7,1.5)|{\"(1,2)\",\"(3,4.25)\"}\n" +
+      "2|(,)|{}\n" +
+      "3|(-42,)|^{\"(,)\"}^\n")
+    def loadCmd(table: String, opts: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/d.csv'
+          HAVING FIELDS (id, v, vs)
+          INTO $uri TARGET TABLE $table
+          WITH fields terminated by '|',
+               fields optionally enclosed by '^'$opts
+          BEFORE LOAD DO
+            $$$$ drop table if exists $table; $$$$,
+            $$$$ do 'begin create type dcomp_t as
+                 (a int4, b text, c numeric);
+                 alter type dcomp_t drop attribute b;
+                 exception when duplicate_object
+                 then null; end'; $$$$,
+            $$$$ create table $table (id int4, v dcomp_t,
+                 vs dcomp_t[]); $$$$;"""
+    val runner = pgRunner(uri)
+    val errBuf = new java.io.ByteArrayOutputStream
+    val realErr = System.err
+    val stats = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      runner.runFile(spark,
+        loadCmd("dcomp_bin", ", copy binary") + "\n" +
+          loadCmd("dcomp_txt", ""))
+    } finally System.setErr(realErr)
+    assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+      Seq(("dcomp_bin", 3L, 0L), ("dcomp_txt", 3L, 0L)),
+      stats.mkString("; "))
+    val notes = errBuf.toString("UTF-8")
+    assert(!notes.contains("falls back to COPY TEXT for"),
+      s"binary load silently fell back:\n$notes")
+    val c = new graft.sinks.PgWireConnection(
+      PgWire.connParams(uri, decode))
+    try {
+      for (q <- Seq(
+        "SELECT count(*) FROM (SELECT * FROM dcomp_bin EXCEPT ALL " +
+          "SELECT * FROM dcomp_txt) x",
+        "SELECT count(*) FROM (SELECT * FROM dcomp_txt EXCEPT ALL " +
+          "SELECT * FROM dcomp_bin) x"))
+        assert(c.query(q)._2.head(0) == "0", q)
+      // field routing: first text position → attnum 1 (int4), second
+      // → attnum 3 (numeric, dscale preserved); NULL fields survive
+      assert(c.query("SELECT (v).a::text, (v).c::text, vs::text " +
+        "FROM dcomp_bin WHERE id = 1")._2.head.toSeq ==
+        Seq("7", "1.5", "{\"(1,2)\",\"(3,4.25)\"}"))
+      assert(c.query("SELECT v::text, (v).a IS NULL FROM dcomp_bin " +
+        "WHERE id = 2")._2.head.toSeq == Seq("(,)", "t"))
+      assert(c.query("SELECT (v).a::text, (v).c IS NULL, vs::text " +
+        "FROM dcomp_bin WHERE id = 3")._2.head.toSeq ==
+        Seq("-42", "t", "{\"(,)\"}"))
+    } finally c.close()
+  }
+
   test("live PG: WITH copy binary, exactly once stages binary datums " +
     "and publishes atomically, content-equal to the plain text load") {
     assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
