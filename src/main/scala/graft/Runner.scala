@@ -910,6 +910,27 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           val sp = graft.sinks.PgWire.connParams(uri, decode)
           t => graft.sources.PgWireSource.localScanIfSmall(
             sp, s"${t.schema}.${t.sourceName}")
+        case "mysql" =>
+          val mp = graft.sources.MySqlWire.connParams(uri, decode)
+          t => graft.sources.MySqlWireSource.localScanIfSmall(
+            mp, mp.database, t.sourceName,
+            partitionKey = t.fields.find(_.autoIncrement).map(_.name),
+            rowsPerRange = rowsPerRange,
+            charsetName = cmd.decodingAs.collectFirst {
+              case (pat, c) if pat.matches(t.sourceName) => c
+            }.getOrElse("UTF-8"))
+        case "mssql" =>
+          val tp = graft.sources.TdsWire.connParams(uri, decode)
+          t => graft.sources.MssqlWireSource.localScanIfSmall(
+            tp, t.schema, t.sourceName,
+            partitionKey = t.fields.find(_.autoIncrement).map(_.name),
+            rowsPerRange = rowsPerRange,
+            selectCols = graft.sources.ColumnSqlExpressions.selectPairs(
+              "mssql", t.fields.map(f => (f.name, f.typeName))))
+        case "sqlite" =>
+          val path = uri.stripPrefix("sqlite://")
+          t => graft.sources.SqliteSource.localScanIfSmall(
+            path, t.sourceName)
         case _ => _ => None
       }
 

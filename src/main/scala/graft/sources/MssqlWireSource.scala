@@ -176,6 +176,43 @@ object MssqlWireSource {
     * output for type-stable rendering; when empty, columns and their
     * wire types are discovered via a TOP-0 probe and routed through the
     * same rendering ([[discoveredPair]]). */
+  /** Driver-local scan for tables [[read]] would load as ONE
+    * full-scan partition anyway (no identity partition key, or below
+    * the `2 * rowsPerRange` split guard) — the per-table Spark-job
+    * floor amortization ([[graft.sinks.LocalCopy]]). `selectCols`
+    * must be the SAME per-type server-side rendering pairs the
+    * distributed read uses, so datetime/geometry columns arrive in
+    * identical text either way. Returns None when the read would
+    * actually split. */
+  def localScanIfSmall(params: TdsWire.ConnParams, schema: String,
+                       table: String, partitionKey: Option[String],
+                       rowsPerRange: Long,
+                       selectCols: Seq[(String, String)])
+      : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
+    val rows = rowCountOf(params, schema, table)
+    if (partitionKey.isDefined && rows >= 2 * rowsPerRange) None
+    else Some(() => {
+      val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
+      val resolved: Seq[(String, String)] =
+        if (selectCols.nonEmpty) selectCols
+        else {
+          // separate probe connection, like read(): the data stream
+          // below must start on a fresh single-use batch
+          val pc = new TdsWireConnection(params)
+          try pc.queryMeta(s"SELECT TOP 0 * FROM $qtable")
+            .map(discoveredPair)
+          finally pc.close()
+        }
+      val conn = new TdsWireConnection(params)
+      val cols = resolved.map { case (e, a) =>
+        if (e == quoteIdent(a)) e else s"$e AS ${quoteIdent(a)}"
+      }
+      val (_, it) = conn.queryStream(
+        s"SELECT ${cols.mkString(", ")} FROM $qtable")
+      (resolved.map(_._2), it, () => conn.close())
+    })
+  }
+
   def read(spark: SparkSession, params: TdsWire.ConnParams,
            schema: String, table: String,
            partitionKey: Option[String] = None,

@@ -143,6 +143,29 @@ object MySqlWireSource {
     RangeSplit.predicates(quoteIdent(col), lo, hi, rowsPerRange,
       rowCountEstimate)
 
+  /** Driver-local scan for tables [[read]] would load as ONE
+    * full-scan partition anyway (no integer partition key, or below
+    * the reference's `2 * rowsPerRange` split guard) — the per-table
+    * Spark-job floor amortization ([[graft.sinks.LocalCopy]], same
+    * contract as [[PgWireSource.localScanIfSmall]]). The stream
+    * decodes with the SAME per-table charset override the distributed
+    * read applies. Returns None when the read would actually split. */
+  def localScanIfSmall(params: MySqlWire.ConnParams, schema: String,
+                       table: String, partitionKey: Option[String],
+                       rowsPerRange: Long,
+                       charsetName: String = "UTF-8")
+      : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
+    val rows = rowCountOf(params, schema, table)
+    if (partitionKey.isDefined && rows >= 2 * rowsPerRange) None
+    else Some(() => {
+      val conn = new MySqlWireConnection(params)
+      val (cols, it) = conn.queryStream(
+        s"SELECT * FROM ${quoteIdent(schema)}.${quoteIdent(table)}",
+        java.nio.charset.Charset.forName(charsetName))
+      (cols, it, () => conn.close())
+    })
+  }
+
   /** Read `schema.table` over the wire. With an integer `partitionKey`
     * and enough rows (the reference's `2 * rowsPerRange` guard) the read
     * splits into one range predicate per Spark partition; otherwise it

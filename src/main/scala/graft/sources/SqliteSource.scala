@@ -154,6 +154,37 @@ object SqliteSource {
         c.ctype.trim.toLowerCase == "integer")
     else -1
 
+  /** Driver-local scan for tables whose B-tree is a SINGLE subtree —
+    * [[read]] would give them one Spark partition anyway, so the
+    * per-table job floor buys nothing ([[graft.sinks.LocalCopy]]).
+    * Returns None when the table splits into multiple subtrees. */
+  def localScanIfSmall(path: String, table: String)
+      : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
+    val db = SqliteFile.open(path)
+    val (rootPage, cols) =
+      try {
+        val m = userTables(db).find(_.name == table).getOrElse(
+          throw new IllegalArgumentException(s"no such table $table in $path"))
+        (m.rootPage, SqliteFile.parseCreateTable(m.sql))
+      } finally db.close()
+    val roots = {
+      val d = SqliteFile.open(path)
+      try d.subtreeRoots(rootPage) finally d.close()
+    }
+    if (roots.length > 1) None
+    else Some(() => {
+      val names = cols.map(_.name)
+      val alias = rowidAliasIdx(cols)
+      val realCols = cols.zipWithIndex.collect {
+        case (c, i) if SqliteFile.affinityIsReal(c.ctype) => i
+      }.toSet
+      val d = SqliteFile.open(path)
+      val it = roots.iterator.flatMap(r =>
+        d.scan(r, cols.length, alias, realCols))
+      (names, it, () => d.close())
+    })
+  }
+
   /** Read one table as an all-string DataFrame (fidelity mode), one
     * Spark partition per root subtree. */
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
