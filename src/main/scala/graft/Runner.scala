@@ -677,6 +677,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     val rowsPerRange =
       cmd.intOption("rows per range").map(_.toLong).getOrElse(10000L)
     val scheme = uri.takeWhile(_ != ':')
+    // DECODING TABLE NAMES MATCHING … AS cs: one lookup shared by the
+    // distributed mysql read and the small-table fast path — the two
+    // venues must never decode the same table differently
+    def decodingCharsetFor(table: String): String =
+      cmd.decodingAs.collectFirst {
+        case (pat, c) if pat.matches(table) => c
+      }.getOrElse("UTF-8")
     val wantViews = cmd.materializeAllViews || cmd.materializeViews.nonEmpty
     // viewOps: (run SQL in the SOURCE, introspect views, quote a view
     // name) — the MATERIALIZE VIEWS surface. Server sources run real
@@ -697,9 +704,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // DECODING TABLE NAMES MATCHING … AS cs: matched tables'
           // bytes decode with the override charset (mysql.lisp
           // *decoding-as* / apply-decoding-as-filters)
-          val cs = cmd.decodingAs.collectFirst {
-            case (pat, c) if pat.matches(t.sourceName) => c
-          }.getOrElse("UTF-8")
+          val cs = decodingCharsetFor(t.sourceName)
           graft.sources.MySqlWireSource.read(spark, mp, mp.database,
             t.sourceName, partitionKey = pk, rowCountEstimate = rows,
             rowsPerRange = rowsPerRange, charsetName = cs)
@@ -916,9 +921,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             mp, mp.database, t.sourceName,
             partitionKey = t.fields.find(_.autoIncrement).map(_.name),
             rowsPerRange = rowsPerRange,
-            charsetName = cmd.decodingAs.collectFirst {
-              case (pat, c) if pat.matches(t.sourceName) => c
-            }.getOrElse("UTF-8"))
+            charsetName = decodingCharsetFor(t.sourceName))
         case "mssql" =>
           val tp = graft.sources.TdsWire.connParams(uri, decode)
           t => graft.sources.MssqlWireSource.localScanIfSmall(

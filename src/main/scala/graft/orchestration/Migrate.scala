@@ -286,7 +286,26 @@ final class Migrator(
               preDdl(Ddl.createEnum(tn, labels))
               c.copy(pgType =
                 if (c.pgType.endsWith("[]")) tn + "[]" else tn)
-            } else c
+            } else closureResolved(c.pgType) match {
+              // a closure-recreated type: rewrite the column to the
+              // CANONICAL schema-qualified spelling. format_type
+              // rendered the name UNQUALIFIED whenever it was visible
+              // on the SOURCE search path — but the TARGET session's
+              // path need not contain that schema, so `m mood` for a
+              // non-public app.mood would abort CREATE TABLE with
+              // 'type "mood" does not exist'. Multirange columns
+              // resolve to their 'm' alias row (not in neededKeys —
+              // its range's CREATE makes it) and qualify the same way.
+              case Some(ct) =>
+                var base = c.pgType.trim
+                var dims = 0
+                while (base.endsWith("[]")) {
+                  dims += 1; base = base.stripSuffix("[]").trim
+                }
+                c.copy(pgType = graft.catalog.CustomTypes.qname(ct) +
+                  "[]" * dims)
+              case None => c
+            }
           }
           t.copy(columns = patched)
         })))

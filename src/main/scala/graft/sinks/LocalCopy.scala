@@ -37,15 +37,12 @@ object LocalCopy {
     * the DataFrame renderers produce: exactly one side is null. */
   type Render = Array[String] => (Array[Byte], Array[Byte])
 
-  /** COPY TEXT line renderer (never fails — text rendering is total). */
-  val textRender: Render = { values =>
-    ((CopyText.formatRow(values) + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8), null)
-  }
-
   private def textLineBytes(values: Array[String]): Array[Byte] =
     (CopyText.formatRow(values) + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** COPY TEXT line renderer (never fails — text rendering is total). */
+  val textRender: Render = values => (textLineBytes(values), null)
 
   /** COPY BINARY tuple-frame renderer: int16 field count + each field
     * via [[PgBinary.encodeField]] (null field = 4-byte −1). A value

@@ -164,18 +164,6 @@ object MssqlWireSource {
       case _ => (quoteIdent(ci.name), ci.name)
     }
 
-  /** Read `schema.table` over TDS. With an integer `partitionKey`
-    * (identity / clustered integer PK from introspection) and enough
-    * rows (the `2 * rowsPerRange` guard) the read splits into one
-    * WHERE-range per Spark partition — BEYOND the reference, whose
-    * FreeTDS path is single-stream (src/sources/mssql/mssql.lisp): at
-    * 100× the biggest table this is the difference between one stream
-    * and N. Range count capped via [[RangeSplit.predicates]]; otherwise
-    * a single full-scan partition. `selectCols` is (server-side
-    * expression, output name) pairs — [[ColumnSqlExpressions.mssqlPair]]
-    * output for type-stable rendering; when empty, columns and their
-    * wire types are discovered via a TOP-0 probe and routed through the
-    * same rendering ([[discoveredPair]]). */
   /** Driver-local scan for tables [[read]] would load as ONE
     * full-scan partition anyway (no identity partition key, or below
     * the `2 * rowsPerRange` split guard) — the per-table Spark-job
@@ -189,8 +177,10 @@ object MssqlWireSource {
                        rowsPerRange: Long,
                        selectCols: Seq[(String, String)])
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
-    val rows = rowCountOf(params, schema, table)
-    if (partitionKey.isDefined && rows >= 2 * rowsPerRange) None
+    // keyless tables are single-partition regardless of size — skip
+    // the row-count probe connection entirely
+    if (partitionKey.isDefined &&
+        rowCountOf(params, schema, table) >= 2 * rowsPerRange) None
     else Some(() => {
       val qtable = s"${quoteIdent(schema)}.${quoteIdent(table)}"
       val resolved: Seq[(String, String)] =
@@ -213,6 +203,18 @@ object MssqlWireSource {
     })
   }
 
+  /** Read `schema.table` over TDS. With an integer `partitionKey`
+    * (identity / clustered integer PK from introspection) and enough
+    * rows (the `2 * rowsPerRange` guard) the read splits into one
+    * WHERE-range per Spark partition — BEYOND the reference, whose
+    * FreeTDS path is single-stream (src/sources/mssql/mssql.lisp): at
+    * 100× the biggest table this is the difference between one stream
+    * and N. Range count capped via [[RangeSplit.predicates]]; otherwise
+    * a single full-scan partition. `selectCols` is (server-side
+    * expression, output name) pairs — [[ColumnSqlExpressions.mssqlPair]]
+    * output for type-stable rendering; when empty, columns and their
+    * wire types are discovered via a TOP-0 probe and routed through the
+    * same rendering ([[discoveredPair]]). */
   def read(spark: SparkSession, params: TdsWire.ConnParams,
            schema: String, table: String,
            partitionKey: Option[String] = None,

@@ -155,8 +155,10 @@ object MySqlWireSource {
                        rowsPerRange: Long,
                        charsetName: String = "UTF-8")
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
-    val rows = rowCountOf(params, schema, table)
-    if (partitionKey.isDefined && rows >= 2 * rowsPerRange) None
+    // keyless tables are single-partition REGARDLESS of size — skip
+    // the row-count probe connection entirely
+    if (partitionKey.isDefined &&
+        rowCountOf(params, schema, table) >= 2 * rowsPerRange) None
     else Some(() => {
       val conn = new MySqlWireConnection(params)
       val (cols, it) = conn.queryStream(

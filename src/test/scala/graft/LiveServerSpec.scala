@@ -1360,6 +1360,59 @@ class LiveServerSpec extends SparkSpec {
     ex(sp)("DROP TYPE adv_mood CASCADE")
   }
 
+  test("live pg→pg: a NON-public custom type visible via the source " +
+    "search_path recreates and the column spelling requalifies") {
+    assume(env("GRAFT_LIVE_PG_URI").isDefined &&
+      env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val sp = PgWire.connParams(env("GRAFT_LIVE_PG_URI").get, decode)
+    val dp = PgWire.connParams(env("GRAFT_LIVE_PG_DEST_URI").get, decode)
+    def ex(p: PgWire.ConnParams)(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(p: PgWire.ConnParams)(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(p)
+      try c.query(sql)._2 finally c.close()
+    }
+    val dbName = q(sp)("SELECT current_database()").head(0)
+    ex(sp)("DROP TABLE IF EXISTS sq_src")
+    ex(sp)("DROP SCHEMA IF EXISTS sq_app CASCADE")
+    ex(sp)("CREATE SCHEMA sq_app")
+    ex(sp)("CREATE TYPE sq_app.sq_mood AS ENUM ('lo', 'hi')")
+    ex(sp)("CREATE DOMAIN sq_app.sq_pos AS int4 CHECK (VALUE > 0)")
+    // the source session's search_path makes both types visible
+    // UNQUALIFIED — format_type then renders the bare names, which
+    // the target (default path, no sq_app) could never resolve
+    ex(sp)(s"ALTER DATABASE $dbName SET search_path = sq_app, public")
+    try {
+      ex(sp)("CREATE TABLE public.sq_src (id int4 PRIMARY KEY, " +
+        "m sq_app.sq_mood, p sq_app.sq_pos, ms sq_app.sq_mood[])")
+      ex(sp)("INSERT INTO sq_src VALUES (1, 'hi', 5, '{lo,hi}'), " +
+        "(2, NULL, 1, '{}')")
+      val stats = pgRunner(env("GRAFT_LIVE_PG_DEST_URI").get)
+        .runFile(spark,
+          s"""LOAD DATABASE FROM ${env("GRAFT_LIVE_PG_URI").get}
+                INTO ${env("GRAFT_LIVE_PG_DEST_URI").get}
+                WITH include drop, create tables
+                INCLUDING ONLY TABLE NAMES MATCHING 'sq_src';""")
+      assert(stats.map(s => (s.table, s.rows, s.rejected)) ==
+        Seq(("sq_src", 2L, 0L)), stats.mkString("; "))
+      val sel = "SELECT id::text, m::text, p::text, ms::text " +
+        "FROM public.sq_src ORDER BY id"
+      assert(q(dp)(sel).map(_.toSeq) == q(sp)(sel).map(_.toSeq))
+      // the recreated column types live in sq_app on the TARGET too
+      assert(q(dp)("SELECT format_type(a.atttypid, NULL) " +
+        "FROM pg_attribute a WHERE a.attrelid = " +
+        "'public.sq_src'::regclass AND a.attname = 'm'")
+        .head(0) == "sq_app.sq_mood")
+    } finally {
+      ex(sp)(s"ALTER DATABASE $dbName RESET search_path")
+      ex(sp)("DROP TABLE IF EXISTS sq_src")
+      ex(sp)("DROP SCHEMA IF EXISTS sq_app CASCADE")
+    }
+  }
+
   test("live pg→pg: int2vector/oidvector columns fall back to COPY " +
     "TEXT under copy binary, never per-row reject (typcategory 'A' " +
     "is not 'array')") {

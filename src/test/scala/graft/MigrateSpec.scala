@@ -536,6 +536,43 @@ class MigrateSpec extends AnyFunSuite {
     assert(summary.phaseEntries.isEmpty)
   }
 
+  test("closure-recreated column types render SCHEMA-QUALIFIED in " +
+    "CREATE TABLE; pg-source enums skip the <table>_<column> rewrite") {
+    // source search_path made app.mood/app.posint visible UNQUALIFIED
+    // in format_type output — the target session's path has no 'app',
+    // so the column spelling must be requalified or CREATE TABLE dies
+    val events = new ConcurrentLinkedQueue[String]
+    val cat = Catalog("postgresql://u@h/db", Seq(Schema("public",
+      tables = Seq(Table(
+        name = "t", schema = "public", rowCountEstimate = 1,
+        fields = Seq(
+          SourceColumn("t", "m", "mood",
+            enumLabels = Some(Seq("'a'", "'b'"))),
+          SourceColumn("t", "ms", "mood[]",
+            enumLabels = Some(Seq("'a'", "'b'"))),
+          SourceColumn("t", "p", "posint")))))),
+      customTypes = Seq(
+        CustomType("app", "mood", "e", "('a', 'b')"),
+        CustomType("app", "posint", "d", "integer CHECK ((VALUE > 0))")),
+      searchPath = Seq("app", "public"))
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (_, _) => (1L, 0L, 0L))
+    m.migrate(cat, defaults = DefaultCastRules.pgsql,
+      withIndexes = false, withFKeys = false, resetSequences = false)
+    val ev = events.asScala.toSeq
+    // the closure created the source-named types, schema-qualified
+    assert(ev.exists(_.startsWith("CREATE TYPE \"app\".\"mood\" AS ENUM")))
+    assert(ev.exists(_.startsWith("CREATE DOMAIN \"app\".\"posint\"")))
+    // NO <table>_<column> duplicate enum
+    assert(!ev.exists(_.contains("t_m ")), ev.mkString("; "))
+    // the column spellings were requalified (array dims preserved)
+    val create = ev.find(_.startsWith("CREATE TABLE")).get
+    assert(create.contains("m \"app\".\"mood\""), create)
+    assert(create.contains("ms \"app\".\"mood\"[]"), create)
+    assert(create.contains("p \"app\".\"posint\""), create)
+  }
+
   test("identifier collision check fails fast") {
     val longA = "public." + ("x" * 62) + "a"
     val longB = ("x" * 62) + "b"

@@ -243,7 +243,7 @@ class PgBinarySpec extends SparkSpec {
     // array_in skips ALL ASCII whitespace between tokens (\n \r \v
     // \f), not just space/tab — '{1,\n2}' is server-valid
     assert(hex(enc("{1,\n2}", ints)) == hex(enc("{1,2}", ints)))
-    assert(hex(enc("{\r1,2\f}\n", ints)) ==
+    assert(hex(enc("{\r1,\u000B2\f}\n", ints)) == // \u000B = \v
       hex(enc("{1,2}", ints)))
     // quoted elements: separators/braces/escapes inside; unquoted
     // lowercase null is NULL, quoted "NULL" is the string
