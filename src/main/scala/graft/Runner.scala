@@ -83,7 +83,18 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
 
   /** Run every command in the file text; returns per-table stats. */
   def runFile(spark: SparkSession, text: String,
-              baseDir: String = "."): Seq[TableStats] = {
+              baseDir: String = "."): Seq[TableStats] =
+    runFileWith(() => spark, text, baseDir)
+
+  /** [[runFile]] with the SparkSession supplied lazily: database
+    * migrations touch Spark only at their first table read, so a
+    * caller can start session creation on a background thread (the
+    * CLI main does) and overlap the 2–3 s boot with source
+    * introspection, the custom-type closure and the whole pre-DDL
+    * phase. `sparkF` must be thread-safe and idempotent (a join on a
+    * completed future / a lazy val). */
+  def runFileWith(sparkF: () => SparkSession, text: String,
+                  baseDir: String = "."): Seq[TableStats] = {
     // baseDir also resolves EXECUTE 'file.sql' references at parse time
     val (first, trailing) = Parser.parseWithInline(text, baseDir)
     // the trailing text after the first command is an inline DATA
@@ -97,7 +108,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       if (first.loadType == "archive") Seq(first)
       else Parser.parseAll(
         text.substring(0, findInlineCut(text, inline)), baseDir)
-    try cmds.flatMap(cmd => runCommand(spark, cmd, baseDir, inline))
+    try cmds.flatMap(cmd => runCommandWith(sparkF, cmd, baseDir, inline))
     finally drainIndexRebuilds() // surface async rebuild failures here
   }
 
@@ -106,7 +117,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
 
   def runCommand(spark: SparkSession, cmd: Ast.LoadCommand,
                  baseDir: String = ".",
-                 inline: Option[String] = None): Seq[TableStats] = {
+                 inline: Option[String] = None): Seq[TableStats] =
+    runCommandWith(() => spark, cmd, baseDir, inline)
+
+  private def runCommandWith(sparkF: () => SparkSession,
+                             cmd: Ast.LoadCommand,
+                             baseDir: String = ".",
+                             inline: Option[String] = None)
+      : Seq[TableStats] = {
     // per-connection session setup. GUCs (SET params) apply to every
     // connection; the trigger-disabling replica role is scoped to the
     // data-copy endpoint connections ONLY (the reference sets replica
@@ -129,13 +147,16 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       cmd.afterSchema.foreach(ddl(_, gucSql))
     val results = cmd.loadType match {
       case "archive" =>
-        PlanBuilder.buildArchive(spark, cmd, baseDir).map {
+        // file loads build their plan through Spark up front — force
+        // the session here (the overlap window is the database path's)
+        PlanBuilder.buildArchive(sparkF(), cmd, baseDir).map {
           case (table, df) => load(table.getOrElse("data"), df,
             copySessionSql, nameColumns = cmd.fields.nonEmpty,
             exactlyOnce = cmd.boolOption("exactly once"))
         }
-      case "database" => runDatabase(spark, cmd)
+      case "database" => runDatabase(sparkF, cmd)
       case _ =>
+        val spark = sparkF()
         val df = PlanBuilder.build(spark, cmd, baseDir, inline)
         // schema-qualified targets (INTO pg:///db?schema.table / TARGET
         // TABLE schema.table) must keep their schema — an unqualified
@@ -661,7 +682,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * sqlite:// reads the database file format directly
     * ([[graft.sources.SqliteSource]]) and mssql:// speaks native TDS
     * ([[graft.sources.MssqlWireSource]]) — no driver jars anywhere. */
-  private def runDatabase(spark: SparkSession,
+  private def runDatabase(sparkF: () => SparkSession,
                           cmd: Ast.LoadCommand): Seq[TableStats] = {
     import graft.catalog.{Catalog, Schema, Table}
     // a prior file-load command's async index rebuilds must complete
@@ -705,7 +726,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // bytes decode with the override charset (mysql.lisp
           // *decoding-as* / apply-decoding-as-filters)
           val cs = decodingCharsetFor(t.sourceName)
-          graft.sources.MySqlWireSource.read(spark, mp, mp.database,
+          graft.sources.MySqlWireSource.read(sparkF(), mp, mp.database,
             t.sourceName, partitionKey = pk, rowCountEstimate = rows,
             rowsPerRange = rowsPerRange, charsetName = cs)
         }
@@ -726,10 +747,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           val qualified = s"${t.schema}.${t.sourceName}"
           if (isView)
             // views have no ctid to split on: one streaming connection
-            graft.sources.PgWireSource.readView(spark, sp, qualified)
+            graft.sources.PgWireSource.readView(sparkF(), sp, qualified)
           else {
             val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
-            graft.sources.PgWireSource.readByCtid(spark, sp, qualified,
+            graft.sources.PgWireSource.readByCtid(sparkF(), sp, qualified,
               relpages = pages)
           }
         }
@@ -764,7 +785,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val created = scala.collection.mutable.LinkedHashMap[String, String]()
         val viewSel = scala.collection.mutable.Map[String, String]()
         lazy val viewSession = {
-          val s = spark.newSession()
+          val s = sparkF().newSession()
           // the base tables are all-string fidelity frames; SQLite
           // compares dynamically typed values numerically where it can,
           // so the view session needs Spark's lenient (non-ANSI) casts
@@ -862,7 +883,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             val df = evalView(t.sourceName, viewSel(t.sourceName))
             df.select(df.columns.toIndexedSeq.map(c =>
               df.col(c).cast("string").as(c)): _*)
-          } else graft.sources.SqliteSource.read(spark, path, t.sourceName)
+          } else graft.sources.SqliteSource.read(sparkF(), path, t.sourceName)
         val quote = (n: String) => "\"" + n.replace("\"", "\"\"") + "\""
         (base, graft.casting.DefaultCastRules.sqlite, read,
           Some((exec, iviews, quote)), Nil, Nil)
@@ -876,7 +897,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             if (isView) 0L
             else graft.sources.MssqlWireSource.rowCountOf(
               tp, t.schema, t.sourceName)
-          graft.sources.MssqlWireSource.read(spark, tp, t.schema,
+          graft.sources.MssqlWireSource.read(sparkF(), tp, t.schema,
             t.sourceName,
             partitionKey = pk, rowCountEstimate = rows,
             rowsPerRange = rowsPerRange,
@@ -1357,21 +1378,27 @@ object Runner {
     val target = first.targetUri.getOrElse(
       throw new IllegalArgumentException(s"$file has no INTO target"))
     val wire = graft.sinks.PgWire.connParams(target, pctDecode)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-load")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      // a loader CLI has no use for the web UI; skipping it shaves
-      // ~0.5 s off every invocation (the reference's CLI starts no
-      // server either)
-      .config("spark.ui.enabled", "false")
-      // pin UTC like every other graft session: timestamp RENDERING
-      // (from_unixtime, timestamptz literals) follows the session zone,
-      // and the reference renders timestamptz in UTC — an unpinned
-      // session would load different wall-clock strings per host TZ
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // session creation starts NOW on a background thread and joins at
+    // the first Spark use — a database migration's introspection +
+    // custom-type closure + pre-DDL phase (its first ~second) overlaps
+    // the 2–3 s Spark boot instead of waiting behind it
+    val sparkFut = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-load")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        // a loader CLI has no use for the web UI; skipping it shaves
+        // ~0.5 s off every invocation (the reference's CLI starts no
+        // server either)
+        .config("spark.ui.enabled", "false")
+        // pin UTC like every other graft session: timestamp RENDERING
+        // (from_unixtime, timestamptz literals) follows the session
+        // zone, and the reference renders timestamptz in UTC — an
+        // unpinned session would load different wall-clock strings
+        // per host TZ
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
     val t0 = System.nanoTime()
     // driver-free by default: DDL and COPY both speak the wire protocol
     // directly (no pgjdbc jar needed anywhere on the cluster)
@@ -1399,8 +1426,8 @@ object Runner {
             "FROM STDIN WITH (FORMAT binary)",
           sessionSql, binary = true))
     val stats =
-      try runner.runFile(spark, text, baseDir)
-      finally spark.stop()
+      try runner.runFileWith(() => sparkFut.get(), text, baseDir)
+      finally sparkFut.get().stop()
     val summary = runner.fullSummary(stats,
       (System.nanoTime() - t0) / 1000000)
     print(summary.render)
