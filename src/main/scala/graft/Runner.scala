@@ -1401,15 +1401,13 @@ object Runner {
         .getOrCreate())
     val t0 = System.nanoTime()
     // driver-free by default: DDL and COPY both speak the wire protocol
-    // directly (no pgjdbc jar needed anywhere on the cluster)
+    // directly (no pgjdbc jar needed anywhere on the cluster). DDL
+    // statements share a pooled executor (DISCARD ALL on reuse keeps
+    // fresh-connection semantics) — per-statement dial+auth was the
+    // last table-count-linear cost; closed in the finally below.
+    val ddlExec = new graft.sinks.PgWireDdlExecutor(wire)
     val runner = new Runner(
-      executeDdl = (sql, sessionSql) => {
-        val c = new graft.sinks.PgWireConnection(wire)
-        try {
-          sessionSql.foreach(s => c.simpleCommand(s.stripSuffix(";")))
-          c.simpleCommand(sql.stripSuffix(";"))
-        } finally c.close()
-      },
+      executeDdl = ddlExec,
       endpointFactory = (table, sessionSql) => _ =>
         new graft.sinks.PgWireCopyEndpoint(wire,
           s"COPY ${graft.sinks.PgWire.quoteQualified(table)} FROM STDIN",
@@ -1427,7 +1425,10 @@ object Runner {
           sessionSql, binary = true))
     val stats =
       try runner.runFileWith(() => sparkFut.get(), text, baseDir)
-      finally sparkFut.get().stop()
+      finally {
+        ddlExec.close()
+        sparkFut.get().stop()
+      }
     val summary = runner.fullSummary(stats,
       (System.nanoTime() - t0) / 1000000)
     print(summary.render)

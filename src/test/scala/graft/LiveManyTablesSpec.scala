@@ -29,16 +29,16 @@ class LiveManyTablesSpec extends SparkSpec {
     try c.query(sql)._2.head(0) finally c.close()
   }
 
-  private def pgRunner(pgUri: String): Runner = {
+  /** The CLI's wiring shape: DDL through the POOLED executor (this
+    * spec is its live proof — the amortization assert below and the
+    * server-error-keeps-the-connection path both run against real
+    * PG). */
+  private def pgRunner(pgUri: String)
+      : (Runner, graft.sinks.PgWireDdlExecutor) = {
     val dp = PgWire.connParams(pgUri, decode)
-    new Runner(
-      executeDdl = (sql, setup) => {
-        val c = new PgWireConnection(dp)
-        try {
-          setup.foreach(s => c.simpleCommand(s.stripSuffix(";")))
-          c.simpleCommand(sql.stripSuffix(";"))
-        } finally c.close()
-      },
+    val ddlExec = new graft.sinks.PgWireDdlExecutor(dp)
+    (new Runner(
+      executeDdl = ddlExec,
       endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
         dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
       queryTarget = sql => {
@@ -48,7 +48,7 @@ class LiveManyTablesSpec extends SparkSpec {
       binaryEndpointFactory = (table, setup) => _ =>
         new PgWireCopyEndpoint(dp,
           s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
-            "WITH (FORMAT binary)", setup, binary = true))
+            "WITH (FORMAT binary)", setup, binary = true)), ddlExec)
   }
 
   test("live pg→pg: 60-table fixture migrates whole — per-table stats, " +
@@ -85,10 +85,22 @@ class LiveManyTablesSpec extends SparkSpec {
     exec(src, "VACUUM ANALYZE")
 
     val loadsBefore = graft.sinks.LocalCopy.loads.get()
-    val stats = pgRunner(dst).runFile(spark,
+    val (runner, ddlExec) = pgRunner(dst)
+    // the pooled executor keeps a connection through a server ERROR:
+    // a bad statement throws PgServerError but stays reusable (the
+    // migration below then runs entirely on pooled connections)
+    intercept[PgWire.PgServerError](
+      ddlExec("CREATE TABLE ??? nope;", Nil))
+    val stats = runner.runFile(spark,
       s"""LOAD DATABASE FROM $src
             INTO $dst
             WITH include drop, create tables, workers = 4;""")
+    ddlExec.close()
+    // ~430 DDL statements (60 drops + 60 creates + 120 indexes + 60
+    // PKs + FKs + the error above) over a handful of dialed
+    // connections — the amortization is the point
+    val dialed = ddlExec.dialed.get()
+    assert(dialed <= 16, s"pooled executor dialed $dialed connections")
     assert(stats.size == n, s"expected $n table stats, got ${stats.size}")
     assert(stats.forall(_.error.isEmpty),
       stats.filter(_.error.nonEmpty).mkString("; "))

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{PgWire, PgWireDdlExecutor}
+
+/** The pooled DDL executor: one dialed connection serves many
+  * statements, every reuse runs DISCARD ALL before the session setup
+  * (fresh-connection semantics), and close() drains the pool. The
+  * server-error-keeps-the-connection path is live-pinned in
+  * LiveManyTablesSpec (FakePgServer has no DDL error hook). */
+class PgWireDdlExecutorSpec extends AnyFunSuite {
+
+  test("sequential statements reuse ONE connection; DISCARD ALL + " +
+    "session setup precede every reused statement") {
+    val srv = new FakePgServer()
+    try {
+      val exec = new PgWireDdlExecutor(PgWire.ConnParams(
+        "127.0.0.1", srv.port, "db", "graft", "secret"))
+      val setup = Seq("SET work_mem = '16MB';")
+      (1 to 5).foreach(i => exec(s"CREATE TABLE t$i (id int4);", setup))
+      exec.close()
+      assert(exec.dialed.get() == 1, s"dialed ${exec.dialed.get()}")
+      val ev = srv.executed.synchronized(srv.executed.toList)
+      // first statement: setup + DDL (no discard — fresh connection);
+      // each later one: DISCARD ALL, setup, DDL
+      assert(ev.take(2) ==
+        List("SET work_mem = '16MB'", "CREATE TABLE t1 (id int4)"))
+      assert(ev.drop(2).grouped(3).toList.zipWithIndex.forall {
+        case (List(d, s, c), i) =>
+          d == "DISCARD ALL" && s == "SET work_mem = '16MB'" &&
+            c == s"CREATE TABLE t${i + 2} (id int4)"
+        case _ => false
+      }, ev.mkString("; "))
+      assert(srv.connections.get() == 1)
+    } finally srv.close()
+  }
+
+  test("concurrent statements bound the pool by concurrency and " +
+    "close() leaves no live connections") {
+    val srv = new FakePgServer()
+    try {
+      val exec = new PgWireDdlExecutor(PgWire.ConnParams(
+        "127.0.0.1", srv.port, "db", "graft", "secret"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futures = (1 to 40).map(i => pool.submit(new Runnable {
+          def run(): Unit = exec(s"CREATE TABLE c$i (id int4);", Nil)
+        }))
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      assert(exec.dialed.get() <= 4,
+        s"dialed ${exec.dialed.get()} for 4 threads")
+      assert(srv.executed.synchronized(srv.executed.count(
+        _.startsWith("CREATE TABLE c"))) == 40)
+      exec.close()
+      // a post-close statement dials fresh and closes straight away —
+      // never pools (the drain raced nothing here, this pins behavior)
+      exec("CREATE TABLE late (id int4);", Nil)
+      assert(srv.executed.synchronized(
+        srv.executed.exists(_.contains("late"))))
+    } finally srv.close()
+  }
+}
