@@ -1414,10 +1414,7 @@ object Runner {
           sessionSql),
       // reference root-dir semantics (rejected rows → <root>/<table>.dat)
       rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"),
-      queryTarget = sql => {
-        val c = new graft.sinks.PgWireConnection(wire)
-        try c.query(sql)._2 finally c.close()
-      },
+      queryTarget = ddlExec.query,
       binaryEndpointFactory = (table, sessionSql) => _ =>
         new graft.sinks.PgWireCopyEndpoint(wire,
           s"COPY ${graft.sinks.PgWire.quoteQualified(table)} " +

@@ -60,6 +60,30 @@ final class PgWireDdlExecutor(params: PgWire.ConnParams)
     }
   }
 
+  /** Pooled catalog query — the CLI's `queryTarget` channel (one
+    * query per table under `WITH copy binary` resolution). Same
+    * discipline as [[apply]]: DISCARD ALL on reuse, server errors
+    * keep the connection, anything else closes it. */
+  def query(sql: String): Seq[Array[String]] = {
+    val (conn, reused) = Option(pool.poll()) match {
+      case Some(c) => (c, true)
+      case None => dialed.incrementAndGet()
+        (new PgWireConnection(params), false)
+    }
+    var reusable = false
+    try {
+      if (reused) conn.simpleCommand("DISCARD ALL")
+      val rows = conn.query(sql)._2
+      reusable = true
+      rows
+    } catch {
+      case e: PgWire.PgServerError => reusable = true; throw e
+    } finally {
+      if (reusable && !closed) pool.offer(conn) else conn.close()
+      if (closed) drain()
+    }
+  }
+
   private def drain(): Unit = {
     var c = pool.poll()
     while (c != null) { c.close(); c = pool.poll() }

@@ -35,6 +35,27 @@ class PgWireDdlExecutorSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("query shares the pool with the same DISCARD-on-reuse " +
+    "discipline") {
+    val srv = new FakePgServer(tableCols = Seq("a"),
+      tableRows = Seq(Array("1")))
+    try {
+      val exec = new PgWireDdlExecutor(PgWire.ConnParams(
+        "127.0.0.1", srv.port, "db", "graft", "secret"))
+      exec("CREATE TABLE q1 (id int4);", Nil)
+      val rows = exec.query("SELECT a FROM t")
+      assert(rows.map(_.toSeq) == Seq(Seq("1")))
+      exec("CREATE TABLE q2 (id int4);", Nil)
+      exec.close()
+      assert(exec.dialed.get() == 1, s"dialed ${exec.dialed.get()}")
+      val ev = srv.executed.synchronized(srv.executed.toList)
+      // the SELECT itself goes to the resultset handler, not
+      // `executed`; the reuse discipline shows as DISCARDs around it
+      assert(ev == List("CREATE TABLE q1 (id int4)", "DISCARD ALL",
+        "DISCARD ALL", "CREATE TABLE q2 (id int4)"), ev.mkString("; "))
+    } finally srv.close()
+  }
+
   test("concurrent statements bound the pool by concurrency and " +
     "close() leaves no live connections") {
     val srv = new FakePgServer()
