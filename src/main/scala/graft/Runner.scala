@@ -1423,8 +1423,17 @@ object Runner {
     val stats =
       try runner.runFileWith(() => sparkFut.get(), text, baseDir)
       finally {
-        ddlExec.close()
-        sparkFut.get().stop()
+        ddlExec.close() // never throws
+        // stop Spark only when boot actually succeeded: an
+        // all-small-table migration can finish without ever forcing
+        // the session, and a failed background boot must not mask the
+        // migration's own outcome from this finally
+        try {
+          if (!sparkFut.isCompletedExceptionally) sparkFut.get().stop()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] spark stop: ${e.getMessage}")
+        }
       }
     val summary = runner.fullSummary(stats,
       (System.nanoTime() - t0) / 1000000)

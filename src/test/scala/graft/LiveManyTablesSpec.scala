@@ -41,10 +41,7 @@ class LiveManyTablesSpec extends SparkSpec {
       executeDdl = ddlExec,
       endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
         dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
-      queryTarget = sql => {
-        val c = new PgWireConnection(dp)
-        try c.query(sql)._2 finally c.close()
-      },
+      queryTarget = ddlExec.query,
       binaryEndpointFactory = (table, setup) => _ =>
         new PgWireCopyEndpoint(dp,
           s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
@@ -91,6 +88,15 @@ class LiveManyTablesSpec extends SparkSpec {
     // migration below then runs entirely on pooled connections)
     intercept[PgWire.PgServerError](
       ddlExec("CREATE TABLE ??? nope;", Nil))
+    // a lone BEGIN (a user hook could issue one) must not wedge the
+    // pooled connection: the reuse guard ROLLBACKs before DISCARD ALL
+    ddlExec("BEGIN;", Nil)
+    ddlExec("SELECT 1;", Nil)
+    // a pooled connection KILLED while idle (server timeout / pooler)
+    // must redial transparently — no statement lost to a stale socket
+    val pooledPid = ddlExec.query("SELECT pg_backend_pid()").head(0)
+    exec(dst, s"SELECT pg_terminate_backend($pooledPid)")
+    ddlExec("SELECT 1;", Nil)
     val stats = runner.runFile(spark,
       s"""LOAD DATABASE FROM $src
             INTO $dst

@@ -22,12 +22,14 @@ class PgWireDdlExecutorSpec extends AnyFunSuite {
       assert(exec.dialed.get() == 1, s"dialed ${exec.dialed.get()}")
       val ev = srv.executed.synchronized(srv.executed.toList)
       // first statement: setup + DDL (no discard — fresh connection);
-      // each later one: DISCARD ALL, setup, DDL
+      // each later one: ROLLBACK (stray-BEGIN guard), DISCARD ALL,
+      // setup, DDL
       assert(ev.take(2) ==
         List("SET work_mem = '16MB'", "CREATE TABLE t1 (id int4)"))
-      assert(ev.drop(2).grouped(3).toList.zipWithIndex.forall {
-        case (List(d, s, c), i) =>
-          d == "DISCARD ALL" && s == "SET work_mem = '16MB'" &&
+      assert(ev.drop(2).grouped(4).toList.zipWithIndex.forall {
+        case (List(r, d, s, c), i) =>
+          r == "ROLLBACK" && d == "DISCARD ALL" &&
+            s == "SET work_mem = '16MB'" &&
             c == s"CREATE TABLE t${i + 2} (id int4)"
         case _ => false
       }, ev.mkString("; "))
@@ -50,9 +52,11 @@ class PgWireDdlExecutorSpec extends AnyFunSuite {
       assert(exec.dialed.get() == 1, s"dialed ${exec.dialed.get()}")
       val ev = srv.executed.synchronized(srv.executed.toList)
       // the SELECT itself goes to the resultset handler, not
-      // `executed`; the reuse discipline shows as DISCARDs around it
-      assert(ev == List("CREATE TABLE q1 (id int4)", "DISCARD ALL",
-        "DISCARD ALL", "CREATE TABLE q2 (id int4)"), ev.mkString("; "))
+      // `executed`; the reuse discipline shows as the guard pairs
+      assert(ev == List("CREATE TABLE q1 (id int4)",
+        "ROLLBACK", "DISCARD ALL",
+        "ROLLBACK", "DISCARD ALL", "CREATE TABLE q2 (id int4)"),
+        ev.mkString("; "))
     } finally srv.close()
   }
 
