@@ -51,8 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * alike, so filtering them keeps the two aligned — live-pinned);
   * types outside that resolution (custom base types whose recv
   * semantics the engine cannot know) make the Runner fall back to
-  * COPY TEXT for the table (or, for per-VALUE shapes like an explicit
-  * `[lo:hi]=` dim spec, reject the row).
+  * COPY TEXT for the table. Per-VALUE `[lo:hi]=` array dim specs
+  * encode (the wire form carries a lower bound per dim, so
+  * `array_lower` survives binary exactly as it does text).
   * `WITH exactly once` composes: the stage tables clone the target's
   * layout (LIKE), so the staged path ships the same binary datums.
   */
@@ -1150,10 +1151,17 @@ object PgBinary {
     * the whole literal), double-quoted elements with backslash
     * escapes, backslash escapes in unquoted elements, unquoted
     * case-insensitive NULL, unescaped whitespace trimmed around
-    * unquoted elements. Narrower than the server — documented in the
-    * class-doc fidelity caveats: explicit `[lo:hi]=` dimension specs
-    * and a custom typdelim (only box uses one) reject the row
-    * instead of loading. */
+    * unquoted elements. An optional `[lo:hi][lo:hi]…=` dimension-spec
+    * prefix follows array_in's PG-15 grammar exactly: whitespace
+    * between but not within dimension items, `[n]` meaning `[1:n]`,
+    * atoi token semantics (a digits/sign token parsed as optional
+    * leading sign + leading digits — `[1-1:3]` is `[1:3]`), upper <
+    * lower rejected, and the spec's dim count AND every extent must
+    * match the brace structure; the parsed lower bounds ride the wire
+    * form's per-dim lb slot, so `array_lower` survives the binary
+    * path exactly as it does COPY TEXT. Narrower than the server —
+    * documented in the class-doc fidelity caveats: a custom typdelim
+    * (only box uses one) rejects the row instead of loading. */
   private def encodeArray(v: UTF8String, a: Arr): Array[Byte] = {
     val s = v.toString
     val n = s.length
@@ -1164,6 +1172,60 @@ object PgBinary {
     def skipWs(): Unit =
       while (i < n && isAsciiWs(s.charAt(i))) i += 1
     skipWs()
+    // optional `[lo:hi]…=` dimension items (array_in: whitespace
+    // between, but not within, dimension items; `[n]` = `[1:n]`;
+    // tokens scan digits/'+'/'-' then parse with atoi semantics)
+    val specLb = new Array[Int](6)
+    val specDim = new Array[Long](6)
+    var nspec = 0
+    def atoiToken(): Long = {
+      // array_in scans [0-9+-]* then atoi's it: optional ONE leading
+      // sign, then leading digits; stops at the first non-digit
+      // ('1-1' → 1, '+-3' → 0). Empty token = caller's error.
+      val t0 = i
+      while (i < n && { val c = s.charAt(i)
+        (c >= '0' && c <= '9') || c == '+' || c == '-' }) i += 1
+      if (i == t0) return Long.MinValue // no token → malformed
+      var p = t0
+      var sign = 1L
+      if (s.charAt(p) == '+') p += 1
+      else if (s.charAt(p) == '-') { sign = -1L; p += 1 }
+      var v = 0L
+      var sawDigit = false
+      while (p < i && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+        v = v * 10 + (s.charAt(p) - '0')
+        if (v > Int.MaxValue + 1L) return Long.MinValue // pathological
+        sawDigit = true; p += 1
+      }
+      if (!sawDigit) 0L else sign * v
+    }
+    while (i < n && s.charAt(i) == '[') {
+      if (nspec >= 6) return null // MAXDIM
+      i += 1
+      val first = atoiToken()
+      if (first == Long.MinValue) return null
+      var lb = 1L
+      var ub = first
+      if (i < n && s.charAt(i) == ':') {
+        i += 1
+        lb = first
+        ub = atoiToken()
+        if (ub == Long.MinValue) return null
+      }
+      if (i >= n || s.charAt(i) != ']') return null
+      i += 1
+      if (ub < lb) return null // "Upper bound cannot be less than lower"
+      if (lb < Int.MinValue || lb > Int.MaxValue) return null
+      specLb(nspec) = lb.toInt
+      specDim(nspec) = ub - lb + 1
+      nspec += 1
+      skipWs()
+    }
+    if (nspec > 0) {
+      if (i >= n || s.charAt(i) != '=') return null
+      i += 1
+      skipWs()
+    }
     if (i >= n || s.charAt(i) != '{') return null
     // the ONLY legal empty form is the whole literal '{}' — an empty
     // sub-array ('{{}}', '{{1},{}}') is a server error (live-pinned:
@@ -1173,6 +1235,9 @@ object PgBinary {
     if (i < n && s.charAt(i) == '}') {
       i += 1; skipWs()
       if (i != n) return null
+      // a dim spec promises >=1 extent per dim; '{}' has 0 dims
+      // ("Specified array dimensions do not match array contents")
+      if (nspec > 0) return null
       val out = new Array[Byte](16)
       writeInt(out, 0, 12)
       writeInt(out, 4, 0) // ndim 0: array_send's own empty spelling
@@ -1288,6 +1353,16 @@ object PgBinary {
     var d = 0
     while (d < ndim) { product *= dimCounts(d); d += 1 }
     if (product != elems.length) return null // defensive
+    if (nspec > 0) {
+      // the spec must match the brace structure: same dim count and
+      // the same extent per dim (array_in's exact checks)
+      if (nspec != ndim) return null
+      d = 0
+      while (d < ndim) {
+        if (specDim(d) != dimCounts(d)) return null
+        d += 1
+      }
+    }
     var total = 12 + ndim * 8
     elems.foreach(e => total += (if (e == null) 4 else e.length))
     val out = new Array[Byte](4 + total)
@@ -1299,7 +1374,8 @@ object PgBinary {
     d = 0
     while (d < ndim) {
       writeInt(out, off, dimCounts(d))
-      writeInt(out, off + 4, 1) // text literals have no [lo:hi]= specs
+      // lb defaults to 1 unless the literal spelled a [lo:hi]= spec
+      writeInt(out, off + 4, if (nspec > 0) specLb(d) else 1)
       off += 8; d += 1
     }
     elems.foreach { e =>
@@ -1480,9 +1556,9 @@ object PgBinary {
             // element content); NULL elements stay the bare keyword.
             // Multi-dim frames render nested braces in row-major
             // order — the text literal's own element order. A non-1
-            // lower bound can't be spelled without a [lo:hi]= spec
-            // (which replay would misparse), so such frames fall back
-            // to the raw bytes via the require.
+            // lower bound renders the `[lo:hi]…=` prefix (array_out's
+            // own spelling), which both array_in and this encoder
+            // replay exactly.
             val ndim = rdI32()
             rdI32() // has-null flag — recomputed by array_in on replay
             rdI32() // element oid
@@ -1491,13 +1567,23 @@ object PgBinary {
               require(ndim >= 1 && ndim <= 6,
                 s"$ndim-dim array in reject frame")
               val counts = new Array[Int](ndim)
+              val lbs = new Array[Int](ndim)
               var d = 0
               while (d < ndim) {
                 counts(d) = rdI32()
-                require(rdI32() == 1, "non-1 array lower bound")
+                lbs(d) = rdI32()
                 d += 1
               }
               val b = new java.lang.StringBuilder
+              if (lbs.exists(_ != 1)) {
+                d = 0
+                while (d < ndim) {
+                  b.append('[').append(lbs(d)).append(':')
+                    .append(lbs(d).toLong + counts(d) - 1).append(']')
+                  d += 1
+                }
+                b.append('=')
+              }
               def render(level: Int): Unit = {
                 b.append('{')
                 var j = 0

@@ -439,14 +439,21 @@ class LiveServerSpec extends SparkSpec {
       }).mkString
       case _ => "\\x"
     }
-    def numArr(): String = rnd.nextInt(5) match {
+    def numArrElem(): String =
+      if (rnd.nextInt(5) == 0) "NULL"
+      else if (rnd.nextBoolean()) numeric().replace(",", "")
+      else "\"" + numeric().replace("\"", "") + "\""
+    def numArr(): String = rnd.nextInt(6) match {
       case 0 => "{}"
       case 1 => "{NULL}"
-      case _ => "{" + (0 until rnd.nextInt(4) + 1).map(_ =>
-        if (rnd.nextInt(5) == 0) "NULL"
-        else if (rnd.nextBoolean()) numeric().replace(",", "")
-        else "\"" + numeric().replace("\"", "") + "\"").mkString(",") +
-        "}"
+      case 2 => // [lo:hi]= dim spec: the lb must ride the binary
+        // per-dim slot so array_out spells both paths identically
+        val cnt = rnd.nextInt(4) + 1
+        val lo = rnd.nextInt(9) - 4
+        s"[$lo:${lo + cnt - 1}]={" +
+          (0 until cnt).map(_ => numArrElem()).mkString(",") + "}"
+      case _ => "{" + (0 until rnd.nextInt(4) + 1)
+        .map(_ => numArrElem()).mkString(",") + "}"
     }
     def ival(): String = rnd.nextInt(4) match {
       case 0 => s"P${rnd.between(-40, 40)}M${rnd.between(-99, 99)}D" +
@@ -746,6 +753,88 @@ class LiveServerSpec extends SparkSpec {
     assert(q("SELECT ns::text FROM arr_bin WHERE i = 3")
       .head(0) == "{0.00,-7.13,100.00}")
     exec("DROP TABLE arr_bin"); exec("DROP TABLE arr_txt")
+  }
+
+  test("live PG: [lo:hi]= array dim specs — the encoder's grammar " +
+    "matches array_in and lower bounds survive COPY BINARY " +
+    "(GRAFT_LIVE_PG_DEST_URI)") {
+    assume(env("GRAFT_LIVE_PG_DEST_URI").isDefined,
+      "set GRAFT_LIVE_PG_DEST_URI to run")
+    val uri = env("GRAFT_LIVE_PG_DEST_URI").get
+    val dp = PgWire.connParams(uri, decode)
+    def exec(sql: String): Unit = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.simpleCommand(sql) finally c.close()
+    }
+    def q(sql: String): Seq[Array[String]] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try c.query(sql)._2 finally c.close()
+    }
+    // server truth first: probe array_in's own dim-spec grammar so the
+    // encoder's accept/reject set is pinned against PG 15, not memory
+    def cast(lit: String): Option[String] = {
+      val c = new graft.sinks.PgWireConnection(dp)
+      try Some(c.query(
+        "SELECT " + PgWire.quoteLiteral(lit) + "::int4[]::text")
+        ._2.head(0))
+      catch { case _: Exception => None }
+      finally c.close()
+    }
+    // accepted forms, with array_out's canonical spelling
+    assert(cast("[0:2]={1,2,3}") == Some("[0:2]={1,2,3}"))
+    assert(cast("[3]={1,2,3}") == Some("{1,2,3}")) // [n] = [1:n]
+    assert(cast(" [0:1] [5:6] = {{1,2},{3,4}}") ==
+      Some("[0:1][5:6]={{1,2},{3,4}}")) // ws BETWEEN items is legal
+    assert(cast("[1-1:3]={1,2,3}") == Some("{1,2,3}")) // atoi: '1-1'=1
+    assert(cast("[+-3:0]={1}") == Some("[0:0]={1}")) // atoi: '+-3'=0
+    // rejected forms (ws WITHIN an item, ub<lb, extent/count mismatch,
+    // missing '=', dim spec on '{}')
+    for (bad <- Seq("[ 0:1]={1,2}", "[0 :1]={1,2}", "[2:1]={1,2}",
+        "[1:3]={1,2}", "[1:2][1:1]={1,2}", "[1:2]{1,2}", "[1:2]={}"))
+      assert(cast(bad).isEmpty, s"server accepted $bad")
+    // encoder parity: same accept/reject set
+    import graft.sinks.{PgBinary, PgBinKind}
+    val ints = PgBinKind.Arr(PgBinKind.I4, 23)
+    def enc(s: String) = PgBinary.encodeField(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), ints)
+    for (good <- Seq("[0:2]={1,2,3}", "[3]={1,2,3}",
+        " [0:1] [5:6] = {{1,2},{3,4}}", "[1-1:3]={1,2,3}", "[+-3:0]={1}"))
+      assert(enc(good) != null, s"encoder rejected server-legal $good")
+    for (bad <- Seq("[ 0:1]={1,2}", "[0 :1]={1,2}", "[2:1]={1,2}",
+        "[1:3]={1,2}", "[1:2][1:1]={1,2}", "[1:2]{1,2}", "[1:2]={}"))
+      assert(enc(bad) == null, s"encoder accepted server-illegal $bad")
+    // end-to-end: binary COPY lands lb-identical to the text path
+    exec("DROP TABLE IF EXISTS dim_bin")
+    exec("DROP TABLE IF EXISTS dim_txt")
+    exec("CREATE TABLE dim_bin (k int4, xs int4[])")
+    exec("CREATE TABLE dim_txt (k int4, xs int4[])")
+    import spark.implicits._
+    val df = Seq(
+      (1, "[0:2]={10,NULL,30}"),
+      (2, "[-2:-1]={7,8}"),
+      (3, "[0:1][5:6]={{1,2},{3,4}}"),
+      (4, "{1,2,3}")).toDF("k", "xs")
+    val kinds = Seq(PgBinKind.I4, ints)
+    val (s1, r1, _) = new graft.sinks.CopySink(
+      endpointFactory = _ => new PgWireCopyEndpoint(dp,
+        "COPY dim_txt FROM STDIN")).write(df)
+    val (s2, r2, _) = new graft.sinks.CopySink(
+      endpointFactory = _ => new PgWireCopyEndpoint(dp,
+        "COPY dim_bin FROM STDIN WITH (FORMAT binary)", binary = true),
+      renderer = PgBinary.renderer(kinds)).write(df)
+    assert((s1, r1) == (4L, 0L) && (s2, r2) == (4L, 0L),
+      s"text sent=$s1 rej=$r1, binary sent=$s2 rej=$r2")
+    // array_out's text (which spells [lo:hi]= when lb<>1) must agree
+    val rows = q("SELECT x.k, x.xs::text, y.xs::text, " +
+      "array_lower(x.xs, 1) FROM dim_bin x JOIN dim_txt y USING (k) " +
+      "ORDER BY x.k").map(_.toSeq)
+    assert(rows == Seq(
+      Seq("1", "[0:2]={10,NULL,30}", "[0:2]={10,NULL,30}", "0"),
+      Seq("2", "[-2:-1]={7,8}", "[-2:-1]={7,8}", "-2"),
+      Seq("3", "[0:1][5:6]={{1,2},{3,4}}", "[0:1][5:6]={{1,2},{3,4}}",
+        "0"),
+      Seq("4", "{1,2,3}", "{1,2,3}", "1")), rows.mkString("; "))
+    exec("DROP TABLE dim_bin"); exec("DROP TABLE dim_txt")
   }
 
   test("live PG: WITH copy binary auto picks binary exactly for tables " +

@@ -254,10 +254,9 @@ class PgBinarySpec extends SparkSpec {
         "00000003" + "632264" + "00000004" + "4e554c4c")
     // element failures reject the row (strict element grammar)
     assert(enc("{1,x}", ints) == null)
-    // malformed shapes reject: dim specs, trailing garbage,
+    // malformed shapes reject: trailing garbage,
     // empty unquoted element, unterminated quote, mid-element quote
     // or brace (array_in: Unexpected '{' character)
-    assert(enc("[1:2]={1,2}", ints) == null)
     assert(enc("{1,2}x", ints) == null)
     assert(enc("{1,,2}", ints) == null)
     assert(enc("""{"a}""", texts) == null)
@@ -317,6 +316,65 @@ class PgBinarySpec extends SparkSpec {
     val f = Array[Byte](0, 1) ++ enc("{{1,2},{3,4}}", ints)
     assert(new String(PgBinary.frameToTextLine(f, Seq(ints)), "UTF-8")
       == "{{\"1\",\"2\"},{\"3\",\"4\"}}\n")
+  }
+
+  test("array: [lo:hi]= dimension specs ride the wire form's per-dim " +
+    "lower bound (array_in's PG-15 dim grammar)") {
+    val ints = PgBinKind.Arr(PgBinKind.I4, 23)
+    // [0:2]={1,2,3}: lbs land in the lb slot; contents unchanged
+    assert(hex(enc("[0:2]={1,2,3}", ints)) ==
+      "0000002c" + "00000001" + "00000000" + "00000017" +
+        "00000003" + "00000000" +
+        "00000004" + "00000001" + "00000004" + "00000002" +
+        "00000004" + "00000003")
+    // negative lower bound
+    assert(hex(enc("[-2:-1]={7,8}", ints)) ==
+      "00000024" + "00000001" + "00000000" + "00000017" +
+        "00000002" + "fffffffe" +
+        "00000004" + "00000007" + "00000004" + "00000008")
+    // [n] means [1:n] (array_in's single-number form)
+    assert(hex(enc("[3]={1,2,3}", ints)) == hex(enc("{1,2,3}", ints)))
+    // multi-dim: one item per dim, row-major lbs in order
+    assert(hex(enc("[0:1][5:6]={{1,2},{3,4}}", ints)) ==
+      "0000003c" + "00000002" + "00000000" + "00000017" +
+        "00000002" + "00000000" + "00000002" + "00000005" +
+        "00000004" + "00000001" + "00000004" + "00000002" +
+        "00000004" + "00000003" + "00000004" + "00000004")
+    // whitespace BETWEEN dimension items and around '=' is legal;
+    // whitespace WITHIN an item is not (array_in's exact rule)
+    assert(hex(enc(" [0:1] [5:6] = {{1,2},{3,4}}", ints)) ==
+      hex(enc("[0:1][5:6]={{1,2},{3,4}}", ints)))
+    assert(enc("[ 0:1]={1,2}", ints) == null)
+    assert(enc("[0 :1]={1,2}", ints) == null)
+    // atoi token semantics: '1-1' parses as 1, '+2' as 2, '+-3' as 0
+    assert(hex(enc("[1-1:3]={1,2,3}", ints)) ==
+      hex(enc("{1,2,3}", ints)))
+    assert(hex(enc("[+0:+2]={1,2,3}", ints)) ==
+      hex(enc("[0:2]={1,2,3}", ints)))
+    assert(hex(enc("[+-3:0]={1}", ints)) ==
+      hex(enc("[0:0]={1}", ints)))
+    // rejects: ub < lb, dim-count mismatch, extent mismatch, missing
+    // '=', missing ']', empty token, spec with '{}', >6 items
+    assert(enc("[2:1]={1,2}", ints) == null)
+    assert(enc("[1:2][1:1]={1,2}", ints) == null)
+    assert(enc("[1:3]={1,2}", ints) == null)
+    assert(enc("[1:2]{1,2}", ints) == null)
+    assert(enc("[1:2={1,2}", ints) == null)
+    assert(enc("[]={1,2}", ints) == null)
+    assert(enc("[:2]={1,2}", ints) == null)
+    assert(enc("[1:2]={}", ints) == null)
+    assert(enc("[1:1][1:1][1:1][1:1][1:1][1:1][1:1]={1}", ints) == null)
+    // reject frames spell non-1 lbs back as the [lo:hi]= prefix —
+    // replayable through array_in AND this encoder
+    val f = Array[Byte](0, 1) ++ enc("[0:1][5:6]={{1,2},{3,4}}", ints)
+    val line = new String(PgBinary.frameToTextLine(f, Seq(ints)), "UTF-8")
+    assert(line == "[0:1][5:6]={{\"1\",\"2\"},{\"3\",\"4\"}}\n")
+    assert(hex(enc(line.trim, ints)) ==
+      hex(enc("[0:1][5:6]={{1,2},{3,4}}", ints)))
+    // all-default lbs render WITHOUT the prefix (array_out's rule)
+    val f1 = Array[Byte](0, 1) ++ enc("[1:2]={1,2}", ints)
+    assert(new String(PgBinary.frameToTextLine(f1, Seq(ints)), "UTF-8")
+      == "{\"1\",\"2\"}\n")
   }
 
   test("range: range_recv wire form from the range_in text grammar " +
