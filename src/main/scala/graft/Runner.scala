@@ -150,9 +150,17 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // file loads build their plan through Spark up front — force
         // the session here (the overlap window is the database path's)
         PlanBuilder.buildArchive(sparkF(), cmd, baseDir).map {
-          case (table, df) => load(table.getOrElse("data"), df,
-            copySessionSql, nameColumns = cmd.fields.nonEmpty,
-            exactlyOnce = cmd.boolOption("exactly once"))
+          case (sc, df) =>
+            val table = (sc.targetSchema, sc.targetTable) match {
+              case (Some(s), Some(tn)) => s"$s.$tn"
+              case (_, tn) => tn.getOrElse("data")
+            }
+            load(table, df, copySessionSql,
+              // the SUB-command's own lists decide the COPY column
+              // list (census-places: quoted "LocationName" must reach
+              // the server as written)
+              nameColumns = sc.fields.nonEmpty || sc.targetColumns.nonEmpty,
+              exactlyOnce = cmd.boolOption("exactly once"))
         }
       case "database" => runDatabase(sparkF, cmd)
       case _ =>
@@ -633,8 +641,19 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * DO or a pre-created table). */
   private def fileSchemaDdl(spark: SparkSession, cmd: Ast.LoadCommand,
                             baseDir: String): Option[Seq[String]] = {
-    def firstPath: String = PlanBuilder
-      .resolvePath(spark, cmd.source.get, baseDir).split(',').head
+    def firstPath: String = {
+      val p = PlanBuilder
+        .resolvePath(spark, cmd.source.get, baseDir).split(',').head
+      // a zipped DBF source: the schema lives in the archive's .dbf
+      // member (tests/dbf/dbf-zip with `create table`)
+      if (!p.toLowerCase.endsWith(".zip")) p
+      else Option(graft.sources.Archive.expand(p).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.toLowerCase.endsWith(".dbf"))
+        .map(_.getAbsolutePath).sorted.headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no .dbf member inside $p"))
+    }
     def q(n: String) = graft.sinks.PgWire.quoteIdent(n.toLowerCase)
     // a USER cast rule with a target overrides the file-derived column
     // type (dbf-memo.load: normdocid to uuid, doctype to integer)
@@ -795,9 +814,22 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // a SQLite table name Spark cannot hold as a temp view
             // (dots, etc.) must not sink the whole session — views that
             // actually reference it still fail loudly at eval
-            try graft.sources.SqliteSource.read(s, path, t.sourceName)
-              .createOrReplaceTempView(t.sourceName)
-            catch {
+            try {
+              val raw = graft.sources.SqliteSource.read(s, path,
+                t.sourceName)
+              // TYPED frames (ints/reals cast per the declared column
+              // type, lenient mode: unparseable dynamic values → NULL
+              // like sqlite's own numeric context): a plain-projection
+              // view then types its materialized columns like the
+              // reference's on-source introspection does
+              val types = t.fields.map(f => f.name ->
+                graft.sources.SqliteSource.viewEvalType(f.ctype)).toMap
+              raw.select(raw.columns.toIndexedSeq.map { c =>
+                val dt = types.getOrElse(c,
+                  org.apache.spark.sql.types.StringType)
+                raw.col(c).cast(dt).as(c)
+              }: _*).createOrReplaceTempView(t.sourceName)
+            } catch {
               case e: org.apache.spark.sql.AnalysisException =>
                 System.err.println(s"[graft] sqlite table " +
                   s"'${t.sourceName}' not registrable for view " +
@@ -871,7 +903,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           if (pending.nonEmpty) throw firstErr.get
           chosen.map { case (n, _) =>
             val df = dfs(n)
-            Table(name = n, schema = "main", sourceName = n,
+            Table(name = n, schema = "public", sourceName = n,
               fields = df.schema.fields.toSeq.map(f =>
                 graft.casting.SourceColumn(table = n, name = f.name,
                   ctype = graft.sources.SqliteSource.ctypeOf(f.dataType))))
@@ -1042,7 +1074,27 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           case _ => t
         }
       }
-      val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
+      // TARGET identifier casing, applied once at the catalog level
+      // (params.lisp *identifier-case*; v4 apply-sqlite-identifier-case,
+      // sqlite.clj:130-139): downcase by default — the DDL layer folds
+      // at emission, but the COPY target, setval/sequence SQL and FK
+      // references build from Table.name and must land on the SAME
+      // folded name (a MixedCase sqlite/mysql table otherwise COPYs
+      // into a never-created quoted spelling — chinook's `Album`).
+      // `snake_case identifiers` maps CamelCase → snake_case instead.
+      // sourceName stays RAW: it is what the source reads by.
+      val idMode =
+        if (cmd.boolOption("snake_case identifiers"))
+          graft.catalog.Identifiers.Case.SnakeCase
+        else graft.catalog.Identifiers.Case.Downcase
+      def ic(n: String) = graft.catalog.Identifiers(n, idMode)
+      val tablesCased = tablesForTarget.map { t =>
+        t.copy(name = ic(t.name),
+          indexes = t.indexes.map(i => i.copy(table = ic(i.table))),
+          fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
+            foreignTable = ic(f.foreignTable))))
+      }
+      val bySchema = tablesCased.groupBy(_.schema).toSeq.sortBy(_._1)
       // unqualified type names in the closure resolve in the SOURCE
       // session's search-path order — captured live, not guessed from
       // the URI (only pg sources ship custom types today)
@@ -1058,7 +1110,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         Schema(name = s, sourceName = s, tables = ts.sortBy(_.name))
       }, sequences = sourceSequences,
         customTypes = sourceCustomTypes,
-        searchPath = sourceSearchPath)
+        searchPath = sourceSearchPath,
+        // pg_get_expr defaults are already PG SQL — Ddl must not
+        // re-normalize them (mysql/sqlite defaults are raw catalog
+        // text and DO need it)
+        pgNativeDefaults = scheme match {
+          case "pgsql" | "postgresql" | "postgres" => true
+          case _ => false
+        })
       val migrator = new graft.orchestration.Migrator(
         executeDdl = executeDdl,
         loadTable = (t, setup) => {
@@ -1166,7 +1225,15 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         truncate = cmd.boolOption("truncate"),
         createTables = !cmd.boolOption("create no tables") &&
           !cmd.boolOption("data only"),
-        includeDrop = cmd.boolOption("include drop"),
+        // database migrations DROP-and-recreate BY DEFAULT — the
+        // reference's documented default WITH clause for every
+        // database source includes `include drop` (docs/ref/
+        // {mysql,pgsql,sqlite}.rst; core.clj:731 drops unless
+        // :include-no-drop) — `include no drop` opts out; dropping
+        // only makes sense when tables are being (re)created
+        includeDrop = !cmd.boolOption("include no drop") &&
+          !cmd.boolOption("create no tables") &&
+          !cmd.boolOption("data only"),
         withIndexes = !cmd.boolOption("data only"),
         withFKeys = !cmd.boolOption("data only"),
         resetSequences = !cmd.boolOption("reset no sequences"),

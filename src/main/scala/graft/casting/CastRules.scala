@@ -58,10 +58,17 @@ final case class RuleSource(
     notNull: Option[Boolean] = None,
     signed: Option[Boolean] = None,
     autoIncrement: Option[Boolean] = None,
-    onUpdateCurrentTimestamp: Option[Boolean] = None) {
+    onUpdateCurrentTimestamp: Option[Boolean] = None,
+    /** PREFIX match on the base type name — the sqlite affinity
+      * fallback (sqlite.clj:118-128 sqlite-type->pg longest-prefix
+      * lookup: SQLite accepts ANY declared type name, so `intege` or
+      * `smallint unsigned` must still resolve). Ordered rules stand in
+      * for v4's sort-by-length. */
+    typePrefix: Option[String] = None) {
 
   def matches(c: SourceColumn): Boolean =
     typeName.forall(_ == c.typeName) &&
+      typePrefix.forall(c.typeName.startsWith) &&
       column.forall { case (t, n) =>
         t.equalsIgnoreCase(c.table) && n.equalsIgnoreCase(c.name) } &&
       typemodPred.forall(p => c.typemod.exists(p)) &&
@@ -120,7 +127,27 @@ object CastEngine {
               case (p, None)    => s"($p)"
             }.get}"
           else t.pgType
-        val fn = rule.using.orElse(usingOnly).map(resolveTransform)
+        // implicit USING when the rule names none (cast.clj:342-363
+        // implicit-using): `to boolean` from an integer/bit source
+        // needs the 0→f conversion and `to integer` from a NUMERIC
+        // source needs decimal truncation — raw values would reject
+        // server-side (the v4 dbf-memo fixture casts a numeric DBF
+        // column `to integer` with no using and expects 108 rows)
+        val implicitUsing: Option[String] =
+          if (rule.using.nonEmpty) None
+          else {
+            val target = t.pgType.toLowerCase
+            val src = c.ctype.toLowerCase
+            if (target == "boolean")
+              Some(if (src.startsWith("bit")) "bits-to-boolean"
+                   else "tinyint-to-boolean")
+            else if (Set("integer", "bigint", "smallint", "int")
+                       .contains(target) && src.startsWith("numeric"))
+              Some("db3-numeric-to-pgsql-integer")
+            else None
+          }
+        val fn = rule.using.orElse(usingOnly).orElse(implicitUsing)
+          .map(resolveTransform)
         CastResult(
           pgType = pg,
           sparkType = sparkTypeFor(t, c),
@@ -300,7 +327,10 @@ object DefaultCastRules {
     r(RuleSource(Some("int8")), RuleTarget("bigint", LongType)),
     r(RuleSource(Some("float")), RuleTarget("double precision", DoubleType),
       Some("float-to-string")),
-    r(RuleSource(Some("real")), RuleTarget("double precision", DoubleType),
+    // real → real, NOT double precision (sqlite-cast-rules.lisp:32-33;
+    // v4 sqlite-type-map "real"→"real" — tests/sqlite/matviews-def
+    // pins `amount real` landing as PG real)
+    r(RuleSource(Some("real")), RuleTarget("real", FloatType),
       Some("float-to-string")),
     r(RuleSource(Some("double")), RuleTarget("double precision", DoubleType),
       Some("float-to-string")),
@@ -317,7 +347,89 @@ object DefaultCastRules {
       RuleTarget("timestamptz", TimestampType),
       Some("sqlite-timestamp-to-timestamp")),
     r(RuleSource(Some("date")), RuleTarget("date", DateType)),
-    r(RuleSource(Some("boolean")), RuleTarget("boolean", BooleanType))
+    r(RuleSource(Some("boolean")), RuleTarget("boolean", BooleanType)),
+    // v4's sqlite-type-map remainder (sqlite.clj:75-116) — names SQLite
+    // files use freely that are not (or not exactly) PG types
+    r(RuleSource(Some("nchar")), RuleTarget("text", StringType)),
+    r(RuleSource(Some("tinyint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("smallint")), RuleTarget("smallint", ShortType)),
+    r(RuleSource(Some("mediumint")), RuleTarget("integer", IntegerType)),
+    r(RuleSource(Some("bigint")), RuleTarget("bigint", LongType),
+      Some("integer-to-string")),
+    r(RuleSource(Some("long")), RuleTarget("bigint", LongType),
+      Some("integer-to-string")),
+    r(RuleSource(Some("byte")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("byte[]")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(Some("float4")), RuleTarget("real", FloatType),
+      Some("float-to-string")),
+    r(RuleSource(Some("float8")),
+      RuleTarget("double precision", DoubleType), Some("float-to-string")),
+    r(RuleSource(Some("number")), RuleTarget("numeric", keepTypemod = true),
+      Some("float-to-string")),
+    // LONGEST-PREFIX affinity fallback, the tail of v4's
+    // sqlite-type->pg (sqlite.clj:118-128): SQLite accepts ANY declared
+    // type name, so a misspelled/exotic one ('intege', 'string') must
+    // still land on a valid PG type. Rules are first-match-wins, so
+    // ordering longer prefixes first reproduces the sort-by-length
+    // lookup; exact entries above always win.
+    r(RuleSource(typePrefix = Some("double")),
+      RuleTarget("double precision", DoubleType), Some("float-to-string")),
+    r(RuleSource(typePrefix = Some("timestamp")),
+      RuleTarget("timestamptz", TimestampType),
+      Some("sqlite-timestamp-to-timestamp")),
+    r(RuleSource(typePrefix = Some("datetime")),
+      RuleTarget("timestamptz", TimestampType),
+      Some("sqlite-timestamp-to-timestamp")),
+    r(RuleSource(typePrefix = Some("character")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("varchar")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("nvarchar")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("mediumint")),
+      RuleTarget("integer", IntegerType)),
+    r(RuleSource(typePrefix = Some("smallint")),
+      RuleTarget("smallint", ShortType)),
+    r(RuleSource(typePrefix = Some("tinyint")),
+      RuleTarget("smallint", ShortType)),
+    r(RuleSource(typePrefix = Some("integer")),
+      RuleTarget("bigint", LongType), Some("integer-to-string")),
+    r(RuleSource(typePrefix = Some("bigint")),
+      RuleTarget("bigint", LongType), Some("integer-to-string")),
+    r(RuleSource(typePrefix = Some("boolean")),
+      RuleTarget("boolean", BooleanType)),
+    r(RuleSource(typePrefix = Some("numeric")),
+      RuleTarget("numeric", keepTypemod = true), Some("float-to-string")),
+    r(RuleSource(typePrefix = Some("decimal")),
+      RuleTarget("numeric", keepTypemod = true)),
+    r(RuleSource(typePrefix = Some("number")),
+      RuleTarget("numeric", keepTypemod = true), Some("float-to-string")),
+    r(RuleSource(typePrefix = Some("float")),
+      RuleTarget("double precision", DoubleType), Some("float-to-string")),
+    r(RuleSource(typePrefix = Some("nchar")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("char")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("clob")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("text")),
+      RuleTarget("text", StringType)),
+    r(RuleSource(typePrefix = Some("blob")), RuleTarget("bytea", BinaryType),
+      Some("byte-vector-to-bytea")),
+    r(RuleSource(typePrefix = Some("real")), RuleTarget("real", FloatType),
+      Some("float-to-string")),
+    r(RuleSource(typePrefix = Some("long")),
+      RuleTarget("bigint", LongType), Some("integer-to-string")),
+    r(RuleSource(typePrefix = Some("byte")),
+      RuleTarget("bytea", BinaryType), Some("byte-vector-to-bytea")),
+    r(RuleSource(typePrefix = Some("int")),
+      RuleTarget("integer", IntegerType), Some("integer-to-string")),
+    r(RuleSource(typePrefix = Some("date")), RuleTarget("date", DateType)),
+    // catch-all: v4 maps every remaining name to text ('short
+    // integer', 'string', …) — SQLite never constrained them anyway
+    r(RuleSource(typePrefix = Some("")), RuleTarget("text", StringType))
   )
 
   val mssql: Seq[CastRule] = Seq(

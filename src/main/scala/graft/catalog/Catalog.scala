@@ -36,7 +36,13 @@ final case class Catalog(name: String, schemas: Seq[Schema] = Nil,
                            * UNQUALIFIED type names in format_type
                            * output ([[CustomTypes.resolver]]); empty
                            * = fall back to the URI-user heuristic. */
-                         searchPath: Seq[String] = Nil) {
+                         searchPath: Seq[String] = Nil,
+                         /** true when column defaults came from
+                           * pg_get_expr (a PG source): they are already
+                           * valid PG SQL and must NOT go through
+                           * [[Ddl.formatDefault]]'s mysql/sqlite-shape
+                           * normalization ('x'::text would re-quote). */
+                         pgNativeDefaults: Boolean = false) {
   def allTables: Seq[Table] = schemas.flatMap(_.tables)
 
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Catalog =
@@ -298,7 +304,11 @@ object Identifiers {
     case Case.Downcase  => ident.toLowerCase
     case Case.Quote     => "\"" + ident.replace("\"", "\"\"") + "\""
     case Case.SnakeCase =>
+      // both split rules, like the reference (sqlite.clj:134-137):
+      // lower→Upper boundaries AND the end of an acronym run
+      // (HTMLParser → html_parser)
       ident.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+        .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
         .replaceAll("[ -]", "_").toLowerCase
   }
 
@@ -364,14 +374,80 @@ object Ddl {
   private def qq(schema: String, name: String): String =
     if (schema.isEmpty) q(name) else s"${q(schema)}.${q(name)}"
 
-  def createTable(t: Table, ifNotExists: Boolean = false): String = {
+  def createTable(t: Table, ifNotExists: Boolean = false,
+                  pgNativeDefaults: Boolean = false): String = {
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val cols = t.columns.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
-      val dft = c.default.map(d => s" DEFAULT $d").getOrElse("")
+      // pg_get_expr defaults are already PG SQL — emit verbatim
+      val dft = (if (pgNativeDefaults) c.default
+                 else formatDefault(c.default, c.pgType))
+        .map(d => s" DEFAULT $d").getOrElse("")
       s"  ${q(c.name)} ${c.pgType}$nn$dft"
     }
     s"CREATE TABLE $ine${qq(t.schema, t.name)}\n(\n${cols.mkString(",\n")}\n);"
+  }
+
+  private val NumericLit = "^-?\\d+(\\.\\d+)?$".r
+  private val BitLit = "(?i)^b'[01]+'$".r
+  private val HexLit = "(?i)^x'.*'$".r
+  private val FnCall = "(?s)^\\w+\\(.*\\)$".r
+  private val BareWord = "^\\w+$".r
+  private val DefaultKeywords = Set(
+    "CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME",
+    "LOCALTIMESTAMP", "LOCALTIME", "TRUE", "FALSE", "NOW")
+
+  /** Source column defaults arrive as raw catalog text (SQLite keeps
+    * the literal spelling incl. its quotes; MySQL strips them) — the
+    * reference normalizes them before DDL (ddl/common.clj:102-219
+    * strip-quotes → coerce-default-for-type → format-default; the CL
+    * original's format-default-value). Rules, each pinned by a
+    * reference fixture or issue: repeated '…'/"…" quote-stripping
+    * (sqlite `default '"0"'`), the literal string NULL and an
+    * empty-after-strip default emit NOTHING (sqlite `default ""`), a
+    * pure-integer default on a temporal column drops (sqlite DATETIME
+    * DEFAULT 0 — PG would reject it), 0000-00-00 zero-dates drop,
+    * booleans map 0/false→'f' 1/true→'t', numerics / b'…' bit and
+    * x'…' hex literals / CURRENT_* keywords (precision suffix
+    * stripped, reference #1403) / function-call expressions (#1497)
+    * pass through unquoted, and anything else re-quotes as a PG
+    * string literal with '' escaping (#1546). */
+  def formatDefault(default: Option[String], pgType: String)
+      : Option[String] = default.flatMap { raw0 =>
+    val raw = raw0.trim
+    if (raw.equalsIgnoreCase("null")) return None
+    // strip surrounding quote pairs repeatedly, like strip-quotes
+    var v = raw
+    var changed = true
+    while (changed && v.length >= 2) {
+      changed = false
+      if ((v.startsWith("'") && v.endsWith("'")) ||
+          (v.startsWith("\"") && v.endsWith("\""))) {
+        v = v.substring(1, v.length - 1)
+        changed = true
+      }
+    }
+    val tpe = Option(pgType).getOrElse("").toLowerCase
+    if (v.isEmpty) return None
+    if ("^(?i)0000[-/]00[-/]00.*".r.findFirstIn(v).isDefined) return None
+    if ((tpe.startsWith("timestamp") || tpe.startsWith("date") ||
+        tpe.startsWith("time")) && "^-?\\d+$".r.matches(v)) return None
+    if (tpe.startsWith("bool")) {
+      v.toLowerCase match {
+        case "0" | "false" => return Some("'f'")
+        case "1" | "true" => return Some("'t'")
+        case _ =>
+      }
+    }
+    val stripped = v.toUpperCase.replaceAll("\\(\\d*\\)$", "")
+    Some {
+      if (NumericLit.matches(v) || BitLit.matches(v) ||
+          HexLit.matches(v)) v
+      else if (DefaultKeywords.contains(stripped)) stripped.toLowerCase
+      else if (FnCall.matches(v)) v
+      else if (BareWord.matches(v)) "'" + v.replace("'", "''") + "'"
+      else "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    }
   }
 
   /** MySQL ENUM/SET columns become dynamic PG ENUM types named
@@ -514,7 +590,14 @@ $$$$ LANGUAGE plpgsql;"""
       s"ON ${t.schema}.${t.name} FOR EACH ROW EXECUTE PROCEDURE " +
       s"${t.schema}.on_update_current_timestamp_${t.name}();"
 
-  def resetSequence(t: Table, column: String): String =
-    s"SELECT setval(pg_get_serial_sequence('${t.schema}.${t.name}', " +
-      s"'$column'), (SELECT max($column) FROM ${t.schema}.${t.name}));"
+  def resetSequence(t: Table, column: String): String = {
+    // names must land on the FOLDED spelling the DDL created:
+    // pg_get_serial_sequence takes its table arg as parseable SQL text
+    // (so the qq() rendering works verbatim) and compares the column
+    // arg against attname AS GIVEN (no folding — pass it lowercased)
+    val tbl = qq(t.schema, t.name)
+    s"SELECT setval(pg_get_serial_sequence('${tbl.replace("'", "''")}', " +
+      s"'${column.toLowerCase.replace("'", "''")}'), " +
+      s"(SELECT max(${q(column)}) FROM $tbl));"
+  }
 }

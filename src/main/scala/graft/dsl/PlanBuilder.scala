@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dsl.Ast._
 import graft.operators.ProjectFields
 import graft.operators.ProjectFields.{FieldSpec, NullIf, TargetColumn, TrimMode}
-import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth}
+import graft.sources.{CopyText, CsvDialect, CsvSource, FixedWidth, SkipLines}
 import graft.functions.Transforms
 
 /** LoadCommand → lazy DataFrame plan. The v3 reference compiles each
@@ -62,11 +62,15 @@ object PlanBuilder {
     * extracted files (archive.lisp; core.clj:328-399).
     * @return (targetTable, dataflow) per sub-command, in order */
   def buildArchive(spark: SparkSession, cmd: LoadCommand,
-                   baseDir: String = "."): Seq[(Option[String], DataFrame)] = {
+                   baseDir: String = "."): Seq[(LoadCommand, DataFrame)] = {
     require(cmd.loadType == "archive", "not an archive command")
     val path = resolvePath(spark, cmd.source.get, baseDir)
     val dir = graft.sources.Archive.expand(path).getAbsolutePath
-    cmd.subCommands.map(sc => (sc.targetTable, build(spark, sc, dir)))
+    // the SUB-command rides along: the loader needs its field/target
+    // lists (COPY column list with the user's exact case —
+    // census-places' "LocationName") and its schema/table, not just a
+    // bare table name
+    cmd.subCommands.map(sc => (sc, build(spark, sc, dir)))
   }
 
   /** Build the dataflow for a file-based load command. `inlineData` is
@@ -100,9 +104,23 @@ object PlanBuilder {
       case "fixed" => readFixed(spark, cmd, path)
       case "copy" => readCopy(spark, cmd, path)
       case "dbf" =>
+        // a zipped DBF source expands first and loads the archive's
+        // .dbf member (v4 fetches http://…-dbf.zip sources this way —
+        // tests/dbf/dbf-zip; the sibling .dbt/.fpt memo lands next to
+        // it in the same temp dir, so memo resolution still works)
+        val dbfPath =
+          if (!path.toLowerCase.endsWith(".zip")) path
+          else {
+            val dir = graft.sources.Archive.expand(path)
+            val dbfs = Option(dir.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.toLowerCase.endsWith(".dbf"))
+              .map(_.getAbsolutePath).sorted
+            require(dbfs.nonEmpty, s"no .dbf member inside $path")
+            dbfs.mkString(",")
+          }
         // per-FILE encoding: DECODING rules may match only some of a
         // glob's files
-        val raw = encodingGroups(cmd, path, "ISO-8859-1").map {
+        val raw = encodingGroups(cmd, dbfPath, "ISO-8859-1").map {
           case (enc, ps) =>
             graft.sources.DbfSource.read(spark, ps.mkString(","), enc)
         }.reduce(_ unionAll _)
@@ -114,7 +132,7 @@ object PlanBuilder {
         // header only (32 + 32·nFields + 1 bytes) — never the whole
         // file on the driver
         val headerBytes = {
-          val in = new java.io.FileInputStream(path.split(',').head)
+          val in = new java.io.FileInputStream(dbfPath.split(',').head)
           try in.readNBytes(32 * 2049 + 1) finally in.close()
         }
         val header = graft.sources.DbfSource.parseHeader(headerBytes)
@@ -129,8 +147,13 @@ object PlanBuilder {
         // db3 defaults the same way, cast.clj resolve-specs)
         val tbl = cmd.targetTable.getOrElse("data")
         header.fields.foldLeft(defaulted) { (d, f) =>
+          // ctype = the PG-mapped type, like v4's field->col feeds
+          // matches-rule? (dbf.clj:41-46) — so `to integer` over a
+          // NUMERIC dbf field gets the implicit decimal-truncating
+          // using (cast.clj implicit-using; dbf-memo's doctype)
           graft.casting.CastEngine.cast(
-              graft.casting.SourceColumn(tbl, f.name, f.ftype.toString),
+              graft.casting.SourceColumn(tbl, f.name,
+                graft.sources.DbfSource.pgType(f)),
               cmd.castRules, Nil).transform match {
             case Some(fn) => d.withColumn(f.name,
               fn(org.apache.spark.sql.functions.col(s"`${f.name}`")))
@@ -173,7 +196,8 @@ object PlanBuilder {
       case "fixed" =>
         Some(graft.sources.FixedWidth.rejects(spark, path,
           skipLines = cmd.intOption("skip header").getOrElse(0),
-          splitHint = cmd.intOption("workers").getOrElse(4)))
+          splitHint = cmd.intOption("workers").getOrElse(4),
+          encoding = cmd.encoding.getOrElse("UTF-8")))
       case _ => None
     }
     if (!Set("csv", "copy", "fixed").contains(cmd.loadType)) None
@@ -305,6 +329,25 @@ object PlanBuilder {
 
   private def readFixed(spark: SparkSession, cmd: LoadCommand,
                         path: String): DataFrame = {
+    if (cmd.fields.isEmpty && cmd.boolOption("fixed header")) {
+      // `WITH fixed header`, no field list: the FIRST line names the
+      // columns and its token start positions set the widths — each
+      // column runs to the next token's start (fixed.clj
+      // infer-fields-from-header; fixed-guess.lisp:29-74). Names fold
+      // to lowercase and every guessed field right-trims, exactly the
+      // reference's guessed-field defaults (trim-right, no
+      // null-if-blanks) — tests/fixed/fixed-guess pins the behavior.
+      import org.apache.spark.sql.functions.{col, rtrim}
+      val header = SkipLines.lines(spark, path, 0).head(1).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"fixed header: $path has no header line"))
+      val specs = FixedWidth.guessSpecs(header)
+        .map(s => s.copy(name = s.name.toLowerCase))
+      val df = FixedWidth.read(spark, path, specs, skipLines = 1,
+        splitHint = cmd.intOption("workers").getOrElse(4))
+      return specs.foldLeft(df)((d, s) =>
+        d.withColumn(s.name, rtrim(col(s.name))))
+    }
     val specs = cmd.fields.map { f =>
       FixedWidth.FieldPos(f.name,
         f.start.getOrElse(throw new IllegalArgumentException(
@@ -314,7 +357,8 @@ object PlanBuilder {
     }
     FixedWidth.read(spark, path, specs,
       skipLines = cmd.intOption("skip header").getOrElse(0),
-      splitHint = cmd.intOption("workers").getOrElse(4))
+      splitHint = cmd.intOption("workers").getOrElse(4),
+      encoding = cmd.encoding.getOrElse("UTF-8"))
   }
 
   private def readCopy(spark: SparkSession, cmd: LoadCommand,
@@ -477,6 +521,20 @@ object PlanBuilder {
       Transforms.registry.get(raw) match {
         case Some(fn) => TargetColumn(td.name, transform = Some(fn))
         case None =>
+          // v4's clojure lambda spelling of a registry chain —
+          // `using (fn [v] (pgloader.transforms/f v))` (the clojure
+          // corpus' fixed.load) — applies to the target-named column,
+          // like the positional source read the reference compiles
+          SexpTranslator.lambdaChain(raw) match {
+            case Some(names)
+                if names.nonEmpty &&
+                  names.forall(Transforms.registry.contains) =>
+              val fns = names.map(Transforms.registry)
+              return TargetColumn(td.name,
+                transform =
+                  Some(c => fns.foldRight(c)((fn, acc) => fn(acc))))
+            case _ =>
+          }
           // `(f (g field))` chains of registry transforms (fixed.load's
           // `c time using (time-with-no-separator c)` shape)
           SexpTranslator.applicationChain(raw) match {
@@ -556,6 +614,27 @@ object SexpTranslator {
       case Nil => throw new IllegalArgumentException("empty s-expr")
     }
     go(toks)._1
+  }
+
+  /** v4's clojure lambda spelling of a registry-transform chain:
+    * `(fn [v] (pgloader.transforms/f (g v)))` — the clojure corpus'
+    * fixed.load shape. Returns the chain names outermost-first with
+    * the pgloader.transforms/ namespace stripped, provided the
+    * innermost reference is the lambda's own parameter. */
+  def lambdaChain(raw: String): Option[Seq[String]] = {
+    def walk(s: S, param: String, acc: Seq[String]): Option[Seq[String]] =
+      s match {
+        case Atom(x) if x == param && acc.nonEmpty => Some(acc)
+        case L(Atom(f) :: arg :: Nil) =>
+          walk(arg, param, acc :+ f.stripPrefix("pgloader.transforms/"))
+        case _ => None
+      }
+    try parse(tokenize(raw.trim)) match {
+      case L(Atom("fn") :: Atom(p) :: body :: Nil)
+          if p.startsWith("[") && p.endsWith("]") =>
+        walk(body, p.substring(1, p.length - 1), Nil)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** `(f (g x))` single-argument application chains: Some((Seq(f, g), x))

@@ -115,12 +115,20 @@ object ProjectFields {
     val prepared = fields.foldLeft(df) { (d, f) =>
       d.withColumn(f.name, prepareField(qcol(f.name), f))
     }
+    val have = prepared.columns.toSet
     val outCols = targets.map { t =>
       val value: Column = (t.constant, t.usingExpr, t.transform) match {
         case (Some(k), _, _) => lit(k)
         case (_, Some(e), _) => expr(e)
         case (_, _, Some(fn)) => fn(qcol(t.fromField.getOrElse(t.name)))
-        case _ => qcol(t.fromField.getOrElse(t.name))
+        case _ =>
+          val nm = t.fromField.getOrElse(t.name)
+          // v4 column injection: a target column that names no source
+          // field loads as NULL (tests/csv/constant — TARGET TABLE
+          // t (b,c,d) with no field c; csv.clj:383 projects a nil
+          // source index, copy.clj renders it \N)
+          if (have.contains(nm)) qcol(nm)
+          else lit(null).cast("string")
       }
       value.as(t.name)
     }

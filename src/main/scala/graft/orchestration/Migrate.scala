@@ -309,7 +309,8 @@ final class Migrator(
           }
           t.copy(columns = patched)
         })))
-      cat.allTables.foreach(t => preDdl(Ddl.createTable(t)))
+      cat.allTables.foreach(t => preDdl(Ddl.createTable(t,
+        pgNativeDefaults = cat0.pgNativeDefaults)))
     }
     if (truncate) cat.allTables.foreach(t => preDdl(Ddl.truncate(t)))
     // AFTER CREATE SCHEMA DO: the schema exists, no data has moved yet

@@ -10,11 +10,18 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * The default reader ([[CsvSource.read]]) is LINE-oriented — that is
   * what makes the read splittable at 100 TB (block-parallel
-  * TextInputFormat) — so a quoted field containing an embedded newline
-  * is seen as two malformed lines and rejected. Sources that embed
-  * newlines (legal CSV, cl-csv accepts it) use
-  * [[CsvSource.readMultiLine]], which is record-aware at the price of
-  * per-file parallelism.
+  * TextInputFormat). Quoted fields with embedded newlines (legal CSV,
+  * the reference loads them) are handled by partition-local record
+  * STITCHING ([[CsvSource.stitchRecords]]): a line that ends inside an
+  * open quote absorbs following lines until the quote closes, so such
+  * records load without giving up split parallelism. The one residue:
+  * a multi-line record straddling a ~32 MB split boundary rejects
+  * VISIBLY (both fragments parse malformed and land in the reject
+  * file, replayable) instead of loading — bounded by record-size /
+  * split-size, zero for single-split files like the reference's own
+  * fixtures. [[CsvSource.readMultiLine]] remains the whole-file
+  * record-aware reader for callers that need boundary-exactness at
+  * the price of per-file parallelism.
   */
 final case class CsvDialect(
     separator: Char = ',',
@@ -69,7 +76,8 @@ object CsvSource {
     // come from the declared list, matching the reference's HAVING FIELDS
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
-      canonicalEncoding(dialect.encoding), dialect.splitHint)
+      canonicalEncoding(dialect.encoding), dialect.splitHint,
+      stitchRecords(dialect))
     // one native-expression parse per line ([[parseFields]] is the
     // scalar spec), then positional field extraction; `get` is
     // out-of-bounds-NULL, so ragged short lines pad with NULLs and
@@ -110,7 +118,8 @@ object CsvSource {
     import org.apache.spark.sql.functions._
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
-      canonicalEncoding(dialect.encoding), dialect.splitHint)
+      canonicalEncoding(dialect.encoding), dialect.splitHint,
+      stitchRecords(dialect))
     lines
       .filter(octet_length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions
@@ -146,7 +155,8 @@ object CsvSource {
       .zipWithIndex.map { case (f, i) => f -> i }.toMap
     require(fileIdx.nonEmpty, s"no files match $path")
     val lines = SkipLines.linesWithPosition(spark, path, skip,
-      canonicalEncoding(dialect.encoding))
+      canonicalEncoding(dialect.encoding),
+      stitch = stitchRecords(dialect))
     val parsed = lines
       .filter(octet_length(col("value")) > 0)
       .filter(!col("__bad")) // undecodable rows are rejects, not data
@@ -170,6 +180,89 @@ object CsvSource {
       .select(fieldNames.zipWithIndex.map { case (nm, i) =>
         get(col("__fields"), lit(i)).as(nm)
       } :+ col(serialCol): _*)
+  }
+
+  /** Quote state after scanning one LINE's bytes, given the state at
+    * its start — the byte-level twin of [[splitRecords]]' machine
+    * (quote opens only at a field start; doubled-quote / backslash
+    * escape modes; all transitions identical). Valid for
+    * ASCII-compatible charsets (the [[SkipLines]] contract — records
+    * split on `\n` bytes there for the same reason). An escape
+    * lookahead that would cross the line end behaves exactly as if the
+    * next byte were the `\n` the splitter consumed: a lone closing
+    * quote at EOL closes, a doubled `""` at EOL stays open. */
+  private[sources] def quoteOpenAfter(b: Array[Byte], n: Int,
+      d: CsvDialect, startOpen: Boolean): Boolean = {
+    if (d.quote == '\u0000' || d.quote >= 0x80) return false
+    val q = d.quote.toByte
+    val sep = d.separator.toByte
+    // fast path: a line with no quote byte cannot change the state
+    // (the scan is a single-comparison loop — the stitch runs on the
+    // scan's hottest path and most lines have no quotes at all)
+    var hasQ = false
+    var i = 0
+    while (i < n && !hasQ) { hasQ = b(i) == q; i += 1 }
+    if (!hasQ) return startOpen
+    @inline def isBlank(c: Byte) = (c == ' ' || c == '\t') && c != sep
+    var inQuote = startOpen
+    var atFieldStart = !startOpen
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if (inQuote) {
+        if (c == q) {
+          if (d.doubledQuote && i + 1 < n && b(i + 1) == q) i += 2
+          else { inQuote = false; i += 1 }
+        } else if (!d.doubledQuote && c == '\\' && i + 1 < n) i += 2
+        else i += 1
+      } else {
+        if (c == q && atFieldStart) inQuote = true
+        atFieldStart = c == sep || (atFieldStart && isBlank(c))
+        i += 1
+      }
+    }
+    inQuote
+  }
+
+  /** Partition-local record reassembly for the line-oriented scan: a
+    * line ending inside an open quote absorbs following lines (newlines
+    * restored as data) until the quote closes — quoted embedded
+    * newlines load (tests/csv/embedded-newline) WITHOUT giving up the
+    * splittable line reader. A record left open at the partition end
+    * (it straddled a split boundary, or the file ended mid-quote) is
+    * emitted as-is: it parses malformed and lands in the reject file,
+    * visible and replayable, never silently dropped. The joined record
+    * keeps the FIRST line's offset, so [[readWithSerial]] ordering and
+    * the skip-lines cut are unaffected. Plugged into
+    * [[SkipLines.linesWithPosition]] per partition by every CSV entry
+    * point (read / rejects / readWithSerial use the same function, so
+    * data and reject scans see identical records). */
+  private[sources] def stitchRecords(d: CsvDialect)
+      : Iterator[(String, Long, Array[Byte], Boolean)] =>
+        Iterator[(String, Long, Array[Byte], Boolean)] = {
+    if (d.quote == '\u0000' || d.quote >= 0x80) identity
+    else it => new Iterator[(String, Long, Array[Byte], Boolean)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (String, Long, Array[Byte], Boolean) = {
+        val first = it.next()
+        if (!quoteOpenAfter(first._3, first._3.length, d, false)) first
+        else {
+          val buf = new java.io.ByteArrayOutputStream(
+            first._3.length + 64)
+          buf.write(first._3, 0, first._3.length)
+          var bad = first._4
+          var open = true
+          while (open && it.hasNext) {
+            val (_, _, nb, nbBad) = it.next()
+            buf.write('\n')
+            buf.write(nb, 0, nb.length)
+            bad ||= nbBad
+            open = quoteOpenAfter(nb, nb.length, d, true)
+          }
+          (first._1, first._2, buf.toByteArray, bad)
+        }
+      }
+    }
   }
 
   /** Split a file's full text into CSV RECORDS: newlines inside quoted
@@ -207,8 +300,10 @@ object CsvSource {
         out += sb.toString; sb.setLength(0); atFieldStart = true; i += 1
       } else {
         if (q != '\u0000' && c == q && atFieldStart) inQuote = true
-        atFieldStart =
-          c == sep || (atFieldStart && d.trimUnquoted && isBlank(c))
+        // blanks keep the field-start state in BOTH trim modes: a
+        // quote after leading blanks opens the field either way
+        // (blanks before a quote are ignored, like the reference)
+        atFieldStart = c == sep || (atFieldStart && isBlank(c))
         sb.append(c); i += 1
       }
     }
@@ -256,9 +351,11 @@ object CsvSource {
     *
     *   - `trimUnquoted`: space/TAB (only — control bytes are data,
     *     unlike univocity's everything-below-0x21) stripped around
-    *     UNQUOTED values, and a quote after leading blanks still opens
-    *     a quoted field; with keep-blanks the blanks are data and a
-    *     quote is only a quote at the field's first byte.
+    *     UNQUOTED values. A quote after leading blanks opens a quoted
+    *     field in BOTH modes (whitespace in front of an opening quote
+    *     is ignored — the reference's v4 reader; with keep-blanks the
+    *     blanks are data only when no quote follows them:
+    *     tests/csv/blanks-keep row 7 loads, its f3 quoted).
     *   - unquoted empty (post-trim) → NULL; quoted empty `""` → empty
     *     string (unquoted-empty-string-is-nil / quoted-empty-string-
     *     is-nil semantics).
@@ -286,6 +383,16 @@ object CsvSource {
       // one field per iteration; i sits at the field's first char
       var j = i
       if (d.trimUnquoted) while (j < n && isBlank(line.charAt(j))) j += 1
+      else if (q != '\u0000') {
+        // whitespace in FRONT of an opening quote is ignored even in
+        // keep-blanks mode (the reference's v4 reader -- opencsv
+        // ignore-leading-white-space -- loads '  "x"' as the quoted
+        // field; the blanks are data only when no quote follows:
+        // tests/csv/blanks-keep row 7)
+        var p = j
+        while (p < n && isBlank(line.charAt(p))) p += 1
+        if (p < n && line.charAt(p) == q) j = p
+      }
       if (q != '\u0000' && j < n && line.charAt(j) == q) {
         // quoted field
         val sb = new StringBuilder
@@ -391,6 +498,13 @@ object CsvSource {
     while (!done) {
       var j = i
       if (trim) while (j < n && isBlank(bytes(j))) j += 1
+      else if (hasQ) {
+        // keep-blanks mode still ignores whitespace in FRONT of an
+        // opening quote (see parseFields)
+        var p = j
+        while (p < n && isBlank(bytes(p))) p += 1
+        if (p < n && bytes(p) == q) j = p
+      }
       if (hasQ && j < n && bytes(j) == q) {
         // quoted field: scan to the closing quote; only build a copy
         // when a doubled quote / backslash escape actually occurred
@@ -563,15 +677,18 @@ object FixedWidth {
   final case class FieldPos(name: String, start: Int, length: Int)
 
   def read(spark: SparkSession, path: String, specs: Seq[FieldPos],
-           skipLines: Int = 0, splitHint: Int = 1): DataFrame = {
+           skipLines: Int = 0, splitHint: Int = 1,
+           encoding: String = "UTF-8"): DataFrame = {
     // always the strict decode path — skip<=0 used to take a lenient
     // textFile shortcut, giving the format a DIFFERENT reject contract
     // depending on whether `skip header` was configured (the CSV
     // source's round-13 ADVICE finding, fixed here the same way).
     // Undecodable rows are excluded here and surfaced by [[rejects]].
+    // `encoding` honors the command's WITH ENCODING (census-places is
+    // latin1 — its 52 accented rows must decode, not reject).
     import org.apache.spark.sql.functions.col
-    val text = SkipLines.linesDF(spark, path, skipLines, "UTF-8",
-        splitHint)
+    val text = SkipLines.linesDF(spark, path, skipLines,
+        CsvSource.canonicalEncoding(encoding), splitHint)
       .filter(!col("__bad"))
       .withColumnRenamed("value", "__line")
     project(text, "__line", specs).drop("__line", "__bad")
@@ -582,9 +699,11 @@ object FixedWidth {
     * file (same contract as [[CsvSource.rejects]]; ragged lines are
     * NOT rejects, they pad with NULLs). */
   def rejects(spark: SparkSession, path: String, skipLines: Int = 0,
-              splitHint: Int = 1): DataFrame = {
+              splitHint: Int = 1,
+              encoding: String = "UTF-8"): DataFrame = {
     import org.apache.spark.sql.functions.col
-    SkipLines.linesDF(spark, path, skipLines, "UTF-8", splitHint)
+    SkipLines.linesDF(spark, path, skipLines,
+        CsvSource.canonicalEncoding(encoding), splitHint)
       .filter(col("__bad"))
       .select(col("value"))
   }

@@ -212,21 +212,25 @@ object DbfSource {
             try in.readFully(0, buf) finally in.close()
             buf
           }
-          // the header declares memo columns: silently yielding raw block
-          // numbers would corrupt the load — fail loudly instead
-          if (found.isEmpty) throw new IllegalStateException(
-            s"$dbfPath declares memo (M) fields but no sibling " +
-              s"${base}.dbt/.fpt memo file exists")
+          // a missing sibling memo file degrades every memo value to
+          // NULL rather than failing the load — the reference's v4
+          // fixture ships dbase_8b.dbf WITHOUT its .dbt and expects 10
+          // rows with NULL memos (clojure tests/dbf/dbf-8b). Yielding
+          // the raw block NUMBERS would corrupt the load, so the
+          // pointers are dropped, never passed through.
           found
         }
       parseRecords(bytes, h, cs).map { vs =>
-        dbt.foreach { mem =>
-          memoIdx.foreach { i =>
-            val blockStr = Option(vs(i)).map(_.trim).getOrElse("")
-            // malformed block pointers reject the value, not the task
-            vs(i) =
-              if (blockStr.isEmpty) null
-              else blockStr.toIntOption.map(b => memoText(mem, b, cs)).orNull
+        memoIdx.foreach { i =>
+          dbt match {
+            case Some(mem) =>
+              val blockStr = Option(vs(i)).map(_.trim).getOrElse("")
+              // malformed block pointers reject the value, not the task
+              vs(i) =
+                if (blockStr.isEmpty) null
+                else blockStr.toIntOption
+                  .map(b => memoText(mem, b, cs)).orNull
+            case None => vs(i) = null // no memo file: see above
           }
         }
         Row.fromSeq(vs.toSeq)

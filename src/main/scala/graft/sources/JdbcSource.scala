@@ -818,17 +818,34 @@ object IntrospectionRows {
     * under SQLite's dynamic typing is text; `INTEGER PRIMARY KEY` (single
     * pk column) aliases the rowid → auto-increment; pk columns are
     * implicitly NOT NULL. */
+  private val SqliteFnDefault =
+    "(?i)\\b(strftime|datetime|julianday|unixepoch)\\s*\\(".r
+
+
   def sqliteTable(name: String, cols: Seq[SqliteColumn],
                   indexes: Seq[SqliteIndex] = Nil,
                   fks: Seq[SqliteFk] = Nil,
                   rowCount: Long = 0L): Table = {
     val pkCount = cols.count(_.pk > 0)
     val fields = cols.sortBy(_.cid).map { c =>
+      // ctype stays RAW (cast-rule guards match the declared spelling,
+      // `smallint unsigned` keeps its unsigned marker); SQLite's
+      // accept-any-type-name freedom is handled by the CAST layer's
+      // prefix-affinity fallback rules (DefaultCastRules.sqlite)
       val ct = Option(c.ctype).map(_.trim.toLowerCase).filter(_.nonEmpty)
         .getOrElse("text")
+      // SQLite-only function defaults (strftime/datetime/julianday/
+      // unixepoch) have no PG spelling — they rewrite to
+      // CURRENT_TIMESTAMP, like the reference (sqlite.clj:31-37
+      // sqlite-function-default?; the sqlite fixture's appointments
+      // table would otherwise fail CREATE TABLE outright)
+      val dflt = c.default.map { d =>
+        if (SqliteFnDefault.findFirstIn(d).isDefined) "CURRENT_TIMESTAMP"
+        else d
+      }
       SourceColumn(
         table = name, name = c.name, ctype = ct,
-        default = c.default,
+        default = dflt,
         nullable = !c.notNull && c.pk == 0,
         // ONLY a column typed exactly INTEGER aliases the rowid in
         // SQLite — INT/INT2/INT8 PRIMARY KEY columns do not auto-assign
@@ -847,7 +864,10 @@ object IntrospectionRows {
       FKey(s"${name}_fk_$id", name, sorted.map(_.from),
         sorted.head.table, sorted.map(_.to))
     }
-    Table(name = name, schema = "main", sourceName = name,
+    // SQLite has no schemas: tables land in "public" on the target
+    // (sqlite.clj:172 matches the CL v3 behavior) — an ALTER SCHEMA
+    // 'public' RENAME TO ... then applies, tests/sqlite/test-pk
+    Table(name = name, schema = "public", sourceName = name,
       rowCountEstimate = rowCount, fields = fields,
       indexes = pkIndex ++ others, fkeys = fkeys)
   }

@@ -97,8 +97,16 @@ object SkipLines {
     * serial-id contract the regress goldens check. */
   private val MinSplitBytes = 4L << 20
 
+  /** Per-partition record-reassembly hook: receives the split's
+    * (file, offset, utf8-bytes, bad) line tuples in order and may join
+    * lines into records (CSV quoted embedded newlines —
+    * [[CsvSource.stitchRecords]]). Identity when null. */
+  type Stitch = Iterator[(String, Long, Array[Byte], Boolean)] =>
+    Iterator[(String, Long, Array[Byte], Boolean)]
+
   def linesWithPosition(spark: SparkSession, path: String, skip: Int,
-                        charset: String = "UTF-8", splitHint: Int = 1)
+                        charset: String = "UTF-8", splitHint: Int = 1,
+                        stitch: Stitch = null)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val cuts = if (skip <= 0) Map.empty[String, Long]
@@ -179,7 +187,12 @@ object SkipLines {
         }
       }
     }
-    kept.toDF("__file", "__off", "value", "__bad")
+    val stitched =
+      if (stitch == null) kept
+      // TextInputFormat splits never span files, so a partition's
+      // lines all belong to one file and in-order reassembly is sound
+      else kept.mapPartitions(stitch(_), preservesPartitioning = true)
+    stitched.toDF("__file", "__off", "value", "__bad")
       .withColumn("value", org.apache.spark.sql.functions.col("value")
         .cast(org.apache.spark.sql.types.StringType))
   }
@@ -229,9 +242,10 @@ object SkipLines {
     * included (a spark.read.textFile fast path would decode leniently
     * and silently load U+FFFD mojibake). */
   def linesDF(spark: SparkSession, path: String, skip: Int,
-              charset: String = "UTF-8", splitHint: Int = 1)
+              charset: String = "UTF-8", splitHint: Int = 1,
+              stitch: Stitch = null)
       : org.apache.spark.sql.DataFrame =
-    linesWithPosition(spark, path, skip, charset, splitHint)
+    linesWithPosition(spark, path, skip, charset, splitHint, stitch)
       .select("value", "__bad")
 
   /** The DECODABLE lines of `path` with the first `skip` lines of EACH

@@ -334,7 +334,7 @@ object SqliteFile {
   }
 
   /** First token of a column definition (quoted or bare identifier). */
-  private def firstToken(s: String): (String, String) = {
+  private[sources] def firstToken(s: String): (String, String) = {
     val t = s.trim
     if (t.isEmpty) return ("", "")
     t.head match {
@@ -439,5 +439,116 @@ object SqliteFile {
       IntrospectionRows.SqliteColumn(i, name, ctype, notNull, default,
         pkOrd)
     }
+  }
+
+  /** FOREIGN KEY clauses of a CREATE TABLE — table-level
+    * `FOREIGN KEY (a[,b]) REFERENCES t (x[,y])` and column-level
+    * `col … REFERENCES t (x)` forms, in the PRAGMA foreign_key_list
+    * row shape ([[IntrospectionRows.SqliteFk]]). The file-format
+    * reader has no PRAGMA, so the stored DDL is the catalog (the
+    * chinook fixture's 11 FKs recreate on the target from exactly
+    * these clauses). */
+  def parseForeignKeys(sql: String): Seq[IntrospectionRows.SqliteFk] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return Nil
+    val defs = splitTop(sql.substring(open + 1, close))
+    val out = Seq.newBuilder[IntrospectionRows.SqliteFk]
+    var id = 0
+    def refParts(afterRefs: String): Option[(String, Seq[String])] = {
+      val t = afterRefs.trim
+      if (t.isEmpty) None
+      else {
+        val (tbl, rest) = firstToken(t)
+        val r = rest.trim
+        val cols =
+          if (r.startsWith("(")) {
+            val end = r.indexOf(')')
+            if (end < 0) Nil
+            else splitTop(r.substring(1, end)).map(c =>
+              unquote(c.split("\\s+")(0)))
+          } else Nil
+        Some((tbl, cols))
+      }
+    }
+    defs.foreach { d =>
+      val lower = d.toLowerCase
+      val tableLevel =
+        "^(constraint\\s+\\S+\\s+)?foreign\\s+key\\s*\\(".r
+          .findFirstMatchIn(lower)
+      if (tableLevel.isDefined) {
+        val fkOpen = d.indexOf('(', tableLevel.get.end - 1)
+        val fkClose = d.indexOf(')', fkOpen)
+        val from = splitTop(d.substring(fkOpen + 1, fkClose))
+          .map(c => unquote(c.split("\\s+")(0)))
+        val refM = "(?i)references\\s+".r
+          .findFirstMatchIn(d.substring(fkClose))
+        refM.foreach { m =>
+          refParts(d.substring(fkClose + m.end)).foreach {
+            case (tbl, to) =>
+              val tos = if (to.nonEmpty) to else from
+              from.zip(tos).zipWithIndex.foreach { case ((f, t2), s) =>
+                out += IntrospectionRows.SqliteFk(id, s, tbl, f, t2)
+              }
+              id += 1
+          }
+        }
+      } else {
+        val k = d.split("[\\s(]+")(0).toLowerCase
+        if (!Set("primary", "unique", "check", "constraint")(k)) {
+          // column definition: a column-level REFERENCES clause
+          val (name, _) = firstToken(d)
+          val refM = "(?i)\\breferences\\s+".r.findFirstMatchIn(d)
+          refM.foreach { m =>
+            refParts(d.substring(m.end)).foreach { case (tbl, to) =>
+              out += IntrospectionRows.SqliteFk(id, 0, tbl, name,
+                to.headOption.getOrElse(name))
+              id += 1
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** The UNIQUE / (non-rowid-alias) PRIMARY KEY constraints of a
+    * CREATE TABLE that SQLite backs with an automatic index, in
+    * DECLARATION order — the `sqlite_autoindex_<table>_<N>` rows in
+    * sqlite_master have NULL sql, so their column lists come from the
+    * table's own DDL (N is 1-based over this sequence). */
+  def autoIndexColumns(sql: String): Seq[(Boolean, Seq[String])] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return Nil
+    val defs = splitTop(sql.substring(open + 1, close))
+    val out = Seq.newBuilder[(Boolean, Seq[String])]
+    defs.foreach { d =>
+      val lower = d.toLowerCase
+      val headKw = d.split("[\\s(]+")(0).toLowerCase
+      def listCols: Seq[String] = {
+        val o = d.indexOf('(')
+        val c2 = d.indexOf(')', o)
+        if (o < 0 || c2 < 0) Nil
+        else splitTop(d.substring(o + 1, c2)).map(c =>
+          unquote(c.split("\\s+")(0)))
+      }
+      if (lower.matches("^(constraint\\s+\\S+\\s+)?primary\\s+key.*")) {
+        // a rowid-aliasing INTEGER PRIMARY KEY never gets an autoindex,
+        // but a table-level (possibly composite) PK does
+        out += ((true, listCols))
+      } else if (lower.matches("^(constraint\\s+\\S+\\s+)?unique\\s*\\(.*")) {
+        out += ((false, listCols))
+      } else if (!Set("primary", "unique", "check", "foreign",
+          "constraint")(headKw)) {
+        // column-level UNIQUE (a rowid-alias `integer primary key`
+        // column still gets none; a column-level TEXT PRIMARY KEY
+        // would — rare, and covered by the table-level path users hit)
+        val (name, rest) = firstToken(d)
+        if ("(?i)\\bunique\\b".r.findFirstIn(rest).isDefined)
+          out += ((false, Seq(name)))
+      }
+    }
+    out.result()
   }
 }

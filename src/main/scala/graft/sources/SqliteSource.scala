@@ -21,14 +21,69 @@ object SqliteSource {
       : Seq[graft.catalog.Table] = {
     val db = SqliteFile.open(path)
     try {
+      val master = db.master()
       userTables(db).map { m =>
         val cols = SqliteFile.parseCreateTable(m.sql)
         val count =
           if (rowCounts) db.scan(m.rootPage, cols.length).size.toLong
           else 0L
-        IntrospectionRows.sqliteTable(m.name, cols, rowCount = count)
+        // secondary indexes: named CREATE INDEX rows carry their DDL;
+        // sqlite_autoindex_<t>_<N> rows (UNIQUE / table-level PK
+        // constraints) have NULL sql — their columns come from the
+        // table's own DDL in declaration order (the reference reads
+        // the same facts via PRAGMA index_list/index_info)
+        val auto = SqliteFile.autoIndexColumns(m.sql)
+        val indexes = master.filter(i => i.kind == "index" &&
+            i.tblName == m.name && !isInternalAutoindex(i.name))
+          .flatMap(i => parseCreateIndex(i.name, i.sql)) ++
+          master.filter(i => i.kind == "index" && i.tblName == m.name)
+            .flatMap { i =>
+              autoindexN(i.name, m.name).flatMap(n => auto.lift(n - 1))
+                .map { case (_, cs) =>
+                  // origin "u", even for a PK-backing autoindex: the
+                  // reference recreates these as real UNIQUE indexes
+                  // alongside the PK constraint (chinook expects
+                  // sqlite_autoindex_PlaylistTrack_1 among its 33)
+                  IntrospectionRows.SqliteIndex(i.name, unique = true,
+                    columns = cs, origin = "u")
+                }
+            }
+        val fks = SqliteFile.parseForeignKeys(m.sql)
+        IntrospectionRows.sqliteTable(m.name, cols, indexes, fks,
+          rowCount = count)
       }
     } finally db.close()
+  }
+
+  private def isInternalAutoindex(name: String): Boolean =
+    name.startsWith("sqlite_autoindex_")
+
+  private def autoindexN(idxName: String, table: String): Option[Int] = {
+    val prefix = s"sqlite_autoindex_${table}_"
+    if (idxName.startsWith(prefix))
+      idxName.substring(prefix.length).toIntOption
+    else None
+  }
+
+  private val CreateIndex = (
+    "(?is)\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s+ON\\s+.+?\\((.*)\\)\\s*").r
+
+  /** `CREATE [UNIQUE] INDEX name ON table (cols…)` → the PRAGMA-shaped
+    * index row; indexed expressions/partial indexes fall back to the
+    * plain column prefix of each item. */
+  private def parseCreateIndex(name: String, sql: String)
+      : Option[IntrospectionRows.SqliteIndex] = sql match {
+    case CreateIndex(uniq, _, colList) =>
+      val cols = colList.split(",").toSeq.map { c =>
+        val t = c.trim
+        val (n, _) = SqliteFile.firstToken(t)
+        n
+      }.filter(_.nonEmpty)
+      if (cols.isEmpty) None
+      else Some(IntrospectionRows.SqliteIndex(name,
+        unique = uniq != null, columns = cols))
+    case _ => None
   }
 
   private def userTables(db: SqliteFile.Db): Seq[SqliteFile.MasterRow] =
@@ -130,11 +185,34 @@ object SqliteSource {
   /** Spark result type → the sqlite-flavored ctype the cast-engine
     * guards expect — for MATERIALIZE VIEWS tables whose shape comes
     * from a Spark SQL evaluation instead of PRAGMA table_info. */
+  /** Spark type for a declared sqlite column type, for the TYPED temp
+    * views MATERIALIZE VIEWS evaluates over: a plain-projection view
+    * then carries its base columns' numeric types into the
+    * materialized table's DDL instead of text (the reference
+    * introspects the view's result types on the live source —
+    * tests/sqlite/matviews pins `price` landing numeric). Temporal and
+    * numeric/decimal kinds stay STRING: their rendering fidelity
+    * matters more than their arithmetic in a view projection. */
+  def viewEvalType(ctype: String)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val base = ctype.toLowerCase.takeWhile(_ != '(').trim
+    base match {
+      case "int" | "integer" | "int2" | "int4" | "int8" | "bigint" |
+           "smallint" | "tinyint" | "mediumint" | "long" => LongType
+      case "real" | "float4" => FloatType
+      case "float" | "float8" | "double" | "double precision" =>
+        DoubleType
+      case _ => StringType
+    }
+  }
+
   def ctypeOf(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "integer"
-      case FloatType | DoubleType => "double"
+      case FloatType => "real"
+      case DoubleType => "double"
       case d: DecimalType => s"numeric(${d.precision},${d.scale})"
       case BooleanType => "boolean"
       case DateType => "date"

@@ -35,7 +35,8 @@ class ArchiveInlineSpec extends SparkSpec {
           ;""")
     assert(cmd.loadType == "archive" && cmd.subCommands.length == 2)
     val results = PlanBuilder.buildArchive(spark, cmd)
-    assert(results.map(_._1) == Seq(Some("regions"), Some("cities")))
+    assert(results.map(_._1.targetTable) ==
+      Seq(Some("regions"), Some("cities")))
     val regions = results(0)._2.collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
     assert(regions.toSeq == Seq(("1", "east"), ("2", "west")))

@@ -90,8 +90,10 @@ class CsvCodegenSpec extends SparkSpec {
     try {
       val rows = CsvSource.read(spark, f.getPath, dialect,
         Seq("id", "name")).collect()
-      assert(rows.map(_.getString(0)).sorted.toSeq ==
-        Seq("1", "3", "5", "6"))
+      // the unterminated quote on row 4 absorbs the following lines
+      // into ONE (rejected) record — record stitching, exactly what
+      // the reference's reader does with a stray opening quote
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
 
       // the NullPropagation hazard: the reject filter is
       // `__fields IS NULL` over the same non-nullable-child plan — a
@@ -99,7 +101,7 @@ class CsvCodegenSpec extends SparkSpec {
       // to false and silently lose every parse reject
       val rejects = CsvSource.rejects(spark, f.getPath, dialect).collect()
       assert(rejects.map(_.getString(0)).sorted.toSeq ==
-        Seq("2,mid\"quote", "4,\"unclosed"))
+        Seq("2,mid\"quote", "4,\"unclosed\n5,gamma\n6,delta"))
     } finally {
       logger.removeAppender(capture)
       capture.stop()

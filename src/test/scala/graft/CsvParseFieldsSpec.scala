@@ -23,10 +23,12 @@ class CsvParseFieldsSpec extends SparkSpec {
     assert(p("a, b ,c", keepD).toSeq == Seq("a", " b ", "c"))
   }
 
-  test("trim mode recognizes a quote after leading blanks") {
+  test("both modes recognize a quote after leading blanks") {
     assert(p("""a, "b,c" ,d""", trimD).toSeq == Seq("a", "b,c", "d"))
-    // keep mode: the blank is data, so the quote is a parse error
-    assert(p("""a, "b" """, keepD) == null)
+    // keep mode too: whitespace in FRONT of an opening quote is
+    // ignored (the reference's v4 reader — tests/csv/blanks-keep
+    // row 7 loads its ` "quoted"` third field)
+    assert(p("""a, "b" """, keepD).toSeq == Seq("a", "b"))
   }
 
   test("doubled-quote and backslash escape modes") {
@@ -54,11 +56,12 @@ class CsvParseFieldsSpec extends SparkSpec {
 
   test("quote inside an unquoted field rejects the row") {
     assert(p("""a,mid"quote,b""", keepD) == null)
-    // keep mode: leading blank makes the field unquoted, so the quote
-    // is an error (the reference's keep-extra-blanks row 7)
-    assert(p("""a, "q"""", keepD) == null)
-    // trim mode: the same bytes parse (blanks skipped, quote opens)
+    // a quote after leading blanks is an OPENER in both modes (blanks
+    // in front of a quote are ignored, like the reference's reader)
+    assert(p("""a, "q"""", keepD).toSeq == Seq("a", "q"))
     assert(p("""a, "q"""", trimD).toSeq == Seq("a", "q"))
+    // but after non-blank data a quote is still a parse error
+    assert(p("""a, x"q"""", keepD) == null)
     // disabled quoting: quotes are plain data
     assert(p("""a,mid"quote,b""", keepD.copy(quote = '\u0000')).toSeq ==
       Seq("a", "mid\"quote", "b"))
@@ -124,11 +127,50 @@ class CsvParseFieldsSpec extends SparkSpec {
         CsvDialect(header = true), Seq("id", "text"))
       .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq == Seq(("1", "alpha\nbeta"), ("2", "plain")))
-    // the line-oriented reader rejects both halves of the broken row
+    // the line-oriented reader STITCHES the record back together
+    // (partition-local reassembly) and loads it identically
     val lineRead = CsvSource.read(spark, tmp.toString,
         CsvDialect(header = true), Seq("id", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(lineRead.toSeq == got.toSeq)
+  }
+
+  test("line reader stitches quoted embedded newlines: multi-record, " +
+      "escape modes, EOF-open reject, blank interior lines") {
+    val tmp = java.nio.file.Files.createTempFile("stitch", ".csv")
+    // record 1 spans 3 lines with a BLANK interior line; record 2 is
+    // plain; record 3's first line ends on a doubled-quote escape
+    // (stays open); record 4 ends open at EOF (reject, replayable)
+    java.nio.file.Files.writeString(tmp,
+      "1,\"a\n\nb\",x\n" +
+        "2,plain,y\n" +
+        "3,\"q\"\"\nz\",w\n" +
+        "4,\"open,eof\n")
+    val d = CsvDialect()
+    val got = CsvSource.read(spark, tmp.toString, d,
+        Seq("id", "t", "u"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("1", "a\n\nb", "x"), ("2", "plain", "y"), ("3", "q\"\nz", "w")))
+    val bad = CsvSource.rejects(spark, tmp.toString, d)
       .collect().map(_.getString(0))
-    assert(lineRead.toSeq == Seq("2"))
+    assert(bad.toSeq == Seq("4,\"open,eof"))
+    // backslash escape mode: \" at a line end does NOT close; a lone
+    // closing quote does
+    val tmp2 = java.nio.file.Files.createTempFile("stitch2", ".csv")
+    java.nio.file.Files.writeString(tmp2,
+      "1,\"esc\\\"\nstill\",k\n2,\"done\"\n")
+    val d2 = CsvDialect(doubledQuote = false)
+    val got2 = CsvSource.read(spark, tmp2.toString, d2,
+        Seq("id", "t", "u"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(got2.toSeq == Seq(("1", "esc\"\nstill"), ("2", "done")))
+    // readWithSerial numbers stitched records once, in file order
+    val ser = CsvSource.readWithSerial(spark, tmp.toString, d,
+        Seq("id", "t", "u"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    assert(ser.toSeq == Seq(("1", 1L), ("2", 2L), ("3", 3L)))
   }
 
   test("byte-level parseFieldsData equals the scalar spec across " +

@@ -152,13 +152,19 @@ class GoldenRegressSpec extends SparkSpec {
     assertGolden(act, exp)
   }
 
-  test("csv-keep-extra-blanks.load: blanks kept, malformed row rejected") {
-    // 7 input rows; row 7 has a quote mid-unquoted-field (a space
-    // precedes the quote and keep-mode blanks are data) -> parse error
-    // -> rejected, matching the reference's 6-row expected output. The
-    // serial id column is PG-assigned; compare the data columns.
+  test("csv-keep-extra-blanks.load: blanks kept; v3/v4 divergence on " +
+    "the space-then-quote row documented") {
+    // 7 input rows. Row 7's third field starts with a space then a
+    // quote: the reference's TWO engines disagree — the v3 CL parser
+    // errors the row (this fixture's 6-row expected .out), the v4
+    // reader ignores whitespace in front of an opening quote and LOADS
+    // it (clojure/tests/csv/blanks-keep commits a 7-row baseline and
+    // runs it for both engines). This engine follows v4 — blanks-keep
+    // in ClojureGoldenSpec pins the 7-row behavior — so the one
+    // extra row is excluded here before comparing against the v3 .out.
     val act = plan("csv-keep-extra-blanks.load")
       .select(col("f1"), col("f2"), col("f3"))
+      .filter(col("f1") =!= "keep extra blanks")
     val exp = expected("csv-keep-extra-blanks",
         Seq("id", "f1", "f2", "f3"))
       .select(col("f1"), col("f2"), col("f3"))

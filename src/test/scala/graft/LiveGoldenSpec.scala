@@ -78,7 +78,9 @@ class LiveGoldenSpec extends SparkSpec {
       locally {
         val p0 = PgWire.connParams(uri, decode)
         val c0 = new PgWireConnection(p0)
-        try c0.simpleCommand(s"DROP TABLE IF EXISTS $q")
+        // CASCADE: other suites' fixtures may have hung FKs off this
+        // table (clojure tests/csv/playlist-track references csv.track)
+        try c0.simpleCommand(s"DROP TABLE IF EXISTS $q CASCADE")
         finally c0.close()
       }
 
@@ -103,6 +105,14 @@ class LiveGoldenSpec extends SparkSpec {
         Map("dbf-8b" -> "memo", "dbf-memo" -> "docname").get(name)
           .foreach(col => c.simpleCommand(
             s"UPDATE __graft_expected SET $col = NULL WHERE $col = 'NIL'"))
+        // v3/v4 divergence, documented in GoldenRegressSpec: row 7's
+        // space-then-quote field errors under the v3 CL parser (this
+        // 6-row .out) but LOADS under v4 (clojure/tests/csv/blanks-keep
+        // pins 7 rows; ClojureGoldenSpec runs it). The engine follows
+        // v4 — drop the one extra row before comparing to the v3 out.
+        if (name == "csv-keep-extra-blanks")
+          c.simpleCommand(
+            s"DELETE FROM $q WHERE f1 = 'keep extra blanks'")
         // compare the canonical COMPOSITE-TEXT rendering of each row:
         // identical to EXCEPT ALL on the rows, but types without an
         // equality operator (point, csv-districts) still compare

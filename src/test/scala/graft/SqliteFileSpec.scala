@@ -33,11 +33,14 @@ class SqliteFileSpec extends SparkSpec {
     assert(byName("t548").fields.map(_.ctype) ==
       Seq("numeric(20, 6)", "numeric(12,4)"))
     assert(byName("unsigned").fields(1).ctype == "smallint unsigned")
-    // defaults: plain, quoted-with-quotes, expression
+    // defaults: plain, quoted-with-quotes; a SQLite-only function
+    // default (strftime/datetime/julianday/unixepoch) rewrites to
+    // CURRENT_TIMESTAMP at introspection — it has no PG spelling
+    // (sqlite.clj:31-37 sqlite-function-default?)
     assert(byName("stamps").fields.head.default.contains("0"))
     assert(byName("typenames").fields(1).default.contains("'\"0\"'"))
     assert(byName("appointments").fields.head.default
-      .exists(_.startsWith("(strftime")))
+      .contains("CURRENT_TIMESTAMP"))
   }
 
   test("reads rows: rowid aliases, ints, floats, NULLs, empty tables") {
@@ -193,6 +196,23 @@ class SqliteFileSpec extends SparkSpec {
       "the two >63-byte names must collide after truncation")
   }
 
+  test("identifier casing modes: downcase, snake_case (both split " +
+    "rules), quote") {
+    import graft.catalog.Identifiers
+    import graft.catalog.Identifiers.Case
+    assert(Identifiers("TableName", Case.Downcase) == "tablename")
+    // snake_case: lower→Upper boundary AND acronym-run end, like the
+    // reference's apply-sqlite-identifier-case (sqlite.clj:134-137)
+    assert(Identifiers("TableName", Case.SnakeCase) == "table_name")
+    assert(Identifiers("HTMLParser", Case.SnakeCase) == "html_parser")
+    assert(Identifiers("playlistTrack2X", Case.SnakeCase) ==
+      "playlist_track2_x")
+    assert(Identifiers("already_snake", Case.SnakeCase) ==
+      "already_snake")
+    assert(Identifiers("My Table", Case.SnakeCase) == "my_table")
+    assert(Identifiers("Weird\"Name", Case.Quote) == "\"Weird\"\"Name\"")
+  }
+
   test("storage.sqlite: 10-table db introspects and reads") {
     val p = fixture("storage.sqlite")
     val cat = SqliteSource.introspect(p)
@@ -230,9 +250,12 @@ class SqliteFileSpec extends SparkSpec {
       assert(stats.length == 11)
       assert(stats.forall(_.error.isEmpty),
         stats.filter(_.error.nonEmpty).mkString("; "))
+      // target names fold to lowercase (the reference's default
+      // `downcase identifiers` — the DDL, COPY and sequence SQL all
+      // land on the folded spelling; sourceName keeps the raw case)
       val byTable = stats.map(s => s.table -> s.rows).toMap
-      assert(byTable("Track") == 3503L && byTable("PlaylistTrack") == 8715L
-        && byTable("Artist") == 275L)
+      assert(byTable("track") == 3503L && byTable("playlisttrack") == 8715L
+        && byTable("artist") == 275L)
       assert(stats.map(_.rows).sum == 15607L)
       val landed = dst.accepted.synchronized(dst.accepted.toList)
       assert(landed.size == 15607)

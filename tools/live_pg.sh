@@ -11,7 +11,12 @@ useradd -m pguser 2>/dev/null || true
 mkdir -p /tmp/pgsock /tmp/pgdata
 chown pguser /tmp/pgsock /tmp/pgdata
 if [ ! -f /tmp/pgdata/PG_VERSION ]; then
-  su pguser -c "cd /tmp && initdb -D /tmp/pgdata -U graft --auth=trust" >/dev/null
+  # UTF8 explicitly: the container locale is C, whose initdb default is
+  # SQL_ASCII — there length()/psql column widths count BYTES, so
+  # multibyte goldens (tests/csv/encoding) diverge from the reference's
+  # UTF8 servers. UTF8 + C locale is a supported combination.
+  su pguser -c "cd /tmp && initdb -D /tmp/pgdata -U graft --auth=trust \
+    --encoding=UTF8 --locale=C" >/dev/null
   # SCRAM enforcement for one user, BEFORE the generic trust rules
   python3 - <<'EOF'
 p = '/tmp/pgdata/pg_hba.conf'
