@@ -1074,27 +1074,18 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           case _ => t
         }
       }
-      // TARGET identifier casing, applied once at the catalog level
-      // (params.lisp *identifier-case*; v4 apply-sqlite-identifier-case,
-      // sqlite.clj:130-139): downcase by default — the DDL layer folds
-      // at emission, but the COPY target, setval/sequence SQL and FK
-      // references build from Table.name and must land on the SAME
-      // folded name (a MixedCase sqlite/mysql table otherwise COPYs
-      // into a never-created quoted spelling — chinook's `Album`).
-      // `snake_case identifiers` maps CamelCase → snake_case instead.
-      // sourceName stays RAW: it is what the source reads by.
+      // TARGET identifier casing mode (params.lisp *identifier-case*):
+      // downcase default, snake_case / quote per flags. Applied inside
+      // Migrator.migrate (CatalogRewrite.caseTargets/caseColumns) so
+      // EVERY migration flow cases consistently; sourceName stays RAW
+      // for the source reads.
       val idMode =
-        if (cmd.boolOption("snake_case identifiers"))
+        if (cmd.boolOption("quote identifiers"))
+          graft.catalog.Identifiers.Case.Quote
+        else if (cmd.boolOption("snake_case identifiers"))
           graft.catalog.Identifiers.Case.SnakeCase
         else graft.catalog.Identifiers.Case.Downcase
-      def ic(n: String) = graft.catalog.Identifiers(n, idMode)
-      val tablesCased = tablesForTarget.map { t =>
-        t.copy(name = ic(t.name),
-          indexes = t.indexes.map(i => i.copy(table = ic(i.table))),
-          fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
-            foreignTable = ic(f.foreignTable))))
-      }
-      val bySchema = tablesCased.groupBy(_.schema).toSeq.sortBy(_._1)
+      val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
       // unqualified type names in the closure resolve in the SOURCE
       // session's search-path order — captured live, not guessed from
       // the URI (only pg sources ship custom types today)
@@ -1240,7 +1231,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         afterSchema = cmd.afterSchema ++
           graft.operators.Citus.distributionDdl(cmd.distribute),
         setParams = cmd.setParams,
-        disableTriggers = cmd.boolOption("disable triggers"))
+        disableTriggers = cmd.boolOption("disable triggers"),
+        idCase = idMode)
     } finally dropCreatedViews()
     dbSummaries = dbSummaries :+ summary.copy(phaseEntries =
       graft.orchestration.PhaseEntry("pre", "fetch meta data",
@@ -1415,31 +1407,104 @@ object Runner {
     (s"jdbc:postgresql://$host:$port/$db$query", props)
   }
 
+  /** pgloader's no-command-file CLI mode: `pgloader [--with …]… SOURCE
+    * TARGET` builds a synthetic command routed through the SAME
+    * grammar as a .load file (cli.clj:247-330 build-inline-command;
+    * the CL main's parse-commands-from-source-and-target). `--with`,
+    * `--cast` and `--set` are repeatable and join into the
+    * corresponding clauses; `--type` forces a file LOAD kind for bare
+    * paths; otherwise the LOAD kind comes from the source scheme. */
+  private[graft] def synthesizeCommand(
+      source: String, target: String,
+      withOpts: Seq[String] = Nil,
+      castRules: Seq[String] = Nil,
+      setParams: Seq[String] = Nil,
+      sourceType: Option[String] = None,
+      fieldDefs: Seq[String] = Nil,
+      encoding: Option[String] = None): String = {
+    val effSource = sourceType match {
+      case Some(t) if !source.contains("://") => s"$t://$source"
+      case _ => source
+    }
+    val lower = effSource.toLowerCase
+    val kind = sourceType.map(_.toUpperCase).getOrElse {
+      if (lower.startsWith("csv://")) "CSV"
+      else if (lower.startsWith("copy://")) "COPY"
+      else if (lower.startsWith("fixed://")) "FIXED"
+      else if (lower.startsWith("dbf://")) "DBF"
+      else if (lower.startsWith("ixf://")) "IXF"
+      else "DATABASE" // mysql/pgsql/postgres(ql)/sqlite/mssql
+    }
+    val fileKind = Set("CSV", "COPY", "FIXED")(kind)
+    val parts = Seq.newBuilder[String]
+    parts += s"LOAD $kind"
+    parts += s"  FROM $effSource"
+    encoding.filter(_ => fileKind || kind == "DBF")
+      .foreach(e => parts += s"  WITH ENCODING '$e'")
+    if (fileKind && fieldDefs.nonEmpty)
+      parts += s"  HAVING FIELDS (${fieldDefs.mkString(", ")})"
+    parts += s"  INTO $target"
+    if (withOpts.nonEmpty) parts += s"  WITH ${withOpts.mkString(", ")}"
+    if (castRules.nonEmpty) parts += s"  CAST ${castRules.mkString(", ")}"
+    if (setParams.nonEmpty) parts += s"  SET ${setParams.mkString(", ")}"
+    parts.result().mkString("\n") + "\n;"
+  }
+
   def main(args: Array[String]): Unit = {
     // --summary <path> writes the machine-readable report (reference
     // main.lisp --summary; summary.clj write-summary); --verbose adds
     // the read/write time columns
     var summaryPath: Option[String] = None
     var verbose = false
+    val withOpts = Seq.newBuilder[String]
+    val castRules = Seq.newBuilder[String]
+    val setParams = Seq.newBuilder[String]
+    val fieldDefs = Seq.newBuilder[String]
+    var sourceType: Option[String] = None
+    var cliEncoding: Option[String] = None
     val pos = Seq.newBuilder[String]
     var i = 0
+    def arg(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value")
+      val v = args(i + 1); i += 2; v
+    }
     while (i < args.length) {
       args(i) match {
-        case "--summary" =>
-          require(i + 1 < args.length, "--summary requires a path")
-          summaryPath = Some(args(i + 1)); i += 2
+        case "--summary" => summaryPath = Some(arg("--summary"))
         case "--verbose" => verbose = true; i += 1
+        case "--with" => withOpts += arg("--with")
+        case "--cast" => castRules += arg("--cast")
+        case "--set" => setParams += arg("--set")
+        case "--field" => fieldDefs += arg("--field")
+        case "--type" => sourceType = Some(arg("--type"))
+        case "--encoding" => cliEncoding = Some(arg("--encoding"))
         case a => pos += a; i += 1
       }
     }
     val positional = pos.result()
     require(positional.nonEmpty,
-      "usage: graft.Runner [--summary path] [--verbose] <file.load> [baseDir]")
-    val file = new java.io.File(positional(0)).getAbsoluteFile
-    val baseDir =
-      if (positional.length > 1) positional(1) else file.getParent
-    val text = new String(
-      java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      "usage: graft.Runner [--summary path] [--verbose] " +
+        "[--with 'opt']… [--cast 'rule']… [--set 'guc to val']… " +
+        "[--type csv|copy|fixed|dbf] [--encoding enc] [--field def]… " +
+        "(<file.load> [baseDir] | SOURCE TARGET)")
+    // no-command-file mode: two positionals where the first is a URI
+    // (or --type names a file kind for a bare path) and the second is
+    // the PG target — exactly the reference CLI's inline command
+    val inlineMode = positional.length == 2 &&
+      (positional(0).contains("://") || sourceType.nonEmpty) &&
+      positional(1).matches("(?i)^(pgsql|postgres|postgresql)://.*")
+    val (file, baseDir, text) =
+      if (inlineMode) {
+        val cmd = synthesizeCommand(positional(0), positional(1),
+          withOpts.result(), castRules.result(), setParams.result(),
+          sourceType, fieldDefs.result(), cliEncoding)
+        (new java.io.File("<inline>"), ".", cmd)
+      } else {
+        val f = new java.io.File(positional(0)).getAbsoluteFile
+        val bd = if (positional.length > 1) positional(1) else f.getParent
+        (f, bd,
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      }
     // baseDir resolves relative EXECUTE 'file.sql' references here too
     val (first, _) = Parser.parseWithInline(text, baseDir)
     val target = first.targetUri.getOrElse(

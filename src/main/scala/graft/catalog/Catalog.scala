@@ -300,9 +300,14 @@ object Identifiers {
 
   private val plainIdent = "^[a-z_][a-z0-9_$]*$".r
 
+  /** The TARGET name for a source identifier under a casing mode.
+    * Quote mode PRESERVES the name — the DDL/COPY emitters quote
+    * anything [[needsQuoting]] flags (uppercase, specials, reserved),
+    * so a preserved MixedCase name comes out quoted everywhere without
+    * embedding quote characters in the catalog. */
   def apply(ident: String, mode: Case): String = mode match {
     case Case.Downcase  => ident.toLowerCase
-    case Case.Quote     => "\"" + ident.replace("\"", "\"\"") + "\""
+    case Case.Quote     => ident
     case Case.SnakeCase =>
       // both split rules, like the reference (sqlite.clj:134-137):
       // lower→Upper boundaries AND the end of an acronym run
@@ -365,12 +370,16 @@ object Ddl {
     * stay bare and every surface lands on the same folded name. A
     * reserved-word column (`order`) or a name with specials otherwise
     * emits invalid DDL that aborts the intolerant pre phase. */
-  private def q(ident: String): String = {
-    val folded = ident.toLowerCase
-    if (Identifiers.needsQuoting(folded))
-      "\"" + folded.replace("\"", "\"\"") + "\""
-    else folded
-  }
+  private def q(ident: String): String =
+    // NO folding here: the catalog casing step (Runner's target
+    // identifier casing + the Migrator's post-cast column casing)
+    // delivers FINAL names — downcased/snake_cased ones pass the
+    // plain-ident check and emit bare, while `quote identifiers`-
+    // preserved MixedCase names (and reserved words, specials) get
+    // quoted. Folding here would destroy the preserved case.
+    if (Identifiers.needsQuoting(ident))
+      "\"" + ident.replace("\"", "\"\"") + "\""
+    else ident
   private def qq(schema: String, name: String): String =
     if (schema.isEmpty) q(name) else s"${q(schema)}.${q(name)}"
 
@@ -591,13 +600,13 @@ $$$$ LANGUAGE plpgsql;"""
       s"${t.schema}.on_update_current_timestamp_${t.name}();"
 
   def resetSequence(t: Table, column: String): String = {
-    // names must land on the FOLDED spelling the DDL created:
-    // pg_get_serial_sequence takes its table arg as parseable SQL text
-    // (so the qq() rendering works verbatim) and compares the column
-    // arg against attname AS GIVEN (no folding — pass it lowercased)
+    // `column` arrives CASED (the catalog casing step delivers final
+    // target names): pg_get_serial_sequence takes its table arg as
+    // parseable SQL text (the qq() rendering works verbatim) and
+    // compares the column arg against attname AS GIVEN
     val tbl = qq(t.schema, t.name)
     s"SELECT setval(pg_get_serial_sequence('${tbl.replace("'", "''")}', " +
-      s"'${column.toLowerCase.replace("'", "''")}'), " +
+      s"'${column.replace("'", "''")}'), " +
       s"(SELECT max(${q(column)}) FROM $tbl));"
   }
 }

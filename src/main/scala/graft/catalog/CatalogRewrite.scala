@@ -53,6 +53,39 @@ object CatalogRewrite {
     })
   }
 
+  /** TARGET identifier casing for TABLE names (params.lisp
+    * *identifier-case*: downcase by default, `snake_case identifiers`,
+    * `quote identifiers` preserves): Table.name plus the index/FK
+    * table references, so every DDL surface lands on one spelling.
+    * `sourceName` stays RAW — it is what the source reads by. Runs for
+    * every Migrator caller (Migrate.migrate applies it), so the
+    * Ddl emitters never fold — they quote-if-needed the FINAL name. */
+  def caseTargets(cat: Catalog, mode: Identifiers.Case): Catalog = {
+    def ic(n: String) = Identifiers(n, mode)
+    cat.copy(schemas = cat.schemas.map(s =>
+      s.copy(tables = s.tables.map(t => t.copy(
+        name = ic(t.name),
+        indexes = t.indexes.map(i => i.copy(table = ic(i.table))),
+        fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
+          foreignTable = ic(f.foreignTable))))))))
+  }
+
+  /** The COLUMN half of [[caseTargets]], applied AFTER the cast builds
+    * the target-shape ColumnDefs (the source-shape `fields` keep their
+    * raw spellings for the readers): column names plus the index/FK
+    * column references. Database COPY stays positional, so data
+    * routing is unaffected. */
+  def caseColumns(cat: Catalog, mode: Identifiers.Case): Catalog = {
+    def ic(n: String) = Identifiers(n, mode)
+    cat.copy(schemas = cat.schemas.map(s =>
+      s.copy(tables = s.tables.map(t => t.copy(
+        columns = t.columns.map(c => c.copy(name = ic(c.name))),
+        indexes = t.indexes.map(i => i.copy(columns = i.columns.map(ic))),
+        fkeys = t.fkeys.map(f => f.copy(
+          columns = f.columns.map(ic),
+          foreignColumns = f.foreignColumns.map(ic))))))))
+  }
+
   /** `ALTER SCHEMA 'a' RENAME TO 'b'`. */
   def alterSchema(cat: Catalog, renames: Seq[(String, String)]): Catalog = {
     val m = renames.toMap

@@ -133,6 +133,11 @@ final class Migrator(
               finallyDo: Seq[String] = Nil,
               setParams: Seq[(String, String)] = Nil,
               disableTriggers: Boolean = false,
+              /** target identifier casing for COLUMN names (table
+                * names are cased by the caller before the catalog
+                * arrives — they also name the source reads, so only
+                * the caller can split name from sourceName). */
+              idCase: Identifiers.Case = Identifiers.Case.Downcase,
               dryRun: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
@@ -168,6 +173,9 @@ final class Migrator(
     // source index names are table-scoped; PG's are schema-scoped
     // (core.clj:746-753) — dedupe before any CREATE INDEX
     cat = CatalogRewrite.uniquifyIndexNames(cat)
+    // TARGET identifier casing: table names before the collision check
+    // (PG collides on the names it will actually create)
+    cat = CatalogRewrite.caseTargets(cat, idCase)
     // PG truncates each IDENTIFIER to 63 bytes, never the qualified
     // pair — truncating "schema.name" as one string would spuriously
     // collide legal sub-63-byte names whose qualified spelling crosses
@@ -179,6 +187,8 @@ final class Migrator(
     require(collisions.isEmpty,
       s"identifier collision after 63-byte truncation: $collisions")
     cat = cat.cast(userCast, defaults)
+    // the COLUMN half of the target casing needs the post-cast shape
+    cat = CatalogRewrite.caseColumns(cat, idCase)
 
     // itemized pre/post wall times for the summary report (the
     // reference's named stats entries — see [[PhaseEntry]]); dry runs

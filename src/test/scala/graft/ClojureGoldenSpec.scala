@@ -269,6 +269,32 @@ class ClojureGoldenSpec extends SparkSpec {
     }
   }
 
+  test("clojure golden sqlite/sqlite-cli-with: --with options via the " +
+    "no-command-file CLI path (quote identifiers preserves CamelTable)") {
+    assume(liveUri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val uri = liveUri.get
+    val dir = fixtureDir("sqlite", "sqlite-cli-with")
+    // the harness invokes `pgloader --with "quote identifiers" --with
+    // "include drop" --with "create tables" sqlite:///… pg://…` — the
+    // CLI builds a synthetic command through the same grammar
+    // (Runner.synthesizeCommand); run that exact text
+    val text = Runner.synthesizeCommand(
+      s"sqlite://$dir/cli_with.db", uri,
+      withOpts = Seq("quote identifiers", "include drop",
+        "create tables"))
+    runner(uri).runFile(spark, text, dir.getPath)
+    for (probe <- Option(new java.io.File(dir, "sql").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".sql"))
+        .sortBy(_.getName)) {
+      val stem = probe.getName.stripSuffix(".sql")
+      val exp = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, s"expected/$stem.out").toPath), "UTF-8")
+      val got = psqlOut(uri, probe)
+      assert(got == exp, s"sqlite-cli-with $stem.sql diverged:\n" +
+        s"--- expected\n$exp--- got\n$got")
+    }
+  }
+
   test("clojure golden sqlite/spaced-path: single-quoted source URI " +
     "with a space (the harness expands {{SQLITE_DB}} from env)") {
     // the Makefile sets SQLITE_DB='work/spaced-path/my db.sqlite'

@@ -72,19 +72,28 @@ class JdbcSourceSpec extends AnyFunSuite {
       Seq("integer", "text", "numeric(12,2)", "integer"))
   }
 
-  test("DDL emission from the cast catalog") {
-    val cast = cat.cast(Nil, DefaultCastRules.ansi)
-    val nations = cast.allTables.find(_.name == "NATIONS").get
+  test("DDL emission from the cast-and-cased catalog") {
+    // Derby reports uppercase identifiers; the TARGET casing steps
+    // (the same ones Migrator.migrate runs — downcase default) fold
+    // them, and the Ddl emitters then quote only what still needs it.
+    // Emitting WITHOUT casing preserves the names quoted — that is the
+    // `quote identifiers` mode's path.
+    import graft.catalog.{CatalogRewrite, Identifiers}
+    val cased = CatalogRewrite.caseColumns(
+      CatalogRewrite.caseTargets(cat, Identifiers.Case.Downcase)
+        .cast(Nil, DefaultCastRules.ansi),
+      Identifiers.Case.Downcase)
+    val nations = cased.allTables.find(_.name == "nations").get
     val ddl = Ddl.createTable(nations)
-    // Derby reports uppercase identifiers; emitted DDL folds them (the
-    // reference's downcase identifier-case default — unquoted N_ID and
-    // n_id are the same name to PG, and folding keeps every emission
-    // surface consistent with the quote-only-when-needed rule)
     assert(ddl.contains("n_id integer NOT NULL"))
     assert(ddl.contains("n_budget numeric(12,2)"))
     val pk = nations.indexes.find(_.primary).get
     assert(Ddl.attachPrimaryKey(pk).contains("ADD PRIMARY KEY USING INDEX"))
     assert(Ddl.addFKey(nations.fkeys.head).contains("REFERENCES"))
+    // quote mode: names pass through preserved and come out quoted
+    val quoted = Ddl.createTable(cat.cast(Nil, DefaultCastRules.ansi)
+      .allTables.find(_.name == "NATIONS").get)
+    assert(quoted.contains("\"N_ID\" integer NOT NULL"))
   }
 
   test("partitioned-read bounds query") {

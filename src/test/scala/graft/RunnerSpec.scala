@@ -324,4 +324,35 @@ class RunnerSpec extends SparkSpec {
     val (bare, _) = Runner.pgJdbcUrl("postgres://h/db")
     assert(bare == "jdbc:postgresql://h:5432/db")
   }
+
+  test("no-command-file CLI mode synthesizes a parseable command " +
+    "(cli.clj build-inline-command)") {
+    // database source: scheme decides the LOAD kind; --with/--cast/
+    // --set join into their clauses and round-trip the grammar
+    val db = Runner.synthesizeCommand(
+      "sqlite:///tmp/x.db", "pgsql://u@h/t",
+      withOpts = Seq("quote identifiers", "include drop",
+        "create tables"),
+      castRules = Seq("type integer to bigint"),
+      setParams = Seq("work_mem to '12MB'"))
+    val (cmd, _) = graft.dsl.Parser.parseWithInline(db)
+    assert(cmd.loadType == "database")
+    assert(cmd.boolOption("quote identifiers") &&
+      cmd.boolOption("include drop"))
+    assert(cmd.castRules.nonEmpty)
+    assert(cmd.setParams == Seq("work_mem" -> "12MB"))
+    // file source: --type names the kind for a bare path; --field and
+    // --encoding land in their clauses
+    val csv = Runner.synthesizeCommand(
+      "/tmp/data.csv", "postgresql://u@h/t?tbl",
+      withOpts = Seq("truncate", "fields terminated by ','"),
+      sourceType = Some("csv"),
+      fieldDefs = Seq("a", "b"),
+      encoding = Some("latin1"))
+    val (c2, _) = graft.dsl.Parser.parseWithInline(csv)
+    assert(c2.loadType == "csv")
+    assert(c2.fields.map(_.name) == Seq("a", "b"))
+    assert(c2.encoding.contains("latin1"))
+    assert(c2.boolOption("truncate"))
+  }
 }

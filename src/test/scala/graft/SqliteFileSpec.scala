@@ -210,7 +210,9 @@ class SqliteFileSpec extends SparkSpec {
     assert(Identifiers("already_snake", Case.SnakeCase) ==
       "already_snake")
     assert(Identifiers("My Table", Case.SnakeCase) == "my_table")
-    assert(Identifiers("Weird\"Name", Case.Quote) == "\"Weird\"\"Name\"")
+    // Quote mode PRESERVES the name; the DDL/COPY emitters quote
+    // anything needsQuoting flags (uppercase, specials, reserved)
+    assert(Identifiers("CamelTable", Case.Quote) == "CamelTable")
   }
 
   test("storage.sqlite: 10-table db introspects and reads") {
