@@ -41,7 +41,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    rejectRoot: Option[String] = None,
                    queryTarget: String => Seq[Array[String]] = null,
                    binaryEndpointFactory:
-                     (String, Seq[String]) => Int => CopyEndpoint = null) {
+                     (String, Seq[String]) => Int => CopyEndpoint = null,
+                   /** `--dry-run`: database migrations run the whole
+                     * catalog pipeline and record every statement that
+                     * WOULD run in the Summary, but call no hook and
+                     * move no data (the reference CLI's --dry-run). */
+                   dryRun: Boolean = false) {
 
   /** Full summaries of the DATABASE loads this Runner executed (one per
     * LOAD DATABASE command): the Migrator's pre/data/post phases and
@@ -1232,7 +1237,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.operators.Citus.distributionDdl(cmd.distribute),
         setParams = cmd.setParams,
         disableTriggers = cmd.boolOption("disable triggers"),
-        idCase = idMode)
+        idCase = idMode,
+        dryRun = dryRun)
     } finally dropCreatedViews()
     dbSummaries = dbSummaries :+ summary.copy(phaseEntries =
       graft.orchestration.PhaseEntry("pre", "fetch meta data",
@@ -1421,7 +1427,9 @@ object Runner {
       setParams: Seq[String] = Nil,
       sourceType: Option[String] = None,
       fieldDefs: Seq[String] = Nil,
-      encoding: Option[String] = None): String = {
+      encoding: Option[String] = None,
+      beforeSql: Option[String] = None,
+      afterSql: Option[String] = None): String = {
     val effSource = sourceType match {
       case Some(t) if !source.contains("://") => s"$t://$source"
       case _ => source
@@ -1447,6 +1455,10 @@ object Runner {
     if (withOpts.nonEmpty) parts += s"  WITH ${withOpts.mkString(", ")}"
     if (castRules.nonEmpty) parts += s"  CAST ${castRules.mkString(", ")}"
     if (setParams.nonEmpty) parts += s"  SET ${setParams.mkString(", ")}"
+    // --before/--after: whole FILES of SQL wrapped in DO blocks, like
+    // the reference CLI (cli.clj:294-308 slurps them)
+    beforeSql.foreach(s => parts += s"  BEFORE LOAD DO $$$$ $s $$$$")
+    afterSql.foreach(s => parts += s"  AFTER LOAD DO $$$$ $s $$$$")
     parts.result().mkString("\n") + "\n;"
   }
 
@@ -1462,6 +1474,10 @@ object Runner {
     val fieldDefs = Seq.newBuilder[String]
     var sourceType: Option[String] = None
     var cliEncoding: Option[String] = None
+    var beforeFile: Option[String] = None
+    var afterFile: Option[String] = None
+    var rootDir: Option[String] = None
+    var dryRun = false
     val pos = Seq.newBuilder[String]
     var i = 0
     def arg(flag: String): String = {
@@ -1472,12 +1488,26 @@ object Runner {
       args(i) match {
         case "--summary" => summaryPath = Some(arg("--summary"))
         case "--verbose" => verbose = true; i += 1
+        case "--quiet" => i += 1 // accepted for compatibility
+        case "--dry-run" => dryRun = true; i += 1
         case "--with" => withOpts += arg("--with")
         case "--cast" => castRules += arg("--cast")
-        case "--set" => setParams += arg("--set")
+        case "--set" =>
+          // both spellings: `--set "guc to 'val'"` (one arg) and the
+          // reference CLI's `--set guc to val` (three args)
+          val v = arg("--set")
+          if (!v.toLowerCase.matches("(?s).*\\bto\\b.*") &&
+              i + 1 < args.length && args(i).equalsIgnoreCase("to")) {
+            require(i + 1 < args.length, "--set guc to VALUE")
+            setParams += s"$v to '${args(i + 1)}'"
+            i += 2
+          } else setParams += v
         case "--field" => fieldDefs += arg("--field")
         case "--type" => sourceType = Some(arg("--type"))
         case "--encoding" => cliEncoding = Some(arg("--encoding"))
+        case "--before" => beforeFile = Some(arg("--before"))
+        case "--after" => afterFile = Some(arg("--after"))
+        case "--root-dir" => rootDir = Some(arg("--root-dir"))
         case a => pos += a; i += 1
       }
     }
@@ -1493,11 +1523,15 @@ object Runner {
     val inlineMode = positional.length == 2 &&
       (positional(0).contains("://") || sourceType.nonEmpty) &&
       positional(1).matches("(?i)^(pgsql|postgres|postgresql)://.*")
+    def slurp(p: Option[String]): Option[String] = p.map(f =>
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(f).toPath), "UTF-8").trim)
     val (file, baseDir, text) =
       if (inlineMode) {
         val cmd = synthesizeCommand(positional(0), positional(1),
           withOpts.result(), castRules.result(), setParams.result(),
-          sourceType, fieldDefs.result(), cliEncoding)
+          sourceType, fieldDefs.result(), cliEncoding,
+          slurp(beforeFile), slurp(afterFile))
         (new java.io.File("<inline>"), ".", cmd)
       } else {
         val f = new java.io.File(positional(0)).getAbsoluteFile
@@ -1544,14 +1578,16 @@ object Runner {
         new graft.sinks.PgWireCopyEndpoint(wire,
           s"COPY ${graft.sinks.PgWire.quoteQualified(table)} FROM STDIN",
           sessionSql),
-      // reference root-dir semantics (rejected rows → <root>/<table>.dat)
-      rejectRoot = sys.env.get("GRAFT_REJECT_ROOT"),
+      // --root-dir wins over the env (reference root-dir semantics:
+      // rejected rows land under <root>/<table>.dat)
+      rejectRoot = rootDir.orElse(sys.env.get("GRAFT_REJECT_ROOT")),
       queryTarget = ddlExec.query,
       binaryEndpointFactory = (table, sessionSql) => _ =>
         new graft.sinks.PgWireCopyEndpoint(wire,
           s"COPY ${graft.sinks.PgWire.quoteQualified(table)} " +
             "FROM STDIN WITH (FORMAT binary)",
-          sessionSql, binary = true))
+          sessionSql, binary = true),
+      dryRun = dryRun)
     val stats =
       try runner.runFileWith(() => sparkFut.get(), text, baseDir)
       finally {

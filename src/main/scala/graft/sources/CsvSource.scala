@@ -196,13 +196,29 @@ object CsvSource {
     if (d.quote == '\u0000' || d.quote >= 0x80) return false
     val q = d.quote.toByte
     val sep = d.separator.toByte
-    // fast path: a line with no quote byte cannot change the state
-    // (the scan is a single-comparison loop — the stitch runs on the
-    // scan's hottest path and most lines have no quotes at all)
-    var hasQ = false
+    // fast paths — the stitch runs on the scan's hottest path:
+    // doubled-quote mode (the default) uses quote-byte PARITY: on a
+    // well-formed line every quote byte is machine-relevant (opener,
+    // closer, or half of a doubled escape), so EVEN parity ⇔ closed;
+    // only odd-parity lines (an open record, or a malformed stray
+    // quote) pay the exact state machine, whose answer then governs.
+    // Backslash mode can't count (an escaped \" is one inert byte) —
+    // it short-circuits on the first quote byte instead.
     var i = 0
-    while (i < n && !hasQ) { hasQ = b(i) == q; i += 1 }
-    if (!hasQ) return startOpen
+    if (!startOpen && d.doubledQuote) {
+      var cnt = 0
+      while (i < n) { if (b(i) == q) cnt += 1; i += 1 }
+      if ((cnt & 1) == 0) return false
+    } else if (!startOpen) {
+      var hasQ = false
+      while (i < n && !hasQ) { hasQ = b(i) == q; i += 1 }
+      if (!hasQ) return false
+    } else if (startOpen) {
+      // a continuation line with no quote byte stays open
+      var hasQ = false
+      while (i < n && !hasQ) { hasQ = b(i) == q; i += 1 }
+      if (!hasQ) return true
+    }
     @inline def isBlank(c: Byte) = (c == ' ' || c == '\t') && c != sep
     var inQuote = startOpen
     var atFieldStart = !startOpen

@@ -354,5 +354,13 @@ class RunnerSpec extends SparkSpec {
     assert(c2.fields.map(_.name) == Seq("a", "b"))
     assert(c2.encoding.contains("latin1"))
     assert(c2.boolOption("truncate"))
+    // --before/--after: file contents wrapped in DO blocks
+    val withDo = Runner.synthesizeCommand(
+      "pgsql://u@h/src", "pgsql://u@h/t",
+      beforeSql = Some("create schema if not exists x;"),
+      afterSql = Some("analyze;"))
+    val (c3, _) = graft.dsl.Parser.parseWithInline(withDo)
+    assert(c3.beforeLoad == Seq("create schema if not exists x;"))
+    assert(c3.afterLoad == Seq("analyze;"))
   }
 }
