@@ -130,4 +130,31 @@ class LiveGoldenSpec extends SparkSpec {
         c.simpleCommand("DROP TABLE IF EXISTS __graft_expected")
       } finally c.close()
     }
+
+  test("live golden: csv-hstore.load — quoted target table, hstore " +
+    "values over COPY, the bad row rejects server-side") {
+    // the fixture ships no expected/.out (it's not in the reference's
+    // regress list), so the assertions pin its DOCUMENTED semantics:
+    // rows 1-3 are hstore literals and load; row 4 ('baddata') is not
+    // an hstore and rejects per-row; the `quote identifiers` WITH
+    // option keeps the "HS" spelling
+    assume(liveUri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val uri = liveUri.get
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/csv-hstore.load")), "UTF-8")
+    val stats = runner(uri).runFile(spark, text, base)
+    assert(stats.map(s => (s.rows, s.rejected)) == Seq((3L, 1L)),
+      stats.mkString("; "))
+    val p = PgWire.connParams(uri, decode)
+    val c = new PgWireConnection(p)
+    try {
+      val r = c.query("""SELECT id, kv -> 'email', kv -> 'c' """ +
+        """FROM "HS" ORDER BY id""")._2.map(_.toSeq)
+      assert(r == Seq(
+        Seq("1", "foo@example.com", null),
+        Seq("2", null, null),
+        Seq("3", null, "quoted hstore value")), r.mkString("; "))
+      c.simpleCommand("""DROP TABLE "HS"""")
+    } finally c.close()
+  }
 }
