@@ -142,7 +142,20 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         (if (cmd.boolOption("disable triggers"))
            Seq("SET session_replication_role = 'replica';")
          else Nil)
-    timedDdl("pre", "before load", cmd.beforeLoad, gucSql)
+    // --dry-run: nothing executes and no data moves, for FILE loads
+    // too (the Migrator has its own richer plan mode for database
+    // loads — it still runs under dryRun and records the full plan).
+    // User DO hooks are part of "nothing executes".
+    if (dryRun && cmd.loadType != "database") {
+      val table = (cmd.targetSchema, cmd.targetTable) match {
+        case (Some(s), Some(tn)) => s"$s.$tn"
+        case (_, tn) => tn.getOrElse("data")
+      }
+      System.err.println(s"graft: dry run — skipping ${cmd.loadType} " +
+        s"load into $table")
+      return Seq(TableStats("", table, 0L, 0L, 0L))
+    }
+    if (!dryRun) timedDdl("pre", "before load", cmd.beforeLoad, gucSql)
     // file loads have no schema-creation phase of their own, so AFTER
     // CREATE SCHEMA DO runs at the same seam, after BEFORE LOAD DO and
     // before any data (the reference fires it once the target table
@@ -227,8 +240,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
     }
-    timedDdl("post", "after load", cmd.afterLoad, gucSql)
-    timedDdl("post", "finally", cmd.finallyDo, gucSql)
+    if (!dryRun) {
+      timedDdl("post", "after load", cmd.afterLoad, gucSql)
+      timedDdl("post", "finally", cmd.finallyDo, gucSql)
+    }
     results
   }
 
@@ -650,14 +665,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       val p = PlanBuilder
         .resolvePath(spark, cmd.source.get, baseDir).split(',').head
       // a zipped DBF source: the schema lives in the archive's .dbf
-      // member (tests/dbf/dbf-zip with `create table`)
+      // member (tests/dbf/dbf-zip with `create table`); the member
+      // list is cached, so data read + DDL share ONE extraction
       if (!p.toLowerCase.endsWith(".zip")) p
-      else Option(graft.sources.Archive.expand(p).listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.toLowerCase.endsWith(".dbf"))
-        .map(_.getAbsolutePath).sorted.headOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"no .dbf member inside $p"))
+      else graft.sources.Archive.dbfMembers(p).head
     }
     def q(n: String) = graft.sinks.PgWire.quoteIdent(n.toLowerCase)
     // a USER cast rule with a target overrides the file-derived column
@@ -678,7 +689,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val h = graft.sources.DbfSource.parseHeader(bytes)
         val tbl = cmd.targetTable.getOrElse("data")
         Some(h.fields.map(f =>
-          s"${q(f.name)} ${userType(tbl, f.name, f.ftype.toString)
+          // ctype = the PG-mapped type, the SAME spelling the data
+          // path feeds CastEngine (PlanBuilder's dbf branch) — a
+          // type-keyed user rule must fire for BOTH the DDL and the
+          // transform or they disagree
+          s"${q(f.name)} ${userType(tbl, f.name,
+            graft.sources.DbfSource.pgType(f))
             .getOrElse(graft.sources.DbfSource.pgType(f))}"))
       case "ixf" =>
         val in = new java.io.BufferedInputStream(

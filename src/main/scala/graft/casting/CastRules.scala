@@ -127,14 +127,18 @@ object CastEngine {
               case (p, None)    => s"($p)"
             }.get}"
           else t.pgType
-        // implicit USING when the rule names none (cast.clj:342-363
-        // implicit-using): `to boolean` from an integer/bit source
-        // needs the 0→f conversion and `to integer` from a NUMERIC
-        // source needs decimal truncation — raw values would reject
-        // server-side (the v4 dbf-memo fixture casts a numeric DBF
-        // column `to integer` with no using and expects 108 rows)
+        // implicit USING when a USER rule names none (cast.clj:342-363
+        // implicit-using — v4 applies it in resolve-specs' user-rule
+        // scan only; DEFAULT rules carry their own usings, and e.g.
+        // the ansi/sqlite boolean→boolean defaults must NOT gain a
+        // tinyint conversion that would flip textual 'false' to 't'):
+        // `to boolean` from an integer/bit source needs the 0→f
+        // conversion and `to integer` from a NUMERIC source needs
+        // decimal truncation — raw values would reject server-side
+        // (the v4 dbf-memo fixture casts a numeric DBF column `to
+        // integer` with no using and expects 108 rows)
         val implicitUsing: Option[String] =
-          if (rule.using.nonEmpty) None
+          if (rule.using.nonEmpty || !userRules.exists(_ eq rule)) None
           else {
             val target = t.pgType.toLowerCase
             val src = c.ctype.toLowerCase

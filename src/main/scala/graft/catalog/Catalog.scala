@@ -425,17 +425,29 @@ object Ddl {
       : Option[String] = default.flatMap { raw0 =>
     val raw = raw0.trim
     if (raw.equalsIgnoreCase("null")) return None
-    // strip surrounding quote pairs repeatedly, like strip-quotes
+    // strip surrounding quote pairs repeatedly, like strip-quotes; a
+    // SINGLE-quoted wrap also carries SQL's '' escaping, so undouble
+    // once after the strip (`'O''Brien'` → O'Brien → re-quotes below
+    // as 'O''Brien', not the mangled 'O''''Brien' — a defect v4's own
+    // strip-quotes/format-default pair has)
     var v = raw
     var changed = true
+    var sqWrapped = false
     while (changed && v.length >= 2) {
       changed = false
-      if ((v.startsWith("'") && v.endsWith("'")) ||
-          (v.startsWith("\"") && v.endsWith("\""))) {
+      // a single-quote wrap strips ONCE (stripping again would eat a
+      // default that IS a quote, '''' → empty); double-quote wraps
+      // strip repeatedly (sqlite spellings like '"0"')
+      if (!sqWrapped && v.startsWith("'") && v.endsWith("'")) {
+        v = v.substring(1, v.length - 1)
+        sqWrapped = true
+        changed = true
+      } else if (v.startsWith("\"") && v.endsWith("\"")) {
         v = v.substring(1, v.length - 1)
         changed = true
       }
     }
+    if (sqWrapped) v = v.replace("''", "'")
     val tpe = Option(pgType).getOrElse("").toLowerCase
     if (v.isEmpty) return None
     if ("^(?i)0000[-/]00[-/]00.*".r.findFirstIn(v).isDefined) return None

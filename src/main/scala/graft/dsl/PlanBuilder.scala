@@ -110,14 +110,7 @@ object PlanBuilder {
         // it in the same temp dir, so memo resolution still works)
         val dbfPath =
           if (!path.toLowerCase.endsWith(".zip")) path
-          else {
-            val dir = graft.sources.Archive.expand(path)
-            val dbfs = Option(dir.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.toLowerCase.endsWith(".dbf"))
-              .map(_.getAbsolutePath).sorted
-            require(dbfs.nonEmpty, s"no .dbf member inside $path")
-            dbfs.mkString(",")
-          }
+          else graft.sources.Archive.dbfMembers(path).mkString(",")
         // per-FILE encoding: DECODING rules may match only some of a
         // glob's files
         val raw = encodingGroups(cmd, dbfPath, "ISO-8859-1").map {
@@ -338,13 +331,16 @@ object PlanBuilder {
       // reference's guessed-field defaults (trim-right, no
       // null-if-blanks) — tests/fixed/fixed-guess pins the behavior.
       import org.apache.spark.sql.functions.{col, rtrim}
-      val header = SkipLines.lines(spark, path, 0).head(1).headOption
+      val enc = cmd.encoding.getOrElse("UTF-8")
+      val header = SkipLines.lines(spark, path, 0,
+          CsvSource.canonicalEncoding(enc)).head(1).headOption
         .getOrElse(throw new IllegalArgumentException(
           s"fixed header: $path has no header line"))
       val specs = FixedWidth.guessSpecs(header)
         .map(s => s.copy(name = s.name.toLowerCase))
       val df = FixedWidth.read(spark, path, specs, skipLines = 1,
-        splitHint = cmd.intOption("workers").getOrElse(4))
+        splitHint = cmd.intOption("workers").getOrElse(4),
+        encoding = enc)
       return specs.foldLeft(df)((d, s) =>
         d.withColumn(s.name, rtrim(col(s.name))))
     }

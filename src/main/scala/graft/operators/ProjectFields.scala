@@ -115,7 +115,10 @@ object ProjectFields {
     val prepared = fields.foldLeft(df) { (d, f) =>
       d.withColumn(f.name, prepareField(qcol(f.name), f))
     }
-    val have = prepared.columns.toSet
+    // case-INSENSITIVE membership, like Spark's own column resolution
+    // (an uppercase DBF header field must still satisfy a lowercase
+    // target column — only a truly ABSENT name injects NULL)
+    val have = prepared.columns.map(_.toLowerCase).toSet
     val outCols = targets.map { t =>
       val value: Column = (t.constant, t.usingExpr, t.transform) match {
         case (Some(k), _, _) => lit(k)
@@ -127,7 +130,7 @@ object ProjectFields {
           // field loads as NULL (tests/csv/constant — TARGET TABLE
           // t (b,c,d) with no field c; csv.clj:383 projects a nil
           // source index, copy.clj renders it \N)
-          if (have.contains(nm)) qcol(nm)
+          if (have.contains(nm.toLowerCase)) qcol(nm)
           else lit(null).cast("string")
       }
       value.as(t.name)

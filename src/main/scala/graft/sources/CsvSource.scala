@@ -202,8 +202,14 @@ object CsvSource {
     // closer, or half of a doubled escape), so EVEN parity ⇔ closed;
     // only odd-parity lines (an open record, or a malformed stray
     // quote) pay the exact state machine, whose answer then governs.
-    // Backslash mode can't count (an escaped \" is one inert byte) —
-    // it short-circuits on the first quote byte instead.
+    // The ONE divergence from the machine is even-parity lines with a
+    // stray mid-field quote before a real opener (`ab"cd,"open`):
+    // treated closed, so the fragments stay separate — but such a
+    // record contains a mid-field quote and REJECTS whether stitched
+    // or not (the pre-stitch fragmentation, pinned in
+    // CsvParseFieldsSpec), never loading wrong data. Backslash mode
+    // can't count (an escaped \" is one inert byte) — it
+    // short-circuits on the first quote byte instead.
     var i = 0
     if (!startOpen && d.doubledQuote) {
       var cnt = 0

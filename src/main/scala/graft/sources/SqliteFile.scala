@@ -512,15 +512,24 @@ object SqliteFile {
     out.result()
   }
 
-  /** The UNIQUE / (non-rowid-alias) PRIMARY KEY constraints of a
+  /** The UNIQUE / non-rowid-alias PRIMARY KEY constraints of a
     * CREATE TABLE that SQLite backs with an automatic index, in
     * DECLARATION order — the `sqlite_autoindex_<table>_<N>` rows in
     * sqlite_master have NULL sql, so their column lists come from the
-    * table's own DDL (N is 1-based over this sequence). */
+    * table's own DDL (N is 1-based over this sequence). The rowid
+    * alias (a single-column PK typed exactly INTEGER, declared either
+    * column-level or as a table-level PRIMARY KEY(col)) gets NO
+    * autoindex; any other PK — composite, non-INTEGER column-level —
+    * DOES, so skipping/including the wrong ones would shift every
+    * later constraint's N onto the wrong column list. */
   def autoIndexColumns(sql: String): Seq[(Boolean, Seq[String])] = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     if (open < 0 || close <= open) return Nil
+    val cols = parseCreateTable(sql)
+    val rowidAlias = cols.count(_.pk > 0) == 1 && cols.exists(c =>
+      c.pk > 0 && Option(c.ctype).exists(
+        _.trim.equalsIgnoreCase("integer")))
     val defs = splitTop(sql.substring(open + 1, close))
     val out = Seq.newBuilder[(Boolean, Seq[String])]
     defs.foreach { d =>
@@ -534,18 +543,19 @@ object SqliteFile {
           unquote(c.split("\\s+")(0)))
       }
       if (lower.matches("^(constraint\\s+\\S+\\s+)?primary\\s+key.*")) {
-        // a rowid-aliasing INTEGER PRIMARY KEY never gets an autoindex,
-        // but a table-level (possibly composite) PK does
-        out += ((true, listCols))
+        if (!rowidAlias) out += ((true, listCols))
       } else if (lower.matches("^(constraint\\s+\\S+\\s+)?unique\\s*\\(.*")) {
         out += ((false, listCols))
       } else if (!Set("primary", "unique", "check", "foreign",
           "constraint")(headKw)) {
-        // column-level UNIQUE (a rowid-alias `integer primary key`
-        // column still gets none; a column-level TEXT PRIMARY KEY
-        // would — rare, and covered by the table-level path users hit)
         val (name, rest) = firstToken(d)
-        if ("(?i)\\bunique\\b".r.findFirstIn(rest).isDefined)
+        val restLower = rest.toLowerCase
+        // column-level PRIMARY KEY before column-level UNIQUE, like
+        // SQLite creates them while parsing the column definition
+        if (!rowidAlias &&
+            "(?i)\\bprimary\\s+key\\b".r.findFirstIn(restLower).isDefined)
+          out += ((true, Seq(name)))
+        if ("(?i)\\bunique\\b".r.findFirstIn(restLower).isDefined)
           out += ((false, Seq(name)))
       }
     }

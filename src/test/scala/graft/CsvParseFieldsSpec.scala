@@ -171,6 +171,20 @@ class CsvParseFieldsSpec extends SparkSpec {
         Seq("id", "t", "u"))
       .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
     assert(ser.toSeq == Seq(("1", 1L), ("2", 2L), ("3", 3L)))
+    // the parity fast path's one documented bias: an even-parity line
+    // with a stray mid-field quote BEFORE a real opener is treated
+    // closed, so the fragments stay separate — and both REJECT (the
+    // record has a mid-field quote either way), never loading wrong
+    // data; good rows around it are untouched
+    val tmp3 = java.nio.file.Files.createTempFile("stitch3", ".csv")
+    java.nio.file.Files.writeString(tmp3,
+      "1,ok\n2,ab\"cd,\"op\nen\",x\n3,fine\n")
+    val good3 = CsvSource.read(spark, tmp3.toString, d, Seq("id", "t"))
+      .collect().map(_.getString(0)).sorted
+    assert(good3.toSeq == Seq("1", "3"))
+    val bad3 = CsvSource.rejects(spark, tmp3.toString, d)
+      .collect().map(_.getString(0)).sorted
+    assert(bad3.length == 2 && bad3.forall(_.contains("\"")))
   }
 
   test("byte-level parseFieldsData equals the scalar spec across " +

@@ -325,6 +325,29 @@ class RunnerSpec extends SparkSpec {
     assert(bare == "jdbc:postgresql://h:5432/db")
   }
 
+  test("--dry-run: a file load executes NOTHING — no DDL, no DO " +
+    "hooks, no data") {
+    val dir = Files.createTempDirectory("runner-dry").toFile
+    Files.writeString(new java.io.File(dir, "kv.csv").toPath,
+      "1|one\n2|two\n")
+    val ddl = new ConcurrentLinkedQueue[String]
+    RunnerSpec.received.clear()
+    val runner = new Runner(
+      (sql, _) => ddl.add(sql.trim),
+      RunnerSpec.endpoint,
+      dryRun = true)
+    val stats = runner.runFile(spark,
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/kv.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE kv
+          WITH fields terminated by '|'
+          BEFORE LOAD DO $$$$ create table kv (k int, v text); $$$$
+          AFTER LOAD DO $$$$ analyze kv; $$$$;""")
+    assert(stats.map(s => (s.table, s.rows)) == Seq(("kv", 0L)))
+    assert(ddl.isEmpty, s"dry run executed DDL: ${ddl.asScala.toSeq}")
+    assert(RunnerSpec.received.isEmpty, "dry run moved data")
+  }
+
   test("no-command-file CLI mode synthesizes a parseable command " +
     "(cli.clj build-inline-command)") {
     // database source: scheme decides the LOAD kind; --with/--cast/
