@@ -46,14 +46,31 @@ object PgWire {
       user = pctDecode(us)
       if (pw.startsWith(":")) pass = pctDecode(pw.drop(1))
     }
-    val host = Option(u.getHost).getOrElse("localhost")
-    val port = if (u.getPort > 0) u.getPort else 5432
-    val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+    var host = Option(u.getHost).getOrElse("localhost")
+    var port = if (u.getPort > 0) u.getPort else 5432
+    var db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .getOrElse(user)
-    val sslMode = Option(u.getRawQuery).toSeq.flatMap(_.split('&'))
+    val queryKv = Option(u.getRawQuery).toSeq.flatMap(_.split('&'))
       .map(_.span(_ != '='))
+    val sslMode = queryKv
       .collectFirst { case ("sslmode", v) => pctDecode(v.drop(1)) }
       .getOrElse("prefer")
+    // `?service=name` resolves through pg_service.conf (ast.clj:90-97;
+    // the CL reference reads the same files) and wins over URI parts
+    queryKv.collectFirst { case ("service", v) => pctDecode(v.drop(1)) }
+      .foreach { name =>
+        val svc = PgService.serviceLookup(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"pg_service.conf: service '$name' not found"))
+        host = svc.host; port = svc.port
+        if (svc.db.nonEmpty) db = svc.db
+        if (svc.user.nonEmpty) user = svc.user
+        if (svc.password.nonEmpty) pass = svc.password
+      }
+    // a password-less URI consults ~/.pgpass, like libpq and both
+    // reference implementations (parse-pgpass.lisp; pg_service.clj)
+    if (pass.isEmpty)
+      PgService.pgpassLookup(host, port, db, user).foreach(pass = _)
     ConnParams(host, port, db, user, pass, sslMode)
   }
 
