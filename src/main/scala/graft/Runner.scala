@@ -1254,6 +1254,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         setParams = cmd.setParams,
         disableTriggers = cmd.boolOption("disable triggers"),
         idCase = idMode,
+        dropSchema = cmd.boolOption("drop schema"),
+        preserveIndexNames = cmd.boolOption("preserve index names"),
         dryRun = dryRun)
     } finally dropCreatedViews()
     dbSummaries = dbSummaries :+ summary.copy(phaseEntries =

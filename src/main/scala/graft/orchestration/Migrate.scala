@@ -138,6 +138,14 @@ final class Migrator(
                 * arrives — they also name the source reads, so only
                 * the caller can split name from sourceName). */
               idCase: Identifiers.Case = Identifiers.Case.Downcase,
+              /** `WITH drop schema`: drop each target schema CASCADE
+                * before recreating (core.clj:672-684). */
+              dropSchema: Boolean = false,
+              /** `WITH preserve index names`: keep source index names
+                * verbatim instead of uniquifying collisions (the
+                * reference's preserve-index-names / the uniquify
+                * default — core.clj:746-753). */
+              preserveIndexNames: Boolean = false,
               dryRun: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
@@ -172,7 +180,8 @@ final class Migrator(
     cat = CatalogRewrite.alterTable(cat, alterTable)
     // source index names are table-scoped; PG's are schema-scoped
     // (core.clj:746-753) — dedupe before any CREATE INDEX
-    cat = CatalogRewrite.uniquifyIndexNames(cat)
+    if (!preserveIndexNames)
+      cat = CatalogRewrite.uniquifyIndexNames(cat)
     // TARGET identifier casing: table names before the collision check
     // (PG collides on the names it will actually create)
     cat = CatalogRewrite.caseTargets(cat, idCase)
@@ -201,6 +210,12 @@ final class Migrator(
     def preDdl(sql: String): Unit = { ddl(sql); pre += sql }
     // BEFORE LOAD DO, ahead of any schema DDL (and inside the plan)
     beforeLoad.foreach(preDdl)
+    // WITH drop schema: drop each target schema wholesale before
+    // recreating (core.clj:672-684 — executed once per schema ahead
+    // of per-table DDL; only sane when tables are being recreated)
+    if (dropSchema && createTables)
+      cat.schemas.filter(_.name.nonEmpty).foreach(s =>
+        preDdl(s"DROP SCHEMA IF EXISTS ${s.name} CASCADE;"))
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
       preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
     // user-defined sequences right after the schemas, before any table

@@ -583,4 +583,33 @@ class MigrateSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](m.migrate(cat))
     assert(e.getMessage.contains("collision"))
   }
+
+  test("WITH drop schema drops each target schema CASCADE before " +
+    "recreating; preserve index names skips the uniquify") {
+    val events = new ConcurrentLinkedQueue[String]
+    def mkCat = Catalog("u", Seq(Schema("app", tables = Seq(
+      Table(name = "a", schema = "app",
+        fields = Seq(SourceColumn("a", "id", "int")),
+        indexes = Seq(Index("same_name", "a", columns = Seq("id")))),
+      Table(name = "b", schema = "app",
+        fields = Seq(SourceColumn("b", "id", "int")),
+        indexes = Seq(Index("same_name", "b", columns = Seq("id"))))))))
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (_, _) => (0L, 0L, 0L))
+    m.migrate(mkCat, defaults = DefaultCastRules.ansi, dropSchema = true)
+    val ev = events.asScala.toSeq
+    val drop = ev.indexWhere(_ == "DROP SCHEMA IF EXISTS app CASCADE;")
+    val create = ev.indexWhere(_ == "CREATE SCHEMA IF NOT EXISTS app;")
+    assert(drop >= 0 && create > drop, ev.mkString("; "))
+    // default: table-scoped source index names uniquify per schema
+    assert(ev.exists(_.contains("same_name_1")))
+    events.clear()
+    m.migrate(mkCat, defaults = DefaultCastRules.ansi,
+      preserveIndexNames = true)
+    val ev2 = events.asScala.toSeq
+    assert(ev2.count(_.contains("INDEX same_name ")) == 2,
+      ev2.filter(_.contains("INDEX")).mkString("; "))
+    assert(!ev2.exists(_.contains("same_name_1")))
+  }
 }
