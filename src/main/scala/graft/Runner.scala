@@ -756,7 +756,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       sourceCustomTypes: Seq[graft.catalog.CustomType]) =
       scheme match {
       case "mysql" =>
+        // SET MySQL PARAMETERS ride the ConnParams so EVERY mysql
+        // connection (introspection + each partitioned reader)
+        // applies them after auth
         val mp = graft.sources.MySqlWire.connParams(uri, decode)
+          .copy(sessionSets = cmd.mysqlParams)
         require(mp.database.nonEmpty, s"no database in $uri")
         val read = (t: Table, _: Boolean) => {
           val pk = t.fields.find(_.autoIncrement).map(_.name)
@@ -991,6 +995,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             sp, s"${t.schema}.${t.sourceName}")
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
+            .copy(sessionSets = cmd.mysqlParams)
           t => graft.sources.MySqlWireSource.localScanIfSmall(
             mp, mp.database, t.sourceName,
             partitionKey = t.fields.find(_.autoIncrement).map(_.name),

@@ -90,6 +90,10 @@ object Ast {
       targetColumns: Seq[TargetColDef] = Nil,
       options: Map[String, String] = Map.empty,
       setParams: Seq[(String, String)] = Nil,
+      /** `SET MySQL PARAMETERS …` — SOURCE-session variables, applied
+        * on the mysql connections only (mysql.clj:499-511), never as
+        * PG GUCs. */
+      mysqlParams: Seq[(String, String)] = Nil,
       castRules: Seq[CastRule] = Nil,
       beforeLoad: Seq[String] = Nil,
       /** AFTER CREATE SCHEMA DO — between target DDL and the data phase

@@ -495,9 +495,14 @@ private final class Parser(in: String, baseDir: String = ".") {
 
   // SET / DO / CAST -------------------------------------------------------
 
-  private def parseSetParams(): Seq[(String, String)] = {
-    // SET [PostgreSQL|MySQL PARAMETERS] name to 'value' | name = 'value'
-    if (tryKws("PostgreSQL", "PARAMETERS") || tryKws("MySQL", "PARAMETERS")) ()
+  /** `SET [PostgreSQL|MySQL PARAMETERS] name to 'value' | name =
+    * 'value'` — the boolean is TRUE for the MySQL variant, whose
+    * variables are SOURCE-session state (they must never reach a PG
+    * connection as GUCs: `SET net_read_timeout` would abort every PG
+    * session setup). */
+  private def parseSetParams(): (Seq[(String, String)], Boolean) = {
+    val _ = tryKws("PostgreSQL", "PARAMETERS")
+    val isMysql = tryKws("MySQL", "PARAMETERS")
     val out = Seq.newBuilder[(String, String)]
     var more = true
     while (more) {
@@ -506,7 +511,13 @@ private final class Parser(in: String, baseDir: String = ".") {
       out += name -> quoted()
       more = trySym(',')
     }
-    out.result()
+    (out.result(), isMysql)
+  }
+
+  private def addSetParams(cmd0: Ast.LoadCommand): Ast.LoadCommand = {
+    val (params, isMysql) = parseSetParams()
+    if (isMysql) cmd0.copy(mysqlParams = cmd0.mysqlParams ++ params)
+    else cmd0.copy(setParams = cmd0.setParams ++ params)
   }
 
   private def parseDoBlocks(): Seq[String] = {
@@ -829,7 +840,7 @@ private final class Parser(in: String, baseDir: String = ".") {
     // trailing clauses in any order (WITH may follow DO blocks too)
     var more = true
     while (more) {
-      if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
+      if (tryKw("SET")) cmd = addSetParams(cmd)
       else if (tryKws("BEFORE", "LOAD"))
         cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseSqlBlocks())
       else if (tryKws("AFTER", "LOAD"))
@@ -873,7 +884,7 @@ private final class Parser(in: String, baseDir: String = ".") {
     var more = true
     while (more) {
       if (tryKw("WITH")) cmd = cmd.copy(options = cmd.options ++ parseWithOptions())
-      else if (tryKw("SET")) cmd = cmd.copy(setParams = cmd.setParams ++ parseSetParams())
+      else if (tryKw("SET")) cmd = addSetParams(cmd)
       else if (tryKw("CAST")) cmd = cmd.copy(castRules = cmd.castRules ++ parseCastRules())
       else if (tryKws("BEFORE", "LOAD"))
         cmd = cmd.copy(beforeLoad = cmd.beforeLoad ++ parseSqlBlocks())

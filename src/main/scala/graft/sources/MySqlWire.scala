@@ -27,7 +27,17 @@ object MySqlWire {
     * require / verify-full. */
   final case class ConnParams(host: String, port: Int, database: String,
                               user: String, password: String,
-                              sslMode: String = "prefer") {
+                              sslMode: String = "prefer",
+                              /** `SET MySQL PARAMETERS` session
+                                * variables, applied on EVERY
+                                * connection right after auth (the
+                                * reference executes them before the
+                                * catalog fetch and its readers open
+                                * fresh sessions — mysql.clj:499-511).
+                                * Numeric values unquoted, like the
+                                * reference (MySQL 8 rejects
+                                * `SET timeout = '120'`). */
+                              sessionSets: Seq[(String, String)] = Nil) {
     require(graft.sinks.PgWire.SslModes(sslMode),
       s"unknown sslmode: $sslMode")
   }
@@ -248,6 +258,13 @@ final class MySqlWireConnection(params: MySqlWire.ConnParams)
   private var serverVersion = ""
 
   handshake()
+  // SET MySQL PARAMETERS: per-connection session state, so every
+  // connection (introspection, each partitioned reader) applies them
+  params.sessionSets.foreach { case (k, v) =>
+    val lit = if (v.matches("-?\\d+(\\.\\d+)?")) v
+              else "'" + v.replace("'", "''") + "'"
+    simpleCommand(s"SET $k = $lit")
+  }
 
   // ---- packet framing ----
 

@@ -123,6 +123,18 @@ class DslParserSpec extends AnyFunSuite {
     assert(cmd.setParams ==
       Seq("maintenance_work_mem" -> "128MB", "client_encoding" -> "UTF8"))
     assert(cmd.castRules.length == 2)
+    // SET MySQL PARAMETERS are SOURCE-session variables — they must
+    // land in their own bucket, never as PG GUCs (a PG session
+    // running `SET net_read_timeout` would abort)
+    val my = Parser.parse(
+      """LOAD DATABASE FROM mysql://user@localhost/mydb
+           INTO postgresql:///target
+           SET MySQL PARAMETERS net_read_timeout = '600',
+               net_write_timeout = '600'
+           SET PostgreSQL PARAMETERS work_mem to '24MB';""")
+    assert(my.mysqlParams ==
+      Seq("net_read_timeout" -> "600", "net_write_timeout" -> "600"))
+    assert(my.setParams == Seq("work_mem" -> "24MB"))
     val dt = cmd.castRules.head
     assert(dt.source.typeName.contains("datetime"))
     assert(dt.target.exists(t => t.pgType == "timestamptz" &&

@@ -25,6 +25,19 @@ class MySqlWireSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SET MySQL PARAMETERS apply on every connection right after " +
+    "auth; numeric values unquoted (mysql.clj:499-511)") {
+    val srv = new FakeMySqlServer()
+    try {
+      val conn = new MySqlWireConnection(params(srv.port).copy(
+        sessionSets = Seq("net_read_timeout" -> "600",
+          "sql_mode" -> "ANSI")))
+      conn.close()
+      assert(srv.executed.synchronized(srv.executed.toList) ==
+        List("SET net_read_timeout = 600", "SET sql_mode = 'ANSI'"))
+    } finally srv.close()
+  }
+
   test("auth: AuthSwitchRequest re-scrambles against the fresh salt") {
     val srv = new FakeMySqlServer(authSwitch = true)
     try {
