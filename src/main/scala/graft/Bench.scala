@@ -15,21 +15,42 @@ import org.apache.spark.sql.SparkSession
   *   truncation or a killed run.
   */
 object Bench {
+  // One timestamped archive file per run (never clobbered by later or
+  // concurrent runs), plus the rolling BENCH_SELF.json for the driver.
+  private val runStamp = System.currentTimeMillis()
+  private val archivePath = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json"))
+    .toAbsolutePath.resolveSibling(s"BENCH_SELF_$runStamp.json")
+
+  private def atomicWrite(p: java.nio.file.Path, json: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeSelfReport(json: String): Unit =
     try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json"))
-      java.nio.file.Files.write(p,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      atomicWrite(p, json)
+      atomicWrite(archivePath, json)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-report write failed: ${e.getMessage}") }
 
+  // 3 dp: run-to-run noise is >>1 ms, and halving the line length keeps
+  // the printed JSON inside the driver's log-tail window (BENCH_r17/r18
+  // were truncated mid-line at full double precision).
+  private def num(v: Double): String = f"$v%.3f"
+
   private def renderJson(results: Seq[(String, Double)], sfDir: String,
                          done: Boolean): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$done}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","complete":$done,"self":"$archivePath","queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
