@@ -788,7 +788,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       case "pgsql" | "postgresql" | "postgres" =>
         val sp = graft.sinks.PgWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
-          val qualified = s"${t.schema}.${t.sourceName}"
+          val qualified = s"${t.sourceSchemaName}.${t.sourceName}"
           if (isView)
             // views have no ctid to split on: one streaming connection
             graft.sources.PgWireSource.readView(sparkF(), sp, qualified)
@@ -953,8 +953,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           val rows =
             if (isView) 0L
             else graft.sources.MssqlWireSource.rowCountOf(
-              tp, t.schema, t.sourceName)
-          graft.sources.MssqlWireSource.read(sparkF(), tp, t.schema,
+              tp, t.sourceSchemaName, t.sourceName)
+          graft.sources.MssqlWireSource.read(sparkF(), tp, t.sourceSchemaName,
             t.sourceName,
             partitionKey = pk, rowCountEstimate = rows,
             rowsPerRange = rowsPerRange,
@@ -992,7 +992,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         case "pgsql" | "postgresql" | "postgres" =>
           val sp = graft.sinks.PgWire.connParams(uri, decode)
           t => graft.sources.PgWireSource.localScanIfSmall(
-            sp, s"${t.schema}.${t.sourceName}")
+            sp, s"${t.sourceSchemaName}.${t.sourceName}")
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)
@@ -1004,7 +1004,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         case "mssql" =>
           val tp = graft.sources.TdsWire.connParams(uri, decode)
           t => graft.sources.MssqlWireSource.localScanIfSmall(
-            tp, t.schema, t.sourceName,
+            tp, t.sourceSchemaName, t.sourceName,
             partitionKey = t.fields.find(_.autoIncrement).map(_.name),
             rowsPerRange = rowsPerRange,
             selectCols = graft.sources.ColumnSqlExpressions.selectPairs(
@@ -1146,7 +1146,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // three stay on the distributed path.
           val local =
             if (backfill.contains(t.sourceName.toLowerCase) ||
-                viewKeys((t.schema, t.sourceName)) ||
+                viewKeys((t.sourceSchemaName, t.sourceName)) ||
                 cmd.boolOption("exactly once")) None
             else localScan(t)
           if (local.isDefined) {
@@ -1177,10 +1177,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 val ct = tables.find(_.name.equalsIgnoreCase(n)).getOrElse(
                   throw new IllegalArgumentException(
                     s"DISTRIBUTE rule references unknown table $n"))
-                n -> readTable(ct, viewKeys((ct.schema, ct.sourceName)))
+                n -> readTable(ct, viewKeys((ct.sourceSchemaName, ct.sourceName)))
               }.toMap
               graft.operators.Citus.backfillJoin(sourceCat, rule, frames)
-            case None => readTable(t, viewKeys((t.schema, t.sourceName)))
+            case None => readTable(t, viewKeys((t.sourceSchemaName, t.sourceName)))
           }
           if (cmd.boolOption("exactly once")) {
             // staged publish per table — same wrapper as file loads;

@@ -59,6 +59,10 @@ final case class Schema(
 final case class Table(
     name: String,
     schema: String = "public",
+    /** the schema the SOURCE reads by — captured before any target
+      * rewrite touches `schema` (ALTER SCHEMA RENAME, SET SCHEMA,
+      * identifier casing); empty = `schema` is still the source one. */
+    sourceSchema: String = "",
     sourceName: String = "",
     comment: Option[String] = None,
     rowCountEstimate: Long = 0L,
@@ -67,6 +71,11 @@ final case class Table(
     indexes: Seq[Index] = Nil,
     fkeys: Seq[FKey] = Nil,
     checks: Seq[String] = Nil) {
+
+  /** The schema qualifying SOURCE reads: [[sourceSchema]] when a
+    * target rewrite has split it from [[schema]], else `schema`. */
+  def sourceSchemaName: String =
+    if (sourceSchema.nonEmpty) sourceSchema else schema
 
   /** field-list → column-list via the cast engine (catalog.lisp:371-388). */
   def cast(userRules: Seq[CastRule], defaults: Seq[CastRule]): Table =
@@ -309,12 +318,23 @@ object Identifiers {
     case Case.Downcase  => ident.toLowerCase
     case Case.Quote     => ident
     case Case.SnakeCase =>
-      // both split rules, like the reference (sqlite.clj:134-137):
-      // lower→Upper boundaries AND the end of an acronym run
-      // (HTMLParser → html_parser)
-      ident.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      // the reference's full pipeline (ddl/common.clj:340-365
+      // snake-case-transform): camel splits (lower→Upper AND the end
+      // of an acronym run, HTMLParser → html_parser), whitespace/
+      // hyphen/$ runs → _, lowercase, collapse consecutive
+      // underscores, strip leading/trailing ones, truncate (the
+      // reference cuts at 63 chars; PG's real limit is 63 BYTES —
+      // truncate63 applies the byte rule)
+      val r = ident.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
         .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
-        .replaceAll("[ -]", "_").toLowerCase
+        .replaceAll("[\\s\\-$]+", "_").toLowerCase
+        .replaceAll("_+", "_")
+        .replaceAll("^_+|_+$", "")
+      val t = truncate63(r)
+      if (t.length != r.length)
+        System.err.println(
+          s"[graft] identifier truncated to 63 bytes: $r -> $t")
+      t
   }
 
   /** PostgreSQL's RESERVED keywords (pg_get_keywords() category 'R' +
@@ -357,6 +377,23 @@ object Identifiers {
 
   def collisions(idents: Seq[String]): Map[String, Seq[String]] =
     idents.groupBy(truncate63).filter(_._2.distinct.size > 1)
+
+  /** Per-table COLUMN collisions after 63-byte truncation, checked on
+    * the post-cast, post-cased catalog — the reference accumulates
+    * every instance and aborts with one report (catalog.lisp:404-430
+    * check-catalog-identifier-collisions; migrate-database.lisp:266-284;
+    * core.clj:595-614). Two colliding columns would fail CREATE TABLE
+    * or silently cross-load data. Returns (schema, table, truncated,
+    * colliding columns) tuples. */
+  def columnCollisions(cat: Catalog)
+      : Seq[(String, String, String, Seq[String])] =
+    for {
+      s <- cat.schemas
+      t <- s.tables
+      (eff, cols) <- t.columns.map(_.name).groupBy(truncate63).toSeq
+        .sortBy(_._1)
+      if cols.distinct.size > 1
+    } yield (s.name, t.name, eff, cols)
 }
 
 /** Target-DDL emission (driver-side) — the reference's create-schema layer
@@ -382,6 +419,11 @@ object Ddl {
     else ident
   private def qq(schema: String, name: String): String =
     if (schema.isEmpty) q(name) else s"${q(schema)}.${q(name)}"
+
+  /** The shared quote-if-needed rendering, for callers composing DDL
+    * outside this object (the Migrator's dynamic enum-type names). */
+  def ident(name: String): String = q(name)
+  def qualified(schema: String, name: String): String = qq(schema, name)
 
   def createTable(t: Table, ifNotExists: Boolean = false,
                   pgNativeDefaults: Boolean = false): String = {
@@ -487,30 +529,25 @@ object Ddl {
     s"CREATE TYPE $typeName AS ENUM (" +
       labels.map(l => s"'${l.replace("'", "''")}'").mkString(", ") + ");"
 
-  /** Sequence names arrive RAW from source introspection
-    * (sys.sequences). FOLD to lowercase first, then quote only what
-    * still needs it (specials, reserved words): the rest of the DDL
-    * surface emits raw identifiers UNQUOTED and lets PG fold them, so a
-    * preserved-case quoted "Sales" here would reference a schema the
-    * table path created as `sales` — the downcase-first rule keeps
-    * every surface landing on the same name (and matches the
-    * reference's default identifier casing). */
-  private def seqIdent(ident: String): String = {
-    val folded = ident.toLowerCase
-    if (Identifiers.needsQuoting(folded))
-      "\"" + folded.replace("\"", "\"\"") + "\""
-    else folded
-  }
-
+  /** Sequence identifiers arrive CASED like every other target name
+    * (CatalogRewrite.caseTargets runs on the sequence list too), so
+    * the emission rule is the same quote-if-needed one as table DDL —
+    * no folding here, which would destroy `quote identifiers`-
+    * preserved case. */
   private def seqName(s: SequenceDef): String =
-    s"${seqIdent(s.schema)}.${seqIdent(s.name)}"
+    s"${q(s.schema)}.${q(s.name)}"
 
-  /** CREATE SCHEMA for a sequence-only schema — quoted with the SAME
-    * rule as the sequence DDL: an unquoted `CREATE SCHEMA Sales` folds
-    * to lowercase while `CREATE SEQUENCE "Sales"."s1"` does not, and
-    * the mismatch fails mid-migration. */
-  def createSequenceSchema(schema: String): String =
-    s"CREATE SCHEMA IF NOT EXISTS ${seqIdent(schema)};"
+  /** CREATE/DROP SCHEMA with the shared quote-if-needed rule — an
+    * unquoted `CREATE SCHEMA MySchema` would fold to lowercase while
+    * the table DDL references the preserved spelling quoted, and the
+    * mismatch fails mid-migration. */
+  def createSchema(schema: String): String =
+    s"CREATE SCHEMA IF NOT EXISTS ${q(schema)};"
+
+  def dropSchema(schema: String): String =
+    s"DROP SCHEMA IF EXISTS ${q(schema)} CASCADE;"
+
+  def createSequenceSchema(schema: String): String = createSchema(schema)
 
   def dropSequence(s: SequenceDef): String =
     s"DROP SEQUENCE IF EXISTS ${seqName(s)} CASCADE;"
@@ -595,9 +632,13 @@ object Ddl {
   /** MySQL `ON UPDATE CURRENT_TIMESTAMP` emulation — PG has no column
     * attribute for it, so the reference emits a plpgsql trigger per table
     * (src/pgsql/pgsql-trigger.lisp; clojure ddl/common.clj:576-601). */
+  /** `cols` are TARGET column names (already cased); every identifier
+    * is quoted-if-needed like the rest of the DDL surface — the
+    * reference quotes NEW."col" and the schema-qualified function name
+    * unconditionally (ddl/common.clj:576-601). */
   def onUpdateTriggerFunction(t: Table, cols: Seq[String]): String = {
-    val sets = cols.map(c => s"  NEW.$c = now();").mkString("\n")
-    s"""CREATE OR REPLACE FUNCTION ${t.schema}.on_update_current_timestamp_${t.name}()
+    val sets = cols.map(c => s"  NEW.${q(c)} = now();").mkString("\n")
+    s"""CREATE OR REPLACE FUNCTION ${onUpdateFnName(t)}()
 RETURNS trigger AS $$$$
 BEGIN
 $sets
@@ -606,10 +647,13 @@ END;
 $$$$ LANGUAGE plpgsql;"""
   }
 
+  private def onUpdateFnName(t: Table): String =
+    qq(t.schema, s"on_update_current_timestamp_${t.name}")
+
   def onUpdateTrigger(t: Table): String =
     s"CREATE TRIGGER on_update_current_timestamp BEFORE UPDATE " +
-      s"ON ${t.schema}.${t.name} FOR EACH ROW EXECUTE PROCEDURE " +
-      s"${t.schema}.on_update_current_timestamp_${t.name}();"
+      s"ON ${qq(t.schema, t.name)} FOR EACH ROW EXECUTE PROCEDURE " +
+      s"${onUpdateFnName(t)}();"
 
   def resetSequence(t: Table, column: String): String = {
     // `column` arrives CASED (the catalog casing step delivers final

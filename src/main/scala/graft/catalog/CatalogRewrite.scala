@@ -53,21 +53,34 @@ object CatalogRewrite {
     })
   }
 
-  /** TARGET identifier casing for TABLE names (params.lisp
+  /** TARGET identifier casing for TABLE-level names (params.lisp
     * *identifier-case*: downcase by default, `snake_case identifiers`,
-    * `quote identifiers` preserves): Table.name plus the index/FK
-    * table references, so every DDL surface lands on one spelling.
-    * `sourceName` stays RAW — it is what the source reads by. Runs for
-    * every Migrator caller (Migrate.migrate applies it), so the
-    * Ddl emitters never fold — they quote-if-needed the FINAL name. */
+    * `quote identifiers` preserves): Table.name, the SCHEMA names
+    * (catalog.lisp:279; ddl/common.clj:385 cases :schema too), INDEX
+    * names (common.clj:395), user SEQUENCES, plus the index/FK table
+    * references, so every DDL surface lands on one spelling.
+    * `sourceName`/`sourceSchema` stay RAW — they are what the source
+    * reads by. Custom types (pg-source domains/composites/ranges) keep
+    * their source spelling: their bodies are server-rendered SQL text
+    * whose embedded type references cannot be re-cased, and every
+    * emission site quotes them exactly. Runs for every Migrator caller
+    * (Migrate.migrate applies it), so the Ddl emitters never fold —
+    * they quote-if-needed the FINAL name. */
   def caseTargets(cat: Catalog, mode: Identifiers.Case): Catalog = {
     def ic(n: String) = Identifiers(n, mode)
-    cat.copy(schemas = cat.schemas.map(s =>
-      s.copy(tables = s.tables.map(t => t.copy(
-        name = ic(t.name),
-        indexes = t.indexes.map(i => i.copy(table = ic(i.table))),
-        fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
-          foreignTable = ic(f.foreignTable))))))))
+    cat.copy(
+      schemas = cat.schemas.map(s => s.copy(
+        name = ic(s.name),
+        tables = s.tables.map(t => t.copy(
+          name = ic(t.name),
+          schema = ic(t.schema),
+          sourceSchema = t.sourceSchemaName,
+          indexes = t.indexes.map(i => i.copy(name = ic(i.name),
+            table = ic(i.table))),
+          fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
+            foreignTable = ic(f.foreignTable))))))),
+      sequences = cat.sequences.map(sq =>
+        sq.copy(schema = ic(sq.schema), name = ic(sq.name))))
   }
 
   /** The COLUMN half of [[caseTargets]], applied AFTER the cast builds
@@ -93,7 +106,12 @@ object CatalogRewrite {
       schemas = cat.schemas.map { s =>
         m.get(s.name) match {
           case Some(to) => s.copy(name = to,
-            tables = s.tables.map(_.copy(schema = to)))
+            // capture the schema the source still reads by BEFORE the
+            // rename — the pg/mssql read paths qualify their source
+            // queries with it, and an uncaptured rename would redirect
+            // the reads to the (target-only) new schema
+            tables = s.tables.map(t =>
+              t.copy(schema = to, sourceSchema = t.sourceSchemaName)))
           case None => s
         }
       },
@@ -132,7 +150,9 @@ object CatalogRewrite {
               indexes = t.indexes.map(_.copy(table = n)),
               fkeys = t.fkeys.map(_.copy(table = n))))
           case Some(AlterTableRule(_, SetSchema(target))) =>
-            moved :+= (t.copy(schema = target), target); None
+            // same source-read capture as the schema rename above
+            moved :+= (t.copy(schema = target,
+              sourceSchema = t.sourceSchemaName), target); None
           case _ => Some(t) // tablespace/params don't reshape the catalog
         }
       })

@@ -178,13 +178,15 @@ final class Migrator(
     var cat = CatalogRewrite.filter(cat0, including, excluding)
     cat = CatalogRewrite.alterSchema(cat, alterSchema)
     cat = CatalogRewrite.alterTable(cat, alterTable)
-    // source index names are table-scoped; PG's are schema-scoped
-    // (core.clj:746-753) — dedupe before any CREATE INDEX
-    if (!preserveIndexNames)
-      cat = CatalogRewrite.uniquifyIndexNames(cat)
     // TARGET identifier casing: table names before the collision check
     // (PG collides on the names it will actually create)
     cat = CatalogRewrite.caseTargets(cat, idCase)
+    // source index names are table-scoped; PG's are schema-scoped
+    // (core.clj:746-753) — dedupe before any CREATE INDEX. AFTER the
+    // casing step: downcase/snake_case can itself create duplicates
+    // (MyIdx vs myidx), so uniquify must see the FINAL names
+    if (!preserveIndexNames)
+      cat = CatalogRewrite.uniquifyIndexNames(cat)
     // PG truncates each IDENTIFIER to 63 bytes, never the qualified
     // pair — truncating "schema.name" as one string would spuriously
     // collide legal sub-63-byte names whose qualified spelling crosses
@@ -198,6 +200,22 @@ final class Migrator(
     cat = cat.cast(userCast, defaults)
     // the COLUMN half of the target casing needs the post-cast shape
     cat = CatalogRewrite.caseColumns(cat, idCase)
+    // per-table COLUMN collisions after 63-byte truncation, on the
+    // names PG will actually receive — every instance accumulated and
+    // reported together before aborting (migrate-database.lisp:266-284;
+    // core.clj:595-614)
+    val colCollisions = Identifiers.columnCollisions(cat)
+    if (colCollisions.nonEmpty) {
+      colCollisions.foreach { case (sch, tbl, eff, cols) =>
+        System.err.println(s"[graft] $sch.$tbl: column name collision" +
+          s" — ${cols.mkString(", ")} all truncate to $eff")
+      }
+      throw new IllegalArgumentException(
+        s"${colCollisions.size} column name collision(s) found in " +
+          "source catalog: PostgreSQL limits identifiers to 63 bytes " +
+          "and the columns reported above become identical after " +
+          "truncation. Rename them in the source before migrating.")
+    }
 
     // itemized pre/post wall times for the summary report (the
     // reference's named stats entries — see [[PhaseEntry]]); dry runs
@@ -215,9 +233,9 @@ final class Migrator(
     // of per-table DDL; only sane when tables are being recreated)
     if (dropSchema && createTables)
       cat.schemas.filter(_.name.nonEmpty).foreach(s =>
-        preDdl(s"DROP SCHEMA IF EXISTS ${s.name} CASCADE;"))
+        preDdl(Ddl.dropSchema(s.name)))
     cat.schemas.filter(_.name.nonEmpty).foreach(s =>
-      preDdl(s"CREATE SCHEMA IF NOT EXISTS ${s.name};"))
+      preDdl(Ddl.createSchema(s.name)))
     // user-defined sequences right after the schemas, before any table
     // references them (migrate-database.lisp:65-70); a sequence living
     // in a schema that holds no tables still needs its schema created —
@@ -300,10 +318,15 @@ final class Migrator(
               // same-named tables in different schemas must not fight
               // over one type, while public-schema types keep the
               // reference's bare `<table>_<column>` name
+              // quote-if-needed parts: under `quote identifiers` a
+              // preserved MixedCase table yields a MixedCase type name,
+              // and an unquoted CREATE TYPE would fold it while the
+              // column's pgType spelling (emitted through createTable)
+              // must reference the same object
               val tn =
                 if (t.schema.nonEmpty && t.schema != "public")
-                  s"${t.schema}.${t.name}_${c.name}"
-                else s"${t.name}_${c.name}"
+                  Ddl.qualified(t.schema, s"${t.name}_${c.name}")
+                else Ddl.ident(s"${t.name}_${c.name}")
               if (includeDrop)
                 preDdl(s"DROP TYPE IF EXISTS $tn CASCADE;")
               val labels = field.get.enumLabels.getOrElse(
@@ -507,7 +530,12 @@ final class Migrator(
     // (pgsql-trigger.lisp; ddl/common.clj:576-601). Created AFTER the data
     // phase so the bulk load never fires them.
     okTables.foreach { t =>
-      val cols = t.fields.filter(_.onUpdateCurrentTimestamp).map(_.name)
+      // TARGET column names: the trigger body references the CREATED
+      // columns, which the casing step may have renamed from the raw
+      // field spelling (fields and columns stay index-aligned through
+      // cast + caseColumns + the enum patch)
+      val cols = t.fields.zip(t.columns)
+        .filter(_._1.onUpdateCurrentTimestamp).map(_._2.name)
       if (cols.nonEmpty) {
         postDdl(Ddl.onUpdateTriggerFunction(t, cols))
         postDdl(Ddl.onUpdateTrigger(t))

@@ -313,17 +313,26 @@ class MigrateSpec extends AnyFunSuite {
 
   test("sequences: case-sensitive names quote, and a sequence-only " +
     "schema gets CREATE SCHEMA before its CREATE SEQUENCE") {
-    // fold-then-quote: raw sys.sequences names downcase first (the
-    // whole DDL surface emits identifiers unquoted and lets PG fold,
-    // so preserved-case quoting would miss the schema the table path
-    // created), then quote only what still needs it
-    val quoted = Ddl.createSequence(SequenceDef(
-      schema = "Sales", name = "Order-Seq", start = 1, increment = 1,
-      minValue = 1, maxValue = 100, current = None, cycling = false))
+    // sequence names arrive CASED from CatalogRewrite.caseTargets like
+    // every other target identifier; Ddl emits the FINAL name with the
+    // shared quote-if-needed rule (folding here would destroy `quote
+    // identifiers`-preserved case)
+    val cased = CatalogRewrite.caseTargets(
+      Catalog("t", sequences = Seq(SequenceDef(
+        schema = "Sales", name = "Order-Seq", start = 1, increment = 1,
+        minValue = 1, maxValue = 100, current = None, cycling = false))),
+      Identifiers.Case.Downcase).sequences.head
+    val quoted = Ddl.createSequence(cased)
     assert(quoted.contains("sales.\"order-seq\""), quoted)
-    assert(Ddl.dropSequence(SequenceDef("Sales", "Order-Seq", 1, 1, 1,
-      100, None, cycling = false)).contains("sales.\"order-seq\""))
-    // a reserved word still quotes after folding
+    assert(Ddl.dropSequence(cased).contains("sales.\"order-seq\""))
+    // quote mode preserves the spelling, quoted at emission
+    val preserved = CatalogRewrite.caseTargets(
+      Catalog("t", sequences = Seq(SequenceDef(
+        "Sales", "Order-Seq", 1, 1, 1, 100, None, cycling = false))),
+      Identifiers.Case.Quote).sequences.head
+    assert(Ddl.createSequence(preserved)
+      .contains("\"Sales\".\"Order-Seq\""))
+    // a reserved word still quotes after the downcase
     assert(Ddl.createSequence(SequenceDef(
       "dbo", "order", 1, 1, 1, 100, None, cycling = false))
       .contains("dbo.\"order\""))

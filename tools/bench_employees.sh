@@ -21,7 +21,8 @@ if [ ! -f /tmp/employees/salaries4.csv ]; then
 fi
 
 mkdir -p /tmp/employees_bench
-sed "s|{{PGURI}}|$PGURI|g" tools/bench_employees.load \
+sed -e "s|{{PGURI}}|$PGURI|g" -e "s|{{EXTRAOPTS}}|${EXTRA_WITH:-}|g" \
+  tools/bench_employees.load \
   > /tmp/employees_bench/employees.load
 
 # build + warm the assembly classpath once, outside the timed runs:
