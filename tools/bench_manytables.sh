@@ -76,8 +76,10 @@ JVMFLAGS=(
 )
 
 # count every dial during the timed window via log_connections
+# (ALTER SYSTEM cannot share a transaction with the reload)
 $PSQL "psql -h 127.0.0.1 -p $PORT -U graft -d postgres -c \
-  \"ALTER SYSTEM SET log_connections = on; SELECT pg_reload_conf();\"" >/dev/null
+  \"ALTER SYSTEM SET log_connections = on\" -c \
+  \"SELECT pg_reload_conf()\"" >/dev/null
 
 for n in $(seq 1 "$RUNS"); do
   echo "=== manytables N=$N run $n/$RUNS ==="
@@ -94,7 +96,8 @@ for n in $(seq 1 "$RUNS"); do
 done
 
 $PSQL "psql -h 127.0.0.1 -p $PORT -U graft -d postgres -c \
-  \"ALTER SYSTEM SET log_connections = off; SELECT pg_reload_conf();\"" >/dev/null
+  \"ALTER SYSTEM SET log_connections = off\" -c \
+  \"SELECT pg_reload_conf()\"" >/dev/null
 
 echo "=== per-table data-phase percentiles (last run) ==="
 python3 - <<EOF
