@@ -175,9 +175,25 @@ final class CopySink(
           new java.io.File(dir, f"part-$pid%05d.dat"),
           java.nio.charset.StandardCharsets.UTF_8))
       }
+      // the reference pairs each reject data file with a .log of the
+      // per-row error messages (state.lisp:55-95 reject-log-file;
+      // reject.clj:33-58 writes msg per rejected row) — replay needs
+      // the .dat, diagnosis needs WHY each row bounced
+      val rejectLogWriter = rDir.map { d =>
+        val dir = new java.io.File(CopySink.logDirFor(d)); dir.mkdirs()
+        new java.io.BufferedWriter(new java.io.FileWriter(
+          new java.io.File(dir, f"part-$pid%05d.log"),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
       val rejectFn: (Array[Byte], String) => Unit = (row, msg) => {
         if (stop) throw CopyError(None, msg)
         rejectWriter.foreach(w => w.write(new String(row, "UTF-8")))
+        rejectLogWriter.foreach { w =>
+          // one line per rejected row — multi-line server messages
+          // fold so the Nth .log line explains the Nth .dat row
+          w.write(Option(msg).getOrElse("").replace('\n', ' '))
+          w.write("\n")
+        }
         rejected.add(1)
       }
       try {
@@ -214,6 +230,7 @@ final class CopySink(
         if (successHook != null) successHook(pid)
       } finally {
         rejectWriter.foreach(_.close())
+        rejectLogWriter.foreach(_.close())
         endpoint.close()
       }
     }
@@ -222,6 +239,14 @@ final class CopySink(
 }
 
 object CopySink {
+  /** The .log sibling of a reject data dir — `<root>/<table>.dat` →
+    * `<root>/<table>.log` (the reference's reject-log-file naming);
+    * a dir without the .dat suffix appends .log. */
+  def logDirFor(rejectDir: String): String =
+    if (rejectDir.endsWith(".dat"))
+      rejectDir.stripSuffix(".dat") + ".log"
+    else rejectDir + ".log"
+
   /** Default renderer: (value = COPY TEXT line bytes, reject = null).
     * `value` is never null here — text rendering cannot fail; the
     * reject column exists so both renderers share one row shape. */

@@ -107,9 +107,22 @@ object LocalCopy {
         new java.io.File(dir, "part-00000.dat"),
         java.nio.charset.StandardCharsets.UTF_8))
     }
+    // .log sibling with one error message per rejected row — the same
+    // .dat/.log pair the distributed sink writes (reference
+    // state.lisp:55-95; reject.clj:33-58)
+    val rejectLogWriter = rejectDir.map { d =>
+      val dir = new java.io.File(CopySink.logDirFor(d)); dir.mkdirs()
+      new java.io.BufferedWriter(new java.io.FileWriter(
+        new java.io.File(dir, "part-00000.log"),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
     val rejectFn: (Array[Byte], String) => Unit = (row, msg) => {
       if (onErrorStop) throw CopyError(None, msg)
       rejectWriter.foreach(_.write(new String(row, "UTF-8")))
+      rejectLogWriter.foreach { w =>
+        w.write(Option(msg).getOrElse("").replace('\n', ' '))
+        w.write("\n")
+      }
       rejected += 1
     }
     val sendReject: (Array[Byte], String) => Unit =
@@ -138,6 +151,7 @@ object LocalCopy {
       loads.incrementAndGet()
     } finally {
       rejectWriter.foreach(_.close())
+      rejectLogWriter.foreach(_.close())
       endpoint.close()
     }
     (sent, rejected, bytes)

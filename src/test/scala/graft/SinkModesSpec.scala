@@ -101,6 +101,14 @@ class SinkModesSpec extends SparkSpec {
       .flatMap(f => scala.io.Source.fromFile(f).getLines())
       .map(_.split("\t")(0).toLong).sorted.toSeq
     assert(rejectedKeys == (1L to 100L).filter(_ % 10 == 3))
+    // the .log sibling carries one error message per rejected row
+    // (reference .dat/.log pair, state.lisp:55-95; reject.clj:33-58)
+    val logMsgs = new java.io.File(CopySink.logDirFor(dir)).listFiles()
+      .filter(_.getName.endsWith(".log"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .map(_.split(" ").last.toLong).sorted.toSeq
+    assert(logMsgs == rejectedKeys,
+      s"every rejected row needs its message line: $logMsgs")
   }
 
   test("on-error-stop fails the write instead of recovering") {
