@@ -235,7 +235,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           nameColumns = cmd.fields.nonEmpty ||
             cmd.targetColumns.nonEmpty,
           exactlyOnce = cmd.boolOption("exactly once"),
-          binary = cmd.option("copy binary")))
+          binary = cmd.option("copy binary"),
+          fileNameCase = idModeOf(cmd),
+          rawFileNames =
+            try fileRawNames(spark, cmd, baseDir)
+            catch { case scala.util.control.NonFatal(_) => None }))
         rebuildIndexesAsync(table, droppedIdx, gucSql,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
@@ -659,6 +663,46 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * own schema — DBF field descriptors / IXF column records. None for
     * formats that carry no schema (CSV/COPY/fixed rely on BEFORE LOAD
     * DO or a pre-created table). */
+  /** RAW descriptor column spellings for schema-carrying file sources
+    * (DBF/IXF) — the basis the COPY column list cases by, so it always
+    * agrees with the DDL [[fileSchemaDdl]] emits. None for sources
+    * whose names are user-written (CSV fields) or synthetic. */
+  private def fileRawNames(spark: SparkSession, cmd: Ast.LoadCommand,
+                           baseDir: String): Option[Seq[String]] = {
+    def firstPath: String = {
+      val p = PlanBuilder
+        .resolvePath(spark, cmd.source.get, baseDir).split(',').head
+      if (!p.toLowerCase.endsWith(".zip")) p
+      else graft.sources.Archive.dbfMembers(p).head
+    }
+    cmd.loadType match {
+      case "dbf" =>
+        val in = new java.io.FileInputStream(firstPath)
+        val bytes =
+          try in.readNBytes(32 * 2049 + 1)
+          finally in.close()
+        Some(graft.sources.DbfSource.parseHeader(bytes)
+          .fields.map(_.rawOrName))
+      case "ixf" =>
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(firstPath))
+        try Some(graft.sources.IxfSource.readColumns(in).map(_.rawOrName))
+        finally in.close()
+      case _ => None
+    }
+  }
+
+  /** TARGET identifier casing mode from the command's WITH options
+    * (params.lisp *identifier-case*; accepted on EVERY source in the
+    * reference grammar — command-dbf/ixf/csv/fixed.lisp all include
+    * option-identifiers-case). */
+  private def idModeOf(cmd: Ast.LoadCommand): graft.catalog.Identifiers.Case =
+    if (cmd.boolOption("quote identifiers"))
+      graft.catalog.Identifiers.Case.Quote
+    else if (cmd.boolOption("snake_case identifiers"))
+      graft.catalog.Identifiers.Case.SnakeCase
+    else graft.catalog.Identifiers.Case.Downcase
+
   private def fileSchemaDdl(spark: SparkSession, cmd: Ast.LoadCommand,
                             baseDir: String): Option[Seq[String]] = {
     def firstPath: String = {
@@ -670,7 +714,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       if (!p.toLowerCase.endsWith(".zip")) p
       else graft.sources.Archive.dbfMembers(p).head
     }
-    def q(n: String) = graft.sinks.PgWire.quoteIdent(n.toLowerCase)
+    // file-derived names case by the command's identifier mode
+    // (downcase default = the old unconditional fold; quote preserves
+    // the descriptor spelling; snake_case splits it) — the COPY column
+    // list in load() cases the same way, so DDL and COPY always agree
+    def q(n: String) = graft.sinks.PgWire.quoteIdent(
+      graft.catalog.Identifiers(n, idModeOf(cmd)))
     // a USER cast rule with a target overrides the file-derived column
     // type (dbf-memo.load: normdocid to uuid, doctype to integer)
     def userType(tbl: String, name: String, ctype: String)
@@ -692,8 +741,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // ctype = the PG-mapped type, the SAME spelling the data
           // path feeds CastEngine (PlanBuilder's dbf branch) — a
           // type-keyed user rule must fire for BOTH the DDL and the
-          // transform or they disagree
-          s"${q(f.name)} ${userType(tbl, f.name,
+          // transform or they disagree. q() cases the RAW descriptor
+          // spelling (quote mode preserves the file's uppercase, like
+          // the reference; downcase = the historical fold)
+          s"${q(f.rawOrName)} ${userType(tbl, f.name,
             graft.sources.DbfSource.pgType(f))
             .getOrElse(graft.sources.DbfSource.pgType(f))}"))
       case "ixf" =>
@@ -703,7 +754,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           val cols = graft.sources.IxfSource.readColumns(in)
           val tbl = cmd.targetTable.getOrElse("data")
           Some(cols.map(c =>
-            s"${q(c.name)} ${userType(tbl, c.name, c.typeCode.toString)
+            s"${q(c.rawOrName)} ${userType(tbl, c.name, c.typeCode.toString)
               .getOrElse(graft.sources.IxfSource.pgType(c))}"))
         } finally in.close()
       case _ => None
@@ -1105,12 +1156,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       // Migrator.migrate (CatalogRewrite.caseTargets/caseColumns) so
       // EVERY migration flow cases consistently; sourceName stays RAW
       // for the source reads.
-      val idMode =
-        if (cmd.boolOption("quote identifiers"))
-          graft.catalog.Identifiers.Case.Quote
-        else if (cmd.boolOption("snake_case identifiers"))
-          graft.catalog.Identifiers.Case.SnakeCase
-        else graft.catalog.Identifiers.Case.Downcase
+      val idMode = idModeOf(cmd)
       val bySchema = tablesForTarget.groupBy(_.schema).toSeq.sortBy(_._1)
       // unqualified type names in the closure resolve in the SOURCE
       // session's search-path order — captured live, not guessed from
@@ -1274,7 +1320,15 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                    parseRejects: Long = 0L,
                    nameColumns: Boolean = false,
                    exactlyOnce: Boolean = false,
-                   binary: Option[String] = None): TableStats = {
+                   binary: Option[String] = None,
+                   /** casing for FILE-DERIVED column names (DBF/IXF
+                     * descriptors) — user-written names stay as
+                     * written; Downcase = the historical fold. */
+                   fileNameCase: graft.catalog.Identifiers.Case =
+                     graft.catalog.Identifiers.Case.Downcase,
+                   /** RAW descriptor spellings (DBF/IXF) — the casing
+                     * basis; None = case the frame's column names. */
+                   rawFileNames: Option[Seq[String]] = None): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -1287,19 +1341,24 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // provides the real names server-side. The DATABASE path stays
     // positional too: it creates the table in the frame's own order.
     val synthetic = df.columns.forall(_.matches("c(ol)?\\d+"))
+    // nameColumns ⇔ the names were written by the user (or a csv
+    // header): quoted as-written. File-schema names (DBF/IXF) case by
+    // the command's identifier mode, matching the DDL that created
+    // the table (fileSchemaDdl uses the same function).
+    val casedCols: Seq[String] =
+      if (nameColumns) df.columns.toSeq
+      else rawFileNames.getOrElse(df.columns.toSeq)
+        .map(graft.catalog.Identifiers(_, fileNameCase))
     val target =
       if (nameColumns || !synthetic)
-        // nameColumns ⇔ the names were written by the user (or a csv
-        // header): quote as-written. File-schema names (DBF/IXF) fold
-        // to lowercase, matching the DDL that created the table.
-        graft.sinks.PgWire.copyTarget(table, df.columns.toSeq,
-          preserveCase = nameColumns)
+        graft.sinks.PgWire.copyTarget(table, casedCols,
+          preserveCase = true)
       else graft.sinks.PgWire.quoteQualified(table)
     // `WITH copy binary`: resolve the target's column encoders once;
     // both the direct and the exactly-once staged path use them (the
     // stage clones the target's layout)
-    val binKinds = binaryKinds(table, df.columns.toSeq,
-      named = nameColumns || !synthetic, preserveCase = nameColumns,
+    val binKinds = binaryKinds(table, casedCols,
+      named = nameColumns || !synthetic, preserveCase = true,
       mode = binary)
     val (sent, rejected, bytes) =
       if (exactlyOnce) {

@@ -23,7 +23,18 @@ import graft.functions.Transforms
 object DbfSource {
 
   final case class DbfField(name: String, ftype: Char, length: Int,
-                            decimals: Int)
+                            decimals: Int,
+                            /** the descriptor's spelling as stored in
+                              * the file (usually uppercase) — the
+                              * reference keeps it raw and cases only
+                              * at DDL emission (db3-schema.lisp:25
+                              * feeds field-name verbatim into
+                              * apply-identifier-case). `name` stays
+                              * the folded form the data path matches
+                              * cast rules and memo handling by. */
+                            rawName: String = "") {
+    def rawOrName: String = if (rawName.nonEmpty) rawName else name
+  }
   final case class DbfHeader(recordCount: Int, headerSize: Int,
                              recordSize: Int, fields: Seq[DbfField])
 
@@ -46,11 +57,13 @@ object DbfSource {
         while (i < off + 11 && bytes(i) != 0) i += 1
         i
       }
+      val raw = new String(bytes, off, nameEnd - off, "US-ASCII")
       fields += DbfField(
-        new String(bytes, off, nameEnd - off, "US-ASCII").toLowerCase,
+        raw.toLowerCase,
         bytes(off + 11).toChar,
         u8(bytes(off + 16)),
-        u8(bytes(off + 17)))
+        u8(bytes(off + 17)),
+        rawName = raw)
       off += 32
     }
     DbfHeader(recordCount, headerSize, recordSize, fields.result())

@@ -29,7 +29,12 @@ object IxfSource {
 
   final case class IxfColumn(name: String, nullable: Boolean,
                              typeCode: Int, length: String,
-                             drid: Int, posn: Int)
+                             drid: Int, posn: Int,
+                             /** descriptor spelling as stored (see
+                               * DbfField.rawName — same contract). */
+                             rawName: String = "") {
+    def rawOrName: String = if (rawName.nonEmpty) rawName else name
+  }
 
   final case class IxfFile(columns: Seq[IxfColumn],
                            rows: Seq[Array[String]])
@@ -47,6 +52,7 @@ object IxfSource {
     val rest = body + 3 + 256
     IxfColumn(
       name = name.toLowerCase,
+      rawName = name,
       nullable = bytes(rest).toChar == 'Y',
       typeCode = ascii(bytes, rest + 6, 3).trim.toInt,
       length = ascii(bytes, rest + 19, 5).trim,

@@ -118,4 +118,31 @@ class LiveCasingSpec extends SparkSpec {
         == "p-é-7", s"mode '$opt'")
     }
   }
+
+  test("live DBF load: identifier-case options shape the file-derived " +
+    "DDL and COPY column list (reference accepts them on every source)") {
+    assume(LivePg.destUri.isDefined, "set GRAFT_LIVE_PG_DEST_URI to run")
+    val dbf = "/root/reference/test/data/dbase_31.dbf"
+    assume(new java.io.File(dbf).exists, s"$dbf missing")
+    val uri = LivePg.destUri.get
+    // (mode option, expected spelling of the first field PRODUCTID)
+    for ((opt, expected) <- Seq(
+        ("", "productid"),
+        (", quote identifiers", "PRODUCTID"),
+        (", snake_case identifiers", "productid"))) {
+      exec(uri, "DROP TABLE IF EXISTS dbf_cased CASCADE")
+      pgRunner(uri).runFile(spark,
+        s"""LOAD DBF FROM '$dbf'
+              INTO $uri
+              TARGET TABLE dbf_cased
+              WITH create table, truncate$opt;""")
+      val cols = q(uri, "SELECT column_name FROM " +
+        "information_schema.columns WHERE table_name = 'dbf_cased' " +
+        "ORDER BY ordinal_position").map(_(0))
+      assert(cols.head == expected, s"mode '$opt': got $cols")
+      // the COPY column list agreed with the DDL: data actually landed
+      val n = q(uri, "SELECT count(*) FROM dbf_cased").head.head.toInt
+      assert(n > 0, s"mode '$opt': no rows loaded")
+    }
+  }
 }
