@@ -178,7 +178,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               // list (census-places: quoted "LocationName" must reach
               // the server as written)
               nameColumns = sc.fields.nonEmpty || sc.targetColumns.nonEmpty,
-              exactlyOnce = cmd.boolOption("exactly once"))
+              exactlyOnce = cmd.boolOption("exactly once"),
+              onErrorStop = cmd.boolOption("on error stop"))
         }
       case "database" => runDatabase(sparkF, cmd)
       case _ =>
@@ -212,13 +213,29 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // parse rejects: written to the table's reject dir and counted
         // (the reference's cl-csv error path); runs BEFORE the load so
         // the sink's own per-partition reject parts land alongside
-        val parseRejects = rejectRoot.flatMap { root =>
-          PlanBuilder.buildRejects(spark, cmd, baseDir, inline).map { rej =>
-            val dir = s"$root/$table.dat"
-            rej.write.mode("overwrite").text(dir)
-            spark.read.textFile(dir).count()
-          }
-        }.getOrElse(0L)
+        // counted whenever a reject root is set (files land there) OR
+        // `on error stop` is on — the stop check needs the count even
+        // with no reject directory configured
+        val stopEarly = cmd.boolOption("on error stop")
+        val parseRejects =
+          if (rejectRoot.isEmpty && !stopEarly) 0L
+          else PlanBuilder.buildRejects(spark, cmd, baseDir, inline)
+            .map { rej =>
+              rejectRoot match {
+                case Some(root) =>
+                  val dir = s"$root/$table.dat"
+                  rej.write.mode("overwrite").text(dir)
+                  spark.read.textFile(dir).count()
+                case None => rej.count()
+              }
+            }.getOrElse(0L)
+        // `WITH on error stop` covers PARSE errors too (the reference's
+        // *on-error-stop* quits on any bad row, process-bad-row path) —
+        // a malformed source line aborts before any data moves
+        if (stopEarly && parseRejects > 0)
+          throw new IllegalStateException(
+            s"$parseRejects malformed row(s) in the source " +
+              "(on error stop)")
         // `WITH drop indexes` (csv.lisp option; copy-format drops the
         // target's indexes before COPY and recreates them after — index
         // maintenance during bulk load costs more than one rebuild):
@@ -239,7 +256,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           fileNameCase = idModeOf(cmd),
           rawFileNames =
             try fileRawNames(spark, cmd, baseDir)
-            catch { case scala.util.control.NonFatal(_) => None }))
+            catch { case scala.util.control.NonFatal(_) => None },
+          onErrorStop = cmd.boolOption("on error stop")))
         rebuildIndexesAsync(table, droppedIdx, gucSql,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
@@ -1213,7 +1231,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
                 rejectRender = kinds.map(k =>
                   graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
-                  .orNull)
+                  .orNull,
+                onErrorStop = cmd.boolOption("on error stop"))
             } finally close()
           } else {
           val df = backfill.get(t.sourceName.toLowerCase) match {
@@ -1247,6 +1266,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               quote = graft.sinks.PgWire.quoteQualified,
               renderer = kinds.map(graft.sinks.PgBinary.renderer)
                 .getOrElse(graft.sinks.CopySink.textRenderer),
+              onErrorStop = cmd.boolOption("on error stop"),
               rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
               rejectRender = kinds.map(k =>
                 graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
@@ -1262,12 +1282,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               mode = cmd.option("copy binary")) match {
               case Some(kinds) => new CopySink(
                 endpointFactory = binaryEndpointFactory(qualified, setup),
+                onErrorStop = cmd.boolOption("on error stop"),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
                 renderer = graft.sinks.PgBinary.renderer(kinds),
                 rejectRender =
                   graft.sinks.PgBinary.frameToTextLine(_, kinds))
               case None => new CopySink(
                 endpointFactory = endpointFactory(qualified, setup),
+                onErrorStop = cmd.boolOption("on error stop"),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
             }
             sink.write(df)
@@ -1307,6 +1329,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         idCase = idMode,
         dropSchema = cmd.boolOption("drop schema"),
         preserveIndexNames = cmd.boolOption("preserve index names"),
+        stopOnError = cmd.boolOption("on error stop"),
         dryRun = dryRun)
     } finally dropCreatedViews()
     dbSummaries = dbSummaries :+ summary.copy(phaseEntries =
@@ -1328,7 +1351,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                      graft.catalog.Identifiers.Case.Downcase,
                    /** RAW descriptor spellings (DBF/IXF) — the casing
                      * basis; None = case the frame's column names. */
-                   rawFileNames: Option[Seq[String]] = None): TableStats = {
+                   rawFileNames: Option[Seq[String]] = None,
+                   /** `WITH on error stop` (params.lisp:83
+                     * *on-error-stop*, default off = resume next):
+                     * the first erroneous row aborts the load instead
+                     * of filing a reject. */
+                   onErrorStop: Boolean = false): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -1377,13 +1405,16 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           case None => endpointFactory
         }
         val ss = sessionSql
-        val cols = df.columns.toSeq
+        // the stage clones the TARGET's layout (LIKE), so its COPY
+        // column list must carry the same CASED spellings the target
+        // DDL used — raw df.columns would miss quote-mode names
+        val cols = casedCols
         val nc = nameColumns
         val synth = synthetic
         val stageTargetFor = (stage: String) =>
           if (nc || !synth)
             graft.sinks.PgWire.copyTarget(stage, cols,
-              preserveCase = nc)
+              preserveCase = true)
           else graft.sinks.PgWire.quoteQualified(stage)
         // stage cleanup: ExactlyOnce's default drop is schema-aware
         // (filters pg_tables.schemaname, matches the BARE relname,
@@ -1395,6 +1426,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           quote = graft.sinks.PgWire.quoteQualified,
           renderer = binKinds.map(graft.sinks.PgBinary.renderer)
             .getOrElse(graft.sinks.CopySink.textRenderer),
+          onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
           rejectRender = binKinds.map(k =>
             graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
@@ -1402,12 +1434,14 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       } else binKinds match {
         case Some(kinds) => new CopySink(
           endpointFactory = binaryEndpointFactory(target, sessionSql),
+          onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
           renderer = graft.sinks.PgBinary.renderer(kinds),
           rejectRender =
             graft.sinks.PgBinary.frameToTextLine(_, kinds)).write(df)
         case None => new CopySink(
           endpointFactory = endpointFactory(target, sessionSql),
+          onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
       }
     // summary label: a qualified TARGET TABLE already carries its

@@ -146,6 +146,10 @@ final class Migrator(
                 * reference's preserve-index-names / the uniquify
                 * default — core.clj:746-753). */
               preserveIndexNames: Boolean = false,
+              /** `WITH on error stop` (params.lisp:83): the first
+                * failed table load aborts the remaining copies — the
+                * reference quits instead of continuing per-table. */
+              stopOnError: Boolean = false,
               dryRun: Boolean = false): Summary = {
     val t0 = System.nanoTime()
 
@@ -393,12 +397,21 @@ final class Migrator(
     val idxWallT0 = new java.util.concurrent.atomic.AtomicLong(0L)
     try {
       val copyT0 = System.nanoTime()
+      // `WITH on error stop`: latched by the first failed load; later
+      // copies record a visible skip row instead of loading
+      val abortCopies = new java.util.concurrent.atomic.AtomicBoolean(false)
       val copyFutures = if (dryRun) Nil else ordered.map { t =>
         copyPool.submit(new Runnable {
           def run(): Unit = {
             val s0 = System.nanoTime()
+            if (stopOnError && abortCopies.get()) {
+              stats.add(TableStats(t.schema, t.name, 0L, 0L, 0L,
+                error = Some("skipped (on error stop)")))
+              return
+            }
             // a failed table is reported in the summary, not fatal — the
-            // other copies keep going (reference per-table error state)
+            // other copies keep going (reference per-table error state;
+            // under stopOnError the latch above ends the run instead)
             try {
               val (rows, rejected, bytes) = loadTable(t, copySessionSql)
               stats.add(TableStats(t.schema, t.name, rows, rejected,
@@ -422,6 +435,7 @@ final class Migrator(
               // NonFatal only: OOM / interrupts must propagate, not be
               // folded into a per-table summary row
               case scala.util.control.NonFatal(e) =>
+                if (stopOnError) abortCopies.set(true)
                 stats.add(TableStats(t.schema, t.name, 0L, 0L,
                   (System.nanoTime() - s0) / 1000000,
                   error = Some(Option(e.getMessage).getOrElse(e.toString))))

@@ -183,6 +183,7 @@ object ExactlyOnce extends Serializable {
             dropStagesSql: String => String = null,
             maxRows: Int = 25000,
             maxBytes: Long = 20L << 20,
+            onErrorStop: Boolean = false,
             publishExtra: Seq[String] = Nil,
             renderer: DataFrame => DataFrame = CopySink.textRenderer,
             rejectDir: Option[String] = None,
@@ -217,6 +218,7 @@ object ExactlyOnce extends Serializable {
         ef(stage, Seq(mkStage(stage, tbl), s"TRUNCATE ${q(stage)};"), pid)
       },
       maxRows = maxRows, maxBytes = maxBytes,
+      onErrorStop = onErrorStop,
       // runs after the attempt's final flush: result-stage accumulator
       // semantics record exactly one completed attempt per partition
       onPartitionSuccess = pid => winners.add(attemptStage(pid)),

@@ -621,4 +621,23 @@ class MigrateSpec extends AnyFunSuite {
       ev2.filter(_.contains("INDEX")).mkString("; "))
     assert(!ev2.exists(_.contains("same_name_1")))
   }
+
+  test("WITH on error stop: the first failed table latches and later " +
+    "copies record a visible skip") {
+    val m = new Migrator(
+      executeDdl = (_, _) => (),
+      loadTable = (t, _) =>
+        if (t.name == "big") sys.error("disk full")
+        else { Thread.sleep(30); (t.rowCountEstimate, 0L, 0L) },
+      workers = 1) // serial: big (largest) fails first, rest must skip
+    val summary = m.migrate(mkCatalog,
+      defaults = graft.casting.DefaultCastRules.mysql,
+      stopOnError = true, withFKeys = false, resetSequences = false)
+    val byName = summary.tables.map(t => t.table -> t.error).toMap
+    assert(byName("big").exists(_.contains("disk full")))
+    val skipped = summary.tables.filter(
+      _.error.exists(_.contains("skipped (on error stop)")))
+    assert(skipped.nonEmpty, summary.tables.mkString("; "))
+    assert(summary.exitCode == 1)
+  }
 }

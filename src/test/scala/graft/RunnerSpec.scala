@@ -386,4 +386,32 @@ class RunnerSpec extends SparkSpec {
     assert(c3.beforeLoad == Seq("create schema if not exists x;"))
     assert(c3.afterLoad == Seq("analyze;"))
   }
+
+  test("WITH on error stop aborts a csv load on the first malformed " +
+    "row instead of filing rejects") {
+    val dir = Files.createTempDirectory("runner-stop").toFile
+    // last line has an unterminated quote -> parse reject (short rows
+    // pad with NULLs like the reference, so arity is not the trigger)
+    Files.writeString(new java.io.File(dir, "bad.csv").toPath,
+      "1|one\n2|two\n4|four\n3|\"unc\n")
+    def text(opt: String) =
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/bad.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE kv
+          WITH fields terminated by '|'$opt;"""
+    RunnerSpec.received.clear()
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint)
+    // default = resume next: good rows load, the bad row is dropped
+    // (rejected counts need a reject root; none is set here)
+    val stats = runner.runFile(spark, text(""))
+    assert(stats.map(_.rows) == Seq(3L), stats.mkString("; "))
+    // on error stop: aborts before any data moves
+    RunnerSpec.received.clear()
+    val e = intercept[Exception] {
+      runner.runFile(spark, text(", on error stop"))
+    }
+    assert(e.getMessage.contains("on error stop"), e.getMessage)
+    assert(RunnerSpec.received.isEmpty,
+      "no rows may reach the sink after the stop")
+  }
 }
