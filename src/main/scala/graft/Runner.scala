@@ -179,7 +179,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               // the server as written)
               nameColumns = sc.fields.nonEmpty || sc.targetColumns.nonEmpty,
               exactlyOnce = cmd.boolOption("exactly once"),
-              onErrorStop = cmd.boolOption("on error stop"))
+              onErrorStop = cmd.boolOption("on error stop"),
+              batchRows = batchRowsOf(cmd), batchBytes = batchBytesOf(cmd))
         }
       case "database" => runDatabase(sparkF, cmd)
       case _ =>
@@ -257,7 +258,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           rawFileNames =
             try fileRawNames(spark, cmd, baseDir)
             catch { case scala.util.control.NonFatal(_) => None },
-          onErrorStop = cmd.boolOption("on error stop")))
+          onErrorStop = cmd.boolOption("on error stop"),
+          batchRows = batchRowsOf(cmd), batchBytes = batchBytesOf(cmd)))
         rebuildIndexesAsync(table, droppedIdx, gucSql,
           cmd.intOption("max parallel create index").getOrElse(0))
         stats
@@ -709,6 +711,16 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       case _ => None
     }
   }
+
+  /** `WITH batch rows / batch size` — the sink batch bounds
+    * (copy-batch rows/bytes caps, src/params.lisp *copy-batch-rows*
+    * 25000 / *copy-batch-size* 20MB; batch.clj:10-16). `batch
+    * concurrency` is an accepted no-op like the other reader-side
+    * knobs: Spark's partition pipeline replaces batch prefetch. */
+  private def batchRowsOf(cmd: Ast.LoadCommand): Int =
+    cmd.intOption("batch rows").getOrElse(25000)
+  private def batchBytesOf(cmd: Ast.LoadCommand): Long =
+    cmd.option("batch size").map(_.toLong).getOrElse(20L << 20)
 
   /** TARGET identifier casing mode from the command's WITH options
     * (params.lisp *identifier-case*; accepted on EVERY source in the
@@ -1232,6 +1244,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 rejectRender = kinds.map(k =>
                   graft.sinks.PgBinary.frameToTextLine(_: Array[Byte], k))
                   .orNull,
+                maxRows = batchRowsOf(cmd),
+                maxBytes = batchBytesOf(cmd),
                 onErrorStop = cmd.boolOption("on error stop"))
             } finally close()
           } else {
@@ -1266,6 +1280,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               quote = graft.sinks.PgWire.quoteQualified,
               renderer = kinds.map(graft.sinks.PgBinary.renderer)
                 .getOrElse(graft.sinks.CopySink.textRenderer),
+              maxRows = batchRowsOf(cmd), maxBytes = batchBytesOf(cmd),
               onErrorStop = cmd.boolOption("on error stop"),
               rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
               rejectRender = kinds.map(k =>
@@ -1282,6 +1297,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
               mode = cmd.option("copy binary")) match {
               case Some(kinds) => new CopySink(
                 endpointFactory = binaryEndpointFactory(qualified, setup),
+                maxRows = batchRowsOf(cmd),
+                maxBytes = batchBytesOf(cmd),
                 onErrorStop = cmd.boolOption("on error stop"),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
                 renderer = graft.sinks.PgBinary.renderer(kinds),
@@ -1289,6 +1306,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                   graft.sinks.PgBinary.frameToTextLine(_, kinds))
               case None => new CopySink(
                 endpointFactory = endpointFactory(qualified, setup),
+                maxRows = batchRowsOf(cmd),
+                maxBytes = batchBytesOf(cmd),
                 onErrorStop = cmd.boolOption("on error stop"),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"))
             }
@@ -1319,8 +1338,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         includeDrop = !cmd.boolOption("include no drop") &&
           !cmd.boolOption("create no tables") &&
           !cmd.boolOption("data only"),
-        withIndexes = !cmd.boolOption("data only"),
-        withFKeys = !cmd.boolOption("data only"),
+        withIndexes = !cmd.boolOption("data only") &&
+          !cmd.boolOption("create no indexes"),
+        withFKeys = !cmd.boolOption("data only") &&
+          !cmd.boolOption("no foreign keys"),
+        // `WITH schema only` (migrate-database.lisp:358): full DDL
+        // phases, no data phase
+        copyData = !cmd.boolOption("schema only"),
         resetSequences = !cmd.boolOption("reset no sequences"),
         afterSchema = cmd.afterSchema ++
           graft.operators.Citus.distributionDdl(cmd.distribute),
@@ -1328,7 +1352,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         disableTriggers = cmd.boolOption("disable triggers"),
         idCase = idMode,
         dropSchema = cmd.boolOption("drop schema"),
-        preserveIndexNames = cmd.boolOption("preserve index names"),
+        // the reference ALSO preserves when tables are not being
+        // (re)created — pre-existing indexes are re-installed under
+        // their own names (migrate-database.lisp:381-384)
+        preserveIndexNames = cmd.boolOption("preserve index names") ||
+          cmd.boolOption("create no tables") ||
+          cmd.boolOption("data only"),
         stopOnError = cmd.boolOption("on error stop"),
         dryRun = dryRun)
     } finally dropCreatedViews()
@@ -1356,7 +1385,10 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                      * *on-error-stop*, default off = resume next):
                      * the first erroneous row aborts the load instead
                      * of filing a reject. */
-                   onErrorStop: Boolean = false): TableStats = {
+                   onErrorStop: Boolean = false,
+                   /** `WITH batch rows / batch size` sink caps. */
+                   batchRows: Int = 25000,
+                   batchBytes: Long = 20L << 20): TableStats = {
     val t0 = System.nanoTime()
     // loads with REAL column names — an explicit field/column list, or
     // csv-header-derived names — send a COPY column list: the user's
@@ -1426,6 +1458,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           quote = graft.sinks.PgWire.quoteQualified,
           renderer = binKinds.map(graft.sinks.PgBinary.renderer)
             .getOrElse(graft.sinks.CopySink.textRenderer),
+          maxRows = batchRows, maxBytes = batchBytes,
           onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
           rejectRender = binKinds.map(k =>
@@ -1434,6 +1467,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       } else binKinds match {
         case Some(kinds) => new CopySink(
           endpointFactory = binaryEndpointFactory(target, sessionSql),
+          maxRows = batchRows, maxBytes = batchBytes,
           onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat"),
           renderer = graft.sinks.PgBinary.renderer(kinds),
@@ -1441,6 +1475,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             graft.sinks.PgBinary.frameToTextLine(_, kinds)).write(df)
         case None => new CopySink(
           endpointFactory = endpointFactory(target, sessionSql),
+          maxRows = batchRows, maxBytes = batchBytes,
           onErrorStop = onErrorStop,
           rejectDir = rejectRoot.map(r => s"$r/$table.dat")).write(df)
       }

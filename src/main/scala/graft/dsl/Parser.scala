@@ -402,7 +402,9 @@ private final class Parser(in: String, baseDir: String = ".") {
     Seq("create", "no", "tables") -> "flag",
     Seq("create", "tables") -> "flag",
     Seq("create", "table") -> "flag",
+    Seq("create", "no", "indexes") -> "flag",
     Seq("create", "indexes") -> "flag",
+    Seq("no", "foreign", "keys") -> "flag",
     Seq("include", "no", "drop") -> "flag",
     Seq("include", "drop") -> "flag",
     Seq("batch", "rows") -> "int",

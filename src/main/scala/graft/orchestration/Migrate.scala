@@ -121,6 +121,10 @@ final class Migrator(
               includeDrop: Boolean = false,
               withIndexes: Boolean = true,
               withFKeys: Boolean = true,
+              /** `WITH schema only` (migrate-database.lisp:358
+                * copy-data): run every DDL phase — tables, indexes,
+                * PKs, FKs, sequences — but move NO data. */
+              copyData: Boolean = true,
               resetSequences: Boolean = true,
               beforeLoad: Seq[String] = Nil,
               /** AFTER CREATE SCHEMA DO — between target DDL and the
@@ -413,7 +417,9 @@ final class Migrator(
             // other copies keep going (reference per-table error state;
             // under stopOnError the latch above ends the run instead)
             try {
-              val (rows, rejected, bytes) = loadTable(t, copySessionSql)
+              val (rows, rejected, bytes) =
+                if (copyData) loadTable(t, copySessionSql)
+                else (0L, 0L, 0L) // schema only: DDL phases, no data
               stats.add(TableStats(t.schema, t.name, rows, rejected,
                 (System.nanoTime() - s0) / 1000000, bytes = bytes))
               // this table is done copying → build its indexes NOW, while

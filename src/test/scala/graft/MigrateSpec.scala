@@ -640,4 +640,35 @@ class MigrateSpec extends AnyFunSuite {
     assert(skipped.nonEmpty, summary.tables.mkString("; "))
     assert(summary.exitCode == 1)
   }
+
+  test("schema only: every DDL phase runs, no data moves") {
+    val events = new ConcurrentLinkedQueue[String]
+    var loads = 0
+    val m = new Migrator(
+      executeDdl = (sql, _) => events.add(sql.replaceAll("\\s+", " ")),
+      loadTable = (_, _) => { loads += 1; (1L, 0L, 0L) })
+    val summary = m.migrate(mkCatalog,
+      defaults = DefaultCastRules.mysql, copyData = false)
+    assert(loads == 0, "schema only must not call loadTable")
+    val ev = events.asScala.toSeq
+    // tables, indexes, PK attaches, FKs and sequence resets all ran
+    assert(ev.exists(_.startsWith("CREATE TABLE")))
+    assert(ev.exists(_.startsWith("CREATE UNIQUE INDEX")))
+    assert(ev.exists(_.contains("ADD PRIMARY KEY USING INDEX")))
+    assert(ev.exists(_.contains("FOREIGN KEY")))
+    assert(summary.tables.forall(t => t.rows == 0 && t.error.isEmpty))
+    assert(summary.exitCode == 0)
+  }
+
+  test("create no indexes / no foreign keys parse and gate their phases") {
+    val text =
+      """LOAD DATABASE FROM pgsql://u@h/src INTO pgsql://u@h/dst
+         WITH create no indexes, no foreign keys, schema only;"""
+    val (cmd, _) = graft.dsl.Parser.parseWithInline(text, ".")
+    assert(cmd.boolOption("create no indexes"))
+    assert(cmd.boolOption("no foreign keys"))
+    assert(cmd.boolOption("schema only"))
+    assert(!cmd.boolOption("create indexes"))
+    assert(!cmd.boolOption("foreign keys"))
+  }
 }

@@ -10,6 +10,9 @@ object RunnerSpec {
   // the session setup each endpoint connection would apply
   val received = new ConcurrentLinkedQueue[(String, String)]
   val endpointSetups = new ConcurrentLinkedQueue[Seq[String]]
+  // static: executor closures serialize — an instance-held queue would
+  // collect into a copy
+  val batchSizes = new ConcurrentLinkedQueue[Int]
   def endpoint(table: String,
                sessionSetup: Seq[String]): Int => CopyEndpoint = _ => {
     endpointSetups.add(sessionSetup)
@@ -413,5 +416,28 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("on error stop"), e.getMessage)
     assert(RunnerSpec.received.isEmpty,
       "no rows may reach the sink after the stop")
+  }
+
+  test("WITH batch rows bounds the sink's COPY batches") {
+    val dir = Files.createTempDirectory("runner-batch").toFile
+    Files.writeString(new java.io.File(dir, "n.csv").toPath,
+      (1 to 10).map(i => s"$i|v$i").mkString("\n") + "\n")
+    RunnerSpec.batchSizes.clear()
+    val runner = new Runner((_, _) => (),
+      (_, _) => _ => new CopyEndpoint {
+        def send(rows: Seq[Array[Byte]]): Unit =
+          RunnerSpec.batchSizes.add(rows.size)
+      })
+    val stats = runner.runFile(spark,
+      s"""LOAD CSV FROM '${dir.getAbsolutePath}/n.csv'
+          HAVING FIELDS (k, v)
+          INTO postgresql:///t TARGET TABLE n
+          WITH fields terminated by '|', batch rows = 3;""")
+    assert(stats.map(_.rows) == Seq(10L))
+    val sizes = RunnerSpec.batchSizes.asScala.toSeq
+    // the desync jitter keeps batches within 0.7-1.3x of the cap, and
+    // nothing may exceed the hard 1.3x ceiling of 3
+    assert(sizes.sum == 10 && sizes.max <= 4, sizes.mkString(","))
+    assert(sizes.length >= 3, s"3-row cap must split 10 rows: $sizes")
   }
 }
