@@ -392,6 +392,7 @@ private final class Parser(in: String, baseDir: String = ".") {
     Seq("fields", "not", "enclosed") -> "flag",
     Seq("lines", "terminated", "by") -> "char",
     Seq("csv", "escape", "mode", "following") -> "flag",
+    Seq("csv", "escape", "mode", "quote") -> "flag",
     Seq("csv", "header") -> "flag",
     Seq("fixed", "header") -> "flag",
     Seq("keep", "unquoted", "blanks") -> "flag",

@@ -253,10 +253,24 @@ object PlanBuilder {
         else cmd.option("fields enclosed by")
           .orElse(cmd.option("fields optionally enclosed by"))
           .map(_.charAt(0)).getOrElse('"'),
+      // `csv escape mode following` (escape-mode,
+      // command-csv.lisp:82-84) changes cl-csv's escape INTERPRETATION
+      // (escape char + ANY following char), but the escape char itself
+      // still defaults to the QUOTE char — so without `fields escaped
+      // by '\'` the observable behavior on well-formed data equals
+      // doubled-quote mode (the v4 csv-escape-mode golden loads
+      // `""hello""` as escaped quotes UNDER mode following). Only the
+      // backslash escape char actually selects the parser's backslash
+      // mode.
       doubledQuote = !cmd.option("fields escaped by").contains("\\"),
       skipLines = cmd.intOption("skip header").getOrElse(0),
       header = cmd.boolOption("csv header"),
       encoding = enc,
+      // `lines terminated by` (option-lines-terminated-by,
+      // command-csv.lisp:100): a custom RECORD terminator; the
+      // newline spellings are the reader's default
+      lineTerminator = cmd.option("lines terminated by")
+        .filterNot(t => t == "\n" || t == "\r\n"),
       trimUnquoted =
         // trimming unquoted blanks IS the reference default; `keep
         // unquoted blanks` opts out ("trim unquoted blanks" merely

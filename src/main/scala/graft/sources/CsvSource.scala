@@ -40,7 +40,13 @@ final case class CsvDialect(
       * reference's concurrent COPY writers, params.lisp *workers*).
       * [[SkipLines]] honors it only when the input is big enough
       * (≥4 MB per split), so small fixtures keep one in-order task. */
-    splitHint: Int = 1)
+    splitHint: Int = 1,
+    /** `lines terminated by` (csv.lisp:22 csv-newline): a custom
+      * RECORD terminator — records split on it instead of newlines
+      * (Hadoop record.delimiter keeps the scan splittable), embedded
+      * newlines become plain data and the quote-stitch is off (the
+      * terminator, not a quote state, defines record ends). */
+    lineTerminator: Option[String] = None)
 
 object CsvSource {
 
@@ -77,7 +83,9 @@ object CsvSource {
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
       canonicalEncoding(dialect.encoding), dialect.splitHint,
-      stitchRecords(dialect))
+      if (dialect.lineTerminator.isEmpty) stitchRecords(dialect)
+      else null,
+      delimiter = dialect.lineTerminator)
     // one native-expression parse per line ([[parseFields]] is the
     // scalar spec), then positional field extraction; `get` is
     // out-of-bounds-NULL, so ragged short lines pad with NULLs and
@@ -119,7 +127,9 @@ object CsvSource {
     val skip = dialect.skipLines + (if (dialect.header) 1 else 0)
     val lines = SkipLines.linesDF(spark, path, skip,
       canonicalEncoding(dialect.encoding), dialect.splitHint,
-      stitchRecords(dialect))
+      if (dialect.lineTerminator.isEmpty) stitchRecords(dialect)
+      else null,
+      delimiter = dialect.lineTerminator)
     lines
       .filter(octet_length(col("value")) > 0)
       .withColumn("__fields", graft.functions.StringExpressions
@@ -156,7 +166,9 @@ object CsvSource {
     require(fileIdx.nonEmpty, s"no files match $path")
     val lines = SkipLines.linesWithPosition(spark, path, skip,
       canonicalEncoding(dialect.encoding),
-      stitch = stitchRecords(dialect))
+      stitch = if (dialect.lineTerminator.isEmpty)
+        stitchRecords(dialect) else null,
+      delimiter = dialect.lineTerminator)
     val parsed = lines
       .filter(octet_length(col("value")) > 0)
       .filter(!col("__bad")) // undecodable rows are rejects, not data

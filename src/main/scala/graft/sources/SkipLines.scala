@@ -41,22 +41,30 @@ object SkipLines {
     }
   }
 
-  /** Byte offset of the first line *after* the `n`-th newline, per file. */
-  private def cutOffsets(spark: SparkSession, path: String,
-                         n: Int): Map[String, Long] = {
+  /** Byte offset of the first record *after* the `n`-th terminator,
+    * per file. `delim` is the record terminator's byte sequence
+    * (default newline). */
+  private def cutOffsets(spark: SparkSession, path: String, n: Int,
+                         delim: Array[Byte] = Array('\n'.toByte))
+      : Map[String, Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     fileStatuses(spark, path).map { st =>
       val fs = st.getPath.getFileSystem(hconf)
       val in = fs.open(st.getPath)
       var off = 0L
       var seen = 0
+      var m = 0 // matched prefix length of delim
       try {
         while (seen < n) {
           val b = in.read()
           if (b < 0) seen = n // short file: skip everything
           else {
             off += 1
-            if (b == '\n') seen += 1
+            // naive prefix match is enough: terminators are 1-2 bytes
+            // and never self-overlapping in practice
+            m = if (b.toByte == delim(m)) m + 1
+                else if (b.toByte == delim(0)) 1 else 0
+            if (m == delim.length) { seen += 1; m = 0 }
           }
         }
       } finally in.close()
@@ -106,11 +114,22 @@ object SkipLines {
 
   def linesWithPosition(spark: SparkSession, path: String, skip: Int,
                         charset: String = "UTF-8", splitHint: Int = 1,
-                        stitch: Stitch = null)
+                        stitch: Stitch = null,
+                        /** custom record terminator (`lines terminated
+                          * by`, csv.lisp:22 csv-newline): records split
+                          * on its byte sequence instead of newlines —
+                          * Hadoop's record.delimiter keeps the scan
+                          * splittable. The conf string reaches the
+                          * reader as UTF-8 bytes, so non-ASCII
+                          * terminators require a UTF-8 source. */
+                        delimiter: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    val delimBytes = delimiter.map(_.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     val cuts = if (skip <= 0) Map.empty[String, Long]
-      else cutOffsets(spark, path, skip)
+      else cutOffsets(spark, path, skip,
+        delimBytes.getOrElse(Array('\n'.toByte)))
     val bc = spark.sparkContext.broadcast(cuts)
     val cs = charset
     // minPartitions governs FileInputFormat's goalSize (= total/min):
@@ -131,10 +150,20 @@ object SkipLines {
         math.min(splitHint.toLong,
           math.max(1L, total / MinSplitBytes)).toInt
       }
-    val rdd = spark.sparkContext
-      .hadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], minParts)
-      .asInstanceOf[HadoopRDD[LongWritable, Text]]
+    val rdd = (delimiter match {
+      case None =>
+        spark.sparkContext.hadoopFile(path, classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text], minParts)
+      case Some(d) =>
+        // a per-read JobConf: setting the delimiter on the session's
+        // shared hadoopConfiguration would race concurrent scans
+        val jc = new org.apache.hadoop.mapred.JobConf(
+          spark.sparkContext.hadoopConfiguration)
+        jc.set("textinputformat.record.delimiter", d)
+        org.apache.hadoop.mapred.FileInputFormat.setInputPaths(jc, path)
+        spark.sparkContext.hadoopRDD(jc, classOf[TextInputFormat],
+          classOf[LongWritable], classOf[Text], minParts)
+    }).asInstanceOf[HadoopRDD[LongWritable, Text]]
     val kept = rdd.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
       val cut = bc.value.getOrElse(file, 0L)
@@ -187,11 +216,27 @@ object SkipLines {
         }
       }
     }
+    // custom-terminator artifact records: a file whose records end
+    // "data¶\n" leaves a newline-only remainder between the last
+    // terminator and EOF (or between records when the author also
+    // breaks lines visually) — it is formatting, not data, exactly as
+    // blank lines are under the default terminator
+    val cleaned =
+      if (delimiter.isEmpty) kept
+      else kept.filter { case (_, _, bytes, _) =>
+        var i = 0
+        var data = false
+        while (i < bytes.length && !data) {
+          data = bytes(i) != '\n'.toByte && bytes(i) != '\r'.toByte
+          i += 1
+        }
+        data
+      }
     val stitched =
-      if (stitch == null) kept
+      if (stitch == null) cleaned
       // TextInputFormat splits never span files, so a partition's
       // lines all belong to one file and in-order reassembly is sound
-      else kept.mapPartitions(stitch(_), preservesPartitioning = true)
+      else cleaned.mapPartitions(stitch(_), preservesPartitioning = true)
     stitched.toDF("__file", "__off", "value", "__bad")
       .withColumn("value", org.apache.spark.sql.functions.col("value")
         .cast(org.apache.spark.sql.types.StringType))
@@ -243,9 +288,11 @@ object SkipLines {
     * and silently load U+FFFD mojibake). */
   def linesDF(spark: SparkSession, path: String, skip: Int,
               charset: String = "UTF-8", splitHint: Int = 1,
-              stitch: Stitch = null)
+              stitch: Stitch = null,
+              delimiter: Option[String] = None)
       : org.apache.spark.sql.DataFrame =
-    linesWithPosition(spark, path, skip, charset, splitHint, stitch)
+    linesWithPosition(spark, path, skip, charset, splitHint, stitch,
+      delimiter)
       .select("value", "__bad")
 
   /** The DECODABLE lines of `path` with the first `skip` lines of EACH

@@ -133,7 +133,7 @@ class ClojureGoldenSpec extends SparkSpec {
     "blanks-trim", "column-order", "column-subset", "constant",
     "csv-escape-mode", "datestyle-dmy", "disable-triggers", "districts",
     "drop-indexes", "embedded-newline", "encoding", "escape-backslash",
-    "filename-pattern", "guess-csv", "header-auto", "lines-terminated",
+    "filename-pattern", "guess-csv", "header-auto",
     "missing-col", "multi-null-if", "non-printable", "not-enclosed",
     "null-if", "null-if-blanks", "nulls", "overflow", "parse-date",
     "pipe", "projection", "reformat", "semicolon", "set-params",
@@ -144,6 +144,27 @@ class ClojureGoldenSpec extends SparkSpec {
     test(s"clojure golden csv/$name: load + psql probes match baselines") {
       runFixture("csv", name)
     }
+
+  test("clojure golden csv/lines-terminated: custom record terminator " +
+    "actually loads (v3 semantics; the v4 baseline pins v4's own " +
+    "non-support at 0 rows)") {
+    // the reference v3 DOES implement `lines terminated by`
+    // (csv.lisp:22 csv-newline; test/csv-newline.load), and this
+    // engine follows it: the fixture's '|'-terminated stream splits
+    // into 12 single-field records, the header record is skipped, the
+    // three integer records load (short rows pad with NULLs like every
+    // other csv load here) and the non-integer ones reject. v4 never
+    // implemented the option — its baseline freezes the whole file
+    // parsing as ONE line and loading nothing — so the correct result
+    // is pinned via override, the same pattern as dbf-31's CL-faithful
+    // schema rendering.
+    runFixture("csv", "lines-terminated",
+      expectOverride = Map("lines-terminated" ->
+        (" count \n-------\n     3\n(1 row)\n\n" +
+         " id | name | value \n----+------+-------\n" +
+         "  1 |      | \n  2 |      | \n  3 |      | \n" +
+         "(3 rows)\n\n")))
+  }
 
   test("clojure golden csv/stdin: FROM stdin, piped like the harness") {
     runFixture("csv", "stdin", stdinFile = "stdin.csv")

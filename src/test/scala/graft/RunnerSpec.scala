@@ -440,4 +440,22 @@ class RunnerSpec extends SparkSpec {
     assert(sizes.sum == 10 && sizes.max <= 4, sizes.mkString(","))
     assert(sizes.length >= 3, s"3-row cap must split 10 rows: $sizes")
   }
+
+  test("lines terminated by: the v3 csv-newline fixture's '\u00b6' " +
+    "records load as multi-field rows") {
+    // the reference's own inline fixture (test/csv-newline.load):
+    // fields terminated by '\u00a6', lines terminated by '\u00b6' —
+    // two 3-field records, the second with a space inside a field
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/csv-newline.load")),
+      "UTF-8")
+      // the fixture's target URI carries no table; give the sink one
+      .replace("postgresql:///pgloader?lines", "postgresql:///pgloader")
+    RunnerSpec.received.clear()
+    val runner = new Runner((_, _) => (), RunnerSpec.endpoint)
+    val stats = runner.runFile(spark, text)
+    assert(stats.map(_.rows) == Seq(2L), stats.mkString("; "))
+    val rows = RunnerSpec.received.asScala.toSeq.map(_._2).sorted
+    assert(rows == Seq("plip\tsecond line\tbar", "plop\tbar\tfoo"), rows)
+  }
 }
