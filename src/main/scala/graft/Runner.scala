@@ -1613,6 +1613,15 @@ object Runner {
     parts.result().mkString("\n") + "\n;"
   }
 
+  private val usageText =
+    "usage: graft.Runner [--summary|-S path] [--verbose|--debug] " +
+      "[--quiet] [--on-error-stop] [--dry-run] [--root-dir dir] " +
+      "[--logfile path] [--client-min-messages level] " +
+      "[--log-min-messages level] [--with 'opt']… [--cast 'rule']… " +
+      "[--set 'guc to val']… [--type csv|copy|fixed|dbf] " +
+      "[--encoding enc] [--field def]… [--before file] [--after file] " +
+      "(<file.load> [baseDir] | SOURCE TARGET)"
+
   def main(args: Array[String]): Unit = {
     // --summary <path> writes the machine-readable report (reference
     // main.lisp --summary; summary.clj write-summary); --verbose adds
@@ -1628,6 +1637,7 @@ object Runner {
     var beforeFile: Option[String] = None
     var afterFile: Option[String] = None
     var rootDir: Option[String] = None
+    var logfilePath: Option[String] = None
     var dryRun = false
     val pos = Seq.newBuilder[String]
     var i = 0
@@ -1637,9 +1647,36 @@ object Runner {
     }
     while (i < args.length) {
       args(i) match {
-        case "--summary" => summaryPath = Some(arg("--summary"))
+        case "--help" =>
+          println(usageText); sys.exit(0)
+        case "--version" =>
+          println("graft (pgloader-compatible Spark loader)"); sys.exit(0)
+        case "--list-encodings" =>
+          // the canonical names + the alias table the loader accepts
+          // (CsvSource.canonicalEncoding), like the reference's
+          // --list-encodings (cli.clj:188)
+          Seq("utf-8 (utf8)", "utf-16 (utf16)", "us-ascii (ascii)",
+            "iso-8859-1 (latin1)", "iso-8859-2 (latin2)",
+            "iso-8859-15 (latin9)", "windows-1250..1258 (cp125x)",
+            "ibm850 (cp850)", "ibm866 (cp866)", "Big5 (cp950)",
+            "windows-31j (cp932)",
+            "…plus every charset the JVM provides").foreach(println)
+          sys.exit(0)
+        case "--summary" | "-S" => summaryPath = Some(arg("--summary"))
         case "--verbose" => verbose = true; i += 1
+        case "--debug" => verbose = true; i += 1
         case "--quiet" => i += 1 // accepted for compatibility
+        case "--on-error-stop" =>
+          // the dedicated v4 flag (cli.clj:193) — same effect as
+          // `--with "on error stop"`
+          withOpts += "on error stop"; i += 1
+        case "--client-min-messages" =>
+          // the reference maps this to the PG GUC on every connection
+          setParams += s"client_min_messages to '${arg("--client-min-messages")}'"
+        case "--log-min-messages" =>
+          arg("--log-min-messages"); () // internal log level: accepted
+        case "--logfile" =>
+          logfilePath = Some(arg("--logfile"))
         case "--dry-run" => dryRun = true; i += 1
         case "--with" => withOpts += arg("--with")
         case "--cast" => castRules += arg("--cast")
@@ -1663,11 +1700,7 @@ object Runner {
       }
     }
     val positional = pos.result()
-    require(positional.nonEmpty,
-      "usage: graft.Runner [--summary path] [--verbose] " +
-        "[--with 'opt']… [--cast 'rule']… [--set 'guc to val']… " +
-        "[--type csv|copy|fixed|dbf] [--encoding enc] [--field def]… " +
-        "(<file.load> [baseDir] | SOURCE TARGET)")
+    require(positional.nonEmpty, usageText)
     // no-command-file mode: two positionals where the first is a URI
     // (or --type names a file kind for a bare path) and the second is
     // the PG target — exactly the reference CLI's inline command
@@ -1757,6 +1790,16 @@ object Runner {
     val summary = runner.fullSummary(stats,
       (System.nanoTime() - t0) / 1000000)
     print(summary.render)
+    // --logfile: the reference appends its run log there; the summary
+    // is the run record this CLI produces
+    logfilePath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        summary.render.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] logfile write failed: ${e.getMessage}") }
+    }
     summaryPath.foreach(p =>
       graft.orchestration.SummaryOut.write(summary, p, verbose))
     if (summary.exitCode != 0) sys.exit(summary.exitCode)
