@@ -208,7 +208,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // `WITH truncate` empties the target before loading (the
         // reference truncates in its before-copy hook) — without it a
         // re-run silently doubles the table (live golden dbf-31)
-        if (cmd.boolOption("truncate"))
+        if (cmd.boolOption("truncate") &&
+            !cmd.boolOption("no truncate"))
           ddl("TRUNCATE " +
             s"${graft.sinks.PgWire.quoteQualified(table)};", gucSql)
         // parse rejects: written to the table's reject dir and counted
@@ -246,7 +247,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         // create-indexes-again runs in its parallel index pool), and
         // drains before any later DDL or at end of run
         val droppedIdx =
-          if (cmd.boolOption("drop indexes"))
+          if (cmd.boolOption("drop indexes") &&
+              !cmd.boolOption("drop no indexes"))
             dropTargetIndexes(table, gucSql)
           else Nil
         val stats = Seq(load(table, df, copySessionSql, parseRejects,
@@ -1326,7 +1328,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         excluding = cmd.excludingOnly,
         alterSchema = cmd.alterSchema,
         alterTable = cmd.alterTable,
-        truncate = cmd.boolOption("truncate"),
+        truncate = cmd.boolOption("truncate") &&
+          !cmd.boolOption("no truncate"),
         createTables = !cmd.boolOption("create no tables") &&
           !cmd.boolOption("data only"),
         // database migrations DROP-and-recreate BY DEFAULT — the
@@ -1349,7 +1352,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         afterSchema = cmd.afterSchema ++
           graft.operators.Citus.distributionDdl(cmd.distribute),
         setParams = cmd.setParams,
-        disableTriggers = cmd.boolOption("disable triggers"),
+        disableTriggers = cmd.boolOption("disable triggers") &&
+          !cmd.boolOption("disable no triggers"),
         idCase = idMode,
         dropSchema = cmd.boolOption("drop schema"),
         // the reference ALSO preserves when tables are not being

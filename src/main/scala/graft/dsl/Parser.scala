@@ -398,7 +398,10 @@ private final class Parser(in: String, baseDir: String = ".") {
     Seq("keep", "unquoted", "blanks") -> "flag",
     Seq("trim", "unquoted", "blanks") -> "flag",
     Seq("truncate") -> "flag",
+    Seq("disable", "no", "triggers") -> "flag",
     Seq("disable", "triggers") -> "flag",
+    Seq("no", "truncate") -> "flag",
+    Seq("drop", "no", "indexes") -> "flag",
     Seq("drop", "indexes") -> "flag",
     Seq("create", "no", "tables") -> "flag",
     Seq("create", "tables") -> "flag",

@@ -670,5 +670,12 @@ class MigrateSpec extends AnyFunSuite {
     assert(cmd.boolOption("schema only"))
     assert(!cmd.boolOption("create indexes"))
     assert(!cmd.boolOption("foreign keys"))
+    // the reference's other (? kw-no) spellings parse too
+    val (cmd2, _) = graft.dsl.Parser.parseWithInline(
+      """LOAD DATABASE FROM pgsql://u@h/src INTO pgsql://u@h/dst
+         WITH no truncate, disable no triggers, drop no indexes;""", ".")
+    assert(cmd2.boolOption("no truncate"))
+    assert(cmd2.boolOption("disable no triggers"))
+    assert(cmd2.boolOption("drop no indexes"))
   }
 }
