@@ -1029,6 +1029,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           Some((exec, iviews, quote)), Nil, Nil)
       case "mssql" =>
         val tp = graft.sources.TdsWire.connParams(uri, decode)
+            .copy(sessionSets = cmd.mssqlParams)
         val read = (t: Table, isView: Boolean) => {
           val pk =
             if (isView) None
@@ -1086,6 +1087,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             charsetName = decodingCharsetFor(t.sourceName))
         case "mssql" =>
           val tp = graft.sources.TdsWire.connParams(uri, decode)
+            .copy(sessionSets = cmd.mssqlParams)
           t => graft.sources.MssqlWireSource.localScanIfSmall(
             tp, t.sourceSchemaName, t.sourceName,
             partitionKey = t.fields.find(_.autoIncrement).map(_.name),

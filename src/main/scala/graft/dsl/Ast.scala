@@ -94,6 +94,10 @@ object Ast {
         * on the mysql connections only (mysql.clj:499-511), never as
         * PG GUCs. */
       mysqlParams: Seq[(String, String)] = Nil,
+      /** SET MSSQL PARAMETERS — mssql SOURCE-session settings
+        * (command-mssql.lisp:74 mssql-gucs), applied per source
+        * connection, never to PG. */
+      mssqlParams: Seq[(String, String)] = Nil,
       castRules: Seq[CastRule] = Nil,
       beforeLoad: Seq[String] = Nil,
       /** AFTER CREATE SCHEMA DO — between target DDL and the data phase

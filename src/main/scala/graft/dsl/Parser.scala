@@ -506,9 +506,12 @@ private final class Parser(in: String, baseDir: String = ".") {
     * variables are SOURCE-session state (they must never reach a PG
     * connection as GUCs: `SET net_read_timeout` would abort every PG
     * session setup). */
-  private def parseSetParams(): (Seq[(String, String)], Boolean) = {
+  private def parseSetParams(): (Seq[(String, String)], String) = {
     val _ = tryKws("PostgreSQL", "PARAMETERS")
-    val isMysql = tryKws("MySQL", "PARAMETERS")
+    val variant =
+      if (tryKws("MySQL", "PARAMETERS")) "mysql"
+      else if (tryKws("MSSQL", "PARAMETERS")) "mssql"
+      else "pg"
     val out = Seq.newBuilder[(String, String)]
     var more = true
     while (more) {
@@ -517,13 +520,16 @@ private final class Parser(in: String, baseDir: String = ".") {
       out += name -> quoted()
       more = trySym(',')
     }
-    (out.result(), isMysql)
+    (out.result(), variant)
   }
 
   private def addSetParams(cmd0: Ast.LoadCommand): Ast.LoadCommand = {
-    val (params, isMysql) = parseSetParams()
-    if (isMysql) cmd0.copy(mysqlParams = cmd0.mysqlParams ++ params)
-    else cmd0.copy(setParams = cmd0.setParams ++ params)
+    val (params, variant) = parseSetParams()
+    variant match {
+      case "mysql" => cmd0.copy(mysqlParams = cmd0.mysqlParams ++ params)
+      case "mssql" => cmd0.copy(mssqlParams = cmd0.mssqlParams ++ params)
+      case _ => cmd0.copy(setParams = cmd0.setParams ++ params)
+    }
   }
 
   private def parseDoBlocks(): Seq[String] = {

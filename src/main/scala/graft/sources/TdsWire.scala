@@ -38,7 +38,13 @@ object TdsWire {
   final case class ConnParams(host: String, port: Int, database: String,
                               user: String, password: String,
                               sslMode: String = "prefer",
-                              tdsVer: String = "7.4") {
+                              tdsVer: String = "7.4",
+                              /** SET MSSQL PARAMETERS — per-connection
+                                * source session state, applied after
+                                * login on EVERY connection
+                                * (mssql-connection.lisp:27-30 runs
+                                * `set name value;` per setting). */
+                              sessionSets: Seq[(String, String)] = Nil) {
     require(graft.sinks.PgWire.SslModes(sslMode),
       s"unknown sslmode: $sslMode")
     require(tdsVer == "7.4" || tdsVer == "7.1",
@@ -222,6 +228,11 @@ final class TdsWireConnection(params: TdsWire.ConnParams)
 
   prelogin()
   login7()
+  // SET MSSQL PARAMETERS: per-connection session state — the reference
+  // runs `set <name> <value>;` on every fresh connection
+  params.sessionSets.foreach { case (k, v) =>
+    simpleCommand(s"set $k $v;")
+  }
 
   // ---- packet framing (8-byte header, big-endian length) ----
 

@@ -21,6 +21,15 @@ class MssqlWireSpec extends SparkSpec {
       conn.close()
       assert(srv.executed.synchronized(srv.executed.toList) ==
         List("SET ANSI_NULLS ON"))
+      // SET MSSQL PARAMETERS ride every fresh connection, right after
+      // login (mssql-connection.lisp:27-30: `set name value;`)
+      srv.executed.synchronized(srv.executed.clear())
+      val conn2 = new TdsWireConnection(params(srv.port)
+        .copy(sessionSets = Seq("textsize" -> "104857600")))
+      conn2.simpleCommand("SET ANSI_NULLS ON")
+      conn2.close()
+      assert(srv.executed.synchronized(srv.executed.toList) ==
+        List("set textsize 104857600;", "SET ANSI_NULLS ON"))
       val e = intercept[TdsWire.TdsServerError] {
         new TdsWireConnection(params(srv.port).copy(password = "wrong"))
       }
