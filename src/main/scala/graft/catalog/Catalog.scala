@@ -132,7 +132,16 @@ final case class FKey(
     foreignTable: String,
     foreignColumns: Seq[String],
     onUpdate: Option[String] = None,
-    onDelete: Option[String] = None)
+    onDelete: Option[String] = None,
+    /** schema of the REFERENCED table — the reference's
+      * fkey-foreign-table is a full table object rendered
+      * schema-qualified (catalog.lisp:91-93; pgsql-ddl.lisp:330);
+      * empty = same schema as the owning table. */
+    foreignSchema: String = "") {
+  /** The schema the REFERENCES clause resolves in. */
+  def foreignSchemaOr(owning: String): String =
+    if (foreignSchema.nonEmpty) foreignSchema else owning
+}
 
 /** One pg-source user-defined type, introspected with its
   * target-ready DDL body. `kind` is pg_type.typtype ('d' domain,
@@ -596,7 +605,7 @@ object Ddl {
   def addFKey(f: FKey, schema: String = "public"): String =
     s"ALTER TABLE ${qq(schema, f.table)} ADD CONSTRAINT ${q(f.name)} " +
       s"FOREIGN KEY (${f.columns.map(q).mkString(", ")}) " +
-      s"REFERENCES ${qq(schema, f.foreignTable)} " +
+      s"REFERENCES ${qq(f.foreignSchemaOr(schema), f.foreignTable)} " +
       s"(${f.foreignColumns.map(q).mkString(", ")})" +
       f.onUpdate.map(u => s" ON UPDATE $u").getOrElse("") +
       f.onDelete.map(d => s" ON DELETE $d").getOrElse("") + ";"

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import graft.dsl.Ast._
+import scala.util.chaining._
 
 /** Catalog rewrites applied between introspection and DDL — the
   * reference's process-catalog step (migrate-database.lisp:253-302):
@@ -40,15 +41,17 @@ object CatalogRewrite {
     // prune fkeys pointing at tables the filter removed — they were
     // never created on the target, so an unpruned REFERENCES would fail
     // in the post phase and flip the whole run's exit code (the
-    // reference prunes these too). Keyed by (schema, name): addFKey
-    // qualifies foreignTable with the OWNING table's schema, so a
-    // same-named survivor in a DIFFERENT schema must not save the fkey.
+    // reference prunes these too). Keyed by (schema, name): the
+    // REFERENCES clause resolves in the fkey's foreign schema (its
+    // owning schema when unset), so a same-named survivor in a
+    // DIFFERENT schema must not save the fkey.
     val surviving = filtered.schemas
       .flatMap(s => s.tables.map(t => (s.name, t.name))).toSet
     filtered.copy(schemas = filtered.schemas.map { s =>
       s.copy(tables = s.tables.map { t =>
         t.copy(fkeys = t.fkeys.filter(fk =>
-          surviving.contains((s.name, fk.foreignTable))))
+          surviving.contains((fk.foreignSchemaOr(s.name),
+            fk.foreignTable))))
       })
     })
   }
@@ -78,7 +81,9 @@ object CatalogRewrite {
           indexes = t.indexes.map(i => i.copy(name = ic(i.name),
             table = ic(i.table))),
           fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
-            foreignTable = ic(f.foreignTable))))))),
+            foreignTable = ic(f.foreignTable),
+            foreignSchema =
+              if (f.foreignSchema.isEmpty) "" else ic(f.foreignSchema))))))),
       sequences = cat.sequences.map(sq =>
         sq.copy(schema = ic(sq.schema), name = ic(sq.name))))
   }
@@ -124,6 +129,15 @@ object CatalogRewrite {
           case None => sq
         }
       })
+      // cross-schema REFERENCES follow the rename too — a stale
+      // explicit foreignSchema would point post-phase FK DDL at the
+      // old (absent) schema
+      .pipe(c => c.copy(schemas = c.schemas.map(s2 =>
+        s2.copy(tables = s2.tables.map(t2 =>
+          t2.copy(fkeys = t2.fkeys.map(fk =>
+            if (fk.foreignSchema.nonEmpty && m.contains(fk.foreignSchema))
+              fk.copy(foreignSchema = m(fk.foreignSchema))
+            else fk)))))))
   }
 
   /** `ALTER TABLE NAMES MATCHING … RENAME TO / SET SCHEMA …`. First
@@ -162,7 +176,8 @@ object CatalogRewrite {
       else renamed.map { s =>
         s.copy(tables = s.tables.map { t =>
           t.copy(fkeys = t.fkeys.map { fk =>
-            renames.get((s.name, fk.foreignTable)) match {
+            renames.get((fk.foreignSchemaOr(s.name),
+                fk.foreignTable)) match {
               case Some(n) => fk.copy(foreignTable = n)
               case None => fk
             }

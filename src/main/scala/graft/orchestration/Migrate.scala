@@ -523,8 +523,11 @@ final class Migrator(
     if (withFKeys)
       timedPost("Create Foreign Keys", always = true) {
         okTables.foreach(t =>
-          // the REFERENCED side of an FK must have loaded too
-          t.fkeys.filterNot(f => failedCopies((t.schema, f.foreignTable)))
+          // the REFERENCED side of an FK must have loaded too —
+          // resolved in the fkey's foreign schema (cross-schema
+          // REFERENCES, catalog.lisp:91-93)
+          t.fkeys.filterNot(f =>
+            failedCopies((f.foreignSchemaOr(t.schema), f.foreignTable)))
             .foreach(f => postDdl(Ddl.addFKey(f, t.schema))))
       }
     if (resetSequences)

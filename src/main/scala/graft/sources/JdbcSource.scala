@@ -524,11 +524,13 @@ object IntrospectionSql {
        (SELECT string_agg(a.attname, ',' ORDER BY k.ord)
         FROM unnest(c.confkey) WITH ORDINALITY AS k(attnum, ord)
         JOIN pg_attribute a
-          ON a.attrelid = c.confrelid AND a.attnum = k.attnum)
+          ON a.attrelid = c.confrelid AND a.attnum = k.attnum),
+       fn.nspname
        FROM pg_constraint c
        JOIN pg_class t ON t.oid = c.conrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
        JOIN pg_class ft ON ft.oid = c.confrelid
+       JOIN pg_namespace fn ON fn.oid = ft.relnamespace
        WHERE c.contype = 'f'
        ORDER BY c.conname"""
 
@@ -564,7 +566,8 @@ object IntrospectionSql {
   val mssqlFKeys: String =
     """SELECT fk.name, s.name AS schema_name, tp.name AS table_name,
        cp.name AS column_name, tr.name AS ref_table,
-       cr.name AS ref_column, fkc.constraint_column_id
+       cr.name AS ref_column, fkc.constraint_column_id,
+       sr.name AS ref_schema
        FROM sys.foreign_keys fk
        JOIN sys.foreign_key_columns fkc
          ON fkc.constraint_object_id = fk.object_id
@@ -573,6 +576,7 @@ object IntrospectionSql {
        JOIN sys.columns cp ON cp.object_id = fkc.parent_object_id
          AND cp.column_id = fkc.parent_column_id
        JOIN sys.tables tr ON tr.object_id = fk.referenced_object_id
+       JOIN sys.schemas sr ON sr.schema_id = tr.schema_id
        JOIN sys.columns cr ON cr.object_id = fkc.referenced_object_id
          AND cr.column_id = fkc.referenced_column_id
        ORDER BY fk.name, fkc.constraint_column_id"""
@@ -987,7 +991,10 @@ object IntrospectionRows {
         }
       val fks = fkByTable.getOrElse(key, Nil).map { r =>
         FKey(r(0), t.sourceName, r(3).split(",").toSeq,
-          r(4), r(5).split(",").toSeq)
+          r(4), r(5).split(",").toSeq,
+          // cross-schema REFERENCES resolve in the FOREIGN table's
+          // schema (pgsql-ddl.lisp:330 renders it qualified)
+          foreignSchema = if (r.length > 6) r(6) else "")
       }
       t.copy(indexes = idxs, fkeys = fks)
     }
@@ -1024,7 +1031,9 @@ object IntrospectionRows {
         .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>
           val sorted = rows.sortBy(_(6).toInt)
           FKey(name, t.sourceName, sorted.map(_(3)),
-            sorted.head(4), sorted.map(_(5)))
+            sorted.head(4), sorted.map(_(5)),
+            foreignSchema =
+              if (sorted.head.length > 7) sorted.head(7) else "")
         }
       t.copy(indexes = idxs, fkeys = fks)
     }

@@ -54,18 +54,23 @@ class LiveCasingSpec extends SparkSpec {
     // MixedCase index; an FK whose target table is itself MixedCase
     exec(src,
       """CREATE SCHEMA "CamelSchema";
+        |CREATE SCHEMA "RefSchema";
+        |CREATE TABLE "RefSchema"."Countries" ("Code" int PRIMARY KEY);
+        |INSERT INTO "RefSchema"."Countries"
+        |  SELECT g FROM generate_series(1, 5) g;
         |CREATE TABLE "CamelSchema"."Users" (
         |  "Id" int PRIMARY KEY, "UserName" text NOT NULL);
         |CREATE TABLE "CamelSchema"."OrderItems" (
         |  "Id" int PRIMARY KEY,
         |  "UserId" int REFERENCES "CamelSchema"."Users"("Id"),
+        |  "Country" int REFERENCES "RefSchema"."Countries"("Code"),
         |  "order" int,
         |  "Précis" text);
         |CREATE INDEX "IdxUserName" ON "CamelSchema"."Users"("UserName");
         |INSERT INTO "CamelSchema"."Users"
         |  SELECT g, 'user_'||g FROM generate_series(1, 40) g;
         |INSERT INTO "CamelSchema"."OrderItems"
-        |  SELECT g, (g % 40) + 1, g * 7, 'p-é-'||g
+        |  SELECT g, (g % 40) + 1, (g % 5) + 1, g * 7, 'p-é-'||g
         |  FROM generate_series(1, 120) g;
         |""".stripMargin)
 
@@ -89,27 +94,40 @@ class LiveCasingSpec extends SparkSpec {
       assert(stats.forall(_.error.isEmpty),
         s"mode '$opt': " + stats.filter(_.error.nonEmpty).mkString("; "))
       // names PG actually stored
+      val refSch = opt match {
+        case "" => "refschema"
+        case o if o.contains("quote") => "RefSchema"
+        case _ => "ref_schema"
+      }
+      val countries = if (opt.contains("quote")) "Countries"
+        else "countries"
       val tabs = q(dst, "SELECT schemaname, tablename FROM pg_tables " +
         s"WHERE schemaname NOT IN ('pg_catalog','information_schema')")
         .map(r => (r(0), r(1))).toSet
-      assert(tabs == Set((sch, users), (sch, orders)),
-        s"mode '$opt': got $tabs")
+      assert(tabs == Set((sch, users), (sch, orders),
+        (refSch, countries)), s"mode '$opt': got $tabs")
       val cols = q(dst, "SELECT column_name FROM " +
         "information_schema.columns WHERE table_name = " +
         s"'${orders.replace("'", "''")}'").map(_(0)).toSet
       assert(cols == Set("id", rcol, pcol,
         if (opt.contains("quote")) "UserId"
-        else if (opt.contains("snake")) "user_id" else "userid")
+        else if (opt.contains("snake")) "user_id" else "userid",
+        if (opt.contains("quote")) "Country" else "country")
         .map(c => if (c == "id" && opt.contains("quote")) "Id" else c),
         s"mode '$opt': got $cols")
       // the MixedCase secondary index landed under its cased name
       val idxs = q(dst, "SELECT indexname FROM pg_indexes WHERE " +
         s"schemaname = '${sch.replace("'", "''")}'").map(_(0)).toSet
       assert(idxs.contains(idx), s"mode '$opt': indexes $idxs")
-      // the FK survived against the cased foreign table
-      val fks = q(dst, "SELECT count(*) FROM pg_constraint " +
-        "WHERE contype = 'f'").head.head.toInt
-      assert(fks == 1, s"mode '$opt': $fks FKs")
+      // both FKs survived — including the CROSS-SCHEMA one, resolved
+      // against the cased foreign schema (fkey-foreign-table renders
+      // schema-qualified in the reference, pgsql-ddl.lisp:330)
+      val fks = q(dst, "SELECT fn.nspname FROM pg_constraint c " +
+        "JOIN pg_class f ON f.oid = c.confrelid " +
+        "JOIN pg_namespace fn ON fn.oid = f.relnamespace " +
+        "WHERE c.contype = 'f'").map(_(0)).sorted
+      assert(fks == Seq(sch, refSch).sorted,
+        s"mode '$opt': FK target schemas $fks")
       // counts + a content probe (unicode payload intact)
       def one(sql: String) = q(dst, sql).head.head
       assert(one(s"""SELECT count(*) FROM "$sch"."$orders"""") == "120")
