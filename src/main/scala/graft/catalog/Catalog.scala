@@ -137,7 +137,13 @@ final case class FKey(
       * fkey-foreign-table is a full table object rendered
       * schema-qualified (catalog.lisp:91-93; pgsql-ddl.lisp:330);
       * empty = same schema as the owning table. */
-    foreignSchema: String = "") {
+    foreignSchema: String = "",
+    /** constraint timing (catalog.lisp:92 deferrable /
+      * initially-deferred; pg_constraint condeferrable/condeferred) —
+      * lost timing silently changes transaction semantics on the
+      * migrated schema. */
+    deferrable: Boolean = false,
+    initiallyDeferred: Boolean = false) {
   /** The schema the REFERENCES clause resolves in. */
   def foreignSchemaOr(owning: String): String =
     if (foreignSchema.nonEmpty) foreignSchema else owning
@@ -608,7 +614,9 @@ object Ddl {
       s"REFERENCES ${qq(f.foreignSchemaOr(schema), f.foreignTable)} " +
       s"(${f.foreignColumns.map(q).mkString(", ")})" +
       f.onUpdate.map(u => s" ON UPDATE $u").getOrElse("") +
-      f.onDelete.map(d => s" ON DELETE $d").getOrElse("") + ";"
+      f.onDelete.map(d => s" ON DELETE $d").getOrElse("") +
+      (if (f.deferrable) " DEFERRABLE" else "") +
+      (if (f.initiallyDeferred) " INITIALLY DEFERRED" else "") + ";"
 
   def truncate(t: Table): String = s"TRUNCATE ${qq(t.schema, t.name)};"
 

@@ -341,11 +341,16 @@ object IntrospectionSql {
        GROUP BY table_name, index_name, non_unique"""
 
   val mysqlFKeys: String =
-    """SELECT constraint_name, table_name, column_name,
-       referenced_table_name, referenced_column_name, ordinal_position
-       FROM information_schema.key_column_usage
-       WHERE table_schema = ? AND referenced_table_name IS NOT NULL
-       ORDER BY constraint_name, ordinal_position"""
+    """SELECT k.constraint_name, k.table_name, k.column_name,
+       k.referenced_table_name, k.referenced_column_name,
+       k.ordinal_position, r.update_rule, r.delete_rule
+       FROM information_schema.key_column_usage k
+       JOIN information_schema.referential_constraints r
+         ON r.constraint_schema = k.table_schema
+        AND r.constraint_name = k.constraint_name
+        AND r.table_name = k.table_name
+       WHERE k.table_schema = ? AND k.referenced_table_name IS NOT NULL
+       ORDER BY k.constraint_name, k.ordinal_position"""
 
   val mysqlRowCount: String =
     """SELECT table_name, table_rows FROM information_schema.tables
@@ -362,12 +367,17 @@ object IntrospectionSql {
        ORDER BY table_name, index_name"""
 
   def mysqlFKeysInline(schemaLiteral: String): String =
-    s"""SELECT constraint_name, table_name, column_name,
-       referenced_table_name, referenced_column_name, ordinal_position
-       FROM information_schema.key_column_usage
-       WHERE table_schema = $schemaLiteral
-         AND referenced_table_name IS NOT NULL
-       ORDER BY constraint_name, ordinal_position"""
+    s"""SELECT k.constraint_name, k.table_name, k.column_name,
+       k.referenced_table_name, k.referenced_column_name,
+       k.ordinal_position, r.update_rule, r.delete_rule
+       FROM information_schema.key_column_usage k
+       JOIN information_schema.referential_constraints r
+         ON r.constraint_schema = k.table_schema
+        AND r.constraint_name = k.constraint_name
+        AND r.table_name = k.table_name
+       WHERE k.table_schema = $schemaLiteral
+         AND k.referenced_table_name IS NOT NULL
+       ORDER BY k.constraint_name, k.ordinal_position"""
 
   /** Table + column comments (list-table-comments.sql /
     * list-columns-comments.sql). */
@@ -525,7 +535,8 @@ object IntrospectionSql {
         FROM unnest(c.confkey) WITH ORDINALITY AS k(attnum, ord)
         JOIN pg_attribute a
           ON a.attrelid = c.confrelid AND a.attnum = k.attnum),
-       fn.nspname
+       fn.nspname, c.confupdtype::text, c.confdeltype::text,
+       c.condeferrable::text, c.condeferred::text
        FROM pg_constraint c
        JOIN pg_class t ON t.oid = c.conrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
@@ -567,7 +578,9 @@ object IntrospectionSql {
     """SELECT fk.name, s.name AS schema_name, tp.name AS table_name,
        cp.name AS column_name, tr.name AS ref_table,
        cr.name AS ref_column, fkc.constraint_column_id,
-       sr.name AS ref_schema
+       sr.name AS ref_schema,
+       fk.update_referential_action_desc,
+       fk.delete_referential_action_desc
        FROM sys.foreign_keys fk
        JOIN sys.foreign_key_columns fkc
          ON fkc.constraint_object_id = fk.object_id
@@ -922,6 +935,15 @@ object IntrospectionRows {
                                columnType: String, default: Option[String],
                                nullable: Boolean, extra: String)
 
+
+  /** FK referential action → the Option the DDL emitter renders:
+    * defaults (NO ACTION; RESTRICT is PG's parse-equivalent noise on
+    * re-creation only when explicitly set, so it IS kept) collapse to
+    * None. */
+  private[sources] def fkRule(raw: String): Option[String] =
+    Option(raw).map(_.trim.toUpperCase).filter(r =>
+      r.nonEmpty && r != "NO ACTION")
+
   /** Group the flat information_schema rows into catalog tables, ordered
     * like the query (table_name, ordinal_position). */
   def mysqlTables(schema: String, rows: Seq[MySqlColumn]): Seq[Table] =
@@ -961,7 +983,11 @@ object IntrospectionRows {
         .groupBy(_(0)).toSeq.sortBy(_._1).map { case (name, rows) =>
           val sorted = rows.sortBy(_(5).toInt)
           FKey(name, t.sourceName, sorted.map(_(2)),
-            sorted.head(3), sorted.map(_(4)))
+            sorted.head(3), sorted.map(_(4)),
+            onUpdate =
+              if (sorted.head.length > 6) fkRule(sorted.head(6)) else None,
+            onDelete =
+              if (sorted.head.length > 7) fkRule(sorted.head(7)) else None)
         }
       t.copy(indexes = idxs, fkeys = fks)
     }
@@ -990,11 +1016,27 @@ object IntrospectionRows {
             filter = Option(r(6)).filter(_.nonEmpty))
         }
       val fks = fkByTable.getOrElse(key, Nil).map { r =>
+        // pg_constraint action codes: a=NO ACTION r=RESTRICT c=CASCADE
+        // n=SET NULL d=SET DEFAULT (the reference re-creates through
+        // pg_get_constraintdef, which carries the same clauses)
+        def act(code: String): Option[String] = code match {
+          case "r" => Some("RESTRICT")
+          case "c" => Some("CASCADE")
+          case "n" => Some("SET NULL")
+          case "d" => Some("SET DEFAULT")
+          case _ => None
+        }
         FKey(r(0), t.sourceName, r(3).split(",").toSeq,
           r(4), r(5).split(",").toSeq,
           // cross-schema REFERENCES resolve in the FOREIGN table's
           // schema (pgsql-ddl.lisp:330 renders it qualified)
-          foreignSchema = if (r.length > 6) r(6) else "")
+          foreignSchema = if (r.length > 6) r(6) else "",
+          onUpdate = if (r.length > 7) act(r(7)) else None,
+          onDelete = if (r.length > 8) act(r(8)) else None,
+          // boolean::text spells 'true'/'false' (bare bool 't'/'f')
+          deferrable = r.length > 9 && (r(9) == "true" || r(9) == "t"),
+          initiallyDeferred =
+            r.length > 10 && (r(10) == "true" || r(10) == "t"))
       }
       t.copy(indexes = idxs, fkeys = fks)
     }
@@ -1033,7 +1075,13 @@ object IntrospectionRows {
           FKey(name, t.sourceName, sorted.map(_(3)),
             sorted.head(4), sorted.map(_(5)),
             foreignSchema =
-              if (sorted.head.length > 7) sorted.head(7) else "")
+              if (sorted.head.length > 7) sorted.head(7) else "",
+            // sys.foreign_keys descs: NO_ACTION/CASCADE/SET_NULL/
+            // SET_DEFAULT — underscores to spaces, defaults drop
+            onUpdate = if (sorted.head.length > 8)
+              fkRule(sorted.head(8).replace('_', ' ')) else None,
+            onDelete = if (sorted.head.length > 9)
+              fkRule(sorted.head(9).replace('_', ' ')) else None)
         }
       t.copy(indexes = idxs, fkeys = fks)
     }

@@ -63,7 +63,9 @@ class LiveCasingSpec extends SparkSpec {
         |CREATE TABLE "CamelSchema"."OrderItems" (
         |  "Id" int PRIMARY KEY,
         |  "UserId" int REFERENCES "CamelSchema"."Users"("Id"),
-        |  "Country" int REFERENCES "RefSchema"."Countries"("Code"),
+        |  "Country" int REFERENCES "RefSchema"."Countries"("Code")
+        |    ON DELETE CASCADE ON UPDATE SET NULL
+        |    DEFERRABLE INITIALLY DEFERRED,
         |  "order" int,
         |  "Précis" text);
         |CREATE INDEX "IdxUserName" ON "CamelSchema"."Users"("UserName");
@@ -128,6 +130,17 @@ class LiveCasingSpec extends SparkSpec {
         "WHERE c.contype = 'f'").map(_(0)).sorted
       assert(fks == Seq(sch, refSch).sorted,
         s"mode '$opt': FK target schemas $fks")
+      // referential actions + constraint timing survive the migration
+      // (pg_constraint codes: c=CASCADE, n=SET NULL)
+      val rules = q(dst, "SELECT c.confdeltype::text, " +
+        "c.confupdtype::text, c.condeferrable::text, " +
+        "c.condeferred::text FROM pg_constraint c " +
+        "JOIN pg_class f ON f.oid = c.confrelid " +
+        "JOIN pg_namespace fn ON fn.oid = f.relnamespace " +
+        s"WHERE c.contype = 'f' AND fn.nspname = '${refSch
+          .replace("'", "''")}'").head
+      assert(rules == Seq("c", "n", "true", "true"),
+        s"mode '$opt': FK rules $rules")
       // counts + a content probe (unicode payload intact)
       def one(sql: String) = q(dst, sql).head.head
       assert(one(s"""SELECT count(*) FROM "$sch"."$orders"""") == "120")
