@@ -110,7 +110,13 @@ final case class Index(
     primary: Boolean = false,
     unique: Boolean = false,
     columns: Seq[String] = Nil,
-    filter: Option[String] = None)
+    filter: Option[String] = None,
+    /** pg_get_indexdef rendering for EXPRESSION indexes (no plain
+      * column list to rebuild from — the reference keeps the full
+      * indexdef, pgsql-schema.lisp list-all-indexes). The emitter
+      * rewrites the name and ON target to the cased spellings; the
+      * expression text keeps the source's column spellings. */
+    indexDef: Option[String] = None)
 
 /** A user-defined sequence (sys.sequences shape; identity columns are
   * never in it — they map through serial/bigserial instead). */
@@ -597,10 +603,27 @@ object Ddl {
       s"'${comment.replace("'", "''")}';"
 
   def createIndex(i: Index, schema: String = "public"): String = {
-    val uq = if (i.unique || i.primary) "UNIQUE " else ""
-    val where = i.filter.map(f => s" WHERE $f").getOrElse("")
-    s"CREATE ${uq}INDEX ${q(i.name)} ON ${qq(schema, i.table)} " +
-      s"(${i.columns.map(q).mkString(", ")})$where;"
+    i.indexDef match {
+      case Some(d) =>
+        // expression index: pg_get_indexdef is machine-generated —
+        // `CREATE [UNIQUE] INDEX name ON [ONLY] sch.tbl USING …` —
+        // rebuild the head with the CASED name/table, keep the USING
+        // tail (method, expression, WHERE) verbatim
+        val m = ("(?is)^CREATE\\s+(UNIQUE\\s+)?INDEX\\s+.*?\\s+ON\\s+" +
+          ".*?\\s+USING\\s+(.*)$").r.findFirstMatchIn(d.trim)
+        m match {
+          case Some(g) =>
+            val uq = if (g.group(1) != null) "UNIQUE " else ""
+            s"CREATE ${uq}INDEX ${q(i.name)} ON " +
+              s"${qq(schema, i.table)} USING ${g.group(2).stripSuffix(";")};"
+          case None => d.trim.stripSuffix(";") + ";" // unexpected shape
+        }
+      case None =>
+        val uq = if (i.unique || i.primary) "UNIQUE " else ""
+        val where = i.filter.map(f => s" WHERE $f").getOrElse("")
+        s"CREATE ${uq}INDEX ${q(i.name)} ON ${qq(schema, i.table)} " +
+          s"(${i.columns.map(q).mkString(", ")})$where;"
+    }
   }
 
   /** PK built as UNIQUE index first, then attached — lets index builds run

@@ -503,10 +503,10 @@ object IntrospectionSql {
        ORDER BY n.nspname, c.relname, a.attnum"""
 
   /** pg_index with a column-name list aggregated in key order;
-    * expression members (attnum 0) aggregate to NULL columns and the
-    * mapper skips those indexes — an expression index cannot be
-    * recreated from a column list (pgsql-schema.lisp list-all-indexes
-    * keeps the full indexdef; the loader recreates plain ones). */
+    * expression members (attnum 0) aggregate to NULL columns — those
+    * indexes re-create from pg_get_indexdef like the reference
+    * (pgsql-schema.lisp list-all-indexes keeps the full indexdef);
+    * plain ones build from the column list so names/columns case. */
   val pgsqlIndexes: String =
     """SELECT n.nspname, t.relname, i.relname,
        x.indisprimary, x.indisunique,
@@ -515,7 +515,8 @@ object IntrospectionSql {
         JOIN pg_attribute a
           ON a.attrelid = x.indrelid AND a.attnum = k.attnum
         WHERE k.attnum > 0) AS columns,
-       pg_get_expr(x.indpred, x.indrelid) AS filter
+       pg_get_expr(x.indpred, x.indrelid) AS filter,
+       pg_get_indexdef(x.indexrelid) AS indexdef
        FROM pg_index x
        JOIN pg_class i ON i.oid = x.indexrelid
        JOIN pg_class t ON t.oid = x.indrelid
@@ -1006,14 +1007,19 @@ object IntrospectionRows {
     val fkByTable = fkRows.groupBy(r => (r(1), r(2)))
     tables.map { t =>
       val key = (t.schema, t.sourceName)
-      val idxs = idxByTable.getOrElse(key, Nil)
-        .filter(r => Option(r(5)).exists(_.nonEmpty)).map { r =>
+      val idxs = idxByTable.getOrElse(key, Nil).map { r =>
+          val plainCols = Option(r(5)).filter(_.nonEmpty)
           Index(name = r(2), table = t.sourceName,
             primary = r(3) == "t" || r(3) == "true",
             unique = r(4) == "t" || r(4) == "true",
-            columns = r(5).split(",").toSeq,
+            columns = plainCols.map(_.split(",").toSeq).getOrElse(Nil),
             // pg_get_expr(indpred) — partial indexes keep their WHERE
-            filter = Option(r(6)).filter(_.nonEmpty))
+            filter = Option(r(6)).filter(_.nonEmpty),
+            // expression index: no plain column list — re-create from
+            // the rendered definition (name/table rewritten at emit)
+            indexDef =
+              if (plainCols.isEmpty && r.length > 7) Option(r(7))
+              else None)
         }
       val fks = fkByTable.getOrElse(key, Nil).map { r =>
         // pg_constraint action codes: a=NO ACTION r=RESTRICT c=CASCADE

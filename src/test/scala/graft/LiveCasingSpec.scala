@@ -59,7 +59,8 @@ class LiveCasingSpec extends SparkSpec {
         |INSERT INTO "RefSchema"."Countries"
         |  SELECT g FROM generate_series(1, 5) g;
         |CREATE TABLE "CamelSchema"."Users" (
-        |  "Id" int PRIMARY KEY, "UserName" text NOT NULL);
+        |  "Id" int PRIMARY KEY, "UserName" text NOT NULL,
+        |  note text);
         |CREATE TABLE "CamelSchema"."OrderItems" (
         |  "Id" int PRIMARY KEY,
         |  "UserId" int REFERENCES "CamelSchema"."Users"("Id"),
@@ -69,8 +70,10 @@ class LiveCasingSpec extends SparkSpec {
         |  "order" int,
         |  "Précis" text);
         |CREATE INDEX "IdxUserName" ON "CamelSchema"."Users"("UserName");
+        |CREATE INDEX "IdxLowerNote"
+        |  ON "CamelSchema"."Users"(lower(note)) WHERE note <> '';
         |INSERT INTO "CamelSchema"."Users"
-        |  SELECT g, 'user_'||g FROM generate_series(1, 40) g;
+        |  SELECT g, 'user_'||g, 'N'||g FROM generate_series(1, 40) g;
         |INSERT INTO "CamelSchema"."OrderItems"
         |  SELECT g, (g % 40) + 1, (g % 5) + 1, g * 7, 'p-é-'||g
         |  FROM generate_series(1, 120) g;
@@ -121,6 +124,18 @@ class LiveCasingSpec extends SparkSpec {
       val idxs = q(dst, "SELECT indexname FROM pg_indexes WHERE " +
         s"schemaname = '${sch.replace("'", "''")}'").map(_(0)).toSet
       assert(idxs.contains(idx), s"mode '$opt': indexes $idxs")
+      // EXPRESSION + partial index re-created from pg_get_indexdef
+      // (cased name, cased ON target, expression/WHERE verbatim)
+      val exprIdx = if (opt.contains("quote")) "IdxLowerNote"
+        else if (opt.contains("snake")) "idx_lower_note"
+        else "idxlowernote"
+      val exprDef = q(dst, "SELECT indexdef FROM pg_indexes WHERE " +
+        s"indexname = '${exprIdx.replace("'", "''")}'")
+      assert(exprDef.nonEmpty &&
+        exprDef.head.head.contains("lower(note)") &&
+        exprDef.head.head.contains("WHERE"),
+        s"mode '$opt': expression index missing or wrong: $exprDef " +
+          s"(have $idxs)")
       // both FKs survived — including the CROSS-SCHEMA one, resolved
       // against the cased foreign schema (fkey-foreign-table renders
       // schema-qualified in the reference, pgsql-ddl.lisp:330)
