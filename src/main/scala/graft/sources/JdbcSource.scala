@@ -463,7 +463,8 @@ object IntrospectionSql {
         FROM pg_enum e
         WHERE e.enumtypid = CASE WHEN ty.typtype = 'e' THEN a.atttypid
                                  WHEN et.typtype = 'e' THEN ty.typelem
-                            END) AS enum_labels
+                            END) AS enum_labels,
+       a.attidentity::text AS identity
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -1239,7 +1240,16 @@ object IntrospectionRows {
                             nullable: Boolean,
                             /** quoted label list when the column's
                               * type (or array element) is an ENUM. */
-                            enumLabels: Option[String] = None)
+                            enumLabels: Option[String] = None,
+                            /** pg_attribute.attidentity 'a'/'d' —
+                              * GENERATED AS IDENTITY (PG 10+). The
+                              * reference's catalog query predates the
+                              * feature (list-all-columns.sql detects
+                              * only nextval defaults); identity IS
+                              * auto_increment semantics, so it maps
+                              * the same way: serial target + reset
+                              * sequences. */
+                            identity: Boolean = false)
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -1249,7 +1259,7 @@ object IntrospectionRows {
       case ((sch, tbl), cols) =>
         Table(name = tbl, schema = sch, sourceName = tbl,
           fields = cols.map { c =>
-            val serial =
+            val serial = c.identity ||
               c.default.exists(_.toLowerCase.startsWith("nextval("))
             // a serial's nextval(...) default IS its serial-ness — the
             // target renders `serial`/`bigserial`, which carries its own

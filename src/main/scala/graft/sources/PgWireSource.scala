@@ -42,7 +42,8 @@ object PgWireSource {
           nullable = r(5) == "t" || r(5) == "true",
           // tolerant of 6-column responses (test doubles serving the
           // pre-enum-labels shape)
-          enumLabels = if (r.length > 6) Option(r(6)) else None)
+          enumLabels = if (r.length > 6) Option(r(6)) else None,
+          identity = r.length > 7 && (r(7) == "a" || r(7) == "d"))
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
