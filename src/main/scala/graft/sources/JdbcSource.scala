@@ -1008,19 +1008,24 @@ object IntrospectionRows {
     val fkByTable = fkRows.groupBy(r => (r(1), r(2)))
     tables.map { t =>
       val key = (t.schema, t.sourceName)
-      val idxs = idxByTable.getOrElse(key, Nil).map { r =>
+      val idxs = idxByTable.getOrElse(key, Nil).flatMap { r =>
           val plainCols = Option(r(5)).filter(_.nonEmpty)
-          Index(name = r(2), table = t.sourceName,
+          // expression index: no plain column list — re-create from
+          // the rendered definition (name/table rewritten at emit);
+          // with NEITHER (a pre-indexdef test double) the index is
+          // unreconstructable and drops, the old behavior
+          val idxDef =
+            if (plainCols.isEmpty && r.length > 7)
+              Option(r(7)).filter(_.nonEmpty)
+            else None
+          if (plainCols.isEmpty && idxDef.isEmpty) None
+          else Some(Index(name = r(2), table = t.sourceName,
             primary = r(3) == "t" || r(3) == "true",
             unique = r(4) == "t" || r(4) == "true",
             columns = plainCols.map(_.split(",").toSeq).getOrElse(Nil),
             // pg_get_expr(indpred) — partial indexes keep their WHERE
             filter = Option(r(6)).filter(_.nonEmpty),
-            // expression index: no plain column list — re-create from
-            // the rendered definition (name/table rewritten at emit)
-            indexDef =
-              if (plainCols.isEmpty && r.length > 7) Option(r(7))
-              else None)
+            indexDef = idxDef))
         }
       val fks = fkByTable.getOrElse(key, Nil).map { r =>
         // pg_constraint action codes: a=NO ACTION r=RESTRICT c=CASCADE
