@@ -472,7 +472,8 @@ object IntrospectionSql {
        LEFT JOIN pg_type et ON et.oid = ty.typelem
        LEFT JOIN pg_attrdef d
          ON d.adrelid = c.oid AND d.adnum = a.attnum
-       WHERE c.relkind = 'r' AND NOT a.attisdropped
+       WHERE c.relkind IN ('r', 'p') AND NOT c.relispartition
+         AND NOT a.attisdropped
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
        ORDER BY n.nspname, c.relname, a.attnum"""
 
@@ -601,7 +602,7 @@ object IntrospectionSql {
     """SELECT n.nspname, c.relname, obj_description(c.oid, 'pg_class')
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
-       WHERE c.relkind = 'r'
+       WHERE c.relkind IN ('r', 'p') AND NOT c.relispartition
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
          AND obj_description(c.oid, 'pg_class') IS NOT NULL"""
 
@@ -611,7 +612,8 @@ object IntrospectionSql {
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
-       WHERE c.relkind = 'r' AND NOT a.attisdropped
+       WHERE c.relkind IN ('r', 'p') AND NOT c.relispartition
+         AND NOT a.attisdropped
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
          AND col_description(c.oid, a.attnum) IS NOT NULL"""
 
