@@ -88,12 +88,16 @@ object SqliteFile {
       * is bounded by the largest single record, not the table. Payloads
       * past SQLite's own SQLITE_MAX_LENGTH default (1e9) are refused
       * loudly rather than wrapped by toInt. */
-    private def payload(pg: Array[Byte], at: Int, total: Long): Array[Byte] = {
+    private def payload(pg: Array[Byte], at: Int, total: Long,
+                        index: Boolean = false): Array[Byte] = {
       require(total <= 1000000000L,
         s"record payload $total B exceeds the 1 GB cap (SQLITE_MAX_LENGTH" +
           " default) — refusing to materialize a corrupt-length cell")
       val p = total.toInt
-      val maxLocal = usable - 35
+      // index b-tree pages (WITHOUT ROWID tables) use the smaller
+      // local-payload budget (fileformat2 §B-tree Pages)
+      val maxLocal =
+        if (index) (usable - 12) * 64 / 255 - 23 else usable - 35
       if (p <= maxLocal)
         java.util.Arrays.copyOfRange(pg, at, at + p)
       else {
@@ -248,6 +252,61 @@ object SqliteFile {
       }
     }
 
+    /** Scan an INDEX b-tree (page types 2/10) — the storage of a
+      * WITHOUT ROWID table, whose rows live as key records: PK columns
+      * first (in PK order), then the remaining columns in declared
+      * order (fileformat2 §Index B-Trees; the reference reads these
+      * through libsqlite). Interior pages carry keys that ARE entries,
+      * so their cell payloads emit alongside the leaves'. Values come
+      * out in RECORD order — [[graft.sources.SqliteSource]] reorders
+      * to the declared column order. */
+    def scanIndex(root: Int, ncols: Int,
+                  realCols: Set[Int] = Set.empty)
+        : Iterator[Array[String]] = new Iterator[Array[String]] {
+      private val stack = new java.util.ArrayDeque[Int]()
+      stack.push(root)
+      private val pending = new java.util.ArrayDeque[Array[Byte]]()
+
+      private def fill(): Unit = {
+        while (pending.isEmpty && !stack.isEmpty) {
+          val n = stack.pop()
+          val pg = page(n)
+          val hdr = if (n == 1) 100 else 0
+          val ncells = u16(pg, hdr + 3)
+          pg(hdr) & 0xFF match {
+            case 2 => // interior index page: children + KEY entries
+              stack.push(u32(pg, hdr + 8).toInt)
+              var i = ncells - 1
+              while (i >= 0) {
+                val cp = u16(pg, hdr + 12 + 2 * i)
+                stack.push(u32(pg, cp).toInt)
+                val (plen, i1) = varint(pg, cp + 4)
+                pending.add(payload(pg, i1, plen, index = true))
+                i -= 1
+              }
+            case 10 => // leaf index page
+              var i = 0
+              while (i < ncells) {
+                val cp = u16(pg, hdr + 8 + 2 * i)
+                val (plen, i1) = varint(pg, cp)
+                pending.add(payload(pg, i1, plen, index = true))
+                i += 1
+              }
+            case other =>
+              throw new IllegalArgumentException(
+                s"page $n is not an index b-tree page (type $other)")
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { fill(); !pending.isEmpty }
+      override def next(): Array[String] = {
+        if (!hasNext) throw new NoSuchElementException
+        record(pending.poll(), rowid = 0L, rowidAlias = -1, ncols,
+          realCols)
+      }
+    }
+
     /** Subtree roots for a distributed scan: the root's direct children
       * (plus right-most), or the root itself when it is a leaf. Each
       * subtree holds a disjoint rowid range, so scanning them
@@ -360,9 +419,12 @@ object SqliteFile {
     * purpose, like SQLite's own type affinity: the type is every token
     * up to the first constraint keyword (multi-word types — `double
     * precision`, `smallint unsigned`, quoted types — survive). */
+  /** The table's rows live in an INDEX b-tree instead of a rowid
+    * table b-tree ([[Db.scanIndex]]). */
+  def isWithoutRowid(sql: String): Boolean =
+    sql.toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
+
   def parseCreateTable(sql: String): Seq[IntrospectionRows.SqliteColumn] = {
-    require(!sql.toUpperCase.contains("WITHOUT ROWID"),
-      "WITHOUT ROWID tables are stored as index b-trees — unsupported")
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open > 0 && close > open, s"malformed CREATE TABLE: $sql")

@@ -13,6 +13,36 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * artifact by nature, the reference reads it the same way). */
 object SqliteSource {
 
+  /** One full-table scan in DECLARED column order — routing rowid
+    * tables to the table-btree walker and WITHOUT ROWID tables to the
+    * index-btree walker ([[SqliteFile]]: a WOR record stores PK
+    * columns first, then the rest in declared order — fileformat2
+    * §Index B-Trees; the reorder happens here). */
+  private def tableScan(db: SqliteFile.Db, rootPage: Int, sql: String,
+                        cols: Seq[IntrospectionRows.SqliteColumn])
+      : Iterator[Array[String]] = {
+    val realCols = cols.zipWithIndex.collect {
+      case (c, i) if SqliteFile.affinityIsReal(c.ctype) => i
+    }.toSet
+    if (!SqliteFile.isWithoutRowid(sql))
+      db.scan(rootPage, cols.length, rowidAliasIdx(cols), realCols)
+    else {
+      val pks = cols.zipWithIndex.filter(_._1.pk > 0)
+        .sortBy(_._1.pk).map(_._2)
+      val rest = cols.zipWithIndex.filter(_._1.pk == 0).map(_._2)
+      val recToDecl = (pks ++ rest).toArray
+      val recReal = recToDecl.zipWithIndex.collect {
+        case (decl, p) if realCols(decl) => p
+      }.toSet
+      db.scanIndex(rootPage, cols.length, recReal).map { rec =>
+        val out = new Array[String](cols.length)
+        var p = 0
+        while (p < rec.length) { out(recToDecl(p)) = rec(p); p += 1 }
+        out
+      }
+    }
+  }
+
   /** Schema objects of kind `table`, excluding SQLite internals, mapped
     * through the same [[IntrospectionRows.sqliteTable]] rules as the
     * PRAGMA path (INTEGER-PRIMARY-KEY rowid alias, implicit NOT NULL,
@@ -25,7 +55,7 @@ object SqliteSource {
       userTables(db).map { m =>
         val cols = SqliteFile.parseCreateTable(m.sql)
         val count =
-          if (rowCounts) db.scan(m.rootPage, cols.length).size.toLong
+          if (rowCounts) tableScan(db, m.rootPage, m.sql, cols).size.toLong
           else 0L
         // secondary indexes: named CREATE INDEX rows carry their DDL;
         // sqlite_autoindex_<t>_<N> rows (UNIQUE / table-level PK
@@ -239,26 +269,24 @@ object SqliteSource {
   def localScanIfSmall(path: String, table: String)
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
     val db = SqliteFile.open(path)
-    val (rootPage, cols) =
+    val (rootPage, sql, cols) =
       try {
         val m = userTables(db).find(_.name == table).getOrElse(
           throw new IllegalArgumentException(s"no such table $table in $path"))
-        (m.rootPage, SqliteFile.parseCreateTable(m.sql))
+        (m.rootPage, m.sql, SqliteFile.parseCreateTable(m.sql))
       } finally db.close()
-    val roots = {
-      val d = SqliteFile.open(path)
-      try d.subtreeRoots(rootPage) finally d.close()
-    }
+    val wor = SqliteFile.isWithoutRowid(sql)
+    val roots =
+      if (wor) Seq(rootPage) // index b-tree: single in-order walk
+      else {
+        val d = SqliteFile.open(path)
+        try d.subtreeRoots(rootPage) finally d.close()
+      }
     if (roots.length > 1) None
     else Some(() => {
       val names = cols.map(_.name)
-      val alias = rowidAliasIdx(cols)
-      val realCols = cols.zipWithIndex.collect {
-        case (c, i) if SqliteFile.affinityIsReal(c.ctype) => i
-      }.toSet
       val d = SqliteFile.open(path)
-      val it = roots.iterator.flatMap(r =>
-        d.scan(r, cols.length, alias, realCols))
+      val it = tableScan(d, rootPage, sql, cols)
       (names, it, () => d.close())
     })
   }
@@ -267,23 +295,26 @@ object SqliteSource {
     * Spark partition per root subtree. */
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
     val db = SqliteFile.open(path)
-    val (rootPage, cols) =
+    val (rootPage, sql, cols) =
       try {
         val m = userTables(db).find(_.name == table).getOrElse(
           throw new IllegalArgumentException(s"no such table $table in $path"))
-        (m.rootPage, SqliteFile.parseCreateTable(m.sql))
+        (m.rootPage, m.sql, SqliteFile.parseCreateTable(m.sql))
       } finally db.close()
     val names = cols.map(_.name)
-    val alias = rowidAliasIdx(cols)
-    val ncols = cols.length
-    val realCols = cols.zipWithIndex.collect {
-      case (c, i) if SqliteFile.affinityIsReal(c.ctype) => i
-    }.toSet
-    val roots = {
-      val d = SqliteFile.open(path)
-      try d.subtreeRoots(rootPage) finally d.close()
-    }
+    val wor = SqliteFile.isWithoutRowid(sql)
+    // WITHOUT ROWID tables scan their index b-tree whole (interior
+    // keys are entries, so page subtrees don't partition cleanly) —
+    // one partition, like the reference's single COPY stream
+    val roots =
+      if (wor) Seq(rootPage)
+      else {
+        val d = SqliteFile.open(path)
+        try d.subtreeRoots(rootPage) finally d.close()
+      }
     val p = path
+    val colsB = cols
+    val sqlB = sql
     val rdd = spark.sparkContext
       .parallelize(roots, roots.length)
       .mapPartitions { it =>
@@ -292,7 +323,7 @@ object SqliteSource {
           val tc = org.apache.spark.TaskContext.get()
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => d.close())
-          d.scan(subtree, ncols, alias, realCols)
+          tableScan(d, subtree, sqlB, colsB)
             .map(vals => Row.fromSeq(vals.toSeq))
         }
       }

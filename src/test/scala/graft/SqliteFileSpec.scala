@@ -533,4 +533,47 @@ class SqliteFileSpec extends SparkSpec {
     assert(rootCause(ex).getMessage.contains("1 GB cap"),
       s"unexpected: ${rootCause(ex)}")
   }
+
+  test("WITHOUT ROWID tables read through the index b-tree walker: " +
+    "composite mid-table PK reordered, interior keys counted once, " +
+    "overflow payloads reassembled") {
+    // fixture generated by the REAL sqlite3 CLI (page_size 512 so 500
+    // rows force interior index pages; every 50th note is a 1.5 KB
+    // payload exercising the INDEX-page overflow budget; the PK is
+    // (k2, k1) declared mid-table so the record order differs from
+    // the declared order)
+    val path = getClass.getResource("/wor.db").getPath
+    val df = graft.sources.SqliteSource.read(spark, path, "wor")
+    assert(df.columns.toSeq == Seq("val", "k1", "note", "k2", "score"))
+    val rows = df.collect()
+    assert(rows.length == 500, s"got ${rows.length} rows")
+    val byK1 = rows.map(r => r.getString(1).toLong -> r).toMap
+    assert(byK1.keySet == (1L to 500L).toSet,
+      "every key exactly once — interior index keys must not double")
+    assert(byK1(1L).getString(0) == "v1" &&
+      byK1(1L).getString(3) == "key_0001" &&
+      byK1(1L).getString(4) == "0.5")
+    assert(byK1(7L).getString(2) == null, "NULL note survives")
+    assert(byK1(350L).getString(2) == null)
+    val big = byK1(50L).getString(2)
+    assert(big != null && big.length == 1502 && big.endsWith("50"),
+      s"overflowing index payload: ${Option(big).map(_.length)}")
+    // the local fast path agrees with the distributed read
+    val local = graft.sources.SqliteSource.localScanIfSmall(path, "wor")
+    assert(local.isDefined)
+    val (names, it, close) = local.get()
+    try {
+      assert(names == Seq("val", "k1", "note", "k2", "score"))
+      val l = it.toVector
+      assert(l.length == 500)
+      assert(l.map(_(1).toLong).toSet == (1L to 500L).toSet)
+    } finally close()
+    // introspection: the composite PK comes through for target DDL
+    val tbl = graft.sources.SqliteSource.introspect(path,
+      rowCounts = true).find(_.name == "wor").get
+    assert(tbl.rowCountEstimate == 500L)
+    val pkIdx = tbl.indexes.find(_.primary)
+    assert(pkIdx.exists(_.columns == Seq("k2", "k1")),
+      s"composite PK: ${tbl.indexes}")
+  }
 }
