@@ -13,13 +13,15 @@ import java.nio.charset.{Charset, StandardCharsets}
   * fixtures (the .db and .sqlite files under test/sqlite) are this
   * reader's golden inputs.
   *
-  * Scope: rowid table B-trees — header, interior/leaf page walk, cell
-  * decoding (varints, record serial types), overflow-page chains,
-  * INTEGER-PRIMARY-KEY rowid aliases, UTF-8/16 text encodings, and
-  * `sqlite_master` schema introspection (the CREATE TABLE text feeds the
-  * existing [[IntrospectionRows.sqliteTable]] mapping). WITHOUT ROWID
-  * tables (index-shaped storage) and WAL-mode sidecars are rejected
-  * loudly. Read-only by design.
+  * Scope: rowid table B-trees AND index b-trees (WITHOUT ROWID tables,
+  * [[Db.scanIndex]]) — header, interior/leaf page walk, cell decoding
+  * (varints, record serial types), overflow-page chains with the
+  * per-page-type local-payload budgets, INTEGER-PRIMARY-KEY rowid
+  * aliases, UTF-8/16 text encodings, and `sqlite_master` schema
+  * introspection (the CREATE TABLE text feeds the existing
+  * [[IntrospectionRows.sqliteTable]] mapping). WAL-mode files with a
+  * live -wal sidecar are rejected loudly (newer page versions would
+  * silently be missed). Read-only by design.
   *
   * Values surface in the engine's fidelity mode (all-string, cast engine
   * downstream): integers in decimal, floats via `Double.toString`, text
