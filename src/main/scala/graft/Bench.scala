@@ -42,8 +42,12 @@ object Bench {
 
   // 3 dp: run-to-run noise is >>1 ms, and halving the line length keeps
   // the printed JSON inside the driver's log-tail window (BENCH_r17/r18
-  // were truncated mid-line at full double precision).
-  private def num(v: Double): String = f"$v%.3f"
+  // were truncated mid-line at full double precision). Locale.ROOT
+  // pins the decimal separator to '.' — the f interpolator uses the
+  // JVM default locale, and a comma-decimal locale would emit 1,234,
+  // i.e. invalid JSON.
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def renderJson(results: Seq[(String, Double)], sfDir: String,
                          done: Boolean): String = {
@@ -51,6 +55,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
     s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","complete":$done,"self":"$archivePath","queries":$qs}"""
+  }
+
+  /** The stdout line: the full 121-query dict is ~3.4 KB and the
+    * driver keeps only a ~1.8 KB output tail, so the full line can
+    * NEVER survive there whole (BENCH_r17-r19 all truncated mid-JSON).
+    * Print a compact line that always fits — totals, counts, the
+    * slowest queries, and the `self` path to the complete archived
+    * dict (written atomically per query, parse-verified by the r19
+    * judge). */
+  private def renderStdoutJson(results: Seq[(String, Double)],
+                               sfDir: String, done: Boolean): String = {
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val failed = results.count(_._2 < 0)
+    // `queries` stays present (the documented line shape) but carries
+    // only the slowest 10 — the full dict is in `self`
+    val slow = results.sortBy { case (_, v) => -math.abs(v) }.take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","complete":$done,"query_count":${results.length},"queries_truncated":true,"failed":$failed,"self":"$archivePath","queries":$slow}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,9 +117,10 @@ object Bench {
       acc += name -> (if (ok) secs else -secs)
       writeSelfReport(renderJson(acc.toSeq, sfDir, done = false))
     }
-    val json = renderJson(acc.toSeq, sfDir, done = true)
-    println(json)
-    writeSelfReport(json)
+    writeSelfReport(renderJson(acc.toSeq, sfDir, done = true))
+    // stop BEFORE the final println so shutdown logging cannot push
+    // the JSON line out of the driver's output-tail window
     spark.stop()
+    println(renderStdoutJson(acc.toSeq, sfDir, done = true))
   }
 }

@@ -875,6 +875,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           if (isView)
             // views have no ctid to split on: one streaming connection
             graft.sources.PgWireSource.readView(sparkF(), sp, qualified)
+          else if (t.partitioned)
+            // partitioned parents have NO ctid column and relpages=0:
+            // enumerate pg_inherits leaves, ctid-split each by its own
+            // relpages, union — the only scale-safe shape, on EVERY
+            // route (plain, exactly-once, DISTRIBUTE backfill)
+            graft.sources.PgWireSource.readPartitioned(sparkF(), sp,
+              qualified)
           else {
             val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
             graft.sources.PgWireSource.readByCtid(sparkF(), sp, qualified,
@@ -1075,8 +1082,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       scheme match {
         case "pgsql" | "postgresql" | "postgres" =>
           val sp = graft.sinks.PgWire.connParams(uri, decode)
-          t => graft.sources.PgWireSource.localScanIfSmall(
-            sp, s"${t.sourceSchemaName}.${t.sourceName}")
+          // partitioned parents never qualify (relpages=0 lies about
+          // their volume) — skip the probe dial, go straight to the
+          // distributed per-leaf read
+          t => if (t.partitioned) None
+            else graft.sources.PgWireSource.localScanIfSmall(
+              sp, s"${t.sourceSchemaName}.${t.sourceName}")
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)

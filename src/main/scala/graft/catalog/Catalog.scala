@@ -70,7 +70,14 @@ final case class Table(
     columns: Seq[ColumnDef] = Nil,       // TARGET shape (after cast)
     indexes: Seq[Index] = Nil,
     fkeys: Seq[FKey] = Nil,
-    checks: Seq[String] = Nil) {
+    checks: Seq[String] = Nil,
+    /** PG source relkind 'p' — a partitioned PARENT. Parents own no
+      * storage (relpages = 0 always) and have no ctid system column,
+      * so every read route must go through the leaf partitions (or a
+      * predicate-free stream), never LocalCopy-by-relpages or a
+      * `WHERE ctid >= …` scan (pgsql.clj:206-208 has the same blind
+      * spot — relpages-driven splits read a parent as one range). */
+    partitioned: Boolean = false) {
 
   /** The schema qualifying SOURCE reads: [[sourceSchema]] when a
     * target rewrite has split it from [[schema]], else `schema`. */

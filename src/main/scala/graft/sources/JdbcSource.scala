@@ -464,7 +464,8 @@ object IntrospectionSql {
         WHERE e.enumtypid = CASE WHEN ty.typtype = 'e' THEN a.atttypid
                                  WHEN et.typtype = 'e' THEN ty.typelem
                             END) AS enum_labels,
-       a.attidentity::text AS identity
+       a.attidentity::text AS identity,
+       c.relkind::text AS relkind
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -505,10 +506,14 @@ object IntrospectionSql {
        ORDER BY n.nspname, c.relname, a.attnum"""
 
   /** pg_index with a column-name list aggregated in key order;
-    * expression members (attnum 0) aggregate to NULL columns — those
-    * indexes re-create from pg_get_indexdef like the reference
+    * expression members (attnum 0) aggregate to NULL columns. Any
+    * index with expression members — fully-expression (columns NULL)
+    * or MIXED like `(a, lower(b))` (columns non-empty but indexprs set)
+    * — re-creates from pg_get_indexdef like the reference
     * (pgsql-schema.lisp list-all-indexes keeps the full indexdef);
-    * plain ones build from the column list so names/columns case. */
+    * plain ones build from the column list so names/columns case.
+    * `hasexprs` makes the mixed case detectable: its plain-column
+    * aggregate alone would silently rebuild `(a, lower(b))` as `(a)`. */
   val pgsqlIndexes: String =
     """SELECT n.nspname, t.relname, i.relname,
        x.indisprimary, x.indisunique,
@@ -518,7 +523,8 @@ object IntrospectionSql {
           ON a.attrelid = x.indrelid AND a.attnum = k.attnum
         WHERE k.attnum > 0) AS columns,
        pg_get_expr(x.indpred, x.indrelid) AS filter,
-       pg_get_indexdef(x.indexrelid) AS indexdef
+       pg_get_indexdef(x.indexrelid) AS indexdef,
+       (x.indexprs IS NOT NULL)::text AS hasexprs
        FROM pg_index x
        JOIN pg_class i ON i.oid = x.indexrelid
        JOIN pg_class t ON t.oid = x.indrelid
@@ -526,7 +532,11 @@ object IntrospectionSql {
        WHERE n.nspname NOT IN ('pg_catalog', 'information_schema')
        ORDER BY n.nspname, t.relname, i.relname"""
 
-  /** pg_constraint contype='f' with both column lists in key order. */
+  /** pg_constraint contype='f' with both column lists in key order.
+    * conparentid = 0 keeps only TOP-LEVEL constraints: an FK touching
+    * a partitioned table (either side) spawns per-leaf clone rows with
+    * conparentid set — same conname, conrelid/confrelid pointing at
+    * leaf partitions that never exist on the target. */
   val pgsqlFKeys: String =
     """SELECT c.conname, n.nspname, t.relname,
        (SELECT string_agg(a.attname, ',' ORDER BY k.ord)
@@ -546,6 +556,7 @@ object IntrospectionSql {
        JOIN pg_class ft ON ft.oid = c.confrelid
        JOIN pg_namespace fn ON fn.oid = ft.relnamespace
        WHERE c.contype = 'f'
+         AND c.conparentid = 0
        ORDER BY c.conname"""
 
   /** sys.indexes one row PER KEY COLUMN (key_ordinal orders them;
@@ -1012,12 +1023,16 @@ object IntrospectionRows {
       val key = (t.schema, t.sourceName)
       val idxs = idxByTable.getOrElse(key, Nil).flatMap { r =>
           val plainCols = Option(r(5)).filter(_.nonEmpty)
-          // expression index: no plain column list — re-create from
-          // the rendered definition (name/table rewritten at emit);
-          // with NEITHER (a pre-indexdef test double) the index is
-          // unreconstructable and drops, the old behavior
+          // expression members present: no plain column list at all,
+          // OR a MIXED index like (a, lower(b)) whose attnum>0
+          // aggregate keeps only `a` — both re-create from the
+          // rendered definition (name/table rewritten at emit);
+          // with NEITHER signal (a pre-indexdef test double) the
+          // index is unreconstructable and drops, the old behavior
+          val hasExprs =
+            r.length > 8 && (r(8) == "t" || r(8) == "true")
           val idxDef =
-            if (plainCols.isEmpty && r.length > 7)
+            if ((plainCols.isEmpty || hasExprs) && r.length > 7)
               Option(r(7)).filter(_.nonEmpty)
             else None
           if (plainCols.isEmpty && idxDef.isEmpty) None
@@ -1256,7 +1271,12 @@ object IntrospectionRows {
                               * auto_increment semantics, so it maps
                               * the same way: serial target + reset
                               * sequences. */
-                            identity: Boolean = false)
+                            identity: Boolean = false,
+                            /** pg_class.relkind — 'p' marks a
+                              * partitioned parent, which has no ctid
+                              * and relpages = 0 regardless of volume:
+                              * reads must route through its leaves. */
+                            relkind: String = "r")
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -1265,6 +1285,7 @@ object IntrospectionRows {
     rows.groupBy(r => (r.schema, r.table)).toSeq.sortBy(_._1).map {
       case ((sch, tbl), cols) =>
         Table(name = tbl, schema = sch, sourceName = tbl,
+          partitioned = cols.head.relkind == "p",
           fields = cols.map { c =>
             val serial = c.identity ||
               c.default.exists(_.toLowerCase.startsWith("nextval("))

@@ -43,7 +43,8 @@ object PgWireSource {
           // tolerant of 6-column responses (test doubles serving the
           // pre-enum-labels shape)
           enumLabels = if (r.length > 6) Option(r(6)) else None,
-          identity = r.length > 7 && (r(7) == "a" || r(7) == "d"))
+          identity = r.length > 7 && (r(7) == "a" || r(7) == "d"),
+          relkind = if (r.length > 8 && r(8) != null) r(8) else "r")
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
@@ -128,20 +129,45 @@ object PgWireSource {
     * floor (and, in a mixed migration, the scheduler queueing behind
     * a big table's partitions — measured at whole seconds for 9-row
     * tables). Returns None for bigger tables; Some(open) hands back
-    * (column names, streaming row iterator, close) — the stream holds
-    * one row at a time, so even a stale-relpages surprise stays
-    * bounded-memory (the distributed path would also read it on one
-    * connection). */
+    * (column names, streaming row iterator, close).
+    *
+    * Two relpages=0 liars are excluded, both of which would otherwise
+    * stream an arbitrarily large table through one driver thread:
+    * - relkind 'p' partitioned parents, whose relpages is 0 by
+    *   construction (parents own no storage) → [[readPartitioned]];
+    * - never-ANALYZEd heaps, whose relpages lags VACUUM/ANALYZE — a
+    *   `LIMIT 1 OFFSET maxRowsPerChunk` probe (bounded server-side
+    *   scan, at most one row on the wire, same connection as the
+    *   relpages lookup so the per-table dial count is unchanged)
+    *   detects more rows than `pagesPerChunk` 8 KiB pages can
+    *   physically hold (~290 28-byte rows/page) and routes the table
+    *   to the distributed read. */
   def localScanIfSmall(params: PgWire.ConnParams, table: String,
                        pagesPerChunk: Long = 1000L)
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
-    val pages = relpagesOf(params, table)
-    if (pages >= pagesPerChunk) None
+    val conn = new PgWireConnection(params)
+    val small =
+      try {
+        val regclass = PgWire.quoteLiteral(PgWire.quoteQualified(table))
+        val (_, rows) = conn.query(
+          s"SELECT relpages, relkind::text FROM pg_class " +
+            s"WHERE oid = $regclass::regclass")
+        val pages = rows.headOption.map(_(0).toLong).getOrElse(0L)
+        val kind = rows.headOption.map(_(1)).getOrElse("r")
+        kind != "p" && pages < pagesPerChunk && {
+          // stale-relpages guard: a row past the physical capacity of
+          // pagesPerChunk heap pages proves the stats lie
+          val cap = pagesPerChunk * 300L
+          conn.query(s"SELECT 1 FROM ${PgWire.quoteQualified(table)} " +
+            s"LIMIT 1 OFFSET $cap")._2.isEmpty
+        }
+      } finally conn.close()
+    if (!small) None
     else Some(() => {
-      val conn = new PgWireConnection(params)
-      val (cols, rows) = conn.queryStream(
+      val c = new PgWireConnection(params)
+      val (cols, rows) = c.queryStream(
         s"SELECT * FROM ${PgWire.quoteQualified(table)}")
-      (cols, rows, () => conn.close())
+      (cols, rows, () => c.close())
     })
   }
 
@@ -168,6 +194,65 @@ object PgWireSource {
       IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk),
       selectCols)
 
+  /** Leaf relations under a partitioned parent — the recursive
+    * pg_inherits closure (multi-level partitioning walks through
+    * intermediate relkind 'p' nodes), each with its OWN relpages and
+    * relkind. Ordered by (schema, name) so the partition layout is
+    * deterministic across runs. */
+  def leafPartitionsOf(params: PgWire.ConnParams, table: String)
+      : Seq[(String, Long, String)] = {
+    val regclass = PgWire.quoteLiteral(PgWire.quoteQualified(table))
+    val conn = new PgWireConnection(params)
+    try {
+      val (_, rows) = conn.query(
+        s"""WITH RECURSIVE parts(oid) AS (
+           SELECT $regclass::regclass::oid
+           UNION ALL
+           SELECT i.inhrelid FROM pg_inherits i
+           JOIN parts p ON i.inhparent = p.oid
+         )
+         SELECT n.nspname, c.relname, c.relpages, c.relkind::text
+         FROM parts p
+         JOIN pg_class c ON c.oid = p.oid
+         JOIN pg_namespace n ON n.oid = c.relnamespace
+         WHERE c.relkind <> 'p'
+         ORDER BY n.nspname, c.relname""")
+      rows.map(r => (s"${r(0)}.${r(1)}", r(2).toLong, r(3)))
+    } finally conn.close()
+  }
+
+  /** Read a partitioned PARENT by enumerating its leaf partitions and
+    * ctid-splitting EACH leaf by its own relpages — the scale path a
+    * parent's relpages=0 would otherwise deny it (a parent has no ctid
+    * system column at all, so `WHERE ctid >= …` on the parent ERRORS;
+    * and relpages-driven planning would read terabytes through one
+    * stream). Column list and output names come from the PARENT (leaf
+    * attnum order can differ after ATTACH PARTITION of an older table;
+    * selecting parent columns by name per leaf is order-safe). A leaf
+    * that is not a plain heap (e.g. a foreign-table partition, relkind
+    * 'f' — no ctid there either) demotes the WHOLE read to the
+    * predicate-free single-stream parent scan, which PG routes through
+    * every partition correctly. The reference reads parents through
+    * the same relpages machinery as heaps (pgsql.clj:206-208) and so
+    * single-streams them — this path beats it instead of matching it. */
+  def readPartitioned(spark: SparkSession, params: PgWire.ConnParams,
+                      table: String,
+                      pagesPerChunk: Long = 1000L,
+                      selectCols: Seq[(String, String)] = Nil): DataFrame = {
+    val leaves = leafPartitionsOf(params, table)
+    if (leaves.isEmpty || leaves.exists(_._3 != "r"))
+      // no leaves yet (empty parent) or an un-ctid-able leaf kind:
+      // one predicate-free stream over the parent is always correct
+      readView(spark, params, table, selectCols)
+    else {
+      val targets = leaves.flatMap { case (leaf, relpages, _) =>
+        IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
+          .map(pred => (PgWire.quoteQualified(leaf), pred))
+      }
+      readTargets(spark, params, table, targets, selectCols)
+    }
+  }
+
   /** Single-stream read WITHOUT ctid predicates — views (MATERIALIZE
     * VIEWS) have no ctid to split on, so the load is one streaming wire
     * connection. */
@@ -180,18 +265,31 @@ object PgWireSource {
                                  params: PgWire.ConnParams,
                                  table: String, preds: Seq[String],
                                  selectCols: Seq[(String, String)])
+      : DataFrame =
+    readTargets(spark, params, table,
+      preds.map(p => (PgWire.quoteQualified(table), p)), selectCols)
+
+  /** The shared distributed-read core: one Spark partition per
+    * (quoted relation, predicate) target — identical relation for the
+    * ctid/view reads, per-leaf relations for [[readPartitioned]].
+    * `columnsTable` names the relation whose LIMIT 0 row description
+    * defines the column list and output schema. */
+  private def readTargets(spark: SparkSession,
+                          params: PgWire.ConnParams,
+                          columnsTable: String,
+                          targets: Seq[(String, String)],
+                          selectCols: Seq[(String, String)])
       : DataFrame = {
     val discovered =
-      if (selectCols.nonEmpty) Nil else columnsOf(params, table)
+      if (selectCols.nonEmpty) Nil else columnsOf(params, columnsTable)
     val cols =
       if (selectCols.nonEmpty) selectCols.map { case (e, a) =>
         if (e == PgWire.quoteIdent(a)) e else s"$e AS ${PgWire.quoteIdent(a)}"
       } else discovered.map(PgWire.quoteIdent)
-    require(cols.nonEmpty, s"no columns resolved for $table")
+    require(cols.nonEmpty, s"no columns resolved for $columnsTable")
     val names =
       if (selectCols.nonEmpty) selectCols.map(_._2) else discovered
     val select = cols.mkString(", ")
-    val qtable = PgWire.quoteQualified(table)
     val p = params // capture the case class, not this object
     // rows decode straight to catalyst form (UTF8String slices of the
     // wire payload, wrapped in GenericInternalRow) and enter the plan
@@ -199,9 +297,9 @@ object PgWireSource {
     // and no ExpressionEncoder pass. RDDScanExec's UnsafeProjection
     // copies each row out before anything downstream retains it.
     val rdd = spark.sparkContext
-      .parallelize(preds, preds.length)
+      .parallelize(targets, targets.length)
       .mapPartitions { it =>
-        it.flatMap { pred =>
+        it.flatMap { case (qtable, pred) =>
           val conn = new PgWireConnection(p)
           // backstop for early task termination (limit, failure): the
           // task-completion listener closes the socket regardless of

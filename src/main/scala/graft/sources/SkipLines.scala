@@ -48,6 +48,18 @@ object SkipLines {
                          delim: Array[Byte] = Array('\n'.toByte))
       : Map[String, Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
+    // KMP failure function: on a mismatch after a partial match the
+    // scan falls back to the longest proper border instead of
+    // restarting at the delimiter head — exact for ANY terminator,
+    // including self-overlapping ones like "aba" the old
+    // first-byte-restart heuristic undercounted
+    val fail = new Array[Int](delim.length)
+    var k = 0
+    for (i <- 1 until delim.length) {
+      while (k > 0 && delim(i) != delim(k)) k = fail(k - 1)
+      if (delim(i) == delim(k)) k += 1
+      fail(i) = k
+    }
     fileStatuses(spark, path).map { st =>
       val fs = st.getPath.getFileSystem(hconf)
       val in = fs.open(st.getPath)
@@ -60,10 +72,8 @@ object SkipLines {
           if (b < 0) seen = n // short file: skip everything
           else {
             off += 1
-            // naive prefix match is enough: terminators are 1-2 bytes
-            // and never self-overlapping in practice
-            m = if (b.toByte == delim(m)) m + 1
-                else if (b.toByte == delim(0)) 1 else 0
+            while (m > 0 && b.toByte != delim(m)) m = fail(m - 1)
+            if (b.toByte == delim(m)) m += 1
             if (m == delim.length) { seen += 1; m = 0 }
           }
         }
@@ -220,7 +230,12 @@ object SkipLines {
     // "data¶\n" leaves a newline-only remainder between the last
     // terminator and EOF (or between records when the author also
     // breaks lines visually) — it is formatting, not data, exactly as
-    // blank lines are under the default terminator
+    // blank lines are under the default terminator. DOCUMENTED RULE
+    // (COVERAGE.md "lines terminated by"): a record consisting SOLELY
+    // of \r/\n bytes is always formatting and never loads — a
+    // legitimate record whose only field is bare newline data cannot
+    // be distinguished from visual formatting at the record-splitter
+    // level (quote it to load it; the quoted form is not newline-only)
     val cleaned =
       if (delimiter.isEmpty) kept
       else kept.filter { case (_, _, bytes, _) =>

@@ -422,9 +422,18 @@ object SqliteFile {
     * up to the first constraint keyword (multi-word types — `double
     * precision`, `smallint unsigned`, quoted types — survive). */
   /** The table's rows live in an INDEX b-tree instead of a rowid
-    * table b-tree ([[Db.scanIndex]]). */
-  def isWithoutRowid(sql: String): Boolean =
-    sql.toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
+    * table b-tree ([[Db.scanIndex]]). SQLite grammar places the
+    * table-options clause strictly AFTER the column list's closing
+    * paren, so only the tail past the last ')' is examined — the
+    * phrase inside a CHECK expression, DEFAULT literal, or quoted
+    * identifier must not misroute a rowid table to the index walker. */
+  def isWithoutRowid(sql: String): Boolean = {
+    val tail = sql.lastIndexOf(')') match {
+      case -1 => return false
+      case i => sql.substring(i + 1)
+    }
+    tail.toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
+  }
 
   def parseCreateTable(sql: String): Seq[IntrospectionRows.SqliteColumn] = {
     val open = sql.indexOf('(')
