@@ -149,17 +149,21 @@ object PgWireSource {
     val small =
       try {
         val regclass = PgWire.quoteLiteral(PgWire.quoteQualified(table))
+        val cap = pagesPerChunk * 300L
+        // ONE round-trip (the manytables fixture pins per-table cost):
+        // the probe rides the relpages query as a CASE-guarded scalar
+        // subquery — PG plans it as a SubPlan executed only when the
+        // small-heap branch is taken, so big tables never pay the
+        // OFFSET scan and the per-table query count stays at one
         val (_, rows) = conn.query(
-          s"SELECT relpages, relkind::text FROM pg_class " +
-            s"WHERE oid = $regclass::regclass")
-        val pages = rows.headOption.map(_(0).toLong).getOrElse(0L)
-        val kind = rows.headOption.map(_(1)).getOrElse("r")
-        kind != "p" && pages < pagesPerChunk && {
-          // stale-relpages guard: a row past the physical capacity of
-          // pagesPerChunk heap pages proves the stats lie
-          val cap = pagesPerChunk * 300L
-          conn.query(s"SELECT 1 FROM ${PgWire.quoteQualified(table)} " +
-            s"LIMIT 1 OFFSET $cap")._2.isEmpty
+          s"""SELECT relpages, relkind::text,
+             CASE WHEN relkind = 'r' AND relpages < $pagesPerChunk
+                  THEN (SELECT 1 FROM ${PgWire.quoteQualified(table)}
+                        LIMIT 1 OFFSET $cap)
+             END
+             FROM pg_class WHERE oid = $regclass::regclass""")
+        rows.headOption.exists { r =>
+          r(1) == "r" && r(0).toLong < pagesPerChunk && r(2) == null
         }
       } finally conn.close()
     if (!small) None

@@ -358,12 +358,13 @@ class PgWireSpec extends SparkSpec {
       else if (sql.contains("pg_attribute"))
         Some((Seq("nspname", "relname", "attname", "data_type",
           "default_expr", "nullable"), catalogRows))
-      else if (sql.contains("relkind")) Some((Seq("relpages", "relkind"),
-        Seq(Array("1", "r"))))
+      // the combined relpages/relkind/stale-probe query: small plain
+      // heap, no row past the capacity offset (probe column NULL)
+      else if (sql.contains("relkind")) Some((
+        Seq("relpages", "relkind", "case"),
+        Seq(Array("1", "r", null))))
       else if (sql.contains("pg_class")) Some((Seq("relpages"),
         Seq(Array("1"))))
-      // the stale-relpages probe: no row past the capacity offset
-      else if (sql.startsWith("SELECT 1 FROM")) Some((Seq("one"), Nil))
       else if (sql.contains("FROM \"public\".\"companies\""))
         Some((Seq("id", "name"), companyRows))
       else if (sql.contains("FROM \"public\".\"campaigns\""))
