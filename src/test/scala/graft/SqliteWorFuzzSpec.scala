@@ -2,27 +2,31 @@ package graft
 
 import java.nio.file.{Files, Path}
 
-/** Fuzz the WITHOUT ROWID index-b-tree walker
-  * ([[graft.sources.SqliteFile]] scanIndex) against files produced by
-  * the REAL `sqlite3` CLI — the r19 walker was pinned by one 500-row
-  * fixture (page_size 512, one overflow shape); this randomizes every
-  * axis the r19 verdict listed:
+/** Fuzz BOTH SQLite file walkers ([[graft.sources.SqliteFile]]) against
+  * files produced by the REAL `sqlite3` CLI:
   *
-  *  - page sizes 512..65536,
-  *  - payload sizes straddling the index-page overflow budget
-  *    (including multi-page overflow chains),
-  *  - composite PKs with DESC parts at random mid-table positions,
-  *  - NULLs in non-PK columns, all four storage classes (including
+  *  - the WITHOUT ROWID index-b-tree walker (scanIndex) — the r19
+  *    walker was pinned by one 500-row fixture (page_size 512, one
+  *    overflow shape); this randomizes every axis the r19 verdict
+  *    listed: page sizes 512..65536, payload sizes straddling the
+  *    index-page overflow budget (including multi-page overflow
+  *    chains), composite PKs with DESC parts at random mid-table
+  *    positions, NULLs, all four storage classes (including
   *    int-stored REALs and the 0/1 serial-type constants),
-  *  - multi-level interior trees (hundreds of leaf pages at the small
-  *    page sizes — index interiors carry FULL key records, so fanout
-  *    is tiny and depth >2 comes fast),
-  *  - fragmented (DELETE + UPDATE churn) vs VACUUMed files.
+  *    multi-level interior trees (index interiors carry FULL key
+  *    records, so fanout is tiny and depth >2 comes fast), and
+  *    fragmented (DELETE + UPDATE churn) vs VACUUMed files;
+  *  - the rowid table-b-tree walker (scan + the subtreeRoots
+  *    distributed partitioning) over the same randomized axes, with
+  *    the INTEGER-PRIMARY-KEY rowid-alias shape (single-part INTEGER
+  *    PK → the column stores NULL and reads from the rowid) covered
+  *    by the single-arity seeds.
   *
   * The oracle is the generator's own row ledger (the CLI is the
   * authoritative WRITER; a CLI count() cross-checks that the script
   * fully applied). Seed count is env-tunable: GRAFT_WOR_FUZZ_SEEDS,
-  * default 12. Skips (assume) when no sqlite3 binary is on PATH. */
+  * default 12 per walker. Skips (assume) when no sqlite3 binary is on
+  * PATH. */
 class SqliteWorFuzzSpec extends SparkSpec {
 
   private lazy val sqlite3Bin: Option[String] = {
@@ -98,107 +102,129 @@ class SqliteWorFuzzSpec extends SparkSpec {
     }
   }
 
+  private val pageSizes =
+    Seq(512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+  /** One randomized build-with-the-CLI → read-with-the-walker →
+    * compare-to-ledger round. `withoutRowid` selects the walker under
+    * test (index b-tree vs table b-tree + subtree partitioning). */
+  private def fuzzOne(bin: String, seed: Int,
+                      withoutRowid: Boolean): Unit = {
+    val rnd = new scala.util.Random(
+      0x50F7B07EL + seed * 7919L + (if (withoutRowid) 0 else 104729L))
+    val ps = pageSizes(seed % pageSizes.length)
+    val ncols = 3 + rnd.nextInt(5)
+    val types = Seq.tabulate(ncols)(_ =>
+      Seq("INTEGER", "TEXT", "REAL", "BLOB")(rnd.nextInt(4)))
+    // PK: 1-3 parts at random positions; part 0 is replaced by an
+    // injective INTEGER key column so rows are addressable. For rowid
+    // tables a single-part INTEGER PK is the ROWID ALIAS shape (the
+    // record stores NULL there; the walker reads it from the rowid) —
+    // unless it carries DESC, which SQLite defines as NOT aliasing
+    val pkArity = 1 + rnd.nextInt(3)
+    val pkCols = rnd.shuffle((0 until ncols).toList).take(pkArity)
+    val keyCol = pkCols.head
+    val typesK = types.updated(keyCol, "INTEGER")
+    val pkSpec = pkCols.map(i =>
+        s"c$i${if (rnd.nextBoolean()) " DESC" else ""}")
+      .mkString(", ")
+    val nRows = 300 + rnd.nextInt(400)
+    // payload budget: straddle the page's overflow threshold — from
+    // tiny to ~2 pages — so some cells inline, some chain overflow
+    val maxLen = rnd.nextInt(2 * ps) + 8
+
+    // ledger: key -> expected fidelity row (declared column order)
+    val ledger = scala.collection.mutable.LinkedHashMap[Long, Array[String]]()
+    def genRow(k: Long): (String, Array[String]) = {
+      val cells = (0 until ncols).map { c =>
+        if (c == keyCol) (k.toString, k.toString)
+        else genCell(rnd, typesK(c), nullable = !pkCols.contains(c),
+          maxLen = maxLen)
+      }
+      (cells.map(_._1).mkString("(", ", ", ")"),
+        cells.map(_._2).toArray)
+    }
+    val script = new StringBuilder
+    script ++= s"PRAGMA page_size=$ps;\n"
+    script ++= (0 until ncols).map(c => s"c$c ${typesK(c)}" +
+        (if (pkCols.contains(c)) " NOT NULL" else ""))
+      .mkString("CREATE TABLE fz (", ", ",
+        s", PRIMARY KEY ($pkSpec))" +
+          (if (withoutRowid) " WITHOUT ROWID;\n" else ";\n"))
+    script ++= "BEGIN;\n"
+    (1 to nRows).foreach { k =>
+      val (lit, exp) = genRow(k.toLong)
+      ledger(k.toLong) = exp
+      script ++= s"INSERT INTO fz VALUES $lit;\n"
+    }
+    script ++= "COMMIT;\nBEGIN;\n"
+    // churn: delete ~25%, re-insert a third of those, update ~15% —
+    // leaves freelist pages, fragmented cells, non-contiguous keys
+    val doomed = (1 to nRows).filter(_ => rnd.nextInt(100) < 25)
+    doomed.foreach { k =>
+      script ++= s"DELETE FROM fz WHERE c$keyCol = $k;\n"
+      ledger.remove(k.toLong)
+    }
+    doomed.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
+      val (lit, exp) = genRow(k.toLong)
+      ledger(k.toLong) = exp
+      script ++= s"INSERT INTO fz VALUES $lit;\n"
+    }
+    val mutCols = (0 until ncols).filterNot(pkCols.contains)
+    if (mutCols.nonEmpty) ledger.keys.toSeq
+      .filter(_ => rnd.nextInt(100) < 15).foreach { k =>
+        val c = mutCols(rnd.nextInt(mutCols.length))
+        val (lit, exp) = genCell(rnd, typesK(c), nullable = true,
+          maxLen = maxLen)
+        ledger(k)(c) = exp
+        script ++= s"UPDATE fz SET c$c = $lit WHERE c$keyCol = $k;\n"
+      }
+    script ++= "COMMIT;\n"
+    if (seed % 2 == 0) script ++= "VACUUM;\n"
+
+    val dir = Files.createTempDirectory(s"worfuzz$seed")
+    val db = dir.resolve("f.db")
+    runSqlite(bin, db, script.toString)
+    // the CLI's own count proves the script fully applied
+    assert(query1(bin, db, "SELECT count(*) FROM fz")
+      == ledger.size.toString, s"seed $seed: script did not apply")
+
+    val df = graft.sources.SqliteSource.read(spark, db.toString, "fz")
+    assert(df.columns.toSeq == (0 until ncols).map(c => s"c$c"),
+      s"seed $seed")
+    val got = df.collect()
+    assert(got.length == ledger.size,
+      s"seed $seed (ps=$ps pk=$pkSpec rows=${ledger.size}): " +
+        s"walker returned ${got.length}")
+    got.foreach { r =>
+      val k = r.getString(keyCol).toLong
+      val exp = ledger.getOrElse(k,
+        fail(s"seed $seed: phantom key $k"))
+      (0 until ncols).foreach { c =>
+        assert(r.getString(c) == exp(c),
+          s"seed $seed key $k col c$c (${typesK(c)}, ps=$ps, " +
+            s"pk=$pkSpec): got ${r.getString(c)} want ${exp(c)}")
+      }
+    }
+    info(s"seed $seed: ps=$ps ncols=$ncols pk=($pkSpec) " +
+      s"rows=${ledger.size} maxLen=$maxLen " +
+      s"${if (seed % 2 == 0) "VACUUM" else "fragmented"} OK")
+  }
+
+  private def seedCount: Int =
+    sys.env.get("GRAFT_WOR_FUZZ_SEEDS").map(_.toInt).getOrElse(12)
+
   test("WITHOUT ROWID walker vs sqlite3 CLI: randomized page sizes, " +
     "overflow straddles, DESC composite PKs, churn and VACUUM") {
     assume(sqlite3Bin.isDefined, "sqlite3 CLI not on PATH")
-    val bin = sqlite3Bin.get
-    val seeds = sys.env.get("GRAFT_WOR_FUZZ_SEEDS").map(_.toInt)
-      .getOrElse(12)
-    val pageSizes = Seq(512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
-    for (seed <- 0 until seeds) {
-      val rnd = new scala.util.Random(0x50F7B07EL + seed * 7919L)
-      val ps = pageSizes(seed % pageSizes.length)
-      val ncols = 3 + rnd.nextInt(5)
-      val types = Seq.tabulate(ncols)(_ =>
-        Seq("INTEGER", "TEXT", "REAL", "BLOB")(rnd.nextInt(4)))
-      // PK: 1-3 parts at random positions; part 0 is replaced by an
-      // injective INTEGER key column so rows are addressable
-      val pkArity = 1 + rnd.nextInt(3)
-      val pkCols = rnd.shuffle((0 until ncols).toList).take(pkArity)
-      val keyCol = pkCols.head
-      val typesK = types.updated(keyCol, "INTEGER")
-      val pkSpec = pkCols.map(i =>
-          s"c$i${if (rnd.nextBoolean()) " DESC" else ""}")
-        .mkString(", ")
-      val nRows = 300 + rnd.nextInt(400)
-      // payload budget: straddle the page's overflow threshold — from
-      // tiny to ~2 pages — so some cells inline, some chain overflow
-      val maxLen = rnd.nextInt(2 * ps) + 8
+    for (seed <- 0 until seedCount)
+      fuzzOne(sqlite3Bin.get, seed, withoutRowid = true)
+  }
 
-      // ledger: key -> expected fidelity row (declared column order)
-      val ledger = scala.collection.mutable.LinkedHashMap[Long, Array[String]]()
-      def genRow(k: Long): (String, Array[String]) = {
-        val cells = (0 until ncols).map { c =>
-          if (c == keyCol) (k.toString, k.toString)
-          else genCell(rnd, typesK(c), nullable = !pkCols.contains(c),
-            maxLen = maxLen)
-        }
-        (cells.map(_._1).mkString("(", ", ", ")"),
-          cells.map(_._2).toArray)
-      }
-      val script = new StringBuilder
-      script ++= s"PRAGMA page_size=$ps;\n"
-      script ++= (0 until ncols).map(c => s"c$c ${typesK(c)}" +
-          (if (pkCols.contains(c)) " NOT NULL" else ""))
-        .mkString("CREATE TABLE fz (", ", ", s", PRIMARY KEY ($pkSpec)) WITHOUT ROWID;\n")
-      script ++= "BEGIN;\n"
-      (1 to nRows).foreach { k =>
-        val (lit, exp) = genRow(k.toLong)
-        ledger(k.toLong) = exp
-        script ++= s"INSERT INTO fz VALUES $lit;\n"
-      }
-      script ++= "COMMIT;\nBEGIN;\n"
-      // churn: delete ~25%, re-insert a third of those, update ~15% —
-      // leaves freelist pages, fragmented cells, non-contiguous keys
-      val doomed = (1 to nRows).filter(_ => rnd.nextInt(100) < 25)
-      doomed.foreach { k =>
-        script ++= s"DELETE FROM fz WHERE c$keyCol = $k;\n"
-        ledger.remove(k.toLong)
-      }
-      doomed.filter(_ => rnd.nextInt(3) == 0).foreach { k =>
-        val (lit, exp) = genRow(k.toLong)
-        ledger(k.toLong) = exp
-        script ++= s"INSERT INTO fz VALUES $lit;\n"
-      }
-      val mutCols = (0 until ncols).filterNot(pkCols.contains)
-      if (mutCols.nonEmpty) ledger.keys.toSeq
-        .filter(_ => rnd.nextInt(100) < 15).foreach { k =>
-          val c = mutCols(rnd.nextInt(mutCols.length))
-          val (lit, exp) = genCell(rnd, typesK(c), nullable = true,
-            maxLen = maxLen)
-          ledger(k)(c) = exp
-          script ++= s"UPDATE fz SET c$c = $lit WHERE c$keyCol = $k;\n"
-        }
-      script ++= "COMMIT;\n"
-      if (seed % 2 == 0) script ++= "VACUUM;\n"
-
-      val dir = Files.createTempDirectory(s"worfuzz$seed")
-      val db = dir.resolve("f.db")
-      runSqlite(bin, db, script.toString)
-      // the CLI's own count proves the script fully applied
-      assert(query1(bin, db, "SELECT count(*) FROM fz")
-        == ledger.size.toString, s"seed $seed: script did not apply")
-
-      val df = graft.sources.SqliteSource.read(spark, db.toString, "fz")
-      assert(df.columns.toSeq == (0 until ncols).map(c => s"c$c"),
-        s"seed $seed")
-      val got = df.collect()
-      assert(got.length == ledger.size,
-        s"seed $seed (ps=$ps pk=$pkSpec rows=${ledger.size}): " +
-          s"walker returned ${got.length}")
-      got.foreach { r =>
-        val k = r.getString(keyCol).toLong
-        val exp = ledger.getOrElse(k,
-          fail(s"seed $seed: phantom key $k"))
-        (0 until ncols).foreach { c =>
-          assert(r.getString(c) == exp(c),
-            s"seed $seed key $k col c$c (${typesK(c)}, ps=$ps, " +
-              s"pk=$pkSpec): got ${r.getString(c)} want ${exp(c)}")
-        }
-      }
-      info(s"seed $seed: ps=$ps ncols=$ncols pk=($pkSpec) " +
-        s"rows=${ledger.size} maxLen=$maxLen " +
-        s"${if (seed % 2 == 0) "VACUUM" else "fragmented"} OK")
-    }
+  test("rowid table walker vs sqlite3 CLI: same axes plus the " +
+    "INTEGER-PRIMARY-KEY rowid alias and subtree-partitioned reads") {
+    assume(sqlite3Bin.isDefined, "sqlite3 CLI not on PATH")
+    for (seed <- 0 until seedCount)
+      fuzzOne(sqlite3Bin.get, seed, withoutRowid = false)
   }
 }
