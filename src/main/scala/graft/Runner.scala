@@ -1082,12 +1082,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       scheme match {
         case "pgsql" | "postgresql" | "postgres" =>
           val sp = graft.sinks.PgWire.connParams(uri, decode)
-          // partitioned parents never qualify (relpages=0 lies about
-          // their volume) — skip the probe dial, go straight to the
-          // distributed per-leaf read
-          t => if (t.partitioned) None
-            else graft.sources.PgWireSource.localScanIfSmall(
-              sp, s"${t.sourceSchemaName}.${t.sourceName}")
+          // partitioned parents qualify only through localScanIfSmall's
+          // whole-tree capacity probe (their relpages=0 lies about
+          // volume); big parents route to the per-leaf distributed read
+          t => graft.sources.PgWireSource.localScanIfSmall(
+            sp, s"${t.sourceSchemaName}.${t.sourceName}")
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)

@@ -98,10 +98,95 @@ object CatalogRewrite {
     cat.copy(schemas = cat.schemas.map(s =>
       s.copy(tables = s.tables.map(t => t.copy(
         columns = t.columns.map(c => c.copy(name = ic(c.name))),
-        indexes = t.indexes.map(i => i.copy(columns = i.columns.map(ic))),
+        indexes = {
+          // expression indexes kept as pg_get_indexdef text reference
+          // PLAIN columns by their SOURCE spellings (the USING tail is
+          // verbatim server SQL): recase those references too, or a
+          // downcased/snake_cased column makes the CREATE INDEX fail
+          // ("userId" does not exist when the column became user_id)
+          val srcCols = t.fields.map(_.name).toSet
+          t.indexes.map { i =>
+            val cased = i.copy(columns = i.columns.map(ic))
+            i.indexDef match {
+              case Some(d) if srcCols.nonEmpty =>
+                cased.copy(indexDef = Some(recaseIndexDef(d, srcCols, ic)))
+              case _ => cased
+            }
+          }
+        },
         fkeys = t.fkeys.map(f => f.copy(
           columns = f.columns.map(ic),
           foreignColumns = f.foreignColumns.map(ic))))))))
+  }
+
+  /** Recase column references inside a kept `pg_get_indexdef`
+    * rendering. Only the tail after USING is rewritten (the head's
+    * index/table names are rebuilt by [[Ddl.createIndex]] from the
+    * cased catalog anyway, and an index NAMED like a column must not
+    * be touched). A reference is: a quoted identifier whose unescaped
+    * content equals a source column name exactly, or a bare word that
+    * equals one and is NOT followed by '(' (a function call) — PG
+    * renders bare only the names that need no quoting, so a column
+    * needing case-preservation always arrives quoted. Rewritten
+    * references are emitted always-quoted with the CASED spelling;
+    * string literals pass through verbatim. */
+  private[graft] def recaseIndexDef(defn: String, srcCols: Set[String],
+                                    ic: String => String): String = {
+    val head = ("(?is)^(CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+.*?\\s+ON\\s+" +
+      ".*?\\s+USING\\s+)(.*)$").r
+    head.findFirstMatchIn(defn.trim) match {
+      case Some(m) => m.group(1) + recaseSqlRefs(m.group(2), srcCols, ic)
+      case None => defn
+    }
+  }
+
+  private def recaseSqlRefs(sql: String, srcCols: Set[String],
+                            ic: String => String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    def quoted(name: String): String =
+      "\"" + name.replace("\"", "\"\"") + "\""
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql(i) match {
+        case '"' =>
+          val name = new StringBuilder
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (sql(i) == '"') {
+              if (i + 1 < n && sql(i + 1) == '"') { name += '"'; i += 2 }
+              else { open = false; i += 1 }
+            } else { name += sql(i); i += 1 }
+          }
+          val nm = name.toString
+          out ++= quoted(if (srcCols(nm)) ic(nm) else nm)
+        case '\'' =>
+          // string literal, '' doubling — verbatim
+          out += '\''
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (sql(i) == '\'') {
+              if (i + 1 < n && sql(i + 1) == '\'') { out ++= "''"; i += 2 }
+              else { out += '\''; open = false; i += 1 }
+            } else { out += sql(i); i += 1 }
+          }
+        case c if c.isLetter || c == '_' =>
+          var j = i
+          while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_' ||
+            sql(j) == '$')) j += 1
+          val word = sql.substring(i, j)
+          var k = j
+          while (k < n && sql(k).isWhitespace) k += 1
+          val isCall = k < n && sql(k) == '('
+          if (!isCall && srcCols(word)) out ++= quoted(ic(word))
+          else out ++= word
+          i = j
+        case c => out += c; i += 1
+      }
+    }
+    out.toString
   }
 
   /** `ALTER SCHEMA 'a' RENAME TO 'b'`. */

@@ -131,48 +131,54 @@ object PgWireSource {
     * tables). Returns None for bigger tables; Some(open) hands back
     * (column names, streaming row iterator, close).
     *
-    * Two relpages=0 liars are excluded, both of which would otherwise
-    * stream an arbitrarily large table through one driver thread:
+    * Two relpages=0 liars would otherwise stream an arbitrarily large
+    * table through one driver thread; both are capacity-probed with a
+    * `LIMIT 1 OFFSET maxRowsPerChunk` scalar subquery (bounded
+    * server-side scan, at most one row on the wire, CASE-guarded so it
+    * rides the relpages lookup as a lazily-executed SubPlan — ONE
+    * round-trip per table, the manytables fixture pins that cost):
     * - relkind 'p' partitioned parents, whose relpages is 0 by
-    *   construction (parents own no storage) → [[readPartitioned]];
-    * - never-ANALYZEd heaps, whose relpages lags VACUUM/ANALYZE — a
-    *   `LIMIT 1 OFFSET maxRowsPerChunk` probe (bounded server-side
-    *   scan, at most one row on the wire, same connection as the
-    *   relpages lookup so the per-table dial count is unchanged)
-    *   detects more rows than `pagesPerChunk` 8 KiB pages can
-    *   physically hold (~290 28-byte rows/page) and routes the table
-    *   to the distributed read. */
+    *   construction (parents own no storage): probed over the WHOLE
+    *   tree (plain FROM expands every partition) — a genuinely small
+    *   parent keeps the ORM-scale fast path, a big one routes to
+    *   [[readPartitioned]];
+    * - never-ANALYZEd heaps, whose relpages lags VACUUM/ANALYZE:
+    *   probed over the table's OWN rows (FROM ONLY) against what
+    *   `pagesPerChunk` 8 KiB pages can physically hold (~290 28-byte
+    *   rows/page). */
   def localScanIfSmall(params: PgWire.ConnParams, table: String,
                        pagesPerChunk: Long = 1000L)
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
     val conn = new PgWireConnection(params)
-    val small =
+    val qtable = PgWire.quoteQualified(table)
+    val smallKind: Option[String] =
       try {
-        val regclass = PgWire.quoteLiteral(PgWire.quoteQualified(table))
+        val regclass = PgWire.quoteLiteral(qtable)
         val cap = pagesPerChunk * 300L
-        // ONE round-trip (the manytables fixture pins per-table cost):
-        // the probe rides the relpages query as a CASE-guarded scalar
-        // subquery — PG plans it as a SubPlan executed only when the
-        // small-heap branch is taken, so big tables never pay the
-        // OFFSET scan and the per-table query count stays at one
         val (_, rows) = conn.query(
           s"""SELECT relpages, relkind::text,
              CASE WHEN relkind = 'r' AND relpages < $pagesPerChunk
-                  THEN (SELECT 1 FROM ${PgWire.quoteQualified(table)}
-                        LIMIT 1 OFFSET $cap)
+                  THEN (SELECT 1 FROM ONLY $qtable LIMIT 1 OFFSET $cap)
+                  WHEN relkind = 'p'
+                  THEN (SELECT 1 FROM $qtable LIMIT 1 OFFSET $cap)
              END
              FROM pg_class WHERE oid = $regclass::regclass""")
-        rows.headOption.exists { r =>
-          r(1) == "r" && r(0).toLong < pagesPerChunk && r(2) == null
+        rows.headOption.collect {
+          case r if r(2) == null &&
+            (r(1) == "p" ||
+              (r(1) == "r" && r(0).toLong < pagesPerChunk)) => r(1)
         }
       } finally conn.close()
-    if (!small) None
-    else Some(() => {
+    smallKind.map { kind => () => {
       val c = new PgWireConnection(params)
-      val (cols, rows) = c.queryStream(
-        s"SELECT * FROM ${PgWire.quoteQualified(table)}")
+      // heaps read ONLY their own rows (an INHERITS parent's plain
+      // FROM would also stream every child's rows — children migrate
+      // as their own tables; see readByCtid); partitioned parents
+      // NEED the plain FROM's whole-tree expansion
+      val from = if (kind == "p") qtable else s"ONLY $qtable"
+      val (cols, rows) = c.queryStream(s"SELECT * FROM $from")
       (cols, rows, () => c.close())
-    })
+    }}
   }
 
   /** Column names of `table`, discovered driver-side from a LIMIT 0
@@ -194,9 +200,15 @@ object PgWireSource {
                  table: String, relpages: Long,
                  pagesPerChunk: Long = 1000L,
                  selectCols: Seq[(String, String)] = Nil): DataFrame =
+    // FROM ONLY: every heap migrates as its own table, so each read
+    // must take the table's OWN rows — a plain FROM on an old-style
+    // INHERITS parent also returns every descendant's rows, loading
+    // the children's data twice (the reference has this blind spot:
+    // its read-rows SELECT has no ONLY, pgsql.clj:204-210, while its
+    // relkind='r' table list includes the children as tables)
     readWithPredicates(spark, params, table,
       IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk),
-      selectCols)
+      selectCols, only = true)
 
   /** Leaf relations under a partitioned parent — the recursive
     * pg_inherits closure (multi-level partitioning walks through
@@ -244,16 +256,26 @@ object PgWireSource {
                       pagesPerChunk: Long = 1000L,
                       selectCols: Seq[(String, String)] = Nil): DataFrame = {
     val leaves = leafPartitionsOf(params, table)
-    if (leaves.isEmpty || leaves.exists(_._3 != "r"))
-      // no leaves yet (empty parent) or an un-ctid-able leaf kind:
-      // one predicate-free stream over the parent is always correct
+    if (leaves.isEmpty)
+      // no leaves yet (empty parent): one predicate-free stream over
+      // the parent is trivially correct
       readView(spark, params, table, selectCols)
     else {
-      val targets = leaves.flatMap { case (leaf, relpages, _) =>
-        IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
-          .map(pred => (PgWire.quoteQualified(leaf), pred))
+      // heap leaves ctid-split by their own relpages; a non-heap leaf
+      // (e.g. a postgres_fdw foreign-table partition — no ctid there)
+      // gets ONE predicate-free target of its own, so a single archive
+      // FDW partition does NOT demote the hot heap partitions to a
+      // single stream. ONLY is safe: partitions cannot take part in
+      // old-style inheritance (PG rejects INHERITS from/into partition
+      // trees), so a leaf's ONLY rows ARE all its rows.
+      val targets = leaves.flatMap { case (leaf, relpages, kind) =>
+        val q = PgWire.quoteQualified(leaf)
+        if (kind == "r")
+          IntrospectionSql.pgsqlCtidPredicates(relpages, pagesPerChunk)
+            .map(pred => (q, pred))
+        else Seq((q, "true"))
       }
-      readTargets(spark, params, table, targets, selectCols)
+      readTargets(spark, params, table, targets, selectCols, only = true)
     }
   }
 
@@ -263,15 +285,20 @@ object PgWireSource {
   def readView(spark: SparkSession, params: PgWire.ConnParams,
                table: String,
                selectCols: Seq[(String, String)] = Nil): DataFrame =
-    readWithPredicates(spark, params, table, Seq("true"), selectCols)
+    // no ONLY: views reject it, and the partitioned-parent demotion
+    // path NEEDS the whole-tree expansion
+    readWithPredicates(spark, params, table, Seq("true"), selectCols,
+      only = false)
 
   private def readWithPredicates(spark: SparkSession,
                                  params: PgWire.ConnParams,
                                  table: String, preds: Seq[String],
-                                 selectCols: Seq[(String, String)])
+                                 selectCols: Seq[(String, String)],
+                                 only: Boolean)
       : DataFrame =
     readTargets(spark, params, table,
-      preds.map(p => (PgWire.quoteQualified(table), p)), selectCols)
+      preds.map(p => (PgWire.quoteQualified(table), p)), selectCols,
+      only)
 
   /** The shared distributed-read core: one Spark partition per
     * (quoted relation, predicate) target — identical relation for the
@@ -282,7 +309,8 @@ object PgWireSource {
                           params: PgWire.ConnParams,
                           columnsTable: String,
                           targets: Seq[(String, String)],
-                          selectCols: Seq[(String, String)])
+                          selectCols: Seq[(String, String)],
+                          only: Boolean)
       : DataFrame = {
     val discovered =
       if (selectCols.nonEmpty) Nil else columnsOf(params, columnsTable)
@@ -312,7 +340,8 @@ object PgWireSource {
           if (tc != null)
             tc.addTaskCompletionListener[Unit](_ => conn.close())
           val (_, rows) = conn.queryStreamData(
-            s"SELECT $select FROM $qtable WHERE $pred")
+            s"SELECT $select FROM ${if (only) "ONLY " else ""}$qtable " +
+              s"WHERE $pred")
           new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
             private var closed = false
             override def hasNext: Boolean = {

@@ -424,13 +424,47 @@ object SqliteFile {
   /** The table's rows live in an INDEX b-tree instead of a rowid
     * table b-tree ([[Db.scanIndex]]). SQLite grammar places the
     * table-options clause strictly AFTER the column list's closing
-    * paren, so only the tail past the last ')' is examined — the
-    * phrase inside a CHECK expression, DEFAULT literal, or quoted
-    * identifier must not misroute a rowid table to the index walker. */
+    * paren, so the match anchors on the last ')' of the
+    * comment-stripped, quote-blanked statement text — the phrase
+    * inside a CHECK expression, DEFAULT literal, quoted identifier or
+    * trailing `-- comment` must not misroute a rowid table to the
+    * index walker, and a ')' inside a trailing comment must not hide
+    * a real WITHOUT ROWID clause (sqlite_master keeps the statement
+    * verbatim, comments included). */
   def isWithoutRowid(sql: String): Boolean = {
-    val tail = sql.lastIndexOf(')') match {
+    // blank quoted regions / strip comments in one linear pass
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql(i) match {
+        case '-' if i + 1 < n && sql(i + 1) == '-' =>
+          while (i < n && sql(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
+          i = math.min(n, i + 2)
+        case q @ ('\'' | '"' | '`') =>
+          sb += ' '
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (sql(i) == q) {
+              if (i + 1 < n && sql(i + 1) == q) i += 2 // doubled escape
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+        case '[' =>
+          sb += ' '
+          while (i < n && sql(i) != ']') i += 1
+          i = math.min(n, i + 1)
+        case c => sb += c; i += 1
+      }
+    }
+    val clean = sb.toString
+    val tail = clean.lastIndexOf(')') match {
       case -1 => return false
-      case i => sql.substring(i + 1)
+      case p => clean.substring(p + 1)
     }
     tail.toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
   }

@@ -180,4 +180,31 @@ class CasingSpec extends AnyFunSuite {
     assert(t.schema == "public")
     assert(t.sourceSchemaName == "SalesDB")
   }
+
+  test("kept indexdef: plain column references recase per mode, " +
+    "expressions/literals/functions untouched") {
+    val d = "CREATE UNIQUE INDEX people_org_email ON public.people " +
+      "USING btree (\"userId\", lower(email)) " +
+      "WHERE (note <> 'keep ''userId'' literal'::text)"
+    val cols = Set("userId", "email", "note")
+    def rc(mode: Identifiers.Case) = CatalogRewrite.recaseIndexDef(
+      d, cols, n => Identifiers(n, mode))
+    val down = rc(Identifiers.Case.Downcase)
+    assert(down.contains("(\"userid\", lower(\"email\"))"), down)
+    assert(down.contains("\"note\" <> 'keep ''userId'' literal'"), down)
+    // the head (index/table names) is NOT rewritten — the emitter
+    // rebuilds it from the cased catalog
+    assert(down.startsWith("CREATE UNIQUE INDEX people_org_email ON " +
+      "public.people USING"), down)
+    val snake = rc(Identifiers.Case.SnakeCase)
+    assert(snake.contains("\"user_id\""), snake)
+    val quote = rc(Identifiers.Case.Quote)
+    assert(quote.contains("\"userId\", lower(\"email\")"), quote)
+    // bare word that is a FUNCTION call survives even if a column
+    // shares its name
+    val tricky = CatalogRewrite.recaseIndexDef(
+      "CREATE INDEX i ON t USING btree (lower(lower))",
+      Set("lower"), _.toUpperCase)
+    assert(tricky.contains("lower(\"LOWER\")"), tricky)
+  }
 }

@@ -68,9 +68,21 @@ class LivePartitionSpec extends SparkSpec {
     // relpages on the PARENT is 0 no matter the volume — the lie the
     // old LocalCopy gate trusted
     assert(graft.sources.PgWireSource.relpagesOf(sp, "public.m") == 0L)
-    // the gate no longer trusts it: a parent NEVER takes LocalCopy
-    assert(graft.sources.PgWireSource.localScanIfSmall(sp, "public.m")
-      .isEmpty, "partitioned parent must not take the driver-local path")
+    // the gate no longer trusts it: a parent qualifies only through
+    // the whole-tree capacity probe. At pagesPerChunk=1 (cap 300) the
+    // 4000-row tree is refused...
+    assert(graft.sources.PgWireSource.localScanIfSmall(sp, "public.m",
+      pagesPerChunk = 1L).isEmpty,
+      "a beyond-capacity partitioned parent must not stream driver-local")
+    // ...while a genuinely small parent keeps the ORM-scale fast path
+    // and streams the WHOLE tree (plain FROM, all partitions)
+    val local = graft.sources.PgWireSource.localScanIfSmall(sp, "public.m")
+    assert(local.isDefined, "small partitioned parent keeps LocalCopy")
+    val (cols, it, close) = local.get()
+    try {
+      assert(cols == Seq("id", "bucket", "payload"))
+      assert(it.size == 4000)
+    } finally close()
 
     // leaf enumeration carries each leaf's OWN relpages
     val leaves = graft.sources.PgWireSource.leafPartitionsOf(sp, "public.m")
@@ -92,6 +104,62 @@ class LivePartitionSpec extends SparkSpec {
     val ids = df.select("id").collect().map(_.getString(0).toLong).sorted
     assert(ids.length == 4000 && ids.head == 1L && ids.last == 4000L &&
       ids.distinct.length == 4000, s"got ${ids.length} rows")
+  }
+
+  test("a foreign-table partition does NOT demote the heap leaves: " +
+    "mixed per-leaf targets — ctid splits for heaps, one stream for " +
+    "the FDW leaf") {
+    assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val admin = LivePg.uri.get
+    val src = swapDb(admin, "pfdw_src")
+    exec(admin, "DROP DATABASE IF EXISTS pfdw_src WITH (FORCE)")
+    exec(admin, "CREATE DATABASE pfdw_src")
+    val hostPort = "://([^@/]*@)?([^:/]+):(\\d+)/".r
+      .findFirstMatchIn(admin).get
+    exec(src,
+      s"""CREATE EXTENSION postgres_fdw;
+        |CREATE SERVER loopsrv FOREIGN DATA WRAPPER postgres_fdw
+        |  OPTIONS (host '${hostPort.group(2)}',
+        |           port '${hostPort.group(3)}', dbname 'pfdw_src');
+        |CREATE USER MAPPING FOR CURRENT_USER SERVER loopsrv
+        |  OPTIONS (user 'graft');
+        |CREATE TABLE arch_store (id int, bucket int, payload text);
+        |CREATE TABLE mx (id int, bucket int, payload text)
+        |  PARTITION BY RANGE (bucket);
+        |CREATE TABLE mx_hot0 PARTITION OF mx FOR VALUES FROM (0) TO (1);
+        |CREATE TABLE mx_hot1 PARTITION OF mx FOR VALUES FROM (1) TO (2);
+        |CREATE FOREIGN TABLE mx_arch PARTITION OF mx
+        |  FOR VALUES FROM (2) TO (3) SERVER loopsrv
+        |  OPTIONS (table_name 'arch_store');
+        |""".stripMargin)
+    // separate transaction: the FDW's own connection must SEE the
+    // committed arch_store before rows route through mx_arch
+    exec(src,
+      """INSERT INTO mx SELECT g, g % 3, repeat('x', 64) || g
+        |  FROM generate_series(1, 3000) g;
+        |ANALYZE mx_hot0; ANALYZE mx_hot1;
+        |""".stripMargin)
+    val sp = PgWire.connParams(src, decode)
+    val leaves = graft.sources.PgWireSource
+      .leafPartitionsOf(sp, "public.mx")
+    assert(leaves.map(l => (l._1, l._3)) == Seq(
+      ("public.mx_arch", "f"), ("public.mx_hot0", "r"),
+      ("public.mx_hot1", "r")), leaves)
+    val heapChunks = leaves
+      .filter(l => l._3 == "r" && l._1.startsWith("public.mx_hot"))
+      .map(_._2).sum
+    assert(heapChunks > 2, s"ANALYZEd heap leaves must split: $leaves")
+    val df = graft.sources.PgWireSource.readPartitioned(spark, sp,
+      "public.mx", pagesPerChunk = 1L)
+    // heap leaves ctid-split per their relpages; the FDW leaf adds ONE
+    // predicate-free target — the whole read is NOT demoted
+    assert(df.rdd.getNumPartitions > 3,
+      s"mixed leaves must keep per-leaf splits: " +
+        s"${df.rdd.getNumPartitions} partitions for $leaves")
+    val ids = df.select("id").collect().map(_.getString(0).toLong).sorted
+    assert(ids.length == 3000 && ids.distinct.length == 3000 &&
+      ids.head == 1L && ids.last == 3000L,
+      s"got ${ids.length} rows (exactly-once across mixed leaf kinds)")
   }
 
   test("partitioned edge matrix: multi-level + DEFAULT partitions, FK " +
@@ -219,8 +287,51 @@ class LivePartitionSpec extends SparkSpec {
     } finally close()
   }
 
+  test("old-style INHERITS hierarchy: reads take each table's OWN " +
+    "rows (FROM ONLY) — children are not double-loaded through the " +
+    "parent scan") {
+    assume(LivePg.uri.isDefined && LivePg.destUri.isDefined,
+      "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
+    val admin = LivePg.uri.get
+    val src = swapDb(admin, "inh_src")
+    val dst = swapDb(admin, "inh_dst")
+    exec(admin, "DROP DATABASE IF EXISTS inh_src WITH (FORCE)")
+    exec(admin, "CREATE DATABASE inh_src")
+    exec(admin, "DROP DATABASE IF EXISTS inh_dst WITH (FORCE)")
+    exec(admin, "CREATE DATABASE inh_dst")
+    exec(src,
+      """CREATE TABLE base (id int, kind text);
+        |CREATE TABLE derived (extra text) INHERITS (base);
+        |INSERT INTO base SELECT g, 'b' FROM generate_series(1, 10) g;
+        |INSERT INTO derived SELECT g, 'd', 'x' || g
+        |  FROM generate_series(100, 119) g;
+        |ANALYZE;
+        |""".stripMargin)
+    // the source's own plain parent scan sees 30 (inheritance) — the
+    // trap a FROM-only-less read copies into the target
+    assert(q(src, "SELECT count(*) FROM base").head.head == "30")
+    // both routes: LocalCopy (small heaps) and the forced-distributed
+    // exactly-once ctid read
+    for (opt <- Seq("", ", exactly once")) {
+      exec(dst, "DROP TABLE IF EXISTS base CASCADE")
+      exec(dst, "DROP TABLE IF EXISTS derived CASCADE")
+      val stats = pgRunner(dst).runFile(spark,
+        s"""LOAD DATABASE FROM $src
+              INTO $dst
+              WITH create tables$opt;""")
+      assert(stats.forall(_.error.isEmpty),
+        s"opt '$opt': " + stats.filter(_.error.nonEmpty).mkString("; "))
+      // each table landed with ITS OWN rows only
+      assert(q(dst, "SELECT count(*) FROM ONLY base").head.head == "10",
+        s"opt '$opt'")
+      assert(q(dst, "SELECT count(*) FROM derived").head.head == "20",
+        s"opt '$opt'")
+    }
+  }
+
   test("mixed expression index (a, lower(b)) re-creates from " +
-    "pg_get_indexdef — not silently as (a)") {
+    "pg_get_indexdef — not silently as (a) — with its plain MEMBER " +
+    "recased per identifier mode") {
     assume(LivePg.uri.isDefined && LivePg.destUri.isDefined,
       "set GRAFT_LIVE_PG_URI and GRAFT_LIVE_PG_DEST_URI to run")
     val admin = LivePg.uri.get
@@ -228,12 +339,14 @@ class LivePartitionSpec extends SparkSpec {
     val dst = swapDb(admin, "mix_dst")
     exec(admin, "DROP DATABASE IF EXISTS mix_src WITH (FORCE)")
     exec(admin, "CREATE DATABASE mix_src")
-    exec(admin, "DROP DATABASE IF EXISTS mix_dst WITH (FORCE)")
-    exec(admin, "CREATE DATABASE mix_dst")
+    // a MIXED-CASE plain member: the kept indexdef references it as
+    // "userOrg" while the cased target column is userorg / user_org —
+    // un-recased, the CREATE INDEX errors and the index is lost
     exec(src,
-      """CREATE TABLE people (id int PRIMARY KEY, email text, org text);
+      """CREATE TABLE people (id int PRIMARY KEY, email text,
+        |                     "userOrg" text);
         |CREATE UNIQUE INDEX people_org_email
-        |  ON people (org, lower(email));
+        |  ON people ("userOrg", lower(email));
         |INSERT INTO people SELECT g, 'U' || g || '@x.com', 'o' || (g % 7)
         |  FROM generate_series(1, 50) g;
         |""".stripMargin)
@@ -243,17 +356,24 @@ class LivePartitionSpec extends SparkSpec {
     val mixed = t.indexes.find(_.name == "people_org_email").get
     assert(mixed.indexDef.exists(_.contains("lower(email)")),
       s"mixed index must carry its indexdef: $mixed")
-    val stats = pgRunner(dst).runFile(spark,
-      s"""LOAD DATABASE FROM $src
-            INTO $dst
-            WITH include drop, create tables;""")
-    assert(stats.forall(_.error.isEmpty),
-      stats.filter(_.error.nonEmpty).mkString("; "))
-    val idx = q(dst, "SELECT indexdef FROM pg_indexes WHERE " +
-      "indexname = 'people_org_email'")
-    assert(idx.nonEmpty, "mixed index missing on the target")
-    val d = idx.head.head
-    assert(d.contains("lower(email)") && d.contains("org") &&
-      d.contains("UNIQUE"), d)
+    for ((opt, orgCol) <- Seq(
+        ("", "userorg"),
+        (", quote identifiers", "userOrg"),
+        (", snake_case identifiers", "user_org"))) {
+      exec(admin, "DROP DATABASE IF EXISTS mix_dst WITH (FORCE)")
+      exec(admin, "CREATE DATABASE mix_dst")
+      val stats = pgRunner(dst).runFile(spark,
+        s"""LOAD DATABASE FROM $src
+              INTO $dst
+              WITH include drop, create tables$opt;""")
+      assert(stats.forall(_.error.isEmpty),
+        s"mode '$opt': " + stats.filter(_.error.nonEmpty).mkString("; "))
+      val idx = q(dst, "SELECT indexdef FROM pg_indexes WHERE " +
+        "indexname = 'people_org_email'")
+      assert(idx.nonEmpty, s"mode '$opt': mixed index missing on target")
+      val d = idx.head.head
+      assert(d.contains("lower(email)") && d.contains(orgCol) &&
+        d.contains("UNIQUE"), s"mode '$opt': $d")
+    }
   }
 }

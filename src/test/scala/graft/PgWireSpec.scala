@@ -280,9 +280,9 @@ class PgWireSpec extends SparkSpec {
           "default_expr", "nullable"), catalogRows))
       else if (sql.contains("pg_class")) Some((Seq("relpages"),
         Seq(Array("1"))))
-      else if (sql.contains("FROM \"public\".\"users\""))
+      else if (sql.contains("\"public\".\"users\""))
         Some((Seq("id", "name"), userRows))
-      else if (sql.contains("FROM \"public\".\"tags\""))
+      else if (sql.contains("\"public\".\"tags\""))
         Some((Seq("tag"), tagRows))
       else None)
     val dst = new FakePgServer(authMode = "md5")
@@ -365,11 +365,11 @@ class PgWireSpec extends SparkSpec {
         Seq(Array("1", "r", null))))
       else if (sql.contains("pg_class")) Some((Seq("relpages"),
         Seq(Array("1"))))
-      else if (sql.contains("FROM \"public\".\"companies\""))
+      else if (sql.contains("\"public\".\"companies\""))
         Some((Seq("id", "name"), companyRows))
-      else if (sql.contains("FROM \"public\".\"campaigns\""))
+      else if (sql.contains("\"public\".\"campaigns\""))
         Some((Seq("id", "company_id", "name"), campaignRows))
-      else if (sql.contains("FROM \"public\".\"ads\""))
+      else if (sql.contains("\"public\".\"ads\""))
         Some((Seq("id", "campaign_id", "body"), adRows))
       else None)
     val dst = new FakePgServer(authMode = "scram")
@@ -478,10 +478,11 @@ class PgWireSpec extends SparkSpec {
       assert(df.collect().map(_.getString(0)).sorted.toSeq ==
         Seq("0", "1", "2", "3"))
       val sql = seen.synchronized(seen.toList)
-      // every data SELECT used the quoted form, with columns quoted too
+      // every data SELECT used the quoted form, with columns quoted
+      // too (ONLY keeps an INHERITS parent's read to its own rows)
       val dataSelects = sql.filter(_.contains("WHERE ctid"))
       assert(dataSelects.nonEmpty && dataSelects.forall(s =>
-        s.contains(s"""SELECT "Id", "miXed" FROM $quoted""")))
+        s.contains(s"""SELECT "Id", "miXed" FROM ONLY $quoted""")))
       // relpages went through a quoted-identifier literal + regclass
       assert(sql.exists(_.contains(s"'$quoted'::regclass")))
     } finally srv.close()

@@ -576,4 +576,30 @@ class SqliteFileSpec extends SparkSpec {
     assert(pkIdx.exists(_.columns == Seq("k2", "k1")),
       s"composite PK: ${tbl.indexes}")
   }
+
+  test("isWithoutRowid: comments and quoted text cannot spoof or hide " +
+    "the table-options clause") {
+    import graft.sources.SqliteFile.isWithoutRowid
+    assert(!isWithoutRowid("CREATE TABLE t(a int) -- without rowid?"))
+    assert(!isWithoutRowid(
+      "CREATE TABLE t(a int /* without rowid */, b text)"))
+    assert(!isWithoutRowid(
+      "CREATE TABLE t(a text DEFAULT 'without rowid)')"))
+    assert(!isWithoutRowid(
+      "CREATE TABLE \"t without rowid\" (a int)"))
+    assert(!isWithoutRowid(
+      "CREATE TABLE t(a int, CHECK (a <> 'WITHOUT ROWID)'))"))
+    assert(isWithoutRowid(
+      "CREATE TABLE t(a int PRIMARY KEY) WITHOUT ROWID"))
+    assert(isWithoutRowid(
+      "CREATE TABLE t(a int PRIMARY KEY) WITHOUT\n  ROWID"))
+    // a trailing comment containing ')' must not hide the real clause
+    assert(isWithoutRowid(
+      "CREATE TABLE t(a int PRIMARY KEY) WITHOUT ROWID /* lot (4) */"))
+    assert(isWithoutRowid(
+      "CREATE TABLE t(a int PRIMARY KEY) WITHOUT ROWID -- note (x)"))
+    // STRICT tables compose with the options clause
+    assert(isWithoutRowid(
+      "CREATE TABLE t(a int PRIMARY KEY) STRICT, WITHOUT ROWID"))
+  }
 }
