@@ -399,10 +399,21 @@ object SqliteFile {
     val t = s.trim
     if (t.isEmpty) return ("", "")
     t.head match {
-      case '"' | '`' | '\'' =>
-        val end = t.indexOf(t.head, 1)
-        (t.substring(1, end).replace("" + t.head + t.head, "" + t.head),
-          t.substring(end + 1))
+      case q @ ('"' | '`' | '\'') =>
+        // the closing quote is the first UN-doubled one — a doubled
+        // quote is an escaped literal quote inside the identifier
+        // ("we""ird" names the identifier we"ird)
+        var j = 1
+        var end = -1
+        while (end < 0 && j < t.length) {
+          if (t(j) == q) {
+            if (j + 1 < t.length && t(j + 1) == q) j += 2
+            else end = j
+          } else j += 1
+        }
+        if (end < 0) end = t.length - 1
+        (t.substring(1, end).replace("" + q + q, "" + q),
+          t.substring(math.min(t.length, end + 1)))
       case '[' =>
         val end = t.indexOf(']')
         (t.substring(1, end), t.substring(end + 1))
@@ -469,6 +480,51 @@ object SqliteFile {
     tail.toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
   }
 
+  /** Same-length view of `s` with quoted regions ('', "", ``, []) and
+    * parenthesized BODIES blanked to spaces — keyword scans over the
+    * result see only depth-0, unquoted text, while offsets still line
+    * up with the original for value extraction. */
+  private def maskNested(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    val n = s.length
+    var depth = 0
+    while (i < n) {
+      s(i) match {
+        case '(' =>
+          if (depth > 0) out(i) = ' '
+          depth += 1
+          i += 1
+        case ')' =>
+          depth = math.max(0, depth - 1)
+          if (depth > 0) out(i) = ' '
+          i += 1
+        case q @ ('\'' | '"' | '`') =>
+          out(i) = ' '
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (s(i) == q && i + 1 < n && s(i + 1) == q) {
+              out(i) = ' '; out(i + 1) = ' '; i += 2
+            } else {
+              if (s(i) == q) open = false
+              out(i) = ' '
+              i += 1
+            }
+          }
+        case '[' =>
+          out(i) = ' '
+          i += 1
+          while (i < n && s(i) != ']') { out(i) = ' '; i += 1 }
+          if (i < n) { out(i) = ' '; i += 1 }
+        case _ =>
+          if (depth > 0) out(i) = ' '
+          i += 1
+      }
+    }
+    new String(out)
+  }
+
   def parseCreateTable(sql: String): Seq[IntrospectionRows.SqliteColumn] = {
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
@@ -478,7 +534,9 @@ object SqliteFile {
       d.toLowerCase.matches("^(constraint\\s+\\S+\\s+)?primary\\s+key.*"))
       .map { d =>
         val inner = d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
-        splitTop(inner).map(c => unquote(c.split("\\s+")(0)))
+        // firstToken, not whitespace-split: quoted names may contain
+        // spaces ("order 2"), and DESC/ASC/COLLATE tails drop with it
+        splitTop(inner).map(c => firstToken(c)._1)
       }.getOrElse(Nil)
     val colDefs = defs.filterNot { d =>
       val k = d.split("[\\s(]+")(0).toLowerCase
@@ -511,14 +569,29 @@ object SqliteFile {
         end
       }
       val ctype = unquote(rest.substring(0, typeEnd).trim)
-      val tail = lower.substring(typeEnd)
-      val notNull = tail.contains("not null")
-      val pkHere = tail.contains("primary key") ||
+      val tailOrig = rest.substring(typeEnd)
+      // constraint keywords are only meaningful at depth 0 OUTSIDE
+      // quotes: `CHECK (x IS NOT NULL)` is not a NOT NULL constraint,
+      // `DEFAULT 'primary key'` is not a PK, and `ON DELETE SET
+      // DEFAULT` carries no default value. The mask blanks quoted
+      // regions and parenthesized bodies while PRESERVING offsets, so
+      // the default-value extraction below can read the original text
+      // at the match position.
+      val tail = maskNested(tailOrig).toLowerCase
+      val notNull = "not\\s+null".r.findFirstIn(tail).isDefined
+      val pkHere = "primary\\s+key".r.findFirstIn(tail).isDefined ||
         tableLevelPk.exists(_.equalsIgnoreCase(name))
       val default = {
-        val m = "(?i)default\\s*".r.findFirstMatchIn(rest.substring(typeEnd))
+        // match only the keyword in the MASKED text (its quoted/nested
+        // regions are blanked — a trailing \s* would swallow a blanked
+        // literal); the VALUE then reads from the original text
+        val m = "(?<![\\w$])default(?![\\w$])".r.findFirstMatchIn(tail)
+          // ON DELETE/UPDATE SET DEFAULT is a referential action, not
+          // a column default
+          .filterNot(mm => tail.substring(0, mm.start).trim
+            .endsWith(" set"))
         m.map { mm =>
-          val after = rest.substring(typeEnd + mm.end).trim
+          val after = tailOrig.substring(mm.end).trim
           if (after.startsWith("(")) {
             var depth = 0; var j = 0; var end = after.length
             var done = false
@@ -532,9 +605,18 @@ object SqliteFile {
             }
             after.substring(0, end)
           } else if (after.startsWith("'") || after.startsWith("\"")) {
+            // doubled-quote escapes stay INSIDE the literal: the
+            // closing quote is the first un-doubled one ('it''s')
             val q = after.head
-            val end = after.indexOf(q, 1)
-            after.substring(0, end + 1)
+            var j = 1
+            var end = -1
+            while (end < 0 && j < after.length) {
+              if (after(j) == q) {
+                if (j + 1 < after.length && after(j + 1) == q) j += 2
+                else end = j
+              } else j += 1
+            }
+            after.substring(0, (if (end < 0) after.length else end + 1))
           } else after.takeWhile(c => !c.isWhitespace && c != ',')
         }
       }

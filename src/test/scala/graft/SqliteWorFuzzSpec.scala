@@ -227,4 +227,138 @@ class SqliteWorFuzzSpec extends SparkSpec {
     for (seed <- 0 until seedCount)
       fuzzOne(sqlite3Bin.get, seed, withoutRowid = false)
   }
+
+  // ---- CREATE TABLE introspection fuzz (parseCreateTable vs the ----
+  // ---- CLI's own pragma_table_info over the same file)          ----
+
+  private def unq(s: String): String =
+    if (s == "NULL") null
+    else s.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
+  private def queryRows(bin: String, db: Path, sql: String)
+      : Seq[Array[String]] = {
+    val p = new ProcessBuilder(bin, "-noheader", "-separator", "",
+      db.toString, sql).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    assert(p.waitFor() == 0, s"sqlite3 query failed: $out")
+    out.split("\n").toSeq.filter(_.nonEmpty).map(_.split("", -1))
+  }
+
+  private def fuzzIntrospection(bin: String, seed: Int): Unit = {
+    val rnd = new scala.util.Random(0x1AB7E1FL + seed * 6761L)
+    val ncols = 2 + rnd.nextInt(7)
+    def q(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
+    val names = (0 until ncols).map { i =>
+      rnd.nextInt(6) match {
+        case 0 => s"c$i"
+        case 1 => s"order $i" // reserved + space
+        case 2 => s"user id$i"
+        case 3 => s"déjà$i" // unicode
+        case 4 => s"we\"ird$i" // embedded quote
+        case _ => s"Mixed_Case$i"
+      }
+    }
+    val types = (0 until ncols).map(_ => rnd.nextInt(9) match {
+      case 0 => ""
+      case 1 => "INTEGER"
+      case 2 => "int"
+      case 3 => "TEXT"
+      case 4 => "VARCHAR(30)"
+      case 5 => "DOUBLE PRECISION"
+      case 6 => "NUMERIC(10, 2)"
+      case 7 => "blob"
+      case _ => "real"
+    })
+    // PK shape: none / single column-level (maybe DESC/AUTOINCREMENT)
+    // / composite table-level over random positions
+    val pkShape = rnd.nextInt(3)
+    val pkSingle = if (pkShape == 1) Some(rnd.nextInt(ncols)) else None
+    val pkTable =
+      if (pkShape == 2)
+        rnd.shuffle((0 until ncols).toList).take(1 + rnd.nextInt(2))
+      else Nil
+    val defaults = Seq("-1", "0", "123456", "-1.5", "'it''s a'",
+      "'x,y'", "(abs(-1) + 2)", "CURRENT_TIMESTAMP", "x'ab'",
+      "'primary key'")
+    val colDefs = (0 until ncols).map { i =>
+      val parts = Seq.newBuilder[String]
+      parts += q(names(i))
+      if (types(i).nonEmpty) parts += types(i)
+      if (pkSingle.contains(i)) {
+        parts += "PRIMARY KEY"
+        if (rnd.nextBoolean()) parts += "DESC"
+        else if (types(i).equalsIgnoreCase("INTEGER") &&
+          rnd.nextBoolean()) parts += "AUTOINCREMENT"
+      }
+      if (rnd.nextInt(100) < 35) parts += "NOT NULL"
+      if (rnd.nextInt(100) < 45)
+        parts += s"DEFAULT ${defaults(rnd.nextInt(defaults.length))}"
+      rnd.nextInt(4) match {
+        // decoy text inside CHECK bodies: must NOT read as NOT NULL /
+        // PRIMARY KEY / DEFAULT constraints of the column
+        case 0 => parts += s"CHECK (${q(names(i))} IS NOT NULL)"
+        case 1 => parts += s"CHECK (${q(names(i))} <> 'primary key' " +
+          s"AND ${q(names(i))} <> 'default x')"
+        case 2 if rnd.nextBoolean() =>
+          parts += "REFERENCES o(x) ON DELETE SET DEFAULT"
+        case _ =>
+      }
+      if (rnd.nextInt(100) < 15) parts += "COLLATE NOCASE"
+      if (rnd.nextInt(100) < 10) parts += "UNIQUE"
+      parts.result().mkString(" ")
+    }
+    val tableLevel = Seq.newBuilder[String]
+    if (pkTable.nonEmpty)
+      tableLevel += pkTable.map(i => q(names(i)))
+        .mkString("PRIMARY KEY (", ", ", ")")
+    if (rnd.nextBoolean())
+      tableLevel += s"CHECK (${q(names(0))} IS NOT NULL OR " +
+        s"${q(names(1))} IS NOT NULL)"
+    if (rnd.nextInt(100) < 30)
+      tableLevel += s"FOREIGN KEY (${q(names(1))}) REFERENCES o(x) " +
+        "ON UPDATE CASCADE"
+    val create = s"CREATE TABLE fz (${(colDefs ++ tableLevel.result())
+      .mkString(", ")})"
+
+    val dir = Files.createTempDirectory(s"tifuzz$seed")
+    val db = dir.resolve("f.db")
+    runSqlite(bin, db,
+      s"CREATE TABLE o (x int PRIMARY KEY);\n$create;\n")
+    val pragma = queryRows(bin, db,
+      "SELECT cid, quote(name), quote(type), \"notnull\", " +
+        "quote(dflt_value), pk FROM pragma_table_info('fz')")
+    val parsed = graft.sources.SqliteFile.parseCreateTable(create)
+    assert(parsed.length == pragma.length,
+      s"seed $seed: ${parsed.length} cols vs pragma ${pragma.length} " +
+        s"for: $create")
+    def normType(t: String): String =
+      t.replaceAll("\\s+", " ").trim.toLowerCase
+    def normDflt(d: String): String = {
+      val t = d.trim
+      if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1).trim
+      else t
+    }
+    parsed.zip(pragma).foreach { case (p, r) =>
+      val ctx = s"seed $seed col ${p.name} in: $create"
+      assert(p.cid == r(0).toInt, ctx)
+      assert(p.name == unq(r(1)), s"$ctx — name ${unq(r(1))}")
+      assert(normType(p.ctype) == normType(unq(r(2))),
+        s"$ctx — type '${p.ctype}' vs '${unq(r(2))}'")
+      assert(p.notNull == (r(3) == "1"),
+        s"$ctx — notnull ${r(3)} vs ${p.notNull}")
+      val want = Option(unq(r(4)))
+      assert(p.default.map(normDflt) == want.map(normDflt),
+        s"$ctx — default ${p.default} vs $want")
+      assert(p.pk == r(5).toInt,
+        s"$ctx — pk ordinal ${r(5)} vs ${p.pk}")
+    }
+  }
+
+  test("CREATE TABLE introspection fuzz vs pragma_table_info: names, " +
+    "types, notnull, defaults, pk ordinals — CHECK decoys and " +
+    "referential actions never misread as constraints") {
+    assume(sqlite3Bin.isDefined, "sqlite3 CLI not on PATH")
+    for (seed <- 0 until seedCount)
+      fuzzIntrospection(sqlite3Bin.get, seed)
+  }
 }
