@@ -654,46 +654,59 @@ object SqliteFile {
           if (r.startsWith("(")) {
             val end = r.indexOf(')')
             if (end < 0) Nil
+            // firstToken, not whitespace-split: quoted names with
+            // spaces, plus COLLATE/ASC tails drop with it
             else splitTop(r.substring(1, end)).map(c =>
-              unquote(c.split("\\s+")(0)))
+              firstToken(c)._1)
           } else Nil
         Some((tbl, cols))
       }
     }
     defs.foreach { d =>
-      val lower = d.toLowerCase
+      // keyword scans run over the depth-0, quote-blanked mask — a
+      // 'references' inside a CHECK body or DEFAULT literal is data,
+      // not a clause (the mask preserves offsets, so matches index
+      // into the original text)
+      val masked = maskNested(d)
+      val lower = masked.toLowerCase
       val tableLevel =
-        "^(constraint\\s+\\S+\\s+)?foreign\\s+key\\s*\\(".r
+        "^\\s*(constraint\\s+\\S+\\s+)?foreign\\s+key\\s*\\(".r
           .findFirstMatchIn(lower)
       if (tableLevel.isDefined) {
         val fkOpen = d.indexOf('(', tableLevel.get.end - 1)
         val fkClose = d.indexOf(')', fkOpen)
         val from = splitTop(d.substring(fkOpen + 1, fkClose))
-          .map(c => unquote(c.split("\\s+")(0)))
+          .map(c => firstToken(c)._1)
         val refM = "(?i)references\\s+".r
-          .findFirstMatchIn(d.substring(fkClose))
+          .findFirstMatchIn(lower.substring(fkClose))
         refM.foreach { m =>
-          refParts(d.substring(fkClose + m.end)).foreach {
-            case (tbl, to) =>
-              val tos = if (to.nonEmpty) to else from
+          refParts(d.substring(fkClose + m.start + "references".length))
+            .foreach { case (tbl, to) =>
+              // omitted ref columns mean "the referenced table's
+              // PRIMARY KEY" — emit empty markers; the introspection
+              // post-pass resolves them against the actual PK
+              // ([[SqliteSource.introspect]])
+              val tos = if (to.nonEmpty) to else from.map(_ => "")
               from.zip(tos).zipWithIndex.foreach { case ((f, t2), s) =>
                 out += IntrospectionRows.SqliteFk(id, s, tbl, f, t2)
               }
               id += 1
-          }
+            }
         }
       } else {
         val k = d.split("[\\s(]+")(0).toLowerCase
         if (!Set("primary", "unique", "check", "constraint")(k)) {
           // column definition: a column-level REFERENCES clause
           val (name, _) = firstToken(d)
-          val refM = "(?i)\\breferences\\s+".r.findFirstMatchIn(d)
+          val refM = "(?i)(?<![\\w$])references\\s+".r
+            .findFirstMatchIn(lower)
           refM.foreach { m =>
-            refParts(d.substring(m.end)).foreach { case (tbl, to) =>
-              out += IntrospectionRows.SqliteFk(id, 0, tbl, name,
-                to.headOption.getOrElse(name))
-              id += 1
-            }
+            refParts(d.substring(m.start + "references".length))
+              .foreach { case (tbl, to) =>
+                out += IntrospectionRows.SqliteFk(id, 0, tbl, name,
+                  to.headOption.getOrElse(""))
+                id += 1
+              }
           }
         }
       }

@@ -52,7 +52,7 @@ object SqliteSource {
     val db = SqliteFile.open(path)
     try {
       val master = db.master()
-      userTables(db).map { m =>
+      val mapped = userTables(db).map { m =>
         val cols = SqliteFile.parseCreateTable(m.sql)
         val count =
           if (rowCounts) tableScan(db, m.rootPage, m.sql, cols).size.toLong
@@ -82,6 +82,22 @@ object SqliteSource {
         IntrospectionRows.sqliteTable(m.name, cols, indexes, fks,
           rowCount = count)
       }
+      // `REFERENCES t` with no column list means "t's PRIMARY KEY" —
+      // the parser emits empty markers (it sees one statement at a
+      // time); resolve them against the referenced table's actual PK
+      // here, where every table is known. SQLite resolves table names
+      // case-insensitively. Unresolvable references (missing table or
+      // arity mismatch) fall back to the local column names — the old
+      // heuristic, right whenever the key names coincide.
+      val pkOf = mapped.map(t => t.name.toLowerCase ->
+        t.indexes.find(_.primary).map(_.columns).getOrElse(Nil)).toMap
+      mapped.map(t => t.copy(fkeys = t.fkeys.map { fk =>
+        if (fk.foreignColumns.nonEmpty && fk.foreignColumns.forall(_.isEmpty)) {
+          val pk = pkOf.getOrElse(fk.foreignTable.toLowerCase, Nil)
+          fk.copy(foreignColumns =
+            if (pk.size == fk.columns.size) pk else fk.columns)
+        } else fk
+      }))
     } finally db.close()
   }
 

@@ -361,4 +361,87 @@ class SqliteWorFuzzSpec extends SparkSpec {
     for (seed <- 0 until seedCount)
       fuzzIntrospection(sqlite3Bin.get, seed)
   }
+
+  private def fuzzFks(bin: String, seed: Int): Unit = {
+    val rnd = new scala.util.Random(0xF0CE5EEDL + seed * 4001L)
+    def q(n: String): String = "\"" + n.replace("\"", "\"\"") + "\""
+    val ncols = 3 + rnd.nextInt(4)
+    val names = (0 until ncols).map { i =>
+      rnd.nextInt(3) match {
+        case 0 => s"c$i"
+        case 1 => s"key col$i"
+        case _ => s"Ref_$i"
+      }
+    }
+    val colDefs = (0 until ncols).map { i =>
+      val base = s"${q(names(i))} int"
+      rnd.nextInt(6) match {
+        case 0 => s"$base REFERENCES o" // → o's PK (x), pragma to=NULL
+        case 1 => s"$base REFERENCES o(x) ON DELETE CASCADE"
+        case 2 => s"$base REFERENCES o2 (${q("ref col")}) " +
+          "ON UPDATE SET NULL"
+        // decoys: the keyword inside CHECK bodies / literals is data
+        case 3 => s"$base CHECK (${q(names(i))} <> 'references o(x)')"
+        case 4 => s"$base DEFAULT 'references o'"
+        case _ => base
+      }
+    }
+    val tableLevel = Seq.newBuilder[String]
+    if (rnd.nextBoolean())
+      tableLevel += s"FOREIGN KEY (${q(names(0))}, ${q(names(1))}) " +
+        "REFERENCES o3" // composite, no ref cols → o3's PK (p, q)
+    if (rnd.nextBoolean())
+      tableLevel += s"CONSTRAINT fk_extra FOREIGN KEY (${q(names(2))}) " +
+        "REFERENCES o (x) ON DELETE SET DEFAULT"
+    val create = s"CREATE TABLE fz (${(colDefs ++ tableLevel.result())
+      .mkString(", ")})"
+    val dir = Files.createTempDirectory(s"fkfuzz$seed")
+    val db = dir.resolve("f.db")
+    runSqlite(bin, db,
+      """CREATE TABLE o (x int PRIMARY KEY);
+        |CREATE TABLE o2 ("ref col" int PRIMARY KEY);
+        |CREATE TABLE o3 (p int, q int, PRIMARY KEY (p, q));
+        |""".stripMargin + create + ";\n")
+    // pragma side: group by id → (ref table, seq-ordered (from, to))
+    val pragma = queryRows(bin, db,
+      "SELECT id, seq, quote(\"table\"), quote(\"from\"), " +
+        "quote(\"to\") FROM pragma_foreign_key_list('fz')")
+    def grp(rows: Seq[(Int, Int, String, String, Option[String])]) =
+      rows.groupBy(_._1).values.map { g =>
+        (g.head._3.toLowerCase,
+          g.sortBy(_._2).map(r => (r._4, r._5)))
+      }.toSet
+    val wantSet = grp(pragma.map(r =>
+      (r(0).toInt, r(1).toInt, unq(r(2)), unq(r(3)),
+        Option(unq(r(4))))))
+    val parsed = graft.sources.SqliteFile.parseForeignKeys(create)
+    val gotSet = grp(parsed.map(f =>
+      (f.id, f.seq, f.table, f.from,
+        Option(f.to).filter(_.nonEmpty))))
+    assert(gotSet == wantSet,
+      s"seed $seed: fk mismatch\n got $gotSet\nwant $wantSet\n$create")
+    // the file-level introspection resolves column-less REFERENCES to
+    // the referenced table's actual PK (pragma only reports NULL)
+    val t = graft.sources.SqliteSource.introspect(db.toString)
+      .find(_.name == "fz").get
+    val pkOf = Map("o" -> Seq("x"), "o2" -> Seq("ref col"),
+      "o3" -> Seq("p", "q"))
+    val nullRefs = wantSet.filter(_._2.exists(_._2.isEmpty))
+    nullRefs.foreach { case (refTable, pairs) =>
+      val resolved = t.fkeys.find(fk =>
+        fk.foreignTable.toLowerCase == refTable &&
+          fk.columns == pairs.map(_._1))
+      assert(resolved.exists(_.foreignColumns == pkOf(refTable)),
+        s"seed $seed: $refTable PK not resolved: " +
+          s"${resolved.map(_.foreignColumns)} in ${t.fkeys}\n$create")
+    }
+  }
+
+  test("FOREIGN KEY introspection fuzz vs pragma_foreign_key_list: " +
+    "composite/constraint-named/column-less forms, decoys inert, " +
+    "omitted ref columns resolve to the referenced PK") {
+    assume(sqlite3Bin.isDefined, "sqlite3 CLI not on PATH")
+    for (seed <- 0 until seedCount)
+      fuzzFks(sqlite3Bin.get, seed)
+  }
 }
