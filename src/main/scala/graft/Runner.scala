@@ -389,10 +389,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     // and ExactlyOnce.splitQualified, so index handling, sink naming
     // and summary stats all agree on which relation a dotted string
     // targets
-    val (schema, rel) = table.split("\\.", 2) match {
-      case Array(s, t) => (s, t)
-      case _ => ("public", table)
-    }
+    val (schemaOpt, rel) = graft.sinks.PgWire.splitQualified(table)
+    val schema = schemaOpt.getOrElse("public")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val qt = graft.sinks.PgWire.quoteQualified(table)
     val rows = queryTarget(
@@ -521,10 +519,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           s" ($why)")
       None
     }
-    val (schema, rel) = table.split("\\.", 2) match {
-      case Array(s, t) => (s, t)
-      case _ => ("public", table)
-    }
+    val (schemaOpt, rel) = graft.sinks.PgWire.splitQualified(table)
+    val schema = schemaOpt.getOrElse("public")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val attrs = queryTarget(
       "SELECT a.attname, t.typname, t.typtype::text, " +
@@ -871,7 +867,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
       case "pgsql" | "postgresql" | "postgres" =>
         val sp = graft.sinks.PgWire.connParams(uri, decode)
         val read = (t: Table, isView: Boolean) => {
-          val qualified = s"${t.sourceSchemaName}.${t.sourceName}"
+          val qualified = graft.sinks.PgWire.joinQualified(
+            t.sourceSchemaName, t.sourceName)
           if (isView)
             // views have no ctid to split on: one streaming connection
             graft.sources.PgWireSource.readView(sparkF(), sp, qualified)
@@ -1086,7 +1083,8 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // whole-tree capacity probe (their relpages=0 lies about
           // volume); big parents route to the per-leaf distributed read
           t => graft.sources.PgWireSource.localScanIfSmall(
-            sp, s"${t.sourceSchemaName}.${t.sourceName}")
+            sp, graft.sinks.PgWire.joinQualified(
+              t.sourceSchemaName, t.sourceName))
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)
@@ -1242,7 +1240,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           if (local.isDefined) {
             val (cols, rows, close) = local.get()
             try {
-              val qualified = s"${t.schema}.${t.name}"
+              val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
               val kinds = binaryKinds(qualified, cols,
                 named = false, preserveCase = false,
                 mode = cmd.option("copy binary"))
@@ -1279,14 +1277,16 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // staged publish per table — same wrapper as file loads;
             // the migrated table is positional (created in frame
             // order). Locals only in endpointFor (see load()).
-            val kinds = binaryKinds(s"${t.schema}.${t.name}",
+            val kinds = binaryKinds(
+              graft.sinks.PgWire.joinQualified(t.schema, t.name),
               df.columns.toSeq, named = false, preserveCase = false,
               mode = cmd.option("copy binary"))
             val ef = kinds match {
               case Some(_) => binaryEndpointFactory
               case None => endpointFactory
             }
-            graft.sinks.ExactlyOnce.write(df, s"${t.schema}.${t.name}",
+            graft.sinks.ExactlyOnce.write(df,
+              graft.sinks.PgWire.joinQualified(t.schema, t.name),
               exec = sql => executeDdl(sql, setup),
               endpointFor = (stage, stageSetup, pid) => ef(
                 graft.sinks.PgWire.quoteQualified(stage),
@@ -1305,7 +1305,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // in created-column order, types resolved per table from
             // the TARGET catalog (the Migrator's DDL ran already) —
             // unsupported types fall back to COPY TEXT table-by-table
-            val qualified = s"${t.schema}.${t.name}"
+            val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
             val sink = binaryKinds(qualified, df.columns.toSeq,
               named = false, preserveCase = false,
               mode = cmd.option("copy binary")) match {

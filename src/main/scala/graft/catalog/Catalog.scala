@@ -70,7 +70,7 @@ final case class Table(
     columns: Seq[ColumnDef] = Nil,       // TARGET shape (after cast)
     indexes: Seq[Index] = Nil,
     fkeys: Seq[FKey] = Nil,
-    checks: Seq[String] = Nil,
+    checks: Seq[CheckDef] = Nil,
     /** PG source relkind 'p' — a partitioned PARENT. Parents own no
       * storage (relpages = 0 always) and have no ctid system column,
       * so every read route must go through the leaf partitions (or a
@@ -110,6 +110,15 @@ final case class ColumnDef(
     default: Option[String] = None,
     transform: Option[Column => Column] = None,
     comment: Option[String] = None)
+
+/** A CHECK constraint: sources that expose constraint names
+  * (pg_constraint.conname, information_schema.check_constraints)
+  * carry them so the target constraint restores under its original
+  * name — auto-generated source names like `t_col_check` are still
+  * names a user's tooling may reference. Nameless sources (SQLite
+  * column-level checks) leave None and the Migrator synthesizes
+  * `<table>_check_<i>` as before. */
+final case class CheckDef(name: Option[String], expr: String)
 
 final case class Index(
     name: String,

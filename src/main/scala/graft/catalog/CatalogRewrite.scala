@@ -83,7 +83,8 @@ object CatalogRewrite {
           fkeys = t.fkeys.map(f => f.copy(table = ic(f.table),
             foreignTable = ic(f.foreignTable),
             foreignSchema =
-              if (f.foreignSchema.isEmpty) "" else ic(f.foreignSchema))))))),
+              if (f.foreignSchema.isEmpty) "" else ic(f.foreignSchema))),
+          checks = t.checks.map(c => c.copy(name = c.name.map(ic))))))),
       sequences = cat.sequences.map(sq =>
         sq.copy(schema = ic(sq.schema), name = ic(sq.name))))
   }

@@ -539,8 +539,9 @@ final class Migrator(
       }
     timedPost("Create Check Constraints", always = false) {
       okTables.foreach(t =>
-        t.checks.zipWithIndex.foreach { case (expr, i) =>
-          postDdl(Ddl.addCheck(t, s"${t.name}_check_$i", expr)) })
+        t.checks.zipWithIndex.foreach { case (ck, i) =>
+          postDdl(Ddl.addCheck(t,
+            ck.name.getOrElse(s"${t.name}_check_$i"), ck.expr)) })
     }
     timedPost("Install Comments", always = false) {
       okTables.foreach { t =>

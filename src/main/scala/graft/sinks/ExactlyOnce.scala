@@ -69,11 +69,11 @@ object ExactlyOnce extends Serializable {
     * Split on the FIRST dot, matching the Runner's own qualified-name
     * convention (`t.schema + "." + t.name`).
     */
+  /** Quote-aware: accepts both the bare `schema.rel` convention and
+    * the pre-quoted `"schema"."rel"` form [[PgWire.joinQualified]]
+    * emits for names containing dots or quotes. */
   private[sinks] def splitQualified(t: String): (Option[String], String) =
-    t.split("\\.", 2) match {
-      case Array(s, r) => (Some(s), r)
-      case _           => (None, t)
-    }
+    PgWire.splitQualified(t)
 
   /** Bare-relname base bounded so every stage name fits PostgreSQL's
     * NAMEDATALEN (63 bytes). Worst-case suffix is
@@ -144,7 +144,8 @@ object ExactlyOnce extends Serializable {
 
   def stageName(table: String, pid: Int, attemptId: Long): String = {
     val (schema, _) = splitQualified(table)
-    schema.fold("")(_ + ".") + s"${stagePrefix(table)}${pid}_a$attemptId"
+    val rel = s"${stagePrefix(table)}${pid}_a$attemptId"
+    schema.fold(rel)(s => PgWire.joinQualified(s, rel))
   }
 
   /** Default stage cleanup (PostgreSQL): one DO block dropping every

@@ -94,6 +94,53 @@ object PgWire {
       case _ => quoteIdent(name)
     }
 
+  /** Join schema + name into the engine's qualified-string convention:
+    * the bare `schema.name` when both parts are free of '.' and '"'
+    * (the historical form every splitter understands), otherwise the
+    * PRE-QUOTED `"schema"."name"` that [[quoteQualified]] passes
+    * through verbatim and [[splitQualified]] parses exactly — a dot
+    * INSIDE a schema or table name is unrecoverable from the bare
+    * join (`"Sch.dot".t` vs `Sch."dot.t"` collapse to one string). */
+  def joinQualified(schema: String, name: String): String =
+    if (schema.isEmpty) name
+    else if (schema.indexOf('.') < 0 && schema.indexOf('"') < 0 &&
+             name.indexOf('.') < 0 && name.indexOf('"') < 0)
+      s"$schema.$name"
+    else quoteIdent(schema) + "." + quoteIdent(name)
+
+  /** Quote-aware inverse of [[joinQualified]]: parses both the bare
+    * and the pre-quoted convention, returning UNQUOTED parts. */
+  def splitQualified(s: String): (Option[String], String) =
+    if (s.startsWith("\"")) {
+      // leading quoted segment; "" inside is an escaped quote
+      val sb = new StringBuilder
+      var i = 1
+      var close = -1
+      while (close < 0 && i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') {
+            sb += '"'; i += 2
+          } else { close = i; i += 1 }
+        } else { sb += c; i += 1 }
+      }
+      val first = sb.toString
+      if (close < 0 || i >= s.length || s.charAt(i) != '.')
+        (None, first)
+      else {
+        val rest = s.substring(i + 1)
+        val restUnq =
+          if (rest.length >= 2 && rest.startsWith("\"") &&
+              rest.endsWith("\""))
+            rest.substring(1, rest.length - 1).replace("\"\"", "\"")
+          else rest
+        (Some(first), restUnq)
+      }
+    } else s.split("\\.", 2) match {
+      case Array(a, b) => (Some(a), b)
+      case _ => (None, s)
+    }
+
   /** Render a COPY target WITH an explicit column list — `"t" ("a", "b")`
     * — pre-quoted so it passes [[quoteQualified]] untouched. File loads
     * MUST name their columns: the user's pre-created table can order

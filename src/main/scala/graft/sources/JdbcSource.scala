@@ -4,7 +4,7 @@ import java.sql.{Connection, DriverManager}
 import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.casting.SourceColumn
-import graft.catalog.{Catalog, Ddl, FKey, Index, Schema, Table}
+import graft.catalog.{Catalog, CheckDef, Ddl, FKey, Index, Schema, Table}
 
 /** Database source: schema introspection + (partitioned) reads over JDBC.
   *
@@ -507,13 +507,20 @@ object IntrospectionSql {
 
   /** pg_index with a column-name list aggregated in key order;
     * expression members (attnum 0) aggregate to NULL columns. Any
-    * index with expression members — fully-expression (columns NULL)
-    * or MIXED like `(a, lower(b))` (columns non-empty but indexprs set)
-    * — re-creates from pg_get_indexdef like the reference
+    * index the plain (columns, unique, filter) triple cannot reproduce
+    * re-creates from pg_get_indexdef like the reference
     * (pgsql-schema.lisp list-all-indexes keeps the full indexdef);
     * plain ones build from the column list so names/columns case.
-    * `hasexprs` makes the mixed case detectable: its plain-column
-    * aggregate alone would silently rebuild `(a, lower(b))` as `(a)`. */
+    * `hasexprs` (widened round 20) detects EVERY unreproducible shape,
+    * each of which the plain rebuild would silently alter on the
+    * target: expression members — fully-expression (columns NULL) or
+    * MIXED like `(a, lower(b))` whose attnum>0 aggregate keeps only
+    * `a`; a non-btree access method (gin/gist/hash/brin would rebuild
+    * as btree); per-column DESC / NULLS FIRST ordering (indoption);
+    * non-default operator classes (text_pattern_ops);
+    * INCLUDE covering columns (indnatts > indnkeyatts — indkey holds
+    * them, so the plain rebuild would promote them to KEY columns);
+    * and a per-key collation differing from the column's own. */
   val pgsqlIndexes: String =
     """SELECT n.nspname, t.relname, i.relname,
        x.indisprimary, x.indisunique,
@@ -524,9 +531,25 @@ object IntrospectionSql {
         WHERE k.attnum > 0) AS columns,
        pg_get_expr(x.indpred, x.indrelid) AS filter,
        pg_get_indexdef(x.indexrelid) AS indexdef,
-       (x.indexprs IS NOT NULL)::text AS hasexprs
+       (x.indexprs IS NOT NULL
+        OR am.amname <> 'btree'
+        OR x.indnatts <> x.indnkeyatts
+        OR EXISTS (SELECT 1 FROM unnest(x.indoption) o WHERE o <> 0)
+        OR EXISTS (SELECT 1 FROM unnest(x.indclass) c
+                   JOIN pg_opclass oc ON oc.oid = c
+                   WHERE NOT oc.opcdefault)
+        OR EXISTS (SELECT 1
+                   FROM unnest(x.indcollation) WITH ORDINALITY ic(coll, o1)
+                   JOIN unnest(x.indkey) WITH ORDINALITY ik(attnum, o2)
+                     ON ik.o2 = ic.o1
+                   LEFT JOIN pg_attribute ac
+                     ON ac.attrelid = x.indrelid AND ac.attnum = ik.attnum
+                   WHERE ic.coll <> 0 AND ik.attnum > 0
+                     AND ic.coll IS DISTINCT FROM ac.attcollation)
+       )::text AS hasexprs
        FROM pg_index x
        JOIN pg_class i ON i.oid = x.indexrelid
+       JOIN pg_am am ON am.oid = i.relam
        JOIN pg_class t ON t.oid = x.indrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
        WHERE n.nspname NOT IN ('pg_catalog', 'information_schema')
@@ -1206,7 +1229,8 @@ object IntrospectionRows {
           f.copy(comment = cc.get((t.sourceName, f.name))
             .filter(_.nonEmpty))),
         checks = checks.getOrElse(t.sourceName, Nil)
-          .map(r => mysqlCheckToPg(r(2))))
+          .map(r => CheckDef(Option(r(1)).filter(_.nonEmpty),
+            mysqlCheckToPg(r(2)))))
     }
   }
 
@@ -1239,7 +1263,8 @@ object IntrospectionRows {
           f.copy(comment = cc.get((t.schema, t.sourceName, f.name))
             .filter(_.nonEmpty))),
         checks = checks.getOrElse((t.schema, t.sourceName), Nil)
-          .map(r => stripPgCheckDef(r(3))))
+          .map(r => CheckDef(Option(r(2)).filter(_.nonEmpty),
+            stripPgCheckDef(r(3)))))
     }
   }
 

@@ -233,7 +233,7 @@ object PgWireSource {
          JOIN pg_namespace n ON n.oid = c.relnamespace
          WHERE c.relkind <> 'p'
          ORDER BY n.nspname, c.relname""")
-      rows.map(r => (s"${r(0)}.${r(1)}", r(2).toLong, r(3)))
+      rows.map(r => (PgWire.joinQualified(r(0), r(1)), r(2).toLong, r(3)))
     } finally conn.close()
   }
 

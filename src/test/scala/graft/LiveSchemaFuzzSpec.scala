@@ -1,0 +1,651 @@
+package graft
+
+import graft.sinks.{PgWire, PgWireCopyEndpoint, PgWireConnection}
+import scala.collection.mutable
+import scala.util.Random
+
+/** Whole-schema migration fuzzer against live PostgreSQL: each seed
+  * generates a random source database — hostile identifiers (MixedCase,
+  * reserved words, spaces, unicode, embedded quotes, dots, leading
+  * spaces), a wide type pool (ints, numeric, floats incl. NaN, text,
+  * varchar/char, bool, date/time/timestamp/timestamptz, uuid, bytea,
+  * interval, jsonb, arrays), random NOT NULL / defaults / serial,
+  * single+composite PKs, UNIQUE constraints, named+unnamed CHECKs with
+  * decoy keyword text, plain/expression/partial/mixed indexes,
+  * cross-schema FKs with referential actions and deferrable timing,
+  * table+column comments, and random rows — migrates it pg→pg through
+  * the production Runner under `quote identifiers` (identity name
+  * mapping), then compares SOURCE vs TARGET with the SAME pg_catalog
+  * queries: columns (format_type + notnull + default expr), index
+  * definitions (pg_get_indexdef, name-stripped), CHECK and FK
+  * constraint definitions (pg_get_constraintdef), comments, and a
+  * per-table md5 row digest.
+  *
+  * The oracle is PostgreSQL itself rendering both catalogs — the only
+  * normalizations are the engine's documented transforms: serial /
+  * identity columns land as fresh serials (nextval spelling varies →
+  * folded to nextval(SEQ)), and UNIQUE *constraints* recreate as
+  * unique *indexes* (pg_get_indexdef renders both identically, so the
+  * index compare still pins them; contype='u' rows are not compared).
+  *
+  * The same CLI-oracle shape as SqliteWorFuzzSpec: deterministic per
+  * seed, GRAFT_SCHEMA_FUZZ_SEEDS deepens the default sweep.
+  */
+class LiveSchemaFuzzSpec extends SparkSpec {
+
+  private val decode =
+    (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def swapDb(uri: String, db: String): String =
+    uri.substring(0, uri.lastIndexOf('/') + 1) + db
+
+  private def exec(uri: String, sql: String): Unit = {
+    val c = new PgWireConnection(PgWire.connParams(uri, decode))
+    try c.simpleCommand(sql) finally c.close()
+  }
+
+  private def q(uri: String, sql: String): Seq[Seq[String]] = {
+    val c = new PgWireConnection(PgWire.connParams(uri, decode))
+    try c.query(sql)._2.map(_.toSeq) finally c.close()
+  }
+
+  private def pgRunner(pgUri: String): Runner = {
+    val dp = PgWire.connParams(pgUri, decode)
+    new Runner(
+      executeDdl = (sql, setup) => {
+        val c = new PgWireConnection(dp)
+        try { setup.foreach(c.simpleCommand); c.simpleCommand(sql) }
+        finally c.close()
+      },
+      endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup))
+  }
+
+  private def qi(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  // ------------------------------------------------------------------
+  // random schema model
+  // ------------------------------------------------------------------
+
+  /** lit: row index -> SQL literal (unique columns are counter-based so
+    * PK/UNIQUE/unique-index participation never violates). */
+  private case class Col(name: String, typ: String, notNull: Boolean,
+                         default: Option[String], uniqueCapable: Boolean,
+                         lit: Int => String)
+
+  private case class Tab(schema: String, name: String, cols: Vector[Col],
+                         pk: Seq[String], nRows: Int,
+                         extras: Seq[String], after: Seq[String]) {
+    def qq: String = s"${qi(schema)}.${qi(name)}"
+  }
+
+  /** Index feature level: 0 = shapes the engine has always claimed
+    * (plain/expression/partial/mixed/unique), 1 = adds ordering
+    * (DESC/NULLS FIRST), opclasses, non-btree methods (hash/gin), and
+    * INCLUDE columns. */
+  private val advancedIndexes =
+    sys.env.get("GRAFT_SCHEMA_FUZZ_BASIC").isEmpty
+
+  private class Gen(seed: Long) {
+    val rnd = new Random(seed)
+    private val used = mutable.Set[String]()
+    private var n = 0
+
+    def name(prefix: String): String = {
+      var out: String = null
+      while (out == null) {
+        n += 1
+        val cand = rnd.nextInt(12) match {
+          case 0 => s"${prefix}_plain$n"
+          case 1 => s"${prefix.capitalize}Camel$n"
+          case 2 => Seq("order", "user", "group", "select", "where",
+            "table", "limit", "desc", "end", "check")(rnd.nextInt(10))
+          case 3 => s"$prefix sp $n"
+          case 4 => s"café ${prefix}é$n"
+          case 5 => s"we\"ird$prefix$n"
+          case 6 => (prefix + "_very".repeat(12)).take(52) + n
+          case 7 => s"$prefix-$n"
+          case 8 => s"$prefix.dot$n"
+          case 9 => s" lead$prefix$n"
+          case _ => s"$prefix$n"
+        }
+        if (!used.contains(cand.toLowerCase) && cand.length <= 60)
+          { used += cand.toLowerCase; out = cand }
+      }
+      out
+    }
+
+    def textVal(max: Int = 14): String = {
+      val pool = "abcXYZ élan日本\\'\"\t,{}[]()|-_~%"
+      val len = rnd.nextInt(max + 1)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        rnd.nextInt(20) match {
+          case 0 => sb += '\n'
+          case 1 => sb += '\r'
+          case _ => sb += pool(rnd.nextInt(pool.length))
+        }
+      }
+      sb.toString
+    }
+
+    private def jsonVal(): String = {
+      def s() = "\"" + textVal(6).replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t") + "\""
+      val inner = rnd.nextInt(4) match {
+        case 0 => s"""{"k": ${rnd.nextInt(100)}, "s": ${s()}}"""
+        case 1 => s"""[${rnd.nextInt(9)}, true, null, ${s()}]"""
+        case 2 => s()
+        case _ => "{}"
+      }
+      sq(inner) + "::jsonb"
+    }
+
+    private def arrVal(elemSql: () => String, cast: String): String =
+      rnd.nextInt(5) match {
+        case 0 => s"'{}'::$cast"
+        case _ =>
+          val els = (0 until rnd.nextInt(4) + 1).map(_ =>
+            if (rnd.nextInt(5) == 0) "NULL" else elemSql())
+          s"ARRAY[${els.mkString(", ")}]::$cast"
+      }
+
+    private def numericLit(p: Int, s: Int): String = {
+      // numeric(p,s) allows p-s integer digits; p == s allows none
+      val intDigits =
+        if (p == s) "0"
+        else (0 until rnd.nextInt(p - s) + 1)
+          .map(_ => rnd.nextInt(10)).mkString
+      val frac = if (s == 0) ""
+        else "." + (0 until s).map(_ => rnd.nextInt(10)).mkString
+      (if (rnd.nextBoolean()) "-" else "") + intDigits + frac
+    }
+
+    private def dateLit(): String = {
+      val d = java.time.LocalDate.ofEpochDay(rnd.between(-62000L, 80000L))
+      f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+    }
+    private def timeLit(): String = {
+      val m = rnd.between(0L, 86400000000L)
+      f"${m / 3600000000L}%02d:${m / 60000000L % 60}%02d:" +
+        f"${m / 1000000L % 60}%02d.${m % 1000000L}%06d"
+    }
+    private def uuidLit(): String = java.util.UUID.nameUUIDFromBytes(
+      rnd.nextLong().toString.getBytes("UTF-8")).toString
+
+    /** Build a random non-unique column. */
+    def mkCol(prefix: String): Col = {
+      val nm = name(prefix)
+      rnd.nextInt(20) match {
+        case 0 => Col(nm, "smallint", false, None, false,
+          _ => (rnd.nextInt(65536) - 32768).toString)
+        case 1 => Col(nm, "integer",
+          rnd.nextBoolean(),
+          if (rnd.nextInt(4) == 0) Some((rnd.nextInt(1000) - 500).toString)
+          else None,
+          false, _ => rnd.nextInt().toString)
+        case 2 => Col(nm, "bigint", false, None, false,
+          _ => rnd.nextLong().toString)
+        case 3 =>
+          val p = rnd.nextInt(18) + 2
+          val s = rnd.nextInt(p + 1)
+          Col(nm, s"numeric($p,$s)", rnd.nextBoolean(), None, false,
+            _ => numericLit(p, s))
+        case 4 => Col(nm, "numeric", false, None, false,
+          _ => if (rnd.nextInt(10) == 0) "'NaN'::numeric"
+               else numericLit(20, rnd.nextInt(8)))
+        case 5 => Col(nm, "double precision", false, None, false,
+          _ => rnd.nextInt(12) match {
+            case 0 => "'NaN'::float8"
+            case 1 => "'Infinity'::float8"
+            case 2 => "'-Infinity'::float8"
+            case _ => (math.pow(10, rnd.between(-200.0, 200.0)) *
+              (rnd.nextDouble() - 0.5)).toString
+          })
+        case 6 => Col(nm, "real", false, None, false,
+          _ => ((math.pow(10, rnd.between(-20.0, 20.0)) *
+            (rnd.nextDouble() - 0.5)).toFloat).toString)
+        case 7 | 8 => Col(nm, "text", rnd.nextBoolean(),
+          if (rnd.nextInt(4) == 0) Some(sq(textVal(8))) else None,
+          false, _ => sq(textVal()))
+        case 9 =>
+          val len = rnd.nextInt(39) + 2
+          Col(nm, s"varchar($len)", false, None, false,
+            _ => sq(textVal(math.min(len, 12))))
+        case 10 =>
+          val len = rnd.nextInt(9) + 1
+          Col(nm, s"char($len)", false, None, false,
+            _ => sq(textVal(len).replace("\n", " ").replace("\r", " ")))
+        case 11 => Col(nm, "boolean", rnd.nextBoolean(),
+          if (rnd.nextInt(4) == 0) Some("true") else None,
+          false, _ => if (rnd.nextBoolean()) "true" else "false")
+        case 12 => Col(nm, "date", false,
+          if (rnd.nextInt(5) == 0) Some("CURRENT_DATE") else None,
+          false, _ => s"date '${dateLit()}'")
+        case 13 => Col(nm, "time", false, None, false,
+          _ => s"time '${timeLit()}'")
+        case 14 => Col(nm, "timestamp", false, None, false,
+          _ => s"timestamp '${dateLit()} ${timeLit()}'")
+        case 15 => Col(nm, "timestamptz", false,
+          if (rnd.nextInt(5) == 0) Some("now()") else None,
+          false, _ => s"timestamptz '${dateLit()} ${timeLit()}" +
+            f"+${rnd.nextInt(13)}%02d'")
+        case 16 => Col(nm, "bytea", false, None, false,
+          _ => "decode('" + (0 until rnd.nextInt(12) * 2)
+            .map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString +
+            "', 'hex')")
+        case 17 => Col(nm, "interval", false, None, false,
+          _ => s"interval '${rnd.between(-40, 40)} mons " +
+            s"${rnd.between(-99, 99)} days ${rnd.between(-30, 30)} hours " +
+            s"${rnd.nextInt(60)} min ${rnd.nextInt(1000000)} us'")
+        case 18 => Col(nm, "jsonb", false,
+          if (rnd.nextInt(6) == 0) Some("'{}'::jsonb") else None,
+          false, _ => jsonVal())
+        case _ => if (rnd.nextBoolean())
+          Col(nm, "integer[]", false, None, false,
+            _ => arrVal(() => rnd.nextInt(1000).toString, "integer[]"))
+        else
+          Col(nm, "text[]", false, None, false,
+            _ => arrVal(() => sq(textVal(8)), "text[]"))
+      }
+    }
+
+    /** A unique-capable column: values are counter-deterministic. */
+    def mkUniqueCol(prefix: String, base: Int): Col = {
+      val nm = name(prefix)
+      rnd.nextInt(5) match {
+        case 0 => Col(nm, "bigint", true, None, true,
+          i => (5000000000L + base * 100000 + i).toString)
+        case 1 => Col(nm, "text", true, None, true,
+          i => sq(s"u$base-$i"))
+        case 2 => Col(nm, "uuid", true, None, true,
+          i => f"'00000000-0000-4000-8000-$base%04d${i}%08d'::uuid")
+        case 3 => Col(nm, "date", true, None, true,
+          i => s"date '${java.time.LocalDate.ofEpochDay(base * 50 + i)}'")
+        case _ =>
+          val typ = rnd.nextInt(4) match {
+            case 0 => "serial"
+            case 1 => "bigserial"
+            case _ => "integer"
+          }
+          Col(nm, typ, true, None, true,
+            i => (1000000 + base * 10000 + i).toString)
+      }
+    }
+
+    def comment(): String = textVal(20) + "'--\"☂"
+  }
+
+  // ------------------------------------------------------------------
+  // generation of one database
+  // ------------------------------------------------------------------
+
+  /** Returns (setup statements, tables in creation order). */
+  private def genDatabase(g: Gen): (Seq[String], Seq[Tab]) = {
+    val rnd = g.rnd
+    val ddl = Seq.newBuilder[String]
+    val hostileSchema = g.name("Sch")
+    ddl += s"CREATE SCHEMA ${qi(hostileSchema)};"
+    val schemas = Seq("public", hostileSchema)
+
+    val nTables = rnd.nextInt(3) + 3
+    val tabs = mutable.ArrayBuffer[Tab]()
+
+    (0 until nTables).foreach { ti =>
+      val schema = schemas(rnd.nextInt(schemas.length))
+      val tname = g.name("t")
+      // column 0: a unique-capable "id"; then 1-6 random columns
+      val idCol = g.mkUniqueCol("id", ti)
+      var cols = Vector(idCol) ++
+        (0 until rnd.nextInt(6) + 1).map(_ => g.mkCol("c"))
+      // optionally a second unique column (UNIQUE constraint / index)
+      val extraU =
+        if (rnd.nextInt(3) == 0) Some(g.mkUniqueCol("u", ti + 50))
+        else None
+      extraU.foreach(c => cols :+= c)
+
+      val extras = Seq.newBuilder[String]
+      val after = Seq.newBuilder[String]
+
+      // PK: 70% single id, 15% composite (id, extra unique), 15% none
+      val pk: Seq[String] = rnd.nextInt(20) match {
+        case x if x < 14 => Seq(idCol.name)
+        case x if x < 17 && extraU.isDefined =>
+          Seq(idCol.name, extraU.get.name)
+        case _ => Nil
+      }
+      if (pk.nonEmpty)
+        extras += s"PRIMARY KEY (${pk.map(qi).mkString(", ")})"
+
+      // UNIQUE constraint on the extra unique column
+      extraU.foreach { u =>
+        if (!pk.contains(u.name)) rnd.nextInt(3) match {
+          case 0 => extras += s"UNIQUE (${qi(u.name)})"
+          case 1 => extras +=
+            s"CONSTRAINT ${qi(g.name("uq"))} UNIQUE (${qi(u.name)})"
+          case _ => after += s"CREATE UNIQUE INDEX ${qi(g.name("ux"))} " +
+            s"ON ${qi(schema)}.${qi(tname)} (${qi(u.name)});"
+        }
+      }
+
+      // CHECK constraints with decoy keyword text
+      cols.filter(c => c.typ == "integer" || c.typ == "bigint")
+        .take(1).foreach { c =>
+          if (rnd.nextBoolean()) {
+            val body = s"${qi(c.name)} IS NULL OR ${qi(c.name)} > " +
+              s"${Long.MinValue + 1}"
+            extras += (if (rnd.nextBoolean())
+              s"CONSTRAINT ${qi(g.name("ck"))} CHECK ($body)"
+            else s"CHECK ($body)")
+          }
+        }
+      cols.find(_.typ == "text").foreach { c =>
+        if (rnd.nextInt(3) == 0)
+          extras += s"CHECK (${qi(c.name)} IS DISTINCT FROM " +
+            s"'not null primary key references x(y)')"
+      }
+
+      // FK to an earlier table with a single-column integer-family PK
+      val parents = tabs.filter(p => p.pk.length == 1 &&
+        p.cols.exists(c => c.name == p.pk.head &&
+          Set("integer", "serial", "bigserial", "bigint").contains(c.typ)))
+      var fkLit: Option[(String, Int => String)] = None
+      if (parents.nonEmpty && rnd.nextBoolean()) {
+        val p = parents(rnd.nextInt(parents.length))
+        val pCol = p.cols.find(_.name == p.pk.head).get
+        val fkTyp = pCol.typ match {
+          case "serial" => "integer"
+          case "bigserial" => "bigint"
+          case t => t
+        }
+        val fkc = Col(g.name("fk"), fkTyp, false, None, false,
+          i => if (p.nRows == 0 || rnd.nextInt(4) == 0) "NULL"
+               else pCol.lit(rnd.nextInt(p.nRows)))
+        cols :+= fkc
+        val act = () => Seq("NO ACTION", "RESTRICT", "CASCADE",
+          "SET NULL", "SET DEFAULT")(rnd.nextInt(5))
+        val defer = rnd.nextInt(3) match {
+          case 0 => " DEFERRABLE"
+          case 1 => " DEFERRABLE INITIALLY DEFERRED"
+          case _ => ""
+        }
+        extras += s"CONSTRAINT ${qi(g.name("fk"))} FOREIGN KEY " +
+          s"(${qi(fkc.name)}) REFERENCES ${p.qq} (${qi(p.pk.head)}) " +
+          s"ON UPDATE ${act()} ON DELETE ${act()}$defer"
+        fkLit = Some((fkc.name, fkc.lit))
+      }
+
+      val qq = s"${qi(schema)}.${qi(tname)}"
+
+      // secondary indexes
+      val nIdx = rnd.nextInt(3)
+      (0 until nIdx).foreach { _ =>
+        val named = if (rnd.nextBoolean()) qi(g.name("ix")) + " " else ""
+        rnd.nextInt(if (advancedIndexes) 8 else 4) match {
+          case 0 => // plain 1-2 columns
+            val ics = rnd.shuffle(cols).take(rnd.nextInt(2) + 1)
+            after += s"CREATE INDEX $named" +
+              s"ON $qq (${ics.map(c => qi(c.name)).mkString(", ")});"
+          case 1 => // expression (must be IMMUTABLE: lower(text) or
+            // arithmetic on a numeric-family column — ::text casts of
+            // date/timestamptz are only STABLE and PG rejects them)
+            val numFam = Set("smallint", "integer", "bigint", "serial",
+              "bigserial", "real", "double precision")
+            cols.find(_.typ == "text") match {
+              case Some(c) => after += s"CREATE INDEX ${named}ON $qq " +
+                s"(lower(${qi(c.name)}));"
+              case None => cols.find(c => numFam.contains(c.typ) ||
+                  c.typ.startsWith("numeric")).foreach { c =>
+                after += s"CREATE INDEX ${named}ON $qq " +
+                  s"((${qi(c.name)} + 1));"
+              }
+            }
+          case 2 => // partial
+            val c = cols(rnd.nextInt(cols.length))
+            after += s"CREATE INDEX ${named}ON $qq (${qi(c.name)}) " +
+              s"WHERE ${qi(c.name)} IS NOT NULL;"
+          case 3 => // mixed plain + expression
+            val numFam = Set("smallint", "integer", "bigint", "serial",
+              "bigserial", "real", "double precision")
+            val c = cols(rnd.nextInt(cols.length))
+            cols.find(x => (numFam.contains(x.typ) ||
+                x.typ.startsWith("numeric")) && x.name != c.name)
+              .foreach { e =>
+                after += s"CREATE INDEX ${named}ON $qq (${qi(c.name)}, " +
+                  s"(${qi(e.name)} + 1));"
+              }
+          case 4 => // ordering options
+            val c = cols(rnd.nextInt(cols.length))
+            val opt = Seq(" DESC", " DESC NULLS LAST", " NULLS FIRST",
+              " ASC NULLS FIRST")(rnd.nextInt(4))
+            after += s"CREATE INDEX ${named}ON $qq (${qi(c.name)}$opt);"
+          case 5 => // opclass
+            cols.find(c => c.typ == "text" || c.typ.startsWith("varchar"))
+              .foreach { c =>
+                after += s"CREATE INDEX ${named}ON $qq " +
+                  s"(${qi(c.name)} text_pattern_ops);"
+              }
+          case 6 => // non-btree method
+            cols.find(c => c.typ == "jsonb" || c.typ.endsWith("[]")) match {
+              case Some(c) => after +=
+                s"CREATE INDEX ${named}ON $qq USING gin (${qi(c.name)});"
+              case None =>
+                val c = cols(rnd.nextInt(cols.length))
+                after += s"CREATE INDEX ${named}ON $qq USING hash " +
+                  s"(${qi(c.name)});"
+            }
+          case _ => // INCLUDE (covering)
+            val c = cols(rnd.nextInt(cols.length))
+            val inc = cols((cols.indexOf(c) + 1) % cols.length)
+            if (inc.name != c.name)
+              after += s"CREATE INDEX ${named}ON $qq (${qi(c.name)}) " +
+                s"INCLUDE (${qi(inc.name)});"
+        }
+      }
+
+      // comments
+      if (rnd.nextInt(3) == 0)
+        after += s"COMMENT ON TABLE $qq IS ${sq(g.comment())};"
+      cols.take(2).foreach { c =>
+        if (rnd.nextInt(4) == 0)
+          after += s"COMMENT ON COLUMN $qq.${qi(c.name)} IS " +
+            s"${sq(g.comment())};"
+      }
+
+      val nRows = rnd.nextInt(41)
+      tabs += Tab(schema, tname, cols, pk, nRows,
+        extras.result(), after.result())
+    }
+
+    // CREATE TABLE + inserts + after-statements, in creation order
+    tabs.foreach { t =>
+      val colDefs = t.cols.map { c =>
+        s"  ${qi(c.name)} ${c.typ}" +
+          (if (c.notNull && !c.typ.endsWith("serial")) " NOT NULL"
+           else "") +
+          c.default.map(d => s" DEFAULT $d").getOrElse("")
+      }
+      ddl += s"CREATE TABLE ${t.qq} (\n" +
+        (colDefs ++ t.extras.map("  " + _)).mkString(",\n") + "\n);"
+      if (t.nRows > 0) {
+        val rows = (0 until t.nRows).map { i =>
+          "(" + t.cols.map { c =>
+            if (!c.uniqueCapable && !c.notNull && g.rnd.nextInt(7) == 0)
+              "NULL"
+            else c.lit(i)
+          }.mkString(", ") + ")"
+        }
+        ddl += s"INSERT INTO ${t.qq} VALUES\n${rows.mkString(",\n")};"
+      }
+      t.after.foreach(ddl += _)
+    }
+    (ddl.result(), tabs.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // catalog + data snapshots (identical SQL on source and target)
+  // ------------------------------------------------------------------
+
+  private val sysSchemas = "('pg_catalog', 'information_schema')"
+
+  /** Fold identity/serial into one spelling: both land as a fresh
+    * serial on the target (documented transform), whose sequence name
+    * may differ from the source's. */
+  private def normDefault(d: String): String =
+    d.replaceAll("nextval\\('[^']*'(::regclass)?\\)", "nextval(SEQ)")
+
+  /** The reference's pgsql cast rules drop the varchar typemod on
+    * purpose (pgsql-cast-rules.lisp:14 `character varying` → text
+    * drop-typemod) — parity, not a defect; fold the source spelling. */
+  private def normType(t: String): String =
+    if (t.startsWith("character varying")) "text" else t
+
+  private def snapshot(uri: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+
+    q(uri,
+      s"""SELECT n.nspname, c.relname, a.attname,
+          format_type(a.atttypid, a.atttypmod),
+          a.attnotnull::text,
+          CASE WHEN a.attidentity <> '' THEN 'nextval(SEQ)'
+               ELSE coalesce(pg_get_expr(d.adbin, d.adrelid), '') END
+          FROM pg_class c
+          JOIN pg_namespace n ON n.oid = c.relnamespace
+          JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+          LEFT JOIN pg_attrdef d
+            ON d.adrelid = c.oid AND d.adnum = a.attnum
+          WHERE c.relkind = 'r' AND NOT c.relispartition
+            AND NOT a.attisdropped AND n.nspname NOT IN $sysSchemas
+          ORDER BY n.nspname, c.relname, a.attnum""").foreach { r =>
+      out += s"col|${r(0)}|${r(1)}|${r(2)}|${normType(r(3))}|${r(4)}|" +
+        normDefault(r(5))
+    }
+
+    // pg_get_indexdef with the index NAME sliced out (the engine may
+    // uniquify names); prefix = 'CREATE [UNIQUE ]INDEX <qname> ON '
+    val idx = q(uri,
+      s"""SELECT n.nspname, t.relname, x.indisprimary::text,
+          substr(pg_get_indexdef(x.indexrelid),
+                 18 + CASE WHEN x.indisunique THEN 7 ELSE 0 END
+                    + length(quote_ident(i.relname)))
+          FROM pg_index x
+          JOIN pg_class i ON i.oid = x.indexrelid
+          JOIN pg_class t ON t.oid = x.indrelid
+          JOIN pg_namespace n ON n.oid = t.relnamespace
+          WHERE t.relkind = 'r' AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2, 3, 4""")
+      .map(r => s"idx|${r(0)}|${r(1)}|${r(2)}|${r(3)}")
+    out ++= idx.sorted
+
+    q(uri,
+      s"""SELECT n.nspname, t.relname, c.conname,
+          pg_get_constraintdef(c.oid)
+          FROM pg_constraint c
+          JOIN pg_class t ON t.oid = c.conrelid
+          JOIN pg_namespace n ON n.oid = t.relnamespace
+          WHERE c.contype = 'c' AND c.conparentid = 0
+            AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2, 3, 4""").foreach { r =>
+      out += s"chk|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
+    }
+
+    q(uri,
+      s"""SELECT n.nspname, t.relname, c.conname,
+          pg_get_constraintdef(c.oid)
+          FROM pg_constraint c
+          JOIN pg_class t ON t.oid = c.conrelid
+          JOIN pg_namespace n ON n.oid = t.relnamespace
+          WHERE c.contype = 'f' AND c.conparentid = 0
+            AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2, 3, 4""").foreach { r =>
+      out += s"fk|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
+    }
+
+    q(uri,
+      s"""SELECT n.nspname, c.relname, coalesce(a.attname, ''),
+          d.description
+          FROM pg_description d
+          JOIN pg_class c ON c.oid = d.objoid
+            AND d.classoid = 'pg_class'::regclass
+          JOIN pg_namespace n ON n.oid = c.relnamespace
+          LEFT JOIN pg_attribute a
+            ON a.attrelid = c.oid AND a.attnum = d.objsubid
+          WHERE c.relkind = 'r' AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2, 3""").foreach { r =>
+      out += s"cmt|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
+    }
+
+    out.result()
+  }
+
+  private def dataDigests(uri: String): Seq[String] =
+    q(uri,
+      s"""SELECT n.nspname, c.relname FROM pg_class c
+          JOIN pg_namespace n ON n.oid = c.relnamespace
+          WHERE c.relkind = 'r' AND NOT c.relispartition
+            AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2""").map { r =>
+      val d = q(uri,
+        s"SELECT coalesce(md5(string_agg(r, chr(10) ORDER BY r)), " +
+          s"'empty'), count(*) FROM " +
+          s"(SELECT ROW(x.*)::text AS r FROM ONLY " +
+          s"${qi(r(0))}.${qi(r(1))} x) s").head
+      s"data|${r(0)}|${r(1)}|${d(1)}|${d(0)}"
+    }
+
+  private def diffLines(src: Seq[String], dst: Seq[String]): Seq[String] = {
+    val s = src.groupBy(identity).view.mapValues(_.size).toMap
+    val d = dst.groupBy(identity).view.mapValues(_.size).toMap
+    val missing = (s.keySet -- d.keySet).toSeq.sorted.map("- " + _)
+    val extra = (d.keySet -- s.keySet).toSeq.sorted.map("+ " + _)
+    val counts = (s.keySet & d.keySet).toSeq.sorted
+      .filter(k => s(k) != d(k))
+      .map(k => s"# ${s(k)}x vs ${d(k)}x: $k")
+    missing ++ extra ++ counts
+  }
+
+  // ------------------------------------------------------------------
+
+  test("schema fuzz: random pg databases migrate pg→pg with catalog " +
+    "and data parity under quote identifiers") {
+    assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val admin = LivePg.uri.get
+    val seeds = sys.env.get("GRAFT_SCHEMA_FUZZ_SEEDS")
+      .map(_.toInt).getOrElse(5)
+    val seed0 = sys.env.get("GRAFT_SCHEMA_FUZZ_SEED0")
+      .map(_.toLong).getOrElse(7100L)
+
+    (0 until seeds).foreach { k =>
+      val seed = seed0 + k
+      val src = swapDb(admin, "schfz_src")
+      val dst = swapDb(admin, "schfz_dst")
+      exec(admin, "DROP DATABASE IF EXISTS schfz_src WITH (FORCE)")
+      exec(admin, "DROP DATABASE IF EXISTS schfz_dst WITH (FORCE)")
+      exec(admin, "CREATE DATABASE schfz_src")
+      exec(admin, "CREATE DATABASE schfz_dst")
+
+      val g = new Gen(seed)
+      val (ddl, _) = genDatabase(g)
+      ddl.foreach(stmt => exec(src, stmt))
+
+      val stats = pgRunner(dst).runFile(spark,
+        s"""LOAD DATABASE FROM $src
+              INTO $dst
+              WITH include drop, create tables, workers = 2,
+                   quote identifiers;""")
+      val errs = stats.filter(_.error.nonEmpty)
+      assert(errs.isEmpty,
+        s"seed $seed: table errors: " + errs.map(s =>
+          s"${s.table}: ${s.error.getOrElse("")}").mkString("; "))
+
+      val catDiff = diffLines(snapshot(src), snapshot(dst))
+      val dataDiff = diffLines(dataDigests(src), dataDigests(dst))
+      val all = catDiff ++ dataDiff
+      assert(all.isEmpty,
+        s"seed $seed: ${all.size} divergences\n" +
+          all.take(40).mkString("\n"))
+    }
+  }
+}

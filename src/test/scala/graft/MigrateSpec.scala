@@ -203,7 +203,7 @@ class MigrateSpec extends AnyFunSuite {
         SourceColumn("shirts", "id", "int(10)"),
         SourceColumn("shirts", "size", "enum('S','M','L')"),
         SourceColumn("shirts", "tags", "set('a','b')")),
-      checks = Seq("id > 0"))))))
+      checks = Seq(graft.catalog.CheckDef(None, "id > 0")))))))
     val setups = new ConcurrentLinkedQueue[Seq[String]]
     val loadSetups = new ConcurrentLinkedQueue[Seq[String]]
     val m = new Migrator(

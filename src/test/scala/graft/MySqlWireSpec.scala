@@ -355,7 +355,7 @@ class MySqlWireSpec extends SparkSpec {
       // MySQL's backtick quoting, \'-escapes and charset introducers
       // are rewritten to PG dialect — emitted verbatim the
       // ALTER TABLE … CHECK would fail
-      assert(users.checks ==
+      assert(users.checks.map(_.expr) ==
         Seq("((\"id\" > 0) and (\"name\" <> ''))"))
       // the comment flows through the cast into the target column
       assert(users.cast(Nil, graft.casting.DefaultCastRules.mysql)

@@ -190,7 +190,9 @@ class PgWireSpec extends SparkSpec {
       // wrapper stripped (the target DDL re-adds it)
       assert(users.comment == Some("user accounts"))
       assert(users.fields(1).comment == Some("home town"))
-      assert(users.checks == Seq("(city <> '')"))
+      assert(users.checks ==
+        Seq(graft.catalog.CheckDef(Some("users_city_check"),
+          "(city <> '')")))
       // the derived catalog drives the cast engine: serial from the
       // nextval default, varchar→text (the reference's pgsql defaults
       // drop the typemod on purpose)
