@@ -178,7 +178,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     /** Build a random non-unique column. */
     def mkCol(prefix: String): Col = {
       val nm = name(prefix)
-      rnd.nextInt(20) match {
+      rnd.nextInt(21) match {
         case 0 => Col(nm, "smallint", false, None, false,
           _ => (rnd.nextInt(65536) - 32768).toString)
         case 1 => Col(nm, "integer",
@@ -208,6 +208,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           _ => ((math.pow(10, rnd.between(-20.0, 20.0)) *
             (rnd.nextDouble() - 0.5)).toFloat).toString)
         case 7 | 8 => Col(nm, "text", rnd.nextBoolean(),
+          // (kept at two slots: texts anchor lower()/opclass indexes)
           if (rnd.nextInt(4) == 0) Some(sq(textVal(8))) else None,
           false, _ => sq(textVal()))
         case 9 =>
@@ -243,6 +244,12 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         case 18 => Col(nm, "jsonb", false,
           if (rnd.nextInt(6) == 0) Some("'{}'::jsonb") else None,
           false, _ => jsonVal())
+        case 19 => Col(nm, "int4range", false, None, false,
+          _ => if (rnd.nextInt(6) == 0) "'empty'::int4range"
+          else {
+            val a = rnd.nextInt(2000) - 1000
+            s"int4range($a, ${a + rnd.nextInt(100)})"
+          })
         case _ => if (rnd.nextBoolean())
           Col(nm, "integer[]", false, None, false,
             _ => arrVal(() => rnd.nextInt(1000).toString, "integer[]"))
@@ -255,6 +262,11 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     /** A unique-capable column: values are counter-deterministic. */
     def mkUniqueCol(prefix: String, base: Int): Col = {
       val nm = name(prefix)
+      if (rnd.nextInt(8) == 0)
+        // GENERATED AS IDENTITY: maps to a fresh serial on the target
+        // (documented transform; BY DEFAULT so explicit inserts work)
+        return Col(nm, "integer GENERATED BY DEFAULT AS IDENTITY",
+          false, None, true, i => (1000000 + base * 10000 + i).toString)
       rnd.nextInt(5) match {
         case 0 => Col(nm, "bigint", true, None, true,
           i => (5000000000L + base * 100000 + i).toString)
@@ -291,6 +303,56 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     val schemas = Seq("public", hostileSchema)
 
     val nTables = rnd.nextInt(3) + 3
+
+    // ---- custom types (enums + domains), created before tables; the
+    // Migrator recreates only the subset USED by columns, so every
+    // generated type is force-planted into a home table below
+    case class CustomTy(homeTable: Int, mk: () => Col)
+    val customTys = mutable.ArrayBuffer[CustomTy]()
+    (0 until rnd.nextInt(3)).foreach { _ =>
+      val ts = schemas(rnd.nextInt(schemas.length))
+      val tn = g.name("Ty")
+      val labels = (0 until rnd.nextInt(4) + 2)
+        .map(i => s"${g.textVal(6)}#$i").distinct
+      ddl += s"CREATE TYPE ${qi(ts)}.${qi(tn)} AS ENUM " +
+        s"(${labels.map(sq).mkString(", ")});"
+      val cast = s"${qi(ts)}.${qi(tn)}"
+      val home = rnd.nextInt(nTables)
+      customTys += CustomTy(home, () =>
+        if (rnd.nextInt(3) == 0)
+          Col(g.name("ea"), s"$cast[]", false, None, false,
+            _ => if (rnd.nextInt(5) == 0) s"'{}'::$cast[]"
+            else "ARRAY[" + (0 until rnd.nextInt(3) + 1).map(_ =>
+              sq(labels(rnd.nextInt(labels.length))) + s"::$cast")
+              .mkString(", ") + "]")
+        else
+          Col(g.name("e"), cast, rnd.nextBoolean(),
+            if (rnd.nextInt(3) == 0) Some(sq(labels.head) + s"::$cast")
+            else None,
+            false,
+            _ => sq(labels(rnd.nextInt(labels.length))) + s"::$cast"))
+    }
+    if (rnd.nextInt(2) == 0) {
+      val ds = schemas(rnd.nextInt(schemas.length))
+      val dn = g.name("Dom")
+      val cast = s"${qi(ds)}.${qi(dn)}"
+      val (base, lit): (String, () => String) = rnd.nextInt(3) match {
+        case 0 => ("numeric(8,2)",
+          () => s"${rnd.nextInt(199999) - 99999}.${rnd.nextInt(100)}")
+        case 1 => ("integer", () => (rnd.nextInt(2000000) - 1000000).toString)
+        case _ => ("text", () => sq(g.textVal(10)))
+      }
+      val check =
+        if (rnd.nextBoolean()) ""
+        else if (base == "text") " CHECK (length(VALUE) < 5000)"
+        else " CHECK (VALUE > -100000000)"
+      val dft = if (rnd.nextInt(3) == 0) s" DEFAULT ${lit()}" else ""
+      ddl += s"CREATE DOMAIN ${qi(ds)}.${qi(dn)} AS $base$dft$check;"
+      customTys += CustomTy(rnd.nextInt(nTables), () =>
+        Col(g.name("d"), cast, false, None, false,
+          _ => s"(${lit()})::$cast"))
+    }
+
     val tabs = mutable.ArrayBuffer[Tab]()
 
     (0 until nTables).foreach { ti =>
@@ -299,7 +361,8 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       // column 0: a unique-capable "id"; then 1-6 random columns
       val idCol = g.mkUniqueCol("id", ti)
       var cols = Vector(idCol) ++
-        (0 until rnd.nextInt(6) + 1).map(_ => g.mkCol("c"))
+        (0 until rnd.nextInt(6) + 1).map(_ => g.mkCol("c")) ++
+        customTys.filter(_.homeTable == ti).map(_.mk())
       // optionally a second unique column (UNIQUE constraint / index)
       val extraU =
         if (rnd.nextInt(3) == 0) Some(g.mkUniqueCol("u", ti + 50))
@@ -563,6 +626,28 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       out += s"fk|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
     }
 
+    // custom types actually used by columns: enum label sets in sort
+    // order, domain base/default/constraint defs (names excluded —
+    // server-rendered domain bodies may rename auto constraints)
+    q(uri,
+      s"""SELECT t.typtype::text, n.nspname, t.typname,
+          CASE WHEN t.typtype = 'd'
+               THEN format_type(t.typbasetype, t.typtypmod) ELSE '' END,
+          coalesce(t.typdefault, ''),
+          coalesce((SELECT string_agg(e.enumlabel, chr(31)
+                                      ORDER BY e.enumsortorder)
+                    FROM pg_enum e WHERE e.enumtypid = t.oid), ''),
+          coalesce((SELECT string_agg(pg_get_constraintdef(c.oid), ' '
+                                      ORDER BY pg_get_constraintdef(c.oid))
+                    FROM pg_constraint c WHERE c.contypid = t.oid), '')
+          FROM pg_type t
+          JOIN pg_namespace n ON n.oid = t.typnamespace
+          WHERE t.typtype IN ('e', 'd')
+            AND n.nspname NOT IN $sysSchemas
+          ORDER BY 1, 2, 3""").foreach { r =>
+      out += s"typ|${r.mkString("|")}"
+    }
+
     q(uri,
       s"""SELECT n.nspname, c.relname, coalesce(a.attname, ''),
           d.description
@@ -628,6 +713,15 @@ class LiveSchemaFuzzSpec extends SparkSpec {
 
       val g = new Gen(seed)
       val (ddl, _) = genDatabase(g)
+      println(s"[schema-fuzz] seed $seed: ${ddl.size} stmts, " +
+        s"${ddl.count(_.startsWith("CREATE TYPE"))} enums, " +
+        s"${ddl.count(_.startsWith("CREATE DOMAIN"))} domains, " +
+        s"${ddl.count(_.startsWith("CREATE TABLE"))} tables, " +
+        s"${ddl.count(_.contains("USING gin"))}+" +
+        s"${ddl.count(_.contains("USING hash"))} gin+hash, " +
+        s"${ddl.count(_.contains("INCLUDE"))} include, " +
+        s"${ddl.count(_.contains("DESC"))} desc, " +
+        s"${ddl.count(_.contains("GENERATED BY DEFAULT"))} identity")
       ddl.foreach(stmt => exec(src, stmt))
 
       val stats = pgRunner(dst).runFile(spark,
