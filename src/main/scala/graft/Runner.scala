@@ -869,20 +869,30 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
         val read = (t: Table, isView: Boolean) => {
           val qualified = graft.sinks.PgWire.joinQualified(
             t.sourceSchemaName, t.sourceName)
+          // GENERATED ALWAYS AS … STORED columns are excluded from the
+          // read (and from the COPY column list downstream): the target
+          // re-declares them GENERATED and recomputes — PG refuses
+          // direct inserts into them
+          val selectCols: Seq[(String, String)] =
+            if (t.fields.exists(_.generated.isDefined))
+              t.fields.filter(_.generated.isEmpty).map(f =>
+                (graft.sinks.PgWire.quoteIdent(f.name), f.name))
+            else Nil
           if (isView)
             // views have no ctid to split on: one streaming connection
-            graft.sources.PgWireSource.readView(sparkF(), sp, qualified)
+            graft.sources.PgWireSource.readView(sparkF(), sp, qualified,
+              selectCols)
           else if (t.partitioned)
             // partitioned parents have NO ctid column and relpages=0:
             // enumerate pg_inherits leaves, ctid-split each by its own
             // relpages, union — the only scale-safe shape, on EVERY
             // route (plain, exactly-once, DISTRIBUTE backfill)
             graft.sources.PgWireSource.readPartitioned(sparkF(), sp,
-              qualified)
+              qualified, selectCols = selectCols)
           else {
             val pages = graft.sources.PgWireSource.relpagesOf(sp, qualified)
             graft.sources.PgWireSource.readByCtid(sparkF(), sp, qualified,
-              relpages = pages)
+              relpages = pages, selectCols = selectCols)
           }
         }
         val exec = (sql: String) => {
@@ -1084,7 +1094,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // volume); big parents route to the per-leaf distributed read
           t => graft.sources.PgWireSource.localScanIfSmall(
             sp, graft.sinks.PgWire.joinQualified(
-              t.sourceSchemaName, t.sourceName))
+              t.sourceSchemaName, t.sourceName),
+            selectCols =
+              if (t.fields.exists(_.generated.isDefined))
+                t.fields.filter(_.generated.isEmpty).map(f =>
+                  (graft.sinks.PgWire.quoteIdent(f.name), f.name))
+              else Nil)
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)
@@ -1241,15 +1256,30 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             val (cols, rows, close) = local.get()
             try {
               val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
-              val kinds = binaryKinds(qualified, cols,
-                named = false, preserveCase = false,
-                mode = cmd.option("copy binary"))
+              val genCols = t.columns.filter(_.generated.isEmpty)
+                .map(_.name)
+              val hasGen = genCols.length != t.columns.length
+              val kinds =
+                if (hasGen) {
+                  if (cmd.option("copy binary").nonEmpty)
+                    System.err.println("graft: WITH copy binary falls " +
+                      s"back to COPY TEXT for $qualified (generated " +
+                      "columns need a COPY column list)")
+                  None
+                } else binaryKinds(qualified, cols,
+                  named = false, preserveCase = false,
+                  mode = cmd.option("copy binary"))
               val ef = kinds match {
                 case Some(_) => binaryEndpointFactory
                 case None => endpointFactory
               }
+              val copyTgt =
+                if (hasGen)
+                  graft.sinks.PgWire.copyTarget(
+                    graft.sinks.PgWire.quoteQualified(qualified), genCols)
+                else qualified
               graft.sinks.LocalCopy.write(rows,
-                endpointFactory = ef(qualified, setup),
+                endpointFactory = ef(copyTgt, setup),
                 render = kinds.map(graft.sinks.LocalCopy.binaryRender)
                   .getOrElse(graft.sinks.LocalCopy.textRender),
                 rejectDir = rejectRoot.map(r => s"$r/${t.name}.dat"),
@@ -1277,20 +1307,44 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // staged publish per table — same wrapper as file loads;
             // the migrated table is positional (created in frame
             // order). Locals only in endpointFor (see load()).
-            val kinds = binaryKinds(
-              graft.sinks.PgWire.joinQualified(t.schema, t.name),
-              df.columns.toSeq, named = false, preserveCase = false,
-              mode = cmd.option("copy binary"))
+            // Generated columns: the stage (LIKE target) carries them
+            // as PLAIN columns (LIKE copies no generation exprs), the
+            // COPY and the publish INSERT both list only the real
+            // columns, and the target recomputes at publish time.
+            val genCols = t.columns.filter(_.generated.isEmpty)
+              .map(_.name)
+            val hasGen = genCols.length != t.columns.length
+            val kinds =
+              if (hasGen) {
+                if (cmd.option("copy binary").nonEmpty)
+                  System.err.println("graft: WITH copy binary falls " +
+                    s"back to COPY TEXT for ${t.schema}.${t.name} " +
+                    "(generated columns need a COPY column list)")
+                None
+              } else binaryKinds(
+                graft.sinks.PgWire.joinQualified(t.schema, t.name),
+                df.columns.toSeq, named = false, preserveCase = false,
+                mode = cmd.option("copy binary"))
             val ef = kinds match {
               case Some(_) => binaryEndpointFactory
               case None => endpointFactory
             }
+            val colList =
+              genCols.map(graft.sinks.PgWire.quoteIdent).mkString(", ")
             graft.sinks.ExactlyOnce.write(df,
               graft.sinks.PgWire.joinQualified(t.schema, t.name),
               exec = sql => executeDdl(sql, setup),
               endpointFor = (stage, stageSetup, pid) => ef(
-                graft.sinks.PgWire.quoteQualified(stage),
+                if (hasGen) graft.sinks.PgWire.copyTarget(
+                  graft.sinks.PgWire.quoteQualified(stage), genCols)
+                else graft.sinks.PgWire.quoteQualified(stage),
                 setup ++ stageSetup)(pid),
+              publishSql =
+                if (!hasGen) null
+                else (stage, target) =>
+                  s"INSERT INTO ${graft.sinks.PgWire.quoteQualified(target)} " +
+                    s"($colList) SELECT $colList FROM " +
+                    s"${graft.sinks.PgWire.quoteQualified(stage)};",
               quote = graft.sinks.PgWire.quoteQualified,
               renderer = kinds.map(graft.sinks.PgBinary.renderer)
                 .getOrElse(graft.sinks.CopySink.textRenderer),
@@ -1306,9 +1360,23 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // the TARGET catalog (the Migrator's DDL ran already) —
             // unsupported types fall back to COPY TEXT table-by-table
             val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
-            val sink = binaryKinds(qualified, df.columns.toSeq,
+            val genCols = t.columns.filter(_.generated.isEmpty)
+              .map(_.name)
+            val hasGen = genCols.length != t.columns.length
+            val copyTgt =
+              if (hasGen)
+                graft.sinks.PgWire.copyTarget(
+                  graft.sinks.PgWire.quoteQualified(qualified), genCols)
+              else qualified
+            val sink = (if (hasGen) {
+              if (cmd.option("copy binary").nonEmpty)
+                System.err.println("graft: WITH copy binary falls " +
+                  s"back to COPY TEXT for $qualified (generated " +
+                  "columns need a COPY column list)")
+              None
+            } else binaryKinds(qualified, df.columns.toSeq,
               named = false, preserveCase = false,
-              mode = cmd.option("copy binary")) match {
+              mode = cmd.option("copy binary"))) match {
               case Some(kinds) => new CopySink(
                 endpointFactory = binaryEndpointFactory(qualified, setup),
                 maxRows = batchRowsOf(cmd),
@@ -1319,7 +1387,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                 rejectRender =
                   graft.sinks.PgBinary.frameToTextLine(_, kinds))
               case None => new CopySink(
-                endpointFactory = endpointFactory(qualified, setup),
+                endpointFactory = endpointFactory(copyTgt, setup),
                 maxRows = batchRowsOf(cmd),
                 maxBytes = batchBytesOf(cmd),
                 onErrorStop = cmd.boolOption("on error stop"),

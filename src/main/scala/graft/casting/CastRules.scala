@@ -21,6 +21,14 @@ final case class SourceColumn(
     autoIncrement: Boolean = false,
     onUpdateCurrentTimestamp: Boolean = false,
     comment: Option[String] = None,
+    /** GENERATED ALWAYS AS (expr) STORED generation expression
+      * (pg_attribute.attgenerated = 's'; pg_get_expr of the adbin).
+      * The target re-declares the column GENERATED and recomputes —
+      * reads and COPY column lists exclude it (PG rejects inserting
+      * into generated columns; emitting the expression as a DEFAULT
+      * would fail CREATE TABLE outright on its column references,
+      * which is what the reference does with these). */
+    generated: Option[String] = None,
     /** ENUM label list for a PG-source enum column (or enum-array
       * element). Kept OUT of the ctype so `typeName` stays the real
       * source type name — user CAST rules keyed on it (`CAST type mood

@@ -89,7 +89,7 @@ final case class Table(
     copy(columns = fields.map { f =>
       val r = CastEngine.cast(f, userRules, defaults)
       ColumnDef(f.name, r.pgType, r.sparkType, r.nullable, r.default,
-        r.transform, comment = f.comment)
+        r.transform, comment = f.comment, generated = f.generated)
     })
 
   /** Spark-side target schema. */
@@ -109,7 +109,10 @@ final case class ColumnDef(
     nullable: Boolean = true,
     default: Option[String] = None,
     transform: Option[Column => Column] = None,
-    comment: Option[String] = None)
+    comment: Option[String] = None,
+    /** generation expression of a GENERATED ALWAYS AS (…) STORED
+      * column — emitted as generation DDL, excluded from COPY. */
+    generated: Option[String] = None)
 
 /** A CHECK constraint: sources that expose constraint names
   * (pg_constraint.conname, information_schema.check_constraints)
@@ -467,11 +470,21 @@ object Ddl {
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val cols = t.columns.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
-      // pg_get_expr defaults are already PG SQL — emit verbatim
-      val dft = (if (pgNativeDefaults) c.default
-                 else formatDefault(c.default, c.pgType))
-        .map(d => s" DEFAULT $d").getOrElse("")
-      s"  ${q(c.name)} ${c.pgType}$nn$dft"
+      c.generated match {
+        case Some(expr) =>
+          // a generated column's expression is server-rendered PG SQL
+          // (pg_get_expr); re-declaring it GENERATED — instead of as a
+          // DEFAULT, which PG rejects for referencing sibling columns —
+          // keeps the recompute-on-write semantics. COPY paths exclude
+          // the column (PG refuses direct inserts into it).
+          s"  ${q(c.name)} ${c.pgType} GENERATED ALWAYS AS ($expr) STORED$nn"
+        case None =>
+          // pg_get_expr defaults are already PG SQL — emit verbatim
+          val dft = (if (pgNativeDefaults) c.default
+                     else formatDefault(c.default, c.pgType))
+            .map(d => s" DEFAULT $d").getOrElse("")
+          s"  ${q(c.name)} ${c.pgType}$nn$dft"
+      }
     }
     s"CREATE TABLE $ine${qq(t.schema, t.name)}\n(\n${cols.mkString(",\n")}\n);"
   }

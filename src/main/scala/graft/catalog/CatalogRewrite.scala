@@ -98,7 +98,16 @@ object CatalogRewrite {
     def ic(n: String) = Identifiers(n, mode)
     cat.copy(schemas = cat.schemas.map(s =>
       s.copy(tables = s.tables.map(t => t.copy(
-        columns = t.columns.map(c => c.copy(name = ic(c.name))),
+        columns = {
+          // generation expressions are server SQL referencing SOURCE
+          // column spellings — recase those references like kept
+          // indexDefs, or a downcased column breaks the generated DDL
+          val srcCols = t.fields.map(_.name).toSet
+          t.columns.map(c => c.copy(name = ic(c.name),
+            generated = c.generated.map(g =>
+              if (srcCols.nonEmpty) recaseSqlRefs(g, srcCols, ic)
+              else g)))
+        },
         indexes = {
           // expression indexes kept as pg_get_indexdef text reference
           // PLAIN columns by their SOURCE spellings (the USING tail is

@@ -166,7 +166,11 @@ object ExactlyOnce extends Serializable {
       case Some(s) => s"schemaname = '${lit(s)}'"
       case None    => "schemaname = current_schema()"
     }
-    val pat = lit(stagePrefix(rel)).replace("_", "\\_")
+    // rel is ALREADY the bare relname — build the prefix from it
+    // directly. Routing it back through stagePrefix would re-split a
+    // dotted relname ("t.dot3" → prefix "dot3…"), and the mismatched
+    // pattern leaks one stage table per task attempt forever.
+    val pat = lit(s"${boundBase(rel)}__graft_stage_p").replace("_", "\\_")
     "DO $$ DECLARE r record; BEGIN " +
       "FOR r IN SELECT schemaname, tablename FROM pg_tables " +
       s"WHERE $schemaFilter AND tablename LIKE '$pat%' ESCAPE '\\' LOOP " +

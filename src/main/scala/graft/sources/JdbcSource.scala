@@ -465,7 +465,8 @@ object IntrospectionSql {
                                  WHEN et.typtype = 'e' THEN ty.typelem
                             END) AS enum_labels,
        a.attidentity::text AS identity,
-       c.relkind::text AS relkind
+       c.relkind::text AS relkind,
+       a.attgenerated::text AS generated
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -1301,7 +1302,12 @@ object IntrospectionRows {
                               * partitioned parent, which has no ctid
                               * and relpages = 0 regardless of volume:
                               * reads must route through its leaves. */
-                            relkind: String = "r")
+                            relkind: String = "r",
+                            /** pg_attribute.attgenerated = 's' — a
+                              * GENERATED ALWAYS AS (…) STORED column;
+                              * `default` then holds the generation
+                              * expression (it lives in pg_attrdef). */
+                            generated: Boolean = false)
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -1336,14 +1342,15 @@ object IntrospectionRows {
             val castSeg =
               s"::$castIdent(\\.$castIdent)?(\\s*\\[\\s*\\])*"
             val default =
-              if (serial) None
+              if (serial || c.generated) None
               else if (labels.nonEmpty)
                 c.default.map(_.replaceAll(s"($castSeg)+$$", ""))
               else c.default
             SourceColumn(tbl, c.name, c.dataType,
               default = default,
               nullable = c.nullable,
-              autoIncrement = serial,
+              autoIncrement = serial && !c.generated,
+              generated = if (c.generated) c.default else None,
               enumLabels = labels)
           })
     }

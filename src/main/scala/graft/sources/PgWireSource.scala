@@ -44,7 +44,8 @@ object PgWireSource {
           // pre-enum-labels shape)
           enumLabels = if (r.length > 6) Option(r(6)) else None,
           identity = r.length > 7 && (r(7) == "a" || r(7) == "d"),
-          relkind = if (r.length > 8 && r(8) != null) r(8) else "r")
+          relkind = if (r.length > 8 && r(8) != null) r(8) else "r",
+          generated = r.length > 9 && r(9) == "s")
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
@@ -147,7 +148,8 @@ object PgWireSource {
     *   `pagesPerChunk` 8 KiB pages can physically hold (~290 28-byte
     *   rows/page). */
   def localScanIfSmall(params: PgWire.ConnParams, table: String,
-                       pagesPerChunk: Long = 1000L)
+                       pagesPerChunk: Long = 1000L,
+                       selectCols: Seq[(String, String)] = Nil)
       : Option[() => (Seq[String], Iterator[Array[String]], () => Unit)] = {
     val conn = new PgWireConnection(params)
     val qtable = PgWire.quoteQualified(table)
@@ -176,7 +178,11 @@ object PgWireSource {
       // as their own tables; see readByCtid); partitioned parents
       // NEED the plain FROM's whole-tree expansion
       val from = if (kind == "p") qtable else s"ONLY $qtable"
-      val (cols, rows) = c.queryStream(s"SELECT * FROM $from")
+      val sel =
+        if (selectCols.isEmpty) "*"
+        else selectCols.map { case (e, n) =>
+          s"$e AS ${PgWire.quoteIdent(n)}" }.mkString(", ")
+      val (cols, rows) = c.queryStream(s"SELECT $sel FROM $from")
       (cols, rows, () => c.close())
     }}
   }

@@ -58,7 +58,15 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         finally c.close()
       },
       endpointFactory = (table, setup) => _ => new PgWireCopyEndpoint(
-        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup))
+        dp, s"COPY ${PgWire.quoteQualified(table)} FROM STDIN", setup),
+      queryTarget = sql => {
+        val c = new PgWireConnection(dp)
+        try c.query(sql)._2 finally c.close()
+      },
+      binaryEndpointFactory = (table, setup) => _ =>
+        new PgWireCopyEndpoint(dp,
+          s"COPY ${PgWire.quoteQualified(table)} FROM STDIN " +
+            "WITH (FORMAT binary)", setup, binary = true))
   }
 
   private def qi(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
@@ -369,6 +377,26 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         else None
       extraU.foreach(c => cols :+= c)
 
+      // a GENERATED ALWAYS AS (…) STORED column referencing an earlier
+      // column; values insert as the DEFAULT keyword (uniqueCapable is
+      // set only to keep the NULL-randomizer off — PG rejects explicit
+      // NULLs into generated columns)
+      if (rnd.nextInt(3) == 0) {
+        val numFam = Set("smallint", "integer", "bigint", "real",
+          "double precision")
+        val numRef = cols.find(c => numFam.contains(c.typ) ||
+          c.typ.startsWith("numeric"))
+        val textRef = cols.find(_.typ == "text")
+        (if (numRef.isDefined && (textRef.isEmpty || rnd.nextBoolean()))
+          numRef.map(c => Col(g.name("g"),
+            s"${c.typ} GENERATED ALWAYS AS ((${qi(c.name)} / 2)) STORED",
+            false, None, true, _ => "DEFAULT"))
+        else textRef.map(c => Col(g.name("g"),
+          s"text GENERATED ALWAYS AS (lower(${qi(c.name)})) STORED",
+          false, None, true, _ => "DEFAULT"))
+        ).foreach(cols :+= _)
+      }
+
       val extras = Seq.newBuilder[String]
       val after = Seq.newBuilder[String]
 
@@ -574,6 +602,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           a.attnotnull::text,
           CASE WHEN a.attidentity <> '' THEN 'nextval(SEQ)'
                ELSE coalesce(pg_get_expr(d.adbin, d.adrelid), '') END
+            || '|' || a.attgenerated::text
           FROM pg_class c
           JOIN pg_namespace n ON n.oid = c.relnamespace
           JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -721,14 +750,22 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         s"${ddl.count(_.contains("USING hash"))} gin+hash, " +
         s"${ddl.count(_.contains("INCLUDE"))} include, " +
         s"${ddl.count(_.contains("DESC"))} desc, " +
-        s"${ddl.count(_.contains("GENERATED BY DEFAULT"))} identity")
+        s"${ddl.count(_.contains("GENERATED BY DEFAULT"))} identity, " +
+        s"${ddl.count(_.contains("GENERATED ALWAYS AS"))} generated")
       ddl.foreach(stmt => exec(src, stmt))
 
+      // route coverage: the staged exactly-once publish and the binary
+      // COPY sink face the same hostile schemas as the default path
+      val optRnd = new Random(seed * 31 + 7)
+      val opts = Seq(
+        if (optRnd.nextInt(3) == 0) ", exactly once" else "",
+        if (optRnd.nextInt(4) == 0) ", copy binary" else "",
+        s", workers = ${optRnd.nextInt(4) + 1}").mkString
       val stats = pgRunner(dst).runFile(spark,
         s"""LOAD DATABASE FROM $src
               INTO $dst
-              WITH include drop, create tables, workers = 2,
-                   quote identifiers;""")
+              WITH include drop, create tables,
+                   quote identifiers$opts;""")
       val errs = stats.filter(_.error.nonEmpty)
       assert(errs.isEmpty,
         s"seed $seed: table errors: " + errs.map(s =>
