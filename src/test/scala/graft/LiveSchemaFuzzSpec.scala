@@ -118,8 +118,14 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           case 9 => s" lead$prefix$n"
           case _ => s"$prefix$n"
         }
-        if (!used.contains(cand.toLowerCase) && cand.length <= 60)
-          { used += cand.toLowerCase; out = cand }
+        // reserve the downcase AND snake_case spellings too, so the
+        // fold-mode migration legs never hit legitimate collision
+        // aborts ("c-12" and "c 12" both snake to "c_12")
+        val keys = Seq(cand.toLowerCase,
+          graft.catalog.Identifiers(cand,
+            graft.catalog.Identifiers.Case.SnakeCase))
+        if (keys.forall(k => !used.contains(k)) && cand.length <= 60)
+          { used ++= keys; out = cand }
       }
       out
     }
@@ -339,6 +345,28 @@ class LiveSchemaFuzzSpec extends SparkSpec {
             else None,
             false,
             _ => sq(labels(rnd.nextInt(labels.length))) + s"::$cast"))
+    }
+    if (rnd.nextInt(3) == 0) {
+      // composite type: 2-3 typed attributes with hostile names
+      val cs = schemas(rnd.nextInt(schemas.length))
+      val cn = g.name("Comp")
+      val cast = s"${qi(cs)}.${qi(cn)}"
+      val attrs = Seq(
+        (g.name("a"), "integer",
+          () => (rnd.nextInt(20000) - 10000).toString),
+        (g.name("b"), "text", () => sq(g.textVal(8)))) ++
+        (if (rnd.nextBoolean())
+          Seq((g.name("c"), "numeric(6,2)",
+            () => s"${rnd.nextInt(9999) - 4999}.${rnd.nextInt(100)}"))
+        else Nil)
+      ddl += s"CREATE TYPE $cast AS (" +
+        attrs.map { case (n, t, _) => s"${qi(n)} $t" }.mkString(", ") + ");"
+      customTys += CustomTy(rnd.nextInt(nTables), () =>
+        Col(g.name("cc"), cast, false, None, false,
+          _ => if (rnd.nextInt(6) == 0) s"ROW(NULL, NULL)::$cast"
+              .replace("NULL, NULL",
+                attrs.map(_ => "NULL").mkString(", "))
+          else "ROW(" + attrs.map(_._3()).mkString(", ") + s")::$cast"))
     }
     if (rnd.nextInt(2) == 0) {
       val ds = schemas(rnd.nextInt(schemas.length))
@@ -677,6 +705,24 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       out += s"typ|${r.mkString("|")}"
     }
 
+    // composite types: attribute (name, type) lists in order. Filter
+    // to STANDALONE composites (typrelid points at relkind 'c') —
+    // every table also has a row type with typtype 'c'.
+    q(uri,
+      s"""SELECT n.nspname, t.typname,
+          string_agg(a.attname || ' ' ||
+                     format_type(a.atttypid, a.atttypmod),
+                     ', ' ORDER BY a.attnum)
+          FROM pg_type t
+          JOIN pg_class c ON c.oid = t.typrelid AND c.relkind = 'c'
+          JOIN pg_namespace n ON n.oid = t.typnamespace
+          JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
+          WHERE t.typtype = 'c' AND n.nspname NOT IN $sysSchemas
+            AND NOT a.attisdropped
+          GROUP BY 1, 2 ORDER BY 1, 2""").foreach { r =>
+      out += s"ctyp|${r.mkString("|")}"
+    }
+
     q(uri,
       s"""SELECT n.nspname, c.relname, coalesce(a.attname, ''),
           d.description
@@ -694,19 +740,31 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     out.result()
   }
 
-  private def dataDigests(uri: String): Seq[String] =
+  private def tableList(uri: String): Seq[Seq[String]] =
     q(uri,
       s"""SELECT n.nspname, c.relname FROM pg_class c
           JOIN pg_namespace n ON n.oid = c.relnamespace
           WHERE c.relkind = 'r' AND NOT c.relispartition
             AND n.nspname NOT IN $sysSchemas
-          ORDER BY 1, 2""").map { r =>
-      val d = q(uri,
-        s"SELECT coalesce(md5(string_agg(r, chr(10) ORDER BY r)), " +
-          s"'empty'), count(*) FROM " +
-          s"(SELECT ROW(x.*)::text AS r FROM ONLY " +
-          s"${qi(r(0))}.${qi(r(1))} x) s").head
-      s"data|${r(0)}|${r(1)}|${d(1)}|${d(0)}"
+          ORDER BY 1, 2""")
+
+  /** (rowCount, md5-of-sorted ROW()::text) — column-NAME independent,
+    * so the fold-mode legs can compare raw source names to
+    * engine-cased target names. */
+  private def digestOf(uri: String, nsp: String, rel: String)
+      : (String, String) = {
+    val d = q(uri,
+      s"SELECT coalesce(md5(string_agg(r, chr(10) ORDER BY r)), " +
+        s"'empty'), count(*) FROM " +
+        s"(SELECT ROW(x.*)::text AS r FROM ONLY " +
+        s"${qi(nsp)}.${qi(rel)} x) s").head
+    (d(1), d(0))
+  }
+
+  private def dataDigests(uri: String): Seq[String] =
+    tableList(uri).map { r =>
+      val (n, d) = digestOf(uri, r(0), r(1))
+      s"data|${r(0)}|${r(1)}|$n|$d"
     }
 
   private def diffLines(src: Seq[String], dst: Seq[String]): Seq[String] = {
@@ -777,6 +835,38 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       assert(all.isEmpty,
         s"seed $seed: ${all.size} divergences\n" +
           all.take(40).mkString("\n"))
+
+      // ---- fold-mode legs: default downcase every seed, snake_case
+      // on even seeds. Target names are engine-mapped (Identifiers) —
+      // the assertion is clean completion and DATA survival against
+      // live PostgreSQL under random hostile names; the casing matrix
+      // specs pin exact name derivation.
+      val foldModes: Seq[(String, graft.catalog.Identifiers.Case)] =
+        ("", graft.catalog.Identifiers.Case.Downcase) +:
+          (if (k % 2 == 0)
+            Seq((", snake_case identifiers",
+              graft.catalog.Identifiers.Case.SnakeCase))
+          else Nil)
+      for ((mopt, mcase) <- foldModes) {
+        exec(admin, "DROP DATABASE IF EXISTS schfz_dst WITH (FORCE)")
+        exec(admin, "CREATE DATABASE schfz_dst")
+        val st2 = pgRunner(dst).runFile(spark,
+          s"""LOAD DATABASE FROM $src
+                INTO $dst
+                WITH include drop, create tables, workers = 2$mopt;""")
+        val errs2 = st2.filter(_.error.nonEmpty)
+        assert(errs2.isEmpty,
+          s"seed $seed mode '$mopt': " + errs2.map(s =>
+            s"${s.table}: ${s.error.getOrElse("")}").mkString("; "))
+        def icm(n: String) = graft.catalog.Identifiers(n, mcase)
+        tableList(src).foreach { r =>
+          val sd = digestOf(src, r(0), r(1))
+          val dd = digestOf(dst, icm(r(0)), icm(r(1)))
+          assert(sd == dd,
+            s"seed $seed mode '$mopt': ${r(0)}.${r(1)} " +
+              s"src=$sd dst(${icm(r(0))}.${icm(r(1))})=$dd")
+        }
+      }
     }
   }
 }
