@@ -903,7 +903,13 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           graft.sources.PgWireSource.introspectViews(sp, names)
         (graft.sources.PgWireSource.introspect(sp),
           graft.casting.DefaultCastRules.pgsql, read,
-          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)), Nil,
+          Some((exec, iviews, graft.sinks.PgWire.quoteIdent _)),
+          // standalone user sequences: objects a schema-creating run
+          // recreates (nextval defaults reference them verbatim);
+          // data-only runs skip the query like the type closure below
+          if (cmd.boolOption("create no tables") ||
+              cmd.boolOption("data only")) Nil
+          else graft.sources.PgWireSource.introspectSequences(sp),
           // only create-tables runs consume the type closure — a
           // data-only / create-no-tables load skips the recursive
           // catalog query entirely

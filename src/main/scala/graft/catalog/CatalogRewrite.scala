@@ -106,7 +106,11 @@ object CatalogRewrite {
           t.columns.map(c => c.copy(name = ic(c.name),
             generated = c.generated.map(g =>
               if (srcCols.nonEmpty) recaseSqlRefs(g, srcCols, ic)
-              else g)))
+              else g),
+            // a verbatim nextval default references a standalone user
+            // sequence by its SOURCE spelling; the sequence object is
+            // cased by caseTargets, so the reference must follow
+            default = c.default.map(recaseNextval(_, ic))))
         },
         indexes = {
           // expression indexes kept as pg_get_indexdef text reference
@@ -149,6 +153,32 @@ object CatalogRewrite {
       case None => defn
     }
   }
+
+  /** Recase the sequence reference inside a verbatim
+    * `nextval('…'::regclass)` default (a standalone user sequence —
+    * serial-owned defaults were dropped at introspection). The inner
+    * literal is a quote_ident-rendered, possibly schema-qualified
+    * name; parse it with the shared quote-aware splitter, recase the
+    * parts, and re-render always-quoted (PG resolves the literal to a
+    * regclass OID at DDL time and pg_get_expr re-renders canonically,
+    * so the spelling choice never leaks into catalog compares).
+    * Anything that is not exactly a nextval default passes through. */
+  private def recaseNextval(default: String,
+                            ic: String => String): String = {
+    val P = "(?is)^nextval\\('(.*)'::regclass\\)$".r
+    default.trim match {
+      case P(innerEsc) =>
+        val inner = innerEsc.replace("''", "'")
+        val (schema, rel) = graft.sinks.PgWire.splitQualified(inner)
+        val cased = (schema.map(s => quoteAlways(ic(s))).toSeq :+
+          quoteAlways(ic(rel))).mkString(".")
+        s"nextval('${cased.replace("'", "''")}'::regclass)"
+      case _ => default
+    }
+  }
+
+  private def quoteAlways(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
 
   private def recaseSqlRefs(sql: String, srcCols: Set[String],
                             ic: String => String): String = {

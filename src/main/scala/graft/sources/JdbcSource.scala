@@ -466,7 +466,13 @@ object IntrospectionSql {
                             END) AS enum_labels,
        a.attidentity::text AS identity,
        c.relkind::text AS relkind,
-       a.attgenerated::text AS generated
+       a.attgenerated::text AS generated,
+       EXISTS (SELECT 1 FROM pg_depend dep
+               JOIN pg_class sc ON sc.oid = dep.objid
+               WHERE dep.classid = 'pg_class'::regclass
+                 AND dep.refobjid = c.oid AND dep.refobjsubid = a.attnum
+                 AND dep.deptype IN ('a', 'i')
+                 AND sc.relkind = 'S')::text AS owned_seq
        FROM pg_class c
        JOIN pg_namespace n ON n.oid = c.relnamespace
        JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -651,6 +657,28 @@ object IntrospectionSql {
          AND NOT a.attisdropped
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
          AND col_description(c.oid, a.attnum) IS NOT NULL"""
+
+  /** Standalone user SEQUENCE objects — the reference migrates
+    * sequences only for MSSQL (mssql-schema.lisp fetch-sequences);
+    * pg→pg loses them (and SPLITS a sequence shared by several
+    * columns' nextval defaults into unrelated serials). Excludes
+    * serial/identity-owned sequences via pg_depend deptype 'a'/'i' —
+    * those recreate through the serial pseudo-types.
+    * pg_sequence_last_value is NULL until the first nextval. */
+  val pgsqlSequences: String =
+    """SELECT n.nspname, c.relname, s.seqstart, s.seqincrement,
+       s.seqmin, s.seqmax, pg_sequence_last_value(c.oid),
+       s.seqcycle::text, s.seqcache
+       FROM pg_class c
+       JOIN pg_namespace n ON n.oid = c.relnamespace
+       JOIN pg_sequence s ON s.seqrelid = c.oid
+       WHERE c.relkind = 'S'
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+         AND NOT EXISTS (SELECT 1 FROM pg_depend d
+                         WHERE d.classid = 'pg_class'::regclass
+                           AND d.objid = c.oid
+                           AND d.deptype IN ('a', 'i'))
+       ORDER BY n.nspname, c.relname"""
 
   /** CHECK constraints: pg_get_constraintdef renders `CHECK (expr)` —
     * the mapper strips the wrapper, the target DDL re-adds it. */
@@ -1307,7 +1335,14 @@ object IntrospectionRows {
                               * GENERATED ALWAYS AS (…) STORED column;
                               * `default` then holds the generation
                               * expression (it lives in pg_attrdef). */
-                            generated: Boolean = false)
+                            generated: Boolean = false,
+                            /** the nextval default's sequence is
+                              * AUTO-owned by this column (a serial).
+                              * false = a standalone user sequence:
+                              * it migrates as an OBJECT and the
+                              * default carries verbatim, preserving
+                              * sequences SHARED between columns. */
+                            ownedSeq: Boolean = true)
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -1319,7 +1354,8 @@ object IntrospectionRows {
           partitioned = cols.head.relkind == "p",
           fields = cols.map { c =>
             val serial = c.identity ||
-              c.default.exists(_.toLowerCase.startsWith("nextval("))
+              (c.ownedSeq &&
+                c.default.exists(_.toLowerCase.startsWith("nextval(")))
             // a serial's nextval(...) default IS its serial-ness — the
             // target renders `serial`/`bigserial`, which carries its own
             // default; keeping the source expression too makes

@@ -45,7 +45,9 @@ object PgWireSource {
           enumLabels = if (r.length > 6) Option(r(6)) else None,
           identity = r.length > 7 && (r(7) == "a" || r(7) == "d"),
           relkind = if (r.length > 8 && r(8) != null) r(8) else "r",
-          generated = r.length > 9 && r(9) == "s")
+          generated = r.length > 9 && r(9) == "s",
+          // absent column (test doubles) = legacy nextval→serial
+          ownedSeq = r.length <= 10 || r(10) == "t" || r(10) == "true")
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
@@ -55,6 +57,28 @@ object PgWireSource {
       IntrospectionRows.pgsqlAttachComments(
         IntrospectionRows.pgsqlAttachConstraints(tables, idxRows, fkRows),
         tcRows, ccRows, checkRows)
+    } finally conn.close()
+  }
+
+  /** Standalone user sequences ([[IntrospectionSql.pgsqlSequences]])
+    * — recreated on the target BEFORE the tables whose nextval
+    * defaults reference them (Migrator pre phase). */
+  def introspectSequences(params: PgWire.ConnParams)
+      : Seq[graft.catalog.SequenceDef] = {
+    val conn = new PgWireConnection(params)
+    try {
+      val (_, rows) = conn.query(IntrospectionSql.pgsqlSequences)
+      // tolerant of test doubles answering with null/short rows
+      rows.filter(r => r.length > 8 && r(2) != null && r(3) != null &&
+        r(4) != null && r(5) != null).map { r =>
+        graft.catalog.SequenceDef(
+          schema = r(0), name = r(1),
+          start = r(2).toLong, increment = r(3).toLong,
+          minValue = r(4).toLong, maxValue = r(5).toLong,
+          current = Option(r(6)).map(_.toLong),
+          cycling = r(7) == "t" || r(7) == "true",
+          cache = Option(r(8)).map(_.toLong).getOrElse(0L))
+      }.toSeq
     } finally conn.close()
   }
 

@@ -346,6 +346,31 @@ class LiveSchemaFuzzSpec extends SparkSpec {
             false,
             _ => sq(labels(rnd.nextInt(labels.length))) + s"::$cast"))
     }
+    // standalone user sequences: one unused (still must migrate as an
+    // object) and/or one backing nextval defaults in 1-2 tables (the
+    // SHARED-sequence shape a serial split would break)
+    if (rnd.nextInt(3) == 0) {
+      val ss = schemas(rnd.nextInt(schemas.length))
+      val sn = g.name("Seq")
+      ddl += s"CREATE SEQUENCE ${qi(ss)}.${qi(sn)} INCREMENT BY " +
+        s"${rnd.nextInt(5) + 1}" +
+        (if (rnd.nextBoolean()) " CACHE 5" else "") + ";"
+    }
+    if (rnd.nextInt(2) == 0) {
+      val ss = schemas(rnd.nextInt(schemas.length))
+      val sn = g.name("Seq")
+      ddl += s"CREATE SEQUENCE ${qi(ss)}.${qi(sn)};"
+      val ref = (qi(ss) + "." + qi(sn)).replace("'", "''")
+      val homes = (0 until rnd.nextInt(2) + 1)
+        .map(_ => rnd.nextInt(nTables)).distinct
+      homes.foreach { h =>
+        customTys += CustomTy(h, () =>
+          Col(g.name("sq"), "bigint", false,
+            Some(s"nextval('$ref')"), false,
+            i => (9000000L + i).toString))
+      }
+    }
+
     if (rnd.nextInt(3) == 0) {
       // composite type: 2-3 typed attributes with hostile names
       val cs = schemas(rnd.nextInt(schemas.length))
@@ -609,11 +634,12 @@ class LiveSchemaFuzzSpec extends SparkSpec {
 
   private val sysSchemas = "('pg_catalog', 'information_schema')"
 
-  /** Fold identity/serial into one spelling: both land as a fresh
-    * serial on the target (documented transform), whose sequence name
-    * may differ from the source's. */
-  private def normDefault(d: String): String =
-    d.replaceAll("nextval\\('[^']*'(::regclass)?\\)", "nextval(SEQ)")
+  /** identity/serial nextval folding happens IN the column query
+    * (owned-sequence-aware CASE): serial and identity columns land as
+    * fresh serials whose sequence spelling may differ, while a
+    * standalone user sequence's nextval default must carry VERBATIM —
+    * a blanket scala-side fold would mask its loss. */
+  private def normDefault(d: String): String = d
 
   /** The reference's pgsql cast rules drop the varchar typemod on
     * purpose (pgsql-cast-rules.lisp:14 `character varying` → text
@@ -629,6 +655,15 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           format_type(a.atttypid, a.atttypmod),
           a.attnotnull::text,
           CASE WHEN a.attidentity <> '' THEN 'nextval(SEQ)'
+               WHEN pg_get_expr(d.adbin, d.adrelid) LIKE 'nextval(%'
+                AND EXISTS (SELECT 1 FROM pg_depend dep
+                            JOIN pg_class sc ON sc.oid = dep.objid
+                            WHERE dep.classid = 'pg_class'::regclass
+                              AND dep.refobjid = c.oid
+                              AND dep.refobjsubid = a.attnum
+                              AND dep.deptype IN ('a', 'i')
+                              AND sc.relkind = 'S')
+               THEN 'nextval(SEQ)'
                ELSE coalesce(pg_get_expr(d.adbin, d.adrelid), '') END
             || '|' || a.attgenerated::text
           FROM pg_class c
@@ -703,6 +738,26 @@ class LiveSchemaFuzzSpec extends SparkSpec {
             AND n.nspname NOT IN $sysSchemas
           ORDER BY 1, 2, 3""").foreach { r =>
       out += s"typ|${r.mkString("|")}"
+    }
+
+    // standalone user sequences: definition parity (increment, bounds,
+    // cycle, cache). seqstart/last_value are intentionally excluded —
+    // the engine re-STARTs at current+increment so the first target
+    // nextval returns the next un-issued value. Serial/identity-owned
+    // sequences are excluded (they recreate through serial).
+    q(uri,
+      s"""SELECT n.nspname, c.relname, s.seqincrement, s.seqmin,
+          s.seqmax, s.seqcycle::text, s.seqcache
+          FROM pg_class c
+          JOIN pg_namespace n ON n.oid = c.relnamespace
+          JOIN pg_sequence s ON s.seqrelid = c.oid
+          WHERE c.relkind = 'S' AND n.nspname NOT IN $sysSchemas
+            AND NOT EXISTS (SELECT 1 FROM pg_depend d
+                            WHERE d.classid = 'pg_class'::regclass
+                              AND d.objid = c.oid
+                              AND d.deptype IN ('a', 'i'))
+          ORDER BY 1, 2""").foreach { r =>
+      out += s"seq|${r.mkString("|")}"
     }
 
     // composite types: attribute (name, type) lists in order. Filter
@@ -809,7 +864,8 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         s"${ddl.count(_.contains("INCLUDE"))} include, " +
         s"${ddl.count(_.contains("DESC"))} desc, " +
         s"${ddl.count(_.contains("GENERATED BY DEFAULT"))} identity, " +
-        s"${ddl.count(_.contains("GENERATED ALWAYS AS"))} generated")
+        s"${ddl.count(_.contains("GENERATED ALWAYS AS"))} generated, " +
+        s"${ddl.count(_.startsWith("CREATE SEQUENCE"))} seqs")
       ddl.foreach(stmt => exec(src, stmt))
 
       // route coverage: the staged exactly-once publish and the binary
