@@ -71,6 +71,13 @@ final case class Table(
     indexes: Seq[Index] = Nil,
     fkeys: Seq[FKey] = Nil,
     checks: Seq[CheckDef] = Nil,
+    /** EXCLUDE constraints (pg_constraint contype 'x') — the full
+      * pg_get_constraintdef rendering carried verbatim (name in
+      * CheckDef.name, clause in CheckDef.expr incl. any NOT VALID);
+      * emitted post-load like checks. */
+    exclusions: Seq[CheckDef] = Nil,
+    /** pg_class.relpersistence 'u' — recreate UNLOGGED. */
+    unlogged: Boolean = false,
     /** PG source relkind 'p' — a partitioned PARENT. Parents own no
       * storage (relpages = 0 always) and have no ctid system column,
       * so every read route must go through the leaf partitions (or a
@@ -121,7 +128,13 @@ final case class ColumnDef(
   * names a user's tooling may reference. Nameless sources (SQLite
   * column-level checks) leave None and the Migrator synthesizes
   * `<table>_check_<i>` as before. */
-final case class CheckDef(name: Option[String], expr: String)
+final case class CheckDef(name: Option[String], expr: String,
+                          /** pg_constraint.convalidated — a NOT VALID
+                            * source constraint re-creates NOT VALID:
+                            * re-validating on the target would FAIL the
+                            * load whenever existing rows legitimately
+                            * violate it (the reason it was NOT VALID). */
+                          valid: Boolean = true)
 
 final case class Index(
     name: String,
@@ -168,7 +181,9 @@ final case class FKey(
       * lost timing silently changes transaction semantics on the
       * migrated schema. */
     deferrable: Boolean = false,
-    initiallyDeferred: Boolean = false) {
+    initiallyDeferred: Boolean = false,
+    /** pg_constraint.convalidated — see [[CheckDef.valid]]. */
+    valid: Boolean = true) {
   /** The schema the REFERENCES clause resolves in. */
   def foreignSchemaOr(owning: String): String =
     if (foreignSchema.nonEmpty) foreignSchema else owning
@@ -486,7 +501,9 @@ object Ddl {
           s"  ${q(c.name)} ${c.pgType}$nn$dft"
       }
     }
-    s"CREATE TABLE $ine${qq(t.schema, t.name)}\n(\n${cols.mkString(",\n")}\n);"
+    val unlogged = if (t.unlogged) "UNLOGGED " else ""
+    s"CREATE $unlogged" +
+      s"TABLE $ine${qq(t.schema, t.name)}\n(\n${cols.mkString(",\n")}\n);"
   }
 
   private val NumericLit = "^-?\\d+(\\.\\d+)?$".r
@@ -620,8 +637,16 @@ object Ddl {
       (if (s.cache > 0) s" CACHE ${s.cache}" else "") + ";"
   }
 
-  def addCheck(t: Table, name: String, expr: String): String =
-    s"ALTER TABLE ${qq(t.schema, t.name)} ADD CONSTRAINT ${q(name)} CHECK ($expr);"
+  def addCheck(t: Table, name: String, expr: String,
+               valid: Boolean = true): String =
+    s"ALTER TABLE ${qq(t.schema, t.name)} ADD CONSTRAINT ${q(name)} " +
+      s"CHECK ($expr)" + (if (valid) "" else " NOT VALID") + ";"
+
+  /** EXCLUDE constraint: `clause` is the verbatim
+    * pg_get_constraintdef rendering (`EXCLUDE USING am (…) …`). */
+  def addExclusion(t: Table, name: String, clause: String): String =
+    s"ALTER TABLE ${qq(t.schema, t.name)} ADD CONSTRAINT ${q(name)} " +
+      s"${clause.stripSuffix(";")};"
 
   def commentOnTable(t: Table, comment: String): String =
     s"COMMENT ON TABLE ${qq(t.schema, t.name)} IS " +
@@ -668,7 +693,8 @@ object Ddl {
       f.onUpdate.map(u => s" ON UPDATE $u").getOrElse("") +
       f.onDelete.map(d => s" ON DELETE $d").getOrElse("") +
       (if (f.deferrable) " DEFERRABLE" else "") +
-      (if (f.initiallyDeferred) " INITIALLY DEFERRED" else "") + ";"
+      (if (f.initiallyDeferred) " INITIALLY DEFERRED" else "") +
+      (if (f.valid) "" else " NOT VALID") + ";"
 
   def truncate(t: Table): String = s"TRUNCATE ${qq(t.schema, t.name)};"
 

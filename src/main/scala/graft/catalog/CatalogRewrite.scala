@@ -84,7 +84,9 @@ object CatalogRewrite {
             foreignTable = ic(f.foreignTable),
             foreignSchema =
               if (f.foreignSchema.isEmpty) "" else ic(f.foreignSchema))),
-          checks = t.checks.map(c => c.copy(name = c.name.map(ic))))))),
+          checks = t.checks.map(c => c.copy(name = c.name.map(ic))),
+          exclusions =
+            t.exclusions.map(x => x.copy(name = x.name.map(ic))))))),
       sequences = cat.sequences.map(sq =>
         sq.copy(schema = ic(sq.schema), name = ic(sq.name))))
   }
@@ -130,7 +132,16 @@ object CatalogRewrite {
         },
         fkeys = t.fkeys.map(f => f.copy(
           columns = f.columns.map(ic),
-          foreignColumns = f.foreignColumns.map(ic))))))))
+          foreignColumns = f.foreignColumns.map(ic))),
+        exclusions = {
+          // EXCLUDE clauses are verbatim server SQL referencing source
+          // column spellings — recase like kept index definitions
+          val srcCols = t.fields.map(_.name).toSet
+          t.exclusions.map(x =>
+            if (srcCols.nonEmpty)
+              x.copy(expr = recaseSqlRefs(x.expr, srcCols, ic))
+            else x)
+        })))))
   }
 
   /** Recase column references inside a kept `pg_get_indexdef`

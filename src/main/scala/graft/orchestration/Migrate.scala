@@ -538,10 +538,15 @@ final class Migrator(
             .foreach(c => postDdl(Ddl.resetSequence(t, c.name))))
       }
     timedPost("Create Check Constraints", always = false) {
-      okTables.foreach(t =>
+      okTables.foreach { t =>
         t.checks.zipWithIndex.foreach { case (ck, i) =>
           postDdl(Ddl.addCheck(t,
-            ck.name.getOrElse(s"${t.name}_check_$i"), ck.expr)) })
+            ck.name.getOrElse(s"${t.name}_check_$i"), ck.expr,
+            valid = ck.valid)) }
+        t.exclusions.zipWithIndex.foreach { case (x, i) =>
+          postDdl(Ddl.addExclusion(t,
+            x.name.getOrElse(s"${t.name}_excl_$i"), x.expr)) }
+      }
     }
     timedPost("Install Comments", always = false) {
       okTables.foreach { t =>

@@ -467,6 +467,7 @@ object IntrospectionSql {
        a.attidentity::text AS identity,
        c.relkind::text AS relkind,
        a.attgenerated::text AS generated,
+       c.relpersistence::text AS persistence,
        EXISTS (SELECT 1 FROM pg_depend dep
                JOIN pg_class sc ON sc.oid = dep.objid
                WHERE dep.classid = 'pg_class'::regclass
@@ -560,6 +561,13 @@ object IntrospectionSql {
        JOIN pg_class t ON t.oid = x.indrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
        WHERE n.nspname NOT IN ('pg_catalog', 'information_schema')
+         -- an EXCLUDE constraint OWNS its index: ADD CONSTRAINT
+         -- recreates it, so listing it here would collide on the name
+         -- (PK/unique constraint indexes stay — the PK-via-UNIQUE flow
+         -- builds them first and attaches)
+         AND NOT EXISTS (SELECT 1 FROM pg_constraint cx
+                         WHERE cx.conindid = x.indexrelid
+                           AND cx.contype = 'x')
        ORDER BY n.nspname, t.relname, i.relname"""
 
   /** pg_constraint contype='f' with both column lists in key order.
@@ -579,7 +587,8 @@ object IntrospectionSql {
         JOIN pg_attribute a
           ON a.attrelid = c.confrelid AND a.attnum = k.attnum),
        fn.nspname, c.confupdtype::text, c.confdeltype::text,
-       c.condeferrable::text, c.condeferred::text
+       c.condeferrable::text, c.condeferred::text,
+       c.convalidated::text
        FROM pg_constraint c
        JOIN pg_class t ON t.oid = c.conrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
@@ -684,11 +693,26 @@ object IntrospectionSql {
     * the mapper strips the wrapper, the target DDL re-adds it. */
   val pgsqlChecks: String =
     """SELECT n.nspname, t.relname, c.conname,
-       pg_get_constraintdef(c.oid)
+       pg_get_constraintdef(c.oid), c.convalidated::text
        FROM pg_constraint c
        JOIN pg_class t ON t.oid = c.conrelid
        JOIN pg_namespace n ON n.oid = t.relnamespace
        WHERE c.contype = 'c'
+         AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+       ORDER BY n.nspname, t.relname, c.conname"""
+
+  /** EXCLUDE constraints (contype 'x') — pg_get_constraintdef renders
+    * the whole `EXCLUDE USING am (elems…) [WHERE …] [DEFERRABLE …]`
+    * clause, re-emitted verbatim on the target (column references
+    * recased under fold modes like kept index definitions). The
+    * reference drops these silently. */
+  val pgsqlExclusions: String =
+    """SELECT n.nspname, t.relname, c.conname,
+       pg_get_constraintdef(c.oid)
+       FROM pg_constraint c
+       JOIN pg_class t ON t.oid = c.conrelid
+       JOIN pg_namespace n ON n.oid = t.relnamespace
+       WHERE c.contype = 'x' AND c.conparentid = 0
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
        ORDER BY n.nspname, t.relname, c.conname"""
 
@@ -1117,7 +1141,8 @@ object IntrospectionRows {
           // boolean::text spells 'true'/'false' (bare bool 't'/'f')
           deferrable = r.length > 9 && (r(9) == "true" || r(9) == "t"),
           initiallyDeferred =
-            r.length > 10 && (r(10) == "true" || r(10) == "t"))
+            r.length > 10 && (r(10) == "true" || r(10) == "t"),
+          valid = r.length <= 11 || r(11) == "true" || r(11) == "t")
       }
       t.copy(indexes = idxs, fkeys = fks)
     }
@@ -1275,16 +1300,31 @@ object IntrospectionRows {
     } else s
   }
 
-  /** Attach PG table/column comments + CHECK clauses. tcRows: (schema,
-    * table, comment); ccRows: (schema, table, column, comment);
-    * checkRows: (schema, table, conname, constraintdef). */
+  /** Strip a trailing `NOT VALID` from a pg_get_constraintdef
+    * rendering — the validity travels as [[CheckDef.valid]] and the
+    * emitter re-appends it AFTER its own CHECK wrapper. */
+  private def stripNotValid(d: String): String = {
+    val t = d.trim
+    if (t.toUpperCase.endsWith("NOT VALID"))
+      t.substring(0, t.length - 9).trim
+    else t
+  }
+
+  /** Attach PG table/column comments + CHECK clauses + EXCLUDE
+    * constraints. tcRows: (schema, table, comment); ccRows: (schema,
+    * table, column, comment); checkRows: (schema, table, conname,
+    * constraintdef, convalidated); exclRows: (schema, table, conname,
+    * constraintdef — carried VERBATIM incl. any NOT VALID). */
   def pgsqlAttachComments(tables: Seq[Table],
                           tcRows: Seq[Array[String]],
                           ccRows: Seq[Array[String]],
-                          checkRows: Seq[Array[String]]): Seq[Table] = {
+                          checkRows: Seq[Array[String]],
+                          exclRows: Seq[Array[String]] = Nil)
+      : Seq[Table] = {
     val tc = tcRows.map(r => (r(0), r(1)) -> r(2)).toMap
     val cc = ccRows.map(r => (r(0), r(1), r(2)) -> r(3)).toMap
     val checks = checkRows.groupBy(r => (r(0), r(1)))
+    val excls = exclRows.groupBy(r => (r(0), r(1)))
     tables.map { t =>
       t.copy(
         comment = tc.get((t.schema, t.sourceName)).filter(_.nonEmpty),
@@ -1293,7 +1333,10 @@ object IntrospectionRows {
             .filter(_.nonEmpty))),
         checks = checks.getOrElse((t.schema, t.sourceName), Nil)
           .map(r => CheckDef(Option(r(2)).filter(_.nonEmpty),
-            stripPgCheckDef(r(3)))))
+            stripPgCheckDef(stripNotValid(r(3))),
+            valid = r.length <= 4 || r(4) == "t" || r(4) == "true")),
+        exclusions = excls.getOrElse((t.schema, t.sourceName), Nil)
+          .map(r => CheckDef(Option(r(2)).filter(_.nonEmpty), r(3))))
     }
   }
 
@@ -1342,7 +1385,13 @@ object IntrospectionRows {
                               * it migrates as an OBJECT and the
                               * default carries verbatim, preserving
                               * sequences SHARED between columns. */
-                            ownedSeq: Boolean = true)
+                            ownedSeq: Boolean = true,
+                            /** pg_class.relpersistence = 'u' — an
+                              * UNLOGGED table; recreated UNLOGGED
+                              * (crash-truncation is a property the
+                              * owner chose; silently upgrading it to
+                              * logged changes write costs). */
+                            unlogged: Boolean = false)
 
   /** Group the flat pg_attribute rows into catalog tables, ordered like
     * the query (nspname, relname, attnum). Serial/identity detection =
@@ -1352,6 +1401,7 @@ object IntrospectionRows {
       case ((sch, tbl), cols) =>
         Table(name = tbl, schema = sch, sourceName = tbl,
           partitioned = cols.head.relkind == "p",
+          unlogged = cols.head.unlogged,
           fields = cols.map { c =>
             val serial = c.identity ||
               (c.ownedSeq &&

@@ -46,17 +46,21 @@ object PgWireSource {
           identity = r.length > 7 && (r(7) == "a" || r(7) == "d"),
           relkind = if (r.length > 8 && r(8) != null) r(8) else "r",
           generated = r.length > 9 && r(9) == "s",
+          unlogged = r.length > 10 && r(10) == "u",
           // absent column (test doubles) = legacy nextval→serial
-          ownedSeq = r.length <= 10 || r(10) == "t" || r(10) == "true")
+          ownedSeq = r.length <= 11 || r(11) == "t" || r(11) == "true")
       })
       val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
       val (_, tcRows) = conn.query(IntrospectionSql.pgsqlTableComments)
       val (_, ccRows) = conn.query(IntrospectionSql.pgsqlColumnComments)
       val (_, checkRows) = conn.query(IntrospectionSql.pgsqlChecks)
+      val (_, exclRows) = conn.query(IntrospectionSql.pgsqlExclusions)
       IntrospectionRows.pgsqlAttachComments(
         IntrospectionRows.pgsqlAttachConstraints(tables, idxRows, fkRows),
-        tcRows, ccRows, checkRows)
+        tcRows, ccRows, checkRows,
+        // tolerant of test doubles answering with null/short rows
+        exclRows.filter(r => r.length > 3 && r(1) != null && r(3) != null))
     } finally conn.close()
   }
 

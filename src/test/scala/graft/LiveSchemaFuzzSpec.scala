@@ -84,7 +84,8 @@ class LiveSchemaFuzzSpec extends SparkSpec {
 
   private case class Tab(schema: String, name: String, cols: Vector[Col],
                          pk: Seq[String], nRows: Int,
-                         extras: Seq[String], after: Seq[String]) {
+                         extras: Seq[String], after: Seq[String],
+                         unlogged: Boolean = false) {
     def qq: String = s"${qi(schema)}.${qi(name)}"
   }
 
@@ -420,6 +421,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       val schema = schemas(rnd.nextInt(schemas.length))
       val tname = g.name("t")
       // column 0: a unique-capable "id"; then 1-6 random columns
+      val unlogged = rnd.nextInt(6) == 0
       val idCol = g.mkUniqueCol("id", ti)
       var cols = Vector(idCol) ++
         (0 until rnd.nextInt(6) + 1).map(_ => g.mkCol("c")) ++
@@ -491,8 +493,24 @@ class LiveSchemaFuzzSpec extends SparkSpec {
             s"'not null primary key references x(y)')"
       }
 
+      // EXCLUDE constraints: btree equality over the unique id, or
+      // gist && over a dedicated disjoint-range column
+      rnd.nextInt(5) match {
+        case 0 => extras += s"CONSTRAINT ${qi(g.name("xe"))} " +
+          s"EXCLUDE USING btree (${qi(idCol.name)} WITH =)"
+        case 1 =>
+          val xr = Col(g.name("xr"), "int4range", false, None, true,
+            i => s"int4range(${i * 1000}, ${i * 1000 + 500})")
+          cols :+= xr
+          extras += s"EXCLUDE USING gist (${qi(xr.name)} WITH &&)"
+        case _ =>
+      }
+
       // FK to an earlier table with a single-column integer-family PK
+      // a PERMANENT table's FK may reference only permanent tables;
+      // an unlogged child may reference either
       val parents = tabs.filter(p => p.pk.length == 1 &&
+        (unlogged || !p.unlogged) &&
         p.cols.exists(c => c.name == p.pk.head &&
           Set("integer", "serial", "bigserial", "bigint").contains(c.typ)))
       var fkLit: Option[(String, Int => String)] = None
@@ -589,6 +607,32 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         }
       }
 
+      // NOT VALID constraints over VIOLATING data: the target must
+      // re-create them NOT VALID or the post-load ADD CONSTRAINT fails
+      cols.find(c => c.typ == "integer" || c.typ == "bigint")
+        .foreach { c =>
+          if (rnd.nextInt(4) == 0)
+            after += s"ALTER TABLE $qq ADD CONSTRAINT " +
+              s"${qi(g.name("nv"))} CHECK (${qi(c.name)} IS NULL OR " +
+              s"${qi(c.name)} > 2000000000) NOT VALID;"
+        }
+      if (parents.nonEmpty && rnd.nextInt(4) == 0) {
+        val p = parents(rnd.nextInt(parents.length))
+        val pCol = p.cols.find(_.name == p.pk.head).get
+        val fkTyp2 = pCol.typ match {
+          case "serial" => "integer"
+          case "bigserial" => "bigint"
+          case t => t
+        }
+        // values never present in the parent (parent ids are ≥ 1e6)
+        val nv = Col(g.name("nf"), fkTyp2, false, None, false,
+          i => s"-${1000 + i}")
+        cols :+= nv
+        after += s"ALTER TABLE $qq ADD CONSTRAINT ${qi(g.name("nf"))} " +
+          s"FOREIGN KEY (${qi(nv.name)}) REFERENCES ${p.qq} " +
+          s"(${qi(p.pk.head)}) NOT VALID;"
+      }
+
       // comments
       if (rnd.nextInt(3) == 0)
         after += s"COMMENT ON TABLE $qq IS ${sq(g.comment())};"
@@ -600,7 +644,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
 
       val nRows = rnd.nextInt(41)
       tabs += Tab(schema, tname, cols, pk, nRows,
-        extras.result(), after.result())
+        extras.result(), after.result(), unlogged)
     }
 
     // CREATE TABLE + inserts + after-statements, in creation order
@@ -611,7 +655,8 @@ class LiveSchemaFuzzSpec extends SparkSpec {
            else "") +
           c.default.map(d => s" DEFAULT $d").getOrElse("")
       }
-      ddl += s"CREATE TABLE ${t.qq} (\n" +
+      val unlogged = if (t.unlogged) "UNLOGGED " else ""
+      ddl += s"CREATE ${unlogged}TABLE ${t.qq} (\n" +
         (colDefs ++ t.extras.map("  " + _)).mkString(",\n") + "\n);"
       if (t.nRows > 0) {
         val rows = (0 until t.nRows).map { i =>
@@ -666,6 +711,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
                THEN 'nextval(SEQ)'
                ELSE coalesce(pg_get_expr(d.adbin, d.adrelid), '') END
             || '|' || a.attgenerated::text
+            || '|' || c.relpersistence::text
           FROM pg_class c
           JOIN pg_namespace n ON n.oid = c.relnamespace
           JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum > 0
@@ -700,7 +746,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           FROM pg_constraint c
           JOIN pg_class t ON t.oid = c.conrelid
           JOIN pg_namespace n ON n.oid = t.relnamespace
-          WHERE c.contype = 'c' AND c.conparentid = 0
+          WHERE c.contype IN ('c', 'x') AND c.conparentid = 0
             AND n.nspname NOT IN $sysSchemas
           ORDER BY 1, 2, 3, 4""").foreach { r =>
       out += s"chk|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
@@ -858,14 +904,18 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       println(s"[schema-fuzz] seed $seed: ${ddl.size} stmts, " +
         s"${ddl.count(_.startsWith("CREATE TYPE"))} enums, " +
         s"${ddl.count(_.startsWith("CREATE DOMAIN"))} domains, " +
-        s"${ddl.count(_.startsWith("CREATE TABLE"))} tables, " +
+        s"${ddl.count(s => s.startsWith("CREATE TABLE") ||
+          s.startsWith("CREATE UNLOGGED"))} tables, " +
         s"${ddl.count(_.contains("USING gin"))}+" +
         s"${ddl.count(_.contains("USING hash"))} gin+hash, " +
         s"${ddl.count(_.contains("INCLUDE"))} include, " +
         s"${ddl.count(_.contains("DESC"))} desc, " +
         s"${ddl.count(_.contains("GENERATED BY DEFAULT"))} identity, " +
         s"${ddl.count(_.contains("GENERATED ALWAYS AS"))} generated, " +
-        s"${ddl.count(_.startsWith("CREATE SEQUENCE"))} seqs")
+        s"${ddl.count(_.startsWith("CREATE SEQUENCE"))} seqs, " +
+        s"${ddl.count(_.contains("EXCLUDE USING"))} excl, " +
+        s"${ddl.count(_.contains("NOT VALID"))} notvalid, " +
+        s"${ddl.count(_.startsWith("CREATE UNLOGGED"))} unlogged")
       ddl.foreach(stmt => exec(src, stmt))
 
       // route coverage: the staged exactly-once publish and the binary
