@@ -503,6 +503,30 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
     * COPY list targets. Positional loads require the frame to cover
     * the table's full column list in attnum order, exactly like a
     * list-less COPY statement. */
+  /** Target column names COPY may write (generated ones recompute
+    * server-side) and whether any column IS generated. */
+  private def copyColsOf(t: graft.catalog.Table): (Seq[String], Boolean) = {
+    val ng = t.columns.filter(_.generated.isEmpty).map(_.name)
+    (ng, ng.length != t.columns.length)
+  }
+
+  /** `WITH copy binary` cannot positional-match a table with generated
+    * columns (the COPY needs an explicit column list) — note the
+    * documented text fallback once per table. */
+  private def binaryGeneratedFallback(qualified: String,
+                                      mode: Option[String]): Unit =
+    if (mode.nonEmpty)
+      System.err.println("graft: WITH copy binary falls back to COPY " +
+        s"TEXT for $qualified (generated columns need a COPY column " +
+        "list)")
+
+  /** Source select list excluding generated columns; empty = all. */
+  private def nonGeneratedSelect(t: graft.catalog.Table): Seq[(String, String)] =
+    if (t.fields.exists(_.generated.isDefined))
+      t.fields.filter(_.generated.isEmpty).map(f =>
+        (graft.sinks.PgWire.quoteIdent(f.name), f.name))
+    else Nil
+
   private def binaryKinds(table: String, cols: Seq[String],
                           named: Boolean,
                           preserveCase: Boolean,
@@ -873,11 +897,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           // read (and from the COPY column list downstream): the target
           // re-declares them GENERATED and recomputes — PG refuses
           // direct inserts into them
-          val selectCols: Seq[(String, String)] =
-            if (t.fields.exists(_.generated.isDefined))
-              t.fields.filter(_.generated.isEmpty).map(f =>
-                (graft.sinks.PgWire.quoteIdent(f.name), f.name))
-            else Nil
+          val selectCols = nonGeneratedSelect(t)
           if (isView)
             // views have no ctid to split on: one streaming connection
             graft.sources.PgWireSource.readView(sparkF(), sp, qualified,
@@ -1101,11 +1121,7 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
           t => graft.sources.PgWireSource.localScanIfSmall(
             sp, graft.sinks.PgWire.joinQualified(
               t.sourceSchemaName, t.sourceName),
-            selectCols =
-              if (t.fields.exists(_.generated.isDefined))
-                t.fields.filter(_.generated.isEmpty).map(f =>
-                  (graft.sinks.PgWire.quoteIdent(f.name), f.name))
-              else Nil)
+            selectCols = nonGeneratedSelect(t))
         case "mysql" =>
           val mp = graft.sources.MySqlWire.connParams(uri, decode)
             .copy(sessionSets = cmd.mysqlParams)
@@ -1262,15 +1278,11 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             val (cols, rows, close) = local.get()
             try {
               val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
-              val genCols = t.columns.filter(_.generated.isEmpty)
-                .map(_.name)
-              val hasGen = genCols.length != t.columns.length
+              val (genCols, hasGen) = copyColsOf(t)
               val kinds =
                 if (hasGen) {
-                  if (cmd.option("copy binary").nonEmpty)
-                    System.err.println("graft: WITH copy binary falls " +
-                      s"back to COPY TEXT for $qualified (generated " +
-                      "columns need a COPY column list)")
+                  binaryGeneratedFallback(qualified,
+                    cmd.option("copy binary"))
                   None
                 } else binaryKinds(qualified, cols,
                   named = false, preserveCase = false,
@@ -1317,15 +1329,12 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // as PLAIN columns (LIKE copies no generation exprs), the
             // COPY and the publish INSERT both list only the real
             // columns, and the target recomputes at publish time.
-            val genCols = t.columns.filter(_.generated.isEmpty)
-              .map(_.name)
-            val hasGen = genCols.length != t.columns.length
+            val (genCols, hasGen) = copyColsOf(t)
             val kinds =
               if (hasGen) {
-                if (cmd.option("copy binary").nonEmpty)
-                  System.err.println("graft: WITH copy binary falls " +
-                    s"back to COPY TEXT for ${t.schema}.${t.name} " +
-                    "(generated columns need a COPY column list)")
+                binaryGeneratedFallback(
+                  graft.sinks.PgWire.joinQualified(t.schema, t.name),
+                  cmd.option("copy binary"))
                 None
               } else binaryKinds(
                 graft.sinks.PgWire.joinQualified(t.schema, t.name),
@@ -1351,6 +1360,18 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
                   s"INSERT INTO ${graft.sinks.PgWire.quoteQualified(target)} " +
                     s"($colList) SELECT $colList FROM " +
                     s"${graft.sinks.PgWire.quoteQualified(stage)};",
+              // the default stage (LIKE target) copies NOT NULL but not
+              // generation expressions: a NOT NULL generated column
+              // would reject the stage COPY's implicit NULL. Stage only
+              // the real columns instead — the publish recomputes.
+              createStageSql =
+                if (!hasGen) null
+                else (stage, target) =>
+                  s"CREATE TABLE IF NOT EXISTS " +
+                    s"${graft.sinks.PgWire.quoteQualified(stage)} AS " +
+                    s"SELECT $colList FROM " +
+                    s"${graft.sinks.PgWire.quoteQualified(target)} " +
+                    "WITH NO DATA;",
               quote = graft.sinks.PgWire.quoteQualified,
               renderer = kinds.map(graft.sinks.PgBinary.renderer)
                 .getOrElse(graft.sinks.CopySink.textRenderer),
@@ -1366,19 +1387,15 @@ final class Runner(executeDdl: (String, Seq[String]) => Unit,
             // the TARGET catalog (the Migrator's DDL ran already) —
             // unsupported types fall back to COPY TEXT table-by-table
             val qualified = graft.sinks.PgWire.joinQualified(t.schema, t.name)
-            val genCols = t.columns.filter(_.generated.isEmpty)
-              .map(_.name)
-            val hasGen = genCols.length != t.columns.length
+            val (genCols, hasGen) = copyColsOf(t)
             val copyTgt =
               if (hasGen)
                 graft.sinks.PgWire.copyTarget(
                   graft.sinks.PgWire.quoteQualified(qualified), genCols)
               else qualified
             val sink = (if (hasGen) {
-              if (cmd.option("copy binary").nonEmpty)
-                System.err.println("graft: WITH copy binary falls " +
-                  s"back to COPY TEXT for $qualified (generated " +
-                  "columns need a COPY column list)")
+              binaryGeneratedFallback(qualified,
+                cmd.option("copy binary"))
               None
             } else binaryKinds(qualified, df.columns.toSeq,
               named = false, preserveCase = false,

@@ -627,9 +627,16 @@ object Ddl {
     // has current == maxValue, and current + increment would overflow
     // the declared bound — PG rejects such a START and the intolerant
     // pre phase would abort the whole migration
-    val start = s.current.map(c =>
-      math.min(math.max(c + s.increment, s.minValue), s.maxValue))
-      .getOrElse(s.start)
+    // overflow-safe bump: a sequence sitting near the bigint
+    // MAXVALUE would wrap negative under naive addition and clamp to
+    // MINVALUE — restarting an exhausted sequence from 1
+    val start = s.current.map { c =>
+      val bumped =
+        try Math.addExact(c, s.increment)
+        catch { case _: ArithmeticException =>
+          if (s.increment > 0) s.maxValue else s.minValue }
+      math.min(math.max(bumped, s.minValue), s.maxValue)
+    }.getOrElse(s.start)
     s"CREATE SEQUENCE IF NOT EXISTS ${seqName(s)} AS bigint " +
       s"START WITH $start INCREMENT BY ${s.increment} " +
       s"MINVALUE ${s.minValue} MAXVALUE ${s.maxValue} " +

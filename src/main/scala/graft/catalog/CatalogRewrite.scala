@@ -47,13 +47,31 @@ object CatalogRewrite {
     // DIFFERENT schema must not save the fkey.
     val surviving = filtered.schemas
       .flatMap(s => s.tables.map(t => (s.name, t.name))).toSet
-    filtered.copy(schemas = filtered.schemas.map { s =>
+    val pruned = filtered.copy(schemas = filtered.schemas.map { s =>
       s.copy(tables = s.tables.map { t =>
         t.copy(fkeys = t.fkeys.filter(fk =>
           surviving.contains((fk.foreignSchemaOr(s.name),
             fk.foreignTable))))
       })
     })
+    // a FILTERED migration must not touch objects outside its scope:
+    // keep only the sequences some KEPT table's nextval default
+    // references (an unqualified reference matches the name in any
+    // schema — over-keeping is harmless; under `include drop` an
+    // out-of-scope DROP SEQUENCE … CASCADE would strip defaults from
+    // unrelated target tables). Unfiltered runs keep every sequence —
+    // a standalone counter is part of the whole-database contract.
+    if (including.isEmpty && excluding.isEmpty) pruned
+    else {
+      val Next = "(?is)nextval\\('(.*)'::regclass\\)".r
+      val refs = pruned.schemas.flatMap(_.tables)
+        .flatMap(_.fields.flatMap(_.default)).flatMap(d =>
+          Next.findAllMatchIn(d).map(_.group(1).replace("''", "'")).toSeq)
+        .map(graft.sinks.PgWire.splitQualified)
+      pruned.copy(sequences = pruned.sequences.filter(sq =>
+        refs.exists { case (sch, rel) =>
+          rel == sq.name && sch.forall(_ == sq.schema) }))
+    }
   }
 
   /** TARGET identifier casing for TABLE-level names (params.lisp
@@ -122,7 +140,14 @@ object CatalogRewrite {
           // ("userId" does not exist when the column became user_id)
           val srcCols = t.fields.map(_.name).toSet
           t.indexes.map { i =>
-            val cased = i.copy(columns = i.columns.map(ic))
+            val cased = i.copy(columns = i.columns.map(ic),
+              // the partial-index predicate (pg_get_expr of indpred) is
+              // verbatim server SQL too — unrecased it references the
+              // SOURCE spelling and the CREATE INDEX fails as a
+              // tolerated ddlError, silently losing the index
+              filter = i.filter.map(f =>
+                if (srcCols.nonEmpty) recaseSqlRefs(f, srcCols, ic)
+                else f))
             i.indexDef match {
               case Some(d) if srcCols.nonEmpty =>
                 cased.copy(indexDef = Some(recaseIndexDef(d, srcCols, ic)))
@@ -141,6 +166,17 @@ object CatalogRewrite {
             if (srcCols.nonEmpty)
               x.copy(expr = recaseSqlRefs(x.expr, srcCols, ic))
             else x)
+        },
+        checks = {
+          // CHECK expressions are verbatim server SQL too (pg sources;
+          // mysql/sqlite check text is rewritten with raw spellings) —
+          // an unrecased `("MyCol" > 0)` fails the post-load ADD under
+          // fold modes and the constraint is silently lost to ddlErrors
+          val srcCols = t.fields.map(_.name).toSet
+          t.checks.map(c =>
+            if (srcCols.nonEmpty)
+              c.copy(expr = recaseSqlRefs(c.expr, srcCols, ic))
+            else c)
         })))))
   }
 

@@ -300,8 +300,11 @@ object ExactlyOnce extends Serializable {
     // truncate onto ONE ledger (same (queryId, batchId) key space —
     // a collision would silently no-op the other table's batches)
     val (tschema, trel) = splitQualified(table)
-    val epochs = tschema.fold("")(_ + ".") +
-      s"${boundBase(trel, 63 - "__graft_epochs".length)}__graft_epochs"
+    val erel = s"${boundBase(trel, 63 - "__graft_epochs".length)}__graft_epochs"
+    // joinQualified, not bare concat: a dotted/quoted schema must
+    // re-render pre-quoted or quoteQualified splits at the wrong dot
+    // (same fix as stageName)
+    val epochs = tschema.fold(erel)(s => PgWire.joinQualified(s, erel))
     val qlit = "'" + queryId.replace("'", "''") + "'"
     exec(s"CREATE TABLE IF NOT EXISTS ${quote(epochs)} " +
       "(query_id text NOT NULL, batch_id bigint NOT NULL, " +

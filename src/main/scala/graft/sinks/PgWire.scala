@@ -137,7 +137,14 @@ object PgWire {
         (Some(first), restUnq)
       }
     } else s.split("\\.", 2) match {
-      case Array(a, b) => (Some(a), b)
+      case Array(a, b) =>
+        // mixed form: quote_ident renders each part independently, so
+        // `s1."My Seq"` (bare schema, quoted rel) is a real rendering
+        val bUnq =
+          if (b.length >= 2 && b.startsWith("\"") && b.endsWith("\""))
+            b.substring(1, b.length - 1).replace("\"\"", "\"")
+          else b
+        (Some(a), bUnq)
       case _ => (None, s)
     }
 

@@ -540,6 +540,7 @@ object IntrospectionSql {
        pg_get_expr(x.indpred, x.indrelid) AS filter,
        pg_get_indexdef(x.indexrelid) AS indexdef,
        (x.indexprs IS NOT NULL
+        OR x.indnullsnotdistinct
         OR am.amname <> 'btree'
         OR x.indnatts <> x.indnkeyatts
         OR EXISTS (SELECT 1 FROM unnest(x.indoption) o WHERE o <> 0)
@@ -666,6 +667,20 @@ object IntrospectionSql {
          AND NOT a.attisdropped
          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
          AND col_description(c.oid, a.attnum) IS NOT NULL"""
+
+  /** Version-degraded variants: [[pgsqlColumns]] references
+    * attgenerated (PG 12+) and [[pgsqlIndexes]] indnullsnotdistinct
+    * (PG 15+); on an older source the whole query errors. Callers try
+    * the modern query first and fall back — the legacy shapes emit
+    * constants in the SAME column positions, so the row mappers never
+    * notice (a PG 11- source cannot hold the newer features anyway).
+    * Floor stays PG 11 (conparentid in [[pgsqlFKeys]], r19). */
+  val pgsqlColumnsLegacy: String =
+    pgsqlColumns.replace("a.attgenerated::text AS generated",
+      "''::text AS generated")
+
+  val pgsqlIndexesLegacy: String =
+    pgsqlIndexes.replace("OR x.indnullsnotdistinct\n", "")
 
   /** Standalone user SEQUENCE objects — the reference migrates
     * sequences only for MSSQL (mssql-schema.lisp fetch-sequences);

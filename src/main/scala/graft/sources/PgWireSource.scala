@@ -33,8 +33,16 @@ object PgWireSource {
   def introspect(params: PgWire.ConnParams)
       : Seq[graft.catalog.Table] = {
     val conn = new PgWireConnection(params)
+    // modern catalog columns (attgenerated PG 12+, indnullsnotdistinct
+    // PG 15+) degrade per-query on older sources — the legacy shapes
+    // keep identical column positions (constants), so mappers are
+    // untouched; the simple protocol recovers after a server error
+    def queryOr(modern: String, legacy: String) =
+      try conn.query(modern)._2
+      catch { case _: PgWire.PgServerError => conn.query(legacy)._2 }
     try {
-      val (_, rows) = conn.query(IntrospectionSql.pgsqlColumns)
+      val rows = queryOr(IntrospectionSql.pgsqlColumns,
+        IntrospectionSql.pgsqlColumnsLegacy)
       val tables = IntrospectionRows.pgsqlTables(rows.map { r =>
         IntrospectionRows.PgColumn(r(0), r(1), r(2), r(3),
           Option(r(4)),
@@ -50,7 +58,8 @@ object PgWireSource {
           // absent column (test doubles) = legacy nextval→serial
           ownedSeq = r.length <= 11 || r(11) == "t" || r(11) == "true")
       })
-      val (_, idxRows) = conn.query(IntrospectionSql.pgsqlIndexes)
+      val idxRows = queryOr(IntrospectionSql.pgsqlIndexes,
+        IntrospectionSql.pgsqlIndexesLegacy)
       val (_, fkRows) = conn.query(IntrospectionSql.pgsqlFKeys)
       val (_, tcRows) = conn.query(IntrospectionSql.pgsqlTableComments)
       val (_, ccRows) = conn.query(IntrospectionSql.pgsqlColumnComments)

@@ -315,7 +315,12 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     val ddl = Seq.newBuilder[String]
     val hostileSchema = g.name("Sch")
     ddl += s"CREATE SCHEMA ${qi(hostileSchema)};"
-    val schemas = Seq("public", hostileSchema)
+    // a plain lowercase schema too: quote_ident renders objects there
+    // as MIXED forms (bare schema, quoted-only-if-needed object) —
+    // the shape that exercises the quote-aware qualified-name split
+    val plainSchema = s"s${rnd.nextInt(90) + 10}"
+    ddl += s"CREATE SCHEMA ${qi(plainSchema)};"
+    val schemas = Seq("public", hostileSchema, plainSchema)
 
     val nTables = rnd.nextInt(3) + 3
 
@@ -443,9 +448,16 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           c.typ.startsWith("numeric"))
         val textRef = cols.find(_.typ == "text")
         (if (numRef.isDefined && (textRef.isEmpty || rnd.nextBoolean()))
-          numRef.map(c => Col(g.name("g"),
-            s"${c.typ} GENERATED ALWAYS AS ((${qi(c.name)} / 2)) STORED",
-            false, None, true, _ => "DEFAULT"))
+          numRef.map { c =>
+            // NOT NULL generated columns pin the exactly-once stage
+            // shape (LIKE would copy the NOT NULL without the
+            // generation expr); safe only when the input is NOT NULL
+            val nn = c.notNull && rnd.nextBoolean()
+            Col(g.name("g"),
+              s"${c.typ} GENERATED ALWAYS AS ((${qi(c.name)} / 2)) " +
+                s"STORED${if (nn) " NOT NULL" else ""}",
+              false, None, true, _ => "DEFAULT")
+          }
         else textRef.map(c => Col(g.name("g"),
           s"text GENERATED ALWAYS AS (lower(${qi(c.name)})) STORED",
           false, None, true, _ => "DEFAULT"))
@@ -470,7 +482,9 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         if (!pk.contains(u.name)) rnd.nextInt(3) match {
           case 0 => extras += s"UNIQUE (${qi(u.name)})"
           case 1 => extras +=
-            s"CONSTRAINT ${qi(g.name("uq"))} UNIQUE (${qi(u.name)})"
+            s"CONSTRAINT ${qi(g.name("uq"))} UNIQUE " +
+              (if (rnd.nextInt(3) == 0) "NULLS NOT DISTINCT " else "") +
+              s"(${qi(u.name)})"
           case _ => after += s"CREATE UNIQUE INDEX ${qi(g.name("ux"))} " +
             s"ON ${qi(schema)}.${qi(tname)} (${qi(u.name)});"
         }
@@ -881,6 +895,24 @@ class LiveSchemaFuzzSpec extends SparkSpec {
 
   // ------------------------------------------------------------------
 
+  test("legacy introspection variants run on live pg and keep the " +
+    "modern column positions") {
+    assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val c = new PgWireConnection(
+      PgWire.connParams(LivePg.uri.get, decode))
+    try {
+      import graft.sources.IntrospectionSql._
+      assert(!pgsqlColumnsLegacy.contains("attgenerated"))
+      assert(!pgsqlIndexesLegacy.contains("indnullsnotdistinct"))
+      val (mc, mr) = c.query(pgsqlColumns)
+      val (lc, lr) = c.query(pgsqlColumnsLegacy)
+      assert(mc.length == lc.length && mr.length == lr.length)
+      val (mi, mir) = c.query(pgsqlIndexes)
+      val (li, lir) = c.query(pgsqlIndexesLegacy)
+      assert(mi.length == li.length && mir.length == lir.length)
+    } finally c.close()
+  }
+
   test("schema fuzz: random pg databases migrate pg→pg with catalog " +
     "and data parity under quote identifiers") {
     assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
@@ -965,12 +997,39 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           s"seed $seed mode '$mopt': " + errs2.map(s =>
             s"${s.table}: ${s.error.getOrElse("")}").mkString("; "))
         def icm(n: String) = graft.catalog.Identifiers(n, mcase)
+        // constraint/index SURVIVAL, not just data: a fold-mode DDL
+        // failure lands in tolerated ddlErrors and loses the object
+        // silently (the CHECK-recase bug hid exactly here). UNIQUE
+        // constraints recreate as unique indexes by design → compare
+        // contype c/f/x/p plus the index count.
+        def shape(uri: String, nsp: String, rel: String): String = {
+          val cons = q(uri,
+            s"""SELECT c.contype::text, count(*) FROM pg_constraint c
+                JOIN pg_class t ON t.oid = c.conrelid
+                JOIN pg_namespace n ON n.oid = t.relnamespace
+                WHERE n.nspname = ${sq(nsp)} AND t.relname = ${sq(rel)}
+                  AND c.conparentid = 0 AND c.contype IN ('c','f','x','p')
+                GROUP BY 1 ORDER BY 1""")
+            .map(_.mkString(":")).mkString(",")
+          val idx = q(uri,
+            s"""SELECT count(*) FROM pg_index x
+                JOIN pg_class t ON t.oid = x.indrelid
+                JOIN pg_namespace n ON n.oid = t.relnamespace
+                WHERE n.nspname = ${sq(nsp)}
+                  AND t.relname = ${sq(rel)}""").head.head
+          s"$cons|idx=$idx"
+        }
         tableList(src).foreach { r =>
           val sd = digestOf(src, r(0), r(1))
           val dd = digestOf(dst, icm(r(0)), icm(r(1)))
           assert(sd == dd,
             s"seed $seed mode '$mopt': ${r(0)}.${r(1)} " +
               s"src=$sd dst(${icm(r(0))}.${icm(r(1))})=$dd")
+          val ss = shape(src, r(0), r(1))
+          val ds = shape(dst, icm(r(0)), icm(r(1)))
+          assert(ss == ds,
+            s"seed $seed mode '$mopt': ${r(0)}.${r(1)} constraint/" +
+              s"index shape src=[$ss] dst=[$ds]")
         }
       }
     }
