@@ -309,8 +309,9 @@ class LiveSchemaFuzzSpec extends SparkSpec {
   // generation of one database
   // ------------------------------------------------------------------
 
-  /** Returns (setup statements, tables in creation order). */
-  private def genDatabase(g: Gen): (Seq[String], Seq[Tab]) = {
+  /** Returns (setup statements, tables, views as (schema, name)). */
+  private def genDatabase(g: Gen)
+      : (Seq[String], Seq[Tab], Seq[(String, String)]) = {
     val rnd = g.rnd
     val ddl = Seq.newBuilder[String]
     val hostileSchema = g.name("Sch")
@@ -661,6 +662,11 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         extras.result(), after.result(), unlogged)
     }
 
+    // a VIEW over one of the tables, with hostile name and column
+    // aliases — MATERIALIZE ALL VIEWS lands it as a TABLE on the target
+    val views = Seq.newBuilder[(String, String)]
+    // (created after the tables below — registered here, emitted last)
+
     // CREATE TABLE + inserts + after-statements, in creation order
     tabs.foreach { t =>
       val colDefs = t.cols.map { c =>
@@ -684,7 +690,17 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       }
       t.after.foreach(ddl += _)
     }
-    (ddl.result(), tabs.toSeq)
+    if (rnd.nextInt(2) == 0 && tabs.nonEmpty) {
+      val vsch = schemas(rnd.nextInt(schemas.length))
+      val vname = g.name("Vw")
+      val srcT = tabs(rnd.nextInt(tabs.length))
+      val vcols = srcT.cols.take(rnd.nextInt(srcT.cols.length) + 1)
+      ddl += s"CREATE VIEW ${qi(vsch)}.${qi(vname)} AS SELECT " +
+        vcols.map(c => s"${qi(c.name)} AS ${qi(g.name("va"))}")
+          .mkString(", ") + s" FROM ${srcT.qq};"
+      views += ((vsch, vname))
+    }
+    (ddl.result(), tabs.toSeq, views.result())
   }
 
   // ------------------------------------------------------------------
@@ -706,7 +722,13 @@ class LiveSchemaFuzzSpec extends SparkSpec {
   private def normType(t: String): String =
     if (t.startsWith("character varying")) "text" else t
 
-  private def snapshot(uri: String): Seq[String] = {
+  private def snapshot(uri: String,
+                       excl: Set[(String, String)] = Set.empty)
+      : Seq[String] = {
+    def keep(line: String): Boolean = {
+      val parts = line.split("\\|", -1)
+      parts.length < 3 || !excl.contains((parts(1), parts(2)))
+    }
     val out = Seq.newBuilder[String]
 
     q(uri,
@@ -852,7 +874,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       out += s"cmt|${r(0)}|${r(1)}|${r(2)}|${r(3)}"
     }
 
-    out.result()
+    out.result().filter(keep)
   }
 
   private def tableList(uri: String): Seq[Seq[String]] =
@@ -876,11 +898,24 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     (d(1), d(0))
   }
 
-  private def dataDigests(uri: String): Seq[String] =
-    tableList(uri).map { r =>
+  private def dataDigests(uri: String,
+                          excl: Set[(String, String)] = Set.empty)
+      : Seq[String] =
+    tableList(uri).filterNot(r => excl.contains((r(0), r(1)))).map { r =>
       val (n, d) = digestOf(uri, r(0), r(1))
       s"data|${r(0)}|${r(1)}|$n|$d"
     }
+
+  /** Row digest over a VIEW (no ONLY — views reject it). */
+  private def viewDigestOf(uri: String, nsp: String, rel: String)
+      : (String, String) = {
+    val d = q(uri,
+      s"SELECT coalesce(md5(string_agg(r, chr(10) ORDER BY r)), " +
+        s"'empty'), count(*) FROM " +
+        s"(SELECT ROW(x.*)::text AS r FROM " +
+        s"${qi(nsp)}.${qi(rel)} x) s").head
+    (d(1), d(0))
+  }
 
   private def diffLines(src: Seq[String], dst: Seq[String]): Seq[String] = {
     val s = src.groupBy(identity).view.mapValues(_.size).toMap
@@ -932,7 +967,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       exec(admin, "CREATE DATABASE schfz_dst")
 
       val g = new Gen(seed)
-      val (ddl, _) = genDatabase(g)
+      val (ddl, _, views) = genDatabase(g)
       println(s"[schema-fuzz] seed $seed: ${ddl.size} stmts, " +
         s"${ddl.count(_.startsWith("CREATE TYPE"))} enums, " +
         s"${ddl.count(_.startsWith("CREATE DOMAIN"))} domains, " +
@@ -957,22 +992,55 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         if (optRnd.nextInt(3) == 0) ", exactly once" else "",
         if (optRnd.nextInt(4) == 0) ", copy binary" else "",
         s", workers = ${optRnd.nextInt(4) + 1}").mkString
+      val mat = if (views.isEmpty) ""
+        else "\n              MATERIALIZE ALL VIEWS"
       val stats = pgRunner(dst).runFile(spark,
         s"""LOAD DATABASE FROM $src
               INTO $dst
               WITH include drop, create tables,
-                   quote identifiers$opts;""")
+                   quote identifiers$opts$mat;""")
       val errs = stats.filter(_.error.nonEmpty)
       assert(errs.isEmpty,
         s"seed $seed: table errors: " + errs.map(s =>
           s"${s.table}: ${s.error.getOrElse("")}").mkString("; "))
 
-      val catDiff = diffLines(snapshot(src), snapshot(dst))
-      val dataDiff = diffLines(dataDigests(src), dataDigests(dst))
+      val vset = views.toSet
+      val catDiff = diffLines(snapshot(src), snapshot(dst, vset))
+      val dataDiff =
+        diffLines(dataDigests(src), dataDigests(dst, excl = vset))
       val all = catDiff ++ dataDiff
       assert(all.isEmpty,
         s"seed $seed: ${all.size} divergences\n" +
           all.take(40).mkString("\n"))
+
+      // materialized views: the source VIEW's rows land as a TABLE of
+      // the same (quoted-mode) name with the view's column names/types
+      views.foreach { case (vs, vn) =>
+        val sv = viewDigestOf(src, vs, vn)
+        val dv = digestOf(dst, vs, vn)
+        assert(sv == dv,
+          s"seed $seed: materialized view $vs.$vn src=$sv dst=$dv")
+        val scols = q(src,
+          s"""SELECT a.attname, format_type(a.atttypid, a.atttypmod)
+              FROM pg_attribute a
+              JOIN pg_class c ON c.oid = a.attrelid
+              JOIN pg_namespace n ON n.oid = c.relnamespace
+              WHERE n.nspname = ${sq(vs)} AND c.relname = ${sq(vn)}
+                AND a.attnum > 0 AND NOT a.attisdropped
+              ORDER BY a.attnum""").map(r =>
+          (r(0), normType(r(1))))
+        val dcols = q(dst,
+          s"""SELECT a.attname, format_type(a.atttypid, a.atttypmod)
+              FROM pg_attribute a
+              JOIN pg_class c ON c.oid = a.attrelid
+              JOIN pg_namespace n ON n.oid = c.relnamespace
+              WHERE n.nspname = ${sq(vs)} AND c.relname = ${sq(vn)}
+                AND a.attnum > 0 AND NOT a.attisdropped
+              ORDER BY a.attnum""").map(r =>
+          (r(0), normType(r(1))))
+        assert(scols == dcols,
+          s"seed $seed: view $vs.$vn columns src=$scols dst=$dcols")
+      }
 
       // ---- fold-mode legs: default downcase every seed, snake_case
       // on even seeds. Target names are engine-mapped (Identifiers) —
