@@ -1042,6 +1042,54 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           s"seed $seed: view $vs.$vn columns src=$scols dst=$dcols")
       }
 
+      // ---- filtered leg: INCLUDING ONLY one table must not touch
+      // out-of-scope objects — in particular, sequences other tables'
+      // defaults reference must NOT be created (nor CASCADE-dropped)
+      // on the target, while a sequence the KEPT table references
+      // must still migrate (the r20 sequence-scoping rule, both ways)
+      val (_, tabsAll, _) = genDatabase(new Gen(seed))
+      // a literal-pattern-safe name: plain lowercase so the INCLUDING
+      // literal matches regardless of the matcher's case handling
+      val safeTab = tabsAll.find(t =>
+        t.name.nonEmpty &&
+          t.name.forall(c => (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '_'))
+      if (optRnd.nextInt(2) == 0 && safeTab.isDefined) {
+        val keep = safeTab.get
+        println(s"[schema-fuzz] seed $seed: filtered leg keeps " +
+          s"${keep.name}")
+        exec(admin, "DROP DATABASE IF EXISTS schfz_dst WITH (FORCE)")
+        exec(admin, "CREATE DATABASE schfz_dst")
+        val stF = pgRunner(dst).runFile(spark,
+          s"""LOAD DATABASE FROM $src
+                INTO $dst
+                WITH include drop, create tables, quote identifiers
+                INCLUDING ONLY TABLE NAMES MATCHING '${keep.name}';""")
+        val errsF = stF.filter(_.error.nonEmpty)
+        assert(errsF.isEmpty, s"seed $seed filtered: " +
+          errsF.map(s => s"${s.table}: ${s.error.getOrElse("")}")
+            .mkString("; "))
+        val dstTabs = tableList(dst).map(r => (r(0), r(1)))
+        assert(dstTabs == Seq((keep.schema, keep.name)),
+          s"seed $seed filtered: expected only " +
+            s"${keep.schema}.${keep.name}, got $dstTabs")
+        // target sequences ⊆ sequences the kept table's defaults name
+        val wantSeqs = keep.cols.flatMap(_.default)
+          .filter(_.contains("nextval")).size
+        val dstSeqs = q(dst,
+          s"""SELECT count(*) FROM pg_class c
+              JOIN pg_namespace n ON n.oid = c.relnamespace
+              WHERE c.relkind = 'S' AND n.nspname NOT IN $sysSchemas
+                AND NOT EXISTS (SELECT 1 FROM pg_depend d
+                                WHERE d.classid = 'pg_class'::regclass
+                                  AND d.objid = c.oid
+                                  AND d.deptype IN ('a', 'i'))""")
+          .head.head.toInt
+        assert(dstSeqs == wantSeqs,
+          s"seed $seed filtered: $dstSeqs standalone sequences on " +
+            s"target, kept table references $wantSeqs")
+      }
+
       // ---- fold-mode legs: default downcase every seed, snake_case
       // on even seeds. Target names are engine-mapped (Identifiers) —
       // the assertion is clean completion and DATA survival against
