@@ -306,10 +306,46 @@ object CatalogRewrite {
       // old (absent) schema
       .pipe(c => c.copy(schemas = c.schemas.map(s2 =>
         s2.copy(tables = s2.tables.map(t2 =>
-          t2.copy(fkeys = t2.fkeys.map(fk =>
-            if (fk.foreignSchema.nonEmpty && m.contains(fk.foreignSchema))
-              fk.copy(foreignSchema = m(fk.foreignSchema))
-            else fk)))))))
+          t2.copy(
+            fkeys = t2.fkeys.map(fk =>
+              if (fk.foreignSchema.nonEmpty && m.contains(fk.foreignSchema))
+                fk.copy(foreignSchema = m(fk.foreignSchema))
+              else fk),
+            // verbatim nextval defaults reference their sequence by the
+            // SOURCE schema spelling; the sequence object followed the
+            // rename above, so the reference must too — applied to ALL
+            // tables (a table in schema B may default from A's
+            // sequence), and on the SOURCE fields (the cast copies the
+            // default into the target ColumnDefs later)
+            fields = t2.fields.map(f => f.copy(
+              default = f.default.map(renameNextvalSchema(_, m))))))))))
+  }
+
+  /** Rewrite the schema inside a `nextval('…'::regclass)` default when
+    * that schema was renamed. An UNQUALIFIED reference resolved via the
+    * source search_path (public) — if public itself is renamed, the
+    * rewritten default must qualify explicitly, because the target
+    * resolves unqualified names in ITS OWN search_path. */
+  private def renameNextvalSchema(default: String,
+                                  m: Map[String, String]): String = {
+    val P = "(?is)^nextval\\('(.*)'::regclass\\)$".r
+    default.trim match {
+      case P(innerEsc) =>
+        val inner = innerEsc.replace("''", "'")
+        val (sch, rel) = graft.sinks.PgWire.splitQualified(inner)
+        val renamed = sch match {
+          case Some(s0) => m.get(s0)
+          case None => m.get("public")
+        }
+        renamed match {
+          case Some(to) =>
+            val lit = (quoteAlways(to) + "." + quoteAlways(rel))
+              .replace("'", "''")
+            s"nextval('$lit'::regclass)"
+          case None => default
+        }
+      case _ => default
+    }
   }
 
   /** `ALTER TABLE NAMES MATCHING … RENAME TO / SET SCHEMA …`. First

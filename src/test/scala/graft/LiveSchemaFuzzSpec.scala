@@ -948,6 +948,53 @@ class LiveSchemaFuzzSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("ALTER SCHEMA RENAME rewrites verbatim nextval defaults along " +
+    "with their sequence objects") {
+    assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
+    val admin = LivePg.uri.get
+    val src = swapDb(admin, "rnm_src")
+    val dst = swapDb(admin, "rnm_dst")
+    exec(admin, "DROP DATABASE IF EXISTS rnm_src WITH (FORCE)")
+    exec(admin, "DROP DATABASE IF EXISTS rnm_dst WITH (FORCE)")
+    exec(admin, "CREATE DATABASE rnm_src")
+    exec(admin, "CREATE DATABASE rnm_dst")
+    exec(src,
+      """CREATE SCHEMA olds;
+        |CREATE SEQUENCE olds.ctr;
+        |CREATE TABLE olds.t (id int PRIMARY KEY,
+        |  n bigint DEFAULT nextval('olds.ctr'));
+        |-- a table in ANOTHER schema defaulting from the renamed one
+        |CREATE TABLE public.u (id int PRIMARY KEY,
+        |  n bigint DEFAULT nextval('olds.ctr'));
+        |INSERT INTO olds.t (id) VALUES (1), (2);
+        |INSERT INTO public.u (id) VALUES (7);
+        |""".stripMargin)
+    val stats = pgRunner(dst).runFile(spark,
+      s"""LOAD DATABASE FROM $src
+            INTO $dst
+            WITH include drop, create tables
+            ALTER SCHEMA 'olds' RENAME TO 'news';""")
+    assert(stats.forall(_.error.isEmpty), stats.mkString("; "))
+    // sequence moved AND both defaults follow it
+    assert(q(dst, "SELECT count(*) FROM pg_class c JOIN pg_namespace " +
+      "n ON n.oid = c.relnamespace WHERE c.relkind = 'S' AND " +
+      "n.nspname = 'news' AND c.relname = 'ctr'").head.head == "1")
+    val dftT = q(dst, "SELECT pg_get_expr(d.adbin, d.adrelid) FROM " +
+      "pg_attrdef d JOIN pg_class c ON c.oid = d.adrelid JOIN " +
+      "pg_namespace n ON n.oid = c.relnamespace WHERE " +
+      "n.nspname = 'news' AND c.relname = 't'").head.head
+    val dftU = q(dst, "SELECT pg_get_expr(d.adbin, d.adrelid) FROM " +
+      "pg_attrdef d JOIN pg_class c ON c.oid = d.adrelid JOIN " +
+      "pg_namespace n ON n.oid = c.relnamespace WHERE " +
+      "n.nspname = 'public' AND c.relname = 'u'").head.head
+    assert(dftT == "nextval('news.ctr'::regclass)", dftT)
+    assert(dftU == "nextval('news.ctr'::regclass)", dftU)
+    // the default actually works: an insert draws from the sequence
+    exec(dst, "INSERT INTO news.t (id) VALUES (3)")
+    assert(q(dst, "SELECT n IS NOT NULL FROM news.t WHERE id = 3")
+      .head.head == "t")
+  }
+
   test("schema fuzz: random pg databases migrate pg→pg with catalog " +
     "and data parity under quote identifiers") {
     assume(LivePg.uri.isDefined, "set GRAFT_LIVE_PG_URI to run")
