@@ -309,9 +309,9 @@ class LiveSchemaFuzzSpec extends SparkSpec {
   // generation of one database
   // ------------------------------------------------------------------
 
-  /** Returns (setup statements, tables, views as (schema, name)). */
+  /** Returns (setup statements, tables, views, plain schema name). */
   private def genDatabase(g: Gen)
-      : (Seq[String], Seq[Tab], Seq[(String, String)]) = {
+      : (Seq[String], Seq[Tab], Seq[(String, String)], String) = {
     val rnd = g.rnd
     val ddl = Seq.newBuilder[String]
     val hostileSchema = g.name("Sch")
@@ -700,7 +700,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
           .mkString(", ") + s" FROM ${srcT.qq};"
       views += ((vsch, vname))
     }
-    (ddl.result(), tabs.toSeq, views.result())
+    (ddl.result(), tabs.toSeq, views.result(), plainSchema)
   }
 
   // ------------------------------------------------------------------
@@ -1014,7 +1014,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       exec(admin, "CREATE DATABASE schfz_dst")
 
       val g = new Gen(seed)
-      val (ddl, _, views) = genDatabase(g)
+      val (ddl, _, views, plainSch) = genDatabase(g)
       println(s"[schema-fuzz] seed $seed: ${ddl.size} stmts, " +
         s"${ddl.count(_.startsWith("CREATE TYPE"))} enums, " +
         s"${ddl.count(_.startsWith("CREATE DOMAIN"))} domains, " +
@@ -1094,7 +1094,7 @@ class LiveSchemaFuzzSpec extends SparkSpec {
       // defaults reference must NOT be created (nor CASCADE-dropped)
       // on the target, while a sequence the KEPT table references
       // must still migrate (the r20 sequence-scoping rule, both ways)
-      val (_, tabsAll, _) = genDatabase(new Gen(seed))
+      val (_, tabsAll, _, _) = genDatabase(new Gen(seed))
       // a literal-pattern-safe name: plain lowercase so the INCLUDING
       // literal matches regardless of the matcher's case handling
       val safeTab = tabsAll.find(t =>
@@ -1135,6 +1135,33 @@ class LiveSchemaFuzzSpec extends SparkSpec {
         assert(dstSeqs == wantSeqs,
           s"seed $seed filtered: $dstSeqs standalone sequences on " +
             s"target, kept table references $wantSeqs")
+      }
+
+      // ---- rename leg: ALTER SCHEMA on the plain-named schema; the
+      // renamed schema's tables (incl. any enums/domains/sequences it
+      // hosts, referenced by tables anywhere) must land under the new
+      // name with identical rows
+      if (optRnd.nextInt(3) == 0) {
+        val renTo = s"ren${seed % 1000}"
+        exec(admin, "DROP DATABASE IF EXISTS schfz_dst WITH (FORCE)")
+        exec(admin, "CREATE DATABASE schfz_dst")
+        val stR = pgRunner(dst).runFile(spark,
+          s"""LOAD DATABASE FROM $src
+                INTO $dst
+                WITH include drop, create tables, quote identifiers
+                ALTER SCHEMA '$plainSch' RENAME TO '$renTo';""")
+        val errsR = stR.filter(_.error.nonEmpty)
+        assert(errsR.isEmpty, s"seed $seed rename: " +
+          errsR.map(s => s"${s.table}: ${s.error.getOrElse("")}")
+            .mkString("; "))
+        tableList(src).filterNot(r => views.contains((r(0), r(1))))
+          .foreach { r =>
+            val toSch = if (r(0) == plainSch) renTo else r(0)
+            val sd = digestOf(src, r(0), r(1))
+            val dd = digestOf(dst, toSch, r(1))
+            assert(sd == dd, s"seed $seed rename: ${r(0)}.${r(1)} " +
+              s"src=$sd dst($toSch.${r(1)})=$dd")
+          }
       }
 
       // ---- fold-mode legs: default downcase every seed, snake_case
