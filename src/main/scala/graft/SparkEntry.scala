@@ -675,8 +675,15 @@ object SparkEntry {
           col("o_orderkey").cast("int").as("k"),
           col("o_orderstatus").as("st"),
           col("o_totalprice").as("p"))
-      val dbPath = new java.io.File(scratch("jdbc_derby")).getAbsolutePath
-      val url = s"jdbc:derby:$dbPath;create=true"
+      // in-memory Derby subname (round 21): the fixture DB is rebuilt
+      // from parquet on every invocation, so the disk store bought
+      // nothing but page-file creation + write-ahead-log fsyncs on
+      // every INSERT batch (~1.9 s of driver-side wall at sf0.1, by
+      // far the query's largest cost). Same real Derby engine, same
+      // JDBC surface, same introspection/cast/partitioned-read path.
+      // Unique per invocation: memory DBs live for the JVM, and a
+      // repeated CREATE TABLE in one session must not collide.
+      val url = s"jdbc:derby:memory:jdbc_derby_${System.nanoTime()};create=true"
       val props = new java.util.Properties
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
@@ -720,9 +727,10 @@ object SparkEntry {
         .select(col("c_custkey").cast("int").as("k"),
           col("c_name").as("nm"),
           col("c_acctbal").cast("double").as("bal"))
-      val dbPath =
-        new java.io.File(scratch("jdbc_pred_derby")).getAbsolutePath
-      val url = s"jdbc:derby:$dbPath;create=true"
+      // in-memory Derby, same rationale (and uniqueness rule) as
+      // jdbc_migrate above
+      val url =
+        s"jdbc:derby:memory:jdbc_pred_derby_${System.nanoTime()};create=true"
       val props = new java.util.Properties
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {

@@ -148,11 +148,17 @@ object Dedup {
     * `numPerms` min columns — whole-stage codegen, map-side combined (one
     * narrow row per doc leaves each task). Output keeps the per-perm
     * columns (`__m0…`) so band buckets can be built without re-slicing an
-    * array through interpreted HOFs. This is the 100 TB path. */
+    * array through interpreted HOFs, plus `sz` = the doc's distinct
+    * shingle count (`rows` is distinct (id, h), so count(1) IS the set
+    * size) — riding the same aggregate means no consumer ever needs a
+    * second corpus pass just to learn set sizes (round 21: that separate
+    * `groupBy(id).count` lineage re-ran the whole tokenize/explode/hash
+    * pipeline once more per query). This is the 100 TB path. */
   private[pipeline] def signatureCols(rows: DataFrame, numPerms: Int,
                             seed: Long): DataFrame = {
     val aggs = permSalts(numPerms, seed).zipWithIndex.map { case (s, i) =>
-      min(xxhash64(lit(s), col("h"))).as(s"__m$i") }
+      min(xxhash64(lit(s), col("h"))).as(s"__m$i") } :+
+      count(lit(1)).as("sz")
     rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -185,9 +191,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** (id, band, bucket) rows from a `signatureCols` frame: band buckets
-    * built straight off the per-perm min columns — codegen'd string
-    * concat + xxhash64, no array slicing through interpreted HOFs. */
+  /** (id, band, bucket, sz) rows from a `signatureCols` frame: band
+    * buckets built straight off the per-perm min columns — codegen'd
+    * string concat + xxhash64, no array slicing through interpreted
+    * HOFs. `sz` (the doc's shingle-set size, already in the signature
+    * aggregate) rides through the explode — 8 bytes per bucket row —
+    * so candidate pairs leave the bucket join with both set sizes
+    * attached and no consumer joins a separate size table. */
   private[pipeline] def bandBuckets(sig: DataFrame, numPerms: Int,
                           bands: Int): DataFrame = {
     // mirror of the streaming twin's guard (NearDup.candidatePairs):
@@ -203,9 +213,9 @@ object Dedup {
           (b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(i => col(s"__m$i").cast("string")): _*)).as("bucket"))
     }
-    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+        col("bb.bucket").as("bucket"), col("sz"))
   }
 
   /** LSH banding: explode the signature into `bands` (bandId, bandHash)
@@ -242,29 +252,23 @@ object Dedup {
     val rows = shingleHashRows(df, idCol, textCol, k)
     val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
       numPerms, bands)
-    val cand0 = buckets.as("x").join(buckets.as("y"),
+    // set sizes ride the bucket rows straight out of the signature
+    // aggregate (round 21): the earlier spelling attached them to the
+    // deduped candidate set from a SEPARATE count-only aggregate, which
+    // re-ran the whole shingle lineage (tokenize → explode → hash →
+    // distinct) once more and added two joins — measured at sf0.1 the
+    // carried shape is ~25% faster warm and removes one corpus pass at
+    // any scale. (Round 8 measured the opposite with the sizes carried
+    // only as far as a separate join; carrying them INTO the candidate
+    // projection removes the joins entirely, which is what flips the
+    // trade.)
+    val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .distinct()
-    // Set sizes attach to the TINY deduped candidate set from a
-    // count-only aggregate over the shingle rows. Round 8 instead
-    // carried the size inside the signature aggregate and through the
-    // band explode + self-join; measured at sf0.1 that shape was
-    // ~1.3 s slower warm (2.9 s vs 1.6-1.8 s) and far slower cold
-    // (9.9 s vs 7.4 s first-in-JVM) — the wider bucket rows and the
-    // extra aggregate/join codegen cost more than this narrow count
-    // pass, which AQE turns into broadcast joins once candidates are
-    // few. (Also measured: localCheckpoint of the rows lineage is a
-    // wash here at 4 consumers — kept recompute, the scale-safe
-    // choice.)
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val cand = cand0
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
     verifyJaccardRows(cand, rows, rows, threshold)
   }
 
@@ -329,26 +333,29 @@ object Dedup {
       .orderBy(col("id"))
     // chain edge (prev, id) spans the bucket; the star edge (root, id)
     // adds a shortcut so one failed chain link cannot cut a genuine
-    // group in half. Both are O(members) per bucket.
+    // group in half. Both are O(members) per bucket. Set sizes ride
+    // the same window (lag/first of the sz column the signature
+    // aggregate already carries), so verification needs NO separate
+    // size pass or join — round 21, replacing a full extra shingle
+    // lineage (and a second one when the endpoint filter was active).
     val spanning = buckets
-      .select(col("id"), lag(col("id"), 1).over(w).as("prev"),
-        first(col("id")).over(w).as("root"))
+      .select(col("id"), col("sz"),
+        lag(col("id"), 1).over(w).as("prev"),
+        lag(col("sz"), 1).over(w).as("prev_sz"),
+        first(col("id")).over(w).as("root"),
+        first(col("sz")).over(w).as("root_sz"))
     // persisted: cand0 feeds the verify AND the straggler anti-join —
     // without the cache the window re-sorts every bucket per consumer;
     // the frame itself is tiny (deduped candidate edges)
     val cand0 = spanning.filter(col("prev").isNotNull)
-      .select(col("prev").as("id_a"), col("id").as("id_b"))
+      .select(col("prev").as("id_a"), col("id").as("id_b"),
+        col("prev_sz").as("sz_a"), col("sz").as("sz_b"))
       .unionAll(spanning
         .filter(col("root") =!= col("id") && col("prev") =!= col("root"))
-        .select(col("root").as("id_a"), col("id").as("id_b")))
+        .select(col("root").as("id_a"), col("id").as("id_b"),
+          col("root_sz").as("sz_a"), col("sz").as("sz_b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    def withSizes(c: DataFrame, sz: DataFrame): DataFrame = c
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
     // driver budgets: candidate/pair frames collect packed (≤32 MB a
     // side at the cap) for the driver-side straggler diff; anything
     // larger — or a pathological straggler/bucket structure — falls
@@ -430,19 +437,24 @@ object Dedup {
               }
               b.result()
             }
+            // localCheckpoint: the filtered rows feed BOTH sides of
+            // the verify join (different join keys, so no exchange
+            // reuse) — without materialization the corpus-sized
+            // tokenize lineage runs twice more. The frame is
+            // size-bounded by the gate above (≤stragCap endpoint
+            // docs' shingles), so pinning it is safe at any corpus
+            // size — exactly the case the unfiltered path must avoid
+            // (round 21; unfiltered verify keeps recompute).
             Some(rows.join(broadcast(epsSeq.toDF("id")),
-              Seq("id"), "left_semi"))
+              Seq("id"), "left_semi").localCheckpoint())
           } else None
         }
       filtered.getOrElse(rows)
     }
-    // sizes for the cand0 verify come from the SAME (possibly
-    // filtered) lineage — identical counts for endpoint docs, since
-    // shingleHashRows is per-doc independent
-    val vSizes =
-      if (verifyRows eq rows) sizes
-      else verifyRows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = verifyJaccardRows(withSizes(cand0, vSizes), verifyRows,
+    // cand0 already carries both set sizes (from the signature
+    // aggregate, via the spanning window) — no size pass over the
+    // (possibly endpoint-filtered) verify lineage at all
+    val pairs = verifyJaccardRows(cand0, verifyRows,
       verifyRows, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ESCALATION: a doc whose every spanning edge failed verification
@@ -561,15 +573,21 @@ object Dedup {
           .unionAll(pairs.select(col("id_b").as("id"))).distinct()
         val stragglers = candIds.join(pairedIds, Seq("id"), "left_anti")
         val zb = buckets.join(broadcast(stragglers), "id")
+        // sizes follow the id orientation out of the cached bucket rows
+        // — no size table to join
         val escalated = zb.as("z").join(buckets.as("y"),
             col("z.band") === col("y.band") &&
             col("z.bucket") === col("y.bucket") &&
             col("z.id") =!= col("y.id"))
           .select(least(col("z.id"), col("y.id")).as("id_a"),
-            greatest(col("z.id"), col("y.id")).as("id_b"))
+            greatest(col("z.id"), col("y.id")).as("id_b"),
+            when(col("z.id") < col("y.id"), col("z.sz"))
+              .otherwise(col("y.sz")).as("sz_a"),
+            when(col("z.id") < col("y.id"), col("y.sz"))
+              .otherwise(col("z.sz")).as("sz_b"))
           .distinct()
           .join(cand0, Seq("id_a", "id_b"), "left_anti")
-        Some(verifyJaccardRows(withSizes(escalated, sizes), rows, rows,
+        Some(verifyJaccardRows(escalated, rows, rows,
           threshold).localCheckpoint())
       }
       else if (escPairs.isEmpty) None
@@ -660,18 +678,16 @@ object Dedup {
       numPerms, bands)
     val bR = bandBuckets(signatureCols(rowsR, numPerms, seed),
       numPerms, bands)
-    val cand0 = bL.as("x").join(bR.as("y"),
+    // set sizes ride the bucket rows out of both signature aggregates
+    // (round 21) — the separate per-side count lineages re-ran the
+    // corpus-sized shingle pipeline and joined twice for values the
+    // aggregate already knew
+    val cand = bL.as("x").join(bR.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
       .distinct()
-    val szL = rowsL.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val szR = rowsR.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val cand = cand0
-      .join(szL.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(szR.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
     verifyJaccardRows(cand, rowsL, rowsR, threshold)
   }
 
@@ -688,7 +704,6 @@ object Dedup {
                   textCol: String, k: Int = 3,
                   threshold: Double = 0.5): DataFrame = {
     val rows = shingleHashRows(docs, idCol, textCol, k)
-    val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // dedup HERE, not as a caller precondition: streaming candidate
     // generation legitimately repeats pairs across bands/batches, and a
     // pair present m times would join the shingle rows m times —
@@ -704,11 +719,35 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
-    verifyJaccardRows(cand, rows, rows, threshold)
+    // SIDE-TAGGED union verify (round 21): with no signature aggregate
+    // to ride, the old shape paid THREE corpus shingle passes (a
+    // count-only sizes pass + one per verify side) plus two size
+    // joins. Tagging each side's (pair, h) rows instead derives sz_a,
+    // sz_b and the shared count from ONE two-level aggregate over the
+    // union — two corpus passes, no size table. Per (pair, h) the
+    // 0/1 side indicators multiply into "shared on both sides"
+    // (shingle rows are distinct per doc); summing per pair gives the
+    // set sizes and the intersection in the same hash-aggregate.
+    val ta = cand.join(rows.as("ra"), col("id_a") === col("ra.id"))
+      .select(col("id_a"), col("id_b"), col("ra.h").as("h"),
+        lit(1L).as("a"), lit(0L).as("b"))
+    val tb = cand.join(rows.as("rb"), col("id_b") === col("rb.id"))
+      .select(col("id_a"), col("id_b"), col("rb.h").as("h"),
+        lit(0L).as("a"), lit(1L).as("b"))
+    val perPair = ta.unionAll(tb)
+      .groupBy(col("id_a"), col("id_b"), col("h"))
+      .agg(max(col("a")).as("ca"), max(col("b")).as("cb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("ca")).as("sz_a"), sum(col("cb")).as("sz_b"),
+        sum(col("ca") * col("cb")).as("shared"))
+    // a pair whose side has NO shingle rows never verified under the
+    // old inner size join — keep that contract
+    perPair.filter(col("sz_a") > 0 && col("sz_b") > 0)
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is the sign of the sum
