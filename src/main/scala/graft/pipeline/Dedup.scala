@@ -103,7 +103,14 @@ object Dedup {
                       k: Int): DataFrame = {
     // complete k-grams via the shared positioned-gram helper (documents
     // shorter than k words yield no rows there and are hashed whole
-    // below, matching [[shingles]])
+    // below, matching [[shingles]]).
+    // Round 21 measured the zero-shuffle alternative — explode of
+    // [[hashedShingles]]' row-local array_distinct(transform(...)) —
+    // at 3-5× SLOWER end-to-end (dedup_minhash 2.2 → 7.8 s warm,
+    // minhashComponents 5 → 22 s): the HOF lambda evaluates
+    // interpreted per element and knocks the whole projection out of
+    // whole-stage codegen, which costs far more than the distinct's
+    // exchange. The codegen'd explode + global distinct stays.
     val full = Grams.positioned(df, idCol, textCol, k)
       .select(col("id"), xxhash64(Grams.wordCols(k): _*).as("h"))
     val short = df
@@ -437,16 +444,14 @@ object Dedup {
               }
               b.result()
             }
-            // localCheckpoint: the filtered rows feed BOTH sides of
-            // the verify join (different join keys, so no exchange
-            // reuse) — without materialization the corpus-sized
-            // tokenize lineage runs twice more. The frame is
-            // size-bounded by the gate above (≤stragCap endpoint
-            // docs' shingles), so pinning it is safe at any corpus
-            // size — exactly the case the unfiltered path must avoid
-            // (round 21; unfiltered verify keeps recompute).
+            // NOT localCheckpoint'd: measured cold (the shape the
+            // bench pays — each query runs once per JVM) the eager
+            // materialization job + its codegen cost ~2-3 s more than
+            // the two endpoint-filtered recomputes it saves; the
+            // semi-join pushes below the distinct toward the scan, so
+            // each recompute only tokenizes candidate-endpoint docs
             Some(rows.join(broadcast(epsSeq.toDF("id")),
-              Seq("id"), "left_semi").localCheckpoint())
+              Seq("id"), "left_semi"))
           } else None
         }
       filtered.getOrElse(rows)
