@@ -959,8 +959,11 @@ object SparkEntry {
       val sent1 = maxUs + 3L * 3600L * 1000000L // quiet 60 min + margin
       val srcRoot = new java.io.File(scratch("events_stream_funnel_src"))
         .getAbsolutePath
+      // one explicit slice: bare range(1) defaults to defaultParallelism
+      // slices — 32 tasks and 32 part files (31 empty) per sentinel
+      // append, all of which the phase-2 micro-batch then lists + reads
       def sentinel(uid: Long, us: Long) =
-        s.range(1).select(lit(uid).as("user_id"),
+        s.range(0, 1, 1, 1).select(lit(uid).as("user_id"),
           timestamp_micros(lit(us)).as("ts"),
           lit("noop").as("event_type"))
       e.unionAll(sentinel(-1L, sent1)).coalesce(1)
@@ -1064,7 +1067,7 @@ object SparkEntry {
     // stride 20k — most orders match 2 bands). Grid-bucketed equi-join
     // (see RangeJoin); oracle is the plain BETWEEN join.
     "range_join" -> ((s, dir) => {
-      val bands = s.range(0, 30).select(col("id").as("band_id"),
+      val bands = s.range(0, 30, 1, 1).select(col("id").as("band_id"),
         (col("id") * 20000.0).as("lo"),
         (col("id") * 20000.0 + 34999.0).as("hi"))
       val pts = t(s, dir, "orders")

@@ -821,11 +821,26 @@ object Dedup {
     * (identical texts always share signature and hashes). */
   def simhashExactPairs(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val sigs = simhashSigs(df, idCol, textCol)
-    val keys = df.select(col(idCol).as("id"),
+    // the 2×64-bit content hashes ride the vote aggregate as first()
+    // columns (hashed once per doc BEFORE the token explode, carried
+    // 16 bytes per token row locally) — round 21, replacing a second
+    // corpus scan + an (id, h1, h2) ⋈ sigs join for values the
+    // aggregate's own input already had
+    val toks = df
+      .select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("h1"),
-        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"))
-      .join(sigs, "id") // narrow: id + 24 bytes
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"),
+        explode(split(col(textCol), "\\s+")).as("t"))
+      .select(col("id"), col("h1"), col("h2"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$b")) ++
+      Seq(first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+    val keys = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("h1"), col("h2"),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.sig") === col("y.sig") && col("x.id") < col("y.id") &&
         col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))

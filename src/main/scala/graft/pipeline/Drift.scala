@@ -137,7 +137,9 @@ object Drift {
       df.crossJoin(broadcast(pooled))
         .select(binIndex(col("v"), col("lo"), col("hi"), bins).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-    val allBins = av.sparkSession.range(bins.toLong)
+    // one slice: bare range() defaults to defaultParallelism tasks
+    // for a `bins`-row frame
+    val allBins = av.sparkSession.range(0L, bins.toLong, 1L, 1)
       .select(col("id").cast("int").as("bin"))
     def shares(df: DataFrame, cName: String, nName: String): DataFrame = {
       val n = df.agg(sum(col("c")).as(nName))
@@ -212,7 +214,8 @@ object Drift {
       col(refCCol).cast("long").as("cr"))
     val nr = r.agg(sum(col("cr")).as("n_r"))
     val ng = c.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
-    val allBins = counts.sparkSession.range(bins.toLong)
+    // one slice, same rationale as valuePsi's allBins
+    val allBins = counts.sparkSession.range(0L, bins.toLong, 1L, 1)
       .select(col("id").cast("int").as("bin"))
     val grid = ng.crossJoin(allBins)
       .join(c, Seq("g", "bin"), "left")

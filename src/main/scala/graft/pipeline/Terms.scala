@@ -114,15 +114,17 @@ object Terms {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     // occurrences and doc frequency fall out of ONE pass over the
     // doc-local counts — no docFreq join (that's only needed when the
-    // per-doc tf must survive, as in topTerms)
-    // the vocabulary is aggregate-compressed (|V| ≪ corpus bytes), so
-    // pinning it is cheap and saves the tokenize→aggregate lineage from
-    // running twice (once for the head, once for the grand total)
+    // per-doc tf must survive, as in topTerms).
+    // NOT pinned (round 21): the earlier persist + collect-to-local
+    // shape re-measured SLOWER than letting the head and the grand
+    // total recompute the lineage (cold 4.1 → 3.0 s, warm flat, 10 →
+    // 6 jobs at sf0.1) — the InMemoryRelation build plus the eager
+    // collect action cost more than one extra run of a codegen'd
+    // tokenize→aggregate, and AQE overlaps the two consumers' stages.
     val byTerm = termRows(df, idCol, textCol)
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
       .groupBy(col("w"))
       .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = byTerm.agg(sum(col("tf")).as("__total"))
     val head = byTerm.orderBy(col("tf").desc, col("w").asc).limit(topN)
     val w = Window.orderBy(col("tf").desc, col("w").asc)
@@ -131,13 +133,9 @@ object Terms {
         row_number().over(w).as("rank"),
         (sum(col("tf")).over(w).cast("double") /
           col("__total").cast("double")).as("cum_frac"))
-    // materialize the topN-row result locally so the vocab cache can be
-    // released before returning — the caller gets a self-contained frame
-    val local = out.collect()
-    byTerm.unpersist(blocking = false)
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(local: _*), out.schema)
+    out
   }
+
 
   /** Unigram-LM rarity scoring — the cheap perplexity proxy: each
     * document scored by the CORPUS frequencies of its own tokens. Low
