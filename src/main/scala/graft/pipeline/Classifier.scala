@@ -139,11 +139,17 @@ object Classifier {
                  labelCol: String, buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // localCheckpoint: the distinct-score count table feeds THREE
+    // consumers (range probe, bucket totals, windowed final pass) and
+    // its upstream — for hashed classifiers a hash per token over the
+    // whole corpus — would otherwise run three times (round 21; RDD
+    // blocks, not persist: the columnar-cache spelling measured slower)
     val g = scored
       .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("q"))
+      .localCheckpoint()
     // the bucket function must be MONOTONE in the score's own ordering.
     // Each bucketable type gets its own monotone double map — a plain
     // double cast is only legal for numerics and TIMESTAMP (dates and

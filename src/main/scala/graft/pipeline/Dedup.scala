@@ -247,16 +247,19 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    // the shingle rows feed BOTH the signature aggregate and the
-    // verification join, so the tokenize/explode lineage runs
-    // more than once. Deliberately NOT persisted: measured at sf0.1,
-    // caching the exploded rows (MEMORY_AND_DISK) made the whole pipeline
-    // 2.2× SLOWER (14.8 s vs 6.6 s solo) — building the columnar cache
-    // for the corpus-sized row explosion (and breaking whole-stage
-    // codegen at the cache boundary) costs more than recomputing the
-    // narrow codegen'd lineage. Recompute is also the scale-safe choice:
-    // nothing corpus-sized gets pinned in executor memory.
-    val rows = shingleHashRows(df, idCol, textCol, k)
+    // the shingle rows feed THREE consumers (signature aggregate + both
+    // verify sides), so without materialization the tokenize/explode/
+    // distinct lineage runs three times. localCheckpoint (round 21):
+    // RDD-block materialization, re-measured warm 2.1-2.5 s → 1.4-1.6 s
+    // at sf0.1 — unlike the MEMORY_AND_DISK persist an earlier round
+    // measured 2.2× SLOWER (columnar cache build + codegen break), RDD
+    // blocks of the post-distinct narrow (id, h) rows are cheap to
+    // write and every consumer reads them directly (same trade
+    // ngramJaccard has carried since round ~8; same cluster caveat —
+    // swap for checkpoint() + a reliable dir where executor loss must
+    // recompute, and note the blocks are shingle-table-sized, the
+    // operator's own working set).
+    val rows = shingleHashRows(df, idCol, textCol, k).localCheckpoint()
     val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
       numPerms, bands)
     // set sizes ride the bucket rows straight out of the signature

@@ -352,8 +352,15 @@ object Terms {
     // tokenizer for every term-level operator, per the file header)
     val toks = termRows(df, stratumCol, textCol)
       .select(col("id").as("stratum"), col("w"))
+    // localCheckpoint: the (stratum, term) count table feeds THREE
+    // consumers (c_w, n_s, the scoring join) — materialize the
+    // aggregate-compressed rows once as RDD blocks so the corpus
+    // tokenize lineage runs once, not three times (round 21: warm
+    // 1.4-1.7 s -> 0.87-0.99 s at sf0.1; the persist+collect spelling
+    // of the same idea measured SLOWER — columnar cache build +
+    // eager collect cost more than RDD block reuse)
     val cs = toks.groupBy(col("stratum"), col("w"))
-      .agg(count(lit(1)).as("c_sw"))
+      .agg(count(lit(1)).as("c_sw")).localCheckpoint()
     val cw = cs.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val ns = cs.groupBy(col("stratum")).agg(sum(col("c_sw")).as("n_s"))
     val total = cw.agg(sum(col("c_w")).as("n_tot"))
