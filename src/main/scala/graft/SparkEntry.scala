@@ -2283,11 +2283,18 @@ object SparkEntry {
     // symmetric int8 embedding quantization, exploded to scalar rows so
     // the oracle compares exact integers plus the per-vector scale
     "embed_quantize" -> ((s, dir) => {
-      val sc = Similarity.int8Scale(col("embedding"))
+      // scale lands in its OWN projection first: inlining the
+      // int8Scale expression (itself an O(dim) array fold) into
+      // quantizeInt8's per-element lambda evaluates it once PER
+      // ELEMENT — O(dim²) interpreted work per row (HOF lambdas run
+      // outside codegen). The alias is referenced three times, so
+      // CollapseProject keeps the boundary. Same math, same rows.
       t(s, dir, "embeddings")
-        .select(col("vec_id"), sc.as("scale"),
-          posexplode(Similarity.quantizeInt8(col("embedding"), sc))
-            .as(Seq("pos", "q")))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(Similarity.quantizeInt8(col("embedding"),
+            col("scale"))).as(Seq("pos", "q")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("q"), col("scale"))
         .orderBy(col("vec_id"), col("pos"))

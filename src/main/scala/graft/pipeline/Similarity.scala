@@ -253,9 +253,14 @@ object Similarity {
     import spark.implicits._
     val dsub = dim / m
     val qv = transform(col(cVec), _.cast("long"))
-    val subRows = train.select(col(cId).cast("long").as("id"),
-      posexplode(array((0 until m).map(j =>
-        slice(qv, j * dsub + 1, dsub)): _*)).as(Seq("j", "v")))
+    // hoist the cast vector to a multi-referenced column so the O(dim)
+    // HOF runs once per row, not once per subspace (same boundary
+    // rationale as pqEncode)
+    val subRows = train
+      .select(col(cId).cast("long").as("id"), qv.as("__qv"))
+      .select(col("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("__qv"), j * dsub + 1, dsub)): _*)).as(Seq("j", "v")))
     // seeds: the ksub lowest-id sample vectors, sliced per subspace
     val seedVecs = train
       .select(col(cId).cast("long").as("id"), qv.as("v"))
@@ -317,12 +322,19 @@ object Similarity {
                codebook: DataFrame, dim: Int, m: Int): DataFrame = {
     val dsub = dim / m
     val cb = collectCodebook(codebook, m)
+    // the cast-to-long vector lands in its OWN projection (round 21):
+    // inlined into nearestCode's per-centroid lambda it re-evaluated
+    // the O(dim) cast transform once per centroid per subspace —
+    // m × ksub × dim interpreted evals per row (HOFs run outside
+    // codegen). The alias is referenced m times, so CollapseProject
+    // keeps the boundary; only the O(dsub) slice stays per-centroid.
+    val withV = corpus.select(col(cId),
+      transform(col(cVec), _.cast("long")).as("__v"))
     val codes = (0 until m).map { j =>
-      val sub = slice(transform(col(cVec), _.cast("long")),
-        j * dsub + 1, dsub)
-      nearestCode(sub, cb(j).map(_._2))
+      nearestCode(slice(col("__v"), j * dsub + 1, dsub),
+        cb(j).map(_._2))
     }
-    corpus.select(col(cId), array(codes: _*).as("codes"))
+    withV.select(col(cId), array(codes: _*).as("codes"))
   }
 
   /** ANN top-k over PQ codes by asymmetric distance: each query
@@ -337,13 +349,16 @@ object Similarity {
              cId: String = "c_id"): DataFrame = {
     val dsub = dim / m
     val cb = collectCodebook(codebook, m)
+    // same boundary trick as pqEncode: cast the query vector once per
+    // row, not once per centroid inside each subspace's table lambda
     val qTab = array((0 until m).map { j =>
-      val sub = slice(transform(col(qVec), _.cast("long")),
-        j * dsub + 1, dsub)
+      val sub = slice(col("__qv"), j * dsub + 1, dsub)
       transform(typedlit(cb(j).map(_._2)), c =>
         graft.functions.VecExpressions.vecDist2(sub, c))
     }: _*)
-    val qt = queries.select(col(qId), qTab.as("__qtab"))
+    val qt = queries
+      .select(col(qId), transform(col(qVec), _.cast("long")).as("__qv"))
+      .select(col(qId), qTab.as("__qtab"))
     val approx = (0 until m).map { j =>
       element_at(element_at(col("__qtab"), j + 1),
         element_at(col("codes"), j + 1).cast("int") + 1)
