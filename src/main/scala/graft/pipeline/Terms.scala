@@ -435,7 +435,10 @@ object Terms {
     // token array, and the output is corpus-level pairs
     val ws = filter(split(lower(col(textCol)), SeparatorClass),
       w => w =!= "")
-    val base = df.select(ws.as("ws"))
+    // localCheckpoint: the tokenized arrays feed FOUR lineages (c1,
+    // n_tok via c1, the bigram explode, n_bg) — materialize once
+    // (round 21; same 3+-consumer rule as minhashLsh/sourceDivergence)
+    val base = df.select(ws.as("ws")).localCheckpoint()
     val c1 = base.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val nTok = c1.agg(sum(col("c1")).as("n_tok"))
