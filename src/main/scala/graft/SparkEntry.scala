@@ -47,9 +47,21 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast("double")
 
-  /** Scratch dir for round-trip queries (inside the repo tree). */
+  /** Scratch dir for round-trip queries. Location is
+    * SPARK_GRAFT_SCRATCH if set, else RAM-backed /dev/shm when the
+    * host provides a writable one, else target/qtmp in the repo tree
+    * (round 21; same rule as Bench's shuffle scratch — the round-trip
+    * operators exercise file FORMATS, not a particular disk, and
+    * ~15 queries funnel their sink+re-read bytes through here). */
+  private lazy val scratchRoot: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-qtmp"
+      else "target/qtmp"
+    }
+
   private def scratch(name: String): String = {
-    val p = s"target/qtmp/$name"
+    val p = s"$scratchRoot/$name"
     val f = new java.io.File(p)
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) x.listFiles().foreach(rm)
