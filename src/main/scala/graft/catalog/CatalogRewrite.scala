@@ -63,10 +63,14 @@ object CatalogRewrite {
     // a standalone counter is part of the whole-database contract.
     if (including.isEmpty && excluding.isEmpty) pruned
     else {
-      val Next = "(?is)nextval\\('(.*)'::regclass\\)".r
+      // precise content class, not greedy .*: a default carrying TWO
+      // nextval('a'), nextval('b') calls would otherwise capture one
+      // garbage name spanning both and prune BOTH sequences (ADVICE
+      // r20; quote-doubling inside a name cannot contain '::regclass)
       val refs = pruned.schemas.flatMap(_.tables)
         .flatMap(_.fields.flatMap(_.default)).flatMap(d =>
-          Next.findAllMatchIn(d).map(_.group(1).replace("''", "'")).toSeq)
+          NextvalRef.findAllMatchIn(d)
+            .map(_.group(1).replace("''", "'")).toSeq)
         .map(graft.sinks.PgWire.splitQualified)
       pruned.copy(sequences = pruned.sequences.filter(sq =>
         refs.exists { case (sch, rel) =>
@@ -193,11 +197,45 @@ object CatalogRewrite {
     * string literals pass through verbatim. */
   private[graft] def recaseIndexDef(defn: String, srcCols: Set[String],
                                     ic: String => String): String = {
-    val head = ("(?is)^(CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+.*?\\s+ON\\s+" +
-      ".*?\\s+USING\\s+)(.*)$").r
-    head.findFirstMatchIn(defn.trim) match {
-      case Some(m) => m.group(1) + recaseSqlRefs(m.group(2), srcCols, ic)
-      case None => defn
+    // QUOTE-AWARE head split (ADVICE r20): the old lazy regex
+    // (.*?\s+ON\s+ … \s+USING\s+) could mis-split when a quoted index
+    // or table name itself contains " on " / " using ", recasing part
+    // of the head. Scan for the first USING keyword OUTSIDE any
+    // double-quoted identifier or single-quoted literal instead —
+    // pg_get_indexdef always renders the access method there, before
+    // any expression that could carry its own (quoted or literal)
+    // "using" text.
+    val s = defn.trim
+    val n = s.length
+    if (!s.regionMatches(true, 0, "CREATE", 0, 6)) return defn
+    var i = 0
+    var usingPos = -1
+    while (i < n && usingPos < 0) {
+      val c = s(i)
+      if (c == '"' || c == '\'') {
+        val q = c
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s(i) == q) {
+            if (i + 1 < n && s(i + 1) == q) i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if ((c == 'u' || c == 'U') &&
+          s.regionMatches(true, i, "USING", 0, 5) &&
+          (i == 0 || { val p = s(i - 1)
+            !p.isLetterOrDigit && p != '_' && p != '"' }) &&
+          (i + 5 >= n || { val nx = s(i + 5)
+            !nx.isLetterOrDigit && nx != '_' })) {
+        usingPos = i
+      } else i += 1
+    }
+    if (usingPos < 0) defn
+    else {
+      var j = usingPos + 5
+      while (j < n && s(j).isWhitespace) j += 1
+      s.substring(0, j) + recaseSqlRefs(s.substring(j), srcCols, ic)
     }
   }
 
@@ -210,19 +248,25 @@ object CatalogRewrite {
     * regclass OID at DDL time and pg_get_expr re-renders canonically,
     * so the spelling choice never leaks into catalog compares).
     * Anything that is not exactly a nextval default passes through. */
-  private def recaseNextval(default: String,
-                            ic: String => String): String = {
-    val P = "(?is)^nextval\\('(.*)'::regclass\\)$".r
-    default.trim match {
-      case P(innerEsc) =>
-        val inner = innerEsc.replace("''", "'")
-        val (schema, rel) = graft.sinks.PgWire.splitQualified(inner)
-        val cased = (schema.map(s => quoteAlways(ic(s))).toSeq :+
-          quoteAlways(ic(rel))).mkString(".")
-        s"nextval('${cased.replace("'", "''")}'::regclass)"
-      case _ => default
-    }
-  }
+  /** Every `nextval('…'::regclass)` call inside ANY default expression
+    * — not only defaults that are exactly one call: a composite
+    * default (COALESCE(…, nextval(…))) must keep its sequence
+    * reference consistent with the renamed/recased sequence OBJECT
+    * (ADVICE r20). The literal's content class ((?:[^']|'')*) is
+    * exact: quote-doubled names cannot contain a bare '::regclass. */
+  private val NextvalRef =
+    "(?is)nextval\\('((?:[^']|'')*)'::regclass\\)".r
+
+  private[graft] def recaseNextval(default: String,
+                            ic: String => String): String =
+    NextvalRef.replaceAllIn(default, m => {
+      val inner = m.group(1).replace("''", "'")
+      val (schema, rel) = graft.sinks.PgWire.splitQualified(inner)
+      val cased = (schema.map(s => quoteAlways(ic(s))).toSeq :+
+        quoteAlways(ic(rel))).mkString(".")
+      scala.util.matching.Regex.quoteReplacement(
+        s"nextval('${cased.replace("'", "''")}'::regclass)")
+    })
 
   private def quoteAlways(name: String): String =
     "\"" + name.replace("\"", "\"\"") + "\""
@@ -326,27 +370,26 @@ object CatalogRewrite {
     * source search_path (public) — if public itself is renamed, the
     * rewritten default must qualify explicitly, because the target
     * resolves unqualified names in ITS OWN search_path. */
-  private def renameNextvalSchema(default: String,
-                                  m: Map[String, String]): String = {
-    val P = "(?is)^nextval\\('(.*)'::regclass\\)$".r
-    default.trim match {
-      case P(innerEsc) =>
-        val inner = innerEsc.replace("''", "'")
-        val (sch, rel) = graft.sinks.PgWire.splitQualified(inner)
-        val renamed = sch match {
-          case Some(s0) => m.get(s0)
-          case None => m.get("public")
-        }
-        renamed match {
-          case Some(to) =>
-            val lit = (quoteAlways(to) + "." + quoteAlways(rel))
-              .replace("'", "''")
-            s"nextval('$lit'::regclass)"
-          case None => default
-        }
-      case _ => default
-    }
-  }
+  private[graft] def renameNextvalSchema(default: String,
+                                  m: Map[String, String]): String =
+    // rewrite every nextval reference inside the expression (composite
+    // defaults included — ADVICE r20); calls whose schema is not
+    // renamed pass through verbatim
+    NextvalRef.replaceAllIn(default, mm => {
+      val inner = mm.group(1).replace("''", "'")
+      val (sch, rel) = graft.sinks.PgWire.splitQualified(inner)
+      val renamed = sch match {
+        case Some(s0) => m.get(s0)
+        case None => m.get("public")
+      }
+      scala.util.matching.Regex.quoteReplacement(renamed match {
+        case Some(to) =>
+          val lit = (quoteAlways(to) + "." + quoteAlways(rel))
+            .replace("'", "''")
+          s"nextval('$lit'::regclass)"
+        case None => mm.matched
+      })
+    })
 
   /** `ALTER TABLE NAMES MATCHING … RENAME TO / SET SCHEMA …`. First
     * matching rule wins per table; SET SCHEMA moves the table between

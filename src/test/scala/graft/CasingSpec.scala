@@ -207,4 +207,35 @@ class CasingSpec extends AnyFunSuite {
       Set("lower"), _.toUpperCase)
     assert(tricky.contains("lower(\"LOWER\")"), tricky)
   }
+
+  test("recaseIndexDef: quoted names containing ' on ' / ' using ' " +
+    "do not mis-split the head (ADVICE r20)") {
+    val d = "CREATE INDEX \"idx on using trap\" ON " +
+      "public.\"my on table\" USING btree (\"userId\")"
+    val out = CatalogRewrite.recaseIndexDef(d, Set("userId"),
+      _.toLowerCase)
+    // head verbatim (the emitter rebuilds names from the catalog) …
+    assert(out.startsWith("CREATE INDEX \"idx on using trap\" ON " +
+      "public.\"my on table\" USING btree"), out)
+    // … and the tail column reference IS recased
+    assert(out.contains("(\"userid\")"), out)
+  }
+
+  test("recaseNextval / renameNextvalSchema rewrite nextval refs " +
+    "inside composite defaults (ADVICE r20)") {
+    val d = "COALESCE(some_col, nextval('\"MySeq\"'::regclass), " +
+      "nextval('other.seq2'::regclass))"
+    val cased = CatalogRewrite.recaseNextval(d, _.toLowerCase)
+    assert(cased.contains("nextval('\"myseq\"'::regclass)"), cased)
+    assert(cased.contains("nextval('\"other\".\"seq2\"'::regclass)"),
+      cased)
+    assert(cased.startsWith("COALESCE(some_col, "), cased)
+    val renamed = CatalogRewrite.renameNextvalSchema(d,
+      Map("public" -> "renamed"))
+    // unqualified ref resolved via public -> qualified to the rename;
+    // the already-qualified other.seq2 ref stays verbatim
+    assert(renamed.contains(
+      "nextval('\"renamed\".\"MySeq\"'::regclass)"), renamed)
+    assert(renamed.contains("nextval('other.seq2'::regclass)"), renamed)
+  }
 }
