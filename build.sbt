@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of
+// re-logging each line with an "[info] "/"[error] " prefix: the bench
+// driver parses Bench's one-line JSON from captured output, and a
+// prefixed line is not valid JSON (no BENCH_rNN ever parsed).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
