@@ -835,15 +835,31 @@ object Dedup {
         xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"),
         explode(split(col(textCol), "\\s+")).as("t"))
       .select(col("id"), col("h1"), col("h2"), xxhash64(col("t")).as("h"))
-    val aggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"__v$b")) ++
-      Seq(first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+    // PACKED vote sums (round 22): bit b's vote is 2·ones_b − n with
+    // ones_b = Σ tokens' bit b, so the 64 ±1-vote sums collapse to 32
+    // carry-free packed ones-counts (bits b and b+32 share one long:
+    // low field = ones_b, bits 32..62 = ones_{b+32}) plus one count.
+    // Carry-free because a string column is ≤ 2^31 bytes → n ≤ 2^30
+    // tokens, so each field stays < 2^31 and the high field < 2^62.
+    // Halves the aggregate buffer (34 cols vs 66) and the generated
+    // code the 64 when()-votes produced — the r21 shape's min-of-N
+    // regressed on exactly that codegen/planning weight. sig bit b is
+    // set iff votes_b > 0 iff 2·ones_b > n: bit-identical signatures.
+    val aggs = (0 until 32).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) +
+        shiftleft(shiftright(col("h"), b + 32).bitwiseAND(1), 32))
+        .as(s"__p$b")) ++
+      Seq(count(lit(1)).as("__n"),
+        first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+    val sigExpr = (0 until 32).map { b =>
+      val lo = col(s"__p$b").bitwiseAND(lit(0xFFFFFFFFL))
+      val hi = shiftright(col(s"__p$b"), 32)
+      when(lo * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
+        .bitwiseOR(
+          when(hi * 2 > col("__n"), lit(1L << (b + 32))).otherwise(lit(0L)))
+    }.reduce(_ bitwiseOR _)
     val keys = toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), col("h1"), col("h2"),
-        (0 until 64).map(b =>
-          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sig"))
+      .select(col("id"), col("h1"), col("h2"), sigExpr.as("sig"))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.sig") === col("y.sig") && col("x.id") < col("y.id") &&
         col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2"))
