@@ -100,10 +100,7 @@ object Dedup {
     * count-based verification) is a plain relational op over these
     * rows. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
-    // complete k-grams via the shared positioned-gram helper (documents
-    // shorter than k words yield no rows there and are hashed whole
-    // below, matching [[shingles]]).
+                      k: Int): DataFrame =
     // Round 21 measured the zero-shuffle alternative — explode of
     // [[hashedShingles]]' row-local array_distinct(transform(...)) —
     // at 3-5× SLOWER end-to-end (dedup_minhash 2.2 → 7.8 s warm,
@@ -111,13 +108,25 @@ object Dedup {
     // interpreted per element and knocks the whole projection out of
     // whole-stage codegen, which costs far more than the distinct's
     // exchange. The codegen'd explode + global distinct stays.
+    shingleHashRowsRaw(df, idCol, textCol, k).distinct()
+
+  /** [[shingleHashRows]] WITHOUT the global distinct — same codegen'd
+    * tokenize → explode → hash lineage, duplicate (id, h) rows kept.
+    * For consumers that dedup themselves (driver-side set builds): a
+    * scan+filter with NO exchange at all. */
+  private[pipeline] def shingleHashRowsRaw(df: DataFrame, idCol: String,
+                                           textCol: String,
+                                           k: Int): DataFrame = {
+    // complete k-grams via the shared positioned-gram helper (documents
+    // shorter than k words yield no rows there and are hashed whole
+    // below, matching [[shingles]]).
     val full = Grams.positioned(df, idCol, textCol, k)
       .select(col("id"), xxhash64(Grams.wordCols(k): _*).as("h"))
     val short = df
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) < k)
       .select(col("id"), xxhash64(array_join(col("toks"), " ")).as("h"))
-    full.unionAll(short).distinct()
+    full.unionAll(short)
   }
 
   // Per-permutation hash: xxhash64 re-seeded with a per-perm salt as a
@@ -388,14 +397,47 @@ object Dedup {
       }
       out
     }
-    // first action: materializes the bucket pipeline into the caches
-    val nCand = cand0.count()
+    // ONE action counts AND collects (round 22; was a count job + a
+    // separate packed-collect job over the same cached frame). Driver
+    // cap analysis: each partition counts ALL its rows but packs only
+    // the first `cap` pairs, so when the total is ≤ cap no partition
+    // can have truncated and the arrays are complete exactly when they
+    // are used; when the total overflows, the arrays are discarded for
+    // the distributed fallback and the transient worst case is
+    // P × 16·cap bytes (32 MB/partition at the 2M cap) — reached only
+    // when MANY partitions are individually past the cap, i.e. when
+    // the total is far past it. Same budget class as the broadcast
+    // sides this operator already holds.
+    def countAndPack(f: DataFrame, cap: Long): (Long, Array[Long]) = {
+      val parts = f.select(col("id_a"), col("id_b")).rdd.mapPartitions {
+        it =>
+          var n = 0L
+          val b = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r =>
+            n += 1L
+            if (n <= cap) { b += r.getLong(0); b += r.getLong(1) }
+          }
+          Iterator.single((n, b.result()))
+      }.collect()
+      val total = parts.iterator.map(_._1).sum
+      if (total > cap) (total, null)
+      else {
+        val out = new Array[Long](2 * total.toInt)
+        var off = 0
+        parts.foreach { case (_, a) =>
+          System.arraycopy(a, 0, out, off, a.length); off += a.length
+        }
+        (total, out)
+      }
+    }
     // the packed driver path reads ids as primitive longs; any other
     // id type rides the type-agnostic distributed fallback
     val idIsLong = df.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    val candArr: Array[Long] =
-      if (idIsLong && nCand <= candCap) packedPairs(cand0) else null
+    // first action: materializes the bucket pipeline into the caches
+    val (nCand, candArr) =
+      if (idIsLong) countAndPack(cand0, candCap)
+      else (cand0.count(), null: Array[Long])
     // ENDPOINT GATE (sparse-duplication win regime): when the candidate
     // edges touch ≪ the corpus — huge crawl, rare duplicates — the
     // verify pass's shingle lineage re-tokenizes mostly docs that
@@ -602,15 +644,19 @@ object Dedup {
       else {
         // driver-side exact verify: ONE corpus shingle pass restricted
         // to the involved docs (broadcast semi-join), sets compared on
-        // the driver — identical math to verifyJaccardRows
-        // (shingleHashRows is distinct, so |set| is the sz count and
-        // shared/(sz_a+sz_b-shared) is intersection over union)
+        // the driver — identical math to verifyJaccardRows (the
+        // HashSets dedup, so |set| is the distinct-shingle sz count and
+        // shared/(sz_a+sz_b-shared) is intersection over union).
+        // Round 22: reads the PRE-distinct gram rows — the distinct's
+        // global exchange bought nothing this consumer needed, so the
+        // pass is now a pure scan + broadcast probe with no shuffle.
         import df.sparkSession.implicits._
         val inv = escPairs.flatMap(p => Seq(p._1, p._2)).distinct
         val sets = new java.util.HashMap[Long,
           java.util.HashSet[Long]](inv.length * 2)
         inv.foreach(i => sets.put(i, new java.util.HashSet[Long]()))
-        rows.join(broadcast(inv.toSeq.toDF("id")), "id")
+        shingleHashRowsRaw(df, idCol, textCol, k)
+          .join(broadcast(inv.toSeq.toDF("id")), "id")
           .select(col("id"), col("h"))
           .rdd.mapPartitions { it =>
             val b = new scala.collection.mutable.ArrayBuilder.ofLong
