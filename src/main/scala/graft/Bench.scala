@@ -49,6 +49,11 @@ object Bench {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  // the untimed warmup set (see main); named here so the stdout JSON
+  // can report which suite queries got a free warm run
+  private val warmups = Seq("q1_agg", "trim_fields", "rolling_features",
+    "dedup_exact", "text_token_count", "events_stream_dedup")
+
   private def renderJson(results: Seq[(String, Double)], sfDir: String,
                          done: Boolean): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
@@ -74,21 +79,32 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","complete":$done,"query_count":${results.length},"queries_truncated":false,"failed":$failed,"self":"$archivePath","queries":$qs}"""
+    // `warmed`: the suite queries the untimed warmup also runs, so a
+    // per-query comparison against a run with a different warmup can
+    // account for their free warm start (ADVICE r21)
+    val warmed = warmups.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","complete":$done,"query_count":${results.length},"queries_truncated":false,"failed":$failed,"warmed":$warmed,"self":"$archivePath","queries":$qs}"""
   }
 
   /** Scratch directory for shuffle blocks and streaming temp
     * checkpoints: SPARK_GRAFT_LOCAL_DIR if set (production: point at
     * the fastest ephemeral storage the node has — local NVMe, not a
     * network mount), else RAM-backed /dev/shm when the host provides
-    * a writable one (guide §2.1/§6: local disk bandwidth for shuffle
-    * files can be the tighter limit — on this sandbox /tmp is ext4 and
-    * the streaming suite measured ~17% faster on tmpfs), else Spark's
-    * default. Scratch only — nothing read across runs lives here. */
+    * a writable one WITH real capacity (guide §2.1/§6: local disk
+    * bandwidth for shuffle files can be the tighter limit — on this
+    * sandbox /tmp is ext4 and the streaming suite measured ~17% faster
+    * on tmpfs), else Spark's default. The capacity gate (round 22,
+    * ADVICE r21): containers commonly mount /dev/shm at 64 MB, where
+    * shuffle spill + streaming checkpoints would ENOSPC mid-run, and a
+    * tmpfs near its fill line competes with the heap for host RAM —
+    * require 4 GiB usable (≫ the suite's peak scratch footprint)
+    * before defaulting to it. Scratch only — nothing read across runs
+    * lives here. */
   private def scratchLocalDir: Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= 4L * 1024 * 1024 * 1024)
         Some("/dev/shm/graft-spark-local")
       else None
     }
@@ -131,8 +147,6 @@ object Bench {
     // warmup measure the query. Nothing computed here is reused — the
     // cache is cleared and every timed query still computes from the
     // parquet inputs.
-    val warmups = Seq("q1_agg", "trim_fields", "rolling_features",
-      "dedup_exact", "text_token_count", "events_stream_dedup")
     warmups.foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -49,14 +49,18 @@ object SparkEntry {
 
   /** Scratch dir for round-trip queries. Location is
     * SPARK_GRAFT_SCRATCH if set, else RAM-backed /dev/shm when the
-    * host provides a writable one, else target/qtmp in the repo tree
-    * (round 21; same rule as Bench's shuffle scratch — the round-trip
-    * operators exercise file FORMATS, not a particular disk, and
-    * ~15 queries funnel their sink+re-read bytes through here). */
+    * host provides a writable one with ≥ 4 GiB usable (round 22 gate,
+    * ADVICE r21 — small container /dev/shm mounts would ENOSPC and a
+    * full tmpfs competes with the heap for RAM), else target/qtmp in
+    * the repo tree (round 21; same rule as Bench's shuffle scratch —
+    * the round-trip operators exercise file FORMATS, not a particular
+    * disk, and ~15 queries funnel their sink+re-read bytes through
+    * here). */
   private lazy val scratchRoot: String =
     sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-qtmp"
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= 4L * 1024 * 1024 * 1024) "/dev/shm/graft-qtmp"
       else "target/qtmp"
     }
 
@@ -693,13 +697,18 @@ object SparkEntry {
       // every INSERT batch (~1.9 s of driver-side wall at sf0.1, by
       // far the query's largest cost). Same real Derby engine, same
       // JDBC surface, same introspection/cast/partitioned-read path.
-      // Unique per invocation: memory DBs live for the JVM, and a
-      // repeated CREATE TABLE in one session must not collide.
-      val url = s"jdbc:derby:memory:jdbc_derby_${System.nanoTime()};create=true"
+      // ONE db per query name, table dropped + recreated per invocation
+      // (round 22, ADVICE r21): memory DBs live for the JVM, so the
+      // old nanoTime-unique subnames leaked one full fixture per run in
+      // repeated-run harnesses; a fixed subname bounds driver heap at
+      // one fixture regardless of repetitions.
+      val url = "jdbc:derby:memory:jdbc_derby_fixture;create=true"
       val props = new java.util.Properties
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
+        try st.executeUpdate("DROP TABLE ORDERS_SRC")
+        catch { case _: java.sql.SQLException => () } // first run: absent
         st.executeUpdate(
           """CREATE TABLE ORDERS_SRC (
                O_ORDERKEY INT NOT NULL PRIMARY KEY,
@@ -739,14 +748,15 @@ object SparkEntry {
         .select(col("c_custkey").cast("int").as("k"),
           col("c_name").as("nm"),
           col("c_acctbal").cast("double").as("bal"))
-      // in-memory Derby, same rationale (and uniqueness rule) as
-      // jdbc_migrate above
-      val url =
-        s"jdbc:derby:memory:jdbc_pred_derby_${System.nanoTime()};create=true"
+      // in-memory Derby, same rationale (and round-22 one-db-per-query
+      // heap bound) as jdbc_migrate above
+      val url = "jdbc:derby:memory:jdbc_pred_derby_fixture;create=true"
       val props = new java.util.Properties
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
+        try st.executeUpdate("DROP TABLE CUST_SRC")
+        catch { case _: java.sql.SQLException => () } // first run: absent
         st.executeUpdate(
           """CREATE TABLE CUST_SRC (
                K INT NOT NULL PRIMARY KEY,

@@ -255,7 +255,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 128, bands: Int = 32, k: Int = 3,
-                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+                 threshold: Double = 0.5, seed: Long = 42L,
+                 checkpointShingles: Boolean = true): DataFrame = {
     // the shingle rows feed THREE consumers (signature aggregate + both
     // verify sides), so without materialization the tokenize/explode/
     // distinct lineage runs three times. localCheckpoint (round 21):
@@ -264,11 +265,15 @@ object Dedup {
     // measured 2.2× SLOWER (columnar cache build + codegen break), RDD
     // blocks of the post-distinct narrow (id, h) rows are cheap to
     // write and every consumer reads them directly (same trade
-    // ngramJaccard has carried since round ~8; same cluster caveat —
-    // swap for checkpoint() + a reliable dir where executor loss must
-    // recompute, and note the blocks are shingle-table-sized, the
-    // operator's own working set).
-    val rows = shingleHashRows(df, idCol, textCol, k).localCheckpoint()
+    // ngramJaccard has carried since round ~8). `checkpointShingles`
+    // (round 22, default keeps the measured win): the blocks are
+    // shingle-table-sized — the operator's own working set — pinned
+    // executor-local with TRUNCATED lineage, so on a shared cluster
+    // where executor loss must recompute rather than fail the job,
+    // pass false (recompute) or swap for checkpoint() + a reliable
+    // dir. Opting out also restores call-time laziness.
+    val rows0 = shingleHashRows(df, idCol, textCol, k)
+    val rows = if (checkpointShingles) rows0.localCheckpoint() else rows0
     val buckets = bandBuckets(signatureCols(rows, numPerms, seed),
       numPerms, bands)
     // set sizes ride the bucket rows straight out of the signature
@@ -931,7 +936,8 @@ object Dedup {
     * stop-word-like shingles are pushed out of every prefix. Survivor
     * pairs are verified with exact jaccard on the hashed sets. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.3): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.3,
+                   checkpointShingles: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Unlike [[minhashLsh]] (2 consumers, columnar persist measured 2.2×
     // SLOWER), the shingle rows here feed FOUR plan subtrees (doc-freq,
@@ -941,10 +947,12 @@ object Dedup {
     // blocks — none of the columnar-cache build cost — and was measured
     // 40% faster end-to-end at sf0.1 (7.2 s → 4.2 s warm). Blocks are
     // executor-local and lineage is truncated, so a lost executor fails
-    // the query instead of recomputing: on a large shared cluster set a
-    // reliable checkpoint dir and swap this for `checkpoint()`, which
-    // has identical semantics with durable storage.
-    val rows = shingleHashRows(df, idCol, textCol, n).localCheckpoint()
+    // the query instead of recomputing: `checkpointShingles = false`
+    // (round 22 opt-out; default keeps the measured win) restores
+    // recompute + call-time laziness, or swap for `checkpoint()` + a
+    // reliable dir for identical semantics with durable storage.
+    val rows0 = shingleHashRows(df, idCol, textCol, n)
+    val rows = if (checkpointShingles) rows0.localCheckpoint() else rows0
     // global document frequency per shingle (one hash-aggregate on h)
     val docFreq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // prefix = each set's first hashes under the (df asc, h) order.

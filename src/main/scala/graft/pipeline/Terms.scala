@@ -429,7 +429,8 @@ object Terms {
     * pmi desc then (v, w) asc.
     */
   def collocations(df: DataFrame, textCol: String,
-                   topN: Int = 20, minCount: Long = 5L): DataFrame = {
+                   topN: Int = 20, minCount: Long = 5L,
+                   checkpointTokens: Boolean = true): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     // no id column: bigram adjacency is row-local to each document's
     // token array, and the output is corpus-level pairs
@@ -437,8 +438,14 @@ object Terms {
       w => w =!= "")
     // localCheckpoint: the tokenized arrays feed FOUR lineages (c1,
     // n_tok via c1, the bigram explode, n_bg) — materialize once
-    // (round 21; same 3+-consumer rule as minhashLsh/sourceDivergence)
-    val base = df.select(ws.as("ws")).localCheckpoint()
+    // (round 21; same 3+-consumer rule as minhashLsh/sourceDivergence).
+    // The blocks are corpus-sized (every token array) and executor-
+    // local with truncated lineage: `checkpointTokens = false` (round
+    // 22 opt-out; default keeps the measured win) restores recompute +
+    // call-time laziness for clusters where executor loss must not
+    // fail the job.
+    val base0 = df.select(ws.as("ws"))
+    val base = if (checkpointTokens) base0.localCheckpoint() else base0
     val c1 = base.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val nTok = c1.agg(sum(col("c1")).as("n_tok"))

@@ -36,6 +36,22 @@ class TermsFunnelSpec extends SparkSpec {
     assert(run(ckpt = true) == run(ckpt = false))
   }
 
+  test("collocations checkpointTokens opt-out matches the recompute path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "san francisco fog rolls over san francisco bay every day"),
+      (2L, "san francisco housing and san francisco transit dominate"),
+      (3L, "new york and san francisco trade fog stories all day"),
+      (4L, "the bay fog and the day fog differ in san francisco")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(canon(Terms.collocations(docs, "text", topN = 5, minCount = 2L,
+        checkpointTokens = false)) ==
+      canon(Terms.collocations(docs, "text", topN = 5, minCount = 2L)))
+  }
+
   test("topTerms tokenizes case-insensitively on non-alphanumerics") {
     import spark.implicits._
     val docs = Seq((1L, "Hello, HELLO! world")).toDF("doc_id", "text")
