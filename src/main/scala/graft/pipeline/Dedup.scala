@@ -440,9 +440,11 @@ object Dedup {
     val idIsLong = df.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     // first action: materializes the bucket pipeline into the caches
-    val (nCand, candArr) =
-      if (idIsLong) countAndPack(cand0, candCap)
-      else (cand0.count(), null: Array[Long])
+    // (the count half of the pair is the cap gate; the non-long-id
+    // fallback still counts to materialize, and never packs)
+    val candArr: Array[Long] =
+      if (idIsLong) countAndPack(cand0, candCap)._2
+      else { cand0.count(); null }
     // ENDPOINT GATE (sparse-duplication win regime): when the candidate
     // edges touch ≪ the corpus — huge crawl, rare duplicates — the
     // verify pass's shingle lineage re-tokenizes mostly docs that
