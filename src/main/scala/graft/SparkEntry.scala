@@ -975,6 +975,14 @@ object SparkEntry {
     "events_stream_funnel" -> ((s0, dir) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // round 22: same setting every other streaming query here uses —
+      // the funnel was paying a no-data micro-batch (a full state-store
+      // round for zero rows) after EACH of its two phases. The
+      // two-phase sentinel design never relied on them: phase 2's DATA
+      // batch runs with the watermark phase 1 advanced (sent1 − 1s,
+      // margin 3h past every user's quiet window), so every user
+      // timeout fires there deterministically either way.
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val e = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_type"))
       val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
