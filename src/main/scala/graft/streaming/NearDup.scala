@@ -1,10 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.pipeline.Dedup
 
@@ -50,10 +49,14 @@ import graft.pipeline.Dedup
   */
 object NearDup {
 
+  // Direct XXH64 statics — the exact methods xxhash64's codegen emits
+  // (`XXH64.hashLong` / `hashUTF8String`), value-identical to the
+  // `XxHash64Function.hash(Any, DataType, seed)` dispatch but without
+  // the per-call boxing + DataType match on this ~35M-call/batch path.
   private def hashLong(v: Long, seed: Long): Long =
-    XxHash64Function.hash(v, LongType, seed)
+    XXH64.hashLong(v, seed)
   private def hashStr(s: UTF8String, seed: Long): Long =
-    XxHash64Function.hash(s, StringType, seed)
+    XXH64.hashUTF8String(s, seed)
 
   /** (band, bucket) keys for one document — hash-identical to
     * `lshBands(minhashSignature(hashedShingles(text,k)))`. */
